@@ -1,0 +1,241 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``knn_bruteforce``: exact cosine top-k, the correctness baseline. The
+  query set broadcasts; the corpus never shuffles — per-partition score +
+  global top-k (k small). This is the right plan even at 100 TB: cost is
+  one full scan per query batch.
+- ``ann_ivf_label``: IVF-style two-stage search — coarse centroids (here
+  the pre-clustered ``label`` as the inverted-list key; at scale a k-means
+  fit), probe the nearest centroid(s), exact-search only those lists.
+- ``ann_lsh``: random-hyperplane signatures (md5-derived, deterministic) —
+  bucketed candidate generation, rows-only check (sign flips near zero are
+  fp-sensitive so no SQL oracle).
+
+All vector math is JVM-side higher-order functions (zip_with/aggregate) —
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from roapi_spark.plans.registry import register
+
+N_QUERIES = 5
+TOP_K = 5
+
+
+def emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+
+
+def dot_expr(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: str) -> Column:
+    return F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+@register(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.qid, e.vec_id AS neighbor_id,
+             LIST_COSINE_SIMILARITY(q.qv, e.v) AS cs
+      FROM q JOIN e ON e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, neighbor_id, ROUND(cs, 4) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cs, 4) DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+    doc="Exact brute-force cosine top-k (query set broadcast; corpus "
+    "scanned once, scored map-side, per-group top-k via window).",
+    tags=("similarity",),
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn("cs", cosine_expr("qv", "v"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "cs")
+    )
+    w = W.partitionBy("qid").orderBy(F.round("cs", 4).desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "qid",
+            "neighbor_id",
+            F.round("cs", 4).alias("cos_sim"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "ann_ivf_label",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    cent AS (  -- coarse centroids = per-label mean (inverted-list key)
+      SELECT label,
+             LIST_TRANSFORM(GENERATE_SERIES(1, 64), i ->
+               LIST_SUM(LIST_TRANSFORM(LIST(v ORDER BY vec_id), x -> x[i])) / COUNT(*))
+               AS c
+      FROM e GROUP BY label
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    probe AS (  -- nearest centroid per query
+      SELECT qid, label, ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY LIST_COSINE_SIMILARITY(qv, c) DESC, label) AS crnk
+      FROM q CROSS JOIN cent
+    ),
+    cand AS (
+      SELECT q.qid, q.qv, e.vec_id AS neighbor_id, e.v
+      FROM q JOIN probe p ON p.qid = q.qid AND p.crnk = 1
+             JOIN e ON e.label = p.label AND e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, neighbor_id, ROUND(LIST_COSINE_SIMILARITY(qv, v), 4) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(qv, v), 4) DESC, neighbor_id) AS rnk
+      FROM cand
+    )
+    SELECT qid, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+    doc="IVF-style ANN: probe the nearest coarse centroid (per-label mean), "
+    "exact-search only that inverted list — scan cost drops by the number "
+    "of lists. At 100 TB the corpus is bucketed (partitioned) by list id, "
+    "so a probe reads only matching partitions.",
+    tags=("similarity",),
+)
+def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = emb(spark, sf_dir)
+    # centroids: element-wise mean via posexplode + re-assemble (JVM-side)
+    cent = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+        .withColumn("m", F.col("sx") / F.col("n"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).m.alias("c"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "crnk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    cosine_expr("qv", "c").desc(), F.col("label")
+                )
+            ),
+        )
+        .filter(F.col("crnk") == 1)
+        .select("qid", "qv", F.col("label").alias("probe_label"))
+    )
+    cand = e.join(
+        F.broadcast(probe),
+        (F.col("label") == F.col("probe_label")) & (F.col("vec_id") != F.col("qid")),
+    ).select("qid", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+    w = W.partitionBy("qid").orderBy(
+        F.round(cosine_expr("qv", "v"), 4).desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "qid",
+            "neighbor_id",
+            F.round(cosine_expr("qv", "v"), 4).alias("cos_sim"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "ann_lsh",
+    oracle=None,  # sign-of-projection is fp-order-sensitive -> rows-only check
+    doc="Random-hyperplane LSH: 8 deterministic md5-derived +/-1 planes -> "
+    "8-bit signature; candidates = same bucket; exact re-rank in-bucket. "
+    "Bucket join replaces the full cross product.",
+    tags=("similarity",),
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    n_planes, dim = 8, 64
+    planes = [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 2 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+    e = emb(spark, sf_dir)
+    plane_arr = F.array(
+        *[F.array(*[F.lit(x) for x in plane]) for plane in planes]
+    )
+    sig = F.aggregate(
+        F.transform(
+            plane_arr,
+            lambda plane: F.when(
+                F.aggregate(
+                    F.zip_with(F.col("v"), plane, lambda x, w_: x * w_),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, bit: acc * 2 + bit,
+    )
+    sigs = e.withColumn("bucket", sig)
+    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    cand = sigs.join(
+        F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("qid"))
+    )
+    w = W.partitionBy("qid").orderBy(
+        F.round(cosine_expr("qv", "v"), 4).desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_expr("qv", "v"), 4).alias("cos_sim"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

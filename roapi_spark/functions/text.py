@@ -1,0 +1,206 @@
+"""Text-analysis operators for LLM-data pipelines (beyond the reference
+surface, per BASELINE.json north star): token counting, quality scoring,
+language scoring, document fingerprinting.
+
+All hot-path logic is JVM-side (built-in functions + higher-order array
+functions) — no Python UDFs — so it whole-stage-codegens and scales
+linearly over document shards. Each query has a DuckDB oracle computing the
+identical deterministic result.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roapi_spark.plans.registry import register
+from roapi_spark.util import pround
+
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "it"]
+# shared token pipeline: lowercase, split on non-letters, drop empties
+_TOKENS_SQL_DUCK = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0)"
+
+
+def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def tokens_col() -> Column:
+    """Non-empty lowercase word tokens, computed JVM-side."""
+    return F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: F.length(x) > 0
+    )
+
+
+def stopword_hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars, text, {_TOKENS_SQL_DUCK} AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT)                      AS len_chars,
+           CAST(LEN(w) AS BIGINT)                            AS n_tokens,
+           FLOOR(CAST(LENGTH(REGEXP_REPLACE(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                 / LENGTH(text) * 10000 + 0.5) / 10000.0     AS punct_ratio,
+           FLOOR(CAST(LEN(LIST_FILTER(w, x -> LIST_CONTAINS({STOPWORDS_EN!r}, x))) AS DOUBLE)
+                 / GREATEST(LEN(w), 1) * 10000 + 0.5) / 10000.0 AS stopword_ratio,
+           CAST(LEN(LIST_DISTINCT(w)) AS BIGINT)             AS n_distinct_tokens
+    FROM toks
+    """.replace("'the'", "'the'"),
+    doc="Per-document token count, punctuation ratio, stopword ratio, "
+    "distinct-token count. Pure map-side — no shuffle at any scale.",
+    tags=("text",),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    toks = tokens_col()
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("len_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        pround(
+            F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+        pround(
+            stopword_hits(toks, STOPWORDS_EN).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("stopword_ratio"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_TOKENS_SQL_DUCK} AS w FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             LEN(w) AS n_tokens,
+             CAST(LEN(LIST_DISTINCT(w)) AS DOUBLE) / GREATEST(LEN(w), 1) AS uniq_ratio,
+             CASE WHEN LENGTH(text) = 0 THEN 0.0
+                  ELSE CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z ]', '', 'g')) AS DOUBLE)
+                       / LENGTH(text) END AS nonalpha_ratio
+      FROM toks
+    )
+    SELECT doc_id,
+           FLOOR((0.5 * LEAST(n_tokens / 100.0, 1.0)
+                 + 0.3 * uniq_ratio
+                 + 0.2 * (1.0 - LEAST(nonalpha_ratio * 5, 1.0))) * 10000 + 0.5) / 10000.0
+             AS quality_score,
+           CASE WHEN n_tokens >= 50 AND uniq_ratio >= 0.3 THEN 'keep'
+                WHEN n_tokens >= 10 THEN 'review'
+                ELSE 'drop' END AS quality_bucket
+    FROM feats
+    """,
+    doc="Deterministic quality score (length/diversity/alpha-ratio blend) "
+    "+ keep/review/drop bucketing — the standard pre-training filter shape.",
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        n_tokens, F.lit(1)
+    )
+    nonalpha_ratio = F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace("text", r"[a-zA-Z ]", "")).cast("double")
+        / F.length("text")
+    )
+    score = pround(
+        0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * uniq_ratio
+        + 0.2 * (1.0 - F.least(nonalpha_ratio * 5, F.lit(1.0)))
+    )
+    bucket = (
+        F.when((n_tokens >= 50) & (uniq_ratio >= 0.3), "keep")
+        .when(n_tokens >= 10, "review")
+        .otherwise("drop")
+    )
+    return d.select(
+        "doc_id", score.alias("quality_score"), bucket.alias("quality_bucket")
+    )
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0) AS w
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        CAST(LEN(LIST_FILTER(w, x -> LIST_CONTAINS(['the','a','and','of','is'], x))) AS DOUBLE)
+          / GREATEST(LEN(w), 1) AS score_en,
+        CAST(LEN(LIST_FILTER(w, x -> LIST_CONTAINS(['der','die','das','und','ist'], x))) AS DOUBLE)
+          / GREATEST(LEN(w), 1) AS score_de,
+        CAST(LEN(LIST_FILTER(w, x -> LIST_CONTAINS(['el','la','de','que','es'], x))) AS DOUBLE)
+          / GREATEST(LEN(w), 1) AS score_es
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           FLOOR(score_en * 10000 + 0.5) / 10000.0 AS score_en,
+           FLOOR(score_de * 10000 + 0.5) / 10000.0 AS score_de,
+           FLOOR(score_es * 10000 + 0.5) / 10000.0 AS score_es,
+           CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+                WHEN score_de >= score_es THEN 'de'
+                ELSE 'es' END AS predicted_lang
+    FROM scores
+    """,
+    doc="Stopword-frequency language scoring with deterministic argmax "
+    "(n-gram-heuristic language ID; map-side only).",
+    tags=("text",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    toks = tokens_col()
+    n = F.greatest(F.size(toks), F.lit(1))
+    s_en = stopword_hits(toks, ["the", "a", "and", "of", "is"]).cast("double") / n
+    s_de = stopword_hits(toks, ["der", "die", "das", "und", "ist"]).cast("double") / n
+    s_es = stopword_hits(toks, ["el", "la", "de", "que", "es"]).cast("double") / n
+    pred = (
+        F.when((s_en >= s_de) & (s_en >= s_es), "en")
+        .when(s_de >= s_es, "de")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        pround(s_en).alias("score_en"),
+        pround(s_de).alias("score_de"),
+        pround(s_es).alias("score_es"),
+        pred.alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fp_full,
+           MD5(SUBSTR(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')), 1, 64)) AS fp_prefix64
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 over whitespace-normalized text "
+    "(full + 64-char prefix), the join key for exact/near dedup.",
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp_full"),
+        F.md5(F.substring(norm, 1, 64)).alias("fp_prefix64"),
+    )

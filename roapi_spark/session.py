@@ -1,0 +1,77 @@
+"""SparkSession factory.
+
+Defaults target the driver environment (local[N], single JVM) but every
+setting is chosen to also make sense on a real multi-executor cluster at
+~100 TB: AQE on (runtime re-plan + skew-join handling), partition
+coalescing, Arrow transfer for the Python boundary, and a shuffle
+partition count that tracks cores locally (on a cluster you would size it
+to ~2-3x total cores or rely on AQE coalescing from a high initial count).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "roapi_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the session.
+
+    ``extra_conf`` mirrors the reference's ``datafusion.{key}`` engine
+    passthrough (roapi/src/config.rs:246-260): arbitrary ``spark.*`` keys
+    from user config land here.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.mergeSchema", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_sf_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver testdata tables as temp views (lazy parquet scans).
+
+    Lazy scan (not .cache()) is deliberate: at 100 TB the data cannot be
+    materialized; Catalyst pushes filters/projections into the parquet scan.
+    """
+    for name in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)

@@ -1,0 +1,23 @@
+"""Cross-engine helpers.
+
+``pround`` — portable round-half-up via floor(x*10^d + 0.5)/10^d, identical
+on Spark and DuckDB. Needed for values derived from integer ratios (token
+ratios, Jaccard) which can land *exactly* on a rounding half-boundary where
+Spark (half-up) and DuckDB (half-even) disagree. Plain ROUND stays fine for
+float aggregates (sums/stddev), where an exact decimal half never occurs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def pround(col: Column, digits: int = 4) -> Column:
+    scale = 10**digits
+    return F.floor(col * scale + F.lit(0.5)) / float(scale)
+
+
+def pround_sql(expr: str, digits: int = 4) -> str:
+    scale = 10**digits
+    return f"FLOOR(({expr}) * {scale} + 0.5) / {scale}.0"
