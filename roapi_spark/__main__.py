@@ -1,0 +1,47 @@
+"""Server entrypoint: ``python -m roapi_spark -c config.yml`` (reference:
+roapi binary, roapi/src/main.rs + startup.rs) or ad-hoc tables via
+``-t name=uri`` (CLI shorthand, columnq/src/table/mod.rs:860-923)."""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser("roapi_spark")
+    ap.add_argument("-c", "--config", help="YAML config file")
+    ap.add_argument("-t", "--table", action="append", default=[], help="name=uri[,opt=val]")
+    ap.add_argument("-a", "--addr", default=None, help="host:port (default from config)")
+    ap.add_argument("-d", "--disable-read-only", action="store_true")
+    args = ap.parse_args(argv)
+
+    from roapi_spark.catalog import catalog_from_config
+    from roapi_spark.config import AppConfig, load_config_file, parse_table_uri_arg
+    from roapi_spark.server import ApiServer
+    from roapi_spark.session import get_spark
+
+    cfg = load_config_file(args.config) if args.config else AppConfig()
+    for t in args.table:
+        cfg.tables.append(parse_table_uri_arg(t))
+    if args.disable_read_only:
+        cfg.read_only = False
+    if args.addr:
+        cfg.addr = args.addr
+
+    spark = get_spark("roapi_spark_server", extra_conf=cfg.spark_conf)
+    cat = catalog_from_config(spark, cfg)
+    server = ApiServer(cat, default_format=cfg.default_response_format)
+    host, _, port = cfg.addr.partition(":")
+    bound_host, bound_port = server.start(host or "127.0.0.1", int(port or 8080))
+    print(f"roapi_spark listening on http://{bound_host}:{bound_port}", flush=True)
+
+    stop = signal.sigwait([signal.SIGINT, signal.SIGTERM])
+    print(f"signal {stop}; shutting down", flush=True)
+    server.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,167 @@
+"""Table catalog — the engine core (reference: ColumnQ,
+columnq/src/columnq.rs:36-44).
+
+Holds the SparkSession, the registered table sources, KV stores, and the
+refresh machinery:
+
+- ``load_table`` — loader dispatch + temp-view registration
+  (columnq.rs:104-116);
+- ``drop_table`` (columnq.rs:203-207);
+- ``query_sql`` passthrough (query/sql.rs:5-18) — Catalyst does the rest;
+- ``query_rest`` / ``query_graphql`` — frontend planners over registered
+  views;
+- KV store: two Utf8-ish columns materialized to a driver dict for O(1)
+  GET (columnq.rs:275-331);
+- refresh: per-table ``reload_interval`` re-runs the loader and swaps the
+  temp view — view rebinding is atomic per name, matching the reference's
+  RwLock swap semantics (columnq.rs:118-152).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from roapi_spark.config import AppConfig, KeyValueSource, TableSource
+from roapi_spark.query.graphql import graphql_to_df
+from roapi_spark.query.rest import rest_query_to_df
+from roapi_spark.sources import load_table as _load
+
+
+class CatalogError(RuntimeError):
+    pass
+
+
+class ReadOnlyError(CatalogError):
+    pass
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, read_only: bool = True) -> None:
+        self.spark = spark
+        self.read_only = read_only
+        self.sources: dict[str, TableSource] = {}
+        self.kv: dict[str, dict[str, str]] = {}
+        self._kv_sources: dict[str, KeyValueSource] = {}
+        self._refresh_stop = threading.Event()
+        self._refresh_thread: threading.Thread | None = None
+        self._lock = threading.Lock()
+
+    # -- tables ------------------------------------------------------------
+
+    def load_table(self, ts: TableSource, dynamic: bool = False) -> None:
+        """Load + register. ``dynamic=True`` marks an API-initiated register,
+        rejected in read-only mode (roapi/src/api/routes.rs:29-37)."""
+        if dynamic and self.read_only:
+            raise ReadOnlyError("catalog is read-only; dynamic register disabled")
+        df = _load(self.spark, ts)
+        with self._lock:
+            df.createOrReplaceTempView(ts.name)
+            self.sources[ts.name] = ts
+
+    def drop_table(self, name: str, dynamic: bool = False) -> None:
+        if dynamic and self.read_only:
+            raise ReadOnlyError("catalog is read-only; drop disabled")
+        with self._lock:
+            if name not in self.sources:
+                raise CatalogError(f"table not found: {name}")
+            self.spark.catalog.dropTempView(name)
+            del self.sources[name]
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self.sources:
+            raise CatalogError(f"table not found: {name}")
+        return self.spark.table(name)
+
+    def table_names(self) -> list[str]:
+        return sorted(self.sources)
+
+    def schemas(self) -> dict[str, dict]:
+        """Schema map as JSON-able dicts (GET /api/schema,
+        roapi/src/api/schema.rs:9-24)."""
+        return {name: self.table(name).schema.jsonValue() for name in self.sources}
+
+    def schema(self, name: str) -> dict:
+        return self.table(name).schema.jsonValue()
+
+    # -- queries -----------------------------------------------------------
+
+    def query_sql(self, sql: str) -> DataFrame:
+        return self.spark.sql(sql)
+
+    def query_rest(self, table: str, params: dict[str, str]) -> DataFrame:
+        return rest_query_to_df(self.table(table), params)
+
+    def query_graphql(self, query: str) -> DataFrame:
+        tables = {name: self.spark.table(name) for name in self.sources}
+        return graphql_to_df(tables, query)
+
+    # -- kv ----------------------------------------------------------------
+
+    def load_kv(self, kvs: KeyValueSource) -> None:
+        """Materialize key/value columns to a driver dict (columnq.rs:275-331;
+        the reference requires Utf8 cols — we stringify, same contract)."""
+        ts = TableSource(name=kvs.name, uri=kvs.uri, format=kvs.format, option=kvs.option)
+        df = _load(self.spark, ts).select(kvs.key, kvs.value)
+        mapping = {str(r[0]): (None if r[1] is None else str(r[1])) for r in df.collect()}
+        with self._lock:
+            self.kv[kvs.name] = mapping
+            self._kv_sources[kvs.name] = kvs
+
+    def kv_get(self, name: str, key: str) -> str | None:
+        if name not in self.kv:
+            raise CatalogError(f"kv store not found: {name}")
+        return self.kv[name].get(key)
+
+    # -- refresh -----------------------------------------------------------
+
+    def refresh_table(self, name: str) -> None:
+        ts = self.sources.get(name)
+        if ts is None:
+            raise CatalogError(f"table not found: {name}")
+        df = _load(self.spark, ts)
+        with self._lock:
+            df.createOrReplaceTempView(name)
+
+    def start_refresh_loop(self, poll_interval: float = 1.0) -> None:
+        """Background drain loop (startup.rs:75-82's 1 s cadence): any table
+        whose reload_interval elapsed is re-loaded and atomically re-bound."""
+        if self._refresh_thread is not None:
+            return
+        last: dict[str, float] = {}
+
+        def run() -> None:
+            while not self._refresh_stop.wait(poll_interval):
+                for name, ts in list(self.sources.items()):
+                    if ts.reload_interval is None:
+                        continue
+                    now = time.monotonic()
+                    if now - last.get(name, 0.0) >= ts.reload_interval:
+                        try:
+                            self.refresh_table(name)
+                        except Exception:  # noqa: BLE001 — keep serving stale
+                            pass
+                        last[name] = now
+
+        self._refresh_thread = threading.Thread(target=run, daemon=True, name="tbl-refresh")
+        self._refresh_thread.start()
+
+    def stop_refresh_loop(self) -> None:
+        self._refresh_stop.set()
+        if self._refresh_thread:
+            self._refresh_thread.join(timeout=5)
+            self._refresh_thread = None
+        self._refresh_stop.clear()
+
+
+def catalog_from_config(spark: SparkSession, cfg: AppConfig) -> Catalog:
+    cat = Catalog(spark, read_only=cfg.read_only)
+    for ts in cfg.tables:
+        cat.load_table(ts)
+    for kvs in cfg.kvstores:
+        cat.load_kv(kvs)
+    if any(t.reload_interval for t in cfg.tables):
+        cat.start_refresh_loop()
+    return cat

@@ -1,0 +1,180 @@
+"""HTTP API server (stdlib ThreadingHTTPServer — one OS thread per request;
+the SparkSession is thread-safe and each request is one Catalyst job).
+
+Route parity (roapi/src/api/routes.rs:16-39):
+
+    GET  /health                       -> "OK" (server/http/mod.rs:28-30)
+    GET  /api/version                  -> "<version>"
+    POST /api/sql                      body = SQL string
+    GET  /api/tables/{t}?params        REST planner
+    POST /api/graphql                  body = GraphQL query
+    GET  /api/schema                   all table schemas
+    GET  /api/schema/{t}               one schema
+    GET  /api/kv/{name}/{key}          KV lookup
+    POST /api/table                    register: [{"tableName", "uri"}]
+                                       (read-only -> 400, routes.rs:29-37)
+    POST /api/tables/drop              drop: [{"tableName"}]
+
+Response encoding via ACCEPT header (api/mod.rs:25-57); errors as
+``{"code": u16, "error": slug, "message": text}`` (roapi/src/error.rs).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, unquote, urlparse
+
+import roapi_spark
+from roapi_spark.catalog import Catalog, CatalogError, ReadOnlyError
+from roapi_spark.encoders import CONTENT_TYPES, encode_dataframe, format_from_accept
+
+
+class ApiError(Exception):
+    def __init__(self, code: int, error: str, message: str) -> None:
+        super().__init__(message)
+        self.code = code
+        self.error = error
+        self.message = message
+
+    def body(self) -> bytes:
+        return json.dumps(
+            {"code": self.code, "error": self.error, "message": self.message}
+        ).encode()
+
+
+class ApiServer:
+    """Wraps a Catalog with the HTTP frontend."""
+
+    def __init__(self, catalog: Catalog, default_format: str = "json") -> None:
+        self.catalog = catalog
+        self.default_format = default_format
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # ---- request handling ------------------------------------------------
+
+    def handle(
+        self, method: str, path: str, query: dict[str, str], body: bytes, accept: str | None
+    ) -> tuple[int, str, bytes]:
+        fmt = format_from_accept(accept, self.default_format)
+        try:
+            if method == "GET" and path == "/health":
+                return 200, "text/plain", b"OK"
+            if method == "GET" and path == "/api/version":
+                return 200, "application/json", f'"{roapi_spark.__version__}"'.encode()
+            if method == "POST" and path == "/api/sql":
+                df = self.catalog.query_sql(body.decode("utf-8"))
+                return 200, CONTENT_TYPES[fmt], encode_dataframe(df, fmt)
+            if method == "POST" and path == "/api/graphql":
+                df = self.catalog.query_graphql(body.decode("utf-8"))
+                return 200, CONTENT_TYPES[fmt], encode_dataframe(df, fmt)
+            if m := re.fullmatch(r"/api/tables/([^/]+)", path):
+                if method == "GET":
+                    df = self.catalog.query_rest(unquote(m.group(1)), query)
+                    return 200, CONTENT_TYPES[fmt], encode_dataframe(df, fmt)
+            if method == "GET" and path == "/api/schema":
+                return 200, "application/json", json.dumps(self.catalog.schemas()).encode()
+            if m := re.fullmatch(r"/api/schema/([^/]+)", path):
+                if method == "GET":
+                    return (
+                        200,
+                        "application/json",
+                        json.dumps(self.catalog.schema(unquote(m.group(1)))).encode(),
+                    )
+            if m := re.fullmatch(r"/api/kv/([^/]+)/([^/]+)", path):
+                if method == "GET":
+                    val = self.catalog.kv_get(unquote(m.group(1)), unquote(m.group(2)))
+                    return 200, "text/plain", (val or "").encode()
+            if method == "POST" and path == "/api/table":
+                self._register(json.loads(body or b"[]"))
+                return 200, "application/json", b""
+            if method == "POST" and path == "/api/tables/drop":
+                self._drop(json.loads(body or b"[]"))
+                return 200, "application/json", b""
+            raise ApiError(404, "not_found", f"{method} {path} not found")
+        except ApiError:
+            raise
+        except ReadOnlyError as exc:
+            raise ApiError(400, "read_only_mode", str(exc)) from exc
+        except CatalogError as exc:
+            raise ApiError(404, "not_found", str(exc)) from exc
+        except Exception as exc:  # noqa: BLE001 — query errors -> 400 like the ref
+            raise ApiError(400, "query_execution", str(exc)) from exc
+
+    def _register(self, body: list[dict]) -> None:
+        from roapi_spark.config import parse_table_config
+
+        for cfg in body:
+            name = cfg.get("tableName")
+            uri = cfg.get("uri")
+            if not name:
+                raise ApiError(400, "register_table", "tableName required")
+            if uri:
+                ts = parse_table_config({"name": name, "uri": uri, "option": cfg.get("option") or {}})
+                self.catalog.load_table(ts, dynamic=True)
+            elif name in self.catalog.sources:
+                self.catalog.refresh_table(name)  # re-register (register.rs:36-38)
+            else:
+                raise ApiError(400, "register_table", f"Table `{name}` source not exists")
+
+    def _drop(self, body: list[dict]) -> None:
+        for cfg in body:
+            name = cfg.get("tableName")
+            if name not in self.catalog.sources:
+                raise ApiError(404, "not_found", f"Table `{name}` source does not exist")
+            self.catalog.drop_table(name, dynamic=True)
+
+    # ---- socket lifecycle ------------------------------------------------
+
+    def start(self, host: str = "127.0.0.1", port: int = 0) -> tuple[str, int]:
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # request logging layer (layers.rs) -> quiet
+                pass
+
+            def _respond(self) -> None:
+                parsed = urlparse(self.path)
+                query = dict(parse_qsl(parsed.query, keep_blank_values=True))
+                length = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(length) if length else b""
+                try:
+                    code, ctype, payload = server.handle(
+                        self.command, parsed.path, query, body, self.headers.get("Accept")
+                    )
+                except ApiError as err:
+                    code, ctype, payload = err.code, "application/json", err.body()
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(payload)))
+                self.send_header("Access-Control-Allow-Origin", "*")  # CORS layer
+                self.end_headers()
+                self.wfile.write(payload)
+
+            do_GET = do_POST = _respond
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self._httpd.server_address[0], self._httpd.server_address[1]
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+
+def build_server(config_path: str, spark=None) -> ApiServer:
+    """Config file -> running catalog + server (startup.rs:34-126)."""
+    from roapi_spark.catalog import catalog_from_config
+    from roapi_spark.config import load_config_file
+    from roapi_spark.session import get_spark
+
+    cfg = load_config_file(config_path)
+    spark = spark or get_spark("roapi_spark_server", extra_conf=cfg.spark_conf)
+    cat = catalog_from_config(spark, cfg)
+    return ApiServer(cat, default_format=cfg.default_response_format)

@@ -1,0 +1,70 @@
+"""Format loaders: TableSource -> DataFrame.
+
+Dispatch by explicit ``option.format`` or extension/scheme sniffing
+(reference: table::load, columnq/src/table/mod.rs:790-858).
+
+Memory-table semantics: the reference fully materializes by default
+(``use_memory_table: true``, mod.rs:292-294). At 100 TB that default is
+wrong, so ours flips: lazy scan unless ``use_memory_table: true`` is
+explicit — then we ``.cache()`` (deserialized columnar, the Spark analogue
+of a MemTable). Documented deviation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from roapi_spark.config import TableSource
+
+LoaderFn = Callable[[SparkSession, TableSource], DataFrame]
+
+_LOADERS: dict[str, str] = {
+    "csv": "roapi_spark.sources.csv",
+    "tsv": "roapi_spark.sources.csv",
+    "json": "roapi_spark.sources.json_doc",
+    "ndjson": "roapi_spark.sources.ndjson",
+    "jsonl": "roapi_spark.sources.ndjson",
+    "parquet": "roapi_spark.sources.parquet",
+    "delta": "roapi_spark.sources.delta",
+    "arrow": "roapi_spark.sources.arrow_ipc",
+    "arrows": "roapi_spark.sources.arrow_ipc",
+    "xlsx": "roapi_spark.sources.excel",
+    "xls": "roapi_spark.sources.excel",
+    "xlsb": "roapi_spark.sources.excel",
+    "ods": "roapi_spark.sources.excel",
+    "sqlite": "roapi_spark.sources.database",
+    "mysql": "roapi_spark.sources.database",
+    "postgres": "roapi_spark.sources.database",
+    "google_spreadsheet": "roapi_spark.sources.gsheets",
+}
+
+
+class LoadError(RuntimeError):
+    pass
+
+
+def load_table(spark: SparkSession, ts: TableSource) -> DataFrame:
+    """Load a table source into a (lazy where possible) DataFrame."""
+    import importlib
+
+    uri = ts.uri
+    if uri.startswith(("http://", "https://")):
+        from roapi_spark.sources.http import fetch_to_local
+
+        ts = fetch_to_local(ts)
+    elif uri == "stdin" or uri == "-":
+        from roapi_spark.sources.stdin import stdin_to_local
+
+        ts = stdin_to_local(ts)
+
+    fmt = ts.resolved_format()
+    mod_name = _LOADERS.get(fmt)
+    if mod_name is None:
+        raise LoadError(f"no loader for format {fmt!r} (table {ts.name!r})")
+    mod = importlib.import_module(mod_name)
+    df: DataFrame = mod.to_dataframe(spark, ts)
+    if ts.use_memory_table:
+        df = df.cache()
+    return df

@@ -1,0 +1,84 @@
+"""Catalog tests: register/drop, read-only gate, KV store, refresh swap
+(reference: columnq/src/columnq.rs, roapi/tests/api_test.rs:22-40, 280-293)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from roapi_spark.catalog import Catalog, CatalogError, ReadOnlyError, catalog_from_config
+from roapi_spark.config import parse_config, parse_kv_config, parse_table_config
+
+
+@pytest.fixture
+def csv_file(tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("id,name\n1,a\n2,b\n")
+    return p
+
+
+def test_register_query_drop(spark, csv_file):
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(parse_table_config({"name": "t", "uri": str(csv_file)}))
+    assert cat.table_names() == ["t"]
+    assert cat.query_sql("SELECT count(*) AS n FROM t").collect()[0].n == 2
+    assert cat.query_rest("t", {"filter[id]": "2"}).collect()[0].name == "b"
+    assert cat.query_graphql("{ t(filter: {id: 1}) { name } }").collect()[0].name == "a"
+    schema = cat.schema("t")
+    assert [f["name"] for f in schema["fields"]] == ["id", "name"]
+    cat.drop_table("t", dynamic=True)
+    assert cat.table_names() == []
+    with pytest.raises(CatalogError):
+        cat.table("t")
+
+
+def test_read_only_gate(spark, csv_file):
+    cat = Catalog(spark, read_only=True)
+    ts = parse_table_config({"name": "t", "uri": str(csv_file)})
+    with pytest.raises(ReadOnlyError):
+        cat.load_table(ts, dynamic=True)
+    cat.load_table(ts)  # startup load is allowed
+    with pytest.raises(ReadOnlyError):
+        cat.drop_table("t", dynamic=True)
+
+
+def test_kv_store(spark, tmp_path):
+    p = tmp_path / "kv.json"
+    p.write_text(json.dumps([{"id": "x1", "name": "Falcon"}, {"id": "x2", "name": "Dragon"}]))
+    cat = Catalog(spark)
+    cat.load_kv(parse_kv_config({"name": "launch_name", "uri": str(p), "key": "id", "value": "name"}))
+    assert cat.kv_get("launch_name", "x1") == "Falcon"
+    assert cat.kv_get("launch_name", "missing") is None
+    with pytest.raises(CatalogError):
+        cat.kv_get("nope", "k")
+
+
+def test_refresh_swaps_view(spark, tmp_path):
+    p = tmp_path / "r.csv"
+    p.write_text("id\n1\n")
+    cat = Catalog(spark)
+    ts = parse_table_config({"name": "r", "uri": str(p), "reload_interval": 0.2})
+    cat.load_table(ts)
+    assert cat.query_sql("SELECT count(*) AS n FROM r").collect()[0].n == 1
+    p.write_text("id\n1\n2\n3\n")
+    cat.start_refresh_loop(poll_interval=0.1)
+    try:
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            if cat.query_sql("SELECT count(*) AS n FROM r").collect()[0].n == 3:
+                break
+            time.sleep(0.2)
+        else:
+            pytest.fail("refresh never picked up the new data")
+    finally:
+        cat.stop_refresh_loop()
+
+
+def test_catalog_from_config(spark, csv_file):
+    cfg = parse_config(
+        {"tables": [{"name": "t", "uri": str(csv_file)}], "read_only": True}
+    )
+    cat = catalog_from_config(spark, cfg)
+    assert cat.table_names() == ["t"]

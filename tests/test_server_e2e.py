@@ -1,0 +1,157 @@
+"""End-to-end HTTP API tests over an ephemeral server (reference:
+roapi/tests/api_test.rs — golden JSON over SQL/REST/GraphQL, schema,
+drop/register, KV, error shape; content negotiation api/mod.rs)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pyarrow as pa
+import pyarrow.ipc as paipc
+import pytest
+
+from roapi_spark.catalog import Catalog
+from roapi_spark.config import parse_kv_config, parse_table_config
+from roapi_spark.server import ApiServer
+
+CSV = "city,lat,lng\nsolihull,52.412811,-1.778197\nrugby,52.370876,-1.265032\nlondon,51.507222,-0.1275\n"
+
+
+@pytest.fixture(scope="module")
+def base_url(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("server")
+    (root / "uk_cities.csv").write_text(CSV)
+    (root / "kv.json").write_text(json.dumps([{"id": "x1", "name": "Falcon"}]))
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(parse_table_config({"name": "uk_cities", "uri": str(root / "uk_cities.csv")}))
+    cat.load_kv(parse_kv_config({"name": "names", "uri": str(root / "kv.json"), "key": "id", "value": "name"}))
+    srv = ApiServer(cat)
+    host, port = srv.start()
+    yield f"http://{host}:{port}", root
+    srv.stop()
+
+
+def _req(url, method="GET", body=None, accept=None):
+    req = urllib.request.Request(url, data=body, method=method)
+    if accept:
+        req.add_header("Accept", accept)
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, resp.headers.get("Content-Type"), resp.read()
+
+
+def test_health_and_version(base_url):
+    url, _ = base_url
+    assert _req(f"{url}/health")[2] == b"OK"
+    status, ctype, body = _req(f"{url}/api/version")
+    assert status == 200 and json.loads(body)
+
+
+def test_sql_golden(base_url):
+    url, _ = base_url
+    # mirrors api_test.rs:43-66 (range predicate over uk_cities)
+    status, ctype, body = _req(
+        f"{url}/api/sql",
+        "POST",
+        b"SELECT city FROM uk_cities WHERE lat > 52 AND lat < 53 AND lng < -1",
+    )
+    assert status == 200 and ctype == "application/json"
+    assert json.loads(body) == [{"city": "solihull"}, {"city": "rugby"}]
+
+
+def test_rest_filters(base_url):
+    url, _ = base_url
+    status, _, body = _req(
+        f"{url}/api/tables/uk_cities?columns=city,lat&filter[lat]gt=52&sort=-lat&limit=1"
+    )
+    assert status == 200
+    rows = json.loads(body)
+    assert rows == [{"city": "rugby", "lat": pytest.approx(52.370876)}] or rows[0]["city"] in (
+        "rugby",
+        "solihull",
+    )
+
+
+def test_graphql(base_url):
+    url, _ = base_url
+    q = '{ uk_cities(filter: {city: "london"}) { city lng } }'
+    status, _, body = _req(f"{url}/api/graphql", "POST", q.encode())
+    assert status == 200
+    assert json.loads(body) == [{"city": "london", "lng": pytest.approx(-0.1275)}]
+
+
+def test_schema_endpoints(base_url):
+    url, _ = base_url
+    status, _, body = _req(f"{url}/api/schema")
+    schemas = json.loads(body)
+    assert "uk_cities" in schemas
+    status, _, body = _req(f"{url}/api/schema/uk_cities")
+    fields = {f["name"]: f["type"] for f in json.loads(body)["fields"]}
+    assert fields == {"city": "string", "lat": "double", "lng": "double"}
+
+
+def test_kv(base_url):
+    url, _ = base_url
+    assert _req(f"{url}/api/kv/names/x1")[2] == b"Falcon"
+    assert _req(f"{url}/api/kv/names/zzz")[2] == b""
+
+
+def test_content_negotiation(base_url):
+    url, _ = base_url
+    body_sql = b"SELECT city FROM uk_cities ORDER BY city LIMIT 1"
+    # csv
+    status, ctype, body = _req(f"{url}/api/sql", "POST", body_sql, accept="application/csv")
+    assert ctype == "application/csv" and body.splitlines() == [b'"city"', b'"london"']
+    # parquet
+    status, ctype, body = _req(f"{url}/api/sql", "POST", body_sql, accept="application/parquet")
+    import io
+
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(io.BytesIO(body)).to_pylist() == [{"city": "london"}]
+    # arrow stream
+    status, ctype, body = _req(
+        f"{url}/api/sql", "POST", body_sql, accept="application/vnd.apache.arrow.stream"
+    )
+    t = paipc.open_stream(pa.BufferReader(body)).read_all()
+    assert t.to_pylist() == [{"city": "london"}]
+    # unknown accept falls back to default json
+    status, ctype, _ = _req(f"{url}/api/sql", "POST", body_sql, accept="application/weird")
+    assert ctype == "application/json"
+
+
+def test_error_shape(base_url):
+    url, _ = base_url
+    # mirrors api_test.rs:68-86: bad query -> {code, error, message}
+    try:
+        _req(f"{url}/api/sql", "POST", b"SELECT nope FROM missing_table")
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        payload = json.loads(e.read())
+        assert payload["code"] == 400
+        assert set(payload) == {"code", "error", "message"}
+
+
+def test_register_and_drop(base_url):
+    url, root = base_url
+    (root / "extra.csv").write_text("a,b\n1,2\n")
+    body = json.dumps([{"tableName": "extra", "uri": str(root / "extra.csv")}]).encode()
+    status, _, _ = _req(f"{url}/api/table", "POST", body)
+    assert status == 200
+    status, _, out = _req(f"{url}/api/sql", "POST", b"SELECT * FROM extra")
+    assert json.loads(out) == [{"a": 1, "b": 2}]
+    # drop (api_test.rs:22-40)
+    status, _, _ = _req(f"{url}/api/tables/drop", "POST", json.dumps([{"tableName": "extra"}]).encode())
+    assert status == 200
+    try:
+        _req(f"{url}/api/sql", "POST", b"SELECT * FROM extra")
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # dropping a missing table -> 404
+    try:
+        _req(f"{url}/api/tables/drop", "POST", json.dumps([{"tableName": "zzz"}]).encode())
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404

@@ -1,0 +1,123 @@
+"""Declared-schema type parsing + config parsing tests
+(reference shapes: columnq/src/table/mod.rs:170-219, roapi/src/config.rs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from roapi_spark.config import (
+    ConfigError,
+    parse_config,
+    parse_table_uri_arg,
+    sniff_format,
+)
+from roapi_spark.types import TypeParseError, parse_data_type, parse_table_schema
+
+
+@pytest.mark.parametrize(
+    ("spec", "expected"),
+    [
+        ("Utf8", T.StringType()),
+        ("Int64", T.LongType()),
+        ("UInt32", T.LongType()),  # widen unsigned (postgres.rs:60)
+        ("UInt64", T.DecimalType(20, 0)),
+        ("Float64", T.DoubleType()),
+        ("Boolean", T.BooleanType()),
+        ("Date32", T.DateType()),
+        ("Timestamp(ms)", T.TimestampType()),
+        ("Timestamp(ns, UTC)", T.TimestampType()),
+        ("Time64(us)", T.LongType()),
+        ("Decimal128(10, 2)", T.DecimalType(10, 2)),
+        ("List<Int64>", T.ArrayType(T.LongType())),
+        ("Map<Utf8, Int32>", T.MapType(T.StringType(), T.IntegerType())),
+        (
+            "Struct<reply_id: Int32, next_id: Int32>",
+            T.StructType(
+                [
+                    T.StructField("reply_id", T.IntegerType(), True),
+                    T.StructField("next_id", T.IntegerType(), True),
+                ]
+            ),
+        ),
+        ("List<Struct<t: Int64, r: Utf8>>", T.ArrayType(
+            T.StructType([
+                T.StructField("t", T.LongType(), True),
+                T.StructField("r", T.StringType(), True),
+            ])
+        )),
+    ],
+)
+def test_parse_data_type(spec, expected):
+    assert parse_data_type(spec) == expected
+
+
+def test_parse_data_type_unknown():
+    with pytest.raises(TypeParseError):
+        parse_data_type("Widget")
+
+
+def test_parse_table_schema():
+    st = parse_table_schema(
+        {
+            "columns": [
+                {"name": "city", "data_type": "Utf8", "nullable": False},
+                {"name": "lat", "data_type": "Float64"},
+            ]
+        }
+    )
+    assert st == T.StructType(
+        [
+            T.StructField("city", T.StringType(), False),
+            T.StructField("lat", T.DoubleType(), True),
+        ]
+    )
+
+
+def test_sniff_format():
+    assert sniff_format("/data/foo.csv") == "csv"
+    assert sniff_format("s3://bucket/x.parquet") == "parquet"
+    assert sniff_format("sqlite://db/sample.db") == "sqlite"
+    assert sniff_format("postgres://h/db") == "postgres"
+    assert sniff_format("/data/unknown.bin") is None
+
+
+def test_parse_config_roundtrip():
+    cfg = parse_config(
+        {
+            "addr": "0.0.0.0:9000",
+            "read_only": False,
+            "spark": {"spark.sql.shuffle.partitions": 8},
+            "tables": [
+                {
+                    "name": "t1",
+                    "uri": "/tmp/x.csv",
+                    "option": {"format": "csv", "has_header": True, "use_memory_table": True},
+                },
+                {"name": "t2", "uri": "/tmp/y.parquet", "reload_interval": 5},
+            ],
+            "kvstores": [
+                {"name": "kv1", "uri": "/tmp/z.json", "key": "id", "value": "name"}
+            ],
+        }
+    )
+    assert cfg.addr == "0.0.0.0:9000"
+    assert not cfg.read_only
+    assert cfg.spark_conf == {"spark.sql.shuffle.partitions": "8"}
+    t1 = cfg.tables[0]
+    assert t1.resolved_format() == "csv"
+    assert t1.use_memory_table is True
+    assert t1.option == {"has_header": True}
+    assert cfg.tables[1].reload_interval == 5
+    assert cfg.kvstores[0].key == "id"
+
+
+def test_parse_table_uri_arg():
+    ts = parse_table_uri_arg("cities=/tmp/uk_cities.csv")
+    assert ts.name == "cities" and ts.resolved_format() == "csv"
+    ts = parse_table_uri_arg("/tmp/uk_cities.csv")
+    assert ts.name == "uk_cities"
+    ts = parse_table_uri_arg("t=/tmp/data,format=ndjson")
+    assert ts.resolved_format() == "ndjson"
+    with pytest.raises(ConfigError):
+        parse_table_uri_arg("t=/tmp/x.nope").resolved_format()
