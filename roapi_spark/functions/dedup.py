@@ -45,25 +45,26 @@ def tokens_col() -> Column:
     return F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: F.length(x) > 0)
 
 
+def shingle_array_of(w: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token-array column.
+
+    Built from arrays_zip of n shifted slices — NOT element_at(w, i+k)
+    inside a transform lambda: lambda-internal references re-evaluate the
+    token expression per element (O(tokens^2) per doc; measured 3-25x
+    slower). Here ``w`` is referenced only O(n) times per row."""
+    ln = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(w, k + 1, ln) for k in range(n)])
+    return F.array_distinct(
+        F.transform(z, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)]))
+    )
+
+
 def shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams, computed map-side."""
-    toks = tokens_col().alias("w")
+    """(doc_id, shingle) — distinct word n-grams exploded to rows."""
     return (
-        df.select("doc_id", toks)
+        df.select("doc_id", tokens_col().alias("w"))
         .filter(F.size("w") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("w") - n),
-                        lambda i: F.concat_ws(
-                            " ", *[F.element_at("w", i + k + 1) for k in range(n)]
-                        ),
-                    )
-                )
-            ).alias("shingle"),
-        )
+        .select("doc_id", F.explode(shingle_array_of(F.col("w"), n)).alias("shingle"))
     )
 
 
@@ -149,39 +150,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, k, mh): k-th minhash = min over shingles of
-    md5('<k>:'||shingle) prefix — portable across engines."""
-    sh = shingles(docs(spark, sf_dir))
-    ks = F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("k")
-    return (
-        sh.select("doc_id", "shingle", ks)
-        .select(
-            "doc_id",
-            "k",
-            F.substring(
-                F.md5(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("shingle"))),
-                1,
-                12,
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "k")
-        .agg(F.min("h").alias("mh"))
+# one base hash per shingle (32-bit from md5), then the k-th minhash
+# function is h_k = (2k+3)*h mod MH_P — integer-exact, identical in
+# DuckDB, and 12x fewer md5 evaluations than hashing per k.
+MH_P = 4294967311  # smallest prime > 2^32
+
+
+def minhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<bigint>[N_MINHASH]) computed 100%% map-side:
+    sig[k] = min over shingles of (2k+3)*base_hash mod P. No shuffle —
+    at 100 TB this is a pure scan stage; only the band join below moves
+    data."""
+    base = F.transform(
+        F.col("sh"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
     )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+        lambda k: F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: (k * 2 + 3) * h % MH_P,
+            )
+        ),
+    )
+    # Two materialization points matter: without them Catalyst's
+    # projection-collapse inlines the shingle-array expression into each of
+    # the 12 signature lambdas (and again into every downstream reference),
+    # turning one tokenize+md5 pass into dozens. localCheckpoint is a hard
+    # barrier; the signature table is tiny (~200 B/doc) at any scale.
+    sh = d.select("doc_id", shingle_array_of(tokens_col()).alias("sh")).filter(
+        F.size("sh") >= 1
+    )
+    # barrier AFTER the md5 base hashes: otherwise projection collapse
+    # inlines `base` into all 12 signature lambdas -> 12x the md5 work
+    hs = sh.select("doc_id", base.alias("hs")).localCheckpoint(eager=False)
+    return hs.select("doc_id", sig.alias("sig"))
 
 
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SHINGLES_DUCK},
+    hs AS (
+      SELECT doc_id, ('0x' || SUBSTR(MD5(shingle), 1, 8))::BIGINT AS h FROM sh
+    ),
     minh AS (
-      SELECT doc_id, k, MIN(SUBSTR(MD5(k::VARCHAR || ':' || shingle), 1, 12)) AS mh
-      FROM sh, UNNEST(GENERATE_SERIES(0, {N_MINHASH - 1})) AS t(k)
+      SELECT doc_id, k, MIN((2 * k + 3) * h % {MH_P}) AS mh
+      FROM hs, UNNEST(GENERATE_SERIES(0, {N_MINHASH - 1})) AS t(k)
       GROUP BY doc_id, k
     ),
     bands AS (
       SELECT doc_id, k // {BAND_ROWS} AS band_id,
-             STRING_AGG(mh, ',' ORDER BY k) AS band_sig
+             STRING_AGG(mh::VARCHAR, ',' ORDER BY k) AS band_sig
       FROM minh GROUP BY doc_id, k // {BAND_ROWS}
     ),
     cand AS (
@@ -204,40 +225,50 @@ def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    minh = _minhash_sig(spark, sf_dir).cache()
-    bands = (
-        minh.withColumn("band_id", (F.col("k") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.array_join(F.array_sort(F.collect_list(F.struct("k", "mh"))).mh, ",").alias(
-                "band_sig"
+    sigs = minhash_signatures(docs(spark, sf_dir))
+    # bands carry the full signature so the verify step needs no re-join
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_MINHASH // BAND_ROWS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.array_join(
+                        F.transform(
+                            F.slice("sig", b * BAND_ROWS + 1, BAND_ROWS),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    ).alias("band_sig"),
+                ),
             )
-        )
-    )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_sig")
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("first_sig"), F.col("second_sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(N_MINHASH))
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    ma = minh.alias("ma")
-    mb = minh.alias("mb")
-    return (
-        cand.join(ma, F.col("doc_a") == F.col("ma.doc_id"))
-        .join(mb, (F.col("doc_b") == F.col("mb.doc_id")) & (F.col("ma.k") == F.col("mb.k")))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            pround(
-                F.sum(F.when(F.col("ma.mh") == F.col("mb.mh"), 1).otherwise(0))
-                / F.lit(float(N_MINHASH))
-            ).alias("est_jaccard")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("first_sig"),
+            F.col("b.sig").alias("second_sig"),
         )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first(pround(est)).alias("est_jaccard"))
     )
 
 
@@ -272,35 +303,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fully map-side: token hashes as an array, 32 bit-votes folded with
+    # higher-order aggregate — zero shuffle at any scale
     d = docs(spark, sf_dir)
-    th = d.select(
-        "doc_id", F.explode(tokens_col()).alias("token")
-    ).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    hs = F.transform(
+        tokens_col(),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
     )
-    bits = (
-        th.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"))
-        .withColumn(
-            "vote",
-            F.when(
-                (F.col("h") / F.pow(F.lit(2.0), F.col("i")).cast("bigint")).cast("bigint")
-                % 2
-                == 1,
-                1,
-            ).otherwise(-1),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.sum("vote").alias("s"))
+    bit_weight = lambda i: F.pow(F.lit(2.0), i).cast("bigint")  # noqa: E731
+    vote_sum = lambda i: F.aggregate(  # noqa: E731
+        F.col("hs"),
+        F.lit(0),
+        lambda acc, h: acc
+        + F.when((h / bit_weight(i)).cast("bigint") % 2 == 1, 1).otherwise(-1),
     )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("i")).cast("bigint")).otherwise(
-                0
-            )
-        )
-        .cast("bigint")
-        .alias("simhash32")
+    simhash = F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc + F.when(vote_sum(i) > 0, bit_weight(i)).otherwise(F.lit(0).cast("bigint")),
+    )
+    return d.select("doc_id", hs.alias("hs")).select(
+        "doc_id", simhash.cast("bigint").alias("simhash32")
     )
 
 

@@ -1,0 +1,106 @@
+"""Structured Streaming over the events schema.
+
+The reference has no streaming surface (SURVEY §2.7 — its only time-based
+behavior is whole-table reload), so this module is the designed extension
+point: the same events table, processed incrementally.
+
+- ``stream_events`` — file-source ``readStream`` (new files under a dir are
+  the micro-batches; at scale this is the standard landing-zone pattern,
+  swap the source for kafka with one line).
+- ``windowed_counts`` — event-time tumbling window + watermark for late
+  data; state store bounds memory by evicting windows older than the
+  watermark.
+- ``sessionize`` — custom stateful operator via ``applyInPandasWithState``:
+  per-user session aggregation with a gap timeout, the canonical
+  beyond-SQL streaming op.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
+    return spark.readStream.schema(EVENTS_SCHEMA).format(fmt).load(path)
+
+
+def windowed_counts(
+    stream: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Tumbling event-time window; late rows beyond the watermark drop out
+    of state instead of accumulating forever."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SESSION_OUTPUT = "user_id bigint, n_events int, total_value double, session_start timestamp, session_end timestamp"
+SESSION_STATE = "n int, total double, start timestamp, last timestamp"
+
+
+def _session_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        n, total, start, last = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [(key[0], n, total, start, last)],
+            columns=["user_id", "n_events", "total_value", "session_start", "session_end"],
+        )
+        return
+    n, total, start, last = state.get if state.exists else (0, 0.0, None, None)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        lo, hi = pdf["ts"].min(), pdf["ts"].max()
+        start = lo if start is None or lo < start else start
+        last = hi if last is None or hi > last else last
+    state.update((n, total, start, last))
+    state.setTimeoutDuration(30 * 1000)  # 30 s session gap
+    yield pd.DataFrame(
+        [], columns=["user_id", "n_events", "total_value", "session_start", "session_end"]
+    )
+
+
+def sessionize(stream: DataFrame) -> DataFrame:
+    """Per-user session rollup with a 30 s inactivity gap — emits one row
+    per closed session (custom stateful operator the SQL surface can't
+    express; state lives in the checkpointed state store)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        SESSION_OUTPUT,
+        SESSION_STATE,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,67 @@
+"""Multimodal pipeline tests: binary columns + mapInPandas decode/resize/
+frame-sample over the synthetic deterministic codec."""
+
+from __future__ import annotations
+
+import pytest
+
+from roapi_spark.functions.multimodal import (
+    decode_image,
+    encode_fake_image,
+    encode_fake_video,
+    frame_sample,
+    image_resize,
+    image_stats,
+    with_meta,
+)
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rows = [(i, encode_fake_image(16 + i, 8 + i, seed=i)) for i in range(6)]
+    return spark.createDataFrame(rows, "id bigint, content binary").repartition(3)
+
+
+def test_image_stats(spark, images):
+    out = image_stats(images).orderBy("id").collect()
+    assert len(out) == 6
+    r0 = out[0]
+    assert (r0.width, r0.height) == (16, 8)
+    assert r0.n_bytes == 12 + 16 * 8
+    assert 0 <= r0.mean_pixel <= 255 and 0 <= r0.max_pixel <= 255
+    # deterministic across runs
+    again = image_stats(images).orderBy("id").collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_image_resize_roundtrip(spark, images):
+    out = image_resize(images, 8, 4).orderBy("id").collect()
+    assert all((r.width, r.height) == (8, 4) for r in out)
+    img = decode_image(bytes(out[0].content))
+    assert img.shape == (4, 8)
+
+
+def test_frame_sample_fanout(spark):
+    vids = spark.createDataFrame(
+        [(1, encode_fake_video(10, 4, 4, seed=1)), (2, encode_fake_video(5, 4, 4, seed=2))],
+        "id bigint, content binary",
+    ).repartition(2)
+    out = frame_sample(vids, every_n=3).collect()
+    # video 1: frames 0,3,6,9; video 2: frames 0,3
+    got = sorted((r.id, r.frame_idx) for r in out)
+    assert got == [(1, 0), (1, 3), (1, 6), (1, 9), (2, 0), (2, 3)]
+    img = decode_image(bytes(out[0].content))
+    assert img.shape == (4, 4)
+
+
+def test_real_codec_is_gated(spark, images):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_with_meta(spark, images):
+    df = with_meta(images, "image/x-fimg")
+    row = df.filter("id = 0").collect()[0]
+    assert row.meta.mime == "image/x-fimg"
+    assert row.meta.n_bytes == 12 + 16 * 8
+    assert dict(df.dtypes)["meta"] == "struct<mime:string,n_bytes:bigint>"
