@@ -1,0 +1,222 @@
+"""Remaining SURVEY §2.5 surface rows as oracle-checked queries: grouping
+sets, math functions, null-handling functions, UNION ALL, IN/BETWEEN/LIKE
+predicates, time-bucket windows (date_bin analogue)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roapi_spark.plans.analytics import events_t, t
+from roapi_spark.plans.registry import register
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (SQL passthrough on both engines).",
+    tags=("agg",),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(ABS(p_retailprice - 1000), 4)       AS abs_delta,
+           ROUND(SQRT(p_retailprice), 4)             AS sqrt_price,
+           ROUND(POWER(p_size, 2), 4)                AS size_sq,
+           ROUND(LN(p_retailprice), 4)               AS ln_price,
+           ROUND(LOG10(p_retailprice), 4)            AS log10_price,
+           CAST(CEIL(p_retailprice) AS BIGINT)       AS ceil_price,
+           CAST(FLOOR(p_retailprice) AS BIGINT)      AS floor_price,
+           p_size % 5                                AS size_mod,
+           ROUND(SIN(p_size) + COS(p_size), 4)       AS trig
+    FROM part WHERE p_partkey <= 50
+    """,
+    doc="Math scalar battery: abs/sqrt/power/ln/log10/ceil/floor/mod/trig.",
+    tags=("scalar",),
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
+    return p.select(
+        "p_partkey",
+        F.round(F.abs(F.col("p_retailprice") - 1000), 4).alias("abs_delta"),
+        F.round(F.sqrt("p_retailprice"), 4).alias("sqrt_price"),
+        F.round(F.pow("p_size", F.lit(2)), 4).alias("size_sq"),
+        F.round(F.log("p_retailprice"), 4).alias("ln_price"),
+        F.round(F.log10("p_retailprice"), 4).alias("log10_price"),
+        F.ceil("p_retailprice").cast("bigint").alias("ceil_price"),
+        F.floor("p_retailprice").cast("bigint").alias("floor_price"),
+        (F.col("p_size") % 5).alias("size_mod"),
+        F.round(F.sin("p_size") + F.cos("p_size"), 4).alias("trig"),
+    )
+
+
+@register(
+    "q_null_handling",
+    oracle="""
+    WITH j AS (
+      SELECT n.n_name, c.c_custkey, c.c_acctbal
+      FROM nation n LEFT JOIN customer c
+        ON n.n_nationkey = c.c_nationkey AND c.c_acctbal > 9000
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT)                       AS n_rows,
+           CAST(COUNT(c_custkey) AS BIGINT)               AS n_nonnull,
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           ROUND(SUM(COALESCE(c_acctbal, 0)), 4)          AS total_bal,
+           COALESCE(CAST(MAX(c_custkey) AS VARCHAR), 'none') AS max_cust,
+           MAX(NULLIF(n_name, 'NATION_0'))                AS name_or_null
+    FROM j GROUP BY n_name
+    """,
+    doc="NULL semantics: COUNT(*) vs COUNT(col), IS NULL, COALESCE, NULLIF "
+    "over an outer join that manufactures nulls.",
+    tags=("scalar", "join"),
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    j = n.join(
+        c, (n.n_nationkey == c.c_nationkey) & (c.c_acctbal > 9000), "left"
+    ).select("n_name", "c_custkey", "c_acctbal")
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("n_rows"),
+        F.count("c_custkey").alias("n_nonnull"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.round(F.sum(F.coalesce("c_acctbal", F.lit(0.0))), 4).alias("total_bal"),
+        F.coalesce(F.max("c_custkey").cast("string"), F.lit("none")).alias("max_cust"),
+        F.max(F.nullif(F.col("n_name"), F.lit("NATION_0"))).alias("name_or_null"),
+    )
+
+
+@register(
+    "q_union_all",
+    oracle="""
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(v), 4) AS total
+    FROM (
+      SELECT 'order' AS kind, o_totalprice AS v FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT 'line' AS kind, l_extendedprice AS v FROM lineitem WHERE l_returnflag = 'R'
+    )
+    GROUP BY kind
+    """,
+    doc="UNION ALL of heterogeneous relations unified to a common schema.",
+    tags=("setop",),
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.lit("order").alias("kind"), F.col("o_totalprice").alias("v"))
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.lit("line").alias("kind"), F.col("l_extendedprice").alias("v"))
+    )
+    return o.unionAll(li).groupBy("kind").agg(
+        F.count("*").alias("n"), F.round(F.sum("v"), 4).alias("total")
+    )
+
+
+@register(
+    "q_in_between_like",
+    oracle="""
+    SELECT
+      CAST((SELECT COUNT(*) FROM part WHERE p_brand IN ('Brand#1','Brand#5','Brand#9')) AS BIGINT)
+        AS n_in,
+      CAST((SELECT COUNT(*) FROM part WHERE p_size BETWEEN 10 AND 20) AS BIGINT) AS n_between,
+      CAST((SELECT COUNT(*) FROM part WHERE p_name LIKE '%iron%') AS BIGINT)     AS n_like,
+      CAST((SELECT COUNT(*) FROM part WHERE p_name NOT LIKE 'a%') AS BIGINT)     AS n_not_like,
+      CAST((SELECT COUNT(*) FROM part WHERE p_type SIMILAR TO '(PROMO|ECONOMY)') AS BIGINT)
+        AS n_regex
+    """,
+    doc="Predicate battery: IN-list, BETWEEN, LIKE/NOT LIKE, regex match.",
+    tags=("filter",),
+)
+def q_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    rows = [
+        (
+            p.filter(F.col("p_brand").isin("Brand#1", "Brand#5", "Brand#9")).count(),
+            p.filter(F.col("p_size").between(10, 20)).count(),
+            p.filter(F.col("p_name").like("%iron%")).count(),
+            p.filter(~F.col("p_name").like("a%")).count(),
+            p.filter(F.col("p_type").rlike("^(PROMO|ECONOMY)$")).count(),
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "n_in bigint, n_between bigint, n_like bigint, n_not_like bigint, n_regex bigint"
+    )
+
+
+@register(
+    "q_time_bucket",
+    oracle="""
+    SELECT CAST(TIME_BUCKET(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY 1
+    """,
+    doc="date_bin / time-bucket windows (Spark F.window tumbling 15 min == "
+    "DuckDB time_bucket; both align buckets to epoch-multiple boundaries).",
+    tags=("scalar", "agg"),
+)
+def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_t(spark, sf_dir).filter(F.col("event_type") == "click")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("w.start").alias("bucket"), "n", "avg_value")
+    )
+
+
+@register(
+    "graphql_page",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice >= 100000
+    ORDER BY o_orderkey ASC NULLS FIRST
+    LIMIT 8 OFFSET 16
+    """,
+    doc="GraphQL planner paging: limit+page args (skip=(page-1)*limit, "
+    "graphql.rs:303-342), through the real planner code path.",
+    tags=("frontend", "graphql"),
+)
+def graphql_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.query.graphql import graphql_to_df
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).withColumn(
+        "o_totalprice", F.round("o_totalprice", 4)
+    )
+    q = """
+    {
+      orders(
+        filter: { o_totalprice: { gteq: 100000 } }
+        sort: [{ field: "o_orderkey" }]
+        limit: 8
+        page: 3
+      ) { o_orderkey o_totalprice }
+    }
+    """
+    return graphql_to_df({"orders": orders}, q)
