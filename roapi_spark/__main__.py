@@ -15,6 +15,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-t", "--table", action="append", default=[], help="name=uri[,opt=val]")
     ap.add_argument("-a", "--addr", default=None, help="host:port (default from config)")
     ap.add_argument("-d", "--disable-read-only", action="store_true")
+    ap.add_argument("--pg-addr", default=None, help="host:port for the postgres-wire endpoint")
+    ap.add_argument("--flight-addr", default=None, help="host:port for the Arrow Flight endpoint")
     args = ap.parse_args(argv)
 
     from roapi_spark.catalog import catalog_from_config
@@ -37,9 +39,29 @@ def main(argv: list[str] | None = None) -> int:
     bound_host, bound_port = server.start(host or "127.0.0.1", int(port or 8080))
     print(f"roapi_spark listening on http://{bound_host}:{bound_port}", flush=True)
 
+    # optional wire protocols, served alongside HTTP (startup.rs:140-177)
+    pg_server = flight_server = None
+    if args.pg_addr:
+        from roapi_spark.server.postgres import PostgresServer
+
+        h, _, p = args.pg_addr.partition(":")
+        pg_server = PostgresServer(cat, h or "127.0.0.1", int(p or 5432))
+        pg_server.start()
+        print(f"postgres wire on {h or '127.0.0.1'}:{pg_server.port}", flush=True)
+    if args.flight_addr:
+        from roapi_spark.server.flight import SparkFlightServer
+
+        h, _, p = args.flight_addr.partition(":")
+        flight_server = SparkFlightServer(cat, f"grpc://{h or '127.0.0.1'}:{p or 50051}")
+        print(f"arrow flight on grpc://{h or '127.0.0.1'}:{flight_server.port}", flush=True)
+
     stop = signal.sigwait([signal.SIGINT, signal.SIGTERM])
     print(f"signal {stop}; shutting down", flush=True)
     server.stop()
+    if pg_server:
+        pg_server.stop()
+    if flight_server:
+        flight_server.shutdown()
     return 0
 
 
