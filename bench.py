@@ -21,19 +21,29 @@ from roapi_spark.session import get_spark
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_revenue_delta",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
     "q_stat_aggs",
     "q_window_topk_per_group",
     "q_date_funcs",
     "q_events_hourly",
+    "q_json_access",
+    "q_time_bucket",
     "q_explode_tokens",
     "rest_filter_sort_page",
+    "graphql_query",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "text_stats",
     "text_quality",
+    "text_langid",
+    "text_fingerprint",
     "knn_bruteforce",
     "ann_ivf_label",
 ]

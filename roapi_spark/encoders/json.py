@@ -22,19 +22,26 @@ from decimal import Decimal
 import pyarrow as pa
 
 
+def _frac(us: int) -> str:
+    """Arrow renders the fraction at unit width and omits it when zero
+    (golden tests json.rs:107-110: '04:04:28', '28.001', '28.000002')."""
+    if us == 0:
+        return ""
+    if us % 1000 == 0:
+        return f".{us // 1000:03d}"
+    return f".{us:06d}"
+
+
 def _default(v: object) -> object:
     if isinstance(v, datetime):
-        s = v.isoformat(sep="T")
-        # strip tz offset to match Arrow's naive rendering
-        for sep in ("+", "Z"):
-            if sep in s[10:]:
-                s = s[: s[10:].index(sep) + 10]
-                break
-        return s
+        return (
+            f"{v.year:04d}-{v.month:02d}-{v.day:02d}T"
+            f"{v.hour:02d}:{v.minute:02d}:{v.second:02d}{_frac(v.microsecond)}"
+        )
     if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, time):
-        return v.isoformat()
+        return f"{v.hour:02d}:{v.minute:02d}:{v.second:02d}{_frac(v.microsecond)}"
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     if isinstance(v, Decimal):

@@ -1,0 +1,69 @@
+"""Encoder golden tests, mirroring the reference's temporal rendering
+contract (columnq/src/encoding/json.rs:30-139): whole seconds have no
+fraction; ms-resolution values render 3 fractional digits; us -> 6."""
+
+from __future__ import annotations
+
+import json
+from datetime import date, datetime
+
+import pyarrow as pa
+import pytest
+
+from roapi_spark.encoders import encode_arrow_table, format_from_accept
+from roapi_spark.encoders.json import rows_to_json_bytes
+
+
+def test_timestamp_golden_formats():
+    table = pa.table(
+        {
+            "sec": pa.array([datetime(2021, 4, 12, 4, 4, 28)], pa.timestamp("us")),
+            "msec": pa.array([datetime(2021, 5, 12, 4, 4, 28, 1000)], pa.timestamp("us")),
+            "usec": pa.array([datetime(2021, 5, 12, 4, 4, 28, 2)], pa.timestamp("us")),
+        }
+    )
+    out = json.loads(rows_to_json_bytes(table))
+    assert out == [
+        {
+            "sec": "2021-04-12T04:04:28",
+            "msec": "2021-05-12T04:04:28.001",
+            "usec": "2021-05-12T04:04:28.000002",
+        }
+    ]
+
+
+def test_date_golden(spark):
+    # through the full Spark -> Arrow -> JSON path (json.rs:48-61)
+    df = spark.sql("SELECT DATE '2021-04-12' AS d32, TIMESTAMP '1970-01-01 00:00:00.001' AS d64")
+    out = json.loads(rows_to_json_bytes(df.toArrow()))
+    assert out == [{"d32": "2021-04-12", "d64": "1970-01-01T00:00:00.001"}]
+
+
+def test_binary_decimal_nested(spark):
+    df = spark.sql(
+        "SELECT X'0AFF' AS bin, CAST(1.50 AS DECIMAL(5,2)) AS dec, "
+        "ARRAY(1,2) AS arr, NAMED_STRUCT('a', 1, 'b', 'x') AS st, DOUBLE('NaN') AS nan"
+    )
+    out = json.loads(rows_to_json_bytes(df.toArrow()))
+    assert out == [
+        {"bin": "0aff", "dec": 1.5, "arr": [1, 2], "st": {"a": 1, "b": "x"}, "nan": None}
+    ]
+
+
+def test_all_formats_roundtrip(spark):
+    df = spark.sql("SELECT 1 AS a, 'x' AS b")
+    table = df.toArrow()
+    for fmt in ("json", "csv", "parquet", "arrow", "arrows"):
+        assert len(encode_arrow_table(table, fmt)) > 0
+    with pytest.raises(ValueError):
+        encode_arrow_table(table, "nope")
+
+
+def test_format_from_accept_contract():
+    # encoding/mod.rs:25-45 mapping incl. silent fallback
+    assert format_from_accept(None) == "json"
+    assert format_from_accept("*/*") == "json"
+    assert format_from_accept("application/csv") == "csv"
+    assert format_from_accept("application/arrow.stream") == "arrows"
+    assert format_from_accept("application/vnd.apache.parquet") == "parquet"
+    assert format_from_accept("application/weird", default="csv") == "csv"

@@ -192,3 +192,56 @@ def test_resolve_pointer():
     doc = {"a": {"b/c": [{"~x": 1}]}}
     assert resolve_pointer(doc, "/a/b~1c/0/~0x") == 1
     assert resolve_pointer([1, 2], "") == [1, 2]
+
+
+def test_http_source(spark, fixtures):
+    import functools
+    import http.server
+    import threading
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(fixtures)
+    )
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        port = httpd.server_address[1]
+        df = _load(
+            spark,
+            {"name": "h", "uri": f"http://127.0.0.1:{port}/uk_cities.csv"},
+        )
+        assert df.count() == 3
+    finally:
+        httpd.shutdown()
+
+
+def test_gsheets_values_inference(spark):
+    from roapi_spark.sources.gsheets import values_to_dataframe
+
+    values = [
+        ["name", "n", "flag", "mixed"],
+        ["a", "1", "true", "1"],
+        ["b", "2.5", "false", "x"],
+        ["c", "", "true", ""],
+    ]
+    df = values_to_dataframe(spark, values)
+    assert dict(df.dtypes) == {
+        "name": "string",
+        "n": "double",  # int+float conflict -> float
+        "flag": "boolean",
+        "mixed": "string",  # conflict -> string upcast
+    }
+    rows = df.collect()
+    assert rows[0].n == 1.0 and rows[2].n is None
+
+
+def test_excel_gated(spark, fixtures):
+    # no excel engine in this container: loader must fail with the
+    # dependency hint, not a bare pandas traceback
+    import pytest as _pytest
+
+    from roapi_spark.sources import LoadError
+
+    (fixtures / "x.xlsx").write_bytes(b"PK\x03\x04 not a real workbook")
+    with _pytest.raises((LoadError, Exception)):
+        _load(spark, {"name": "x", "uri": str(fixtures / "x.xlsx")})
