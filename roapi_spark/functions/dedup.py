@@ -358,3 +358,162 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
     )
+
+
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs from the MinHash bands."""
+    sigs = minhash_signatures(docs(spark, sf_dir))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_MINHASH // BAND_ROWS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.array_join(
+                        F.transform(
+                            F.slice("sig", b * BAND_ROWS + 1, BAND_ROWS),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    ).alias("band_sig"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# DuckDB CTEs reproducing the bands + candidate pairs (shared by the
+# clustering oracle below)
+_PAIRS_DUCK = f"""
+    {_SHINGLES_DUCK},
+    hs AS (
+      SELECT doc_id, ('0x' || SUBSTR(MD5(shingle), 1, 8))::BIGINT AS h FROM sh
+    ),
+    minh AS (
+      SELECT doc_id, k, MIN((2 * k + 3) * h % {MH_P}) AS mh
+      FROM hs, UNNEST(GENERATE_SERIES(0, {N_MINHASH - 1})) AS t(k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, k // {BAND_ROWS} AS band_id,
+             STRING_AGG(mh::VARCHAR, ',' ORDER BY k) AS band_sig
+      FROM minh GROUP BY doc_id, k // {BAND_ROWS}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_DUCK.strip().lstrip("WITH").strip()},
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a
+    )
+    SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS component
+    FROM reach GROUP BY n
+    """,
+    doc="Near-dup clustering: connected components over the LSH candidate "
+    "graph via iterative min-label propagation (the canonical duplicate-"
+    "cluster step after pair generation). Spark side converges in "
+    "O(log diameter) small-step iterations over the (tiny) pair set; "
+    "oracle = recursive-CTE transitive closure. At 100 TB the pair graph "
+    "is orders of magnitude smaller than the corpus, so the iteration "
+    "cost is negligible next to signature generation.",
+    tags=("dedup", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_candidate_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("a").alias("n")).distinct().withColumn("label", F.col("n"))
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.n)
+            .groupBy("a")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.n == neighbor_min.a, "left")
+            .select(
+                "n",
+                F.least(F.col("label"), F.coalesce("nb_min", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), F.col("u.n") == F.col("l.n"))
+            .filter(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("doc_id"), F.col("label").cast("bigint").alias("component"))
+
+
+@register(
+    "dedup_apply",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_kept,
+           CAST(MAX(doc_id) AS BIGINT) AS last_kept
+    FROM documents
+    WHERE doc_id IN (
+      SELECT MIN(doc_id)
+      FROM documents
+      GROUP BY MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))
+    )
+    """,
+    doc="Dedup APPLY step: keep the lowest doc_id per normalized-content "
+    "digest and materialize the surviving corpus (left-semi join against "
+    "the keeper set — no row ever carries the text through a shuffle).",
+    tags=("dedup",),
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    norm_hash = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    keepers = (
+        d.select(norm_hash.alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+    )
+    kept = d.join(
+        F.broadcast(keepers), d.doc_id == keepers.keep_id, "left_semi"
+    )
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        F.min("doc_id").alias("first_kept"),
+        F.max("doc_id").alias("last_kept"),
+    )
