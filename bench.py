@@ -56,8 +56,10 @@ def main() -> None:
     specs = load_all()
     spark = get_spark("bench")
 
-    # JVM/codegen warmup on a trivial action so q1 isn't charged for startup
+    # JVM/codegen warmup on a real (untimed) scan+agg so the first timed
+    # query isn't charged for JIT/classloading startup
     spark.range(1000).count()
+    specs["q6_revenue_delta"].builder(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -22,6 +22,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from roapi_spark.plans.registry import register
+from roapi_spark.util import pround
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -44,9 +45,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            ROUND(SUM(l_extendedprice), 4)                                   AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           FLOOR(AVG(l_quantity) * 10000 + 0.5) / 10000.0                   AS avg_qty,
+           FLOOR(AVG(l_extendedprice) * 10000 + 0.5) / 10000.0              AS avg_price,
+           FLOOR(AVG(l_discount) * 10000 + 0.5) / 10000.0                   AS avg_disc,
            CAST(COUNT(*) AS BIGINT)                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -67,9 +68,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
             F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            pround(F.avg("l_quantity")).alias("avg_qty"),
+            pround(F.avg("l_extendedprice")).alias("avg_price"),
+            pround(F.avg("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -107,7 +108,7 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            ROUND(MIN(l_extendedprice), 4)          AS min_price,
            ROUND(MAX(l_extendedprice), 4)          AS max_price,
-           ROUND(AVG(l_extendedprice), 4)          AS avg_price,
+           FLOOR(AVG(l_extendedprice) * 10000 + 0.5) / 10000.0 AS avg_price,
            ROUND(STDDEV_SAMP(l_extendedprice), 4)  AS std_price,
            ROUND(VAR_SAMP(l_discount), 4)          AS var_disc,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
@@ -122,7 +123,7 @@ def q_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(F.min("l_extendedprice"), 4).alias("min_price"),
         F.round(F.max("l_extendedprice"), 4).alias("max_price"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        pround(F.avg("l_extendedprice")).alias("avg_price"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
         F.round(F.var_samp("l_discount"), 4).alias("var_disc"),
         F.countDistinct("l_orderkey").alias("n_orders"),

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from roapi_spark.plans.analytics import events_t, t
 from roapi_spark.plans.registry import register
+from roapi_spark.util import pround
 
 
 @register(
@@ -172,7 +173,7 @@ def q_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(TIME_BUCKET(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
              AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(value), 4) AS avg_value
+           FLOOR(AVG(value) * 10000 + 0.5) / 10000.0 AS avg_value
     FROM events
     WHERE event_type = 'click'
     GROUP BY 1
@@ -185,7 +186,7 @@ def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_t(spark, sf_dir).filter(F.col("event_type") == "click")
     return (
         ev.groupBy(F.window("ts", "15 minutes").alias("w"))
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count("*").alias("n"), pround(F.avg("value")).alias("avg_value"))
         .select(F.col("w.start").alias("bucket"), "n", "avg_value")
     )
 

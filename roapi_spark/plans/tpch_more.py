@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from roapi_spark.plans.analytics import events_t, t
 from roapi_spark.plans.registry import register
+from roapi_spark.util import pround
 
 
 @register(
@@ -255,7 +256,7 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
            CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
-           ROUND(AVG(CAST(props->>'k' AS BIGINT)), 4) AS avg_k
+           FLOOR(AVG(CAST(props->>'k' AS BIGINT)) * 10000 + 0.5) / 10000.0 AS avg_k
     FROM events
     GROUP BY event_type
     """,
@@ -269,7 +270,7 @@ def q_json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
-        F.round(F.avg(k), 4).alias("avg_k"),
+        pround(F.avg(k)).alias("avg_k"),
     )
 
 
