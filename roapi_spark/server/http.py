@@ -32,6 +32,43 @@ from roapi_spark.catalog import Catalog, CatalogError, ReadOnlyError
 from roapi_spark.encoders import CONTENT_TYPES, encode_dataframe, format_from_accept
 
 
+# Minimal SQL console (reference: roapi-ui, an egui/wasm app posting to
+# /api/sql and rendering JSON rows — roapi-ui/src/app.rs:1-46; ours is a
+# dependency-free HTML page with the same request/render loop).
+CONSOLE_HTML = b"""<!doctype html>
+<html><head><meta charset="utf-8"><title>roapi_spark console</title>
+<style>
+ body{font-family:monospace;margin:2rem;background:#111;color:#eee}
+ textarea{width:100%;height:6rem;background:#1b1b1b;color:#eee;border:1px solid #444}
+ button{margin:.5rem 0;padding:.4rem 1rem}
+ table{border-collapse:collapse;margin-top:1rem}
+ td,th{border:1px solid #555;padding:.2rem .6rem}
+ #err{color:#f66;white-space:pre-wrap}
+</style></head><body>
+<h2>roapi_spark SQL console</h2>
+<textarea id="q">SELECT 1 AS hello</textarea><br>
+<button onclick="run()">Run (Ctrl-Enter)</button>
+<div id="err"></div><div id="out"></div>
+<script>
+async function run(){
+  const q=document.getElementById('q').value;
+  const err=document.getElementById('err'), out=document.getElementById('out');
+  err.textContent=''; out.innerHTML='';
+  const resp=await fetch('/api/sql',{method:'POST',body:q});
+  const body=await resp.text();
+  if(!resp.ok){try{err.textContent=JSON.parse(body).message}catch(e){err.textContent=body};return}
+  const rows=JSON.parse(body);
+  if(!rows.length){out.textContent='(0 rows)';return}
+  const cols=Object.keys(rows[0]);
+  let h='<table><tr>'+cols.map(c=>'<th>'+c+'</th>').join('')+'</tr>';
+  for(const r of rows){h+='<tr>'+cols.map(c=>'<td>'+JSON.stringify(r[c])+'</td>').join('')+'</tr>'}
+  out.innerHTML=h+'</table>';
+}
+document.getElementById('q').addEventListener('keydown',e=>{
+  if(e.ctrlKey&&e.key==='Enter')run()});
+</script></body></html>"""
+
+
 class ApiError(Exception):
     def __init__(self, code: int, error: str, message: str) -> None:
         super().__init__(message)
@@ -61,6 +98,8 @@ class ApiServer:
     ) -> tuple[int, str, bytes]:
         fmt = format_from_accept(accept, self.default_format)
         try:
+            if method == "GET" and path in ("/", "/ui"):
+                return 200, "text/html; charset=utf-8", CONSOLE_HTML
             if method == "GET" and path == "/health":
                 return 200, "text/plain", b"OK"
             if method == "GET" and path == "/api/version":

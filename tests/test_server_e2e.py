@@ -155,3 +155,10 @@ def test_register_and_drop(base_url):
         raise AssertionError("expected HTTPError")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_ui_console(base_url):
+    url, _ = base_url
+    status, ctype, body = _req(f"{url}/")
+    assert status == 200 and ctype.startswith("text/html")
+    assert b"/api/sql" in body  # the console posts to the SQL endpoint

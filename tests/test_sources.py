@@ -245,3 +245,62 @@ def test_excel_gated(spark, fixtures):
     (fixtures / "x.xlsx").write_bytes(b"PK\x03\x04 not a real workbook")
     with _pytest.raises((LoadError, Exception)):
         _load(spark, {"name": "x", "uri": str(fixtures / "x.xlsx")})
+
+
+def test_http_source_custom_headers(spark, fixtures):
+    # reference: tables served over HTTP with custom headers
+    # (roapi/tests/http_table_test.rs:10-50) via io_option.headers
+    import http.server
+    import threading
+
+    seen = {}
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(fixtures), **kw)
+
+        def do_GET(self):
+            seen["auth"] = self.headers.get("Authorization")
+            super().do_GET()
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        from roapi_spark.config import parse_table_config
+        from roapi_spark.sources import load_table
+
+        port = httpd.server_address[1]
+        ts = parse_table_config(
+            {
+                "name": "h2",
+                "uri": f"http://127.0.0.1:{port}/uk_cities.csv",
+                "io_option": {"headers": {"Authorization": "Bearer tok123"}},
+            }
+        )
+        assert load_table(spark, ts).count() == 3
+        assert seen["auth"] == "Bearer tok123"
+    finally:
+        httpd.shutdown()
+
+
+def test_parquet_schema_from_files(spark, fixtures):
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    d = fixtures / "multi_pq"
+    d.mkdir(exist_ok=True)
+    _pq.write_table(_pa.table({"a": [1, 2]}), d / "p1.parquet")
+    _pq.write_table(_pa.table({"a": [3], "b": ["x"]}), d / "p2.parquet")
+    df = _load(
+        spark,
+        {
+            "name": "m",
+            "uri": str(d),
+            "option": {"format": "parquet", "mergeSchema": True},
+        },
+    )
+    assert set(df.columns) == {"a", "b"}
+    assert df.count() == 3 and df.where("b IS NULL").count() == 2
