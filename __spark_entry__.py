@@ -9,11 +9,18 @@ queries without an entry are non-SQL-expressible and get rows-only checks).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from roapi_spark.plans.registry import load_all
+# the driver may import this file by path; make the package importable
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from roapi_spark.plans.registry import load_all  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
