@@ -221,3 +221,140 @@ def graphql_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     """
     return graphql_to_df({"orders": orders}, q)
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      FROM events
+    ),
+    attributed AS (
+      SELECT event_id, user_id, ts, value,
+             MAX(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts,
+             event_type
+      FROM ev
+    )
+    SELECT event_id, user_id,
+           CAST(DATE_TRUNC('second', ts) AS TIMESTAMP) AS purchase_ts,
+           CAST(DATE_TRUNC('second', last_click_ts) AS TIMESTAMP) AS click_ts,
+           CAST(CASE WHEN last_click_ts IS NULL THEN NULL
+                ELSE FLOOR(EPOCH(ts - last_click_ts)) END AS BIGINT) AS gap_sec
+    FROM attributed
+    WHERE event_type = 'purchase'
+    """,
+    doc="As-of join (purchase -> most recent preceding click per user), "
+    "expressed as a running MAX window over the unioned event stream — "
+    "the composition strategy for as-of semantics Spark lacks natively. "
+    "One shuffle on user_id; no range-join explosion at any scale.",
+    tags=("window", "asof"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = events_t(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_click = F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    attributed = ev.select(
+        "event_id", "user_id", "ts", "event_type", last_click.alias("last_click_ts")
+    ).filter(F.col("event_type") == "purchase")
+    gap = F.when(
+        F.col("last_click_ts").isNotNull(),
+        F.floor(
+            (F.unix_micros("ts") - F.unix_micros("last_click_ts")) / 1_000_000
+        ).cast("bigint"),
+    )
+    return attributed.select(
+        "event_id",
+        "user_id",
+        F.date_trunc("second", "ts").alias("purchase_ts"),
+        F.date_trunc("second", "last_click_ts").alias("click_ts"),
+        gap.alias("gap_sec"),
+    )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, lang,
+             ('0x' || SUBSTR(MD5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS first_id
+    FROM tagged
+    WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 80 ELSE 25 END
+    GROUP BY lang
+    """,
+    doc="Deterministic stratified sampling for training-data mixing: "
+    "hash-bucket each doc (md5 -> 0..99) and keep a per-language rate. "
+    "Reproducible across runs/engines, pure map-side, no RNG state.",
+    tags=("text", "sampling"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 50).when(F.col("lang") == "de", 80).otherwise(25)
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_id"))
+    )
+
+
+@register(
+    "q_token_count_bpe",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]') AS pieces,
+             LENGTH(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(pieces) AS BIGINT) AS n_bpe_pieces,
+           CAST(LEN(LIST_FILTER(pieces, x -> REGEXP_MATCHES(x, '^[0-9]+$'))) AS BIGINT)
+             AS n_number_pieces,
+           FLOOR(CAST(n_chars AS DOUBLE) / GREATEST(LEN(pieces), 1) * 10000 + 0.5) / 10000.0
+             AS chars_per_piece
+    FROM toks
+    """,
+    doc="BPE-ish token counting: GPT-style pre-tokenizer regex (letter "
+    "runs | digit runs | single punctuation) — the standard proxy for "
+    "token budgeting before real BPE; chars-per-piece approximates "
+    "compression ratio. Map-side only.",
+    tags=("text",),
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.util import pround
+
+    d = t(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all("text", F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0)
+    dd = d.select("doc_id", F.length("text").alias("n_chars"), pieces.alias("pieces"))
+    return dd.select(
+        "doc_id",
+        F.size("pieces").cast("bigint").alias("n_bpe_pieces"),
+        F.size(F.filter(F.col("pieces"), lambda x: x.rlike("^[0-9]+$")))
+        .cast("bigint")
+        .alias("n_number_pieces"),
+        pround(
+            F.col("n_chars").cast("double") / F.greatest(F.size("pieces"), F.lit(1))
+        ).alias("chars_per_piece"),
+    )
