@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "q_events_hourly",
     "q_json_access",
     "q_time_bucket",
+    "q_asof_join",
     "q_explode_tokens",
     "rest_filter_sort_page",
     "graphql_query",
@@ -44,6 +45,8 @@ BENCH_QUERIES = [
     "text_quality",
     "text_langid",
     "text_fingerprint",
+    "q_token_count_bpe",
+    "q_stratified_sample",
     "knn_bruteforce",
     "ann_ivf_label",
 ]
