@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_langid",
     "text_fingerprint",
+    "text_rolling_fingerprint",
     "q_token_count_bpe",
     "q_stratified_sample",
     "knn_bruteforce",

@@ -204,3 +204,69 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fp_full"),
         F.md5(F.substring(norm, 1, 64)).alias("fp_prefix64"),
     )
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) AS s FROM documents
+    ),
+    grams AS (  -- polynomial rolling hash of every 8-char gram, base 131 mod 2^31-1
+      SELECT doc_id,
+             LIST_TRANSFORM(
+               GENERATE_SERIES(1, GREATEST(LENGTH(s) - 7, 0)),
+               i -> LIST_REDUCE(
+                      LIST_TRANSFORM(GENERATE_SERIES(0, 7),
+                                     j -> CAST(ASCII(SUBSTR(s, i + j, 1)) AS BIGINT)),
+                      (acc, c) -> (acc * 131 + c) % 2147483647)
+             ) AS hs
+      FROM norm
+    ),
+    sel AS (  -- 0-mod-p winnowing: keep grams whose hash % 16 == 0
+      SELECT doc_id, hs, LIST_FILTER(hs, h -> h % 16 = 0) AS fp FROM grams
+    )
+    SELECT doc_id,
+           CAST(LEN(hs) AS BIGINT) AS n_grams,
+           CAST(LEN(fp) AS BIGINT) AS n_fingerprints,
+           CAST(COALESCE(LIST_MIN(fp), -1) AS BIGINT) AS min_fp,
+           CAST(COALESCE(LIST_MAX(fp), -1) AS BIGINT) AS max_fp
+    FROM sel
+    """,
+    doc="Rolling-hash fingerprinting (Karp-Rabin over 8-char grams, 0-mod-p "
+    "winnowing): the classic plagiarism/near-dup fingerprint set. All "
+    "map-side higher-order expressions; fingerprints are the join key for "
+    "partial-overlap detection at scale.",
+    tags=("text", "dedup"),
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    # NOTE: `s` below is a plain column reference — safe to use inside the
+    # lambdas (only *computed expressions* re-evaluate per element; see
+    # docs/SCALE.md pitfall #2), so the rolling hash is one pass per gram.
+    norm = d.select(
+        "doc_id", F.lower(F.regexp_replace("text", r"\s+", " ")).alias("s")
+    )
+    gram_hash = lambda i: F.aggregate(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: F.ascii(F.col("s").substr(i + j, F.lit(1))),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 131 + c) % 2147483647,
+    )
+    hs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("s") - 7, F.lit(0))),
+        gram_hash,
+    )
+    fp = F.filter(F.col("hs"), lambda h: h % 16 == 0)
+    grams = norm.select("doc_id", hs.alias("hs")).select(
+        "doc_id", "hs", fp.alias("fp")
+    )
+    return grams.select(
+        "doc_id",
+        F.size("hs").cast("bigint").alias("n_grams"),
+        F.size("fp").cast("bigint").alias("n_fingerprints"),
+        F.coalesce(F.array_min("fp"), F.lit(-1)).cast("bigint").alias("min_fp"),
+        F.coalesce(F.array_max("fp"), F.lit(-1)).cast("bigint").alias("max_fp"),
+    )
