@@ -239,3 +239,73 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+@register(
+    "knn_bruteforce_pandas",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.qid, e.vec_id AS neighbor_id,
+             LIST_COSINE_SIMILARITY(q.qv, e.v) AS cs
+      FROM q JOIN e ON e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, neighbor_id, ROUND(cs, 4) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cs, 4) DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+    doc="Brute-force cosine top-k via an Arrow-batched mapInPandas kernel "
+    "(numpy matrix product per batch) — the vectorized-Python alternative "
+    "to the JVM higher-order-function plan in knn_bruteforce; same "
+    "semantics, same oracle. Queries ship to workers inside the closure "
+    "(tiny); corpus still scans once.",
+    tags=("similarity", "pandas-udf"),
+)
+def knn_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    e = emb(spark, sf_dir)
+    qrows = e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "v").collect()
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    Q = np.array([r.v for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cs = Vn @ Qn.T  # (batch, n_queries)
+            ids = pdf["vec_id"].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, len(ids)),
+                    "neighbor_id": np.tile(ids, len(qids)),
+                    "cs": cs.T.reshape(-1),
+                }
+            )
+            yield out[out.qid != out.neighbor_id]
+
+    scored = e.select("vec_id", "v").mapInPandas(
+        score, "qid bigint, neighbor_id bigint, cs double"
+    )
+    w = W.partitionBy("qid").orderBy(F.round("cs", 4).desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "qid",
+            "neighbor_id",
+            F.round("cs", 4).alias("cos_sim"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
