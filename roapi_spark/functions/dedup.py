@@ -25,6 +25,11 @@ from roapi_spark.util import pround
 
 N_MINHASH = 12  # 4 bands x 3 rows
 BAND_ROWS = 3
+# stop-shingle cap: shingles appearing in more docs than this are dropped
+# before the pair join — bounds the quadratic blowup from boilerplate
+# shingles at scale (df_max is 25 at sf0.1, so results are unaffected at
+# test scale; at 100 TB this is the load-bearing guard)
+STOP_SHINGLE_DF = 1000
 
 _TOKS_DUCK = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0)"
 # word 3-gram shingles, distinct, DuckDB side (1-indexed lists)
@@ -98,9 +103,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SHINGLES_DUCK},
     cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    live AS (  -- stop-shingle filter: drop ultra-common shingles
+      SELECT s.doc_id, s.shingle
+      FROM sh s JOIN (SELECT shingle FROM sh GROUP BY shingle
+                      HAVING COUNT(*) <= {STOP_SHINGLE_DF}) f
+        ON s.shingle = f.shingle
+    ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM live a JOIN live b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT p.doc_a, p.doc_b,
@@ -112,17 +123,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN cnt cb ON p.doc_b = cb.doc_id
     WHERE CAST(p.n_common AS DOUBLE) / (ca.n + cb.n - p.n_common) >= 0.1
     """,
-    doc="n-gram Jaccard near-dup: distinct 3-word shingles, equi-join on "
-    "shingle to count overlap, Jaccard >= 0.1. The shingle join is the "
-    "scale risk (hot shingles); at 100 TB add a stop-shingle filter "
-    "(drop shingles with doc-frequency above a cap) — same plan shape.",
+    doc="n-gram Jaccard near-dup: distinct 3-word shingles, stop-shingle "
+    f"filter (df > {STOP_SHINGLE_DF} dropped) to bound the pair blowup, "
+    "equi-join on shingle to count overlap, Jaccard >= 0.1. The doc-"
+    "shingle count uses ALL shingles so Jaccard stays exact for "
+    "surviving pairs.",
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(docs(spark, sf_dir)).cache()
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= STOP_SHINGLE_DF)
+        .select("shingle")
+    )
+    live = sh.join(rare, "shingle")
+    a = live.alias("a")
+    b = live.alias("b")
     pairs = (
         a.join(
             b,
