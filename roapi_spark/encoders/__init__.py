@@ -82,10 +82,39 @@ def encode_dataframe(df: DataFrame, fmt: str) -> bytes:
     return encode_arrow_table(df.toArrow(), fmt)
 
 
-def encode_batches_iter(df: DataFrame, fmt: str) -> Iterator[bytes]:
-    """Chunked encoding for large results: one Arrow batch per partition
-    via the Arrow collect path, encoded as an IPC stream / NDJSON-ish
-    chunks without materializing the whole result on the driver."""
-    table = df.toArrow()  # TODO: swap to incremental collect when needed
-    for batch in table.to_batches(max_chunksize=8192):
-        yield encode_arrow_table(pa.Table.from_batches([batch]), fmt)
+def encode_batches_iter(
+    df: DataFrame, fmt: str, chunk_rows: int = 8192
+) -> Iterator[bytes]:
+    """Memory-bounded chunked encoding for large exports: rows stream to
+    the driver partition-by-partition (``toLocalIterator`` keeps at most
+    one partition + prefetch buffered), re-batched into Arrow chunks of
+    ``chunk_rows`` and encoded independently. JSON chunks are each a
+    complete JSON array; csv chunks repeat no header after the first;
+    arrow/arrows/parquet chunks are standalone files per chunk (concat-safe
+    for ``arrows`` streams sharing one schema)."""
+    schema = to_arrow_schema(df)
+    first = True
+    buf: list = []
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        buf.append(row)
+        if len(buf) >= chunk_rows:
+            yield _encode_chunk(buf, schema, fmt, first)
+            first = False
+            buf = []
+    if buf or first:
+        yield _encode_chunk(buf, schema, fmt, first)
+
+
+def to_arrow_schema(df: DataFrame):
+    from pyspark.sql.pandas.types import to_arrow_schema as _tas
+
+    return _tas(df.schema)
+
+
+def _encode_chunk(rows: list, schema: pa.Schema, fmt: str, first: bool) -> bytes:
+    table = pa.Table.from_pylist([r.asDict(recursive=True) for r in rows], schema=schema)
+    out = encode_arrow_table(table, fmt)
+    if fmt == "csv" and not first:
+        # drop the repeated header line on continuation chunks
+        out = out.split(b"\n", 1)[1] if b"\n" in out else b""
+    return out

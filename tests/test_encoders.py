@@ -67,3 +67,35 @@ def test_format_from_accept_contract():
     assert format_from_accept("application/arrow.stream") == "arrows"
     assert format_from_accept("application/vnd.apache.parquet") == "parquet"
     assert format_from_accept("application/weird", default="csv") == "csv"
+
+
+def test_encode_batches_iter_chunked(spark):
+    import pyarrow.ipc as paipc
+
+    from roapi_spark.encoders import encode_batches_iter
+
+    df = spark.range(0, 25000).selectExpr("id", "id * 2 AS dbl", "CAST(id AS STRING) AS s")
+    # json: each chunk a complete array; total rows add up
+    chunks = list(encode_batches_iter(df, "json", chunk_rows=8192))
+    assert len(chunks) >= 3
+    total = sum(len(json.loads(c)) for c in chunks)
+    assert total == 25000
+    # csv: header only once
+    csv_chunks = list(encode_batches_iter(df, "csv", chunk_rows=10000))
+    assert csv_chunks[0].startswith(b'"id"')
+    assert not csv_chunks[1].startswith(b'"id"')
+    n_lines = sum(c.count(b"\n") for c in csv_chunks)
+    assert n_lines == 25000 + 1  # rows + single header
+    # arrows: chunks independently decodable, schema stable
+    a_chunks = list(encode_batches_iter(df, "arrows", chunk_rows=12000))
+    tables = [paipc.open_stream(pa.BufferReader(c)).read_all() for c in a_chunks]
+    assert sum(t.num_rows for t in tables) == 25000
+    assert all(t.schema == tables[0].schema for t in tables)
+
+
+def test_encode_batches_iter_empty(spark):
+    from roapi_spark.encoders import encode_batches_iter
+
+    df = spark.range(0).selectExpr("id")
+    chunks = list(encode_batches_iter(df, "json"))
+    assert chunks == [b"[]"]
