@@ -527,9 +527,10 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_id"))
         .select("keep_id")
     )
-    kept = d.join(
-        F.broadcast(keepers), d.doc_id == keepers.keep_id, "left_semi"
-    )
+    # No broadcast hint: the keeper set is ~|corpus| rows, so a forced
+    # broadcast is a scale-killer.  A plain shuffle left-semi join is the
+    # right default; AQE converts it to broadcast when it is actually small.
+    kept = d.join(keepers, d.doc_id == keepers.keep_id, "left_semi")
     return kept.agg(
         F.count("*").alias("n_kept"),
         F.sum("n_chars").cast("bigint").alias("kept_chars"),

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from roapi_spark.plans.analytics import events_t, t
 from roapi_spark.plans.registry import register
+from roapi_spark.plans.util import maybe_broadcast
 from roapi_spark.util import pround
 
 
@@ -75,9 +76,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
-        li.join(F.broadcast(o), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(maybe_broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(maybe_broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
@@ -110,7 +111,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).agg(
+    return li.join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey")).agg(
         F.round(
             100.0
             * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
@@ -150,12 +151,12 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     o = t(spark, sf_dir, "orders").join(
-        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi"
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
     )
     c = t(spark, sf_dir, "customer")
     return (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
         .select(
@@ -187,7 +188,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
     li = t(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    j = li.join(maybe_broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 40))
@@ -215,7 +216,7 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     avg_bal = c.agg(F.avg("c_acctbal").alias("a"))
     return (
-        c.join(F.broadcast(avg_bal))
+        c.join(maybe_broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("a"))
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_above_avg"))
@@ -337,11 +338,11 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
     return (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(maybe_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy(
             "cust_nation",
@@ -386,9 +387,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     j = (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     return j.groupBy(F.year("o_orderdate").cast("bigint").alias("order_year")).agg(
         pround(
@@ -417,7 +418,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
@@ -454,10 +455,10 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
     return (
-        c.join(F.broadcast(avg_bal))
+        c.join(maybe_broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(maybe_broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.count("*").alias("n_custs"), F.round(F.sum("c_acctbal"), 4).alias("total_bal"))
     )

@@ -60,3 +60,48 @@ def test_minhash_signatures_no_shuffle(spark, specs):
 def test_rest_planner_pushes_filters(spark, specs):
     plan = _plan(specs=specs, name="rest_filter_ops", spark=spark)
     assert "PushedFilters: [" in plan and "GreaterThan(c_acctbal" in plan
+
+
+# --------------------------------------------------------------------------
+# Broadcast-hint hygiene: a forced hint bypasses AQE's runtime size checks,
+# so only dimension-like sides may carry one.  These pin the exact number of
+# ResolvedHint nodes per query — a count bump means someone hinted a
+# fact-derived side again (orders/lineitem/keeper sets), which is an OOM at
+# 100 TB.  maybe_broadcast() applies the hint at sf0.001 because the dims
+# are provably tiny; at scale the same call leaves the side unhinted.
+# --------------------------------------------------------------------------
+
+EXPECTED_HINTS = {
+    "q3_shipping_priority": 1,  # customer only; orders join unhinted
+    "q5_local_supplier_volume": 4,  # customer/supplier/nation/region; orders not
+    "q10_returned_items": 2,  # customer/nation; filtered orders not
+    "q18_large_orders": 1,  # customer; big-order keys + orders not
+    "q7_nation_volume": 4,  # customer/supplier/nation x2; orders not
+    "q8_market_share": 2,  # supplier/nation; orders not
+    "q14_promo_revenue": 1,  # part
+    "q16_supplier_variety": 1,  # part
+    "q19_disjunctive": 1,  # part
+    "dedup_apply": 0,  # keeper set is corpus-sized: never hinted
+}
+
+
+def _hint_count(spark, specs, name: str) -> int:
+    df = specs[name].builder(spark, SF)
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_HINTS))
+def test_broadcast_hint_budget(spark, specs, name):
+    assert _hint_count(spark, specs, name) == EXPECTED_HINTS[name]
+
+
+def test_maybe_broadcast_size_gate(spark):
+    """Above the cap the helper must return the side unhinted."""
+    from roapi_spark.plans.util import maybe_broadcast, plan_size_bytes
+
+    dim = spark.read.parquet(f"{SF}/nation.parquet")
+    hinted = maybe_broadcast(dim)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    assert plan_size_bytes(dim) > 0
+    unhinted = maybe_broadcast(dim, cap_bytes=1)  # pretend it is huge
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
