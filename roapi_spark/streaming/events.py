@@ -65,6 +65,8 @@ def windowed_counts(
 SESSION_OUTPUT = "user_id bigint, n_events int, total_value double, session_start timestamp, session_end timestamp"
 SESSION_STATE = "n int, total double, start timestamp, last timestamp"
 
+SESSION_GAP_MS = 30 * 1000  # 30 s inactivity closes a session
+
 
 def _session_fn(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -87,20 +89,36 @@ def _session_fn(
         start = lo if start is None or lo < start else start
         last = hi if last is None or hi > last else last
     state.update((n, total, start, last))
-    state.setTimeoutDuration(30 * 1000)  # 30 s session gap
+    # Event-time timeout: the session closes when the *watermark* passes
+    # last-event + gap.  Unlike a processing-time timeout this never spins
+    # the trigger loop with empty micro-batches (the engine fires at most
+    # one no-data batch per watermark advance) and is fully deterministic
+    # under test — no wall-clock sleeps.  The timeout timestamp must sit
+    # strictly above the current watermark or Spark rejects it.
+    close_at = int(pd.Timestamp(last).value // 1_000_000) + SESSION_GAP_MS
+    state.setTimeoutTimestamp(max(close_at, state.getCurrentWatermarkMs() + 1))
     yield pd.DataFrame(
         [], columns=["user_id", "n_events", "total_value", "session_start", "session_end"]
     )
 
 
-def sessionize(stream: DataFrame) -> DataFrame:
+def sessionize(stream: DataFrame, watermark: str = "10 seconds") -> DataFrame:
     """Per-user session rollup with a 30 s inactivity gap — emits one row
     per closed session (custom stateful operator the SQL surface can't
-    express; state lives in the checkpointed state store)."""
-    return stream.groupBy("user_id").applyInPandasWithState(
-        _session_fn,
-        SESSION_OUTPUT,
-        SESSION_STATE,
-        "append",
-        GroupStateTimeout.ProcessingTimeTimeout,
+    express; state lives in the checkpointed state store).
+
+    Timeouts are event-time (watermark-driven): at 100 TB/day ingest a
+    processing-time timeout would couple session semantics to executor
+    scheduling and keep the trigger loop busy; event-time state eviction
+    is bounded by the watermark exactly like the windowed aggregate."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            SESSION_OUTPUT,
+            SESSION_STATE,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -60,23 +60,30 @@ def test_windowed_counts_with_watermark(spark, stream_dir, tmp_path):
 
 
 def test_sessionize_stateful(spark, stream_dir, tmp_path):
-    q = (
-        sessionize(stream_events(spark, str(stream_dir)))
-        .writeStream.format("memory")
-        .queryName("sessions")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ck2"))
-        .start()
-    )
+    # Event-time timeouts: sessions close when the WATERMARK passes
+    # last-event + 30 s gap — deterministic, no wall-clock sleep.  Keep the
+    # state-store partition count tiny so each micro-batch checkpoints 2
+    # partitions, not 32.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            sessionize(stream_events(spark, str(stream_dir)), watermark="10 seconds")
+            .writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     try:
         q.processAllAvailable()
-        # sessions still open (no timeout fired yet) -> no closed rows
+        # watermark so far: 00:01:10 - 10s = 00:01:00 < both session closes
+        # (00:01:10 for user 7, 00:01:40 for user 8) -> nothing emitted yet
         open_rows = spark.sql("SELECT * FROM sessions").collect()
         assert open_rows == []
-        # force the processing-time timeout by advancing batches
-        import time
-
-        time.sleep(31)
+        # an event far in the future pushes the watermark past both closes
         _write_batch(
             stream_dir,
             "b3.json",
@@ -86,5 +93,7 @@ def test_sessionize_stateful(spark, stream_dir, tmp_path):
         rows = {r.user_id: (r.n_events, r.total_value) for r in spark.sql("SELECT * FROM sessions").collect()}
         assert rows.get(7) == (2, 3.0)
         assert rows.get(8) == (1, 5.0)
+        # user 99's session is still open (watermark has not passed it)
+        assert 99 not in rows
     finally:
         q.stop()
