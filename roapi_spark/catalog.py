@@ -88,7 +88,40 @@ class Catalog:
 
     # -- queries -----------------------------------------------------------
 
+    # Read-only command allowlist: metadata inspection only.  Everything
+    # else that parses to a Command node (CREATE/DROP/SET/CACHE/ALTER/
+    # ANALYZE/...) mutates session or filesystem state.
+    _READONLY_COMMAND_PREFIXES = ("Explain", "Show", "Describe")
+
+    def _assert_read_only_sql(self, sql: str) -> None:
+        """Reject non-query SQL before execution in read-only mode.
+
+        The reference's read-only gate only covers register/drop
+        (roapi/src/api/routes.rs:29-37) because DataFusion's SQL surface is
+        read-only by construction; Spark SQL can write (INSERT OVERWRITE
+        DIRECTORY, CTAS LOCATION, DROP VIEW...), so the contract has to be
+        enforced at the parser.  ``spark.sql`` executes commands eagerly —
+        the check must run on the *parsed* plan, before execution.
+        """
+        try:
+            plan = self.spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+        except Exception:
+            return  # let spark.sql raise its own (nicer) parse error
+        name = plan.getClass().getSimpleName()
+        jvm = self.spark.sparkContext._jvm
+        is_command = jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.catalyst.plans.logical.Command"
+        ).isInstance(plan)
+        if is_command:
+            if not name.startswith(self._READONLY_COMMAND_PREFIXES):
+                raise ReadOnlyError(f"read-only mode rejects {name}: {sql[:80]}")
+        elif name.startswith("Insert"):  # InsertIntoStatement / InsertIntoDir
+            # writes parse to plain logical plans, not Command nodes
+            raise ReadOnlyError(f"read-only mode rejects {name}: {sql[:80]}")
+
     def query_sql(self, sql: str) -> DataFrame:
+        if self.read_only:
+            self._assert_read_only_sql(sql)
         return self.spark.sql(sql)
 
     def query_rest(self, table: str, params: dict[str, str]) -> DataFrame:

@@ -341,8 +341,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, i: acc + F.when(vote_sum(i) > 0, bit_weight(i)).otherwise(F.lit(0).cast("bigint")),
     )
-    return d.select("doc_id", hs.alias("hs")).select(
-        "doc_id", simhash.cast("bigint").alias("simhash32")
+    # Docs with zero [a-z] tokens have no defined simhash: drop them on
+    # both engines (the oracle's UNNEST of an empty token list already
+    # produces no rows — an unguarded Spark side would emit simhash32=0
+    # for such docs and row-count-diverge).
+    return (
+        d.select("doc_id", hs.alias("hs"))
+        .filter(F.size("hs") >= 1)
+        .select("doc_id", simhash.cast("bigint").alias("simhash32"))
     )
 
 

@@ -48,8 +48,9 @@ def stopword_hits(toks: Column, words: list[str]) -> Column:
     SELECT doc_id,
            CAST(LENGTH(text) AS BIGINT)                      AS len_chars,
            CAST(LEN(w) AS BIGINT)                            AS n_tokens,
-           FLOOR(CAST(LENGTH(REGEXP_REPLACE(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
-                 / LENGTH(text) * 10000 + 0.5) / 10000.0     AS punct_ratio,
+           CASE WHEN LENGTH(text) = 0 THEN 0.0
+                ELSE FLOOR(CAST(LENGTH(REGEXP_REPLACE(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                      / LENGTH(text) * 10000 + 0.5) / 10000.0 END AS punct_ratio,
            FLOOR(CAST(LEN(LIST_FILTER(w, x -> LIST_CONTAINS({STOPWORDS_EN!r}, x))) AS DOUBLE)
                  / GREATEST(LEN(w), 1) * 10000 + 0.5) / 10000.0 AS stopword_ratio,
            CAST(LEN(LIST_DISTINCT(w)) AS BIGINT)             AS n_distinct_tokens
@@ -66,10 +67,14 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").cast("bigint").alias("len_chars"),
         F.size(toks).cast("bigint").alias("n_tokens"),
-        pround(
-            F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("double")
-            / F.length("text")
-        ).alias("punct_ratio"),
+        F.when(F.length("text") == 0, F.lit(0.0))
+        .otherwise(
+            pround(
+                F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("double")
+                / F.length("text")
+            )
+        )
+        .alias("punct_ratio"),
         pround(
             stopword_hits(toks, STOPWORDS_EN).cast("double")
             / F.greatest(F.size(toks), F.lit(1))
@@ -255,10 +260,15 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, c: (acc * 131 + c) % 2147483647,
     )
-    hs = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length("s") - 7, F.lit(0))),
-        gram_hash,
-    )
+    # Guard the gram positions: Spark's sequence(1, 0) yields the DESCENDING
+    # array [1, 0] (implicit -1 step), i.e. 2 bogus grams for any doc whose
+    # normalized text is shorter than 8 chars, while DuckDB's
+    # GENERATE_SERIES(1, 0) is empty.  Emit an explicitly empty gram array
+    # for short docs so both engines agree.
+    hs = F.when(
+        F.length("s") >= 8,
+        F.transform(F.sequence(F.lit(1), F.length("s") - 7), gram_hash),
+    ).otherwise(F.array().cast("array<bigint>"))
     fp = F.filter(F.col("hs"), lambda h: h % 16 == 0)
     grams = norm.select("doc_id", hs.alias("hs")).select(
         "doc_id", "hs", fp.alias("fp")

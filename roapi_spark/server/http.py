@@ -60,9 +60,16 @@ async function run(){
   const rows=JSON.parse(body);
   if(!rows.length){out.textContent='(0 rows)';return}
   const cols=Object.keys(rows[0]);
-  let h='<table><tr>'+cols.map(c=>'<th>'+c+'</th>').join('')+'</tr>';
-  for(const r of rows){h+='<tr>'+cols.map(c=>'<td>'+JSON.stringify(r[c])+'</td>').join('')+'</tr>'}
-  out.innerHTML=h+'</table>';
+  // build with createElement/textContent: cell values are untrusted table
+  // data, innerHTML would execute any stored markup (XSS)
+  const tbl=document.createElement('table');
+  const hr=tbl.insertRow();
+  for(const c of cols){const th=document.createElement('th');th.textContent=c;hr.appendChild(th)}
+  for(const r of rows){
+    const tr=tbl.insertRow();
+    for(const c of cols){tr.insertCell().textContent=JSON.stringify(r[c])}
+  }
+  out.appendChild(tbl);
 }
 document.getElementById('q').addEventListener('keydown',e=>{
   if(e.ctrlKey&&e.key==='Enter')run()});

@@ -44,6 +44,47 @@ def test_read_only_gate(spark, csv_file):
         cat.drop_table("t", dynamic=True)
 
 
+def test_read_only_sql_surface(spark, csv_file, tmp_path):
+    """read_only must constrain the SQL surface itself, not just
+    register/drop: Spark SQL can write the filesystem and mutate the
+    session, unlike the reference's DataFusion surface."""
+    cat = Catalog(spark, read_only=True)
+    cat.load_table(parse_table_config({"name": "t", "uri": str(csv_file)}))
+    # queries + metadata inspection pass
+    assert cat.query_sql("SELECT count(*) AS n FROM t").collect()[0].n == 2
+    assert cat.query_sql("WITH x AS (SELECT 1 AS a) SELECT * FROM x").count() == 1
+    assert cat.query_sql("VALUES (1, 2)").count() == 1
+    cat.query_sql("SHOW TABLES").collect()
+    cat.query_sql("DESCRIBE t").collect()
+    cat.query_sql("EXPLAIN SELECT * FROM t").collect()
+    # anything that writes files or mutates state is rejected pre-execution
+    out = tmp_path / "exfil"
+    for stmt in [
+        f"INSERT OVERWRITE DIRECTORY '{out}' SELECT * FROM t",
+        "INSERT INTO t VALUES (3, 'c')",
+        f"CREATE TABLE evil LOCATION '{out}' AS SELECT * FROM t",
+        "CREATE TABLE evil2 (a INT)",
+        "DROP VIEW t",
+        "DROP TABLE t",
+        "CREATE OR REPLACE TEMP VIEW t AS SELECT 1",
+        "SET spark.sql.shuffle.partitions=1",
+        "CACHE TABLE t",
+        "ALTER TABLE t ADD COLUMNS (z INT)",
+        "TRUNCATE TABLE t",
+        "ANALYZE TABLE t COMPUTE STATISTICS",
+    ]:
+        with pytest.raises(ReadOnlyError):
+            cat.query_sql(stmt)
+    assert not out.exists()
+    # the view survived every attempt
+    assert cat.query_sql("SELECT count(*) AS n FROM t").collect()[0].n == 2
+    # read-write catalogs keep the full surface
+    rw = Catalog(spark, read_only=False)
+    rw.query_sql("CREATE OR REPLACE TEMP VIEW rw_v AS SELECT 1 AS a").collect()
+    assert rw.query_sql("SELECT * FROM rw_v").count() == 1
+    rw.query_sql("DROP VIEW rw_v").collect()
+
+
 def test_kv_store(spark, tmp_path):
     p = tmp_path / "kv.json"
     p.write_text(json.dumps([{"id": "x1", "name": "Falcon"}, {"id": "x2", "name": "Dragon"}]))
