@@ -30,11 +30,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# Queries the round-1 driver run did not record (it stopped at 50 of 62
+# registry entries, in iteration order).  Listed first so a capped run
+# covers them; everything else follows in registration order.
+_RECORD_FIRST = [
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q22_global_sales_opportunity",
+    "q_scalar_subquery",
+    "q_correlated_subquery",
+    "q_json_access",
+    "q_binary_ops",
+]
+
+
+def _ordered_specs():
+    specs = load_all()
+    out = {n: specs[n] for n in _RECORD_FIRST if n in specs}
+    out.update({n: s for n, s in specs.items() if n not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.builder for name, spec in load_all().items()}
+    return {name: spec.builder for name, spec in _ordered_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None
+        name: spec.oracle
+        for name, spec in _ordered_specs().items()
+        if spec.oracle is not None
     }

@@ -8,8 +8,8 @@
   the pre-clustered ``label`` as the inverted-list key; at scale a k-means
   fit), probe the nearest centroid(s), exact-search only those lists.
 - ``ann_lsh``: random-hyperplane signatures (md5-derived, deterministic) —
-  bucketed candidate generation, rows-only check (sign flips near zero are
-  fp-sensitive so no SQL oracle).
+  bucketed candidate generation over integer-quantized vectors, so the
+  projection signs are exact and the query has a full DuckDB oracle.
 
 All vector math is JVM-side higher-order functions (zip_with/aggregate) —
 no Python in the hot path.
@@ -180,46 +180,97 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_lsh",
-    oracle=None,  # sign-of-projection is fp-order-sensitive -> rows-only check
-    doc="Random-hyperplane LSH: 8 deterministic md5-derived +/-1 planes -> "
-    "8-bit signature; candidates = same bucket; exact re-rank in-bucket. "
-    "Bucket join replaces the full cross product.",
-    tags=("similarity",),
-)
-def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_planes(n_planes: int = 8, dim: int = 64) -> list[list[int]]:
+    """Deterministic md5-derived +/-1 hyperplanes (shared by the Spark
+    query and the embedded DuckDB oracle literal)."""
     import hashlib
 
-    n_planes, dim = 8, 64
-    planes = [
+    return [
         [
-            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 2 else -1.0
+            1 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 2 else -1
             for d in range(dim)
         ]
         for p in range(n_planes)
     ]
+
+
+def _lsh_planes_sql() -> str:
+    rows = ", ".join(
+        f"({p}, {plane})" for p, plane in enumerate(_lsh_planes())
+    )
+    return f"(VALUES {rows}) AS planes(p, w)"
+
+
+@register(
+    "ann_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             -- integer quantization: element-wise x*1000+0.5 then FLOOR is
+             -- bit-identical across engines (no reduction ordering), so the
+             -- plane-side dot products below are exact integer arithmetic
+             LIST_TRANSFORM(embedding::DOUBLE[],
+                            x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS vq
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT e.vec_id, ANY_VALUE(e.v) AS v,
+             CAST(SUM(CASE WHEN LIST_SUM(
+                      LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                                     i -> vq[i] * w[i])) >= 0
+                  THEN CAST(POWER(2, 7 - p) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM e CROSS JOIN {_lsh_planes_sql()}
+      GROUP BY e.vec_id
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb
+          FROM sigs WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT q.qid, q.qv, s.vec_id AS neighbor_id, s.v
+      FROM q JOIN sigs s ON s.bucket = q.qb AND s.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, neighbor_id, ROUND(LIST_COSINE_SIMILARITY(qv, v), 4) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(qv, v), 4) DESC, neighbor_id) AS rnk
+      FROM cand
+    )
+    SELECT qid, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+    doc="Random-hyperplane LSH: 8 deterministic md5-derived +/-1 planes -> "
+    "8-bit signature; candidates = same bucket; exact re-rank in-bucket. "
+    "Bucket join replaces the full cross product. Signatures use integer-"
+    "quantized vectors (floor(x*1000+0.5)) so the sign of every projection "
+    "is exact integer arithmetic — no fp-order sensitivity, full oracle.",
+    tags=("similarity",),
+)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planes = _lsh_planes()
     e = emb(spark, sf_dir)
+    vq = F.transform(
+        F.col("v"), lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("bigint")
+    )
     plane_arr = F.array(
-        *[F.array(*[F.lit(x) for x in plane]) for plane in planes]
+        *[F.array(*[F.lit(x).cast("bigint") for x in plane]) for plane in planes]
     )
     sig = F.aggregate(
         F.transform(
             plane_arr,
             lambda plane: F.when(
                 F.aggregate(
-                    F.zip_with(F.col("v"), plane, lambda x, w_: x * w_),
-                    F.lit(0.0),
+                    F.zip_with(F.col("vq"), plane, lambda x, w_: x * w_),
+                    F.lit(0).cast("bigint"),
                     lambda acc, x: acc + x,
                 )
-                > 0,
+                >= 0,
                 F.lit(1),
             ).otherwise(F.lit(0)),
         ),
         F.lit(0),
         lambda acc, bit: acc * 2 + bit,
     )
-    sigs = e.withColumn("bucket", sig)
+    sigs = e.withColumn("vq", vq).withColumn("bucket", sig.cast("bigint")).drop("vq")
     q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
     )

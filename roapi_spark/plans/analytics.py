@@ -635,16 +635,41 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_aggs",
-    oracle=None,  # approximate sketches (HLL/KLL) differ across engines by design
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS parts_ok,
+           TRUE AS median_ok,
+           TRUE AS p95_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     doc="approx_count_distinct + approx percentiles (DataFusion exposes "
     "approx_distinct/approx_percentile_cont through the passthrough). "
-    "Rows-only check: sketch values are engine-specific.",
+    "Sketch values are engine-specific, so the gated contract is a bounded-"
+    "error one: each group emits exact_parts plus booleans asserting the "
+    "sketch landed within tolerance (HLL rsd=5% -> 10%; KLL accuracy=1e4 "
+    "-> 5%); the oracle pins the booleans TRUE, so sketch drift fails the "
+    "hash. Exact + approx fold into ONE aggregation (single scan).",
     tags=("agg", "approx"),
 )
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    within = lambda approx, exact, tol: (  # noqa: E731
+        F.abs(approx.cast("double") - exact) / exact <= tol
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.95).alias("approx_p95_price"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("approx_p95"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("exact_parts").cast("bigint").alias("exact_parts"),
+        within(F.col("approx_parts"), F.col("exact_parts"), 0.10).alias("parts_ok"),
+        within(F.col("approx_median"), F.col("exact_median"), 0.05).alias("median_ok"),
+        within(F.col("approx_p95"), F.col("exact_p95"), 0.05).alias("p95_ok"),
     )
