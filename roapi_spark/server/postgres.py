@@ -1,19 +1,23 @@
-"""PostgreSQL wire-protocol (v3) server — simple-query flavor (reference:
+"""PostgreSQL wire-protocol (v3) server (reference:
 roapi/src/server/postgres.rs, 543 LoC on the pgwire crate).
 
 Behavior parity:
 - simple query 'Q' with multi-statement split on ';'
   (postgres.rs:360-395);
+- extended-query protocol: Parse/Bind/Describe/Execute/Close/Flush/Sync
+  with $n parameter binding (text + common binary formats), portal row
+  limits with PortalSuspended, and skip-until-Sync error recovery —
+  parity with pgwire's ExtendedQueryHandler (postgres.rs:125-358);
 - ``SHOW``/``SET`` are accepted no-ops returning an empty result
   (postgres.rs:114-123);
 - every value is rendered as text (postgres.rs:132-141) with the type-OID
   map from postgres.rs:51-103 (unsigned -> next wider, timestamps ->
   TIMESTAMP, lists/structs -> JSON-ish text);
-- SSLRequest answered with 'N' (no TLS), extended-protocol messages get a
-  clean error + Sync recovery.
+- SSLRequest answered with 'N' (no TLS).
 
 Pure-stdlib implementation (struct + socketserver); psycopg-compatible for
-the subset above.
+the subset above (text result format; binary *result* codecs are the one
+asyncpg feature not offered — requested binary results get a clean error).
 """
 
 from __future__ import annotations
@@ -84,16 +88,87 @@ def _cstr(s: str) -> bytes:
     return s.encode() + b"\x00"
 
 
+_INT_OIDS = {20, 21, 23}
+_FLOAT_OIDS = {700, 701, 1700}
+
+
+def _read_cstr(b: bytes) -> tuple[str, bytes]:
+    i = b.index(b"\x00")
+    return b[:i].decode("utf-8", "replace"), b[i + 1 :]
+
+
+def _param_literal(raw: bytes | None, oid: int, fmt: int) -> str:
+    """Render one bound parameter as a SQL literal."""
+    if raw is None:
+        return "NULL"
+    if fmt == 1:  # binary format (postgres.rs param decode parity)
+        if oid in (21, 23, 20) and len(raw) in (2, 4, 8):
+            return str(int.from_bytes(raw, "big", signed=True))
+        if oid == 701 and len(raw) == 8:
+            return repr(struct.unpack(">d", raw)[0])
+        if oid == 700 and len(raw) == 4:
+            return repr(struct.unpack(">f", raw)[0])
+        if oid == 16 and len(raw) == 1:
+            return "TRUE" if raw[0] else "FALSE"
+        raise ValueError(f"unsupported binary parameter format for oid {oid}")
+    s = raw.decode("utf-8", "replace")
+    if oid in _INT_OIDS:
+        int(s)  # validate
+        return s
+    if oid in _FLOAT_OIDS:
+        float(s)
+        return s
+    if oid == 16:
+        return "TRUE" if s.lower() in ("t", "true", "1", "on", "yes") else "FALSE"
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _substitute_params(sql: str, literals: list[str]) -> str:
+    """Replace $1..$n outside single-quoted spans."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    in_quote = False
+    while i < n:
+        ch = sql[i]
+        if in_quote:
+            out.append(ch)
+            if ch == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    out.append("'")
+                    i += 1
+                else:
+                    in_quote = False
+        elif ch == "'":
+            in_quote = True
+            out.append(ch)
+        elif ch == "$" and i + 1 < n and sql[i + 1].isdigit():
+            j = i + 1
+            while j < n and sql[j].isdigit():
+                j += 1
+            idx = int(sql[i + 1 : j])
+            if not 1 <= idx <= len(literals):
+                raise ValueError(f"parameter ${idx} not bound")
+            out.append(literals[idx - 1])
+            i = j - 1
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 class _Handler(socketserver.BaseRequestHandler):
     # self.server is the ThreadingTCPServer; PostgresServer attaches
     # `catalog` onto it before serving
 
     def handle(self) -> None:  # noqa: C901
         sock = self.request
+        # per-connection extended-protocol state
+        self._stmts: dict[str, tuple[str, list[int]]] = {}
+        self._portals: dict[str, dict] = {}
+        self._skip_to_sync = False
         try:
             if not self._startup(sock):
                 return
-            buf = b""
             while True:
                 hdr = self._recv_exact(sock, 5)
                 if hdr is None:
@@ -102,14 +177,28 @@ class _Handler(socketserver.BaseRequestHandler):
                 payload = self._recv_exact(sock, length - 4) or b""
                 if tag == b"X":  # Terminate
                     return
+                if self._skip_to_sync and tag != b"S":
+                    # error recovery: discard until Sync (pg protocol §55.2.3)
+                    continue
                 if tag == b"Q":
                     self._simple_query(sock, payload[:-1].decode("utf-8", "replace"))
-                elif tag == b"S":  # Sync (extended protocol recovery)
+                elif tag == b"P":
+                    self._parse_msg(sock, payload)
+                elif tag == b"B":
+                    self._bind_msg(sock, payload)
+                elif tag == b"D":
+                    self._describe_msg(sock, payload)
+                elif tag == b"E":
+                    self._execute_msg(sock, payload)
+                elif tag == b"C":
+                    self._close_msg(sock, payload)
+                elif tag == b"H":  # Flush — we already write eagerly
+                    pass
+                elif tag == b"S":  # Sync
+                    self._skip_to_sync = False
                     sock.sendall(_msg(b"Z", b"I"))
                 else:
-                    self._error(sock, f"unsupported message type {tag!r}")
-                    sock.sendall(_msg(b"Z", b"I"))
-                del buf
+                    self._ext_error(sock, f"unsupported message type {tag!r}")
         except (ConnectionResetError, BrokenPipeError):
             pass
 
@@ -152,6 +241,24 @@ class _Handler(socketserver.BaseRequestHandler):
             self._error(sock, f"unsupported protocol code {code}")
             return False
 
+    def _row_desc(self, fields) -> bytes:
+        desc = struct.pack(">H", len(fields))
+        for f in fields:
+            desc += _cstr(f.name) + struct.pack(
+                ">IHIhih", 0, 0, _oid_for(f.dataType), -1, -1, 0
+            )
+        return desc
+
+    def _data_row(self, fields, row) -> bytes:
+        body = struct.pack(">H", len(fields))
+        for v in row:
+            r = _render(v)
+            if r is None:
+                body += struct.pack(">i", -1)
+            else:
+                body += struct.pack(">i", len(r)) + r
+        return body
+
     def _simple_query(self, sock, sql: str) -> None:
         # multi-statement split on ';' (postgres.rs:360-395)
         statements = [s.strip() for s in sql.split(";")]
@@ -172,27 +279,149 @@ class _Handler(socketserver.BaseRequestHandler):
                 self._error(sock, str(exc).splitlines()[0][:500])
                 sock.sendall(_msg(b"Z", b"I"))
                 return
-            # RowDescription
-            desc = struct.pack(">H", len(fields))
-            for f in fields:
-                desc += (
-                    _cstr(f.name)
-                    + struct.pack(">IHIhih", 0, 0, _oid_for(f.dataType), -1, -1, 0)
-                )
-            sock.sendall(_msg(b"T", desc))
+            sock.sendall(_msg(b"T", self._row_desc(fields)))
             for row in rows:
-                body = struct.pack(">H", len(fields))
-                for v in row:
-                    r = _render(v)
-                    if r is None:
-                        body += struct.pack(">i", -1)
-                    else:
-                        body += struct.pack(">i", len(r)) + r
-                sock.sendall(_msg(b"D", body))
+                sock.sendall(_msg(b"D", self._data_row(fields, row)))
             sock.sendall(_msg(b"C", _cstr(f"SELECT {len(rows)}")))
         if not ran_any:
             sock.sendall(_msg(b"I", b""))  # EmptyQueryResponse
         sock.sendall(_msg(b"Z", b"I"))
+
+    # -- extended-query protocol (postgres.rs:125-358 parity) ---------------
+
+    def _ext_error(self, sock, message: str) -> None:
+        """Error inside the extended flow: report, then discard until Sync."""
+        self._error(sock, message)
+        self._skip_to_sync = True
+
+    def _parse_msg(self, sock, payload: bytes) -> None:
+        name, rest = _read_cstr(payload)
+        sql, rest = _read_cstr(rest)
+        (n_oids,) = struct.unpack(">H", rest[:2])
+        oids = list(struct.unpack(f">{n_oids}I", rest[2 : 2 + 4 * n_oids]))
+        self._stmts[name] = (sql.strip().rstrip(";").strip(), oids)
+        sock.sendall(_msg(b"1", b""))  # ParseComplete
+
+    def _bind_msg(self, sock, payload: bytes) -> None:  # noqa: C901
+        portal, rest = _read_cstr(payload)
+        stmt_name, rest = _read_cstr(rest)
+        (n_fmt,) = struct.unpack(">H", rest[:2])
+        fmts = list(struct.unpack(f">{n_fmt}h", rest[2 : 2 + 2 * n_fmt]))
+        rest = rest[2 + 2 * n_fmt :]
+        (n_params,) = struct.unpack(">H", rest[:2])
+        rest = rest[2:]
+        raws: list[bytes | None] = []
+        for _ in range(n_params):
+            (ln,) = struct.unpack(">i", rest[:4])
+            rest = rest[4:]
+            if ln == -1:
+                raws.append(None)
+            else:
+                raws.append(rest[:ln])
+                rest = rest[ln:]
+        (n_rfmt,) = struct.unpack(">H", rest[:2])
+        rfmts = list(struct.unpack(f">{n_rfmt}h", rest[2 : 2 + 2 * n_rfmt]))
+        if any(f == 1 for f in rfmts):
+            self._ext_error(sock, "binary result format not supported (text only)")
+            return
+        if stmt_name not in self._stmts:
+            self._ext_error(sock, f"unknown prepared statement {stmt_name!r}")
+            return
+        sql, oids = self._stmts[stmt_name]
+        try:
+            lits = []
+            for i, raw in enumerate(raws):
+                oid = oids[i] if i < len(oids) else 0
+                # per-param format: 0/1 codes apply all-or-per-param
+                fmt = fmts[i] if len(fmts) == len(raws) else (fmts[0] if fmts else 0)
+                lits.append(_param_literal(raw, oid, fmt))
+            bound = _substitute_params(sql, lits)
+        except (ValueError, struct.error) as exc:
+            self._ext_error(sock, f"bind failed: {exc}")
+            return
+        self._portals[portal] = {"sql": bound, "fields": None, "rows": None, "pos": 0}
+        sock.sendall(_msg(b"2", b""))  # BindComplete
+
+    def _run_portal(self, p: dict) -> None:
+        """Materialize the portal's result set on first Execute/Describe."""
+        low = p["sql"].lower()
+        if not p["sql"] or low.startswith(("show ", "set ")) or low in ("show", "set"):
+            p["fields"], p["rows"] = [], []
+            p["noop_tag"] = "SET" if low.startswith("set") else "SHOW"
+            return
+        df = self.server.catalog.query_sql(p["sql"])
+        p["fields"] = df.schema.fields
+        p["rows"] = df.collect()
+
+    def _describe_msg(self, sock, payload: bytes) -> None:
+        kind, name = payload[0:1], _read_cstr(payload[1:])[0]
+        if kind == b"S":
+            if name not in self._stmts:
+                self._ext_error(sock, f"unknown prepared statement {name!r}")
+                return
+            sql, oids = self._stmts[name]
+            sock.sendall(  # ParameterDescription
+                _msg(b"t", struct.pack(">H", len(oids)) + b"".join(struct.pack(">I", o) for o in oids))
+            )
+            try:
+                # schema without execution: bind NULLs, analyze lazily
+                probe = _substitute_params(sql, ["NULL"] * 99)
+                fields = self.server.catalog.query_sql(probe).schema.fields
+                sock.sendall(_msg(b"T", self._row_desc(fields)))
+            except Exception:  # noqa: BLE001 — NULL-typed probe can fail analysis
+                sock.sendall(_msg(b"n", b""))  # NoData
+            return
+        if kind == b"P":
+            p = self._portals.get(name)
+            if p is None:
+                self._ext_error(sock, f"unknown portal {name!r}")
+                return
+            try:
+                if p["rows"] is None:
+                    self._run_portal(p)
+            except Exception as exc:  # noqa: BLE001
+                self._ext_error(sock, str(exc).splitlines()[0][:500])
+                return
+            if p["fields"]:
+                sock.sendall(_msg(b"T", self._row_desc(p["fields"])))
+            else:
+                sock.sendall(_msg(b"n", b""))
+            return
+        self._ext_error(sock, f"bad describe kind {kind!r}")
+
+    def _execute_msg(self, sock, payload: bytes) -> None:
+        name, rest = _read_cstr(payload)
+        (max_rows,) = struct.unpack(">i", rest[:4])
+        p = self._portals.get(name)
+        if p is None:
+            self._ext_error(sock, f"unknown portal {name!r}")
+            return
+        try:
+            if p["rows"] is None:
+                self._run_portal(p)
+        except Exception as exc:  # noqa: BLE001
+            self._ext_error(sock, str(exc).splitlines()[0][:500])
+            return
+        if "noop_tag" in p:
+            sock.sendall(_msg(b"C", _cstr(p["noop_tag"])))
+            return
+        rows, fields, pos = p["rows"], p["fields"], p["pos"]
+        end = len(rows) if max_rows <= 0 else min(pos + max_rows, len(rows))
+        for row in rows[pos:end]:
+            sock.sendall(_msg(b"D", self._data_row(fields, row)))
+        p["pos"] = end
+        if end < len(rows):
+            sock.sendall(_msg(b"s", b""))  # PortalSuspended
+        else:
+            sock.sendall(_msg(b"C", _cstr(f"SELECT {end - pos}")))
+
+    def _close_msg(self, sock, payload: bytes) -> None:
+        kind, name = payload[0:1], _read_cstr(payload[1:])[0]
+        if kind == b"S":
+            self._stmts.pop(name, None)
+        elif kind == b"P":
+            self._portals.pop(name, None)
+        sock.sendall(_msg(b"3", b""))  # CloseComplete
 
     def _error(self, sock, message: str) -> None:
         payload = b"S" + _cstr("ERROR") + b"C" + _cstr("XX000") + b"M" + _cstr(message) + b"\x00"

@@ -47,6 +47,54 @@ class MiniPgClient:
         self.sock.sendall(b"Q" + struct.pack(">I", len(payload) + 4) + payload)
         return self._read_until(b"Z")
 
+    # -- extended-protocol messages (psycopg/asyncpg message flow) ---------
+
+    def _send(self, tag: bytes, payload: bytes) -> None:
+        self.sock.sendall(tag + struct.pack(">I", len(payload) + 4) + payload)
+
+    def parse(self, name: str, sql: str, param_oids: list[int] | None = None) -> None:
+        oids = param_oids or []
+        self._send(
+            b"P",
+            name.encode() + b"\x00" + sql.encode() + b"\x00"
+            + struct.pack(">H", len(oids))
+            + b"".join(struct.pack(">I", o) for o in oids),
+        )
+
+    def bind(
+        self,
+        portal: str,
+        stmt: str,
+        params: list[bytes | None],
+        param_fmts: list[int] | None = None,
+        result_fmts: list[int] | None = None,
+    ) -> None:
+        fmts = param_fmts or []
+        rfmts = result_fmts or []
+        body = portal.encode() + b"\x00" + stmt.encode() + b"\x00"
+        body += struct.pack(">H", len(fmts)) + b"".join(struct.pack(">h", f) for f in fmts)
+        body += struct.pack(">H", len(params))
+        for p in params:
+            if p is None:
+                body += struct.pack(">i", -1)
+            else:
+                body += struct.pack(">i", len(p)) + p
+        body += struct.pack(">H", len(rfmts)) + b"".join(struct.pack(">h", f) for f in rfmts)
+        self._send(b"B", body)
+
+    def describe(self, kind: str, name: str) -> None:
+        self._send(b"D", kind.encode() + name.encode() + b"\x00")
+
+    def execute(self, portal: str, max_rows: int = 0) -> None:
+        self._send(b"E", portal.encode() + b"\x00" + struct.pack(">i", max_rows))
+
+    def close_stmt(self, kind: str, name: str) -> None:
+        self._send(b"C", kind.encode() + name.encode() + b"\x00")
+
+    def sync(self) -> list[tuple[bytes, bytes]]:
+        self._send(b"S", b"")
+        return self._read_until(b"Z")
+
     def close(self) -> None:
         self.sock.sendall(b"X" + struct.pack(">I", 4))
         self.sock.close()
@@ -118,4 +166,102 @@ def test_error_then_recovers(pg):
     assert msgs[0][0] == b"E" and msgs[-1][0] == b"Z"
     # connection still usable
     assert parse_data_rows(c.query("SELECT 42 AS x")) == [("42",)]
+    c.close()
+
+
+# -- extended-query protocol -------------------------------------------------
+
+
+def _tags(msgs):
+    return [t for t, _ in msgs]
+
+
+def test_extended_parameterized_query(pg):
+    """psycopg-style flow: Parse -> Bind(text params) -> Describe(portal)
+    -> Execute -> Sync, with $n substitution."""
+    c = MiniPgClient(pg.port)
+    c.parse("s1", "SELECT id, name FROM pgt WHERE id > $1 ORDER BY id", [23])
+    c.bind("", "s1", [b"1"])
+    c.describe("P", "")
+    c.execute("")
+    msgs = c.sync()
+    assert _tags(msgs)[:3] == [b"1", b"2", b"T"]  # Parse/Bind/RowDescription
+    assert parse_data_rows(msgs) == [("2", "beta"), ("3", None)]
+    assert any(t == b"C" and p.rstrip(b"\x00") == b"SELECT 2" for t, p in msgs)
+    c.close()
+
+
+def test_extended_describe_statement(pg):
+    """asyncpg-style flow: Parse -> Describe(statement) gives
+    ParameterDescription + RowDescription before any Bind."""
+    c = MiniPgClient(pg.port)
+    c.parse("s2", "SELECT id FROM pgt WHERE id = $1", [20])
+    c.describe("S", "s2")
+    msgs = c.sync()
+    assert _tags(msgs)[:2] == [b"1", b"t"]
+    pd = next(p for t, p in msgs if t == b"t")
+    assert struct.unpack(">HI", pd) == (1, 20)  # one int8 param
+    assert b"T" in _tags(msgs)  # RowDescription resolved via NULL probe
+    # now bind + execute twice with different params on the same statement
+    for param, expect in [(b"1", [("1",)]), (b"3", [("3",)])]:
+        c.bind("", "s2", [param])
+        c.execute("")
+        msgs = c.sync()
+        assert parse_data_rows(msgs) == expect
+    c.close()
+
+
+def test_extended_binary_params_and_row_limit(pg):
+    c = MiniPgClient(pg.port)
+    c.parse("s3", "SELECT id FROM pgt WHERE id >= $1 ORDER BY id", [23])
+    c.bind("p1", "s3", [struct.pack(">i", 1)], param_fmts=[1])  # binary int4
+    c.execute("p1", max_rows=2)
+    msgs = c.sync()
+    assert parse_data_rows(msgs) == [("1",), ("2",)]
+    assert b"s" in _tags(msgs)  # PortalSuspended: rows remain
+    # resume the suspended portal
+    c.execute("p1", max_rows=10)
+    msgs = c.sync()
+    assert parse_data_rows(msgs) == [("3",)]
+    assert any(t == b"C" and p.rstrip(b"\x00") == b"SELECT 1" for t, p in msgs)
+    c.close()
+
+
+def test_extended_null_param_and_string_quoting(pg):
+    c = MiniPgClient(pg.port)
+    c.parse("s4", "SELECT $1 AS a, $2 AS b", [25, 25])
+    c.bind("", "s4", [None, b"it's"])
+    c.execute("")
+    msgs = c.sync()
+    assert parse_data_rows(msgs) == [(None, "it's")]
+    c.close()
+
+
+def test_extended_error_skips_to_sync(pg):
+    c = MiniPgClient(pg.port)
+    c.parse("s5", "SELECT * FROM missing_table", [])
+    c.bind("", "s5", [])
+    c.execute("")  # fails at execution
+    msgs = c.sync()
+    assert b"E" in _tags(msgs) and msgs[-1][0] == b"Z"
+    # unknown statement binds also error + recover
+    c.bind("", "never_parsed", [])
+    msgs = c.sync()
+    assert b"E" in _tags(msgs)
+    # connection still works for simple queries
+    assert parse_data_rows(c.query("SELECT 7 AS x")) == [("7",)]
+    # and Close is acknowledged
+    c.parse("s6", "SELECT 1", [])
+    c.close_stmt("S", "s6")
+    msgs = c.sync()
+    assert b"3" in _tags(msgs)
+    c.close()
+
+
+def test_extended_binary_result_format_rejected(pg):
+    c = MiniPgClient(pg.port)
+    c.parse("s7", "SELECT id FROM pgt", [])
+    c.bind("", "s7", [], result_fmts=[1])
+    msgs = c.sync()
+    assert b"E" in _tags(msgs)
     c.close()
