@@ -1,16 +1,28 @@
-"""Arrow Flight server — the FlightSQL-parity surface (reference:
+"""Arrow Flight server speaking the FlightSQL command protocol (reference:
 roapi/src/server/flight_sql.rs, 1038 LoC).
 
 Protocol mapping (same lifecycle as the reference):
-- ``get_flight_info`` with a command descriptor (the SQL string) executes
-  the query eagerly and stashes the Arrow result under a UUID ticket —
-  mirroring flight_sql.rs:318-373's eager exec + DashMap results cache;
-  the returned FlightInfo carries schema + ticket + row count.
+- ``get_flight_info`` dispatches on the Any-wrapped FlightSQL command in
+  the descriptor: ``CommandStatementQuery`` /
+  ``CommandPreparedStatementQuery`` execute eagerly and stash the Arrow
+  result under a ``TicketStatementQuery`` handle — mirroring
+  flight_sql.rs:318-373's eager exec + DashMap results cache;
+  ``CommandGetCatalogs`` / ``CommandGetDbSchemas`` / ``CommandGetTables``
+  / ``CommandGetSqlInfo`` build the spec-shaped metadata tables
+  (flight_sql.rs:614-704). A bare (non-protobuf) SQL command descriptor
+  still works, for plain pyarrow.flight clients.
+- prepared statements: ``CreatePreparedStatement`` /
+  ``ClosePreparedStatement`` actions with Any-wrapped request/result
+  payloads (flight_sql.rs do_action_create_prepared_statement).
+  Parameter binding via do_put is not offered (our prepared statements
+  re-plan per execution; DoPut is a write surface the read-only catalog
+  rejects anyway).
 - ``do_get`` streams the stashed batches for a ticket (one-shot, popped on
-  read — flight_sql.rs:279-316 do_get_fallback).
-- ``list_flights`` enumerates registered tables with schemas (the
-  catalog/table metadata surface, flight_sql.rs:614-704).
-- ``do_action``: ``list-tables`` and ``table-schema`` actions.
+  read — flight_sql.rs:279-316 do_get_fallback); metadata command tickets
+  are recomputed on demand.
+- ``list_flights`` enumerates registered tables with schemas.
+- ``do_action``: FlightSQL prepared-statement actions plus the legacy
+  ``list-tables`` / ``table-schema`` JSON actions.
 - Optional bearer-token auth via a header middleware with constant-time
   compare (flight_sql.rs:164-187, M9).
 """
@@ -25,7 +37,31 @@ import uuid
 import pyarrow as pa
 import pyarrow.flight as flight
 
+import roapi_spark
 from roapi_spark.catalog import Catalog
+from roapi_spark.server import flightsql_proto as fsp
+
+# arrow.flight.protocol.sql.SqlInfo ids (flight_sql.rs sql_info parity)
+SQL_INFO_SERVER_NAME = 0
+SQL_INFO_SERVER_VERSION = 1
+SQL_INFO_SERVER_ARROW_VERSION = 2
+SQL_INFO_SERVER_READ_ONLY = 3
+
+
+def _sql_info_value_type() -> pa.DenseUnionType:
+    return pa.dense_union(
+        [
+            pa.field("string_value", pa.string()),
+            pa.field("bool_value", pa.bool_()),
+            pa.field("bigint_value", pa.int64()),
+            pa.field("int32_bitmask", pa.int32()),
+            pa.field("string_list", pa.list_(pa.string())),
+            pa.field(
+                "int32_to_int32_list_map", pa.map_(pa.int32(), pa.list_(pa.int32()))
+            ),
+        ],
+        type_codes=[0, 1, 2, 3, 4, 5],
+    )
 
 
 class _BearerAuthMiddlewareFactory(flight.ServerMiddlewareFactory):
@@ -53,26 +89,139 @@ class SparkFlightServer(flight.FlightServerBase):
         super().__init__(location, middleware=middleware)
         self.catalog = catalog
         self._results: dict[bytes, pa.Table] = {}
+        self._prepared: dict[bytes, str] = {}
         self._lock = threading.Lock()
 
     # -- query path --------------------------------------------------------
 
-    def get_flight_info(self, context, descriptor):
-        if descriptor.descriptor_type != flight.DescriptorType.CMD:
-            raise flight.FlightServerError("expected a command (SQL) descriptor")
-        sql = descriptor.command.decode("utf-8")
-        table = self.catalog.query_sql(sql).toArrow()
-        ticket = uuid.uuid4().hex.encode()
+    def _stash(self, table: pa.Table, descriptor) -> flight.FlightInfo:
+        handle = uuid.uuid4().hex.encode()
         with self._lock:
-            self._results[ticket] = table
+            self._results[handle] = table
+        ticket = flight.Ticket(fsp.ticket_statement_query(handle))
         endpoint = flight.FlightEndpoint(ticket, [])
         return flight.FlightInfo(
             table.schema, descriptor, [endpoint], table.num_rows, table.nbytes
         )
 
+    def _metadata_table(self, cmd: str, payload: bytes) -> pa.Table:
+        """The FlightSQL catalog-metadata result sets, spec schemas
+        (flight_sql.rs:614-704)."""
+        if cmd == "CommandGetCatalogs":
+            return pa.table({"catalog_name": pa.array(["spark_catalog"], pa.string())})
+        if cmd == "CommandGetDbSchemas":
+            return pa.table(
+                {
+                    "catalog_name": pa.array(["spark_catalog"], pa.string()),
+                    "db_schema_name": pa.array(["default"], pa.string()),
+                }
+            )
+        if cmd == "CommandGetTables":
+            fields = fsp.decode_fields(payload)
+            include_schema = bool(fields.get(5, [0])[0])
+            names = self.catalog.table_names()
+            cols = {
+                "catalog_name": pa.array(["spark_catalog"] * len(names), pa.string()),
+                "db_schema_name": pa.array(["default"] * len(names), pa.string()),
+                "table_name": pa.array(names, pa.string()),
+                "table_type": pa.array(["TABLE"] * len(names), pa.string()),
+            }
+            if include_schema:
+                cols["table_schema"] = pa.array(
+                    [
+                        self.catalog.table(n).limit(0).toArrow().schema.serialize().to_pybytes()
+                        for n in names
+                    ],
+                    pa.binary(),
+                )
+            return pa.table(cols)
+        if cmd == "CommandGetSqlInfo":
+            fields = fsp.decode_fields(payload)
+            requested: list[int] = []
+            for v in fields.get(1, []):
+                if isinstance(v, bytes):  # packed repeated uint32
+                    pos = 0
+                    while pos < len(v):
+                        x, pos = fsp._read_varint(v, pos)
+                        requested.append(x)
+                else:
+                    requested.append(v)
+            entries: list[tuple[int, int, object]] = [  # (info, type_code, value)
+                (SQL_INFO_SERVER_NAME, 0, "roapi_spark"),
+                (SQL_INFO_SERVER_VERSION, 0, roapi_spark.__version__),
+                (SQL_INFO_SERVER_ARROW_VERSION, 0, pa.__version__),
+                (SQL_INFO_SERVER_READ_ONLY, 1, self.catalog.read_only),
+            ]
+            if requested:
+                entries = [e for e in entries if e[0] in requested]
+            strings = [e[2] for e in entries if e[1] == 0]
+            bools = [e[2] for e in entries if e[1] == 1]
+            types, offsets = [], []
+            si = bi = 0
+            for _, code, _v in entries:
+                types.append(code)
+                if code == 0:
+                    offsets.append(si)
+                    si += 1
+                else:
+                    offsets.append(bi)
+                    bi += 1
+            value = pa.UnionArray.from_dense(
+                pa.array(types, pa.int8()),
+                pa.array(offsets, pa.int32()),
+                [
+                    pa.array(strings, pa.string()),
+                    pa.array(bools, pa.bool_()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int32()),
+                    pa.array([], pa.list_(pa.string())),
+                    pa.array([], pa.map_(pa.int32(), pa.list_(pa.int32()))),
+                ],
+                ["string_value", "bool_value", "bigint_value", "int32_bitmask",
+                 "string_list", "int32_to_int32_list_map"],
+                [0, 1, 2, 3, 4, 5],
+            )
+            return pa.table(
+                {"info_name": pa.array([e[0] for e in entries], pa.uint32()), "value": value}
+            )
+        raise flight.FlightServerError(f"unsupported FlightSQL command: {cmd}")
+
+    def _dispatch_command(self, command: bytes, descriptor) -> flight.FlightInfo:
+        unpacked = fsp.any_unpack(command)
+        if unpacked is None:  # bare SQL string (plain pyarrow.flight client)
+            table = self.catalog.query_sql(command.decode("utf-8")).toArrow()
+            return self._stash(table, descriptor)
+        cmd, payload = unpacked
+        if cmd == "CommandStatementQuery":
+            sql = fsp.decode_fields(payload)[1][0]
+            sql = sql.decode() if isinstance(sql, bytes) else str(sql)
+            return self._stash(self.catalog.query_sql(sql).toArrow(), descriptor)
+        if cmd == "CommandPreparedStatementQuery":
+            handle = fsp.decode_fields(payload)[1][0]
+            with self._lock:
+                sql = self._prepared.get(handle)
+            if sql is None:
+                raise flight.FlightServerError("unknown prepared statement handle")
+            return self._stash(self.catalog.query_sql(sql).toArrow(), descriptor)
+        return self._stash(self._metadata_table(cmd, payload), descriptor)
+
+    def get_flight_info(self, context, descriptor):
+        if descriptor.descriptor_type != flight.DescriptorType.CMD:
+            raise flight.FlightServerError("expected a command descriptor")
+        return self._dispatch_command(descriptor.command, descriptor)
+
     def do_get(self, context, ticket):
+        unpacked = fsp.any_unpack(ticket.ticket)
+        if unpacked is not None:
+            cmd, payload = unpacked
+            if cmd == "TicketStatementQuery":
+                handle = fsp.decode_fields(payload)[1][0]
+            else:  # a metadata command used directly as a ticket (spec allows)
+                return flight.RecordBatchStream(self._metadata_table(cmd, payload))
+        else:
+            handle = ticket.ticket  # legacy bare-uuid ticket
         with self._lock:
-            table = self._results.pop(ticket.ticket, None)
+            table = self._results.pop(handle, None)
         if table is None:
             raise flight.FlightServerError("unknown or already-consumed ticket")
         return flight.RecordBatchStream(table)
@@ -88,7 +237,32 @@ class SparkFlightServer(flight.FlightServerBase):
             del schema
 
     def do_action(self, context, action):
-        if action.type == "list-tables":
+        if action.type == "CreatePreparedStatement":
+            unpacked = fsp.any_unpack(action.body.to_pybytes())
+            if unpacked is None or unpacked[0] != "ActionCreatePreparedStatementRequest":
+                raise flight.FlightServerError("bad CreatePreparedStatement body")
+            sql = fsp.decode_fields(unpacked[1])[1][0]
+            sql = sql.decode() if isinstance(sql, bytes) else str(sql)
+            # validate + capture the result schema without executing
+            schema = self.catalog.query_sql(sql).limit(0).toArrow().schema
+            handle = uuid.uuid4().hex.encode()
+            with self._lock:
+                self._prepared[handle] = sql
+            result = fsp.any_pack(
+                "ActionCreatePreparedStatementResult",
+                fsp.encode_bytes_field(1, handle)
+                + fsp.encode_bytes_field(2, schema.serialize().to_pybytes()),
+            )
+            yield result
+        elif action.type == "ClosePreparedStatement":
+            unpacked = fsp.any_unpack(action.body.to_pybytes())
+            if unpacked is None or unpacked[0] != "ActionClosePreparedStatementRequest":
+                raise flight.FlightServerError("bad ClosePreparedStatement body")
+            handle = fsp.decode_fields(unpacked[1])[1][0]
+            with self._lock:
+                self._prepared.pop(handle, None)
+            yield b""
+        elif action.type == "list-tables":
             yield json.dumps(self.catalog.table_names()).encode()
         elif action.type == "table-schema":
             name = action.body.to_pybytes().decode()
@@ -97,4 +271,9 @@ class SparkFlightServer(flight.FlightServerBase):
             raise flight.FlightServerError(f"unknown action: {action.type}")
 
     def list_actions(self, context):
-        return [("list-tables", "list registered tables"), ("table-schema", "schema for a table")]
+        return [
+            ("CreatePreparedStatement", "FlightSQL: prepare a statement"),
+            ("ClosePreparedStatement", "FlightSQL: close a prepared statement"),
+            ("list-tables", "list registered tables"),
+            ("table-schema", "schema for a table"),
+        ]

@@ -5,11 +5,13 @@ from __future__ import annotations
 
 import json
 
+import pyarrow as pa
 import pyarrow.flight as flight
 import pytest
 
 from roapi_spark.catalog import Catalog
 from roapi_spark.config import parse_table_config
+from roapi_spark.server import flightsql_proto as fsp
 from roapi_spark.server.flight import SparkFlightServer
 
 
@@ -49,6 +51,91 @@ def test_metadata(served):
         next(iter(client.do_action(flight.Action("table-schema", b"launches")))).body.to_pybytes()
     )
     assert [f["name"] for f in schema["fields"]] == ["rocket", "n"]
+
+
+# -- FlightSQL command protocol (flight_sql_test.rs:66-80 parity) ------------
+
+
+def test_flightsql_statement_query(served):
+    """Any-wrapped CommandStatementQuery, exactly as ADBC/JDBC send it."""
+    client = flight.connect(f"grpc://127.0.0.1:{served.port}")
+    desc = flight.FlightDescriptor.for_command(
+        fsp.command_statement_query(
+            "SELECT rocket, count(*) AS cnt FROM launches GROUP BY rocket ORDER BY rocket"
+        )
+    )
+    info = client.get_flight_info(desc)
+    assert info.total_records == 3
+    # the ticket is an Any-wrapped TicketStatementQuery
+    assert fsp.any_unpack(info.endpoints[0].ticket.ticket)[0] == "TicketStatementQuery"
+    table = client.do_get(info.endpoints[0].ticket).read_all()
+    assert table.column("rocket").to_pylist() == ["falcon9", "falcon9x", "falconheavy"]
+
+
+def test_flightsql_get_tables_and_catalogs(served):
+    client = flight.connect(f"grpc://127.0.0.1:{served.port}")
+    info = client.get_flight_info(
+        flight.FlightDescriptor.for_command(fsp.command_get_tables(include_schema=True))
+    )
+    t = client.do_get(info.endpoints[0].ticket).read_all()
+    assert t.column("table_name").to_pylist() == ["launches"]
+    assert t.column("table_type").to_pylist() == ["TABLE"]
+    # serialized Arrow schema decodes back to the table's columns
+    schema = pa.ipc.read_schema(pa.py_buffer(t.column("table_schema").to_pylist()[0]))
+    assert schema.names == ["rocket", "n"]
+    cats = client.do_get(
+        client.get_flight_info(
+            flight.FlightDescriptor.for_command(fsp.command_get_catalogs())
+        ).endpoints[0].ticket
+    ).read_all()
+    assert cats.column("catalog_name").to_pylist() == ["spark_catalog"]
+    schemas = client.do_get(
+        client.get_flight_info(
+            flight.FlightDescriptor.for_command(fsp.command_get_db_schemas())
+        ).endpoints[0].ticket
+    ).read_all()
+    assert schemas.column("db_schema_name").to_pylist() == ["default"]
+
+
+def test_flightsql_sql_info(served):
+    client = flight.connect(f"grpc://127.0.0.1:{served.port}")
+    info = client.get_flight_info(
+        flight.FlightDescriptor.for_command(fsp.command_get_sql_info())
+    )
+    t = client.do_get(info.endpoints[0].ticket).read_all()
+    entries = dict(zip(t.column("info_name").to_pylist(), t.column("value").to_pylist()))
+    assert entries[0] == "roapi_spark"  # FLIGHT_SQL_SERVER_NAME
+    assert entries[3] is True  # SERVER_READ_ONLY (catalog defaults read-only)
+
+
+def test_flightsql_prepared_statement(served):
+    client = flight.connect(f"grpc://127.0.0.1:{served.port}")
+    results = list(
+        client.do_action(
+            flight.Action(
+                "CreatePreparedStatement",
+                fsp.action_create_prepared_statement(
+                    "SELECT rocket FROM launches WHERE n = 3 ORDER BY rocket"
+                ),
+            )
+        )
+    )
+    handle, schema_ipc = fsp.parse_prepared_statement_result(results[0].body.to_pybytes())
+    assert pa.ipc.read_schema(pa.py_buffer(schema_ipc)).names == ["rocket"]
+    # execute twice via CommandPreparedStatementQuery — handle is reusable
+    for _ in range(2):
+        info = client.get_flight_info(
+            flight.FlightDescriptor.for_command(fsp.command_prepared_statement_query(handle))
+        )
+        t = client.do_get(info.endpoints[0].ticket).read_all()
+        assert t.column("rocket").to_pylist() == ["falcon9", "falcon9x"]
+    list(client.do_action(
+        flight.Action("ClosePreparedStatement", fsp.action_close_prepared_statement(handle))
+    ))
+    with pytest.raises(flight.FlightError):
+        client.get_flight_info(
+            flight.FlightDescriptor.for_command(fsp.command_prepared_statement_query(handle))
+        )
 
 
 def test_auth(spark, tmp_path_factory):
