@@ -58,6 +58,14 @@ def load_table(spark: SparkSession, ts: TableSource) -> DataFrame:
         from roapi_spark.sources.stdin import stdin_to_local
 
         ts = stdin_to_local(ts)
+    else:
+        from roapi_spark.sources.object_store import (
+            OBJECT_STORE_SCHEMES,
+            apply_object_store_conf,
+        )
+
+        if uri.split("://", 1)[0] in OBJECT_STORE_SCHEMES:
+            ts = apply_object_store_conf(spark, ts)
 
     fmt = ts.resolved_format()
     mod_name = _LOADERS.get(fmt)

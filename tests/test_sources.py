@@ -304,3 +304,92 @@ def test_parquet_schema_from_files(spark, fixtures):
     )
     assert set(df.columns) == {"a", "b"}
     assert df.count() == 3 and df.where("b IS NULL").count() == 2
+
+
+# -- object-store conf mapping (columnq/src/columnq.rs:209-273 parity) -------
+
+
+def test_object_store_s3_conf_mapping(spark):
+    from roapi_spark.config import parse_table_config
+    from roapi_spark.sources.object_store import (
+        apply_object_store_conf,
+        hadoop_confs_for,
+        rewrite_uri,
+    )
+
+    ts = parse_table_config(
+        {
+            "name": "cloud",
+            "uri": "s3://bucket/path/blogs.parquet",
+            "io_option": {
+                "access_key_id": "AKID",
+                "secret_access_key": "SEKRET",
+                "endpoint": "http://minio.local:9000",
+                "region": "us-west-2",
+                "session_token": "TOK",
+                "allow_http": "true",
+            },
+        }
+    )
+    confs = hadoop_confs_for(ts)
+    assert confs["fs.s3a.access.key"] == "AKID"
+    assert confs["fs.s3a.secret.key"] == "SEKRET"
+    assert confs["fs.s3a.endpoint"] == "http://minio.local:9000"
+    assert confs["fs.s3a.endpoint.region"] == "us-west-2"
+    assert confs["fs.s3a.session.token"] == "TOK"
+    assert confs["fs.s3a.path.style.access"] == "true"
+    assert confs["fs.s3a.connection.ssl.enabled"] == "false"
+    assert rewrite_uri(ts.uri) == "s3a://bucket/path/blogs.parquet"
+    # applying sets the Hadoop configuration + rewrites the ts URI
+    ts2 = apply_object_store_conf(spark, ts)
+    assert ts2.uri == "s3a://bucket/path/blogs.parquet"
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.access.key") == "AKID"
+
+
+def test_object_store_env_fallback(monkeypatch):
+    from roapi_spark.config import parse_table_config
+    from roapi_spark.sources.object_store import hadoop_confs_for
+
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "ENVKEY")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "ENVSECRET")
+    ts = parse_table_config({"name": "t", "uri": "s3://b/k.parquet"})
+    confs = hadoop_confs_for(ts)
+    assert confs["fs.s3a.access.key"] == "ENVKEY"
+    assert confs["fs.s3a.secret.key"] == "ENVSECRET"
+    # explicit io_option wins over env
+    ts = parse_table_config(
+        {"name": "t", "uri": "s3://b/k.parquet", "io_option": {"access_key_id": "X"}}
+    )
+    assert hadoop_confs_for(ts)["fs.s3a.access.key"] == "X"
+
+
+def test_object_store_gcs_azure_mapping():
+    from roapi_spark.config import parse_table_config
+    from roapi_spark.sources.object_store import hadoop_confs_for, rewrite_uri
+
+    gs = parse_table_config(
+        {
+            "name": "g",
+            "uri": "gs://bucket/t.parquet",
+            "io_option": {"service_account_path": "/tmp/sa.json", "project_id": "p1"},
+        }
+    )
+    confs = hadoop_confs_for(gs)
+    assert confs["fs.gs.auth.service.account.json.keyfile"] == "/tmp/sa.json"
+    assert confs["fs.gs.project.id"] == "p1"
+    assert rewrite_uri("gcs://b/x") == "gs://b/x"
+
+    az = parse_table_config(
+        {
+            "name": "a",
+            "uri": "az://container@myacct/path/t.parquet",
+            "io_option": {"access_key": "AZKEY"},
+        }
+    )
+    assert (
+        rewrite_uri(az.uri)
+        == "abfss://container@myacct.dfs.core.windows.net/path/t.parquet"
+    )
+    confs = hadoop_confs_for(az)
+    assert confs["fs.azure.account.key.myacct.dfs.core.windows.net"] == "AZKEY"
