@@ -25,6 +25,12 @@ from roapi_spark.util import pround
 
 N_MINHASH = 12  # 4 bands x 3 rows
 BAND_ROWS = 3
+# Hot-band guard: an LSH bucket with B members contributes B^2/2 candidate
+# pairs; boilerplate-heavy corpora produce mega-buckets that turn the band
+# join quadratic.  Buckets above the cap are dropped entirely (exact dups
+# are dedup_exact's job; a >cap bucket is degenerate, not "near").  Same
+# filter in the DuckDB oracle, mirroring the stop-shingle guard.
+BAND_CAP = 100
 # stop-shingle cap: shingles appearing in more docs than this are dropped
 # before the pair join — bounds the quadratic blowup from boilerplate
 # shingles at scale (df_max is 25 at sf0.1, so results are unaffected at
@@ -224,9 +230,15 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
              STRING_AGG(mh::VARCHAR, ',' ORDER BY k) AS band_sig
       FROM minh GROUP BY doc_id, k // {BAND_ROWS}
     ),
+    bandsf AS (  -- hot-band cap: drop degenerate buckets (same guard as Spark)
+      SELECT b.* FROM bands b
+      JOIN (SELECT band_id, band_sig FROM bands
+            GROUP BY band_id, band_sig HAVING COUNT(*) <= {BAND_CAP}) ok
+        ON b.band_id = ok.band_id AND b.band_sig = ok.band_sig
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM bandsf a JOIN bandsf b
         ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
@@ -265,6 +277,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_sig")
+    # hot-band cap: left-semi against the small under-cap bucket list; a
+    # mega-bucket (boilerplate corpus) would otherwise blow up the pair join
+    ok_buckets = (
+        bands.groupBy("band_id", "band_sig")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= BAND_CAP)
+        .select("band_id", "band_sig")
+    )
+    bands = bands.join(ok_buckets, ["band_id", "band_sig"], "left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
     est = F.size(

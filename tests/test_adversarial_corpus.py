@@ -61,3 +61,45 @@ def test_edge_corpus_matches_oracle(spark, edge_sf_dir, name):
     spec = load_all()[name]
     res = compare(name, spec.builder(spark, edge_sf_dir), duckdb_conn(edge_sf_dir), spec.oracle)
     assert res.ok, res.detail
+
+
+@pytest.fixture(scope="module")
+def boilerplate_sf_dir(tmp_path_factory):
+    """150 identical boilerplate docs (one LSH mega-bucket, > BAND_CAP)
+    plus one genuine near-dup pair that must survive the cap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    boiler = "all rights reserved copyright notice terms of service apply to this page"
+    near_a = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    near_b = "the quick brown fox jumps over the lazy dog near the riverbank tonight"
+    texts = [boiler] * 150 + [near_a, near_b]
+    d = tmp_path_factory.mktemp("boiler_sf")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["web"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_minhash_lsh_hot_band_cap(spark, boilerplate_sf_dir):
+    """The mega-bucket is dropped (no 150^2/2 pair blowup), the genuine
+    near-dup pair survives, and Spark still hash-matches the oracle."""
+    spec = load_all()["dedup_minhash_lsh"]
+    df = spec.builder(spark, boilerplate_sf_dir)
+    rows = df.collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    assert (150, 151) in pairs  # near-dup pair found
+    assert len(rows) < 50  # the 11,175 boilerplate pairs were capped away
+    res = compare(
+        "dedup_minhash_lsh", df, duckdb_conn(boilerplate_sf_dir), spec.oracle
+    )
+    assert res.ok, res.detail
