@@ -323,15 +323,22 @@ def q_join_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
         AS without_orders
     """,
-    doc="Semi + anti join (reference reaches these via SQL subqueries).",
+    doc="Semi + anti join (reference reaches these via SQL subqueries). "
+    "Single plan: one left join against the distinct order-customer keys, "
+    "conditional aggregation splits EXISTS vs NOT EXISTS — customer and "
+    "orders each scan once, one Spark job.",
     tags=("join",),
 )
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders").select("o_custkey")
-    semi = customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi").count()
-    anti = customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").count()
-    return spark.createDataFrame([(semi, anti)], "with_orders bigint, without_orders bigint")
+    customer = t(spark, sf_dir, "customer").select("c_custkey")
+    okeys = t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return (
+        customer.join(okeys, customer.c_custkey == okeys.o_custkey, "left")
+        .agg(
+            F.count(F.when(F.col("o_custkey").isNotNull(), 1)).alias("with_orders"),
+            F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("without_orders"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -428,7 +435,11 @@ def q_window_lag_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'except', CAST(COUNT(*) AS BIGINT)
       FROM (SELECT custkey FROM big_spenders EXCEPT SELECT custkey FROM building)
     """,
-    doc="UNION / INTERSECT / EXCEPT.",
+    doc="UNION / INTERSECT / EXCEPT semantics in ONE plan: full-outer join "
+    "of the two distinct key sets + conditional aggregation (|A∪B| = all "
+    "rows, |A∩B| = both sides present, |A\\B| = left only), then explode "
+    "to the three (op, n) rows. Each input scans once, one Spark job — "
+    "the oracle still uses the literal set operators.",
     tags=("setop",),
 )
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,18 +447,35 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 300000)
         .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
     )
     building = (
         t(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
-        .select(F.col("c_custkey").alias("custkey"))
+        .select(F.col("c_custkey").alias("custkey_b"))
+        .distinct()
     )
-    rows = [
-        ("union", spenders.union(building).distinct().count()),
-        ("intersect", spenders.distinct().intersect(building.distinct()).count()),
-        ("except", spenders.distinct().exceptAll(building.distinct()).count()),
-    ]
-    return spark.createDataFrame(rows, "op string, n bigint")
+    agg = (
+        spenders.join(building, F.col("custkey") == F.col("custkey_b"), "full_outer")
+        .agg(
+            F.count("*").alias("n_union"),
+            F.count(
+                F.when(F.col("custkey").isNotNull() & F.col("custkey_b").isNotNull(), 1)
+            ).alias("n_intersect"),
+            F.count(
+                F.when(F.col("custkey").isNotNull() & F.col("custkey_b").isNull(), 1)
+            ).alias("n_except"),
+        )
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("union").alias("op"), F.col("n_union").alias("n")),
+                F.struct(F.lit("intersect").alias("op"), F.col("n_intersect").alias("n")),
+                F.struct(F.lit("except").alias("op"), F.col("n_except").alias("n")),
+            )
+        ).alias("r")
+    ).select("r.op", "r.n")
 
 
 # --------------------------------------------------------------------------

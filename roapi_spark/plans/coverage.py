@@ -148,22 +148,18 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST((SELECT COUNT(*) FROM part WHERE p_type SIMILAR TO '(PROMO|ECONOMY)') AS BIGINT)
         AS n_regex
     """,
-    doc="Predicate battery: IN-list, BETWEEN, LIKE/NOT LIKE, regex match.",
+    doc="Predicate battery: IN-list, BETWEEN, LIKE/NOT LIKE, regex match — "
+    "as ONE conditional aggregation (part scans once, one Spark job).",
     tags=("filter",),
 )
 def q_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part")
-    rows = [
-        (
-            p.filter(F.col("p_brand").isin("Brand#1", "Brand#5", "Brand#9")).count(),
-            p.filter(F.col("p_size").between(10, 20)).count(),
-            p.filter(F.col("p_name").like("%iron%")).count(),
-            p.filter(~F.col("p_name").like("a%")).count(),
-            p.filter(F.col("p_type").rlike("^(PROMO|ECONOMY)$")).count(),
-        )
-    ]
-    return spark.createDataFrame(
-        rows, "n_in bigint, n_between bigint, n_like bigint, n_not_like bigint, n_regex bigint"
+    return p.agg(
+        F.count(F.when(F.col("p_brand").isin("Brand#1", "Brand#5", "Brand#9"), 1)).alias("n_in"),
+        F.count(F.when(F.col("p_size").between(10, 20), 1)).alias("n_between"),
+        F.count(F.when(F.col("p_name").like("%iron%"), 1)).alias("n_like"),
+        F.count(F.when(~F.col("p_name").like("a%"), 1)).alias("n_not_like"),
+        F.count(F.when(F.col("p_type").rlike("^(PROMO|ECONOMY)$"), 1)).alias("n_regex"),
     )
 
 
