@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from roapi_spark.plans.registry import register
+
 IMG_MAGIC = b"FIMG"
 VID_MAGIC = b"FVID"
 
@@ -174,4 +176,67 @@ def with_meta(df: DataFrame, mime: str, content_col: str = "content") -> DataFra
             F.lit(mime).alias("mime"),
             F.octet_length(content_col).cast("bigint").alias("n_bytes"),
         ),
+    )
+
+
+# ---- registry query: the multimodal contract under the correctness gate ---
+
+_MM_W, _MM_H = 16, 8  # deterministic corpus dimensions
+
+
+@register(
+    "multimodal_image_stats",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_MM_W * _MM_H - 1}),
+                            j -> (doc_id * 31 + j * 7) % 256) AS p
+      FROM documents
+    )
+    SELECT doc_id,
+           {_MM_W} AS width,
+           {_MM_H} AS height,
+           FLOOR(LIST_SUM(p) / {float(_MM_W * _MM_H)} * 10000 + 0.5) / 10000.0
+             AS mean_pixel,
+           LIST_MAX(p) AS max_pixel,
+           CAST({12 + _MM_W * _MM_H} AS BIGINT) AS n_bytes
+    FROM px
+    """,
+    doc="Multimodal pipeline under the correctness gate: a deterministic "
+    "FIMG image per document (pixel j = (doc_id*31 + j*7) %% 256) is "
+    "encoded to real binary blobs in one mapInPandas stage, shipped "
+    "through Arrow batches, decoded by the image_stats operator "
+    "(decode_image + vectorized per-batch features), and the resulting "
+    "width/height/mean/max/bytes are checked against DuckDB's closed-form "
+    "recomputation. The blob path (binary column -> Arrow batch -> numpy "
+    "decode) is exactly the real-codec pipeline shape; only decode_image's "
+    "format branch differs (PIL absent, FIMG synthetic).",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_image_stats(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from roapi_spark.util import pround
+
+    ids = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                px = bytes((int(i) * 31 + j * 7) % 256 for j in range(_MM_W * _MM_H))
+                rows.append(
+                    (int(i), IMG_MAGIC + struct.pack(">II", _MM_W, _MM_H) + px)
+                )
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    corpus = ids.mapInPandas(gen, "id bigint, content binary")
+    stats = image_stats(corpus)
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        pround(F.col("mean_pixel")).alias("mean_pixel"),
+        "max_pixel",
+        "n_bytes",
     )

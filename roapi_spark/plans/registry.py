@@ -42,6 +42,7 @@ def register(
 def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the registry."""
     import roapi_spark.functions.dedup  # noqa: F401
+    import roapi_spark.functions.multimodal  # noqa: F401
     import roapi_spark.functions.similarity  # noqa: F401
     import roapi_spark.functions.text  # noqa: F401
     import roapi_spark.plans.analytics  # noqa: F401
