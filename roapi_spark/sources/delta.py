@@ -1,18 +1,123 @@
 """Delta Lake loader (reference: columnq/src/table/delta.rs:104-297).
 
-Uses delta-spark when available (``spark.read.format("delta")``); in this
-container the Delta jars aren't baked in, so the import/read is gated with
-a clear error. Refresh (delta.rs:62-79 DeltaTable.update) maps to simply
-re-reading the latest snapshot — Spark resolves the newest version per
-read. ``option.version`` / ``option.timestamp`` map to time travel
-(versionAsOf / timestampAsOf)."""
+Two paths:
+
+1. delta-spark jars present -> ``spark.read.format("delta")`` with
+   versionAsOf/timestampAsOf time travel (the real-cluster path).
+2. jars absent (this container) -> a pure-Python transaction-log reader:
+   parse ``_delta_log/*.json`` (and a parquet checkpoint if
+   ``_last_checkpoint`` points at one), replay add/remove actions up to
+   the requested version, and scan the surviving parquet files with
+   ``spark.read.parquet`` — the same snapshot semantics the reference
+   gets from delta-rs (delta.rs:104-297: DeltaTable -> file list ->
+   parquet scan).  Writes/optimistic-concurrency are out of scope (the
+   catalog is a read surface).
+
+Refresh (delta.rs:62-79 DeltaTable.update) maps to re-reading the latest
+snapshot — each load re-resolves the newest version.  ``option.version`` /
+``option.timestamp`` select a snapshot (timestamp resolves to the last
+commit whose file mtime <= timestamp, per the Delta protocol's
+commit-timestamp rule).
+"""
 
 from __future__ import annotations
+
+import json
+import os
+import re
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 
 from roapi_spark.config import TableSource
 from roapi_spark.sources import LoadError
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+
+
+def _log_versions(log_dir: str) -> list[tuple[int, str]]:
+    out = []
+    for name in os.listdir(log_dir):
+        m = _COMMIT_RE.match(name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(log_dir, name)))
+    return sorted(out)
+
+
+def _checkpoint_state(log_dir: str, upto: int | None) -> tuple[int, dict[str, bool]]:
+    """Seed the active-file set from the newest usable parquet checkpoint.
+    Returns (checkpoint_version, active) — replay continues after it."""
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(lc):
+        return -1, {}
+    try:
+        with open(lc) as f:
+            info = json.load(f)
+        v = int(info["version"])
+        if upto is not None and v > upto:
+            return -1, {}  # checkpoint is past the requested snapshot
+        import pyarrow.parquet as pq
+
+        path = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+        tbl = pq.read_table(path, columns=["add"])
+        active: dict[str, bool] = {}
+        for rec in tbl.column("add").to_pylist():
+            if rec and rec.get("path"):
+                active[rec["path"]] = True
+        return v, active
+    except Exception:  # noqa: BLE001 — fall back to full json replay
+        return -1, {}
+
+
+def snapshot_files(table_path: str, version: int | None = None,
+                   timestamp: str | None = None) -> list[str]:
+    """Active data files of a Delta table at a snapshot (pure Python)."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise LoadError(f"not a delta table (no _delta_log): {table_path}")
+    commits = _log_versions(log_dir)
+    if not commits:
+        raise LoadError(f"empty delta log: {table_path}")
+    if timestamp is not None and version is None:
+        from datetime import datetime, timezone
+
+        ts_limit = datetime.fromisoformat(timestamp).replace(
+            tzinfo=timezone.utc
+        ).timestamp()
+        eligible = [v for v, p in commits if os.path.getmtime(p) <= ts_limit]
+        if not eligible:
+            raise LoadError(f"no delta commit at or before {timestamp}")
+        version = max(eligible)
+    base_v, active = _checkpoint_state(log_dir, version)
+    for v, path in commits:
+        if v <= base_v:
+            continue
+        if version is not None and v > version:
+            break
+        with open(path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    active[action["add"]["path"]] = True
+                elif "remove" in action:
+                    active.pop(action["remove"]["path"], None)
+    return [os.path.join(table_path, unquote(p)) for p in active]
+
+
+def _read_via_log(spark: SparkSession, ts: TableSource) -> DataFrame:
+    version = ts.option.get("version")
+    files = snapshot_files(
+        ts.uri,
+        version=None if version is None else int(version),
+        timestamp=ts.option.get("timestamp"),
+    )
+    if not files:
+        raise LoadError(f"delta table {ts.name!r}: snapshot has no data files")
+    # basePath keeps hive-style partition dirs as columns, matching what
+    # the delta-spark reader reconstructs from add.partitionValues
+    return spark.read.option("basePath", ts.uri).parquet(*files)
 
 
 def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
@@ -23,8 +128,5 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
         r = r.option("timestampAsOf", str(ts.option["timestamp"]))
     try:
         return r.load(ts.uri)
-    except Exception as exc:  # noqa: BLE001 — surface a setup hint
-        raise LoadError(
-            f"delta table {ts.name!r}: delta-spark jars not available in this "
-            f"session ({exc}). Add io.delta:delta-spark to spark.jars.packages."
-        ) from exc
+    except Exception:  # noqa: BLE001 — jars absent: pure-Python log replay
+        return _read_via_log(spark, ts)
