@@ -213,11 +213,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    # Join order matters for the STATIC plan: joining li to the bare
+    # filtered orders scan first lets Catalyst see a 2-col scan estimate
+    # under the broadcast threshold and pick BroadcastHashJoin at plan
+    # time; a composite (orders JOIN customer) side has a product-of-inputs
+    # size estimate, forcing an initial SortMergeJoin that shuffles
+    # lineitem before AQE can convert.  At scale the scan estimate exceeds
+    # the threshold and this degrades safely to shuffle+AQE.
     return (
-        li.join(
-            orders.join(maybe_broadcast(cust), F.col("c_custkey") == F.col("o_custkey")),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
