@@ -2,16 +2,41 @@
 813 LoC: sheet selection, row/col range windows, custom inference with
 conflict->Utf8 upcast).
 
-Spark-side plumbing is real (pandas -> Arrow -> DataFrame, range windows,
-upcast rule); the workbook *decode* needs openpyxl/xlrd which aren't baked
-into this container, so the read is import-gated."""
+Decode is handled by the pure-Python :mod:`roapi_spark.sources.xlsx`
+reader (stdlib zip+XML — calamine's role), so ``.xlsx`` tables load with
+no optional deps. Legacy binary ``.xls``/``.ods`` would need xlrd/odfpy
+and stay import-gated. The row/column range windows follow
+``excel.rs:36-94`` and the conflict->Utf8 upcast rule ``excel.rs:158-167``.
+"""
 
 from __future__ import annotations
+
+import zipfile
+from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
 from roapi_spark.config import TableSource
 from roapi_spark.sources import LoadError
+from roapi_spark.sources.xlsx import XlsxError, read_xlsx
+
+
+def _window(rows: list[list[Any]], opt: dict) -> list[list[Any]]:
+    # rows_range_start/end, columns_range_start/end (excel.rs:36-94);
+    # same semantics as the pandas skiprows/nrows/usecols mapping this
+    # loader used before: the row window is applied to raw sheet rows,
+    # the first surviving row is the header, `end - start` data rows kept.
+    if "rows_range_start" in opt:
+        start = int(opt["rows_range_start"])
+        rows = rows[start:]
+        if "rows_range_end" in opt:
+            nrows = int(opt["rows_range_end"]) - start
+            rows = rows[: nrows + 1]  # +1: header row
+    if "columns_range_start" in opt or "columns_range_end" in opt:
+        c0 = int(opt.get("columns_range_start", 0))
+        c1 = int(opt.get("columns_range_end", 16383))
+        rows = [r[c0 : c1 + 1] for r in rows]
+    return rows
 
 
 def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
@@ -20,24 +45,28 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
     except ImportError as exc:  # pragma: no cover
         raise LoadError("pandas required for excel loading") from exc
 
-    opt = ts.option
-    kwargs: dict = {"sheet_name": opt.get("sheet_name", 0)}
-    # rows_range_start/end, columns_range_start/end (excel.rs:36-94)
-    if "rows_range_start" in opt:
-        kwargs["skiprows"] = int(opt["rows_range_start"])
-    if "rows_range_end" in opt and "rows_range_start" in opt:
-        kwargs["nrows"] = int(opt["rows_range_end"]) - int(opt["rows_range_start"])
-    if "columns_range_start" in opt or "columns_range_end" in opt:
-        start = int(opt.get("columns_range_start", 0))
-        end = int(opt.get("columns_range_end", 16383))
-        kwargs["usecols"] = list(range(start, end + 1))
-    try:
-        pdf = pd.read_excel(ts.uri, **kwargs)
-    except ImportError as exc:
+    if not zipfile.is_zipfile(ts.uri):
         raise LoadError(
-            f"excel table {ts.name!r}: no excel engine (openpyxl/xlrd) in this "
-            f"container — install one to enable workbook decode ({exc})"
-        ) from exc
+            f"excel table {ts.name!r}: not an .xlsx package — legacy .xls/.ods "
+            "decode needs xlrd/odfpy which aren't in this container"
+        )
+    opt = ts.option
+    sheet = opt.get("sheet_name", 0)
+    try:
+        grid = read_xlsx(ts.uri, sheet)
+    except (XlsxError, KeyError, ValueError, zipfile.BadZipFile) as exc:
+        raise LoadError(f"excel table {ts.name!r}: {exc}") from exc
+    grid = _window(grid, opt)
+    if not grid:
+        raise LoadError(f"excel table {ts.name!r}: selected window is empty")
+    header, *data = grid
+    names = [
+        str(h) if h is not None and str(h) != "" else f"Unnamed: {i}"
+        for i, h in enumerate(header)
+    ]
+    pdf = pd.DataFrame(
+        {name: [row[i] for row in data] for i, name in enumerate(names)}
+    )
     # conflict -> Utf8 upcast rule (excel.rs:158-167): mixed object columns
     # become strings
     for col in pdf.columns:

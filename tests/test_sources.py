@@ -235,14 +235,134 @@ def test_gsheets_values_inference(spark):
     assert rows[0].n == 1.0 and rows[2].n is None
 
 
+def _col_letters(i: int) -> str:
+    s = ""
+    i += 1
+    while i:
+        i, rem = divmod(i - 1, 26)
+        s = chr(ord("A") + rem) + s
+    return s
+
+
+def _write_xlsx(path, sheets: dict[str, list[list]]):
+    """Hand-rolled minimal OOXML workbook (enough for the decoder: shared
+    + inline strings, bools, numbers, gaps)."""
+    import zipfile
+
+    shared: list[str] = []
+
+    def cell_xml(ref: str, v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        if v not in shared:
+            shared.append(v)
+        return f'<c r="{ref}" t="s"><v>{shared.index(v)}</v></c>'
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    sheet_xmls = []
+    for rows in sheets.values():
+        body = "".join(
+            f'<row r="{ri + 1}">'
+            + "".join(cell_xml(f"{_col_letters(ci)}{ri + 1}", v) for ci, v in enumerate(row))
+            + "</row>"
+            for ri, row in enumerate(rows)
+        )
+        sheet_xmls.append(f'<worksheet {ns}><sheetData>{body}</sheetData></worksheet>')
+    wb_sheets = "".join(
+        f'<sheet name="{n}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, n in enumerate(sheets)
+    )
+    rels = "".join(
+        f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/'
+        f'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i + 1}.xml"/>'
+        for i in range(len(sheets))
+    )
+    sst = "".join(f"<si><t>{s}</t></si>" for s in shared)
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", f"<workbook {ns} {rns}><sheets>{wb_sheets}</sheets></workbook>")
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+            f'relationships">{rels}</Relationships>',
+        )
+        zf.writestr("xl/sharedStrings.xml", f"<sst {ns}>{sst}</sst>")
+        for i, xml in enumerate(sheet_xmls):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", xml)
+
+
+def test_excel_xlsx_decode(spark, fixtures):
+    # pure-Python decode path (sources/xlsx.py standing in for calamine,
+    # excel.rs:220-360): shared strings, bools, int-collapse, None gaps
+    _write_xlsx(
+        fixtures / "wb.xlsx",
+        {
+            "cities": [
+                ["city", "pop", "capital"],
+                ["london", 8900000, True],
+                ["york", 141685, False],
+                ["leeds", None, False],
+            ],
+            "extra": [["k", "v"], ["a", 1.5]],
+        },
+    )
+    df = _load(spark, {"name": "x", "uri": str(fixtures / "wb.xlsx")})
+    assert df.count() == 3
+    got = {r.city: (r.pop, r.capital) for r in df.collect()}
+    assert got["london"] == (8900000, True)
+    assert got["leeds"] == (None, False)
+    # sheet selection by name
+    df2 = _load(
+        spark,
+        {"name": "x", "uri": str(fixtures / "wb.xlsx"), "option": {"sheet_name": "extra"}},
+    )
+    assert df2.collect()[0].v == 1.5
+
+
+def test_excel_range_windows(spark, fixtures):
+    # rows/columns range windows (excel.rs:36-94): skip a title banner row
+    # and clip to 2 data rows x 2 columns
+    _write_xlsx(
+        fixtures / "win.xlsx",
+        {
+            "s": [
+                ["TITLE BANNER", None, None],
+                ["a", "b", "c"],
+                [1, 10, 100],
+                [2, 20, 200],
+                [3, 30, 300],
+            ]
+        },
+    )
+    df = _load(
+        spark,
+        {
+            "name": "w",
+            "uri": str(fixtures / "win.xlsx"),
+            "option": {
+                "rows_range_start": 1,
+                "rows_range_end": 3,
+                "columns_range_start": 0,
+                "columns_range_end": 1,
+            },
+        },
+    )
+    assert df.columns == ["a", "b"]
+    assert [(r.a, r.b) for r in df.orderBy("a").collect()] == [(1, 10), (2, 20)]
+
+
 def test_excel_gated(spark, fixtures):
-    # no excel engine in this container: loader must fail with the
-    # dependency hint, not a bare pandas traceback
+    # legacy .xls (not a zip) must fail with the dependency hint, not a
+    # bare traceback
     import pytest as _pytest
 
     from roapi_spark.sources import LoadError
 
-    (fixtures / "x.xlsx").write_bytes(b"PK\x03\x04 not a real workbook")
+    (fixtures / "x.xlsx").write_bytes(b"\xd0\xcf\x11\xe0 not a real workbook")
     with _pytest.raises((LoadError, Exception)):
         _load(spark, {"name": "x", "uri": str(fixtures / "x.xlsx")})
 
