@@ -7,6 +7,9 @@ ConnectorX ``SELECT * FROM {table}`` into memory).
 - mysql/postgres: Spark JDBC (needs driver jars on the cluster); at scale
   use ``partitionColumn/lowerBound/upperBound/numPartitions`` options for
   parallel reads — passed straight through from the table options.
+- postgres without JDBC jars: falls back to the pure-Python wire-protocol
+  client (:mod:`roapi_spark.sources.pgwire`) — same full-table-into-memory
+  semantics as the reference's ConnectorX read.
 """
 
 from __future__ import annotations
@@ -42,6 +45,31 @@ def _load_sqlite(spark: SparkSession, ts: TableSource) -> DataFrame:
     return spark.createDataFrame(arrow)
 
 
+def _load_pg_wire(spark: SparkSession, ts: TableSource) -> DataFrame:
+    from roapi_spark.sources import LoadError
+    from roapi_spark.sources.pgwire import PgWireError, read_table
+
+    table = ts.option.get("table", ts.name)
+    try:
+        res = read_table(ts.uri, table, sql=ts.option.get("query"))
+    except (PgWireError, OSError) as exc:
+        raise LoadError(f"postgres table {ts.name!r}: wire read failed: {exc}") from exc
+    if not res.columns:
+        raise LoadError(f"postgres table {ts.name!r}: query returned no result set")
+    arrow = pa.table(
+        {c: [row[i] for row in res.rows] for i, c in enumerate(res.columns)}
+    )
+    return spark.createDataFrame(arrow)
+
+
+def _jdbc_driver_present(spark: SparkSession, klass: str) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(klass)  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
 def _load_jdbc(spark: SparkSession, ts: TableSource) -> DataFrame:
     fmt = ts.resolved_format()
     uri = ts.uri
@@ -59,6 +87,10 @@ def _load_jdbc(spark: SparkSession, ts: TableSource) -> DataFrame:
 
 
 def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
-    if ts.resolved_format() == "sqlite":
+    fmt = ts.resolved_format()
+    if fmt == "sqlite":
         return _load_sqlite(spark, ts)
+    if fmt == "postgres" and not _jdbc_driver_present(spark, "org.postgresql.Driver"):
+        # no JDBC driver on the classpath -> pure-Python wire fallback
+        return _load_pg_wire(spark, ts)
     return _load_jdbc(spark, ts)

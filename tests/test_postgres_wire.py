@@ -265,3 +265,56 @@ def test_extended_binary_result_format_rejected(pg):
     msgs = c.sync()
     assert b"E" in _tags(msgs)
     c.close()
+
+
+def test_pg_source_loopback(pg, spark):
+    # the repo reading a postgres:// *source* through its own wire server:
+    # the pure-Python client fallback (sources/pgwire.py) stands in for
+    # ConnectorX (columnq/src/table/database.rs:37-73) when JDBC jars are
+    # absent, which they are in this container
+    from roapi_spark.sources import load_table
+
+    df = load_table(
+        spark,
+        parse_table_config(
+            {
+                "name": "pgt",
+                "uri": f"postgres://t@127.0.0.1:{pg.port}/postgres",
+                "format": "postgres",
+            }
+        ),
+    )
+    rows = {r.id: (r.name, r.ok) for r in df.collect()}
+    assert rows[1] == ("alpha", True) and rows[3] == (None, True)
+    # typed decode: int oid -> long column, bool oid -> boolean column
+    dtypes = dict(df.dtypes)
+    assert dtypes["id"] == "bigint" and dtypes["ok"] == "boolean"
+
+
+def test_pg_source_custom_query(pg, spark):
+    from roapi_spark.sources import load_table
+
+    df = load_table(
+        spark,
+        parse_table_config(
+            {
+                "name": "agg",
+                "uri": f"postgres://t@127.0.0.1:{pg.port}/postgres",
+                "format": "postgres",
+                "option": {"query": "SELECT count(*) AS n, max(id) AS mx FROM pgt"},
+            }
+        ),
+    )
+    r = df.collect()[0]
+    assert (r.n, r.mx) == (3, 3)
+
+
+def test_pg_wire_client_error_surfaces(pg):
+    from roapi_spark.sources.pgwire import PgWireClient, PgWireError
+
+    c = PgWireClient("127.0.0.1", pg.port, user="t")
+    with pytest.raises(PgWireError):
+        c.query("SELECT * FROM does_not_exist")
+    # connection recovers after the error (server sends ReadyForQuery)
+    assert c.query("SELECT 5 AS v").rows == [[5]]
+    c.close()
