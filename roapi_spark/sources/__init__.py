@@ -50,7 +50,11 @@ def load_table(spark: SparkSession, ts: TableSource) -> DataFrame:
     import importlib
 
     uri = ts.uri
-    if uri.startswith(("http://", "https://")):
+    if ts.format == "google_spreadsheet" or "docs.google.com/spreadsheets" in uri:
+        # the sheets loader speaks the REST API itself — the generic
+        # http fetch-to-local path must not download the document URL
+        pass
+    elif uri.startswith(("http://", "https://")):
         from roapi_spark.sources.http import fetch_to_local
 
         ts = fetch_to_local(ts)

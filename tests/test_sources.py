@@ -587,3 +587,74 @@ def test_delta_missing_log_errors(spark, tmp_path):
             spark,
             {"name": "x", "uri": str(tmp_path / "notdelta"), "option": {"format": "delta"}},
         )
+
+
+def test_gsheets_fetch_via_mock_api(spark):
+    # full Sheets REST path (google_spreadsheets.rs: resolve sheet from
+    # properties, then fetch values) against a local mock of the API
+    import http.server
+    import json as _json
+    import threading
+
+    seen = {}
+
+    class SheetsMock(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            seen.setdefault("auth", self.headers.get("Authorization"))
+            if "values" in self.path:
+                body = {"values": [["city", "pop"], ["london", "8900000"], ["york", "141685"]]}
+            else:
+                body = {"sheets": [{"properties": {"title": "cities"}}]}
+            data = _json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), SheetsMock)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = _load(
+            spark,
+            {
+                "name": "g",
+                "uri": "https://docs.google.com/spreadsheets/d/1abc_XY-9/edit#gid=0",
+                "format": "google_spreadsheet",
+                "option": {
+                    "token": "tok123",
+                    "api_base_url": f"http://127.0.0.1:{srv.server_address[1]}",
+                },
+            },
+        )
+        rows = {r.city: r.pop for r in df.collect()}
+        assert rows == {"london": 8900000, "york": 141685}
+        assert seen["auth"] == "Bearer tok123"
+    finally:
+        srv.shutdown()
+
+
+def test_gsheets_no_credentials_gate(spark):
+    import pytest as _pytest
+
+    from roapi_spark.sources import LoadError
+    from roapi_spark.sources.gsheets import spreadsheet_id_from_uri
+
+    assert (
+        spreadsheet_id_from_uri(
+            "https://docs.google.com/spreadsheets/d/1QE0A-BCDefg/edit#gid=0"
+        )
+        == "1QE0A-BCDefg"
+    )
+    with _pytest.raises(LoadError, match="credentials"):
+        _load(
+            spark,
+            {
+                "name": "g",
+                "uri": "https://docs.google.com/spreadsheets/d/1abc/edit",
+                "format": "google_spreadsheet",
+            },
+        )
