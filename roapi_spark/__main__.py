@@ -17,6 +17,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-d", "--disable-read-only", action="store_true")
     ap.add_argument("--pg-addr", default=None, help="host:port for the postgres-wire endpoint")
     ap.add_argument("--flight-addr", default=None, help="host:port for the Arrow Flight endpoint")
+    ap.add_argument("--flight-token", default=None, help="bearer token for the Flight endpoint")
+    ap.add_argument(
+        "--flight-basic",
+        action="append",
+        default=[],
+        metavar="USER:PASS",
+        help="basic-auth credential for the Flight endpoint (repeatable)",
+    )
     args = ap.parse_args(argv)
 
     from roapi_spark.catalog import catalog_from_config
@@ -52,7 +60,13 @@ def main(argv: list[str] | None = None) -> int:
         from roapi_spark.server.flight import SparkFlightServer
 
         h, _, p = args.flight_addr.partition(":")
-        flight_server = SparkFlightServer(cat, f"grpc://{h or '127.0.0.1'}:{p or 50051}")
+        basic = dict(c.partition(":")[::2] for c in args.flight_basic)
+        flight_server = SparkFlightServer(
+            cat,
+            f"grpc://{h or '127.0.0.1'}:{p or 50051}",
+            token=args.flight_token,
+            basic_auth=basic or None,
+        )
         print(f"arrow flight on grpc://{h or '127.0.0.1'}:{flight_server.port}", flush=True)
 
     stop = signal.sigwait([signal.SIGINT, signal.SIGTERM])

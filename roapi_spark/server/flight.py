@@ -23,8 +23,11 @@ Protocol mapping (same lifecycle as the reference):
 - ``list_flights`` enumerates registered tables with schemas.
 - ``do_action``: FlightSQL prepared-statement actions plus the legacy
   ``list-tables`` / ``table-schema`` JSON actions.
-- Optional bearer-token auth via a header middleware with constant-time
-  compare (flight_sql.rs:164-187, M9).
+- Optional auth via a header middleware with constant-time compares
+  (flight_sql.rs:164-277, M9): bearer token and/or HTTP Basic; a valid
+  Basic call is answered with the session bearer in the response headers,
+  so ``client.authenticate_basic_token(user, pass)`` works as with the
+  reference's basic->bearer handshake.
 """
 
 from __future__ import annotations
@@ -64,9 +67,50 @@ def _sql_info_value_type() -> pa.DenseUnionType:
     )
 
 
-class _BearerAuthMiddlewareFactory(flight.ServerMiddlewareFactory):
+class _BearerResponder(flight.ServerMiddleware):
+    """Returned on a successful Basic handshake so the bearer token rides
+    back on the response headers — the pyarrow client's
+    ``authenticate_basic_token`` picks it up for subsequent calls, matching
+    the reference's basic->bearer exchange (flight_sql.rs:212-277)."""
+
     def __init__(self, token: str) -> None:
         self._token = token
+
+    def sending_headers(self):
+        return {"authorization": f"Bearer {self._token}"}
+
+
+class _NoOpAuthHandler(flight.ServerAuthHandler):
+    """Lets the Handshake RPC succeed so the auth middleware (which does
+    the real credential check on every call) can answer it — the standard
+    Arrow pattern for header-based basic auth."""
+
+    def authenticate(self, outgoing, incoming):
+        pass
+
+    def is_valid(self, token):
+        return b""
+
+
+class _AuthMiddlewareFactory(flight.ServerMiddlewareFactory):
+    """Bearer and/or HTTP-Basic auth with constant-time compares
+    (flight_sql.rs:164-277, M9)."""
+
+    def __init__(self, token: str | None, basic_users: dict[str, str] | None) -> None:
+        # with only basic users configured, mint the session bearer the
+        # handshake hands out
+        self._token = token or uuid.uuid4().hex
+        self._users = basic_users or {}
+
+    def _check_basic(self, b64: str) -> bool:
+        import base64
+
+        try:
+            user, _, password = base64.b64decode(b64).decode().partition(":")
+        except Exception:
+            return False
+        expect = self._users.get(user)
+        return expect is not None and hmac.compare_digest(password, expect)
 
     def start_call(self, info, headers):
         auths = headers.get("authorization") or headers.get("Authorization") or []
@@ -75,7 +119,9 @@ class _BearerAuthMiddlewareFactory(flight.ServerMiddlewareFactory):
                 a[7:], self._token
             ):
                 return None
-        raise flight.FlightUnauthenticatedError("invalid or missing bearer token")
+            if a.lower().startswith("basic ") and self._check_basic(a[6:]):
+                return _BearerResponder(self._token)
+        raise flight.FlightUnauthenticatedError("invalid or missing credentials")
 
 
 class SparkFlightServer(flight.FlightServerBase):
@@ -84,9 +130,15 @@ class SparkFlightServer(flight.FlightServerBase):
         catalog: Catalog,
         location: str = "grpc://127.0.0.1:0",
         token: str | None = None,
+        basic_auth: dict[str, str] | None = None,
     ) -> None:
-        middleware = {"auth": _BearerAuthMiddlewareFactory(token)} if token else None
-        super().__init__(location, middleware=middleware)
+        middleware = (
+            {"auth": _AuthMiddlewareFactory(token, basic_auth)}
+            if token or basic_auth
+            else None
+        )
+        auth_handler = _NoOpAuthHandler() if basic_auth else None
+        super().__init__(location, auth_handler=auth_handler, middleware=middleware)
         self.catalog = catalog
         self._results: dict[bytes, pa.Table] = {}
         self._prepared: dict[bytes, str] = {}

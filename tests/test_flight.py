@@ -154,3 +154,29 @@ def test_auth(spark, tmp_path_factory):
         assert info.total_records == 1
     finally:
         server.shutdown()
+
+
+def test_basic_auth_handshake(spark, tmp_path_factory):
+    # basic -> bearer exchange (flight_sql.rs:212-277): a valid Basic call
+    # returns the session bearer in response headers; pyarrow's
+    # authenticate_basic_token surfaces it for subsequent calls
+    root = tmp_path_factory.mktemp("flight_basic")
+    (root / "t.csv").write_text("a\n1\n2\n")
+    cat = Catalog(spark)
+    cat.load_table(parse_table_config({"name": "t", "uri": str(root / "t.csv")}))
+    server = SparkFlightServer(cat, basic_auth={"alice": "s3cret"})
+    try:
+        client = flight.connect(f"grpc://127.0.0.1:{server.port}")
+        desc = flight.FlightDescriptor.for_command(b"SELECT count(*) AS n FROM t")
+        with pytest.raises(flight.FlightUnauthenticatedError):
+            client.get_flight_info(desc)
+        with pytest.raises(flight.FlightUnauthenticatedError):
+            client.authenticate_basic_token("alice", "wrong")
+        pair = client.authenticate_basic_token("alice", "s3cret")
+        assert pair[0] == b"authorization" and pair[1].startswith(b"Bearer ")
+        opts = flight.FlightCallOptions(headers=[pair])
+        info = client.get_flight_info(desc, opts)
+        tbl = client.do_get(info.endpoints[0].ticket, opts).read_all()
+        assert tbl.column("n").to_pylist() == [2]
+    finally:
+        server.shutdown()
