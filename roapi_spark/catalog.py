@@ -19,6 +19,7 @@ refresh machinery:
 
 from __future__ import annotations
 
+import re
 import threading
 import time
 
@@ -119,9 +120,38 @@ class Catalog:
             # writes parse to plain logical plans, not Command nodes
             raise ReadOnlyError(f"read-only mode rejects {name}: {sql[:80]}")
 
+    # information_schema surface (DataFusion exposes it natively —
+    # columnq/src/query/sql.rs session config enables it; Spark has no such
+    # catalog, so qualified references are rewritten onto temp views built
+    # from this catalog's registry)
+    _INFO_SCHEMA_RE = re.compile(r"\binformation_schema\s*\.\s*(tables|columns)\b", re.I)
+
+    def _materialize_information_schema(self) -> None:
+        tables_rows = [
+            ("spark", "public", name, "BASE TABLE") for name in sorted(self.sources)
+        ]
+        cols_rows = [
+            ("spark", "public", name, f.name, i + 1, "YES" if f.nullable else "NO",
+             f.dataType.simpleString())
+            for name in sorted(self.sources)
+            for i, f in enumerate(self.table(name).schema.fields)
+        ]
+        self.spark.createDataFrame(
+            tables_rows, "table_catalog string, table_schema string, "
+            "table_name string, table_type string"
+        ).createOrReplaceTempView("information_schema_tables")
+        self.spark.createDataFrame(
+            cols_rows, "table_catalog string, table_schema string, table_name string, "
+            "column_name string, ordinal_position int, is_nullable string, "
+            "data_type string"
+        ).createOrReplaceTempView("information_schema_columns")
+
     def query_sql(self, sql: str) -> DataFrame:
         if self.read_only:
             self._assert_read_only_sql(sql)
+        if self._INFO_SCHEMA_RE.search(sql):
+            self._materialize_information_schema()
+            sql = self._INFO_SCHEMA_RE.sub(lambda m: f"information_schema_{m.group(1).lower()}", sql)
         return self.spark.sql(sql)
 
     def query_rest(self, table: str, params: dict[str, str]) -> DataFrame:

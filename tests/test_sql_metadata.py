@@ -40,3 +40,26 @@ def test_catalog_listing(cat):
     assert "meta_t" in tables
     cols = [c.name for c in cat.spark.catalog.listColumns("meta_t")]
     assert cols == ["id", "name"]
+
+
+def test_information_schema_tables(cat):
+    # literal information_schema.* queries (DataFusion-native in the
+    # reference; rewritten onto catalog-backed views here)
+    rows = cat.query_sql(
+        "SELECT table_name, table_type FROM information_schema.tables "
+        "WHERE table_schema = 'public'"
+    ).collect()
+    assert ("meta_t", "BASE TABLE") in {(r.table_name, r.table_type) for r in rows}
+
+
+def test_information_schema_columns(cat):
+    rows = cat.query_sql(
+        "SELECT column_name, data_type, ordinal_position, is_nullable "
+        "FROM Information_Schema.Columns WHERE table_name = 'meta_t' "
+        "ORDER BY ordinal_position"
+    ).collect()
+    assert [(r.column_name, r.data_type, r.ordinal_position) for r in rows] == [
+        ("id", "int", 1),
+        ("name", "string", 2),
+    ]
+    assert all(r.is_nullable == "YES" for r in rows)
