@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "q_stratified_sample",
     "knn_bruteforce",
     "ann_ivf_label",
+    "ann_ivf_kmeans",
 ]
 
 

@@ -5,8 +5,11 @@
   global top-k (k small). This is the right plan even at 100 TB: cost is
   one full scan per query batch.
 - ``ann_ivf_label``: IVF-style two-stage search — coarse centroids (here
-  the pre-clustered ``label`` as the inverted-list key; at scale a k-means
-  fit), probe the nearest centroid(s), exact-search only those lists.
+  the pre-clustered ``label`` as the inverted-list key), probe the nearest
+  centroid(s), exact-search only those lists.
+- ``ann_ivf_kmeans``: the same IVF shape with a *real* coarse quantizer —
+  integer-exact Lloyd's k-means (deterministic, fully oracle-checked), the
+  clustering a production layout would bucket/partition the corpus by.
 - ``ann_lsh``: random-hyperplane signatures (md5-derived, deterministic) —
   bucketed candidate generation over integer-quantized vectors, so the
   projection signs are exact and the query has a full DuckDB oracle.
@@ -357,6 +360,179 @@ def knn_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "neighbor_id",
             F.round("cs", 4).alias("cos_sim"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+# -- k-means IVF (the scale path's real coarse quantizer) ------------------
+
+K_LISTS = 8
+KM_ITERS = 2
+DIM = 64
+# Lloyd's iterations fit on a deterministic 1-in-4 sample (vec_id % 4 == 0)
+# — the standard sampled/mini-batch fit: at 100 TB you never run assignment
+# passes over the full corpus just to move centroids.  Only the final
+# assignment (the inverted-list build) scans everything.
+KM_SAMPLE_MOD = 4
+
+
+def _vq_col() -> Column:
+    # integer quantization (same grid as ann_lsh): every arithmetic step of
+    # the k-means below is exact integer math, so Spark and the DuckDB
+    # oracle produce bit-identical assignments
+    return F.transform(F.col("v"), lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("bigint"))
+
+
+def _assign_expr(cents: list[tuple[int, list[int]]]) -> Column:
+    # argmin over (dist, cid) structs — array_min orders by dist then cid,
+    # the same tie-break the oracle's ROW_NUMBER uses.  The scored distance
+    # is the reduced form ||c||^2 - 2*x.c: the ||x||^2 term is constant per
+    # row so the ordering (and the exact-integer tie-breaks) are identical
+    # to the oracle's full squared distance, at half the per-element work.
+    pairs = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(int(sum(x * x for x in c))).cast("bigint")
+                    - 2
+                    * F.aggregate(
+                        F.zip_with(
+                            F.col("vq"),
+                            F.array(*[F.lit(int(x)).cast("bigint") for x in c]),
+                            lambda x, cc: x * cc,
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, y: acc + y,
+                    )
+                ).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, c in cents
+        ]
+    )
+    return F.array_min(pairs)["cid"]
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unrolled Lloyd's iterations as CTEs (KM_ITERS assignment+update
+    rounds); centroid components are floor(int_sum/count) so every engine
+    computes the identical integer grid."""
+    dist = (
+        "LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {dim}), "
+        "i -> (e.vq[i] - c.c[i]) * (e.vq[i] - c.c[i])))"
+    ).format(dim=DIM)
+    parts = [
+        f"""e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             LIST_TRANSFORM(embedding::DOUBLE[],
+                            x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS vq
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, vq AS c FROM e WHERE vec_id < {K_LISTS})"""
+    ]
+    for it in range(1, KM_ITERS + 1):
+        parts.append(
+            f"""a{it} AS (
+      SELECT vec_id, vq, cid FROM (
+        SELECT e.vec_id, e.vq, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist}, c.cid) AS rn
+        FROM e CROSS JOIN c{it - 1} c
+        WHERE e.vec_id % {KM_SAMPLE_MOD} = 0) WHERE rn = 1),
+    c{it} AS (
+      SELECT cid, LIST(m ORDER BY i) AS c FROM (
+        SELECT cid, i,
+               CAST(FLOOR(CAST(SUM(vq[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+        FROM a{it}, GENERATE_SERIES(1, {DIM}) AS g(i)
+        GROUP BY cid, i) GROUP BY cid)"""
+        )
+    parts.append(
+        f"""af AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist}, c.cid) AS rn
+        FROM e CROSS JOIN c{KM_ITERS} c) WHERE rn = 1),
+    q AS (
+      SELECT af.vec_id AS qid, e.v AS qv, af.cid AS qcid
+      FROM af JOIN e USING (vec_id) WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT q.qid, q.qv, af.vec_id AS neighbor_id, e.v
+      FROM q JOIN af ON af.cid = q.qcid AND af.vec_id <> q.qid
+      JOIN e ON e.vec_id = af.vec_id),
+    ranked AS (
+      SELECT qid, neighbor_id, ROUND(LIST_COSINE_SIMILARITY(qv, v), 4) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(qv, v), 4) DESC, neighbor_id) AS rnk
+      FROM cand)"""
+    )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT qid, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@register(
+    "ann_ivf_kmeans",
+    oracle=_kmeans_oracle_sql(),
+    doc="IVF with a real k-means coarse quantizer (Lloyd's, "
+    f"{KM_ITERS} iterations, k={K_LISTS}) instead of the pre-clustered "
+    "label: integer-quantized vectors make every assignment/update step "
+    "exact integer math, so the unrolled DuckDB oracle reproduces the "
+    "clustering bit-for-bit. Centroids fit on a deterministic 1-in-"
+    f"{KM_SAMPLE_MOD} sample (map-side distances against broadcast-literal "
+    "centroids; updates shuffle only k*dim partial sums — the driver holds "
+    "k*dim ints, never data); only the final inverted-list assignment "
+    "scans the full corpus. Those lists are the partition key a "
+    "production layout would bucket by.",
+    tags=("similarity",),
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quantized corpus is read by 4+ jobs (init, per-iteration updates,
+    # final assignment) — materialize it once
+    eq = emb(spark, sf_dir).withColumn("vq", _vq_col()).localCheckpoint(eager=False)
+    cents = sorted(
+        (r.vec_id, list(r.vq))
+        for r in eq.filter(F.col("vec_id") < K_LISTS).select("vec_id", "vq").collect()
+    )
+    fit = eq.filter(F.col("vec_id") % KM_SAMPLE_MOD == 0)
+    for _ in range(KM_ITERS):
+        assigned = fit.withColumn("cid", _assign_expr(cents))
+        upd = (
+            assigned.select("cid", F.posexplode("vq").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+            .withColumn("m", F.floor(F.col("sx") / F.col("n")).cast("bigint"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).m.alias("c"))
+        )
+        cents = sorted((r.cid, list(r.c)) for r in upd.collect())
+    # the final assignment feeds both the broadcast query side and the
+    # candidate side — checkpoint so it's computed once
+    final = (
+        eq.withColumn("cid", _assign_expr(cents))
+        .drop("vq")
+        .localCheckpoint(eager=False)
+    )
+    q = final.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("cid").alias("qcid")
+    )
+    cand = final.join(
+        F.broadcast(q),
+        (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("qid")),
+    ).select("qid", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+    w = W.partitionBy("qid").orderBy(
+        F.round(cosine_expr("qv", "v"), 4).desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "qid",
+            "neighbor_id",
+            F.round(cosine_expr("qv", "v"), 4).alias("cos_sim"),
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
