@@ -410,6 +410,50 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_kmeans_oracle() -> str:
+    from roapi_spark.functions.similarity import kmeans_oracle_prefix
+
+    return f"""
+    WITH {kmeans_oracle_prefix()}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_COSINE_SIMILARITY(ea.v, eb.v), 4) AS cos_sim
+    FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN e ea ON ea.vec_id = a.vec_id
+    JOIN e eb ON eb.vec_id = b.vec_id
+    WHERE ROUND(LIST_COSINE_SIMILARITY(ea.v, eb.v), 4) >= 0.3
+    """
+
+
+@register(
+    "dedup_embedding_kmeans",
+    oracle=_embedding_kmeans_oracle(),
+    doc="Embedding-cosine near-dup blocked by the *learned* k-means list "
+    "id (the scale path dedup_embedding_cosine only documents): candidate "
+    "pairs are an equi-join on the coarse-quantizer cell, then exact "
+    "cosine verify. Shares the integer-exact sampled Lloyd's fit with "
+    "ann_ivf_kmeans, so the full pipeline — clustering included — is "
+    "DuckDB-oracle-checked.",
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.similarity import cosine_expr, kmeans_assignments
+
+    e = kmeans_assignments(spark, sf_dir)
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine_expr("a.v", "b.v")
+    return (
+        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cos_sim", F.round(cos, 4))
+        .filter(F.col("cos_sim") >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            "cos_sim",
+        )
+    )
+
+
 def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_a < doc_b) candidate pairs from the MinHash bands."""
     sigs = minhash_signatures(docs(spark, sf_dir))

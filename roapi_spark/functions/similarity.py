@@ -414,10 +414,11 @@ def _assign_expr(cents: list[tuple[int, list[int]]]) -> Column:
     return F.array_min(pairs)["cid"]
 
 
-def _kmeans_oracle_sql() -> str:
+def kmeans_oracle_prefix() -> str:
     """Unrolled Lloyd's iterations as CTEs (KM_ITERS assignment+update
-    rounds); centroid components are floor(int_sum/count) so every engine
-    computes the identical integer grid."""
+    rounds) ending in ``af(vec_id, cid)``, the final assignment; centroid
+    components are floor(int_sum/count) so every engine computes the
+    identical integer grid.  Shared by the ann and dedup oracles."""
     dist = (
         "LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {dim}), "
         "i -> (e.vq[i] - c.c[i]) * (e.vq[i] - c.c[i])))"
@@ -452,7 +453,14 @@ def _kmeans_oracle_sql() -> str:
         SELECT e.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY {dist}, c.cid) AS rn
-        FROM e CROSS JOIN c{KM_ITERS} c) WHERE rn = 1),
+        FROM e CROSS JOIN c{KM_ITERS} c) WHERE rn = 1)"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _kmeans_oracle_sql() -> str:
+    return f"""
+    WITH {kmeans_oracle_prefix()},
     q AS (
       SELECT af.vec_id AS qid, e.v AS qv, af.cid AS qcid
       FROM af JOIN e USING (vec_id) WHERE vec_id < {N_QUERIES}),
@@ -464,32 +472,15 @@ def _kmeans_oracle_sql() -> str:
       SELECT qid, neighbor_id, ROUND(LIST_COSINE_SIMILARITY(qv, v), 4) AS cos_sim,
              ROW_NUMBER() OVER (PARTITION BY qid
                ORDER BY ROUND(LIST_COSINE_SIMILARITY(qv, v), 4) DESC, neighbor_id) AS rnk
-      FROM cand)"""
-    )
-    joined = ",\n    ".join(parts)
-    return f"""
-    WITH {joined}
+      FROM cand)
     SELECT qid, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
     FROM ranked WHERE rnk <= {TOP_K}
     """
 
 
-@register(
-    "ann_ivf_kmeans",
-    oracle=_kmeans_oracle_sql(),
-    doc="IVF with a real k-means coarse quantizer (Lloyd's, "
-    f"{KM_ITERS} iterations, k={K_LISTS}) instead of the pre-clustered "
-    "label: integer-quantized vectors make every assignment/update step "
-    "exact integer math, so the unrolled DuckDB oracle reproduces the "
-    "clustering bit-for-bit. Centroids fit on a deterministic 1-in-"
-    f"{KM_SAMPLE_MOD} sample (map-side distances against broadcast-literal "
-    "centroids; updates shuffle only k*dim partial sums — the driver holds "
-    "k*dim ints, never data); only the final inverted-list assignment "
-    "scans the full corpus. Those lists are the partition key a "
-    "production layout would bucket by.",
-    tags=("similarity",),
-)
-def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, cid): the corpus with its final k-means list id —
+    checkpointed, since callers fan multiple jobs out of it."""
     # quantized corpus is read by 4+ jobs (init, per-iteration updates,
     # final assignment) — materialize it once
     eq = emb(spark, sf_dir).withColumn("vq", _vq_col()).localCheckpoint(eager=False)
@@ -509,13 +500,32 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).m.alias("c"))
         )
         cents = sorted((r.cid, list(r.c)) for r in upd.collect())
-    # the final assignment feeds both the broadcast query side and the
-    # candidate side — checkpoint so it's computed once
-    final = (
+    return (
         eq.withColumn("cid", _assign_expr(cents))
         .drop("vq")
         .localCheckpoint(eager=False)
     )
+
+
+@register(
+    "ann_ivf_kmeans",
+    oracle=_kmeans_oracle_sql(),
+    doc="IVF with a real k-means coarse quantizer (Lloyd's, "
+    f"{KM_ITERS} iterations, k={K_LISTS}) instead of the pre-clustered "
+    "label: integer-quantized vectors make every assignment/update step "
+    "exact integer math, so the unrolled DuckDB oracle reproduces the "
+    "clustering bit-for-bit. Centroids fit on a deterministic 1-in-"
+    f"{KM_SAMPLE_MOD} sample (map-side distances against broadcast-literal "
+    "centroids; updates shuffle only k*dim partial sums — the driver holds "
+    "k*dim ints, never data); only the final inverted-list assignment "
+    "scans the full corpus. Those lists are the partition key a "
+    "production layout would bucket by.",
+    tags=("similarity",),
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the final assignment feeds both the broadcast query side and the
+    # candidate side — kmeans_assignments checkpoints it
+    final = kmeans_assignments(spark, sf_dir)
     q = final.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("cid").alias("qcid")
     )
