@@ -13,6 +13,10 @@ point: the same events table, processed incrementally.
 - ``sessionize`` — custom stateful operator via ``applyInPandasWithState``:
   per-user session aggregation with a gap timeout, the canonical
   beyond-SQL streaming op.
+- ``dedup_stream`` — incremental exact dedup with watermark-bounded state
+  (``dropDuplicatesWithinWatermark``).
+- ``click_view_interval_join`` — stream-stream interval join with
+  watermarks on both sides, bounded join state.
 """
 
 from __future__ import annotations
@@ -121,4 +125,58 @@ def sessionize(stream: DataFrame, watermark: str = "10 seconds") -> DataFrame:
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """Streaming exact dedup — the incremental form of the batch
+    ``dedup_exact`` operator, for a training-data landing zone where the
+    same document/event can arrive twice (retries, replays).
+
+    ``dropDuplicatesWithinWatermark`` keys state by ``event_id`` and
+    evicts each key once the watermark passes its event time, so state is
+    bounded by the watermark horizon; plain ``dropDuplicates`` on a stream
+    would keep every id ever seen. At 100 TB/day the state store holds
+    only the horizon's ids per partition."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def click_view_interval_join(
+    stream: DataFrame, gap: str = "1 minute", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each click pairs with the same user's
+    views occurring in ``(click_ts, click_ts + gap]``.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the state store can discard rows once the watermark
+    passes their join horizon — the canonical bounded-state stream-stream
+    join (unbounded-condition joins would accumulate state forever)."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    return clicks.join(
+        views,
+        F.expr(
+            f"c_user = v_user AND view_ts > click_ts "
+            f"AND view_ts <= click_ts + interval {gap}"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"), "click_id", "click_ts", "view_id", "view_ts"
     )

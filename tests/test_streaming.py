@@ -97,3 +97,85 @@ def test_sessionize_stateful(spark, stream_dir, tmp_path):
         assert 99 not in rows
     finally:
         q.stop()
+
+
+def test_dedup_stream(spark, tmp_path):
+    # replayed event_ids collapse to one row; state bounded by watermark
+    d = tmp_path / "din"
+    d.mkdir()
+    _write_batch(
+        d,
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:00:10", "user_id": 7, "event_type": "click", "value": 1.0, "props": "{}"},
+            {"event_id": 1, "ts": "2024-01-01T00:00:10", "user_id": 7, "event_type": "click", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T00:00:20", "user_id": 8, "event_type": "view", "value": 2.0, "props": "{}"},
+        ],
+    )
+    from roapi_spark.streaming.events import dedup_stream
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            dedup_stream(stream_events(spark, str(d)))
+            .writeStream.format("memory")
+            .queryName("dedup_s")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckd"))
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    try:
+        q.processAllAvailable()
+        # a replay of id 1 in a later micro-batch is also dropped (still
+        # within the watermark horizon)
+        _write_batch(
+            d,
+            "b2.json",
+            [{"event_id": 1, "ts": "2024-01-01T00:00:10", "user_id": 7, "event_type": "click", "value": 1.0, "props": "{}"}],
+        )
+        q.processAllAvailable()
+        ids = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_s").collect())
+        assert ids == [1, 2]
+    finally:
+        q.stop()
+
+
+def test_click_view_interval_join(spark, tmp_path):
+    d = tmp_path / "jin"
+    d.mkdir()
+    _write_batch(
+        d,
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 7, "event_type": "click", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T00:00:30", "user_id": 7, "event_type": "view", "value": 0.0, "props": "{}"},
+            {"event_id": 3, "ts": "2024-01-01T00:02:00", "user_id": 7, "event_type": "view", "value": 0.0, "props": "{}"},
+            {"event_id": 4, "ts": "2024-01-01T00:00:30", "user_id": 8, "event_type": "view", "value": 0.0, "props": "{}"},
+        ],
+    )
+    from roapi_spark.streaming.events import click_view_interval_join
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            click_view_interval_join(stream_events(spark, str(d)))
+            .writeStream.format("memory")
+            .queryName("cv_join")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckj"))
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    try:
+        q.processAllAvailable()
+        rows = {(r.click_id, r.view_id) for r in spark.sql("SELECT * FROM cv_join").collect()}
+        # view 2 is within 1 minute of click 1 for the same user; view 3 is
+        # too late, view 4 is another user
+        assert rows == {(1, 2)}
+    finally:
+        q.stop()
