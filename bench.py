@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_orders",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
     "q_stat_aggs",
     "q_window_topk_per_group",
     "q_date_funcs",

@@ -48,6 +48,7 @@ def load_all() -> dict[str, QuerySpec]:
     import roapi_spark.plans.analytics  # noqa: F401
     import roapi_spark.plans.coverage  # noqa: F401
     import roapi_spark.plans.frontends  # noqa: F401
+    import roapi_spark.plans.tpch_extra  # noqa: F401
     import roapi_spark.plans.tpch_more  # noqa: F401
 
     return QUERIES
