@@ -30,28 +30,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Queries the round-1 driver run did not record (it stopped at 50 of 62
-# registry entries, in iteration order).  Listed first so a capped run
-# covers them; everything else follows in registration order.
-_RECORD_FIRST = [
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q16_supplier_variety",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q22_global_sales_opportunity",
-    "q_scalar_subquery",
-    "q_correlated_subquery",
-    "q_json_access",
-    "q_binary_ops",
-]
+def _recorded_names() -> set[str]:
+    """Every query name any past driver round has already recorded."""
+    import glob
+    import json
+    import os
+
+    seen: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                seen.update(json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+    return seen
 
 
 def _ordered_specs():
+    # The driver records registry entries in iteration order and past runs
+    # stopped at 50; put never-yet-recorded queries first so a capped run
+    # always covers the newest operators, then the rest in registration
+    # order (those already have green rows in earlier CORRECTNESS files).
     specs = load_all()
-    out = {n: specs[n] for n in _RECORD_FIRST if n in specs}
+    seen = _recorded_names()
+    out = {n: s for n, s in specs.items() if n not in seen}
     out.update({n: s for n, s in specs.items() if n not in out})
     return out
 
