@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "knn_bruteforce",
     "ann_ivf_label",
     "ann_ivf_kmeans",
+    "multimodal_image_stats",
+    "multimodal_audio_stats",
 ]
 
 

@@ -19,6 +19,7 @@ Synthetic formats (deterministic, self-describing):
 - image: ``FIMG`` | width u32be | height u32be | width*height gray bytes
 - video: ``FVID`` | n_frames u32be | width u32be | height u32be |
   n_frames * (width*height) frame bytes
+- audio: ``FAUD`` | sample_rate u32be | n_samples u32be | int16le PCM
 """
 
 from __future__ import annotations
@@ -36,6 +37,7 @@ from roapi_spark.plans.registry import register
 
 IMG_MAGIC = b"FIMG"
 VID_MAGIC = b"FVID"
+AUD_MAGIC = b"FAUD"
 
 
 # ---- synthetic codec (deterministic; the stand-in for PIL/libav) ---------
@@ -62,6 +64,23 @@ def decode_image(blob: bytes) -> np.ndarray:
     raise NotImplementedError(
         "real image decode requires PIL/pillow (not in this container); "
         "only the FIMG synthetic format decodes here"
+    )
+
+
+def encode_fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-2048, 2048, size=n_samples, dtype=np.int16)
+    return AUD_MAGIC + struct.pack(">II", sample_rate, n_samples) + pcm.tobytes()
+
+
+def decode_audio(blob: bytes) -> tuple[int, np.ndarray]:
+    """-> (sample_rate, int16 sample array)."""
+    if blob[:4] == AUD_MAGIC:
+        rate, n = struct.unpack(">II", blob[4:12])
+        return rate, np.frombuffer(blob[12 : 12 + 2 * n], dtype="<i2")
+    raise NotImplementedError(
+        "real audio decode requires soundfile/libav (not in this container); "
+        "only the FAUD synthetic format decodes here"
     )
 
 
@@ -168,6 +187,66 @@ def frame_sample(
     return df.select(id_col, content_col).mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
+AUDIO_STATS_SCHEMA = (
+    "id bigint, sample_rate int, n_samples bigint, duration_s double, "
+    "rms double, peak int"
+)
+
+
+def audio_stats(df: DataFrame, id_col: str = "id", content_col: str = "content") -> DataFrame:
+    """Decode + per-clip features (duration, RMS loudness, peak amplitude)
+    — vectorized per Arrow batch, same pipeline shape as image_stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                rate, pcm = decode_audio(bytes(blob))
+                x = pcm.astype(np.int64)
+                rms = float(np.sqrt((x * x).sum() / len(x))) if len(x) else 0.0
+                rows.append(
+                    (
+                        int(i),
+                        int(rate),
+                        len(x),
+                        len(x) / rate,
+                        rms,
+                        int(np.abs(x).max()) if len(x) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "sample_rate", "n_samples", "duration_s", "rms", "peak"],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+def audio_resample(
+    df: DataFrame, factor: int, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """Integer-factor decimation (every ``factor``-th sample, rate/factor)
+    re-encoded as FAUD blobs — the blob-in/blob-out transform shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                rate, pcm = decode_audio(bytes(blob))
+                out = pcm[::factor]
+                rows.append(
+                    (
+                        int(i),
+                        AUD_MAGIC
+                        + struct.pack(">II", rate // factor, len(out))
+                        + out.tobytes(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    return df.select(id_col, content_col).mapInPandas(run, "id bigint, content binary")
+
+
 def with_meta(df: DataFrame, mime: str, content_col: str = "content") -> DataFrame:
     """Attach the typed metadata struct the multimodal contract expects."""
     return df.withColumn(
@@ -239,4 +318,72 @@ def multimodal_image_stats(spark, sf_dir: str) -> DataFrame:
         pround(F.col("mean_pixel")).alias("mean_pixel"),
         "max_pixel",
         "n_bytes",
+    )
+
+
+_AUD_RATE, _AUD_N = 16000, 160  # deterministic corpus clip parameters
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_AUD_N - 1}),
+                            j -> ((doc_id * 17 + j * 13) % 4096) - 2048) AS x
+      FROM documents
+    )
+    SELECT doc_id,
+           {_AUD_RATE} AS sample_rate,
+           CAST({_AUD_N} AS BIGINT) AS n_samples,
+           {_AUD_N} / {_AUD_RATE}.0 AS duration_s,
+           FLOOR(SQRT(LIST_SUM(LIST_TRANSFORM(x, v -> v * v)) / {_AUD_N}.0)
+                 * 10000 + 0.5) / 10000.0 AS rms,
+           CAST(LIST_MAX(LIST_TRANSFORM(x, v -> ABS(v))) AS INTEGER) AS peak
+    FROM s
+    """,
+    doc="Audio modality under the correctness gate: a deterministic FAUD "
+    "clip per document (sample j = ((doc_id*17 + j*13) %% 4096) - 2048) "
+    "is encoded to real int16-PCM blobs in one mapInPandas stage, decoded "
+    "by the audio_stats operator (decode_audio + vectorized per-batch "
+    "loudness features), and duration/RMS/peak are checked against "
+    "DuckDB's closed-form recomputation. RMS stays exact cross-engine "
+    "because the sum of squares is integer arithmetic until one final "
+    "division+sqrt.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_audio_stats(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from roapi_spark.util import pround
+
+    ids = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                pcm = np.array(
+                    [((int(i) * 17 + j * 13) % 4096) - 2048 for j in range(_AUD_N)],
+                    dtype=np.int16,
+                )
+                rows.append(
+                    (
+                        int(i),
+                        AUD_MAGIC
+                        + struct.pack(">II", _AUD_RATE, _AUD_N)
+                        + pcm.tobytes(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    corpus = ids.mapInPandas(gen, "id bigint, content binary")
+    stats = audio_stats(corpus)
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "duration_s",
+        pround(F.col("rms")).alias("rms"),
+        "peak",
     )

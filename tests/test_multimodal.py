@@ -65,3 +65,43 @@ def test_with_meta(spark, images):
     assert row.meta.mime == "image/x-fimg"
     assert row.meta.n_bytes == 12 + 16 * 8
     assert dict(df.dtypes)["meta"] == "struct<mime:string,n_bytes:bigint>"
+
+
+def test_audio_stats_and_resample(spark):
+    import numpy as np
+
+    from roapi_spark.functions.multimodal import (
+        audio_resample,
+        audio_stats,
+        decode_audio,
+        encode_fake_audio,
+    )
+
+    blobs = [(i, encode_fake_audio(16000, 800, seed=i)) for i in range(4)]
+    df = spark.createDataFrame(blobs, "id bigint, content binary")
+    stats = {r.id: r for r in audio_stats(df).collect()}
+    assert stats[0].sample_rate == 16000
+    assert stats[0].n_samples == 800
+    assert abs(stats[0].duration_s - 0.05) < 1e-12
+    # cross-check rms/peak against a local numpy decode
+    rate, pcm = decode_audio(blobs[0][1])
+    x = pcm.astype(np.int64)
+    assert abs(stats[0].rms - float(np.sqrt((x * x).sum() / len(x)))) < 1e-9
+    assert stats[0].peak == int(np.abs(x).max())
+    # decimation: rate and sample count divide by the factor
+    rs = audio_stats(audio_resample(df, 4)).collect()
+    assert all(r.sample_rate == 4000 and r.n_samples == 200 for r in rs)
+    # decimated content matches numpy slicing
+    out = {r.id: r.content for r in audio_resample(df, 4).collect()}
+    _, pcm4 = decode_audio(bytes(out[1]))
+    _, orig = decode_audio(blobs[1][1])
+    assert (pcm4 == orig[::4]).all()
+
+
+def test_audio_real_codec_gated(spark):
+    import pytest as _pytest
+
+    from roapi_spark.functions.multimodal import decode_audio
+
+    with _pytest.raises(NotImplementedError, match="soundfile"):
+        decode_audio(b"RIFF....WAVEfmt ")
