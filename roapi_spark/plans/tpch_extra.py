@@ -222,3 +222,121 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 10 AND r.r_name = 'EUROPE'
+      AND l.l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice)
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    GROUP BY ALL
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+    doc="TPC-H Q2 shape (partsupp cost stood in by lineitem price): the "
+    "correlated subquery carries its own join tree — decorrelates to a "
+    "grouped min over the same star join, joined back on (partkey, "
+    "price). The dim chain broadcasts; the min table is one row per part. "
+    "DISTINCT (GROUP BY ALL) collapses multiple lineitems hitting the min.",
+    tags=("join", "subquery"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") == 10).select(
+        "p_partkey", "p_type"
+    )
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    # the region-scoped supply graph, built once and reused by both the
+    # outer query and the decorrelated min (the reference's subquery runs
+    # the same join tree twice; one shared scan is the Spark-first shape)
+    supply = (
+        li.join(maybe_broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(maybe_broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(maybe_broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+        .localCheckpoint(eager=False)
+    )
+    min_price = supply.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        supply.join(maybe_broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            maybe_broadcast(min_price),
+            (F.col("mk") == F.col("l_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .distinct()
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    doc="TPC-H Q21 shape (receipt/commit dates stood in by shipdate): the "
+    "EXISTS + NOT EXISTS pair over the same fact — a left-semi then "
+    "left-anti join keyed on orderkey with residual inequality "
+    "predicates. The supplier whose line shipped last in a multi-supplier "
+    "finished order is the one everyone waited on.",
+    tags=("join", "subquery"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.alias("l3")
+    base = l1.join(orders, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+    semi = base.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    anti = semi.join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    return (
+        anti.join(maybe_broadcast(sup), F.col("s_suppkey") == F.col("l1.l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
