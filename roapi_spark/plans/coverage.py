@@ -354,3 +354,36 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("double") / F.greatest(F.size("pieces"), F.lit(1))
         ).alias("chars_per_piece"),
     )
+
+
+@register(
+    "q_salted_aggregation",
+    oracle="""
+    SELECT l_returnflag, ROUND(SUM(l_extendedprice), 4) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Skew-mitigation pattern under the gate: a two-stage SALTED "
+    "aggregation — stage 1 groups by (key, l_orderkey % 16) so a hot key "
+    "spreads over 16 reducers, stage 2 folds the partials by key alone. "
+    "l_returnflag has 3 distinct values, the worst-case skew shape at "
+    "100 TB: an unsalted shuffle would put a third of the table on one "
+    "reducer (AQE skew handling only splits *partition*-level skew, not "
+    "single-key hotspots in aggregations). Same result as the plain "
+    "GROUP BY the oracle runs, same one-pass scan; the extra stage-2 "
+    "shuffle moves only keys*salts rows.",
+    tags=("aggregate", "scale"),
+)
+def q_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    stage1 = li.groupBy(
+        "l_returnflag", (F.col("l_orderkey") % 16).alias("salt")
+    ).agg(F.sum("l_extendedprice").alias("ps"), F.count("*").alias("pn"))
+    return (
+        stage1.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("ps"), 4).alias("sum_price"),
+            F.sum("pn").cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
