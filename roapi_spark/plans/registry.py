@@ -43,11 +43,13 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers queries, then return the registry."""
     import roapi_spark.functions.dedup  # noqa: F401
     import roapi_spark.functions.multimodal  # noqa: F401
+    import roapi_spark.functions.pipeline  # noqa: F401
     import roapi_spark.functions.similarity  # noqa: F401
     import roapi_spark.functions.text  # noqa: F401
     import roapi_spark.plans.analytics  # noqa: F401
     import roapi_spark.plans.coverage  # noqa: F401
     import roapi_spark.plans.frontends  # noqa: F401
+    import roapi_spark.plans.timeseries  # noqa: F401
     import roapi_spark.plans.tpch_extra  # noqa: F401
     import roapi_spark.plans.tpch_more  # noqa: F401
 
