@@ -55,6 +55,14 @@ BENCH_QUERIES = [
     "ann_ivf_kmeans",
     "multimodal_image_stats",
     "multimodal_audio_stats",
+    "text_quality_gopher",
+    "text_repetition",
+    "dedup_chunk",
+    "text_pii_redact",
+    "text_seq_pack",
+    "q_range_join",
+    "q_gapfill_locf",
+    "q_percentiles",
 ]
 
 

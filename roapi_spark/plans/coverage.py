@@ -387,3 +387,59 @@ def q_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(quantile_cont(o_totalprice, 0.25) * 10000 + 0.5) / 10000.0 AS p25,
+           FLOOR(quantile_cont(o_totalprice, 0.50) * 10000 + 0.5) / 10000.0 AS p50,
+           FLOOR(quantile_cont(o_totalprice, 0.90) * 10000 + 0.5) / 10000.0 AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact percentiles (linear interpolation: Spark percentile() == "
+    "DuckDB quantile_cont) per group. Exact quantiles need the group's "
+    "values together — the partial-agg collects per-group sorted runs; "
+    "for 100 TB use q_approx_aggs' approx_percentile (sketch-mergeable) "
+    "instead, which this query is the exact baseline for.",
+    tags=("agg",),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        pround(F.expr("percentile(o_totalprice, 0.25)")).alias("p25"),
+        pround(F.expr("percentile(o_totalprice, 0.50)")).alias("p50"),
+        pround(F.expr("percentile(o_totalprice, 0.90)")).alias("p90"),
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0)
+                 * 10000 + 0.5) / 10000.0 AS qty_f,
+           FLOOR(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0)
+                 * 10000 + 0.5) / 10000.0 AS qty_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="PIVOT: one output column per l_linestatus value with summed "
+    "quantity. Explicit value list keeps it a single-pass conditional "
+    "aggregation (no extra distinct-values job) — the scale-safe form.",
+    tags=("agg",),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.coalesce(F.sum("l_quantity"), F.lit(0)))
+    )
+    return p.select(
+        "l_returnflag",
+        pround(F.col("F")).alias("qty_f"),
+        pround(F.col("O")).alias("qty_o"),
+    )
