@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "q_range_join",
     "q_gapfill_locf",
     "q_percentiles",
+    "q_embedding_outliers",
+    "q_inverted_index",
 ]
 
 

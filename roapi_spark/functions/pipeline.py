@@ -446,3 +446,53 @@ def text_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("cum_before") / PACK_TOKENS).cast("bigint").alias("pack_id"),
         (F.col("cum_before") % PACK_TOKENS).cast("bigint").alias("pack_offset"),
     )
+
+
+MIN_DF = 10
+POSTINGS_CAP = 50
+
+
+@register(
+    "q_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'),
+               x -> length(x) > 0))) AS token
+      FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+           list_slice(LIST(doc_id ORDER BY doc_id), 1, {POSTINGS_CAP}) AS postings
+    FROM tok GROUP BY token HAVING COUNT(*) >= {MIN_DF}
+    """,
+    doc="Inverted-index (posting list) construction: distinct (token, "
+    f"doc_id) pairs, grouped by token with df >= {MIN_DF} and postings "
+    f"capped at {POSTINGS_CAP} ids. The shuffle key is the token; at "
+    "100 TB the full lists would be range-bucketed by token instead of "
+    "capped — the cap here bounds result-row width, not the build.",
+    tags=("text",),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda x: F.length(x) > 0,
+                )
+            )
+        ).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP).alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("df") >= MIN_DF)
+    )

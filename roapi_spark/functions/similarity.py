@@ -546,3 +546,66 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+@register(
+    "q_embedding_outliers",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT label, LIST(m ORDER BY i) AS c FROM (
+        SELECT label, i, AVG(v[i]) AS m
+        FROM e, GENERATE_SERIES(1, 64) AS g(i)
+        GROUP BY label, i) GROUP BY label),
+    d AS (
+      SELECT e.vec_id, e.label,
+             ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                    i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))), 4) AS dist
+      FROM e JOIN cent c USING (label)),
+    r AS (
+      SELECT vec_id, label, dist,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY dist DESC, vec_id) AS rnk
+      FROM d)
+    SELECT label, vec_id, dist AS dist_to_centroid, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+    doc="Embedding outlier mining for data curation: per-label centroid "
+    "(exact per-dimension mean via posexplode + partial agg), each "
+    "vector's L2 distance to its own centroid, top-3 farthest per label. "
+    "The centroid table is label-count-sized, so the join back to the "
+    "corpus broadcasts at any scale; distances are JVM-side zip_with.",
+    tags=("similarity", "quality"),
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = emb(spark, sf_dir)
+    comp = e.select("label", F.posexplode("v").alias("i", "x"))
+    cent = (
+        comp.groupBy("label", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).m.alias("c"))
+    )
+    j = e.join(cent, "label")
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "c", lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        4,
+    )
+    d = j.select("vec_id", "label", dist.alias("dist"))
+    w = W.partitionBy("label").orderBy(F.desc("dist"), F.asc("vec_id"))
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "label",
+            "vec_id",
+            F.col("dist").alias("dist_to_centroid"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
