@@ -5,11 +5,13 @@ The full pipeline is implemented: spreadsheet-id extraction from the
 docs.google.com URL, sheet-properties lookup (first visible sheet when no
 ``sheet_title`` option, mirroring ``google_spreadsheets.rs`` resolve), the
 ``values`` REST fetch with a bearer token, and typed inference over the
-returned string cells (``values_to_dataframe``). What stays gated is only
-*minting* a token from a service-account key file — that needs RS256 JWT
-signing (no crypto lib in this container); a ready token can be supplied
-via the ``token`` option or ``GOOGLE_SHEETS_TOKEN``. Tests drive the HTTP
-path against a local mock of the Sheets API (``api_base_url`` option)."""
+returned string cells (``values_to_dataframe``). Tokens come from the
+``token`` option / ``GOOGLE_SHEETS_TOKEN``, or are *minted* from a
+service-account key file via the stdlib-only RS256 signer
+(``sources/rs256.py`` — the yup-oauth2 jwt-bearer flow the reference
+uses). Tests drive the HTTP path against a local mock of the Sheets API
+(``api_base_url`` option) and verify signatures with the real RSA
+public-key operation."""
 
 from __future__ import annotations
 
@@ -127,13 +129,21 @@ def _resolve_token(ts: TableSource) -> str:
     if token:
         return token
     if ts.option.get("service_account_key_file"):
-        # minting a token needs RS256 JWT signing (service-account flow,
-        # google_spreadsheets.rs OAuth2); no crypto lib in this container
-        raise LoadError(
-            f"google_spreadsheet table {ts.name!r}: service-account key "
-            "signing needs a crypto library — supply a ready OAuth2 token "
-            "via option 'token' or GOOGLE_SHEETS_TOKEN instead"
-        )
+        # service-account flow (google_spreadsheets.rs OAuth2): mint an
+        # RS256 JWT with the stdlib-only signer and exchange it at token_uri
+        from roapi_spark.sources import rs256
+
+        try:
+            with open(ts.option["service_account_key_file"]) as f:
+                key = json.load(f)
+            return rs256.fetch_access_token(
+                key, token_uri=ts.option.get("token_uri")
+            )
+        except (OSError, ValueError) as exc:
+            raise LoadError(
+                f"google_spreadsheet table {ts.name!r}: service-account "
+                f"token mint failed: {exc}"
+            ) from exc
     raise LoadError(
         f"google_spreadsheet table {ts.name!r}: no credentials — set option "
         "'token' or GOOGLE_SHEETS_TOKEN"
