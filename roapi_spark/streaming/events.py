@@ -180,3 +180,73 @@ def click_view_interval_join(
     ).select(
         F.col("c_user").alias("user_id"), "click_id", "click_ts", "view_id", "view_ts"
     )
+
+
+ANOMALY_OUTPUT = (
+    "event_type string, event_id bigint, ts timestamp, value double, "
+    "ewma double, zscore double"
+)
+ANOMALY_STATE = "mean double, var double, n bigint"
+
+EWMA_ALPHA = 0.3
+Z_THRESH = 3.0
+ANOMALY_WARMUP = 3  # don't flag until the EWMA has seen this many rows
+ANOMALY_IDLE_EVICT_MS = 10 * 60 * 1000
+
+
+def _anomaly_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    cols = ["event_type", "event_id", "ts", "value", "ewma", "zscore"]
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame([], columns=cols)
+        return
+    mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
+    rows = []
+    last_ts = None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        # deterministic within-batch order: event time, then id
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for r in pdf.itertuples():
+            v = float(r.value)
+            std = var**0.5
+            z = (v - mean) / std if std > 1e-12 else 0.0
+            if n >= ANOMALY_WARMUP and abs(z) > Z_THRESH:
+                rows.append((key[0], int(r.event_id), r.ts, v, mean, z))
+            delta = v - mean
+            mean += EWMA_ALPHA * delta
+            var = (1 - EWMA_ALPHA) * (var + EWMA_ALPHA * delta * delta)
+            n += 1
+            last_ts = r.ts
+    state.update((mean, var, n))
+    if last_ts is not None:
+        evict = int(pd.Timestamp(last_ts).value // 1_000_000) + ANOMALY_IDLE_EVICT_MS
+        state.setTimeoutTimestamp(max(evict, state.getCurrentWatermarkMs() + 1))
+    yield pd.DataFrame(rows, columns=cols)
+
+
+def anomaly_stream(stream: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """Per-event-type EWMA anomaly detector (custom stateful operator):
+    each key keeps an exponentially-weighted mean/variance of ``value``;
+    rows whose z-score against the pre-update EWMA exceeds ``Z_THRESH``
+    after a warmup are emitted. The standard streaming drift/outlier
+    monitor a training-data ingest pipeline runs at the landing zone.
+
+    State is three doubles per key (O(#event types)), evicted after
+    ``ANOMALY_IDLE_EVICT_MS`` of event-time inactivity via the same
+    watermark-driven timeout as ``sessionize`` — bounded state, no
+    trigger-loop spin, deterministic in tests."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _anomaly_fn,
+            ANOMALY_OUTPUT,
+            ANOMALY_STATE,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -179,3 +179,52 @@ def test_click_view_interval_join(spark, tmp_path):
         assert rows == {(1, 2)}
     finally:
         q.stop()
+
+
+def test_anomaly_stream(spark, tmp_path):
+    # baseline clicks around 1.0, then a 100.0 spike -> exactly that row
+    # flagged; the 'view' key keeps its own independent EWMA
+    d = tmp_path / "ain"
+    d.mkdir()
+    base = [
+        {"event_id": i, "ts": f"2024-01-01T00:00:{10 + i:02d}", "user_id": 1,
+         "event_type": "click", "value": v, "props": "{}"}
+        for i, v in enumerate([1.0, 1.2, 0.9, 1.1])
+    ]
+    base.append({"event_id": 50, "ts": "2024-01-01T00:00:05", "user_id": 2,
+                 "event_type": "view", "value": 500.0, "props": "{}"})
+    _write_batch(d, "b1.json", base)
+    from roapi_spark.streaming.events import anomaly_stream
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            anomaly_stream(stream_events(spark, str(d)))
+            .writeStream.format("memory")
+            .queryName("anoms")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "cka"))
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM anoms").collect() == []  # warmup only
+        _write_batch(
+            d,
+            "b2.json",
+            [
+                {"event_id": 10, "ts": "2024-01-01T00:00:20", "user_id": 1,
+                 "event_type": "click", "value": 100.0, "props": "{}"},
+                {"event_id": 11, "ts": "2024-01-01T00:00:21", "user_id": 1,
+                 "event_type": "click", "value": 1.0, "props": "{}"},
+            ],
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM anoms").collect()
+        assert [(r.event_type, r.event_id) for r in rows] == [("click", 10)]
+        assert rows[0].zscore > 3.0
+    finally:
+        q.stop()
