@@ -550,17 +550,28 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS); Spark's vectorized reader
-    rejects it, so read ns-as-long (runtime conf) and rebuild a us
-    timestamp with integer division (`div`, not `/` — double rounds above
-    2^53 and would corrupt the value)."""
+    """Load events with a normalized microsecond `ts` regardless of the
+    parquet physical type. Some generations of the fixture store
+    TIMESTAMP(NANOS) (Spark's vectorized reader rejects it, so we read
+    ns-as-long and rebuild a us timestamp with integer division — `div`,
+    not `/`: double rounds above 2^53 and would corrupt the value); newer
+    generations store TIMESTAMP(MICROS), which reads as a timestamp
+    directly. Branch on the dtype actually read, not on the conf."""
     # get_spark() sets this at session build; external sessions (the
     # driver's) still need it, so guard-set here — write-once to the same
     # value, so no concurrent-query race (VERDICT r1 wrong #4).
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = t(spark, sf_dir, "events")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dt = dict(df.dtypes).get("ts")
+    if dt in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as NTZ; downstream
+        # ops (unix_micros, streaming watermarks) need LTZ. Session TZ is
+        # UTC, so this cast is a type change, not a wall-clock shift.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 @register(
