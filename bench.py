@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "q_percentiles",
     "q_embedding_outliers",
     "q_inverted_index",
+    "text_contamination",
+    "text_tfidf_topk",
+    "q_source_mixture",
 ]
 
 
