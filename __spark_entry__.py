@@ -30,31 +30,60 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def _recorded_names() -> set[str]:
-    """Every query name any past driver round has already recorded."""
+def _latest_rows() -> dict[str, dict]:
+    """name -> the most recent driver row for that query (highest round)."""
     import glob
     import json
     import os
+    import re
 
-    seen: set[str] = set()
+    latest: dict[str, tuple[int, dict]] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
-    return seen
+        for name, row in rows.items():
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, row)
+    return {n: row for n, (_, row) in latest.items()}
+
+
+def _is_full_pass(row: dict) -> bool:
+    return (
+        isinstance(row, dict)
+        and row.get("err") is None
+        and row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is True
+    )
 
 
 def _ordered_specs():
-    # The driver records registry entries in iteration order and past runs
-    # stopped at 50; put never-yet-recorded queries first so a capped run
-    # always covers the newest operators, then the rest in registration
-    # order (those already have green rows in earlier CORRECTNESS files).
+    # The driver records registry entries in iteration order and caps a
+    # round at 50 rows, so ordering decides what gets (re-)recorded.
+    # Priority: (1) queries whose LATEST recorded row is not a full pass
+    # (errors, stale no-oracle rows-only checks — these have fixes that
+    # need re-recording), (2) never-recorded queries (newest operators),
+    # (3) the rest in registration order (already green in some round).
     specs = load_all()
-    seen = _recorded_names()
-    out = {n: s for n, s in specs.items() if n not in seen}
+    latest = _latest_rows()
+    # A spec with no oracle can never hash-match — only an err row means
+    # its rows-only check needs a re-run (keeps future oracle-less ops
+    # from hogging the front of every capped round).
+    needs_rerecord = {
+        n: s
+        for n, s in specs.items()
+        if n in latest
+        and not _is_full_pass(latest[n])
+        and (s.oracle is not None or latest[n].get("err") is not None)
+    }
+    out = dict(needs_rerecord)
+    out.update({n: s for n, s in specs.items() if n not in latest})
     out.update({n: s for n, s in specs.items() if n not in out})
     return out
 

@@ -369,10 +369,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Docs with zero [a-z] tokens have no defined simhash: drop them on
     # both engines (the oracle's UNNEST of an empty token list already
     # produces no rows — an unguarded Spark side would emit simhash32=0
-    # for such docs and row-count-diverge).
+    # for such docs and row-count-diverge). Guard on the UN-hashed token
+    # array: filtering on size(hs) would let projection collapse inline
+    # the md5 transform into both the filter and the vote fold, doubling
+    # the hash work (same pitfall as minhash_signatures' barrier above).
     return (
-        d.select("doc_id", hs.alias("hs"))
-        .filter(F.size("hs") >= 1)
+        d.filter(F.size(tokens_col()) >= 1)
+        .select("doc_id", hs.alias("hs"))
         .select("doc_id", simhash.cast("bigint").alias("simhash32"))
     )
 

@@ -368,9 +368,12 @@ VOCAB_SIZE = 200
     """,
     doc=f"Vocabulary building: corpus-wide word counts, top-{VOCAB_SIZE} by "
     "(count desc, token asc), dense ids via row_number. Explode -> "
-    "map-side partial agg -> tiny post-agg top-k; the unpartitioned "
-    "window runs over the already-aggregated distinct-token set (vocab "
-    "scale, not corpus scale), the standard two-stage word count.",
+    "map-side partial agg -> orderBy+limit, which Spark plans as "
+    "TakeOrderedAndProject (per-partition top-k, then a merge of K-row "
+    "heaps on the driver) — the full Zipf-tailed distinct-token set "
+    "never funnels through one partition. The row_number window runs "
+    f"only over the already-limited {VOCAB_SIZE}-row result, which is "
+    "single-partition by construction (no extra Exchange).",
     tags=("text",),
 )
 def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,14 +387,14 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token")
     )
     counted = toks.groupBy("token").agg(F.count("*").alias("cnt"))
-    ranked = counted.select(
+    top = counted.orderBy(F.desc("cnt"), F.asc("token")).limit(VOCAB_SIZE)
+    return top.select(
         F.row_number()
         .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
         .alias("vocab_id"),
         "token",
         F.col("cnt").cast("bigint").alias("cnt"),
     )
-    return ranked.filter(F.col("vocab_id") <= VOCAB_SIZE)
 
 
 PACK_TOKENS = 2048
@@ -463,14 +466,18 @@ POSTINGS_CAP = 50
       FROM documents
     )
     SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
-           list_slice(LIST(doc_id ORDER BY doc_id), 1, {POSTINGS_CAP}) AS postings
+           array_to_string(
+             list_slice(LIST(doc_id ORDER BY doc_id), 1, {POSTINGS_CAP}),
+             ',') AS postings
     FROM tok GROUP BY token HAVING COUNT(*) >= {MIN_DF}
     """,
     doc="Inverted-index (posting list) construction: distinct (token, "
     f"doc_id) pairs, grouped by token with df >= {MIN_DF} and postings "
     f"capped at {POSTINGS_CAP} ids. The shuffle key is the token; at "
     "100 TB the full lists would be range-bucketed by token instead of "
-    "capped — the cap here bounds result-row width, not the build.",
+    "capped — the cap here bounds result-row width, not the build. "
+    "Postings are emitted as a ','-joined string (like q_array_agg) so "
+    "every comparison harness can sort/hash the frame.",
     tags=("text",),
 )
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,9 +497,13 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("token")
         .agg(
             F.count("*").cast("bigint").alias("df"),
-            F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP).alias(
-                "postings"
-            ),
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("doc_id")), 1, POSTINGS_CAP),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
         )
         .filter(F.col("df") >= MIN_DF)
     )

@@ -90,8 +90,13 @@ _GRAMS_DUCK = (
     tags=("text", "dedup", "pipeline"),
 )
 def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # coalesce NULL text's gram array to [] so n_grams=0 matches the
+    # oracle's CASE ... ELSE [] branch (ADVICE r2 #2; NULL would propagate)
     base = docs(spark, sf_dir).select(
-        "doc_id", shingle_array_of(tokens_col(), GRAM_N).alias("gs")
+        "doc_id",
+        F.coalesce(
+            shingle_array_of(tokens_col(), GRAM_N), F.array().cast("array<string>")
+        ).alias("gs"),
     )
     grams = base.select("doc_id", F.explode("gs").alias("g"))
     bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()

@@ -562,6 +562,11 @@ def events_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value, so no concurrent-query race (VERDICT r1 wrong #4).
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ->LTZ cast below is a pure type change only when the session
+    # TZ is UTC; guard-set it for external sessions too (same write-once-
+    # same-value pattern, ADVICE r2 #1).
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = t(spark, sf_dir, "events")
     dt = dict(df.dtypes).get("ts")
     if dt in ("bigint", "long"):

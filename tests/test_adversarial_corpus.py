@@ -19,6 +19,7 @@ EDGE_DOCS = [
     (5, "a decent ordinary document with enough words to behave", "en", "web", 55),
     (6, "  spaced    out\ttext  ", "en", "web", 22),  # normalizes short
     (7, "exactly8", "en", "web", 8),  # exactly one 8-gram
+    (8, None, "en", "web", 0),  # NULL text (ADVICE r2 #2: must behave as [])
 ]
 
 
@@ -55,6 +56,9 @@ def edge_sf_dir(tmp_path_factory):
         "text_langid",
         "q_token_count_bpe",
         "dedup_exact",
+        "text_contamination",
+        "text_tfidf_topk",
+        "q_source_mixture",
     ],
 )
 def test_edge_corpus_matches_oracle(spark, edge_sf_dir, name):
