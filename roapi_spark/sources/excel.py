@@ -2,11 +2,13 @@
 813 LoC: sheet selection, row/col range windows, custom inference with
 conflict->Utf8 upcast).
 
-Decode is handled by the pure-Python :mod:`roapi_spark.sources.xlsx`
-reader (stdlib zip+XML — calamine's role), so ``.xlsx`` tables load with
-no optional deps. Legacy binary ``.xls``/``.ods`` would need xlrd/odfpy
-and stay import-gated. The row/column range windows follow
-``excel.rs:36-94`` and the conflict->Utf8 upcast rule ``excel.rs:158-167``.
+Decode is handled by the pure-Python stdlib zip+XML readers
+(:mod:`roapi_spark.sources.xlsx` for OOXML, :mod:`roapi_spark.sources.ods`
+for OpenDocument — calamine's role), so ``.xlsx`` and ``.ods`` tables
+load with no optional deps; dispatch sniffs the zip members, not the file
+extension. Legacy binary ``.xls``/``.xlsb`` would need xlrd/pyxlsb and
+stay import-gated. The row/column range windows follow ``excel.rs:36-94``
+and the conflict->Utf8 upcast rule ``excel.rs:158-167``.
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from roapi_spark.config import TableSource
 from roapi_spark.sources import LoadError
+from roapi_spark.sources.ods import OdsError, read_ods
 from roapi_spark.sources.xlsx import XlsxError, read_xlsx
 
 
@@ -47,14 +50,18 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
 
     if not zipfile.is_zipfile(ts.uri):
         raise LoadError(
-            f"excel table {ts.name!r}: not an .xlsx package — legacy .xls/.ods "
-            "decode needs xlrd/odfpy which aren't in this container"
+            f"excel table {ts.name!r}: not an .xlsx/.ods package — legacy "
+            "binary .xls/.xlsb decode needs xlrd/pyxlsb which aren't in "
+            "this container"
         )
     opt = ts.option
     sheet = opt.get("sheet_name", 0)
     try:
-        grid = read_xlsx(ts.uri, sheet)
-    except (XlsxError, KeyError, ValueError, zipfile.BadZipFile) as exc:
+        with zipfile.ZipFile(ts.uri) as zf:
+            members = set(zf.namelist())
+        reader = read_ods if "content.xml" in members else read_xlsx
+        grid = reader(ts.uri, sheet)
+    except (OdsError, XlsxError, KeyError, ValueError, zipfile.BadZipFile) as exc:
         raise LoadError(f"excel table {ts.name!r}: {exc}") from exc
     grid = _window(grid, opt)
     if not grid:

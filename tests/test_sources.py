@@ -355,6 +355,98 @@ def test_excel_range_windows(spark, fixtures):
     assert [(r.a, r.b) for r in df.orderBy("a").collect()] == [(1, 10), (2, 20)]
 
 
+def _write_ods(path, rows: list[list], name: str = "Sheet1"):
+    """Hand-rolled minimal OpenDocument spreadsheet (enough for the
+    decoder: value types, text runs, repeated empty cells like
+    LibreOffice's trailing-column padding)."""
+    import zipfile
+
+    def cell_xml(v) -> str:
+        if v is None:
+            return "<table:table-cell/>"
+        if isinstance(v, bool):
+            return (
+                f'<table:table-cell office:value-type="boolean" '
+                f'office:boolean-value="{"true" if v else "false"}"/>'
+            )
+        if isinstance(v, (int, float)):
+            return (
+                f'<table:table-cell office:value-type="float" '
+                f'office:value="{v}"><text:p>{v}</text:p></table:table-cell>'
+            )
+        return (
+            '<table:table-cell office:value-type="string">'
+            f"<text:p>{v}</text:p></table:table-cell>"
+        )
+
+    body = "".join(
+        "<table:table-row>"
+        + "".join(cell_xml(v) for v in row)
+        # LibreOffice-style trailing empty-column padding: must cost nothing
+        + '<table:table-cell table:number-columns-repeated="1018"/>'
+        "</table:table-row>"
+        for row in rows
+    )
+    content = (
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:spreadsheet>"
+        f'<table:table table:name="{name}">{body}</table:table>'
+        "</office:spreadsheet></office:body></office:document-content>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        zf.writestr("content.xml", content)
+
+
+def test_excel_ods_decode_with_ranges(spark, fixtures):
+    # OpenDocument decode (sources/ods.py standing in for calamine) with
+    # the same range windows the reference's ods e2e uses
+    # (excel.rs:695-718 on test_data/excel_range.ods: skip banner rows,
+    # clip the skip columns, 3 data rows survive)
+    _write_ods(
+        fixtures / "rng.ods",
+        [
+            ["skip this", None, None, None, None, None],
+            ["skip this"] * 6,
+            ["skip_col", "bool_column", "int_column", "float_column", "string_column", "skip_col2"],
+            [1, True, 1, 1.1, "one", 1],
+            [2, False, 2, 2.2, "two", 2],
+            [3, True, 3, 3.3, "three", 3],
+        ],
+    )
+    df = _load(
+        spark,
+        {
+            "name": "r",
+            "uri": str(fixtures / "rng.ods"),
+            "option": {
+                "rows_range_start": 2,
+                "rows_range_end": 5,
+                "columns_range_start": 1,
+                "columns_range_end": 4,
+            },
+        },
+    )
+    assert df.columns == ["bool_column", "int_column", "float_column", "string_column"]
+    assert df.count() == 3
+    got = {r.int_column: (r.bool_column, r.float_column, r.string_column) for r in df.collect()}
+    assert got[2] == (False, 2.2, "two")
+
+
+def test_excel_ods_utf8_upcast(spark, fixtures):
+    # conflict -> Utf8 upcast (excel.rs:158-167) applies to ods like xlsx
+    _write_ods(
+        fixtures / "mix.ods",
+        [["mixed", "ok"], [1, "a"], ["x", "b"], [2.5, "c"]],
+    )
+    df = _load(spark, {"name": "m", "uri": str(fixtures / "mix.ods")})
+    assert dict(df.dtypes)["mixed"] == "string"
+    assert {r.mixed for r in df.collect()} == {"1", "x", "2.5"}
+
+
 def test_excel_gated(spark, fixtures):
     # legacy .xls (not a zip) must fail with the dependency hint, not a
     # bare traceback
