@@ -7,8 +7,9 @@ ConnectorX ``SELECT * FROM {table}`` into memory).
 - mysql/postgres: Spark JDBC (needs driver jars on the cluster); at scale
   use ``partitionColumn/lowerBound/upperBound/numPartitions`` options for
   parallel reads — passed straight through from the table options.
-- postgres without JDBC jars: falls back to the pure-Python wire-protocol
-  client (:mod:`roapi_spark.sources.pgwire`) — same full-table-into-memory
+- postgres/mysql without JDBC jars: fall back to the pure-Python
+  wire-protocol clients (:mod:`roapi_spark.sources.pgwire`,
+  :mod:`roapi_spark.sources.mysqlwire`) — same full-table-into-memory
   semantics as the reference's ConnectorX read.
 """
 
@@ -62,6 +63,23 @@ def _load_pg_wire(spark: SparkSession, ts: TableSource) -> DataFrame:
     return spark.createDataFrame(arrow)
 
 
+def _load_mysql_wire(spark: SparkSession, ts: TableSource) -> DataFrame:
+    from roapi_spark.sources import LoadError
+    from roapi_spark.sources.mysqlwire import MySqlWireError, read_table
+
+    table = ts.option.get("table", ts.name)
+    try:
+        res = read_table(ts.uri, table, sql=ts.option.get("query"))
+    except (MySqlWireError, OSError) as exc:
+        raise LoadError(f"mysql table {ts.name!r}: wire read failed: {exc}") from exc
+    if not res.columns:
+        raise LoadError(f"mysql table {ts.name!r}: query returned no result set")
+    arrow = pa.table(
+        {c: [row[i] for row in res.rows] for i, c in enumerate(res.columns)}
+    )
+    return spark.createDataFrame(arrow)
+
+
 def _jdbc_driver_present(spark: SparkSession, klass: str) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(klass)  # type: ignore[union-attr]
@@ -93,4 +111,6 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
     if fmt == "postgres" and not _jdbc_driver_present(spark, "org.postgresql.Driver"):
         # no JDBC driver on the classpath -> pure-Python wire fallback
         return _load_pg_wire(spark, ts)
+    if fmt == "mysql" and not _jdbc_driver_present(spark, "com.mysql.cj.jdbc.Driver"):
+        return _load_mysql_wire(spark, ts)
     return _load_jdbc(spark, ts)
