@@ -34,6 +34,51 @@ from roapi_spark.sources import LoadError
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 
+# Reader features this naive add/remove replay actually honors. Anything
+# else (deletionVectors, columnMapping, v2Checkpoint, ...) changes what
+# "the active files" or "the columns" MEAN, and replaying without
+# understanding it silently returns wrong rows — so we fail loudly
+# instead (the reference gets these from delta-rs for free,
+# columnq/src/table/delta.rs:104-297).
+_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+
+
+def _check_protocol(action: dict, table_path: str) -> None:
+    """Reject protocol/metaData features the log replay does not honor."""
+    if "protocol" in action:
+        p = action["protocol"]
+        mrv = int(p.get("minReaderVersion", 1))
+        feats = set(p.get("readerFeatures") or [])
+        unsupported = feats - _SUPPORTED_READER_FEATURES
+        if mrv >= 3 and unsupported:
+            raise LoadError(
+                f"delta table {table_path}: requires reader features "
+                f"{sorted(unsupported)} which the pure-Python log replay "
+                "does not support — install delta-spark jars to read it"
+            )
+        if mrv == 2:
+            # reader version 2 == column mapping; the metaData check below
+            # also fires, but the protocol action alone is decisive
+            raise LoadError(
+                f"delta table {table_path}: minReaderVersion=2 (column "
+                "mapping) is not supported by the pure-Python log replay — "
+                "install delta-spark jars to read it"
+            )
+    if "metaData" in action:
+        conf = action["metaData"].get("configuration") or {}
+        if conf.get("delta.columnMapping.mode", "none") != "none":
+            raise LoadError(
+                f"delta table {table_path}: column mapping mode "
+                f"{conf['delta.columnMapping.mode']!r} is not supported by "
+                "the pure-Python log replay — install delta-spark jars"
+            )
+    if "add" in action and action["add"].get("deletionVector"):
+        raise LoadError(
+            f"delta table {table_path}: file with a deletion vector — row-"
+            "level deletes are invisible to the pure-Python log replay; "
+            "install delta-spark jars to read this table"
+        )
+
 
 def _log_versions(log_dir: str) -> list[tuple[int, str]]:
     out = []
@@ -50,6 +95,7 @@ def _checkpoint_state(log_dir: str, upto: int | None) -> tuple[int, dict[str, bo
     lc = os.path.join(log_dir, "_last_checkpoint")
     if not os.path.exists(lc):
         return -1, {}
+    table_path = os.path.dirname(log_dir)
     try:
         with open(lc) as f:
             info = json.load(f)
@@ -59,12 +105,23 @@ def _checkpoint_state(log_dir: str, upto: int | None) -> tuple[int, dict[str, bo
         import pyarrow.parquet as pq
 
         path = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
-        tbl = pq.read_table(path, columns=["add"])
+        tbl = pq.read_table(path)
+        cols = set(tbl.column_names)
+        # the checkpoint subsumes commit 0's protocol/metaData actions —
+        # guard them here too, not just in the json replay
+        for col in ("protocol", "metaData"):
+            if col in cols:
+                for rec in tbl.column(col).to_pylist():
+                    if rec:
+                        _check_protocol({col: rec}, table_path)
         active: dict[str, bool] = {}
         for rec in tbl.column("add").to_pylist():
             if rec and rec.get("path"):
+                _check_protocol({"add": rec}, table_path)
                 active[rec["path"]] = True
         return v, active
+    except LoadError:
+        raise
     except Exception:  # noqa: BLE001 — fall back to full json replay
         return -1, {}
 
@@ -99,6 +156,7 @@ def snapshot_files(table_path: str, version: int | None = None,
                 if not line.strip():
                     continue
                 action = json.loads(line)
+                _check_protocol(action, table_path)
                 if "add" in action:
                     active[action["add"]["path"]] = True
                 elif "remove" in action:

@@ -681,6 +681,89 @@ def test_delta_missing_log_errors(spark, tmp_path):
         )
 
 
+def _mk_delta(tmp_path, actions_by_version):
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    root = tmp_path / "dv"
+    log = root / "_delta_log"
+    log.mkdir(parents=True)
+    _pq.write_table(_pa.table({"id": [1]}), root / "part-0.parquet")
+    for version, actions in actions_by_version.items():
+        (log / f"{version:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in actions)
+        )
+    return root
+
+
+def test_delta_reader_version_guard(spark, tmp_path):
+    """Modern-protocol features the naive replay can't honor (deletion
+    vectors, column mapping) must fail loudly, not return wrong rows
+    (delta-rs gives the reference these free, delta.rs:104-297)."""
+    from roapi_spark.sources import LoadError
+
+    root = _mk_delta(tmp_path, {
+        0: [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"]}},
+            {"metaData": {"id": "m", "format": {"provider": "parquet"}}},
+            {"add": {"path": "part-0.parquet", "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    })
+    with pytest.raises(LoadError, match="deletionVectors"):
+        _load(spark, {"name": "x", "uri": str(root), "option": {"format": "delta"}})
+
+
+def test_delta_column_mapping_guard(spark, tmp_path):
+    from roapi_spark.sources import LoadError
+
+    root = _mk_delta(tmp_path, {
+        0: [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": "m", "format": {"provider": "parquet"},
+                          "configuration": {"delta.columnMapping.mode": "name"}}},
+            {"add": {"path": "part-0.parquet", "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    })
+    with pytest.raises(LoadError, match="column mapping"):
+        _load(spark, {"name": "x", "uri": str(root), "option": {"format": "delta"}})
+
+
+def test_delta_deletion_vector_on_add_guard(spark, tmp_path):
+    # even with a v1 protocol line, an add carrying a deletionVector must
+    # not silently surface deleted rows
+    from roapi_spark.sources import LoadError
+
+    root = _mk_delta(tmp_path, {
+        0: [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"add": {"path": "part-0.parquet", "size": 1, "modificationTime": 0,
+                     "dataChange": True,
+                     "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                                        "sizeInBytes": 40, "cardinality": 1}}},
+        ],
+    })
+    with pytest.raises(LoadError, match="deletion vector"):
+        _load(spark, {"name": "x", "uri": str(root), "option": {"format": "delta"}})
+
+
+def test_delta_timestamp_ntz_feature_allowed(spark, tmp_path):
+    # timestampNtz is a type-level reader feature the parquet scan handles:
+    # a v3 protocol that requires only it must still load
+    root = _mk_delta(tmp_path, {
+        0: [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["timestampNtz"]}},
+            {"add": {"path": "part-0.parquet", "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+        ],
+    })
+    df = _load(spark, {"name": "x", "uri": str(root), "option": {"format": "delta"}})
+    assert [r.id for r in df.collect()] == [1]
+
+
 def test_gsheets_fetch_via_mock_api(spark):
     # full Sheets REST path (google_spreadsheets.rs: resolve sheet from
     # properties, then fetch values) against a local mock of the API
