@@ -9,7 +9,22 @@ import sys
 
 
 def _print_table(df) -> None:
-    df.show(df.count(), truncate=False)
+    # one job: collect once and render driver-side (df.show(df.count())
+    # would run the query twice), matching the encoders' single-pass shape
+    rows = df.collect()
+    cols = df.columns
+    cells = [[("NULL" if v is None else str(v)) for v in row] for row in rows]
+    widths = [
+        max(len(c), *(len(r[i]) for r in cells)) if cells else len(c)
+        for i, c in enumerate(cols)
+    ]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    print(sep)
+    print("|" + "|".join(f" {c:<{widths[i]}} " for i, c in enumerate(cols)) + "|")
+    print(sep)
+    for r in cells:
+        print("|" + "|".join(f" {v:<{widths[i]}} " for i, v in enumerate(r)) + "|")
+    print(sep)
 
 
 def main(argv: list[str] | None = None) -> int:
