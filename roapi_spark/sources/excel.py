@@ -2,13 +2,15 @@
 813 LoC: sheet selection, row/col range windows, custom inference with
 conflict->Utf8 upcast).
 
-Decode is handled by the pure-Python stdlib zip+XML readers
-(:mod:`roapi_spark.sources.xlsx` for OOXML, :mod:`roapi_spark.sources.ods`
-for OpenDocument — calamine's role), so ``.xlsx`` and ``.ods`` tables
-load with no optional deps; dispatch sniffs the zip members, not the file
-extension. Legacy binary ``.xls``/``.xlsb`` would need xlrd/pyxlsb and
-stay import-gated. The row/column range windows follow ``excel.rs:36-94``
-and the conflict->Utf8 upcast rule ``excel.rs:158-167``.
+Decode is handled by the pure-Python stdlib readers playing calamine's
+role (:mod:`roapi_spark.sources.xlsx` for OOXML zip+XML,
+:mod:`roapi_spark.sources.ods` for OpenDocument zip+XML,
+:mod:`roapi_spark.sources.xls` for legacy BIFF8 compound files), so
+``.xlsx``/``.ods``/``.xls`` tables load with no optional deps; dispatch
+sniffs the container bytes (zip members / OLE2 magic), not the file
+extension. ``.xlsb`` would need pyxlsb and stays import-gated. The
+row/column range windows follow ``excel.rs:36-94`` and the
+conflict->Utf8 upcast rule ``excel.rs:158-167``.
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from roapi_spark.config import TableSource
 from roapi_spark.sources import LoadError
 from roapi_spark.sources.ods import OdsError, read_ods
+from roapi_spark.sources.xls import XlsError, read_xls
 from roapi_spark.sources.xlsx import XlsxError, read_xlsx
 
 
@@ -48,20 +51,25 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
     except ImportError as exc:  # pragma: no cover
         raise LoadError("pandas required for excel loading") from exc
 
-    if not zipfile.is_zipfile(ts.uri):
-        raise LoadError(
-            f"excel table {ts.name!r}: not an .xlsx/.ods package — legacy "
-            "binary .xls/.xlsb decode needs xlrd/pyxlsb which aren't in "
-            "this container"
-        )
     opt = ts.option
     sheet = opt.get("sheet_name", 0)
     try:
-        with zipfile.ZipFile(ts.uri) as zf:
-            members = set(zf.namelist())
-        reader = read_ods if "content.xml" in members else read_xlsx
+        if zipfile.is_zipfile(ts.uri):
+            with zipfile.ZipFile(ts.uri) as zf:
+                members = set(zf.namelist())
+            reader = read_ods if "content.xml" in members else read_xlsx
+        else:
+            with open(ts.uri, "rb") as f:
+                magic = f.read(8)
+            if magic != b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+                raise LoadError(
+                    f"excel table {ts.name!r}: neither a zip package "
+                    "(.xlsx/.ods) nor an OLE2 compound file (.xls) — "
+                    ".xlsb decode needs pyxlsb which isn't in this container"
+                )
+            reader = read_xls
         grid = reader(ts.uri, sheet)
-    except (OdsError, XlsxError, KeyError, ValueError, zipfile.BadZipFile) as exc:
+    except (XlsError, OdsError, XlsxError, KeyError, ValueError, zipfile.BadZipFile) as exc:
         raise LoadError(f"excel table {ts.name!r}: {exc}") from exc
     grid = _window(grid, opt)
     if not grid:
