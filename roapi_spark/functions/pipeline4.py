@@ -1,0 +1,235 @@
+"""Training-data pipeline operators, batch 3 (round 3): stratified
+quality filtering, language-ID audit, semantic-dedup apply, and
+per-source duplication-rate audit.
+
+These extend the LLM-pipeline surface with the *selection/audit* steps a
+production corpus build runs after scoring: rank-based per-shard quality
+cuts (Gopher/C4 practice filters a quantile per source, not a global
+threshold), declared-vs-predicted language confusion (mislabeled-corpus
+audit), SemDeDup-style representative keeping over the learned k-means
+cells (Abbas et al. 2023, greedy min-id variant), and the dedup-rate
+dashboard number every corpus report starts with.
+
+Scale notes (100 TB):
+- the quality cut ranks within `source` shards (same per-shard window
+  pattern as text_seq_pack) — integer ranks, no global sort, and the
+  rank threshold avoids float-percentile interpolation divergence.
+- the confusion matrix is a map-side score + one tiny (lang x lang) agg.
+- semantic keep is one anti-join against the near-dup pair set, which is
+  cell-blocked (never all-pairs) by the k-means coarse quantizer.
+- dup-rate is a two-level agg keyed by a 16-byte digest, never raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from roapi_spark.functions.pipeline import docs
+from roapi_spark.functions.text import stopword_hits, tokens_col
+from roapi_spark.plans.registry import register
+from roapi_spark.util import pround
+
+DROP_FRAC = 0.2
+
+_TOKS_DUCK = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0)"
+
+
+@register(
+    "text_quality_stratified",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, COALESCE({_TOKS_DUCK}, []) AS w FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             FLOOR(CAST(LEN(LIST_DISTINCT(w)) AS DOUBLE)
+                   / GREATEST(LEN(w), 1) * 10000 + 0.5) / 10000.0 AS score
+      FROM toks
+    ), ranked AS (
+      SELECT doc_id, source, score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score ASC, doc_id ASC) AS rnk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    )
+    SELECT doc_id, source, score, CAST(rnk AS BIGINT) AS rnk,
+           rnk > FLOOR({DROP_FRAC} * n) AS kept
+    FROM ranked
+    """,
+    doc=f"Stratified quality cut: rank documents per `source` shard by a "
+    "distinct-word-fraction quality score (asc, doc_id tie-break) and "
+    f"drop the bottom {int(DROP_FRAC * 100)}%. Quantile cuts per shard are "
+    "the Gopher/C4 practice; the integer rank threshold (rnk > floor(q*n)) "
+    "sidesteps cross-engine float-percentile interpolation entirely. "
+    "Per-shard windows only — no global sort at any scale.",
+    tags=("text", "quality", "pipeline"),
+)
+def text_quality_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    # NULL text scores 0.0 (not NULL): NULL would rank nulls-first in
+    # Spark but nulls-last in DuckDB — same class of divergence as
+    # text_contamination's ADVICE r2 fix
+    w = F.coalesce(tokens_col(), F.array().cast("array<string>"))
+    score = pround(
+        F.size(F.array_distinct(w)).cast("double") / F.greatest(F.size(w), F.lit(1))
+    )
+    scored = d.select("doc_id", "source", score.alias("score"))
+    win = Window.partitionBy("source").orderBy(F.asc("score"), F.asc("doc_id"))
+    cnt = Window.partitionBy("source")
+    return scored.select(
+        "doc_id",
+        "source",
+        "score",
+        F.row_number().over(win).cast("bigint").alias("rnk"),
+        (
+            F.row_number().over(win)
+            > F.floor(F.lit(DROP_FRAC) * F.count("*").over(cnt))
+        ).alias("kept"),
+    )
+
+
+@register(
+    "q_langid_confusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0) AS w
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        CAST(LEN(LIST_FILTER(w, x -> LIST_CONTAINS(['the','a','and','of','is'], x))) AS DOUBLE)
+          / GREATEST(LEN(w), 1) AS score_en,
+        CAST(LEN(LIST_FILTER(w, x -> LIST_CONTAINS(['der','die','das','und','ist'], x))) AS DOUBLE)
+          / GREATEST(LEN(w), 1) AS score_de,
+        CAST(LEN(LIST_FILTER(w, x -> LIST_CONTAINS(['el','la','de','que','es'], x))) AS DOUBLE)
+          / GREATEST(LEN(w), 1) AS score_es
+      FROM toks
+    ), pred AS (
+      SELECT lang,
+             CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+                  WHEN score_de >= score_es THEN 'de'
+                  ELSE 'es' END AS predicted_lang
+      FROM scores
+    ), conf AS (
+      SELECT lang, predicted_lang, COUNT(*) AS n FROM pred GROUP BY 1, 2
+    )
+    SELECT lang, predicted_lang, CAST(n AS BIGINT) AS n,
+           FLOOR(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang)
+                 * 10000 + 0.5) / 10000.0 AS rate
+    FROM conf
+    """,
+    doc="Language-ID confusion matrix: declared `lang` vs the stopword-"
+    "argmax prediction (same scoring as text_langid), with per-declared-"
+    "lang rates — the mislabeled-corpus audit a multilingual pipeline "
+    "runs before per-language filtering. Map-side scoring, then a "
+    "(n_langs x n_langs)-row aggregate.",
+    tags=("text", "quality"),
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    toks = tokens_col()
+    n = F.greatest(F.size(toks), F.lit(1))
+    s_en = stopword_hits(toks, ["the", "a", "and", "of", "is"]).cast("double") / n
+    s_de = stopword_hits(toks, ["der", "die", "das", "und", "ist"]).cast("double") / n
+    s_es = stopword_hits(toks, ["el", "la", "de", "que", "es"]).cast("double") / n
+    pred = (
+        F.when((s_en >= s_de) & (s_en >= s_es), "en")
+        .when(s_de >= s_es, "de")
+        .otherwise("es")
+    )
+    conf = (
+        d.select("lang", pred.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return conf.select(
+        "lang",
+        "predicted_lang",
+        "n",
+        pround(
+            F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("lang"))
+        ).alias("rate"),
+    )
+
+
+def _semantic_keep_oracle() -> str:
+    from roapi_spark.functions.similarity import kmeans_oracle_prefix
+
+    return f"""
+    WITH {kmeans_oracle_prefix()},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE ROUND(LIST_COSINE_SIMILARITY(ea.v, eb.v), 4) >= 0.3
+    )
+    SELECT af.vec_id, af.cid
+    FROM af
+    WHERE af.vec_id NOT IN (SELECT id_b FROM pairs)
+    """
+
+
+@register(
+    "dedup_semantic_keep",
+    oracle=_semantic_keep_oracle(),
+    doc="SemDeDup-style apply (Abbas et al. 2023, greedy min-id variant): "
+    "within each learned k-means cell, a vector is dropped iff it is a "
+    "near-duplicate (cosine >= 0.3) of a lower-id vector — one anti-join "
+    "of the corpus against the cell-blocked near-dup pair set (the same "
+    "pairs dedup_embedding_kmeans emits). Keeps exactly the minimal "
+    "representative of every near-dup star; no all-pairs work anywhere.",
+    tags=("dedup", "similarity", "pipeline"),
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.similarity import cosine_expr, kmeans_assignments
+
+    e = kmeans_assignments(spark, sf_dir)
+    a = e.alias("a")
+    b = e.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(F.round(cosine_expr("a.v", "b.v"), 4) >= 0.3)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(dropped, "vec_id", "left_anti").select("vec_id", "cid")
+
+
+@register(
+    "q_dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT MD5(text)) AS BIGINT) AS n_unique,
+           FLOOR((1 - CAST(COUNT(DISTINCT MD5(text)) AS DOUBLE) / COUNT(*))
+                 * 10000 + 0.5) / 10000.0 AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Exact-duplication rate per source shard — the first number on "
+    "any corpus quality dashboard. Two-level aggregate keyed by the md5 "
+    "digest (16 bytes/doc over the shuffle, never the text); "
+    "COUNT(DISTINCT) compiles to a partial-agg expand, no extra job.",
+    tags=("dedup", "quality"),
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct(F.md5("text")).cast("bigint").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            pround(
+                F.lit(1) - F.col("n_unique").cast("double") / F.col("n_docs")
+            ).alias("dup_rate"),
+        )
+    )

@@ -59,6 +59,9 @@ def edge_sf_dir(tmp_path_factory):
         "text_contamination",
         "text_tfidf_topk",
         "q_source_mixture",
+        "text_quality_stratified",
+        "q_langid_confusion",
+        "q_dedup_rate_by_source",
     ],
 )
 def test_edge_corpus_matches_oracle(spark, edge_sf_dir, name):
