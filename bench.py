@@ -68,6 +68,12 @@ BENCH_QUERIES = [
     "text_contamination",
     "text_tfidf_topk",
     "q_source_mixture",
+    "text_vocab_topk",
+    "text_quality_stratified",
+    "q_langid_confusion",
+    "q_dedup_rate_by_source",
+    "dedup_semantic_keep",
+    "multimodal_video_framesample",
 ]
 
 

@@ -387,3 +387,99 @@ def multimodal_audio_stats(spark, sf_dir: str) -> DataFrame:
         pround(F.col("rms")).alias("rms"),
         "peak",
     )
+
+
+_VID_FRAMES, _VID_W, _VID_H, _VID_EVERY = 6, 8, 4, 2
+
+
+@register(
+    "multimodal_video_framesample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, UNNEST(GENERATE_SERIES(0, {_VID_FRAMES - 1}, {_VID_EVERY}))
+               AS frame_idx
+      FROM documents
+    ), px AS (
+      SELECT doc_id, frame_idx,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_VID_W * _VID_H - 1}),
+               j -> (doc_id * 31 + frame_idx * 101 + j * 7) % 256) AS p
+      FROM f
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           {_VID_W} AS width, {_VID_H} AS height,
+           FLOOR(LIST_SUM(p) / {float(_VID_W * _VID_H)} * 10000 + 0.5) / 10000.0
+             AS mean_pixel,
+           LIST_MAX(p) AS max_pixel
+    FROM px
+    """,
+    doc="Video modality under the correctness gate: a deterministic FVID "
+    f"clip per document ({_VID_FRAMES} frames of {_VID_W}x{_VID_H}, pixel = "
+    "(doc_id*31 + frame*101 + j*7) %% 256) is encoded to real binary blobs "
+    f"in one mapInPandas stage, every-{_VID_EVERY}nd frame is sampled by "
+    "the fan-out frame_sample operator (1 video row -> N image rows), and "
+    "each sampled frame's stats are checked against DuckDB's closed-form "
+    "recomputation. Exercises the row-expanding blob pipeline shape "
+    "(decode -> per-frame re-encode -> downstream image ops) end-to-end; "
+    "only decode_video's format branch differs from a real pyav pipeline.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_video_framesample(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from roapi_spark.util import pround
+
+    ids = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        npx = _VID_W * _VID_H
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                frames = bytes(
+                    (int(i) * 31 + f * 101 + j * 7) % 256
+                    for f in range(_VID_FRAMES)
+                    for j in range(npx)
+                )
+                rows.append(
+                    (
+                        int(i),
+                        VID_MAGIC
+                        + struct.pack(">III", _VID_FRAMES, _VID_W, _VID_H)
+                        + frames,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    corpus = ids.mapInPandas(gen, "id bigint, content binary")
+    frames = frame_sample(corpus, _VID_EVERY)
+
+    # image_stats keys by id alone; frames need (id, frame_idx), so the
+    # stats stage here carries the frame key through the pandas batch
+    def per_frame(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, fi, blob in zip(pdf["id"], pdf["frame_idx"], pdf["content"]):
+                img = decode_image(bytes(blob))
+                out.append(
+                    (int(i), int(fi), img.shape[1], img.shape[0],
+                     float(img.mean()), int(img.max()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "frame_idx", "width", "height",
+                         "mean_pixel", "max_pixel"],
+            )
+
+    res = frames.mapInPandas(
+        per_frame,
+        "doc_id bigint, frame_idx int, width int, height int, "
+        "mean_pixel double, max_pixel int",
+    )
+    return res.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        pround(F.col("mean_pixel")).alias("mean_pixel"),
+        "max_pixel",
+    )
