@@ -5,10 +5,10 @@ conflict->Utf8 upcast).
 Decode is handled by the pure-Python stdlib readers playing calamine's
 role (:mod:`roapi_spark.sources.xlsx` for OOXML zip+XML,
 :mod:`roapi_spark.sources.ods` for OpenDocument zip+XML,
-:mod:`roapi_spark.sources.xls` for legacy BIFF8 compound files), so
-``.xlsx``/``.ods``/``.xls`` tables load with no optional deps; dispatch
-sniffs the container bytes (zip members / OLE2 magic), not the file
-extension. ``.xlsb`` would need pyxlsb and stays import-gated. The
+:mod:`roapi_spark.sources.xls` for legacy BIFF8 compound files,
+:mod:`roapi_spark.sources.xlsb` for BIFF12 binary workbooks), so all
+four calamine formats load with no optional deps; dispatch sniffs the
+container bytes (zip members / OLE2 magic), not the file extension. The
 row/column range windows follow ``excel.rs:36-94`` and the
 conflict->Utf8 upcast rule ``excel.rs:158-167``.
 """
@@ -24,6 +24,7 @@ from roapi_spark.config import TableSource
 from roapi_spark.sources import LoadError
 from roapi_spark.sources.ods import OdsError, read_ods
 from roapi_spark.sources.xls import XlsError, read_xls
+from roapi_spark.sources.xlsb import XlsbError, read_xlsb
 from roapi_spark.sources.xlsx import XlsxError, read_xlsx
 
 
@@ -57,19 +58,26 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
         if zipfile.is_zipfile(ts.uri):
             with zipfile.ZipFile(ts.uri) as zf:
                 members = set(zf.namelist())
-            reader = read_ods if "content.xml" in members else read_xlsx
+            if "content.xml" in members:
+                reader = read_ods
+            elif "xl/workbook.bin" in members:
+                reader = read_xlsb
+            else:
+                reader = read_xlsx
         else:
             with open(ts.uri, "rb") as f:
                 magic = f.read(8)
             if magic != b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
                 raise LoadError(
                     f"excel table {ts.name!r}: neither a zip package "
-                    "(.xlsx/.ods) nor an OLE2 compound file (.xls) — "
-                    ".xlsb decode needs pyxlsb which isn't in this container"
+                    "(.xlsx/.xlsb/.ods) nor an OLE2 compound file (.xls)"
                 )
             reader = read_xls
         grid = reader(ts.uri, sheet)
-    except (XlsError, OdsError, XlsxError, KeyError, ValueError, zipfile.BadZipFile) as exc:
+    except (
+        XlsError, XlsbError, OdsError, XlsxError, KeyError, ValueError,
+        zipfile.BadZipFile,
+    ) as exc:
         raise LoadError(f"excel table {ts.name!r}: {exc}") from exc
     grid = _window(grid, opt)
     if not grid:
