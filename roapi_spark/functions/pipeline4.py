@@ -233,3 +233,140 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+# -- shingle-derivative dedup ops (share dedup.py's machinery) --------------
+
+_SHINGLES = """
+  toks AS (SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0) AS w
+    FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM toks, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w) - 2, 0))) AS t(i)
+  )
+"""
+CONTAIN_MIN = 0.5
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    live AS (
+      SELECT s.doc_id, s.shingle
+      FROM sh s JOIN (SELECT shingle FROM sh GROUP BY shingle
+                      HAVING COUNT(*) <= 1000) f ON s.shingle = f.shingle
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM live a JOIN live b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, CAST(p.n_common AS BIGINT) AS n_common,
+           FLOOR(CAST(p.n_common AS DOUBLE) / ca.n * 10000 + 0.5) / 10000.0
+             AS contain_a,
+           FLOOR(CAST(p.n_common AS DOUBLE) / cb.n * 10000 + 0.5) / 10000.0
+             AS contain_b
+    FROM pairs p
+      JOIN cnt ca ON p.doc_a = ca.doc_id
+      JOIN cnt cb ON p.doc_b = cb.doc_id
+    WHERE CAST(p.n_common AS DOUBLE) / ca.n >= {CONTAIN_MIN}
+       OR CAST(p.n_common AS DOUBLE) / cb.n >= {CONTAIN_MIN}
+    """,
+    doc="Containment near-dup (Broder's directional overlap |A^B|/|A|): "
+    "catches the sub-document case Jaccard misses — a short document "
+    "wholly embedded in a long one scores low Jaccard but containment "
+    "~1.0 on the short side. Same stop-shingle-capped pair join as "
+    f"dedup_ngram_jaccard, threshold {CONTAIN_MIN} on either direction.",
+    tags=("dedup",),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.dedup import STOP_SHINGLE_DF, shingles
+
+    sh = shingles(docs(spark, sf_dir)).cache()
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= STOP_SHINGLE_DF)
+        .select("shingle")
+    )
+    live = sh.join(rare, "shingle")
+    a = live.alias("a")
+    b = live.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    c_a = F.col("n_common").cast("double") / F.col("ca.n")
+    c_b = F.col("n_common").cast("double") / F.col("cb.n")
+    return (
+        pairs.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter((c_a >= CONTAIN_MIN) | (c_b >= CONTAIN_MIN))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            pround(c_a).alias("contain_a"),
+            pround(c_b).alias("contain_b"),
+        )
+    )
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH {_SHINGLES},
+    first_seen AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           FLOOR(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000.0
+             AS novelty
+    FROM sh s JOIN first_seen f ON s.shingle = f.shingle
+    GROUP BY s.doc_id
+    """,
+    doc="N-gram novelty curve: per document, the fraction of its distinct "
+    "3-gram shingles first seen in it (min-doc_id ownership) — the "
+    "redundancy-over-position signal used to order or downsample "
+    "crawl-ordered corpora. One shuffle on shingle for first-seen, one "
+    "shuffle on doc_id for the rollup; no pair join at all.",
+    tags=("dedup", "text", "quality"),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.dedup import shingles
+
+    sh = shingles(docs(spark, sf_dir)).cache()
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            pround(F.col("n_novel").cast("double") / F.col("n_shingles")).alias(
+                "novelty"
+            ),
+        )
+    )
