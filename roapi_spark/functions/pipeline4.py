@@ -370,3 +370,101 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- integer-exact PageRank over the near-dup graph -------------------------
+
+PR_ITERS = 2
+PR_SCALE = 1_000_000  # fixed-point: pr starts at 1.0 * SCALE per node
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
+
+
+def _pagerank_oracle() -> str:
+    from roapi_spark.functions.dedup import _PAIRS_DUCK
+
+    base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN  # (1-d)*SCALE
+    parts = [
+        f"""edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT a AS n, COUNT(*) AS d FROM edges GROUP BY a),
+    pr0 AS (SELECT n, {PR_SCALE} AS pr FROM deg)"""
+    ]
+    for t in range(1, PR_ITERS + 1):
+        parts.append(
+            f"""s{t} AS (
+      SELECT e.b AS n, SUM(p.pr // d.d) AS s
+      FROM edges e JOIN pr{t - 1} p ON p.n = e.a JOIN deg d ON d.n = e.a
+      GROUP BY e.b
+    ),
+    pr{t} AS (
+      SELECT deg.n,
+             {base} + (COALESCE(s{t}.s, 0) * {PR_DAMP_NUM}) // {PR_DAMP_DEN} AS pr
+      FROM deg LEFT JOIN s{t} ON deg.n = s{t}.n
+    )"""
+        )
+    return (
+        f"WITH {_PAIRS_DUCK},\n    "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT deg.n AS doc_id, CAST(deg.d AS BIGINT) AS degree,
+           CAST(pr{PR_ITERS}.pr AS BIGINT) AS pagerank
+    FROM deg JOIN pr{PR_ITERS} ON deg.n = pr{PR_ITERS}.n
+    """
+    )
+
+
+@register(
+    "q_pagerank_dupgraph",
+    oracle=_pagerank_oracle(),
+    doc=f"PageRank over the LSH near-dup candidate graph ({PR_ITERS} "
+    "power iterations, damping 0.85): centrality in the duplicate graph "
+    "identifies template/boilerplate hubs worth pruning wholesale. All "
+    "arithmetic is fixed-point integer (contribution = pr div degree, "
+    "damping as *85 div 100), so every engine computes bit-identical "
+    "ranks — the iterative-algorithm pattern with an exact oracle. The "
+    "graph is the (tiny) pair set, orders of magnitude smaller than the "
+    "corpus; Spark iterates over checkpointed edges, never the corpus.",
+    tags=("dedup", "iterative"),
+)
+def q_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.dedup import _lsh_candidate_pairs
+
+    pairs = _lsh_candidate_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy(F.col("a").alias("n")).agg(F.count("*").alias("d"))
+    base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    pr = deg.select("n", F.lit(PR_SCALE).cast("bigint").alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(pr, edges.a == pr.n)
+            .join(deg.select(F.col("n").alias("dn"), "d"), edges.a == F.col("dn"))
+            .select(F.col("b"), F.expr("pr div d").alias("c"))
+            .groupBy("b")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            deg.join(contrib, deg.n == contrib.b, "left")
+            .select(
+                "n",
+                (
+                    F.lit(base)
+                    + F.expr(f"(coalesce(s, 0) * {PR_DAMP_NUM}) div {PR_DAMP_DEN}")
+                ).cast("bigint").alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        deg.join(pr, "n")
+        .select(
+            F.col("n").alias("doc_id"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.col("pr").cast("bigint").alias("pagerank"),
+        )
+    )

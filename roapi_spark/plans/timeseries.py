@@ -127,3 +127,65 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
         F.last("avg_v", ignorenulls=True).over(w).alias("avg_value_locf"),
     )
+
+
+SESSION_GAP_S = 1800
+
+
+@register(
+    "q_sessionize_batch",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS tus FROM events
+    ), flags AS (
+      SELECT user_id, tus,
+             CASE WHEN LAG(tus) OVER w IS NULL
+                    OR tus - LAG(tus) OVER w > {SESSION_GAP_S * 1000000}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ), sess AS (
+      SELECT user_id, tus,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(FLOOR((MAX(tus) - MIN(tus)) / 1000000.0) AS BIGINT)
+             AS duration_s
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Batch sessionization (the offline twin of the streaming stateful "
+    f"sessionize): per-user gap-{SESSION_GAP_S // 60}min session ids via "
+    "LAG + running SUM of session-start flags, then per-session rollup. "
+    "Both windows and the final agg share the user_id partitioning — one "
+    "shuffle total; at 100 TB sessions build independently per user "
+    "shard. Gap compares are integer microseconds (no float time math).",
+    tags=("timeseries", "agg"),
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events(spark, sf_dir).select("user_id", F.unix_micros("ts").alias("tus"))
+    w = Window.partitionBy("user_id").orderBy("tus")
+    flagged = ev.select(
+        "user_id",
+        "tus",
+        F.when(
+            F.lag("tus").over(w).isNull()
+            | (F.col("tus") - F.lag("tus").over(w) > SESSION_GAP_S * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("tus").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.select(
+        "user_id", "tus", F.sum("new_s").over(cum).alias("sid")
+    )
+    return sess.groupBy("user_id", F.col("sid").cast("bigint").alias("session_id")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.floor((F.max("tus") - F.min("tus")) / 1_000_000.0)
+        .cast("bigint")
+        .alias("duration_s"),
+    )
