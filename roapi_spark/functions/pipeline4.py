@@ -182,9 +182,13 @@ def _semantic_keep_oracle() -> str:
     tags=("dedup", "similarity", "pipeline"),
 )
 def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from roapi_spark.functions.similarity import cosine_expr, kmeans_assignments
+    from roapi_spark.functions.similarity import cosine_expr, ivf_layout
 
-    e = kmeans_assignments(spark, sf_dir)
+    # the cid-partitioned IVF layout stores exactly (vec_id, v, cid) —
+    # the build-once index amortizes the k-means fit across every
+    # cell-blocked op (test_ivf_layout pins layout == live assignment)
+    layout_dir, _ = ivf_layout(spark, sf_dir)
+    e = spark.read.parquet(layout_dir).select("vec_id", "v", "cid")
     a = e.alias("a")
     b = e.alias("b")
     dropped = (
