@@ -250,3 +250,38 @@ def anomaly_stream(stream: DataFrame, watermark: str = "10 seconds") -> DataFram
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes to the event stream at ingest (the landing-zone pattern
+    that precedes any per-segment aggregation).
+
+    Stateless per micro-batch: Spark re-resolves the static side each
+    batch (so a view swapped by the catalog refresh loop is picked up)
+    and plans a broadcast when the dimension is small — no streaming
+    state at all, which is what makes it safe at any stream volume."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def segment_rollup_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Enrichment + windowed rollup composed: per-(window, segment)
+    event counts/value — the shape of every per-cohort ingest metric.
+    Only the window/segment aggregate keeps state; the join adds none."""
+    enriched = enrich_stream(stream, dim)
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "segment")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n",
+            "sum_value",
+        )
+    )

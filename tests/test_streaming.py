@@ -228,3 +228,57 @@ def test_anomaly_stream(spark, tmp_path):
         assert rows[0].zscore > 3.0
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment_rollup(spark, tmp_path):
+    # stream-static join: events enriched with a static user->segment dim
+    # (stateless, broadcast), then a per-(window, segment) rollup — only
+    # the window agg holds state
+    d = tmp_path / "ein"
+    d.mkdir()
+    _write_batch(
+        d,
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:00:10", "user_id": 7, "event_type": "click", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T00:00:20", "user_id": 8, "event_type": "click", "value": 2.0, "props": "{}"},
+            {"event_id": 3, "ts": "2024-01-01T00:00:40", "user_id": 7, "event_type": "view", "value": 4.0, "props": "{}"},
+            {"event_id": 4, "ts": "2024-01-01T00:00:50", "user_id": 99, "event_type": "view", "value": 8.0, "props": "{}"},
+        ],
+    )
+    from roapi_spark.streaming.events import segment_rollup_stream
+
+    dim = spark.createDataFrame(
+        [(7, "premium"), (8, "free")], "user_id bigint, segment string"
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            segment_rollup_stream(stream_events(spark, str(d)), dim)
+            .writeStream.format("memory")
+            .queryName("seg_roll")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "cke"))
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    try:
+        q.processAllAvailable()
+        # close the 00:00-00:01 window by advancing the watermark
+        _write_batch(
+            d,
+            "b2.json",
+            [{"event_id": 9, "ts": "2024-01-01T00:05:00", "user_id": 7, "event_type": "click", "value": 0.0, "props": "{}"}],
+        )
+        q.processAllAvailable()
+        rows = {
+            (r.segment, r.n, r.sum_value)
+            for r in spark.sql("SELECT * FROM seg_roll").collect()
+        }
+        # premium: events 1+3 (1.0+4.0); free: event 2; unknown user 99 ->
+        # NULL segment survives the left join
+        assert rows == {("premium", 2, 5.0), ("free", 1, 2.0), (None, 1, 8.0)}
+    finally:
+        q.stop()
