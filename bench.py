@@ -74,6 +74,11 @@ BENCH_QUERIES = [
     "q_dedup_rate_by_source",
     "dedup_semantic_keep",
     "multimodal_video_framesample",
+    "multimodal_image_knn",
+    "q_sessionize_batch",
+    "q_pagerank_dupgraph",
+    "dedup_containment",
+    "q_ngram_novelty",
 ]
 
 

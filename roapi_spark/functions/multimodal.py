@@ -483,3 +483,94 @@ def multimodal_video_framesample(spark, sf_dir: str) -> DataFrame:
         pround(F.col("mean_pixel")).alias("mean_pixel"),
         "max_pixel",
     )
+
+
+_KNN_BLOCKS = 8  # block-mean feature dims per image
+_KNN_QUERIES = 5
+_KNN_TOP = 3
+
+
+@register(
+    "multimodal_image_knn",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_KNN_BLOCKS - 1}), b ->
+               CAST(LIST_SUM(LIST_TRANSFORM(
+                 GENERATE_SERIES(b * {_MM_W * _MM_H // _KNN_BLOCKS},
+                                 (b + 1) * {_MM_W * _MM_H // _KNN_BLOCKS} - 1),
+                 j -> (doc_id * 31 + j * 7) % 256)) AS DOUBLE)
+               / {_MM_W * _MM_H // _KNN_BLOCKS}) AS f
+      FROM documents
+    ), q AS (
+      SELECT doc_id AS qid, f AS qf FROM feats WHERE doc_id < {_KNN_QUERIES}
+    ), scored AS (
+      SELECT q.qid, feats.doc_id AS neighbor_id,
+             ROUND(LIST_COSINE_SIMILARITY(q.qf, feats.f), 4) AS cos_sim
+      FROM q JOIN feats ON feats.doc_id <> q.qid
+    ), ranked AS (
+      SELECT qid, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_KNN_TOP}
+    """,
+    doc="Cross-modal retrieval end-to-end: the deterministic FIMG corpus "
+    "is decoded in a mapInPandas stage that mean-pools pixel blocks into "
+    f"an {_KNN_BLOCKS}-dim feature vector (the stand-in for a real image "
+    "encoder — identical plumbing: binary blob in, array<double> out), "
+    "then brute-force cosine top-k runs over the extracted features with "
+    "the same broadcast-queries/window-rank plan as knn_bruteforce. "
+    "DuckDB recomputes features closed-form, so decode + extract + "
+    "retrieval are all under the exact-value gate.",
+    tags=("multimodal", "similarity", "pandas-udf"),
+)
+def multimodal_image_knn(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import Window as W
+
+    from roapi_spark.functions.similarity import cosine_expr
+
+    ids = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+    npx = _MM_W * _MM_H
+    blk = npx // _KNN_BLOCKS
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                px = bytes((int(i) * 31 + j * 7) % 256 for j in range(npx))
+                rows.append(
+                    (int(i), IMG_MAGIC + struct.pack(">II", _MM_W, _MM_H) + px)
+                )
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["id"], pdf["content"]):
+                img = decode_image(bytes(blob)).reshape(-1)
+                f = [float(img[b * blk : (b + 1) * blk].sum()) / blk
+                     for b in range(_KNN_BLOCKS)]
+                rows.append((int(i), f))
+            yield pd.DataFrame(rows, columns=["doc_id", "f"])
+
+    corpus = ids.mapInPandas(gen, "id bigint, content binary")
+    feats = corpus.mapInPandas(extract, "doc_id bigint, f array<double>")
+    q = feats.filter(F.col("doc_id") < _KNN_QUERIES).select(
+        F.col("doc_id").alias("qid"), F.col("f").alias("qf")
+    )
+    scored = (
+        feats.join(F.broadcast(q), F.col("doc_id") != F.col("qid"))
+        .withColumn("cos_sim", F.round(cosine_expr("qf", "f"), 4))
+        .select("qid", F.col("doc_id").alias("neighbor_id"), "cos_sim")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_TOP)
+        .select("qid", "neighbor_id", "cos_sim", F.col("rnk").cast("bigint").alias("rnk"))
+    )
