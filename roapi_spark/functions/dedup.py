@@ -105,6 +105,37 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shingle_overlap_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared pair-generation stage for shingle-overlap dedup metrics:
+    returns (pairs(doc_a, doc_b, n_common), cnt(doc_id, n)). The pair
+    join is stop-shingle-capped (df > STOP_SHINGLE_DF dropped) so the
+    blowup is bounded; per-doc counts use ALL shingles so overlap
+    ratios stay exact for surviving pairs."""
+    sh = shingles(docs(spark, sf_dir)).cache()
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= STOP_SHINGLE_DF)
+        .select("shingle")
+    )
+    live = sh.join(rare, "shingle")
+    a = live.alias("a")
+    b = live.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return pairs, cnt
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -138,26 +169,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles(docs(spark, sf_dir)).cache()
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= STOP_SHINGLE_DF)
-        .select("shingle")
-    )
-    live = sh.join(rare, "shingle")
-    a = live.alias("a")
-    b = live.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    pairs, cnt = shingle_overlap_pairs(spark, sf_dir)
     ca = cnt.alias("ca")
     cb = cnt.alias("cb")
     jac = F.col("n_common").cast("double") / (

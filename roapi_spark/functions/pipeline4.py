@@ -287,28 +287,9 @@ CONTAIN_MIN = 0.5
     tags=("dedup",),
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from roapi_spark.functions.dedup import STOP_SHINGLE_DF, shingles
+    from roapi_spark.functions.dedup import shingle_overlap_pairs
 
-    sh = shingles(docs(spark, sf_dir)).cache()
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= STOP_SHINGLE_DF)
-        .select("shingle")
-    )
-    live = sh.join(rare, "shingle")
-    a = live.alias("a")
-    b = live.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    pairs, cnt = shingle_overlap_pairs(spark, sf_dir)
     ca = cnt.alias("ca")
     cb = cnt.alias("cb")
     c_a = F.col("n_common").cast("double") / F.col("ca.n")
