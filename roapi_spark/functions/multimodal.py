@@ -559,7 +559,12 @@ def multimodal_image_knn(spark, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "f"])
 
     corpus = ids.mapInPandas(gen, "id bigint, content binary")
-    feats = corpus.mapInPandas(extract, "doc_id bigint, f array<double>")
+    # materialize the extracted features once: without the barrier the
+    # broadcast query side re-runs BOTH pandas stages over the full
+    # corpus just to find its 5 rows — 2x the decode cost at any scale
+    feats = corpus.mapInPandas(extract, "doc_id bigint, f array<double>").localCheckpoint(
+        eager=False
+    )
     q = feats.filter(F.col("doc_id") < _KNN_QUERIES).select(
         F.col("doc_id").alias("qid"), F.col("f").alias("qf")
     )
