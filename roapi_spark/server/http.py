@@ -76,6 +76,39 @@ document.getElementById('q').addEventListener('keydown',e=>{
 </script></body></html>"""
 
 
+class _PrependReader:
+    """File-like that replays already-consumed bytes before the real
+    stream (used to hand the request line back to the HTTP/1.1 parser
+    after h2c-preface sniffing)."""
+
+    def __init__(self, head: bytes, rfile) -> None:
+        self._head = head
+        self._rfile = rfile
+
+    def _take(self, n: int) -> bytes:
+        chunk = self._head[:n]
+        self._head = self._head[len(chunk):]
+        return chunk
+
+    def read(self, n: int = -1) -> bytes:
+        if self._head:
+            if n is None or n < 0:
+                return self._take(len(self._head)) + self._rfile.read(n)
+            return self._take(n)
+        return self._rfile.read(n)
+
+    def readline(self, limit: int = -1) -> bytes:
+        if self._head:
+            nl = self._head.find(b"\n")
+            if nl >= 0:
+                return self._take(nl + 1)
+            return self._take(len(self._head)) + self._rfile.readline(limit)
+        return self._rfile.readline(limit)
+
+    def __getattr__(self, name):
+        return getattr(self._rfile, name)
+
+
 class ApiError(Exception):
     def __init__(self, code: int, error: str, message: str) -> None:
         super().__init__(message)
@@ -181,6 +214,22 @@ class ApiServer:
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # request logging layer (layers.rs) -> quiet
                 pass
+
+            def handle_one_request(self) -> None:
+                # h2c prior-knowledge on the same port (api_test.rs:247-277):
+                # the HTTP/2 preface starts with a pseudo-request-line;
+                # sniff it before the HTTP/1.1 parser consumes state
+                first = self.rfile.readline(65537)
+                if first.startswith(b"PRI * HTTP/2.0"):
+                    from roapi_spark.server.h2c import PREFACE_REST, H2CConnection
+
+                    rest = self.rfile.read(len(PREFACE_REST))
+                    if rest == PREFACE_REST:
+                        H2CConnection(server, self.rfile, self.wfile).run()
+                    self.close_connection = True
+                    return
+                self.rfile = _PrependReader(first, self.rfile)
+                super().handle_one_request()
 
             def _respond(self) -> None:
                 parsed = urlparse(self.path)

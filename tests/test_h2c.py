@@ -1,0 +1,148 @@
+"""HTTP/2 cleartext (h2c) tests: HPACK unit vectors + the reference's
+own pin — ``curl --http2-prior-knowledge`` against a live server
+(roapi/tests/api_test.rs:247-277), here extended to assert bodies over
+SQL and REST, not just the negotiated version."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+
+import pytest
+
+from roapi_spark.server.h2c import (
+    HpackDecoder,
+    encode_response_headers,
+    huffman_decode,
+    _HUFF_DECODE,
+)
+
+CSV = "city,lat,lng\nsolihull,52.412811,-1.778197\nrugby,52.370876,-1.265032\nlondon,51.507222,-0.1275\n"
+
+
+# ---- HPACK unit layer ------------------------------------------------------
+
+
+def test_huffman_rfc_vector():
+    # RFC 7541 Appendix C.4.1: "www.example.com" Huffman-encoded
+    enc = bytes.fromhex("f1e3c2e5f23a6ba0ab90f4ff")
+    assert huffman_decode(enc) == b"www.example.com"
+
+
+def _huffman_encode(data: bytes) -> bytes:
+    # inverse of the decode table, for round-trip tests
+    enc = {sym: (code, n) for (code, n), sym in _HUFF_DECODE.items()}
+    cur = nbits = 0
+    out = bytearray()
+    for b in data:
+        code, n = enc[b]
+        cur = (cur << n) | code
+        nbits += n
+        while nbits >= 8:
+            nbits -= 8
+            out.append((cur >> nbits) & 0xFF)
+    if nbits:
+        out.append(((cur << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xFF)
+    return bytes(out)
+
+
+def test_huffman_roundtrip_all_bytes():
+    payload = bytes(range(256)) + b"/api/schema?x=1&y=%20z"
+    assert huffman_decode(_huffman_encode(payload)) == payload
+
+
+def test_hpack_integer_and_literals():
+    d = HpackDecoder()
+    # indexed :method GET (static 2) + literal-with-indexing custom header
+    block = bytes([0x82])  # indexed 2
+    name, value = b"x-custom", b"hello"
+    block += bytes([0x40, len(name)]) + name + bytes([len(value)]) + value
+    assert d.decode(block) == [(":method", "GET"), ("x-custom", "hello")]
+    # the literal entered the dynamic table at index 62
+    assert d.decode(bytes([0x80 | 62])) == [("x-custom", "hello")]
+
+
+def test_hpack_huffman_literal_and_name_index():
+    d = HpackDecoder()
+    hv = _huffman_encode(b"/api/tables/uk")
+    # literal w/o indexing, name = static 4 (:path), Huffman value
+    block = bytes([0x04, 0x80 | len(hv)]) + hv
+    assert d.decode(block) == [(":path", "/api/tables/uk")]
+
+
+def test_response_header_encoding_decodes():
+    d = HpackDecoder()
+    block = encode_response_headers(200, [("content-type", "application/json")])
+    assert d.decode(block) == [
+        (":status", "200"),
+        ("content-type", "application/json"),
+    ]
+    block = encode_response_headers(404, [("content-length", "0")])
+    assert d.decode(block)[0] == (":status", "404")
+
+
+# ---- e2e with curl (the reference's own test vector) -----------------------
+
+
+@pytest.fixture(scope="module")
+def h2_url(spark, tmp_path_factory):
+    from roapi_spark.catalog import Catalog
+    from roapi_spark.config import parse_table_config
+    from roapi_spark.server import ApiServer
+
+    root = tmp_path_factory.mktemp("h2srv")
+    (root / "uk_cities.csv").write_text(CSV)
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(
+        parse_table_config({"name": "uk_cities", "uri": str(root / "uk_cities.csv")})
+    )
+    srv = ApiServer(cat)
+    host, port = srv.start()
+    yield f"http://{host}:{port}"
+    srv.stop()
+
+
+needs_curl = pytest.mark.skipif(shutil.which("curl") is None, reason="no curl")
+
+
+def _curl(*args: str) -> bytes:
+    return subprocess.run(
+        ["curl", "-s", "-g", "--http2-prior-knowledge", *args],
+        capture_output=True, timeout=60, check=True,
+    ).stdout
+
+
+@needs_curl
+def test_h2c_version_negotiated(h2_url):
+    # the exact reference pin: -I + -w %{http_version} -> "2"
+    out = _curl("-I", f"{h2_url}/api/schema", "-o", "/dev/null", "-w", "%{http_version}")
+    assert out == b"2"
+
+
+@needs_curl
+def test_h2c_sql_roundtrip(h2_url):
+    out = _curl(
+        f"{h2_url}/api/sql",
+        "--data-binary",
+        "SELECT city FROM uk_cities WHERE lat > 52 AND lat < 53 AND lng < -1",
+    )
+    assert json.loads(out) == [{"city": "solihull"}, {"city": "rugby"}]
+
+
+@needs_curl
+def test_h2c_rest_and_error_shape(h2_url):
+    out = _curl(f"{h2_url}/api/tables/uk_cities?filter[city]eq=london&columns=city")
+    assert json.loads(out) == [{"city": "london"}]
+    err = json.loads(_curl(f"{h2_url}/api/tables/nope"))
+    assert err["code"] == 404 and err["error"] == "not_found"
+
+
+@needs_curl
+def test_h1_still_served_on_same_port(h2_url):
+    # the preface sniff must not break plain HTTP/1.1 on the same socket
+    out = subprocess.run(
+        ["curl", "-s", "--http1.1", f"{h2_url}/health"],
+        capture_output=True, timeout=60, check=True,
+    ).stdout
+    assert out == b"OK"
