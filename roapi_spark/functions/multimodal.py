@@ -579,3 +579,128 @@ def multimodal_image_knn(spark, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _KNN_TOP)
         .select("qid", "neighbor_id", "cos_sim", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+_RSZ_W, _RSZ_H = 8, 4  # resize target (source images are 16x8)
+
+
+@register(
+    "multimodal_image_resize",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_RSZ_W * _RSZ_H - 1}), k ->
+               (doc_id * 31
+                + ((k // {_RSZ_W}) * ({_MM_H} // {_RSZ_H}) * {_MM_W}
+                   + (k % {_RSZ_W}) * ({_MM_W} // {_RSZ_W})) * 7) % 256) AS p
+      FROM documents
+    )
+    SELECT doc_id, {_RSZ_W} AS width, {_RSZ_H} AS height,
+           FLOOR(LIST_SUM(p) / {float(_RSZ_W * _RSZ_H)} * 10000 + 0.5) / 10000.0
+             AS mean_pixel,
+           LIST_MAX(p) AS max_pixel,
+           CAST({12 + _RSZ_W * _RSZ_H} AS BIGINT) AS n_bytes
+    FROM px
+    """,
+    doc="Blob-in/blob-out image transform under the gate: the FIMG corpus "
+    f"is nearest-neighbor-resized {_MM_W}x{_MM_H} -> {_RSZ_W}x{_RSZ_H} by "
+    "the image_resize operator (decode -> index-map -> re-encode in one "
+    "Arrow-batched stage), then the resized blobs flow through "
+    "image_stats; DuckDB recomputes the sampled pixel grid closed-form "
+    "(resized[y,x] = src[y*2, x*2]). Pins both the resize arithmetic and "
+    "the re-encoded container layout (n_bytes).",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_image_resize(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from roapi_spark.util import pround
+
+    ids = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                px = bytes((int(i) * 31 + j * 7) % 256 for j in range(_MM_W * _MM_H))
+                rows.append(
+                    (int(i), IMG_MAGIC + struct.pack(">II", _MM_W, _MM_H) + px)
+                )
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    corpus = ids.mapInPandas(gen, "id bigint, content binary")
+    resized = image_resize(corpus, _RSZ_W, _RSZ_H)
+    stats = image_stats(resized)
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        pround(F.col("mean_pixel")).alias("mean_pixel"),
+        "max_pixel",
+        "n_bytes",
+    )
+
+
+_RS_FACTOR = 2
+
+
+@register(
+    "multimodal_audio_resample",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_AUD_N - 1}, {_RS_FACTOR}),
+               j -> ((doc_id * 17 + j * 13) % 4096) - 2048) AS x
+      FROM documents
+    )
+    SELECT doc_id,
+           {_AUD_RATE // _RS_FACTOR} AS sample_rate,
+           CAST(LEN(x) AS BIGINT) AS n_samples,
+           FLOOR(SQRT(LIST_SUM(LIST_TRANSFORM(x, v -> v * v))
+                      / CAST(LEN(x) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS rms,
+           CAST(LIST_MAX(LIST_TRANSFORM(x, v -> ABS(v))) AS INTEGER) AS peak
+    FROM s
+    """,
+    doc="Blob-in/blob-out audio transform under the gate: FAUD clips are "
+    f"decimated by {_RS_FACTOR} (every {_RS_FACTOR}nd sample, rate "
+    f"{_AUD_RATE} -> {_AUD_RATE // _RS_FACTOR}) by the audio_resample "
+    "operator, re-encoded, and the resampled blobs flow through "
+    "audio_stats; DuckDB recomputes the decimated series closed-form. "
+    "Integer sample math keeps RMS exact cross-engine.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_audio_resample(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from roapi_spark.util import pround
+
+    ids = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                pcm = np.array(
+                    [((int(i) * 17 + j * 13) % 4096) - 2048 for j in range(_AUD_N)],
+                    dtype=np.int16,
+                )
+                rows.append(
+                    (
+                        int(i),
+                        AUD_MAGIC
+                        + struct.pack(">II", _AUD_RATE, _AUD_N)
+                        + pcm.tobytes(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    corpus = ids.mapInPandas(gen, "id bigint, content binary")
+    resampled = audio_resample(corpus, _RS_FACTOR)
+    stats = audio_stats(resampled)
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        pround(F.col("rms")).alias("rms"),
+        "peak",
+    )
