@@ -340,3 +340,91 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+@register(
+    "q12_priority_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape (shipmode priority counts; the fixture has no "
+    "l_shipmode/commit/receipt columns, so the classifier groups by "
+    "l_returnflag over a shipdate year): fact-fact equi-join + IN-list "
+    "conditional aggregation — both branches counted in ONE pass, no "
+    "second scan or self-join. Reference surface: SQL passthrough "
+    "(columnq/src/query/sql.rs:9-17).",
+    tags=("tpch", "agg"),
+)
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q20_excess_supply",
+    oracle="""
+    WITH flows AS (
+      SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%a%'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    threshold AS (SELECT 2.0 * AVG(qty) AS cut FROM flows),
+    heavy AS (
+      SELECT DISTINCT l_suppkey FROM flows, threshold WHERE qty > cut
+    )
+    SELECT s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape (suppliers with excess stock of pattern-named "
+    "parts; the fixture has no partsupp, so supplied quantity comes from "
+    "the lineitem flows): LIKE-filtered dimension join, per-(supplier, "
+    "part) aggregation, a scalar-subquery threshold (2x the mean flow), "
+    "then nested-IN semi-join back to supplier — the doubly-nested "
+    "subquery decorrelation Q20 exists to test. The threshold is one "
+    "broadcast scalar; the semi-join key set is supplier-bounded.",
+    tags=("tpch", "subquery"),
+)
+def q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    sup = t(spark, sf_dir, "supplier")
+    flows = (
+        li.join(maybe_broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    cut = flows.agg((F.lit(2.0) * F.avg("qty")).alias("cut"))
+    heavy = (
+        flows.join(maybe_broadcast(cut))
+        .filter(F.col("qty") > F.col("cut"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.col("s_nationkey").cast("bigint").alias("s_nationkey"))
+        .orderBy("s_name")
+    )
