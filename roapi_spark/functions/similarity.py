@@ -689,3 +689,96 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+# -- multi-probe IVF (nprobe > 1: the standard recall lever) ----------------
+
+N_PROBE = 2
+
+
+def _nprobe_oracle_sql() -> str:
+    dist = (
+        "LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {dim}), "
+        "i -> (q.vq[i] - c.c[i]) * (q.vq[i] - c.c[i])))"
+    ).format(dim=DIM)
+    return f"""
+    WITH {kmeans_oracle_prefix()},
+    q AS (
+      SELECT vec_id AS qid, v AS qv, vq FROM e WHERE vec_id < {N_QUERIES}),
+    probes AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY {dist}, c.cid) AS rn
+        FROM (SELECT qid, vq FROM q) q CROSS JOIN c{KM_ITERS} c)
+      WHERE rn <= {N_PROBE}),
+    cand AS (
+      SELECT q.qid, q.qv, af.vec_id AS neighbor_id, e.v
+      FROM q JOIN probes p ON p.qid = q.qid
+      JOIN af ON af.cid = p.cid AND af.vec_id <> q.qid
+      JOIN e ON e.vec_id = af.vec_id),
+    ranked AS (
+      SELECT qid, neighbor_id, ROUND(LIST_COSINE_SIMILARITY(qv, v), 4) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY ROUND(LIST_COSINE_SIMILARITY(qv, v), 4) DESC, neighbor_id) AS rnk
+      FROM cand)
+    SELECT qid, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@register(
+    "ann_ivf_nprobe",
+    oracle=_nprobe_oracle_sql(),
+    doc=f"Multi-probe IVF (nprobe={N_PROBE}): each query vector probes its "
+    f"{N_PROBE} nearest k-means cells instead of one — the standard "
+    "recall/latency dial every IVF system exposes (a vector near a cell "
+    "boundary finds neighbors that quantized into the adjacent list). "
+    "Cell ranking is the same exact-integer distance as assignment, "
+    "computed client-side from the persisted centroids; the candidate "
+    "scan still carries a static cid IN-list, so partition pruning reads "
+    f"only the probed lists ({N_PROBE}/{K_LISTS} of the corpus per query).",
+    tags=("similarity",),
+)
+def ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    layout_dir, cents = ivf_layout(spark, sf_dir)
+    qrows = (
+        emb(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("vq", _vq_col())
+        .select("vec_id", "v", "vq")
+        .collect()
+    )
+    # rank cells per query with the same exact integer distance the fit
+    # uses (client-side: k x dim ints against <= N_QUERIES query vectors)
+    probe_rows = []
+    for r in qrows:
+        vq = [int(x) for x in r.vq]
+        by_dist = sorted(
+            (sum((x - c) * (x - c) for x, c in zip(vq, cv)), cid)
+            for cid, cv in cents
+        )
+        for _, cid in by_dist[:N_PROBE]:
+            probe_rows.append((int(r.vec_id), [float(x) for x in r.v], int(cid)))
+    q = spark.createDataFrame(
+        probe_rows, "qid bigint, qv array<double>, probe_cid bigint"
+    )
+    probe_cids = sorted({cid for _, _, cid in probe_rows})
+    cand_src = spark.read.parquet(layout_dir).filter(F.col("cid").isin(probe_cids))
+    cand = cand_src.join(
+        F.broadcast(q),
+        (F.col("cid") == F.col("probe_cid")) & (F.col("vec_id") != F.col("qid")),
+    ).select("qid", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+    w = W.partitionBy("qid").orderBy(
+        F.round(cosine_expr("qv", "v"), 4).desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "qid",
+            "neighbor_id",
+            F.round(cosine_expr("qv", "v"), 4).alias("cos_sim"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
