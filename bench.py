@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "dedup_semantic_keep",
     "multimodal_video_framesample",
     "multimodal_image_knn",
+    "ann_ivf_nprobe",
     "q_sessionize_batch",
     "q_pagerank_dupgraph",
     "dedup_containment",
