@@ -31,6 +31,7 @@ KNOWN_FORMATS = {
     "ndjson",
     "jsonl",
     "parquet",
+    "orc",
     "delta",
     "arrow",
     "arrows",
@@ -51,6 +52,7 @@ _EXT_TO_FORMAT = {
     ".ndjson": "ndjson",
     ".jsonl": "jsonl",
     ".parquet": "parquet",
+    ".orc": "orc",
     ".arrow": "arrow",
     ".arrows": "arrows",
     ".xlsx": "xlsx",

@@ -27,6 +27,7 @@ _LOADERS: dict[str, str] = {
     "ndjson": "roapi_spark.sources.ndjson",
     "jsonl": "roapi_spark.sources.ndjson",
     "parquet": "roapi_spark.sources.parquet",
+    "orc": "roapi_spark.sources.orc",
     "delta": "roapi_spark.sources.delta",
     "arrow": "roapi_spark.sources.arrow_ipc",
     "arrows": "roapi_spark.sources.arrow_ipc",

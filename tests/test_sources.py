@@ -833,3 +833,17 @@ def test_gsheets_no_credentials_gate(spark):
                 "format": "google_spreadsheet",
             },
         )
+
+
+def test_orc_scan(spark, fixtures):
+    # ORC is Spark-native (beyond the reference's formats, zero deps):
+    # lazy scan with declared-schema cast, pushdown comes free
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    path = str(fixtures / "t_orc")
+    src.write.mode("overwrite").orc(path)
+    df = _load(spark, {"name": "t", "uri": path, "option": {"format": "orc"}})
+    assert {(r.id, r.s) for r in df.collect()} == {(1, "a"), (2, "b")}
+    plan = (
+        df.filter("id = 2")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "EqualTo(id,2)" in plan
