@@ -704,3 +704,107 @@ def multimodal_audio_resample(spark, sf_dir: str) -> DataFrame:
         pround(F.col("rms")).alias("rms"),
         "peak",
     )
+
+
+_ALIGN_DIMS = _KNN_BLOCKS  # image block-means vs text letter-bucket counts
+
+
+@register(
+    "multimodal_alignment",
+    oracle=f"""
+    WITH txt AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(COALESCE(
+               REGEXP_REPLACE(LOWER(text), '[^a-z]', '', 'g'), ''))),
+               i -> SUBSTRING(REGEXP_REPLACE(LOWER(text), '[^a-z]', '', 'g'),
+                              i, 1)) AS chars
+      FROM documents
+    ), tf AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_ALIGN_DIMS - 1}), b ->
+               CAST(LEN(LIST_FILTER(chars,
+                 ch -> (ASCII(ch) - 97) % {_ALIGN_DIMS} = b)) AS DOUBLE)) AS tfv
+      FROM txt WHERE LEN(chars) >= 1
+    ), imf AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_ALIGN_DIMS - 1}), b ->
+               CAST(LIST_SUM(LIST_TRANSFORM(
+                 GENERATE_SERIES(b * {_MM_W * _MM_H // _ALIGN_DIMS},
+                                 (b + 1) * {_MM_W * _MM_H // _ALIGN_DIMS} - 1),
+                 j -> (doc_id * 31 + j * 7) % 256)) AS DOUBLE)
+               / {_MM_W * _MM_H // _ALIGN_DIMS}) AS imv
+      FROM documents
+    )
+    SELECT tf.doc_id,
+           ROUND(LIST_COSINE_SIMILARITY(imv, tfv), 4) AS alignment,
+           ROUND(LIST_COSINE_SIMILARITY(imv, tfv), 4) >= 0.5 AS aligned
+    FROM tf JOIN imf ON tf.doc_id = imf.doc_id
+    """,
+    doc="Cross-modal alignment filtering (the LAION-style curation step: "
+    "drop image-text pairs whose embeddings disagree): the image side is "
+    "the block-mean feature from the decoded FIMG blob (Arrow-batched "
+    "mapInPandas), the text side is a letter-bucket frequency vector "
+    "computed JVM-side, and the alignment score is their cosine — the "
+    "plumbing of a real CLIP-score filter with deterministic stand-in "
+    "encoders. Zero-letter docs are dropped on both engines (zero-vector "
+    "cosine is undefined). One doc_id equi-join; both feature extractions "
+    "are map-side.",
+    tags=("multimodal", "quality", "pandas-udf"),
+)
+def multimodal_alignment(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from roapi_spark.functions.similarity import cosine_expr
+    from roapi_spark.util import pround
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    npx = _MM_W * _MM_H
+    blk = npx // _ALIGN_DIMS
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                px = bytes((int(i) * 31 + j * 7) % 256 for j in range(npx))
+                rows.append(
+                    (int(i), IMG_MAGIC + struct.pack(">II", _MM_W, _MM_H) + px)
+                )
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["id"], pdf["content"]):
+                img = decode_image(bytes(blob)).reshape(-1)
+                f = [float(img[b * blk : (b + 1) * blk].sum()) / blk
+                     for b in range(_ALIGN_DIMS)]
+                rows.append((int(i), f))
+            yield pd.DataFrame(rows, columns=["doc_id", "imv"])
+
+    imf = (
+        d.select("doc_id")
+        .mapInPandas(gen, "id bigint, content binary")
+        .mapInPandas(extract, "doc_id bigint, imv array<double>")
+    )
+    chars = F.filter(
+        F.split(F.coalesce(F.regexp_replace(F.lower("text"), "[^a-z]", ""), F.lit("")), ""),
+        lambda ch: F.length(ch) > 0,
+    )
+    tfv = F.transform(
+        F.sequence(F.lit(0), F.lit(_ALIGN_DIMS - 1)),
+        lambda b: F.size(
+            F.filter(F.col("chars"), lambda ch: (F.ascii(ch) - 97) % _ALIGN_DIMS == b)
+        ).cast("double"),
+    )
+    tf = (
+        d.select("doc_id", chars.alias("chars"))
+        .filter(F.size("chars") >= 1)
+        .select("doc_id", tfv.alias("tfv"))
+    )
+    joined = tf.join(imf, "doc_id")
+    cos = F.round(cosine_expr("imv", "tfv"), 4)
+    return joined.select(
+        "doc_id",
+        cos.alias("alignment"),
+        (cos >= 0.5).alias("aligned"),
+    )

@@ -62,6 +62,7 @@ def edge_sf_dir(tmp_path_factory):
         "text_quality_stratified",
         "q_langid_confusion",
         "q_dedup_rate_by_source",
+        "multimodal_alignment",
     ],
 )
 def test_edge_corpus_matches_oracle(spark, edge_sf_dir, name):
