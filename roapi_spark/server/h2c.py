@@ -367,9 +367,11 @@ class H2CConnection:
         method = h.get(":method", "GET")
         parsed = urlparse(h.get(":path", "/"))
         query = dict(parse_qsl(parsed.query, keep_blank_values=True))
+        # HEAD routes as GET with the body suppressed below (axum parity)
+        route_method = "GET" if method == "HEAD" else method
         try:
             code, ctype, payload = self.api.handle(
-                method, unquote(parsed.path), query, st["body"], h.get("accept")
+                route_method, unquote(parsed.path), query, st["body"], h.get("accept")
             )
         except ApiError as err:
             code, ctype, payload = err.code, "application/json", err.body()

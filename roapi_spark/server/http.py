@@ -236,9 +236,12 @@ class ApiServer:
                 query = dict(parse_qsl(parsed.query, keep_blank_values=True))
                 length = int(self.headers.get("Content-Length") or 0)
                 body = self.rfile.read(length) if length else b""
+                # HEAD serves the GET route with the body suppressed,
+                # matching axum's automatic HEAD handling for GET routes
+                method = "GET" if self.command == "HEAD" else self.command
                 try:
                     code, ctype, payload = server.handle(
-                        self.command, parsed.path, query, body, self.headers.get("Accept")
+                        method, parsed.path, query, body, self.headers.get("Accept")
                     )
                 except ApiError as err:
                     code, ctype, payload = err.code, "application/json", err.body()
@@ -247,9 +250,10 @@ class ApiServer:
                 self.send_header("Content-Length", str(len(payload)))
                 self.send_header("Access-Control-Allow-Origin", "*")  # CORS layer
                 self.end_headers()
-                self.wfile.write(payload)
+                if self.command != "HEAD":
+                    self.wfile.write(payload)
 
-            do_GET = do_POST = _respond
+            do_GET = do_POST = do_HEAD = _respond
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)

@@ -146,3 +146,20 @@ def test_h1_still_served_on_same_port(h2_url):
         capture_output=True, timeout=60, check=True,
     ).stdout
     assert out == b"OK"
+
+
+@needs_curl
+def test_head_serves_get_routes_both_protocols(h2_url):
+    # axum serves HEAD for GET routes automatically; both fronts must too
+    h2 = subprocess.run(
+        ["curl", "-s", "-I", "--http2-prior-knowledge", f"{h2_url}/api/schema",
+         "-o", "/dev/null", "-w", "%{http_code}"],
+        capture_output=True, timeout=60, check=True,
+    ).stdout
+    assert h2 == b"200"
+    h1 = subprocess.run(
+        ["curl", "-s", "-I", "--http1.1", f"{h2_url}/api/schema",
+         "-o", "/dev/null", "-w", "%{http_code}"],
+        capture_output=True, timeout=60, check=True,
+    ).stdout
+    assert h1 == b"200"
