@@ -367,6 +367,17 @@ class H2CConnection:
         method = h.get(":method", "GET")
         parsed = urlparse(h.get(":path", "/"))
         query = dict(parse_qsl(parsed.query, keep_blank_values=True))
+        if method == "OPTIONS":  # CORS preflight (http/mod.rs:61-66)
+            block = encode_response_headers(
+                204,
+                [
+                    ("access-control-allow-origin", "*"),
+                    ("access-control-allow-methods", "GET, POST, OPTIONS"),
+                    ("access-control-allow-headers", "*"),
+                ],
+            )
+            self._send_frame(_HEADERS, _FLAG_END_HEADERS | _FLAG_END_STREAM, sid, block)
+            return
         # HEAD routes as GET with the body suppressed below (axum parity)
         route_method = "GET" if method == "HEAD" else method
         try:

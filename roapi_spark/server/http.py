@@ -236,6 +236,16 @@ class ApiServer:
                 query = dict(parse_qsl(parsed.query, keep_blank_values=True))
                 length = int(self.headers.get("Content-Length") or 0)
                 body = self.rfile.read(length) if length else b""
+                if self.command == "OPTIONS":
+                    # CORS preflight (reference: tower-http CorsLayer with
+                    # GET/POST/OPTIONS + any origin, http/mod.rs:61-66)
+                    self.send_response(204)
+                    self.send_header("Access-Control-Allow-Origin", "*")
+                    self.send_header("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+                    self.send_header("Access-Control-Allow-Headers", "*")
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
                 # HEAD serves the GET route with the body suppressed,
                 # matching axum's automatic HEAD handling for GET routes
                 method = "GET" if self.command == "HEAD" else self.command
@@ -253,7 +263,7 @@ class ApiServer:
                 if self.command != "HEAD":
                     self.wfile.write(payload)
 
-            do_GET = do_POST = do_HEAD = _respond
+            do_GET = do_POST = do_HEAD = do_OPTIONS = _respond
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)

@@ -163,3 +163,16 @@ def test_head_serves_get_routes_both_protocols(h2_url):
         capture_output=True, timeout=60, check=True,
     ).stdout
     assert h1 == b"200"
+
+
+@needs_curl
+def test_cors_preflight_both_protocols(h2_url):
+    for proto in ("--http2-prior-knowledge", "--http1.1"):
+        out = subprocess.run(
+            ["curl", "-s", "-X", "OPTIONS", proto, f"{h2_url}/api/sql",
+             "-H", "Origin: http://example.com",
+             "-H", "Access-Control-Request-Method: POST",
+             "-o", "/dev/null", "-w", "%{http_code} %header{access-control-allow-methods}"],
+            capture_output=True, timeout=60, check=True,
+        ).stdout
+        assert out == b"204 GET, POST, OPTIONS", (proto, out)
