@@ -82,3 +82,28 @@ def test_layout_preserves_assignment(spark, ivf_dir):
         for r in kmeans_assignments(spark, SF).select("vec_id", "cid").collect()
     }
     assert from_layout == direct
+
+
+def test_cache_invalidates_on_source_change(spark, tmp_path_factory):
+    """The layout cache key derives from source identity (path + mtime +
+    size): a regenerated corpus must rebuild, an unchanged one must not."""
+    import shutil
+
+    src = tmp_path_factory.mktemp("ivf_src")
+    cache = tmp_path_factory.mktemp("ivf_cache_inv")
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet", src / "embeddings.parquet")
+    os.environ["SPARK_GRAFT_CACHE_DIR"] = str(cache)
+    try:
+        out1, _ = ivf_layout(spark, str(src))
+        mtime1 = os.path.getmtime(os.path.join(out1, "_SUCCESS"))
+        # unchanged source -> same dir, no rebuild
+        out2, _ = ivf_layout(spark, str(src))
+        assert out2 == out1
+        assert os.path.getmtime(os.path.join(out1, "_SUCCESS")) == mtime1
+        # touch the source -> new cache key -> rebuild in a fresh dir
+        os.utime(src / "embeddings.parquet")
+        out3, _ = ivf_layout(spark, str(src))
+        assert out3 != out1
+        assert os.path.exists(os.path.join(out3, "_SUCCESS"))
+    finally:
+        del os.environ["SPARK_GRAFT_CACHE_DIR"]
