@@ -287,9 +287,9 @@ CONTAIN_MIN = 0.5
     tags=("dedup",),
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from roapi_spark.functions.dedup import shingle_overlap_pairs
+    from roapi_spark.functions.dedup import shingle_pair_graph_cached
 
-    pairs, cnt = shingle_overlap_pairs(spark, sf_dir)
+    pairs, cnt = shingle_pair_graph_cached(spark, sf_dir)
     ca = cnt.alias("ca")
     cb = cnt.alias("cb")
     c_a = F.col("n_common").cast("double") / F.col("ca.n")
@@ -328,17 +328,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="N-gram novelty curve: per document, the fraction of its distinct "
     "3-gram shingles first seen in it (min-doc_id ownership) — the "
     "redundancy-over-position signal used to order or downsample "
-    "crawl-ordered corpora. One shuffle on shingle for first-seen, one "
-    "shuffle on doc_id for the rollup; no pair join at all.",
+    "crawl-ordered corpora. Single pass over the shingle explosion: "
+    "first-seen ownership is a min() window over the shingle partition "
+    "(one shuffle on shingle), then one shuffle on doc_id for the "
+    "rollup — no cache, no self-join, the explosion is evaluated once.",
     tags=("dedup", "text", "quality"),
 )
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from roapi_spark.functions.dedup import shingles
 
-    sh = shingles(docs(spark, sf_dir)).cache()
-    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    sh = shingles(docs(spark, sf_dir))
     return (
-        sh.join(first_seen, "shingle")
+        sh.withColumn(
+            "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_shingles"),

@@ -516,16 +516,13 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_LAYOUT_VERSION = "v1"
+_IVF_LAYOUT_VERSION = "v2"  # v2: content-addressed key (parquet-footer digest)
 
 
 def _cache_root() -> str:
-    root = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".cache",
-    )
-    os.makedirs(root, exist_ok=True)
-    return root
+    from roapi_spark.functions.snapshot import cache_root
+
+    return cache_root()
 
 
 def ivf_layout(
@@ -537,19 +534,17 @@ def ivf_layout(
 
     This is the 'build the index' half of IVF — one k-means fit + one
     shuffle-by-cid write, amortized across every later probe (cache key =
-    source file identity, so regenerated testdata invalidates it). At
-    100 TB the same layout is the table's partitioning scheme and the fit
-    runs once per corpus snapshot, not per query."""
-    import hashlib
+    content-addressed source snapshot via the parquet footer digest, so a
+    regenerated corpus invalidates it even when size+mtime are preserved,
+    and a pure mtime touch reuses it). At 100 TB the same layout is the
+    table's partitioning scheme and the fit runs once per corpus
+    snapshot, not per query."""
     import json
 
+    from roapi_spark.functions.snapshot import snapshot_cache_dir
+
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:"
-        f"{_IVF_LAYOUT_VERSION}".encode()
-    ).hexdigest()[:16]
-    out = os.path.join(_cache_root(), f"ivf_{key}")
+    out = snapshot_cache_dir(src, f"ivf-{_IVF_LAYOUT_VERSION}")
     cent_path = os.path.join(out, "_centroids.json")
     if os.path.exists(os.path.join(out, "_SUCCESS")) and os.path.exists(cent_path):
         with open(cent_path) as f:

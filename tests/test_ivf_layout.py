@@ -85,13 +85,18 @@ def test_layout_preserves_assignment(spark, ivf_dir):
 
 
 def test_cache_invalidates_on_source_change(spark, tmp_path_factory):
-    """The layout cache key derives from source identity (path + mtime +
-    size): a regenerated corpus must rebuild, an unchanged one must not."""
+    """The layout cache key is content-addressed (parquet-footer digest):
+    a regenerated corpus must rebuild — even when the rewrite preserves
+    file size and mtime — while a pure mtime touch of unchanged content
+    must NOT rebuild (it is the same snapshot)."""
     import shutil
+
+    import duckdb
 
     src = tmp_path_factory.mktemp("ivf_src")
     cache = tmp_path_factory.mktemp("ivf_cache_inv")
-    shutil.copy("/root/testdata/sf0.001/embeddings.parquet", src / "embeddings.parquet")
+    fixture = src / "embeddings.parquet"
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet", fixture)
     os.environ["SPARK_GRAFT_CACHE_DIR"] = str(cache)
     try:
         out1, _ = ivf_layout(spark, str(src))
@@ -100,8 +105,21 @@ def test_cache_invalidates_on_source_change(spark, tmp_path_factory):
         out2, _ = ivf_layout(spark, str(src))
         assert out2 == out1
         assert os.path.getmtime(os.path.join(out1, "_SUCCESS")) == mtime1
-        # touch the source -> new cache key -> rebuild in a fresh dir
-        os.utime(src / "embeddings.parquet")
+        # mtime touch, content unchanged -> same snapshot, still no rebuild
+        os.utime(fixture)
+        out2b, _ = ivf_layout(spark, str(src))
+        assert out2b == out1
+        assert os.path.getmtime(os.path.join(out1, "_SUCCESS")) == mtime1
+        # in-place rewrite with different content but preserved mtime ->
+        # the (path, mtime, size)-keyed cache of round 3 would serve the
+        # stale layout; the footer digest must trigger a rebuild
+        st = os.stat(fixture)
+        duckdb.sql(
+            "COPY (SELECT vec_id, embedding, label FROM "
+            f"read_parquet('{fixture}') WHERE vec_id % 7 != 3) "
+            f"TO '{fixture}' (FORMAT PARQUET)"
+        )
+        os.utime(fixture, ns=(st.st_atime_ns, st.st_mtime_ns))
         out3, _ = ivf_layout(spark, str(src))
         assert out3 != out1
         assert os.path.exists(os.path.join(out3, "_SUCCESS"))

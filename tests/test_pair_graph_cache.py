@@ -1,0 +1,95 @@
+"""The shingle pair graph is a build-once snapshot artifact (round-4
+replacement for MEMORY_AND_DISK-caching the shingle explosion): one
+build serves both dedup_ngram_jaccard and dedup_containment, and the
+serving path leaves zero cached blocks behind in a long-lived server.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from roapi_spark.functions.dedup import shingle_pair_graph_cached
+from roapi_spark.functions.snapshot import parquet_footer_digest
+from roapi_spark.plans.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def _success_mtimes(out_root: str) -> dict[str, float]:
+    marks = {}
+    for sub in ("pairs", "cnt"):
+        p = os.path.join(out_root, sub, "_SUCCESS")
+        marks[sub] = os.path.getmtime(p)
+    return marks
+
+
+def test_one_build_two_consumers(spark, tmp_path_factory):
+    """First consumer triggers the build; the second serves from the
+    identical persisted artifact with no rebuild."""
+    cache = tmp_path_factory.mktemp("shpairs_cache")
+    os.environ["SPARK_GRAFT_CACHE_DIR"] = str(cache)
+    try:
+        specs = load_all()
+        jac = specs["dedup_ngram_jaccard"].builder(spark, SF)
+        n_jac = jac.count()
+        pairs_dir = os.path.dirname(
+            os.path.dirname(
+                next(
+                    os.path.join(r, f)
+                    for r, _, fs in os.walk(cache)
+                    for f in fs
+                    if f == "_SUCCESS" and r.endswith("pairs")
+                )
+            )
+        )
+        marks = _success_mtimes(pairs_dir)
+        con = specs["dedup_containment"].builder(spark, SF)
+        n_con = con.count()
+        assert n_jac > 0 and n_con > 0
+        # second consumer did not rebuild either table
+        assert _success_mtimes(pairs_dir) == marks
+        # and a direct call reuses it too
+        p, c = shingle_pair_graph_cached(spark, SF)
+        assert p.count() > 0 and c.count() > 0
+        assert _success_mtimes(pairs_dir) == marks
+    finally:
+        del os.environ["SPARK_GRAFT_CACHE_DIR"]
+
+
+def test_serving_path_leaves_no_cached_blocks(spark, tmp_path_factory):
+    """A server answering dedup queries repeatedly must not accumulate
+    persisted RDD blocks (round-3 behavior cached the shingle explosion
+    in MEMORY_AND_DISK and never unpersisted it)."""
+    cache = tmp_path_factory.mktemp("shpairs_cache2")
+    os.environ["SPARK_GRAFT_CACHE_DIR"] = str(cache)
+    try:
+        before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+        specs = load_all()
+        specs["dedup_ngram_jaccard"].builder(spark, SF).count()
+        specs["dedup_containment"].builder(spark, SF).count()
+        specs["q_ngram_novelty"].builder(spark, SF).count()
+        after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+        assert after - before == set(), "serving path left persisted blocks behind"
+    finally:
+        del os.environ["SPARK_GRAFT_CACHE_DIR"]
+
+
+def test_footer_digest_tracks_content(tmp_path):
+    """Same content -> same digest; different content (same row count /
+    similar size) -> different digest; non-parquet -> loud error."""
+    import duckdb
+
+    a = tmp_path / "a.parquet"
+    b = tmp_path / "b.parquet"
+    duckdb.sql(f"COPY (SELECT range AS x FROM range(100)) TO '{a}' (FORMAT PARQUET)")
+    duckdb.sql(
+        f"COPY (SELECT range + 1 AS x FROM range(100)) TO '{b}' (FORMAT PARQUET)"
+    )
+    assert parquet_footer_digest(str(a)) == parquet_footer_digest(str(a))
+    assert parquet_footer_digest(str(a)) != parquet_footer_digest(str(b))
+    junk = tmp_path / "junk.parquet"
+    junk.write_bytes(b"not parquet at all")
+    with pytest.raises(ValueError):
+        parquet_footer_digest(str(junk))
