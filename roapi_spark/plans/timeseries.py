@@ -136,16 +136,16 @@ SESSION_GAP_S = 1800
     "q_sessionize_batch",
     oracle=f"""
     WITH e AS (
-      SELECT user_id, epoch_us(ts) AS tus FROM events
+      SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
     ), flags AS (
-      SELECT user_id, tus,
+      SELECT user_id, event_id, tus,
              CASE WHEN LAG(tus) OVER w IS NULL
                     OR tus - LAG(tus) OVER w > {SESSION_GAP_S * 1000000}
                   THEN 1 ELSE 0 END AS new_s
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
     ), sess AS (
       SELECT user_id, tus,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM flags
     )
@@ -160,14 +160,19 @@ SESSION_GAP_S = 1800
     "LAG + running SUM of session-start flags, then per-session rollup. "
     "Both windows and the final agg share the user_id partitioning — one "
     "shuffle total; at 100 TB sessions build independently per user "
-    "shard. Gap compares are integer microseconds (no float time math).",
+    "shard. Gap compares are integer microseconds (no float time math). "
+    "Both windows tie-break on event_id so duplicate timestamps get "
+    "deterministic (and cross-engine identical) session ids.",
     tags=("timeseries", "agg"),
 )
 def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events(spark, sf_dir).select("user_id", F.unix_micros("ts").alias("tus"))
-    w = Window.partitionBy("user_id").orderBy("tus")
+    ev = events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
     flagged = ev.select(
         "user_id",
+        "event_id",
         "tus",
         F.when(
             F.lag("tus").over(w).isNull()
@@ -177,7 +182,7 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_s"),
     )
-    cum = Window.partitionBy("user_id").orderBy("tus").rowsBetween(
+    cum = Window.partitionBy("user_id").orderBy("tus", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sess = flagged.select(

@@ -244,7 +244,12 @@ class H2CConnection:
         self.rfile = rfile
         self.wfile = wfile
         self.decoder = HpackDecoder()
+        # RFC 9113 §5.2 / §6.5.2: the connection send window is fixed at
+        # 65535 and changed ONLY by WINDOW_UPDATE on stream 0;
+        # SETTINGS_INITIAL_WINDOW_SIZE sets the *per-stream* initial
+        # window (and retroactively delta-adjusts open streams).
         self.send_window = 65535
+        self.initial_stream_window = 65535
         self.stream_windows: dict[int, int] = {}
         self.streams: dict[int, dict] = {}
         self.lock = threading.Lock()
@@ -294,6 +299,14 @@ class H2CConnection:
                 pass
         except (ConnectionError, OSError):
             return
+        except (H2Error, struct.error, IndexError):
+            # malformed frame or HPACK block: answer with GOAWAY
+            # (PROTOCOL_ERROR) and close instead of a raw traceback
+            try:
+                self._send_frame(_GOAWAY, 0, 0, struct.pack(">II", 0, 0x1))
+            except OSError:
+                pass
+            return
 
     def _handle_frame(self, ftype: int, flags: int, sid: int, payload: bytes) -> bool:
         """Process one frame; returns True when the connection should end."""
@@ -301,8 +314,13 @@ class H2CConnection:
             if not flags & _FLAG_ACK:
                 for i in range(0, len(payload) - 5, 6):
                     key, val = struct.unpack_from(">HI", payload, i)
-                    if key == 0x4:  # INITIAL_WINDOW_SIZE
-                        self.send_window = val
+                    if key == 0x4:  # INITIAL_WINDOW_SIZE (per-stream only)
+                        if val > 0x7FFFFFFF:
+                            raise H2Error("INITIAL_WINDOW_SIZE overflow")
+                        delta = val - self.initial_stream_window
+                        self.initial_stream_window = val
+                        for s in self.stream_windows:
+                            self.stream_windows[s] += delta
                 self._send_frame(_SETTINGS, _FLAG_ACK, 0, b"")
         elif ftype == _PING:
             if not flags & _FLAG_ACK:
@@ -322,7 +340,7 @@ class H2CConnection:
                 self.send_window += incr
             else:
                 self.stream_windows[sid] = (
-                    self.stream_windows.get(sid, 65535) + incr
+                    self.stream_windows.get(sid, self.initial_stream_window) + incr
                 )
         elif ftype == _GOAWAY:
             return True
@@ -396,6 +414,7 @@ class H2CConnection:
             self._send_frame(
                 _HEADERS, _FLAG_END_HEADERS | _FLAG_END_STREAM, sid, block
             )
+            self.stream_windows.pop(sid, None)
             return
         self._send_frame(_HEADERS, _FLAG_END_HEADERS, sid, block)
         off = 0
@@ -403,16 +422,25 @@ class H2CConnection:
             # flow control: never exceed the connection or stream window;
             # dispatch runs on the read-loop thread, so draining frames
             # here (WINDOW_UPDATE / SETTINGS / PING) is safe
-            win = min(self.send_window, self.stream_windows.get(sid, 65535))
+            win = min(
+                self.send_window,
+                self.stream_windows.get(sid, self.initial_stream_window),
+            )
             while win <= 0:
                 if self._handle_frame(*self._read_frame()):
                     return
-                win = min(self.send_window, self.stream_windows.get(sid, 65535))
+                win = min(
+                    self.send_window,
+                    self.stream_windows.get(sid, self.initial_stream_window),
+                )
             chunk = payload[off : off + min(_MAX_FRAME, win)]
             off += len(chunk)
             self.send_window -= len(chunk)
             self.stream_windows[sid] = (
-                self.stream_windows.get(sid, 65535) - len(chunk)
+                self.stream_windows.get(sid, self.initial_stream_window) - len(chunk)
             )
             last = off >= len(payload)
             self._send_frame(_DATA, _FLAG_END_STREAM if last else 0, sid, chunk)
+        # stream complete: drop its flow-control entry so long-lived
+        # connections don't grow the map unboundedly
+        self.stream_windows.pop(sid, None)

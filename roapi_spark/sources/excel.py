@@ -15,6 +15,7 @@ conflict->Utf8 upcast rule ``excel.rs:158-167``.
 
 from __future__ import annotations
 
+import struct
 import zipfile
 from typing import Any
 
@@ -77,6 +78,10 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
     except (
         XlsError, XlsbError, OdsError, XlsxError, KeyError, ValueError,
         zipfile.BadZipFile,
+        # truncated/corrupt binary formats surface as slicing/unpack
+        # failures from the CFB/BIFF parsers — still a LoadError, never
+        # a raw traceback
+        IndexError, struct.error, EOFError,
     ) as exc:
         raise LoadError(f"excel table {ts.name!r}: {exc}") from exc
     grid = _window(grid, opt)

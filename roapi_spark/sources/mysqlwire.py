@@ -114,15 +114,27 @@ class MySqlWireClient:
         return data
 
     def _read_packet(self) -> bytes:
-        header = self._recv_exact(4)
-        length = header[0] | (header[1] << 8) | (header[2] << 16)
-        self._seq = header[3] + 1
-        return self._recv_exact(length)
+        # a payload of exactly 0xFFFFFF is split: continuation packets
+        # follow until one arrives with length < 0xFFFFFF (possibly 0)
+        data = b""
+        while True:
+            header = self._recv_exact(4)
+            length = header[0] | (header[1] << 8) | (header[2] << 16)
+            self._seq = header[3] + 1
+            data += self._recv_exact(length)
+            if length < 0xFFFFFF:
+                return data
 
     def _send_packet(self, payload: bytes) -> None:
-        header = struct.pack("<I", len(payload))[:3] + bytes([self._seq & 0xFF])
-        self.sock.sendall(header + payload)
-        self._seq += 1
+        # mirror of the read side: emit 16MB-1 chunks, each with its own
+        # header, plus a terminating short (possibly empty) packet
+        while True:
+            chunk, payload = payload[:0xFFFFFF], payload[0xFFFFFF:]
+            header = struct.pack("<I", len(chunk))[:3] + bytes([self._seq & 0xFF])
+            self.sock.sendall(header + chunk)
+            self._seq += 1
+            if len(chunk) < 0xFFFFFF:
+                return
 
     # -- lenenc helpers -----------------------------------------------------
 

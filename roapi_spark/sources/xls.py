@@ -182,6 +182,8 @@ class _SstReader:
         out = b""
         while n:
             self._advance()
+            if self.pi >= len(self.parts):
+                raise XlsError("truncated SST (record data exhausted)")
             part = self.parts[self.pi]
             chunk = part[self.off : self.off + n]
             out += chunk

@@ -176,3 +176,109 @@ def test_cors_preflight_both_protocols(h2_url):
             capture_output=True, timeout=60, check=True,
         ).stdout
         assert out == b"204 GET, POST, OPTIONS", (proto, out)
+
+
+# ---- frame layer: flow-control semantics + malformed-frame handling --------
+
+
+class _FakeIO:
+    def __init__(self, data: bytes = b""):
+        self._data = data
+        self.sent = bytearray()
+        self._off = 0
+
+    def read(self, n: int) -> bytes:
+        chunk = self._data[self._off : self._off + n]
+        self._off += len(chunk)
+        return chunk
+
+    def write(self, b: bytes) -> None:
+        self.sent += b
+
+    def flush(self) -> None:
+        pass
+
+
+def _frame(ftype: int, flags: int, sid: int, payload: bytes) -> bytes:
+    import struct as _s
+
+    return (
+        bytes([(len(payload) >> 16) & 0xFF, (len(payload) >> 8) & 0xFF, len(payload) & 0xFF, ftype, flags])
+        + _s.pack(">I", sid)
+        + payload
+    )
+
+
+def _parse_frames(buf: bytes):
+    import struct as _s
+
+    out, off = [], 0
+    while off + 9 <= len(buf):
+        ln = (buf[off] << 16) | (buf[off + 1] << 8) | buf[off + 2]
+        ftype, flags = buf[off + 3], buf[off + 4]
+        (sid,) = _s.unpack(">I", buf[off + 5 : off + 9])
+        out.append((ftype, flags, sid & 0x7FFFFFFF, buf[off + 9 : off + 9 + ln]))
+        off += 9 + ln
+    return out
+
+
+def _conn(client_bytes: bytes):
+    from roapi_spark.server.h2c import H2CConnection
+
+    io = _FakeIO(client_bytes)
+    c = H2CConnection(api=None, rfile=io, wfile=io)
+    return c, io
+
+
+def test_initial_window_size_is_per_stream_only():
+    """RFC 9113: SETTINGS_INITIAL_WINDOW_SIZE changes stream windows
+    (with delta adjustment of open ones), never the connection window."""
+    import struct as _s
+
+    settings = _s.pack(">HI", 0x4, 1 << 20)
+    c, _ = _conn(_frame(4, 0, 0, settings))
+    c.stream_windows[1] = 65535 - 100  # an open stream mid-consumption
+    c.run()
+    assert c.send_window == 65535  # connection window untouched
+    assert c.initial_stream_window == 1 << 20
+    assert c.stream_windows[1] == (1 << 20) - 100  # delta-adjusted
+    # WINDOW_UPDATE on stream 0 is what moves the connection window
+    c2, _ = _conn(_frame(8, 0, 0, _s.pack(">I", 1000)))
+    c2.run()
+    assert c2.send_window == 65535 + 1000
+
+
+def test_malformed_frames_goaway_not_traceback():
+    """Short WINDOW_UPDATE payloads and bad HPACK must close with GOAWAY,
+    not crash the connection thread with struct.error/IndexError."""
+    cases = [
+        _frame(8, 0, 1, b"\x00\x01"),  # WINDOW_UPDATE with 2-byte payload
+        _frame(1, 0x4 | 0x1, 1, bytes([0x80 | 99])),  # HPACK index out of range
+        _frame(1, 0x4 | 0x1, 1, bytes([0x7F])),  # truncated HPACK integer
+    ]
+    for raw in cases:
+        c, io = _conn(raw)
+        c.run()  # must not raise
+        types = [f[0] for f in _parse_frames(bytes(io.sent))]
+        assert types[-1] == 7, f"expected GOAWAY last, got {types}"
+
+
+def test_stream_window_entries_cleaned_up():
+    """Completed streams drop their flow-control entry so long-lived
+    connections don't grow stream_windows unboundedly."""
+
+    class _Api:
+        def handle(self, method, path, query, body, accept):
+            return 200, "text/plain", b"x" * 10
+
+    from roapi_spark.server.h2c import H2CConnection, encode_response_headers  # noqa: F401
+
+    # craft a minimal GET via literal headers: :method GET (static 2),
+    # :path / (static 4), :scheme http (static 6), :authority "" (literal)
+    block = bytes([0x82, 0x84, 0x86])
+    c, io = _conn(_frame(1, 0x4 | 0x1, 1, block))
+    c.api = _Api()
+    c.run()
+    assert 1 not in c.stream_windows
+    types = [f[0] for f in _parse_frames(bytes(io.sent))]
+    assert 0 in types and 1 in types  # DATA + HEADERS went out

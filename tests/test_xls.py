@@ -208,3 +208,36 @@ def test_not_ole2_rejected(tmp_path):
     p.write_bytes(b"plainly not a compound file")
     with pytest.raises(XlsError, match="magic"):
         read_xls(str(p))
+
+
+def test_truncated_xls_raises_load_error(spark, xls_path, tmp_path):
+    """Corrupt/truncated .xls must surface as LoadError from the excel
+    loader — never a raw IndexError/struct.error traceback (the CFB and
+    BIFF parsers slice and unpack aggressively)."""
+    from roapi_spark.config import TableSource
+    from roapi_spark.sources import LoadError
+    from roapi_spark.sources.excel import to_dataframe
+
+    raw = open(xls_path, "rb").read()
+    # cut inside the header, FAT, directory, and workbook stream
+    for cut in (100, 513, 700, 1025, 1500, 2049, len(raw) - 700, len(raw) - 37):
+        p = tmp_path / f"cut_{cut}.xls"
+        p.write_bytes(raw[:cut])
+        try:
+            to_dataframe(spark, TableSource(name="t", uri=str(p), format="xls"))
+        except LoadError:
+            pass  # the contract: a typed, message-bearing error
+
+
+def test_truncated_sst_is_xls_error(tmp_path):
+    """SST declaring more string bytes than the record stream carries
+    must raise XlsError (exhausted parts), not IndexError."""
+    # declare a 50-char string but provide only 10 bytes of chars
+    body = struct.pack("<HB", 50, 0x00) + b"only10byte"
+    sst = _rec(0x00FC, struct.pack("<II", 1, 1) + body)
+    sheet = _bof(0x0010) + _cell(0x00FD, 0, 0, struct.pack("<I", 0)) + _rec(0x000A, b"")
+    wb = _workbook({"s": sheet}, sst)
+    p = tmp_path / "badsst.xls"
+    p.write_bytes(_cfb(wb))
+    with pytest.raises(XlsError):
+        read_xls(str(p))
