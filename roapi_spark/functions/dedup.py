@@ -414,12 +414,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from roapi_spark.functions.similarity import cosine_expr, emb
+    from roapi_spark.functions.similarity import dot_expr, emb, norm_expr
 
-    e = emb(spark, sf_dir)
+    # Norms are hoisted to a map-side per-vector column BEFORE the pair
+    # join: the per-pair expression is then a single dot-product fold
+    # instead of dot + two norms (and Catalyst duplicates the pair
+    # expression into the filter, so hoisting cuts 6 array-aggregates
+    # per pair to 2). cos = dot/(na*nb) keeps the exact float evaluation
+    # order of the formula, so results are bit-identical to computing
+    # the norms inside the pair.
+    e = emb(spark, sf_dir).withColumn("n", norm_expr("v"))
     a = e.alias("a")
     b = e.alias("b")
-    cos = cosine_expr("a.v", "b.v")
+    cos = dot_expr("a.v", "b.v") / (F.col("a.n") * F.col("b.n"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .withColumn("cos_sim", F.round(cos, 4))
@@ -453,17 +460,26 @@ def _embedding_kmeans_oracle() -> str:
     "id (the scale path dedup_embedding_cosine only documents): candidate "
     "pairs are an equi-join on the coarse-quantizer cell, then exact "
     "cosine verify. Shares the integer-exact sampled Lloyd's fit with "
-    "ann_ivf_kmeans, so the full pipeline — clustering included — is "
+    "ann_ivf_kmeans via the build-once cid-partitioned ``ivf_layout`` "
+    "(the fit is amortized per corpus snapshot, not re-run per query), "
+    "so the full pipeline — clustering included — is "
     "DuckDB-oracle-checked.",
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from roapi_spark.functions.similarity import cosine_expr, kmeans_assignments
+    from roapi_spark.functions.similarity import dot_expr, ivf_layout, norm_expr
 
-    e = kmeans_assignments(spark, sf_dir)
+    layout_dir, _ = ivf_layout(spark, sf_dir)
+    # same norm hoist as dedup_embedding_cosine: one map-side fold per
+    # vector, a single dot fold per candidate pair
+    e = (
+        spark.read.parquet(layout_dir)
+        .select("vec_id", "v", "cid")
+        .withColumn("n", norm_expr("v"))
+    )
     a = e.alias("a")
     b = e.alias("b")
-    cos = cosine_expr("a.v", "b.v")
+    cos = dot_expr("a.v", "b.v") / (F.col("a.n") * F.col("b.n"))
     return (
         a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .withColumn("cos_sim", F.round(cos, 4))

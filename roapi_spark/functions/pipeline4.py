@@ -182,25 +182,31 @@ def _semantic_keep_oracle() -> str:
     tags=("dedup", "similarity", "pipeline"),
 )
 def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from roapi_spark.functions.similarity import cosine_expr, ivf_layout
+    from roapi_spark.functions.similarity import dot_expr, ivf_layout, norm_expr
 
     # the cid-partitioned IVF layout stores exactly (vec_id, v, cid) —
     # the build-once index amortizes the k-means fit across every
-    # cell-blocked op (test_ivf_layout pins layout == live assignment)
+    # cell-blocked op (test_ivf_layout pins layout == live assignment).
+    # Norms are hoisted map-side so the per-pair filter is one dot fold.
     layout_dir, _ = ivf_layout(spark, sf_dir)
-    e = spark.read.parquet(layout_dir).select("vec_id", "v", "cid")
+    e = (
+        spark.read.parquet(layout_dir)
+        .select("vec_id", "v", "cid")
+        .withColumn("n", norm_expr("v"))
+    )
     a = e.alias("a")
     b = e.alias("b")
+    cos = dot_expr("a.v", "b.v") / (F.col("a.n") * F.col("b.n"))
     dropped = (
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(F.round(cosine_expr("a.v", "b.v"), 4) >= 0.3)
+        .filter(F.round(cos, 4) >= 0.3)
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )
-    return e.join(dropped, "vec_id", "left_anti").select("vec_id", "cid")
+    return e.select("vec_id", "cid").join(dropped, "vec_id", "left_anti")
 
 
 @register(
