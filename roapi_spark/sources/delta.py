@@ -34,13 +34,15 @@ from roapi_spark.sources import LoadError
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 
-# Reader features this naive add/remove replay actually honors. Anything
-# else (deletionVectors, columnMapping, v2Checkpoint, ...) changes what
-# "the active files" or "the columns" MEAN, and replaying without
-# understanding it silently returns wrong rows — so we fail loudly
-# instead (the reference gets these from delta-rs for free,
-# columnq/src/table/delta.rs:104-297).
-_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+# Reader features this log replay actually honors. Anything else
+# (columnMapping, v2Checkpoint, ...) changes what "the active files" or
+# "the columns" MEAN, and replaying without understanding it silently
+# returns wrong rows — so we fail loudly instead (the reference gets
+# these from delta-rs for free, columnq/src/table/delta.rs:104-297).
+# deletionVectors (round 4): honored — the roaring bitmap is decoded in
+# pure Python (sources/deletion_vectors.py) and deleted rows are
+# anti-filtered via the parquet scan's _metadata.row_index.
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
 
 
 def _check_protocol(action: dict, table_path: str) -> None:
@@ -72,12 +74,6 @@ def _check_protocol(action: dict, table_path: str) -> None:
                 f"{conf['delta.columnMapping.mode']!r} is not supported by "
                 "the pure-Python log replay — install delta-spark jars"
             )
-    if "add" in action and action["add"].get("deletionVector"):
-        raise LoadError(
-            f"delta table {table_path}: file with a deletion vector — row-"
-            "level deletes are invisible to the pure-Python log replay; "
-            "install delta-spark jars to read this table"
-        )
 
 
 def _log_versions(log_dir: str) -> list[tuple[int, str]]:
@@ -114,11 +110,11 @@ def _checkpoint_state(log_dir: str, upto: int | None) -> tuple[int, dict[str, bo
                 for rec in tbl.column(col).to_pylist():
                     if rec:
                         _check_protocol({col: rec}, table_path)
-        active: dict[str, bool] = {}
+        active: dict[str, dict | None] = {}
         for rec in tbl.column("add").to_pylist():
             if rec and rec.get("path"):
                 _check_protocol({"add": rec}, table_path)
-                active[rec["path"]] = True
+                active[rec["path"]] = rec.get("deletionVector")
         return v, active
     except LoadError:
         raise
@@ -129,6 +125,14 @@ def _checkpoint_state(log_dir: str, upto: int | None) -> tuple[int, dict[str, bo
 def snapshot_files(table_path: str, version: int | None = None,
                    timestamp: str | None = None) -> list[str]:
     """Active data files of a Delta table at a snapshot (pure Python)."""
+    return [p for p, _ in snapshot_adds(table_path, version, timestamp)]
+
+
+def snapshot_adds(
+    table_path: str, version: int | None = None, timestamp: str | None = None
+) -> list[tuple[str, dict | None]]:
+    """Active (data file, deletionVector descriptor | None) pairs of a
+    Delta table at a snapshot (pure Python)."""
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise LoadError(f"not a delta table (no _delta_log): {table_path}")
@@ -158,24 +162,83 @@ def snapshot_files(table_path: str, version: int | None = None,
                 action = json.loads(line)
                 _check_protocol(action, table_path)
                 if "add" in action:
-                    active[action["add"]["path"]] = True
+                    # a re-add of the same path replaces its DV (how
+                    # DELETE updates a file's deletion vector)
+                    active[action["add"]["path"]] = action["add"].get(
+                        "deletionVector"
+                    )
                 elif "remove" in action:
                     active.pop(action["remove"]["path"], None)
-    return [os.path.join(table_path, unquote(p)) for p in active]
+    return [
+        (os.path.join(table_path, unquote(p)), dv) for p, dv in active.items()
+    ]
 
 
 def _read_via_log(spark: SparkSession, ts: TableSource) -> DataFrame:
     version = ts.option.get("version")
-    files = snapshot_files(
+    adds = snapshot_adds(
         ts.uri,
         version=None if version is None else int(version),
         timestamp=ts.option.get("timestamp"),
     )
-    if not files:
+    if not adds:
         raise LoadError(f"delta table {ts.name!r}: snapshot has no data files")
+    files = [p for p, _ in adds]
     # basePath keeps hive-style partition dirs as columns, matching what
     # the delta-spark reader reconstructs from add.partitionValues
-    return spark.read.option("basePath", ts.uri).parquet(*files)
+    df = spark.read.option("basePath", ts.uri).parquet(*files)
+    with_dv = [(p, dv) for p, dv in adds if dv]
+    if not with_dv:
+        return df
+    return _apply_deletion_vectors(spark, df, with_dv, ts)
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession,
+    df: DataFrame,
+    with_dv: list[tuple[str, dict]],
+    ts: TableSource,
+) -> DataFrame:
+    """Anti-filter DV'd rows: decode each file's roaring bitmap (pure
+    Python — the bitmaps are KB-scale descriptors, driver-bounded like
+    the reference's delta-rs read), then drop (file, row_index) matches
+    using the parquet scan's ``_metadata`` columns. The join side is
+    one row per *deleted row index*; at cluster scale a table with
+    billions of DV'd rows would lift the decode into a mapInPandas
+    over the descriptor list — the filter shape is identical."""
+    from pyspark.sql import functions as F
+
+    from roapi_spark.sources.deletion_vectors import (
+        DeletionVectorError,
+        read_deletion_vector,
+    )
+
+    deleted: list[tuple[str, int]] = []
+    for path, dv in with_dv:
+        try:
+            idxs = read_deletion_vector(dv, ts.uri)
+        except (DeletionVectorError, OSError, KeyError) as exc:
+            raise LoadError(
+                f"delta table {ts.name!r}: unreadable deletion vector for "
+                f"{os.path.basename(path)}: {exc}"
+            ) from exc
+        deleted.extend((os.path.abspath(path), int(i)) for i in idxs)
+    cols = df.columns
+    dv_df = spark.createDataFrame(deleted, "_dv_file string, _dv_row bigint")
+    kept = (
+        # normalize file:/p vs file:///p URI spellings to a plain path
+        df.withColumn(
+            "_file", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        )
+        .withColumn("_row", F.col("_metadata.row_index"))
+        .join(
+            F.broadcast(dv_df),
+            (F.col("_file") == F.col("_dv_file"))
+            & (F.col("_row") == F.col("_dv_row")),
+            "left_anti",
+        )
+    )
+    return kept.select(*cols)
 
 
 def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:

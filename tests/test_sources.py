@@ -697,21 +697,22 @@ def _mk_delta(tmp_path, actions_by_version):
 
 
 def test_delta_reader_version_guard(spark, tmp_path):
-    """Modern-protocol features the naive replay can't honor (deletion
-    vectors, column mapping) must fail loudly, not return wrong rows
-    (delta-rs gives the reference these free, delta.rs:104-297)."""
+    """Modern-protocol features the replay can't honor (v2Checkpoint,
+    column mapping) must fail loudly, not return wrong rows (delta-rs
+    gives the reference these free, delta.rs:104-297). deletionVectors
+    is honored since round 4 (test_deletion_vectors.py)."""
     from roapi_spark.sources import LoadError
 
     root = _mk_delta(tmp_path, {
         0: [
             {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                          "readerFeatures": ["deletionVectors"]}},
+                          "readerFeatures": ["v2Checkpoint"]}},
             {"metaData": {"id": "m", "format": {"provider": "parquet"}}},
             {"add": {"path": "part-0.parquet", "size": 1,
                      "modificationTime": 0, "dataChange": True}},
         ],
     })
-    with pytest.raises(LoadError, match="deletionVectors"):
+    with pytest.raises(LoadError, match="v2Checkpoint"):
         _load(spark, {"name": "x", "uri": str(root), "option": {"format": "delta"}})
 
 
@@ -731,9 +732,10 @@ def test_delta_column_mapping_guard(spark, tmp_path):
         _load(spark, {"name": "x", "uri": str(root), "option": {"format": "delta"}})
 
 
-def test_delta_deletion_vector_on_add_guard(spark, tmp_path):
-    # even with a v1 protocol line, an add carrying a deletionVector must
-    # not silently surface deleted rows
+def test_delta_deletion_vector_unreadable_guard(spark, tmp_path):
+    # an add carrying a deletionVector that can't be decoded must fail
+    # loudly, never silently surface deleted rows (the happy path lives
+    # in test_deletion_vectors.py)
     from roapi_spark.sources import LoadError
 
     root = _mk_delta(tmp_path, {
