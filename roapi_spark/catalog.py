@@ -146,12 +146,17 @@ class Catalog:
             "data_type string"
         ).createOrReplaceTempView("information_schema_columns")
 
-    def query_sql(self, sql: str) -> DataFrame:
+    def query_sql(self, sql: str, args: list | None = None) -> DataFrame:
+        """``args`` are positional parameters for ``?`` placeholders,
+        bound by Spark's native parameterized-SQL support (values never
+        pasted into the SQL text — no quoting/injection concerns)."""
         if self.read_only:
             self._assert_read_only_sql(sql)
         if self._INFO_SCHEMA_RE.search(sql):
             self._materialize_information_schema()
             sql = self._INFO_SCHEMA_RE.sub(lambda m: f"information_schema_{m.group(1).lower()}", sql)
+        if args:
+            return self.spark.sql(sql, args=args)
         return self.spark.sql(sql)
 
     def query_rest(self, table: str, params: dict[str, str]) -> DataFrame:

@@ -14,9 +14,12 @@ Protocol mapping (same lifecycle as the reference):
 - prepared statements: ``CreatePreparedStatement`` /
   ``ClosePreparedStatement`` actions with Any-wrapped request/result
   payloads (flight_sql.rs do_action_create_prepared_statement).
-  Parameter binding via do_put is not offered (our prepared statements
-  re-plan per execution; DoPut is a write surface the read-only catalog
-  rejects anyway).
+  Parameter binding via ``do_put`` (flight_sql.rs:781-796): a
+  ``CommandPreparedStatementQuery`` descriptor carries an Arrow batch of
+  positional parameters; the next execution binds them as Spark
+  parameterized-SQL args (never string-pasted). The data-write DoPut
+  surfaces (``CommandStatementIngest`` etc.) stay rejected — the
+  catalog is a read surface.
 - ``do_get`` streams the stashed batches for a ticket (one-shot, popped on
   read — flight_sql.rs:279-316 do_get_fallback); metadata command tickets
   are recomputed on demand.
@@ -124,6 +127,20 @@ class _AuthMiddlewareFactory(flight.ServerMiddlewareFactory):
         raise flight.FlightUnauthenticatedError("invalid or missing credentials")
 
 
+def _count_placeholders(sql: str) -> int:
+    """Positional ``?`` markers outside single/double-quoted literals."""
+    n, in_q = 0, ""
+    for c in sql:
+        if in_q:
+            if c == in_q:
+                in_q = ""
+        elif c in ("'", '"'):
+            in_q = c
+        elif c == "?":
+            n += 1
+    return n
+
+
 class SparkFlightServer(flight.FlightServerBase):
     def __init__(
         self,
@@ -142,6 +159,7 @@ class SparkFlightServer(flight.FlightServerBase):
         self.catalog = catalog
         self._results: dict[bytes, pa.Table] = {}
         self._prepared: dict[bytes, str] = {}
+        self._params: dict[bytes, list] = {}
         self._lock = threading.Lock()
 
     # -- query path --------------------------------------------------------
@@ -252,10 +270,48 @@ class SparkFlightServer(flight.FlightServerBase):
             handle = fsp.decode_fields(payload)[1][0]
             with self._lock:
                 sql = self._prepared.get(handle)
+                args = self._params.get(handle)
             if sql is None:
                 raise flight.FlightServerError("unknown prepared statement handle")
-            return self._stash(self.catalog.query_sql(sql).toArrow(), descriptor)
+            return self._stash(
+                self.catalog.query_sql(sql, args=args).toArrow(), descriptor
+            )
         return self._stash(self._metadata_table(cmd, payload), descriptor)
+
+    def do_put(self, context, descriptor, reader, writer):
+        """FlightSQL parameter binding (flight_sql.rs:781-796): the
+        descriptor names a prepared statement; the stream carries one
+        Arrow batch of positional parameters (one column per ``?``, one
+        row). Data-ingest DoPut commands are rejected — read-only."""
+        unpacked = fsp.any_unpack(descriptor.command)
+        if unpacked is None or unpacked[0] != "CommandPreparedStatementQuery":
+            raise flight.FlightServerError(
+                "do_put supports only CommandPreparedStatementQuery "
+                "(parameter binding); the catalog is read-only"
+            )
+        handle = fsp.decode_fields(unpacked[1])[1][0]
+        with self._lock:
+            if handle not in self._prepared:
+                raise flight.FlightServerError("unknown prepared statement handle")
+        table = reader.read_all()
+        if table.num_rows:
+            if table.num_rows != 1:
+                raise flight.FlightServerError(
+                    f"expected a single parameter row, got {table.num_rows}"
+                )
+            row = [col[0].as_py() for col in table.columns]
+            with self._lock:
+                self._params[handle] = row
+        # DoPutPreparedStatementResult: echo the (unchanged) handle so
+        # spec-following clients (ADBC) can adopt it
+        writer.write(
+            pa.py_buffer(
+                fsp.any_pack(
+                    "DoPutPreparedStatementResult",
+                    fsp.encode_bytes_field(1, handle),
+                )
+            )
+        )
 
     def get_flight_info(self, context, descriptor):
         if descriptor.descriptor_type != flight.DescriptorType.CMD:
@@ -295,8 +351,16 @@ class SparkFlightServer(flight.FlightServerBase):
                 raise flight.FlightServerError("bad CreatePreparedStatement body")
             sql = fsp.decode_fields(unpacked[1])[1][0]
             sql = sql.decode() if isinstance(sql, bytes) else str(sql)
-            # validate + capture the result schema without executing
-            schema = self.catalog.query_sql(sql).limit(0).toArrow().schema
+            # validate + capture the result schema without executing;
+            # ?-parameterized statements analyze with NULLs bound ('?'
+            # counted outside string literals)
+            n_params = _count_placeholders(sql)
+            schema = (
+                self.catalog.query_sql(sql, args=[None] * n_params or None)
+                .limit(0)
+                .toArrow()
+                .schema
+            )
             handle = uuid.uuid4().hex.encode()
             with self._lock:
                 self._prepared[handle] = sql
@@ -313,6 +377,7 @@ class SparkFlightServer(flight.FlightServerBase):
             handle = fsp.decode_fields(unpacked[1])[1][0]
             with self._lock:
                 self._prepared.pop(handle, None)
+                self._params.pop(handle, None)
             yield b""
         elif action.type == "list-tables":
             yield json.dumps(self.catalog.table_names()).encode()

@@ -180,3 +180,64 @@ def test_basic_auth_handshake(spark, tmp_path_factory):
         assert tbl.column("n").to_pylist() == [2]
     finally:
         server.shutdown()
+
+
+def test_flightsql_doput_parameter_binding(served):
+    """ADBC/JDBC-style parameterized execution (flight_sql.rs:781-796):
+    prepare with ? placeholders, bind an Arrow parameter batch via
+    do_put, execute, rebind, execute again."""
+    client = flight.connect(f"grpc://127.0.0.1:{served.port}")
+    results = list(
+        client.do_action(
+            flight.Action(
+                "CreatePreparedStatement",
+                fsp.action_create_prepared_statement(
+                    "SELECT rocket FROM launches WHERE n = ? ORDER BY rocket"
+                ),
+            )
+        )
+    )
+    handle, _ = fsp.parse_prepared_statement_result(results[0].body.to_pybytes())
+    desc = flight.FlightDescriptor.for_command(
+        fsp.command_prepared_statement_query(handle)
+    )
+
+    def bind(value):
+        params = pa.table({"param_1": pa.array([value], pa.int64())})
+        writer, mreader = client.do_put(desc, params.schema)
+        writer.write_table(params)
+        writer.done_writing()
+        buf = mreader.read()  # DoPutPreparedStatementResult echoes the handle
+        assert buf is not None
+        unpacked = fsp.any_unpack(buf.to_pybytes())
+        assert unpacked[0] == "DoPutPreparedStatementResult"
+        assert fsp.decode_fields(unpacked[1])[1][0] == handle
+        writer.close()
+
+    bind(3)
+    info = client.get_flight_info(desc)
+    t = client.do_get(info.endpoints[0].ticket).read_all()
+    assert t.column("rocket").to_pylist() == ["falcon9", "falcon9x"]
+
+    bind(1)  # rebind -> different result set, same handle
+    info = client.get_flight_info(desc)
+    t = client.do_get(info.endpoints[0].ticket).read_all()
+    assert t.column("rocket").to_pylist() == ["falconheavy"]
+
+    list(client.do_action(
+        flight.Action("ClosePreparedStatement", fsp.action_close_prepared_statement(handle))
+    ))
+
+
+def test_doput_rejects_data_ingest(served):
+    """The catalog is read-only: DoPut with anything but parameter
+    binding must be refused."""
+    client = flight.connect(f"grpc://127.0.0.1:{served.port}")
+    schema = pa.schema([("x", pa.int64())])
+    with pytest.raises(flight.FlightError, match="read-only|CommandPreparedStatementQuery"):
+        writer, _ = client.do_put(
+            flight.FlightDescriptor.for_command(b"INSERT INTO launches VALUES (1)"),
+            schema,
+        )
+        writer.write_table(pa.table({"x": pa.array([1], pa.int64())}))
+        writer.close()
