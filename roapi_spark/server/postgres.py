@@ -163,7 +163,7 @@ class _Handler(socketserver.BaseRequestHandler):
     def handle(self) -> None:  # noqa: C901
         sock = self.request
         # per-connection extended-protocol state
-        self._stmts: dict[str, tuple[str, list[int]]] = {}
+        self._stmts: dict[str, dict] = {}  # name -> {sql, oids, fields}
         self._portals: dict[str, dict] = {}
         self._skip_to_sync = False
         try:
@@ -299,7 +299,13 @@ class _Handler(socketserver.BaseRequestHandler):
         sql, rest = _read_cstr(rest)
         (n_oids,) = struct.unpack(">H", rest[:2])
         oids = list(struct.unpack(f">{n_oids}I", rest[2 : 2 + 4 * n_oids]))
-        self._stmts[name] = (sql.strip().rstrip(";").strip(), oids)
+        # fields: analyzed result schema, cached per named statement the
+        # way the reference's DashMap caches prepared plans
+        # (flight_sql.rs:107-126) — Describe re-plans at most once per
+        # Parse; re-Parse of the same name invalidates. "unset" marks
+        # not-yet-probed (None is a valid outcome: analysis failed).
+        self._stmts[name] = {"sql": sql.strip().rstrip(";").strip(),
+                             "oids": oids, "fields": "unset"}
         sock.sendall(_msg(b"1", b""))  # ParseComplete
 
     def _bind_msg(self, sock, payload: bytes) -> None:  # noqa: C901
@@ -327,7 +333,8 @@ class _Handler(socketserver.BaseRequestHandler):
         if stmt_name not in self._stmts:
             self._ext_error(sock, f"unknown prepared statement {stmt_name!r}")
             return
-        sql, oids = self._stmts[stmt_name]
+        stmt = self._stmts[stmt_name]
+        sql, oids = stmt["sql"], stmt["oids"]
         try:
             lits = []
             for i, raw in enumerate(raws):
@@ -359,16 +366,22 @@ class _Handler(socketserver.BaseRequestHandler):
             if name not in self._stmts:
                 self._ext_error(sock, f"unknown prepared statement {name!r}")
                 return
-            sql, oids = self._stmts[name]
+            stmt = self._stmts[name]
+            oids = stmt["oids"]
             sock.sendall(  # ParameterDescription
                 _msg(b"t", struct.pack(">H", len(oids)) + b"".join(struct.pack(">I", o) for o in oids))
             )
-            try:
-                # schema without execution: bind NULLs, analyze lazily
-                probe = _substitute_params(sql, ["NULL"] * 99)
-                fields = self.server.catalog.query_sql(probe).schema.fields
-                sock.sendall(_msg(b"T", self._row_desc(fields)))
-            except Exception:  # noqa: BLE001 — NULL-typed probe can fail analysis
+            if stmt["fields"] == "unset":
+                try:
+                    # schema without execution: bind NULLs, analyze once;
+                    # cached on the statement for every later Describe
+                    probe = _substitute_params(stmt["sql"], ["NULL"] * 99)
+                    stmt["fields"] = self.server.catalog.query_sql(probe).schema.fields
+                except Exception:  # noqa: BLE001 — NULL-typed probe can fail analysis
+                    stmt["fields"] = None
+            if stmt["fields"] is not None:
+                sock.sendall(_msg(b"T", self._row_desc(stmt["fields"])))
+            else:
                 sock.sendall(_msg(b"n", b""))  # NoData
             return
         if kind == b"P":

@@ -318,3 +318,36 @@ def test_pg_wire_client_error_surfaces(pg):
     # connection recovers after the error (server sends ReadyForQuery)
     assert c.query("SELECT 5 AS v").rows == [[5]]
     c.close()
+
+
+def test_describe_plans_once_per_parse(pg):
+    """The analyzed result schema is cached per named statement (the
+    reference's DashMap pattern, flight_sql.rs:107-126): repeated
+    Describe(S) must not re-plan; a re-Parse of the same name must."""
+    calls = []
+    catalog = pg.catalog
+    orig = catalog.query_sql
+
+    def counting(sql, *a, **kw):
+        calls.append(sql)
+        return orig(sql, *a, **kw)
+
+    catalog.query_sql = counting
+    try:
+        c = MiniPgClient(pg.port)
+        c.parse("pc", "SELECT id FROM pgt WHERE id = $1", [20])
+        for _ in range(3):
+            c.describe("S", "pc")
+        msgs = c.sync()
+        assert _tags(msgs).count(b"T") == 3  # every Describe answered
+        probes = [s for s in calls if "NULL" in s]
+        assert len(probes) == 1, f"expected 1 analysis probe, got {probes}"
+        # re-Parse same name -> cache invalidated -> one more probe
+        c.parse("pc", "SELECT id, id + 1 AS nxt FROM pgt WHERE id = $1", [20])
+        c.describe("S", "pc")
+        c.sync()
+        probes = [s for s in calls if "NULL" in s]
+        assert len(probes) == 2
+        c.close()
+    finally:
+        catalog.query_sql = orig
