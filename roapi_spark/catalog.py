@@ -19,6 +19,7 @@ refresh machinery:
 
 from __future__ import annotations
 
+import os
 import re
 import threading
 import time
@@ -49,17 +50,80 @@ class Catalog:
         self._refresh_stop = threading.Event()
         self._refresh_thread: threading.Thread | None = None
         self._lock = threading.Lock()
+        # pinned generations for refreshable tables: name -> [older, newer]
+        self._pinned: dict[str, list[DataFrame]] = {}
+        # staged point-in-time file copies backing those generations
+        self._staged: dict[str, list[str]] = {}
 
     # -- tables ------------------------------------------------------------
+
+    def _stage_source(self, ts: TableSource) -> TableSource:
+        """Snapshot isolation for refreshable single-file sources: copy
+        the file to an immutable staging path and load THAT. Loading a
+        live path is inherently racy — schema inference, the pin's
+        materialization, and the scan each open the file at different
+        times, and Spark truncates reads at the listed size, so a writer
+        rewriting the file mid-load yields torn rows (caught by
+        test_concurrent_refresh_rebind_soak). Writers using atomic
+        rename make the copy a consistent point-in-time snapshot. Two
+        staged generations are kept (matching the pin rotation) so
+        recomputes of the previous generation still find their file."""
+        if ts.reload_interval is None or not os.path.isfile(ts.uri):
+            return ts
+        import dataclasses
+        import shutil
+        import uuid as _uuid
+
+        from roapi_spark.functions.snapshot import cache_root
+
+        stage_dir = os.path.join(cache_root(), "refresh_stage", ts.name)
+        os.makedirs(stage_dir, exist_ok=True)
+        ext = os.path.splitext(ts.uri)[1]
+        staged = os.path.join(stage_dir, f"{_uuid.uuid4().hex}{ext}")
+        shutil.copy2(ts.uri, staged)
+        gens = self._staged.setdefault(ts.name, [])
+        gens.append(staged)
+        if len(gens) > 2:
+            old = gens.pop(0)
+            try:
+                os.unlink(old)
+            except OSError:
+                pass
+        return dataclasses.replace(ts, uri=staged)
+
+    def _bind(self, ts: TableSource, df: DataFrame) -> DataFrame:
+        """Bind a loaded DataFrame as ``ts.name``'s view.
+
+        Refreshable tables (``reload_interval`` set) are PINNED first:
+        persisted and eagerly materialized, so queries serve from a
+        committed snapshot and never race the underlying file being
+        rewritten. This mirrors the reference, which reloads refreshable
+        tables wholesale into a MemTable (columnq.rs load -> MemTable).
+        The previous generation stays pinned until the NEXT swap so
+        in-flight queries holding the old plan finish against intact
+        blocks; generation n-2 is unpersisted (non-blocking).
+        Refreshable tables are dimension-sized by nature — exactly the
+        tables one pins at 100 TB too."""
+        if ts.reload_interval is not None:
+            from pyspark import StorageLevel
+
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()  # eager: the swap below publishes a complete snapshot
+            gens = self._pinned.setdefault(ts.name, [])
+            gens.append(df)
+            if len(gens) > 2:
+                gens.pop(0).unpersist(blocking=False)
+        df.createOrReplaceTempView(ts.name)
+        return df
 
     def load_table(self, ts: TableSource, dynamic: bool = False) -> None:
         """Load + register. ``dynamic=True`` marks an API-initiated register,
         rejected in read-only mode (roapi/src/api/routes.rs:29-37)."""
         if dynamic and self.read_only:
             raise ReadOnlyError("catalog is read-only; dynamic register disabled")
-        df = _load(self.spark, ts)
+        df = _load(self.spark, self._stage_source(ts))
         with self._lock:
-            df.createOrReplaceTempView(ts.name)
+            self._bind(ts, df)
             self.sources[ts.name] = ts
 
     def drop_table(self, name: str, dynamic: bool = False) -> None:
@@ -70,6 +134,13 @@ class Catalog:
                 raise CatalogError(f"table not found: {name}")
             self.spark.catalog.dropTempView(name)
             del self.sources[name]
+            for df in self._pinned.pop(name, []):
+                df.unpersist(blocking=False)
+            for staged in self._staged.pop(name, []):
+                try:
+                    os.unlink(staged)
+                except OSError:
+                    pass
 
     def table(self, name: str) -> DataFrame:
         if name not in self.sources:
@@ -189,9 +260,9 @@ class Catalog:
         ts = self.sources.get(name)
         if ts is None:
             raise CatalogError(f"table not found: {name}")
-        df = _load(self.spark, ts)
+        df = _load(self.spark, self._stage_source(ts))
         with self._lock:
-            df.createOrReplaceTempView(name)
+            self._bind(ts, df)
 
     def start_refresh_loop(self, poll_interval: float = 1.0) -> None:
         """Background drain loop (startup.rs:75-82's 1 s cadence): any table

@@ -162,3 +162,71 @@ def test_ui_console(base_url):
     status, ctype, body = _req(f"{url}/")
     assert status == 200 and ctype.startswith("text/html")
     assert b"/api/sql" in body  # the console posts to the SQL endpoint
+
+
+def test_concurrent_refresh_rebind_soak(spark, tmp_path_factory):
+    """SURVEY risk register: hammer /api/sql while the refresh loop swaps
+    the temp view underneath. Every response must be a complete result
+    from SOME committed snapshot — no dropped-view errors, no torn reads
+    mixing snapshots."""
+    import threading
+    import time as _time
+
+    root = tmp_path_factory.mktemp("soak")
+    csv = root / "live.csv"
+
+    def write_snapshot(tag: int, n: int = 50) -> None:
+        rows = "\n".join(f"r{i},{tag}" for i in range(n))
+        # atomic replace so the loader never sees a half-written file
+        tmp = root / "live.csv.tmp"
+        tmp.write_text(f"k,snap\n{rows}\n")
+        tmp.replace(csv)
+
+    write_snapshot(0)
+    cat = Catalog(spark)
+    cat.load_table(
+        parse_table_config({"name": "live", "uri": str(csv), "reload_interval": 1})
+    )
+    cat.start_refresh_loop(poll_interval=0.05)
+    srv = ApiServer(cat)
+    host, port = srv.start()
+    url = f"http://{host}:{port}/api/sql"
+    failures: list[str] = []
+    stop = threading.Event()
+
+    def hammer() -> None:
+        while not stop.is_set():
+            try:
+                status, _, body = _req(
+                    url, method="POST",
+                    body=b"SELECT snap, COUNT(*) AS n FROM live GROUP BY snap",
+                )
+                rows = json.loads(body)
+                if status != 200:
+                    failures.append(f"status {status}")
+                elif len(rows) != 1 or rows[0]["n"] != 50:
+                    failures.append(f"torn read: {rows}")
+            except Exception as exc:  # noqa: BLE001
+                failures.append(repr(exc))
+
+    threads = [threading.Thread(target=hammer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    try:
+        # rewrite the source continuously; ensure several refresh cycles land
+        deadline = _time.time() + 8
+        tag = 0
+        while _time.time() < deadline:
+            tag += 1
+            write_snapshot(tag)
+            _time.sleep(0.2)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=10)
+        cat.stop_refresh_loop()
+        srv.stop()
+    assert failures == [], failures[:5]
+    # the refresh loop did observe new snapshots
+    final = cat.query_sql("SELECT MAX(snap) AS m FROM live").collect()[0].m
+    assert final > 0
