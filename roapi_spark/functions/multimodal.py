@@ -74,13 +74,59 @@ def encode_fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
 
 
 def decode_audio(blob: bytes) -> tuple[int, np.ndarray]:
-    """-> (sample_rate, int16 sample array)."""
+    """-> (sample_rate, int16 sample array; channel 0 for multi-channel).
+
+    Dispatch: FAUD synthetic; RIFF/WAVE PCM decoded for real via the
+    stdlib ``wave`` module (the one real codec available container-side
+    — proves the real-format seam end-to-end, including under the
+    DuckDB gate via ``multimodal_audio_wav``); anything else gates on
+    the named codec dependency."""
     if blob[:4] == AUD_MAGIC:
         rate, n = struct.unpack(">II", blob[4:12])
         return rate, np.frombuffer(blob[12 : 12 + 2 * n], dtype="<i2")
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(blob)) as w:
+                rate = w.getframerate()
+                channels = w.getnchannels()
+                width = w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+        except (wave.Error, EOFError) as exc:
+            raise ValueError(f"malformed WAV blob: {exc}") from exc
+        if width == 2:
+            arr = np.frombuffer(raw, dtype="<i2")
+        elif width == 1:  # unsigned 8-bit -> centered int16
+            arr = ((np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) << 8)
+        else:
+            raise NotImplementedError(
+                f"{8 * width}-bit WAV requires soundfile; only 8/16-bit "
+                "PCM decodes here"
+            )
+        if channels > 1:
+            arr = arr.reshape(-1, channels)[:, 0]
+        return rate, arr
     raise NotImplementedError(
         "real audio decode requires soundfile/libav (not in this container); "
-        "only the FAUD synthetic format decodes here"
+        "only the FAUD synthetic format and PCM WAV decode here"
+    )
+
+
+def encode_wav(rate: int, pcm: np.ndarray, channels: int = 1) -> bytes:
+    """Canonical RIFF/WAVE PCM encoder (stdlib-deterministic): int16
+    samples, interleaved if multi-channel."""
+    data = np.ascontiguousarray(pcm, dtype="<i2").tobytes()
+    block = channels * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * block, block, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
     )
 
 
@@ -375,6 +421,68 @@ def multimodal_audio_stats(spark, sf_dir: str) -> DataFrame:
                         + pcm.tobytes(),
                     )
                 )
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    corpus = ids.mapInPandas(gen, "id bigint, content binary")
+    stats = audio_stats(corpus)
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "duration_s",
+        pround(F.col("rms")).alias("rms"),
+        "peak",
+    )
+
+
+_WAV_RATE, _WAV_N = 8000, 200
+
+
+@register(
+    "multimodal_audio_wav",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_WAV_N - 1}),
+                            j -> ((doc_id * 29 + j * 11) % 4096) - 2048) AS x
+      FROM documents
+    )
+    SELECT doc_id,
+           {_WAV_RATE} AS sample_rate,
+           CAST({_WAV_N} AS BIGINT) AS n_samples,
+           {_WAV_N} / {_WAV_RATE}.0 AS duration_s,
+           FLOOR(SQRT(LIST_SUM(LIST_TRANSFORM(x, v -> v * v)) / {_WAV_N}.0)
+                 * 10000 + 0.5) / 10000.0 AS rms,
+           CAST(LIST_MAX(LIST_TRANSFORM(x, v -> ABS(v))) AS INTEGER) AS peak
+    FROM s
+    """,
+    doc="REAL-codec seam under the correctness gate: per document a "
+    "stereo RIFF/WAVE PCM blob (channel 0 = the deterministic formula, "
+    "channel 1 = silence) is encoded with the canonical WAV writer and "
+    "decoded through decode_audio's real-format branch (stdlib wave "
+    "module — the actual container format, not the FAUD synthetic). "
+    "Channel handling is load-bearing: stats match the oracle only if "
+    "the decoder correctly de-interleaves and picks channel 0.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_audio_wav(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from roapi_spark.util import pround
+
+    ids = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                mono = np.array(
+                    [((int(i) * 29 + j * 11) % 4096) - 2048 for j in range(_WAV_N)],
+                    dtype=np.int16,
+                )
+                stereo = np.zeros(2 * _WAV_N, dtype=np.int16)
+                stereo[0::2] = mono  # channel 0; channel 1 stays silent
+                rows.append((int(i), encode_wav(_WAV_RATE, stereo, channels=2)))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
     corpus = ids.mapInPandas(gen, "id bigint, content binary")

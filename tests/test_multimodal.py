@@ -103,5 +103,80 @@ def test_audio_real_codec_gated(spark):
 
     from roapi_spark.functions.multimodal import decode_audio
 
-    with _pytest.raises(NotImplementedError, match="soundfile"):
+    # PCM WAV now decodes for real (round 4); a truncated/malformed WAV
+    # is a typed ValueError, and non-WAV formats still gate on the
+    # named dependency
+    with _pytest.raises(ValueError, match="malformed WAV"):
         decode_audio(b"RIFF....WAVEfmt ")
+    with _pytest.raises(NotImplementedError, match="soundfile"):
+        decode_audio(b"fLaC garbage")
+
+
+# ---- real-codec seam (round 4) ---------------------------------------------
+
+
+def test_real_codec_gates_name_dependency():
+    """Contract: unknown real formats fail with the dependency NAMED, so
+    a user knows exactly what to install; the synthetic paths stay
+    byte-deterministic."""
+    from roapi_spark.functions.multimodal import (
+        decode_audio,
+        decode_image,
+        decode_video,
+        encode_fake_audio,
+        encode_fake_image,
+        encode_fake_video,
+    )
+
+    with pytest.raises(NotImplementedError, match="PIL|pillow"):
+        decode_image(b"\x89PNG\r\n\x1a\n garbage")
+    with pytest.raises(NotImplementedError, match="soundfile|libav"):
+        decode_audio(b"OggS garbage")
+    with pytest.raises(NotImplementedError, match="pyav|ffmpeg"):
+        decode_video(b"\x00\x00\x00 ftypisom garbage")
+    # synthetic encoders are bytewise deterministic (same seed -> same blob)
+    assert encode_fake_image(8, 4, seed=7) == encode_fake_image(8, 4, seed=7)
+    assert encode_fake_audio(8000, 64, seed=7) == encode_fake_audio(8000, 64, seed=7)
+    assert encode_fake_video(3, 4, 2, seed=7) == encode_fake_video(3, 4, 2, seed=7)
+
+
+def test_wav_real_decode_roundtrip():
+    """PCM WAV is a REAL container format decoded by the stdlib wave
+    branch: 16-bit mono roundtrip, stereo channel-0 pick, 8-bit widen,
+    and a loud gate for unsupported depths."""
+    import numpy as np
+
+    from roapi_spark.functions.multimodal import decode_audio, encode_wav
+
+    mono = np.arange(-100, 100, dtype=np.int16)
+    rate, got = decode_audio(encode_wav(16000, mono))
+    assert rate == 16000 and np.array_equal(got, mono)
+
+    stereo = np.zeros(2 * len(mono), dtype=np.int16)
+    stereo[0::2] = mono
+    stereo[1::2] = 999  # channel 1 junk must be ignored
+    rate, got = decode_audio(encode_wav(8000, stereo, channels=2))
+    assert rate == 8000 and np.array_equal(got, mono)
+
+    # 8-bit unsigned: stdlib wave writes sampwidth via header; craft one
+    import io
+    import wave as _wave
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(4000)
+        w.writeframes(bytes([0, 128, 255]))
+    rate, got = decode_audio(buf.getvalue())
+    assert rate == 4000
+    assert got.tolist() == [(-128) << 8, 0, 127 << 8]
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)
+        w.setframerate(4000)
+        w.writeframes(b"\x00" * 8)
+    with pytest.raises(NotImplementedError, match="32-bit"):
+        decode_audio(buf.getvalue())
