@@ -35,21 +35,25 @@ from roapi_spark.sources import LoadError
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 
 # Reader features this log replay actually honors. Anything else
-# (columnMapping, v2Checkpoint, ...) changes what "the active files" or
-# "the columns" MEAN, and replaying without understanding it silently
-# returns wrong rows — so we fail loudly instead (the reference gets
-# these from delta-rs for free, columnq/src/table/delta.rs:104-297).
+# (v2Checkpoint, ...) changes what "the active files" or "the columns"
+# MEAN, and replaying without understanding it silently returns wrong
+# rows — so we fail loudly instead (the reference gets these from
+# delta-rs for free, columnq/src/table/delta.rs:104-297).
 # deletionVectors (round 4): honored — the roaring bitmap is decoded in
 # pure Python (sources/deletion_vectors.py) and deleted rows are
 # anti-filtered via the parquet scan's _metadata.row_index.
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
+# columnMapping (round 4): honored — Delta's schemaString is Spark
+# StructType JSON, so the physicalName metadata maps parquet columns
+# back to logical names (see _unmap_columns).
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
 
 
 def _check_protocol(action: dict, table_path: str) -> None:
     """Reject protocol/metaData features the log replay does not honor."""
     if "protocol" in action:
         p = action["protocol"]
-        mrv = int(p.get("minReaderVersion", 1))
+        # `or 1`: checkpoint structs surface absent fields as None
+        mrv = int(p.get("minReaderVersion") or 1)
         feats = set(p.get("readerFeatures") or [])
         unsupported = feats - _SUPPORTED_READER_FEATURES
         if mrv >= 3 and unsupported:
@@ -58,21 +62,15 @@ def _check_protocol(action: dict, table_path: str) -> None:
                 f"{sorted(unsupported)} which the pure-Python log replay "
                 "does not support — install delta-spark jars to read it"
             )
-        if mrv == 2:
-            # reader version 2 == column mapping; the metaData check below
-            # also fires, but the protocol action alone is decisive
-            raise LoadError(
-                f"delta table {table_path}: minReaderVersion=2 (column "
-                "mapping) is not supported by the pure-Python log replay — "
-                "install delta-spark jars to read it"
-            )
+        # minReaderVersion 2 == column mapping: honored (see _unmap_columns)
     if "metaData" in action:
         conf = action["metaData"].get("configuration") or {}
-        if conf.get("delta.columnMapping.mode", "none") != "none":
+        mode = conf.get("delta.columnMapping.mode", "none")
+        if mode not in ("none", "name", "id"):
             raise LoadError(
-                f"delta table {table_path}: column mapping mode "
-                f"{conf['delta.columnMapping.mode']!r} is not supported by "
-                "the pure-Python log replay — install delta-spark jars"
+                f"delta table {table_path}: column mapping mode {mode!r} is "
+                "not supported by the pure-Python log replay — install "
+                "delta-spark jars"
             )
 
 
@@ -85,19 +83,22 @@ def _log_versions(log_dir: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def _checkpoint_state(log_dir: str, upto: int | None) -> tuple[int, dict[str, bool]]:
+def _checkpoint_state(
+    log_dir: str, upto: int | None
+) -> tuple[int, dict[str, dict | None], dict | None]:
     """Seed the active-file set from the newest usable parquet checkpoint.
-    Returns (checkpoint_version, active) — replay continues after it."""
+    Returns (checkpoint_version, active, metaData) — replay continues
+    after it."""
     lc = os.path.join(log_dir, "_last_checkpoint")
     if not os.path.exists(lc):
-        return -1, {}
+        return -1, {}, None
     table_path = os.path.dirname(log_dir)
     try:
         with open(lc) as f:
             info = json.load(f)
         v = int(info["version"])
         if upto is not None and v > upto:
-            return -1, {}  # checkpoint is past the requested snapshot
+            return -1, {}, None  # checkpoint is past the requested snapshot
         import pyarrow.parquet as pq
 
         path = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
@@ -105,21 +106,24 @@ def _checkpoint_state(log_dir: str, upto: int | None) -> tuple[int, dict[str, bo
         cols = set(tbl.column_names)
         # the checkpoint subsumes commit 0's protocol/metaData actions —
         # guard them here too, not just in the json replay
+        meta = None
         for col in ("protocol", "metaData"):
             if col in cols:
                 for rec in tbl.column(col).to_pylist():
-                    if rec:
+                    if rec and (rec.get("id") or col == "protocol"):
                         _check_protocol({col: rec}, table_path)
+                        if col == "metaData":
+                            meta = rec
         active: dict[str, dict | None] = {}
         for rec in tbl.column("add").to_pylist():
             if rec and rec.get("path"):
                 _check_protocol({"add": rec}, table_path)
                 active[rec["path"]] = rec.get("deletionVector")
-        return v, active
+        return v, active, meta
     except LoadError:
         raise
     except Exception:  # noqa: BLE001 — fall back to full json replay
-        return -1, {}
+        return -1, {}, None
 
 
 def snapshot_files(table_path: str, version: int | None = None,
@@ -133,6 +137,15 @@ def snapshot_adds(
 ) -> list[tuple[str, dict | None]]:
     """Active (data file, deletionVector descriptor | None) pairs of a
     Delta table at a snapshot (pure Python)."""
+    return snapshot_state(table_path, version, timestamp)[0]
+
+
+def snapshot_state(
+    table_path: str, version: int | None = None, timestamp: str | None = None
+) -> tuple[list[tuple[str, dict | None]], dict | None]:
+    """(active adds, latest metaData action) at a snapshot (pure Python).
+    The metaData carries schemaString + configuration — needed to unmap
+    column-mapped tables."""
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise LoadError(f"not a delta table (no _delta_log): {table_path}")
@@ -149,7 +162,7 @@ def snapshot_adds(
         if not eligible:
             raise LoadError(f"no delta commit at or before {timestamp}")
         version = max(eligible)
-    base_v, active = _checkpoint_state(log_dir, version)
+    base_v, active, meta = _checkpoint_state(log_dir, version)
     for v, path in commits:
         if v <= base_v:
             continue
@@ -169,14 +182,17 @@ def snapshot_adds(
                     )
                 elif "remove" in action:
                     active.pop(action["remove"]["path"], None)
-    return [
-        (os.path.join(table_path, unquote(p)), dv) for p, dv in active.items()
-    ]
+                elif "metaData" in action:
+                    meta = action["metaData"]  # latest wins (schema evolution)
+    return (
+        [(os.path.join(table_path, unquote(p)), dv) for p, dv in active.items()],
+        meta,
+    )
 
 
 def _read_via_log(spark: SparkSession, ts: TableSource) -> DataFrame:
     version = ts.option.get("version")
-    adds = snapshot_adds(
+    adds, meta = snapshot_state(
         ts.uri,
         version=None if version is None else int(version),
         timestamp=ts.option.get("timestamp"),
@@ -188,9 +204,47 @@ def _read_via_log(spark: SparkSession, ts: TableSource) -> DataFrame:
     # the delta-spark reader reconstructs from add.partitionValues
     df = spark.read.option("basePath", ts.uri).parquet(*files)
     with_dv = [(p, dv) for p, dv in adds if dv]
-    if not with_dv:
-        return df
-    return _apply_deletion_vectors(spark, df, with_dv, ts)
+    if with_dv:
+        df = _apply_deletion_vectors(spark, df, with_dv, ts)
+    conf = (meta or {}).get("configuration") or {}
+    if conf.get("delta.columnMapping.mode", "none") != "none":
+        df = _unmap_columns(df, meta, ts)
+    return df
+
+
+def _unmap_columns(df: DataFrame, meta: dict, ts: TableSource) -> DataFrame:
+    """Column mapping (modes 'name'/'id', delta.rs reads these via
+    delta-rs free): parquet data files store *physical* column names
+    (``col-<uuid>``); the logical names live in schemaString field
+    metadata (``delta.columnMapping.physicalName``). Delta's schemaString
+    IS Spark StructType JSON, so parse it and select physical→logical.
+    Nested struct fields are renamed by casting to the logical dataType
+    (struct casts rename positionally); the cast also normalizes
+    hive-partition columns (physical-named dirs) to their declared types.
+    A physical column absent from the scanned files — a column added
+    after those files were written — surfaces as typed NULLs, matching
+    delta-spark."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    try:
+        st = StructType.fromJson(json.loads(meta["schemaString"]))
+    except Exception as exc:  # noqa: BLE001
+        raise LoadError(
+            f"delta table {ts.name!r}: unparseable schemaString for "
+            f"column-mapped table: {exc}"
+        ) from exc
+    present = set(df.columns)
+    cols = []
+    for f in st.fields:
+        md = f.metadata or {}
+        phys = md.get("delta.columnMapping.physicalName", f.name)
+        if phys in present:
+            c = F.col(phys).cast(f.dataType)
+        else:
+            c = F.lit(None).cast(f.dataType)
+        cols.append(c.alias(f.name))
+    return df.select(*cols)
 
 
 def _apply_deletion_vectors(

@@ -716,14 +716,104 @@ def test_delta_reader_version_guard(spark, tmp_path):
         _load(spark, {"name": "x", "uri": str(root), "option": {"format": "delta"}})
 
 
-def test_delta_column_mapping_guard(spark, tmp_path):
+def _cm_schema_string():
+    """Spark StructType JSON with columnMapping physicalName metadata —
+    the exact shape delta-spark writers produce for mode=name."""
+    return json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "title", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+            {"name": "meta", "nullable": True,
+             "type": {"type": "struct", "fields": [
+                 {"name": "views", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 4,
+                               "delta.columnMapping.physicalName": "col-ddd"}},
+             ]},
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-ccc"}},
+            {"name": "added_later", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 5,
+                          "delta.columnMapping.physicalName": "col-eee"}},
+        ],
+    })
+
+
+def test_delta_column_mapping_read(spark, tmp_path):
+    """Column mapping mode=name: parquet files carry physical col-<uuid>
+    names; the replay must surface logical names, rename nested struct
+    fields, and null-fill columns added after the files were written
+    (delta-rs gives the reference this free, delta.rs:104-297)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    root = tmp_path / "cm"
+    log = root / "_delta_log"
+    log.mkdir(parents=True)
+    _pq.write_table(
+        _pa.table({
+            "col-aaa": [1, 2],
+            "col-bbb": ["a", "b"],
+            "col-ccc": [{"col-ddd": 10}, {"col-ddd": 20}],
+        }),
+        root / "part-0.parquet",
+    )
+    (log / f"{0:020d}.json").write_text("\n".join(json.dumps(a) for a in [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "m", "format": {"provider": "parquet"},
+                      "schemaString": _cm_schema_string(),
+                      "configuration": {"delta.columnMapping.mode": "name"}}},
+        {"add": {"path": "part-0.parquet", "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]))
+    df = _load(spark, {"name": "cm", "uri": str(root), "option": {"format": "delta"}})
+    assert df.columns == ["id", "title", "meta", "added_later"]
+    assert df.schema["meta"].dataType.fieldNames() == ["views"]
+    rows = sorted(df.collect(), key=lambda r: r.id)
+    assert [(r.id, r.title, r.meta.views, r.added_later) for r in rows] == [
+        (1, "a", 10, None), (2, "b", 20, None),
+    ]
+
+
+def test_delta_column_mapping_reader_features(spark, tmp_path):
+    """minReaderVersion=3 + readerFeatures=[columnMapping] (the modern
+    spelling) reads the same way."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    root = tmp_path / "cm3"
+    log = root / "_delta_log"
+    log.mkdir(parents=True)
+    _pq.write_table(
+        _pa.table({"col-aaa": [7], "col-bbb": ["z"],
+                   "col-ccc": [{"col-ddd": 1}]}),
+        root / "part-0.parquet",
+    )
+    (log / f"{0:020d}.json").write_text("\n".join(json.dumps(a) for a in [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping"]}},
+        {"metaData": {"id": "m", "format": {"provider": "parquet"},
+                      "schemaString": _cm_schema_string(),
+                      "configuration": {"delta.columnMapping.mode": "id"}}},
+        {"add": {"path": "part-0.parquet", "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]))
+    df = _load(spark, {"name": "cm3", "uri": str(root), "option": {"format": "delta"}})
+    assert [(r.id, r.title) for r in df.collect()] == [(7, "z")]
+
+
+def test_delta_column_mapping_unknown_mode_guard(spark, tmp_path):
     from roapi_spark.sources import LoadError
 
     root = _mk_delta(tmp_path, {
         0: [
             {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
             {"metaData": {"id": "m", "format": {"provider": "parquet"},
-                          "configuration": {"delta.columnMapping.mode": "name"}}},
+                          "configuration": {"delta.columnMapping.mode": "weird"}}},
             {"add": {"path": "part-0.parquet", "size": 1,
                      "modificationTime": 0, "dataChange": True}},
         ],

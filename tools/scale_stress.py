@@ -1,0 +1,183 @@
+"""Scale-stress the pair-join family: sf0.1 -> sf1 (10x corpus).
+
+The claims under test (docs/SCALE.md): the stop-shingle cap, the LSH
+hot-band cap, and IVF partition pruning make candidate-pair growth
+*linear* in corpus size — 10x docs => ~10x candidate pairs — where a
+naive all-pairs join would grow 100x. This script measures it.
+
+sf1 data is derived locally from the driver's read-only sf0.1 fixtures
+(TESTDATA.md has no generator and /root/testdata is read-only): K=10
+copies, each copy's text tokens carrying a deterministic per-copy letter
+prefix so within-copy shingle/near-dup structure is preserved exactly
+while cross-copy shingle overlap is zero (the honest 10x-corpus shape —
+same dup-rate, bigger corpus). Embeddings get a per-copy seeded
+dimension permutation: within-copy cosine geometry is exactly preserved,
+cross-copy decorrelated. Copy 0 is byte-identical to sf0.1, so the
+ann_ivf_kmeans query set (vec_id < N_QUERIES) is unchanged while the
+corpus is 10x.
+
+Usage:  python tools/scale_stress.py [--copies 10] [--out .scratch/sf1]
+Prints a markdown table (for SCALE.md) + one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DOC_OFF = 10_000_000
+VEC_OFF = 10_000_000
+
+
+def ensure_scaled(src: str, out: str, copies: int) -> None:
+    if os.path.exists(os.path.join(out, "_READY")):
+        return
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out, exist_ok=True)
+    docs = pq.read_table(os.path.join(src, "documents.parquet"))
+    texts = docs.column("text").to_pylist()
+    batches = []
+    for k in range(copies):
+        if k == 0:
+            batches.append(docs)
+            continue
+        # letter-only prefix: the tokenizer splits on [^a-z]+, so a
+        # digit-bearing prefix would fragment into a shared token
+        pre = "zq" + chr(ord("a") + k)
+        ptexts = [" ".join(pre + w for w in t.split()) for t in texts]
+        batches.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [int(d) + k * DOC_OFF for d in docs.column("doc_id").to_pylist()],
+                        type=pa.int64(),
+                    ),
+                    "text": pa.array(ptexts),
+                    "lang": docs.column("lang"),
+                    "source": docs.column("source"),
+                    "n_chars": pa.array(
+                        [len(t) for t in ptexts], type=pa.int64()
+                    ),
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(batches), os.path.join(out, "documents.parquet"))
+
+    embt = pq.read_table(os.path.join(src, "embeddings.parquet"))
+    vecs = np.array(embt.column("embedding").to_pylist(), dtype=np.float32)
+    vids = np.array(embt.column("vec_id").to_pylist(), dtype=np.int64)
+    labels = embt.column("label")
+    dim = vecs.shape[1]
+    ebatches = []
+    for k in range(copies):
+        if k == 0:
+            ebatches.append(embt)
+            continue
+        perm = np.random.RandomState(1000 + k).permutation(dim)
+        ebatches.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(vids + k * VEC_OFF, type=pa.int64()),
+                    "embedding": pa.array(
+                        list(vecs[:, perm]), type=pa.list_(pa.float32())
+                    ),
+                    "label": labels,
+                }
+            )
+        )
+    pq.write_table(
+        pa.concat_tables(ebatches), os.path.join(out, "embeddings.parquet")
+    )
+    open(os.path.join(out, "_READY"), "w").close()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1"))
+    ap.add_argument("--fresh-cache", action="store_true",
+                    help="wipe snapshot caches first so build times are cold")
+    args = ap.parse_args()
+
+    from roapi_spark.functions import dedup, similarity
+    from roapi_spark.functions.snapshot import cache_root
+    from roapi_spark.plans.registry import load_all
+    from roapi_spark.session import get_spark
+
+    ensure_scaled(SRC, args.out, args.copies)
+    if args.fresh_cache:
+        shutil.rmtree(cache_root(), ignore_errors=True)
+
+    specs = load_all()
+    spark = get_spark("scale-stress")
+    spark.range(1000).count()
+
+    def timed(fn):
+        t0 = time.time()
+        n = fn()
+        return round(time.time() - t0, 2), n
+
+    report: dict[str, dict] = {}
+    for label, sf_dir in (("sf0.1", SRC), ("sf1", args.out)):
+        row: dict[str, object] = {"docs": 0, "vecs": 0}
+        row["docs"] = dedup.docs(spark, sf_dir).count()
+        row["vecs"] = similarity.emb(spark, sf_dir).count()
+
+        # candidate generation (cold build = the once-per-snapshot cost)
+        t, n = timed(lambda: dedup.shingle_pair_graph_cached(spark, sf_dir)[0].count())
+        row["shingle_pairs"] = n
+        row["shingle_build_s"] = t
+        t, n = timed(lambda: dedup.lsh_pairs_cached(spark, sf_dir).count())
+        row["lsh_pairs"] = n
+        row["lsh_build_s"] = t
+        layout_dir, cents = similarity.ivf_layout(spark, sf_dir)
+        from pyspark.sql import functions as F
+
+        qcids = sorted(
+            {int(r.qcid) for r in similarity.emb(spark, sf_dir)
+             .filter(F.col("vec_id") < similarity.N_QUERIES)
+             .withColumn("vq", similarity._vq_col())
+             .withColumn("qcid", similarity._assign_expr(cents))
+             .select("qcid").collect()}
+        )
+        row["ivf_probed_rows"] = (
+            spark.read.parquet(layout_dir).filter(F.col("cid").isin(qcids)).count()
+        )
+
+        # serve-path wall time (the steady-state figure, min of 2)
+        for q in ("dedup_ngram_jaccard", "dedup_containment",
+                  "dedup_minhash_lsh", "ann_ivf_kmeans"):
+            best = None
+            for _ in range(2):
+                t, _n = timed(lambda: specs[q].builder(spark, sf_dir).count())
+                best = t if best is None or t < best else best
+            row[q + "_s"] = best
+        report[label] = row
+
+    a, b = report["sf0.1"], report["sf1"]
+
+    def ratio(k):
+        return round(b[k] / a[k], 2) if a[k] else float("inf")
+
+    print("| metric | sf0.1 | sf1 (10x) | ratio |")
+    print("|---|---|---|---|")
+    for k in ("docs", "vecs", "shingle_pairs", "lsh_pairs", "ivf_probed_rows",
+              "shingle_build_s", "lsh_build_s", "dedup_ngram_jaccard_s",
+              "dedup_containment_s", "dedup_minhash_lsh_s", "ann_ivf_kmeans_s"):
+        print(f"| {k} | {a[k]} | {b[k]} | {ratio(k)}x |")
+    print(json.dumps({"sf0.1": a, "sf1": b}))
+
+
+if __name__ == "__main__":
+    main()
