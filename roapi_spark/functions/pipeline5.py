@@ -1,0 +1,345 @@
+"""Training-data pipeline operators, batch 4 (round 4): behavioral
+funnel/cohort analytics over the event stream and corpus-curation
+operators (near-dup representative selection, embedding-dimension
+audit, token-length census).
+
+Reference scope note: the reference (roapi) serves arbitrary SQL over
+registered tables (columnq/src/query/sql.rs); these queries extend the
+*analytics library* shipped on top of the same engine, each with a
+DuckDB oracle so the driver's correctness gate covers them.
+
+Scale notes (100 TB):
+- q_event_funnel is ONE shuffle on user_id: the per-user event list is
+  folded JVM-side (array_sort + aggregate over unix-micros longs), so
+  the sequential signup->click->purchase logic never re-joins the event
+  table per stage. The final stage counts are a 3-row agg.
+- q_retention_cohort reuses the user_id shuffle for first-touch, then
+  aggregates (cohort_week, offset) — output is weeks x offsets rows.
+- dedup_keep_best joins the (tiny) component labels to documents and
+  picks one representative per component with a per-component window —
+  partitioned by component id, never a global sort.
+- q_embedding_dim_stats shuffles only (dim, partial moments): posexplode
+  is map-side, the agg output is `dim` rows.
+- q_token_len_histogram buckets by the bit-length of the token count
+  (integer-exact in both engines — no float log2 at bucket boundaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from roapi_spark.functions.dedup import dedup_components, _PAIRS_DUCK
+from roapi_spark.functions.pipeline import docs
+from roapi_spark.plans.analytics import events_t
+from roapi_spark.plans.registry import register
+from roapi_spark.util import pround
+
+FUNNEL = ("signup", "click", "purchase")
+
+
+@register(
+    "q_event_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), n AS (
+      SELECT 1 AS stage_idx, 'signup' AS stage, COUNT(*) AS n_users FROM s1
+      UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+      UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+    )
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(n_users AS BIGINT) AS n_users,
+           FLOOR(CAST(n_users AS DOUBLE)
+                 / GREATEST(MAX(n_users) OVER (), 1) * 10000 + 0.5)
+             / 10000.0 AS conv_pct
+    FROM n
+    """,
+    doc="Ordered funnel (signup -> click after signup -> purchase after "
+    "click): per-user event timeline folded in ONE pass — array_sort the "
+    "(ts, type) structs per user, then a JVM-side aggregate() walk picks "
+    "the first qualifying timestamp per stage. The oracle states the same "
+    "semantics as three stage joins. Strictly-after (`>`) ordering at "
+    "every stage.",
+    tags=("events", "funnel"),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_t(spark, sf_dir).filter(F.col("event_type").isin(*FUNNEL))
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.unix_micros("ts").alias("us"), F.col("event_type").alias("et"))
+            )
+        ).alias("tl")
+    )
+    # fold the sorted timeline: first signup, first click strictly after
+    # it, first purchase strictly after that — accumulator carries the
+    # three stage timestamps (null = not reached)
+    walked = per_user.select(
+        F.aggregate(
+            "tl",
+            F.struct(
+                F.lit(None).cast("bigint").alias("t1"),
+                F.lit(None).cast("bigint").alias("t2"),
+                F.lit(None).cast("bigint").alias("t3"),
+            ),
+            lambda acc, e: F.struct(
+                F.when(
+                    acc.t1.isNull() & (e.et == FUNNEL[0]), e.us
+                ).otherwise(acc.t1).alias("t1"),
+                F.when(
+                    acc.t2.isNull()
+                    & acc.t1.isNotNull()
+                    & (e.et == FUNNEL[1])
+                    & (e.us > acc.t1),
+                    e.us,
+                ).otherwise(acc.t2).alias("t2"),
+                F.when(
+                    acc.t3.isNull()
+                    & acc.t2.isNotNull()
+                    & (e.et == FUNNEL[2])
+                    & (e.us > acc.t2),
+                    e.us,
+                ).otherwise(acc.t3).alias("t3"),
+            ),
+        ).alias("st")
+    )
+    counts = walked.agg(
+        F.count("st.t1").alias("n1"),
+        F.count("st.t2").alias("n2"),
+        F.count("st.t3").alias("n3"),
+    )
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).cast("bigint").alias("stage_idx"),
+                         F.lit(FUNNEL[0]).alias("stage"),
+                         F.col("n1").alias("n_users")),
+                F.struct(F.lit(2).cast("bigint").alias("stage_idx"),
+                         F.lit(FUNNEL[1]).alias("stage"),
+                         F.col("n2").alias("n_users")),
+                F.struct(F.lit(3).cast("bigint").alias("stage_idx"),
+                         F.lit(FUNNEL[2]).alias("stage"),
+                         F.col("n3").alias("n_users")),
+            )
+        ).alias("s")
+    ).select("s.*")
+    top = W.partitionBy()
+    return stages.select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        pround(
+            F.col("n_users").cast("double")
+            / F.greatest(F.max("n_users").over(top), F.lit(1))
+        ).alias("conv_pct"),
+    )
+
+
+@register(
+    "q_retention_cohort",
+    oracle="""
+    WITH first_touch AS (
+      SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS w
+      FROM events
+    ), hits AS (
+      SELECT f.cohort_week,
+             CAST((a.w - f.cohort_week) / 7 AS BIGINT) AS week_offset,
+             a.user_id
+      FROM activity a JOIN first_touch f ON a.user_id = f.user_id
+    ), agg AS (
+      SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_active
+      FROM hits GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset,
+           CAST(n_active AS BIGINT) AS n_active,
+           FLOOR(CAST(n_active AS DOUBLE)
+                 / MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                     OVER (PARTITION BY cohort_week) * 10000 + 0.5)
+             / 10000.0 AS retention_pct
+    FROM agg
+    """,
+    doc="Weekly retention cohorts: users bucketed by ISO week of first "
+    "event; n_active = distinct users from that cohort active k weeks "
+    "later; retention_pct normalized to the cohort's week-0 size. Both "
+    "engines truncate weeks to ISO Monday. The user_id shuffle is shared "
+    "by first-touch and activity; the final agg is |weeks| x |offsets| "
+    "rows.",
+    tags=("events", "cohort"),
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_t(spark, sf_dir)
+    first_touch = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+    ).distinct()
+    agg = (
+        activity.join(first_touch, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("w", "cohort_week") / 7).cast("bigint").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    wk0 = W.partitionBy("cohort_week")
+    return agg.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        pround(
+            F.col("n_active").cast("double")
+            / F.max(
+                F.when(F.col("week_offset") == 0, F.col("n_active"))
+            ).over(wk0)
+        ).alias("retention_pct"),
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_DUCK.strip().lstrip("WITH").strip()},
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a
+    ),
+    comp AS (
+      SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n
+    ),
+    ranked AS (
+      SELECT c.component, c.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id ASC) AS rnk
+      FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(MAX(CASE WHEN rnk = 1 THEN doc_id END) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM ranked GROUP BY component
+    """,
+    doc="Near-dup representative selection: over the LSH-pair connected "
+    "components, keep the longest document per duplicate cluster "
+    "(n_chars desc, doc_id asc tie-break) — the curation step after "
+    "clustering, where 'best' beats dedup_apply's 'lowest id'. The "
+    "component labels come from the snapshot-cached pair graph, so this "
+    "never rescans the corpus; the window partitions by component id.",
+    tags=("dedup",),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_components(spark, sf_dir)
+    d = docs(spark, sf_dir).select("doc_id", "n_chars")
+    w = W.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        comp.join(d, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.max(F.when(F.col("rnk") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+            F.count("*").alias("n_members"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "q_embedding_dim_stats",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    stats AS (
+      SELECT i - 1 AS dim,
+             FLOOR(AVG(v[i]) * 10000 + 0.5) / 10000.0 AS mean,
+             FLOOR(VAR_POP(v[i]) * 10000 + 0.5) / 10000.0 AS variance
+      FROM e, GENERATE_SERIES(1, 64) AS g(i)
+      GROUP BY i
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, mean, variance
+    FROM stats ORDER BY variance DESC, dim ASC LIMIT 8
+    """,
+    doc="Embedding-dimension audit for collapsed/dead dimensions: "
+    "per-dimension mean and population variance (posexplode is map-side; "
+    "the shuffle carries `dim` partial moments, output is dim rows), "
+    "top-8 highest-variance dimensions. The check a curation pipeline "
+    "runs before trusting cosine distances.",
+    tags=("similarity", "quality"),
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    return (
+        e.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            pround(F.avg("x")).alias("mean"),
+            pround(F.var_pop("x")).alias("variance"),
+        )
+        .orderBy(F.col("variance").desc(), F.col("dim").asc())
+        .limit(8)
+        .select(F.col("dim").cast("bigint").alias("dim"), "mean", "variance")
+    )
+
+
+@register(
+    "q_token_len_histogram",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             LEN(COALESCE(list_filter(string_split_regex(lower(text),
+                 '[^a-z]+'), x -> length(x) > 0), [])) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(LENGTH(BIN(n_tok + 1)) - 1 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM toks GROUP BY 1, 2
+    """,
+    doc="Token-length census per source: documents bucketed by "
+    "floor(log2(n_tokens+1)) computed as bit-length (LENGTH(BIN(n+1))-1) "
+    "— integer-exact in both engines, immune to float-log2 boundary "
+    "rounding. Map-side tokenize + tiny (source x bucket) agg; the "
+    "length histogram drives sequence-packing and truncation budgets.",
+    tags=("text", "pipeline"),
+)
+def q_token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.text import tokens_col
+
+    d = docs(spark, sf_dir).select(
+        "source", F.size(F.coalesce(tokens_col(), F.array())).alias("n_tok")
+    )
+    return (
+        d.withColumn(
+            "bucket", (F.length(F.bin(F.col("n_tok") + 1)) - 1).cast("bigint")
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )
