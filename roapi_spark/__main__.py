@@ -15,6 +15,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-t", "--table", action="append", default=[], help="name=uri[,opt=val]")
     ap.add_argument("-a", "--addr", default=None, help="host:port (default from config)")
     ap.add_argument("-d", "--disable-read-only", action="store_true")
+    ap.add_argument("--tls-cert", default=None, help="PEM cert chain: serve HTTPS with ALPN h2/http1.1")
+    ap.add_argument("--tls-key", default=None, help="PEM private key for --tls-cert")
     ap.add_argument("--pg-addr", default=None, help="host:port for the postgres-wire endpoint")
     ap.add_argument("--flight-addr", default=None, help="host:port for the Arrow Flight endpoint")
     ap.add_argument("--flight-token", default=None, help="bearer token for the Flight endpoint")
@@ -44,8 +46,12 @@ def main(argv: list[str] | None = None) -> int:
     cat = catalog_from_config(spark, cfg)
     server = ApiServer(cat, default_format=cfg.default_response_format)
     host, _, port = cfg.addr.partition(":")
-    bound_host, bound_port = server.start(host or "127.0.0.1", int(port or 8080))
-    print(f"roapi_spark listening on http://{bound_host}:{bound_port}", flush=True)
+    bound_host, bound_port = server.start(
+        host or "127.0.0.1", int(port or 8080),
+        certfile=args.tls_cert, keyfile=args.tls_key,
+    )
+    scheme = "https" if args.tls_cert else "http"
+    print(f"roapi_spark listening on {scheme}://{bound_host}:{bound_port}", flush=True)
 
     # optional wire protocols, served alongside HTTP (startup.rs:140-177)
     pg_server = flight_server = None

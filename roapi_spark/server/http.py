@@ -208,12 +208,34 @@ class ApiServer:
 
     # ---- socket lifecycle ------------------------------------------------
 
-    def start(self, host: str = "127.0.0.1", port: int = 0) -> tuple[str, int]:
+    def start(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        certfile: str | None = None,
+        keyfile: str | None = None,
+    ) -> tuple[str, int]:
+        """Start the HTTP front. With ``certfile``/``keyfile`` the listener
+        terminates TLS and advertises ALPN ``h2``/``http/1.1`` — an
+        ALPN-negotiated h2 client still opens with the RFC 9113 connection
+        preface, so the same preface sniff below serves both cleartext
+        prior-knowledge h2c and TLS h2 (the reference delegates TLS to a
+        fronting proxy; this makes the engine self-sufficient)."""
         server = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # request logging layer (layers.rs) -> quiet
                 pass
+
+            def handle(self) -> None:
+                import ssl
+
+                try:
+                    super().handle()
+                except (ssl.SSLError, ConnectionError, TimeoutError):
+                    # failed TLS handshake / mid-stream disconnect: drop the
+                    # connection quietly instead of a handler traceback
+                    self.close_connection = True
 
             def handle_one_request(self) -> None:
                 # h2c prior-knowledge on the same port (api_test.rs:247-277):
@@ -266,6 +288,13 @@ class ApiServer:
             do_GET = do_POST = do_HEAD = do_OPTIONS = _respond
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
+        if certfile:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(certfile, keyfile)
+            ctx.set_alpn_protocols(["h2", "http/1.1"])
+            self._httpd.socket = ctx.wrap_socket(self._httpd.socket, server_side=True)
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
         return self._httpd.server_address[0], self._httpd.server_address[1]

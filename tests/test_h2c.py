@@ -282,3 +282,77 @@ def test_stream_window_entries_cleaned_up():
     assert 1 not in c.stream_windows
     types = [f[0] for f in _parse_frames(bytes(io.sent))]
     assert 0 in types and 1 in types  # DATA + HEADERS went out
+
+
+# ---- TLS + ALPN (round 4): same port serves https/1.1 and h2 ---------------
+
+
+@pytest.fixture(scope="module")
+def tls_url(spark, tmp_path_factory):
+    if shutil.which("openssl") is None:
+        pytest.skip("no openssl to mint a test cert")
+    from roapi_spark.catalog import Catalog
+    from roapi_spark.config import parse_table_config
+    from roapi_spark.server import ApiServer
+
+    root = tmp_path_factory.mktemp("tlssrv")
+    cert, key = str(root / "crt.pem"), str(root / "key.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", key, "-out", cert, "-days", "1", "-subj", "/CN=localhost"],
+        check=True, capture_output=True,
+    )
+    (root / "uk_cities.csv").write_text(CSV)
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(
+        parse_table_config({"name": "uk_cities", "uri": str(root / "uk_cities.csv")})
+    )
+    srv = ApiServer(cat)
+    host, port = srv.start(certfile=cert, keyfile=key)
+    yield f"https://{host}:{port}"
+    srv.stop()
+
+
+@needs_curl
+def test_tls_alpn_negotiates_h2(tls_url):
+    out = subprocess.run(
+        ["curl", "-sk", "--http2", "-o", "/dev/null", "-w", "%{http_version}",
+         f"{tls_url}/api/schema"],
+        capture_output=True, check=True,
+    ).stdout
+    assert out == b"2"
+
+
+@needs_curl
+def test_tls_h2_sql_body(tls_url):
+    out = subprocess.run(
+        ["curl", "-sk", "--http2", "-X", "POST", "-d",
+         "SELECT city FROM uk_cities ORDER BY city LIMIT 1", f"{tls_url}/api/sql"],
+        capture_output=True, check=True,
+    ).stdout
+    assert json.loads(out) == [{"city": "london"}]
+
+
+@needs_curl
+def test_tls_http11_fallback(tls_url):
+    out = subprocess.run(
+        ["curl", "-sk", "--http1.1", f"{tls_url}/health"],
+        capture_output=True, check=True,
+    ).stdout
+    assert out == b"OK"
+
+
+def test_tls_alpn_protocol_selected(tls_url):
+    # raw ssl client: assert the server actually selects h2 via ALPN
+    import socket
+    import ssl
+    from urllib.parse import urlparse
+
+    u = urlparse(tls_url)
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    ctx.check_hostname = False
+    ctx.verify_mode = ssl.CERT_NONE
+    ctx.set_alpn_protocols(["h2"])
+    with socket.create_connection((u.hostname, u.port), timeout=10) as raw:
+        with ctx.wrap_socket(raw, server_hostname="localhost") as s:
+            assert s.selected_alpn_protocol() == "h2"
