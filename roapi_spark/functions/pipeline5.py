@@ -343,3 +343,138 @@ def q_token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0) AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w) - 2, 0))) AS t(i)
+    ),
+    hs AS (
+      SELECT doc_id, ('0x' || SUBSTR(MD5(shingle), 1, 8))::BIGINT AS h FROM sh
+    ),
+    minh AS (
+      SELECT doc_id, k, MIN((2 * k + 3) * h % 4294967311) AS mh
+      FROM hs, UNNEST(GENERATE_SERIES(0, 11)) AS t(k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, k // 3 AS band_id,
+             STRING_AGG(mh::VARCHAR, ',' ORDER BY k) AS band_sig
+      FROM minh GROUP BY doc_id, k // 3
+    ),
+    bandsf AS (
+      SELECT b.* FROM bands b
+      JOIN (SELECT band_id, band_sig FROM bands
+            GROUP BY band_id, band_sig HAVING COUNT(*) <= 100) ok
+        ON b.band_id = ok.band_id AND b.band_sig = ok.band_sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandsf a JOIN bandsf b
+        ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    matches AS (
+      SELECT p.doc_a, p.doc_b,
+             SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS m
+      FROM pairs p
+        JOIN minh ma ON ma.doc_id = p.doc_a
+        JOIN minh mb ON mb.doc_id = p.doc_b AND ma.k = mb.k
+      GROUP BY 1, 2
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS nc
+      FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.doc_a
+        JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT m.m AS n_matches,
+             FLOOR(COALESCE(CAST(c.nc AS DOUBLE)
+                   / (ca.n + cb.n - c.nc), 0.0) * 10000 + 0.5) / 10000.0 AS tj,
+             FLOOR(ABS(m.m / 12.0 - COALESCE(CAST(c.nc AS DOUBLE)
+                   / (ca.n + cb.n - c.nc), 0.0)) * 10000 + 0.5) / 10000.0 AS err
+      FROM matches m
+        LEFT JOIN common c ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+        JOIN cnt ca ON m.doc_a = ca.doc_id
+        JOIN cnt cb ON m.doc_b = cb.doc_id
+    )
+    SELECT CAST(n_matches AS BIGINT) AS n_matches,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR(AVG(tj) * 10000 + 0.5) / 10000.0 AS mean_true_jaccard,
+           FLOOR(AVG(err) * 10000 + 0.5) / 10000.0 AS mean_abs_err
+    FROM scored GROUP BY n_matches
+    """,
+    doc="MinHash estimator calibration audit: for every (capped) LSH "
+    "candidate pair, the signature-match count (0..12) vs the TRUE "
+    "shingle Jaccard, aggregated per match count — the dial a dedup "
+    "pipeline reads to pick its est_jaccard threshold. Serves from the "
+    "snapshot-cached pair graph; true Jaccard joins the (small) pair set "
+    "against the shingle explosion on doc id, never all-pairs. Per-pair "
+    "terms are pround-ed before averaging so the group means are "
+    "cross-engine stable.",
+    tags=("dedup", "audit"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.dedup import (
+        N_MINHASH,
+        docs as ddocs,
+        lsh_pairs_cached,
+        minhash_signatures,
+        shingles,
+    )
+
+    pairs = lsh_pairs_cached(spark, sf_dir)
+    sigs = minhash_signatures(ddocs(spark, sf_dir))
+    matches = (
+        pairs.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(
+                F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda e: e)
+            ).alias("m"),
+        )
+    )
+    sh = shingles(ddocs(spark, sf_dir))
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("nc"))
+    )
+    tj_raw = F.coalesce(
+        F.col("nc").cast("double") / (F.col("ca.n") + F.col("cb.n") - F.col("nc")),
+        F.lit(0.0),
+    )
+    scored = (
+        matches.join(common, ["doc_a", "doc_b"], "left")
+        .join(cnt.alias("ca"), F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cnt.alias("cb"), F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            F.col("m").alias("n_matches"),
+            pround(tj_raw).alias("tj"),
+            pround(F.abs(F.col("m") / F.lit(float(N_MINHASH)) - tj_raw)).alias("err"),
+        )
+    )
+    return scored.groupBy(F.col("n_matches").cast("bigint").alias("n_matches")).agg(
+        F.count("*").alias("n_pairs"),
+        pround(F.avg("tj")).alias("mean_true_jaccard"),
+        pround(F.avg("err")).alias("mean_abs_err"),
+    )
