@@ -33,6 +33,7 @@ KNOWN_FORMATS = {
     "parquet",
     "orc",
     "delta",
+    "iceberg",
     "arrow",
     "arrows",
     "xlsx",
@@ -131,7 +132,17 @@ def sniff_format(uri: str) -> str | None:
         return _SCHEME_TO_FORMAT[scheme]
     path = uri.split("://", 1)[-1].split("?", 1)[0]
     _, ext = os.path.splitext(path.rstrip("/"))
-    return _EXT_TO_FORMAT.get(ext.lower())
+    fmt = _EXT_TO_FORMAT.get(ext.lower())
+    if fmt is None and os.path.isdir(path):
+        # table-format directories sniff by their metadata layout
+        if os.path.isdir(os.path.join(path, "_delta_log")):
+            return "delta"
+        if os.path.isdir(os.path.join(path, "metadata")) and any(
+            n.endswith(".metadata.json")
+            for n in os.listdir(os.path.join(path, "metadata"))
+        ):
+            return "iceberg"
+    return fmt
 
 
 def parse_table_config(d: dict[str, Any]) -> TableSource:

@@ -29,6 +29,7 @@ _LOADERS: dict[str, str] = {
     "parquet": "roapi_spark.sources.parquet",
     "orc": "roapi_spark.sources.orc",
     "delta": "roapi_spark.sources.delta",
+    "iceberg": "roapi_spark.sources.iceberg",
     "arrow": "roapi_spark.sources.arrow_ipc",
     "arrows": "roapi_spark.sources.arrow_ipc",
     "xlsx": "roapi_spark.sources.excel",
