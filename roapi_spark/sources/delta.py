@@ -45,7 +45,14 @@ _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 # columnMapping (round 4): honored — Delta's schemaString is Spark
 # StructType JSON, so the physicalName metadata maps parquet columns
 # back to logical names (see _unmap_columns).
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors", "columnMapping"}
+# v2Checkpoint (round 4): honored — UUID-named json/parquet checkpoints
+# with sidecar action files are replayed (see _checkpoint_state).
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz",
+    "deletionVectors",
+    "columnMapping",
+    "v2Checkpoint",
+}
 
 
 def _check_protocol(action: dict, table_path: str) -> None:
@@ -83,12 +90,56 @@ def _log_versions(log_dir: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
+def _checkpoint_files(log_dir: str, v: int) -> list[str]:
+    """Checkpoint file(s) for version v: classic single-file
+    (``N.checkpoint.parquet``), classic multi-part
+    (``N.checkpoint.i.n.parquet``), or v2 UUID-named
+    (``N.checkpoint.<uuid>.parquet|json``)."""
+    prefix = f"{v:020d}.checkpoint"
+    names = sorted(
+        n for n in os.listdir(log_dir)
+        if n.startswith(prefix) and n.endswith((".parquet", ".json"))
+    )
+    classic = f"{prefix}.parquet"
+    if classic in names:
+        return [os.path.join(log_dir, classic)]
+    multi = [n for n in names if re.match(rf"{prefix}\.\d{{10}}\.\d{{10}}\.parquet$", n)]
+    if multi:
+        return [os.path.join(log_dir, n) for n in multi]
+    return [os.path.join(log_dir, n) for n in names]  # v2 uuid-named
+
+
+def _checkpoint_actions(log_dir: str, path: str):
+    """Yield delta actions from a checkpoint (or sidecar) file — parquet
+    rows with per-action struct columns, or json with one action per
+    line (the v2 json checkpoint shape)."""
+    if path.endswith(".json"):
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    yield json.loads(line)
+        return
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    cols = [c for c in ("protocol", "metaData", "add", "remove", "sidecar")
+            if c in tbl.column_names]
+    data = {c: tbl.column(c).to_pylist() for c in cols}
+    for i in range(tbl.num_rows):
+        for c in cols:
+            rec = data[c][i]
+            # a checkpoint row is one action: skip the all-null struct
+            # cells pyarrow materializes for the other columns
+            if rec and any(val is not None for val in rec.values()):
+                yield {c: rec}
+
+
 def _checkpoint_state(
     log_dir: str, upto: int | None
 ) -> tuple[int, dict[str, dict | None], dict | None]:
-    """Seed the active-file set from the newest usable parquet checkpoint.
-    Returns (checkpoint_version, active, metaData) — replay continues
-    after it."""
+    """Seed the active-file set from the newest usable checkpoint
+    (classic, multi-part, or v2-with-sidecars). Returns
+    (checkpoint_version, active, metaData) — replay continues after it."""
     lc = os.path.join(log_dir, "_last_checkpoint")
     if not os.path.exists(lc):
         return -1, {}, None
@@ -99,26 +150,32 @@ def _checkpoint_state(
         v = int(info["version"])
         if upto is not None and v > upto:
             return -1, {}, None  # checkpoint is past the requested snapshot
-        import pyarrow.parquet as pq
-
-        path = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
-        tbl = pq.read_table(path)
-        cols = set(tbl.column_names)
-        # the checkpoint subsumes commit 0's protocol/metaData actions —
-        # guard them here too, not just in the json replay
+        files = _checkpoint_files(log_dir, v)
+        if not files:
+            return -1, {}, None
         meta = None
-        for col in ("protocol", "metaData"):
-            if col in cols:
-                for rec in tbl.column(col).to_pylist():
-                    if rec and (rec.get("id") or col == "protocol"):
-                        _check_protocol({col: rec}, table_path)
-                        if col == "metaData":
-                            meta = rec
         active: dict[str, dict | None] = {}
-        for rec in tbl.column("add").to_pylist():
-            if rec and rec.get("path"):
-                _check_protocol({"add": rec}, table_path)
-                active[rec["path"]] = rec.get("deletionVector")
+        sidecars: list[str] = []
+        actions = []
+        for path in files:
+            actions.extend(_checkpoint_actions(log_dir, path))
+        for action in actions:
+            # the checkpoint subsumes commit 0's protocol/metaData —
+            # guard here too, not just in the json replay
+            _check_protocol(action, table_path)
+            if "metaData" in action and action["metaData"].get("id"):
+                meta = action["metaData"]
+            elif "add" in action and action["add"].get("path"):
+                active[action["add"]["path"]] = action["add"].get("deletionVector")
+            elif "sidecar" in action and action["sidecar"].get("path"):
+                sidecars.append(action["sidecar"]["path"])
+        for sc in sidecars:  # v2: add/remove live in sidecar parquet files
+            sc_path = os.path.join(log_dir, "_sidecars", os.path.basename(sc))
+            for action in _checkpoint_actions(log_dir, sc_path):
+                if "add" in action and action["add"].get("path"):
+                    active[action["add"]["path"]] = action["add"].get("deletionVector")
+                elif "remove" in action and action["remove"].get("path"):
+                    active.pop(action["remove"]["path"], None)
         return v, active, meta
     except LoadError:
         raise

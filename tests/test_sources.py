@@ -697,22 +697,22 @@ def _mk_delta(tmp_path, actions_by_version):
 
 
 def test_delta_reader_version_guard(spark, tmp_path):
-    """Modern-protocol features the replay can't honor (v2Checkpoint,
-    column mapping) must fail loudly, not return wrong rows (delta-rs
-    gives the reference these free, delta.rs:104-297). deletionVectors
-    is honored since round 4 (test_deletion_vectors.py)."""
+    """Modern-protocol reader features the replay can't honor (e.g.
+    variantType) must fail loudly, not return wrong rows (delta-rs gives
+    the reference these free, delta.rs:104-297). deletionVectors,
+    columnMapping, and v2Checkpoint are honored since round 4."""
     from roapi_spark.sources import LoadError
 
     root = _mk_delta(tmp_path, {
         0: [
             {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                          "readerFeatures": ["v2Checkpoint"]}},
+                          "readerFeatures": ["variantType"]}},
             {"metaData": {"id": "m", "format": {"provider": "parquet"}}},
             {"add": {"path": "part-0.parquet", "size": 1,
                      "modificationTime": 0, "dataChange": True}},
         ],
     })
-    with pytest.raises(LoadError, match="v2Checkpoint"):
+    with pytest.raises(LoadError, match="variantType"):
         _load(spark, {"name": "x", "uri": str(root), "option": {"format": "delta"}})
 
 
@@ -939,3 +939,129 @@ def test_orc_scan(spark, fixtures):
         df.filter("id = 2")._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [" in plan and "EqualTo(id,2)" in plan
+
+
+# -- Delta checkpoints: classic, multi-part, v2 + sidecars -------------------
+
+
+def _ckpt_table(rows):
+    """Build a checkpoint parquet table: one action per row, struct
+    columns protocol/metaData/add/remove/sidecar (absent cells None)."""
+    import pyarrow as _pa
+
+    cols = {
+        "protocol": ({"minReaderVersion": None, "minWriterVersion": None}, [])
+        ,
+        "metaData": ({"id": None, "schemaString": None}, []),
+        "add": ({"path": None, "size": None, "dataChange": None}, []),
+        "remove": ({"path": None}, []),
+        "sidecar": ({"path": None, "sizeInBytes": None}, []),
+    }
+    for row in rows:
+        for c, (proto, vals) in cols.items():
+            v = row.get(c)
+            vals.append({**proto, **v} if v else None)
+    arrays, names = [], []
+    for c, (_proto, vals) in cols.items():
+        if any(vals):
+            arrays.append(_pa.array(vals))
+            names.append(c)
+    return _pa.table(dict(zip(names, arrays)))
+
+
+def _delta_root(tmp_path, parts):
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    root = tmp_path / "ck"
+    (root / "_delta_log").mkdir(parents=True)
+    for name, ids in parts.items():
+        _pq.write_table(
+            _pa.table({"id": _pa.array(ids, type=_pa.int64())}), root / name
+        )
+    return root
+
+
+def test_delta_classic_checkpoint_seed(spark, tmp_path):
+    import pyarrow.parquet as _pq
+
+    root = _delta_root(tmp_path, {"a.parquet": [1], "b.parquet": [2], "c.parquet": [3]})
+    log = root / "_delta_log"
+    _pq.write_table(
+        _ckpt_table([
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "m"}},
+            {"add": {"path": "a.parquet", "size": 1, "dataChange": True}},
+            {"add": {"path": "b.parquet", "size": 1, "dataChange": True}},
+        ]),
+        log / f"{10:020d}.checkpoint.parquet",
+    )
+    (log / "_last_checkpoint").write_text(json.dumps({"version": 10}))
+    # a commit before the checkpoint must be ignored; one after applies
+    (log / f"{10:020d}.json").write_text(json.dumps(
+        {"add": {"path": "zzz-not-used.parquet", "dataChange": True}}))
+    (log / f"{11:020d}.json").write_text("\n".join([
+        json.dumps({"remove": {"path": "b.parquet", "dataChange": True}}),
+        json.dumps({"add": {"path": "c.parquet", "size": 1,
+                            "modificationTime": 0, "dataChange": True}}),
+    ]))
+    df = _load(spark, {"name": "ck", "uri": str(root), "option": {"format": "delta"}})
+    assert sorted(r.id for r in df.collect()) == [1, 3]
+
+
+def test_delta_multipart_checkpoint(spark, tmp_path):
+    import pyarrow.parquet as _pq
+
+    root = _delta_root(tmp_path, {"a.parquet": [1], "b.parquet": [2]})
+    log = root / "_delta_log"
+    _pq.write_table(
+        _ckpt_table([
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {"id": "m"}},
+            {"add": {"path": "a.parquet", "size": 1, "dataChange": True}},
+        ]),
+        log / f"{5:020d}.checkpoint.{1:010d}.{2:010d}.parquet",
+    )
+    _pq.write_table(
+        _ckpt_table([
+            {"add": {"path": "b.parquet", "size": 1, "dataChange": True}},
+        ]),
+        log / f"{5:020d}.checkpoint.{2:010d}.{2:010d}.parquet",
+    )
+    (log / "_last_checkpoint").write_text(json.dumps({"version": 5, "parts": 2}))
+    (log / f"{5:020d}.json").write_text("")
+    df = _load(spark, {"name": "ck", "uri": str(root), "option": {"format": "delta"}})
+    assert sorted(r.id for r in df.collect()) == [1, 2]
+
+
+def test_delta_v2_checkpoint_json_with_sidecars(spark, tmp_path):
+    import pyarrow.parquet as _pq
+
+    root = _delta_root(tmp_path, {"a.parquet": [1], "b.parquet": [2], "c.parquet": [3]})
+    log = root / "_delta_log"
+    (log / "_sidecars").mkdir()
+    _pq.write_table(
+        _ckpt_table([
+            {"add": {"path": "a.parquet", "size": 1, "dataChange": True}},
+            {"add": {"path": "b.parquet", "size": 1, "dataChange": True}},
+            {"remove": {"path": "b.parquet"}},
+        ]),
+        log / "_sidecars" / "sc-001.parquet",
+    )
+    v2 = [
+        {"checkpointMetadata": {"version": 7, "tags": {}}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"]}},
+        {"metaData": {"id": "m", "format": {"provider": "parquet"},
+                      "schemaString": "{}"}},
+        {"sidecar": {"path": "sc-001.parquet", "sizeInBytes": 1}},
+    ]
+    (log / f"{7:020d}.checkpoint.80a083e8-7026.json").write_text(
+        "\n".join(json.dumps(a) for a in v2))
+    (log / "_last_checkpoint").write_text(json.dumps({"version": 7}))
+    (log / f"{7:020d}.json").write_text("")
+    (log / f"{8:020d}.json").write_text(json.dumps(
+        {"add": {"path": "c.parquet", "size": 1, "modificationTime": 0,
+                 "dataChange": True}}))
+    df = _load(spark, {"name": "ck", "uri": str(root), "option": {"format": "delta"}})
+    assert sorted(r.id for r in df.collect()) == [1, 3]
