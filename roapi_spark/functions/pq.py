@@ -1,0 +1,283 @@
+"""Product-quantization ANN (ADC — asymmetric distance computation),
+the third ANN family next to IVF (similarity.py) and random-hyperplane
+LSH: vectors are encoded as M tiny per-subspace codewords, and queries
+rank candidates by a table lookup instead of a full-dimension fold
+(Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011 — public literature; the reference has no ANN at all).
+
+Exactness design: everything runs on the same integer-quantized grid as
+the IVF k-means (floor(x*1000+0.5)), codebooks are a one-step Lloyd's
+(seed = first-K subvectors, one integer assignment + floor-mean update),
+and ADC distances are integer sums — zero floating point end to end, so
+the DuckDB oracle reproduces the ranking bit-for-bit.
+
+Scale notes (100 TB): the code table is M small ints per vector (a
+~256x compression of a float64[64] embedding) built map-side against
+broadcast-literal codebooks; serving joins the exploded (vec_id, m,
+code) table to a broadcast per-query ADC lookup table (N_QUERIES*M*K
+rows) and aggregates — shuffle volume is the (tiny) per-pair partial
+sums, and the corpus embedding column is never read at query time once
+codes are materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from roapi_spark.functions.similarity import N_QUERIES, TOP_K, _vq_col, emb
+from roapi_spark.plans.registry import register
+
+PQ_M = 4        # subspaces
+PQ_SUBDIM = 16  # dims per subspace (M * SUBDIM = 64)
+PQ_K = 8        # codewords per subspace
+
+
+def _sub(col, m: int):
+    return F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def _argmin_code(subv, codebook: list[list[int]]):
+    """argmin_k ||subv - codebook[k]||^2 as exact integer math, ties to
+    the lower code id (array_min over (dist, code) structs)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        subv,
+                        # one array literal per codeword (a single py4j
+                        # call), not SUBDIM scalar lits — Column
+                        # construction cost dominates this operator
+                        F.lit([int(x) for x in cw]).cast("array<bigint>"),
+                        lambda x, c: (x - c) * (x - c),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, y: acc + y,
+                ).alias("d"),
+                F.lit(k).alias("code"),
+            )
+            for k, cw in enumerate(codebook)
+        ]
+    )
+    return F.array_min(pairs)["code"]
+
+
+def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, vq, s0..s{M-1}) with a checkpoint barrier after the
+    quantize transform and the subspace slices: without it projection
+    collapse re-inlines the 64-dim transform into every one of the M*K
+    argmin folds (the pitfall documented in SCALE.md "Catalyst pitfalls"
+    #1 — measured 75 s -> seconds here)."""
+    return (
+        emb(spark, sf_dir)
+        .withColumn("vq", _vq_col())
+        .select(
+            "vec_id", "vq",
+            *[_sub(F.col("vq"), m).alias(f"s{m}") for m in range(PQ_M)],
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def pq_fit(spark: SparkSession, sf_dir: str, eq: DataFrame | None = None) -> list[list[list[int]]]:
+    """Per-subspace codebooks: seed = subvectors of vec_id < PQ_K, one
+    Lloyd step (integer assignment + floor-mean update). Returns
+    codebooks[m][k] = list of PQ_SUBDIM ints — M*K*SUBDIM ints on the
+    driver, broadcast as literals everywhere else."""
+    if eq is None:
+        eq = _prepared(spark, sf_dir)
+    seeds = {
+        int(r.vec_id): list(r.vq)
+        for r in eq.filter(F.col("vec_id") < PQ_K).select("vec_id", "vq").collect()
+    }
+    books: list[list[list[int]]] = []
+    for m in range(PQ_M):
+        seed = [seeds[k][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for k in range(PQ_K)]
+        assigned = eq.select(
+            F.col(f"s{m}").alias("sv"),
+            _argmin_code(F.col(f"s{m}"), seed).alias("code"),
+        )
+        upd = (
+            assigned.select("code", F.posexplode("sv").alias("i", "x"))
+            .groupBy("code", "i")
+            .agg(F.floor(F.sum("x") / F.count("*")).cast("bigint").alias("c"))
+            .groupBy("code")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).c.alias("cw"))
+        )
+        got = {int(r.code): list(r.cw) for r in upd.collect()}
+        # a codeword that attracted no points keeps its seed (standard
+        # empty-cell handling, deterministic)
+        books.append([got.get(k, seed[k]) for k in range(PQ_K)])
+    return books
+
+
+def _pq_oracle_sql() -> str:
+    """Unrolled per-subspace one-step Lloyd's + encode + ADC ranking."""
+    parts = [
+        f"""e AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding::DOUBLE[],
+                            x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS vq
+      FROM embeddings)"""
+    ]
+    dist = (
+        "LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {sd}), "
+        "i -> (sv[i] - c.cw[i]) * (sv[i] - c.cw[i])))"
+    ).format(sd=PQ_SUBDIM)
+    for m in range(PQ_M):
+        lo = m * PQ_SUBDIM + 1
+        parts.append(
+            f"""sv{m} AS (
+      SELECT vec_id, vq[{lo}:{lo + PQ_SUBDIM - 1}] AS sv FROM e),
+    seed{m} AS (
+      SELECT vec_id AS code, sv AS cw FROM sv{m} WHERE vec_id < {PQ_K}),
+    a{m} AS (
+      SELECT vec_id, sv, code FROM (
+        SELECT s.vec_id, s.sv, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                 ORDER BY {dist}, c.code) AS rn
+        FROM sv{m} s CROSS JOIN seed{m} c) WHERE rn = 1),
+    upd{m} AS (
+      SELECT code, LIST(c ORDER BY i) AS cw FROM (
+        SELECT code, i, CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        FROM a{m}, GENERATE_SERIES(1, {PQ_SUBDIM}) AS g(i)
+        GROUP BY code, i) GROUP BY code),
+    book{m} AS (
+      SELECT s.code, COALESCE(u.cw, s.cw) AS cw
+      FROM seed{m} s LEFT JOIN upd{m} u ON s.code = u.code),
+    enc{m} AS (
+      SELECT vec_id, code FROM (
+        SELECT s.vec_id, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                 ORDER BY {dist}, c.code) AS rn
+        FROM sv{m} s CROSS JOIN book{m} c) WHERE rn = 1),
+    qt{m} AS (  -- per-query ADC table for subspace {m}
+      SELECT s.vec_id AS qid, c.code, {dist} AS d
+      FROM sv{m} s CROSS JOIN book{m} c WHERE s.vec_id < {N_QUERIES})"""
+        )
+    enc_joins = " ".join(
+        f"JOIN enc{m} ON enc{m}.vec_id = e.vec_id" for m in range(PQ_M)
+    )
+    adc = " + ".join(
+        f"(SELECT d FROM qt{m} WHERE qt{m}.qid = q.qid AND qt{m}.code = codes.c{m})"
+        for m in range(PQ_M)
+    )
+    parts.append(
+        f"""codes AS (
+      SELECT e.vec_id, {", ".join(f"enc{m}.code AS c{m}" for m in range(PQ_M))}
+      FROM e {enc_joins}),
+    q AS (SELECT vec_id AS qid FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.qid, codes.vec_id AS neighbor_id, ({adc}) AS adc_dist
+      FROM q CROSS JOIN codes WHERE codes.vec_id <> q.qid),
+    ranked AS (
+      SELECT qid, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY adc_dist ASC, neighbor_id) AS rnk
+      FROM scored)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT qid, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+    )
+
+
+def pq_layout(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[list[int]]]]:
+    """Build-once PQ index: the per-subspace codebooks (json) and the
+    corpus code table (parquet, M small ints per vector) persisted per
+    corpus snapshot (content-addressed key like ``similarity.ivf_layout``).
+    At 100 TB the code table IS the served index — ~256x smaller than the
+    embedding column, rebuilt only when the corpus snapshot changes."""
+    import json
+    import os
+
+    from roapi_spark.functions.snapshot import snapshot_cache_dir
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    out = snapshot_cache_dir(src, "pq-v1")
+    books_path = os.path.join(out, "_books.json")
+    if os.path.exists(os.path.join(out, "_SUCCESS")) and os.path.exists(books_path):
+        with open(books_path) as f:
+            return out, json.load(f)
+    eq = _prepared(spark, sf_dir)
+    books = pq_fit(spark, sf_dir, eq)
+    eq.select(
+        "vec_id",
+        *[
+            _argmin_code(F.col(f"s{m}"), books[m]).alias(f"c{m}")
+            for m in range(PQ_M)
+        ],
+    ).write.mode("overwrite").parquet(out)
+    with open(books_path, "w") as f:
+        json.dump(books, f)
+    return out, books
+
+
+@register(
+    "ann_pq_adc",
+    oracle=_pq_oracle_sql(),
+    doc=f"Product-quantization ANN with asymmetric distance computation: "
+    f"{PQ_M} subspaces x {PQ_K} codewords (one-step integer Lloyd's per "
+    "subspace), corpus encoded map-side to M codes per vector, queries "
+    "ranked by a broadcast ADC lookup-table join — every distance an "
+    "exact integer, so the unrolled oracle reproduces the ranking "
+    "bit-for-bit. The code table is ~256x smaller than the embeddings; "
+    "at scale, serving never re-reads the embedding column.",
+    tags=("similarity",),
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    layout_dir, books = pq_layout(spark, sf_dir)
+    codes = spark.read.parquet(layout_dir)
+    # per-query ADC tables: N_QUERIES * M * K integer distances, computed
+    # on the driver from the collected query vectors (the client-side
+    # "build the lookup table" step of every PQ serving system); the
+    # query vectors come off the source with vec_id pushdown
+    qrows = (
+        emb(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("vq", _vq_col())
+        .select("vec_id", "vq")
+        .collect()
+    )
+    table = []
+    for r in qrows:
+        vq = list(r.vq)
+        for m in range(PQ_M):
+            sv = vq[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            for k, cw in enumerate(books[m]):
+                d = sum((int(a) - int(b)) ** 2 for a, b in zip(sv, cw))
+                table.append((int(r.vec_id), m, k, d))
+    tdf = spark.createDataFrame(table, "qid bigint, m int, code int, d bigint")
+    # explode codes to (vec_id, m, code), join the broadcast table, sum
+    mcol = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(m).alias("m"), F.col(f"c{m}").alias("code"))
+                for m in range(PQ_M)
+            ]
+        )
+    ).alias("mc")
+    exploded = codes.select("vec_id", mcol).select("vec_id", "mc.m", "mc.code")
+    scored = (
+        exploded.join(F.broadcast(tdf), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "qid",
+            "neighbor_id",
+            F.col("adc_dist").cast("bigint").alias("adc_dist"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -242,3 +242,27 @@ def test_iceberg_relocated_table_rebases_paths(spark, iceberg_table, tmp_path):
                        "option": {"format": "iceberg"}})
     # original paths still resolve (fixture not deleted) — result identical
     assert sorted(r.id for r in df.collect()) == [2, 4, 5]
+
+
+# ---- property: the codec round-trips arbitrary records ---------------------
+
+
+def test_avro_property_roundtrip():
+    from hypothesis import given, settings, strategies as st
+
+    rec = st.fixed_dictionaries({
+        "s": st.text(max_size=40),
+        "n": st.one_of(st.none(), st.integers(min_value=-(2**62), max_value=2**62)),
+        "xs": st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1), max_size=8),
+        "kv": st.dictionaries(st.text(min_size=1, max_size=8), st.floats(allow_nan=False, width=64), max_size=4),
+        "b": st.booleans(),
+    })
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(rec, max_size=12))
+    def check(recs):
+        for codec in ("null", "deflate"):
+            _, out = read_container(write_container(_SCHEMA, recs, codec=codec))
+            assert out == recs
+
+    check()
