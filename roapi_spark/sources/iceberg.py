@@ -16,7 +16,8 @@ and scans it with ``spark.read.parquet`` — Catalyst still prunes columns
 and pushes filters. Iceberg v2 positional delete files are honored by
 anti-filtering (file, row ordinal) pairs via the parquet scan's
 ``_metadata`` columns (the same mechanism as Delta deletion vectors,
-sources/delta.py). Equality deletes fail loudly.
+sources/delta.py); equality deletes anti-join on the referenced columns
+with the spec's null-equals-null matching.
 
 Absolute ``file:`` URIs inside metadata are rebased onto the table root
 when the original location no longer exists (tables are routinely moved
@@ -99,11 +100,13 @@ def snapshot_files(
     table_path: str,
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
-) -> tuple[list[str], list[str]]:
-    """(data files, positional-delete files) for a snapshot."""
+) -> tuple[list[str], list[str], list[tuple[str, list[str]]]]:
+    """(data files, positional-delete files, [(equality-delete file,
+    matched column names)]) for a snapshot."""
     meta_path = _metadata_path(table_path)
     with open(meta_path) as f:
         meta = json.load(f)
+    field_names = _field_names_by_id(meta)
     snaps = meta.get("snapshots") or []
     if not snaps:
         raise LoadError(f"iceberg table {table_path}: no snapshots")
@@ -122,6 +125,7 @@ def snapshot_files(
     mlist = _localize(chosen["manifest-list"], table_path)
     data_files: list[str] = []
     delete_files: list[str] = []
+    eq_deletes: list[tuple[str, list[str]]] = []
     for m in _read_avro(mlist):
         mpath = _localize(m["manifest_path"], table_path)
         for entry in _read_avro(mpath):
@@ -139,12 +143,48 @@ def snapshot_files(
                 data_files.append(fpath)
             elif content == 1:
                 delete_files.append(fpath)
-            else:  # equality deletes change row identity semantics
+            elif content == 2:
+                ids = df.get("equality_ids") or []
+                try:
+                    cols = [field_names[int(i)] for i in ids]
+                except KeyError as exc:
+                    raise LoadError(
+                        f"iceberg table {table_path}: equality delete "
+                        f"references unknown field id {exc}"
+                    ) from exc
+                if not cols:
+                    raise LoadError(
+                        f"iceberg table {table_path}: equality delete "
+                        "without equality_ids"
+                    )
+                eq_deletes.append((fpath, cols))
+            else:
                 raise LoadError(
-                    f"iceberg table {table_path}: equality deletes are not "
-                    "supported by the pure-Python replay"
+                    f"iceberg table {table_path}: unknown file content "
+                    f"{content!r}"
                 )
-    return data_files, delete_files
+    return data_files, delete_files, eq_deletes
+
+
+def _field_names_by_id(meta: dict) -> dict[int, str]:
+    """field-id -> column name from the table schema (v2 ``schemas`` +
+    ``current-schema-id``, v1 ``schema``) — equality-delete files name
+    their matched columns by field id."""
+    schema = None
+    if "schemas" in meta:
+        cur = meta.get("current-schema-id")
+        for s in meta["schemas"]:
+            if s.get("schema-id") == cur:
+                schema = s
+                break
+        if schema is None and meta["schemas"]:
+            schema = meta["schemas"][-1]
+    schema = schema or meta.get("schema") or {}
+    return {
+        int(f["id"]): f["name"]
+        for f in schema.get("fields", [])
+        if "id" in f and "name" in f
+    }
 
 
 def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
@@ -159,7 +199,7 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
             .timestamp()
             * 1000
         )
-    data_files, delete_files = snapshot_files(
+    data_files, delete_files, eq_deletes = snapshot_files(
         ts.uri,
         snapshot_id=None if snap is None else int(snap),
         timestamp_ms=None if ts_ms is None else int(ts_ms),
@@ -167,9 +207,37 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
     if not data_files:
         raise LoadError(f"iceberg table {ts.name!r}: snapshot has no data files")
     df = spark.read.option("basePath", ts.uri).parquet(*data_files)
-    if not delete_files:
-        return df
-    return _apply_position_deletes(spark, df, delete_files, ts)
+    if delete_files:
+        df = _apply_position_deletes(spark, df, delete_files, ts)
+    for path, cols in eq_deletes:
+        df = _apply_equality_delete(spark, df, path, cols, ts)
+    return df
+
+
+def _apply_equality_delete(
+    spark: SparkSession, df: DataFrame, path: str, cols: list[str], ts: TableSource
+) -> DataFrame:
+    """Iceberg v2 equality deletes: drop rows whose values equal any
+    delete row on the referenced columns, null matching null (the spec's
+    null-equals-null rule -> eqNullSafe join keys). The delete set is a
+    small scan broadcast into a left-anti join keyed on the equality
+    columns — at cluster scale the standard merge-on-read shape."""
+    from pyspark.sql import functions as F
+
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise LoadError(
+            f"iceberg table {ts.name!r}: equality delete columns {missing} "
+            "not present in the data schema"
+        )
+    dels = spark.read.parquet(path).select(
+        *[F.col(c).alias(f"_eq_{c}") for c in cols]
+    ).distinct()
+    cond = None
+    for c in cols:
+        clause = F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
+        cond = clause if cond is None else cond & clause
+    return df.join(F.broadcast(dels), cond, "left_anti")
 
 
 def _apply_position_deletes(

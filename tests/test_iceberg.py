@@ -91,6 +91,8 @@ _MANIFEST_SCHEMA = {
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}]},
                 ],
             },
         },
@@ -98,7 +100,7 @@ _MANIFEST_SCHEMA = {
 }
 
 
-def _data_file(path: str, content: int = 0, n: int = 1) -> dict:
+def _data_file(path: str, content: int = 0, n: int = 1, eq_ids=None) -> dict:
     return {
         "status": 1,
         "snapshot_id": None,
@@ -108,6 +110,7 @@ def _data_file(path: str, content: int = 0, n: int = 1) -> dict:
             "file_format": "PARQUET",
             "record_count": n,
             "file_size_in_bytes": 1,
+            "equality_ids": eq_ids,
         },
     }
 
@@ -201,28 +204,67 @@ def test_iceberg_timestamp_travel(spark, iceberg_table):
     assert sorted(r.id for r in df.collect()) == [1, 2, 3]
 
 
-def test_iceberg_equality_deletes_fail_loudly(spark, tmp_path):
-    from roapi_spark.sources import LoadError
-
+def _eq_table(tmp_path, eq_ids, schema_fields, delete_rows):
     root = tmp_path / "eq"
     (root / "data").mkdir(parents=True)
     (root / "metadata").mkdir()
     f = root / "data" / "f.parquet"
-    pq.write_table(pa.table({"id": pa.array([1], type=pa.int64())}), f)
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2, 3], type=pa.int64()),
+                  "val": ["a", "b", None]}), f)
+    ed = root / "data" / "eq1.parquet"
+    pq.write_table(pa.table(delete_rows), ed)
     m = root / "metadata" / "m.avro"
     m.write_bytes(write_container(
         _MANIFEST_SCHEMA,
-        [_data_file(str(f)), _data_file(str(f), content=2)]))
+        [_data_file(str(f), n=3), _data_file(str(ed), content=2, eq_ids=eq_ids)]))
     ml = root / "metadata" / "ml.avro"
     ml.write_bytes(write_container(_MANIFEST_LIST_SCHEMA, [
         {"manifest_path": str(m), "manifest_length": 1, "content": 0,
          "added_snapshot_id": 1}]))
     (root / "metadata" / "v1.metadata.json").write_text(json.dumps({
         "format-version": 2, "current-snapshot-id": 1,
+        "schemas": [{"schema-id": 0, "fields": schema_fields}],
+        "current-schema-id": 0,
         "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
                        "manifest-list": str(ml)}],
     }))
-    with pytest.raises(LoadError, match="equality deletes"):
+    return root
+
+
+_FIELDS = [{"id": 1, "name": "id", "type": "long"},
+           {"id": 2, "name": "val", "type": "string"}]
+
+
+def test_iceberg_equality_delete_applies(spark, tmp_path):
+    import pyarrow as _pa
+
+    root = _eq_table(tmp_path, [1], _FIELDS,
+                     {"id": _pa.array([2], type=_pa.int64())})
+    df = _load(spark, {"name": "x", "uri": str(root),
+                       "option": {"format": "iceberg"}})
+    assert sorted(r.id for r in df.collect()) == [1, 3]
+
+
+def test_iceberg_equality_delete_null_matches_null(spark, tmp_path):
+    import pyarrow as _pa
+
+    # delete on val=NULL must drop the NULL row (spec: null == null)
+    root = _eq_table(tmp_path, [2], _FIELDS,
+                     {"val": _pa.array([None], type=_pa.string())})
+    df = _load(spark, {"name": "x", "uri": str(root),
+                       "option": {"format": "iceberg"}})
+    assert sorted(r.id for r in df.collect()) == [1, 2]
+
+
+def test_iceberg_equality_delete_unknown_field_fails(spark, tmp_path):
+    import pyarrow as _pa
+
+    from roapi_spark.sources import LoadError
+
+    root = _eq_table(tmp_path, [99], _FIELDS,
+                     {"id": _pa.array([2], type=_pa.int64())})
+    with pytest.raises(LoadError, match="unknown field id"):
         _load(spark, {"name": "x", "uri": str(root),
                       "option": {"format": "iceberg"}})
 
