@@ -478,3 +478,98 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.avg("tj")).alias("mean_true_jaccard"),
         pround(F.avg("err")).alias("mean_abs_err"),
     )
+
+
+@register(
+    "q_dup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_DUCK.strip().lstrip("WITH").strip()},
+    e2 AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT a, a FROM e2
+      UNION
+      SELECT r.n, e2.b FROM reach r JOIN e2 ON r.m = e2.a
+    ),
+    comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n),
+    sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    doc="Duplicate-cluster size distribution: component sizes over the "
+    "LSH pair graph bucketed into (cluster_size, n_clusters, n_docs) — "
+    "the histogram every dedup report leads with (how much of the corpus "
+    "sits in 2-clusters vs mega-clusters). Reads the snapshot-cached "
+    "component labels; two tiny aggs.",
+    tags=("dedup", "audit"),
+)
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )
+
+
+ZIPF_TOP = 200
+
+
+@register(
+    "q_zipf_slope",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> length(x) > 0)) AS token
+      FROM documents
+    ), counted AS (
+      SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+    ), ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rnk
+      FROM counted
+    ), top AS (
+      SELECT LN(rnk) AS lx, LN(cnt) AS ly FROM ranked WHERE rnk <= {ZIPF_TOP}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           FLOOR(REGR_SLOPE(ly, lx) * 10000 + 0.5) / 10000.0 AS zipf_slope,
+           FLOOR(REGR_R2(ly, lx) * 10000 + 0.5) / 10000.0 AS r2
+    FROM top
+    """,
+    doc=f"Zipf's-law audit: least-squares slope of ln(freq) vs ln(rank) "
+    f"over the top-{ZIPF_TOP} vocabulary (natural text sits near -1; a "
+    "corpus of boilerplate or synthetic spam drifts off) plus the fit's "
+    "R². The rank table is the same TakeOrderedAndProject top-k as "
+    "text_vocab_topk — the Zipf tail never funnels through one "
+    "partition; the regression is a single tiny agg.",
+    tags=("text", "audit"),
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = docs(spark, sf_dir)
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("token")
+    )
+    counted = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    top = counted.orderBy(F.desc("cnt"), F.asc("token")).limit(ZIPF_TOP)
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+        .alias("rnk"),
+        "cnt",
+    )
+    pts = ranked.select(F.log("rnk").alias("lx"), F.log("cnt").alias("ly"))
+    return pts.agg(
+        F.count("*").alias("n_tokens"),
+        pround(F.regr_slope("ly", "lx")).alias("zipf_slope"),
+        pround(F.regr_r2("ly", "lx")).alias("r2"),
+    )
