@@ -132,7 +132,7 @@ def _pq_oracle_sql() -> str:
       SELECT vec_id, vq[{lo}:{lo + PQ_SUBDIM - 1}] AS sv FROM e),
     seed{m} AS (
       SELECT vec_id AS code, sv AS cw FROM sv{m} WHERE vec_id < {PQ_K}),
-    a{m} AS (
+    pa{m} AS (
       SELECT vec_id, sv, code FROM (
         SELECT s.vec_id, s.sv, c.code,
                ROW_NUMBER() OVER (PARTITION BY s.vec_id
@@ -141,7 +141,7 @@ def _pq_oracle_sql() -> str:
     upd{m} AS (
       SELECT code, LIST(c ORDER BY i) AS cw FROM (
         SELECT code, i, CAST(FLOOR(CAST(SUM(sv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-        FROM a{m}, GENERATE_SERIES(1, {PQ_SUBDIM}) AS g(i)
+        FROM pa{m}, GENERATE_SERIES(1, {PQ_SUBDIM}) AS g(i)
         GROUP BY code, i) GROUP BY code),
     book{m} AS (
       SELECT s.code, COALESCE(u.cw, s.cw) AS cw
@@ -266,6 +266,125 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = codes.select("vec_id", mcol).select("vec_id", "mc.m", "mc.code")
     scored = (
         exploded.join(F.broadcast(tdf), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "qid",
+            "neighbor_id",
+            F.col("adc_dist").cast("bigint").alias("adc_dist"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+def _ivfpq_oracle_sql() -> str:
+    """IVF coarse filter (unrolled k-means, similarity.kmeans_oracle_prefix)
+    composed with the PQ encode + ADC CTEs: candidates come only from the
+    query's coarse cell, ranked by integer ADC distance."""
+    from roapi_spark.functions.similarity import kmeans_oracle_prefix
+
+    pq_part = _pq_oracle_sql()
+    # reuse the PQ CTE chain up to (but excluding) its final scored/ranked
+    body = pq_part.split("q AS (SELECT vec_id AS qid FROM e WHERE vec_id <")[0]
+    body = body.rstrip().rstrip(",")
+    # the kmeans prefix also defines an `e` CTE (vq grid) — identical
+    # definition, so rename the PQ copy's references by dropping its `e`
+    # and reusing the prefix's. The PQ body's first CTE IS `e`; strip it.
+    body = body.split("WITH ", 1)[1]
+    body = body.split("),", 1)[1]  # drop the leading `e AS (...)` CTE
+    return f"""
+    WITH {kmeans_oracle_prefix()},
+    {body},
+    q AS (
+      SELECT af.vec_id AS qid, af.cid AS qcid FROM af WHERE af.vec_id < {N_QUERIES}),
+    codesq AS (
+      SELECT c.*, af.cid FROM codes c JOIN af ON af.vec_id = c.vec_id),
+    scored AS (
+      SELECT q.qid, codesq.vec_id AS neighbor_id,
+             ({" + ".join(
+                 f"(SELECT d FROM qt{m} WHERE qt{m}.qid = q.qid AND qt{m}.code = codesq.c{m})"
+                 for m in range(PQ_M)
+             )}) AS adc_dist
+      FROM q JOIN codesq ON codesq.cid = q.qcid AND codesq.vec_id <> q.qid),
+    ranked AS (
+      SELECT qid, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY adc_dist ASC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT qid, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@register(
+    "ann_ivfpq",
+    oracle=_ivfpq_oracle_sql(),
+    doc="IVF-PQ — the production ANN composition (FAISS's default shape, "
+    "Jégou et al. 2011): the k-means coarse quantizer prunes the search "
+    "to the query's cid= partition (planning-time partition pruning via "
+    "the persisted ivf_layout), and candidates are ranked by the integer "
+    "ADC lookup against the persisted pq_layout codes — both artifacts "
+    "build once per corpus snapshot, serving reads only the probed "
+    "partitions' code rows and never the embedding column. Fully "
+    "integer-exact, so the composed oracle (unrolled Lloyd's + PQ "
+    "encode + ADC) matches bit-for-bit.",
+    tags=("similarity",),
+)
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.similarity import _assign_expr, ivf_layout
+
+    ivf_dir, cents = ivf_layout(spark, sf_dir)
+    pq_dir, books = pq_layout(spark, sf_dir)
+    # quantize the queries against the persisted coarse centroids
+    qrows = (
+        emb(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("vq", _vq_col())
+        .withColumn("qcid", _assign_expr(cents))
+        .select("vec_id", "vq", "qcid")
+        .collect()
+    )
+    probe_cids = sorted({int(r.qcid) for r in qrows})
+    table = []
+    for r in qrows:
+        vq = list(r.vq)
+        for m in range(PQ_M):
+            sv = vq[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            for k, cw in enumerate(books[m]):
+                d = sum((int(a) - int(b)) ** 2 for a, b in zip(sv, cw))
+                table.append((int(r.vec_id), int(r.qcid), m, k, d))
+    tdf = spark.createDataFrame(table, "qid bigint, qcid bigint, m int, code int, d bigint")
+    # candidate side: only the probed cid= partitions of the IVF layout,
+    # joined to the PQ code table on vec_id
+    cand = (
+        spark.read.parquet(ivf_dir)
+        .filter(F.col("cid").isin(probe_cids))
+        .select("vec_id", "cid")
+        .join(spark.read.parquet(pq_dir), "vec_id")
+    )
+    mcol = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(m).alias("m"), F.col(f"c{m}").alias("code"))
+                for m in range(PQ_M)
+            ]
+        )
+    ).alias("mc")
+    exploded = cand.select("vec_id", "cid", mcol).select("vec_id", "cid", "mc.m", "mc.code")
+    scored = (
+        exploded.join(
+            F.broadcast(tdf),
+            (F.col("cid") == F.col("qcid"))
+            & (exploded.m == tdf.m)
+            & (exploded.code == tdf.code),
+        )
         .filter(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d").alias("adc_dist"))

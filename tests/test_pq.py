@@ -79,3 +79,27 @@ def test_topk_per_query(spark, cache_dir):
     assert set(per_q) == set(range(N_QUERIES))
     for rnks in per_q.values():
         assert sorted(rnks) == list(range(1, TOP_K + 1))
+
+
+def test_ivfpq_candidates_stay_in_coarse_cell(spark, cache_dir):
+    from pyspark.sql import functions as F
+
+    from roapi_spark.functions.pq import ann_ivfpq
+    from roapi_spark.functions.similarity import (
+        N_QUERIES, _assign_expr, _vq_col, emb, ivf_layout,
+    )
+
+    out = ann_ivfpq(spark, SF).collect()
+    assert out
+    _, cents = ivf_layout(spark, SF)
+    cid = {
+        int(r.vec_id): int(r.cid)
+        for r in emb(spark, SF)
+        .withColumn("vq", _vq_col())
+        .withColumn("cid", _assign_expr(cents))
+        .select("vec_id", "cid")
+        .collect()
+    }
+    for r in out:
+        assert cid[r.neighbor_id] == cid[r.qid]
+        assert r.neighbor_id != r.qid
