@@ -230,3 +230,105 @@ def test_concurrent_refresh_rebind_soak(spark, tmp_path_factory):
     # the refresh loop did observe new snapshots
     final = cat.query_sql("SELECT MAX(snap) AS m FROM live").collect()[0].m
     assert final > 0
+
+
+def test_triple_protocol_concurrent_soak(spark, tmp_path_factory):
+    """One catalog served simultaneously over HTTP, the pg wire, and
+    Arrow Flight, hammered concurrently: every protocol must return the
+    identical result under cross-protocol load (one shared SparkSession,
+    three frontends — the deployment shape `python -m roapi_spark
+    --pg-addr --flight-addr` ships)."""
+    import threading
+
+    pytest.importorskip("pyarrow.flight")
+    from pyarrow import flight
+
+    from roapi_spark.server.flight import SparkFlightServer
+    from roapi_spark.server.postgres import PostgresServer
+    from tests.test_postgres_wire import MiniPgClient
+
+    root = tmp_path_factory.mktemp("tri")
+    (root / "uk_cities.csv").write_text(CSV)
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(
+        parse_table_config({"name": "uk_cities", "uri": str(root / "uk_cities.csv")})
+    )
+    srv = ApiServer(cat)
+    host, port = srv.start()
+    pg = PostgresServer(cat)
+    pg.start()
+    fl = SparkFlightServer(cat)
+
+    sql = "SELECT city FROM uk_cities ORDER BY city"
+    want = ["london", "rugby", "solihull"]
+    failures: list[str] = []
+    stop = threading.Event()
+    ROUNDS = 6
+
+    def via_http() -> None:
+        for _ in range(ROUNDS):
+            if stop.is_set():
+                return
+            try:
+                _, _, body = _req(
+                    f"http://{host}:{port}/api/sql", method="POST", body=sql.encode()
+                )
+                got = [r["city"] for r in json.loads(body)]
+                if got != want:
+                    failures.append(f"http: {got}")
+            except Exception as exc:  # noqa: BLE001
+                failures.append(f"http: {exc!r}")
+
+    def via_pg() -> None:
+        try:
+            c = MiniPgClient(pg.port)
+            for _ in range(ROUNDS):
+                if stop.is_set():
+                    return
+                msgs = c.query(sql)
+                # DataRow payload: int16 ncols + per-col len+bytes; the
+                # single text column is the tail after the 6-byte header
+                got = [m[1][6:].decode() for m in msgs if m[0] == b"D"]
+                if got != want:
+                    failures.append(f"pg: {got}")
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"pg: {exc!r}")
+
+    def via_flight() -> None:
+        try:
+            import roapi_spark.server.flightsql_proto as fsp
+
+            client = flight.connect(f"grpc://127.0.0.1:{fl.port}")
+            for _ in range(ROUNDS):
+                if stop.is_set():
+                    return
+                info = client.get_flight_info(
+                    flight.FlightDescriptor.for_command(
+                        fsp.command_statement_query(sql)
+                    )
+                )
+                got = client.do_get(info.endpoints[0].ticket).read_all()
+                if got.column("city").to_pylist() != want:
+                    failures.append(f"flight: {got}")
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"flight: {exc!r}")
+
+    threads = [
+        threading.Thread(target=fn)
+        for fn in (via_http, via_pg, via_flight)
+        for _ in range(2)
+    ]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        stop.set()
+        alive = [t for t in threads if t.is_alive()]
+        assert not alive, "worker threads hung"
+    finally:
+        stop.set()
+        srv.stop()
+        pg.stop()
+        fl.shutdown()
+    assert failures == [], failures[:5]
