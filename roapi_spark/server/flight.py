@@ -128,16 +128,36 @@ class _AuthMiddlewareFactory(flight.ServerMiddlewareFactory):
 
 
 def _count_placeholders(sql: str) -> int:
-    """Positional ``?`` markers outside single/double-quoted literals."""
-    n, in_q = 0, ""
-    for c in sql:
+    """Positional ``?`` markers outside single/double/backtick-quoted
+    literals (with backslash escapes and the '' doubled-quote form) and
+    outside ``--``-to-EOL and ``/* */`` comments."""
+    n, in_q, i = 0, "", 0
+    L = len(sql)
+    while i < L:
+        c = sql[i]
         if in_q:
+            if c == "\\" and in_q in ("'", '"'):
+                i += 2  # Spark string literals support backslash escapes
+                continue
             if c == in_q:
+                # doubled quote = escaped quote inside the same literal
+                if i + 1 < L and sql[i + 1] == in_q:
+                    i += 2
+                    continue
                 in_q = ""
-        elif c in ("'", '"'):
+        elif c in ("'", '"', "`"):
             in_q = c
+        elif c == "-" and sql[i : i + 2] == "--":
+            nl = sql.find("\n", i)
+            i = L if nl == -1 else nl
+            continue
+        elif c == "/" and sql[i : i + 2] == "/*":
+            end = sql.find("*/", i + 2)
+            i = L if end == -1 else end + 2
+            continue
         elif c == "?":
             n += 1
+        i += 1
     return n
 
 
@@ -301,6 +321,14 @@ class SparkFlightServer(flight.FlightServerBase):
                 )
             row = [col[0].as_py() for col in table.columns]
             with self._lock:
+                # re-check under the SAME lock as the write: a concurrent
+                # ClosePreparedStatement between the first check and here
+                # would otherwise leak a permanent _params entry for a
+                # dead handle
+                if handle not in self._prepared:
+                    raise flight.FlightServerError(
+                        "unknown prepared statement handle"
+                    )
                 self._params[handle] = row
         # DoPutPreparedStatementResult: echo the (unchanged) handle so
         # spec-following clients (ADBC) can adopt it

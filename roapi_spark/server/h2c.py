@@ -338,10 +338,14 @@ class H2CConnection:
             (incr,) = struct.unpack(">I", payload)
             if sid == 0:
                 self.send_window += incr
-            else:
+            elif sid in self.streams or sid in self.stream_windows:
                 self.stream_windows[sid] = (
                     self.stream_windows.get(sid, self.initial_stream_window) + incr
                 )
+            # else: a WINDOW_UPDATE that raced the stream's completion
+            # (the client's in-flight credit for data it consumed) —
+            # ignore rather than resurrect the popped entry, which would
+            # grow the map by one entry per finished stream forever
         elif ftype == _GOAWAY:
             return True
         # PRIORITY / RST_STREAM / PUSH_PROMISE: nothing to do
@@ -417,6 +421,11 @@ class H2CConnection:
             self.stream_windows.pop(sid, None)
             return
         self._send_frame(_HEADERS, _FLAG_END_HEADERS, sid, block)
+        # seed the flow-control entry for the send: the stream was popped
+        # from self.streams above, so an inbound WINDOW_UPDATE during the
+        # loop must find sid in stream_windows to be applied (the
+        # completed-stream guard in _handle_frame ignores unknown sids)
+        self.stream_windows.setdefault(sid, self.initial_stream_window)
         off = 0
         while off < len(payload):
             # flow control: never exceed the connection or stream window;

@@ -223,18 +223,47 @@ class ApiServer:
         fronting proxy; this makes the engine self-sufficient)."""
         server = self
 
+        tls_ctx = None
+        if certfile:
+            import ssl
+
+            tls_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            tls_ctx.load_cert_chain(certfile, keyfile)
+            tls_ctx.set_alpn_protocols(["h2", "http/1.1"])
+
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # request logging layer (layers.rs) -> quiet
                 pass
 
+            def setup(self) -> None:
+                # TLS is terminated HERE, on the per-connection thread —
+                # wrapping the *listening* socket would run the (blocking,
+                # untimed) handshake inside the single accept loop, letting
+                # one stalled client head-of-line-block every connection
+                if tls_ctx is not None:
+                    import ssl
+
+                    try:
+                        self.request.settimeout(30)  # bound the handshake
+                        self.request = tls_ctx.wrap_socket(
+                            self.request, server_side=True
+                        )
+                        self.request.settimeout(None)
+                    except (ssl.SSLError, OSError):
+                        self._tls_failed = True
+                super().setup()
+
             def handle(self) -> None:
                 import ssl
 
+                if getattr(self, "_tls_failed", False):
+                    self.close_connection = True
+                    return
                 try:
                     super().handle()
                 except (ssl.SSLError, ConnectionError, TimeoutError):
-                    # failed TLS handshake / mid-stream disconnect: drop the
-                    # connection quietly instead of a handler traceback
+                    # mid-stream disconnect: drop the connection quietly
+                    # instead of a handler traceback
                     self.close_connection = True
 
             def handle_one_request(self) -> None:
@@ -288,13 +317,6 @@ class ApiServer:
             do_GET = do_POST = do_HEAD = do_OPTIONS = _respond
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
-        if certfile:
-            import ssl
-
-            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
-            ctx.load_cert_chain(certfile, keyfile)
-            ctx.set_alpn_protocols(["h2", "http/1.1"])
-            self._httpd.socket = ctx.wrap_socket(self._httpd.socket, server_side=True)
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
         return self._httpd.server_address[0], self._httpd.server_address[1]

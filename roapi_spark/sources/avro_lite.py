@@ -198,13 +198,14 @@ class _Encoder:
                 return self.write(self.named[schema], val, out)
             return self._prim(schema, val, out)
         if isinstance(schema, list):
-            # pick the first branch matching the value's nullness
+            # pick the first branch whose type matches the VALUE (not just
+            # its nullness — unions like ['null','string','long'] must
+            # route ints to 'long' and strs to 'string')
             for i, b in enumerate(schema):
-                bt = b if isinstance(b, str) else b.get("type")
-                if (val is None) == (bt == "null"):
+                if self._branch_matches(b, val):
                     _write_long(out, i)
                     return self.write(b, val, out)
-            raise AvroError("no union branch for value")
+            raise AvroError(f"no union branch for value {type(val).__name__}")
         t = schema["type"]
         if isinstance(t, (dict, list)):
             return self.write(t, val, out)
@@ -233,6 +234,30 @@ class _Encoder:
             out.extend(val)
             return
         return self._prim(t, val, out)
+
+    def _branch_matches(self, branch, val) -> bool:
+        bt = branch if isinstance(branch, str) else branch.get("type")
+        if bt in self.named:
+            bt = self.named[bt]["type"]
+        if isinstance(bt, (dict, list)):
+            bt = bt.get("type") if isinstance(bt, dict) else None
+        if val is None:
+            return bt == "null"
+        if isinstance(val, bool):
+            return bt == "boolean"
+        if isinstance(val, int):
+            return bt in ("int", "long")
+        if isinstance(val, float):
+            return bt in ("float", "double")
+        if isinstance(val, str):
+            return bt in ("string", "enum")
+        if isinstance(val, (bytes, bytearray)):
+            return bt in ("bytes", "fixed")
+        if isinstance(val, dict):
+            return bt in ("record", "map")
+        if isinstance(val, (list, tuple)):
+            return bt == "array"
+        return False
 
     def _prim(self, t: str, val, out: bytearray) -> None:
         if t == "null":

@@ -90,6 +90,12 @@ def _log_versions(log_dir: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
+def _norm_dv(dv):
+    """Checkpoint parquet materializes an absent deletionVector struct as
+    a dict of all-None fields — truthy, but not a DV. Treat it as None."""
+    return dv if dv and dv.get("storageType") else None
+
+
 def _checkpoint_files(log_dir: str, v: int) -> list[str]:
     """Checkpoint file(s) for version v: classic single-file
     (``N.checkpoint.parquet``), classic multi-part
@@ -166,14 +172,14 @@ def _checkpoint_state(
             if "metaData" in action and action["metaData"].get("id"):
                 meta = action["metaData"]
             elif "add" in action and action["add"].get("path"):
-                active[action["add"]["path"]] = action["add"].get("deletionVector")
+                active[action["add"]["path"]] = _norm_dv(action["add"].get("deletionVector"))
             elif "sidecar" in action and action["sidecar"].get("path"):
                 sidecars.append(action["sidecar"]["path"])
         for sc in sidecars:  # v2: add/remove live in sidecar parquet files
             sc_path = os.path.join(log_dir, "_sidecars", os.path.basename(sc))
             for action in _checkpoint_actions(log_dir, sc_path):
                 if "add" in action and action["add"].get("path"):
-                    active[action["add"]["path"]] = action["add"].get("deletionVector")
+                    active[action["add"]["path"]] = _norm_dv(action["add"].get("deletionVector"))
                 elif "remove" in action and action["remove"].get("path"):
                     active.pop(action["remove"]["path"], None)
         return v, active, meta
@@ -234,8 +240,8 @@ def snapshot_state(
                 if "add" in action:
                     # a re-add of the same path replaces its DV (how
                     # DELETE updates a file's deletion vector)
-                    active[action["add"]["path"]] = action["add"].get(
-                        "deletionVector"
+                    active[action["add"]["path"]] = _norm_dv(
+                        action["add"].get("deletionVector")
                     )
                 elif "remove" in action:
                     active.pop(action["remove"]["path"], None)

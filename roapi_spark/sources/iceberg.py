@@ -37,6 +37,7 @@ from roapi_spark.config import TableSource
 from roapi_spark.sources import LoadError
 
 _VMETA = re.compile(r"^v(\d+)\.metadata\.json$")
+_SEQ_INF = 2**62  # "no sequence info": deletes apply (pre-v2 behavior)
 
 
 def _metadata_path(table_path: str) -> str:
@@ -100,9 +101,19 @@ def snapshot_files(
     table_path: str,
     snapshot_id: int | None = None,
     timestamp_ms: int | None = None,
-) -> tuple[list[str], list[str], list[tuple[str, list[str]]]]:
-    """(data files, positional-delete files, [(equality-delete file,
-    matched column names)]) for a snapshot."""
+) -> tuple[
+    list[tuple[str, int]],
+    list[tuple[str, int]],
+    list[tuple[str, list[str], int]],
+]:
+    """([(data file, data seq)], [(positional-delete file, delete seq)],
+    [(equality-delete file, matched column names, delete seq)]) for a
+    snapshot. Sequence numbers scope merge-on-read deletes (Iceberg v2):
+    an equality delete applies only to data files with a STRICTLY smaller
+    data sequence number, a positional delete to files with seq <= its
+    own. Entries with no sequence info (v1 tables, minimal fixtures) get
+    data seq 0 / delete seq _SEQ_INF, i.e. deletes apply — the pre-v2
+    behavior."""
     meta_path = _metadata_path(table_path)
     with open(meta_path) as f:
         meta = json.load(f)
@@ -123,11 +134,12 @@ def snapshot_files(
     if chosen is None:
         raise LoadError(f"iceberg snapshot {snapshot_id} not found")
     mlist = _localize(chosen["manifest-list"], table_path)
-    data_files: list[str] = []
-    delete_files: list[str] = []
-    eq_deletes: list[tuple[str, list[str]]] = []
+    data_files: list[tuple[str, int]] = []
+    delete_files: list[tuple[str, int]] = []
+    eq_deletes: list[tuple[str, list[str], int]] = []
     for m in _read_avro(mlist):
         mpath = _localize(m["manifest_path"], table_path)
+        mseq = m.get("sequence_number")
         for entry in _read_avro(mpath):
             if entry.get("status") == 2:  # DELETED entry: file left the table
                 continue
@@ -135,14 +147,19 @@ def snapshot_files(
             content = df.get("content", 0) or 0
             fpath = _localize(df["file_path"], table_path)
             fmt = (df.get("file_format") or "PARQUET").upper()
+            # entry seq, inheriting the manifest's when null (the spec's
+            # inheritance rule for ADDED entries; best-effort for the rest)
+            seq = entry.get("sequence_number")
+            if seq is None:
+                seq = mseq
             if fmt != "PARQUET":
                 raise LoadError(
                     f"iceberg table {table_path}: {fmt} data files not supported"
                 )
             if content == 0:
-                data_files.append(fpath)
+                data_files.append((fpath, 0 if seq is None else int(seq)))
             elif content == 1:
-                delete_files.append(fpath)
+                delete_files.append((fpath, _SEQ_INF if seq is None else int(seq)))
             elif content == 2:
                 ids = df.get("equality_ids") or []
                 try:
@@ -157,7 +174,7 @@ def snapshot_files(
                         f"iceberg table {table_path}: equality delete "
                         "without equality_ids"
                     )
-                eq_deletes.append((fpath, cols))
+                eq_deletes.append((fpath, cols, _SEQ_INF if seq is None else int(seq)))
             else:
                 raise LoadError(
                     f"iceberg table {table_path}: unknown file content "
@@ -193,90 +210,104 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
     if ts_ms is None and "timestamp" in ts.option:
         from datetime import datetime, timezone
 
-        ts_ms = int(
-            datetime.fromisoformat(str(ts.option["timestamp"]))
-            .replace(tzinfo=timezone.utc)
-            .timestamp()
-            * 1000
-        )
-    data_files, delete_files, eq_deletes = snapshot_files(
+        dt = datetime.fromisoformat(str(ts.option["timestamp"]))
+        if dt.tzinfo is None:  # naive strings mean UTC; keep explicit offsets
+            dt = dt.replace(tzinfo=timezone.utc)
+        ts_ms = int(dt.timestamp() * 1000)
+    data, delete_files, eq_deletes = snapshot_files(
         ts.uri,
         snapshot_id=None if snap is None else int(snap),
         timestamp_ms=None if ts_ms is None else int(ts_ms),
     )
-    if not data_files:
+    if not data:
         raise LoadError(f"iceberg table {ts.name!r}: snapshot has no data files")
-    df = spark.read.option("basePath", ts.uri).parquet(*data_files)
-    if delete_files:
-        df = _apply_position_deletes(spark, df, delete_files, ts)
-    for path, cols in eq_deletes:
-        df = _apply_equality_delete(spark, df, path, cols, ts)
-    return df
+    df = spark.read.option("basePath", ts.uri).parquet(*[p for p, _ in data])
+    if not delete_files and not eq_deletes:
+        return df
+    return _apply_deletes(spark, df, data, delete_files, eq_deletes, ts)
 
 
-def _apply_equality_delete(
-    spark: SparkSession, df: DataFrame, path: str, cols: list[str], ts: TableSource
-) -> DataFrame:
-    """Iceberg v2 equality deletes: drop rows whose values equal any
-    delete row on the referenced columns, null matching null (the spec's
-    null-equals-null rule -> eqNullSafe join keys). The delete set is a
-    small scan broadcast into a left-anti join keyed on the equality
-    columns — at cluster scale the standard merge-on-read shape."""
+def _norm_path(col):
     from pyspark.sql import functions as F
 
-    missing = [c for c in cols if c not in df.columns]
-    if missing:
-        raise LoadError(
-            f"iceberg table {ts.name!r}: equality delete columns {missing} "
-            "not present in the data schema"
-        )
-    dels = spark.read.parquet(path).select(
-        *[F.col(c).alias(f"_eq_{c}") for c in cols]
-    ).distinct()
-    cond = None
-    for c in cols:
-        clause = F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
-        cond = clause if cond is None else cond & clause
-    return df.join(F.broadcast(dels), cond, "left_anti")
+    return F.regexp_replace(col, "^file:/+", "/")
 
 
-def _apply_position_deletes(
-    spark: SparkSession, df: DataFrame, delete_files: list[str], ts: TableSource
-) -> DataFrame:
-    """Iceberg v2 positional deletes: parquet files of (file_path, pos)
-    rows; drop matching (file, row ordinal) pairs via the scan's
-    ``_metadata`` columns — identical filter shape to Delta deletion
-    vectors. The delete-file set is read as its own (small) scan and
-    broadcast; at cluster scale this is the standard merge-on-read
-    anti-join, file-path-partitioned on both sides."""
+def _rebase_dv_path(col, base: str):
+    """Rebase a recorded absolute delete-file path onto the current table
+    root, splitting on the FIRST '/data/' — the same anchor _localize
+    uses for the data files, so both sides of the (file, row) anti-join
+    resolve identically even when the layout nests another 'data'
+    segment."""
     from pyspark.sql import functions as F
 
-    dv = (
-        spark.read.parquet(*delete_files)
-        .select(
-            F.regexp_replace(F.col("file_path"), "^file:/+", "/").alias("_dv_file"),
-            F.col("pos").cast("bigint").alias("_dv_row"),
-        )
-    )
-    # rebase recorded absolute paths the same way the data files were
-    base = os.path.abspath(ts.uri)
-    dv = dv.withColumn(
-        "_dv_file",
-        F.when(
-            F.col("_dv_file").contains("/data/") & ~F.col("_dv_file").startswith(base),
-            F.concat(F.lit(base + "/data/"), F.element_at(F.split("_dv_file", "/data/"), -1)),
-        ).otherwise(F.col("_dv_file")),
-    )
-    cols = df.columns
-    kept = (
-        df.withColumn(
-            "_file", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
-        )
+    rest = F.element_at(F.split(col, "/data/", 2), 2)
+    return F.when(
+        col.contains("/data/") & ~col.startswith(base),
+        F.concat(F.lit(base + "/data/"), rest),
+    ).otherwise(col)
+
+
+def _apply_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    data: list[tuple[str, int]],
+    delete_files: list[tuple[str, int]],
+    eq_deletes: list[tuple[str, list[str], int]],
+    ts: TableSource,
+) -> DataFrame:
+    """Merge-on-read: annotate each row with its file's data sequence
+    number (broadcast file->seq map on the scan's ``_metadata`` path),
+    then anti-join positional deletes (applies when delete seq >= data
+    seq) and equality deletes (STRICTLY greater, per spec — a row
+    re-inserted after the delete survives). Delete sets are small scans
+    broadcast into the joins — the standard merge-on-read shape at any
+    scale."""
+    from pyspark.sql import functions as F
+
+    out_cols = df.columns
+    seq_rows = [(os.path.abspath(p), int(s)) for p, s in data]
+    seq_df = spark.createDataFrame(seq_rows, "_file string, _data_seq bigint")
+    df = (
+        df.withColumn("_file", _norm_path(F.col("_metadata.file_path")))
         .withColumn("_row", F.col("_metadata.row_index"))
-        .join(
+        .join(F.broadcast(seq_df), "_file", "left")
+        .withColumn("_data_seq", F.coalesce("_data_seq", F.lit(0)))
+    )
+    base = os.path.abspath(ts.uri)
+    if delete_files:
+        parts = []
+        for path, dseq in delete_files:
+            parts.append(
+                spark.read.parquet(path).select(
+                    _rebase_dv_path(_norm_path(F.col("file_path")), base).alias("_dv_file"),
+                    F.col("pos").cast("bigint").alias("_dv_row"),
+                    F.lit(int(dseq)).alias("_dv_seq"),
+                )
+            )
+        dv = parts[0]
+        for extra in parts[1:]:
+            dv = dv.unionByName(extra)
+        df = df.join(
             F.broadcast(dv),
-            (F.col("_file") == F.col("_dv_file")) & (F.col("_row") == F.col("_dv_row")),
+            (F.col("_file") == F.col("_dv_file"))
+            & (F.col("_row") == F.col("_dv_row"))
+            & (F.col("_dv_seq") >= F.col("_data_seq")),
             "left_anti",
         )
-    )
-    return kept.select(*cols)
+    for path, cols, dseq in eq_deletes:
+        missing = [c for c in cols if c not in out_cols]
+        if missing:
+            raise LoadError(
+                f"iceberg table {ts.name!r}: equality delete columns {missing} "
+                "not present in the data schema"
+            )
+        dels = spark.read.parquet(path).select(
+            *[F.col(c).alias(f"_eq_{c}") for c in cols]
+        ).distinct()
+        cond = F.col("_data_seq") < F.lit(int(dseq))
+        for c in cols:
+            # the spec's null-equals-null matching -> eqNullSafe keys
+            cond = cond & F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
+        df = df.join(F.broadcast(dels), cond, "left_anti")
+    return df.select(*out_cols)

@@ -241,3 +241,16 @@ def test_doput_rejects_data_ingest(served):
         )
         writer.write_table(pa.table({"x": pa.array([1], pa.int64())}))
         writer.close()
+
+
+def test_count_placeholders_escapes_and_comments():
+    from roapi_spark.server.flight import _count_placeholders as cp
+
+    assert cp("SELECT ?") == 1
+    assert cp("SELECT '?'") == 0
+    assert cp("SELECT 'a\\'?'") == 0          # backslash-escaped quote
+    assert cp("SELECT 'it''s?' , ?") == 1     # doubled-quote escape
+    assert cp("-- any? here\nSELECT ?") == 1  # line comment
+    assert cp("/* ? ? */ SELECT ?") == 1      # block comment
+    assert cp("SELECT `weird?col`, ?") == 1   # backtick identifier
+    assert cp("SELECT ? /* unterminated ?") == 1

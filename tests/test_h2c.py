@@ -356,3 +356,53 @@ def test_tls_alpn_protocol_selected(tls_url):
     with socket.create_connection((u.hostname, u.port), timeout=10) as raw:
         with ctx.wrap_socket(raw, server_hostname="localhost") as s:
             assert s.selected_alpn_protocol() == "h2"
+
+
+@needs_curl
+def test_tls_stalled_client_does_not_block_accept_loop(tls_url):
+    # a client that TCP-connects but never sends a ClientHello must not
+    # head-of-line-block the accept loop (TLS is terminated on the
+    # per-connection thread, not the listener)
+    import socket
+    from urllib.parse import urlparse
+
+    u = urlparse(tls_url)
+    stalled = socket.create_connection((u.hostname, u.port), timeout=10)
+    try:
+        out = subprocess.run(
+            ["curl", "-sk", "--max-time", "10", f"{tls_url}/health"],
+            capture_output=True, check=True, timeout=20,
+        ).stdout
+        assert out == b"OK"
+    finally:
+        stalled.close()
+
+
+def test_window_update_after_stream_end_is_not_resurrected():
+    """A WINDOW_UPDATE racing a stream's completion must not re-create
+    its stream_windows entry (one leaked entry per finished stream on a
+    long-lived connection), and mid-send updates must still apply."""
+    import io
+    import struct as _s
+
+    from roapi_spark.server.h2c import H2CConnection
+
+    class FakeApi:
+        def handle(self, method, path, query, body, accept):
+            return 200, "text/plain", b"OK"
+
+    def frame(ftype, flags, sid, payload=b""):
+        return _s.pack(">I", len(payload))[1:] + bytes([ftype, flags]) + _s.pack(">I", sid) + payload
+
+    # static-table HPACK: :method GET (2), :path / (4), :scheme http (6)
+    headers = bytes([0x82, 0x84, 0x86])
+    stream = (
+        frame(0x4, 0, 0)                      # SETTINGS
+        + frame(0x1, 0x4 | 0x1, 1, headers)   # HEADERS end_headers|end_stream
+        + frame(0x8, 0, 1, _s.pack(">I", 1000))  # WINDOW_UPDATE for DONE stream 1
+        + frame(0x7, 0, 0, _s.pack(">II", 0, 0))  # GOAWAY
+    )
+    conn = H2CConnection(FakeApi(), io.BytesIO(stream), io.BytesIO())
+    conn.run()
+    assert conn.stream_windows == {}
+    assert conn.streams == {}

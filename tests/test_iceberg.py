@@ -308,3 +308,85 @@ def test_avro_property_roundtrip():
             assert out == recs
 
     check()
+
+
+_MANIFEST_LIST_SEQ_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "sequence_number", "type": ["null", "long"]},
+    ],
+}
+
+
+def test_iceberg_equality_delete_sequence_scoping(spark, tmp_path):
+    """Spec: an equality delete applies only to data files with a
+    STRICTLY smaller data sequence number — a row re-inserted after the
+    delete must survive."""
+    import pyarrow as _pa
+
+    root = tmp_path / "seq"
+    (root / "data").mkdir(parents=True)
+    (root / "metadata").mkdir()
+    f1 = root / "data" / "f1.parquet"   # seq 1: id=1 (original)
+    f3 = root / "data" / "f3.parquet"   # seq 3: id=1 re-inserted
+    pq.write_table(_pa.table({"id": _pa.array([1], type=_pa.int64())}), f1)
+    pq.write_table(_pa.table({"id": _pa.array([1], type=_pa.int64())}), f3)
+    ed = root / "data" / "eq.parquet"   # seq 2: delete id=1
+    pq.write_table(_pa.table({"id": _pa.array([1], type=_pa.int64())}), ed)
+
+    def manifest(name, entries):
+        p = root / "metadata" / name
+        p.write_bytes(write_container(_MANIFEST_SCHEMA, entries))
+        return str(p)
+
+    m1 = manifest("m1.avro", [_data_file(str(f1))])
+    m2 = manifest("m2.avro", [_data_file(str(ed), content=2, eq_ids=[1])])
+    m3 = manifest("m3.avro", [_data_file(str(f3))])
+    ml = root / "metadata" / "ml.avro"
+    ml.write_bytes(write_container(_MANIFEST_LIST_SEQ_SCHEMA, [
+        {"manifest_path": m1, "manifest_length": 1, "content": 0,
+         "added_snapshot_id": 1, "sequence_number": 1},
+        {"manifest_path": m2, "manifest_length": 1, "content": 1,
+         "added_snapshot_id": 2, "sequence_number": 2},
+        {"manifest_path": m3, "manifest_length": 1, "content": 0,
+         "added_snapshot_id": 3, "sequence_number": 3},
+    ]))
+    (root / "metadata" / "v1.metadata.json").write_text(json.dumps({
+        "format-version": 2, "current-snapshot-id": 3,
+        "schemas": [{"schema-id": 0,
+                     "fields": [{"id": 1, "name": "id", "type": "long"}]}],
+        "current-schema-id": 0,
+        "snapshots": [{"snapshot-id": 3, "timestamp-ms": 3,
+                       "manifest-list": str(ml)}],
+    }))
+    df = _load(spark, {"name": "x", "uri": str(root),
+                       "option": {"format": "iceberg"}})
+    # f1's row (seq 1 < delete seq 2) is deleted; f3's re-insert
+    # (seq 3 > 2) survives
+    assert [r.id for r in df.collect()] == [1]
+    import pyarrow.parquet as _pq2
+    # sanity: both data files really contain id=1 (so exactly one survived)
+    assert _pq2.read_table(f1).num_rows + _pq2.read_table(f3).num_rows == 2
+
+
+def test_iceberg_timestamp_with_offset_not_shifted(spark, iceberg_table):
+    # +02:00 at 12:00 local = 10:00Z; snapshot 100 is at 1s epoch-ms —
+    # an explicit-offset timestamp far in the future picks the latest
+    df = _load(spark, {"name": "ice", "uri": str(iceberg_table),
+                       "option": {"format": "iceberg",
+                                  "timestamp": "1970-01-01T00:00:01.500+00:00"}})
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3]
+
+
+def test_avro_multitype_union_roundtrip():
+    schema = {
+        "type": "record", "name": "u", "fields": [
+            {"name": "v", "type": ["null", "string", "long"]},
+        ],
+    }
+    recs = [{"v": None}, {"v": "x"}, {"v": 5}]
+    _, out = read_container(write_container(schema, recs))
+    assert out == recs

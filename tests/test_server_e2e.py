@@ -332,3 +332,28 @@ def test_triple_protocol_concurrent_soak(spark, tmp_path_factory):
         pg.stop()
         fl.shutdown()
     assert failures == [], failures[:5]
+
+
+def test_stage_dir_swept_on_restart(spark, tmp_path_factory, monkeypatch):
+    """Staged refresh copies from a previous process must be garbage-
+    collected when the table is first staged again — a daily-restarted
+    server must not grow .cache/refresh_stage unboundedly."""
+    import os
+
+    from roapi_spark.functions.snapshot import cache_root
+
+    root = tmp_path_factory.mktemp("sweep")
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(root / "cache"))
+    csv = root / "t.csv"
+    csv.write_text("k,v\na,1\n")
+    stage_dir = os.path.join(cache_root(), "refresh_stage", "t")
+    os.makedirs(stage_dir)
+    for i in range(3):  # orphans from a "previous run"
+        (root / "cache" / "refresh_stage" / "t" / f"old{i}.csv").write_text("x")
+    cat = Catalog(spark)
+    cat.load_table(
+        parse_table_config({"name": "t", "uri": str(csv), "reload_interval": 60})
+    )
+    left = os.listdir(stage_dir)
+    assert len(left) == 1 and not any(n.startswith("old") for n in left)
+    cat.drop_table("t")

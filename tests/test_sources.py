@@ -1065,3 +1065,41 @@ def test_delta_v2_checkpoint_json_with_sidecars(spark, tmp_path):
                  "dataChange": True}}))
     df = _load(spark, {"name": "ck", "uri": str(root), "option": {"format": "delta"}})
     assert sorted(r.id for r in df.collect()) == [1, 3]
+
+
+def test_delta_checkpoint_allnull_dv_struct(spark, tmp_path):
+    """Checkpoint writers materialize the absent deletionVector struct as
+    all-None fields; that must not route the file through DV decoding."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    root = _delta_root(tmp_path, {"a.parquet": [7]})
+    log = root / "_delta_log"
+    dv_none = {"storageType": None, "pathOrInlineDv": None, "offset": None,
+               "sizeInBytes": None, "cardinality": None}
+    tbl = _pa.table({
+        "protocol": _pa.array([{"minReaderVersion": 1, "minWriterVersion": 2},
+                               None, None]),
+        "metaData": _pa.array([None, {"id": "m", "schemaString": None}, None]),
+        "add": _pa.array(
+            [None, None,
+             {"path": "a.parquet", "size": 1, "dataChange": True,
+              "deletionVector": dv_none}],
+            type=_pa.struct([
+                ("path", _pa.string()), ("size", _pa.int64()),
+                ("dataChange", _pa.bool_()),
+                ("deletionVector", _pa.struct([
+                    ("storageType", _pa.string()),
+                    ("pathOrInlineDv", _pa.string()),
+                    ("offset", _pa.int32()),
+                    ("sizeInBytes", _pa.int32()),
+                    ("cardinality", _pa.int64()),
+                ])),
+            ]),
+        ),
+    })
+    _pq.write_table(tbl, log / f"{3:020d}.checkpoint.parquet")
+    (log / "_last_checkpoint").write_text(json.dumps({"version": 3}))
+    (log / f"{3:020d}.json").write_text("")
+    df = _load(spark, {"name": "x", "uri": str(root), "option": {"format": "delta"}})
+    assert [r.id for r in df.collect()] == [7]
