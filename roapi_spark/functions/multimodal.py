@@ -56,14 +56,66 @@ def encode_fake_video(n_frames: int, width: int, height: int, seed: int = 0) -> 
 
 
 def decode_image(blob: bytes) -> np.ndarray:
-    """-> (height, width) uint8 array."""
+    """-> (height, width) uint8 grayscale array.
+
+    Dispatch: FIMG synthetic; uncompressed 24-bit BMP decoded for real
+    stdlib-only (the real image container available without PIL —
+    header parse, BGR rows, 4-byte row padding, bottom-up/top-down
+    orientation; gray = (r+g+b)//3). Anything else gates on the named
+    codec dependency."""
     if blob[:4] == IMG_MAGIC:
         w, h = struct.unpack(">II", blob[4:12])
         return np.frombuffer(blob[12 : 12 + w * h], dtype=np.uint8).reshape(h, w)
+    if blob[:2] == b"BM":
+        try:
+            data_off = struct.unpack("<I", blob[10:14])[0]
+            hdr_size, w, h = struct.unpack("<Iii", blob[14:26])
+            planes, bpp, compression = struct.unpack("<HHI", blob[26:34])
+        except struct.error as exc:
+            raise ValueError(f"malformed BMP header: {exc}") from exc
+        if compression != 0 or bpp != 24:
+            raise NotImplementedError(
+                f"BMP bpp={bpp} compression={compression} requires "
+                "PIL/pillow; only uncompressed 24-bit decodes here"
+            )
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (3 * w + 3) // 4 * 4  # rows pad to 4 bytes
+        need = data_off + stride * h
+        if len(blob) < need:
+            raise ValueError(f"truncated BMP: {len(blob)} < {need} bytes")
+        rows = (
+            np.frombuffer(blob[data_off : data_off + stride * h], dtype=np.uint8)
+            .reshape(h, stride)[:, : 3 * w]
+            .reshape(h, w, 3)
+        )
+        if bottom_up:
+            rows = rows[::-1]
+        # BGR -> integer gray (exact: channel sum // 3)
+        return (rows.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
     # real formats: gate on the actual codec dependency
     raise NotImplementedError(
         "real image decode requires PIL/pillow (not in this container); "
-        "only the FIMG synthetic format decodes here"
+        "only the FIMG synthetic format and uncompressed 24-bit BMP "
+        "decode here"
+    )
+
+
+def encode_bmp(gray: np.ndarray) -> bytes:
+    """Canonical uncompressed 24-bit bottom-up BMP encoder
+    (stdlib-deterministic): each gray pixel becomes B=G=R bytes, rows
+    padded to 4-byte boundaries."""
+    h, w = gray.shape
+    stride = (3 * w + 3) // 4 * 4
+    body = np.zeros((h, stride), dtype=np.uint8)
+    bgr = np.repeat(gray[::-1].astype(np.uint8), 3).reshape(h, 3 * w)
+    body[:, : 3 * w] = bgr
+    data = body.tobytes()
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(data), 0, 0, 14 + 40)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + data
     )
 
 
@@ -915,4 +967,65 @@ def multimodal_alignment(spark, sf_dir: str) -> DataFrame:
         "doc_id",
         cos.alias("alignment"),
         (cos >= 0.5).alias("aligned"),
+    )
+
+
+_BMP_W, _BMP_H = 7, 5  # odd width: the 4-byte row padding is load-bearing
+
+
+@register(
+    "multimodal_image_bmp",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_BMP_W * _BMP_H - 1}),
+                            j -> (doc_id * 37 + j * 11) % 256) AS p
+      FROM documents
+    )
+    SELECT doc_id,
+           {_BMP_W} AS width,
+           {_BMP_H} AS height,
+           FLOOR(LIST_SUM(p) / {float(_BMP_W * _BMP_H)} * 10000 + 0.5) / 10000.0
+             AS mean_pixel,
+           LIST_MAX(p) AS max_pixel,
+           CAST({54 + ((3 * _BMP_W + 3) // 4 * 4) * _BMP_H} AS BIGINT) AS n_bytes
+    FROM px
+    """,
+    doc="REAL image codec seam under the correctness gate (the image "
+    "counterpart of multimodal_audio_wav): per document a deterministic "
+    f"{_BMP_W}x{_BMP_H} grayscale image (pixel j = (doc_id*37 + j*11) %% "
+    "256) is encoded as an uncompressed 24-bit BMP — a real container "
+    "format, stdlib-only — and decoded through decode_image's BMP "
+    "branch. The odd width makes the 4-byte row padding and bottom-up "
+    "row order load-bearing: stats match the oracle only if both are "
+    "handled exactly.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_image_bmp(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from roapi_spark.util import pround
+
+    ids = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                flat = np.array(
+                    [(int(i) * 37 + j * 11) % 256 for j in range(_BMP_W * _BMP_H)],
+                    dtype=np.uint8,
+                )
+                rows.append((int(i), encode_bmp(flat.reshape(_BMP_H, _BMP_W))))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    corpus = ids.mapInPandas(gen, "id bigint, content binary")
+    stats = image_stats(corpus)
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        pround(F.col("mean_pixel")).alias("mean_pixel"),
+        "max_pixel",
+        "n_bytes",
     )

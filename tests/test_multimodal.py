@@ -180,3 +180,61 @@ def test_wav_real_decode_roundtrip():
         w.writeframes(b"\x00" * 8)
     with pytest.raises(NotImplementedError, match="32-bit"):
         decode_audio(buf.getvalue())
+
+
+# ---- real image codec: uncompressed 24-bit BMP -----------------------------
+
+
+def test_bmp_roundtrip_odd_width():
+    import numpy as np
+
+    from roapi_spark.functions.multimodal import decode_image, encode_bmp
+
+    gray = (np.arange(35, dtype=np.uint8) * 7 % 256).reshape(5, 7)
+    out = decode_image(encode_bmp(gray))
+    assert out.shape == (5, 7)
+    assert (out == gray).all()
+
+
+def test_bmp_topdown_negative_height():
+    import struct
+
+    import numpy as np
+
+    from roapi_spark.functions.multimodal import decode_image, encode_bmp
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    blob = bytearray(encode_bmp(gray))
+    # flip to top-down: negate height, reverse row order in the payload
+    h = struct.unpack("<i", blob[22:26])[0]
+    blob[22:26] = struct.pack("<i", -h)
+    stride = (3 * 4 + 3) // 4 * 4
+    rows = [bytes(blob[54 + i * stride : 54 + (i + 1) * stride]) for i in range(3)]
+    blob[54:] = b"".join(reversed(rows))
+    out = decode_image(bytes(blob))
+    assert (out == gray).all()
+
+
+def test_bmp_unsupported_bpp_names_dependency():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from roapi_spark.functions.multimodal import decode_image, encode_bmp
+
+    blob = bytearray(encode_bmp(np.zeros((2, 2), dtype=np.uint8)))
+    blob[28:30] = struct.pack("<H", 8)  # claim 8bpp
+    with _pytest.raises(NotImplementedError, match="pillow"):
+        decode_image(bytes(blob))
+
+
+def test_bmp_truncated_is_valueerror():
+    import numpy as np
+    import pytest as _pytest
+
+    from roapi_spark.functions.multimodal import decode_image, encode_bmp
+
+    blob = encode_bmp(np.zeros((4, 4), dtype=np.uint8))[:-10]
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_image(blob)
