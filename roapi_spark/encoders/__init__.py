@@ -32,6 +32,7 @@ CONTENT_TYPES = {
     "arrow": "application/vnd.apache.arrow.file",
     "arrows": "application/vnd.apache.arrow.stream",
     "parquet": "application/parquet",
+    "msgpack": "application/msgpack",
 }
 
 _ACCEPT_TO_FORMAT = {
@@ -45,6 +46,9 @@ _ACCEPT_TO_FORMAT = {
     "application/vnd.apache.arrow.stream": "arrows",
     "application/parquet": "parquet",
     "application/vnd.apache.parquet": "parquet",
+    # beyond the reference: its own unchecked roadmap box (README.md)
+    "application/msgpack": "msgpack",
+    "application/x-msgpack": "msgpack",
 }
 
 
@@ -57,6 +61,10 @@ def format_from_accept(accept: str | None, default: str = "json") -> str:
 def encode_arrow_table(table: pa.Table, fmt: str) -> bytes:
     if fmt == "json":
         return rows_to_json_bytes(table)
+    if fmt == "msgpack":
+        from roapi_spark.encoders.msgpack import rows_to_msgpack_bytes
+
+        return rows_to_msgpack_bytes(table)
     if fmt == "csv":
         import pyarrow.csv as pacsv
 

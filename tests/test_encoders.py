@@ -99,3 +99,119 @@ def test_encode_batches_iter_empty(spark):
     df = spark.range(0).selectExpr("id")
     chunks = list(encode_batches_iter(df, "json"))
     assert chunks == [b"[]"]
+
+
+# ---- msgpack (stdlib encoder; reference's own unchecked roadmap box) -------
+
+
+def _unpack(b, off=0):
+    import struct as _s
+
+    t = b[off]
+    if t <= 0x7F:
+        return t, off + 1
+    if t >= 0xE0:
+        return t - 256, off + 1
+    if 0x80 <= t <= 0x8F:
+        n, out, off = t & 0xF, {}, off + 1
+        for _ in range(n):
+            k, off = _unpack(b, off)
+            v, off = _unpack(b, off)
+            out[k] = v
+        return out, off
+    if 0x90 <= t <= 0x9F:
+        n, out, off = t & 0xF, [], off + 1
+        for _ in range(n):
+            v, off = _unpack(b, off)
+            out.append(v)
+        return out, off
+    if 0xA0 <= t <= 0xBF:
+        n = t & 0x1F
+        return b[off + 1 : off + 1 + n].decode(), off + 1 + n
+    if t == 0xC0:
+        return None, off + 1
+    if t in (0xC2, 0xC3):
+        return t == 0xC3, off + 1
+    if t == 0xC4:
+        n = b[off + 1]
+        return bytes(b[off + 2 : off + 2 + n]), off + 2 + n
+    if t == 0xCB:
+        return _s.unpack(">d", b[off + 1 : off + 9])[0], off + 9
+    if t == 0xCC:
+        return b[off + 1], off + 2
+    if t == 0xCD:
+        return _s.unpack(">H", b[off + 1 : off + 3])[0], off + 3
+    if t == 0xCE:
+        return _s.unpack(">I", b[off + 1 : off + 5])[0], off + 5
+    if t == 0xCF:
+        return _s.unpack(">Q", b[off + 1 : off + 9])[0], off + 9
+    if t == 0xD0:
+        return _s.unpack(">b", b[off + 1 : off + 2])[0], off + 2
+    if t == 0xD1:
+        return _s.unpack(">h", b[off + 1 : off + 3])[0], off + 3
+    if t == 0xD2:
+        return _s.unpack(">i", b[off + 1 : off + 5])[0], off + 5
+    if t == 0xD3:
+        return _s.unpack(">q", b[off + 1 : off + 9])[0], off + 9
+    if t == 0xD9:
+        n = b[off + 1]
+        return b[off + 2 : off + 2 + n].decode(), off + 2 + n
+    if t == 0xDA:
+        n = _s.unpack(">H", b[off + 1 : off + 3])[0]
+        return b[off + 3 : off + 3 + n].decode(), off + 3 + n
+    if t == 0xDC:
+        n, out, off = _s.unpack(">H", b[off + 1 : off + 3])[0], [], off + 3
+        for _ in range(n):
+            v, off = _unpack(b, off)
+            out.append(v)
+        return out, off
+    raise AssertionError(f"unhandled msgpack type byte {t:#x}")
+
+
+def test_msgpack_roundtrip_values():
+    from roapi_spark.encoders.msgpack import pack
+
+    vals = [
+        None, True, False, 0, 1, 127, 128, 255, 256, 65535, 65536, 2**40,
+        -1, -32, -33, -128, -129, -32768, -32769, -(2**31) - 1, 1.5, -0.25,
+        "x", "é" * 40, b"\x00\xff", [1, [2, 3]], {"a": 1, "b": [None, "s"]},
+        list(range(20)),
+    ]
+    for v in vals:
+        got, off = _unpack(pack(v))
+        assert got == v and off == len(pack(v)), v
+
+
+def test_msgpack_spec_bytes():
+    from roapi_spark.encoders.msgpack import pack
+
+    # spot-check against the published spec encodings
+    assert pack(None) == b"\xc0"
+    assert pack(True) == b"\xc3"
+    assert pack(127) == b"\x7f"
+    assert pack(-1) == b"\xff"
+    assert pack("abc") == b"\xa3abc"
+    assert pack([1, 2]) == b"\x92\x01\x02"
+    assert pack({"a": 1}) == b"\x81\xa1a\x01"
+
+
+def test_msgpack_table_encoding(spark):
+    import datetime
+
+    import pyarrow as pa
+
+    from roapi_spark.encoders import encode_arrow_table, format_from_accept
+
+    assert format_from_accept("application/msgpack") == "msgpack"
+    t = pa.table({
+        "s": ["a", None],
+        "n": [1, 2],
+        "f": [1.5, float("nan")],
+        "d": pa.array([datetime.date(2024, 1, 2)] * 2),
+        "b": pa.array([b"\x01", None], type=pa.binary()),
+    })
+    rows, off = _unpack(encode_arrow_table(t, "msgpack"))
+    assert rows == [
+        {"s": "a", "n": 1, "f": 1.5, "d": "2024-01-02", "b": b"\x01"},
+        {"s": None, "n": 2, "f": None, "d": "2024-01-02", "b": None},
+    ]
