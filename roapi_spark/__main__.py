@@ -17,6 +17,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-d", "--disable-read-only", action="store_true")
     ap.add_argument("--tls-cert", default=None, help="PEM cert chain: serve HTTPS with ALPN h2/http1.1")
     ap.add_argument("--tls-key", default=None, help="PEM private key for --tls-cert")
+    ap.add_argument("--http-token", default=None, help="bearer token required on the HTTP API (health stays open)")
+    ap.add_argument(
+        "--http-basic",
+        action="append",
+        default=[],
+        metavar="USER:PASS",
+        help="basic-auth credential for the HTTP API (repeatable)",
+    )
     ap.add_argument("--pg-addr", default=None, help="host:port for the postgres-wire endpoint")
     ap.add_argument("--flight-addr", default=None, help="host:port for the Arrow Flight endpoint")
     ap.add_argument("--flight-token", default=None, help="bearer token for the Flight endpoint")
@@ -44,7 +52,13 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("roapi_spark_server", extra_conf=cfg.spark_conf)
     cat = catalog_from_config(spark, cfg)
-    server = ApiServer(cat, default_format=cfg.default_response_format)
+    http_basic = dict(c.partition(":")[::2] for c in args.http_basic)
+    server = ApiServer(
+        cat,
+        default_format=cfg.default_response_format,
+        auth_token=args.http_token,
+        basic_auth=http_basic or None,
+    )
     host, _, port = cfg.addr.partition(":")
     bound_host, bound_port = server.start(
         host or "127.0.0.1", int(port or 8080),

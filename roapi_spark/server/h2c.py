@@ -403,6 +403,11 @@ class H2CConnection:
         # HEAD routes as GET with the body suppressed below (axum parity)
         route_method = "GET" if method == "HEAD" else method
         try:
+            authorize = getattr(self.api, "authorize", None)
+            if authorize is not None and not authorize(
+                h.get("authorization"), parsed.path
+            ):
+                raise ApiError(401, "unauthorized", "invalid credentials")
             code, ctype, payload = self.api.handle(
                 route_method, unquote(parsed.path), query, st["body"], h.get("accept")
             )

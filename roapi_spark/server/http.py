@@ -125,11 +125,44 @@ class ApiError(Exception):
 class ApiServer:
     """Wraps a Catalog with the HTTP frontend."""
 
-    def __init__(self, catalog: Catalog, default_format: str = "json") -> None:
+    def __init__(
+        self,
+        catalog: Catalog,
+        default_format: str = "json",
+        auth_token: str | None = None,
+        basic_auth: dict[str, str] | None = None,
+    ) -> None:
         self.catalog = catalog
         self.default_format = default_format
+        self.auth_token = auth_token
+        self.basic_auth = basic_auth
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+
+    def authorize(self, authorization: str | None, path: str = "") -> bool:
+        """HTTP auth layer (beyond the reference — its own unchecked
+        roadmap box): bearer and/or basic credentials, constant-time
+        compares, shared by the HTTP/1.1 and h2c fronts. /health stays
+        open for load-balancer probes. No credentials configured =>
+        open server (the reference's default)."""
+        if self.auth_token is None and self.basic_auth is None:
+            return True
+        if path == "/health":
+            return True
+        import base64
+        import hmac
+
+        a = authorization or ""
+        if self.auth_token is not None and a.lower().startswith("bearer "):
+            return hmac.compare_digest(a[7:].strip(), self.auth_token)
+        if self.basic_auth is not None and a.lower().startswith("basic "):
+            try:
+                user, _, pw = base64.b64decode(a[6:].strip()).decode().partition(":")
+            except Exception:  # noqa: BLE001 — malformed base64
+                return False
+            expect = self.basic_auth.get(user)
+            return expect is not None and hmac.compare_digest(pw, expect)
+        return False
 
     # ---- request handling ------------------------------------------------
 
@@ -144,6 +177,13 @@ class ApiServer:
                 return 200, "text/plain", b"OK"
             if method == "GET" and path == "/api/version":
                 return 200, "application/json", f'"{roapi_spark.__version__}"'.encode()
+            if method == "GET" and path == "/api/openapi.json":
+                # beyond the reference: its own unchecked roadmap box —
+                # an OpenAPI 3 document generated live from the catalog
+                from roapi_spark.server.openapi import openapi_doc
+
+                doc = openapi_doc(self.catalog, roapi_spark.__version__)
+                return 200, "application/json", json.dumps(doc).encode()
             if method == "POST" and path == "/api/sql":
                 df = self.catalog.query_sql(body.decode("utf-8"))
                 return 200, CONTENT_TYPES[fmt], encode_dataframe(df, fmt)
@@ -301,6 +341,10 @@ class ApiServer:
                 # matching axum's automatic HEAD handling for GET routes
                 method = "GET" if self.command == "HEAD" else self.command
                 try:
+                    if not server.authorize(
+                        self.headers.get("Authorization"), parsed.path
+                    ):
+                        raise ApiError(401, "unauthorized", "invalid credentials")
                     code, ctype, payload = server.handle(
                         method, parsed.path, query, body, self.headers.get("Accept")
                     )

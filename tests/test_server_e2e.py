@@ -357,3 +357,83 @@ def test_stage_dir_swept_on_restart(spark, tmp_path_factory, monkeypatch):
     left = os.listdir(stage_dir)
     assert len(left) == 1 and not any(n.startswith("old") for n in left)
     cat.drop_table("t")
+
+
+def test_openapi_doc(base_url):
+    url, _ = base_url
+    status, ctype, body = _req(f"{url}/api/openapi.json")
+    assert status == 200 and ctype == "application/json"
+    doc = json.loads(body)
+    assert doc["openapi"].startswith("3.")
+    t = doc["paths"]["/api/tables/uk_cities"]["get"]
+    pnames = {p["name"] for p in t["parameters"]}
+    assert {"columns", "sort", "limit", "page", "filter[lat]"} <= pnames
+    props = t["responses"]["200"]["content"]["application/json"]["schema"]["items"]["properties"]
+    assert props["lat"] == {"type": "number", "format": "double"}
+    assert props["city"] == {"type": "string"}
+    assert "/api/sql" in doc["paths"]
+    assert "/api/kv/names/{key}" in doc["paths"]
+
+
+def test_http_auth_layer(spark, tmp_path_factory):
+    """Bearer/basic auth on the HTTP front (beyond the reference — its
+    own unchecked 'authentication layer' box): wrong/missing creds get
+    the {code,error,message} 401 shape, /health stays open, both
+    bearer and basic succeed, and the h2c front enforces the same gate."""
+    import base64
+    import shutil
+    import subprocess
+
+    root = tmp_path_factory.mktemp("auth")
+    (root / "t.csv").write_text(CSV)
+    cat = Catalog(spark)
+    cat.load_table(parse_table_config({"name": "t", "uri": str(root / "t.csv")}))
+    srv = ApiServer(cat, auth_token="sekrit", basic_auth={"alice": "pw1"})
+    host, port = srv.start()
+    url = f"http://{host}:{port}"
+    try:
+        # open: health
+        assert _req(f"{url}/health")[2] == b"OK"
+        # closed: no credentials
+        try:
+            _req(f"{url}/api/schema")
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+            payload = json.loads(e.read())
+            assert payload["error"] == "unauthorized"
+        # bearer
+        req = urllib.request.Request(f"{url}/api/schema")
+        req.add_header("Authorization", "Bearer sekrit")
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+        # wrong bearer
+        req = urllib.request.Request(f"{url}/api/schema")
+        req.add_header("Authorization", "Bearer wrong")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        # basic
+        cred = base64.b64encode(b"alice:pw1").decode()
+        req = urllib.request.Request(f"{url}/api/schema")
+        req.add_header("Authorization", f"Basic {cred}")
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+        # h2c front enforces the same gate
+        if shutil.which("curl"):
+            out = subprocess.run(
+                ["curl", "-s", "--http2-prior-knowledge", "-o", "/dev/null",
+                 "-w", "%{http_code}", f"{url}/api/schema"],
+                capture_output=True, check=True,
+            ).stdout
+            assert out == b"401"
+            out = subprocess.run(
+                ["curl", "-s", "--http2-prior-knowledge", "-H",
+                 "Authorization: Bearer sekrit", f"{url}/api/schema"],
+                capture_output=True, check=True,
+            ).stdout
+            assert b"t" in out
+    finally:
+        srv.stop()
