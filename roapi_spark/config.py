@@ -44,6 +44,7 @@ KNOWN_FORMATS = {
     "mysql",
     "postgres",
     "google_spreadsheet",
+    "airtable",
 }
 
 _EXT_TO_FORMAT = {
@@ -67,6 +68,7 @@ _EXT_TO_FORMAT = {
 
 _SCHEME_TO_FORMAT = {
     "sqlite": "sqlite",
+    "airtable": "airtable",
     "mysql": "mysql",
     "postgres": "postgres",
     "postgresql": "postgres",

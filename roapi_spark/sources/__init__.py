@@ -40,6 +40,7 @@ _LOADERS: dict[str, str] = {
     "mysql": "roapi_spark.sources.database",
     "postgres": "roapi_spark.sources.database",
     "google_spreadsheet": "roapi_spark.sources.gsheets",
+    "airtable": "roapi_spark.sources.airtable",
 }
 
 

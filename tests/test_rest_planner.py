@@ -54,3 +54,32 @@ def test_limit_page_after_sort(df):
 def test_bad_filter_key(df):
     with pytest.raises(RestQueryError):
         rest_query_to_df(df, {"filter[val]like": "x"})
+
+
+def test_typed_input_conversion_from_schema(spark):
+    """Query input type conversion based on table schema (the reference's
+    own unchecked roadmap box): string query-parameter values compare
+    correctly against int, double, boolean, and date columns — the
+    filter literal adopts the COLUMN's type, not string semantics
+    ('9' < '10' numerically, not lexicographically)."""
+    import datetime
+
+    from roapi_spark.query.rest import rest_query_to_df
+
+    df = spark.createDataFrame(
+        [
+            (1, 9, 2.5, True, datetime.date(2024, 1, 5)),
+            (2, 10, 7.5, False, datetime.date(2024, 2, 5)),
+            (3, 100, -1.0, True, datetime.date(2023, 12, 31)),
+        ],
+        "id int, n bigint, x double, flag boolean, d date",
+    )
+    # numeric, not lexicographic: '9' < '10' must NOT hold as strings
+    out = rest_query_to_df(df, {"filter[n]lt": "10"})
+    assert [r.id for r in out.collect()] == [1]
+    out = rest_query_to_df(df, {"filter[x]gte": "2.5"})
+    assert sorted(r.id for r in out.collect()) == [1, 2]
+    out = rest_query_to_df(df, {"filter[flag]": "true"})
+    assert sorted(r.id for r in out.collect()) == [1, 3]
+    out = rest_query_to_df(df, {"filter[d]gt": "'2024-01-01'"})
+    assert sorted(r.id for r in out.collect()) == [1, 2]

@@ -1103,3 +1103,92 @@ def test_delta_checkpoint_allnull_dv_struct(spark, tmp_path):
     (log / f"{3:020d}.json").write_text("")
     df = _load(spark, {"name": "x", "uri": str(root), "option": {"format": "delta"}})
     assert [r.id for r in df.collect()] == [7]
+
+
+# -- Airtable (reference's own unchecked roadmap box) ------------------------
+
+
+@pytest.fixture(scope="module")
+def airtable_mock():
+    """Local mock of the Airtable Web API: bearer-auth check + two-page
+    offset-cursor pagination."""
+    import http.server
+    import threading
+    import urllib.parse as _up
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.headers.get("Authorization") != "Bearer key123":
+                self.send_response(401)
+                self.send_header("Content-Length", "2")
+                self.end_headers()
+                self.wfile.write(b"{}")
+                return
+            q = dict(_up.parse_qsl(_up.urlparse(self.path).query))
+            if "offset" not in q:
+                payload = {
+                    "records": [
+                        {"id": "rec1", "createdTime": "2024-01-01T00:00:00.000Z",
+                         "fields": {"Name": "a", "Qty": 3}},
+                        {"id": "rec2", "createdTime": "2024-01-02T00:00:00.000Z",
+                         "fields": {"Name": "b"}},  # sparse fields
+                    ],
+                    "offset": "itrNEXT",
+                }
+            else:
+                assert q["offset"] == "itrNEEXT".replace("EE", "E")
+                payload = {
+                    "records": [
+                        {"id": "rec3", "createdTime": "2024-01-03T00:00:00.000Z",
+                         "fields": {"Name": "c", "Qty": 7, "Done": True}},
+                    ]
+                }
+            body = json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = __import__("http.server", fromlist=["ThreadingHTTPServer"]).ThreadingHTTPServer(
+        ("127.0.0.1", 0), H
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_airtable_paginated_fetch(spark, airtable_mock):
+    df = _load(spark, {
+        "name": "tasks",
+        "uri": "airtable://appBASE/Tasks",
+        "option": {"api_key": "key123", "api_base_url": airtable_mock},
+    })
+    rows = {r._id: r for r in df.collect()}
+    assert set(rows) == {"rec1", "rec2", "rec3"}  # both pages landed
+    assert rows["rec1"].Name == "a" and rows["rec1"].Qty == 3
+    assert rows["rec2"].Qty is None  # sparse field -> NULL
+    assert rows["rec3"].Done is True
+    assert rows["rec3"]._created_time == "2024-01-03T00:00:00.000Z"
+
+
+def test_airtable_bad_key_fails_loudly(spark, airtable_mock):
+    from roapi_spark.sources import LoadError
+
+    with pytest.raises(LoadError, match="airtable API error 401"):
+        _load(spark, {
+            "name": "tasks",
+            "uri": "airtable://appBASE/Tasks",
+            "option": {"api_key": "WRONG", "api_base_url": airtable_mock},
+        })
+
+
+def test_airtable_needs_key(spark, monkeypatch):
+    from roapi_spark.sources import LoadError
+
+    monkeypatch.delenv("AIRTABLE_API_KEY", raising=False)
+    with pytest.raises(LoadError, match="no API key"):
+        _load(spark, {"name": "t", "uri": "airtable://appX/T"})
