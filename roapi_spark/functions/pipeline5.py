@@ -573,3 +573,57 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.regr_slope("ly", "lx")).alias("zipf_slope"),
         pround(F.regr_r2("ly", "lx")).alias("r2"),
     )
+
+
+@register(
+    "text_unigram_logppl",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> length(x) > 0)) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+    ), total AS (SELECT SUM(cnt) AS n FROM vocab),
+    scored AS (
+      SELECT t.doc_id, -LN(CAST(v.cnt AS DOUBLE) / total.n) AS nlp
+      FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           FLOOR(AVG(nlp) * 10000 + 0.5) / 10000.0 AS mean_neg_logp
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Unigram log-perplexity quality filter (the KenLM-style "
+    "model-based filter, self-scored): corpus unigram MLE "
+    "p(tok)=cnt/total, per-document mean of -ln p — boilerplate built "
+    "from ultra-common tokens scores LOW, rare-token noise scores HIGH; "
+    "curation cuts both tails. Plan shape: one token-keyed shuffle "
+    "builds the model table, the scoring join reuses that key (AQE skew "
+    "handles stop-words), then a doc-keyed agg. At 100 TB the model "
+    "table is the artifact you persist; the scoring pass is a single "
+    "join + agg with no all-pairs anywhere.",
+    tags=("text", "quality", "pipeline"),
+)
+def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.text import tokens_col
+
+    toks = (
+        docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens_col()).alias("token"))
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (-F.log(F.col("cnt").cast("double") / F.col("n"))).alias("nlp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        pround(F.avg("nlp")).alias("mean_neg_logp"),
+    )
