@@ -23,4 +23,4 @@ Everything executes through Spark SQL / Catalyst; the only Python-side work
 is API translation and driver-side encoding.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"

@@ -73,6 +73,11 @@ def decode_image(blob: bytes) -> np.ndarray:
             planes, bpp, compression = struct.unpack("<HHI", blob[26:34])
         except struct.error as exc:
             raise ValueError(f"malformed BMP header: {exc}") from exc
+        if hdr_size < 40:
+            raise NotImplementedError(
+                f"BMP header size {hdr_size} (BITMAPCOREHEADER-era) "
+                "requires PIL/pillow; only BITMAPINFOHEADER+ decodes here"
+            )
         if compression != 0 or bpp != 24:
             raise NotImplementedError(
                 f"BMP bpp={bpp} compression={compression} requires "
@@ -80,6 +85,10 @@ def decode_image(blob: bytes) -> np.ndarray:
             )
         bottom_up = h > 0
         h = abs(h)
+        if w <= 0 or h == 0 or data_off < 14 + hdr_size:
+            raise ValueError(
+                f"malformed BMP: width={w} height={h} data_offset={data_off}"
+            )
         stride = (3 * w + 3) // 4 * 4  # rows pad to 4 bytes
         need = data_off + stride * h
         if len(blob) < need:
@@ -236,22 +245,27 @@ def image_resize(
     id_col: str = "id",
     content_col: str = "content",
 ) -> DataFrame:
-    """Nearest-neighbor resize, re-encoded to the same format. The shape of
-    a real pipeline: binary in -> binary out, metadata updated."""
+    """Nearest-neighbor resize, re-encoded to the same format the blob
+    arrived in (BMP in -> BMP out, FIMG in -> FIMG out). The shape of a
+    real pipeline: binary in -> binary out, metadata updated."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, blob in zip(pdf[id_col], pdf[content_col]):
-                img = decode_image(bytes(blob))
+                raw = bytes(blob)
+                img = decode_image(raw)
                 ys = (np.arange(out_height) * img.shape[0] // out_height).clip(0, img.shape[0] - 1)
                 xs = (np.arange(out_width) * img.shape[1] // out_width).clip(0, img.shape[1] - 1)
-                resized = img[np.ix_(ys, xs)]
-                blob_out = (
-                    IMG_MAGIC
-                    + struct.pack(">II", out_width, out_height)
-                    + resized.astype(np.uint8).tobytes()
-                )
+                resized = img[np.ix_(ys, xs)].astype(np.uint8)
+                if raw[:2] == b"BM":
+                    blob_out = encode_bmp(resized)
+                else:
+                    blob_out = (
+                        IMG_MAGIC
+                        + struct.pack(">II", out_width, out_height)
+                        + resized.tobytes()
+                    )
                 rows.append((int(i), blob_out, out_width, out_height))
             yield pd.DataFrame(rows, columns=["id", "content", "width", "height"])
 

@@ -418,6 +418,10 @@ class H2CConnection:
             ("content-length", str(len(payload))),
             ("access-control-allow-origin", "*"),
         ]
+        if code == 401:
+            challenge = getattr(self.api, "auth_challenge", None)
+            if challenge is not None:
+                resp_headers.extend((k.lower(), v) for k, v in challenge())
         block = encode_response_headers(code, resp_headers)
         if method == "HEAD" or not payload:
             self._send_frame(

@@ -153,16 +153,33 @@ class ApiServer:
         import hmac
 
         a = authorization or ""
+        # compare utf-8 bytes: compare_digest(str, str) raises TypeError
+        # on non-ASCII, which would turn a legitimate unicode password
+        # into a dropped connection
         if self.auth_token is not None and a.lower().startswith("bearer "):
-            return hmac.compare_digest(a[7:].strip(), self.auth_token)
+            return hmac.compare_digest(
+                a[7:].strip().encode("utf-8"), self.auth_token.encode("utf-8")
+            )
         if self.basic_auth is not None and a.lower().startswith("basic "):
             try:
                 user, _, pw = base64.b64decode(a[6:].strip()).decode().partition(":")
             except Exception:  # noqa: BLE001 — malformed base64
                 return False
             expect = self.basic_auth.get(user)
-            return expect is not None and hmac.compare_digest(pw, expect)
+            return expect is not None and hmac.compare_digest(
+                pw.encode("utf-8"), expect.encode("utf-8")
+            )
         return False
+
+    def auth_challenge(self) -> list[tuple[str, str]]:
+        """WWW-Authenticate headers for a 401 (RFC 7235 — browsers only
+        prompt for basic credentials when challenged)."""
+        out = []
+        if self.basic_auth is not None:
+            out.append(("WWW-Authenticate", 'Basic realm="roapi_spark"'))
+        if self.auth_token is not None:
+            out.append(("WWW-Authenticate", "Bearer"))
+        return out
 
     # ---- request handling ------------------------------------------------
 
@@ -354,6 +371,9 @@ class ApiServer:
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(payload)))
                 self.send_header("Access-Control-Allow-Origin", "*")  # CORS layer
+                if code == 401:
+                    for hk, hv in server.auth_challenge():
+                        self.send_header(hk, hv)
                 self.end_headers()
                 if self.command != "HEAD":
                     self.wfile.write(payload)

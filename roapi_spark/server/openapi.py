@@ -8,13 +8,14 @@ SQL/GraphQL/schema/KV/health routes."""
 
 from __future__ import annotations
 
+# keys are StructType.jsonValue() names (the shape catalog.schema emits)
 _SPARK_TO_OAS = {
     "string": ("string", None),
     "boolean": ("boolean", None),
-    "tinyint": ("integer", "int32"),
-    "smallint": ("integer", "int32"),
-    "int": ("integer", "int32"),
-    "bigint": ("integer", "int64"),
+    "byte": ("integer", "int32"),
+    "short": ("integer", "int32"),
+    "integer": ("integer", "int32"),
+    "long": ("integer", "int64"),
     "float": ("number", "float"),
     "double": ("number", "double"),
     "date": ("string", "date"),
@@ -24,7 +25,27 @@ _SPARK_TO_OAS = {
 }
 
 
-def _field_schema(dtype: str) -> dict:
+def _field_schema(dtype) -> dict:
+    # nested types arrive as jsonValue dicts, not strings
+    if isinstance(dtype, dict):
+        t = dtype.get("type")
+        if t == "array":
+            return {"type": "array",
+                    "items": _field_schema(dtype.get("elementType"))}
+        if t == "struct":
+            return {
+                "type": "object",
+                "properties": {
+                    f["name"]: _field_schema(f["type"])
+                    for f in dtype.get("fields", [])
+                },
+            }
+        if t == "map":
+            return {"type": "object",
+                    "additionalProperties": _field_schema(dtype.get("valueType"))}
+        return {"type": "object", "description": f"spark type: {t}"}
+    if isinstance(dtype, str) and dtype.startswith("decimal"):
+        return {"type": "number", "description": f"spark type: {dtype}"}
     t, fmt = _SPARK_TO_OAS.get(dtype, ("string", None))
     out: dict = {"type": t}
     if fmt:
@@ -50,6 +71,8 @@ def _table_item(name: str, fields: list[dict]) -> dict:
          "description": "0-based page of `limit` rows"},
     ]
     for f in fields:
+        if isinstance(f["type"], dict):
+            continue  # nested columns are not filterable via REST
         params.append(
             {"name": f"filter[{f['name']}]", "in": "query", "required": False,
              "schema": {"type": "string"},
@@ -98,8 +121,8 @@ def openapi_doc(catalog, version: str) -> dict:
         "/api/graphql": {"post": {"summary": "Execute a GraphQL query", **sql_op}},
         "/api/schema": {"get": {"responses": {"200": {"description": "all table schemas"}}}},
     }
-    for name in sorted(catalog.schemas()):
-        fields = catalog.schema(name)["fields"]
+    for name, sch in sorted(catalog.schemas().items()):
+        fields = sch["fields"]
         paths[f"/api/tables/{name}"] = _table_item(name, fields)
         paths[f"/api/schema/{name}"] = {
             "get": {"responses": {"200": {"description": f"schema of {name}"}}}

