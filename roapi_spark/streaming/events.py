@@ -285,3 +285,79 @@ def segment_rollup_stream(
             "sum_value",
         )
     )
+
+
+FUNNEL_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("signup_ts", T.TimestampType()),
+        T.StructField("purchase_ts", T.TimestampType()),
+        T.StructField("seconds_to_convert", T.DoubleType()),
+    ]
+)
+FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("t1", T.LongType()),
+        T.StructField("t2", T.LongType()),
+        T.StructField("t3", T.LongType()),
+    ]
+)
+_FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def _funnel_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    t1, t2, t3 = state.get if state.exists else (None, None, None)
+    rows = [pdf for pdf in pdfs if len(pdf)]
+    if rows:
+        ev = pd.concat(rows).sort_values("ts")
+        for _, r in ev.iterrows():
+            us = int(pd.Timestamp(r["ts"]).value // 1_000)
+            et = r["event_type"]
+            if t1 is None and et == _FUNNEL_STAGES[0]:
+                t1 = us
+            elif t2 is None and t1 is not None and et == _FUNNEL_STAGES[1] and us > t1:
+                t2 = us
+            elif t3 is None and t2 is not None and et == _FUNNEL_STAGES[2] and us > t2:
+                t3 = us
+    if t3 is not None:
+        # funnel complete: emit once and drop the state (a user converts
+        # once; re-arrivals start a fresh funnel)
+        state.remove()
+        yield pd.DataFrame(
+            [
+                (
+                    key[0],
+                    pd.Timestamp(t1 * 1_000),
+                    pd.Timestamp(t3 * 1_000),
+                    (t3 - t1) / 1e6,
+                )
+            ],
+            columns=["user_id", "signup_ts", "purchase_ts", "seconds_to_convert"],
+        )
+        return
+    state.update((t1, t2, t3))
+    yield pd.DataFrame(
+        [], columns=["user_id", "signup_ts", "purchase_ts", "seconds_to_convert"]
+    )
+
+
+def funnel_stream(stream: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """Streaming ordered funnel (signup -> click after -> purchase
+    after), the incremental twin of the batch ``q_event_funnel``: per-user
+    stage timestamps live in the state store; one row emits the moment a
+    user completes the chain, then the state drops. Stage matching is
+    strictly-after on event time within arrival order — at 100 TB/day the
+    state per user is three longs, and completed users cost nothing."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn,
+            FUNNEL_OUTPUT,
+            FUNNEL_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -282,3 +282,50 @@ def test_stream_static_enrichment_rollup(spark, tmp_path):
         assert rows == {("premium", 2, 5.0), ("free", 1, 2.0), (None, 1, 8.0)}
     finally:
         q.stop()
+
+
+def test_funnel_stream_stateful(spark, tmp_path):
+    from roapi_spark.streaming.events import funnel_stream, stream_events
+
+    d = tmp_path / "funnel_src"
+    d.mkdir()
+    # b1: user 7 signs up + clicks; user 8 clicks BEFORE signing up
+    _write_batch(d, "b1.json", [
+        {"event_id": 1, "ts": "2024-01-01T00:00:10", "user_id": 7,
+         "event_type": "signup", "value": 0.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:00:20", "user_id": 7,
+         "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T00:00:05", "user_id": 8,
+         "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 4, "ts": "2024-01-01T00:00:15", "user_id": 8,
+         "event_type": "signup", "value": 0.0, "props": "{}"},
+    ])
+    q = (
+        funnel_stream(stream_events(spark, str(d)))
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckf"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM funnel_out").count() == 0  # nobody done
+        # b2: user 7 purchases (completes); user 8 purchases but never
+        # clicked after signup -> still incomplete
+        _write_batch(d, "b2.json", [
+            {"event_id": 5, "ts": "2024-01-01T00:01:00", "user_id": 7,
+             "event_type": "purchase", "value": 9.0, "props": "{}"},
+            {"event_id": 6, "ts": "2024-01-01T00:01:00", "user_id": 8,
+             "event_type": "purchase", "value": 9.0, "props": "{}"},
+        ])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM funnel_out").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.user_id == 7
+        assert r.seconds_to_convert == 50.0
+        assert r.signup_ts.isoformat() == "2024-01-01T00:00:10"
+        assert r.purchase_ts.isoformat() == "2024-01-01T00:01:00"
+    finally:
+        q.stop()
