@@ -1192,3 +1192,37 @@ def test_airtable_needs_key(spark, monkeypatch):
     monkeypatch.delenv("AIRTABLE_API_KEY", raising=False)
     with pytest.raises(LoadError, match="no API key"):
         _load(spark, {"name": "t", "uri": "airtable://appX/T"})
+
+
+def test_delta_replay_partition_pruning(spark, tmp_path):
+    """The pure-Python replay hands Spark an explicit file list with
+    basePath — hive-style partition dirs must still surface as columns
+    AND prune at the scan (the property that matters at 100 TB)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    root = tmp_path / "pdelta"
+    log = root / "_delta_log"
+    log.mkdir(parents=True)
+    for y, ids in ((2023, [1, 2]), (2024, [3])):
+        d = root / f"year={y}"
+        d.mkdir()
+        _pq.write_table(_pa.table({"id": _pa.array(ids, type=_pa.int64())}),
+                        d / "part-0.parquet")
+    (log / f"{0:020d}.json").write_text("\n".join(json.dumps(a) for a in [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "m", "format": {"provider": "parquet"},
+                      "schemaString": "{}"}},
+        {"add": {"path": "year=2023/part-0.parquet", "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "partitionValues": {"year": "2023"}}},
+        {"add": {"path": "year=2024/part-0.parquet", "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "partitionValues": {"year": "2024"}}},
+    ]))
+    df = _load(spark, {"name": "pd", "uri": str(root), "option": {"format": "delta"}})
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3]
+    filtered = df.filter("year = 2024")
+    assert [r.id for r in filtered.collect()] == [3]
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(year" in plan
