@@ -98,6 +98,28 @@ def ensure_scaled(src: str, out: str, copies: int) -> None:
     pq.write_table(
         pa.concat_tables(ebatches), os.path.join(out, "embeddings.parquet")
     )
+
+    ev = pq.read_table(os.path.join(src, "events.parquet"))
+    vbatches = []
+    for k in range(copies):
+        if k == 0:
+            vbatches.append(ev)
+            continue
+        # distinct user/event ids per copy; timestamps unchanged, so the
+        # per-user behavioral structure is replicated exactly (10x users,
+        # same activity shape — the honest scale-up for user-keyed ops)
+        cols = {}
+        for name in ev.column_names:
+            col = ev.column(name)
+            if name in ("user_id", "event_id"):
+                cols[name] = pa.array(
+                    [int(x) + k * DOC_OFF for x in col.to_pylist()],
+                    type=pa.int64(),
+                )
+            else:
+                cols[name] = col
+        vbatches.append(pa.table(cols))
+    pq.write_table(pa.concat_tables(vbatches), os.path.join(out, "events.parquet"))
     open(os.path.join(out, "_READY"), "w").close()
 
 
@@ -157,7 +179,8 @@ def main() -> None:
 
         # serve-path wall time (the steady-state figure, min of 2)
         for q in ("dedup_ngram_jaccard", "dedup_containment",
-                  "dedup_minhash_lsh", "ann_ivf_kmeans"):
+                  "dedup_minhash_lsh", "ann_ivf_kmeans",
+                  "q_event_funnel", "q_retention_cohort", "q_sessionize_batch"):
             best = None
             for _ in range(2):
                 t, _n = timed(lambda: specs[q].builder(spark, sf_dir).count())
@@ -174,7 +197,8 @@ def main() -> None:
     print("|---|---|---|---|")
     for k in ("docs", "vecs", "shingle_pairs", "lsh_pairs", "ivf_probed_rows",
               "shingle_build_s", "lsh_build_s", "dedup_ngram_jaccard_s",
-              "dedup_containment_s", "dedup_minhash_lsh_s", "ann_ivf_kmeans_s"):
+              "dedup_containment_s", "dedup_minhash_lsh_s", "ann_ivf_kmeans_s",
+              "q_event_funnel_s", "q_retention_cohort_s", "q_sessionize_batch_s"):
         print(f"| {k} | {a[k]} | {b[k]} | {ratio(k)}x |")
     print(json.dumps({"sf0.1": a, "sf1": b}))
 
