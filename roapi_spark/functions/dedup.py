@@ -687,3 +687,51 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_kept"),
         F.max("doc_id").alias("last_kept"),
     )
+
+
+_SWEEP_THRESHOLDS = [2, 4, 6, 8, 10, 12]  # est_jaccard = k/N_MINHASH
+
+
+@register(
+    "q_dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_PAIRS_DUCK.strip().lstrip("WITH").strip()},
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+             SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS m
+      FROM pairs p
+        JOIN minh ma ON ma.doc_id = p.doc_a
+        JOIN minh mb ON mb.doc_id = p.doc_b AND ma.k = mb.k
+      GROUP BY 1, 2
+    ),
+    th AS (SELECT UNNEST({_SWEEP_THRESHOLDS}) AS k)
+    SELECT FLOOR(CAST(th.k AS DOUBLE) / {N_MINHASH} * 10000 + 0.5) / 10000.0
+             AS threshold,
+           CAST(COUNT(CASE WHEN e.m >= th.k THEN 1 END) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN e.m >= th.k THEN e.doc_b END) AS BIGINT)
+             AS n_docs_dropped
+    FROM th LEFT JOIN est e ON TRUE
+    GROUP BY th.k
+    """,
+    doc="Dedup threshold sweep — the dial-setting audit run before "
+    "committing an est_jaccard cutoff: for each candidate threshold, "
+    "how many near-dup pairs fire and how many documents would drop "
+    "under keep-lowest-id (distinct doc_b over firing pairs). Reads the "
+    "snapshot-cached pair graph (est precomputed at build); the sweep "
+    "is one tiny cross join over six thresholds, never a rescan.",
+    tags=("dedup", "audit"),
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = lsh_pairs_cached(spark, sf_dir)
+    th = spark.createDataFrame(
+        [(k, round(k / N_MINHASH, 4)) for k in _SWEEP_THRESHOLDS], "k int, threshold double"
+    )
+    fired = F.col("est_jaccard") >= F.col("threshold") - F.lit(1e-9)
+    return (
+        th.crossJoin(pairs)
+        .groupBy("threshold")
+        .agg(
+            F.count(F.when(fired, 1)).alias("n_pairs"),
+            F.countDistinct(F.when(fired, F.col("doc_b"))).alias("n_docs_dropped"),
+        )
+    )

@@ -1043,3 +1043,85 @@ def multimodal_image_bmp(spark, sf_dir: str) -> DataFrame:
         "max_pixel",
         "n_bytes",
     )
+
+
+# dHash geometry: resize to 9x8 by nearest neighbor, compare horizontal
+# neighbors -> 64 bits. xs are the standard floor(x*W/9) sample columns.
+_DH_XS = [x * _MM_W // 9 for x in range(9)]
+
+
+@register(
+    "multimodal_image_dhash",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_MM_W * _MM_H - 1}),
+                            j -> ((doc_id % 50) * 31 + j * 7) % 256) AS p
+      FROM documents
+    ),
+    xs AS (SELECT {_DH_XS} AS v),
+    bits AS (
+      SELECT px.doc_id,
+             STRING_AGG(
+               CASE WHEN px.p[y.y * {_MM_W} + xs.v[x.x + 2] + 1]
+                       > px.p[y.y * {_MM_W} + xs.v[x.x + 1] + 1]
+                    THEN '1' ELSE '0' END,
+               '' ORDER BY y.y, x.x) AS dhash
+      FROM px
+        CROSS JOIN xs
+        CROSS JOIN GENERATE_SERIES(0, 7) AS y(y)
+        CROSS JOIN GENERATE_SERIES(0, 7) AS x(x)
+      GROUP BY px.doc_id
+    )
+    SELECT dhash,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM bits GROUP BY dhash
+    """,
+    doc="Perceptual-hash image dedup (difference hash, Krawetz): each "
+    "document's image (pixel formula keyed by doc_id %% 50, so exact "
+    "duplicate groups exist by construction) is encoded as a REAL "
+    "uncompressed BMP, decoded through the BMP branch, nearest-neighbor "
+    "resampled to 9x8 and hashed by horizontal-gradient sign — 64 bits "
+    "rendered as a portable bit-string. Groups collapse on the hash "
+    "(keep lowest doc_id). Python touches bytes once per blob in the "
+    "Arrow-batched decode; the dedup itself is a 64-char-key groupBy — "
+    "the multimodal twin of dedup_exact at any scale.",
+    tags=("multimodal", "dedup", "pandas-udf"),
+)
+def multimodal_image_dhash(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    ids = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                flat = np.array(
+                    [((int(i) % 50) * 31 + j * 7) % 256
+                     for j in range(_MM_W * _MM_H)],
+                    dtype=np.uint8,
+                )
+                rows.append((int(i), encode_bmp(flat.reshape(_MM_H, _MM_W))))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    corpus = ids.mapInPandas(gen, "id bigint, content binary")
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.array(_DH_XS)
+        for pdf in batches:
+            out = []
+            for i, blob in zip(pdf["id"], pdf["content"]):
+                img = decode_image(bytes(blob))
+                ys = (np.arange(8) * img.shape[0] // 8).clip(0, img.shape[0] - 1)
+                r = img[np.ix_(ys, xs.clip(0, img.shape[1] - 1))].astype(np.int32)
+                bits = (r[:, 1:] > r[:, :-1]).astype(np.uint8).ravel()
+                out.append((int(i), "".join("1" if b else "0" for b in bits)))
+            yield pd.DataFrame(out, columns=["doc_id", "dhash"])
+
+    hashed = corpus.mapInPandas(hash_batch, "doc_id bigint, dhash string")
+    return hashed.groupBy("dhash").agg(
+        F.count("*").alias("n_images"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
