@@ -727,11 +727,19 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, round(k / N_MINHASH, 4)) for k in _SWEEP_THRESHOLDS], "k int, threshold double"
     )
     fired = F.col("est_jaccard") >= F.col("threshold") - F.lit(1e-9)
-    return (
+    counts = (
         th.crossJoin(pairs)
         .groupBy("threshold")
         .agg(
             F.count(F.when(fired, 1)).alias("n_pairs"),
             F.countDistinct(F.when(fired, F.col("doc_b"))).alias("n_docs_dropped"),
         )
+    )
+    # left join back so an EMPTY pair graph still yields one zero row per
+    # threshold (the oracle's th LEFT JOIN shape — a bare cross join
+    # against zero pairs would return zero rows)
+    return th.select("threshold").join(counts, "threshold", "left").select(
+        "threshold",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("n_docs_dropped", F.lit(0)).alias("n_docs_dropped"),
     )

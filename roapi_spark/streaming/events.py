@@ -295,37 +295,65 @@ FUNNEL_OUTPUT = T.StructType(
         T.StructField("seconds_to_convert", T.DoubleType()),
     ]
 )
+# state = the earliest few event times per stage (epoch micros, sorted):
+# keeping small SETS instead of resolved stage timestamps makes the
+# funnel deterministic under any micro-batch split and correct for
+# out-of-order arrivals the watermark admits (a purchase processed
+# before its prerequisite click still converts once the click lands).
 FUNNEL_STATE = T.StructType(
     [
-        T.StructField("t1", T.LongType()),
-        T.StructField("t2", T.LongType()),
-        T.StructField("t3", T.LongType()),
+        T.StructField("signups", T.ArrayType(T.LongType())),
+        T.StructField("clicks", T.ArrayType(T.LongType())),
+        T.StructField("purchases", T.ArrayType(T.LongType())),
     ]
 )
 _FUNNEL_STAGES = ("signup", "click", "purchase")
+_FUNNEL_KEEP = 32           # earliest event times kept per stage
+_FUNNEL_ABANDON_MS = 3_600_000  # drop in-progress funnels idle past 1 h
+
+
+def _funnel_resolve(s1: list, s2: list, s3: list):
+    """(t1, t2, t3) from the stage sets: first signup, first click
+    strictly after it, first purchase strictly after that."""
+    t1 = s1[0] if s1 else None
+    t2 = next((t for t in s2 if t1 is not None and t > t1), None)
+    t3 = next((t for t in s3 if t2 is not None and t > t2), None)
+    return t1, t2, t3
 
 
 def _funnel_fn(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    t1, t2, t3 = state.get if state.exists else (None, None, None)
-    rows = [pdf for pdf in pdfs if len(pdf)]
-    if rows:
-        ev = pd.concat(rows).sort_values("ts")
-        for _, r in ev.iterrows():
-            us = int(pd.Timestamp(r["ts"]).value // 1_000)
-            et = r["event_type"]
-            if t1 is None and et == _FUNNEL_STAGES[0]:
-                t1 = us
-            elif t2 is None and t1 is not None and et == _FUNNEL_STAGES[1] and us > t1:
-                t2 = us
-            elif t3 is None and t2 is not None and et == _FUNNEL_STAGES[2] and us > t2:
-                t3 = us
-    if t3 is not None:
-        # funnel complete: emit once and drop the state (a user converts
-        # once; re-arrivals start a fresh funnel)
+    empty = pd.DataFrame(
+        [], columns=["user_id", "signup_ts", "purchase_ts", "seconds_to_convert"]
+    )
+    if state.hasTimedOut:
+        # abandoned funnel: evict without emitting — state stays bounded
+        # by the abandonment horizon, like sessionize's gap timeout
         state.remove()
-        yield pd.DataFrame(
+        yield empty
+        return
+    s1, s2, s3 = (
+        [list(x) for x in state.get] if state.exists else ([], [], [])
+    )
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        for et, bucket in zip(_FUNNEL_STAGES, (s1, s2, s3)):
+            ts = pdf.loc[pdf["event_type"] == et, "ts"]
+            # session tz is pinned UTC by the session factory, so the
+            # naive wall-clock -> micros mapping is DST-free and exact
+            bucket.extend(int(pd.Timestamp(t).value // 1_000) for t in ts)
+    s1, s2, s3 = (sorted(set(b))[:_FUNNEL_KEEP] for b in (s1, s2, s3))
+    t1, t2, t3 = _funnel_resolve(s1, s2, s3)
+    if t3 is not None:
+        # conversion: emit once, consume the events up to t3, and keep
+        # any later arrivals so a fresh funnel can start — identical
+        # output under any batching of the same event stream
+        s1 = [t for t in s1 if t > t3]
+        s2 = [t for t in s2 if t > t3]
+        s3 = [t for t in s3 if t > t3]
+        out = pd.DataFrame(
             [
                 (
                     key[0],
@@ -336,20 +364,38 @@ def _funnel_fn(
             ],
             columns=["user_id", "signup_ts", "purchase_ts", "seconds_to_convert"],
         )
+        if not (s1 or s2 or s3):
+            state.remove()
+            yield out
+            return
+        state.update((s1, s2, s3))
+        last = max(x[-1] for x in (s1, s2, s3) if x)
+        state.setTimeoutTimestamp(
+            max(last // 1_000 + _FUNNEL_ABANDON_MS, state.getCurrentWatermarkMs() + 1)
+        )
+        yield out
         return
-    state.update((t1, t2, t3))
-    yield pd.DataFrame(
-        [], columns=["user_id", "signup_ts", "purchase_ts", "seconds_to_convert"]
+    if not (s1 or s2 or s3):
+        yield empty
+        return
+    state.update((s1, s2, s3))
+    last = max(x[-1] for x in (s1, s2, s3) if x)
+    state.setTimeoutTimestamp(
+        max(last // 1_000 + _FUNNEL_ABANDON_MS, state.getCurrentWatermarkMs() + 1)
     )
+    yield empty
 
 
 def funnel_stream(stream: DataFrame, watermark: str = "10 seconds") -> DataFrame:
     """Streaming ordered funnel (signup -> click after -> purchase
-    after), the incremental twin of the batch ``q_event_funnel``: per-user
-    stage timestamps live in the state store; one row emits the moment a
-    user completes the chain, then the state drops. Stage matching is
-    strictly-after on event time within arrival order — at 100 TB/day the
-    state per user is three longs, and completed users cost nothing."""
+    after), the incremental twin of the batch ``q_event_funnel``: the
+    earliest few event times per stage live in the state store (bounded
+    sets, so out-of-order arrivals the watermark admits still convert
+    and output is identical under any micro-batch split); one row emits
+    the moment a user completes the chain, consumed events drop, and
+    abandoned funnels are evicted by an event-time timeout one hour past
+    the user's last event — state is horizon-bounded exactly like
+    sessionize, never proportional to the all-time user population."""
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("user_id")
@@ -358,6 +404,6 @@ def funnel_stream(stream: DataFrame, watermark: str = "10 seconds") -> DataFrame
             FUNNEL_OUTPUT,
             FUNNEL_STATE,
             "append",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -329,3 +329,55 @@ def test_funnel_stream_stateful(spark, tmp_path):
         assert r.purchase_ts.isoformat() == "2024-01-01T00:01:00"
     finally:
         q.stop()
+
+
+def test_funnel_stream_out_of_order_and_restart(spark, tmp_path):
+    """A purchase processed BEFORE its prerequisite click (but admitted
+    by the watermark) must still convert once the click lands; events
+    after a conversion start a fresh funnel regardless of batching."""
+    from roapi_spark.streaming.events import funnel_stream, stream_events
+
+    d = tmp_path / "funnel_ooo"
+    d.mkdir()
+    _write_batch(d, "b1.json", [
+        {"event_id": 1, "ts": "2024-01-01T00:00:10", "user_id": 7,
+         "event_type": "signup", "value": 0.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:00:25", "user_id": 7,
+         "event_type": "purchase", "value": 0.0, "props": "{}"},
+    ])
+    q = (
+        funnel_stream(stream_events(spark, str(d)))
+        .writeStream.format("memory")
+        .queryName("funnel_ooo_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cko"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM funnel_ooo_out").count() == 0
+        # the click arrives LATER in arrival order but sits between the
+        # signup and purchase in event time -> conversion completes
+        _write_batch(d, "b2.json", [
+            {"event_id": 3, "ts": "2024-01-01T00:00:20", "user_id": 7,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+        ])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM funnel_ooo_out").collect()
+        assert len(rows) == 1 and rows[0].seconds_to_convert == 15.0
+        # a fresh signup after the conversion opens a new funnel
+        _write_batch(d, "b3.json", [
+            {"event_id": 4, "ts": "2024-01-01T00:02:00", "user_id": 7,
+             "event_type": "signup", "value": 0.0, "props": "{}"},
+            {"event_id": 5, "ts": "2024-01-01T00:02:10", "user_id": 7,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+            {"event_id": 6, "ts": "2024-01-01T00:02:20", "user_id": 7,
+             "event_type": "purchase", "value": 0.0, "props": "{}"},
+        ])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM funnel_ooo_out ORDER BY signup_ts").collect()
+        assert len(rows) == 2
+        assert rows[1].seconds_to_convert == 20.0
+    finally:
+        q.stop()

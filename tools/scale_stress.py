@@ -37,8 +37,11 @@ VEC_OFF = 10_000_000
 
 
 def ensure_scaled(src: str, out: str, copies: int) -> None:
-    if os.path.exists(os.path.join(out, "_READY")):
+    # versioned marker: v2 added events.parquet — a scratch dir built by
+    # an older script version must regenerate, not crash the event ops
+    if os.path.exists(os.path.join(out, "_READY_v2")):
         return
+    shutil.rmtree(out, ignore_errors=True)
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -108,19 +111,18 @@ def ensure_scaled(src: str, out: str, copies: int) -> None:
         # distinct user/event ids per copy; timestamps unchanged, so the
         # per-user behavioral structure is replicated exactly (10x users,
         # same activity shape — the honest scale-up for user-keyed ops)
+        import pyarrow.compute as pc
+
         cols = {}
         for name in ev.column_names:
             col = ev.column(name)
             if name in ("user_id", "event_id"):
-                cols[name] = pa.array(
-                    [int(x) + k * DOC_OFF for x in col.to_pylist()],
-                    type=pa.int64(),
-                )
+                cols[name] = pc.add(pc.cast(col, pa.int64()), k * DOC_OFF)
             else:
                 cols[name] = col
         vbatches.append(pa.table(cols))
     pq.write_table(pa.concat_tables(vbatches), os.path.join(out, "events.parquet"))
-    open(os.path.join(out, "_READY"), "w").close()
+    open(os.path.join(out, "_READY_v2"), "w").close()
 
 
 def main() -> None:
