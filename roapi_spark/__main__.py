@@ -18,6 +18,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--tls-cert", default=None, help="PEM cert chain: serve HTTPS with ALPN h2/http1.1")
     ap.add_argument("--tls-key", default=None, help="PEM private key for --tls-cert")
     ap.add_argument("--http-token", default=None, help="bearer token required on the HTTP API (health stays open)")
+    ap.add_argument("--statement-timeout", type=float, default=None,
+                    help="seconds before a query is cancelled (408); default unlimited")
     ap.add_argument(
         "--http-basic",
         action="append",
@@ -58,6 +60,7 @@ def main(argv: list[str] | None = None) -> int:
         default_format=cfg.default_response_format,
         auth_token=args.http_token,
         basic_auth=http_basic or None,
+        statement_timeout_s=args.statement_timeout,
     )
     host, _, port = cfg.addr.partition(":")
     bound_host, bound_port = server.start(

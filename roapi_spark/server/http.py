@@ -131,6 +131,7 @@ class ApiServer:
         default_format: str = "json",
         auth_token: str | None = None,
         basic_auth: dict[str, str] | None = None,
+        statement_timeout_s: float | None = None,
     ) -> None:
         self.catalog = catalog
         self.default_format = default_format
@@ -138,6 +139,46 @@ class ApiServer:
         self.basic_auth = basic_auth
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        self.statement_timeout_s = statement_timeout_s
+        # route-class -> (requests, errors, seconds); bounded cardinality
+        self._metrics: dict[str, tuple[int, int, float]] = {}
+        self._metrics_lock = threading.Lock()
+
+    def _run_bounded(self, fn):
+        """Run a query+encode callable under the statement timeout: the
+        work executes on a worker thread tagged with its own Spark job
+        group; on expiry the group is cancelled (running tasks
+        interrupted) and the client gets a 408 instead of holding the
+        connection forever — the runaway-query guard every multi-tenant
+        SQL endpoint needs. No timeout configured = direct call."""
+        if self.statement_timeout_s is None:
+            return fn()
+        import uuid
+
+        sc = self.catalog.spark.sparkContext
+        gid = f"roapi-stmt-{uuid.uuid4().hex}"
+        box: dict = {}
+
+        def work() -> None:
+            try:
+                sc.setJobGroup(gid, "roapi statement", interruptOnCancel=True)
+                box["result"] = fn()
+            except BaseException as exc:  # noqa: BLE001 — surfaced below
+                box["error"] = exc
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        t.join(self.statement_timeout_s)
+        if t.is_alive():
+            sc.cancelJobGroup(gid)
+            raise ApiError(
+                408,
+                "statement_timeout",
+                f"statement exceeded {self.statement_timeout_s}s and was cancelled",
+            )
+        if "error" in box:
+            raise box["error"]
+        return box["result"]
 
     def authorize(self, authorization: str | None, path: str = "") -> bool:
         """HTTP auth layer (beyond the reference — its own unchecked
@@ -186,8 +227,63 @@ class ApiServer:
     def handle(
         self, method: str, path: str, query: dict[str, str], body: bytes, accept: str | None
     ) -> tuple[int, str, bytes]:
+        import time as _time
+
+        route = self._route_class(method, path)
+        t0 = _time.monotonic()
+        try:
+            result = self._handle(method, path, query, body, accept)
+            self._observe(route, result[0], _time.monotonic() - t0)
+            return result
+        except ApiError as err:
+            self._observe(route, err.code, _time.monotonic() - t0)
+            raise
+
+    @staticmethod
+    def _route_class(method: str, path: str) -> str:
+        """Collapse per-table paths to one label so metric cardinality is
+        bounded by the route count, not the catalog size."""
+        for prefix, label in (
+            ("/api/tables/", "/api/tables/{t}"),
+            ("/api/schema/", "/api/schema/{t}"),
+            ("/api/kv/", "/api/kv/{n}/{k}"),
+        ):
+            if path.startswith(prefix) and path != "/api/tables/drop":
+                return f"{method} {label}"
+        return f"{method} {path}"
+
+    def _observe(self, route: str, code: int, seconds: float) -> None:
+        with self._metrics_lock:
+            n, errs, total = self._metrics.get(route, (0, 0, 0.0))
+            self._metrics[route] = (
+                n + 1, errs + (1 if code >= 400 else 0), total + seconds
+            )
+
+    def _metrics_text(self) -> bytes:
+        """Prometheus text exposition (beyond the reference — it ships
+        request logging only): per-route-class request/error counters and
+        a latency sum, enough for rate/error/duration dashboards."""
+        lines = [
+            "# TYPE roapi_requests_total counter",
+            "# TYPE roapi_request_errors_total counter",
+            "# TYPE roapi_request_seconds_total counter",
+        ]
+        with self._metrics_lock:
+            snap = dict(self._metrics)
+        for route, (n, errs, total) in sorted(snap.items()):
+            lbl = '{route="' + route + '"}'
+            lines.append(f"roapi_requests_total{lbl} {n}")
+            lines.append(f"roapi_request_errors_total{lbl} {errs}")
+            lines.append(f"roapi_request_seconds_total{lbl} {total:.6f}")
+        return ("\n".join(lines) + "\n").encode()
+
+    def _handle(
+        self, method: str, path: str, query: dict[str, str], body: bytes, accept: str | None
+    ) -> tuple[int, str, bytes]:
         fmt = format_from_accept(accept, self.default_format)
         try:
+            if method == "GET" and path == "/metrics":
+                return 200, "text/plain; version=0.0.4", self._metrics_text()
             if method == "GET" and path in ("/", "/ui"):
                 return 200, "text/html; charset=utf-8", CONSOLE_HTML
             if method == "GET" and path == "/health":
@@ -202,15 +298,27 @@ class ApiServer:
                 doc = openapi_doc(self.catalog, roapi_spark.__version__)
                 return 200, "application/json", json.dumps(doc).encode()
             if method == "POST" and path == "/api/sql":
-                df = self.catalog.query_sql(body.decode("utf-8"))
-                return 200, CONTENT_TYPES[fmt], encode_dataframe(df, fmt)
+                payload = self._run_bounded(
+                    lambda: encode_dataframe(
+                        self.catalog.query_sql(body.decode("utf-8")), fmt
+                    )
+                )
+                return 200, CONTENT_TYPES[fmt], payload
             if method == "POST" and path == "/api/graphql":
-                df = self.catalog.query_graphql(body.decode("utf-8"))
-                return 200, CONTENT_TYPES[fmt], encode_dataframe(df, fmt)
+                payload = self._run_bounded(
+                    lambda: encode_dataframe(
+                        self.catalog.query_graphql(body.decode("utf-8")), fmt
+                    )
+                )
+                return 200, CONTENT_TYPES[fmt], payload
             if m := re.fullmatch(r"/api/tables/([^/]+)", path):
                 if method == "GET":
-                    df = self.catalog.query_rest(unquote(m.group(1)), query)
-                    return 200, CONTENT_TYPES[fmt], encode_dataframe(df, fmt)
+                    payload = self._run_bounded(
+                        lambda: encode_dataframe(
+                            self.catalog.query_rest(unquote(m.group(1)), query), fmt
+                        )
+                    )
+                    return 200, CONTENT_TYPES[fmt], payload
             if method == "GET" and path == "/api/schema":
                 return 200, "application/json", json.dumps(self.catalog.schemas()).encode()
             if m := re.fullmatch(r"/api/schema/([^/]+)", path):

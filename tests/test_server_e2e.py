@@ -499,3 +499,59 @@ def test_openapi_nested_types(spark, tmp_path_factory):
         assert "filter[id]" in pnames and "filter[tags]" not in pnames
     finally:
         srv.stop()
+
+
+def test_metrics_endpoint(base_url):
+    url, _ = base_url
+    # generate some traffic, including an error
+    _req(f"{url}/api/sql", "POST", b"SELECT city FROM uk_cities LIMIT 1")
+    try:
+        _req(f"{url}/api/sql", "POST", b"SELECT nope FROM missing")
+    except urllib.error.HTTPError:
+        pass
+    _req(f"{url}/api/tables/uk_cities?limit=1")
+    status, ctype, body = _req(f"{url}/metrics")
+    assert status == 200 and ctype.startswith("text/plain")
+    text = body.decode()
+    m = {}
+    for line in text.splitlines():
+        if line.startswith("#") or not line:
+            continue
+        k, v = line.rsplit(" ", 1)
+        m[k] = float(v)
+    assert m['roapi_requests_total{route="POST /api/sql"}'] >= 2
+    assert m['roapi_request_errors_total{route="POST /api/sql"}'] >= 1
+    # per-table paths collapse to one bounded label
+    assert m['roapi_requests_total{route="GET /api/tables/{t}"}'] >= 1
+    assert m['roapi_request_seconds_total{route="POST /api/sql"}'] > 0
+
+
+def test_statement_timeout_cancels_runaway(spark, tmp_path_factory):
+    import time as _time
+
+    root = tmp_path_factory.mktemp("stmt")
+    (root / "t.csv").write_text(CSV)
+    cat = Catalog(spark)
+    cat.load_table(parse_table_config({"name": "t", "uri": str(root / "t.csv")}))
+    srv = ApiServer(cat, statement_timeout_s=2.0)
+    host, port = srv.start()
+    url = f"http://{host}:{port}/api/sql"
+    try:
+        # fast statements pass through untouched
+        _, _, body = _req(url, "POST", b"SELECT city FROM t ORDER BY city LIMIT 1")
+        assert json.loads(body) == [{"city": "london"}]
+        # a runaway scan is cancelled and surfaced as 408
+        t0 = _time.time()
+        try:
+            _req(url, "POST", b"SELECT count(*) AS n FROM range(500000000000)")
+            raise AssertionError("expected 408")
+        except urllib.error.HTTPError as e:
+            assert e.code == 408
+            payload = json.loads(e.read())
+            assert payload["error"] == "statement_timeout"
+        assert _time.time() - t0 < 30  # cancelled, not run to completion
+        # the server still serves normal queries afterwards
+        _, _, body = _req(url, "POST", b"SELECT count(*) AS n FROM t")
+        assert json.loads(body) == [{"n": 3}]
+    finally:
+        srv.stop()
