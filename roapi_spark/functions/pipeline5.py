@@ -38,41 +38,9 @@ from roapi_spark.util import pround
 FUNNEL = ("signup", "click", "purchase")
 
 
-@register(
-    "q_event_funnel",
-    oracle="""
-    WITH s1 AS (
-      SELECT user_id, MIN(ts) AS t1 FROM events
-      WHERE event_type = 'signup' GROUP BY user_id
-    ), s2 AS (
-      SELECT e.user_id, MIN(e.ts) AS t2
-      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
-      WHERE e.event_type = 'click' GROUP BY e.user_id
-    ), s3 AS (
-      SELECT e.user_id, MIN(e.ts) AS t3
-      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
-      WHERE e.event_type = 'purchase' GROUP BY e.user_id
-    ), n AS (
-      SELECT 1 AS stage_idx, 'signup' AS stage, COUNT(*) AS n_users FROM s1
-      UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
-      UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
-    )
-    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
-           CAST(n_users AS BIGINT) AS n_users,
-           FLOOR(CAST(n_users AS DOUBLE)
-                 / GREATEST(MAX(n_users) OVER (), 1) * 10000 + 0.5)
-             / 10000.0 AS conv_pct
-    FROM n
-    """,
-    doc="Ordered funnel (signup -> click after signup -> purchase after "
-    "click): per-user event timeline folded in ONE pass — array_sort the "
-    "(ts, type) structs per user, then a JVM-side aggregate() walk picks "
-    "the first qualifying timestamp per stage. The oracle states the same "
-    "semantics as three stage joins. Strictly-after (`>`) ordering at "
-    "every stage.",
-    tags=("events", "funnel"),
-)
-def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _funnel_stage_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, st{t1,t2,t3}) — per-user stage timestamps (epoch micros,
+    null = stage not reached) from the single-shuffle timeline fold."""
     ev = events_t(spark, sf_dir).filter(F.col("event_type").isin(*FUNNEL))
     per_user = ev.groupBy("user_id").agg(
         F.array_sort(
@@ -113,6 +81,45 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("st")
     )
+    return walked
+
+
+@register(
+    "q_event_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), n AS (
+      SELECT 1 AS stage_idx, 'signup' AS stage, COUNT(*) AS n_users FROM s1
+      UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+      UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+    )
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+           CAST(n_users AS BIGINT) AS n_users,
+           FLOOR(CAST(n_users AS DOUBLE)
+                 / GREATEST(MAX(n_users) OVER (), 1) * 10000 + 0.5)
+             / 10000.0 AS conv_pct
+    FROM n
+    """,
+    doc="Ordered funnel (signup -> click after signup -> purchase after "
+    "click): per-user event timeline folded in ONE pass — array_sort the "
+    "(ts, type) structs per user, then a JVM-side aggregate() walk picks "
+    "the first qualifying timestamp per stage. The oracle states the same "
+    "semantics as three stage joins. Strictly-after (`>`) ordering at "
+    "every stage.",
+    tags=("events", "funnel"),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    walked = _funnel_stage_times(spark, sf_dir)
     counts = walked.agg(
         F.count("st.t1").alias("n1"),
         F.count("st.t2").alias("n2"),
@@ -626,4 +633,49 @@ def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tok"),
         pround(F.avg("nlp")).alias("mean_neg_logp"),
+    )
+
+
+@register(
+    "q_conversion_latency",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), lat AS (
+      SELECT s3.user_id,
+             (EPOCH_US(s3.t3) - EPOCH_US(s1.t1)) / 1000000.0 AS sec
+      FROM s3 JOIN s1 ON s3.user_id = s1.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           FLOOR(MIN(sec) * 10000 + 0.5) / 10000.0 AS min_seconds,
+           FLOOR(AVG(sec) * 10000 + 0.5) / 10000.0 AS avg_seconds,
+           FLOOR(MAX(sec) * 10000 + 0.5) / 10000.0 AS max_seconds
+    FROM lat
+    """,
+    doc="Conversion-latency summary over the completed funnels: per "
+    "converting user, seconds from first signup to the qualifying "
+    "purchase (the same single-shuffle timeline fold as q_event_funnel, "
+    "shared via _funnel_stage_times), aggregated to count/min/avg/max — "
+    "the number a growth dashboard puts next to the funnel counts.",
+    tags=("events", "funnel"),
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    walked = _funnel_stage_times(spark, sf_dir)
+    lat = walked.filter(F.col("st.t3").isNotNull()).select(
+        ((F.col("st.t3") - F.col("st.t1")) / 1e6).alias("sec")
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        pround(F.min("sec")).alias("min_seconds"),
+        pround(F.avg("sec")).alias("avg_seconds"),
+        pround(F.max("sec")).alias("max_seconds"),
     )
