@@ -32,6 +32,7 @@ KNOWN_FORMATS = {
     "jsonl",
     "parquet",
     "orc",
+    "avro",
     "delta",
     "iceberg",
     "arrow",
@@ -55,6 +56,7 @@ _EXT_TO_FORMAT = {
     ".jsonl": "jsonl",
     ".parquet": "parquet",
     ".orc": "orc",
+    ".avro": "avro",
     ".arrow": "arrow",
     ".arrows": "arrows",
     ".xlsx": "xlsx",

@@ -434,30 +434,35 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         N_MINHASH,
         docs as ddocs,
         lsh_pairs_cached,
-        minhash_signatures,
         shingles,
     )
 
     pairs = lsh_pairs_cached(spark, sf_dir)
-    sigs = minhash_signatures(ddocs(spark, sf_dir))
-    matches = (
-        pairs.join(
-            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")),
-            "doc_a",
-        )
-        .join(
-            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(
-                F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda e: e)
-            ).alias("m"),
-        )
+    # The artifact's est_jaccard is pround(m / N_MINHASH); with match
+    # granularity 1/12 >> the 1e-4 rounding, m is exactly recoverable —
+    # no re-run of the full-corpus signature pass.
+    matches = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.floor(F.col("est_jaccard") * N_MINHASH + F.lit(0.5))
+        .cast("int")
+        .alias("m"),
     )
-    sh = shingles(ddocs(spark, sf_dir))
+    # True Jaccard only needs shingles of docs that appear in the pair
+    # graph — a broadcast semi-join prunes the corpus scan to that
+    # (small) doc set before the explosion, instead of shuffling the
+    # full shingle table twice.
+    part_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # the filtered explosion is referenced three times (cnt, both join
+    # sides); checkpoint it once — it is pair-graph-sized, tiny at any
+    # corpus scale
+    sh = shingles(
+        ddocs(spark, sf_dir).join(F.broadcast(part_docs), "doc_id", "semi")
+    ).localCheckpoint(eager=False)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -28,6 +28,7 @@ _LOADERS: dict[str, str] = {
     "jsonl": "roapi_spark.sources.ndjson",
     "parquet": "roapi_spark.sources.parquet",
     "orc": "roapi_spark.sources.orc",
+    "avro": "roapi_spark.sources.avro",
     "delta": "roapi_spark.sources.delta",
     "iceberg": "roapi_spark.sources.iceberg",
     "arrow": "roapi_spark.sources.arrow_ipc",
