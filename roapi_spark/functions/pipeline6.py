@@ -1,0 +1,219 @@
+"""Round-4 training-pipeline operators, part 6: exact-substring span
+dedup, temperature-weighted mixture allocation, and tokenizer-fertility
+audit. Reference parity note: roapi has no training-pipeline surface
+(columnq/src/table/mod.rs covers load/query only); these extend the
+engine per the builder brief, with full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roapi_spark.functions.dedup import tokens_col
+from roapi_spark.plans.registry import register
+from roapi_spark.util import pround
+
+_TOKS_DUCK = (
+    "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0)"
+)
+
+
+def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# -- exact-substring span dedup ---------------------------------------------
+
+SPAN_K = 8  # token-gram width (Lee et al. use 50 tokens; short test docs)
+
+
+def _positional_grams(w) -> F.Column:
+    """Every K-token gram WITH multiplicity (no array_distinct — the
+    whole point is catching text that repeats, including within one
+    document). Same arrays_zip-of-slices shape as shingle_array_of:
+    ``w`` is referenced O(K) times per row, never per element."""
+    ln = F.greatest(F.size(w) - (SPAN_K - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(w, k + 1, ln) for k in range(SPAN_K)])
+    return F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(SPAN_K)])
+    )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS w FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(w) - {SPAN_K - 1}),
+               i -> array_to_string(w[i:i + {SPAN_K - 1}], ' '))) AS gram
+      FROM toks
+    ),
+    dg AS (SELECT gram, doc_id, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+    tot AS (SELECT gram, SUM(cnt) AS c FROM dg GROUP BY 1),
+    nd AS (
+      SELECT dg.doc_id, SUM(dg.cnt) AS n_dup
+      FROM dg JOIN tot USING (gram) WHERE tot.c > 1 GROUP BY 1
+    ),
+    pd AS (SELECT doc_id, SUM(cnt) AS n_grams FROM dg GROUP BY 1)
+    SELECT pd.doc_id,
+           CAST(pd.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup_grams,
+           FLOOR(COALESCE(nd.n_dup, 0) / CAST(pd.n_grams AS DOUBLE)
+                 * 10000 + 0.5) / 10000.0 AS dup_fraction
+    FROM pd LEFT JOIN nd USING (doc_id)
+    """,
+    doc=f"Exact-substring span dedup (the suffix-array method of Lee et "
+    f"al. 2022, re-expressed relationally): every positional {SPAN_K}-token "
+    "gram — WITH multiplicity, so boilerplate repeated inside one document "
+    "counts — is tallied corpus-wide; a doc's dup_fraction is the share of "
+    "its gram starts whose exact text occurs more than once anywhere. "
+    "Plan: the explosion is hash-partitioned on gram ONCE; the (gram, "
+    "doc) tally, the gram-total rollup, and their join all run on that "
+    "one partitioning (HashPartitioning(gram) satisfies the (gram, doc) "
+    "clustering — verified: 7 exchanges vs 8 letting each agg shuffle "
+    "itself, and positional grams are mostly unique so pre-shuffle "
+    "combining buys little). At real scale the shuffle key becomes "
+    "md5(gram) (16 bytes, not the text) and K rises to 50; semantics "
+    "unchanged.",
+    tags=("dedup", "text"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        docs(spark, sf_dir)
+        .select("doc_id", tokens_col().alias("w"))
+        .filter(F.size("w") >= SPAN_K)
+        .select("doc_id", F.explode(_positional_grams(F.col("w"))).alias("gram"))
+        .repartition("gram")
+    )
+    dg = g.groupBy("gram", "doc_id").agg(F.count("*").alias("cnt"))
+    tot = dg.groupBy("gram").agg(F.sum("cnt").alias("c"))
+    nd = (
+        dg.join(tot, "gram")
+        .filter(F.col("c") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_dup"))
+    )
+    pd = dg.groupBy("doc_id").agg(F.sum("cnt").alias("n_grams"))
+    return pd.join(nd, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+        pround(
+            F.coalesce("n_dup", F.lit(0)) / F.col("n_grams").cast("double")
+        ).alias("dup_fraction"),
+    )
+
+
+# -- temperature-weighted mixture allocation --------------------------------
+
+MIX_BUDGET_X = 2.0  # token budget = 2x the corpus (some sources epoch >1)
+MIX_WSCALE = 1000  # integer-exact weights: floor(sqrt(n_tokens)*1000)
+
+
+@register(
+    "q_mixture_allocation",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({_TOKS_DUCK})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *, CAST(FLOOR(SQRT(n_tokens) * {MIX_WSCALE}) AS BIGINT) AS wq
+      FROM t
+    ),
+    s AS (SELECT CAST(SUM(wq) AS BIGINT) AS tot_w,
+                 CAST(SUM(n_tokens) AS BIGINT) AS tot_n FROM w)
+    SELECT w.source, CAST(w.n_docs AS BIGINT) AS n_docs, w.n_tokens,
+           FLOOR(w.wq / CAST(s.tot_w AS DOUBLE) * 10000 + 0.5) / 10000.0
+             AS weight,
+           CAST(FLOOR({MIX_BUDGET_X} * s.tot_n
+                      * (w.wq / CAST(s.tot_w AS DOUBLE))) AS BIGINT)
+             AS alloc_tokens,
+           FLOOR({MIX_BUDGET_X} * s.tot_n * (w.wq / CAST(s.tot_w AS DOUBLE))
+                 / w.n_tokens * 10000 + 0.5) / 10000.0 AS epochs
+    FROM w CROSS JOIN s
+    """,
+    doc="Sampling-mixture allocation: per-source sqrt-temperature weights "
+    "(the multilingual/data-mixing standard — upweights small sources) "
+    "over a fixed token budget, yielding per-source token allocations and "
+    "epoch counts, the table a pretraining data plan is built from. "
+    "Weights are integer-quantized (floor(sqrt*1000)) so their sum is "
+    "order-independent and the oracle is exact. One tiny per-source agg, "
+    "a 1-row broadcast total, map-side arithmetic.",
+    tags=("pipeline", "audit"),
+)
+def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size(tokens_col())).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "wq",
+            F.floor(F.sqrt(F.col("n_tokens")) * MIX_WSCALE).cast("bigint"),
+        )
+    )
+    s = t.agg(
+        F.sum("wq").cast("bigint").alias("tot_w"),
+        F.sum("n_tokens").cast("bigint").alias("tot_n"),
+    )
+    share = F.col("wq") / F.col("tot_w").cast("double")
+    alloc = F.lit(MIX_BUDGET_X) * F.col("tot_n") * share
+    return t.crossJoin(F.broadcast(s)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        pround(share).alias("weight"),
+        F.floor(alloc).cast("bigint").alias("alloc_tokens"),
+        pround(alloc / F.col("n_tokens")).alias("epochs"),
+    )
+
+
+# -- tokenizer fertility by language ----------------------------------------
+
+
+@register(
+    "q_token_fertility",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, LENGTH(text) AS n_bytes, len({_TOKS_DUCK}) AS n_toks
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           FLOOR(SUM(n_bytes) / CAST(SUM(n_toks) AS DOUBLE) * 10000 + 0.5)
+             / 10000.0 AS bytes_per_token,
+           FLOOR(SUM(n_toks) / CAST(COUNT(*) AS DOUBLE) * 10000 + 0.5)
+             / 10000.0 AS tokens_per_doc
+    FROM t GROUP BY lang
+    """,
+    doc="Tokenizer-fertility audit: bytes/token and tokens/doc per "
+    "language tag — the compression-rate table that decides vocabulary "
+    "allocation and flags languages a tokenizer serves badly. Integer "
+    "sums with map-side combine; ratios pround-ed once at the end (exact "
+    "cross-engine).",
+    tags=("text", "audit"),
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = docs(spark, sf_dir).select(
+        "lang",
+        F.length("text").alias("n_bytes"),
+        F.size(tokens_col()).alias("n_toks"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        pround(F.sum("n_bytes") / F.sum("n_toks").cast("double")).alias(
+            "bytes_per_token"
+        ),
+        pround(F.sum("n_toks") / F.count("*").cast("double")).alias(
+            "tokens_per_doc"
+        ),
+    )
