@@ -400,3 +400,122 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+# -- SQ8 scalar quantization ------------------------------------------------
+
+SQ_LEVELS = 255  # 8-bit codes 0..255
+
+
+def _sq8_oracle_sql() -> str:
+    from roapi_spark.functions.similarity import DIM
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             LIST_TRANSFORM(embedding::DOUBLE[],
+                            x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS vq
+      FROM embeddings
+    ),
+    mm AS (
+      SELECT t.i, MIN(e.vq[t.i]) AS lo, MAX(e.vq[t.i]) AS hi
+      FROM e CROSS JOIN UNNEST(GENERATE_SERIES(1, {DIM})) AS t(i)
+      GROUP BY t.i
+    ),
+    codes AS (
+      SELECT e.vec_id,
+             LIST(CASE WHEN mm.hi > mm.lo
+                  THEN CAST(FLOOR((e.vq[t.i] - mm.lo) * {SQ_LEVELS}
+                            / CAST(mm.hi - mm.lo AS DOUBLE)) AS BIGINT)
+                  ELSE 0 END ORDER BY mm.i) AS cq
+      FROM e CROSS JOIN UNNEST(GENERATE_SERIES(1, {DIM})) AS t(i)
+        JOIN mm ON mm.i = t.i
+      GROUP BY e.vec_id
+    ),
+    q AS (SELECT vec_id AS qid, cq AS qcq FROM codes
+          WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.qid, c.vec_id AS neighbor_id,
+             LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {DIM}),
+               i -> (q.qcq[i] - c.cq[i]) * (q.qcq[i] - c.cq[i]))) AS sq_dist
+      FROM q JOIN codes c ON c.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, neighbor_id, sq_dist,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY sq_dist, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, neighbor_id, CAST(sq_dist AS BIGINT) AS sq_dist,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@register(
+    "ann_sq8",
+    oracle=_sq8_oracle_sql(),
+    doc="SQ8 scalar quantization (FAISS's SQ8): per-dimension [lo, hi] "
+    "learned in ONE aggregate pass (posexplode + groupBy(dim) — map-side "
+    "combine reduces the shuffle to 64 rows/partition, the scale-correct "
+    "train step), vectors encoded map-side to 8-bit codes against the "
+    "broadcast-literal ranges (4x smaller than the raw column; at 100 TB "
+    "the codes are the persisted serving layout), candidates ranked by "
+    "integer L2 over codes. Everything runs on the shared integer grid "
+    "(floor(x*1000+0.5)), so train, encode, and ranking are exact and "
+    "the oracle matches bit-for-bit. Complements PQ (subspace codebooks) "
+    "and IVF (partition pruning) as the third quantization family.",
+    tags=("similarity",),
+)
+def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.similarity import DIM
+
+    e = emb(spark, sf_dir).withColumn("vq", _vq_col())
+    mm = (
+        e.select(F.posexplode("vq").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    lo = [0] * DIM
+    hi = [0] * DIM
+    for r in mm:  # posexplode's i is 0-based
+        lo[int(r.i)] = int(r.lo)
+        hi[int(r.i)] = int(r.hi)
+    lo_arr = F.lit(lo).cast("array<bigint>")
+    rng_arr = F.lit([h - l for h, l in zip(hi, lo)]).cast("array<bigint>")
+    # two chained zip_withs: vq is referenced exactly once, so the
+    # quantize transform stays a single pass per row (no projection-
+    # collapse re-inlining)
+    diff = F.zip_with(F.col("vq"), lo_arr, lambda x, l: x - l)
+    cq = F.zip_with(
+        diff,
+        rng_arr,
+        lambda d, r: F.when(
+            r > 0, F.floor(d * SQ_LEVELS / r.cast("double")).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    codes = e.select("vec_id", cq.alias("cq"))
+    q = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("cq").alias("qcq")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qcq"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, y: acc + y,
+    )
+    scored = (
+        codes.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("neighbor_id"), dist.alias("sq_dist"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sq_dist").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "qid",
+            "neighbor_id",
+            F.col("sq_dist").cast("bigint").alias("sq_dist"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

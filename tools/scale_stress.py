@@ -182,7 +182,9 @@ def main() -> None:
         # serve-path wall time (the steady-state figure, min of 2)
         for q in ("dedup_ngram_jaccard", "dedup_containment",
                   "dedup_minhash_lsh", "ann_ivf_kmeans",
-                  "q_event_funnel", "q_retention_cohort", "q_sessionize_batch"):
+                  "q_event_funnel", "q_retention_cohort", "q_sessionize_batch",
+                  "dedup_components", "q_ngram_novelty",
+                  "dedup_substring_spans"):
             best = None
             for _ in range(2):
                 t, _n = timed(lambda: specs[q].builder(spark, sf_dir).count())
@@ -200,7 +202,9 @@ def main() -> None:
     for k in ("docs", "vecs", "shingle_pairs", "lsh_pairs", "ivf_probed_rows",
               "shingle_build_s", "lsh_build_s", "dedup_ngram_jaccard_s",
               "dedup_containment_s", "dedup_minhash_lsh_s", "ann_ivf_kmeans_s",
-              "q_event_funnel_s", "q_retention_cohort_s", "q_sessionize_batch_s"):
+              "q_event_funnel_s", "q_retention_cohort_s", "q_sessionize_batch_s",
+              "dedup_components_s", "q_ngram_novelty_s",
+              "dedup_substring_spans_s"):
         print(f"| {k} | {a[k]} | {b[k]} | {ratio(k)}x |")
     print(json.dumps({"sf0.1": a, "sf1": b}))
 
