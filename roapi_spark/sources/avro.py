@@ -152,7 +152,15 @@ def _read_one(path: str) -> pa.Table:
 
 
 def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
-    tables = [_read_one(p) for p in _files(ts.uri, (".avro",))]
+    from roapi_spark.sources import LoadError
+
+    try:
+        tables = [_read_one(p) for p in _files(ts.uri, (".avro",))]
+    except (AvroError, OSError, KeyError, IndexError) as exc:
+        # truncated/corrupt containers surface as AvroError (or slicing
+        # failures from the varint/struct readers) — a LoadError with the
+        # table name, never a raw traceback
+        raise LoadError(f"avro table {ts.name!r}: {exc}") from exc
     table = (
         tables[0]
         if len(tables) == 1

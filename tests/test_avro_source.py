@@ -137,3 +137,12 @@ def test_avro_directory_multifile(spark, avro_dir):
 def test_avro_format_sniffed_from_extension(avro_dir):
     ts = parse_table_config({"name": "a", "uri": str(avro_dir / "docs.avro")})
     assert ts.resolved_format() == "avro"
+
+
+def test_avro_corrupt_file_raises_loaderror(spark, avro_dir, tmp_path):
+    from roapi_spark.sources import LoadError
+
+    bad = tmp_path / "bad.avro"
+    bad.write_bytes((avro_dir / "docs.avro").read_bytes()[:40])
+    with pytest.raises(LoadError, match="avro table"):
+        _load(spark, {"name": "bad", "uri": str(bad)})
