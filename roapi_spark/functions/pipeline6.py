@@ -217,3 +217,116 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_per_doc"
         ),
     )
+
+
+# -- linear quality-classifier head -----------------------------------------
+
+# Hand-set weights standing in for a trained fastText/CCNet-style quality
+# classifier (no training libs in this container); the plumbing — map-side
+# feature extraction, linear scoring, threshold filter — is the production
+# shape. The score stays in logit space (no exp(): libm exp is not
+# bit-specified across engines; every feature below is exact IEEE
+# division of integers, so the oracle matches bit-for-bit).
+QL_W_BIAS = -2.0
+QL_W_STOP = 6.0      # stopword ratio: natural prose has plenty
+QL_W_ALPHA = 1.5     # alphabetic-character ratio
+QL_W_TOKLEN = 0.12   # mean token length
+QL_W_NTOK = -0.002   # very long docs get a mild penalty
+
+_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+@register(
+    "text_quality_logit",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             LENGTH(text) AS n_chars,
+             LENGTH(REGEXP_REPLACE(LOWER(text), '[^a-z]', '', 'g')) AS n_alpha,
+             {_TOKS_DUCK} AS w
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(LEN(w) AS BIGINT) AS n_tokens,
+             CASE WHEN LEN(w) > 0
+                  THEN LEN(LIST_FILTER(w, x -> LIST_CONTAINS(
+                       {list(_STOPWORDS)}, x))) / CAST(LEN(w) AS DOUBLE)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN n_chars > 0
+                  THEN n_alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END
+               AS alpha_ratio,
+             CASE WHEN LEN(w) > 0
+                  THEN LEN(ARRAY_TO_STRING(w, '')) / CAST(LEN(w) AS DOUBLE)
+                  ELSE 0.0 END AS mean_tok_len
+      FROM f
+    )
+    SELECT doc_id, n_tokens,
+           FLOOR(stop_ratio * 10000 + 0.5) / 10000.0 AS stop_ratio,
+           FLOOR(alpha_ratio * 10000 + 0.5) / 10000.0 AS alpha_ratio,
+           FLOOR(({QL_W_BIAS} + {QL_W_STOP} * stop_ratio
+                  + {QL_W_ALPHA} * alpha_ratio
+                  + {QL_W_TOKLEN} * mean_tok_len
+                  + {QL_W_NTOK} * n_tokens) * 10000 + 0.5) / 10000.0
+             AS quality_logit,
+           ({QL_W_BIAS} + {QL_W_STOP} * stop_ratio
+            + {QL_W_ALPHA} * alpha_ratio
+            + {QL_W_TOKLEN} * mean_tok_len
+            + {QL_W_NTOK} * n_tokens) >= 0.0 AS keep
+    FROM feat
+    """,
+    doc="Classifier-based quality filtering (the CCNet/fastText stage of "
+    "a pretraining pipeline, with a hand-set linear head): map-side "
+    "feature extraction (stopword ratio, alphabetic ratio, mean token "
+    "length, token count) -> linear logit -> keep threshold. Zero "
+    "shuffle — pure scan-stage expressions; swapping in trained weights "
+    "is a literal change. Logit-space score keeps the oracle exact "
+    "(libm exp is not bit-specified cross-engine).",
+    tags=("text", "quality", "pipeline"),
+)
+def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).alias("n_alpha"),
+        tokens_col().alias("w"),
+    )
+    stop_lit = F.lit(list(_STOPWORDS)).cast("array<string>")
+    feat = d.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.when(
+            F.size("w") > 0,
+            F.size(F.filter("w", lambda x: F.array_contains(stop_lit, x)))
+            / F.size("w").cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("stop_ratio"),
+        F.when(
+            F.col("n_chars") > 0,
+            F.col("n_alpha") / F.col("n_chars").cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("alpha_ratio"),
+        F.when(
+            F.size("w") > 0,
+            F.length(F.concat_ws("", F.col("w"))) / F.size("w").cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("mean_tok_len"),
+    )
+    logit = (
+        F.lit(QL_W_BIAS)
+        + F.lit(QL_W_STOP) * F.col("stop_ratio")
+        + F.lit(QL_W_ALPHA) * F.col("alpha_ratio")
+        + F.lit(QL_W_TOKLEN) * F.col("mean_tok_len")
+        + F.lit(QL_W_NTOK) * F.col("n_tokens")
+    )
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        pround(F.col("stop_ratio")).alias("stop_ratio"),
+        pround(F.col("alpha_ratio")).alias("alpha_ratio"),
+        pround(logit).alias("quality_logit"),
+        (logit >= 0.0).alias("keep"),
+    )

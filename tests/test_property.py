@@ -102,3 +102,54 @@ def test_json_encoder_always_valid_json(rows):
     table = pa.Table.from_pylist(rows) if rows else pa.table({"a": pa.array([], pa.int64())})
     out = json.loads(rows_to_json_bytes(table))
     assert isinstance(out, list) and len(out) == len(rows)
+
+
+# -- avro_lite codec round-trip ---------------------------------------------
+
+_AVRO_PRIM = st.sampled_from(["long", "double", "string", "boolean", "bytes"])
+
+
+def _avro_value(t):
+    return {
+        "long": st.integers(min_value=-(2**62), max_value=2**62),
+        "double": st.floats(allow_nan=False, allow_infinity=False),
+        "string": st.text(max_size=50),
+        "boolean": st.booleans(),
+        "bytes": st.binary(max_size=30),
+    }[t]
+
+
+@st.composite
+def _avro_schema_and_rows(draw):
+    n_fields = draw(st.integers(min_value=1, max_value=5))
+    fields = []
+    row_strats = {}
+    for i in range(n_fields):
+        t = draw(_AVRO_PRIM)
+        nullable = draw(st.booleans())
+        arr = draw(st.booleans())
+        ftype: object = {"type": "array", "items": t} if arr else t
+        if nullable:
+            ftype = ["null", ftype]
+        name = f"f{i}"
+        fields.append({"name": name, "type": ftype})
+        v = _avro_value(t)
+        if arr:
+            v = st.lists(v, max_size=5)
+        if nullable:
+            v = st.none() | v
+        row_strats[name] = v
+    schema = {"type": "record", "name": "r", "fields": fields}
+    rows = draw(st.lists(st.fixed_dictionaries(row_strats), max_size=8))
+    return schema, rows
+
+
+@given(_avro_schema_and_rows(), st.sampled_from(["null", "deflate"]))
+@settings(max_examples=60, deadline=None)
+def test_avro_codec_roundtrip(schema_rows, codec):
+    from roapi_spark.sources.avro_lite import read_container, write_container
+
+    schema, rows = schema_rows
+    out_schema, decoded = read_container(write_container(schema, rows, codec))
+    assert out_schema == schema
+    assert decoded == rows
