@@ -33,6 +33,7 @@ CONTENT_TYPES = {
     "arrows": "application/vnd.apache.arrow.stream",
     "parquet": "application/parquet",
     "msgpack": "application/msgpack",
+    "avro": "application/avro",
 }
 
 _ACCEPT_TO_FORMAT = {
@@ -49,6 +50,8 @@ _ACCEPT_TO_FORMAT = {
     # beyond the reference: its own unchecked roadmap box (README.md)
     "application/msgpack": "msgpack",
     "application/x-msgpack": "msgpack",
+    "application/avro": "avro",
+    "application/vnd.apache.avro": "avro",
 }
 
 
@@ -65,6 +68,10 @@ def encode_arrow_table(table: pa.Table, fmt: str) -> bytes:
         from roapi_spark.encoders.msgpack import rows_to_msgpack_bytes
 
         return rows_to_msgpack_bytes(table)
+    if fmt == "avro":
+        from roapi_spark.encoders.avro import rows_to_avro_bytes
+
+        return rows_to_avro_bytes(table)
     if fmt == "csv":
         import pyarrow.csv as pacsv
 

@@ -215,3 +215,48 @@ def test_msgpack_table_encoding(spark):
         {"s": "a", "n": 1, "f": 1.5, "d": "2024-01-02", "b": b"\x01"},
         {"s": None, "n": 2, "f": None, "d": "2024-01-02", "b": None},
     ]
+
+
+def test_avro_encoder_roundtrips_through_avro_source(spark, tmp_path):
+    from decimal import Decimal
+
+    from roapi_spark.config import parse_table_config
+    from roapi_spark.encoders.avro import rows_to_avro_bytes
+    from roapi_spark.sources import load_table
+
+    table = pa.table(
+        {
+            "id": pa.array([1, 2, None], pa.int64()),
+            "name": pa.array(["a", None, "c"], pa.string()),
+            "score": pa.array([1.5, -0.25, None], pa.float64()),
+            "day": pa.array([date(2024, 1, 1), None, date(1969, 12, 31)], pa.date32()),
+            "ts": pa.array(
+                [datetime(2023, 11, 14, 22, 13, 20, 123456), None, datetime(1970, 1, 1)],
+                pa.timestamp("us"),
+            ),
+            "price": pa.array([Decimal("12.34"), Decimal("-1.00"), None], pa.decimal128(10, 2)),
+            "tags": pa.array([["x", "y"], [], None], pa.list_(pa.string())),
+            "loc": pa.array(
+                [{"lat": 1.0, "lon": 2.0}, None, {"lat": None, "lon": 3.0}],
+                pa.struct([("lat", pa.float64()), ("lon", pa.float64())]),
+            ),
+        }
+    )
+    blob = rows_to_avro_bytes(table)
+    p = tmp_path / "resp.avro"
+    p.write_bytes(blob)
+    df = load_table(spark, parse_table_config({"name": "r", "uri": str(p)}))
+    rows = sorted(df.collect(), key=lambda r: (r["id"] is None, r["id"]))
+    src = sorted(table.to_pylist(), key=lambda r: (r["id"] is None, r["id"]))
+    for got, want in zip(rows, src):
+        d = got.asDict(recursive=True)
+        assert d["id"] == want["id"] and d["name"] == want["name"]
+        assert d["score"] == want["score"]
+        assert d["day"] == want["day"] and d["ts"] == want["ts"]
+        assert d["price"] == want["price"]
+        assert d["tags"] == want["tags"] and d["loc"] == want["loc"]
+
+
+def test_avro_accept_negotiation():
+    assert format_from_accept("application/avro") == "avro"
+    assert format_from_accept("application/vnd.apache.avro") == "avro"
