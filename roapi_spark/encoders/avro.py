@@ -49,9 +49,14 @@ def _avro_type(t: pa.DataType) -> object:
     if pa.types.is_map(t):
         return {"type": "map", "values": ["null", _avro_type(t.item_type)]}
     if pa.types.is_struct(t):
+        import hashlib
+
+        # deterministic per distinct struct type (hash() is per-process
+        # randomized — the schema bytes must be stable)
+        tag = hashlib.md5(str(t).encode()).hexdigest()[:8]
         return {
             "type": "record",
-            "name": f"r{abs(hash(str(t))) % 10**8}",
+            "name": f"r{tag}",
             "fields": [
                 {"name": f.name, "type": ["null", _avro_type(f.type)]}
                 for f in t
