@@ -381,3 +381,65 @@ def test_funnel_stream_out_of_order_and_restart(spark, tmp_path):
         assert rows[1].seconds_to_convert == 20.0
     finally:
         q.stop()
+
+
+def test_lsh_match_stream_incremental_dedup(spark, tmp_path):
+    # a new exact copy of a corpus doc matches it; novel text matches nothing
+    import json as _json
+
+    from roapi_spark.functions.dedup import docs as corpus_docs
+    from roapi_spark.streaming.docs import (
+        corpus_band_table,
+        lsh_match_stream,
+        stream_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus_text = corpus_docs(spark, sf).filter("doc_id = 0").first()["text"]
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    rows = [
+        {"doc_id": 900001, "text": corpus_text, "ts": "2024-01-01T00:00:10"},
+        {"doc_id": 900002, "text": "zzqa zzqb zzqc zzqd zzqe zzqf zzqg zzqh",
+         "ts": "2024-01-01T00:00:11"},
+    ]
+    (d / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    bands = corpus_band_table(spark, sf)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            lsh_match_stream(stream_docs(spark, str(d)), bands)
+            .writeStream.format("memory")
+            .queryName("lsh_matches")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckl"))
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM lsh_matches").collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # the exact copy matches doc 0 (all 12 minhashes agree)
+        assert 900001 in by_doc
+        assert any(r.match_id == 0 and r.n_matches == 12 for r in by_doc[900001])
+        # one row per (doc, match) pair — band-level duplicates collapsed
+        pairs = [(r.doc_id, r.match_id) for r in out]
+        assert len(pairs) == len(set(pairs))
+        # novel text matches nothing
+        assert 900002 not in by_doc
+
+        # a replayed copy in a later micro-batch is dropped by the
+        # pair-keyed watermark dedup
+        (d / "b2.json").write_text(_json.dumps(rows[0]))
+        q.processAllAvailable()
+        out2 = spark.sql("SELECT * FROM lsh_matches").collect()
+        pairs2 = [(r.doc_id, r.match_id) for r in out2]
+        assert len(pairs2) == len(set(pairs2))
+    finally:
+        q.stop()
