@@ -277,21 +277,20 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
     )
+    # cosine projected once; the window orders by the computed column
+    # (double-eval fix, same as ann_ivf_kmeans)
     cand = sigs.join(
         F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("qid"))
+    ).select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_expr("qv", "v"), 4).alias("cos_sim"),
     )
-    w = W.partitionBy("qid").orderBy(
-        F.round(cosine_expr("qv", "v"), 4).desc(), F.col("vec_id")
-    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
-        .select(
-            "qid",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_expr("qv", "v"), 4).alias("cos_sim"),
-            F.col("rnk").cast("bigint").alias("rnk"),
-        )
+        .select("qid", "neighbor_id", "cos_sim", F.col("rnk").cast("bigint").alias("rnk"))
     )
 
 
@@ -604,20 +603,25 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Candidate side: static IN-list on the partition column -> partition
     # pruning at planning time; only the probed lists' files are read.
     cand_src = spark.read.parquet(layout_dir).filter(F.col("cid").isin(probe_cids))
+    # cosine projected ONCE, then the rank window orders by the computed
+    # column — referencing the fold in both orderBy and output would
+    # evaluate it twice per candidate (same fix as dedup_embedding_cosine)
     cand = cand_src.join(
         F.broadcast(q),
         (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("qid")),
-    ).select("qid", "qv", F.col("vec_id").alias("neighbor_id"), "v")
-    w = W.partitionBy("qid").orderBy(
-        F.round(cosine_expr("qv", "v"), 4).desc(), F.col("neighbor_id")
+    ).select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_expr("qv", "v"), 4).alias("cos_sim"),
     )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select(
             "qid",
             "neighbor_id",
-            F.round(cosine_expr("qv", "v"), 4).alias("cos_sim"),
+            "cos_sim",
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
