@@ -134,8 +134,11 @@ MIX_WSCALE = 1000  # integer-exact weights: floor(sqrt(n_tokens)*1000)
            CAST(FLOOR({MIX_BUDGET_X} * s.tot_n
                       * (w.wq / CAST(s.tot_w AS DOUBLE))) AS BIGINT)
              AS alloc_tokens,
-           FLOOR({MIX_BUDGET_X} * s.tot_n * (w.wq / CAST(s.tot_w AS DOUBLE))
-                 / w.n_tokens * 10000 + 0.5) / 10000.0 AS epochs
+           CASE WHEN w.n_tokens > 0
+                THEN FLOOR({MIX_BUDGET_X} * s.tot_n
+                           * (w.wq / CAST(s.tot_w AS DOUBLE))
+                           / w.n_tokens * 10000 + 0.5) / 10000.0
+                ELSE 0.0 END AS epochs
     FROM w CROSS JOIN s
     """,
     doc="Sampling-mixture allocation: per-source sqrt-temperature weights "
@@ -172,7 +175,9 @@ def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         pround(share).alias("weight"),
         F.floor(alloc).cast("bigint").alias("alloc_tokens"),
-        pround(alloc / F.col("n_tokens")).alias("epochs"),
+        F.when(F.col("n_tokens") > 0, pround(alloc / F.col("n_tokens")))
+        .otherwise(0.0)
+        .alias("epochs"),
     )
 
 
@@ -188,8 +193,10 @@ def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
-           FLOOR(SUM(n_bytes) / CAST(SUM(n_toks) AS DOUBLE) * 10000 + 0.5)
-             / 10000.0 AS bytes_per_token,
+           CASE WHEN SUM(n_toks) > 0
+                THEN FLOOR(SUM(n_bytes) / CAST(SUM(n_toks) AS DOUBLE)
+                           * 10000 + 0.5) / 10000.0
+                ELSE 0.0 END AS bytes_per_token,
            FLOOR(SUM(n_toks) / CAST(COUNT(*) AS DOUBLE) * 10000 + 0.5)
              / 10000.0 AS tokens_per_doc
     FROM t GROUP BY lang
@@ -210,9 +217,12 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("n_tokens"),
-        pround(F.sum("n_bytes") / F.sum("n_toks").cast("double")).alias(
-            "bytes_per_token"
-        ),
+        F.when(
+            F.sum("n_toks") > 0,
+            pround(F.sum("n_bytes") / F.sum("n_toks").cast("double")),
+        )
+        .otherwise(0.0)
+        .alias("bytes_per_token"),
         pround(F.sum("n_toks") / F.count("*").cast("double")).alias(
             "tokens_per_doc"
         ),
