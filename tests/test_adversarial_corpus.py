@@ -63,6 +63,12 @@ def edge_sf_dir(tmp_path_factory):
         "q_langid_confusion",
         "q_dedup_rate_by_source",
         "multimodal_alignment",
+        # round-4b additions
+        "dedup_substring_spans",
+        "q_mixture_allocation",
+        "q_token_fertility",
+        "text_quality_logit",
+        "q_ngram_novelty",
     ],
 )
 def test_edge_corpus_matches_oracle(spark, edge_sf_dir, name):
