@@ -447,6 +447,25 @@ def dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def band_col(sig) -> Column:
+    """array<struct<band_id, band_sig>> from a signature column — the one
+    banding expression shared by the batch pair build, the incremental
+    batch matcher, and the streaming matcher."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_MINHASH // BAND_ROWS - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.array_join(
+                F.transform(
+                    F.slice(sig, b * BAND_ROWS + 1, BAND_ROWS),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("band_sig"),
+        ),
+    )
+
+
 def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_a < doc_b) candidate pairs from the MinHash bands,
     hot-band-capped (buckets with > BAND_CAP members dropped) — the same
@@ -454,22 +473,7 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached pair graph shares one capped, sub-quadratic semantics."""
     sigs = minhash_signatures(docs(spark, sf_dir))
     bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_MINHASH // BAND_ROWS - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.array_join(
-                        F.transform(
-                            F.slice("sig", b * BAND_ROWS + 1, BAND_ROWS),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    ).alias("band_sig"),
-                ),
-            )
-        ).alias("band"),
+        "doc_id", F.explode(band_col(F.col("sig"))).alias("band")
     ).select("doc_id", "band.band_id", "band.band_sig")
     # window count on the join's own key: one shuffle, reused by the join
     wcap = W.partitionBy("band_id", "band_sig")
@@ -763,4 +767,136 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold",
         F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
         F.coalesce("n_docs_dropped", F.lit(0)).alias("n_docs_dropped"),
+    )
+
+
+# -- incremental dedup: new batch vs existing corpus ------------------------
+
+INCR_MOD = 10       # doc_id % 10 == INCR_NEW plays the "new batch" role
+INCR_NEW = 7
+INCR_MIN_MATCHES = 6  # >= 6/12 matching minhashes ~ est Jaccard >= 0.5
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_SHINGLES_DUCK},
+    hs AS (
+      SELECT doc_id, ('0x' || SUBSTR(MD5(shingle), 1, 8))::BIGINT AS h FROM sh
+    ),
+    minh AS (
+      SELECT doc_id, k, MIN((2 * k + 3) * h % {MH_P}) AS mh
+      FROM hs, UNNEST(GENERATE_SERIES(0, {N_MINHASH - 1})) AS t(k)
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, k // {BAND_ROWS} AS band_id,
+             STRING_AGG(mh::VARCHAR, ',' ORDER BY k) AS band_sig
+      FROM minh GROUP BY doc_id, k // {BAND_ROWS}
+    ),
+    newb AS (SELECT * FROM bands WHERE doc_id % {INCR_MOD} = {INCR_NEW}),
+    corpb AS (SELECT * FROM bands WHERE doc_id % {INCR_MOD} <> {INCR_NEW}),
+    corpbf AS (  -- hot-band cap over the CORPUS side only
+      SELECT c.* FROM corpb c
+      JOIN (SELECT band_id, band_sig FROM corpb
+            GROUP BY band_id, band_sig HAVING COUNT(*) <= {BAND_CAP}) ok
+        ON c.band_id = ok.band_id AND c.band_sig = ok.band_sig
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corp_id
+      FROM newb n JOIN corpbf c
+        ON n.band_id = c.band_id AND n.band_sig = c.band_sig
+    ),
+    m AS (
+      SELECT cand.new_id, cand.corp_id,
+             SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS nm
+      FROM cand
+        JOIN minh ma ON ma.doc_id = cand.new_id
+        JOIN minh mb ON mb.doc_id = cand.corp_id AND ma.k = mb.k
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT new_id, COUNT(*) AS n_candidates,
+             SUM(CASE WHEN nm >= {INCR_MIN_MATCHES} THEN 1 ELSE 0 END) AS n_dups
+      FROM m GROUP BY 1
+    ),
+    newdocs AS (SELECT DISTINCT doc_id FROM sh
+                WHERE doc_id % {INCR_MOD} = {INCR_NEW})
+    SELECT nd.doc_id,
+           CAST(COALESCE(agg.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(agg.n_dups, 0) AS BIGINT) AS n_dups,
+           COALESCE(agg.n_dups, 0) = 0 AS keep
+    FROM newdocs nd LEFT JOIN agg ON agg.new_id = nd.doc_id
+    """,
+    doc="Incremental dedup — the batch twin of the streaming LSH matcher "
+    "(streaming/docs.py): a 'new batch' of documents (doc_id % 10 == 7 "
+    "plays the arriving-shard role) is band-joined against the EXISTING "
+    "corpus only, never against itself — per new doc: how many corpus "
+    "candidates shared a band, how many verify as near-dups (>= 6/12 "
+    "signature matches), and the keep decision a landing-zone admission "
+    "step emits. The hot-band cap applies to the corpus side (the side "
+    "with the boilerplate mega-buckets). Signatures are one map-side "
+    "pass over both sides; the verify join touches only candidate "
+    "pairs. At real scale the corpus bands are the persisted artifact "
+    "and only the new shard is hashed per batch.",
+    tags=("dedup", "pipeline"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(docs(spark, sf_dir))
+    bands = sigs.select(
+        "doc_id", F.explode(band_col(F.col("sig"))).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_sig")
+    is_new = F.col("doc_id") % INCR_MOD == INCR_NEW
+    newb = bands.filter(is_new)
+    corpb = bands.filter(~is_new)
+    wcap = W.partitionBy("band_id", "band_sig")
+    corpbf = (
+        corpb.withColumn("bn", F.count("*").over(wcap))
+        .filter(F.col("bn") <= BAND_CAP)
+        .drop("bn")
+    )
+    cand = (
+        newb.select(
+            F.col("doc_id").alias("new_id"), "band_id", "band_sig"
+        )
+        .join(
+            corpbf.select(
+                F.col("doc_id").alias("corp_id"), "band_id", "band_sig"
+            ),
+            ["band_id", "band_sig"],
+        )
+        .select("new_id", "corp_id")
+        .distinct()
+    )
+    nm = (
+        cand.join(
+            sigs.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("ns")),
+            "new_id",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("corp_id"), F.col("sig").alias("cs")),
+            "corp_id",
+        )
+        .select(
+            "new_id",
+            "corp_id",
+            F.size(
+                F.filter(F.zip_with("ns", "cs", lambda a, b: a == b), lambda e: e)
+            ).alias("nm"),
+        )
+    )
+    agg = nm.groupBy("new_id").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("nm") >= INCR_MIN_MATCHES, 1).otherwise(0)
+        ).alias("n_dups"),
+    )
+    newdocs = sigs.filter(is_new).select("doc_id")
+    return newdocs.join(
+        agg, newdocs.doc_id == agg.new_id, "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+        F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+        (F.coalesce("n_dups", F.lit(0)) == 0).alias("keep"),
     )

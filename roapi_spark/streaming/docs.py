@@ -28,8 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from roapi_spark.functions.dedup import (
-    BAND_ROWS,
     N_MINHASH,
+    band_col as _band_col,
     docs as corpus_docs,
     minhash_signatures,
     shingle_array_of,
@@ -50,24 +50,6 @@ MIN_SIG_MATCHES = 6
 
 def stream_docs(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
     return spark.readStream.schema(DOCS_SCHEMA).format(fmt).load(path)
-
-
-def _band_col(sig):
-    """array<struct<band_id, band_sig>> from a signature column — the
-    same banding expression as the batch pair build (dedup.py:457-470)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(N_MINHASH // BAND_ROWS - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.array_join(
-                F.transform(
-                    F.slice(sig, b * BAND_ROWS + 1, BAND_ROWS),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("band_sig"),
-        ),
-    )
 
 
 def corpus_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
