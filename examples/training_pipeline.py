@@ -1,0 +1,126 @@
+"""End-to-end training-data pipeline over the roapi_spark operators —
+the chain a pretraining data team runs, composed from the registered
+building blocks and staged as parquet snapshots:
+
+  stage 1  quality gate     text_quality_logit keep + contamination drop
+  stage 2  dedup            exact representative + LSH near-dup
+                            representative (connected components)
+  stage 3  plan + pack      mixture allocation table + GPT-style
+                            sequence packing of the surviving corpus
+
+Each stage WRITES a documents.parquet snapshot and the next stage runs
+the registry operators against that directory — exercising the same
+content-addressed artifact machinery (pair graphs, component labels) the
+server uses: every derived snapshot gets its own cache keys, nothing is
+served stale.
+
+Usage:
+    python examples/training_pipeline.py [sf_dir] [out_dir]
+
+Prints one JSON summary line (doc counts per stage, packed sequence
+count, per-source allocations).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _write_snapshot(df: DataFrame, out_dir: str) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    return out_dir
+
+
+def stage1_quality(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Keep docs passing the linear quality head and not flagged as
+    benchmark-contaminated."""
+    from roapi_spark.functions.pipeline3 import text_contamination
+    from roapi_spark.functions.pipeline6 import text_quality_logit
+
+    keep_q = text_quality_logit(spark, sf_dir).filter("keep").select("doc_id")
+    contaminated = (
+        text_contamination(spark, sf_dir)
+        .filter("contaminated")
+        .select("doc_id")
+    )
+    kept = (
+        _docs(spark, sf_dir)
+        .join(keep_q, "doc_id", "semi")
+        .join(contaminated, "doc_id", "anti")
+    )
+    return _write_snapshot(kept, out_dir)
+
+
+def stage2_dedup(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Exact dedup (keep lowest doc_id per content hash), then near-dup
+    dedup: keep only each LSH component's representative. Runs against
+    the stage-1 snapshot, so the pair graph / component artifacts build
+    fresh for this corpus."""
+    from roapi_spark.functions.dedup import dedup_components, dedup_exact
+
+    d = _docs(spark, sf_dir)
+    exact_keep = dedup_exact(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    comp = dedup_components(spark, sf_dir)
+    drop_near = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    kept = (
+        d.join(exact_keep, "doc_id", "semi")
+        .join(drop_near, "doc_id", "anti")
+    )
+    return _write_snapshot(kept, out_dir)
+
+
+def stage3_plan_and_pack(spark: SparkSession, sf_dir: str) -> tuple[list, int]:
+    from roapi_spark.functions.pipeline import text_seq_pack
+    from roapi_spark.functions.pipeline6 import q_mixture_allocation
+
+    alloc = [r.asDict() for r in q_mixture_allocation(spark, sf_dir).collect()]
+    packed = text_seq_pack(spark, sf_dir)
+    n_packs = packed.select("source", "pack_id").distinct().count()
+    return alloc, n_packs
+
+
+def run(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    n0 = _docs(spark, sf_dir).count()
+    s1 = stage1_quality(spark, sf_dir, os.path.join(out_dir, "stage1"))
+    n1 = _docs(spark, s1).count()
+    s2 = stage2_dedup(spark, s1, os.path.join(out_dir, "stage2"))
+    n2 = _docs(spark, s2).count()
+    alloc, n_packs = stage3_plan_and_pack(spark, s2)
+    return {
+        "input_docs": n0,
+        "after_quality": n1,
+        "after_dedup": n2,
+        "n_packs": n_packs,
+        "allocations": alloc,
+        "final_snapshot": s2,
+    }
+
+
+def main() -> None:
+    from roapi_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".scratch", "pipeline"
+    )
+    spark = get_spark("training-pipeline")
+    summary = run(spark, sf_dir, os.path.abspath(out_dir))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,29 @@
+"""The end-to-end example pipeline runs, monotonically shrinks the
+corpus through its gates, and packs the survivors — including fresh
+content-addressed artifacts for each derived snapshot."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+
+def test_training_pipeline_end_to_end(spark, tmp_path):
+    from training_pipeline import run
+
+    summary = run(spark, "/root/testdata/sf0.001", str(tmp_path / "out"))
+    assert summary["input_docs"] == 500
+    assert 0 < summary["after_quality"] <= summary["input_docs"]
+    assert 0 < summary["after_dedup"] <= summary["after_quality"]
+    assert summary["n_packs"] >= 1
+    assert summary["allocations"], "per-source allocation table is empty"
+    for row in summary["allocations"]:
+        assert row["epochs"] > 0 and row["alloc_tokens"] > 0
+    # the final snapshot is a real parquet corpus downstream ops can read
+    final = spark.read.parquet(
+        os.path.join(summary["final_snapshot"], "documents.parquet")
+    )
+    assert final.count() == summary["after_dedup"]
+    assert {"doc_id", "text", "source"} <= set(final.columns)
