@@ -374,7 +374,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb(spark, sf_dir).withColumn("n", norm_expr("v"))
     a = e.alias("a")
     b = e.alias("b")
-    cos = dot_expr("a.v", "b.v") / (F.col("a.n") * F.col("b.n"))
+    # try_divide: ANSI-safe on zero-norm vectors (NULL -> below threshold)
+    cos = F.try_divide(dot_expr("a.v", "b.v"), F.col("a.n") * F.col("b.n"))
     # Project cos once, then a localCheckpoint barrier before the
     # threshold filter: without it Catalyst pushes the filter below the
     # projection and the dot fold evaluates twice per pair (filter +
@@ -433,7 +434,8 @@ def dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = e.alias("a")
     b = e.alias("b")
-    cos = dot_expr("a.v", "b.v") / (F.col("a.n") * F.col("b.n"))
+    # try_divide: ANSI-safe on zero-norm vectors (NULL -> below threshold)
+    cos = F.try_divide(dot_expr("a.v", "b.v"), F.col("a.n") * F.col("b.n"))
     # same single-eval barrier as dedup_embedding_cosine
     return (
         a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")))

@@ -196,7 +196,8 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = e.alias("a")
     b = e.alias("b")
-    cos = dot_expr("a.v", "b.v") / (F.col("a.n") * F.col("b.n"))
+    # try_divide: ANSI-safe on zero-norm vectors (NULL -> below threshold)
+    cos = F.try_divide(dot_expr("a.v", "b.v"), F.col("a.n") * F.col("b.n"))
     dropped = (
         a.join(
             b,

@@ -51,7 +51,11 @@ def norm_expr(a: str) -> Column:
 
 
 def cosine_expr(a: str, b: str) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    # try_divide, not /: under ANSI mode (Spark 4 default — the driver's
+    # plain session) a zero-norm vector would throw DIVIDE_BY_ZERO and
+    # kill the whole query; NULL instead falls below every threshold and
+    # sorts last in every rank window
+    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
 
 
 @register(

@@ -117,3 +117,54 @@ def test_minhash_lsh_hot_band_cap(spark, boilerplate_sf_dir):
         "dedup_minhash_lsh", df, duckdb_conn(boilerplate_sf_dir), spec.oracle
     )
     assert res.ok, res.detail
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(tmp_path_factory):
+    """Degenerate embeddings: a zero vector (undefined cosine — DuckDB's
+    LIST_COSINE_SIMILARITY yields -1.0, Spark's dot/(na*nb) yields NULL;
+    BOTH fall below every threshold, so the threshold family must agree
+    by dropping such pairs), plus identical and opposite vectors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim = 64
+    base = [float(i % 7 - 3) for i in range(dim)]
+    vecs = [
+        (0, base, 1),
+        (1, base, 1),                      # identical -> cos 1.0
+        (2, [-x for x in base], 1),        # opposite -> cos -1.0
+        (3, [0.0] * dim, 1),               # zero vector
+        (4, [x + 0.5 for x in base], 2),   # different label block
+    ]
+    d = tmp_path_factory.mktemp("edge_emb")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([v[2] for v in vecs], pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+def test_zero_vector_cosine_dedup_contract(spark, edge_emb_dir):
+    """The zero vector produces no pair on either engine; the identical
+    pair survives with cos 1.0 — Spark and the oracle agree row-for-row."""
+    spec = load_all()["dedup_embedding_cosine"]
+    res = compare(
+        "dedup_embedding_cosine",
+        spec.builder(spark, edge_emb_dir),
+        duckdb_conn(edge_emb_dir),
+        spec.oracle,
+    )
+    assert res.ok, res.detail
+    rows = spec.builder(spark, edge_emb_dir).collect()
+    ids = {(r.id_a, r.id_b) for r in rows}
+    assert (0, 1) in ids            # identical pair kept
+    assert not any(3 in p for p in ids)  # zero vector pairs dropped
