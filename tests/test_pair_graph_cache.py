@@ -93,3 +93,31 @@ def test_footer_digest_tracks_content(tmp_path):
     junk.write_bytes(b"not parquet at all")
     with pytest.raises(ValueError):
         parquet_footer_digest(str(junk))
+
+
+def test_sq8_serve_reads_codes_only(spark):
+    """ann_sq8's serving plan scans the persisted code layout, never the
+    embedding column (train+encode are once-per-snapshot)."""
+    from roapi_spark.functions.pq import ann_sq8, sq8_layout
+
+    out = sq8_layout(spark, "/root/testdata/sf0.001")
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    plan = ann_sq8(spark, "/root/testdata/sf0.001")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "embeddings.parquet" not in plan
+    assert "sq8_" in plan  # the artifact scan
+
+
+def test_incremental_serve_hashes_only_new_shard(spark):
+    """dedup_incremental's serving plan reads the persisted corpus band
+    artifact and scans documents.parquet exactly once (the new shard);
+    the corpus is never re-hashed at serve time."""
+    from roapi_spark.functions.dedup import corpus_bands_cached, dedup_incremental
+
+    corpus_bands_cached(spark, "/root/testdata/sf0.001")  # ensure built
+    plan = dedup_incremental(spark, "/root/testdata/sf0.001")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "incrbands_" in plan
+    # the hot-band-cap window ran at BUILD time; the serve plan has no
+    # window at all (new-shard hash + artifact join + aggregates only)
+    assert "Window" not in plan
