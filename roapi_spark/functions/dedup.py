@@ -529,12 +529,21 @@ def lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     audits, dedup_minhash_lsh itself) reads the materialized edge set —
     at 100 TB the pair graph is the artifact a dedup pipeline snapshots
     anyway."""
-    from roapi_spark.functions.snapshot import snapshot_cache_dir
+    from roapi_spark.functions.snapshot import (
+        build_once,
+        parquet_ready,
+        snapshot_cache_dir,
+    )
 
     src = os.path.join(sf_dir, "documents.parquet")
     out = snapshot_cache_dir(src, "lshpairs-v4")  # v4: + est_jaccard
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        _lsh_candidate_pairs(spark, sf_dir).write.mode("overwrite").parquet(out)
+    build_once(
+        out,
+        parquet_ready,
+        lambda tmp: _lsh_candidate_pairs(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
     return spark.read.parquet(out)
 
 
@@ -555,19 +564,24 @@ def shingle_pair_graph_cached(
     cached blocks on the serving path. Both ``dedup_ngram_jaccard`` and
     ``dedup_containment`` serve from the same artifact (one build, two
     consumers — pinned by ``tests/test_pair_graph_cache.py``)."""
-    from roapi_spark.functions.snapshot import snapshot_cache_dir
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
 
     src = os.path.join(sf_dir, "documents.parquet")
     out = snapshot_cache_dir(src, "shpairs-v1")
     pairs_dir = os.path.join(out, "pairs")
     cnt_dir = os.path.join(out, "cnt")
-    if not (
-        os.path.exists(os.path.join(pairs_dir, "_SUCCESS"))
-        and os.path.exists(os.path.join(cnt_dir, "_SUCCESS"))
-    ):
+
+    def _ready(d: str) -> bool:
+        return os.path.exists(
+            os.path.join(d, "pairs", "_SUCCESS")
+        ) and os.path.exists(os.path.join(d, "cnt", "_SUCCESS"))
+
+    def _build(tmp: str) -> None:
         pairs, cnt = _shingle_overlap_stage(shingles(docs(spark, sf_dir)))
-        pairs.write.mode("overwrite").parquet(pairs_dir)
-        cnt.write.mode("overwrite").parquet(cnt_dir)
+        pairs.write.mode("overwrite").parquet(os.path.join(tmp, "pairs"))
+        cnt.write.mode("overwrite").parquet(os.path.join(tmp, "cnt"))
+
+    build_once(out, _ready, _build)
     return spark.read.parquet(pairs_dir), spark.read.parquet(cnt_dir)
 
 
@@ -632,12 +646,21 @@ _PAIRS_DUCK = f"""
     tags=("dedup", "iterative"),
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from roapi_spark.functions.snapshot import snapshot_cache_dir
+    from roapi_spark.functions.snapshot import (
+        build_once,
+        parquet_ready,
+        snapshot_cache_dir,
+    )
 
     src = os.path.join(sf_dir, "documents.parquet")
     out = snapshot_cache_dir(src, "components-v1")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        _components_build(spark, sf_dir).write.mode("overwrite").parquet(out)
+    build_once(
+        out,
+        parquet_ready,
+        lambda tmp: _components_build(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
     return spark.read.parquet(out)
 
 
@@ -787,11 +810,16 @@ def corpus_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (measured: serving went 7.8x at 10x corpus when the corpus
     signature pass ran per query; artifact-served it scales with the
     batch, not the corpus)."""
-    from roapi_spark.functions.snapshot import snapshot_cache_dir
+    from roapi_spark.functions.snapshot import (
+        build_once,
+        parquet_ready,
+        snapshot_cache_dir,
+    )
 
     src = os.path.join(sf_dir, "documents.parquet")
     out = snapshot_cache_dir(src, "incrbands-v1")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+
+    def _build(tmp: str) -> None:
         corp = docs(spark, sf_dir).filter(
             F.col("doc_id") % INCR_MOD != INCR_NEW
         )
@@ -805,7 +833,9 @@ def corpus_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("bn") <= BAND_CAP)
             .drop("bn")
         )
-        capped.write.mode("overwrite").parquet(out)
+        capped.write.mode("overwrite").parquet(tmp)
+
+    build_once(out, parquet_ready, _build)
     return spark.read.parquet(out)
 
 

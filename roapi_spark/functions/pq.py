@@ -197,26 +197,32 @@ def pq_layout(spark: SparkSession, sf_dir: str) -> tuple[str, list[list[list[int
     import json
     import os
 
-    from roapi_spark.functions.snapshot import snapshot_cache_dir
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     out = snapshot_cache_dir(src, "pq-v1")
-    books_path = os.path.join(out, "_books.json")
-    if os.path.exists(os.path.join(out, "_SUCCESS")) and os.path.exists(books_path):
-        with open(books_path) as f:
-            return out, json.load(f)
-    eq = _prepared(spark, sf_dir)
-    books = pq_fit(spark, sf_dir, eq)
-    eq.select(
-        "vec_id",
-        *[
-            _argmin_code(F.col(f"s{m}"), books[m]).alias(f"c{m}")
-            for m in range(PQ_M)
-        ],
-    ).write.mode("overwrite").parquet(out)
-    with open(books_path, "w") as f:
-        json.dump(books, f)
-    return out, books
+
+    def _ready(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_SUCCESS")) and os.path.exists(
+            os.path.join(d, "_books.json")
+        )
+
+    def _build(tmp: str) -> None:
+        eq = _prepared(spark, sf_dir)
+        books = pq_fit(spark, sf_dir, eq)
+        eq.select(
+            "vec_id",
+            *[
+                _argmin_code(F.col(f"s{m}"), books[m]).alias(f"c{m}")
+                for m in range(PQ_M)
+            ],
+        ).write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_books.json"), "w") as f:
+            json.dump(books, f)
+
+    build_once(out, _ready, _build)
+    with open(os.path.join(out, "_books.json")) as f:
+        return out, json.load(f)
 
 
 @register(
@@ -460,11 +466,15 @@ def sq8_layout(spark: SparkSession, sf_dir: str) -> str:
     import os
 
     from roapi_spark.functions.similarity import DIM
-    from roapi_spark.functions.snapshot import snapshot_cache_dir
+    from roapi_spark.functions.snapshot import (
+        build_once,
+        parquet_ready,
+        snapshot_cache_dir,
+    )
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     out = snapshot_cache_dir(src, "sq8-v1")
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
+    if parquet_ready(out):
         return out
     e = emb(spark, sf_dir).withColumn("vq", _vq_col())
     mm = (
@@ -491,8 +501,13 @@ def sq8_layout(spark: SparkSession, sf_dir: str) -> str:
             r > 0, F.floor(d * SQ_LEVELS / r.cast("double")).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint")),
     )
-    e.select("vec_id", cq.alias("cq")).write.mode("overwrite").parquet(out)
-    return out
+    return build_once(
+        out,
+        parquet_ready,
+        lambda tmp: e.select("vec_id", cq.alias("cq"))
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
 
 
 

@@ -544,27 +544,36 @@ def ivf_layout(
     snapshot, not per query."""
     import json
 
-    from roapi_spark.functions.snapshot import snapshot_cache_dir
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     out = snapshot_cache_dir(src, f"ivf-{_IVF_LAYOUT_VERSION}")
     cent_path = os.path.join(out, "_centroids.json")
-    if os.path.exists(os.path.join(out, "_SUCCESS")) and os.path.exists(cent_path):
-        with open(cent_path) as f:
-            cents = [(int(c), [int(x) for x in v]) for c, v in json.load(f)]
-        return out, cents
-    cents = kmeans_fit(spark, sf_dir)
-    assigned = (
-        emb(spark, sf_dir)
-        .withColumn("vq", _vq_col())
-        .withColumn("cid", _assign_expr(cents))
-        .drop("vq")
-    )
-    # one shuffle by cid, then each inverted list is a contiguous set of
-    # parquet files under its own cid= directory
-    assigned.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(out)
-    with open(cent_path, "w") as f:
-        json.dump(cents, f)
+
+    def _ready(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_SUCCESS")) and os.path.exists(
+            os.path.join(d, "_centroids.json")
+        )
+
+    def _build(tmp: str) -> None:
+        cents = kmeans_fit(spark, sf_dir)
+        assigned = (
+            emb(spark, sf_dir)
+            .withColumn("vq", _vq_col())
+            .withColumn("cid", _assign_expr(cents))
+            .drop("vq")
+        )
+        # one shuffle by cid, then each inverted list is a contiguous set
+        # of parquet files under its own cid= directory
+        assigned.repartition("cid").write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(tmp)
+        with open(os.path.join(tmp, "_centroids.json"), "w") as f:
+            json.dump(cents, f)
+
+    build_once(out, _ready, _build)
+    with open(cent_path) as f:
+        cents = [(int(c), [int(x) for x in v]) for c, v in json.load(f)]
     return out, cents
 
 

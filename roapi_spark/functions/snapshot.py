@@ -76,3 +76,39 @@ def snapshot_cache_dir(src_path: str, tag: str) -> str:
         f"{os.path.abspath(src_path)}:{parquet_footer_digest(src_path)}:{tag}".encode()
     ).hexdigest()[:16]
     return os.path.join(cache_root(), f"{tag.split('-')[0]}_{key}")
+
+
+def build_once(out: str, ready, build) -> str:
+    """Concurrency-safe build-once guard for artifact directories.
+
+    ``ready(dir) -> bool`` decides whether a complete artifact exists;
+    ``build(tmp_dir)`` must write the ENTIRE artifact into ``tmp_dir``.
+    Builders that race (two server threads, two sessions) each build
+    into their own tmp sibling and attempt one atomic ``os.rename`` into
+    place — the first wins, losers discard their tmp. This replaces the
+    bare ``write.mode("overwrite").parquet(out)`` pattern, where two
+    concurrent Spark jobs sharing one output directory's ``_temporary``
+    staging area can clobber each other's files.
+    """
+    import shutil
+    import threading
+
+    if ready(out):
+        return out
+    tmp = f"{out}.tmp-{os.getpid()}-{threading.get_ident()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        build(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            pass  # another builder won the rename; ours is discarded
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not ready(out):
+        raise RuntimeError(f"artifact build produced no usable {out}")
+    return out
+
+
+def parquet_ready(d: str) -> bool:
+    return os.path.exists(os.path.join(d, "_SUCCESS"))

@@ -121,3 +121,27 @@ def test_incremental_serve_hashes_only_new_shard(spark):
     # the hot-band-cap window ran at BUILD time; the serve plan has no
     # window at all (new-shard hash + artifact join + aggregates only)
     assert "Window" not in plan
+
+
+def test_concurrent_artifact_builds_race_benignly(spark, tmp_path, monkeypatch):
+    """Two threads triggering the same artifact build race on the atomic
+    rename; both get a complete, readable artifact (no shared-staging
+    clobber, which mode('overwrite') into one dir allowed)."""
+    import threading
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cc"))
+    from roapi_spark.functions.dedup import lsh_pairs_cached
+
+    results, errors = [], []
+
+    def go():
+        try:
+            results.append(lsh_pairs_cached(spark, "/root/testdata/sf0.001").count())
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ts = [threading.Thread(target=go) for _ in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errors
+    assert len(set(results)) == 1 and results[0] > 0
