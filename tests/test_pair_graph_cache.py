@@ -145,3 +145,27 @@ def test_concurrent_artifact_builds_race_benignly(spark, tmp_path, monkeypatch):
     [t.join() for t in ts]
     assert not errors
     assert len(set(results)) == 1 and results[0] > 0
+
+
+def test_build_once_failure_leaves_no_artifact(tmp_path):
+    """A failing build leaves neither the artifact dir nor its tmp
+    sibling, and raises; a later successful build works."""
+    from roapi_spark.functions.snapshot import build_once, parquet_ready
+
+    out = str(tmp_path / "art")
+
+    def bad(tmp):
+        os.makedirs(tmp)
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        build_once(out, parquet_ready, bad)
+    assert not os.path.exists(out)
+    assert not any(p.name.startswith("art.tmp-") for p in tmp_path.iterdir())
+
+    def good(tmp):
+        os.makedirs(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    assert build_once(out, parquet_ready, good) == out
+    assert parquet_ready(out)
