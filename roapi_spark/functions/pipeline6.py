@@ -340,3 +340,84 @@ def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(logit).alias("quality_logit"),
         (logit >= 0.0).alias("keep"),
     )
+
+
+# -- dedup method agreement audit -------------------------------------------
+
+
+def _method_agreement_oracle() -> str:
+    from roapi_spark.functions.dedup import _PAIRS_DUCK, STOP_SHINGLE_DF
+
+    return f"""
+    WITH {_PAIRS_DUCK.strip().lstrip("WITH").strip()},
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    live AS (
+      SELECT s.doc_id, s.shingle
+      FROM sh s JOIN (SELECT shingle FROM sh GROUP BY shingle
+                      HAVING COUNT(*) <= {STOP_SHINGLE_DF}) f
+        ON s.shingle = f.shingle
+    ),
+    jpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM live a JOIN live b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jacc AS (
+      SELECT p.doc_a, p.doc_b
+      FROM jpairs p
+        JOIN cnt ca ON p.doc_a = ca.doc_id
+        JOIN cnt cb ON p.doc_b = cb.doc_id
+      WHERE CAST(p.n_common AS DOUBLE) / (ca.n + cb.n - p.n_common) >= 0.1
+    ),
+    uni AS (
+      SELECT COALESCE(l.doc_a, j.doc_a) AS doc_a,
+             COALESCE(l.doc_b, j.doc_b) AS doc_b,
+             l.doc_a IS NOT NULL AS in_lsh,
+             j.doc_a IS NOT NULL AS in_jaccard
+      FROM pairs l FULL OUTER JOIN jacc j
+        ON l.doc_a = j.doc_a AND l.doc_b = j.doc_b
+    )
+    SELECT CASE WHEN in_lsh AND in_jaccard THEN 'both'
+                WHEN in_lsh THEN 'lsh_only'
+                ELSE 'jaccard_only' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM uni GROUP BY 1
+    """
+
+
+@register(
+    "q_dedup_method_agreement",
+    oracle=_method_agreement_oracle(),
+    doc="Dedup method-agreement audit: the Venn counts of candidate "
+    "near-dup pairs found by MinHash-LSH banding vs thresholded exact "
+    "shingle Jaccard (>= 0.1) — the recall/precision dial for picking "
+    "band geometry and thresholds. 'jaccard_only' pairs are LSH misses "
+    "(recall loss); 'lsh_only' pairs are band collisions below the "
+    "Jaccard bar (verification cost). Both pair sets serve from their "
+    "snapshot artifacts; the audit itself is one full-outer join of two "
+    "small edge sets.",
+    tags=("dedup", "audit"),
+)
+def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.dedup import (
+        dedup_ngram_jaccard,
+        lsh_pairs_cached,
+    )
+
+    lsh = lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    jac = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    uni = lsh.withColumn("in_lsh", F.lit(True)).join(
+        jac.withColumn("in_jaccard", F.lit(True)),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    )
+    bucket = (
+        F.when(
+            F.col("in_lsh").isNotNull() & F.col("in_jaccard").isNotNull(), "both"
+        )
+        .when(F.col("in_lsh").isNotNull(), "lsh_only")
+        .otherwise("jaccard_only")
+    )
+    return uni.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
