@@ -112,3 +112,58 @@ def build_once(out: str, ready, build) -> str:
 
 def parquet_ready(d: str) -> bool:
     return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+
+KNOWN_TAGS = (
+    # every artifact tag in the codebase, version included — prune_cache
+    # derives the live-key set from (active sources x these); a test pins
+    # that no snapshot_cache_dir call site uses a tag missing here
+    "lshpairs-v4",
+    "shpairs-v1",
+    "components-v1",
+    "incrbands-v1",
+    "pq-v1",
+    "sq8-v1",
+    "ivf-v2",
+)
+
+
+def prune_cache(active_src_paths: list[str], min_age_s: float = 3600.0) -> list[str]:
+    """Garbage-collect orphaned snapshot artifacts.
+
+    Every corpus refresh changes the footer digest and therefore the
+    cache key, so a long-lived server with ``reload_interval`` tables
+    strands one artifact generation per rebuild. An artifact directory is
+    LIVE iff its name equals ``snapshot_cache_dir(src, tag)`` for some
+    currently registered source and some ``KNOWN_TAGS`` entry; everything
+    else under the cache root matching the artifact naming pattern is
+    removed — except entries younger than ``min_age_s`` (protects a
+    concurrent builder racing its rename). Returns removed names.
+    """
+    import re
+    import shutil
+    import time as _time
+
+    live: set[str] = set()
+    for src in active_src_paths:
+        for tag in KNOWN_TAGS:
+            try:
+                live.add(os.path.basename(snapshot_cache_dir(src, tag)))
+            except (OSError, ValueError):
+                continue
+    root = cache_root()
+    removed: list[str] = []
+    now = _time.time()
+    for name in sorted(os.listdir(root)):
+        path = os.path.join(root, name)
+        if not os.path.isdir(path):
+            continue
+        if not re.fullmatch(r"[a-z0-9]+_[0-9a-f]{16}(\.tmp-.*)?", name):
+            continue  # not an artifact dir (e.g. refresh_stage)
+        if name in live:
+            continue
+        if now - os.path.getmtime(path) < min_age_s:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(name)
+    return removed

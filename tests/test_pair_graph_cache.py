@@ -169,3 +169,66 @@ def test_build_once_failure_leaves_no_artifact(tmp_path):
 
     assert build_once(out, parquet_ready, good) == out
     assert parquet_ready(out)
+
+
+def test_known_tags_cover_every_call_site():
+    """Every snapshot_cache_dir(src, "tag") literal in the codebase must
+    appear in KNOWN_TAGS, or prune_cache would garbage-collect live
+    artifacts of the missing tag."""
+    import re
+    from pathlib import Path
+
+    from roapi_spark.functions.snapshot import KNOWN_TAGS
+
+    root = Path(__file__).resolve().parent.parent / "roapi_spark"
+    used = set()
+    for p in root.rglob("*.py"):
+        for m in re.finditer(r'snapshot_cache_dir\(\s*src,\s*(.+?)\)', p.read_text()):
+            arg = m.group(1).strip()
+            if arg == "tag":  # prune_cache's own generic call
+                continue
+            lit = re.fullmatch(r'"([^"]+)"', arg)
+            if lit:
+                used.add(lit.group(1))
+            elif arg.startswith('f"ivf-'):
+                from roapi_spark.functions.similarity import _IVF_LAYOUT_VERSION
+
+                used.add(f"ivf-{_IVF_LAYOUT_VERSION}")
+            else:
+                raise AssertionError(f"unrecognized tag expression: {arg} in {p}")
+    assert used, "no call sites found — the regex is broken"
+    missing = used - set(KNOWN_TAGS)
+    assert not missing, f"tags missing from KNOWN_TAGS: {missing}"
+
+
+def test_prune_cache_removes_only_orphans(spark, tmp_path, monkeypatch):
+    import os
+    import time
+
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "gc"))
+    from roapi_spark.functions.dedup import lsh_pairs_cached
+    from roapi_spark.functions.snapshot import cache_root, prune_cache
+
+    sf = "/root/testdata/sf0.001"
+    assert lsh_pairs_cached(spark, sf).count() > 0
+    root = cache_root()
+    live = [n for n in os.listdir(root) if n.startswith("lshpairs_")]
+    assert len(live) == 1
+    # a stranded generation from an older corpus snapshot
+    orphan = os.path.join(root, "lshpairs_" + "0" * 16)
+    os.makedirs(orphan)
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    # and a fresh one inside the protection window
+    young = os.path.join(root, "shpairs_" + "f" * 16)
+    os.makedirs(young)
+
+    removed = prune_cache([os.path.join(sf, "documents.parquet")])
+    assert removed == ["lshpairs_" + "0" * 16]
+    assert os.path.exists(os.path.join(root, live[0]))
+    assert os.path.exists(young)  # young orphan protected
+    # ...until it ages past the window
+    os.utime(young, (old, old))
+    assert prune_cache([os.path.join(sf, "documents.parquet")]) == [
+        "shpairs_" + "f" * 16
+    ]
