@@ -116,6 +116,12 @@ def test_content_negotiation(base_url):
     )
     t = paipc.open_stream(pa.BufferReader(body)).read_all()
     assert t.to_pylist() == [{"city": "london"}]
+    # avro object container
+    status, ctype, body = _req(f"{url}/api/sql", "POST", body_sql, accept="application/avro")
+    from roapi_spark.sources.avro_lite import read_container
+
+    _schema, rows = read_container(body)
+    assert ctype == "application/avro" and rows == [{"city": "london"}]
     # unknown accept falls back to default json
     status, ctype, _ = _req(f"{url}/api/sql", "POST", body_sql, accept="application/weird")
     assert ctype == "application/json"
