@@ -125,6 +125,7 @@ KNOWN_TAGS = (
     "pq-v1",
     "sq8-v1",
     "ivf-v2",
+    "streambands-v1",
 )
 
 

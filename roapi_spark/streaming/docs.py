@@ -54,19 +54,44 @@ def stream_docs(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
 
 def corpus_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(match_id, band_id, band_sig, match_sig) for the existing corpus,
-    eagerly checkpointed: the static side of every stream-static lookup,
-    built once per snapshot (at scale, read from the persisted artifact
-    instead of recomputed)."""
-    sigs = minhash_signatures(corpus_docs(spark, sf_dir))
-    return (
-        sigs.select(
-            F.col("doc_id").alias("match_id"),
-            F.col("sig").alias("match_sig"),
-            F.explode(_band_col(F.col("sig"))).alias("band"),
-        )
-        .select("match_id", "match_sig", "band.band_id", "band.band_sig")
-        .localCheckpoint(eager=True)
+    hot-band-capped and PERSISTED per corpus snapshot (build_once +
+    content-addressed key, like every other serving artifact): the
+    static side of every stream-static lookup is a parquet read — the
+    corpus is hashed once per snapshot, never per stream start."""
+    import os
+
+    from roapi_spark.functions.dedup import BAND_CAP
+    from roapi_spark.functions.snapshot import (
+        build_once,
+        parquet_ready,
+        snapshot_cache_dir,
     )
+    from pyspark.sql import Window as W
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = snapshot_cache_dir(src, "streambands-v1")
+
+    def _build(tmp: str) -> None:
+        sigs = minhash_signatures(corpus_docs(spark, sf_dir))
+        bands = (
+            sigs.select(
+                F.col("doc_id").alias("match_id"),
+                F.col("sig").alias("match_sig"),
+                F.explode(_band_col(F.col("sig"))).alias("band"),
+            )
+            .select("match_id", "match_sig", "band.band_id", "band.band_sig")
+        )
+        wcap = W.partitionBy("band_id", "band_sig")
+        (
+            bands.withColumn("bn", F.count("*").over(wcap))
+            .filter(F.col("bn") <= BAND_CAP)
+            .drop("bn")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    build_once(out, parquet_ready, _build)
+    return spark.read.parquet(out)
 
 
 def lsh_match_stream(
