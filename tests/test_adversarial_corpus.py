@@ -168,3 +168,60 @@ def test_zero_vector_cosine_dedup_contract(spark, edge_emb_dir):
     ids = {(r.id_a, r.id_b) for r in rows}
     assert (0, 1) in ids            # identical pair kept
     assert not any(3 in p for p in ids)  # zero vector pairs dropped
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(tmp_path_factory):
+    """Events with DUPLICATE (user_id, ts) pairs — the latent
+    nondeterminism ADVICE r3 flagged in the sessionize windows: without
+    an event_id tie-break, the running-sum session ids differ between
+    engines/runs. Also: a user whose whole timeline is one instant, and
+    a single-event user."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    s = lambda sec: t0 + datetime.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        # user 1: two events at the SAME instant, then a gap, then two more
+        (1, s(0), 1, "click"), (2, s(0), 1, "view"),
+        (3, s(4000), 1, "click"), (4, s(4000), 1, "purchase"),
+        # user 2: entire timeline at one instant
+        (5, s(10), 2, "signup"), (6, s(10), 2, "click"), (7, s(10), 2, "view"),
+        # user 3: single event
+        (8, s(20), 3, "click"),
+        # user 4: duplicates straddling the session gap boundary
+        (9, s(0), 4, "click"), (10, s(1800), 4, "view"), (11, s(1800), 4, "click"),
+    ]
+    d = tmp_path_factory.mktemp("edge_events")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_sessionize_batch", "q_event_funnel", "q_events_hourly", "q_gapfill_locf"],
+)
+def test_duplicate_timestamp_events_match_oracle(spark, edge_events_dir, name):
+    spec = load_all()[name]
+    res = compare(
+        name,
+        spec.builder(spark, edge_events_dir),
+        duckdb_conn(edge_events_dir),
+        spec.oracle,
+    )
+    assert res.ok, res.detail
