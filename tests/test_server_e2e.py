@@ -561,3 +561,44 @@ def test_statement_timeout_cancels_runaway(spark, tmp_path_factory):
         assert json.loads(body) == [{"n": 3}]
     finally:
         srv.stop()
+
+
+def test_delta_table_through_http_api(base_url, spark, tmp_path_factory):
+    """A Delta table (pure-Python log replay) registered at runtime and
+    queried through SQL + REST on the live server — the cross-layer path
+    a reference user exercises when pointing roapi at a lakehouse dir."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    url, _root = base_url
+    d = tmp_path_factory.mktemp("delta_e2e") / "items"
+    log = d / "_delta_log"
+    log.mkdir(parents=True)
+    _pq.write_table(_pa.table({"id": [1, 2], "name": ["a", "b"]}), d / "p0.parquet")
+    _pq.write_table(_pa.table({"id": [3], "name": ["c"]}), d / "p1.parquet")
+    log.joinpath("00000000000000000000.json").write_text(
+        "\n".join(
+            json.dumps(a)
+            for a in [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                {"metaData": {"id": "m", "format": {"provider": "parquet"},
+                              "schemaString": "{}"}},
+                {"add": {"path": "p0.parquet", "size": 1,
+                         "modificationTime": 0, "dataChange": True}},
+                {"add": {"path": "p1.parquet", "size": 1,
+                         "modificationTime": 0, "dataChange": True}},
+            ]
+        )
+    )
+    # runtime registration (read_only=False on this fixture's catalog)
+    body = json.dumps(
+        [{"tableName": "items", "uri": str(d), "option": {"format": "delta"}}]
+    ).encode()
+    status, _, _ = _req(f"{url}/api/table", "POST", body)
+    assert status == 200
+    status, _, out = _req(
+        f"{url}/api/sql", "POST", b"SELECT COUNT(*) AS n FROM items"
+    )
+    assert status == 200 and json.loads(out) == [{"n": 3}]
+    status, _, out = _req(f"{url}/api/tables/items?sort=-id&limit=1")
+    assert json.loads(out) == [{"id": 3, "name": "c"}]
