@@ -102,11 +102,53 @@ def decode_image(blob: bytes) -> np.ndarray:
             rows = rows[::-1]
         # BGR -> integer gray (exact: channel sum // 3)
         return (rows.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+    if blob[:2] in (b"P5", b"P6"):
+        # netpbm binary (PGM gray / PPM rgb): ASCII header tokens
+        # (width height maxval) with '#' comments, then raw samples —
+        # the second real image container decodable stdlib-only
+        vals: list[int] = []
+        i = 2
+        while len(vals) < 3:
+            while i < len(blob) and blob[i : i + 1].isspace():
+                i += 1
+            if blob[i : i + 1] == b"#":
+                while i < len(blob) and blob[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(blob) and not blob[j : j + 1].isspace():
+                j += 1
+            if i == j:
+                raise ValueError("malformed netpbm header: truncated tokens")
+            try:
+                vals.append(int(blob[i:j]))
+            except ValueError as exc:
+                raise ValueError(f"malformed netpbm header: {exc}") from exc
+            i = j
+        w, h, maxval = vals
+        i += 1  # exactly one whitespace byte after maxval
+        if maxval > 255:
+            raise NotImplementedError(
+                f"netpbm maxval={maxval} (16-bit samples) requires "
+                "PIL/pillow; only 8-bit decodes here"
+            )
+        if w <= 0 or h <= 0 or maxval <= 0:
+            raise ValueError(f"malformed netpbm: w={w} h={h} maxval={maxval}")
+        ch = 1 if blob[:2] == b"P5" else 3
+        need = i + w * h * ch
+        if len(blob) < need:
+            raise ValueError(f"truncated netpbm: {len(blob)} < {need} bytes")
+        arr = np.frombuffer(blob[i:need], dtype=np.uint8)
+        if ch == 1:
+            return arr.reshape(h, w)
+        return (
+            arr.reshape(h, w, 3).astype(np.uint32).sum(axis=2) // 3
+        ).astype(np.uint8)
     # real formats: gate on the actual codec dependency
     raise NotImplementedError(
         "real image decode requires PIL/pillow (not in this container); "
-        "only the FIMG synthetic format and uncompressed 24-bit BMP "
-        "decode here"
+        "only the FIMG synthetic format, uncompressed 24-bit BMP, and "
+        "8-bit netpbm (PGM/PPM) decode here"
     )
 
 

@@ -266,3 +266,26 @@ def test_bmp_zero_width_is_valueerror():
     blob[18:22] = struct.pack("<i", 0)
     with _pytest.raises(ValueError, match="malformed BMP"):
         decode_image(bytes(blob))
+
+
+def test_netpbm_decode_pgm_ppm():
+    """8-bit netpbm (the second stdlib-decodable real image container):
+    P5 gray passthrough, P6 rgb -> integer gray, comment tokens,
+    truncation and 16-bit gates."""
+    import numpy as np
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    pgm = b"P5\n# a comment\n4 3\n255\n" + gray.tobytes()
+    assert (decode_image(pgm) == gray).all()
+
+    rgb = np.stack([gray, gray + 3, gray + 6], axis=2).astype(np.uint8)
+    ppm = b"P6 4 3 255\n" + rgb.tobytes()
+    expect = (rgb.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+    assert (decode_image(ppm) == expect).all()
+
+    with pytest.raises(ValueError, match="truncated netpbm"):
+        decode_image(b"P5\n4 3\n255\n" + gray.tobytes()[:-1])
+    with pytest.raises(NotImplementedError, match="maxval=65535"):
+        decode_image(b"P5\n4 3\n65535\n" + b"\x00" * 24)
+    with pytest.raises(ValueError, match="malformed netpbm"):
+        decode_image(b"P6\n-4 3\n255\n")

@@ -184,7 +184,9 @@ def main() -> None:
                   "dedup_minhash_lsh", "ann_ivf_kmeans",
                   "q_event_funnel", "q_retention_cohort", "q_sessionize_batch",
                   "dedup_components", "q_ngram_novelty",
-                  "dedup_substring_spans", "dedup_incremental", "ann_sq8"):
+                  "dedup_substring_spans", "dedup_incremental", "ann_sq8",
+                  "q_asof_join", "q_range_join", "text_tfidf_topk",
+                  "q_dedup_method_agreement"):
             best = None
             for _ in range(2):
                 t, _n = timed(lambda: specs[q].builder(spark, sf_dir).count())
@@ -204,7 +206,9 @@ def main() -> None:
               "dedup_containment_s", "dedup_minhash_lsh_s", "ann_ivf_kmeans_s",
               "q_event_funnel_s", "q_retention_cohort_s", "q_sessionize_batch_s",
               "dedup_components_s", "q_ngram_novelty_s",
-              "dedup_substring_spans_s", "dedup_incremental_s", "ann_sq8_s"):
+              "dedup_substring_spans_s", "dedup_incremental_s", "ann_sq8_s",
+              "q_asof_join_s", "q_range_join_s", "text_tfidf_topk_s",
+              "q_dedup_method_agreement_s"):
         print(f"| {k} | {a[k]} | {b[k]} | {ratio(k)}x |")
     print(json.dumps({"sf0.1": a, "sf1": b}))
 
