@@ -211,9 +211,45 @@ def decode_audio(blob: bytes) -> tuple[int, np.ndarray]:
         if channels > 1:
             arr = arr.reshape(-1, channels)[:, 0]
         return rate, arr
+    if blob[:4] == b"FORM" and blob[8:12] in (b"AIFF", b"AIFC"):
+        # AIFF / AIFF-C via the stdlib aifc module (present through
+        # Python 3.12; the second stdlib-decodable real audio container).
+        # AIFF PCM is BIG-endian, unlike WAV.
+        import io
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import aifc
+
+        try:
+            with aifc.open(io.BytesIO(blob)) as a:
+                rate = int(a.getframerate())
+                channels = a.getnchannels()
+                width = a.getsampwidth()
+                comp = a.getcomptype()
+                raw = a.readframes(a.getnframes())
+        except (aifc.Error, EOFError, struct.error) as exc:
+            raise ValueError(f"malformed AIFF blob: {exc}") from exc
+        if comp not in (b"NONE", b"sowt"):
+            raise NotImplementedError(
+                f"AIFF-C compression {comp!r} requires soundfile/libav; "
+                "only PCM decodes here"
+            )
+        if width != 2:
+            raise NotImplementedError(
+                f"{8 * width}-bit AIFF requires soundfile; only 16-bit "
+                "PCM decodes here"
+            )
+        # 'sowt' is little-endian PCM; plain AIFF is big-endian
+        arr = np.frombuffer(raw, dtype="<i2" if comp == b"sowt" else ">i2")
+        arr = arr.astype("<i2")
+        if channels > 1:
+            arr = arr.reshape(-1, channels)[:, 0]
+        return rate, arr
     raise NotImplementedError(
         "real audio decode requires soundfile/libav (not in this container); "
-        "only the FAUD synthetic format and PCM WAV decode here"
+        "only the FAUD synthetic format, PCM WAV, and PCM AIFF decode here"
     )
 
 

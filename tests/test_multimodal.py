@@ -289,3 +289,49 @@ def test_netpbm_decode_pgm_ppm():
         decode_image(b"P5\n4 3\n65535\n" + b"\x00" * 24)
     with pytest.raises(ValueError, match="malformed netpbm"):
         decode_image(b"P6\n-4 3\n255\n")
+
+
+def test_aiff_decode_roundtrip():
+    """PCM AIFF via the stdlib aifc module (big-endian samples, unlike
+    WAV): stereo takes channel 0; compressed AIFF-C gates on the named
+    dependency."""
+    import io
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
+
+    pcm = (np.arange(-5, 5) * 1000).astype("<i2")
+
+    class KeepOpen(io.BytesIO):
+        def close(self):  # aifc closes the sink on __exit__; keep bytes
+            pass
+
+    def make(channels, comptype=b"NONE", compname=b"not compressed"):
+        buf = KeepOpen()
+        with aifc.open(buf, "wb") as a:
+            a.setnchannels(channels)
+            a.setsampwidth(2)
+            a.setframerate(8000)
+            a.setcomptype(comptype, compname)
+            if channels == 1:
+                frames = pcm.astype(">i2").tobytes()
+            else:
+                inter = np.empty(2 * len(pcm), dtype=">i2")
+                inter[0::2] = pcm
+                inter[1::2] = 0
+                frames = inter.tobytes()
+            a.writeframes(frames)
+        return buf.getvalue()
+
+    from roapi_spark.functions.multimodal import decode_audio
+
+    rate, arr = decode_audio(make(1))
+    assert rate == 8000 and (arr == pcm).all()
+    rate, arr = decode_audio(make(2))
+    assert (arr == pcm).all()  # channel 0
+    with pytest.raises(ValueError, match="malformed AIFF"):
+        decode_audio(make(1)[:40])
