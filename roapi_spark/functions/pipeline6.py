@@ -421,3 +421,77 @@ def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uni.select(bucket.alias("bucket")).groupBy("bucket").agg(
         F.count("*").cast("bigint").alias("n_pairs")
     )
+
+
+# -- Heaps'-law vocabulary growth -------------------------------------------
+
+
+@register(
+    "q_heaps_law",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_DUCK}) AS token FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id
+    ),
+    firsts AS (  -- each distinct token charged to its first document
+      SELECT MIN(doc_id) AS doc_id, 1 AS one FROM toks GROUP BY token
+    ),
+    new_vocab AS (
+      SELECT doc_id, COUNT(*) AS n_new FROM firsts GROUP BY doc_id
+    ),
+    curve AS (
+      SELECT p.doc_id,
+             SUM(p.n_toks) OVER w AS cum_tokens,
+             SUM(COALESCE(v.n_new, 0)) OVER w AS cum_vocab
+      FROM per_doc p LEFT JOIN new_vocab v USING (doc_id)
+      WINDOW w AS (ORDER BY p.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    pts AS (SELECT LN(cum_tokens) AS lx, LN(cum_vocab) AS ly FROM curve)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           FLOOR(REGR_SLOPE(ly, lx) * 10000 + 0.5) / 10000.0 AS heaps_beta,
+           FLOOR(REGR_R2(ly, lx) * 10000 + 0.5) / 10000.0 AS r2
+    FROM pts
+    """,
+    doc="Heaps'-law audit (companion to q_zipf_slope): vocabulary size vs "
+    "cumulative token count in doc_id order, slope of the log-log curve "
+    "(natural text sits near beta ~ 0.4-0.6; a templated or synthetic "
+    "corpus flattens early). The heavy work is two combiner-friendly "
+    "aggregations over the token explosion (per-doc totals + first-seen "
+    "ownership — the same no-window shape as q_ngram_novelty); the "
+    "running sums and regression run over doc-cardinality rows only. At "
+    "real scale the curve is computed over a deterministic doc sample.",
+    tags=("text", "audit"),
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens_col()).alias("token")
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    new_vocab = (
+        toks.groupBy("token")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_new"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_doc.join(new_vocab, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_toks").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_vocab"),
+        )
+    )
+    pts = curve.select(
+        F.log("cum_tokens").alias("lx"), F.log("cum_vocab").alias("ly")
+    )
+    return pts.agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        pround(F.regr_slope("ly", "lx")).alias("heaps_beta"),
+        pround(F.regr_r2("ly", "lx")).alias("r2"),
+    )
