@@ -69,6 +69,8 @@ def edge_sf_dir(tmp_path_factory):
         "q_token_fertility",
         "text_quality_logit",
         "q_ngram_novelty",
+        "q_heaps_law",
+        "dedup_incremental",
     ],
 )
 def test_edge_corpus_matches_oracle(spark, edge_sf_dir, name):
