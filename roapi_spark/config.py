@@ -34,6 +34,7 @@ KNOWN_FORMATS = {
     "orc",
     "avro",
     "delta",
+    "hudi",
     "iceberg",
     "arrow",
     "arrows",
@@ -141,6 +142,8 @@ def sniff_format(uri: str) -> str | None:
         # table-format directories sniff by their metadata layout
         if os.path.isdir(os.path.join(path, "_delta_log")):
             return "delta"
+        if os.path.isdir(os.path.join(path, ".hoodie")):
+            return "hudi"
         if os.path.isdir(os.path.join(path, "metadata")) and any(
             n.endswith(".metadata.json")
             for n in os.listdir(os.path.join(path, "metadata"))

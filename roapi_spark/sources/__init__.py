@@ -30,6 +30,7 @@ _LOADERS: dict[str, str] = {
     "orc": "roapi_spark.sources.orc",
     "avro": "roapi_spark.sources.avro",
     "delta": "roapi_spark.sources.delta",
+    "hudi": "roapi_spark.sources.hudi",
     "iceberg": "roapi_spark.sources.iceberg",
     "arrow": "roapi_spark.sources.arrow_ipc",
     "arrows": "roapi_spark.sources.arrow_ipc",
