@@ -34,6 +34,7 @@ CONTENT_TYPES = {
     "parquet": "application/parquet",
     "msgpack": "application/msgpack",
     "avro": "application/avro",
+    "ndjson": "application/x-ndjson",
 }
 
 _ACCEPT_TO_FORMAT = {
@@ -52,6 +53,9 @@ _ACCEPT_TO_FORMAT = {
     "application/x-msgpack": "msgpack",
     "application/avro": "avro",
     "application/vnd.apache.avro": "avro",
+    "application/x-ndjson": "ndjson",
+    "application/ndjson": "ndjson",
+    "application/jsonlines": "ndjson",
 }
 
 
@@ -72,6 +76,10 @@ def encode_arrow_table(table: pa.Table, fmt: str) -> bytes:
         from roapi_spark.encoders.avro import rows_to_avro_bytes
 
         return rows_to_avro_bytes(table)
+    if fmt == "ndjson":
+        from roapi_spark.encoders.json import rows_to_ndjson_bytes
+
+        return rows_to_ndjson_bytes(table)
     if fmt == "csv":
         import pyarrow.csv as pacsv
 

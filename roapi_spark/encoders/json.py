@@ -62,3 +62,14 @@ def _clean(v: object) -> object:
 def rows_to_json_bytes(table: pa.Table) -> bytes:
     rows = [_clean(r) for r in table.to_pylist()]
     return json.dumps(rows, default=_default, separators=(",", ":")).encode()
+
+
+def rows_to_ndjson_bytes(table: pa.Table) -> bytes:
+    """Newline-delimited JSON (application/x-ndjson): one object per
+    line, same value rendering as the array encoder — the streaming-
+    friendly shape log shippers and `jq`-pipelines consume."""
+    rows = [_clean(r) for r in table.to_pylist()]
+    return b"".join(
+        json.dumps(r, default=_default, separators=(",", ":")).encode() + b"\n"
+        for r in rows
+    )

@@ -260,3 +260,15 @@ def test_avro_encoder_roundtrips_through_avro_source(spark, tmp_path):
 def test_avro_accept_negotiation():
     assert format_from_accept("application/avro") == "avro"
     assert format_from_accept("application/vnd.apache.avro") == "avro"
+
+
+def test_ndjson_encoding():
+    from roapi_spark.encoders.json import rows_to_ndjson_bytes
+
+    t = pa.table({"a": [1, 2], "b": ["x", None]})
+    out = rows_to_ndjson_bytes(t)
+    assert out == b'{"a":1,"b":"x"}\n{"a":2,"b":null}\n'
+    assert format_from_accept("application/x-ndjson") == "ndjson"
+    assert encode_arrow_table(t, "ndjson") == out
+    # chunked export concat stays valid NDJSON (no array brackets)
+    assert b"".join([out, out]).count(b"\n") == 4
