@@ -1,0 +1,129 @@
+"""Generate a corpus data card — the report a training-data team leads
+with — by composing the registered audit operators over one sf_dir:
+
+  volume + language mix        q_token_fertility
+  source mixture plan          q_mixture_allocation
+  quality gate                 text_quality_logit (keep rate)
+  duplication                  q_dedup_rate_by_source, q_dup_cluster_sizes,
+                               q_dedup_method_agreement
+  distributional health        q_zipf_slope, q_heaps_law
+
+Usage:  python tools/corpus_report.py [sf_dir] [out.md]
+Writes markdown and prints one JSON summary line. Every number comes
+from an oracle-checked registry query — the report is exactly as
+trustworthy as the correctness gate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_report(spark, sf_dir: str) -> tuple[str, dict]:
+    from pyspark.sql import functions as F
+
+    from roapi_spark.plans.registry import load_all
+
+    specs = load_all()
+
+    def run(name):
+        return [r.asDict() for r in specs[name].builder(spark, sf_dir).collect()]
+
+    fert = sorted(run("q_token_fertility"), key=lambda r: r["lang"])
+    mix = sorted(run("q_mixture_allocation"), key=lambda r: r["source"])
+    quality = run("text_quality_logit")
+    n_docs = len(quality)
+    n_keep = sum(1 for r in quality if r["keep"])
+    dup_rate = sorted(run("q_dedup_rate_by_source"), key=lambda r: r["source"])
+    clusters = sorted(run("q_dup_cluster_sizes"), key=lambda r: r["cluster_size"])
+    agreement = {r["bucket"]: r["n_pairs"] for r in run("q_dedup_method_agreement")}
+    zipf = run("q_zipf_slope")[0]
+    heaps = run("q_heaps_law")[0]
+
+    lines = [
+        f"# Corpus data card — `{sf_dir}`",
+        "",
+        f"**Documents:** {n_docs}  |  **Quality keep rate:** "
+        f"{n_keep}/{n_docs} ({100.0 * n_keep / max(n_docs, 1):.1f}%)",
+        "",
+        "## Language mix / tokenizer fertility",
+        "",
+        "| lang | docs | tokens | bytes/token | tokens/doc |",
+        "|---|---|---|---|---|",
+        *[
+            f"| {r['lang']} | {r['n_docs']} | {r['n_tokens']} | "
+            f"{r['bytes_per_token']} | {r['tokens_per_doc']} |"
+            for r in fert
+        ],
+        "",
+        "## Source mixture plan (sqrt-temperature weights)",
+        "",
+        "| source | docs | tokens | weight | alloc tokens | epochs |",
+        "|---|---|---|---|---|---|",
+        *[
+            f"| {r['source']} | {r['n_docs']} | {r['n_tokens']} | "
+            f"{r['weight']} | {r['alloc_tokens']} | {r['epochs']} |"
+            for r in mix
+        ],
+        "",
+        "## Duplication",
+        "",
+        "| source | docs | exact-dup rate |",
+        "|---|---|---|",
+        *[
+            f"| {r['source']} | {r.get('n_docs', '')} | {r.get('dup_rate', '')} |"
+            for r in dup_rate
+        ],
+        "",
+        "Cluster sizes (near-dup components): "
+        + ", ".join(
+            f"{r['cluster_size']}-clusters x {r['n_clusters']}" for r in clusters
+        ),
+        "",
+        f"LSH vs exact-Jaccard pair agreement: both={agreement.get('both', 0)}, "
+        f"lsh_only={agreement.get('lsh_only', 0)}, "
+        f"jaccard_only={agreement.get('jaccard_only', 0)} (recall misses)",
+        "",
+        "## Distributional health",
+        "",
+        f"- Zipf slope (top vocab): **{zipf['zipf_slope']}** "
+        f"(r2={zipf['r2']}; natural text ~ -1)",
+        f"- Heaps beta (vocab growth): **{heaps['heaps_beta']}** "
+        f"(r2={heaps['r2']}; natural text ~ 0.4-0.6 — a flat curve means "
+        "templated/synthetic text)",
+        "",
+    ]
+    summary = {
+        "sf_dir": sf_dir,
+        "n_docs": n_docs,
+        "keep_rate": round(n_keep / max(n_docs, 1), 4),
+        "langs": len(fert),
+        "sources": len(mix),
+        "zipf_slope": zipf["zipf_slope"],
+        "heaps_beta": heaps["heaps_beta"],
+        "lsh_recall_misses": agreement.get("jaccard_only", 0),
+    }
+    return "\n".join(lines), summary
+
+
+def main() -> None:
+    from roapi_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else None
+    spark = get_spark("corpus-report")
+    md, summary = build_report(spark, sf_dir)
+    if out:
+        with open(out, "w") as f:
+            f.write(md)
+    else:
+        print(md)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
