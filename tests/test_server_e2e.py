@@ -122,6 +122,9 @@ def test_content_negotiation(base_url):
 
     _schema, rows = read_container(body)
     assert ctype == "application/avro" and rows == [{"city": "london"}]
+    # ndjson
+    status, ctype, body = _req(f"{url}/api/sql", "POST", body_sql, accept="application/x-ndjson")
+    assert ctype == "application/x-ndjson" and body == b'{"city":"london"}\n'
     # unknown accept falls back to default json
     status, ctype, _ = _req(f"{url}/api/sql", "POST", body_sql, accept="application/weird")
     assert ctype == "application/json"
