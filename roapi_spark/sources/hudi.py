@@ -118,7 +118,19 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
         raise LoadError(f"hudi table {ts.name!r}: {exc}") from exc
     if not files:
         raise LoadError(f"hudi table {ts.name!r}: no completed commits")
+    from pyspark.sql import functions as F
+
+    from roapi_spark.types import parse_data_type
+
     # basePath keeps hive-style partition dirs surfacing as typed columns
-    return (
-        spark.read.option("basePath", ts.uri).parquet(*files)
-    )
+    df = spark.read.option("basePath", ts.uri).parquet(*files)
+    if ts.schema is not None:  # declared schema wins (same as parquet/orc)
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in ts.schema.fields]
+        )
+    for pc in ts.partition_columns:
+        if pc.name in df.columns:
+            df = df.withColumn(
+                pc.name, F.col(pc.name).cast(parse_data_type(pc.data_type))
+            )
+    return df

@@ -101,3 +101,16 @@ def test_hudi_no_commits_raises(spark, tmp_path):
     (root / ".hoodie").mkdir(parents=True)
     with pytest.raises(LoadError, match="no completed commits"):
         _load(spark, {"name": "t", "uri": str(root), "option": {"format": "hudi"}})
+
+
+def test_hudi_partition_column_typed(spark, hudi_table):
+    df = _load(
+        spark,
+        {
+            "name": "t",
+            "uri": str(hudi_table),
+            "partition_columns": [{"name": "region", "data_type": "Utf8"}],
+        },
+    )
+    assert dict(df.dtypes)["region"] == "string"
+    assert {r["region"] for r in df.collect()} == {"eu", "us"}
