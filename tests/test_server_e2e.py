@@ -605,3 +605,20 @@ def test_delta_table_through_http_api(base_url, spark, tmp_path_factory):
     assert status == 200 and json.loads(out) == [{"n": 3}]
     status, _, out = _req(f"{url}/api/tables/items?sort=-id&limit=1")
     assert json.loads(out) == [{"id": 3, "name": "c"}]
+
+
+def test_runtime_error_yields_400_and_server_survives(base_url):
+    """A query that fails at EXECUTION time (ANSI divide-by-zero — not a
+    parse/analysis error) maps to the reference's 400 error shape and
+    the server keeps serving."""
+    url, _ = base_url
+    try:
+        _req(f"{url}/api/sql", "POST", b"SELECT 1/0 AS x FROM uk_cities")
+        raised = None
+    except urllib.error.HTTPError as err:
+        raised = err
+        body = json.loads(err.read())
+        assert err.code == 400 and body["error"] == "query_execution"
+    assert raised is not None, "expected an HTTP 400"
+    status, _, out = _req(f"{url}/api/sql", "POST", b"SELECT COUNT(*) AS n FROM uk_cities")
+    assert status == 200 and json.loads(out) == [{"n": 3}]
