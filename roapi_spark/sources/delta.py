@@ -359,6 +359,16 @@ def _apply_deletion_vectors(
 
 
 def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
+    if "changes_from" in ts.option:
+        # Change Data Feed surface: register the change rows as the
+        # table (SQL/REST-queryable incremental ingestion)
+        end = ts.option.get("changes_to")
+        return table_changes(
+            spark,
+            ts.uri,
+            int(ts.option["changes_from"]),
+            None if end is None else int(end),
+        )
     r = spark.read.format("delta")
     if "version" in ts.option:
         r = r.option("versionAsOf", str(ts.option["version"]))
@@ -368,3 +378,94 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
         return r.load(ts.uri)
     except Exception:  # noqa: BLE001 — jars absent: pure-Python log replay
         return _read_via_log(spark, ts)
+
+
+def table_changes(
+    spark: SparkSession,
+    table_path: str,
+    start_version: int,
+    end_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed (pure Python, public Delta CDF spec): one row per
+    changed record for commits in ``[start_version, end_version]``, with
+    ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``.
+
+    Commits carrying explicit ``cdc`` actions (writers with
+    ``delta.enableChangeDataFeed=true`` emit ``_change_data/`` parquet
+    whose rows already carry ``_change_type``, including
+    update_preimage/update_postimage) are read as written. Commits
+    without cdc actions derive changes the way delta-spark does for
+    blind writes: files added with ``dataChange=true`` contribute their
+    rows as ``insert``; files removed with ``dataChange=true`` as
+    ``delete`` (the removed file still exists until VACUUM — reading it
+    is exactly how the reference implementation serves deletes).
+    ``_commit_timestamp`` is the commit file's modification time, the
+    same source the log replay uses for timestamp time travel.
+    """
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise LoadError(f"not a delta table (no _delta_log): {table_path}")
+    parts: list[DataFrame] = []
+    for v, path in _log_versions(log_dir):
+        if v < start_version or (end_version is not None and v > end_version):
+            continue
+        cdc_files: list[str] = []
+        ins_files: list[str] = []
+        del_files: list[str] = []
+        with open(path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                _check_protocol(action, table_path)
+                if "cdc" in action:
+                    cdc_files.append(action["cdc"]["path"])
+                elif "add" in action and action["add"].get("dataChange", True):
+                    ins_files.append(action["add"]["path"])
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    del_files.append(action["remove"]["path"])
+        ts_commit = datetime.fromtimestamp(
+            os.path.getmtime(path), tz=timezone.utc
+        )
+
+        def _read(paths: list[str]) -> DataFrame:
+            full = [os.path.join(table_path, unquote(p)) for p in paths]
+            missing = [p for p in full if not os.path.exists(p)]
+            if missing:
+                raise LoadError(
+                    f"change-feed file vacuumed or missing: {missing[0]}"
+                )
+            return spark.read.option("basePath", table_path).parquet(*full)
+
+        batch: list[DataFrame] = []
+        if cdc_files:
+            batch.append(_read(cdc_files))
+        else:
+            if ins_files:
+                batch.append(
+                    _read(ins_files).withColumn("_change_type", F.lit("insert"))
+                )
+            if del_files:
+                batch.append(
+                    _read(del_files).withColumn("_change_type", F.lit("delete"))
+                )
+        for df in batch:
+            parts.append(
+                df.withColumn("_commit_version", F.lit(v).cast("bigint"))
+                .withColumn("_commit_timestamp", F.lit(ts_commit))
+            )
+    if not parts:
+        raise LoadError(
+            f"no commits in change range [{start_version}, {end_version}] "
+            f"for {table_path}"
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out

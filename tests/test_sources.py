@@ -1226,3 +1226,83 @@ def test_delta_replay_partition_pruning(spark, tmp_path):
     assert [r.id for r in filtered.collect()] == [3]
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(year" in plan
+
+
+@pytest.fixture(scope="module")
+def delta_cdf_table(tmp_path_factory):
+    """Delta table with a Change Data Feed history: v0 blind insert
+    (derived), v1 explicit cdc files (update pre/post images), v2 remove
+    (derived delete)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    root = tmp_path_factory.mktemp("delta_cdf") / "accounts"
+    log = root / "_delta_log"
+    (root / "_change_data").mkdir(parents=True)
+    log.mkdir(parents=True)
+    _pq.write_table(_pa.table({"id": [1, 2], "bal": [10.0, 20.0]}), root / "f0.parquet")
+    _pq.write_table(_pa.table({"id": [1], "bal": [11.0]}), root / "f1.parquet")
+    _pq.write_table(
+        _pa.table({
+            "id": [1, 1],
+            "bal": [10.0, 11.0],
+            "_change_type": ["update_preimage", "update_postimage"],
+        }),
+        root / "_change_data" / "cdc-0.parquet",
+    )
+
+    def commit(version, actions):
+        (log / f"{version:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in actions)
+        )
+
+    commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"metaData": {"id": "m", "format": {"provider": "parquet"},
+                      "schemaString": "{}",
+                      "configuration": {"delta.enableChangeDataFeed": "true"}}},
+        {"add": {"path": "f0.parquet", "size": 1, "modificationTime": 0,
+                 "dataChange": True}},
+    ])
+    commit(1, [
+        {"cdc": {"path": "_change_data/cdc-0.parquet", "size": 1,
+                 "dataChange": False}},
+        {"remove": {"path": "f0.parquet", "dataChange": False}},
+        {"add": {"path": "f1.parquet", "size": 1, "modificationTime": 0,
+                 "dataChange": False}},
+    ])
+    commit(2, [
+        {"remove": {"path": "f1.parquet", "dataChange": True}},
+    ])
+    return root
+
+
+def test_delta_change_data_feed(spark, delta_cdf_table):
+    from roapi_spark.sources.delta import table_changes
+
+    ch = table_changes(spark, str(delta_cdf_table), 0).collect()
+    by_ver = {}
+    for r in ch:
+        by_ver.setdefault(r["_commit_version"], []).append(r)
+    # v0: derived inserts for both rows
+    assert sorted((r["id"], r["_change_type"]) for r in by_ver[0]) == [
+        (1, "insert"), (2, "insert")]
+    # v1: explicit cdc pre/post images only (add/remove had dataChange=false)
+    assert sorted((r["bal"], r["_change_type"]) for r in by_ver[1]) == [
+        (10.0, "update_preimage"), (11.0, "update_postimage")]
+    # v2: derived delete of the rewritten file's rows
+    assert [(r["id"], r["_change_type"]) for r in by_ver[2]] == [(1, "delete")]
+    assert all(r["_commit_timestamp"] is not None for r in ch)
+
+
+def test_delta_cdf_version_range_and_loader_option(spark, delta_cdf_table):
+    from roapi_spark.sources.delta import table_changes
+
+    only_v1 = table_changes(spark, str(delta_cdf_table), 1, 1).collect()
+    assert {r["_change_type"] for r in only_v1} == {
+        "update_preimage", "update_postimage"}
+    df = _load(spark, {
+        "name": "ch", "uri": str(delta_cdf_table),
+        "option": {"format": "delta", "changes_from": 2},
+    })
+    assert [(r["id"], r["_change_type"]) for r in df.collect()] == [(1, "delete")]
