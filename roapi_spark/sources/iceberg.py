@@ -205,6 +205,32 @@ def _field_names_by_id(meta: dict) -> dict[int, str]:
 
 
 def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
+    if "incremental_from_snapshot" in ts.option:
+        from pyspark.sql import functions as F
+
+        to = ts.option.get("incremental_to_snapshot")
+        pairs = incremental_files(
+            ts.uri,
+            int(ts.option["incremental_from_snapshot"]),
+            None if to is None else int(to),
+        )
+        if not pairs:
+            raise LoadError(
+                f"iceberg table {ts.name!r}: no appended files in range"
+            )
+        parts = []
+        by_snap: dict[int, list[str]] = {}
+        for sid, path in pairs:
+            by_snap.setdefault(sid, []).append(path)
+        for sid, files in sorted(by_snap.items()):
+            parts.append(
+                spark.read.option("basePath", ts.uri).parquet(*files)
+                .withColumn("_snapshot_id", F.lit(sid).cast("bigint"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
     snap = ts.option.get("snapshot_id")
     ts_ms = ts.option.get("timestamp_ms")
     if ts_ms is None and "timestamp" in ts.option:
@@ -311,3 +337,85 @@ def _apply_deletes(
             cond = cond & F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
         df = df.join(F.broadcast(dels), cond, "left_anti")
     return df.select(*out_cols)
+
+
+def incremental_files(
+    table_path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> list[tuple[int, str]]:
+    """Incremental append scan (Iceberg spec): [(snapshot_id, data file)]
+    for files ADDED by snapshots after ``from_snapshot_id`` (exclusive)
+    up to ``to_snapshot_id`` (inclusive; default current). Snapshots are
+    ordered by ancestry when parent-snapshot-id is present, else by
+    timestamp-ms. Any non-append snapshot in the range (replace /
+    overwrite / delete — whose changes an append-only scan cannot
+    represent) fails loudly, matching the reference engines."""
+    meta_path = _metadata_path(table_path)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    snaps = meta.get("snapshots") or []
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    if from_snapshot_id not in by_id:
+        raise LoadError(
+            f"iceberg table {table_path}: from-snapshot {from_snapshot_id} "
+            "not found"
+        )
+    if to_snapshot_id is None:
+        to_snapshot_id = meta.get("current-snapshot-id")
+        if to_snapshot_id in (None, -1):
+            to_snapshot_id = max(
+                snaps, key=lambda s: s.get("timestamp-ms", 0)
+            )["snapshot-id"]
+    if to_snapshot_id not in by_id:
+        raise LoadError(
+            f"iceberg table {table_path}: to-snapshot {to_snapshot_id} not found"
+        )
+    if by_id[to_snapshot_id].get("parent-snapshot-id") is not None:
+        chain = []
+        cur = to_snapshot_id
+        while cur is not None and cur != from_snapshot_id:
+            s = by_id.get(cur)
+            if s is None:
+                raise LoadError(
+                    f"iceberg table {table_path}: broken snapshot ancestry "
+                    f"at {cur}"
+                )
+            chain.append(s)
+            cur = s.get("parent-snapshot-id")
+        if cur != from_snapshot_id:
+            raise LoadError(
+                f"iceberg table {table_path}: {from_snapshot_id} is not an "
+                f"ancestor of {to_snapshot_id}"
+            )
+        ordered = list(reversed(chain))
+    else:  # minimal metadata without parent links: timestamp order
+        t_from = by_id[from_snapshot_id].get("timestamp-ms", 0)
+        t_to = by_id[to_snapshot_id].get("timestamp-ms", 0)
+        ordered = sorted(
+            (s for s in snaps
+             if t_from < s.get("timestamp-ms", 0) <= t_to),
+            key=lambda s: s.get("timestamp-ms", 0),
+        )
+    out: list[tuple[int, str]] = []
+    for s in ordered:
+        op = (s.get("summary") or {}).get("operation", "append")
+        if op != "append":
+            raise LoadError(
+                f"iceberg table {table_path}: incremental read across "
+                f"non-append snapshot {s['snapshot-id']} (operation={op})"
+            )
+        mlist = _localize(s["manifest-list"], table_path)
+        for m in _read_avro(mlist):
+            if m.get("added_snapshot_id") != s["snapshot-id"]:
+                continue
+            if (m.get("content") or 0) != 0:
+                continue  # no delete manifests in an append snapshot
+            for entry in _read_avro(_localize(m["manifest_path"], table_path)):
+                if entry.get("status") != 1:  # ADDED only
+                    continue
+                df = entry.get("data_file") or {}
+                out.append(
+                    (s["snapshot-id"], _localize(df["file_path"], table_path))
+                )
+    return out

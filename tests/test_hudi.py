@@ -114,3 +114,21 @@ def test_hudi_partition_column_typed(spark, hudi_table):
     )
     assert dict(df.dtypes)["region"] == "string"
     assert {r["region"] for r in df.collect()} == {"eu", "us"}
+
+
+def test_hudi_incremental_query(spark, hudi_table):
+    """Commits strictly after 001: the fg1 rewrite (002) and the fg3
+    replacement file (003), each tagged with its commit instant."""
+    df = _load(spark, {
+        "name": "t", "uri": str(hudi_table),
+        "option": {"format": "hudi", "incremental_from": "001"},
+    })
+    rows = sorted((r["_commit_instant"], r["id"]) for r in df.collect())
+    assert rows == [("002", 1), ("002", 2), ("003", 3), ("003", 4)]
+    # bounded range excludes the replacecommit
+    df2 = _load(spark, {
+        "name": "t", "uri": str(hudi_table),
+        "option": {"format": "hudi", "incremental_from": "001",
+                   "incremental_to": "002"},
+    })
+    assert sorted(r["id"] for r in df2.collect()) == [1, 2]

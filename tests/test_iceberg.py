@@ -390,3 +390,25 @@ def test_avro_multitype_union_roundtrip():
     recs = [{"v": None}, {"v": "x"}, {"v": 5}]
     _, out = read_container(write_container(schema, recs))
     assert out == recs
+
+
+def test_iceberg_incremental_append_scan(spark, iceberg_table):
+    """Files ADDED after snapshot 100 up to 200 (minimal metadata:
+    timestamp ordering), surfaced with _snapshot_id."""
+    df = _load(spark, {
+        "name": "t", "uri": str(iceberg_table),
+        "option": {"format": "iceberg", "incremental_from_snapshot": 100},
+    })
+    rows = df.collect()
+    assert {r["_snapshot_id"] for r in rows} == {200}
+    # snapshot 200 added f3 only (f1 carried as EXISTING status=0, f2
+    # removed via status=2 — neither included)
+    assert sorted(r["id"] for r in rows) == [4, 5]
+
+
+def test_iceberg_incremental_bad_from(spark, iceberg_table):
+    from roapi_spark.sources import LoadError
+    from roapi_spark.sources.iceberg import incremental_files
+
+    with pytest.raises(LoadError, match="not found"):
+        incremental_files(str(iceberg_table), 999)
