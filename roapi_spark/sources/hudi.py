@@ -174,13 +174,19 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
 def incremental_file_slices(
     root: str, from_instant: str, to_instant: str | None = None
 ) -> list[tuple[str, str]]:
-    """[(instant, base file)] for file slices written by completed
-    commits with ``from_instant < instant <= to_instant`` — the file set
-    behind Hudi's incremental query on a CoW table."""
+    """[(instant, base file)] for the LATEST in-range file slice of every
+    file group written by completed commits with ``from_instant <
+    instant <= to_instant`` — the file set behind Hudi's incremental
+    query on a CoW table. One slice per group, not every slice: a group
+    rewritten twice inside the range would otherwise contribute its
+    carried-over rows twice (CoW base files are whole-file rewrites).
+    Precise per-row attribution within a slice needs the
+    ``_hoodie_commit_time`` meta column, which the loader filters on
+    when present."""
     meta_dir = os.path.join(root, ".hoodie")
     if not os.path.isdir(meta_dir):
         raise HudiError(f"not a hudi table (no .hoodie): {root}")
-    out = []
+    latest: dict[tuple[str, str], tuple[str, str]] = {}
     for instant, _kind, path in _timeline(meta_dir):
         if instant <= str(from_instant):
             continue
@@ -190,9 +196,10 @@ def incremental_file_slices(
             meta = json.loads(open(path).read())
         except ValueError as exc:
             raise HudiError(f"malformed hudi commit {path}: {exc}") from exc
-        for _part, stats in (meta.get("partitionToWriteStats") or {}).items():
+        for part, stats in (meta.get("partitionToWriteStats") or {}).items():
             for st in stats or []:
                 rel = st.get("path")
+                fid = st.get("fileId") or rel
                 if rel:
-                    out.append((instant, os.path.join(root, rel)))
-    return out
+                    latest[(part, fid)] = (instant, os.path.join(root, rel))
+    return sorted(latest.values())

@@ -132,3 +132,24 @@ def test_hudi_incremental_query(spark, hudi_table):
                    "incremental_to": "002"},
     })
     assert sorted(r["id"] for r in df2.collect()) == [1, 2]
+
+
+def test_hudi_incremental_no_double_count_on_rewrites(spark, tmp_path):
+    """A file group rewritten TWICE inside the incremental range
+    contributes only its latest slice (whole-file CoW rewrites would
+    otherwise double-count carried rows)."""
+    root = tmp_path / "t2"
+    meta = root / ".hoodie"
+    meta.mkdir(parents=True)
+    (meta / "hoodie.properties").write_text("hoodie.table.type=COPY_ON_WRITE\n")
+    p1 = _base_file(root, "", "fg1", "001", {"id": [1], "v": [1.0]})
+    _commit(meta, "001", {"": [{"fileId": "fg1", "path": p1}]})
+    p2 = _base_file(root, "", "fg1", "002", {"id": [1, 2], "v": [1.0, 2.0]})
+    _commit(meta, "002", {"": [{"fileId": "fg1", "path": p2}]})
+    p3 = _base_file(root, "", "fg1", "003", {"id": [1, 2, 3], "v": [1.0, 2.0, 3.0]})
+    _commit(meta, "003", {"": [{"fileId": "fg1", "path": p3}]})
+    df = _load(spark, {"name": "t", "uri": str(root),
+                       "option": {"format": "hudi", "incremental_from": "001"}})
+    rows = sorted((r["id"], r["_commit_instant"]) for r in df.collect())
+    # only the 003 slice — no duplicate ids from the 002 slice
+    assert rows == [(1, "003"), (2, "003"), (3, "003")]
