@@ -495,3 +495,101 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.regr_slope("ly", "lx")).alias("heaps_beta"),
         pround(F.regr_r2("ly", "lx")).alias("r2"),
     )
+
+
+# -- packing efficiency audit -----------------------------------------------
+
+
+def _packing_oracle() -> str:
+    from roapi_spark.functions.pipeline import PACK_TOKENS, _WORDS_DUCK
+
+    p = PACK_TOKENS
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(LEN({_WORDS_DUCK}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM toks
+    ), agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(FLOOR((SUM(n_tokens) + {p} - 1) / {p}) AS BIGINT) AS n_packs,
+             CAST(SUM(CASE WHEN (cum_before % {p}) + n_tokens > {p}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+      FROM packed GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens, n_packs, n_straddlers,
+           FLOOR(n_straddlers / CAST(n_docs AS DOUBLE) * 10000 + 0.5)
+             / 10000.0 AS straddle_frac,
+           CASE WHEN n_packs > 0
+                THEN FLOOR((n_tokens - (n_packs - 1) * {p})
+                           / CAST({p} AS DOUBLE) * 10000 + 0.5) / 10000.0
+                ELSE 0.0 END AS last_pack_fill
+    FROM agg
+    """
+
+
+@register(
+    "q_packing_efficiency",
+    oracle=_packing_oracle(),
+    doc="Packing-efficiency audit over text_seq_pack's concat-and-chunk "
+    "layout: per source shard — pack count, document-straddle fraction "
+    "(docs split across a pack boundary, the cost GPT-style packing "
+    "pays vs doc-aware bin packing), and the final pack's fill rate "
+    "(every other pack is exactly full by construction). Same per-shard "
+    "running-sum window as the pack op; the audit itself is one tiny "
+    "per-source aggregate, all integer-exact.",
+    tags=("text", "pipeline", "audit"),
+)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from roapi_spark.functions.pipeline import PACK_TOKENS, words_col
+
+    p = PACK_TOKENS
+    toks = docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(words_col()).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    agg = packed.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor((F.sum("n_tokens") + p - 1) / p).cast("bigint").alias("n_packs"),
+        F.sum(
+            F.when((F.col("cum_before") % p) + F.col("n_tokens") > p, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_straddlers"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_packs",
+        "n_straddlers",
+        pround(F.col("n_straddlers") / F.col("n_docs").cast("double")).alias(
+            "straddle_frac"
+        ),
+        F.when(
+            F.col("n_packs") > 0,
+            pround(
+                (F.col("n_tokens") - (F.col("n_packs") - 1) * p)
+                / F.lit(float(p))
+            ),
+        )
+        .otherwise(0.0)
+        .alias("last_pack_fill"),
+    )
