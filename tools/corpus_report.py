@@ -43,6 +43,7 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
     agreement = {r["bucket"]: r["n_pairs"] for r in run("q_dedup_method_agreement")}
     zipf = run("q_zipf_slope")[0]
     heaps = run("q_heaps_law")[0]
+    packing = run("q_packing_efficiency")
 
     lines = [
         f"# Corpus data card — `{sf_dir}`",
@@ -87,6 +88,16 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
         f"LSH vs exact-Jaccard pair agreement: both={agreement.get('both', 0)}, "
         f"lsh_only={agreement.get('lsh_only', 0)}, "
         f"jaccard_only={agreement.get('jaccard_only', 0)} (recall misses)",
+        "",
+        "## Packing (concat-and-chunk, per source)",
+        "",
+        "| source | packs | straddle frac | last-pack fill |",
+        "|---|---|---|---|",
+        *[
+            f"| {r['source']} | {r['n_packs']} | {r['straddle_frac']} | "
+            f"{r['last_pack_fill']} |"
+            for r in sorted(packing, key=lambda r: r["source"])
+        ],
         "",
         "## Distributional health",
         "",
