@@ -593,3 +593,58 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
         .alias("last_pack_fill"),
     )
+
+
+# -- ANN recall audit --------------------------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    # compose the two registered full queries as nested CTEs (DuckDB
+    # allows a WITH inside a CTE body). Import the module directly —
+    # its @register calls populate QUERIES — instead of load_all(),
+    # which would re-enter the registry's import chain mid-import.
+    import roapi_spark.functions.similarity  # noqa: F401
+    from roapi_spark.plans.registry import QUERIES
+
+    ivf = QUERIES["ann_ivf_kmeans"].oracle
+    exact = QUERIES["knn_bruteforce"].oracle
+    return f"""
+    WITH ivf AS ({ivf}), exact AS ({exact}),
+    ov AS (
+      SELECT i.qid, COUNT(*) AS hits
+      FROM ivf i JOIN exact e ON e.qid = i.qid AND e.neighbor_id = i.neighbor_id
+      GROUP BY i.qid
+    ),
+    q AS (SELECT DISTINCT qid FROM exact)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           FLOOR(AVG(COALESCE(ov.hits, 0) / 5.0) * 10000 + 0.5) / 10000.0
+             AS recall_at_5
+    FROM q LEFT JOIN ov USING (qid)
+    """
+
+
+@register(
+    "q_ann_recall",
+    oracle=_ann_recall_oracle(),
+    doc="ANN recall audit: recall@5 of the IVF-k-means search against "
+    "the exact brute-force top-5 — THE number an ANN deployment tunes "
+    "nprobe/list-count by. Composes the two registered operators (IVF "
+    "serves from its partition-pruned layout; brute force scans once); "
+    "the overlap join and average touch N_QUERIES rows.",
+    tags=("similarity", "audit"),
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.similarity import ann_ivf_kmeans, knn_bruteforce
+
+    ivf = ann_ivf_kmeans(spark, sf_dir).select("qid", "neighbor_id")
+    exact = knn_bruteforce(spark, sf_dir).select("qid", "neighbor_id")
+    ov = ivf.join(exact, ["qid", "neighbor_id"]).groupBy("qid").agg(
+        F.count("*").alias("hits")
+    )
+    q = exact.select("qid").distinct()
+    return q.join(ov, "qid", "left").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        pround(F.avg(F.coalesce("hits", F.lit(0)) / F.lit(5.0))).alias(
+            "recall_at_5"
+        ),
+    )
