@@ -623,6 +623,25 @@ def _ann_recall_oracle() -> str:
     """
 
 
+def _ann_recall_pair(spark, sf_dir, ann_df):
+    from roapi_spark.functions.similarity import knn_bruteforce
+
+    exact = knn_bruteforce(spark, sf_dir).select("qid", "neighbor_id")
+    ov = (
+        ann_df.select("qid", "neighbor_id")
+        .join(exact, ["qid", "neighbor_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("hits"))
+    )
+    q = exact.select("qid").distinct()
+    return q.join(ov, "qid", "left").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        pround(F.avg(F.coalesce("hits", F.lit(0)) / F.lit(5.0))).alias(
+            "recall_at_5"
+        ),
+    )
+
+
 @register(
     "q_ann_recall",
     oracle=_ann_recall_oracle(),
@@ -634,17 +653,42 @@ def _ann_recall_oracle() -> str:
     tags=("similarity", "audit"),
 )
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from roapi_spark.functions.similarity import ann_ivf_kmeans, knn_bruteforce
+    from roapi_spark.functions.similarity import ann_ivf_kmeans
 
-    ivf = ann_ivf_kmeans(spark, sf_dir).select("qid", "neighbor_id")
-    exact = knn_bruteforce(spark, sf_dir).select("qid", "neighbor_id")
-    ov = ivf.join(exact, ["qid", "neighbor_id"]).groupBy("qid").agg(
-        F.count("*").alias("hits")
-    )
-    q = exact.select("qid").distinct()
-    return q.join(ov, "qid", "left").agg(
-        F.count("*").cast("bigint").alias("n_queries"),
-        pround(F.avg(F.coalesce("hits", F.lit(0)) / F.lit(5.0))).alias(
-            "recall_at_5"
-        ),
-    )
+    return _ann_recall_pair(spark, sf_dir, ann_ivf_kmeans(spark, sf_dir))
+
+
+def _ann_recall_nprobe_oracle() -> str:
+    import roapi_spark.functions.similarity  # noqa: F401
+    from roapi_spark.plans.registry import QUERIES
+
+    nprobe = QUERIES["ann_ivf_nprobe"].oracle
+    exact = QUERIES["knn_bruteforce"].oracle
+    return f"""
+    WITH ivf AS ({nprobe}), exact AS ({exact}),
+    ov AS (
+      SELECT i.qid, COUNT(*) AS hits
+      FROM ivf i JOIN exact e ON e.qid = i.qid AND e.neighbor_id = i.neighbor_id
+      GROUP BY i.qid
+    ),
+    q AS (SELECT DISTINCT qid FROM exact)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           FLOOR(AVG(COALESCE(ov.hits, 0) / 5.0) * 10000 + 0.5) / 10000.0
+             AS recall_at_5
+    FROM q LEFT JOIN ov USING (qid)
+    """
+
+
+@register(
+    "q_ann_recall_nprobe",
+    oracle=_ann_recall_nprobe_oracle(),
+    doc="Recall@5 of the multi-probe IVF variant — paired with "
+    "q_ann_recall (single probe) this is the nprobe dial measured: more "
+    "probed lists, higher recall, more rows scanned (the ivf_probed_rows "
+    "figure in docs/SCALE.md).",
+    tags=("similarity", "audit"),
+)
+def q_ann_recall_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.similarity import ann_ivf_nprobe
+
+    return _ann_recall_pair(spark, sf_dir, ann_ivf_nprobe(spark, sf_dir))
