@@ -412,3 +412,32 @@ def test_iceberg_incremental_bad_from(spark, iceberg_table):
 
     with pytest.raises(LoadError, match="not found"):
         incremental_files(str(iceberg_table), 999)
+
+
+def test_iceberg_incremental_non_append_fails_loudly(tmp_path):
+    """A delete/overwrite snapshot inside the incremental range cannot be
+    represented by an append-only scan — loud error, not wrong rows."""
+    import json as _json
+
+    from roapi_spark.sources import LoadError
+    from roapi_spark.sources.iceberg import incremental_files
+
+    root = tmp_path / "t"
+    (root / "metadata").mkdir(parents=True)
+    meta = {
+        "format-version": 2,
+        "current-snapshot-id": 300,
+        "snapshots": [
+            {"snapshot-id": 100, "timestamp-ms": 1000, "manifest-list": "x",
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 200, "timestamp-ms": 2000, "manifest-list": "x",
+             "parent-snapshot-id": 100,
+             "summary": {"operation": "delete"}},
+            {"snapshot-id": 300, "timestamp-ms": 3000, "manifest-list": "x",
+             "parent-snapshot-id": 200,
+             "summary": {"operation": "append"}},
+        ],
+    }
+    (root / "metadata" / "v1.metadata.json").write_text(_json.dumps(meta))
+    with pytest.raises(LoadError, match="non-append snapshot 200"):
+        incremental_files(str(root), 100)
