@@ -1203,3 +1203,65 @@ def multimodal_image_dhash(spark, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_images"),
         F.min("doc_id").alias("keep_doc_id"),
     )
+
+
+_PPM_W, _PPM_H = 19, 11  # odd width: no padding in netpbm, but exercises
+#                          the P6 rgb -> integer-gray channel-sum path
+_PPM_HDR = f"P6\n{_PPM_W} {_PPM_H}\n255\n".encode()
+
+
+@register(
+    "multimodal_image_ppm",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_PPM_W * _PPM_H - 1}),
+                            j -> (doc_id * 53 + j * 13) % 256) AS p
+      FROM documents
+    )
+    SELECT doc_id,
+           {_PPM_W} AS width,
+           {_PPM_H} AS height,
+           FLOOR(LIST_SUM(p) / {float(_PPM_W * _PPM_H)} * 10000 + 0.5) / 10000.0
+             AS mean_pixel,
+           LIST_MAX(p) AS max_pixel,
+           CAST({len(_PPM_HDR) + 3 * _PPM_W * _PPM_H} AS BIGINT) AS n_bytes
+    FROM px
+    """,
+    doc="Second REAL image codec under the correctness gate: per document "
+    f"a deterministic {_PPM_W}x{_PPM_H} image (pixel j = (doc_id*53 + "
+    "j*13) %% 256) encoded as binary P6 netpbm with r=g=b — decoded "
+    "through decode_image's netpbm branch, whose channel-sum gray "
+    "((r+g+b)//3 = the pixel, exactly) must round-trip for the stats to "
+    "match the oracle.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_image_ppm(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from roapi_spark.util import pround
+
+    ids = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                flat = np.array(
+                    [(int(i) * 53 + j * 13) % 256 for j in range(_PPM_W * _PPM_H)],
+                    dtype=np.uint8,
+                )
+                rgb = np.repeat(flat, 3).tobytes()  # r=g=b per pixel
+                rows.append((int(i), _PPM_HDR + rgb))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    corpus = ids.mapInPandas(gen, "id bigint, content binary")
+    stats = image_stats(corpus)
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        pround(F.col("mean_pixel")).alias("mean_pixel"),
+        "max_pixel",
+        "n_bytes",
+    )

@@ -186,7 +186,8 @@ def main() -> None:
                   "dedup_components", "q_ngram_novelty",
                   "dedup_substring_spans", "dedup_incremental", "ann_sq8",
                   "q_asof_join", "q_range_join", "text_tfidf_topk",
-                  "q_dedup_method_agreement"):
+                  "q_dedup_method_agreement", "q_heaps_law",
+                  "q_packing_efficiency", "q_ann_recall"):
             best = None
             for _ in range(2):
                 t, _n = timed(lambda: specs[q].builder(spark, sf_dir).count())
@@ -208,7 +209,8 @@ def main() -> None:
               "dedup_components_s", "q_ngram_novelty_s",
               "dedup_substring_spans_s", "dedup_incremental_s", "ann_sq8_s",
               "q_asof_join_s", "q_range_join_s", "text_tfidf_topk_s",
-              "q_dedup_method_agreement_s"):
+              "q_dedup_method_agreement_s", "q_heaps_law_s",
+              "q_packing_efficiency_s", "q_ann_recall_s"):
         print(f"| {k} | {a[k]} | {b[k]} | {ratio(k)}x |")
     print(json.dumps({"sf0.1": a, "sf1": b}))
 
