@@ -1265,3 +1265,82 @@ def multimodal_image_ppm(spark, sf_dir: str) -> DataFrame:
         "max_pixel",
         "n_bytes",
     )
+
+
+_AIFF_RATE, _AIFF_N = 8000, 160
+
+
+@register(
+    "multimodal_audio_aiff",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_AIFF_N - 1}),
+                            j -> ((doc_id * 41 + j * 13) % 4096) - 2048) AS x
+      FROM documents
+    )
+    SELECT doc_id,
+           {_AIFF_RATE} AS sample_rate,
+           CAST({_AIFF_N} AS BIGINT) AS n_samples,
+           {_AIFF_N} / {_AIFF_RATE}.0 AS duration_s,
+           FLOOR(SQRT(LIST_SUM(LIST_TRANSFORM(x, v -> v * v)) / {_AIFF_N}.0)
+                 * 10000 + 0.5) / 10000.0 AS rms,
+           CAST(LIST_MAX(LIST_TRANSFORM(x, v -> ABS(v))) AS INTEGER) AS peak
+    FROM s
+    """,
+    doc="Second REAL audio codec under the correctness gate: per document "
+    "a stereo PCM AIFF blob (big-endian samples — the opposite byte "
+    "order from WAV — channel 0 = the deterministic formula, channel 1 "
+    "silence) written with the stdlib aifc module and decoded through "
+    "decode_audio's AIFF branch. Byte order AND de-interleaving are "
+    "load-bearing for the oracle match.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_audio_aiff(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from roapi_spark.util import pround
+
+    ids = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import aifc
+
+        class _KeepOpen(io.BytesIO):
+            def close(self):  # aifc closes the sink; keep the bytes
+                pass
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                mono = np.array(
+                    [((int(i) * 41 + j * 13) % 4096) - 2048
+                     for j in range(_AIFF_N)],
+                    dtype=np.int16,
+                )
+                stereo = np.zeros(2 * _AIFF_N, dtype=">i2")
+                stereo[0::2] = mono
+                buf = _KeepOpen()
+                with aifc.open(buf, "wb") as a:
+                    a.setnchannels(2)
+                    a.setsampwidth(2)
+                    a.setframerate(_AIFF_RATE)
+                    a.writeframes(stereo.tobytes())
+                rows.append((int(i), buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    corpus = ids.mapInPandas(gen, "id bigint, content binary")
+    stats = audio_stats(corpus)
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "duration_s",
+        pround(F.col("rms")).alias("rms"),
+        "peak",
+    )
