@@ -553,3 +553,110 @@ def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+def _ivfsq8_oracle_sql() -> str:
+    from roapi_spark.functions.similarity import DIM, kmeans_oracle_prefix
+
+    return f"""
+    WITH {kmeans_oracle_prefix()},
+    mm AS (
+      SELECT t.i, MIN(e.vq[t.i]) AS lo, MAX(e.vq[t.i]) AS hi
+      FROM e CROSS JOIN UNNEST(GENERATE_SERIES(1, {DIM})) AS t(i)
+      GROUP BY t.i
+    ),
+    codes AS (
+      SELECT e.vec_id,
+             LIST(CASE WHEN mm.hi > mm.lo
+                  THEN CAST(FLOOR((e.vq[t.i] - mm.lo) * {SQ_LEVELS}
+                            / CAST(mm.hi - mm.lo AS DOUBLE)) AS BIGINT)
+                  ELSE 0 END ORDER BY mm.i) AS cq
+      FROM e CROSS JOIN UNNEST(GENERATE_SERIES(1, {DIM})) AS t(i)
+        JOIN mm ON mm.i = t.i
+      GROUP BY e.vec_id
+    ),
+    q AS (SELECT af.vec_id AS qid, af.cid AS qcid, c.cq AS qcq
+          FROM af JOIN codes c ON c.vec_id = af.vec_id
+          WHERE af.vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT q.qid, q.qcq, c.vec_id AS neighbor_id, c.cq
+      FROM q JOIN af a ON a.cid = q.qcid AND a.vec_id <> q.qid
+        JOIN codes c ON c.vec_id = a.vec_id
+    ),
+    scored AS (
+      SELECT qid, neighbor_id,
+             LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {DIM}),
+               i -> (qcq[i] - cq[i]) * (qcq[i] - cq[i]))) AS sq_dist
+      FROM cand
+    ),
+    ranked AS (
+      SELECT qid, neighbor_id, sq_dist,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY sq_dist, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, neighbor_id, CAST(sq_dist AS BIGINT) AS sq_dist,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+@register(
+    "ann_ivfsq8",
+    oracle=_ivfsq8_oracle_sql(),
+    doc="IVF-SQ8 — the second production ANN composition next to IVF-PQ "
+    "(FAISS's 'IVF<k>,SQ8'): the k-means coarse quantizer prunes the "
+    "search to the query's cid= partition of the persisted ivf_layout, "
+    "and candidates are ranked by integer L2 over the persisted SQ8 "
+    "codes — both artifacts build once per snapshot; serving joins two "
+    "code-sized tables and never touches the embedding column. Fully "
+    "integer-exact, so the composed oracle (unrolled Lloyd's + per-dim "
+    "range quantization) matches bit-for-bit.",
+    tags=("similarity",),
+)
+def ann_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.similarity import ivf_layout
+
+    ivf_dir, _cents = ivf_layout(spark, sf_dir)
+    codes = spark.read.parquet(sq8_layout(spark, sf_dir))
+    assign = spark.read.parquet(ivf_dir).select("vec_id", "cid")
+    q = (
+        assign.join(codes, "vec_id")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("cid").alias("qcid"),
+            F.col("cq").alias("qcq"),
+        )
+    )
+    probe = [int(r.qcid) for r in q.select("qcid").distinct().collect()]
+    # static IN-list -> planning-time partition pruning of the IVF layout
+    cand = (
+        spark.read.parquet(ivf_dir)
+        .filter(F.col("cid").isin(probe))
+        .select("vec_id", "cid")
+        .join(codes, "vec_id")
+        .join(
+            F.broadcast(q),
+            (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("qid")),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qcq"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, y: acc + y,
+    )
+    scored = cand.select(
+        "qid", F.col("vec_id").alias("neighbor_id"), dist.alias("sq_dist")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sq_dist").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "qid",
+            "neighbor_id",
+            F.col("sq_dist").cast("bigint").alias("sq_dist"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
