@@ -44,6 +44,8 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
     zipf = run("q_zipf_slope")[0]
     heaps = run("q_heaps_law")[0]
     packing = run("q_packing_efficiency")
+    recall = run("q_ann_recall")[0]
+    recall_np = run("q_ann_recall_nprobe")[0]
 
     lines = [
         f"# Corpus data card — `{sf_dir}`",
@@ -106,6 +108,9 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
         f"- Heaps beta (vocab growth): **{heaps['heaps_beta']}** "
         f"(r2={heaps['r2']}; natural text ~ 0.4-0.6 — a flat curve means "
         "templated/synthetic text)",
+        f"- ANN recall@5 vs exact: IVF single-probe "
+        f"**{recall['recall_at_5']}**, multi-probe "
+        f"**{recall_np['recall_at_5']}** (the nprobe dial)",
         "",
     ]
     summary = {
@@ -117,6 +122,7 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
         "zipf_slope": zipf["zipf_slope"],
         "heaps_beta": heaps["heaps_beta"],
         "lsh_recall_misses": agreement.get("jaccard_only", 0),
+        "ann_recall_at_5": recall["recall_at_5"],
     }
     return "\n".join(lines), summary
 
