@@ -144,11 +144,156 @@ def decode_image(blob: bytes) -> np.ndarray:
         return (
             arr.reshape(h, w, 3).astype(np.uint32).sum(axis=2) // 3
         ).astype(np.uint8)
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(blob)
     # real formats: gate on the actual codec dependency
     raise NotImplementedError(
         "real image decode requires PIL/pillow (not in this container); "
-        "only the FIMG synthetic format, uncompressed 24-bit BMP, and "
-        "8-bit netpbm (PGM/PPM) decode here"
+        "only the FIMG synthetic format, uncompressed 24-bit BMP, "
+        "8-bit netpbm (PGM/PPM), and 8-bit non-interlaced PNG decode here"
+    )
+
+
+# PNG color type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(blob: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib inflate + scanline unfilter), the
+    third REAL image codec: 8-bit gray/RGB/gray-alpha/RGBA, interlace
+    none. 16-bit, palette, and Adam7 gate on PIL with the dependency
+    named. Chunk CRCs are verified (zlib.crc32) so corruption fails
+    loudly instead of decoding garbage."""
+    import zlib
+
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(blob):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", blob[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit_depth={depth} color_type={color} requires PIL/pillow; "
+            "only 8-bit gray/RGB(A) decodes here"
+        )
+    if interlace != 0:
+        raise NotImplementedError(
+            "Adam7-interlaced PNG requires PIL/pillow; only interlace=0 here"
+        )
+    if comp != 0 or filt != 0 or w == 0 or h == 0:
+        raise ValueError(f"malformed PNG IHDR: comp={comp} filt={filt} {w}x{h}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG scanline data: {len(raw)} != {h * (stride + 1)}")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).astype(
+            np.int32
+        )
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up: vectorized, no intra-row dependency
+            rec = (line + prev) & 0xFF
+        else:
+            rec = line.copy()
+            if ft == 1:  # Sub
+                for x in range(ch, stride):
+                    rec[x] = (rec[x] + rec[x - ch]) & 0xFF
+            elif ft == 3:  # Average
+                for x in range(stride):
+                    left = rec[x - ch] if x >= ch else 0
+                    rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth
+                for x in range(stride):
+                    a = int(rec[x - ch]) if x >= ch else 0
+                    b = int(prev[x])
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    rec[x] = (rec[x] + pr) & 0xFF
+            else:
+                raise ValueError(f"bad PNG scanline filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+    px = out.reshape(h, w, ch)
+    if color == 0:
+        return px[:, :, 0]
+    if color == 4:  # gray+alpha: alpha dropped
+        return px[:, :, 0]
+    # RGB / RGBA: integer gray, alpha dropped — same rule as the BMP branch
+    return (px[:, :, :3].astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+
+
+def encode_png(gray: np.ndarray) -> bytes:
+    """Deterministic grayscale PNG encoder (stdlib zlib). Scanline filter
+    cycles y %% 5 through None/Sub/Up/Average/Paeth so every unfilter
+    path in the decoder is load-bearing for a round-trip."""
+    import zlib
+
+    h, w = gray.shape
+    g = gray.astype(np.int32)
+    lines = []
+    for y in range(h):
+        ft = y % 5
+        row = g[y]
+        prev = g[y - 1] if y else np.zeros(w, np.int32)
+        if ft == 0:
+            f = row
+        elif ft == 1:  # Sub
+            f = (row - np.concatenate(([0], row[:-1]))) & 0xFF
+        elif ft == 2:  # Up
+            f = (row - prev) & 0xFF
+        elif ft == 3:  # Average
+            left = np.concatenate(([0], row[:-1]))
+            f = (row - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            a = np.concatenate(([0], row[:-1]))
+            b = prev
+            c = np.concatenate(([0], prev[:-1]))
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pr = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            f = (row - pr) & 0xFF
+        lines.append(bytes([ft]) + f.astype(np.uint8).tobytes())
+    raw = b"".join(lines)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
     )
 
 
@@ -1264,6 +1409,66 @@ def multimodal_image_ppm(spark, sf_dir: str) -> DataFrame:
         pround(F.col("mean_pixel")).alias("mean_pixel"),
         "max_pixel",
         "n_bytes",
+    )
+
+
+_PNG_W, _PNG_H = 23, 11  # >= 10 rows so the y%5 filter cycle covers
+#                          every scanline filter type at least twice
+
+
+@register(
+    "multimodal_image_png",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_PNG_W * _PNG_H - 1}),
+                            j -> (doc_id * 59 + j * 17) % 256) AS p
+      FROM documents
+    )
+    SELECT doc_id,
+           {_PNG_W} AS width,
+           {_PNG_H} AS height,
+           FLOOR(LIST_SUM(p) / {float(_PNG_W * _PNG_H)} * 10000 + 0.5) / 10000.0
+             AS mean_pixel,
+           LIST_MAX(p) AS max_pixel
+    FROM px
+    """,
+    doc="Third REAL image codec under the correctness gate: per document "
+    f"a deterministic {_PNG_W}x{_PNG_H} grayscale image (pixel j = "
+    "(doc_id*59 + j*17) %% 256) is encoded as a genuine PNG (stdlib "
+    "zlib deflate, chunk CRCs, scanline filter cycling y%%5 through "
+    "None/Sub/Up/Average/Paeth) and decoded through decode_image's PNG "
+    "branch — inflate + all five unfilter paths must round-trip exactly "
+    "for the stats to match the oracle. n_bytes is omitted from the "
+    "projection because deflate output length is not SQL-expressible.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_image_png(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from roapi_spark.util import pround
+
+    ids = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                flat = np.array(
+                    [(int(i) * 59 + j * 17) % 256 for j in range(_PNG_W * _PNG_H)],
+                    dtype=np.uint8,
+                )
+                rows.append((int(i), encode_png(flat.reshape(_PNG_H, _PNG_W))))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    corpus = ids.mapInPandas(gen, "id bigint, content binary")
+    stats = image_stats(corpus)
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        pround(F.col("mean_pixel")).alias("mean_pixel"),
+        "max_pixel",
     )
 
 

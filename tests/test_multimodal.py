@@ -335,3 +335,94 @@ def test_aiff_decode_roundtrip():
     assert (arr == pcm).all()  # channel 0
     with pytest.raises(ValueError, match="malformed AIFF"):
         decode_audio(make(1)[:40])
+
+
+def test_png_roundtrip_all_filters():
+    # >= 10 rows: the encoder's y % 5 filter cycle covers every scanline
+    # filter (None/Sub/Up/Average/Paeth) at least twice
+    import numpy as np
+
+    from roapi_spark.functions.multimodal import decode_image, encode_png
+
+    rng = np.random.default_rng(11)
+    for h, w in [(11, 23), (1, 1), (12, 2), (37, 64)]:
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_png(img)), img)
+    # smooth gradient: Average/Paeth predictors produce non-trivial deltas
+    grad = (np.add.outer(np.arange(50) * 3, np.arange(40) * 5) % 256).astype(
+        np.uint8
+    )
+    assert np.array_equal(decode_image(encode_png(grad)), grad)
+
+
+def test_png_color_types_gray_rule():
+    # RGB (color 2) and RGBA (color 6) reduce to (r+g+b)//3 with alpha
+    # dropped — the same integer-gray rule as the BMP branch
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from roapi_spark.functions.multimodal import decode_image
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.default_rng(5)
+    h, w = 4, 6
+    rgba = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    want = (rgba[:, :, :3].astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+    assert np.array_equal(decode_image(blob), want)
+
+
+def test_png_gates_name_dependency():
+    # 16-bit and Adam7 gate on PIL by name; corruption is a loud ValueError
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from roapi_spark.functions.multimodal import decode_image, encode_png
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    with _pytest.raises(NotImplementedError, match="pillow"):
+        decode_image(
+            sig
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + chunk(b"IEND", b"")
+        )
+    with _pytest.raises(NotImplementedError, match="Adam7"):
+        decode_image(
+            sig
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 12))
+            + chunk(b"IEND", b"")
+        )
+    good = bytearray(
+        encode_png(np.arange(36, dtype=np.uint8).reshape(6, 6))
+    )
+    good[40] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+    with _pytest.raises(ValueError):
+        decode_image(bytes(good))
