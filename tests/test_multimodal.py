@@ -426,3 +426,86 @@ def test_png_gates_name_dependency():
     good[40] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
     with _pytest.raises(ValueError):
         decode_image(bytes(good))
+
+
+def test_g711_tables_match_public_anchors():
+    import numpy as np
+
+    from roapi_spark.functions.multimodal import _g711_alaw_table, _g711_ulaw_table
+
+    ut, at = _g711_ulaw_table(), _g711_alaw_table()
+    # ITU G.711 anchors: mu-law extremes and both zero codes; A-law +-8
+    # at the idle codes and +-32256 extremes (A-law MSB set = POSITIVE)
+    assert ut[0x00] == -32124 and ut[0x80] == 32124
+    assert ut[0xFF] == 0 and ut[0x7F] == 0
+    assert at[0xD5] == 8 and at[0x55] == -8
+    assert at[0xAA] == 32256 and at[0x2A] == -32256
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop  # stdlib through 3.12: byte-exact cross-check
+    except ImportError:
+        return
+    raw = bytes(range(256))
+    assert np.array_equal(
+        ut, np.frombuffer(audioop.ulaw2lin(raw, 2), dtype="<i2")
+    )
+    assert np.array_equal(
+        at, np.frombuffer(audioop.alaw2lin(raw, 2), dtype="<i2")
+    )
+
+
+def test_g711_wav_decode_roundtrip():
+    import numpy as np
+
+    from roapi_spark.functions.multimodal import (
+        _g711_ulaw_compress,
+        _g711_ulaw_table,
+        decode_audio,
+        encode_g711_wav,
+    )
+
+    tab = _g711_ulaw_table()
+    # compress(expand(code)) is the identity except negative zero
+    # (0x7F and 0xFF both decode to 0; the canonical encoder emits 0xFF)
+    codes = np.arange(256, dtype=np.uint8)
+    back = _g711_ulaw_compress(tab.astype(np.int32))
+    ok = (back == codes) | ((codes == 0x7F) & (back == 0xFF))
+    assert ok.all()
+    # table-valued samples survive a WAV round trip exactly
+    rate, out = decode_audio(encode_g711_wav(8000, tab[40:200].astype(np.int16)))
+    assert rate == 8000 and np.array_equal(out, tab[40:200])
+    # arbitrary pcm: companding error bounded by the largest segment step
+    rng = np.random.default_rng(9)
+    pcm = rng.integers(-30000, 30000, size=400, dtype=np.int16)
+    _, out = decode_audio(encode_g711_wav(8000, pcm))
+    assert np.abs(out.astype(np.int32) - pcm.astype(np.int32)).max() < 1024
+
+
+def test_g711_alaw_wav_and_stereo():
+    import struct
+
+    import numpy as np
+
+    from roapi_spark.functions.multimodal import _g711_alaw_table, decode_audio
+
+    # hand-built A-law (format tag 6) stereo container: channel 0 kept
+    codes_l = np.arange(0, 160, dtype=np.uint8)
+    codes_r = np.full(160, 0xD5, dtype=np.uint8)  # A-law idle code
+    inter = np.empty(320, dtype=np.uint8)
+    inter[0::2], inter[1::2] = codes_l, codes_r
+    data = inter.tobytes()
+    blob = (
+        b"RIFF"
+        + struct.pack("<I", 38 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHHH", 18, 6, 2, 8000, 16000, 2, 8, 0)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    rate, out = decode_audio(blob)
+    assert rate == 8000
+    assert np.array_equal(out, _g711_alaw_table()[codes_l])
