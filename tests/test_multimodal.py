@@ -509,3 +509,50 @@ def test_g711_alaw_wav_and_stereo():
     rate, out = decode_audio(blob)
     assert rate == 8000
     assert np.array_equal(out, _g711_alaw_table()[codes_l])
+
+
+def test_gif_roundtrip_and_interlace():
+    import numpy as np
+
+    from roapi_spark.functions.multimodal import decode_image, encode_gif
+
+    rng = np.random.default_rng(13)
+    for h, w in [(1, 1), (7, 5), (11, 23), (64, 96)]:
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_gif(img)), img)
+        assert np.array_equal(
+            decode_image(encode_gif(img, interlace=True)), img
+        )
+    # long runs: dictionary reuse + the KwKwK special case
+    flat = np.zeros((40, 50), dtype=np.uint8)
+    flat[10:20] = 200
+    flat[:, 5] = 9
+    assert np.array_equal(decode_image(encode_gif(flat)), flat)
+    # large gradient: several LZW width growths and a 4096-cap clear
+    grad = (np.add.outer(np.arange(200), np.arange(300)) % 251).astype(np.uint8)
+    assert np.array_equal(decode_image(encode_gif(grad)), grad)
+
+
+def test_gif_real_world_fixture():
+    # the canonical public 1x1 transparent GIF (spacer.gif) — a byte
+    # stream produced by a real encoder, not our own round trip
+    import base64
+
+    from roapi_spark.functions.multimodal import decode_image
+
+    tiny = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    out = decode_image(tiny)
+    assert out.shape == (1, 1) and out[0, 0] == 0
+
+
+def test_gif_corruption_is_loud():
+    import numpy as np
+    import pytest as _pytest
+
+    from roapi_spark.functions.multimodal import decode_image, encode_gif
+
+    good = bytearray(encode_gif(np.arange(100, dtype=np.uint8).reshape(10, 10)))
+    with _pytest.raises(ValueError):
+        decode_image(bytes(good[: len(good) // 2]))  # truncated pixel data
