@@ -64,6 +64,8 @@ def decode_image(blob: bytes) -> np.ndarray:
     orientation; gray = (r+g+b)//3). Anything else gates on the named
     codec dependency."""
     if blob[:4] == IMG_MAGIC:
+        if len(blob) < 12:
+            raise ValueError("truncated FIMG header")
         w, h = struct.unpack(">II", blob[4:12])
         return np.frombuffer(blob[12 : 12 + w * h], dtype=np.uint8).reshape(h, w)
     if blob[:2] == b"BM":
@@ -147,7 +149,12 @@ def decode_image(blob: bytes) -> np.ndarray:
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(blob)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
-        return _decode_gif(blob)
+        try:
+            return _decode_gif(blob)
+        except (struct.error, IndexError) as exc:
+            # truncated headers/descriptors surface as short unpacks;
+            # callers get one loud, catchable error type
+            raise ValueError(f"malformed GIF: {exc}") from exc
     # real formats: gate on the actual codec dependency
     raise NotImplementedError(
         "real image decode requires PIL/pillow (not in this container); "
@@ -519,6 +526,8 @@ def decode_audio(blob: bytes) -> tuple[int, np.ndarray]:
     DuckDB gate via ``multimodal_audio_wav``); anything else gates on
     the named codec dependency."""
     if blob[:4] == AUD_MAGIC:
+        if len(blob) < 12:
+            raise ValueError("truncated FAUD header")
         rate, n = struct.unpack(">II", blob[4:12])
         return rate, np.frombuffer(blob[12 : 12 + 2 * n], dtype="<i2")
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
@@ -531,8 +540,11 @@ def decode_audio(blob: bytes) -> tuple[int, np.ndarray]:
                 channels = w.getnchannels()
                 width = w.getsampwidth()
                 raw = w.readframes(w.getnframes())
-        except (wave.Error, EOFError) as exc:
-            # the stdlib wave module only reads PCM; companded G.711
+        except (wave.Error, EOFError, RuntimeError, struct.error) as exc:
+            # wave.Error/EOFError on most malformed inputs, but CPython's
+            # wave also leaks bare RuntimeError (initfp) and struct.error
+            # on some truncated headers — normalize them all.
+            # The stdlib wave module only reads PCM; companded G.711
             # telephony WAV (format tags 6 = A-law, 7 = mu-law) is decoded
             # by a direct RIFF chunk walk + the public G.711 expansion
             g711 = _try_decode_g711_wav(blob)
@@ -569,7 +581,7 @@ def decode_audio(blob: bytes) -> tuple[int, np.ndarray]:
                 width = a.getsampwidth()
                 comp = a.getcomptype()
                 raw = a.readframes(a.getnframes())
-        except (aifc.Error, EOFError, struct.error) as exc:
+        except (aifc.Error, EOFError, RuntimeError, struct.error) as exc:
             raise ValueError(f"malformed AIFF blob: {exc}") from exc
         if comp not in (b"NONE", b"sowt"):
             raise NotImplementedError(
@@ -689,6 +701,8 @@ def encode_wav(rate: int, pcm: np.ndarray, channels: int = 1) -> bytes:
 def decode_video(blob: bytes) -> np.ndarray:
     """-> (n_frames, height, width) uint8 array."""
     if blob[:4] == VID_MAGIC:
+        if len(blob) < 16:
+            raise ValueError("truncated FVID header")
         n, w, h = struct.unpack(">III", blob[4:16])
         return np.frombuffer(blob[16 : 16 + n * w * h], dtype=np.uint8).reshape(n, h, w)
     raise NotImplementedError(

@@ -55,8 +55,9 @@ def test_frame_sample_fanout(spark):
 
 
 def test_real_codec_is_gated(spark, images):
+    # JPEG stays gated (PNG/GIF/BMP/netpbm now decode for real)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n garbage")
+        decode_image(b"\xff\xd8\xff\xe0 jfif garbage")
 
 
 def test_with_meta(spark, images):
@@ -129,7 +130,7 @@ def test_real_codec_gates_name_dependency():
     )
 
     with pytest.raises(NotImplementedError, match="PIL|pillow"):
-        decode_image(b"\x89PNG\r\n\x1a\n garbage")
+        decode_image(b"\xff\xd8\xff\xe0 jfif garbage")  # JPEG: still gated
     with pytest.raises(NotImplementedError, match="soundfile|libav"):
         decode_audio(b"OggS garbage")
     with pytest.raises(NotImplementedError, match="pyav|ffmpeg"):
