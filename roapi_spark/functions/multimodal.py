@@ -155,12 +155,17 @@ def decode_image(blob: bytes) -> np.ndarray:
             # truncated headers/descriptors surface as short unpacks;
             # callers get one loud, catchable error type
             raise ValueError(f"malformed GIF: {exc}") from exc
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        try:
+            return _decode_tiff(blob)
+        except (struct.error, IndexError) as exc:
+            raise ValueError(f"malformed TIFF: {exc}") from exc
     # real formats: gate on the actual codec dependency
     raise NotImplementedError(
         "real image decode requires PIL/pillow (not in this container); "
         "only the FIMG synthetic format, uncompressed 24-bit BMP, "
-        "8-bit netpbm (PGM/PPM), 8-bit non-interlaced PNG, and GIF "
-        "decode here"
+        "8-bit netpbm (PGM/PPM), 8-bit non-interlaced PNG, GIF, and "
+        "uncompressed baseline TIFF decode here"
     )
 
 
@@ -309,6 +314,115 @@ def encode_png(gray: np.ndarray) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+# TIFF field types -> (struct char, size); the subset classic baseline
+# files use for the tags we read
+_TIFF_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}
+
+
+def _decode_tiff(blob: bytes) -> np.ndarray:
+    """Pure-stdlib baseline TIFF decode (TIFF 6.0 baseline, the fifth
+    REAL image codec): both byte orders, uncompressed strips, 8-bit
+    gray (photometric 0/1) and RGB, multi-strip. LZW/JPEG/deflate
+    compression, tiles, and 16-bit samples gate on PIL by name."""
+    bo = "<" if blob[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(bo + "I", blob[4:8])
+    (n_entries,) = struct.unpack(bo + "H", blob[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        tag, ftype, count = struct.unpack(bo + "HHI", blob[e : e + 8])
+        if ftype not in _TIFF_TYPES:
+            continue  # rationals etc. — not needed for the tags we read
+        ch, size = _TIFF_TYPES[ftype]
+        total = size * count
+        if total <= 4:
+            raw = blob[e + 8 : e + 8 + total]
+        else:
+            (off,) = struct.unpack(bo + "I", blob[e + 8 : e + 12])
+            raw = blob[off : off + total]
+        if len(raw) < total:
+            raise ValueError("truncated TIFF tag data")
+        tags[tag] = list(struct.unpack(f"{bo}{count}{ch}", raw))
+
+    def one(tag: int, default: int | None = None) -> int:
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"malformed TIFF: missing tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    compression = one(259, 1)
+    photometric = one(262)
+    spp = one(277, 1)
+    bps = tags.get(258, [8])
+    if compression != 1:
+        raise NotImplementedError(
+            f"TIFF compression {compression} requires PIL/pillow; only "
+            "uncompressed baseline strips decode here"
+        )
+    if any(b != 8 for b in bps):
+        raise NotImplementedError(
+            f"TIFF bits-per-sample {bps} requires PIL/pillow; only 8-bit "
+            "decodes here"
+        )
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError(
+            "tiled TIFF requires PIL/pillow; only stripped decodes here"
+        )
+    if photometric not in (0, 1, 2) or spp not in (1, 3, 4):
+        raise NotImplementedError(
+            f"TIFF photometric={photometric} spp={spp} requires PIL/pillow"
+        )
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("malformed TIFF: strip offsets/counts")
+    data = b"".join(blob[o : o + c] for o, c in zip(offsets, counts))
+    need = w * h * spp
+    if len(data) < need or w == 0 or h == 0:
+        raise ValueError(f"truncated TIFF strips: {len(data)} < {need}")
+    px = np.frombuffer(data[:need], dtype=np.uint8).reshape(h, w, spp)
+    if photometric == 2:  # RGB(A): integer gray, extra samples dropped
+        return (px[:, :, :3].astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+    gray = px[:, :, 0]
+    if photometric == 0:  # WhiteIsZero: invert to the usual polarity
+        gray = (255 - gray.astype(np.int32)).astype(np.uint8)
+    return gray
+
+
+def encode_tiff(gray: np.ndarray, big_endian: bool = False) -> bytes:
+    """Deterministic single-strip 8-bit grayscale baseline TIFF encoder
+    (both byte orders, for fixtures/tests)."""
+    bo = ">" if big_endian else "<"
+    h, w = gray.shape
+    data = gray.astype(np.uint8).tobytes()
+    # layout: header(8) | pixel data | IFD
+    ifd_off = 8 + len(data)
+    entries = [  # tag, type, count, value  (all short/long, inline)
+        (256, 3, 1, w),  # ImageWidth
+        (257, 3, 1, h),  # ImageLength
+        (258, 3, 1, 8),  # BitsPerSample
+        (259, 3, 1, 1),  # Compression: none
+        (262, 3, 1, 1),  # Photometric: BlackIsZero
+        (273, 4, 1, 8),  # StripOffsets: right after the header
+        (277, 3, 1, 1),  # SamplesPerPixel
+        (278, 3, 1, h),  # RowsPerStrip: single strip
+        (279, 4, 1, len(data)),  # StripByteCounts
+    ]
+    ifd = struct.pack(bo + "H", len(entries))
+    for tag, ftype, count, val in entries:
+        packed = struct.pack(bo + ("I" if ftype == 4 else "H"), val)
+        packed += b"\x00" * (4 - len(packed))
+        ifd += struct.pack(bo + "HHI", tag, ftype, count) + packed
+    ifd += struct.pack(bo + "I", 0)  # no next IFD
+    hdr = (b"II*\x00" if not big_endian else b"MM\x00*") + struct.pack(
+        bo + "I", ifd_off
+    )
+    return hdr + data + ifd
 
 
 def _gif_lzw_decode(min_cs: int, data: bytes, n_expected: int) -> bytes:
@@ -1967,4 +2081,67 @@ def multimodal_image_gif(spark, sf_dir: str) -> DataFrame:
         "height",
         pround(F.col("mean_pixel")).alias("mean_pixel"),
         "max_pixel",
+    )
+
+
+_TIF_W, _TIF_H = 21, 12
+
+
+@register(
+    "multimodal_image_tiff",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_TIF_W * _TIF_H - 1}),
+                            j -> (doc_id * 71 + j * 23) % 256) AS p
+      FROM documents
+    )
+    SELECT doc_id,
+           {_TIF_W} AS width,
+           {_TIF_H} AS height,
+           FLOOR(LIST_SUM(p) / {float(_TIF_W * _TIF_H)} * 10000 + 0.5) / 10000.0
+             AS mean_pixel,
+           LIST_MAX(p) AS max_pixel,
+           CAST({8 + _TIF_W * _TIF_H + 2 + 9 * 12 + 4} AS BIGINT) AS n_bytes
+    FROM px
+    """,
+    doc="Fifth REAL image codec under the correctness gate: per document "
+    f"a deterministic {_TIF_W}x{_TIF_H} grayscale image (pixel j = "
+    "(doc_id*71 + j*23) %% 256) written as a genuine single-strip "
+    "baseline TIFF — EVEN doc_ids little-endian (II), ODD big-endian "
+    "(MM), so both byte-order paths of the IFD walk are load-bearing — "
+    "and decoded through decode_image's TIFF branch. The fixed header+"
+    "IFD layout makes n_bytes SQL-expressible, unlike PNG/GIF.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_image_tiff(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from roapi_spark.util import pround
+
+    ids = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                flat = np.array(
+                    [(int(i) * 71 + j * 23) % 256 for j in range(_TIF_W * _TIF_H)],
+                    dtype=np.uint8,
+                )
+                blob = encode_tiff(
+                    flat.reshape(_TIF_H, _TIF_W), big_endian=bool(int(i) % 2)
+                )
+                rows.append((int(i), blob))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    corpus = ids.mapInPandas(gen, "id bigint, content binary")
+    stats = image_stats(corpus)
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        pround(F.col("mean_pixel")).alias("mean_pixel"),
+        "max_pixel",
+        "n_bytes",
     )

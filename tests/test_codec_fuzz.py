@@ -17,6 +17,7 @@ from roapi_spark.functions.multimodal import (
     encode_g711_wav,
     encode_gif,
     encode_png,
+    encode_tiff,
     encode_wav,
 )
 
@@ -39,13 +40,18 @@ def test_image_decoders_fail_closed(seed):
     rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
     cases = []
-    for magic in (b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"P6", b"P5"):
+    for magic in (
+        b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"P6", b"P5",
+        b"II*\x00", b"MM\x00*",
+    ):
         cases += [magic + rng.bytes(int(rng.integers(0, 80))) for _ in range(200)]
     for whole, keep in [
         (encode_png(img), 8),
         (encode_gif(img), 6),
         (encode_gif(img, interlace=True), 6),
         (encode_bmp(img), 2),
+        (encode_tiff(img), 4),
+        (encode_tiff(img, big_endian=True), 4),
     ]:
         cases += _corruptions(whole, rng, 200, keep)
     for blob in cases:

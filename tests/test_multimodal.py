@@ -557,3 +557,48 @@ def test_gif_corruption_is_loud():
     good = bytearray(encode_gif(np.arange(100, dtype=np.uint8).reshape(10, 10)))
     with _pytest.raises(ValueError):
         decode_image(bytes(good[: len(good) // 2]))  # truncated pixel data
+
+
+def test_tiff_roundtrip_both_byte_orders():
+    import numpy as np
+
+    from roapi_spark.functions.multimodal import decode_image, encode_tiff
+
+    rng = np.random.default_rng(21)
+    for h, w in [(1, 1), (11, 23), (64, 96)]:
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_tiff(img)), img)
+        assert np.array_equal(
+            decode_image(encode_tiff(img, big_endian=True)), img
+        )
+
+
+def test_tiff_photometric_and_gates():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from roapi_spark.functions.multimodal import decode_image, encode_tiff
+
+    g = np.arange(20, dtype=np.uint8).reshape(4, 5)
+
+    def set_tag(blob: bytes, tag: int, val: int) -> bytes:
+        b = bytearray(blob)
+        (ifd0,) = struct.unpack("<I", bytes(b[4:8]))
+        (n,) = struct.unpack("<H", bytes(b[ifd0 : ifd0 + 2]))
+        for i in range(n):
+            e = ifd0 + 2 + 12 * i
+            if struct.unpack("<H", bytes(b[e : e + 2]))[0] == tag:
+                b[e + 8 : e + 10] = struct.pack("<H", val)
+        return bytes(b)
+
+    base = encode_tiff(g)
+    # photometric 0 (WhiteIsZero): scanned-fax polarity inverts
+    assert np.array_equal(decode_image(set_tag(base, 262, 0)), 255 - g)
+    # LZW compression gates on PIL by name
+    with _pytest.raises(NotImplementedError, match="pillow"):
+        decode_image(set_tag(base, 259, 5))
+    # truncating the strip data is a loud ValueError
+    with _pytest.raises(ValueError):
+        decode_image(base[: 8 + 10])
