@@ -1,0 +1,209 @@
+"""Delta Lake writer (pure-Python transaction log + Spark parquet data).
+
+The symmetric half of ``roapi_spark/sources/delta.py``: data files are
+written by Spark's parquet writer (distributed, scales with the
+cluster), then ONE driver-side commit publishes them atomically by
+appending a JSON entry to ``_delta_log/`` with O_EXCL create — the same
+optimistic-concurrency rule delta-rs uses on a local/HDFS store, so a
+racing writer loses with a clear conflict error instead of corrupting
+the table. Protocol is pinned at (1, 2): no reader features are
+required, so ANY Delta reader (including this repo's own log replay and
+the reference's delta-rs scan, columnq/src/table/delta.rs) can read the
+output.
+
+At 100 TB the data volume moves through executors; the log entry is
+KB-scale driver work per commit — the standard Delta architecture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from urllib.parse import quote, unquote
+
+from pyspark.sql import DataFrame
+
+
+class DeltaWriteError(Exception):
+    pass
+
+
+class DeltaCommitConflict(DeltaWriteError):
+    """Another writer committed the same version first (optimistic
+    concurrency loss). Re-read the table state and retry."""
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_delta_log")
+
+
+def _existing_versions(log_dir: str) -> list[int]:
+    if not os.path.isdir(log_dir):
+        return []
+    out = []
+    for name in os.listdir(log_dir):
+        stem, ext = os.path.splitext(name)
+        if ext == ".json" and len(stem) == 20 and stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def _relocate_staging(staging: str, dest: str) -> list[str]:
+    """Move part files (preserving hive partition subdirs) from the
+    staging write into the table root; returns relative paths."""
+    rels = []
+    for root, _dirs, files in os.walk(staging):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue  # _SUCCESS, .crc
+            src = os.path.join(root, name)
+            rel = os.path.relpath(src, staging)
+            target = os.path.join(dest, rel)
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            os.replace(src, target)
+            rels.append(rel)
+    return rels
+
+
+def _partition_values(rel: str, partition_by: list[str]) -> dict[str, str | None]:
+    """Parse hive ``col=val`` segments into add.partitionValues (Delta
+    stores them as strings; __HIVE_DEFAULT_PARTITION__ means NULL)."""
+    vals: dict[str, str | None] = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+    return {c: vals.get(c) for c in partition_by}
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write ``df`` as a new Delta table version; returns the committed
+    version number. ``mode='append'`` adds files; ``mode='overwrite'``
+    logically removes every previously-active file in the same atomic
+    commit (time travel to old versions still works — nothing is
+    physically deleted)."""
+    if mode not in ("append", "overwrite"):
+        raise DeltaWriteError(f"unsupported mode {mode!r}")
+    partition_by = list(partition_by or [])
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise DeltaWriteError(f"partition columns not in DataFrame: {missing}")
+
+    log_dir = _log_dir(path)
+    versions = _existing_versions(log_dir)
+    version = (versions[-1] + 1) if versions else 0
+    if versions and mode == "append":
+        # appends must match the table schema (by field name; Delta
+        # append semantics — delta-spark enforces the same)
+        from roapi_spark.sources.delta import snapshot_state
+
+        _, meta = snapshot_state(path)
+        if meta and meta.get("schemaString"):
+            existing = {f["name"] for f in json.loads(meta["schemaString"])["fields"]}
+            ours = set(df.schema.fieldNames())
+            if ours != existing:
+                raise DeltaWriteError(
+                    f"append schema mismatch: table has {sorted(existing)}, "
+                    f"DataFrame has {sorted(ours)} (use mode='overwrite' to "
+                    "replace the schema)"
+                )
+
+    # 1) distributed data write into a staging dir, then rename into the
+    #    table root — renames are metadata-only on a local store, and the
+    #    files stay invisible to readers until the log commit below
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    try:
+        rels = _relocate_staging(staging, path)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    now_ms = int(time.time() * 1000)
+
+    # 2) compose the commit
+    actions: list[dict] = []
+    if version == 0 or mode == "overwrite":
+        if version == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    if mode == "overwrite" and versions:
+        from roapi_spark.sources.delta import snapshot_state
+
+        active, _ = snapshot_state(path)
+        for abs_path, _dv in active:
+            rel = os.path.relpath(abs_path, path)
+            actions.append(
+                {
+                    "remove": {
+                        "path": quote(rel),
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    for rel in sorted(rels):
+        st = os.stat(os.path.join(path, rel))
+        actions.append(
+            {
+                "add": {
+                    "path": quote(rel),
+                    "partitionValues": _partition_values(rel, partition_by),
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode.upper()},
+            }
+        }
+    )
+
+    # 3) atomic publish: O_EXCL create of the next version file — losing
+    #    a race surfaces as a conflict, never a half-visible table
+    os.makedirs(log_dir, exist_ok=True)
+    entry = os.path.join(log_dir, f"{version:020d}.json")
+    body = "".join(json.dumps(a, separators=(",", ":")) + "\n" for a in actions)
+    try:
+        with open(entry, "x") as f:
+            f.write(body)
+    except FileExistsError:
+        # roll back our (unreferenced) data files and report the loss
+        for rel in rels:
+            try:
+                os.remove(os.path.join(path, rel))
+            except OSError:
+                pass
+        raise DeltaCommitConflict(
+            f"version {version} already committed by another writer: {entry}"
+        ) from None
+    return version

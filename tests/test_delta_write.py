@@ -1,0 +1,113 @@
+"""Delta writer <-> pure-Python delta source round trip: versions,
+time travel, overwrite semantics, partitioned layout, commit conflicts.
+The writer's output must also satisfy the reader's protocol guard
+(minReader 1 — no features required)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from roapi_spark.sinks.delta import (
+    DeltaCommitConflict,
+    DeltaWriteError,
+    write_delta,
+)
+from roapi_spark.sources.delta import snapshot_state
+from tests.conftest import spark  # noqa: F401
+
+
+def _read(spark, path, **opt):
+    from roapi_spark.config import TableSource
+    from roapi_spark.sources.delta import to_dataframe
+
+    ts = TableSource(name="t", uri=path, format="delta", option=opt)
+    return to_dataframe(spark, ts)
+
+
+@pytest.fixture()
+def people(spark):
+    return spark.createDataFrame(
+        [(1, "ada", "uk"), (2, "linus", "fi"), (3, "guido", "nl")],
+        "id bigint, name string, country string",
+    )
+
+
+def test_write_read_roundtrip_and_versions(spark, people, tmp_path):
+    path = str(tmp_path / "tbl")
+    assert write_delta(people, path, mode="overwrite") == 0
+    got = {tuple(r) for r in _read(spark, path).collect()}
+    assert got == {(1, "ada", "uk"), (2, "linus", "fi"), (3, "guido", "nl")}
+
+    extra = spark.createDataFrame([(4, "grace", "us")], people.schema)
+    assert write_delta(extra, path, mode="append") == 1
+    assert _read(spark, path).count() == 4
+    # time travel back to version 0
+    assert _read(spark, path, version="0").count() == 3
+
+    replacement = spark.createDataFrame([(9, "alan", "uk")], people.schema)
+    assert write_delta(replacement, path, mode="overwrite") == 2
+    assert [tuple(r) for r in _read(spark, path).collect()] == [(9, "alan", "uk")]
+    # old snapshots intact after overwrite (nothing physically deleted)
+    assert _read(spark, path, version="1").count() == 4
+
+
+def test_partitioned_write_prunes_and_records_values(spark, people, tmp_path):
+    path = str(tmp_path / "part")
+    write_delta(people, path, mode="overwrite", partition_by=["country"])
+    df = _read(spark, path)
+    assert {r.country for r in df.collect()} == {"uk", "fi", "nl"}
+    # hive layout on disk + partitionValues in the log
+    assert os.path.isdir(os.path.join(path, "country=uk"))
+    log = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    adds = [
+        json.loads(ln)["add"]
+        for ln in open(log)
+        if '"add"' in ln and json.loads(ln).get("add")
+    ]
+    assert {a["partitionValues"]["country"] for a in adds} == {"uk", "fi", "nl"}
+    # partition filter prunes to a single file scan
+    one = df.filter(df.country == "fi")
+    assert [r.name for r in one.collect()] == ["linus"]
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "country" in plan and "= fi" in plan
+
+
+def test_append_schema_mismatch_is_loud(spark, people, tmp_path):
+    path = str(tmp_path / "schema")
+    write_delta(people, path)
+    other = spark.createDataFrame([(1, 2.5)], "id bigint, score double")
+    with pytest.raises(DeltaWriteError, match="schema mismatch"):
+        write_delta(other, path, mode="append")
+    write_delta(other, path, mode="overwrite")  # replace is allowed
+    assert _read(spark, path).columns == ["id", "score"]
+
+
+def test_commit_conflict_rolls_back(spark, people, tmp_path, monkeypatch):
+    path = str(tmp_path / "race")
+    write_delta(people, path)
+    # simulate losing the race: this writer reads a stale log listing
+    # (only v0), while another writer lands v1 before our O_EXCL create
+    log = os.path.join(path, "_delta_log")
+    open(os.path.join(log, f"{1:020d}.json"), "w").write("")
+    import roapi_spark.sinks.delta as dw
+
+    monkeypatch.setattr(dw, "_existing_versions", lambda _d: [0])
+    before = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    with pytest.raises(DeltaCommitConflict):
+        write_delta(people, path, mode="append")
+    after = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    assert after == before  # losing writer's data files rolled back
+
+
+def test_protocol_readable_by_any_reader(spark, people, tmp_path):
+    path = str(tmp_path / "proto")
+    write_delta(people, path)
+    adds, meta = snapshot_state(path)
+    assert len(adds) >= 1 and meta is not None
+    first = [json.loads(ln) for ln in open(
+        os.path.join(path, "_delta_log", f"{0:020d}.json"))]
+    proto = next(a["protocol"] for a in first if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
