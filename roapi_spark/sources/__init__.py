@@ -43,6 +43,7 @@ _LOADERS: dict[str, str] = {
     "postgres": "roapi_spark.sources.database",
     "google_spreadsheet": "roapi_spark.sources.gsheets",
     "airtable": "roapi_spark.sources.airtable",
+    "binary": "roapi_spark.sources.binaryfile",
 }
 
 

@@ -1306,3 +1306,42 @@ def test_delta_cdf_version_range_and_loader_option(spark, delta_cdf_table):
         "option": {"format": "delta", "changes_from": 2},
     })
     assert [(r["id"], r["_change_type"]) for r in df.collect()] == [(1, "delete")]
+
+
+def test_binary_blob_directory_scan(spark, tmp_path):
+    # the multimodal ingest seam: dir of real blobs -> one row per file
+    import numpy as np
+
+    from roapi_spark.config import TableSource
+    from roapi_spark.functions.multimodal import encode_png
+    from roapi_spark.sources import load_table
+
+    d = tmp_path / "imgs"
+    (d / "sub").mkdir(parents=True)
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    (d / "a.png").write_bytes(encode_png(img))
+    (d / "sub" / "b.png").write_bytes(encode_png(img.T.copy()))
+    (d / "notes.txt").write_bytes(b"not an image")
+
+    ts = TableSource(
+        name="blobs", uri=str(d), format="binary", option={"glob": "*.png"}
+    )
+    df = load_table(spark, ts)
+    assert dict(df.dtypes)["content"] == "binary"
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
+    assert set(rows) == {"a.png", "b.png"}  # txt filtered, subdir recursed
+    # the blobs round-trip through the real decoder
+    from roapi_spark.functions.multimodal import decode_image
+
+    assert decode_image(rows["a.png"]).shape == (8, 8)
+    # non-recursive listing sees only the top level
+    flat = load_table(
+        spark,
+        TableSource(
+            name="flat",
+            uri=str(d),
+            format="binary",
+            option={"glob": "*.png", "recursive": "false"},
+        ),
+    )
+    assert flat.count() == 1
