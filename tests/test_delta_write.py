@@ -111,3 +111,54 @@ def test_protocol_readable_by_any_reader(spark, people, tmp_path):
         os.path.join(path, "_delta_log", f"{0:020d}.json"))]
     proto = next(a["protocol"] for a in first if "protocol" in a)
     assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def test_streaming_foreachbatch_to_delta(spark, tmp_path):
+    """The standard streaming->lakehouse path: writeStream.foreachBatch
+    appending each micro-batch as one atomic Delta version. Readers see
+    whole batches only (no torn reads), and the log records one version
+    per batch."""
+    import json as _json
+
+    from roapi_spark.streaming.events import stream_events
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:10", "user_id": 7,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:00:40", "user_id": 8,
+         "event_type": "view", "value": 2.0, "props": "{}"},
+    ]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows1))
+    table = str(tmp_path / "delta_out")
+
+    def sink(batch_df, _batch_id):
+        if batch_df.count():
+            write_delta(batch_df, table, mode="append")
+
+    q = (
+        stream_events(spark, str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _read(spark, table).count() == 2
+
+    rows2 = [{"event_id": 3, "ts": "2024-01-01T00:01:10", "user_id": 9,
+              "event_type": "click", "value": 5.0, "props": "{}"}]
+    (src / "b2.json").write_text("\n".join(_json.dumps(r) for r in rows2))
+    q2 = (
+        stream_events(spark, str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    df = _read(spark, table)
+    assert {r.event_id for r in df.collect()} == {1, 2, 3}
+    # one atomic version per non-empty micro-batch; v0 time-travel intact
+    assert _read(spark, table, version="0").count() == 2
