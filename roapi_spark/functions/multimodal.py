@@ -1848,7 +1848,11 @@ def multimodal_image_png(spark, sf_dir: str) -> DataFrame:
 
     from roapi_spark.util import pround
 
-    ids = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+    ids = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )  # the id frame is tiny but the codec work is Python: fill all cores
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1996,7 +2000,11 @@ def multimodal_audio_g711(spark, sf_dir: str) -> DataFrame:
 
     from roapi_spark.util import pround
 
-    ids = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+    ids = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2057,7 +2065,11 @@ def multimodal_image_gif(spark, sf_dir: str) -> DataFrame:
 
     from roapi_spark.util import pround
 
-    ids = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+    ids = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2119,7 +2131,11 @@ def multimodal_image_tiff(spark, sf_dir: str) -> DataFrame:
 
     from roapi_spark.util import pround
 
-    ids = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id")
+    ids = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
