@@ -207,3 +207,123 @@ def write_delta(
             f"version {version} already committed by another writer: {entry}"
         ) from None
     return version
+
+
+def write_checkpoint(path: str) -> int:
+    """Write a classic single-file parquet checkpoint
+    (``_delta_log/N.checkpoint.parquet`` + ``_last_checkpoint``) of the
+    latest version: full active state (protocol, latest metaData, one
+    row per live add). Bounds log-replay cost for long-lived tables —
+    a foreachBatch stream creates one commit per micro-batch, and
+    without checkpoints every reader replays all of them. Requires the
+    complete JSON history (this engine never prunes its log).
+
+    Returns the checkpointed version. Readers seed from the checkpoint
+    and replay only later commits (sources/delta.py:_checkpoint_state;
+    same shape delta-spark writes, reference reads via delta-rs,
+    columnq/src/table/delta.rs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir = _log_dir(path)
+    versions = _existing_versions(log_dir)
+    if not versions:
+        raise DeltaWriteError(f"not a delta table (no log): {path}")
+    if versions != list(range(versions[-1] + 1)):
+        raise DeltaWriteError(
+            f"incomplete log history {versions}: cannot checkpoint"
+        )
+    version = versions[-1]
+    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta: dict | None = None
+    adds: dict[str, dict] = {}
+    for v in versions:
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    adds[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    adds.pop(a["remove"]["path"], None)
+                elif "metaData" in a:
+                    meta = a["metaData"]
+                elif "protocol" in a:
+                    protocol = a["protocol"]
+    if meta is None:
+        raise DeltaWriteError(f"no metaData action in log: {path}")
+
+    str_map = pa.map_(pa.string(), pa.string())
+    schema = pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [("minReaderVersion", pa.int32()),
+                     ("minWriterVersion", pa.int32())]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("name", pa.string()),
+                        ("description", pa.string()),
+                        ("format", pa.struct(
+                            [("provider", pa.string()), ("options", str_map)]
+                        )),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", str_map),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", str_map),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                        ("deletionVector", pa.struct(
+                            [
+                                ("storageType", pa.string()),
+                                ("pathOrInlineDv", pa.string()),
+                                ("offset", pa.int32()),
+                                ("sizeInBytes", pa.int32()),
+                                ("cardinality", pa.int64()),
+                            ]
+                        )),
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows: list[dict] = [{"protocol": protocol}, {"metaData": meta}]
+    for add in adds.values():
+        rows.append(
+            {
+                "add": {
+                    "path": add["path"],
+                    "partitionValues": add.get("partitionValues") or {},
+                    "size": add.get("size"),
+                    "modificationTime": add.get("modificationTime"),
+                    "dataChange": False,  # checkpoint rows are state, not change
+                    "stats": add.get("stats"),
+                    "deletionVector": add.get("deletionVector"),
+                }
+            }
+        )
+    tbl = pa.Table.from_pylist(rows, schema=schema)
+    tmp = os.path.join(log_dir, f".{version:020d}.checkpoint.parquet.tmp")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"))
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+    return version

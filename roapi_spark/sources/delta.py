@@ -137,7 +137,23 @@ def _checkpoint_actions(log_dir: str, path: str):
             # a checkpoint row is one action: skip the all-null struct
             # cells pyarrow materializes for the other columns
             if rec and any(val is not None for val in rec.values()):
-                yield {c: rec}
+                yield {c: _maps_to_dicts(rec)}
+
+
+def _maps_to_dicts(x):
+    """pyarrow materializes parquet MAP columns as lists of (k, v)
+    tuples; delta actions in JSON commits carry the same fields as
+    dicts (partitionValues, configuration, format.options). Normalize
+    so checkpoint-sourced actions look exactly like commit-sourced
+    ones — without this, a checkpointed column-mapped table would
+    crash on configuration.get."""
+    if isinstance(x, list):
+        if x and all(isinstance(e, tuple) and len(e) == 2 for e in x):
+            return {k: _maps_to_dicts(v) for k, v in x}
+        return [_maps_to_dicts(e) for e in x]
+    if isinstance(x, dict):
+        return {k: _maps_to_dicts(v) for k, v in x.items()}
+    return x
 
 
 def _checkpoint_state(

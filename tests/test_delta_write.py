@@ -162,3 +162,45 @@ def test_streaming_foreachbatch_to_delta(spark, tmp_path):
     assert {r.event_id for r in df.collect()} == {1, 2, 3}
     # one atomic version per non-empty micro-batch; v0 time-travel intact
     assert _read(spark, table, version="0").count() == 2
+
+
+def test_checkpoint_bounds_replay(spark, people, tmp_path):
+    """Classic parquet checkpoint: reader seeds from it instead of
+    replaying every JSON commit — proven by deleting the pre-checkpoint
+    commits (simulating log cleanup) and still reading correctly,
+    including hive partitions whose partitionValues round-trip through
+    parquet MAP columns."""
+    from roapi_spark.sinks.delta import write_checkpoint
+
+    path = str(tmp_path / "ckpt")
+    write_delta(people, path, mode="overwrite", partition_by=["country"])
+    extra = spark.createDataFrame([(4, "grace", "us")], people.schema)
+    write_delta(extra, path, mode="append", partition_by=["country"])
+    assert write_checkpoint(path) == 1
+
+    log = os.path.join(path, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    # later commit on top of the checkpoint
+    more = spark.createDataFrame([(5, "edsger", "nl")], people.schema)
+    write_delta(more, path, mode="append", partition_by=["country"])
+
+    # delete the checkpointed commits: only the checkpoint can seed now
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    df = _read(spark, path)
+    assert {r.id for r in df.collect()} == {1, 2, 3, 4, 5}
+    # partition pruning still works from checkpoint-sourced adds
+    assert {r.name for r in df.filter(df.country == "nl").collect()} == {
+        "guido", "edsger",
+    }
+
+
+def test_checkpoint_requires_full_history(spark, people, tmp_path):
+    from roapi_spark.sinks.delta import write_checkpoint
+
+    path = str(tmp_path / "gap")
+    write_delta(people, path)
+    write_delta(people, path, mode="append")
+    os.remove(os.path.join(path, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(DeltaWriteError, match="incomplete"):
+        write_checkpoint(path)
