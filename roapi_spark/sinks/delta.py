@@ -327,3 +327,29 @@ def write_checkpoint(path: str) -> int:
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
         json.dump({"version": version, "size": len(rows)}, f)
     return version
+
+
+def compact(spark, path: str, target_partitions: int | None = None) -> int:
+    """OPTIMIZE-style compaction: rewrite the current snapshot's many
+    small files (the inevitable output of per-micro-batch appends) into
+    ``target_partitions`` larger ones, committed as one atomic
+    overwrite version. Time travel to pre-compaction versions still
+    works — compaction never physically deletes. Partitioned tables
+    keep their partition columns (hive layout re-derived from the
+    latest metaData)."""
+    from roapi_spark.config import TableSource
+    from roapi_spark.sources.delta import snapshot_state, to_dataframe
+
+    _, meta = snapshot_state(path)
+    partition_by = (meta or {}).get("partitionColumns") or []
+    ts = TableSource(name="_compact", uri=path, format="delta", option={})
+    df = to_dataframe(spark, ts)
+    if target_partitions:
+        df = (
+            df.repartition(target_partitions, *partition_by)
+            if partition_by
+            else df.repartition(target_partitions)
+        )
+    elif not partition_by:
+        df = df.coalesce(max(1, df.rdd.getNumPartitions() // 8))
+    return write_delta(df, path, mode="overwrite", partition_by=partition_by)

@@ -204,3 +204,28 @@ def test_checkpoint_requires_full_history(spark, people, tmp_path):
     os.remove(os.path.join(path, "_delta_log", f"{0:020d}.json"))
     with pytest.raises(DeltaWriteError, match="incomplete"):
         write_checkpoint(path)
+
+
+def test_compaction_collapses_small_files(spark, people, tmp_path):
+    """Per-batch appends -> many small files; compact() rewrites the
+    snapshot as one atomic version with fewer files, values unchanged,
+    history intact."""
+    from roapi_spark.sinks.delta import compact
+
+    path = str(tmp_path / "compact")
+    write_delta(people, path)
+    for i in range(4):
+        one = spark.createDataFrame([(10 + i, f"u{i}", "us")], people.schema)
+        write_delta(one, path, mode="append")
+    before_files = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    v = compact(spark, path, target_partitions=1)
+    assert v == 5
+    adds, _ = snapshot_state(path)
+    assert len(adds) == 1 < before_files
+    df = _read(spark, path)
+    assert df.count() == 7
+    # pre-compaction history intact
+    assert _read(spark, path, version="4").count() == 7
+    assert _read(spark, path, version="0").count() == 3
