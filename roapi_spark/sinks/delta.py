@@ -80,6 +80,57 @@ def _partition_values(rel: str, partition_by: list[str]) -> dict[str, str | None
     return {c: vals.get(c) for c in partition_by}
 
 
+def _file_stats(abs_path: str) -> str | None:
+    """Delta per-file statistics JSON (numRecords + min/max/nullCount
+    for primitively-typed leaf columns) from the parquet footer — a
+    driver-side metadata read, no data pages touched. Real Delta
+    readers (delta-rs, delta-spark) use these for file skipping; cost
+    is O(row groups), so at cluster scale this stays a per-commit
+    footer pass exactly like delta-spark's own stats collection."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(abs_path).metadata
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name:
+                    continue  # nested leaves: skipped (like partition cols)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    continue  # undecoded physical bytes: not portable JSON
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+                if st.null_count is not None:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+        def _json_safe(d: dict) -> dict:
+            out = {}
+            for k, v in d.items():
+                out[k] = v.isoformat() if hasattr(v, "isoformat") else v
+            return out
+
+        return json.dumps(
+            {
+                "numRecords": md.num_rows,
+                "minValues": _json_safe(mins),
+                "maxValues": _json_safe(maxs),
+                "nullCount": nulls,
+            },
+            separators=(",", ":"),
+            default=str,
+        )
+    except Exception:  # noqa: BLE001 — stats are optional; never fail a commit
+        return None
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -175,6 +226,7 @@ def write_delta(
                     "size": st.st_size,
                     "modificationTime": int(st.st_mtime * 1000),
                     "dataChange": True,
+                    "stats": _file_stats(os.path.join(path, rel)),
                 }
             }
         )
@@ -353,3 +405,51 @@ def compact(spark, path: str, target_partitions: int | None = None) -> int:
     elif not partition_by:
         df = df.coalesce(max(1, df.rdd.getNumPartitions() // 8))
     return write_delta(df, path, mode="overwrite", partition_by=partition_by)
+
+
+def vacuum(path: str, keep_versions: int = 2) -> list[str]:
+    """Physically delete data files referenced ONLY by versions older
+    than the newest ``keep_versions`` (plus orphans no version
+    references at all — crashed writers' leftovers). The standard Delta
+    trade: reclaims the space overwrite/compact left behind, and time
+    travel older than the retention window stops working (the log
+    entries stay, so the failure is a loud missing-file error, not
+    silent corruption). Returns the deleted relative paths."""
+    log_dir = _log_dir(path)
+    versions = _existing_versions(log_dir)
+    if not versions:
+        raise DeltaWriteError(f"not a delta table (no log): {path}")
+    keep_from = versions[max(0, len(versions) - keep_versions)]
+
+    def active_at(v: int) -> set[str]:
+        state: dict[str, None] = {}
+        for vv in versions:
+            if vv > v:
+                break
+            with open(os.path.join(log_dir, f"{vv:020d}.json")) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "add" in a:
+                        state[a["add"]["path"]] = None
+                    elif "remove" in a:
+                        state.pop(a["remove"]["path"], None)
+        return set(state)
+
+    referenced: set[str] = set()
+    for v in versions:
+        if v >= keep_from:
+            referenced |= active_at(v)
+    deleted = []
+    for root, _dirs, files in os.walk(path):
+        if "_delta_log" in root or "_staging-" in root:
+            continue
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, name), path)
+            if quote(rel) not in referenced and rel not in referenced:
+                os.remove(os.path.join(root, rel))
+                deleted.append(rel)
+    return deleted

@@ -229,3 +229,44 @@ def test_compaction_collapses_small_files(spark, people, tmp_path):
     # pre-compaction history intact
     assert _read(spark, path, version="4").count() == 7
     assert _read(spark, path, version="0").count() == 3
+
+
+def test_stats_in_add_actions(spark, people, tmp_path):
+    """Per-file stats (numRecords/min/max/nullCount) land in the log so
+    real Delta readers can file-skip."""
+    import json as _json
+
+    path = str(tmp_path / "stats")
+    write_delta(people, path)
+    log = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    adds = [
+        _json.loads(ln)["add"] for ln in open(log) if '"add"' in ln
+    ]
+    tot = 0
+    for a in adds:
+        assert a.get("stats"), a
+        st = _json.loads(a["stats"])
+        tot += st["numRecords"]
+        if st["numRecords"]:
+            assert st["minValues"]["id"] >= 1
+            assert st["maxValues"]["id"] <= 3
+    assert tot == 3
+
+
+def test_vacuum_reclaims_only_expired_files(spark, people, tmp_path):
+    from roapi_spark.sinks.delta import compact, vacuum
+
+    path = str(tmp_path / "vac")
+    write_delta(people, path)  # v0
+    extra = spark.createDataFrame([(4, "grace", "us")], people.schema)
+    write_delta(extra, path, mode="append")  # v1
+    compact(spark, path, target_partitions=1)  # v2: v0/v1 files now dead
+    deleted = vacuum(path, keep_versions=1)
+    assert deleted  # the pre-compaction small files are gone
+    df = _read(spark, path)
+    assert df.count() == 4  # current snapshot untouched
+    # time travel inside the retention window still works
+    assert _read(spark, path, version="2").count() == 4
+    # older than retention: loud failure, not silent wrong data
+    with pytest.raises(Exception):
+        _read(spark, path, version="0").collect()
