@@ -1858,10 +1858,9 @@ def multimodal_image_png(spark, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for i in pdf["doc_id"]:
-                flat = np.array(
-                    [(int(i) * 59 + j * 17) % 256 for j in range(_PNG_W * _PNG_H)],
-                    dtype=np.uint8,
-                )
+                flat = (
+                    (int(i) * 59 + np.arange(_PNG_W * _PNG_H) * 17) % 256
+                ).astype(np.uint8)
                 rows.append((int(i), encode_png(flat.reshape(_PNG_H, _PNG_W))))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
@@ -2010,10 +2009,9 @@ def multimodal_audio_g711(spark, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for i in pdf["doc_id"]:
-                codes = np.array(
-                    [(int(i) * 37 + j * 11) % 256 for j in range(_G711_N)],
-                    dtype=np.uint8,
-                )
+                codes = (
+                    (int(i) * 37 + np.arange(_G711_N) * 11) % 256
+                ).astype(np.uint8)
                 rows.append((int(i), g711_wav_container(_G711_RATE, codes.tobytes())))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
@@ -2075,10 +2073,9 @@ def multimodal_image_gif(spark, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for i in pdf["doc_id"]:
-                flat = np.array(
-                    [(int(i) * 67 + j * 19) % 256 for j in range(_GIF_W * _GIF_H)],
-                    dtype=np.uint8,
-                )
+                flat = (
+                    (int(i) * 67 + np.arange(_GIF_W * _GIF_H) * 19) % 256
+                ).astype(np.uint8)
                 blob = encode_gif(
                     flat.reshape(_GIF_H, _GIF_W), interlace=bool(int(i) % 2)
                 )
@@ -2141,10 +2138,9 @@ def multimodal_image_tiff(spark, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for i in pdf["doc_id"]:
-                flat = np.array(
-                    [(int(i) * 71 + j * 23) % 256 for j in range(_TIF_W * _TIF_H)],
-                    dtype=np.uint8,
-                )
+                flat = (
+                    (int(i) * 71 + np.arange(_TIF_W * _TIF_H) * 23) % 256
+                ).astype(np.uint8)
                 blob = encode_tiff(
                     flat.reshape(_TIF_H, _TIF_W), big_endian=bool(int(i) % 2)
                 )
