@@ -602,3 +602,51 @@ def test_tiff_photometric_and_gates():
     # truncating the strip data is a loud ValueError
     with _pytest.raises(ValueError):
         decode_image(base[: 8 + 10])
+
+
+def test_animated_gif_video_roundtrip():
+    import numpy as np
+
+    from roapi_spark.functions.multimodal import (
+        decode_image,
+        decode_video,
+        encode_gif,
+        encode_gif_animation,
+    )
+
+    rng = np.random.default_rng(31)
+    frames = rng.integers(0, 256, size=(6, 9, 14), dtype=np.uint8)
+    blob = encode_gif_animation(frames)
+    out = decode_video(blob)
+    assert out.shape == (6, 9, 14) and np.array_equal(out, frames)
+    # decode_image on an animation: first frame (thumbnail convention)
+    assert np.array_equal(decode_image(blob), frames[0])
+    # a still GIF through decode_video is a 1-frame stack
+    img = rng.integers(0, 256, size=(11, 23), dtype=np.uint8)
+    assert decode_video(encode_gif(img)).shape == (1, 11, 23)
+
+
+def test_animated_gif_partial_frames_gate():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from roapi_spark.functions.multimodal import (
+        decode_video,
+        encode_gif_animation,
+    )
+
+    frames = np.zeros((2, 8, 8), dtype=np.uint8)
+    blob = bytearray(encode_gif_animation(frames))
+    # shift the second image descriptor's left offset: partial-canvas
+    # compositing must gate on pyav, not silently mis-stack. Descriptors
+    # sit 8 bytes after their Graphics Control Extension (21 f9 04 ...),
+    # which cannot appear inside the LZW data sub-blocks by construction
+    # of the fixed GCE byte layout.
+    second_gce = blob.index(b"\x21\xf9\x04", blob.index(b"\x21\xf9\x04") + 1)
+    idx = second_gce + 8
+    assert blob[idx] == 0x2C
+    blob[idx + 1 : idx + 3] = struct.pack("<H", 2)
+    with _pytest.raises(NotImplementedError, match="pyav"):
+        decode_video(bytes(blob))
