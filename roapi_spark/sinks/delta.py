@@ -448,8 +448,9 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
         for name in files:
             if not name.endswith(".parquet"):
                 continue
-            rel = os.path.relpath(os.path.join(root, name), path)
+            abs_file = os.path.join(root, name)
+            rel = os.path.relpath(abs_file, path)
             if quote(rel) not in referenced and rel not in referenced:
-                os.remove(os.path.join(root, rel))
+                os.remove(abs_file)
                 deleted.append(rel)
     return deleted

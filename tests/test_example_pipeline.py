@@ -27,3 +27,14 @@ def test_training_pipeline_end_to_end(spark, tmp_path):
     )
     assert final.count() == summary["after_dedup"]
     assert {"doc_id", "text", "source"} <= set(final.columns)
+
+
+def test_delta_lifecycle_example(spark, tmp_path):
+    from delta_lifecycle import run
+
+    out = run(spark, str(tmp_path / "corpus"), "/root/testdata/sf0.001")
+    assert out["initial_version"] == 0
+    assert out["checkpoint_version"] == 2  # v0 + two appends
+    assert out["compacted_version"] == 3
+    assert out["vacuumed_files"] > 0
+    assert out["live_rows"] > 0 and out["live_files"] >= 1
