@@ -129,17 +129,60 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    subset61 = round(sum(timings[n] for n in BENCH_QUERIES), 3)
+
+    # Full per-query detail goes to a file (and already streamed to stderr
+    # above); the stdout line must stay under the driver's ~2KB tail
+    # capture (round 4's full-registry line overflowed it and the perf
+    # record was lost — VERDICT r4 item #1).
+    detail = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "subset61_sec": subset61,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    def family(name: str) -> str:
+        if re.match(r"q\d+_", name):
+            return "tpch"
+        for pre, fam in (("dedup", "dedup"), ("ann_", "ann"), ("knn", "ann"),
+                         ("text", "text"), ("multimodal", "multimodal"),
+                         ("rest", "api"), ("graphql", "api"),
+                         ("stream", "streaming")):
+            if name.startswith(pre):
+                return fam
+        return "sql"
+
+    fams: dict[str, float] = {}
+    for n, v in timings.items():
+        fams[family(n)] = round(fams.get(family(n), 0.0) + v, 2)
+
+    # stdout: historical 61-query map (2-decimal) for round-over-round
+    # comparability + per-family subtotals over the full registry. Guarded:
+    # progressively shed detail if the line would exceed the tail budget.
+    line_obj = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(timings[n], 2) for n in BENCH_QUERIES},
+        "sf": sf,
+        "subset61_sec": subset61,
+        "families": fams,
+        "n_queries": len(timings),
+    }
+    line = json.dumps(line_obj)
+    if len(line) > 1900:
+        line_obj.pop("families", None)
+        line = json.dumps(line_obj)
+    if len(line) > 1900:
+        line_obj["queries"] = {n: round(v, 1) for n, v in line_obj["queries"].items()}
+        line = json.dumps(line_obj)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,13 @@ def _avro_type(t: pa.DataType) -> object:
     if pa.types.is_boolean(t):
         return "boolean"
     if pa.types.is_integer(t):
+        # unsigned types need the NEXT wider signed Avro type: uint32
+        # values above 2^31-1 varint-encode out of 'int' range (and
+        # uint64 above 2^63-1 out of 'long' — stringify those)
+        if pa.types.is_unsigned_integer(t):
+            if t.bit_width <= 16:
+                return "int"  # uint8/uint16 fit in signed 32-bit
+            return "long" if t.bit_width == 32 else "string"
         return "long" if t.bit_width > 32 else "int"
     if pa.types.is_float32(t):
         return "float"
@@ -71,7 +78,13 @@ def _conv(v, t: pa.DataType):
     if pa.types.is_date(t):
         return (v - _EPOCH_DATE).days
     if pa.types.is_timestamp(t):
-        base = v.replace(tzinfo=None) if v.tzinfo else v
+        # Avro timestamp-micros is epoch-UTC: tz-aware values must be
+        # CONVERTED to UTC, not have the zone stripped wall-clock-intact
+        base = (
+            v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            if v.tzinfo
+            else v
+        )
         td = base - _EPOCH_DT
         # integer components, not total_seconds(): float64 resolution at
         # epoch scale is ~0.25us — off-by-one micros on round-trip
@@ -91,6 +104,9 @@ def _conv(v, t: pa.DataType):
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return str(v)
     if pa.types.is_integer(t):
+        # uint64 is declared as Avro 'string' (no signed type fits)
+        if pa.types.is_unsigned_integer(t) and t.bit_width > 32:
+            return str(v)
         return int(v)
     return v
 

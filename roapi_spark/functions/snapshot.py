@@ -102,7 +102,17 @@ def build_once(out: str, ready, build) -> str:
         try:
             os.rename(tmp, out)
         except OSError:
-            pass  # another builder won the rename; ours is discarded
+            # Either another builder won the rename (out is now ready —
+            # fine, ours is discarded), or `out` is a STALE PARTIAL left
+            # by a crashed pre-build_once writer (exists, never ready):
+            # self-heal by clearing it and retrying once, else every
+            # future call dead-ends in RuntimeError until a human rm -rf.
+            if not ready(out):
+                shutil.rmtree(out, ignore_errors=True)
+                try:
+                    os.rename(tmp, out)
+                except OSError:
+                    pass  # raced with another healer; ready() decides below
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     if not ready(out):

@@ -94,6 +94,13 @@ def _file_stats(abs_path: str) -> str | None:
         mins: dict = {}
         maxs: dict = {}
         nulls: dict = {}
+        # Readers PRUNE files on these values, so partial coverage is
+        # worse than absence: a column missing stats in ANY row group is
+        # dropped from the emitted maps rather than reported as if the
+        # remaining groups were file-complete (an all-null group with
+        # nullCount 0 would let `x IS NULL` skip a file that has nulls).
+        bad_minmax: set = set()
+        bad_null: set = set()
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
@@ -102,15 +109,33 @@ def _file_stats(abs_path: str) -> str | None:
                 if "." in name:
                     continue  # nested leaves: skipped (like partition cols)
                 st = col.statistics
-                if st is None or not st.has_min_max:
+                if st is None:
+                    bad_minmax.add(name)
+                    bad_null.add(name)
+                    continue
+                # nullCount accumulates independently of min/max presence
+                if st.null_count is None:
+                    bad_null.add(name)
+                else:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+                if not st.has_min_max:
+                    # an all-null group legitimately has no min/max and
+                    # doesn't affect the file's non-null min/max; anything
+                    # else means coverage is unknown → drop the column
+                    if st.null_count != g.num_rows:
+                        bad_minmax.add(name)
                     continue
                 lo, hi = st.min, st.max
                 if isinstance(lo, bytes):
-                    continue  # undecoded physical bytes: not portable JSON
+                    bad_minmax.add(name)  # undecoded physical bytes
+                    continue
                 mins[name] = lo if name not in mins else min(mins[name], lo)
                 maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-                if st.null_count is not None:
-                    nulls[name] = nulls.get(name, 0) + st.null_count
+        for name in bad_minmax:
+            mins.pop(name, None)
+            maxs.pop(name, None)
+        for name in bad_null:
+            nulls.pop(name, None)
         def _json_safe(d: dict) -> dict:
             out = {}
             for k, v in d.items():
@@ -202,15 +227,19 @@ def write_delta(
             }
         )
     if mode == "overwrite" and versions:
-        from roapi_spark.sources.delta import snapshot_state
+        from roapi_spark.sources.delta import snapshot_raw_state
 
-        active, _ = snapshot_state(path)
-        for abs_path, _dv in active:
-            rel = os.path.relpath(abs_path, path)
+        # remove actions must echo the STORED add-path string verbatim —
+        # log replay (ours and delta-rs alike) matches add/remove by exact
+        # string, and external writers (delta-spark) store hive-partition
+        # paths with a literal '=' that quote() would mangle to %3D,
+        # leaving every old file permanently active (silent stale reads)
+        active_raw, _ = snapshot_raw_state(path)
+        for stored_path in active_raw:
             actions.append(
                 {
                     "remove": {
-                        "path": quote(rel),
+                        "path": stored_path,
                         "deletionTimestamp": now_ms,
                         "dataChange": True,
                     }
@@ -221,7 +250,10 @@ def write_delta(
         actions.append(
             {
                 "add": {
-                    "path": quote(rel),
+                    # percent-encode per the Delta path spec, but keep '='
+                    # literal: delta-spark/delta-rs store hive partition
+                    # segments as 'col=val', and readers match strings
+                    "path": quote(rel, safe="/="),
                     "partitionValues": _partition_values(rel, partition_by),
                     "size": st.st_size,
                     "modificationTime": int(st.st_mtime * 1000),
@@ -441,6 +473,10 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
     for v in versions:
         if v >= keep_from:
             referenced |= active_at(v)
+    # compare in FILESYSTEM space: stored paths may be percent-encoded
+    # (ours, delta-rs) or literal (delta-spark hive '='), so unquote the
+    # referenced set instead of guessing how to re-quote disk paths
+    referenced = {unquote(p) for p in referenced}
     deleted = []
     for root, _dirs, files in os.walk(path):
         if "_delta_log" in root or "_staging-" in root:
@@ -450,7 +486,7 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
                 continue
             abs_file = os.path.join(root, name)
             rel = os.path.relpath(abs_file, path)
-            if quote(rel) not in referenced and rel not in referenced:
+            if rel not in referenced:
                 os.remove(abs_file)
                 deleted.append(rel)
     return deleted

@@ -225,6 +225,23 @@ def snapshot_state(
     """(active adds, latest metaData action) at a snapshot (pure Python).
     The metaData carries schemaString + configuration — needed to unmap
     column-mapped tables."""
+    raw, meta = snapshot_raw_state(table_path, version, timestamp)
+    return (
+        [(os.path.join(table_path, unquote(p)), dv) for p, dv in raw.items()],
+        meta,
+    )
+
+
+def snapshot_raw_state(
+    table_path: str, version: int | None = None, timestamp: str | None = None
+) -> tuple[dict[str, dict | None], dict | None]:
+    """Like snapshot_state, but keys are the RAW add-path strings exactly
+    as stored in the log (no unquote, not resolved). Delta log replay
+    matches add/remove actions by exact string — a writer composing
+    remove actions for files another writer added MUST echo the stored
+    string verbatim, not re-derive it (delta-spark stores hive paths with
+    a literal '=', which quote() would escape to %3D and orphan the add
+    forever)."""
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise LoadError(f"not a delta table (no _delta_log): {table_path}")
@@ -263,10 +280,7 @@ def snapshot_state(
                     active.pop(action["remove"]["path"], None)
                 elif "metaData" in action:
                     meta = action["metaData"]  # latest wins (schema evolution)
-    return (
-        [(os.path.join(table_path, unquote(p)), dv) for p, dv in active.items()],
-        meta,
-    )
+    return active, meta
 
 
 def _read_via_log(spark: SparkSession, ts: TableSource) -> DataFrame:

@@ -270,3 +270,91 @@ def test_vacuum_reclaims_only_expired_files(spark, people, tmp_path):
     # older than retention: loud failure, not silent wrong data
     with pytest.raises(Exception):
         _read(spark, path, version="0").collect()
+
+
+def test_overwrite_matches_external_literal_eq_paths(spark, tmp_path):
+    """ADVICE r4 (high): delta-spark/delta-rs store hive-partitioned add
+    paths with a LITERAL '=' (e.g. 'date=2021-01-01/part-0.parquet').
+    Remove actions must echo that stored string verbatim — re-quoting it
+    to 'date%3D.../...' orphans the add forever and readers silently see
+    old+new rows after an overwrite."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "ext")
+    part_dir = os.path.join(path, "date=2021-01-01")
+    os.makedirs(part_dir)
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64())}),
+        os.path.join(part_dir, "part-0.parquet"),
+    )
+    schema_str = spark.createDataFrame([(1,)], "id bigint").schema.json()
+    log_dir = os.path.join(path, "_delta_log")
+    os.makedirs(log_dir)
+    stored = "date=2021-01-01/part-0.parquet"  # literal '=', like delta-spark
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "ext-0", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_str, "partitionColumns": ["date"],
+            "configuration": {}, "createdTime": 0,
+        }}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": stored, "partitionValues": {"date": "2021-01-01"},
+            "size": 1, "modificationTime": 0, "dataChange": True,
+        }}) + "\n")
+
+    new = spark.createDataFrame([(9,)], "id bigint")
+    assert write_delta(new, path, mode="overwrite") == 1
+    removes = [
+        json.loads(ln)["remove"]["path"]
+        for ln in open(os.path.join(log_dir, f"{1:020d}.json"))
+        if '"remove"' in ln
+    ]
+    assert removes == [stored]  # exact stored string, not %3D-escaped
+    # the reader must see ONLY the new rows
+    assert [tuple(r) for r in _read(spark, path).collect()] == [(9,)]
+
+
+def test_file_stats_all_null_row_group(tmp_path):
+    """ADVICE r4 (medium): a row group with no min/max (all-null) must
+    not be silently skipped — nullCount has to count its nulls, and
+    min/max over the other groups is still file-complete (non-null
+    domain unaffected)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from roapi_spark.sinks.delta import _file_stats
+
+    f = str(tmp_path / "nulls.parquet")
+    # two row groups: first all-null for x, second has values
+    tbl = pa.table({"x": pa.array([None, None, 5, 7], pa.int64())})
+    pq.write_table(tbl, f, row_group_size=2)
+    st = json.loads(_file_stats(f))
+    assert st["numRecords"] == 4
+    assert st["nullCount"]["x"] == 2  # was 0 before the fix
+    assert st["minValues"]["x"] == 5
+    assert st["maxValues"]["x"] == 7
+
+
+def test_build_once_heals_stale_partial(tmp_path):
+    """ADVICE r4 (low): a pre-existing `out` dir WITHOUT its ready marker
+    (crashed writer leftover) must not wedge build_once forever."""
+    from roapi_spark.functions.snapshot import build_once
+
+    out = str(tmp_path / "artifact")
+    os.makedirs(out)
+    with open(os.path.join(out, "partial.bin"), "w") as f:
+        f.write("junk")  # stale partial, no _SUCCESS
+
+    def ready(d):
+        return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    def build(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+
+    assert build_once(out, ready, build) == out
+    assert ready(out)
+    assert not os.path.exists(os.path.join(out, "partial.bin"))

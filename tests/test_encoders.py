@@ -272,3 +272,45 @@ def test_ndjson_encoding():
     assert encode_arrow_table(t, "ndjson") == out
     # chunked export concat stays valid NDJSON (no array brackets)
     assert b"".join([out, out]).count(b"\n") == 4
+
+
+def test_avro_tz_aware_timestamp_converts_to_utc():
+    """ADVICE r4: timestamp-micros is epoch-UTC — a tz-aware value must
+    be converted, not wall-clock-stripped (a +05:00 stamp was encoded
+    5h late before the fix)."""
+    from datetime import timedelta, timezone
+
+    from roapi_spark.encoders.avro import _conv
+
+    tz = timezone(timedelta(hours=5))
+    aware = datetime(2024, 1, 1, 10, 0, 0, tzinfo=tz)  # == 05:00 UTC
+    micros = _conv(aware, pa.timestamp("us", tz="+05:00"))
+    naive_utc = datetime(2024, 1, 1, 5, 0, 0)
+    assert micros == _conv(naive_utc, pa.timestamp("us"))
+
+
+def test_avro_unsigned_int_types_widen():
+    """ADVICE r4: uint32 values above 2^31-1 overflow Avro 'int'; map
+    unsigned 32-bit to 'long' and uint64 to 'string'."""
+    from roapi_spark.encoders.avro import _avro_type, _conv
+
+    assert _avro_type(pa.uint32()) == "long"
+    assert _avro_type(pa.uint16()) == "int"  # still fits in int
+    assert _avro_type(pa.uint64()) == "string"
+    assert _avro_type(pa.int64()) == "long"
+    assert _conv(2**63 + 5, pa.uint64()) == str(2**63 + 5)
+    assert _conv(2**31 + 5, pa.uint32()) == 2**31 + 5
+
+
+def test_avro_uint32_roundtrip(spark, tmp_path):
+    """A uint32 above 2^31-1 survives the encode -> avro source read."""
+    from roapi_spark.config import parse_table_config
+    from roapi_spark.encoders.avro import rows_to_avro_bytes
+    from roapi_spark.sources import load_table
+
+    table = pa.table({"n": pa.array([2**31 + 7, 1, None], pa.uint32())})
+    p = tmp_path / "u32.avro"
+    p.write_bytes(rows_to_avro_bytes(table))
+    df = load_table(spark, parse_table_config({"name": "u", "uri": str(p)}))
+    got = sorted((r["n"] for r in df.collect()), key=lambda v: (v is None, v))
+    assert got == [1, 2**31 + 7, None]
