@@ -1,0 +1,807 @@
+"""Baseline JPEG (ITU T.81 sequential DCT, Huffman) codec — pure
+Python + numpy, written from scratch for the multimodal pipeline.
+
+The reference engine has no multimodal layer at all; this container has
+no PIL/libjpeg, and most real image corpora are JPEG — so the decode
+path here is real: marker parse (DQT/SOF0/DHT/SOS/DRI/RSTn, APPn/COM
+skip), per-MCU Huffman entropy decode with byte unstuffing and restart
+handling, dequantize + inverse zigzag, vectorized 8x8 IDCT over all
+blocks of a component at once (two matrix multiplies per component, not
+per block), chroma upsample, YCbCr->RGB.
+
+Fail-closed contract (tests/test_codec_fuzz.py): malformed or truncated
+input raises ValueError; features beyond baseline (progressive SOF2,
+arithmetic coding, 12-bit precision, hierarchical) raise
+NotImplementedError naming the dependency that would handle them.
+
+The encoder exists for fixtures and round-trip tests. With an all-ones
+quantization table, an image that is CONSTANT within each 8x8 block
+round-trips exactly (its DCT is integer: DC=8c, AC=0), which is what
+the oracle-gated registry queries use; arbitrary images round-trip
+within +-2 (forward-DCT rounding), covered by pytest.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: index i of the scan -> (row, col) flattened offset
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Standard Huffman tables from ITU T.81 Annex K (public spec constants):
+# (bits[1..16] code counts, symbol values)
+_STD_DC_LUM = (
+    [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHROM = (
+    [0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUM = (
+    [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHROM = (
+    [0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix C: coeffs = C @ block @ C.T."""
+    k = np.arange(8)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    c[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return c
+
+_C = _dct_matrix()
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 C.2 canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol for the bit-at-a-time decoder."""
+    out: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# ---------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category/size, raw bits) for a DC diff or AC coefficient."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_component_blocks(
+    plane: np.ndarray, quant: np.ndarray
+) -> np.ndarray:
+    """(h,w) uint8 (h,w multiples of 8) -> quantized zigzag coeffs
+    (n_blocks, 64) int32 in raster block order."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coeffs = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+    q = np.round(coeffs / quant[None, :, :])
+    flat = q.reshape(-1, 64)[:, ZIGZAG]
+    return flat.astype(np.int32)
+
+
+def _pad_to_block(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate pad to multiples of (bh, bw)."""
+    h, w = plane.shape
+    ph = (-h) % bh
+    pw = (-w) % bw
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _write_blocks(
+    bw: _BitWriter,
+    zz: np.ndarray,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+    pred: int,
+) -> int:
+    for blk in zz:
+        diff = int(blk[0]) - pred
+        pred = int(blk[0])
+        size, bits = _magnitude(diff)
+        code, length = dc_codes[size]
+        bw.put(code, length)
+        if size:
+            bw.put(bits, size)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(blk[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                bw.put(code, length)
+                run -= 16
+            size, bits = _magnitude(v)
+            code, length = ac_codes[(run << 4) | size]
+            bw.put(code, length)
+            bw.put(bits, size)
+            run = 0
+        if last < 63:
+            code, length = ac_codes[0x00]  # EOB
+            bw.put(code, length)
+    return pred
+
+
+def _dht_segment(tclass: int, tid: int, table: tuple[list[int], list[int]]) -> bytes:
+    bits, vals = table
+    body = bytes([(tclass << 4) | tid]) + bytes(bits[1:]) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_segment(tid: int, quant: np.ndarray) -> bytes:
+    body = bytes([tid]) + bytes(
+        int(v) for v in quant.reshape(64)[ZIGZAG]
+    )
+    return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    image: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsample: tuple[int, int] = (2, 2),
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder. ``image`` is (h,w) uint8 grayscale (one
+    component, no subsampling) or (h,w,3) uint8 RGB (YCbCr, chroma
+    subsampled by ``subsample``). Default quantization is all-ones:
+    block-constant grayscale inputs then round-trip EXACTLY.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs."""
+    if quant is None:
+        quant = np.ones((8, 8), dtype=np.int64)
+    quant = np.asarray(quant, dtype=np.int64)
+    gray = image.ndim == 2
+    h, w = image.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    dc_l = _huff_codes(*_STD_DC_LUM)
+    ac_l = _huff_codes(*_STD_AC_LUM)
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0 (identifies the file; density 1:1, no thumbnail)
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += _dqt_segment(0, quant)
+
+    if gray:
+        comps = [(1, 1, 1, 0)]  # id, h, v, qtable
+    else:
+        hs, vs = subsample
+        if hs not in (1, 2) or vs not in (1, 2):
+            raise ValueError(f"unsupported subsampling {subsample}")
+        out += _dqt_segment(1, quant)
+        comps = [(1, hs, vs, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+
+    # SOF0
+    body = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, ch, cv, tq in comps:
+        body += bytes([cid, (ch << 4) | cv, tq])
+    out += b"\xff\xc0" + struct.pack(">H", len(body) + 2) + body
+
+    out += _dht_segment(0, 0, _STD_DC_LUM)
+    out += _dht_segment(1, 0, _STD_AC_LUM)
+    if not gray:
+        out += _dht_segment(0, 1, _STD_DC_CHROM)
+        out += _dht_segment(1, 1, _STD_AC_CHROM)
+
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    # SOS
+    body = bytes([len(comps)])
+    for cid, _ch, _cv, _tq in comps:
+        td_ta = 0x00 if cid == 1 else 0x11
+        body += bytes([cid, td_ta])
+    body += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    bw = _BitWriter()
+    rst = 0
+
+    def maybe_restart(mcu_idx: int, preds: list[int]) -> None:
+        nonlocal bw, rst
+        if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+            out.extend(bw.flush())
+            out.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
+            rst += 1
+            bw = _BitWriter()
+            for i in range(len(preds)):
+                preds[i] = 0
+
+    if gray:
+        plane = _pad_to_block(image, 8, 8)
+        zz = _encode_component_blocks(plane, quant)
+        preds = [0]
+        for bi in range(zz.shape[0]):
+            maybe_restart(bi, preds)
+            preds[0] = _write_blocks(bw, zz[bi : bi + 1], dc_l, ac_l, preds[0])
+    else:
+        hs, vs = subsample
+        rgb = image.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+        y = _pad_to_block(np.clip(np.round(y), 0, 255).astype(np.uint8), 8 * vs, 8 * hs)
+        # subsample chroma by block mean over (vs, hs) cells
+        def sub(c: np.ndarray) -> np.ndarray:
+            c = _pad_to_block(np.clip(np.round(c), 0, 255), vs, hs)
+            hh, ww = c.shape
+            cell = c.reshape(hh // vs, vs, ww // hs, hs).mean(axis=(1, 3))
+            return _pad_to_block(
+                np.clip(np.round(cell), 0, 255).astype(np.uint8), 8, 8
+            )
+
+        cb_s, cr_s = sub(cb), sub(cr)
+        dc_c = _huff_codes(*_STD_DC_CHROM)
+        ac_c = _huff_codes(*_STD_AC_CHROM)
+        zz_y = _encode_component_blocks(y, quant)
+        zz_cb = _encode_component_blocks(cb_s, quant)
+        zz_cr = _encode_component_blocks(cr_s, quant)
+        ybw = y.shape[1] // 8  # luma blocks per row
+        mcux = y.shape[1] // (8 * hs)
+        mcuy = y.shape[0] // (8 * vs)
+        preds = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(my * mcux + mx, preds)
+                ys = []
+                for by in range(vs):
+                    for bx in range(hs):
+                        ys.append(zz_y[(my * vs + by) * ybw + mx * hs + bx])
+                preds[0] = _write_blocks(bw, np.array(ys), dc_l, ac_l, preds[0])
+                cbw = cb_s.shape[1] // 8
+                preds[1] = _write_blocks(
+                    bw, zz_cb[my * cbw + mx : my * cbw + mx + 1], dc_c, ac_c, preds[1]
+                )
+                preds[2] = _write_blocks(
+                    bw, zz_cr[my * cbw + mx : my * cbw + mx + 1], dc_c, ac_c, preds[2]
+                )
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decoder
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: int | None = None  # marker that ended the segment
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy data")
+        b = d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG entropy data at 0xFF")
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn consumed by caller
+                raise _RestartMarker(nxt)
+            else:
+                self.marker = nxt
+                raise _SegmentEnd(nxt)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Consume an RSTn marker and byte-align (between MCUs)."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        # skip pad 0xFFs, then the marker byte
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
+            self.pos += 1
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF or not (0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    pass
+
+
+class _SegmentEnd(Exception):
+    pass
+
+
+def _huff_read(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_block(
+    br: _BitReader,
+    dc_tab: dict[tuple[int, int], int],
+    ac_tab: dict[tuple[int, int], int],
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.int32)
+    size = _huff_read(br, dc_tab)
+    if size > 11:
+        raise ValueError(f"JPEG DC category {size} out of range")
+    diff = _extend(br.bits(size), size) if size else 0
+    pred += diff
+    zz[0] = pred
+    i = 1
+    while i < 64:
+        sym = _huff_read(br, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        run = sym >> 4
+        size = sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError(f"invalid JPEG AC symbol {sym:#x}")
+            i += 16  # ZRL
+            continue
+        i += run
+        if i >= 64:
+            raise ValueError("JPEG AC run past end of block")
+        zz[i] = _extend(br.bits(size), size)
+        i += 1
+    return zz, pred
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Baseline JPEG -> (h,w) uint8 gray (1-component scan is the Y
+    plane; 3-component YCbCr converts to RGB then gray = (r+g+b)//3,
+    matching the BMP/PPM branches)."""
+    try:
+        return _decode_jpeg_inner(blob)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed JPEG: {exc}") from exc
+
+
+def _decode_jpeg_inner(blob: bytes) -> np.ndarray:
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame: dict | None = None
+    restart_interval = 0
+
+    while True:
+        if pos + 4 > len(blob):
+            raise ValueError("truncated JPEG (no SOS)")
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, got {blob[pos]:#x}")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0xD8:  # stray SOI
+            continue
+        if marker == 0xD9:
+            raise ValueError("JPEG EOI before scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        (seglen,) = struct.unpack(">H", blob[pos : pos + 2])
+        if seglen < 2 or pos + seglen > len(blob):
+            raise ValueError("truncated JPEG segment")
+        seg = blob[pos + 2 : pos + seglen]
+        pos += seglen
+
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                n = 64 * (2 if pq else 1)
+                if i + n > len(seg):
+                    raise ValueError("truncated JPEG DQT")
+                raw = (
+                    np.frombuffer(seg[i : i + n], dtype=">u2")
+                    if pq
+                    else np.frombuffer(seg[i : i + n], dtype=np.uint8)
+                ).astype(np.int64)
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = raw
+                qtables[tq] = tbl.reshape(8, 8)
+                i += n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                if i + 17 > len(seg):
+                    raise ValueError("truncated JPEG DHT")
+                bits = [0] + list(seg[i + 1 : i + 17])
+                nval = sum(bits)
+                if i + 17 + nval > len(seg):
+                    raise ValueError("truncated JPEG DHT values")
+                vals = list(seg[i + 17 : i + 17 + nval])
+                htables[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + nval
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline & extended seq.
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"JPEG precision {prec} requires libjpeg; only 8-bit "
+                    "baseline decodes here"
+                )
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG with {nc} components (CMYK/unknown) requires "
+                    "libjpeg; only 1 (gray) or 3 (YCbCr) decode here"
+                )
+            if h == 0 or w == 0:
+                raise ValueError(f"JPEG with empty frame {w}x{h}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(f"JPEG sampling {ch}x{cv} invalid")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xCF):
+            raise NotImplementedError(
+                "progressive/lossless/hierarchical JPEG requires libjpeg; "
+                "only baseline sequential decodes here"
+            )
+        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE):
+            raise NotImplementedError(
+                "arithmetic-coded JPEG requires libjpeg; only Huffman "
+                "baseline decodes here"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "multi-scan JPEG (non-interleaved) requires libjpeg"
+                )
+            scan = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                comp = next(
+                    (x for x in frame["comps"] if x["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError(f"JPEG scan references unknown comp {cs}")
+                scan.append((comp, tdta >> 4, tdta & 0x0F))
+            return _decode_scan(blob, pos, frame, scan, qtables, htables,
+                                restart_interval)
+        # APPn / COM / DNL etc.: skipped
+
+    raise ValueError("unreachable")
+
+
+def _decode_scan(
+    blob: bytes,
+    pos: int,
+    frame: dict,
+    scan: list,
+    qtables: dict[int, np.ndarray],
+    htables: dict,
+    restart_interval: int,
+) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for comp, td, ta in scan:
+        if comp["tq"] not in qtables:
+            raise ValueError(f"JPEG missing quant table {comp['tq']}")
+        if (0, td) not in htables or (1, ta) not in htables:
+            raise ValueError("JPEG missing Huffman table for scan")
+
+    # per component: coefficient store (mcu-ordered blocks)
+    stores = []
+    for comp, _td, _ta in scan:
+        nb = mcux * comp["h"] * mcuy * comp["v"]
+        stores.append(np.zeros((nb, 64), dtype=np.int32))
+
+    br = _BitReader(blob, pos)
+    preds = [0] * len(scan)
+    mcu = 0
+    total_mcus = mcux * mcuy
+    while mcu < total_mcus:
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            br.sync_restart()
+            preds = [0] * len(scan)
+        try:
+            for ci, (comp, td, ta) in enumerate(scan):
+                ch, cv = comp["h"], comp["v"]
+                bw_c = mcux * ch  # blocks per row for this component
+                my, mx = divmod(mcu, mcux)
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz, preds[ci] = _decode_block(
+                            br, htables[(0, td)], htables[(1, ta)], preds[ci]
+                        )
+                        idx = (my * cv + by) * bw_c + mx * ch + bx
+                        stores[ci][idx] = zz
+        except _RestartMarker as exc:
+            raise ValueError(
+                f"unexpected JPEG restart marker RST{exc.args[0] - 0xD0} "
+                f"inside MCU {mcu}"
+            ) from None
+        except _SegmentEnd:
+            raise ValueError(
+                f"JPEG entropy data ended at MCU {mcu}/{total_mcus}"
+            ) from None
+        mcu += 1
+
+    # reconstruct planes: dequantize, unzigzag, batched IDCT
+    planes = []
+    for ci, (comp, _td, _ta) in enumerate(scan):
+        q = qtables[comp["tq"]]
+        zz = stores[ci].astype(np.float64)
+        coeffs = np.zeros_like(zz)
+        coeffs[:, ZIGZAG] = zz
+        coeffs = coeffs.reshape(-1, 8, 8) * q[None, :, :]
+        pix = np.einsum("ji,njk,kl->nil", _C, coeffs, _C)
+        pix = np.clip(np.round(pix) + 128.0, 0, 255).astype(np.uint8)
+        ch, cv = comp["h"], comp["v"]
+        bw_c, bh_c = mcux * ch, mcuy * cv
+        plane = (
+            pix.reshape(bh_c, bw_c, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_c * 8, bw_c * 8)
+        )
+        # crop to the component's true size, then upsample nearest to full
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        plane = plane[:chh, :cw]
+        if ch != hmax or cv != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+            )
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return planes[0]
+    y, cb, cr = (p.astype(np.float64) for p in planes)
+    r = np.clip(np.round(y + 1.402 * (cr - 128.0)), 0, 255)
+    g = np.clip(
+        np.round(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)), 0, 255
+    )
+    b = np.clip(np.round(cb * 1.772 - 226.816 + y), 0, 255)
+    return ((r + g + b).astype(np.uint32) // 3).astype(np.uint8)
+
+
+# ------------------------------------------------------- MJPEG-in-AVI
+
+def encode_avi_mjpeg(
+    frames: np.ndarray, fps: int = 10, quant: np.ndarray | None = None
+) -> bytes:
+    """(n, h, w) uint8 gray frames -> RIFF AVI container with an 'MJPG'
+    video stream whose '00dc' chunks are baseline JPEGs (one per
+    frame) — the classic motion-JPEG layout every AVI demuxer reads."""
+    n, h, w = frames.shape
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    frame_blobs = [encode_jpeg(f, quant=quant) for f in frames]
+    max_bytes = max(len(b) for b in frame_blobs) if frame_blobs else 0
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # microseconds per frame
+        max_bytes * fps,   # max bytes/sec
+        0, 0x10,           # padding, flags (HASINDEX)
+        n, 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, max_bytes,
+        0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00dc", b) for b in frame_blobs)
+    movi = lst(b"movi", movi_body)
+    # idx1: one entry per frame (offset relative to 'movi' fourcc)
+    idx_entries = []
+    off = 4
+    for b in frame_blobs:
+        idx_entries.append(struct.pack("<4sII I", b"00dc", 0x10, off, len(b)))
+        off += 8 + len(b) + (len(b) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_mjpeg(blob: bytes, decode_frame=None) -> np.ndarray:
+    """RIFF AVI -> (n, h, w) uint8 frame stack. Walks the chunk tree to
+    the 'movi' LIST and decodes every video chunk ('##dc'/'##db');
+    MJPG chunks are JPEGs (decoded here); uncompressed DIB chunks gate.
+    ``decode_frame`` overrides the per-chunk decoder (decode_image for
+    the multimodal dispatch, so FIMG-in-AVI also works)."""
+    if decode_frame is None:
+        decode_frame = decode_jpeg
+    try:
+        return _decode_avi_inner(blob, decode_frame)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed AVI: {exc}") from exc
+
+
+def _decode_avi_inner(blob: bytes, decode_frame) -> np.ndarray:
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not an AVI (missing RIFF/AVI header)")
+    (riff_len,) = struct.unpack("<I", blob[4:8])
+    end = min(len(blob), 8 + riff_len)
+    if end < 12:
+        raise ValueError("truncated AVI header")
+
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, limit: int) -> None:
+        while pos + 8 <= limit:
+            fourcc = blob[pos : pos + 4]
+            (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+            body_start = pos + 8
+            body_end = body_start + size
+            if body_end > limit:
+                raise ValueError(
+                    f"AVI chunk {fourcc!r} overruns container "
+                    f"({body_end} > {limit})"
+                )
+            if fourcc == b"LIST":
+                kind = blob[body_start : body_start + 4]
+                if kind in (b"movi", b"hdrl", b"rec "):
+                    walk(body_start + 4, body_end)
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                frames.append(decode_frame(blob[body_start:body_end]))
+            pos = body_end + (size % 2)  # chunks are word-aligned
+
+    walk(12, end)
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    shape0 = frames[0].shape
+    if any(f.shape != shape0 for f in frames):
+        raise ValueError(
+            f"AVI frames disagree on dimensions: {sorted({f.shape for f in frames})}"
+        )
+    return np.stack(frames)

@@ -160,12 +160,16 @@ def decode_image(blob: bytes) -> np.ndarray:
             return _decode_tiff(blob)
         except (struct.error, IndexError) as exc:
             raise ValueError(f"malformed TIFF: {exc}") from exc
+    if blob[:2] == b"\xff\xd8":
+        from roapi_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
     # real formats: gate on the actual codec dependency
     raise NotImplementedError(
         "real image decode requires PIL/pillow (not in this container); "
         "only the FIMG synthetic format, uncompressed 24-bit BMP, "
-        "8-bit netpbm (PGM/PPM), 8-bit non-interlaced PNG, GIF, and "
-        "uncompressed baseline TIFF decode here"
+        "8-bit netpbm (PGM/PPM), 8-bit non-interlaced PNG, GIF, baseline "
+        "JPEG, and uncompressed baseline TIFF decode here"
     )
 
 
@@ -885,10 +889,16 @@ def decode_video(blob: bytes) -> np.ndarray:
             return _decode_gif_video(blob)
         except (struct.error, IndexError) as exc:
             raise ValueError(f"malformed GIF: {exc}") from exc
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        from roapi_spark.functions.jpeg import decode_avi_mjpeg
+
+        # frame chunks route back through decode_image, so MJPG (JPEG
+        # frames), and any other decodable still format, both work
+        return decode_avi_mjpeg(blob, decode_frame=decode_image)
     raise NotImplementedError(
         "real video decode requires pyav/ffmpeg (not in this container); "
-        "only the FVID synthetic format and full-frame animated GIF "
-        "decode here"
+        "only the FVID synthetic format, full-frame animated GIF, and "
+        "MJPEG-in-AVI decode here"
     )
 
 
@@ -2311,6 +2321,165 @@ def multimodal_video_gif(spark, sf_dir: str) -> DataFrame:
                     "doc_id", "frame_idx", "width", "height",
                     "mean_pixel", "max_pixel",
                 ],
+            )
+
+    stats = corpus.mapInPandas(
+        per_frame,
+        "doc_id bigint, frame_idx int, width int, height int, "
+        "mean_pixel double, max_pixel int",
+    )
+    return stats.withColumn("mean_pixel", pround(F.col("mean_pixel")))
+
+
+_JPG_BW, _JPG_BH = 3, 2  # blocks per row / per column (image 24x16)
+
+
+@register(
+    "multimodal_image_jpeg",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_JPG_BW * _JPG_BH - 1}),
+               j -> (doc_id * 31 + (j % {_JPG_BW}) * 7
+                     + (j // {_JPG_BW}) * 13) % 256) AS v
+      FROM documents
+    )
+    SELECT doc_id,
+           {_JPG_BW * 8} AS width,
+           {_JPG_BH * 8} AS height,
+           FLOOR(LIST_SUM(v) / {float(_JPG_BW * _JPG_BH)} * 10000 + 0.5)
+             / 10000.0 AS mean_pixel,
+           LIST_MAX(v) AS max_pixel
+    FROM b
+    """,
+    doc="REAL JPEG (ITU T.81 baseline sequential, std Annex-K Huffman "
+    "tables) under the correctness gate: per document a mosaic image "
+    f"whose 8x8 block (bx,by) is the CONSTANT (doc_id*31+bx*7+by*13)%256 "
+    "— with an all-ones quant table such a block's DCT is exactly "
+    "integer (DC=8c, AC=0), so the full entropy-decode -> dequant -> "
+    "IDCT chain round-trips bit-exactly and the stats match a closed-"
+    "form DuckDB recomputation. Marker parse, Huffman DC path, EOB "
+    "handling and the vectorized IDCT are all load-bearing "
+    "(functions/jpeg.py; AC and chroma paths are pytest-covered where "
+    "lossy rounding forbids an exact oracle).",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_image_jpeg(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from roapi_spark.functions.jpeg import encode_jpeg
+    from roapi_spark.util import pround
+
+    ids = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bx = np.arange(_JPG_BW, dtype=np.int64)[None, :] * 7
+        by = np.arange(_JPG_BH, dtype=np.int64)[:, None] * 13
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                blocks = ((int(i) * 31 + bx + by) % 256).astype(np.uint8)
+                img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                rows.append((int(i), encode_jpeg(img)))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    corpus = ids.mapInPandas(gen, "id bigint, content binary")
+    stats = image_stats(corpus)
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        pround(F.col("mean_pixel")).alias("mean_pixel"),
+        "max_pixel",
+    )
+
+
+_MJPG_N, _MJPG_BW, _MJPG_BH = 3, 2, 2  # frames; blocks/row; blocks/col
+
+
+@register(
+    "multimodal_video_mjpeg",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, UNNEST(GENERATE_SERIES(0, {_MJPG_N - 1})) AS frame_idx
+      FROM documents
+    ), b AS (
+      SELECT doc_id, frame_idx,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_MJPG_BW * _MJPG_BH - 1}),
+               j -> (doc_id * 37 + frame_idx * 101 + (j % {_MJPG_BW}) * 11
+                     + (j // {_MJPG_BW}) * 19) % 256) AS v
+      FROM f
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           {_MJPG_BW * 8} AS width, {_MJPG_BH * 8} AS height,
+           FLOOR(LIST_SUM(v) / {float(_MJPG_BW * _MJPG_BH)} * 10000 + 0.5)
+             / 10000.0 AS mean_pixel,
+           LIST_MAX(v) AS max_pixel
+    FROM b
+    """,
+    doc="SECOND real video container under the correctness gate: per "
+    f"document a RIFF AVI whose 'MJPG' stream holds {_MJPG_N} baseline-"
+    "JPEG '00dc' frames (block-constant mosaics, exact round trip as in "
+    "multimodal_image_jpeg). The RIFF chunk-tree walk (LIST/hdrl/movi, "
+    "word alignment), per-frame JPEG decode, and frame stacking are all "
+    "load-bearing (functions/jpeg.py:encode_avi_mjpeg/decode_avi_mjpeg).",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_video_mjpeg(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from roapi_spark.functions.jpeg import encode_avi_mjpeg
+    from roapi_spark.util import pround
+
+    ids = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bx = np.arange(_MJPG_BW, dtype=np.int64)[None, :] * 11
+        by = np.arange(_MJPG_BH, dtype=np.int64)[:, None] * 19
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                frames = np.stack(
+                    [
+                        np.repeat(
+                            np.repeat(
+                                ((int(i) * 37 + f * 101 + bx + by) % 256
+                                 ).astype(np.uint8),
+                                8, axis=0,
+                            ),
+                            8, axis=1,
+                        )
+                        for f in range(_MJPG_N)
+                    ]
+                )
+                rows.append((int(i), encode_avi_mjpeg(frames)))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    corpus = ids.mapInPandas(gen, "id bigint, content binary")
+
+    def per_frame(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, blob in zip(pdf["id"], pdf["content"]):
+                stack = decode_video(bytes(blob))
+                for fi in range(stack.shape[0]):
+                    img = stack[fi]
+                    out.append(
+                        (int(i), int(fi), img.shape[1], img.shape[0],
+                         float(img.mean()), int(img.max()))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "frame_idx", "width", "height",
+                         "mean_pixel", "max_pixel"],
             )
 
     stats = corpus.mapInPandas(

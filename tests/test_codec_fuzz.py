@@ -42,7 +42,7 @@ def test_image_decoders_fail_closed(seed):
     cases = []
     for magic in (
         b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"P6", b"P5",
-        b"II*\x00", b"MM\x00*",
+        b"II*\x00", b"MM\x00*", b"\xff\xd8",
     ):
         cases += [magic + rng.bytes(int(rng.integers(0, 80))) for _ in range(200)]
     for whole, keep in [
@@ -74,7 +74,12 @@ def test_audio_video_decoders_fail_closed(seed):
             decode_audio(blob)
         except OK:
             pass
-    for blob in (b"FVID", b"FVID" + rng.bytes(10)):
+    vid_cases = [b"FVID", b"FVID" + rng.bytes(10)]
+    vid_cases += [
+        b"RIFF" + rng.bytes(4) + b"AVI " + rng.bytes(int(rng.integers(0, 60)))
+        for _ in range(100)
+    ]
+    for blob in vid_cases:
         try:
             decode_video(blob)
         except OK:

@@ -1,0 +1,192 @@
+"""Baseline JPEG codec (functions/jpeg.py): round trips through the
+real encode->decode chain, feature coverage (AC coefficients, chroma
+subsampling, restart markers, 16-bit quant tables), dispatch through
+decode_image/decode_video, and the fail-closed fuzz contract."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from roapi_spark.functions.jpeg import (
+    decode_avi_mjpeg,
+    decode_jpeg,
+    encode_avi_mjpeg,
+    encode_jpeg,
+)
+from roapi_spark.functions.multimodal import decode_image, decode_video
+
+OK = (ValueError, NotImplementedError)
+
+
+def _mosaic(rng, bh, bw):
+    blocks = rng.integers(0, 256, size=(bh, bw), dtype=np.uint8)
+    return np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_block_constant_gray_roundtrips_exactly(seed):
+    rng = np.random.default_rng(seed)
+    img = _mosaic(rng, 3, 4)
+    out = decode_jpeg(encode_jpeg(img))
+    assert np.array_equal(out, img)
+
+
+@pytest.mark.parametrize(
+    "shape", [(8, 8), (13, 21), (24, 40), (1, 1), (9, 64)]
+)
+def test_arbitrary_gray_within_dct_rounding(shape):
+    """Quant=1: the only loss is forward-DCT coefficient rounding; the
+    reconstruction must stay within +-2 of the source (AC Huffman path,
+    ZRL, EOB, odd dimensions / edge padding all exercised)."""
+    rng = np.random.default_rng(hash(shape) % 2**31)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_restart_markers_reset_dc_prediction():
+    rng = np.random.default_rng(7)
+    img = _mosaic(rng, 4, 5)
+    for ri in (1, 2, 3, 7):
+        blob = encode_jpeg(img, restart_interval=ri)
+        assert b"\xff\xdd" in blob  # DRI present
+        assert np.array_equal(decode_jpeg(blob), img)
+
+
+def test_quant_table_roundtrip_and_error_bound():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    q = np.full((8, 8), 16, dtype=np.int64)
+    out = decode_jpeg(encode_jpeg(img, quant=q))
+    # quantization step q bounds per-coefficient error by q/2; loose
+    # pixel-domain bound: well under the 8*q worst case, sanity only
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 64
+
+
+@pytest.mark.parametrize("subsample", [(1, 1), (2, 1), (1, 2), (2, 2)])
+def test_color_ycbcr_subsampling(subsample):
+    """Constant-color image: chroma subsampling is lossless for constant
+    planes, so gray output must equal (r+g+b)//3 of the (YCbCr-rounded)
+    source within the conversion's rounding (+-2)."""
+    rgb = np.zeros((16, 24, 3), dtype=np.uint8)
+    rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2] = 200, 100, 50
+    out = decode_jpeg(encode_jpeg(rgb, subsample=subsample))
+    want = int(rgb[0, 0].astype(np.uint32).sum() // 3)
+    assert out.shape == (16, 24)
+    assert np.abs(out.astype(int) - want).max() <= 2
+
+
+def test_color_444_tracks_source_gray():
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(rgb, subsample=(1, 1)))
+    gray = rgb.astype(np.uint32).sum(axis=2) // 3
+    assert np.abs(out.astype(int) - gray.astype(int)).max() <= 4
+
+
+def test_decode_image_dispatches_jpeg():
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_jpeg(img)), img)
+
+
+def test_app_and_comment_segments_skipped():
+    img = np.full((8, 8), 10, dtype=np.uint8)
+    blob = encode_jpeg(img)
+    # splice a COM and an APP13 segment right after SOI
+    com = b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+    app = b"\xff\xed" + struct.pack(">H", 6) + b"meta"
+    spliced = blob[:2] + com + app + blob[2:]
+    assert np.array_equal(decode_jpeg(spliced), img)
+
+
+def test_progressive_and_arithmetic_gate():
+    img = np.full((8, 8), 10, dtype=np.uint8)
+    blob = bytearray(encode_jpeg(img))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2  # SOF0 -> SOF2 progressive
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(blob))
+    blob[i + 1] = 0xC9  # arithmetic
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(blob))
+
+
+def test_truncation_and_garbage_fail_closed():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    whole = encode_jpeg(img)
+    cases = [whole[:k] for k in range(2, len(whole), 3)]
+    cases += [b"\xff\xd8" + rng.bytes(int(rng.integers(0, 60))) for _ in range(300)]
+    for _ in range(300):
+        b = bytearray(whole)
+        for _ in range(3):
+            b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))
+        cases.append(bytes(b))
+    decoded = 0
+    for blob in cases:
+        try:
+            decode_jpeg(blob)
+            decoded += 1
+        except OK:
+            pass  # contract: only these two types
+    assert decoded < len(cases)  # most corruptions must actually fail
+
+
+# ------------------------------------------------------------ AVI/MJPEG
+
+
+def test_avi_mjpeg_roundtrip_exact():
+    rng = np.random.default_rng(13)
+    blocks = rng.integers(0, 256, size=(5, 2, 3), dtype=np.uint8)
+    frames = np.repeat(np.repeat(blocks, 8, axis=1), 8, axis=2)
+    blob = encode_avi_mjpeg(frames, fps=25)
+    assert np.array_equal(decode_avi_mjpeg(blob), frames)
+    # and through the multimodal dispatch
+    assert np.array_equal(decode_video(blob), frames)
+
+
+def test_avi_frame_dim_mismatch_fails():
+    a = encode_jpeg(np.full((8, 8), 1, dtype=np.uint8))
+    b = encode_jpeg(np.full((16, 8), 2, dtype=np.uint8))
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", a) + chunk(b"00dc", b))
+    riff = b"RIFF" + struct.pack("<I", 4 + len(movi)) + b"AVI " + movi
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_avi_mjpeg(riff)
+
+
+def test_avi_fail_closed():
+    rng = np.random.default_rng(17)
+    frames = np.repeat(
+        np.repeat(rng.integers(0, 256, size=(2, 2, 2), dtype=np.uint8), 8, axis=1),
+        8, axis=2,
+    )
+    whole = encode_avi_mjpeg(frames)
+    cases = [whole[:k] for k in range(0, len(whole), 7)]
+    cases += [
+        b"RIFF" + struct.pack("<I", 99) + b"AVI " + rng.bytes(20)
+        for _ in range(50)
+    ]
+    for _ in range(200):
+        b = bytearray(whole)
+        for _ in range(3):
+            b[int(rng.integers(12, len(b)))] = int(rng.integers(0, 256))
+        cases.append(bytes(b))
+    for blob in cases:
+        try:
+            decode_avi_mjpeg(blob)
+        except OK:
+            pass
+        # dispatch path too: decode_video must keep the same contract
+        try:
+            decode_video(blob)
+        except OK:
+            pass

@@ -55,8 +55,11 @@ def test_frame_sample_fanout(spark):
 
 
 def test_real_codec_is_gated(spark, images):
-    # JPEG stays gated (PNG/GIF/BMP/netpbm now decode for real)
+    # WebP stays gated (PNG/GIF/BMP/netpbm/TIFF/JPEG now decode for real)
     with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 garbage")
+    # JPEG decodes for real now: garbage after the magic fails CLOSED
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jfif garbage")
 
 
@@ -130,7 +133,16 @@ def test_real_codec_gates_name_dependency():
     )
 
     with pytest.raises(NotImplementedError, match="PIL|pillow"):
-        decode_image(b"\xff\xd8\xff\xe0 jfif garbage")  # JPEG: still gated
+        decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 garbage")  # WebP: gated
+    with pytest.raises(NotImplementedError, match="libjpeg"):
+        # inside JPEG, beyond-baseline features name libjpeg
+        import struct as _s
+
+        from roapi_spark.functions.jpeg import encode_jpeg as _ej
+
+        blob = bytearray(_ej(__import__("numpy").full((8, 8), 1, dtype="uint8")))
+        blob[blob.index(b"\xff\xc0") + 1] = 0xC2  # progressive
+        decode_image(bytes(blob))
     with pytest.raises(NotImplementedError, match="soundfile|libav"):
         decode_audio(b"OggS garbage")
     with pytest.raises(NotImplementedError, match="pyav|ffmpeg"):
