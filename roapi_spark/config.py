@@ -97,6 +97,11 @@ class TableSource:
     schema: T.StructType | None = None
     schema_from_files: list[str] | None = None
     use_memory_table: bool | None = None  # None -> loader default
+    # reference: columnq table/mod.rs:570-572 (default_batch_size 8192).
+    # Spark has no per-scan row-batch knob; this maps at load time to the
+    # session's Arrow transfer batch cap + parquet vectorized reader
+    # batch size (sources/__init__.py:load_table).
+    batch_size: int | None = None
     partition_columns: list[PartitionColumn] = field(default_factory=list)
     reload_interval: float | None = None  # seconds
     io_option: dict[str, Any] = field(default_factory=dict)
@@ -152,6 +157,20 @@ def sniff_format(uri: str) -> str | None:
     return fmt
 
 
+def _parse_batch_size(v: Any, table: str) -> int | None:
+    if v is None:
+        return None
+    try:
+        n = int(v)
+    except (TypeError, ValueError):
+        raise ConfigError(
+            f"bad batch_size {v!r} for table {table!r} (want a positive int)"
+        ) from None
+    if n <= 0:
+        raise ConfigError(f"batch_size must be positive for table {table!r}, got {n}")
+    return n
+
+
 def parse_table_config(d: dict[str, Any]) -> TableSource:
     if "name" not in d or "uri" not in d:
         raise ConfigError(f"table config needs name and uri: {d!r}")
@@ -172,6 +191,9 @@ def parse_table_config(d: dict[str, Any]) -> TableSource:
         schema=schema,
         schema_from_files=d.get("schema_from_files"),
         use_memory_table=opt.pop("use_memory_table", d.get("use_memory_table")),
+        batch_size=_parse_batch_size(
+            opt.pop("batch_size", d.get("batch_size")), d["name"]
+        ),
         partition_columns=pcols,
         reload_interval=d.get("reload_interval"),
         io_option=dict(d.get("io_option") or {}),

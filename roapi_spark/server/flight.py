@@ -53,6 +53,41 @@ SQL_INFO_SERVER_VERSION = 1
 SQL_INFO_SERVER_ARROW_VERSION = 2
 SQL_INFO_SERVER_READ_ONLY = 3
 
+# GetXdbcTypeInfo rows: the Spark SQL primitive type matrix in the
+# FlightSQL spec's column order (type_name, data_type, column_size,
+# literal_prefix, literal_suffix, create_params, nullable,
+# case_sensitive, searchable, unsigned_attribute, fixed_prec_scale,
+# auto_increment, local_type_name, minimum_scale, maximum_scale,
+# sql_data_type, datetime_subcode, num_prec_radix, interval_precision).
+# data_type codes are XdbcDataType from FlightSql.proto; nullable 1 =
+# NULLABILITY_NULLABLE; searchable 3 = SEARCHABLE_FULL.
+_XDBC_TYPES: list[tuple] = [
+    ("BOOLEAN", -7, 1, None, None, None, 1, False, 3, None, False,
+     None, "BOOLEAN", None, None, -7, None, None, None),
+    ("TINYINT", -6, 8, None, None, None, 1, False, 3, False, False,
+     False, "TINYINT", None, None, -6, None, 2, None),
+    ("SMALLINT", 5, 16, None, None, None, 1, False, 3, False, False,
+     False, "SMALLINT", None, None, 5, None, 2, None),
+    ("INTEGER", 4, 32, None, None, None, 1, False, 3, False, False,
+     False, "INTEGER", None, None, 4, None, 2, None),
+    ("BIGINT", -5, 64, None, None, None, 1, False, 3, False, False,
+     False, "BIGINT", None, None, -5, None, 2, None),
+    ("FLOAT", 6, 24, None, None, None, 1, False, 3, False, False,
+     False, "FLOAT", None, None, 6, None, 2, None),
+    ("DOUBLE", 8, 53, None, None, None, 1, False, 3, False, False,
+     False, "DOUBLE", None, None, 8, None, 2, None),
+    ("DECIMAL", 3, 38, None, None, ["precision", "scale"], 1, False, 3,
+     False, True, False, "DECIMAL", 0, 38, 3, None, 10, None),
+    ("VARCHAR", 12, 2147483647, "'", "'", None, 1, True, 3, None,
+     False, None, "STRING", None, None, 12, None, None, None),
+    ("BINARY", -2, 2147483647, "X'", "'", None, 1, False, 0, None,
+     False, None, "BINARY", None, None, -2, None, None, None),
+    ("DATE", 91, 10, "DATE '", "'", None, 1, False, 3, None, False,
+     None, "DATE", None, None, 9, 1, None, None),
+    ("TIMESTAMP", 93, 29, "TIMESTAMP '", "'", None, 1, False, 3, None,
+     False, None, "TIMESTAMP", 0, 6, 9, 3, None, None),
+]
+
 
 def _sql_info_value_type() -> pa.DenseUnionType:
     return pa.dense_union(
@@ -225,6 +260,45 @@ class SparkFlightServer(flight.FlightServerBase):
                     pa.binary(),
                 )
             return pa.table(cols)
+        if cmd == "CommandGetTableTypes":
+            # spec result set: one non-null utf8 column `table_type`.
+            # The reference's handler is unimplemented
+            # (flight_sql.rs:676-681 do_get_table_types); ADBC/JDBC
+            # clients probe it during connection setup, so serve it.
+            return pa.table(
+                {"table_type": pa.array(["TABLE"], pa.string())}
+            )
+        if cmd == "CommandGetXdbcTypeInfo":
+            # spec result set (flight_sql.rs:75-99 INSTANCE_XBDC_DATA —
+            # the reference ships only INTEGER; we publish the full
+            # Spark SQL primitive matrix). Optional field 1 filters by
+            # xdbc data_type code.
+            fields = fsp.decode_fields(payload)
+            want = fields.get(1, [None])[0]
+            if want is not None and want >= 1 << 63:
+                want -= 1 << 64  # proto int32 negatives arrive as u64
+            rows = [r for r in _XDBC_TYPES if want is None or r[1] == want]
+            names = [
+                "type_name", "data_type", "column_size", "literal_prefix",
+                "literal_suffix", "create_params", "nullable",
+                "case_sensitive", "searchable", "unsigned_attribute",
+                "fixed_prec_scale", "auto_increment", "local_type_name",
+                "minimum_scale", "maximum_scale", "sql_data_type",
+                "datetime_subcode", "num_prec_radix", "interval_precision",
+            ]
+            types = [
+                pa.string(), pa.int32(), pa.int32(), pa.string(),
+                pa.string(), pa.list_(pa.string()), pa.int32(),
+                pa.bool_(), pa.int32(), pa.bool_(), pa.bool_(),
+                pa.bool_(), pa.string(), pa.int32(), pa.int32(),
+                pa.int32(), pa.int32(), pa.int32(), pa.int32(),
+            ]
+            return pa.table(
+                {
+                    n: pa.array([r[i] for r in rows], t)
+                    for i, (n, t) in enumerate(zip(names, types))
+                }
+            )
         if cmd == "CommandGetSqlInfo":
             fields = fsp.decode_fields(payload)
             requested: list[int] = []

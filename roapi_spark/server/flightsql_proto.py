@@ -134,6 +134,21 @@ def command_prepared_statement_query(handle: bytes) -> bytes:
     return any_pack("CommandPreparedStatementQuery", encode_bytes_field(1, handle))
 
 
+def command_get_table_types() -> bytes:
+    return any_pack("CommandGetTableTypes", b"")
+
+
+def command_get_xdbc_type_info(data_type: int | None = None) -> bytes:
+    # proto int32: negatives (XDBC_BIGINT=-5 etc.) varint-encode as
+    # 64-bit two's complement
+    body = (
+        encode_varint_field(1, data_type & 0xFFFFFFFFFFFFFFFF)
+        if data_type is not None
+        else b""
+    )
+    return any_pack("CommandGetXdbcTypeInfo", body)
+
+
 def action_create_prepared_statement(query: str) -> bytes:
     return any_pack("ActionCreatePreparedStatementRequest", encode_str_field(1, query))
 

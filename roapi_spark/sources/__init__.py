@@ -81,6 +81,18 @@ def load_table(spark: SparkSession, ts: TableSource) -> DataFrame:
     mod_name = _LOADERS.get(fmt)
     if mod_name is None:
         raise LoadError(f"no loader for format {fmt!r} (table {ts.name!r})")
+    if ts.batch_size:
+        # parity knob (columnq table/mod.rs:570-572): Spark batches rows
+        # per scan via the vectorized reader and per Arrow transfer via
+        # maxRecordsPerBatch — both session confs, set at load time so a
+        # memory-constrained table (huge rows, binary blobs) caps the
+        # rows materialized per batch
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ts.batch_size)
+        )
+        spark.conf.set(
+            "spark.sql.parquet.columnarReaderBatchSize", str(ts.batch_size)
+        )
     mod = importlib.import_module(mod_name)
     df: DataFrame = mod.to_dataframe(spark, ts)
     if ts.use_memory_table:

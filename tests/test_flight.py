@@ -254,3 +254,47 @@ def test_count_placeholders_escapes_and_comments():
     assert cp("/* ? ? */ SELECT ?") == 1      # block comment
     assert cp("SELECT `weird?col`, ?") == 1   # backtick identifier
     assert cp("SELECT ? /* unterminated ?") == 1
+
+
+def test_flightsql_table_types_and_xdbc_type_info(served):
+    """ADBC/JDBC connection-setup probes (VERDICT r4 #4): the reference
+    defines the surface (flight_sql.rs:614-704, INSTANCE_XBDC_DATA at
+    :75-99 — one INTEGER row; do_get_table_types unimplemented); here
+    both serve spec-shaped result sets over the full Spark primitive
+    matrix, mirroring roapi/tests/flight_sql_test.rs:66-80's
+    get_flight_info -> do_get probe shape."""
+    client = flight.connect(f"grpc://127.0.0.1:{served.port}")
+
+    tt = client.do_get(
+        client.get_flight_info(
+            flight.FlightDescriptor.for_command(fsp.command_get_table_types())
+        ).endpoints[0].ticket
+    ).read_all()
+    assert tt.column_names == ["table_type"]
+    assert tt.column("table_type").to_pylist() == ["TABLE"]
+
+    ti = client.do_get(
+        client.get_flight_info(
+            flight.FlightDescriptor.for_command(fsp.command_get_xdbc_type_info())
+        ).endpoints[0].ticket
+    ).read_all()
+    # spec column order and the types a Spark catalog exposes
+    assert ti.column_names[:3] == ["type_name", "data_type", "column_size"]
+    assert ti.num_columns == 19
+    names = ti.column("type_name").to_pylist()
+    for t in ("BOOLEAN", "INTEGER", "BIGINT", "DOUBLE", "DECIMAL",
+              "VARCHAR", "DATE", "TIMESTAMP", "BINARY"):
+        assert t in names, t
+    by_name = dict(zip(names, ti.column("data_type").to_pylist()))
+    assert by_name["INTEGER"] == 4 and by_name["BIGINT"] == -5
+
+    # data_type filter narrows the result (negative code round-trips
+    # through proto int32 two's-complement varint)
+    only = client.do_get(
+        client.get_flight_info(
+            flight.FlightDescriptor.for_command(
+                fsp.command_get_xdbc_type_info(data_type=-5)
+            )
+        ).endpoints[0].ticket
+    ).read_all()
+    assert only.column("type_name").to_pylist() == ["BIGINT"]

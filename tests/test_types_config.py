@@ -121,3 +121,39 @@ def test_parse_table_uri_arg():
     assert ts.resolved_format() == "ndjson"
     with pytest.raises(ConfigError):
         parse_table_uri_arg("t=/tmp/x.nope").resolved_format()
+
+
+def test_batch_size_option_parses_and_applies(spark, tmp_path):
+    """Per-table batch_size (reference columnq table/mod.rs:570-572):
+    parsed from option or top level, validated, applied to the session's
+    scan/transfer batch confs at load."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from roapi_spark.config import ConfigError, parse_table_config
+    from roapi_spark.sources import load_table
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"x": pa.array([1, 2, 3], pa.int64())}), p)
+
+    ts = parse_table_config(
+        {"name": "t", "uri": p, "option": {"batch_size": 1024}}
+    )
+    assert ts.batch_size == 1024
+    # top-level spelling too (reference accepts the field on the table)
+    assert parse_table_config(
+        {"name": "t", "uri": p, "batch_size": 4096}
+    ).batch_size == 4096
+    assert parse_table_config({"name": "t", "uri": p}).batch_size is None
+
+    df = load_table(spark, ts)
+    assert df.count() == 3
+    assert spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "1024"
+    assert spark.conf.get("spark.sql.parquet.columnarReaderBatchSize") == "1024"
+
+    for bad in (0, -5, "lots"):
+        with _pytest.raises(ConfigError):
+            parse_table_config(
+                {"name": "t", "uri": p, "option": {"batch_size": bad}}
+            )
