@@ -370,10 +370,19 @@ class H2CConnection:
             self._dispatch(sid)
 
     def _on_data(self, flags: int, sid: int, payload: bytes) -> None:
+        n = len(payload)  # flow-controlled size includes any padding
         st = self.streams.setdefault(sid, {"frag": b"", "body": b""})
         if flags & _FLAG_PADDED:
             payload = payload[1 : len(payload) - payload[0]]
         st["body"] += payload
+        if n:
+            # replenish the receive windows: the body is buffered (and
+            # therefore "consumed") immediately, and without these a
+            # strict sender stalls forever once a request body crosses
+            # the 65535-byte default window
+            self._send_frame(_WINUP, 0, 0, struct.pack(">I", n))
+            if not flags & _FLAG_END_STREAM:
+                self._send_frame(_WINUP, 0, sid, struct.pack(">I", n))
         if flags & _FLAG_END_STREAM:
             self._dispatch(sid)
 

@@ -406,3 +406,243 @@ def test_window_update_after_stream_end_is_not_resurrected():
     conn.run()
     assert conn.stream_windows == {}
     assert conn.streams == {}
+
+
+# ---- strict flow-control soak (VERDICT r4 #6): real sockets, tiny ----------
+# windows, mid-stream shrink, connection-window exhaustion, TLS parity
+
+
+class _RawH2:
+    """Minimal strict-flow-control h2 client over a real socket:
+    prior-knowledge preface, literal-HPACK requests, frame-at-a-time
+    reads with a hard timeout so a server stall fails loudly instead of
+    hanging the suite."""
+
+    def __init__(self, url: str, initial_window: int | None = None):
+        import socket
+        import ssl
+        import struct as _s
+        from urllib.parse import urlparse
+
+        u = urlparse(url)
+        sock = socket.create_connection((u.hostname, u.port), timeout=30)
+        if u.scheme == "https":
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+            ctx.set_alpn_protocols(["h2"])
+            sock = ctx.wrap_socket(sock, server_hostname=u.hostname)
+            assert sock.selected_alpn_protocol() == "h2"
+        sock.settimeout(30)
+        self.sock = sock
+        self.buf = b""
+        settings = (
+            b"" if initial_window is None else _s.pack(">HI", 4, initial_window)
+        )
+        self.send_raw(
+            b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n" + _frame(4, 0, 0, settings)
+        )
+
+    def send_raw(self, b: bytes) -> None:
+        self.sock.sendall(b)
+
+    def send_frame(self, ftype: int, flags: int, sid: int, payload: bytes) -> None:
+        self.send_raw(_frame(ftype, flags, sid, payload))
+
+    def recv_frame(self):
+        import struct as _s
+
+        while True:
+            if len(self.buf) >= 9:
+                ln = (self.buf[0] << 16) | (self.buf[1] << 8) | self.buf[2]
+                if len(self.buf) >= 9 + ln:
+                    ftype, flags = self.buf[3], self.buf[4]
+                    (sid,) = _s.unpack(">I", self.buf[5:9])
+                    payload = self.buf[9 : 9 + ln]
+                    self.buf = self.buf[9 + ln :]
+                    return ftype, flags, sid & 0x7FFFFFFF, payload
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise AssertionError("server closed mid-frame")
+            self.buf += chunk
+
+    def request(self, method: str, path: str, body: bytes = b"", sid: int = 1):
+        headers = [
+            (":method", method), (":path", path), (":scheme", "http"),
+            (":authority", "t"), ("content-length", str(len(body))),
+        ]
+        block = bytearray()
+        for k, v in headers:  # literal never-indexed, plain strings
+            block.append(0x00)
+            block.append(len(k))
+            block += k.encode()
+            block.append(len(v))
+            block += v.encode()
+        self.send_frame(1, 0x4, sid, bytes(block))  # HEADERS | END_HEADERS
+        self.send_frame(0, 0x1, sid, body)  # DATA | END_STREAM
+
+    def close(self):
+        self.sock.close()
+
+
+def _soak_stream_window(url: str) -> None:
+    import struct as _s
+
+    WIN = 7
+    c = _RawH2(url, initial_window=WIN)
+    c.request("POST", "/api/sql", b"SELECT city FROM uk_cities ORDER BY city")
+    body = b""
+    data_frames = 0
+    done = False
+    while not done:
+        ftype, flags, sid, payload = c.recv_frame()
+        if ftype == 0 and sid == 1:  # DATA
+            assert len(payload) <= WIN, (len(payload), WIN)
+            body += payload
+            data_frames += 1
+            done = bool(flags & 0x1)
+            if not done:
+                # grant exactly one more window's worth
+                c.send_frame(8, 0, 1, _s.pack(">I", len(payload)))
+    assert data_frames >= len(body) // WIN  # the stall/resume loop ran
+    assert body.startswith(b"[") and b"city" in body
+    # connection stays healthy: a second stream completes normally
+    c.send_frame(8, 0, 0, _s.pack(">I", 1 << 20))
+    c.send_frame(4, 0, 0, _s.pack(">HI", 4, 1 << 20))  # big windows now
+    c.request("POST", "/api/sql", b"SELECT COUNT(*) AS n FROM uk_cities", sid=3)
+    body2 = b""
+    while True:
+        ftype, flags, sid, payload = c.recv_frame()
+        if ftype == 0 and sid == 3:
+            body2 += payload
+            if flags & 0x1:
+                break
+    assert b"n" in body2
+    c.close()
+
+
+def test_h2c_stream_window_exhaustion_soak(h2_url):
+    _soak_stream_window(h2_url)
+
+
+def test_tls_h2_stream_window_exhaustion_soak(tls_url):
+    _soak_stream_window(tls_url)
+
+
+def test_h2c_midstream_initial_window_shrink(h2_url):
+    """SETTINGS(INITIAL_WINDOW_SIZE) delivered while a response is
+    stalled must shrink the in-flight stream's window (RFC 9113 §6.9.2
+    delta semantics — the round-4 fix); every DATA after the shrink
+    must fit the smaller window."""
+    import struct as _s
+
+    c = _RawH2(h2_url, initial_window=16)
+    c.request("POST", "/api/sql", b"SELECT city FROM uk_cities ORDER BY city")
+    body = b""
+    shrunk = False
+    small_frames = 0
+    while True:
+        ftype, flags, sid, payload = c.recv_frame()
+        if ftype == 0 and sid == 1:
+            if shrunk:
+                assert len(payload) <= 3, len(payload)
+                small_frames += 1
+            body += payload
+            if flags & 0x1:
+                break
+            if not shrunk and len(body) >= 16:
+                # stalled now: shrink to 3, then top the (negative)
+                # window back up — server must resume in <=3-byte frames
+                # stream window is len(body)-16 (<=0); SETTINGS delta
+                # (3-16) drops it 13 further; grant back to exactly +3
+                c.send_frame(4, 0, 0, _s.pack(">HI", 4, 3))
+                shrunk = True
+                c.send_frame(8, 0, 1, _s.pack(">I", 13 + (16 - len(body)) + 3))
+            else:
+                c.send_frame(8, 0, 1, _s.pack(">I", len(payload)))
+    assert shrunk and small_frames >= 3
+    assert body.startswith(b"[")
+    c.close()
+
+
+def test_h2c_connection_window_exhaustion(h2_url):
+    """A response bigger than the 65535-byte connection window: the
+    server must stall at the connection level (stream window is huge)
+    and resume on stream-0 WINDOW_UPDATEs only."""
+    import struct as _s
+
+    c = _RawH2(h2_url, initial_window=1 << 24)
+    sql = (
+        b"SELECT a.city AS c1, repeat(b.city, 2000) AS pad FROM uk_cities a "
+        b"CROSS JOIN uk_cities b CROSS JOIN uk_cities c"
+    )  # ~27 rows x ~10KB >> the 65535 connection window
+    c.request("POST", "/api/sql", sql)
+    body = b""
+    granted_after = None
+    while True:
+        ftype, flags, sid, payload = c.recv_frame()
+        if ftype == 0 and sid == 1:
+            body += payload
+            if flags & 0x1:
+                break
+            if len(body) >= 65535 and granted_after is None:
+                granted_after = len(body)
+                # nothing more can arrive until stream-0 credit
+                c.send_frame(8, 0, 0, _s.pack(">I", 1 << 20))
+            elif granted_after is None:
+                pass  # still inside the initial connection window
+    assert granted_after is not None, (
+        f"response only {len(body)}B — enlarge the query"
+    )
+    assert granted_after <= 65535  # server honored the connection window
+    assert len(body) > 65535
+    c.close()
+
+
+def test_h2c_large_upload_receive_window_replenished(h2_url):
+    """Upload >64KB with a STRICT sender: the server must send
+    WINDOW_UPDATEs as it buffers the body, or the upload deadlocks at
+    65535 bytes (the receive-side fix this round)."""
+    import struct as _s
+
+    c = _RawH2(h2_url, initial_window=1 << 24)
+    pad = b"/* " + b"x" * 70000 + b" */"
+    body = b"SELECT COUNT(*) AS n FROM uk_cities " + pad
+    headers = [
+        (":method", "POST"), (":path", "/api/sql"), (":scheme", "http"),
+        (":authority", "t"), ("content-length", str(len(body))),
+    ]
+    block = bytearray()
+    for k, v in headers:
+        block.append(0x00)
+        block.append(len(k))
+        block += k.encode()
+        block.append(len(v))
+        block += v.encode()
+    c.send_frame(1, 0x4, 1, bytes(block))
+    conn_credit = stream_credit = 65535
+    off = 0
+    while off < len(body):
+        while min(conn_credit, stream_credit) <= 0:
+            ftype, flags, sid, payload = c.recv_frame()
+            if ftype == 8:  # WINDOW_UPDATE
+                (incr,) = _s.unpack(">I", payload)
+                if sid == 0:
+                    conn_credit += incr
+                else:
+                    stream_credit += incr
+        n = min(16384, conn_credit, stream_credit, len(body) - off)
+        last = off + n >= len(body)
+        c.send_frame(0, 0x1 if last else 0, 1, body[off : off + n])
+        conn_credit -= n
+        stream_credit -= n
+        off += n
+    resp = b""
+    while True:
+        ftype, flags, sid, payload = c.recv_frame()
+        if ftype == 0 and sid == 1:
+            resp += payload
+            if flags & 0x1:
+                break
+    assert resp.startswith(b'[{"n":')  # the 70KB-padded query executed
+    c.close()
