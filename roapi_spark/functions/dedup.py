@@ -945,3 +945,144 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
         (F.coalesce("n_dups", F.lit(0)) == 0).alias("keep"),
     )
+
+
+def corpus_bands_full_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED corpus bands with their bucket counts
+    ``(doc_id, sig, band_id, band_sig, bn)`` — the refresh-capable twin
+    of :func:`corpus_bands_cached`. The hot-band cap must be applied to
+    the UNION counts when a batch merges in (a bucket at the cap can be
+    pushed over by arriving docs, and a bucket already over it must keep
+    suppressing batch rows), so the artifact retains over-cap rows and
+    per-bucket counts instead of discarding them at build time. Storage
+    cost is the mega-buckets' rows — linear, no join ever runs uncapped."""
+    from roapi_spark.functions.snapshot import (
+        build_once,
+        parquet_ready,
+        snapshot_cache_dir,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = snapshot_cache_dir(src, "incrbandsfull-v1")
+
+    def _build(tmp: str) -> None:
+        corp = docs(spark, sf_dir).filter(F.col("doc_id") % INCR_MOD != INCR_NEW)
+        sigs = minhash_signatures(corp)
+        bands = sigs.select(
+            "doc_id", "sig", F.explode(band_col(F.col("sig"))).alias("band")
+        ).select("doc_id", "sig", "band.band_id", "band.band_sig")
+        wcap = W.partitionBy("band_id", "band_sig")
+        bands.withColumn("bn", F.count("*").over(wcap)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+
+    build_once(out, parquet_ready, _build)
+    return spark.read.parquet(out)
+
+
+def refreshed_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental artifact refresh: hash ONLY the arriving batch
+    (doc_id %% 10 == 7 plays that role), merge its bands into the
+    persisted corpus bands, and re-derive the hot-band cap from summed
+    bucket counts (corpus-side counts come from the artifact — the
+    corpus is never re-hashed). Returns the capped merged bands,
+    identical to what a full rebuild over old+new would produce (the
+    registry oracle proves it), persisted per corpus snapshot so the
+    NEXT batch can merge against it in turn — the batch twin of the
+    streaming matcher's band-state checkpoint (streaming/docs.py)."""
+    from roapi_spark.functions.snapshot import (
+        build_once,
+        parquet_ready,
+        snapshot_cache_dir,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = snapshot_cache_dir(src, "incrmerged-v1")
+
+    def _build(tmp: str) -> None:
+        corp = corpus_bands_full_cached(spark, sf_dir)
+        batch_sigs = minhash_signatures(
+            docs(spark, sf_dir).filter(F.col("doc_id") % INCR_MOD == INCR_NEW)
+        )
+        batch = batch_sigs.select(
+            "doc_id", "sig", F.explode(band_col(F.col("sig"))).alias("band")
+        ).select("doc_id", "sig", "band.band_id", "band.band_sig")
+        batch_cnt = batch.groupBy("band_id", "band_sig").agg(
+            F.count("*").alias("bn_new")
+        )
+        # union totals: corpus rows carry their build-time bucket count;
+        # batch contribution joins in (0 where the bucket is corpus-only)
+        corp_tot = (
+            corp.join(batch_cnt, ["band_id", "band_sig"], "left")
+            .withColumn("tot", F.col("bn") + F.coalesce("bn_new", F.lit(0)))
+        )
+        corp_cnt = corp.groupBy("band_id", "band_sig").agg(
+            F.max("bn").alias("bn_corp")
+        )
+        batch_tot = (
+            batch.join(batch_cnt, ["band_id", "band_sig"])
+            .join(corp_cnt, ["band_id", "band_sig"], "left")
+            .withColumn("tot", F.col("bn_new") + F.coalesce("bn_corp", F.lit(0)))
+        )
+        merged = corp_tot.select(
+            "doc_id", "sig", "band_id", "band_sig", "tot"
+        ).unionByName(
+            batch_tot.select("doc_id", "sig", "band_id", "band_sig", "tot")
+        )
+        merged.filter(F.col("tot") <= BAND_CAP).withColumnRenamed(
+            "tot", "bn"
+        ).write.mode("overwrite").parquet(tmp)
+
+    build_once(out, parquet_ready, _build)
+    return spark.read.parquet(out)
+
+
+@register(
+    "dedup_incremental_refresh",
+    oracle=f"""
+    WITH {_PAIRS_DUCK.strip().lstrip("WITH").strip()}
+    SELECT p.doc_a, p.doc_b,
+           FLOOR(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)
+                 / CAST({N_MINHASH} AS DOUBLE) * 10000 + 0.5) / 10000.0
+             AS est_jaccard
+    FROM pairs p
+      JOIN minh ma ON ma.doc_id = p.doc_a
+      JOIN minh mb ON mb.doc_id = p.doc_b AND ma.k = mb.k
+    GROUP BY p.doc_a, p.doc_b
+    """,
+    doc="Closes the incremental-dedup loop (VERDICT r4 #8): the corpus "
+    "band artifact is UPDATED from an arriving batch (only the batch is "
+    "hashed; bucket counts sum, the hot-band cap re-derives from union "
+    "totals — a bucket pushed over the cap by the batch drops, exactly "
+    "as a rebuild would drop it) and the full old+new pair graph is "
+    "served from the merged artifact. The oracle is the FULL-REBUILD "
+    "LSH pair computation over the whole corpus — equality proves the "
+    "refresh is lossless. At 100 TB this is the difference between "
+    "re-hashing the corpus per batch and per-batch work that scales "
+    "with the batch.",
+    tags=("dedup", "pipeline"),
+)
+def dedup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = refreshed_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda e: e,
+        )
+    ) / F.lit(float(N_MINHASH))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            pround(est).alias("est_jaccard"),
+        )
+        .distinct()
+    )

@@ -132,6 +132,8 @@ KNOWN_TAGS = (
     "shpairs-v1",
     "components-v1",
     "incrbands-v1",
+    "incrbandsfull-v1",
+    "incrmerged-v1",
     "pq-v1",
     "sq8-v1",
     "ivf-v2",

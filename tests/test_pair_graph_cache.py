@@ -232,3 +232,69 @@ def test_prune_cache_removes_only_orphans(spark, tmp_path, monkeypatch):
     assert prune_cache([os.path.join(sf, "documents.parquet")]) == [
         "shpairs_" + "f" * 16
     ]
+
+
+def test_incremental_refresh_equals_full_rebuild(spark, sf_dir):
+    """VERDICT r4 #8: merging a batch into the persisted corpus bands
+    (batch-only hashing, union-count hot-band cap) must reproduce the
+    full-rebuild pair graph EXACTLY — including buckets the batch pushes
+    over the cap and buckets already over it suppressing batch rows."""
+    from roapi_spark.functions.dedup import (
+        dedup_incremental_refresh,
+        lsh_pairs_cached,
+    )
+
+    refreshed = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in dedup_incremental_refresh(spark, sf_dir).collect()
+    }
+    rebuilt = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in lsh_pairs_cached(spark, sf_dir)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .collect()
+    }
+    assert refreshed == rebuilt and refreshed
+
+
+def test_union_cap_semantics_unit(spark):
+    """A bucket at the cap boundary: corpus count C <= CAP kept in the
+    artifact, but C + batch rows > CAP must drop the WHOLE bucket from
+    the merged bands (and an over-cap corpus bucket must suppress batch
+    rows too). Pinned with a tiny synthetic frame so the property
+    doesn't depend on the testdata happening to contain such buckets."""
+    from pyspark.sql import functions as F
+
+    from roapi_spark.functions.dedup import BAND_CAP
+
+    # corpus artifact shape: bucket "hot" holds exactly BAND_CAP rows,
+    # bucket "cold" holds 1
+    corp = spark.createDataFrame(
+        [(i, [1], 0, "hot", BAND_CAP) for i in range(BAND_CAP)]
+        + [(999, [1], 0, "cold", 1)],
+        "doc_id bigint, sig array<int>, band_id int, band_sig string, bn bigint",
+    )
+    batch = spark.createDataFrame(
+        [(5000, [1], 0, "hot"), (5001, [1], 0, "cold")],
+        "doc_id bigint, sig array<int>, band_id int, band_sig string",
+    )
+    batch_cnt = batch.groupBy("band_id", "band_sig").agg(
+        F.count("*").alias("bn_new")
+    )
+    corp_tot = corp.join(batch_cnt, ["band_id", "band_sig"], "left").withColumn(
+        "tot", F.col("bn") + F.coalesce("bn_new", F.lit(0))
+    )
+    corp_cnt = corp.groupBy("band_id", "band_sig").agg(F.max("bn").alias("bn_corp"))
+    batch_tot = (
+        batch.join(batch_cnt, ["band_id", "band_sig"])
+        .join(corp_cnt, ["band_id", "band_sig"], "left")
+        .withColumn("tot", F.col("bn_new") + F.coalesce("bn_corp", F.lit(0)))
+    )
+    merged = corp_tot.select("doc_id", "band_sig", "tot").unionByName(
+        batch_tot.select("doc_id", "band_sig", "tot")
+    ).filter(F.col("tot") <= BAND_CAP)
+    out = {(r.doc_id, r.band_sig) for r in merged.collect()}
+    # "hot" went BAND_CAP -> BAND_CAP+1: every row (corpus AND batch) gone
+    assert not any(sig == "hot" for _, sig in out)
+    # "cold" went 1 -> 2: both rows kept
+    assert (999, "cold") in out and (5001, "cold") in out
