@@ -187,12 +187,43 @@ def main() -> None:
                   "dedup_substring_spans", "dedup_incremental", "ann_sq8",
                   "q_asof_join", "q_range_join", "text_tfidf_topk",
                   "q_dedup_method_agreement", "q_heaps_law",
-                  "q_packing_efficiency", "q_ann_recall"):
+                  "q_packing_efficiency", "q_ann_recall",
+                  # round-5 additions: the rest of the PQ/SQ8 quartet,
+                  # the incremental refresh, and the JPEG/MJPEG kernels
+                  "ann_pq_adc", "ann_ivfpq", "ann_ivfsq8",
+                  "dedup_incremental_refresh",
+                  "multimodal_image_jpeg", "multimodal_video_mjpeg"):
             best = None
             for _ in range(2):
                 t, _n = timed(lambda: specs[q].builder(spark, sf_dir).count())
                 best = t if best is None or t < best else best
             row[q + "_s"] = best
+
+        # Delta write lifecycle at this scale: publish the documents
+        # table as 4 appends (micro-batch shape), then compact + vacuum
+        import tempfile
+
+        from roapi_spark.sinks.delta import compact, vacuum, write_delta
+
+        ddir = tempfile.mkdtemp(prefix=f"delta-stress-{label.replace('.', '_')}-")
+        dtbl = os.path.join(ddir, "docs")
+        d = dedup.docs(spark, sf_dir)
+        t0 = time.time()
+        for part in range(4):
+            write_delta(
+                d.filter(F.col("doc_id") % 4 == part), dtbl, mode="append"
+            )
+        row["delta_4appends_s"] = round(time.time() - t0, 2)
+        t, _ = timed(lambda: compact(spark, dtbl, target_partitions=8))
+        row["delta_compact_s"] = t
+        t, n = timed(lambda: len(vacuum(dtbl, keep_versions=1)))
+        row["delta_vacuum_s"], row["delta_vacuumed_files"] = t, n
+        from roapi_spark.config import TableSource
+        from roapi_spark.sources.delta import to_dataframe
+
+        ts = TableSource(name="_s", uri=dtbl, format="delta", option={})
+        assert to_dataframe(spark, ts).count() == row["docs"]
+        shutil.rmtree(ddir, ignore_errors=True)
         report[label] = row
 
     a, b = report["sf0.1"], report["sf1"]
@@ -210,7 +241,12 @@ def main() -> None:
               "dedup_substring_spans_s", "dedup_incremental_s", "ann_sq8_s",
               "q_asof_join_s", "q_range_join_s", "text_tfidf_topk_s",
               "q_dedup_method_agreement_s", "q_heaps_law_s",
-              "q_packing_efficiency_s", "q_ann_recall_s"):
+              "q_packing_efficiency_s", "q_ann_recall_s",
+              "ann_pq_adc_s", "ann_ivfpq_s", "ann_ivfsq8_s",
+              "dedup_incremental_refresh_s",
+              "multimodal_image_jpeg_s", "multimodal_video_mjpeg_s",
+              "delta_4appends_s", "delta_compact_s", "delta_vacuum_s",
+              "delta_vacuumed_files"):
         print(f"| {k} | {a[k]} | {b[k]} | {ratio(k)}x |")
     print(json.dumps({"sf0.1": a, "sf1": b}))
 
