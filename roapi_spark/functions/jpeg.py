@@ -496,21 +496,30 @@ def _decode_jpeg_inner(blob: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame: dict | None = None
+    stores: list[np.ndarray] = []
     restart_interval = 0
+    saw_scan = False
 
     while True:
-        if pos + 4 > len(blob):
-            raise ValueError("truncated JPEG (no SOS)")
+        if pos + 2 > len(blob):
+            raise ValueError("truncated JPEG (no EOI)")
         if blob[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}, got {blob[pos]:#x}")
         marker = blob[pos + 1]
         pos += 2
+        if marker == 0xFF:  # fill byte before a marker
+            pos -= 1
+            continue
         if marker == 0xD8:  # stray SOI
             continue
-        if marker == 0xD9:
-            raise ValueError("JPEG EOI before scan data")
+        if marker == 0xD9:  # EOI: reconstruct from accumulated scans
+            if frame is None or not saw_scan:
+                raise ValueError("JPEG EOI before scan data")
+            return _reconstruct(frame, qtables, stores)
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
+        if pos + 2 > len(blob):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack(">H", blob[pos : pos + 2])
         if seglen < 2 or pos + seglen > len(blob):
             raise ValueError("truncated JPEG segment")
@@ -547,12 +556,12 @@ def _decode_jpeg_inner(blob: bytes) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + nval])
                 htables[(tc, th)] = _huff_decode_table(bits, vals)
                 i += 17 + nval
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline & extended seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2 (progressive = C2)
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(
                     f"JPEG precision {prec} requires libjpeg; only 8-bit "
-                    "baseline decodes here"
+                    "decodes here"
                 )
             if nc not in (1, 3):
                 raise NotImplementedError(
@@ -561,6 +570,8 @@ def _decode_jpeg_inner(blob: bytes) -> np.ndarray:
                 )
             if h == 0 or w == 0:
                 raise ValueError(f"JPEG with empty frame {w}x{h}")
+            if frame is not None:
+                raise ValueError("JPEG with multiple SOF frames")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -568,16 +579,31 @@ def _decode_jpeg_inner(blob: bytes) -> np.ndarray:
                 if not (1 <= ch <= 4 and 1 <= cv <= 4):
                     raise ValueError(f"JPEG sampling {ch}x{cv} invalid")
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xCF):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "progressive": marker == 0xC2,
+                "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+            }
+            # one coefficient store per component, sized to the
+            # interleaved MCU grid; every scan (interleaved or not,
+            # first pass or refinement) accumulates into these
+            stores = [
+                np.zeros((mcux * c["h"] * mcuy * c["v"], 64), dtype=np.int32)
+                for c in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCF):
             raise NotImplementedError(
-                "progressive/lossless/hierarchical JPEG requires libjpeg; "
-                "only baseline sequential decodes here"
+                "lossless/differential/hierarchical JPEG requires libjpeg; "
+                "only baseline and progressive DCT decode here"
             )
         elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE):
             raise NotImplementedError(
                 "arithmetic-coded JPEG requires libjpeg; only Huffman "
-                "baseline decodes here"
+                "coding decodes here"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -585,87 +611,232 @@ def _decode_jpeg_inner(blob: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                raise NotImplementedError(
-                    "multi-scan JPEG (non-interleaved) requires libjpeg"
-                )
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG SOS header")
             scan = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
-                comp = next(
-                    (x for x in frame["comps"] if x["id"] == cs), None
+                ci = next(
+                    (i for i, x in enumerate(frame["comps"]) if x["id"] == cs),
+                    None,
                 )
-                if comp is None:
+                if ci is None:
                     raise ValueError(f"JPEG scan references unknown comp {cs}")
-                scan.append((comp, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(blob, pos, frame, scan, qtables, htables,
-                                restart_interval)
+                scan.append((ci, frame["comps"][ci], tdta >> 4, tdta & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not frame["progressive"]:
+                ss, se, ah, al = 0, 63, 0, 0  # sequential scans are full
+            if ss > se or se > 63 or al > 13:
+                raise ValueError(f"JPEG scan spectral range {ss}..{se} invalid")
+            if frame["progressive"] and ss == 0 and se != 0:
+                raise ValueError("JPEG progressive DC scan must have Se=0")
+            if ss > 0 and ns != 1:
+                raise ValueError("JPEG progressive AC scan must be 1-component")
+            pos = _decode_scan_into(
+                blob, pos, frame, scan, htables, restart_interval,
+                stores, ss, se, ah, al,
+            )
+            saw_scan = True
         # APPn / COM / DNL etc.: skipped
 
-    raise ValueError("unreachable")
+
+def _refine_nonzero(br: _BitReader, coeff: np.ndarray, k: int, p1: int) -> None:
+    """AC refinement correction bit for an already-nonzero coefficient
+    (T.81 G.1.2.3 / libjpeg semantics: a 1-bit adds p1 toward the sign
+    if that magnitude bit is not already set)."""
+    if br.bit():
+        if coeff[k] > 0 and not (coeff[k] & p1):
+            coeff[k] += p1
+        elif coeff[k] < 0 and not (-coeff[k] & p1):
+            coeff[k] -= p1
 
 
-def _decode_scan(
+def _decode_scan_into(
     blob: bytes,
     pos: int,
     frame: dict,
     scan: list,
-    qtables: dict[int, np.ndarray],
     htables: dict,
     restart_interval: int,
-) -> np.ndarray:
+    stores: list[np.ndarray],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode one scan's entropy data into the coefficient stores;
+    returns the position of the next marker. Handles sequential full
+    scans, progressive DC first/refinement (interleaved or not), and
+    progressive AC first/refinement (always single-component)."""
     h, w = frame["h"], frame["w"]
-    comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    for comp, td, ta in scan:
-        if comp["tq"] not in qtables:
-            raise ValueError(f"JPEG missing quant table {comp['tq']}")
-        if (0, td) not in htables or (1, ta) not in htables:
-            raise ValueError("JPEG missing Huffman table for scan")
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
+    dc_scan = ss == 0
+    for _ci, _comp, td, ta in scan:
+        if dc_scan and ah == 0 and (0, td) not in htables:
+            raise ValueError("JPEG missing DC Huffman table for scan")
+        if se > 0 and (1, ta) not in htables:
+            raise ValueError("JPEG missing AC Huffman table for scan")
 
-    # per component: coefficient store (mcu-ordered blocks)
-    stores = []
-    for comp, _td, _ta in scan:
-        nb = mcux * comp["h"] * mcuy * comp["v"]
-        stores.append(np.zeros((nb, 64), dtype=np.int32))
+    interleaved = len(scan) > 1
+    if interleaved:
+        units = mcux * mcuy  # MCU-interleaved
+    else:
+        # non-interleaved: the component's own block grid (T.81 A.2.2)
+        ci, comp, _td, _ta = scan[0]
+        cw = -(-w * comp["h"] // hmax)
+        chh = -(-h * comp["v"] // vmax)
+        units = (-(-cw // 8)) * (-(-chh // 8))
 
     br = _BitReader(blob, pos)
     preds = [0] * len(scan)
-    mcu = 0
-    total_mcus = mcux * mcuy
-    while mcu < total_mcus:
-        if restart_interval and mcu and mcu % restart_interval == 0:
+    eobrun = 0
+    p1 = 1 << al
+
+    def decode_unit(u: int) -> None:
+        nonlocal eobrun
+        for si, (ci, comp, td, ta) in enumerate(scan):
+            bw_c = mcux * comp["h"]
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                blocks = [
+                    (my * comp["v"] + by) * bw_c + mx * comp["h"] + bx
+                    for by in range(comp["v"])
+                    for bx in range(comp["h"])
+                ]
+            else:
+                cw = -(-w * comp["h"] // hmax)
+                nbw = -(-cw // 8)
+                r, c = divmod(u, nbw)
+                blocks = [r * bw_c + c]
+            for idx in blocks:
+                coeff = stores[ci][idx]
+                if not frame["progressive"]:
+                    zz, preds[si] = _decode_block(
+                        br, htables[(0, td)], htables[(1, ta)], preds[si]
+                    )
+                    coeff[:] = zz
+                elif dc_scan and ah == 0:  # DC first
+                    size = _huff_read(br, htables[(0, td)])
+                    if size > 11:
+                        raise ValueError(f"JPEG DC category {size} invalid")
+                    diff = _extend(br.bits(size), size) if size else 0
+                    preds[si] += diff
+                    coeff[0] = preds[si] << al
+                elif dc_scan:  # DC refinement: one bit per block
+                    # DC uses the arithmetic (two's-complement) point
+                    # transform, so |= works for negatives too
+                    if br.bit():
+                        coeff[0] |= p1
+                elif ah == 0:  # AC first (spectral band ss..se)
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _huff_read(br, htables[(1, ta)])
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC run past band end")
+                        coeff[k] = _extend(br.bits(s), s) << al
+                        k += 1
+                else:  # AC refinement (G.1.2.3)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = _huff_read(br, htables[(1, ta)])
+                            r, s = sym >> 4, sym & 0x0F
+                            newval = 0
+                            if s == 0:
+                                if r < 15:  # EOBn: finish block below
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.bits(r)
+                                    break
+                                # ZRL: r stays 15 -> skip 16 zero-history
+                            elif s == 1:
+                                newval = p1 if br.bit() else -p1
+                            else:
+                                raise ValueError(
+                                    f"JPEG AC refinement size {s} invalid"
+                                )
+                            while k <= se:
+                                if coeff[k] != 0:
+                                    _refine_nonzero(br, coeff, k, p1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                coeff[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if coeff[k] != 0:
+                                _refine_nonzero(br, coeff, k, p1)
+                            k += 1
+                        eobrun -= 1
+
+    u = 0
+    while u < units:
+        if restart_interval and u and u % restart_interval == 0:
             br.sync_restart()
             preds = [0] * len(scan)
+            eobrun = 0
         try:
-            for ci, (comp, td, ta) in enumerate(scan):
-                ch, cv = comp["h"], comp["v"]
-                bw_c = mcux * ch  # blocks per row for this component
-                my, mx = divmod(mcu, mcux)
-                for by in range(cv):
-                    for bx in range(ch):
-                        zz, preds[ci] = _decode_block(
-                            br, htables[(0, td)], htables[(1, ta)], preds[ci]
-                        )
-                        idx = (my * cv + by) * bw_c + mx * ch + bx
-                        stores[ci][idx] = zz
+            decode_unit(u)
         except _RestartMarker as exc:
             raise ValueError(
                 f"unexpected JPEG restart marker RST{exc.args[0] - 0xD0} "
-                f"inside MCU {mcu}"
+                f"inside unit {u}"
             ) from None
         except _SegmentEnd:
             raise ValueError(
-                f"JPEG entropy data ended at MCU {mcu}/{total_mcus}"
+                f"JPEG entropy data ended at unit {u}/{units}"
             ) from None
-        mcu += 1
+        u += 1
 
-    # reconstruct planes: dequantize, unzigzag, batched IDCT
+    # skip pad bits / dangling restart markers to the next marker
+    p = br.pos
+    while p + 1 < len(blob):
+        if blob[p] == 0xFF:
+            nxt = blob[p + 1]
+            if nxt == 0x00:
+                p += 2  # stuffed data byte in the pad tail
+            elif 0xD0 <= nxt <= 0xD7:
+                p += 2  # dangling restart
+            elif nxt == 0xFF:
+                p += 1  # fill
+            else:
+                return p
+        else:
+            p += 1
+    raise ValueError("truncated JPEG after scan (no terminating marker)")
+
+
+def _reconstruct(
+    frame: dict, qtables: dict[int, np.ndarray], stores: list[np.ndarray]
+) -> np.ndarray:
+    """Dequantize + inverse zigzag + batched IDCT + chroma upsample +
+    color convert over the accumulated coefficient stores."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
     planes = []
-    for ci, (comp, _td, _ta) in enumerate(scan):
+    for ci, comp in enumerate(frame["comps"]):
+        if comp["tq"] not in qtables:
+            raise ValueError(f"JPEG missing quant table {comp['tq']}")
         q = qtables[comp["tq"]]
         zz = stores[ci].astype(np.float64)
         coeffs = np.zeros_like(zz)
@@ -697,7 +868,7 @@ def _decode_scan(
     g = np.clip(
         np.round(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)), 0, 255
     )
-    b = np.clip(np.round(cb * 1.772 - 226.816 + y), 0, 255)
+    b = np.clip(np.round(y + 1.772 * (cb - 128.0)), 0, 255)
     return ((r + g + b).astype(np.uint32) // 3).astype(np.uint8)
 
 
@@ -805,3 +976,289 @@ def _decode_avi_inner(blob: bytes, decode_frame) -> np.ndarray:
             f"AVI frames disagree on dimensions: {sorted({f.shape for f in frames})}"
         )
     return np.stack(frames)
+
+
+# ---------------------------------------------------- progressive encoder
+
+
+def _prep_planes(
+    image: np.ndarray, quant: np.ndarray, subsample: tuple[int, int]
+) -> tuple[list[dict], list[np.ndarray]]:
+    """Component metadata + quantized zigzag blocks (store-grid raster
+    order, same layout the decoder accumulates into)."""
+    if image.ndim == 2:
+        plane = _pad_to_block(image, 8, 8)
+        comps = [{
+            "id": 1, "h": 1, "v": 1, "tq": 0, "dc": 0, "ac": 0,
+            "bw": plane.shape[1] // 8,
+            "nbw": -(-image.shape[1] // 8), "nbh": -(-image.shape[0] // 8),
+        }]
+        return comps, [_encode_component_blocks(plane, quant)]
+    hs, vs = subsample
+    rgb = image.astype(np.float64)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+    cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+    yp = _pad_to_block(np.clip(np.round(y), 0, 255).astype(np.uint8), 8 * vs, 8 * hs)
+
+    def sub(c: np.ndarray) -> np.ndarray:
+        c = _pad_to_block(np.clip(np.round(c), 0, 255), vs, hs)
+        hh, ww = c.shape
+        cell = c.reshape(hh // vs, vs, ww // hs, hs).mean(axis=(1, 3))
+        return _pad_to_block(np.clip(np.round(cell), 0, 255).astype(np.uint8), 8, 8)
+
+    cbp, crp = sub(cb), sub(cr)
+    h, w = image.shape[:2]
+    comps = [
+        {"id": 1, "h": hs, "v": vs, "tq": 0, "dc": 0, "ac": 0,
+         "bw": yp.shape[1] // 8,
+         "nbw": -(-w // 8), "nbh": -(-h // 8)},
+        {"id": 2, "h": 1, "v": 1, "tq": 1, "dc": 1, "ac": 1,
+         "bw": cbp.shape[1] // 8,
+         "nbw": -(-(-(-w // hs)) // 8), "nbh": -(-(-(-h // vs)) // 8)},
+        {"id": 3, "h": 1, "v": 1, "tq": 1, "dc": 1, "ac": 1,
+         "bw": crp.shape[1] // 8,
+         "nbw": -(-(-(-w // hs)) // 8), "nbh": -(-(-(-h // vs)) // 8)},
+    ]
+    return comps, [
+        _encode_component_blocks(p, quant) for p in (yp, cbp, crp)
+    ]
+
+
+def _prog_ac_table() -> tuple[list[int], list[int]]:
+    """AC Huffman table for progressive scans: the Annex-K baseline
+    tables define no EOBn (n>0) symbols because sequential coding never
+    emits them — progressive encoders ship their own per-scan tables
+    (libjpeg optimizes per scan). This one is deliberately simple and
+    complete: every (run, size<=10) symbol, EOB0..EOB14, and ZRL, all at
+    a flat 8-bit code length (176 symbols <= 255, so the all-ones
+    prefix stays unused as T.81 requires)."""
+    vals = []
+    for r in range(16):
+        for s in range(11):
+            if s == 0 and not (r == 15 or r <= 14):
+                continue
+            if s == 0 and r == 15:
+                vals.append(0xF0)  # ZRL
+            elif s == 0:
+                vals.append(r << 4)  # EOBn
+            else:
+                vals.append((r << 4) | s)
+    bits = [0] * 17
+    bits[8] = len(vals)
+    return bits, vals
+
+
+_PROG_AC = _prog_ac_table()
+
+
+def _sos_segment(scan_comps: list[dict], ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytes([len(scan_comps)])
+    for c in scan_comps:
+        body += bytes([c["id"], (c["dc"] << 4) | c["ac"]])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+
+def _flush_eobrun(bw: _BitWriter, ac_codes, eobrun: int, pending: list[int]) -> int:
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        code, length = ac_codes[r << 4]
+        bw.put(code, length)
+        if r:
+            bw.put(eobrun - (1 << r), r)
+        for bit in pending:
+            bw.put(bit, 1)
+        pending.clear()
+    return 0
+
+
+def encode_jpeg_progressive(
+    image: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsample: tuple[int, int] = (2, 2),
+) -> bytes:
+    """Progressive JFIF (SOF2) encoder exercising every progressive
+    decode path: interleaved DC first scan at Al=1, DC refinement at
+    Ah=1, then per component an AC spectral scan 1..63 at Al=1 (EOBRUN
+    coding) and its full refinement at Ah=1/Al=0 (correction bits,
+    newly-nonzero insertion, EOB-run pending bits) — the same scan
+    mechanics libjpeg's default progression uses. Lossless relative to
+    baseline: identical coefficients, so identical decoded pixels."""
+    if quant is None:
+        quant = np.ones((8, 8), dtype=np.int64)
+    quant = np.asarray(quant, dtype=np.int64)
+    h, w = image.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    comps, zzs = _prep_planes(image, quant, subsample)
+    gray = len(comps) == 1
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += _dqt_segment(0, quant)
+    if not gray:
+        out += _dqt_segment(1, quant)
+    body = struct.pack(">BHHB", 8, h, w, len(comps))
+    for c in comps:
+        body += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc2" + struct.pack(">H", len(body) + 2) + body  # SOF2
+    out += _dht_segment(0, 0, _STD_DC_LUM)
+    out += _dht_segment(1, 0, _STD_AC_LUM)
+    if not gray:
+        out += _dht_segment(0, 1, _STD_DC_CHROM)
+        out += _dht_segment(1, 1, _STD_AC_CHROM)
+
+    dc_codes = [_huff_codes(*(_STD_DC_LUM if c["dc"] == 0 else _STD_DC_CHROM)) for c in comps]
+    ac_codes = [_huff_codes(*(_STD_AC_LUM if c["ac"] == 0 else _STD_AC_CHROM)) for c in comps]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def mcu_blocks(ci: int, mcu: int) -> list[int]:
+        c = comps[ci]
+        my, mx = divmod(mcu, mcux)
+        return [
+            (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
+            for by in range(c["v"])
+            for bx in range(c["h"])
+        ]
+
+    AL = 1  # two-pass successive approximation
+
+    # scan 1: DC first, all components, Al=1 (arithmetic point transform)
+    out += _sos_segment(comps, 0, 0, 0, AL)
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    for mcu in range(mcux * mcuy):
+        for ci in range(len(comps)):
+            for idx in mcu_blocks(ci, mcu):
+                v = int(zzs[ci][idx][0]) >> AL
+                size, bits = _magnitude(v - preds[ci])
+                preds[ci] = v
+                code, length = dc_codes[ci][size]
+                bw.put(code, length)
+                if size:
+                    bw.put(bits, size)
+    out += bw.flush()
+
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block, MCU order
+    out += _sos_segment(comps, 0, 0, AL, 0)
+    bw = _BitWriter()
+    for mcu in range(mcux * mcuy):
+        for ci in range(len(comps)):
+            for idx in mcu_blocks(ci, mcu):
+                bw.put(int(zzs[ci][idx][0]) & 1, 1)
+    out += bw.flush()
+
+    # per component: AC first (Al=1) then AC refinement (Ah=1, Al=0),
+    # non-interleaved over the component's true block grid. AC tables
+    # are redefined mid-stream to the progressive table (EOBn symbols) —
+    # the per-scan-DHT pattern real progressive encoders use.
+    out += _dht_segment(1, 0, _PROG_AC)
+    if not gray:
+        out += _dht_segment(1, 1, _PROG_AC)
+    ac_codes = [_huff_codes(*_PROG_AC) for _ in comps]
+    for ci, c in enumerate(comps):
+        order = [
+            r * c["bw"] + col
+            for r in range(c["nbh"])
+            for col in range(c["nbw"])
+        ]
+        # AC first at Al: values sign-magnitude shifted
+        out += _sos_segment([c], 1, 63, 0, AL)
+        bw = _BitWriter()
+        eobrun, pending = 0, []
+        for idx in order:
+            blk = zzs[ci][idx]
+            tv = [
+                (1 if int(v) > 0 else -1) * (abs(int(v)) >> AL)
+                for v in blk[1:64]
+            ]
+            nz = [k for k, v in enumerate(tv) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _flush_eobrun(bw, ac_codes[ci], eobrun, pending)
+                continue
+            eobrun = _flush_eobrun(bw, ac_codes[ci], eobrun, pending)
+            run = 0
+            last = nz[-1]
+            for k in range(last + 1):
+                if tv[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[ci][0xF0]
+                    bw.put(code, length)
+                    run -= 16
+                size, bits = _magnitude(tv[k])
+                code, length = ac_codes[ci][(run << 4) | size]
+                bw.put(code, length)
+                bw.put(bits, size)
+                run = 0
+            if last < 62:
+                eobrun += 1
+        _flush_eobrun(bw, ac_codes[ci], eobrun, pending)
+        out += bw.flush()
+
+        # AC refinement: Ah=AL, Al=0
+        out += _sos_segment([c], 1, 63, AL, 0)
+        bw = _BitWriter()
+        eobrun, pending = 0, []
+        for idx in order:
+            blk = zzs[ci][idx]
+            av = [abs(int(v)) for v in blk[1:64]]
+            sg = [1 if int(v) >= 0 else -1 for v in blk[1:64]]
+            hist = [a >> AL for a in av]  # magnitude after the first pass
+            newly = [
+                k for k in range(63) if hist[k] == 0 and av[k] != 0
+            ]
+            if not newly:
+                # no new nonzeros: whole block folds into the EOB run,
+                # its correction bits go to the pending queue
+                pending.extend(av[k] & 1 for k in range(63) if hist[k])
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _flush_eobrun(bw, ac_codes[ci], eobrun, pending)
+                continue
+            eobrun = _flush_eobrun(bw, ac_codes[ci], eobrun, pending)
+            run = 0
+            corr: list[int] = []
+            last_new = newly[-1]
+            for k in range(last_new + 1):
+                if hist[k]:
+                    corr.append(av[k] & 1)
+                elif av[k] == 0:
+                    run += 1
+                    if run == 16:
+                        code, length = ac_codes[ci][0xF0]
+                        bw.put(code, length)
+                        for bit in corr:
+                            bw.put(bit, 1)
+                        corr = []
+                        run = 0
+                else:  # newly nonzero at this precision
+                    code, length = ac_codes[ci][(run << 4) | 1]
+                    bw.put(code, length)
+                    bw.put(1 if sg[k] > 0 else 0, 1)
+                    for bit in corr:
+                        bw.put(bit, 1)
+                    corr = []
+                    run = 0
+            # tail after the last newly-nonzero coeff: the decoder needs
+            # an EOB to close the block (it would otherwise read another
+            # symbol); its history-nonzero correction bits ride along as
+            # this EOB run's pending bits. A block ending exactly at the
+            # band edge needs no EOB (decoder's k walks past Se).
+            if last_new < 62:
+                pending.extend(
+                    av[k] & 1 for k in range(last_new + 1, 63) if hist[k]
+                )
+                eobrun += 1
+        _flush_eobrun(bw, ac_codes[ci], eobrun, pending)
+        out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -103,15 +103,19 @@ def test_app_and_comment_segments_skipped():
     assert np.array_equal(decode_jpeg(spliced), img)
 
 
-def test_progressive_and_arithmetic_gate():
+def test_lossless_and_arithmetic_gate():
     img = np.full((8, 8), 10, dtype=np.uint8)
     blob = bytearray(encode_jpeg(img))
     i = blob.find(b"\xff\xc0")
-    blob[i + 1] = 0xC2  # SOF0 -> SOF2 progressive
-    with pytest.raises(NotImplementedError, match="progressive"):
+    blob[i + 1] = 0xC3  # SOF0 -> SOF3 lossless
+    with pytest.raises(NotImplementedError, match="lossless"):
         decode_jpeg(bytes(blob))
     blob[i + 1] = 0xC9  # arithmetic
     with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(bytes(blob))
+    # SOF2 mislabel over a baseline full-band scan: malformed, not gated
+    blob[i + 1] = 0xC2
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(blob))
 
 
@@ -190,3 +194,81 @@ def test_avi_fail_closed():
             decode_video(blob)
         except OK:
             pass
+
+
+# ------------------------------------------------------------ progressive
+
+
+def test_progressive_block_constant_exact():
+    rng = np.random.default_rng(21)
+    img = _mosaic(rng, 3, 4)
+    from roapi_spark.functions.jpeg import encode_jpeg_progressive
+
+    blob = encode_jpeg_progressive(img)
+    assert b"\xff\xc2" in blob  # SOF2
+    assert np.array_equal(decode_jpeg(blob), img)
+    assert np.array_equal(decode_image(blob), img)  # dispatch too
+
+
+@pytest.mark.parametrize(
+    "shape", [(8, 8), (13, 21), (24, 40), (1, 1), (9, 64), (40, 56)]
+)
+def test_progressive_equals_baseline_gray(shape):
+    """Progressive scans (DC first Al=1, DC refine, per-comp AC spectral
+    + refinement with EOBRUN) accumulate to the SAME coefficients as the
+    sequential scan, so the decoded pixels must be identical — the
+    strongest oracle available without an external codec."""
+    from roapi_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(hash(shape) % 2**31)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    assert np.array_equal(base, prog)
+
+
+@pytest.mark.parametrize("subsample", [(2, 2), (1, 1), (2, 1), (1, 2)])
+def test_progressive_equals_baseline_color(subsample):
+    from roapi_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(31)
+    rgb = rng.integers(0, 256, size=(19, 29, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(rgb, subsample=subsample))
+    prog = decode_jpeg(encode_jpeg_progressive(rgb, subsample=subsample))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_quantized_long_eob_runs():
+    """Quantization sparsifies AC -> long EOB runs with EOBn>0 symbols
+    and pending correction bits in the refinement scan."""
+    from roapi_spark.functions.jpeg import encode_jpeg_progressive
+
+    q = np.full((8, 8), 16, dtype=np.int64)
+    xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+    smooth = (
+        (128 + 60 * np.sin(xx / 9.0) + 50 * np.cos(yy / 7.0))
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+    base = decode_jpeg(encode_jpeg(smooth, quant=q))
+    prog = decode_jpeg(encode_jpeg_progressive(smooth, quant=q))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_fail_closed():
+    from roapi_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    whole = encode_jpeg_progressive(img)
+    cases = [whole[:k] for k in range(2, len(whole), 5)]
+    for _ in range(400):
+        b = bytearray(whole)
+        for _ in range(3):
+            b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))
+        cases.append(bytes(b))
+    for blob in cases:
+        try:
+            decode_jpeg(blob)
+        except OK:
+            pass  # ValueError / NotImplementedError only

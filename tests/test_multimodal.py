@@ -135,13 +135,11 @@ def test_real_codec_gates_name_dependency():
     with pytest.raises(NotImplementedError, match="PIL|pillow"):
         decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 garbage")  # WebP: gated
     with pytest.raises(NotImplementedError, match="libjpeg"):
-        # inside JPEG, beyond-baseline features name libjpeg
-        import struct as _s
-
+        # inside JPEG, beyond-DCT features name libjpeg
         from roapi_spark.functions.jpeg import encode_jpeg as _ej
 
         blob = bytearray(_ej(__import__("numpy").full((8, 8), 1, dtype="uint8")))
-        blob[blob.index(b"\xff\xc0") + 1] = 0xC2  # progressive
+        blob[blob.index(b"\xff\xc0") + 1] = 0xC3  # lossless
         decode_image(bytes(blob))
     with pytest.raises(NotImplementedError, match="soundfile|libav"):
         decode_audio(b"OggS garbage")
