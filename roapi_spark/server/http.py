@@ -32,32 +32,104 @@ from roapi_spark.catalog import Catalog, CatalogError, ReadOnlyError
 from roapi_spark.encoders import CONTENT_TYPES, encode_dataframe, format_from_accept
 
 
-# Minimal SQL console (reference: roapi-ui, an egui/wasm app posting to
-# /api/sql and rendering JSON rows — roapi-ui/src/app.rs:1-46; ours is a
-# dependency-free HTML page with the same request/render loop).
+# SQL console (reference: roapi-ui, an egui/wasm app with a schema side
+# panel + query/results loop — roapi-ui/src/app.rs:169-230's
+# ui_schema_panel and QueryResult grid; ours is the same feature set as
+# a dependency-free HTML page: /api/schema-backed expandable table list,
+# editor with history, XSS-safe results grid, CSV export via content
+# negotiation).
 CONSOLE_HTML = b"""<!doctype html>
 <html><head><meta charset="utf-8"><title>roapi_spark console</title>
 <style>
- body{font-family:monospace;margin:2rem;background:#111;color:#eee}
- textarea{width:100%;height:6rem;background:#1b1b1b;color:#eee;border:1px solid #444}
- button{margin:.5rem 0;padding:.4rem 1rem}
- table{border-collapse:collapse;margin-top:1rem}
- td,th{border:1px solid #555;padding:.2rem .6rem}
+ :root{color-scheme:dark}
+ body{font-family:ui-monospace,monospace;margin:0;background:#111;color:#eee;display:flex;height:100vh}
+ #side{width:17rem;min-width:12rem;overflow:auto;background:#161616;border-right:1px solid #333;padding:.8rem}
+ #main{flex:1;overflow:auto;padding:1rem 1.4rem}
+ h2{margin:.2rem 0 .8rem;font-size:1.05rem}
+ h3{margin:.2rem 0 .6rem;font-size:.95rem;color:#9cf}
+ textarea{width:100%;height:7rem;background:#1b1b1b;color:#eee;border:1px solid #444;
+   font:inherit;padding:.4rem;box-sizing:border-box}
+ button{margin:.5rem .5rem .5rem 0;padding:.4rem 1rem;background:#263;border:1px solid #485;
+   color:#eee;cursor:pointer}
+ button:hover{background:#374}
+ table{border-collapse:collapse;margin-top:.8rem;font-size:.85rem}
+ td,th{border:1px solid #555;padding:.2rem .6rem;max-width:32rem;overflow:hidden;
+   text-overflow:ellipsis;white-space:nowrap}
+ th{background:#222;position:sticky;top:0}
  #err{color:#f66;white-space:pre-wrap}
+ #meta{color:#9a9;font-size:.85rem}
+ .tbl{cursor:pointer;margin:.15rem 0;user-select:none}
+ .tbl:hover{color:#9cf}
+ .cols{margin:0 0 .3rem 1.1rem;color:#aaa;font-size:.82rem;display:none}
+ .cols div{white-space:nowrap}
+ .hist{cursor:pointer;color:#887;font-size:.8rem;white-space:nowrap;overflow:hidden;
+   text-overflow:ellipsis;margin:.1rem 0}
+ .hist:hover{color:#cc9}
 </style></head><body>
+<div id="side">
+ <h3>tables</h3><div id="tables">loading&hellip;</div>
+ <h3 style="margin-top:1rem">history</h3><div id="hist"></div>
+</div>
+<div id="main">
 <h2>roapi_spark SQL console</h2>
 <textarea id="q">SELECT 1 AS hello</textarea><br>
 <button onclick="run()">Run (Ctrl-Enter)</button>
+<button onclick="exportCsv()">Export CSV</button>
+<span id="meta"></span>
 <div id="err"></div><div id="out"></div>
+</div>
 <script>
+const hist=[];
+function el(tag,text,cls){const e=document.createElement(tag);
+  if(text!==undefined)e.textContent=text;if(cls)e.className=cls;return e}
+async function loadSchema(){
+  const box=document.getElementById('tables');box.textContent='';
+  try{
+    const resp=await fetch('/api/schema');
+    const schema=await resp.json();
+    const names=Object.keys(schema).sort();
+    if(!names.length){box.textContent='(no tables)';return}
+    for(const t of names){
+      const row=el('div','\\u25b8 '+t,'tbl');
+      const cols=el('div',undefined,'cols');
+      for(const f of schema[t].fields||[]){
+        const ty=f.type!==undefined?f.type:f.data_type;
+        cols.appendChild(el('div',f.name+' : '
+          +(typeof ty==='string'?ty:JSON.stringify(ty))
+          +(f.nullable?'':' not null')));
+      }
+      row.onclick=()=>{const open=cols.style.display==='block';
+        cols.style.display=open?'none':'block';
+        row.textContent=(open?'\\u25b8 ':'\\u25be ')+t};
+      row.ondblclick=()=>{document.getElementById('q').value=
+        'SELECT * FROM '+t+' LIMIT 10';run()};
+      box.appendChild(row);box.appendChild(cols);
+    }
+  }catch(e){box.textContent='schema fetch failed: '+e}
+}
+function pushHist(q){
+  if(hist[0]===q)return; hist.unshift(q); if(hist.length>20)hist.pop();
+  const h=document.getElementById('hist');h.textContent='';
+  for(const item of hist){
+    const d=el('div',item,'hist');
+    d.onclick=()=>{document.getElementById('q').value=item};
+    h.appendChild(d);
+  }
+}
 async function run(){
   const q=document.getElementById('q').value;
   const err=document.getElementById('err'), out=document.getElementById('out');
-  err.textContent=''; out.innerHTML='';
+  const meta=document.getElementById('meta');
+  err.textContent=''; out.innerHTML=''; meta.textContent='running\\u2026';
+  const t0=performance.now();
   const resp=await fetch('/api/sql',{method:'POST',body:q});
   const body=await resp.text();
-  if(!resp.ok){try{err.textContent=JSON.parse(body).message}catch(e){err.textContent=body};return}
+  const ms=(performance.now()-t0).toFixed(0);
+  if(!resp.ok){meta.textContent='';
+    try{err.textContent=JSON.parse(body).message}catch(e){err.textContent=body};return}
+  pushHist(q);
   const rows=JSON.parse(body);
+  meta.textContent=rows.length+' row'+(rows.length===1?'':'s')+' \\u00b7 '+ms+' ms';
   if(!rows.length){out.textContent='(0 rows)';return}
   const cols=Object.keys(rows[0]);
   // build with createElement/textContent: cell values are untrusted table
@@ -67,12 +139,26 @@ async function run(){
   for(const c of cols){const th=document.createElement('th');th.textContent=c;hr.appendChild(th)}
   for(const r of rows){
     const tr=tbl.insertRow();
-    for(const c of cols){tr.insertCell().textContent=JSON.stringify(r[c])}
+    for(const c of cols){
+      const v=r[c];
+      tr.insertCell().textContent=(typeof v==='string')?v:JSON.stringify(v);
+    }
   }
   out.appendChild(tbl);
 }
+async function exportCsv(){
+  const q=document.getElementById('q').value;
+  const resp=await fetch('/api/sql',{method:'POST',body:q,
+    headers:{'ACCEPT':'text/csv'}});
+  if(!resp.ok){document.getElementById('err').textContent=await resp.text();return}
+  const blob=await resp.blob();
+  const a=document.createElement('a');
+  a.href=URL.createObjectURL(blob);a.download='result.csv';a.click();
+  URL.revokeObjectURL(a.href);
+}
 document.getElementById('q').addEventListener('keydown',e=>{
   if(e.ctrlKey&&e.key==='Enter')run()});
+loadSchema();
 </script></body></html>"""
 
 

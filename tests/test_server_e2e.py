@@ -171,6 +171,20 @@ def test_ui_console(base_url):
     status, ctype, body = _req(f"{url}/")
     assert status == 200 and ctype.startswith("text/html")
     assert b"/api/sql" in body  # the console posts to the SQL endpoint
+    # round-5 console parity with roapi-ui (app.rs:169-230): schema side
+    # panel, query history, CSV export via content negotiation — the
+    # page must wire all three endpoints/flows
+    assert b"/api/schema" in body and b"loadSchema" in body
+    assert b"pushHist" in body
+    assert b"exportCsv" in body and b"text/csv" in body
+    # the data contracts the page's JS relies on: /api/schema fields
+    # carry name/type/nullable, and ACCEPT: text/csv negotiates CSV
+    import json as _json
+
+    _, _, sbody = _req(f"{url}/api/schema")
+    schema = _json.loads(sbody)
+    anyf = next(iter(schema.values()))["fields"][0]
+    assert {"name", "type", "nullable"} <= set(anyf)
 
 
 def test_concurrent_refresh_rebind_soak(spark, tmp_path_factory):
