@@ -160,12 +160,15 @@ def sniff_format(uri: str) -> str | None:
 def _parse_batch_size(v: Any, table: str) -> int | None:
     if v is None:
         return None
-    try:
-        n = int(v)
-    except (TypeError, ValueError):
+    # strict: bools are ints in Python (true -> 1 would cap every batch
+    # at one row), and a float typo must not silently truncate
+    if isinstance(v, bool) or not (
+        isinstance(v, int) or (isinstance(v, str) and v.isdigit())
+    ):
         raise ConfigError(
             f"bad batch_size {v!r} for table {table!r} (want a positive int)"
-        ) from None
+        )
+    n = int(v)
     if n <= 0:
         raise ConfigError(f"batch_size must be positive for table {table!r}, got {n}")
     return n

@@ -983,13 +983,15 @@ def corpus_bands_full_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 def refreshed_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental artifact refresh: hash ONLY the arriving batch
     (doc_id %% 10 == 7 plays that role), merge its bands into the
-    persisted corpus bands, and re-derive the hot-band cap from summed
-    bucket counts (corpus-side counts come from the artifact — the
-    corpus is never re-hashed). Returns the capped merged bands,
-    identical to what a full rebuild over old+new would produce (the
-    registry oracle proves it), persisted per corpus snapshot so the
-    NEXT batch can merge against it in turn — the batch twin of the
-    streaming matcher's band-state checkpoint (streaming/docs.py)."""
+    persisted corpus bands, and recompute true union bucket counts
+    (corpus-side counts come from the artifact — the corpus is never
+    re-hashed). The persisted artifact is UNCAPPED with true totals —
+    the same shape as :func:`corpus_bands_full_cached` — so the NEXT
+    batch can merge against it in turn (a capped artifact would forget
+    over-cap buckets, letting a later batch re-admit them under the
+    cap); consumers apply the hot-band cap at serve time. The batch
+    twin of the streaming matcher's band-state checkpoint
+    (streaming/docs.py)."""
     from roapi_spark.functions.snapshot import (
         build_once,
         parquet_ready,
@@ -997,7 +999,7 @@ def refreshed_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = os.path.join(sf_dir, "documents.parquet")
-    out = snapshot_cache_dir(src, "incrmerged-v1")
+    out = snapshot_cache_dir(src, "incrmerged-v2")  # v2: uncapped + true bn
 
     def _build(tmp: str) -> None:
         corp = corpus_bands_full_cached(spark, sf_dir)
@@ -1029,9 +1031,9 @@ def refreshed_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).unionByName(
             batch_tot.select("doc_id", "sig", "band_id", "band_sig", "tot")
         )
-        merged.filter(F.col("tot") <= BAND_CAP).withColumnRenamed(
-            "tot", "bn"
-        ).write.mode("overwrite").parquet(tmp)
+        merged.withColumnRenamed("tot", "bn").write.mode(
+            "overwrite"
+        ).parquet(tmp)
 
     build_once(out, parquet_ready, _build)
     return spark.read.parquet(out)
@@ -1063,7 +1065,9 @@ def refreshed_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "pipeline"),
 )
 def dedup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = refreshed_bands(spark, sf_dir)
+    # the artifact is uncapped (chainable); the hot-band cap is a serve-
+    # time filter on the stored true union counts
+    bands = refreshed_bands(spark, sf_dir).filter(F.col("bn") <= BAND_CAP)
     a = bands.alias("a")
     b = bands.alias("b")
     est = F.size(

@@ -251,7 +251,13 @@ def encode_jpeg(
     component, no subsampling) or (h,w,3) uint8 RGB (YCbCr, chroma
     subsampled by ``subsample``). Default quantization is all-ones:
     block-constant grayscale inputs then round-trip EXACTLY.
-    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs."""
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs.
+
+    Plane preparation (color transform, chroma subsampling, padding,
+    quantized zigzag blocks) is shared with
+    :func:`encode_jpeg_progressive` via ``_prep_planes`` — the
+    progressive == baseline equality tests rely on the two encoders
+    producing identical coefficients."""
     if quant is None:
         quant = np.ones((8, 8), dtype=np.int64)
     quant = np.asarray(quant, dtype=np.int64)
@@ -259,27 +265,23 @@ def encode_jpeg(
     h, w = image.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if not gray:
+        hs, vs = subsample
+        if hs not in (1, 2) or vs not in (1, 2):
+            raise ValueError(f"unsupported subsampling {subsample}")
+    comps, zzs = _prep_planes(image, quant, subsample)
 
-    dc_l = _huff_codes(*_STD_DC_LUM)
-    ac_l = _huff_codes(*_STD_AC_LUM)
     out = bytearray(b"\xff\xd8")  # SOI
     # JFIF APP0 (identifies the file; density 1:1, no thumbnail)
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
     out += _dqt_segment(0, quant)
-
-    if gray:
-        comps = [(1, 1, 1, 0)]  # id, h, v, qtable
-    else:
-        hs, vs = subsample
-        if hs not in (1, 2) or vs not in (1, 2):
-            raise ValueError(f"unsupported subsampling {subsample}")
+    if not gray:
         out += _dqt_segment(1, quant)
-        comps = [(1, hs, vs, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
 
     # SOF0
     body = struct.pack(">BHHB", 8, h, w, len(comps))
-    for cid, ch, cv, tq in comps:
-        body += bytes([cid, (ch << 4) | cv, tq])
+    for c in comps:
+        body += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
     out += b"\xff\xc0" + struct.pack(">H", len(body) + 2) + body
 
     out += _dht_segment(0, 0, _STD_DC_LUM)
@@ -291,75 +293,40 @@ def encode_jpeg(
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
-    # SOS
-    body = bytes([len(comps)])
-    for cid, _ch, _cv, _tq in comps:
-        td_ta = 0x00 if cid == 1 else 0x11
-        body += bytes([cid, td_ta])
-    body += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+    out += _sos_segment(comps, 0, 63, 0, 0)
+
+    dc_codes = [
+        _huff_codes(*(_STD_DC_LUM if c["dc"] == 0 else _STD_DC_CHROM))
+        for c in comps
+    ]
+    ac_codes = [
+        _huff_codes(*(_STD_AC_LUM if c["ac"] == 0 else _STD_AC_CHROM))
+        for c in comps
+    ]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
 
     bw = _BitWriter()
     rst = 0
-
-    def maybe_restart(mcu_idx: int, preds: list[int]) -> None:
-        nonlocal bw, rst
-        if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+    preds = [0] * len(comps)
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
             out.extend(bw.flush())
             out.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
             rst += 1
             bw = _BitWriter()
-            for i in range(len(preds)):
-                preds[i] = 0
-
-    if gray:
-        plane = _pad_to_block(image, 8, 8)
-        zz = _encode_component_blocks(plane, quant)
-        preds = [0]
-        for bi in range(zz.shape[0]):
-            maybe_restart(bi, preds)
-            preds[0] = _write_blocks(bw, zz[bi : bi + 1], dc_l, ac_l, preds[0])
-    else:
-        hs, vs = subsample
-        rgb = image.astype(np.float64)
-        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
-        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
-        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
-        y = _pad_to_block(np.clip(np.round(y), 0, 255).astype(np.uint8), 8 * vs, 8 * hs)
-        # subsample chroma by block mean over (vs, hs) cells
-        def sub(c: np.ndarray) -> np.ndarray:
-            c = _pad_to_block(np.clip(np.round(c), 0, 255), vs, hs)
-            hh, ww = c.shape
-            cell = c.reshape(hh // vs, vs, ww // hs, hs).mean(axis=(1, 3))
-            return _pad_to_block(
-                np.clip(np.round(cell), 0, 255).astype(np.uint8), 8, 8
-            )
-
-        cb_s, cr_s = sub(cb), sub(cr)
-        dc_c = _huff_codes(*_STD_DC_CHROM)
-        ac_c = _huff_codes(*_STD_AC_CHROM)
-        zz_y = _encode_component_blocks(y, quant)
-        zz_cb = _encode_component_blocks(cb_s, quant)
-        zz_cr = _encode_component_blocks(cr_s, quant)
-        ybw = y.shape[1] // 8  # luma blocks per row
-        mcux = y.shape[1] // (8 * hs)
-        mcuy = y.shape[0] // (8 * vs)
-        preds = [0, 0, 0]
-        for my in range(mcuy):
-            for mx in range(mcux):
-                maybe_restart(my * mcux + mx, preds)
-                ys = []
-                for by in range(vs):
-                    for bx in range(hs):
-                        ys.append(zz_y[(my * vs + by) * ybw + mx * hs + bx])
-                preds[0] = _write_blocks(bw, np.array(ys), dc_l, ac_l, preds[0])
-                cbw = cb_s.shape[1] // 8
-                preds[1] = _write_blocks(
-                    bw, zz_cb[my * cbw + mx : my * cbw + mx + 1], dc_c, ac_c, preds[1]
-                )
-                preds[2] = _write_blocks(
-                    bw, zz_cr[my * cbw + mx : my * cbw + mx + 1], dc_c, ac_c, preds[2]
-                )
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcux)
+        for ci, c in enumerate(comps):
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    idx = (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
+                    preds[ci] = _write_blocks(
+                        bw, zzs[ci][idx : idx + 1],
+                        dc_codes[ci], ac_codes[ci], preds[ci],
+                    )
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -964,7 +931,11 @@ def _decode_avi_inner(blob: bytes, decode_frame) -> np.ndarray:
                 if kind in (b"movi", b"hdrl", b"rec "):
                     walk(body_start + 4, body_end)
             elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
-                frames.append(decode_frame(blob[body_start:body_end]))
+                # zero-length video chunks are the standard AVI
+                # dropped-frame placeholder (capture tools emit them to
+                # keep audio sync) — skip, don't fail the whole file
+                if size:
+                    frames.append(decode_frame(blob[body_start:body_end]))
             pos = body_end + (size % 2)  # chunks are word-aligned
 
     walk(12, end)
@@ -1036,12 +1007,8 @@ def _prog_ac_table() -> tuple[list[int], list[int]]:
     vals = []
     for r in range(16):
         for s in range(11):
-            if s == 0 and not (r == 15 or r <= 14):
-                continue
-            if s == 0 and r == 15:
-                vals.append(0xF0)  # ZRL
-            elif s == 0:
-                vals.append(r << 4)  # EOBn
+            if s == 0:
+                vals.append(0xF0 if r == 15 else r << 4)  # ZRL / EOBn
             else:
                 vals.append((r << 4) | s)
     bits = [0] * 17

@@ -133,7 +133,7 @@ KNOWN_TAGS = (
     "components-v1",
     "incrbands-v1",
     "incrbandsfull-v1",
-    "incrmerged-v1",
+    "incrmerged-v2",
     "pq-v1",
     "sq8-v1",
     "ivf-v2",

@@ -81,20 +81,43 @@ def load_table(spark: SparkSession, ts: TableSource) -> DataFrame:
     mod_name = _LOADERS.get(fmt)
     if mod_name is None:
         raise LoadError(f"no loader for format {fmt!r} (table {ts.name!r})")
-    if ts.batch_size:
-        # parity knob (columnq table/mod.rs:570-572): Spark batches rows
-        # per scan via the vectorized reader and per Arrow transfer via
-        # maxRecordsPerBatch — both session confs, set at load time so a
-        # memory-constrained table (huge rows, binary blobs) caps the
-        # rows materialized per batch
-        spark.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ts.batch_size)
-        )
-        spark.conf.set(
-            "spark.sql.parquet.columnarReaderBatchSize", str(ts.batch_size)
-        )
-    mod = importlib.import_module(mod_name)
-    df: DataFrame = mod.to_dataframe(spark, ts)
-    if ts.use_memory_table:
-        df = df.cache()
-    return df
+    if not ts.batch_size:
+        mod = importlib.import_module(mod_name)
+        df = mod.to_dataframe(spark, ts)
+        if ts.use_memory_table:
+            df = df.cache()
+        return df
+
+    # parity knob (columnq table/mod.rs:570-572, default 8192): columnq
+    # slices the table into RecordBatches at LOAD time, so batch_size is
+    # naturally per-table there. Spark reads its batch confs at QUERY
+    # time, so a session-wide set would leak to every other table
+    # (last-loaded wins). Scope the confs to this load instead, and for
+    # use_memory_table force materialization inside the scope so the
+    # cached InMemoryRelation is actually built at this batch size —
+    # the closest faithful mapping of columnq's load-time batching.
+    confs = (
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        "spark.sql.parquet.columnarReaderBatchSize",
+    )
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — conf unset: restore by unset
+            saved[k] = None
+    try:
+        for k in confs:
+            spark.conf.set(k, str(ts.batch_size))
+        mod = importlib.import_module(mod_name)
+        df = mod.to_dataframe(spark, ts)
+        if ts.use_memory_table:
+            df = df.cache()
+            df.count()  # materialize under the scoped batch size
+        return df
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -272,3 +272,24 @@ def test_progressive_fail_closed():
             decode_jpeg(blob)
         except OK:
             pass  # ValueError / NotImplementedError only
+
+
+def test_avi_zero_length_dropped_frame_chunks_skipped():
+    """Zero-length '00dc' chunks are the standard AVI dropped-frame
+    placeholder (capture tools keep audio sync with them) — the demuxer
+    must skip them, not fail the whole file."""
+    a = encode_jpeg(np.full((8, 8), 3, dtype=np.uint8))
+    b = encode_jpeg(np.full((8, 8), 9, dtype=np.uint8))
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    movi = chunk(
+        b"LIST",
+        b"movi" + chunk(b"00dc", a) + chunk(b"00dc", b"") + chunk(b"00dc", b),
+    )
+    riff = b"RIFF" + struct.pack("<I", 4 + len(movi)) + b"AVI " + movi
+    out = decode_avi_mjpeg(riff)
+    assert out.shape == (2, 8, 8)
+    assert out[0, 0, 0] == 3 and out[1, 0, 0] == 9

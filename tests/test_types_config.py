@@ -147,12 +147,25 @@ def test_batch_size_option_parses_and_applies(spark, tmp_path):
     ).batch_size == 4096
     assert parse_table_config({"name": "t", "uri": p}).batch_size is None
 
+    before = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     df = load_table(spark, ts)
     assert df.count() == 3
-    assert spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "1024"
-    assert spark.conf.get("spark.sql.parquet.columnarReaderBatchSize") == "1024"
+    # the knob is SCOPED to the load: columnq batches at load time, but
+    # Spark reads these confs at query time, so a lasting session-wide
+    # set would leak the last-loaded table's batch size into every other
+    # table's scans (review finding) — confs must be restored
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == before
+    )
 
-    for bad in (0, -5, "lots"):
+    # use_memory_table + batch_size: materialized under the scoped conf
+    ts_mem = parse_table_config(
+        {"name": "t", "uri": p,
+         "option": {"batch_size": 512, "use_memory_table": True}}
+    )
+    assert load_table(spark, ts_mem).count() == 3
+
+    for bad in (0, -5, "lots", 8192.7, True):
         with _pytest.raises(ConfigError):
             parse_table_config(
                 {"name": "t", "uri": p, "option": {"batch_size": bad}}

@@ -206,24 +206,30 @@ def main() -> None:
         from roapi_spark.sinks.delta import compact, vacuum, write_delta
 
         ddir = tempfile.mkdtemp(prefix=f"delta-stress-{label.replace('.', '_')}-")
-        dtbl = os.path.join(ddir, "docs")
-        d = dedup.docs(spark, sf_dir)
-        t0 = time.time()
-        for part in range(4):
-            write_delta(
-                d.filter(F.col("doc_id") % 4 == part), dtbl, mode="append"
-            )
-        row["delta_4appends_s"] = round(time.time() - t0, 2)
-        t, _ = timed(lambda: compact(spark, dtbl, target_partitions=8))
-        row["delta_compact_s"] = t
-        t, n = timed(lambda: len(vacuum(dtbl, keep_versions=1)))
-        row["delta_vacuum_s"], row["delta_vacuumed_files"] = t, n
-        from roapi_spark.config import TableSource
-        from roapi_spark.sources.delta import to_dataframe
+        try:
+            dtbl = os.path.join(ddir, "docs")
+            d = dedup.docs(spark, sf_dir)
+            t0 = time.time()
+            for part in range(4):
+                write_delta(
+                    d.filter(F.col("doc_id") % 4 == part), dtbl, mode="append"
+                )
+            row["delta_4appends_s"] = round(time.time() - t0, 2)
+            t, _ = timed(lambda: compact(spark, dtbl, target_partitions=8))
+            row["delta_compact_s"] = t
+            t, n = timed(lambda: len(vacuum(dtbl, keep_versions=1)))
+            row["delta_vacuum_s"], row["delta_vacuumed_files"] = t, n
+            from roapi_spark.config import TableSource
+            from roapi_spark.sources.delta import to_dataframe
 
-        ts = TableSource(name="_s", uri=dtbl, format="delta", option={})
-        assert to_dataframe(spark, ts).count() == row["docs"]
-        shutil.rmtree(ddir, ignore_errors=True)
+            ts = TableSource(name="_s", uri=dtbl, format="delta", option={})
+            got = to_dataframe(spark, ts).count()
+            if got != row["docs"]:  # not assert: must survive python -O
+                raise RuntimeError(
+                    f"delta lifecycle corrupted rows: {got} != {row['docs']}"
+                )
+        finally:
+            shutil.rmtree(ddir, ignore_errors=True)
         report[label] = row
 
     a, b = report["sf0.1"], report["sf1"]
