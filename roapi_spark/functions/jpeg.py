@@ -91,14 +91,16 @@ _STD_AC_CHROM = (
 )
 
 
-def _dct_matrix() -> np.ndarray:
-    """Orthonormal 8x8 DCT-II matrix C: coeffs = C @ block @ C.T."""
-    k = np.arange(8)
-    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
-    c[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+def dct_matrix(n: int = 8) -> np.ndarray:
+    """Orthonormal n x n DCT-II matrix C: coeffs = C @ block @ C.T.
+    n=8 drives the JPEG transform; n=32 drives the perceptual hash
+    (multimodal.phash64)."""
+    k = np.arange(n)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n)) * np.sqrt(2.0 / n)
+    c[0, :] = 1.0 / np.sqrt(n)
     return c
 
-_C = _dct_matrix()
+_C = dct_matrix(8)
 
 
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:

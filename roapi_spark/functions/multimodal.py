@@ -2552,3 +2552,117 @@ def multimodal_image_jpeg_progressive(spark, sf_dir: str) -> DataFrame:
         pround(F.col("mean_pixel")).alias("mean_pixel"),
         "max_pixel",
     )
+
+
+def phash64(gray: np.ndarray) -> int:
+    """DCT-based 64-bit perceptual hash (the standard pHash recipe the
+    big image-dedup pipelines use, e.g. LAION's): downsample to 32x32
+    (area mean when dims divide evenly, else nearest), 2D DCT-II, keep
+    the top-left 8x8 low-frequency block, threshold each coefficient
+    against the median of the 63 non-DC coefficients, pack row-major
+    (DC contributes bit 0 vs the same median). Identical pixels =>
+    identical hash; small perceptual edits flip few bits, so near-dup
+    detection is a Hamming-ball / band join over the hash."""
+    from roapi_spark.functions.jpeg import dct_matrix
+
+    h, w = gray.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if h % 32 == 0 and w % 32 == 0:
+        small = (
+            gray.reshape(32, h // 32, 32, w // 32)
+            .mean(axis=(1, 3))
+        )
+    else:
+        yi = (np.arange(32) * h) // 32
+        xi = (np.arange(32) * w) // 32
+        small = gray[np.ix_(yi, xi)].astype(np.float64)
+    c32 = dct_matrix(32)
+    coef = (c32 @ small @ c32.T)[:8, :8].reshape(64)
+    med = np.median(coef[1:])
+    bits = coef > med
+    return int(sum(1 << i for i in range(64) if bits[i]))
+
+
+_PHASH_SEEDS = 17  # distinct images in the corpus -> cluster size ~n/17
+
+
+@register(
+    "multimodal_image_phash",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY doc_id % {_PHASH_SEEDS})
+                AS BIGINT) AS cluster_size
+    FROM documents
+    """,
+    doc="Perceptual-hash image dedup (pHash: 32x32 downsample -> 2D DCT "
+    "-> low-frequency median threshold -> 64-bit hash) over a corpus "
+    "where each document's image is a DETERMINISTIC function of "
+    f"doc_id %% {_PHASH_SEEDS}: docs sharing a seed have identical "
+    "pixels, hence identical hashes; distinct seeds produce distinct "
+    "hashes (verified by the oracle equality itself — a collision or "
+    "any nondeterminism in the decode->resize->DCT->hash chain would "
+    "change a cluster size). The blobs are real JPEGs, so the full "
+    "JPEG decode path runs under this gate too. Spark side: hash in "
+    "mapInPandas, then one groupBy-count join on the hash — at 100 TB "
+    "the same shape as every hash-based dedup (shuffle on hash key).",
+    tags=("multimodal", "dedup", "pandas-udf"),
+)
+def multimodal_image_phash(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from roapi_spark.functions.jpeg import encode_jpeg
+
+    ids = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # 48x24 block-constant mosaic per SEED (not per doc): the
+        # non-multiple-of-32 dims force the nearest-neighbor resize
+        # path. The pattern must differ STRUCTURALLY per seed — pHash is
+        # deliberately invariant to constant brightness shifts (only the
+        # DC coefficient moves), so `seed*K + pattern` would collide
+        # every seed onto one hash. A per-seed rng gives independent
+        # block layouts.
+        blobs = {
+            s: encode_jpeg(
+                np.repeat(
+                    np.repeat(
+                        np.random.default_rng(1000 + s).integers(
+                            0, 256, size=(3, 6), dtype=np.uint8
+                        ),
+                        8, axis=0,
+                    ),
+                    8, axis=1,
+                )
+            )
+            for s in range(_PHASH_SEEDS)
+        }
+        for pdf in batches:
+            rows = [
+                (int(i), blobs[int(i) % _PHASH_SEEDS]) for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    corpus = ids.mapInPandas(gen, "id bigint, content binary")
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, blob in zip(pdf["id"], pdf["content"]):
+                out.append((int(i), phash64(decode_image(bytes(blob)))))
+            yield pd.DataFrame(out, columns=["doc_id", "ph"])
+
+    from pyspark.sql import Window as W
+
+    hashed = corpus.mapInPandas(hash_batch, "doc_id bigint, ph decimal(20,0)")
+    # window count over the hash: ONE pass over the decode stage and one
+    # shuffle on ph (a groupBy+self-join would re-run the whole decode
+    # pipeline for the second branch)
+    return hashed.select(
+        "doc_id",
+        F.count("*").over(W.partitionBy("ph")).cast("bigint").alias("cluster_size"),
+    )

@@ -293,3 +293,28 @@ def test_avi_zero_length_dropped_frame_chunks_skipped():
     out = decode_avi_mjpeg(riff)
     assert out.shape == (2, 8, 8)
     assert out[0, 0, 0] == 3 and out[1, 0, 0] == 9
+
+
+# ------------------------------------------------------------ pHash
+
+
+def test_phash_properties():
+    """pHash invariants: identical pixels -> identical hash; constant
+    brightness shift -> at most the DC bit differs; structural change
+    -> many bits differ; 32-multiple dims take the area-mean path and
+    others the nearest path without error."""
+    from roapi_spark.functions.multimodal import phash64
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 200, size=(48, 24), dtype=np.uint8)
+    h1, h2 = phash64(img), phash64(img.copy())
+    assert h1 == h2
+    shifted = np.clip(img.astype(np.int64) + 40, 0, 255).astype(np.uint8)
+    assert bin(h1 ^ phash64(shifted)).count("1") <= 1  # DC bit only
+    other = rng.integers(0, 200, size=(48, 24), dtype=np.uint8)
+    assert bin(h1 ^ phash64(other)).count("1") >= 10
+    assert isinstance(phash64(rng.integers(0, 255, size=(64, 32), dtype=np.uint8)), int)
+    small = phash64(rng.integers(0, 255, size=(5, 7), dtype=np.uint8))
+    assert 0 <= small < 1 << 64
+    with pytest.raises(ValueError):
+        phash64(np.zeros((0, 4), dtype=np.uint8))

@@ -192,7 +192,8 @@ def main() -> None:
                   # the incremental refresh, and the JPEG/MJPEG kernels
                   "ann_pq_adc", "ann_ivfpq", "ann_ivfsq8",
                   "dedup_incremental_refresh",
-                  "multimodal_image_jpeg", "multimodal_video_mjpeg"):
+                  "multimodal_image_jpeg", "multimodal_video_mjpeg",
+                  "multimodal_image_jpeg_progressive"):
             best = None
             for _ in range(2):
                 t, _n = timed(lambda: specs[q].builder(spark, sf_dir).count())
@@ -251,6 +252,7 @@ def main() -> None:
               "ann_pq_adc_s", "ann_ivfpq_s", "ann_ivfsq8_s",
               "dedup_incremental_refresh_s",
               "multimodal_image_jpeg_s", "multimodal_video_mjpeg_s",
+              "multimodal_image_jpeg_progressive_s",
               "delta_4appends_s", "delta_compact_s", "delta_vacuum_s",
               "delta_vacuumed_files"):
         print(f"| {k} | {a[k]} | {b[k]} | {ratio(k)}x |")
