@@ -1046,6 +1046,7 @@ def encode_jpeg_progressive(
     image: np.ndarray,
     quant: np.ndarray | None = None,
     subsample: tuple[int, int] = (2, 2),
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive JFIF (SOF2) encoder exercising every progressive
     decode path: interleaved DC first scan at Al=1, DC refinement at
@@ -1095,12 +1096,31 @@ def encode_jpeg_progressive(
         ]
 
     AL = 1  # two-pass successive approximation
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    bw = _BitWriter()
+    rst = 0
+
+    def scan_restart(unit: int) -> bool:
+        """Emit an RSTn boundary before `unit` if due; True if emitted.
+        Restart numbering cycles mod 8 and resets per scan."""
+        nonlocal bw, rst
+        if restart_interval and unit and unit % restart_interval == 0:
+            out.extend(bw.flush())
+            out.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
+            rst += 1
+            bw = _BitWriter()
+            return True
+        return False
 
     # scan 1: DC first, all components, Al=1 (arithmetic point transform)
     out += _sos_segment(comps, 0, 0, 0, AL)
-    bw = _BitWriter()
+    bw, rst = _BitWriter(), 0
     preds = [0] * len(comps)
     for mcu in range(mcux * mcuy):
+        if scan_restart(mcu):
+            preds = [0] * len(comps)
         for ci in range(len(comps)):
             for idx in mcu_blocks(ci, mcu):
                 v = int(zzs[ci][idx][0]) >> AL
@@ -1114,8 +1134,9 @@ def encode_jpeg_progressive(
 
     # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block, MCU order
     out += _sos_segment(comps, 0, 0, AL, 0)
-    bw = _BitWriter()
+    bw, rst = _BitWriter(), 0
     for mcu in range(mcux * mcuy):
+        scan_restart(mcu)
         for ci in range(len(comps)):
             for idx in mcu_blocks(ci, mcu):
                 bw.put(int(zzs[ci][idx][0]) & 1, 1)
@@ -1137,9 +1158,13 @@ def encode_jpeg_progressive(
         ]
         # AC first at Al: values sign-magnitude shifted
         out += _sos_segment([c], 1, 63, 0, AL)
-        bw = _BitWriter()
+        bw, rst = _BitWriter(), 0
         eobrun, pending = 0, []
-        for idx in order:
+        for unit, idx in enumerate(order):
+            # EOB runs may not cross a restart boundary (T.81 G.1.2.2)
+            if restart_interval and unit and unit % restart_interval == 0:
+                eobrun = _flush_eobrun(bw, ac_codes[ci], eobrun, pending)
+            scan_restart(unit)
             blk = zzs[ci][idx]
             tv = [
                 (1 if int(v) > 0 else -1) * (abs(int(v)) >> AL)
@@ -1174,9 +1199,12 @@ def encode_jpeg_progressive(
 
         # AC refinement: Ah=AL, Al=0
         out += _sos_segment([c], 1, 63, AL, 0)
-        bw = _BitWriter()
+        bw, rst = _BitWriter(), 0
         eobrun, pending = 0, []
-        for idx in order:
+        for unit, idx in enumerate(order):
+            if restart_interval and unit and unit % restart_interval == 0:
+                eobrun = _flush_eobrun(bw, ac_codes[ci], eobrun, pending)
+            scan_restart(unit)
             blk = zzs[ci][idx]
             av = [abs(int(v)) for v in blk[1:64]]
             sg = [1 if int(v) >= 0 else -1 for v in blk[1:64]]

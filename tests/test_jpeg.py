@@ -318,3 +318,40 @@ def test_phash_properties():
     assert 0 <= small < 1 << 64
     with pytest.raises(ValueError):
         phash64(np.zeros((0, 4), dtype=np.uint8))
+
+
+def test_progressive_restart_intervals():
+    """RSTn inside progressive scans: DC predictor and EOB-run state
+    reset at each boundary (EOB runs may not cross one, T.81 G.1.2.2);
+    decode must still equal baseline exactly."""
+    from roapi_spark.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(51)
+    img = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img))
+    for ri in (1, 2, 3, 7):
+        blob = encode_jpeg_progressive(img, restart_interval=ri)
+        assert b"\xff\xdd" in blob
+        assert np.array_equal(decode_jpeg(blob), base), ri
+    rgb = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(rgb)),
+        decode_jpeg(encode_jpeg_progressive(rgb, restart_interval=2)),
+    )
+
+
+def test_16bit_quant_table_decodes():
+    """DQT with Pq=1 (16-bit entries): rewrite an encoded stream's 8-bit
+    table into the 16-bit form — decode must be identical."""
+    from roapi_spark.functions.jpeg import ZIGZAG
+
+    img = np.random.default_rng(61).integers(0, 256, size=(16, 24), dtype=np.uint8)
+    q = np.full((8, 8), 3, dtype=np.int64)
+    blob = encode_jpeg(img, quant=q)
+    i = blob.index(b"\xff\xdb")
+    # old segment: marker(2) + len(2) + PqTq(1) + 64 bytes
+    old_end = i + 4 + 1 + 64
+    wide = q.reshape(64)[ZIGZAG].astype(">u2").tobytes()
+    seg = b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128) + bytes([0x10]) + wide
+    patched = blob[:i] + seg + blob[old_end:]
+    assert np.array_equal(decode_jpeg(patched), decode_jpeg(blob))
