@@ -1,0 +1,562 @@
+"""FLAC codec — pure Python + numpy, written from scratch for the
+multimodal audio pipeline.
+
+Real speech corpora ship FLAC (LibriSpeech, MLS, People's Speech), and
+this container has no soundfile/libflac, so the decode path here is
+real: stream marker + STREAMINFO (+ skipped metadata blocks), frame
+headers (UTF-8-coded frame numbers, CRC-8), subframes (CONSTANT /
+VERBATIM / FIXED orders 0-4 / LPC with quantized coefficients), Rice
+residual coding with partition orders and escape partitions, stereo
+decorrelation (left-side / right-side / mid-side, with the side
+channel's +1 bit), frame CRC-16, and the STREAMINFO MD5 of the decoded
+PCM — all verified fail-closed (any mismatch raises ValueError; FLAC is
+lossless, so a verified decode is bit-exact by construction).
+
+The encoder produces genuinely compressed streams (fixed predictors
+with per-partition Rice parameter search, optional mid-side stereo,
+optional verbatim/constant subframes) — enough to exercise every
+decoder path with exact round trips; LPC subframes are emitted with
+order-2 quantized coefficients for bitstream-path coverage.
+
+16-bit samples only (the corpus norm); other depths raise
+NotImplementedError naming libflac.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC frame-number coding (UTF-8 extended to 36 bits)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    while n >= (1 << (6 - nbytes + 5 * nbytes)) and nbytes < 7:
+        nbytes += 1
+    lead_bits = 7 - nbytes
+    shift = 6 * (nbytes - 1)
+    lead = (0xFF << (lead_bits + 1)) & 0xFF | (n >> shift)
+    out.append(lead)
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a one
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos  # byte position of next fill
+        self.acc = 0
+        self.n = 0
+
+    def read(self, nbits: int) -> int:
+        while self.n < nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC bitstream")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= nbits
+        v = (self.acc >> self.n) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v >= (1 << (nbits - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while True:
+            if self.n == 0:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated FLAC unary run")
+                self.acc = self.data[self.pos]
+                self.pos += 1
+                self.n = 8
+            if self.acc == 0:
+                q += self.n
+                self.n = 0
+                continue
+            top = self.acc.bit_length()
+            zeros = self.n - top
+            q += zeros
+            self.n = top - 1
+            self.acc &= (1 << self.n) - 1
+            return q
+
+    def align(self) -> None:
+        self.n = 0
+        self.acc = 0
+
+    def byte_pos(self) -> int:
+        return self.pos
+
+
+def _rice_fold(res: np.ndarray) -> np.ndarray:
+    """signed residual -> non-negative zigzag (FLAC mapping)."""
+    return np.where(res >= 0, res.astype(np.int64) * 2, -2 * res.astype(np.int64) - 1)
+
+
+def _rice_unfold(u: int) -> int:
+    return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+
+
+def _best_rice_param(folded: np.ndarray) -> int:
+    if len(folded) == 0:
+        return 0
+    mean = float(folded.mean())
+    k = 0
+    while (1 << (k + 1)) < mean + 1 and k < 14:
+        k += 1
+    return k
+
+
+def _write_residual(bw: _BitWriter, res: np.ndarray, block: int, order: int) -> None:
+    """Rice method 0 (4-bit params), single partition order chosen so
+    partitions stay reasonable (0 here — simple, always legal)."""
+    bw.write(0, 2)  # coding method: rice 4-bit
+    bw.write(0, 4)  # partition order 0 -> one partition
+    folded = _rice_fold(res)
+    k = _best_rice_param(folded)
+    if k >= 15 or (len(folded) and int(folded.max()).bit_length() > 30):
+        # escape: raw nbits follows
+        nbits = max(1, int(folded.max()).bit_length() + 1) if len(folded) else 1
+        bw.write(0b1111, 4)
+        bw.write(nbits, 5)
+        for r in res:
+            bw.write(int(r) & ((1 << nbits) - 1), nbits)
+        return
+    bw.write(k, 4)
+    for u in folded:
+        u = int(u)
+        bw.write_unary(u >> k)
+        bw.write(u & ((1 << k) - 1), k)
+
+
+def _read_residual(br: _BitReader, block: int, order: int) -> np.ndarray:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"reserved FLAC residual coding method {method}")
+    plen = 4 if method == 0 else 5
+    po = br.read(4)
+    nparts = 1 << po
+    if block % nparts or block >> po <= order and po > 0:
+        # spec: block size must be divisible; first partition shorter
+        if block % nparts:
+            raise ValueError("FLAC partition order does not divide block size")
+    out = np.empty(block - order, dtype=np.int64)
+    idx = 0
+    for p in range(nparts):
+        n = (block >> po) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("FLAC partition shorter than predictor order")
+        k = br.read(plen)
+        if k == (1 << plen) - 1:  # escape: raw
+            nbits = br.read(5)
+            for _ in range(n):
+                out[idx] = br.read_signed(nbits) if nbits else 0
+                idx += 1
+        else:
+            for _ in range(n):
+                q = br.read_unary()
+                u = (q << k) | (br.read(k) if k else 0)
+                out[idx] = _rice_unfold(u)
+                idx += 1
+    return out
+
+
+def _predict_fixed(order: int, warm: np.ndarray, res: np.ndarray) -> np.ndarray:
+    out = np.empty(len(warm) + len(res), dtype=np.int64)
+    out[: len(warm)] = warm
+    coeffs = FIXED_COEFFS[order]
+    if order == 0:
+        out[len(warm):] = res
+    elif order == 1:
+        out[1:] = res
+        out = np.cumsum(out)
+    else:
+        for i, r in enumerate(res, start=order):
+            out[i] = r + sum(c * out[i - j - 1] for j, c in enumerate(coeffs))
+    return out
+
+
+def _subframe_residual(order: int, samples: np.ndarray) -> np.ndarray:
+    coeffs = FIXED_COEFFS[order]
+    res = samples[order:].astype(np.int64)
+    for j, c in enumerate(coeffs):
+        res = res - c * samples[order - 1 - j : len(samples) - 1 - j].astype(np.int64)
+    return res
+
+
+def _write_subframe(
+    bw: _BitWriter, samples: np.ndarray, bits: int, mode: str
+) -> None:
+    bw.write(0, 1)  # pad
+    if mode == "constant":
+        bw.write(0, 6)
+        bw.write(0, 1)  # no wasted bits
+        bw.write(int(samples[0]) & ((1 << bits) - 1), bits)
+        return
+    if mode == "verbatim":
+        bw.write(1, 6)
+        bw.write(0, 1)
+        for s in samples:
+            bw.write(int(s) & ((1 << bits) - 1), bits)
+        return
+    if mode == "lpc2":
+        # LPC order 2 with coefficients equal to the fixed order-2
+        # predictor (precision 4 bits, shift 0) — a genuine LPC
+        # subframe whose reconstruction is exactly known
+        order = 2
+        bw.write(0b100000 | (order - 1), 6)
+        bw.write(0, 1)
+        for s in samples[:order]:
+            bw.write(int(s) & ((1 << bits) - 1), bits)
+        bw.write(4 - 1, 4)  # coefficient precision - 1
+        bw.write(0, 5)      # shift (signed 5 bits)
+        for c in (2, -1):
+            bw.write(c & 0xF, 4)
+        res = _subframe_residual(order, samples)
+        _write_residual(bw, res, len(samples), order)
+        return
+    # fixed: pick the order with the smallest folded-residual sum
+    best_order, best_cost, best_res = 0, None, None
+    for order in range(5):
+        if order > len(samples) - 1:
+            break
+        res = _subframe_residual(order, samples)
+        cost = int(_rice_fold(res).sum())
+        if best_cost is None or cost < best_cost:
+            best_order, best_cost, best_res = order, cost, res
+    bw.write(0b001000 | best_order, 6)
+    bw.write(0, 1)
+    for s in samples[:best_order]:
+        bw.write(int(s) & ((1 << bits) - 1), bits)
+    _write_residual(bw, best_res, len(samples), best_order)
+
+
+def _read_subframe(br: _BitReader, block: int, bits: int) -> np.ndarray:
+    if br.read(1):
+        raise ValueError("FLAC subframe padding bit set")
+    ftype = br.read(6)
+    if br.read(1):  # wasted bits flag
+        wasted = 1 + br.read_unary()
+    else:
+        wasted = 0
+    eff = bits - wasted
+    if ftype == 0:  # CONSTANT
+        v = br.read_signed(eff)
+        out = np.full(block, v, dtype=np.int64)
+    elif ftype == 1:  # VERBATIM
+        out = np.array([br.read_signed(eff) for _ in range(block)], dtype=np.int64)
+    elif 8 <= ftype <= 12:  # FIXED
+        order = ftype - 8
+        warm = np.array([br.read_signed(eff) for _ in range(order)], dtype=np.int64)
+        res = _read_residual(br, block, order)
+        out = _predict_fixed(order, warm, res)
+    elif ftype >= 32:  # LPC
+        order = (ftype & 0x1F) + 1
+        warm = np.array([br.read_signed(eff) for _ in range(order)], dtype=np.int64)
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid FLAC LPC precision code")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coeffs = [br.read_signed(prec) for _ in range(order)]
+        res = _read_residual(br, block, order)
+        out = np.empty(block, dtype=np.int64)
+        out[:order] = warm
+        for i in range(order, block):
+            pred = sum(c * int(out[i - 1 - j]) for j, c in enumerate(coeffs))
+            out[i] = int(res[i - order]) + (pred >> shift)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {ftype}")
+    return out << wasted
+
+
+def encode_flac(
+    rate: int,
+    pcm: np.ndarray,
+    block_size: int = 4096,
+    stereo_mode: str = "lr",
+    subframe_mode: str = "fixed",
+) -> bytes:
+    """16-bit PCM -> FLAC stream. ``pcm`` is (n,) mono or (n, 2) stereo
+    int16. ``stereo_mode``: 'lr' (independent), 'ms' (mid-side), 'ls'
+    (left-side), 'rs' (right-side). ``subframe_mode``: 'fixed'
+    (order-searched fixed predictors — real compression), 'verbatim',
+    'constant' (requires constant input), or 'lpc2'."""
+    pcm = np.asarray(pcm, dtype=np.int16)
+    stereo = pcm.ndim == 2
+    nch = 2 if stereo else 1
+    n = pcm.shape[0]
+    if n == 0:
+        raise ValueError("empty PCM")
+
+    md5 = hashlib.md5(pcm.astype("<i2").tobytes()).digest()
+    out = bytearray(b"fLaC")
+    # STREAMINFO (last metadata block): type 0, length 34
+    si = bytearray()
+    si += struct.pack(">HH", block_size, block_size)
+    si += b"\x00\x00\x00" * 2  # min/max frame size unknown
+    packed = (rate << 44) | ((nch - 1) << 41) | ((16 - 1) << 36) | n
+    si += packed.to_bytes(8, "big")
+    si += md5
+    out += bytes([0x80]) + struct.pack(">I", 34)[1:] + si
+
+    frame_no = 0
+    for start in range(0, n, block_size):
+        blk = pcm[start : start + block_size]
+        bs = blk.shape[0]
+        if stereo:
+            left = blk[:, 0].astype(np.int64)
+            right = blk[:, 1].astype(np.int64)
+            if stereo_mode == "lr":
+                chan_assign, chans, cbits = 1, [left, right], [16, 16]
+            elif stereo_mode == "ls":
+                chan_assign, chans, cbits = 8, [left, left - right], [16, 17]
+            elif stereo_mode == "rs":
+                chan_assign, chans, cbits = 9, [left - right, right], [17, 16]
+            elif stereo_mode == "ms":
+                chan_assign = 10
+                chans = [(left + right) >> 1, left - right]
+                cbits = [16, 17]
+            else:
+                raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
+        else:
+            chan_assign, chans, cbits = 0, [blk.astype(np.int64)], [16]
+
+        hdr = bytearray()
+        hdr += bytes([0xFF, 0xF8])  # sync + fixed blocksize strategy
+        hdr += bytes([(0b0111 << 4) | 0b0000])  # bs: 16-bit follows; rate: STREAMINFO
+        hdr += bytes([(chan_assign << 4) | (0b100 << 1)])  # 16-bit, reserved 0
+        hdr += _utf8_number(frame_no)
+        hdr += struct.pack(">H", bs - 1)
+        hdr.append(_crc8(bytes(hdr)))
+
+        bw = _BitWriter()
+        for ch, bits in zip(chans, cbits):
+            mode = subframe_mode
+            if mode == "fixed" and np.all(ch == ch[0]):
+                mode = "constant"
+            _write_subframe(bw, ch, bits, mode)
+        bw.align()
+        frame = bytes(hdr) + bw.bytes()
+        out += frame + struct.pack(">H", _crc16(frame))
+        frame_no += 1
+    return bytes(out)
+
+
+def decode_flac(blob: bytes) -> tuple[int, np.ndarray]:
+    """FLAC stream -> (rate, int16 array: (n,) mono or (n, ch) multi).
+    CRC-8 (frame headers), CRC-16 (frames) and the STREAMINFO MD5 are
+    all verified — any mismatch is a loud ValueError."""
+    try:
+        return _decode_flac_inner(blob)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed FLAC: {exc}") from exc
+
+
+def _decode_flac_inner(blob: bytes) -> tuple[int, np.ndarray]:
+    if blob[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (missing fLaC marker)")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(blob):
+            raise ValueError("truncated FLAC metadata")
+        hdr = blob[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        (blen,) = struct.unpack(">I", b"\x00" + blob[pos + 1 : pos + 4])
+        body = blob[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:
+            if blen != 34:
+                raise ValueError(f"FLAC STREAMINFO length {blen} != 34")
+            streaminfo = body
+        elif btype == 127:
+            raise ValueError("invalid FLAC metadata block type 127")
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC stream missing STREAMINFO")
+    packed = int.from_bytes(streaminfo[10:18], "big")
+    rate = packed >> 44
+    nch = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    want_md5 = streaminfo[18:34]
+    if bits != 16:
+        raise NotImplementedError(
+            f"{bits}-bit FLAC requires libflac; only 16-bit decodes here"
+        )
+    if rate == 0 or nch > 2:
+        raise NotImplementedError(
+            f"FLAC with {nch} channels / rate {rate} requires libflac"
+        )
+
+    chans_out: list[np.ndarray] = []
+    got = 0
+    while got < total:
+        if pos + 5 > len(blob):
+            raise ValueError("truncated FLAC frame stream")
+        hstart = pos
+        if blob[pos] != 0xFF or (blob[pos + 1] & 0xFC) != 0xF8:
+            raise ValueError(f"bad FLAC frame sync at {pos}")
+        variable_bs = bool(blob[pos + 1] & 0x01)
+        bs_code = blob[pos + 2] >> 4
+        sr_code = blob[pos + 2] & 0x0F
+        chan_assign = blob[pos + 3] >> 4
+        size_code = (blob[pos + 3] >> 1) & 0x7
+        pos += 4
+        # UTF-8 frame/sample number
+        lead = blob[pos]
+        if lead < 0x80:
+            pos += 1
+        else:
+            extra = 0
+            while lead & (0x80 >> (extra + 1)) and extra < 6:
+                extra += 1
+            pos += 1 + extra
+        if bs_code == 0b0110:
+            bs = blob[pos] + 1
+            pos += 1
+        elif bs_code == 0b0111:
+            bs = struct.unpack(">H", blob[pos : pos + 2])[0] + 1
+            pos += 2
+        elif bs_code in (0, 0b1111):
+            raise ValueError(f"reserved FLAC block size code {bs_code}")
+        elif bs_code == 1:
+            bs = 192
+        elif 2 <= bs_code <= 5:
+            bs = 576 << (bs_code - 2)
+        else:
+            bs = 256 << (bs_code - 8)
+        if sr_code == 0b1100:
+            pos += 1
+        elif sr_code in (0b1101, 0b1110):
+            pos += 2
+        elif sr_code == 0b1111:
+            raise ValueError("invalid FLAC sample rate code")
+        if _crc8(blob[hstart:pos]) != blob[pos]:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        pos += 1
+
+        if size_code not in (0, 0b100):
+            raise NotImplementedError(
+                "per-frame FLAC sample-size override requires libflac"
+            )
+        if variable_bs:
+            raise NotImplementedError(
+                "variable-blocksize FLAC requires libflac"
+            )
+
+        br = _BitReader(blob, pos)
+        if chan_assign < 8:
+            if chan_assign + 1 != nch:
+                raise ValueError("FLAC frame channel count != STREAMINFO")
+            subs = [_read_subframe(br, bs, 16) for _ in range(nch)]
+        elif chan_assign == 8:  # left-side
+            left = _read_subframe(br, bs, 16)
+            side = _read_subframe(br, bs, 17)
+            subs = [left, left - side]
+        elif chan_assign == 9:  # right-side
+            side = _read_subframe(br, bs, 17)
+            right = _read_subframe(br, bs, 16)
+            subs = [side + right, right]
+        elif chan_assign == 10:  # mid-side
+            mid = _read_subframe(br, bs, 16)
+            side = _read_subframe(br, bs, 17)
+            # mid = (l+r)>>1 dropped the sum's low bit; side = l-r has
+            # that bit as its parity, so (mid<<1)|(side&1) recovers l+r
+            m2 = (mid << 1) | (side & 1)
+            l = (m2 + side) >> 1
+            r = (m2 - side) >> 1
+            subs = [l, r]
+        else:
+            raise ValueError(f"reserved FLAC channel assignment {chan_assign}")
+        br.align()
+        pos = br.byte_pos()
+        if pos + 2 > len(blob):
+            raise ValueError("truncated FLAC frame CRC")
+        if _crc16(blob[hstart:pos]) != struct.unpack(">H", blob[pos : pos + 2])[0]:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos += 2
+        chans_out.append(np.stack(subs, axis=1) if nch > 1 else subs[0][:, None])
+        got += bs
+
+    full = np.concatenate(chans_out, axis=0)[:total]
+    if np.any(full > 32767) or np.any(full < -32768):
+        raise ValueError("FLAC decoded samples out of 16-bit range")
+    pcm = full.astype("<i2")
+    if want_md5 != b"\x00" * 16:
+        if hashlib.md5(pcm.tobytes()).digest() != want_md5:
+            raise ValueError("FLAC STREAMINFO MD5 mismatch (corrupt stream)")
+    return rate, pcm[:, 0] if pcm.shape[1] == 1 else pcm

@@ -778,9 +778,17 @@ def decode_audio(blob: bytes) -> tuple[int, np.ndarray]:
         if channels > 1:
             arr = arr.reshape(-1, channels)[:, 0]
         return rate, arr
+    if blob[:4] == b"fLaC":
+        from roapi_spark.functions.flac import decode_flac
+
+        rate, pcm = decode_flac(blob)
+        if pcm.ndim > 1:
+            pcm = pcm[:, 0]
+        return rate, pcm
     raise NotImplementedError(
         "real audio decode requires soundfile/libav (not in this container); "
-        "only the FAUD synthetic format, PCM WAV, and PCM AIFF decode here"
+        "only the FAUD synthetic format, PCM WAV, PCM AIFF, G.711 WAV, "
+        "and 16-bit FLAC decode here"
     )
 
 
@@ -2665,4 +2673,73 @@ def multimodal_image_phash(spark, sf_dir: str) -> DataFrame:
     return hashed.select(
         "doc_id",
         F.count("*").over(W.partitionBy("ph")).cast("bigint").alias("cluster_size"),
+    )
+
+
+_FLAC_RATE, _FLAC_N = 16000, 400
+
+
+@register(
+    "multimodal_audio_flac",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_FLAC_N - 1}),
+                            j -> ((doc_id * 37 + j * 11) % 4096) - 2048) AS x
+      FROM documents
+    )
+    SELECT doc_id,
+           {_FLAC_RATE} AS sample_rate,
+           CAST({_FLAC_N} AS BIGINT) AS n_samples,
+           {_FLAC_N} / {_FLAC_RATE}.0 AS duration_s,
+           FLOOR(SQRT(LIST_SUM(LIST_TRANSFORM(x, v -> v * v)) / {_FLAC_N}.0)
+                 * 10000 + 0.5) / 10000.0 AS rms,
+           CAST(LIST_MAX(LIST_TRANSFORM(x, v -> ABS(v))) AS INTEGER) AS peak
+    FROM s
+    """,
+    doc="REAL FLAC under the correctness gate — speech corpora "
+    "(LibriSpeech, MLS) ship FLAC, and it is lossless, so the full "
+    "compressed path must round-trip bit-exactly: per document a STEREO "
+    "mid-side-encoded FLAC (channel 0 = the deterministic formula, "
+    "channel 1 = a second formula) with order-searched fixed "
+    "predictors and Rice residuals, decoded through decode_audio's "
+    "fLaC branch (functions/flac.py: frame CRC-8/CRC-16 + STREAMINFO "
+    "MD5 all verified during decode). Mid-side reconstruction and "
+    "channel-0 extraction are load-bearing for the oracle match.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_audio_flac(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from roapi_spark.functions.flac import encode_flac
+    from roapi_spark.util import pround
+
+    ids = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        j = np.arange(_FLAC_N, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                ch0 = (((int(i) * 37 + j * 11) % 4096) - 2048).astype(np.int16)
+                ch1 = (((int(i) * 13 + j * 7) % 4096) - 2048).astype(np.int16)
+                st = np.stack([ch0, ch1], axis=1)
+                rows.append(
+                    (int(i), encode_flac(_FLAC_RATE, st, stereo_mode="ms"))
+                )
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    corpus = ids.mapInPandas(gen, "id bigint, content binary")
+    stats = audio_stats(corpus)
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "duration_s",
+        pround(F.col("rms")).alias("rms"),
+        "peak",
     )

@@ -1,0 +1,134 @@
+"""FLAC codec (functions/flac.py): lossless round trips through every
+subframe type and stereo decorrelation mode, CRC/MD5 integrity
+enforcement, dispatch through decode_audio, fail-closed fuzz."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from roapi_spark.functions.flac import decode_flac, encode_flac
+from roapi_spark.functions.multimodal import decode_audio
+
+OK = (ValueError, NotImplementedError)
+
+
+@pytest.mark.parametrize("mode", ["fixed", "verbatim", "lpc2"])
+def test_mono_roundtrip_subframe_modes(mode):
+    rng = np.random.default_rng(hash(mode) % 2**31)
+    pcm = rng.integers(-3000, 3000, size=9000, dtype=np.int16)
+    rate, out = decode_flac(encode_flac(16000, pcm, subframe_mode=mode))
+    assert rate == 16000 and np.array_equal(out, pcm)
+
+
+def test_constant_subframe():
+    pcm = np.full(5000, -123, dtype=np.int16)
+    blob = encode_flac(8000, pcm)
+    rate, out = decode_flac(blob)
+    assert np.array_equal(out, pcm)
+    # constant frames are tiny: far below 2 bytes/sample
+    assert len(blob) < 2 * len(pcm) // 10
+
+
+def test_fixed_predictors_actually_compress():
+    t = np.arange(50000)
+    sm = (3000 * np.sin(t / 30.0) + 500 * np.sin(t / 7.0)).astype(np.int16)
+    blob = encode_flac(22050, sm)
+    assert len(blob) < 2 * len(sm) * 0.5  # < half of raw PCM
+    rate, out = decode_flac(blob)
+    assert rate == 22050 and np.array_equal(out, sm)
+
+
+@pytest.mark.parametrize("mode", ["lr", "ms", "ls", "rs"])
+def test_stereo_decorrelation_roundtrip(mode):
+    rng = np.random.default_rng(5)
+    l = rng.integers(-20000, 20000, size=9000, dtype=np.int16)
+    r = (l // 2 + rng.integers(-100, 100, size=9000)).astype(np.int16)
+    st = np.stack([l, r], axis=1)
+    rate, out = decode_flac(encode_flac(44100, st, stereo_mode=mode))
+    assert out.shape == (9000, 2) and np.array_equal(out, st)
+
+
+@pytest.mark.parametrize("mode", ["lr", "ms", "ls", "rs"])
+def test_stereo_extreme_samples(mode):
+    ext = np.array([32767, -32768] * 300, dtype=np.int16)
+    st = np.stack([ext, (-ext - 1).astype(np.int16)], axis=1)
+    rate, out = decode_flac(encode_flac(8000, st, stereo_mode=mode))
+    assert np.array_equal(out, st)
+
+
+def test_non_multiple_final_block_and_tiny_inputs():
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 5, 4095, 4097):
+        pcm = rng.integers(-500, 500, size=n, dtype=np.int16)
+        rate, out = decode_flac(encode_flac(8000, pcm))
+        assert np.array_equal(out, pcm), n
+
+
+def test_decode_audio_dispatch_picks_channel0():
+    l = np.arange(-100, 100, dtype=np.int16)
+    r = np.full(200, 999, dtype=np.int16)
+    blob = encode_flac(12000, np.stack([l, r], axis=1), stereo_mode="ms")
+    rate, mono = decode_audio(blob)
+    assert rate == 12000 and np.array_equal(mono, l)
+
+
+def test_crc_and_md5_integrity_enforced():
+    pcm = np.arange(-2000, 2000, dtype=np.int16)
+    blob = bytearray(encode_flac(8000, pcm))
+    # flip a byte in the last frame's audio data: frame CRC-16 (or MD5)
+    # must catch it — silent corruption is the failure mode FLAC's
+    # layered checks exist to prevent
+    blob[-10] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_flac(bytes(blob))
+
+
+def test_streaminfo_md5_checked():
+    pcm = np.arange(-2000, 2000, dtype=np.int16)
+    blob = bytearray(encode_flac(8000, pcm))
+    # corrupt the stored MD5 itself (bytes 4+4+18 .. +34 of STREAMINFO)
+    blob[4 + 4 + 18] ^= 0xFF
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac(bytes(blob))
+
+
+def test_unsupported_depth_gates():
+    pcm = np.arange(100, dtype=np.int16)
+    blob = bytearray(encode_flac(8000, pcm))
+    # STREAMINFO packed field: bits-per-sample lives in the 8-byte block
+    # at offset 4+4+10; patch 16 -> 24 bits
+    packed = int.from_bytes(blob[18:26], "big")
+    packed = (packed & ~(0x1F << 36)) | ((24 - 1) << 36)
+    blob[18:26] = packed.to_bytes(8, "big")
+    with pytest.raises(NotImplementedError, match="libflac"):
+        decode_flac(bytes(blob))
+
+
+def test_flac_fail_closed_fuzz():
+    rng = np.random.default_rng(11)
+    pcm = rng.integers(-3000, 3000, size=2000, dtype=np.int16)
+    whole = encode_flac(8000, pcm)
+    cases = [whole[:k] for k in range(4, len(whole), 17)]
+    cases += [b"fLaC" + rng.bytes(int(rng.integers(0, 80))) for _ in range(300)]
+    for _ in range(400):
+        b = bytearray(whole)
+        for _ in range(3):
+            b[int(rng.integers(4, len(b)))] = int(rng.integers(0, 256))
+        cases.append(bytes(b))
+    survived = 0
+    for blob in cases:
+        try:
+            decode_flac(blob)
+            survived += 1
+        except OK:
+            pass  # the contract: only these two types
+        try:
+            decode_audio(blob)
+        except OK:
+            pass
+    # CRC-8 + CRC-16 + MD5 layering: corruption essentially never
+    # decodes silently
+    assert survived < len(cases) // 50

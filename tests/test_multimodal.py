@@ -112,8 +112,12 @@ def test_audio_real_codec_gated(spark):
     # named dependency
     with _pytest.raises(ValueError, match="malformed WAV"):
         decode_audio(b"RIFF....WAVEfmt ")
-    with _pytest.raises(NotImplementedError, match="soundfile"):
+    # FLAC decodes for real now (round 5): garbage after the magic
+    # fails CLOSED; genuinely-absent formats still gate by name
+    with _pytest.raises(ValueError):
         decode_audio(b"fLaC garbage")
+    with _pytest.raises(NotImplementedError, match="soundfile"):
+        decode_audio(b"OggS garbage")
 
 
 # ---- real-codec seam (round 4) ---------------------------------------------
