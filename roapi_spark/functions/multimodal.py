@@ -177,55 +177,15 @@ def decode_image(blob: bytes) -> np.ndarray:
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def _decode_png(blob: bytes) -> np.ndarray:
-    """Pure-stdlib PNG decode (zlib inflate + scanline unfilter), the
-    third REAL image codec: 8-bit gray/RGB/gray-alpha/RGBA, interlace
-    none. 16-bit, palette, and Adam7 gate on PIL with the dependency
-    named. Chunk CRCs are verified (zlib.crc32) so corruption fails
-    loudly instead of decoding garbage."""
-    import zlib
-
-    pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(blob):
-        (length,) = struct.unpack(">I", blob[pos : pos + 4])
-        ctype = blob[pos + 4 : pos + 8]
-        data = blob[pos + 8 : pos + 8 + length]
-        if len(data) < length or pos + 12 + length > len(blob):
-            raise ValueError("truncated PNG chunk")
-        (crc,) = struct.unpack(">I", blob[pos + 8 + length : pos + 12 + length])
-        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if ihdr is None or not idat:
-        raise ValueError("malformed PNG: missing IHDR/IDAT")
-    w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"PNG bit_depth={depth} color_type={color} requires PIL/pillow; "
-            "only 8-bit gray/RGB(A) decodes here"
-        )
-    if interlace != 0:
-        raise NotImplementedError(
-            "Adam7-interlaced PNG requires PIL/pillow; only interlace=0 here"
-        )
-    if comp != 0 or filt != 0 or w == 0 or h == 0:
-        raise ValueError(f"malformed PNG IHDR: comp={comp} filt={filt} {w}x{h}")
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as exc:
-        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
-    ch = _PNG_CHANNELS[color]
+def _png_unfilter(raw: bytes, pos: int, h: int, w: int, ch: int) -> tuple[np.ndarray, int]:
+    """Unfilter h scanlines of w*ch samples starting at raw[pos]
+    (each row: 1 filter byte + stride data). Returns ((h, w*ch) uint8,
+    next position). Shared by the sequential and Adam7 paths."""
     stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError(f"PNG scanline data: {len(raw)} != {h * (stride + 1)}")
+    need = h * (stride + 1)
+    if len(raw) - pos < need:
+        raise ValueError(f"PNG scanline data: {len(raw) - pos} < {need}")
     out = np.zeros((h, stride), dtype=np.uint8)
-    pos = 0
     for y in range(h):
         ft = raw[pos]
         line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8)
@@ -262,7 +222,89 @@ def _decode_png(blob: bytes) -> np.ndarray:
             out[y] = rec
         else:
             raise ValueError(f"bad PNG scanline filter type {ft}")
-    px = out.reshape(h, w, ch)
+    return out, pos
+
+
+# Adam7 pass origins/steps: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _decode_png(blob: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib inflate + scanline unfilter), the
+    third REAL image codec: 8-bit gray/RGB/gray-alpha/RGBA/palette,
+    interlace none AND Adam7. 16-bit gates on PIL with the dependency
+    named. Chunk CRCs are verified (zlib.crc32) so corruption fails
+    loudly instead of decoding garbage."""
+    import zlib
+
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(blob):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", blob[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"PLTE":
+            if length % 3 or length == 0 or length > 768:
+                raise ValueError(f"malformed PNG PLTE length {length}")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2, 3, 4, 6):
+        raise NotImplementedError(
+            f"PNG bit_depth={depth} color_type={color} requires PIL/pillow; "
+            "only 8-bit gray/RGB(A)/palette decodes here"
+        )
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    if comp != 0 or filt != 0 or w == 0 or h == 0:
+        raise ValueError(f"malformed PNG IHDR: comp={comp} filt={filt} {w}x{h}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    ch = 1 if color == 3 else _PNG_CHANNELS[color]
+
+    if interlace == 0:
+        out, pos = _png_unfilter(raw, 0, h, w, ch)
+        if pos != len(raw):
+            raise ValueError("PNG trailing scanline data")
+        px = out.reshape(h, w, ch)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered back
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp == 0 or hp == 0:
+                continue  # empty pass contributes no data
+            sub, pos = _png_unfilter(raw, pos, hp, wp, ch)
+            px[y0::dy, x0::dx] = sub.reshape(hp, wp, ch)
+        if pos != len(raw):
+            raise ValueError("PNG trailing scanline data after Adam7 passes")
+
+    if color == 3:
+        idx = px[:, :, 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+        return (rgb.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
     if color == 0:
         return px[:, :, 0]
     if color == 4:  # gray+alpha: alpha dropped

@@ -428,13 +428,20 @@ def test_png_gates_name_dependency():
             + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
             + chunk(b"IEND", b"")
         )
-    with _pytest.raises(NotImplementedError, match="Adam7"):
-        decode_image(
-            sig
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
-            + chunk(b"IDAT", zlib.compress(b"\x00" * 12))
-            + chunk(b"IEND", b"")
-        )
+    # Adam7 decodes for real now (round 5): a hand-built 2x2 gray
+    # interlaced PNG (pass 1: (0,0); pass 6: (1,0); pass 7: row 1)
+    adam = (
+        b"\x00\x07"  # pass1: filter0 + pixel (0,0)=7
+        + b"\x00\x09"  # pass6: filter0 + pixel (1,0)=9
+        + b"\x00\x03\x04"  # pass7: filter0 + row (0,1)=3 (1,1)=4
+    )
+    out = decode_image(
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(adam))
+        + chunk(b"IEND", b"")
+    )
+    assert out.tolist() == [[7, 9], [3, 4]]
     good = bytearray(
         encode_png(np.arange(36, dtype=np.uint8).reshape(6, 6))
     )
@@ -664,3 +671,83 @@ def test_animated_gif_partial_frames_gate():
     blob[idx + 1 : idx + 3] = struct.pack("<H", 2)
     with _pytest.raises(NotImplementedError, match="pyav"):
         decode_video(bytes(blob))
+
+
+def test_png_adam7_arbitrary_sizes():
+    """Adam7: build interlaced streams by slicing the source image into
+    the 7 passes (the encoder-side scatter inverse) — decode must
+    reproduce the image exactly for sizes exercising empty passes,
+    single pixels, and non-multiples of 8."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from roapi_spark.functions.multimodal import _ADAM7, decode_image
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.default_rng(23)
+    for (h, w) in [(1, 1), (2, 3), (7, 5), (8, 8), (9, 17), (16, 3)]:
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                raw += b"\x00" + row.tobytes()  # filter 0 per scanline
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_image(blob), img), (h, w)
+
+
+def test_png_palette():
+    """Color type 3: PLTE-mapped indices -> RGB -> integer gray; an
+    out-of-range index is a loud ValueError."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from roapi_spark.functions.multimodal import decode_image
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 10, 20, 250])  # 3 colors
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in idx)
+    sig = b"\x89PNG\r\n\x1a\n"
+    blob = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(3, 3)
+    want = (pal[idx].astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+    assert np.array_equal(decode_image(blob), want)
+
+    bad = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x07"))  # index 7 > 2
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="palette"):
+        decode_image(bad)
