@@ -405,10 +405,12 @@ def _decode_tiff(blob: bytes) -> np.ndarray:
     photometric = one(262)
     spp = one(277, 1)
     bps = tags.get(258, [8])
-    if compression != 1:
+    predictor = one(317, 1)
+    rows_per_strip = one(278, h)
+    if compression not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {compression} requires PIL/pillow; only "
-            "uncompressed baseline strips decode here"
+            "uncompressed / LZW / PackBits strips decode here"
         )
     if any(b != 8 for b in bps):
         raise NotImplementedError(
@@ -423,15 +425,43 @@ def _decode_tiff(blob: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"TIFF photometric={photometric} spp={spp} requires PIL/pillow"
         )
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} requires PIL/pillow"
+        )
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("malformed TIFF: strip offsets/counts")
-    data = b"".join(blob[o : o + c] for o, c in zip(offsets, counts))
-    need = w * h * spp
-    if len(data) < need or w == 0 or h == 0:
-        raise ValueError(f"truncated TIFF strips: {len(data)} < {need}")
-    px = np.frombuffer(data[:need], dtype=np.uint8).reshape(h, w, spp)
+    if w == 0 or h == 0 or rows_per_strip == 0:
+        raise ValueError(f"malformed TIFF dims {w}x{h}/{rows_per_strip}")
+    # strips are INDEPENDENTLY compressed; decompress each, then stack
+    parts = []
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        raw = blob[o : o + c]
+        if len(raw) < c:
+            raise ValueError("truncated TIFF strip")
+        rows = min(rows_per_strip, h - si * rows_per_strip)
+        if rows <= 0:
+            raise ValueError("TIFF strip count exceeds image height")
+        if compression == 5:
+            raw = _tiff_lzw_decode(raw, rows * w * spp)
+        elif compression == 32773:
+            raw = _tiff_packbits_decode(raw, rows * w * spp)
+        if len(raw) < rows * w * spp:
+            raise ValueError(
+                f"short TIFF strip {si}: {len(raw)} < {rows * w * spp}"
+            )
+        strip = np.frombuffer(
+            raw[: rows * w * spp], dtype=np.uint8
+        ).reshape(rows, w, spp)
+        if predictor == 2:  # horizontal differencing: undo per row/sample
+            strip = np.cumsum(strip, axis=1, dtype=np.int64).astype(np.uint8)
+        parts.append(strip)
+    px = np.concatenate(parts, axis=0)
+    if px.shape[0] < h:
+        raise ValueError(f"TIFF strips cover {px.shape[0]} of {h} rows")
+    px = px[:h]
     if photometric == 2:  # RGB(A): integer gray, extra samples dropped
         return (px[:, :, :3].astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
     gray = px[:, :, 0]
@@ -440,25 +470,187 @@ def _decode_tiff(blob: bytes) -> np.ndarray:
     return gray
 
 
-def encode_tiff(gray: np.ndarray, big_endian: bool = False) -> bytes:
-    """Deterministic single-strip 8-bit grayscale baseline TIFF encoder
-    (both byte orders, for fixtures/tests)."""
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first variable-width codes,
+    Clear=256 EOI=257, EARLY code-width change (width grows when the
+    next entry to be added would need it, one code sooner than GIF)."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    acc = n = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        n += 8
+        while n >= width:
+            n -= width
+            code = (acc >> n) & ((1 << width) - 1)
+            if code == 256:
+                reset()
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError(f"bad first TIFF LZW code {code}")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"TIFF LZW code {code} out of range")
+            out += entry
+            prev = entry
+            # EARLY change (the TIFF spec's famous off-by-one): the
+            # decoder's table lags the encoder's by one entry, so it
+            # must widen one entry sooner than naive LZW would
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expected:
+                return bytes(out)
+    raise ValueError("TIFF LZW stream ended without EOI")
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = n = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, n
+        acc = (acc << width) | code
+        n += width
+        while n >= 8:
+            n -= 8
+            out.append((acc >> n) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    put(256, width)  # leading Clear, as the spec requires
+    cur = b""
+    for b in data:
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+            continue
+        put(table[cur], width)
+        table[cand] = nxt
+        nxt += 1
+        if nxt + 1 >= (1 << width):  # early change, mirror of decode
+            width += 1
+        if nxt >= 4094:
+            put(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = 258, 9
+        cur = bytes([b])
+    if cur:
+        put(table[cur], width)
+    put(257, width)  # EOI
+    if n:
+        put(0, 8 - n)
+    return bytes(out)
+
+
+def _tiff_packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1
+            if i + n + 1 > len(data):
+                raise ValueError("truncated TIFF PackBits literal")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n == 128:  # noop
+            continue
+        else:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("truncated TIFF PackBits repeat")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _tiff_packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        # find a run
+        j = i
+        while j + 1 < len(data) and data[j + 1] == data[i] and j - i < 126:
+            j += 1
+        if j > i:  # run of length j-i+1 >= 2
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+            continue
+        # literal stretch until the next run of >= 3
+        j = i
+        while (
+            j < len(data)
+            and j - i < 127
+            and not (
+                j + 2 < len(data)
+                and data[j] == data[j + 1] == data[j + 2]
+            )
+        ):
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def encode_tiff(
+    gray: np.ndarray,
+    big_endian: bool = False,
+    compression: str = "none",
+    predictor: int = 1,
+) -> bytes:
+    """Deterministic single-strip 8-bit grayscale TIFF encoder (both
+    byte orders; compression 'none'/'lzw'/'packbits'; predictor 2 =
+    horizontal differencing) for fixtures/tests."""
     bo = ">" if big_endian else "<"
     h, w = gray.shape
-    data = gray.astype(np.uint8).tobytes()
+    px = gray.astype(np.uint8)
+    if predictor == 2:
+        diffed = px.astype(np.int16)
+        diffed[:, 1:] = diffed[:, 1:] - px[:, :-1].astype(np.int16)
+        px = (diffed & 0xFF).astype(np.uint8)
+    elif predictor != 1:
+        raise ValueError(f"unsupported predictor {predictor}")
+    data = px.tobytes()
+    comp_code = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    if compression == "lzw":
+        data = _tiff_lzw_encode(data)
+    elif compression == "packbits":
+        data = _tiff_packbits_encode(data)
     # layout: header(8) | pixel data | IFD
     ifd_off = 8 + len(data)
     entries = [  # tag, type, count, value  (all short/long, inline)
         (256, 3, 1, w),  # ImageWidth
         (257, 3, 1, h),  # ImageLength
         (258, 3, 1, 8),  # BitsPerSample
-        (259, 3, 1, 1),  # Compression: none
+        (259, 3, 1, comp_code),  # Compression
         (262, 3, 1, 1),  # Photometric: BlackIsZero
         (273, 4, 1, 8),  # StripOffsets: right after the header
         (277, 3, 1, 1),  # SamplesPerPixel
         (278, 3, 1, h),  # RowsPerStrip: single strip
         (279, 4, 1, len(data)),  # StripByteCounts
     ]
+    if predictor != 1:  # 1 is the TIFF default: omit the tag (and keep
+        entries.append((317, 3, 1, predictor))  # default blobs bit-stable)
     ifd = struct.pack(bo + "H", len(entries))
     for tag, ftype, count, val in entries:
         packed = struct.pack(bo + ("I" if ftype == 4 else "H"), val)

@@ -52,6 +52,8 @@ def test_image_decoders_fail_closed(seed):
         (encode_bmp(img), 2),
         (encode_tiff(img), 4),
         (encode_tiff(img, big_endian=True), 4),
+        (encode_tiff(img, compression="lzw", predictor=2), 4),
+        (encode_tiff(img, compression="packbits"), 4),
     ]:
         cases += _corruptions(whole, rng, 200, keep)
     for blob in cases:

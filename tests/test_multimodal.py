@@ -617,8 +617,11 @@ def test_tiff_photometric_and_gates():
     base = encode_tiff(g)
     # photometric 0 (WhiteIsZero): scanned-fax polarity inverts
     assert np.array_equal(decode_image(set_tag(base, 262, 0)), 255 - g)
-    # LZW compression gates on PIL by name
+    # LZW/PackBits decode for real now (round 5); G4 fax still gates,
+    # and mislabeling raw strips as LZW is a loud ValueError
     with _pytest.raises(NotImplementedError, match="pillow"):
+        decode_image(set_tag(base, 259, 4))
+    with _pytest.raises(ValueError):
         decode_image(set_tag(base, 259, 5))
     # truncating the strip data is a loud ValueError
     with _pytest.raises(ValueError):
@@ -751,3 +754,32 @@ def test_png_palette():
     )
     with _pytest.raises(ValueError, match="palette"):
         decode_image(bad)
+
+
+def test_tiff_lzw_and_packbits_roundtrip():
+    """TIFF compression 5 (LZW, MSB-first with the spec's early
+    code-width change) and 32773 (PackBits RLE), with and without the
+    horizontal-differencing predictor, both byte orders."""
+    import numpy as np
+
+    from roapi_spark.functions.multimodal import decode_image, encode_tiff
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, size=(23, 31), dtype=np.uint8)
+    for be in (False, True):
+        for comp in ("lzw", "packbits"):
+            for pred in (1, 2):
+                blob = encode_tiff(
+                    img, big_endian=be, compression=comp, predictor=pred
+                )
+                assert np.array_equal(decode_image(blob), img), (be, comp, pred)
+    # LZW table-reset path (table grows past 4094 entries)
+    big = rng.integers(0, 256, size=(200, 200), dtype=np.uint8)
+    assert np.array_equal(
+        decode_image(encode_tiff(big, compression="lzw")), big
+    )
+    # compression is real: a smooth gradient shrinks dramatically
+    smooth = np.repeat(np.arange(32, dtype=np.uint8)[None, :] * 8, 40, axis=0)
+    assert len(encode_tiff(smooth, compression="lzw", predictor=2)) < len(
+        encode_tiff(smooth)
+    ) // 3
