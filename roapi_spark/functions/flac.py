@@ -62,7 +62,9 @@ def _utf8_number(n: int) -> bytes:
         return bytes([n])
     out = []
     nbytes = 2
-    while n >= (1 << (6 - nbytes + 5 * nbytes)) and nbytes < 7:
+    # an nbytes coding carries (7 - nbytes) + 6*(nbytes-1) = 5*nbytes + 1
+    # payload bits
+    while n >= (1 << (5 * nbytes + 1)) and nbytes < 7:
         nbytes += 1
     lead_bits = 7 - nbytes
     shift = 6 * (nbytes - 1)
@@ -203,10 +205,8 @@ def _read_residual(br: _BitReader, block: int, order: int) -> np.ndarray:
     plen = 4 if method == 0 else 5
     po = br.read(4)
     nparts = 1 << po
-    if block % nparts or block >> po <= order and po > 0:
-        # spec: block size must be divisible; first partition shorter
-        if block % nparts:
-            raise ValueError("FLAC partition order does not divide block size")
+    if block % nparts:
+        raise ValueError("FLAC partition order does not divide block size")
     out = np.empty(block - order, dtype=np.int64)
     idx = 0
     for p in range(nparts):
@@ -254,6 +254,10 @@ def _subframe_residual(order: int, samples: np.ndarray) -> np.ndarray:
 def _write_subframe(
     bw: _BitWriter, samples: np.ndarray, bits: int, mode: str
 ) -> None:
+    if mode == "lpc2" and len(samples) <= 2:
+        # a block shorter than the LPC order cannot carry the promised
+        # warmup samples — downgrade to verbatim
+        mode = "verbatim"
     bw.write(0, 1)  # pad
     if mode == "constant":
         bw.write(0, 6)
@@ -269,7 +273,9 @@ def _write_subframe(
     if mode == "lpc2":
         # LPC order 2 with coefficients equal to the fixed order-2
         # predictor (precision 4 bits, shift 0) — a genuine LPC
-        # subframe whose reconstruction is exactly known
+        # subframe whose reconstruction is exactly known. A final block
+        # shorter than the order cannot carry it (the header would
+        # promise more warmup samples than exist) — verbatim instead.
         order = 2
         bw.write(0b100000 | (order - 1), 6)
         bw.write(0, 1)
@@ -351,6 +357,10 @@ def encode_flac(
     (order-searched fixed predictors — real compression), 'verbatim',
     'constant' (requires constant input), or 'lpc2'."""
     pcm = np.asarray(pcm, dtype=np.int16)
+    if pcm.ndim == 2 and pcm.shape[1] == 1:
+        pcm = pcm[:, 0]  # (n,1) is mono
+    if pcm.ndim == 2 and pcm.shape[1] != 2:
+        raise ValueError(f"PCM must be (n,) mono or (n,2) stereo, got {pcm.shape}")
     stereo = pcm.ndim == 2
     nch = 2 if stereo else 1
     n = pcm.shape[0]
@@ -464,7 +474,9 @@ def _decode_flac_inner(blob: bytes) -> tuple[int, np.ndarray]:
 
     chans_out: list[np.ndarray] = []
     got = 0
-    while got < total:
+    # total == 0 means "unknown length" (spec-legal for streamed FLAC):
+    # decode frames until the data runs out instead of decoding nothing
+    while (got < total) if total else (pos + 5 <= len(blob)):
         if pos + 5 > len(blob):
             raise ValueError("truncated FLAC frame stream")
         hstart = pos
@@ -552,7 +564,11 @@ def _decode_flac_inner(blob: bytes) -> tuple[int, np.ndarray]:
         chans_out.append(np.stack(subs, axis=1) if nch > 1 else subs[0][:, None])
         got += bs
 
-    full = np.concatenate(chans_out, axis=0)[:total]
+    if not chans_out:
+        raise ValueError("FLAC stream contains no frames")
+    full = np.concatenate(chans_out, axis=0)
+    if total:
+        full = full[:total]
     if np.any(full > 32767) or np.any(full < -32768):
         raise ValueError("FLAC decoded samples out of 16-bit range")
     pcm = full.astype("<i2")

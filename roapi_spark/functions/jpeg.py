@@ -91,6 +91,10 @@ _STD_AC_CHROM = (
 )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def dct_matrix(n: int = 8) -> np.ndarray:
     """Orthonormal n x n DCT-II matrix C: coeffs = C @ block @ C.T.
     n=8 drives the JPEG transform; n=32 drives the perceptual hash

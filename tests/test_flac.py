@@ -132,3 +132,40 @@ def test_flac_fail_closed_fuzz():
     # CRC-8 + CRC-16 + MD5 layering: corruption essentially never
     # decodes silently
     assert survived < len(cases) // 50
+
+
+def test_frame_number_utf8_coding_past_2048():
+    """Review finding: the UTF-8 width threshold was wrong for frames
+    2048..16383 (3-byte codings). Tiny blocks force thousands of
+    frames; the stream must round-trip and stay CRC-clean."""
+    pcm = np.arange(-15000, 15000, 7, dtype=np.int16)  # ~4286 samples
+    blob = encode_flac(8000, pcm, block_size=2)  # >2048 frames
+    rate, out = decode_flac(blob)
+    assert np.array_equal(out, pcm)
+
+
+def test_lpc2_short_final_block_downgrades():
+    pcm = np.arange(4097, dtype=np.int16)
+    rate, out = decode_flac(encode_flac(8000, pcm, subframe_mode="lpc2"))
+    assert np.array_equal(out, pcm)
+
+
+def test_unknown_total_samples_decodes_to_eof():
+    """STREAMINFO total_samples=0 is spec-legal 'unknown' (streamed
+    FLAC): decode every frame present instead of none."""
+    pcm = np.arange(-2000, 2000, dtype=np.int16)
+    b = bytearray(encode_flac(8000, pcm))
+    packed = int.from_bytes(b[18:26], "big") & ~((1 << 36) - 1)
+    b[18:26] = packed.to_bytes(8, "big")
+    b[26:42] = b"\x00" * 16  # md5 unknown
+    rate, out = decode_flac(bytes(b))
+    assert np.array_equal(out, pcm)
+
+
+def test_input_shape_validation():
+    rate, out = decode_flac(
+        encode_flac(8000, np.arange(50, dtype=np.int16).reshape(-1, 1))
+    )
+    assert out.shape == (50,)  # (n,1) is mono
+    with pytest.raises(ValueError, match="stereo"):
+        encode_flac(8000, np.zeros((10, 3), dtype=np.int16))
