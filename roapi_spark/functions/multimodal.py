@@ -164,12 +164,16 @@ def decode_image(blob: bytes) -> np.ndarray:
         from roapi_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        from roapi_spark.functions.webp import decode_webp
+
+        return decode_webp(blob)
     # real formats: gate on the actual codec dependency
     raise NotImplementedError(
         "real image decode requires PIL/pillow (not in this container); "
         "only the FIMG synthetic format, uncompressed 24-bit BMP, "
-        "8-bit netpbm (PGM/PPM), 8-bit non-interlaced PNG, GIF, baseline "
-        "JPEG, and uncompressed baseline TIFF decode here"
+        "8-bit netpbm (PGM/PPM), 8-bit PNG, GIF, baseline+progressive "
+        "JPEG, lossless WebP, and baseline TIFF decode here"
     )
 
 
@@ -2976,4 +2980,74 @@ def multimodal_audio_flac(spark, sf_dir: str) -> DataFrame:
         "duration_s",
         pround(F.col("rms")).alias("rms"),
         "peak",
+    )
+
+
+_WEBP_W, _WEBP_H = 21, 13
+
+
+@register(
+    "multimodal_image_webp",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(GENERATE_SERIES(0, {_WEBP_W * _WEBP_H - 1}),
+                            j -> (doc_id * 61 + j * 23) % 256) AS p
+      FROM documents
+    )
+    SELECT doc_id,
+           {_WEBP_W} AS width,
+           {_WEBP_H} AS height,
+           FLOOR(LIST_SUM(p) / {float(_WEBP_W * _WEBP_H)} * 10000 + 0.5)
+             / 10000.0 AS mean_pixel,
+           LIST_MAX(p) AS max_pixel
+    FROM px
+    """,
+    doc="REAL WebP (lossless VP8L) under the correctness gate — the "
+    "third pillar of web image corpora next to JPEG and PNG. Per "
+    f"document a deterministic {_WEBP_W}x{_WEBP_H} grayscale image "
+    "(pixel j = (doc_id*61 + j*23) %% 256) is encoded as genuine VP8L "
+    "(canonical Huffman trees via the code-length metacode, LZ77 "
+    "backward references, a 5-bit color cache, the subtract-green "
+    "transform) and decoded through decode_image's RIFF/WEBP branch "
+    "(functions/webp.py). VP8L is lossless, so the stats must match the "
+    "closed-form DuckDB recomputation exactly — the LSB-first "
+    "bitstream, tree rebuild, cache hashing, and inverse transform are "
+    "all load-bearing.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_image_webp(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    from roapi_spark.functions.webp import encode_webp
+    from roapi_spark.util import pround
+
+    ids = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = np.arange(_WEBP_W * _WEBP_H, dtype=np.int64) * 23
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                flat = ((int(i) * 61 + base) % 256).astype(np.uint8)
+                rgb = np.stack([flat.reshape(_WEBP_H, _WEBP_W)] * 3, axis=2)
+                rows.append(
+                    (int(i),
+                     encode_webp(rgb, use_lz77=True, cache_bits=5,
+                                 subtract_green=True))
+                )
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    corpus = ids.mapInPandas(gen, "id bigint, content binary")
+    stats = image_stats(corpus)
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        pround(F.col("mean_pixel")).alias("mean_pixel"),
+        "max_pixel",
     )

@@ -55,9 +55,11 @@ def test_frame_sample_fanout(spark):
 
 
 def test_real_codec_is_gated(spark, images):
-    # WebP stays gated (PNG/GIF/BMP/netpbm/TIFF/JPEG now decode for real)
-    with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 garbage")
+    # lossy VP8 stays gated (VP8L lossless WebP decodes for real now)
+    with pytest.raises(NotImplementedError, match="libwebp"):
+        decode_image(
+            b"RIFF\x10\x00\x00\x00WEBPVP8 " + b"\x00" * 8
+        )
     # JPEG decodes for real now: garbage after the magic fails CLOSED
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jfif garbage")
@@ -136,8 +138,11 @@ def test_real_codec_gates_name_dependency():
         encode_fake_video,
     )
 
+    with pytest.raises(NotImplementedError, match="libwebp"):
+        # lossy VP8 names libwebp; VP8L decodes for real
+        decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 " + b"\x00" * 8)
     with pytest.raises(NotImplementedError, match="PIL|pillow"):
-        decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 garbage")  # WebP: gated
+        decode_image(b"\x00\x00\x01\x00unknown-format")  # ICO: gated
     with pytest.raises(NotImplementedError, match="libjpeg"):
         # inside JPEG, beyond-DCT features name libjpeg
         from roapi_spark.functions.jpeg import encode_jpeg as _ej
