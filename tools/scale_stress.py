@@ -193,7 +193,9 @@ def main() -> None:
                   "ann_pq_adc", "ann_ivfpq", "ann_ivfsq8",
                   "dedup_incremental_refresh",
                   "multimodal_image_jpeg", "multimodal_video_mjpeg",
-                  "multimodal_image_jpeg_progressive"):
+                  "multimodal_image_jpeg_progressive",
+                  "multimodal_image_webp", "multimodal_audio_flac",
+                  "multimodal_image_phash"):
             best = None
             for _ in range(2):
                 t, _n = timed(lambda: specs[q].builder(spark, sf_dir).count())
@@ -253,6 +255,8 @@ def main() -> None:
               "dedup_incremental_refresh_s",
               "multimodal_image_jpeg_s", "multimodal_video_mjpeg_s",
               "multimodal_image_jpeg_progressive_s",
+              "multimodal_image_webp_s", "multimodal_audio_flac_s",
+              "multimodal_image_phash_s",
               "delta_4appends_s", "delta_compact_s", "delta_vacuum_s",
               "delta_vacuumed_files"):
         print(f"| {k} | {a[k]} | {b[k]} | {ratio(k)}x |")
