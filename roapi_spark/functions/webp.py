@@ -82,11 +82,6 @@ def _plane_code_to_distance(w: int, code: int) -> int:
     return max(dist, 1)
 
 
-def _distance_to_plane_code(w: int, dist: int) -> int:
-    # encoder: just use the linear form (always legal)
-    return dist + 120
-
-
 class _LSBReader:
     def __init__(self, data: bytes, pos: int = 0) -> None:
         self.data = data
@@ -210,20 +205,35 @@ def _build_lengths(freqs: dict[int, int], alphabet: int, maxlen: int = 15) -> li
             lengths[s] += 1
         heapq.heappush(heap, (f1 + f2, uid, g1 + g2))
         uid += 1
-    # clamp to maxlen and repair the Kraft sum (rare with our inputs)
-    while max(lengths) > maxlen:
+    # clamp to maxlen, then repair the Kraft sum EXACTLY: the decoder
+    # (like libwebp) rejects both over-subscribed AND incomplete codes
+    limit = 1 << maxlen
+    for s in range(alphabet):
+        if lengths[s] > maxlen:
+            lengths[s] = maxlen
+    kraft = sum(1 << (maxlen - l) for l in lengths if l)
+    # over-subscribed: deepen the shallowest leaves
+    order = sorted((s for s in range(alphabet) if lengths[s]),
+                   key=lambda x: lengths[x])
+    for s in order:
+        while kraft > limit and lengths[s] < maxlen:
+            kraft -= 1 << (maxlen - lengths[s])
+            lengths[s] += 1
+            kraft += 1 << (maxlen - lengths[s])
+    if kraft > limit:
+        raise ValueError("cannot length-limit Huffman code")
+    # incomplete: shorten the deepest leaves, largest safe gain first
+    while kraft < limit:
+        best = None
         for s in range(alphabet):
-            if lengths[s] > maxlen:
-                lengths[s] = maxlen
-        # fix kraft by lengthening the shallowest leaves
-        kraft = sum(1 << (maxlen - l) for l in lengths if l)
-        for s in sorted(range(alphabet), key=lambda x: lengths[x]):
-            while kraft > (1 << maxlen) and lengths[s] and lengths[s] < maxlen:
-                kraft -= 1 << (maxlen - lengths[s])
-                lengths[s] += 1
-                kraft += 1 << (maxlen - lengths[s])
-        if kraft <= (1 << maxlen):
-            break
+            if lengths[s] > 1:
+                gain = 1 << (maxlen - lengths[s])  # halving the depth
+                if kraft + gain <= limit and (best is None or gain > best[1]):
+                    best = (s, gain)
+        if best is None:
+            raise ValueError("cannot complete Huffman code")
+        lengths[best[0]] -= 1
+        kraft += best[1]
     return lengths
 
 
@@ -286,8 +296,11 @@ def _write_code_lengths(bw: _LSBWriter, lengths: list[int]) -> None:
     """Encoder: emit a code via the full code-length-code form (no
     repeats — simple and sufficient)."""
     nz = [ln for ln in lengths if ln]
-    if len(nz) <= 2:
-        syms = [s for s, ln in enumerate(lengths) if ln]
+    syms = [s for s, ln in enumerate(lengths) if ln]
+    # the simple form carries symbols in at most 8 bits — length/cache
+    # codes (>= 256) can NEVER use it (truncation would silently corrupt
+    # the tree)
+    if len(nz) <= 2 and all(s < 256 for s in syms):
         bw.write(1, 1)  # simple
         bw.write(len(syms) - 1, 1)
         bw.write(1, 1)  # 8-bit first symbol
@@ -336,8 +349,11 @@ def _clamp_add_subtract_full(a, b, c):
 
 def _clamp_add_subtract_half(a, c):
     v = a.astype(np.int16)  # a here is avg2 result
-    out = v + (v - c.astype(np.int16)) // 2
-    return np.clip(out, 0, 255)
+    d = v - c.astype(np.int16)
+    # C integer division truncates toward zero; // floors — they differ
+    # for negative odd deltas and real libwebp streams hit that
+    half = np.sign(d) * (np.abs(d) >> 1)
+    return np.clip(v + half, 0, 255)
 
 
 def _select(l, t, tl):
@@ -365,7 +381,10 @@ def _predict_pixel(argb: np.ndarray, y: int, x: int, mode: int) -> np.ndarray:
     left = argb[y, x - 1]
     top = argb[y - 1, x]
     tl = argb[y - 1, x - 1]
-    tr = argb[y - 1, x + 1] if x + 1 < w else argb[y - 1, 0] * 0
+    # TR is the pixel at flat index i - width + 1: for the rightmost
+    # column that wraps to the CURRENT row's leftmost pixel (already
+    # decoded) — libwebp/RFC semantics, not zero
+    tr = argb[y - 1, x + 1] if x + 1 < w else argb[y, 0]
     if mode == 0:
         return np.array([255, 0, 0, 0], dtype=np.uint8)
     if mode == 1:
@@ -631,7 +650,6 @@ def _decode_image_stream(
 def _encode_trees_and_pixels(
     bw: _LSBWriter,
     pixels: np.ndarray,
-    xsize: int,
     use_lz77: bool,
     cache_bits: int = 0,
     main: bool = True,
@@ -736,10 +754,10 @@ def _encode_trees_and_pixels(
             _write_symbol(bw, gc, 256 + 24 + t[1])
 
 
-def _encode_subimage(bw: _LSBWriter, px: np.ndarray, xsize: int) -> None:
+def _encode_subimage(bw: _LSBWriter, px: np.ndarray) -> None:
     """Encode an auxiliary image (tiles/palette): literal trees, no
     transforms, no meta bit."""
-    _encode_trees_and_pixels(bw, px.reshape(-1, 4), xsize, use_lz77=False,
+    _encode_trees_and_pixels(bw, px.reshape(-1, 4), use_lz77=False,
                              main=False)
 
 
@@ -789,9 +807,7 @@ def encode_webp(
         deltas = colors.astype(np.int16).copy()
         deltas[1:] -= colors[:-1].astype(np.int16)
         pal_pixels = (deltas & 0xFF).astype(np.uint8)
-        _encode_trees_and_pixels(
-            bw, pal_pixels, len(colors), use_lz77=False, main=False
-        )
+        _encode_trees_and_pixels(bw, pal_pixels, use_lz77=False, main=False)
         npal = len(colors)
         if npal <= 2:
             width_bits = 3
@@ -817,9 +833,7 @@ def encode_webp(
         px[:, :, 0] = 255
         px[:, :, 2] = packed.astype(np.uint8)
         bw.write(0, 1)  # no more transforms
-        _encode_trees_and_pixels(
-            bw, px.reshape(-1, 4), packed_w, use_lz77, cache_bits
-        )
+        _encode_trees_and_pixels(bw, px.reshape(-1, 4), use_lz77, cache_bits)
     else:
         if color_transform:
             # per-tile ColorTransformElements; forward transform uses
@@ -838,7 +852,7 @@ def encode_webp(
             bw.write(1, 1)
             bw.write(1, 2)  # color transform
             bw.write(size_bits - 2, 3)
-            _encode_subimage(bw, elems, tw)
+            _encode_subimage(bw, elems)
             for y in range(h):
                 ty = y >> size_bits
                 cols = np.arange(w) >> size_bits
@@ -872,7 +886,7 @@ def encode_webp(
             bw.write(1, 1)
             bw.write(0, 2)  # predictor transform
             bw.write(size_bits - 2, 3)
-            _encode_subimage(bw, modes, tw)
+            _encode_subimage(bw, modes)
             argb = resid
         if subtract_green:
             bw.write(1, 1)
@@ -881,7 +895,7 @@ def encode_webp(
             argb[:, :, 1] = argb[:, :, 1] - g
             argb[:, :, 3] = argb[:, :, 3] - g
         bw.write(0, 1)  # no (more) transforms
-        _encode_trees_and_pixels(bw, argb.reshape(-1, 4), w, use_lz77, cache_bits)
+        _encode_trees_and_pixels(bw, argb.reshape(-1, 4), use_lz77, cache_bits)
 
     payload = bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload

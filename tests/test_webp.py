@@ -179,3 +179,50 @@ def test_fail_closed_fuzz():
             decode_image(blob)
         except OK:
             pass
+
+
+def test_uniform_image_with_cache_review_regression():
+    """Review finding: the simple tree form truncated symbols >=256 to
+    8 bits, silently corrupting uniform images whose green tree is
+    {literal, cache-hit} — the lossless invariant must hold."""
+    img = np.full((8, 8), 42, dtype=np.uint8)
+    for kw in ({"cache_bits": 4}, {"cache_bits": 4, "use_lz77": True},
+               {"use_lz77": True}):
+        out = decode_webp(encode_webp(img, **kw))
+        assert np.array_equal(out, img), kw
+
+
+def test_build_lengths_always_complete():
+    """Review finding: the Kraft repair could end with an INCOMPLETE
+    code the decoder rejects; fibonacci-skewed frequencies at the CLC's
+    maxlen=7 hit it."""
+    from roapi_spark.functions.webp import _Huffman, _build_lengths
+
+    fib = [1, 1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233]
+    for maxlen in (7, 15):
+        lengths = _build_lengths(dict(enumerate(fib)), 19, maxlen=maxlen)
+        _Huffman(lengths)  # raises if over-subscribed or incomplete
+        assert max(lengths) <= maxlen
+
+
+def test_rightmost_column_topright_wraps():
+    """Review finding (spec interop): TR for the rightmost column is
+    the CURRENT row's leftmost pixel (flat i - width + 1), not zero —
+    a libwebp stream using mode 3 tiles decodes wrong otherwise."""
+    from roapi_spark.functions.webp import _predict_pixel
+
+    argb = np.zeros((3, 4, 4), dtype=np.uint8)
+    argb[1, 0] = (255, 9, 9, 9)
+    argb[0, :] = (255, 1, 2, 3)
+    pred = _predict_pixel(argb, 1, 3, 3)  # mode 3 = top-right
+    assert tuple(pred) == (255, 9, 9, 9)  # argb[1, 0], not zeros
+
+
+def test_clamp_add_subtract_half_truncates_toward_zero():
+    """Review finding (spec interop): mode 13 uses C truncation, not
+    floor — a=10,c=13 must give 10 + trunc(-3/2) = 9, not 8."""
+    from roapi_spark.functions.webp import _clamp_add_subtract_half
+
+    a = np.array([10], dtype=np.uint8)
+    c = np.array([13], dtype=np.uint8)
+    assert int(_clamp_add_subtract_half(a, c)[0]) == 9
