@@ -354,10 +354,16 @@ class H2CConnection:
     def _on_headers(self, flags: int, sid: int, payload: bytes) -> None:
         off, end = 0, len(payload)
         if flags & _FLAG_PADDED:
+            if not payload or payload[0] > len(payload) - 1:
+                # RFC 9113 §6.2: pad length >= remaining payload is a
+                # connection error of type PROTOCOL_ERROR
+                raise H2Error("HEADERS pad length exceeds frame payload")
             end -= payload[0]
             off += 1
         if flags & _FLAG_PRIORITY:
             off += 5
+        if off > end:
+            raise H2Error("HEADERS padding overlaps priority fields")
         st = self.streams.setdefault(sid, {"frag": b"", "body": b""})
         st["frag"] += payload[off:end]
         st["end_stream"] = bool(flags & _FLAG_END_STREAM)
@@ -371,6 +377,12 @@ class H2CConnection:
 
     def _on_data(self, flags: int, sid: int, payload: bytes) -> None:
         n = len(payload)  # flow-controlled size includes any padding
+        if flags & _FLAG_PADDED and (not payload or payload[0] > len(payload) - 1):
+            # RFC 9113 §6.1: pad length >= remaining payload is a
+            # connection error of type PROTOCOL_ERROR — without this the
+            # slice below silently yields truncated/empty data while the
+            # WINDOW_UPDATE replenish still credits the full frame size
+            raise H2Error("DATA pad length exceeds frame payload")
         st = self.streams.setdefault(sid, {"frag": b"", "body": b""})
         if flags & _FLAG_PADDED:
             payload = payload[1 : len(payload) - payload[0]]

@@ -12,6 +12,7 @@ of a MemTable). Documented deviation.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,6 +50,14 @@ _LOADERS: dict[str, str] = {
 
 class LoadError(RuntimeError):
     pass
+
+
+# Serializes the save/set/restore of the session-global batch confs below.
+# Without it, the catalog refresh thread reloading a batch_size table while
+# another thread runs a query briefly applies that table's batch size to the
+# unrelated query, and two interleaved loads can restore a stale value
+# permanently (set A, set B, restore A, restore original → A sticks).
+_BATCH_CONF_LOCK = threading.Lock()
 
 
 def load_table(spark: SparkSession, ts: TableSource) -> DataFrame:
@@ -100,24 +109,25 @@ def load_table(spark: SparkSession, ts: TableSource) -> DataFrame:
         "spark.sql.execution.arrow.maxRecordsPerBatch",
         "spark.sql.parquet.columnarReaderBatchSize",
     )
-    saved = {}
-    for k in confs:
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:  # noqa: BLE001 — conf unset: restore by unset
-            saved[k] = None
-    try:
+    with _BATCH_CONF_LOCK:
+        saved = {}
         for k in confs:
-            spark.conf.set(k, str(ts.batch_size))
-        mod = importlib.import_module(mod_name)
-        df = mod.to_dataframe(spark, ts)
-        if ts.use_memory_table:
-            df = df.cache()
-            df.count()  # materialize under the scoped batch size
-        return df
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:  # noqa: BLE001 — conf unset: restore by unset
+                saved[k] = None
+        try:
+            for k in confs:
+                spark.conf.set(k, str(ts.batch_size))
+            mod = importlib.import_module(mod_name)
+            df = mod.to_dataframe(spark, ts)
+            if ts.use_memory_table:
+                df = df.cache()
+                df.count()  # materialize under the scoped batch size
+            return df
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)

@@ -263,6 +263,41 @@ def test_malformed_frames_goaway_not_traceback():
         assert types[-1] == 7, f"expected GOAWAY last, got {types}"
 
 
+def test_padded_frame_overlong_pad_is_protocol_error():
+    """RFC 9113 §6.1/§6.2: a pad length >= the remaining frame payload is a
+    connection error (PROTOCOL_ERROR → GOAWAY), not silently truncated data
+    — and must not credit WINDOW_UPDATE for bytes that were never data."""
+    import struct as _s
+
+    cases = [
+        _frame(0, 0x8, 1, bytes([5]) + b"abc"),  # DATA: pad 5 > 3 remaining
+        _frame(0, 0x8, 1, b""),  # DATA PADDED with no pad-length byte
+        _frame(1, 0x4 | 0x8, 1, bytes([9]) + b"ab"),  # HEADERS: pad 9 > 2
+        # HEADERS PADDED|PRIORITY where padding overlaps the 5 priority bytes
+        _frame(1, 0x4 | 0x8 | 0x20, 1, bytes([3]) + b"\x00\x00\x00\x01\x10ab"),
+    ]
+    for raw in cases:
+        c, io = _conn(raw)
+        c.run()  # must not raise
+        frames = _parse_frames(bytes(io.sent))
+        assert frames[-1][0] == 7, f"expected GOAWAY last, got {frames}"
+        (_last, code) = _s.unpack(">II", frames[-1][3])
+        assert code == 0x1  # PROTOCOL_ERROR
+        # no WINDOW_UPDATE credit for the rejected DATA frame
+        assert all(f[0] != 8 for f in frames)
+
+
+def test_padded_data_frame_valid_pad_still_works():
+    """A legal PADDED DATA frame (pad < payload) strips padding, buffers the
+    unpadded body, and replenishes the connection window."""
+    # no END_STREAM: the stream stays buffered so the body is inspectable
+    c, io = _conn(_frame(0, 0x8, 3, bytes([2]) + b"hello" + b"\x00\x00"))
+    c.run()
+    assert c.streams[3]["body"] == b"hello"
+    types = [f[0] for f in _parse_frames(bytes(io.sent))]
+    assert 8 in types  # WINDOW_UPDATE replenish sent for the full frame
+
+
 def test_stream_window_entries_cleaned_up():
     """Completed streams drop their flow-control entry so long-lived
     connections don't grow stream_windows unboundedly."""

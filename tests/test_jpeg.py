@@ -216,8 +216,10 @@ def test_progressive_block_constant_exact():
 def test_progressive_equals_baseline_gray(shape):
     """Progressive scans (DC first Al=1, DC refine, per-comp AC spectral
     + refinement with EOBRUN) accumulate to the SAME coefficients as the
-    sequential scan, so the decoded pixels must be identical — the
-    strongest oracle available without an external codec."""
+    sequential scan, so the decoded pixels must be identical. (Spec
+    interop — which this self-consistency check cannot prove — is pinned
+    separately by the independently-constructed known-answer bitstreams
+    in tests/test_codec_interop.py.)"""
     from roapi_spark.functions.jpeg import encode_jpeg_progressive
 
     rng = np.random.default_rng(hash(shape) % 2**31)

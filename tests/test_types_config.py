@@ -170,3 +170,64 @@ def test_batch_size_option_parses_and_applies(spark, tmp_path):
             parse_table_config(
                 {"name": "t", "uri": p, "option": {"batch_size": bad}}
             )
+
+
+def test_batch_size_concurrent_loads_serialized(spark, tmp_path):
+    """Concurrent batch_size loads (e.g. the catalog refresh thread racing
+    a foreground load) must each see their OWN batch size inside the scope
+    and restore the original afterwards — interleaved set/restore without
+    the lock can leak a stale value permanently (ADVICE r5)."""
+    import threading
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from roapi_spark.config import parse_table_config
+    from roapi_spark.sources import load_table
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"x": pa.array([1, 2, 3], pa.int64())}), p)
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(conf_key)
+    observed: dict[int, str] = {}
+    barrier = threading.Barrier(2, timeout=10)
+
+    import roapi_spark.sources.parquet as parquet_mod
+
+    real = parquet_mod.to_dataframe
+
+    def spy(spark_, ts_):
+        # rendezvous both loads inside the conf scope: without the lock
+        # both would be inside simultaneously and one would observe the
+        # other's batch size
+        try:
+            barrier.wait(timeout=0.5)
+        except threading.BrokenBarrierError:
+            pass  # serialized (expected with the lock): partner never arrives
+        observed[ts_.batch_size] = spark_.conf.get(conf_key)
+        return real(spark_, ts_)
+
+    parquet_mod.to_dataframe = spy
+    try:
+        threads = [
+            threading.Thread(
+                target=lambda b=b: load_table(
+                    spark,
+                    parse_table_config(
+                        {"name": f"t{b}", "uri": p, "option": {"batch_size": b}}
+                    ),
+                ).count()
+            )
+            for b in (777, 555)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+    finally:
+        parquet_mod.to_dataframe = real
+
+    # each load saw exactly its own batch size, and the original came back
+    assert observed == {777: "777", 555: "555"}
+    assert spark.conf.get(conf_key) == before
