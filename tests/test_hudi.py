@@ -1,7 +1,10 @@
-"""Hudi Copy-on-Write loader: pure-Python timeline replay over a
-hand-built .hoodie layout (public Hudi spec — completed commits,
-replacecommit, requested/inflight skipping, as-of time travel, the
-MERGE_ON_READ loud-fail gate, hive partition columns)."""
+"""Hudi loader: pure-Python timeline replay over a hand-built .hoodie
+layout (public Hudi spec — completed commits, replacecommit,
+requested/inflight skipping, as-of time travel, hive partition columns)
+plus the merge-on-read path: deltacommit log files merged into the
+snapshot view (latest-instant-wins upserts, _hoodie_is_deleted soft
+deletes, rollback command blocks), read_optimized view serving base
+files only, and incremental queries surfacing log-only commits."""
 
 from __future__ import annotations
 
@@ -86,14 +89,161 @@ def test_hudi_sniffed_from_hoodie_dir(hudi_table):
     assert ts.resolved_format() == "hudi"
 
 
-def test_hudi_merge_on_read_fails_loudly(spark, tmp_path):
-    root = tmp_path / "mor"
+# ---- merge-on-read -------------------------------------------------------
+
+_MOR_SCHEMA = {
+    "type": "record",
+    "name": "trip",
+    "fields": [
+        {"name": "_hoodie_record_key", "type": "string"},
+        {"name": "id", "type": "long"},
+        {"name": "fare", "type": "double"},
+        {"name": "_hoodie_is_deleted", "type": "boolean"},
+    ],
+}
+
+
+def _rec(key, id_, fare, deleted=False):
+    return {"_hoodie_record_key": key, "id": id_, "fare": fare,
+            "_hoodie_is_deleted": deleted}
+
+
+def _log_file(root, file_id, base_instant, instant, records, version=1):
+    from roapi_spark.sources.hudi_log import (
+        AVRO_DATA_BLOCK, H_INSTANT_TIME, write_log_block,
+    )
+
+    name = f".{file_id}_{base_instant}.log.{version}_0-1-0"
+    blob = write_log_block(
+        AVRO_DATA_BLOCK, {H_INSTANT_TIME: instant}, records, _MOR_SCHEMA
+    )
+    (root / name).write_bytes(blob)
+    return name
+
+
+@pytest.fixture(scope="module")
+def mor_table(tmp_path_factory):
+    root = tmp_path_factory.mktemp("hudi_mor") / "trips"
     meta = root / ".hoodie"
     meta.mkdir(parents=True)
-    (meta / "hoodie.properties").write_text("hoodie.table.type=MERGE_ON_READ\n")
-    _commit(meta, "001", {})
-    with pytest.raises(LoadError, match="MERGE_ON_READ"):
-        _load(spark, {"name": "t", "uri": str(root), "option": {"format": "hudi"}})
+    (meta / "hoodie.properties").write_text(
+        "hoodie.table.name=trips\nhoodie.table.type=MERGE_ON_READ\n"
+    )
+    # 001: base file with three rows (keys k1..k3)
+    p1 = _base_file(root, "", "fg1", "001", {
+        "_hoodie_record_key": ["k1", "k2", "k3"],
+        "id": [1, 2, 3],
+        "fare": [10.0, 20.0, 30.0],
+        "_hoodie_is_deleted": [False, False, False],
+    })
+    _commit(meta, "001", {"": [{"fileId": "fg1", "path": p1}]})
+    # 002: deltacommit — update k1, insert k4, soft-delete k2
+    l1 = _log_file(root, "fg1", "001", "002", [
+        _rec("k1", 1, 11.0), _rec("k4", 4, 40.0), _rec("k2", 2, 20.0, True),
+    ])
+    _commit(meta, "002", {"": [{"fileId": "fg1", "path": l1}]}, kind="deltacommit")
+    # 003: second deltacommit — update k1 again (latest must win over 002)
+    l2 = _log_file(root, "fg1", "001", "003", [_rec("k1", 1, 12.0)], version=2)
+    _commit(meta, "003", {"": [{"fileId": "fg1", "path": l2}]}, kind="deltacommit")
+    return root
+
+
+def test_hudi_mor_snapshot_merges_log_upserts(spark, mor_table):
+    df = _load(spark, {"name": "t", "uri": str(mor_table)})
+    rows = {r["_hoodie_record_key"]: r["fare"] for r in df.collect()}
+    # k1 updated twice (latest=12.0), k2 soft-deleted, k3 untouched, k4 new
+    assert rows == {"k1": 12.0, "k3": 30.0, "k4": 40.0}
+
+
+def test_hudi_mor_read_optimized_view_is_base_only(spark, mor_table):
+    df = _load(spark, {"name": "t", "uri": str(mor_table),
+                       "option": {"mor_view": "read_optimized"}})
+    rows = {r["_hoodie_record_key"]: r["fare"] for r in df.collect()}
+    assert rows == {"k1": 10.0, "k2": 20.0, "k3": 30.0}
+
+
+def test_hudi_mor_compaction_absorbs_logs(spark, mor_table, tmp_path):
+    """A compaction (.commit base rewrite) at 004 absorbs the 002/003
+    logs; a later deltacommit 005 applies on top of the new base."""
+    import shutil
+
+    root = tmp_path / "trips2"
+    shutil.copytree(mor_table, root)
+    meta = root / ".hoodie"
+    p2 = _base_file(root, "", "fg1", "004", {
+        "_hoodie_record_key": ["k1", "k3", "k4"],
+        "id": [1, 3, 4],
+        "fare": [12.0, 30.0, 40.0],
+        "_hoodie_is_deleted": [False, False, False],
+    })
+    _commit(meta, "004", {"": [{"fileId": "fg1", "path": p2}]})
+    l3 = _log_file(root, "fg1", "004", "005", [_rec("k5", 5, 50.0)], version=3)
+    _commit(meta, "005", {"": [{"fileId": "fg1", "path": l3}]}, kind="deltacommit")
+    df = _load(spark, {"name": "t", "uri": str(root)})
+    rows = {r["_hoodie_record_key"]: r["fare"] for r in df.collect()}
+    assert rows == {"k1": 12.0, "k3": 30.0, "k4": 40.0, "k5": 50.0}
+    # time travel to 004 sees the compacted base without the 005 delta
+    at4 = _load(spark, {"name": "t", "uri": str(root),
+                        "option": {"as_of_instant": "004"}})
+    assert {r["_hoodie_record_key"] for r in at4.collect()} == {"k1", "k3", "k4"}
+
+
+def test_hudi_mor_rollback_command_voids_target_instant(spark, mor_table, tmp_path):
+    """A rollback COMMAND block appended to the log neutralizes the
+    blocks of its target instant (public failed-write recovery)."""
+    import shutil
+
+    from roapi_spark.sources.hudi_log import (
+        COMMAND_BLOCK, H_COMMAND_BLOCK_TYPE, H_INSTANT_TIME,
+        H_TARGET_INSTANT_TIME, ROLLBACK_COMMAND, write_log_block,
+    )
+
+    root = tmp_path / "trips3"
+    shutil.copytree(mor_table, root)
+    # append a rollback of instant 003 onto the second log file
+    target = root / ".fg1_001.log.2_0-1-0"
+    target.write_bytes(
+        target.read_bytes()
+        + write_log_block(COMMAND_BLOCK, {
+            H_INSTANT_TIME: "004",
+            H_TARGET_INSTANT_TIME: "003",
+            H_COMMAND_BLOCK_TYPE: ROLLBACK_COMMAND,
+        })
+    )
+    df = _load(spark, {"name": "t", "uri": str(root)})
+    rows = {r["_hoodie_record_key"]: r["fare"] for r in df.collect()}
+    # the 003 update of k1 is voided; the 002 update (11.0) survives
+    assert rows == {"k1": 11.0, "k3": 30.0, "k4": 40.0}
+
+
+def test_hudi_mor_incremental_sees_log_only_commits(spark, mor_table):
+    df = _load(spark, {"name": "t", "uri": str(mor_table),
+                       "option": {"format": "hudi", "incremental_from": "001"}})
+    rows = sorted(
+        (r["_commit_instant"], r["_hoodie_record_key"], r["fare"])
+        for r in df.collect()
+    )
+    assert rows == [
+        ("002", "k1", 11.0), ("002", "k2", 20.0), ("002", "k4", 40.0),
+        ("003", "k1", 12.0),
+    ]
+
+
+def test_hudi_log_block_roundtrip_and_truncation():
+    from roapi_spark.sources.hudi_log import (
+        AVRO_DATA_BLOCK, H_INSTANT_TIME, HudiLogError, merged_records,
+        read_log_file, write_log_block,
+    )
+
+    recs = [_rec("a", 1, 1.5), _rec("b", 2, 2.5)]
+    blob = write_log_block(AVRO_DATA_BLOCK, {H_INSTANT_TIME: "007"}, recs, _MOR_SCHEMA)
+    blocks = read_log_file(blob)
+    assert len(blocks) == 1 and blocks[0]["records"] == recs
+    assert merged_records(blob) == [("007", recs[0]), ("007", recs[1])]
+    with pytest.raises(HudiLogError):
+        read_log_file(blob[:-3])  # truncated reverse pointer
+    with pytest.raises(HudiLogError):
+        read_log_file(b"#NOPE#" + blob[6:])  # bad magic
 
 
 def test_hudi_no_commits_raises(spark, tmp_path):
