@@ -358,3 +358,58 @@ def test_build_once_heals_stale_partial(tmp_path):
     assert build_once(out, ready, build) == out
     assert ready(out)
     assert not os.path.exists(os.path.join(out, "partial.bin"))
+
+
+# ---- external-writer fixture (committed, never regenerated) ---------------
+
+_EXT_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "delta_external", "events_by_cat"
+)
+
+
+def test_external_delta_rs_fixture_reads(spark):
+    """A COMMITTED partitioned table whose _delta_log replicates delta-rs
+    output conventions: percent-encoded add paths (protocol: RFC 2396),
+    literal '=' partition dirs, a partition value containing a space,
+    delta-rs commitInfo/stats shapes. Pins the reader's path decoding
+    forever, independent of this repo's own writer."""
+    df = _read(spark, _EXT_FIXTURE)
+    rows = sorted((r["id"], r["v"], r["cat"]) for r in df.collect())
+    assert rows == [
+        (1, 10.5, "plain"), (2, 20.5, "plain"), (3, 30.5, "a b"),
+        (4, 40.5, "plain"),
+    ]
+    # time travel to the first delta-rs commit
+    v0 = _read(spark, _EXT_FIXTURE, version=0)
+    assert sorted(r["id"] for r in v0.collect()) == [1, 2, 3]
+    # partition pruning works against the space-valued hive dir
+    pruned = df.filter(df.cat == "a b")
+    assert [r["id"] for r in pruned.collect()] == [3]
+
+
+def test_external_fixture_overwrite_echoes_stored_paths(spark, tmp_path):
+    """Overwriting the external table must emit remove actions echoing the
+    STORED strings verbatim — 'cat=a%20b/...' stays percent-encoded,
+    'cat=plain/...' stays literal; re-quoting either orphans the add and
+    readers silently see old+new rows (the r4 high-severity bug class)."""
+    import shutil
+
+    path = str(tmp_path / "ext")
+    shutil.copytree(_EXT_FIXTURE, path)
+    new = spark.createDataFrame([(9, 9.5, "z")], "id bigint, v double, cat string")
+    version = write_delta(new, path, mode="overwrite", partition_by=["cat"])
+    assert version == 2
+    removes = sorted(
+        json.loads(ln)["remove"]["path"]
+        for ln in open(os.path.join(path, "_delta_log", f"{2:020d}.json"))
+        if '"remove"' in ln
+    )
+    assert removes == [
+        "cat=a%20b/part-00000-bbb.parquet",
+        "cat=plain/part-00000-aaa.parquet",
+        "cat=plain/part-00001-ccc.parquet",
+    ]
+    assert [tuple(r) for r in _read(spark, path).collect()] == [(9, 9.5, "z")]
+    # and history remains time-travelable across the writer boundary
+    v1 = _read(spark, path, version=1)
+    assert sorted(r["id"] for r in v1.collect()) == [1, 2, 3, 4]
