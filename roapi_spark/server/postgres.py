@@ -16,8 +16,12 @@ Behavior parity:
 - SSLRequest answered with 'N' (no TLS).
 
 Pure-stdlib implementation (struct + socketserver); psycopg-compatible for
-the subset above (text result format; binary *result* codecs are the one
-asyncpg feature not offered — requested binary results get a clean error).
+the subset above. Beyond the reference (pgwire serves text-only results,
+postgres.rs:132-141): binary RESULT format codes in Bind are honored for
+the mapped OIDs (bool/int2/4/8/float4/8/numeric/date/timestamp/bytea/
+text) because asyncpg requests binary unconditionally; an unmapped OID
+under a binary code gets a clean ErrorResponse naming the oid, never a
+misencoded row.
 """
 
 from __future__ import annotations
@@ -78,6 +82,77 @@ def _render(v: object) -> bytes | None:
 
         return json.dumps(v, default=str).encode()
     return str(v).encode()
+
+
+_PG_EPOCH_DATE = date(2000, 1, 1)
+_PG_EPOCH_TS = datetime(2000, 1, 1)
+
+
+def _numeric_binary(dec) -> bytes:
+    """pg `numeric` binary wire form: base-10000 digit groups with
+    weight/sign/dscale header (public wire format)."""
+    import decimal
+
+    if dec.is_nan():
+        return struct.pack(">HhHH", 0, 0, 0xC000, 0)
+    sign = 0x4000 if dec < 0 else 0x0000
+    dec = abs(dec)
+    exp = dec.as_tuple().exponent
+    dscale = max(0, -exp)
+    shift = ((dscale + 3) // 4) * 4  # align the point to a group boundary
+    n = int(dec.scaleb(shift).to_integral_value(rounding=decimal.ROUND_HALF_UP))
+    groups: list[int] = []
+    while n:
+        groups.append(n % 10000)
+        n //= 10000
+    groups.reverse()
+    if not groups:
+        return struct.pack(">HhHH", 0, 0, sign, dscale)
+    weight = len(groups) - 1 - shift // 4
+    while groups and groups[-1] == 0:
+        groups.pop()  # trailing zero groups are implicit
+    out = struct.pack(">HhHH", len(groups), weight, sign, dscale)
+    return out + b"".join(struct.pack(">H", g) for g in groups)
+
+
+def _render_binary(v: object, oid: int) -> bytes | None:
+    """Binary-format rendering for the OIDs this server maps. Unmapped
+    combinations raise — the caller turns that into an ErrorResponse
+    instead of sending a row the driver would misparse."""
+    import decimal
+
+    if v is None:
+        return None
+    if oid == 16:
+        return b"\x01" if v else b"\x00"
+    if oid == 21:
+        return struct.pack(">h", int(v))
+    if oid == 23:
+        return struct.pack(">i", int(v))
+    if oid == 20:
+        return struct.pack(">q", int(v))
+    if oid == 700:
+        return struct.pack(">f", float(v))
+    if oid == 701:
+        return struct.pack(">d", float(v))
+    if oid == 1700:
+        return _numeric_binary(decimal.Decimal(str(v)))
+    if oid == 17:
+        return bytes(v)
+    if oid == 1082:
+        return struct.pack(">i", (v - _PG_EPOCH_DATE).days)
+    if oid == 1114:
+        if v.tzinfo is not None:
+            from datetime import timezone
+
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        delta = v - _PG_EPOCH_TS
+        micros = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+        return struct.pack(">q", micros)
+    if oid == _OID_TEXT:
+        r = _render(v)
+        return r  # text oid: binary form is the same utf8 bytes
+    raise ValueError(f"binary result format unsupported for oid {oid}")
 
 
 def _msg(tag: bytes, payload: bytes) -> bytes:
@@ -241,18 +316,32 @@ class _Handler(socketserver.BaseRequestHandler):
             self._error(sock, f"unsupported protocol code {code}")
             return False
 
-    def _row_desc(self, fields) -> bytes:
+    @staticmethod
+    def _col_fmt(rfmts: list[int] | None, i: int) -> int:
+        """Result format for column i per the Bind rules: no codes = all
+        text, one code = applies to all, else per-column."""
+        if not rfmts:
+            return 0
+        if len(rfmts) == 1:
+            return rfmts[0]
+        return rfmts[i] if i < len(rfmts) else 0
+
+    def _row_desc(self, fields, rfmts: list[int] | None = None) -> bytes:
         desc = struct.pack(">H", len(fields))
-        for f in fields:
+        for i, f in enumerate(fields):
             desc += _cstr(f.name) + struct.pack(
-                ">IHIhih", 0, 0, _oid_for(f.dataType), -1, -1, 0
+                ">IHIhih", 0, 0, _oid_for(f.dataType), -1, -1,
+                self._col_fmt(rfmts, i),
             )
         return desc
 
-    def _data_row(self, fields, row) -> bytes:
+    def _data_row(self, fields, row, rfmts: list[int] | None = None) -> bytes:
         body = struct.pack(">H", len(fields))
-        for v in row:
-            r = _render(v)
+        for i, v in enumerate(row):
+            if self._col_fmt(rfmts, i) == 1:
+                r = _render_binary(v, _oid_for(fields[i].dataType))
+            else:
+                r = _render(v)
             if r is None:
                 body += struct.pack(">i", -1)
             else:
@@ -327,8 +416,8 @@ class _Handler(socketserver.BaseRequestHandler):
                 rest = rest[ln:]
         (n_rfmt,) = struct.unpack(">H", rest[:2])
         rfmts = list(struct.unpack(f">{n_rfmt}h", rest[2 : 2 + 2 * n_rfmt]))
-        if any(f == 1 for f in rfmts):
-            self._ext_error(sock, "binary result format not supported (text only)")
+        if any(f not in (0, 1) for f in rfmts):
+            self._ext_error(sock, f"bad result format codes {rfmts}")
             return
         if stmt_name not in self._stmts:
             self._ext_error(sock, f"unknown prepared statement {stmt_name!r}")
@@ -346,7 +435,9 @@ class _Handler(socketserver.BaseRequestHandler):
         except (ValueError, struct.error) as exc:
             self._ext_error(sock, f"bind failed: {exc}")
             return
-        self._portals[portal] = {"sql": bound, "fields": None, "rows": None, "pos": 0}
+        self._portals[portal] = {
+            "sql": bound, "fields": None, "rows": None, "pos": 0, "rfmts": rfmts,
+        }
         sock.sendall(_msg(b"2", b""))  # BindComplete
 
     def _run_portal(self, p: dict) -> None:
@@ -396,7 +487,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 self._ext_error(sock, str(exc).splitlines()[0][:500])
                 return
             if p["fields"]:
-                sock.sendall(_msg(b"T", self._row_desc(p["fields"])))
+                sock.sendall(_msg(b"T", self._row_desc(p["fields"], p.get("rfmts"))))
             else:
                 sock.sendall(_msg(b"n", b""))
             return
@@ -420,8 +511,18 @@ class _Handler(socketserver.BaseRequestHandler):
             return
         rows, fields, pos = p["rows"], p["fields"], p["pos"]
         end = len(rows) if max_rows <= 0 else min(pos + max_rows, len(rows))
-        for row in rows[pos:end]:
-            sock.sendall(_msg(b"D", self._data_row(fields, row)))
+        try:
+            encoded = [
+                _msg(b"D", self._data_row(fields, row, p.get("rfmts")))
+                for row in rows[pos:end]
+            ]
+        except (ValueError, struct.error, TypeError) as exc:
+            # encode the whole chunk BEFORE sending: an unmapped oid under
+            # a binary format code errors cleanly instead of dying mid-row
+            self._ext_error(sock, f"result encode failed: {exc}")
+            return
+        for m in encoded:
+            sock.sendall(m)
         p["pos"] = end
         if end < len(rows):
             sock.sendall(_msg(b"s", b""))  # PortalSuspended

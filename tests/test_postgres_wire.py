@@ -258,12 +258,99 @@ def test_extended_error_skips_to_sync(pg):
     c.close()
 
 
-def test_extended_binary_result_format_rejected(pg):
+def _binary_rows(msgs):
+    """DataRow payloads with raw (undecoded) cell bytes."""
+    rows = []
+    for tag, payload in msgs:
+        if tag != b"D":
+            continue
+        (n,) = struct.unpack(">H", payload[:2])
+        off, vals = 2, []
+        for _ in range(n):
+            (ln,) = struct.unpack(">i", payload[off : off + 4])
+            off += 4
+            if ln == -1:
+                vals.append(None)
+            else:
+                vals.append(payload[off : off + ln])
+                off += ln
+        rows.append(tuple(vals))
+    return rows
+
+
+def test_extended_binary_result_format(pg):
+    """asyncpg binds with result format 1 unconditionally: int8 and bool
+    come back big-endian binary, and the RowDescription echoes format 1."""
     c = MiniPgClient(pg.port)
-    c.parse("s7", "SELECT id FROM pgt", [])
+    c.parse("s7", "SELECT id, ok FROM pgt ORDER BY id", [])
     c.bind("", "s7", [], result_fmts=[1])
+    c.describe("P", "")
+    c.execute("", 0)
+    msgs = c.sync()
+    rowdesc = next(p for t, p in msgs if t == b"T")
+    assert rowdesc[-2:] == struct.pack(">h", 1)  # last column's format code
+    rows = _binary_rows(msgs)
+    # csv inference types id as int4 (oid 23)
+    assert rows == [
+        (struct.pack(">i", 1), b"\x01"),
+        (struct.pack(">i", 2), b"\x00"),
+        (struct.pack(">i", 3), b"\x01"),
+    ]
+    c.close()
+
+
+def test_extended_mixed_result_formats_and_null(pg):
+    """Per-column codes: text name (format 0) next to binary id; NULL is
+    -1-length in either format."""
+    c = MiniPgClient(pg.port)
+    c.parse("s8", "SELECT id, name FROM pgt ORDER BY id", [])
+    c.bind("", "s8", [], result_fmts=[1, 0])
+    c.execute("", 0)
+    msgs = c.sync()
+    rows = _binary_rows(msgs)
+    assert rows == [
+        (struct.pack(">i", 1), b"alpha"),
+        (struct.pack(">i", 2), b"beta"),
+        (struct.pack(">i", 3), None),
+    ]
+    c.close()
+
+
+def test_extended_binary_numeric_date_timestamp(pg):
+    """pg binary wire forms for numeric (base-10000 groups), date (days
+    since 2000-01-01) and timestamp (micros since 2000-01-01)."""
+    c = MiniPgClient(pg.port)
+    c.parse(
+        "s9",
+        "SELECT CAST(123.45 AS DECIMAL(10,2)) AS d, DATE'2000-01-03' AS dt, "
+        "TIMESTAMP_NTZ'2000-01-01 00:00:01.5' AS ts",
+        [],
+    )
+    c.bind("", "s9", [], result_fmts=[1])
+    c.execute("", 0)
+    msgs = c.sync()
+    (row,) = _binary_rows(msgs)
+    # numeric: ndigits=2 weight=0 sign=0 dscale=2, digits [123, 4500]
+    assert row[0] == struct.pack(">HhHH", 2, 0, 0, 2) + struct.pack(">HH", 123, 4500)
+    assert row[1] == struct.pack(">i", 2)
+    assert row[2] == struct.pack(">q", 1_500_000)
+    c.close()
+
+
+def test_extended_binary_unmapped_oid_errors_cleanly(pg):
+    """A column that only maps to text (array -> json text oid works), but
+    a bad format code list still errors + recovers."""
+    c = MiniPgClient(pg.port)
+    c.parse("s10", "SELECT id FROM pgt", [])
+    c.bind("", "s10", [], result_fmts=[7])  # invalid code, not 0/1
     msgs = c.sync()
     assert b"E" in _tags(msgs)
+    # connection recovered: text-format rebind works
+    c.parse("s10b", "SELECT count(*) AS n FROM pgt", [])
+    c.bind("", "s10b", [])
+    c.execute("", 0)
+    msgs = c.sync()
+    assert parse_data_rows(msgs) == [("3",)]
     c.close()
 
 
