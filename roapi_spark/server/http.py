@@ -79,9 +79,23 @@ CONSOLE_HTML = b"""<!doctype html>
 <div id="err"></div><div id="out"></div>
 </div>
 <script>
-const hist=[];
+// history persists across reloads (roapi-ui keeps its query history in
+// app state restored by eframe persistence; localStorage is the HTML
+// equivalent). Storage may be unavailable (file://, private mode) --
+// degrade to session-only.
+const HKEY='roapi_spark_hist';
+let hist=[];
+try{hist=JSON.parse(localStorage.getItem(HKEY)||'[]')}catch(e){hist=[]}
 function el(tag,text,cls){const e=document.createElement(tag);
   if(text!==undefined)e.textContent=text;if(cls)e.className=cls;return e}
+function renderHist(){
+  const h=document.getElementById('hist');h.textContent='';
+  for(const item of hist){
+    const d=el('div',item,'hist');
+    d.onclick=()=>{document.getElementById('q').value=item};
+    h.appendChild(d);
+  }
+}
 async function loadSchema(){
   const box=document.getElementById('tables');box.textContent='';
   try{
@@ -109,12 +123,43 @@ async function loadSchema(){
 }
 function pushHist(q){
   if(hist[0]===q)return; hist.unshift(q); if(hist.length>20)hist.pop();
-  const h=document.getElementById('hist');h.textContent='';
-  for(const item of hist){
-    const d=el('div',item,'hist');
-    d.onclick=()=>{document.getElementById('q').value=item};
-    h.appendChild(d);
+  try{localStorage.setItem(HKEY,JSON.stringify(hist))}catch(e){}
+  renderHist();
+}
+// client-side result paging: big result sets would otherwise lay out a
+// single enormous DOM table
+const PAGE=200;
+let lastRows=[],page=0;
+function renderPage(){
+  const out=document.getElementById('out');out.innerHTML='';
+  const rows=lastRows;
+  if(!rows.length){out.textContent='(0 rows)';return}
+  const cols=Object.keys(rows[0]);
+  const npages=Math.ceil(rows.length/PAGE);
+  if(page>=npages)page=npages-1;
+  // build with createElement/textContent: cell values are untrusted table
+  // data, innerHTML would execute any stored markup (XSS)
+  const tbl=document.createElement('table');
+  const hr=tbl.insertRow();
+  for(const c of cols){const th=document.createElement('th');th.textContent=c;hr.appendChild(th)}
+  for(const r of rows.slice(page*PAGE,(page+1)*PAGE)){
+    const tr=tbl.insertRow();
+    for(const c of cols){
+      const v=r[c];
+      tr.insertCell().textContent=(typeof v==='string')?v:JSON.stringify(v);
+    }
   }
+  if(npages>1){
+    const nav=el('div');nav.id='pager';
+    const prev=el('button','\\u2039 prev');prev.disabled=page===0;
+    prev.onclick=()=>{page--;renderPage()};
+    const next=el('button','next \\u203a');next.disabled=page>=npages-1;
+    next.onclick=()=>{page++;renderPage()};
+    const lbl=el('span','page '+(page+1)+'/'+npages);lbl.id='pageinfo';
+    nav.appendChild(prev);nav.appendChild(lbl);nav.appendChild(next);
+    out.appendChild(nav);
+  }
+  out.appendChild(tbl);
 }
 async function run(){
   const q=document.getElementById('q').value;
@@ -130,21 +175,7 @@ async function run(){
   pushHist(q);
   const rows=JSON.parse(body);
   meta.textContent=rows.length+' row'+(rows.length===1?'':'s')+' \\u00b7 '+ms+' ms';
-  if(!rows.length){out.textContent='(0 rows)';return}
-  const cols=Object.keys(rows[0]);
-  // build with createElement/textContent: cell values are untrusted table
-  // data, innerHTML would execute any stored markup (XSS)
-  const tbl=document.createElement('table');
-  const hr=tbl.insertRow();
-  for(const c of cols){const th=document.createElement('th');th.textContent=c;hr.appendChild(th)}
-  for(const r of rows){
-    const tr=tbl.insertRow();
-    for(const c of cols){
-      const v=r[c];
-      tr.insertCell().textContent=(typeof v==='string')?v:JSON.stringify(v);
-    }
-  }
-  out.appendChild(tbl);
+  lastRows=rows;page=0;renderPage();
 }
 async function exportCsv(){
   const q=document.getElementById('q').value;
@@ -158,7 +189,7 @@ async function exportCsv(){
 }
 document.getElementById('q').addEventListener('keydown',e=>{
   if(e.ctrlKey&&e.key==='Enter')run()});
-loadSchema();
+loadSchema();renderHist();
 </script></body></html>"""
 
 

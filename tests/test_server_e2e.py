@@ -177,6 +177,15 @@ def test_ui_console(base_url):
     assert b"/api/schema" in body and b"loadSchema" in body
     assert b"pushHist" in body
     assert b"exportCsv" in body and b"text/csv" in body
+    # round-6 parity: history survives reloads (roapi-ui restores app
+    # state via eframe persistence; the HTML console uses localStorage,
+    # written on every push and replayed at load), and result sets page
+    # client-side instead of laying out one enormous table
+    assert b"localStorage.getItem" in body and b"localStorage.setItem" in body
+    assert b"renderHist()" in body  # replayed at page load
+    assert b"renderPage" in body and b"pageinfo" in body
+    # storage failures (private mode) must be caught, not crash the page
+    assert body.count(b"catch(e)") >= 3
     # the data contracts the page's JS relies on: /api/schema fields
     # carry name/type/nullable, and ACCEPT: text/csv negotiates CSV
     import json as _json
