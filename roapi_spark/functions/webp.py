@@ -116,6 +116,28 @@ class _LSBWriter:
             self.acc >>= 8
             self.n -= 8
 
+    def write_many(self, vals, lens) -> None:
+        """Bulk append of (value, nbits) pairs via numpy bit packing —
+        the encoder's pixel loop emits a few hundred thousand codes per
+        image and per-bit Python writes dominate its profile."""
+        vals = np.asarray(vals, dtype=np.int64)
+        lens = np.asarray(lens, dtype=np.int64)
+        total = int(lens.sum())
+        if not total:
+            return
+        offs = np.cumsum(lens) - lens
+        j = np.arange(total, dtype=np.int64) - np.repeat(offs, lens)
+        bits = ((np.repeat(vals, lens) >> j) & 1).astype(np.uint8)
+        if self.n:  # fold the pending sub-byte accumulator in front
+            pend = ((self.acc >> np.arange(self.n, dtype=np.int64)) & 1).astype(np.uint8)
+            bits = np.concatenate([pend, bits])
+        packed = np.packbits(bits, bitorder="little")
+        nfull = bits.size // 8
+        self.buf.extend(packed[:nfull].tobytes())
+        rem = bits.size - nfull * 8
+        self.acc = int(packed[nfull]) if rem else 0
+        self.n = rem
+
     def bytes(self) -> bytes:
         out = bytearray(self.buf)
         if self.n:
@@ -179,6 +201,21 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
                 out[sym] = (code, length)
                 code += 1
         code <<= 1
+    return out
+
+
+def _emit_codes(codes: dict[int, tuple[int, int]]) -> dict[int, tuple[int, int]]:
+    """symbol -> (bit-reversed code, length) for the LSB-first writer:
+    a Huffman code is emitted MSB-first, which through an LSB-first bit
+    packer equals one write of the bit-reversed value."""
+    out = {}
+    for sym, (code, width) in codes.items():
+        rev = 0
+        c = code
+        for _ in range(width):
+            rev = (rev << 1) | (c & 1)
+            c >>= 1
+        out[sym] = (rev, width)
     return out
 
 
@@ -665,31 +702,46 @@ def _encode_trees_and_pixels(
     else:
         bw.write(0, 1)
 
-    # First pass: tokenize (so histograms match the emitted symbols)
+    # First pass: tokenize (so histograms match the emitted symbols).
+    # Per-pixel state (cache hits, run splits) is inherently sequential,
+    # but the per-pixel WORK is precomputed vectorized: distance-1 run
+    # lengths, packed argb words, cache hash slots.
     tokens: list[tuple] = []  # ('lit',a,r,g,b) | ('ref',len,dist) | ('cache',idx)
     cache = [None] * cache_size
+    px = pixels.astype(np.int64)
+    argb_words = (px[:, 0] << 24) | (px[:, 1] << 16) | (px[:, 2] << 8) | px[:, 3]
+    if use_lz77 and n > 1:
+        eq = (argb_words[1:] == argb_words[:-1]).astype(np.int64)
+        # same[k] = consecutive eq-True starting at k (suffix run count),
+        # vectorized via the cumsum-reset trick on the reversed array
+        fr = eq[::-1]
+        s = np.cumsum(fr)
+        reset = np.maximum.accumulate(np.where(fr == 0, s, 0))
+        same = (s - reset)[::-1]
+    if cache_size:
+        hash_slots = ((argb_words * 0x1E35A7BD) >> (32 - cache_bits)) & (cache_size - 1)
+        hash_slots = hash_slots.tolist()
+    words = argb_words.tolist()
+    cols = px.T.tolist()  # [a_list, r_list, g_list, b_list]
     i = 0
     while i < n:
         if use_lz77 and i > 0:
-            run = 0
-            while i + run < n and run < 4000 and np.array_equal(
-                pixels[i + run], pixels[i + run - 1]
-            ):
-                run += 1
+            # pixels[i+r] == pixels[i+r-1] for r in [0, run): the chain of
+            # predecessor-equal pixels starting at i is same[i-1]
+            run = min(int(same[i - 1]), 4000) if n > 1 else 0
             if run >= 3:
                 tokens.append(("ref", run, 1))
                 i += run
                 continue
-        aa, rr, gg, bb = (int(v) for v in pixels[i])
         if cache_size:
-            argb32 = (aa << 24) | (rr << 16) | (gg << 8) | bb
-            hidx = (argb32 * 0x1E35A7BD) >> (32 - cache_bits) & (cache_size - 1)
+            argb32 = words[i]
+            hidx = hash_slots[i]
             if cache[hidx] == argb32:
                 tokens.append(("cache", hidx))
                 i += 1
                 continue
             cache[hidx] = argb32
-        tokens.append(("lit", aa, rr, gg, bb))
+        tokens.append(("lit", cols[0][i], cols[1][i], cols[2][i], cols[3][i]))
         i += 1
 
     gfreq: dict[int, int] = {}
@@ -729,29 +781,39 @@ def _encode_trees_and_pixels(
         bw.write(0, 1)
     for lengths in (glen, rlen, blen, alen, dlen):
         _write_code_lengths(bw, lengths)
-    gc = _canonical_codes(glen)
-    rc = _canonical_codes(rlen)
-    bc = _canonical_codes(blen)
-    ac = _canonical_codes(alen)
-    dc = _canonical_codes(dlen)
+    gc = _emit_codes(_canonical_codes(glen))
+    rc = _emit_codes(_canonical_codes(rlen))
+    bc = _emit_codes(_canonical_codes(blen))
+    ac = _emit_codes(_canonical_codes(alen))
+    dc = _emit_codes(_canonical_codes(dlen))
 
+    # second pass: every emission is one (bit-reversed value, width) pair;
+    # a single numpy bulk pack replaces per-bit writer calls (the former
+    # profile hotspot at ~6 writer calls per pixel)
+    vals: list[int] = []
+    lens: list[int] = []
+    emit = vals.append
+    emitl = lens.append
     for t in tokens:
         if t[0] == "lit":
             _, aa, rr, gg, bb = t
-            _write_symbol(bw, gc, gg)
-            _write_symbol(bw, rc, rr)
-            _write_symbol(bw, bc, bb)
-            _write_symbol(bw, ac, aa)
+            for v, w in (gc[gg], rc[rr], bc[bb], ac[aa]):
+                emit(v)
+                emitl(w)
         elif t[0] == "ref":
             _, length, dist = t
             code, extra, nbits = _prefix_encode(length)
-            _write_symbol(bw, gc, 256 + code)
-            bw.write(extra, nbits)
+            v, w = gc[256 + code]
+            emit(v); emitl(w)
+            emit(extra); emitl(nbits)
             dcode, dextra, dnbits = _prefix_encode(dist + 120)
-            _write_symbol(bw, dc, dcode)
-            bw.write(dextra, dnbits)
+            v, w = dc[dcode]
+            emit(v); emitl(w)
+            emit(dextra); emitl(dnbits)
         else:
-            _write_symbol(bw, gc, 256 + 24 + t[1])
+            v, w = gc[256 + 24 + t[1]]
+            emit(v); emitl(w)
+    bw.write_many(vals, lens)
 
 
 def _encode_subimage(bw: _LSBWriter, px: np.ndarray) -> None:
