@@ -125,6 +125,89 @@ def ensure_scaled(src: str, out: str, copies: int) -> None:
     open(os.path.join(out, "_READY_v2"), "w").close()
 
 
+def ensure_adversarial(src: str, out: str, n_docs: int = 1200,
+                       boiler_tokens: int = 200) -> None:
+    """Boilerplate-heavy corpus: the first n_docs sf0.1 documents, each
+    with the SAME boiler_tokens-token header appended (n_docs above
+    STOP_SHINGLE_DF so the df-cap is load-bearing). Every header
+    3-shingle appears in every doc (one ultra-hot shingle family), and
+    the header dominates most docs' minhash signatures (hot LSH bands) —
+    the worst-case shape the df-cap / band-cap guards exist for."""
+    if os.path.exists(os.path.join(out, "_READY_adv2")):
+        return
+    shutil.rmtree(out, ignore_errors=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out, exist_ok=True)
+    docs = pq.read_table(os.path.join(src, "documents.parquet")).slice(0, n_docs)
+    boiler = " ".join(
+        "boil" + chr(ord("a") + i % 26) + chr(ord("a") + (i // 26) % 26)
+        for i in range(boiler_tokens)
+    )
+    texts = [t + " " + boiler for t in docs.column("text").to_pylist()]
+    pq.write_table(
+        pa.table({
+            "doc_id": docs.column("doc_id"),
+            "text": pa.array(texts),
+            "lang": docs.column("lang"),
+            "source": docs.column("source"),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }),
+        os.path.join(out, "documents.parquet"),
+    )
+    for aux in ("embeddings.parquet", "events.parquet"):
+        shutil.copy(os.path.join(src, aux), os.path.join(out, aux))
+    open(os.path.join(out, "_READY_adv2"), "w").close()
+
+
+def run_adversarial(out_dir: str) -> None:
+    """Measure the df-cap / band-cap value on the skew corpus: candidate
+    pair counts and wall time with the guards ON vs OFF (the OFF run is
+    the quadratic blowup the caps bound)."""
+    from roapi_spark.functions import dedup
+    from roapi_spark.functions.snapshot import cache_root
+    from roapi_spark.session import get_spark
+
+    adv = os.path.join(out_dir, "sf_adv")
+    ensure_adversarial(SRC, adv)
+    spark = get_spark("scale-stress-adv")
+    spark.range(1000).count()
+
+    results = {}
+    saved = (dedup.STOP_SHINGLE_DF, dedup.BAND_CAP)
+    try:
+        for mode in ("capped", "uncapped"):
+            shutil.rmtree(cache_root(), ignore_errors=True)
+            if mode == "uncapped":
+                dedup.STOP_SHINGLE_DF = 10**9
+                dedup.BAND_CAP = 10**9
+            else:
+                dedup.STOP_SHINGLE_DF, dedup.BAND_CAP = saved
+            t0 = time.time()
+            shingle_pairs = dedup.shingle_pair_graph_cached(spark, adv)[0].count()
+            t_sh = round(time.time() - t0, 2)
+            t0 = time.time()
+            lsh_pairs = dedup.lsh_pairs_cached(spark, adv).count()
+            t_lsh = round(time.time() - t0, 2)
+            results[mode] = {
+                "shingle_pairs": shingle_pairs, "shingle_build_s": t_sh,
+                "lsh_pairs": lsh_pairs, "lsh_build_s": t_lsh,
+            }
+    finally:
+        dedup.STOP_SHINGLE_DF, dedup.BAND_CAP = saved
+        shutil.rmtree(cache_root(), ignore_errors=True)  # poisoned caches
+
+    c, u = results["capped"], results["uncapped"]
+    print("| adversarial metric (1200 docs + 200-token shared boilerplate) "
+          "| caps on | caps off | blowup |")
+    print("|---|---|---|---|")
+    for k in ("shingle_pairs", "shingle_build_s", "lsh_pairs", "lsh_build_s"):
+        r = round(u[k] / c[k], 1) if c[k] else float("inf")
+        print(f"| {k} | {c[k]} | {u[k]} | {r}x |")
+    print(json.dumps({"adversarial": results}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
@@ -132,7 +215,13 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1"))
     ap.add_argument("--fresh-cache", action="store_true",
                     help="wipe snapshot caches first so build times are cold")
+    ap.add_argument("--adversarial", action="store_true",
+                    help="run only the boilerplate-skew cap-on/cap-off probe")
     args = ap.parse_args()
+
+    if args.adversarial:
+        run_adversarial(os.path.dirname(args.out))
+        return
 
     from roapi_spark.functions import dedup, similarity
     from roapi_spark.functions.snapshot import cache_root
@@ -202,6 +291,13 @@ def main() -> None:
                 best = t if best is None or t < best else best
             row[q + "_s"] = best
 
+        # recall VALUES, not just wall time: the nprobe/K_LISTS dials need
+        # a quality curve at scale (r5 verdict item)
+        for q, key in (("q_ann_recall", "recall_at_5"),
+                       ("q_ann_recall_nprobe", "recall_at_5_nprobe")):
+            r = specs[q].builder(spark, sf_dir).collect()[0]
+            row[key] = float(r["recall_at_5"])
+
         # Delta write lifecycle at this scale: publish the documents
         # table as 4 appends (micro-batch shape), then compact + vacuum
         import tempfile
@@ -258,7 +354,7 @@ def main() -> None:
               "multimodal_image_webp_s", "multimodal_audio_flac_s",
               "multimodal_image_phash_s",
               "delta_4appends_s", "delta_compact_s", "delta_vacuum_s",
-              "delta_vacuumed_files"):
+              "delta_vacuumed_files", "recall_at_5", "recall_at_5_nprobe"):
         print(f"| {k} | {a[k]} | {b[k]} | {ratio(k)}x |")
     print(json.dumps({"sf0.1": a, "sf1": b}))
 
