@@ -86,6 +86,9 @@ CONSOLE_HTML = b"""<!doctype html>
 const HKEY='roapi_spark_hist';
 let hist=[];
 try{hist=JSON.parse(localStorage.getItem(HKEY)||'[]')}catch(e){hist=[]}
+// corrupted/foreign storage (e.g. '42' or '{}') parses fine but breaks
+// hist.unshift later -- coerce anything non-array-of-strings back to []
+if(!Array.isArray(hist))hist=[];else hist=hist.filter(x=>typeof x==='string');
 function el(tag,text,cls){const e=document.createElement(tag);
   if(text!==undefined)e.textContent=text;if(cls)e.className=cls;return e}
 function renderHist(){

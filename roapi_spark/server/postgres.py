@@ -449,6 +449,15 @@ class _Handler(socketserver.BaseRequestHandler):
             return
         df = self.server.catalog.query_sql(p["sql"])
         p["fields"] = df.schema.fields
+        # Bind's result-format-code list must cover all columns, one, or
+        # none (protocol rule); silently text-defaulting the excess would
+        # hand a buggy client wrong formats without an error
+        rfmts = p.get("rfmts") or []
+        if len(rfmts) not in (0, 1, len(p["fields"])):
+            raise ValueError(
+                f"bind message supplies {len(rfmts)} result format codes "
+                f"but query returns {len(p['fields'])} columns"
+            )
         p["rows"] = df.collect()
 
     def _describe_msg(self, sock, payload: bytes) -> None:

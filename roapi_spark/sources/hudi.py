@@ -109,7 +109,15 @@ def table_layout(
                 if not fid or not rel:
                     continue
                 if ".log." in os.path.basename(rel):
-                    logs.setdefault((part, fid), []).append((instant, rel))
+                    # hudi appends to an existing log file across
+                    # deltacommits, and every touching commit re-lists the
+                    # path in its write stats — record each file ONCE (at
+                    # its first touch) or the replay would re-read the
+                    # whole file per commit and duplicate its records;
+                    # per-block INSTANT_TIME headers attribute rows
+                    slot = logs.setdefault((part, fid), [])
+                    if all(rel != r for _, r in slot):
+                        slot.append((instant, rel))
                     continue
                 cur = groups.get((part, fid))
                 if cur is None or instant >= cur[0]:
@@ -245,22 +253,33 @@ _RECORD_KEY = "_hoodie_record_key"
 _DELETED = "_hoodie_is_deleted"
 
 
-def _log_rows(log_files: list[tuple[str, str]]) -> list[dict]:
+def _log_rows(
+    log_files: list[tuple[str, str]], key_field: str = _RECORD_KEY
+) -> list[dict]:
     """Replay log files -> row dicts tagged with __instant/__ord (the
     merge ordering). Files replay in instant order; blocks within a file
-    in append order (hudi_log handles rollback voiding)."""
+    in append order (hudi_log handles rollback voiding and turns DELETE
+    blocks into ``{key, _hoodie_is_deleted: True}`` tombstones). Rows are
+    normalized to the union of observed fields (None-filled) so sparse
+    tombstones and schema-evolved blocks union into one DataFrame."""
     from roapi_spark.sources.hudi_log import merged_records
 
     rows: list[dict] = []
     ordinal = 0
     for file_instant, path in sorted(log_files):
-        for instant, rec in merged_records(open(path, "rb").read()):
+        for instant, rec in merged_records(
+            open(path, "rb").read(), key_field=key_field
+        ):
             r = dict(rec)
             r["__instant"] = instant or file_instant
             r["__ord"] = ordinal
             ordinal += 1
             rows.append(r)
-    return rows
+    all_keys: dict[str, None] = {}  # insertion-ordered field union
+    for r in rows:
+        for k in r:
+            all_keys.setdefault(k)
+    return [{k: r.get(k) for k in all_keys} for r in rows]
 
 
 def _merge_log_deltas(spark, base, log_files, ts) -> DataFrame:
@@ -273,7 +292,7 @@ def _merge_log_deltas(spark, base, log_files, ts) -> DataFrame:
     from pyspark.sql import functions as F
 
     key = str(ts.option.get("record_key", _RECORD_KEY))
-    rows = _log_rows(log_files)
+    rows = _log_rows(log_files, key_field=key)
     if not rows:
         if base is None:
             raise HudiError("log files contained no records and no base exists")
@@ -358,8 +377,14 @@ def incremental_file_slices(
                     continue
                 if ".log." in os.path.basename(rel):
                     # every in-range log file contributes (append-only rows
-                    # carry no carried-over duplication, unlike CoW bases)
-                    log_slices.append((instant, os.path.join(root, rel)))
+                    # carry no carried-over duplication, unlike CoW bases) —
+                    # but once per FILE, not once per touching commit: the
+                    # same path is re-listed by each deltacommit appending
+                    # to it, and the loader's per-row block-instant filter
+                    # handles in-range attribution
+                    p = os.path.join(root, rel)
+                    if all(p != q for _, q in log_slices):
+                        log_slices.append((instant, p))
                 else:
                     latest[(part, fid)] = (instant, os.path.join(root, rel))
     return sorted(list(latest.values()) + log_slices)

@@ -28,8 +28,13 @@ the MoR SEMANTICS: upsert-by-record-key with latest-instant-wins,
 soft deletes via the public ``_hoodie_is_deleted`` convention, rollback
 COMMAND blocks voiding the blocks of their target instant, and log-only
 deltacommits being visible to snapshot + incremental queries but not the
-read-optimized view. Deletes via dedicated DELETE blocks (ordinal 1) are
-recognized and rejected loudly rather than half-read.
+read-optimized view, and — as of round 7 — dedicated DELETE blocks
+(ordinal 1) carrying the public ``HoodieDeleteRecordList`` Avro payload
+(hudi's HoodieDeleteBlock: u32 payload version, u32 byte length, then
+Avro-binary record list; each HoodieDeleteRecord names a recordKey +
+partitionPath). A delete replays as a tombstone row
+``{record_key: ..., _hoodie_is_deleted: true}`` at the block's instant,
+so latest-instant-wins merging handles delete-then-reinsert correctly.
 
 Scale: a log file belongs to ONE file group and is read as a whole (the
 format is append-only with no random access) — the reader returns plain
@@ -58,6 +63,37 @@ H_SCHEMA = 2
 H_COMMAND_BLOCK_TYPE = 3
 
 ROLLBACK_COMMAND = "ROLLBACK_BLOCK"  # HoodieCommandBlockTypeEnum.ROLLBACK_BLOCK
+
+# Public delete payload (hudi-common HoodieDeleteRecordList.avsc, simplified:
+# orderingVal's full union spans every avro primitive; keys and partition
+# paths are what the replay needs). Payload framing per HoodieDeleteBlock:
+# u32 version, u32 length, avro-binary body.
+DELETE_PAYLOAD_VERSION = 2
+DELETE_RECORD_LIST_SCHEMA = {
+    "type": "record",
+    "name": "HoodieDeleteRecordList",
+    "namespace": "org.apache.hudi.avro.model",
+    "fields": [
+        {
+            "name": "deleteRecordList",
+            "type": {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "HoodieDeleteRecord",
+                    "fields": [
+                        {"name": "recordKey", "type": ["null", "string"]},
+                        {"name": "partitionPath", "type": ["null", "string"]},
+                        {
+                            "name": "orderingVal",
+                            "type": ["null", "string", "long", "double"],
+                        },
+                    ],
+                },
+            },
+        }
+    ],
+}
 
 
 class HudiLogError(ValueError):
@@ -90,7 +126,8 @@ def _write_map(meta: dict[int, str]) -> bytes:
 def read_log_file(data: bytes) -> list[dict]:
     """Parse every block: [{'type', 'header', 'records'|None}].
     AVRO_DATA blocks carry decoded record dicts; COMMAND blocks carry
-    their header only; DELETE blocks raise (unsupported payload)."""
+    their header only; DELETE blocks carry their decoded
+    HoodieDeleteRecord dicts (recordKey/partitionPath/orderingVal)."""
     import json
 
     blocks: list[dict] = []
@@ -145,10 +182,25 @@ def read_log_file(data: bytes) -> list[dict]:
             # hudi writes these in place of half-flushed appends; skip
             blocks.append({"type": btype, "header": header, "records": None})
         elif btype == DELETE_BLOCK:
-            raise HudiLogError(
-                "hudi DELETE log blocks (hudi-internal avro payload) are not "
-                "supported; use the public _hoodie_is_deleted soft-delete "
-                "convention instead"
+            if len(content) < 8:
+                raise HudiLogError("truncated hudi DELETE block payload")
+            _ver, plen = struct.unpack(">II", content[:8])
+            body = content[8 : 8 + plen]
+            if len(body) < plen:
+                raise HudiLogError("truncated hudi DELETE block record list")
+            dec = _Decoder(DELETE_RECORD_LIST_SCHEMA)
+            try:
+                lst = dec.read(DELETE_RECORD_LIST_SCHEMA, io.BytesIO(body))
+            except AvroError as exc:
+                raise HudiLogError(
+                    f"bad avro payload in hudi DELETE block: {exc}"
+                ) from exc
+            blocks.append(
+                {
+                    "type": btype,
+                    "header": header,
+                    "records": lst.get("deleteRecordList") or [],
+                }
             )
         else:
             raise HudiLogError(f"unknown hudi log block type {btype}")
@@ -156,11 +208,16 @@ def read_log_file(data: bytes) -> list[dict]:
     return blocks
 
 
-def merged_records(data: bytes) -> list[tuple[str, dict]]:
+def merged_records(
+    data: bytes, key_field: str = "_hoodie_record_key"
+) -> list[tuple[str, dict]]:
     """Flatten a log file to [(instant, record)] in append order, with
     rollback COMMAND blocks voiding earlier blocks of their target
     instant (the public rollback semantics: a failed delta write's
-    blocks are neutralized by a later rollback marker)."""
+    blocks are neutralized by a later rollback marker). DELETE blocks
+    replay as ``{key_field: recordKey, '_hoodie_is_deleted': True}``
+    tombstones so latest-instant-wins merging applies uniformly to
+    upserts, soft deletes and hard deletes."""
     out: list[tuple[str, dict]] = []
     for block in read_log_file(data):
         instant = block["header"].get(H_INSTANT_TIME, "")
@@ -170,6 +227,13 @@ def merged_records(data: bytes) -> list[tuple[str, dict]]:
                 out = [(i, r) for (i, r) in out if i != target]
             continue
         if block["records"] is None:
+            continue
+        if block["type"] == DELETE_BLOCK:
+            for dr in block["records"]:
+                rk = dr.get("recordKey")
+                if rk is None:
+                    raise HudiLogError("hudi DELETE record without recordKey")
+                out.append((instant, {key_field: rk, "_hoodie_is_deleted": True}))
             continue
         out.extend((instant, r) for r in block["records"])
     return out
@@ -199,8 +263,25 @@ def write_log_block(
         content = bytes(content)
     elif btype == COMMAND_BLOCK:
         content = b""
+    elif btype == DELETE_BLOCK:
+        if records is None:
+            raise HudiLogError("delete block needs HoodieDeleteRecord dicts")
+        enc = _Encoder(DELETE_RECORD_LIST_SCHEMA)
+        body = bytearray()
+        recs = [
+            {
+                "recordKey": r.get("recordKey"),
+                "partitionPath": r.get("partitionPath"),
+                "orderingVal": r.get("orderingVal"),
+            }
+            for r in records
+        ]
+        enc.write(DELETE_RECORD_LIST_SCHEMA, {"deleteRecordList": recs}, body)
+        content = struct.pack(">II", DELETE_PAYLOAD_VERSION, len(body)) + bytes(body)
     else:
-        raise HudiLogError(f"writer supports AVRO_DATA/COMMAND blocks, not {btype}")
+        raise HudiLogError(
+            f"writer supports AVRO_DATA/DELETE/COMMAND blocks, not {btype}"
+        )
 
     hdr = _write_map(header)
     ftr = _write_map({})

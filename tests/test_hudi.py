@@ -303,3 +303,120 @@ def test_hudi_incremental_no_double_count_on_rewrites(spark, tmp_path):
     rows = sorted((r["id"], r["_commit_instant"]) for r in df.collect())
     # only the 003 slice — no duplicate ids from the 002 slice
     assert rows == [(1, "003"), (2, "003"), (3, "003")]
+
+
+def _delete_log_file(root, file_id, base_instant, instant, keys, version=1):
+    from roapi_spark.sources.hudi_log import (
+        DELETE_BLOCK, H_INSTANT_TIME, write_log_block,
+    )
+
+    name = f".{file_id}_{base_instant}.log.{version}_0-1-0"
+    blob = write_log_block(
+        DELETE_BLOCK,
+        {H_INSTANT_TIME: instant},
+        [{"recordKey": k, "partitionPath": "", "orderingVal": None} for k in keys],
+    )
+    (root / name).write_bytes(blob)
+    return name
+
+
+def test_hudi_mor_delete_block_hard_deletes(spark, mor_table, tmp_path):
+    """A dedicated DELETE log block (HoodieDeleteBlock, public
+    HoodieDeleteRecordList avro payload) hard-deletes its record keys at
+    its instant; a later upsert of the same key resurrects it."""
+    import shutil
+
+    root = tmp_path / "trips4"
+    shutil.copytree(mor_table, root)
+    meta = root / ".hoodie"
+    # 004: delete k1 and k3 via a DELETE block
+    l3 = _delete_log_file(root, "fg1", "001", "004", ["k1", "k3"], version=3)
+    _commit(meta, "004", {"": [{"fileId": "fg1", "path": l3}]}, kind="deltacommit")
+    df = _load(spark, {"name": "t", "uri": str(root)})
+    rows = {r["_hoodie_record_key"]: r["fare"] for r in df.collect()}
+    # k1 (12.0 after 003) and k3 (base) both hard-deleted; k4 survives
+    assert rows == {"k4": 40.0}
+    # 005: re-insert k1 — latest-instant-wins resurrects it
+    l4 = _log_file(root, "fg1", "001", "005", [_rec("k1", 1, 99.0)], version=4)
+    _commit(meta, "005", {"": [{"fileId": "fg1", "path": l4}]}, kind="deltacommit")
+    df2 = _load(spark, {"name": "t", "uri": str(root)})
+    rows2 = {r["_hoodie_record_key"]: r["fare"] for r in df2.collect()}
+    assert rows2 == {"k1": 99.0, "k4": 40.0}
+
+
+def test_hudi_delete_block_roundtrip():
+    from roapi_spark.sources.hudi_log import (
+        DELETE_BLOCK, H_INSTANT_TIME, merged_records, read_log_file,
+        write_log_block,
+    )
+
+    blob = write_log_block(
+        DELETE_BLOCK,
+        {H_INSTANT_TIME: "010"},
+        [{"recordKey": "a", "partitionPath": "p", "orderingVal": 7}],
+    )
+    (block,) = read_log_file(blob)
+    assert block["type"] == DELETE_BLOCK
+    assert block["records"] == [
+        {"recordKey": "a", "partitionPath": "p", "orderingVal": 7}
+    ]
+    assert merged_records(blob) == [
+        ("010", {"_hoodie_record_key": "a", "_hoodie_is_deleted": True})
+    ]
+    assert merged_records(blob, key_field="uid") == [
+        ("010", {"uid": "a", "_hoodie_is_deleted": True})
+    ]
+
+
+def test_hudi_mor_no_double_read_when_commits_share_log_file(spark, tmp_path):
+    """Two deltacommits appending to the SAME log file must not replay
+    the file twice: each commit re-lists the path in its write stats, but
+    the layout dedupes by path and per-block INSTANT_TIME attributes
+    rows (snapshot AND incremental views)."""
+    meta_dir_schema = {  # id-keyed table, no meta columns
+        "type": "record", "name": "r",
+        "fields": [{"name": "_hoodie_record_key", "type": "string"},
+                   {"name": "id", "type": "long"},
+                   {"name": "fare", "type": "double"},
+                   {"name": "_hoodie_is_deleted", "type": "boolean"}],
+    }
+    from roapi_spark.sources.hudi_log import (
+        AVRO_DATA_BLOCK, H_INSTANT_TIME, write_log_block,
+    )
+
+    root = tmp_path / "shared_log"
+    meta = root / ".hoodie"
+    meta.mkdir(parents=True)
+    (meta / "hoodie.properties").write_text("hoodie.table.type=MERGE_ON_READ\n")
+    p1 = _base_file(root, "", "fg1", "001", {
+        "_hoodie_record_key": ["k1"], "id": [1], "fare": [10.0],
+        "_hoodie_is_deleted": [False],
+    })
+    _commit(meta, "001", {"": [{"fileId": "fg1", "path": p1}]})
+    name = ".fg1_001.log.1_0-1-0"
+    # 002 creates the log file; 003 APPENDS to the same file
+    b1 = write_log_block(AVRO_DATA_BLOCK, {H_INSTANT_TIME: "002"},
+                         [_rec("k2", 2, 20.0)], meta_dir_schema)
+    (root / name).write_bytes(b1)
+    _commit(meta, "002", {"": [{"fileId": "fg1", "path": name}]},
+            kind="deltacommit")
+    b2 = write_log_block(AVRO_DATA_BLOCK, {H_INSTANT_TIME: "003"},
+                         [_rec("k3", 3, 30.0)], meta_dir_schema)
+    (root / name).write_bytes(b1 + b2)
+    _commit(meta, "003", {"": [{"fileId": "fg1", "path": name}]},
+            kind="deltacommit")
+    # snapshot: exactly one row per key (no double replay of b1)
+    df = _load(spark, {"name": "t", "uri": str(root)})
+    rows = sorted((r["_hoodie_record_key"], r["fare"]) for r in df.collect())
+    assert rows == [("k1", 10.0), ("k2", 20.0), ("k3", 30.0)]
+    # incremental from 001: k2 once (at 002) and k3 once (at 003)
+    inc = _load(spark, {"name": "t", "uri": str(root),
+                        "option": {"format": "hudi", "incremental_from": "001"}})
+    irows = sorted((r["_commit_instant"], r["_hoodie_record_key"])
+                   for r in inc.collect())
+    assert irows == [("002", "k2"), ("003", "k3")]
+    # bounded incremental (001, 002]: block-instant filtering keeps only b1
+    inc2 = _load(spark, {"name": "t", "uri": str(root),
+                         "option": {"format": "hudi", "incremental_from": "001",
+                                    "incremental_to": "002"}})
+    assert [r["_hoodie_record_key"] for r in inc2.collect()] == ["k2"]

@@ -438,3 +438,22 @@ def test_describe_plans_once_per_parse(pg):
         c.close()
     finally:
         catalog.query_sql = orig
+
+
+def test_extended_wrong_result_format_count_errors(pg):
+    """A Bind whose result-format-code list is neither empty, one, nor
+    the column count must surface an ErrorResponse (protocol rule), not
+    silently text-default the uncovered columns."""
+    c = MiniPgClient(pg.port)
+    c.parse("s12", "SELECT id, ok, name FROM pgt ORDER BY id", [])
+    c.bind("", "s12", [], result_fmts=[1, 0])  # 2 codes for 3 columns
+    c.execute("", 0)
+    msgs = c.sync()
+    assert b"E" in _tags(msgs) and msgs[-1][0] == b"Z"
+    err = next(p for t, p in msgs if t == b"E")
+    assert b"format" in err
+    # exact-count, single and empty code lists all still work
+    c.bind("", "s12", [], result_fmts=[0, 0, 0])
+    c.execute("", 0)
+    assert any(t == b"D" for t, _ in c.sync())
+    c.close()
