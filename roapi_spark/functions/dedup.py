@@ -37,6 +37,14 @@ BAND_CAP = 100
 # shingles at scale (df_max is 25 at sf0.1, so results are unaffected at
 # test scale; at 100 TB this is the load-bearing guard)
 STOP_SHINGLE_DF = 1000
+# Degenerate-cell guard for the kmeans-blocked embedding pair join: a
+# coarse-quantizer cell holding more than CELL_SKEW_MULT x the balanced
+# share (corpus/K_LISTS) means the embeddings collapsed onto one centroid
+# (identical/near-identical vectors — dedup_exact's territory); equi-joining
+# inside it is exactly the quadratic blowup the blocking exists to avoid.
+# Scale-free by construction (the bound tracks corpus size), so balanced
+# corpora are untouched at any SF; mirrored in the DuckDB oracle.
+CELL_SKEW_MULT = 4
 
 _TOKS_DUCK = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0)"
 # word 3-gram shingles, distinct, DuckDB side (1-indexed lists)
@@ -395,13 +403,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_kmeans_oracle() -> str:
+    from roapi_spark.functions.similarity import K_LISTS as _K_LISTS_ORACLE
     from roapi_spark.functions.similarity import kmeans_oracle_prefix
 
     return f"""
-    WITH {kmeans_oracle_prefix()}
+    WITH {kmeans_oracle_prefix()},
+    okc AS (  -- degenerate-cell guard: same skew cap as the Spark side
+      SELECT cid FROM af GROUP BY cid
+      HAVING COUNT(*) <= {CELL_SKEW_MULT} * (SELECT COUNT(*) FROM af)
+                         / {_K_LISTS_ORACLE})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(LIST_COSINE_SIMILARITY(ea.v, eb.v), 4) AS cos_sim
     FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN okc ON okc.cid = a.cid
     JOIN e ea ON ea.vec_id = a.vec_id
     JOIN e eb ON eb.vec_id = b.vec_id
     WHERE ROUND(LIST_COSINE_SIMILARITY(ea.v, eb.v), 4) >= 0.3
@@ -422,7 +436,12 @@ def _embedding_kmeans_oracle() -> str:
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from roapi_spark.functions.similarity import dot_expr, ivf_layout, norm_expr
+    from roapi_spark.functions.similarity import (
+        K_LISTS,
+        dot_expr,
+        ivf_layout,
+        norm_expr,
+    )
 
     layout_dir, _ = ivf_layout(spark, sf_dir)
     # same norm hoist as dedup_embedding_cosine: one map-side fold per
@@ -432,6 +451,17 @@ def dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", "cid")
         .withColumn("n", norm_expr("v"))
     )
+    # degenerate-cell guard (CELL_SKEW_MULT): both aggregates are
+    # K_LISTS-sized / 1-row, broadcast into the membership filter — the
+    # layout scan itself never reshuffles
+    cells = e.groupBy("cid").agg(F.count("*").alias("cn"))
+    tot = e.agg(F.count("*").alias("tot"))
+    ok = (
+        cells.crossJoin(F.broadcast(tot))
+        .filter(F.col("cn") <= F.lit(CELL_SKEW_MULT) * F.col("tot") / F.lit(K_LISTS))
+        .select("cid")
+    )
+    e = e.join(F.broadcast(ok), "cid")
     a = e.alias("a")
     b = e.alias("b")
     # try_divide: ANSI-safe on zero-norm vectors (NULL -> below threshold)

@@ -227,3 +227,67 @@ def test_duplicate_timestamp_events_match_oracle(spark, edge_events_dir, name):
         spec.oracle,
     )
     assert res.ok, res.detail
+
+
+@pytest.fixture(scope="module")
+def collapsed_emb_dir(tmp_path_factory):
+    """Degenerate-centroid corpus: 16 spread vectors (incl. the K_LISTS
+    k-means seeds) + 32 copies of one vector. The collapsed cell exceeds
+    CELL_SKEW_MULT x the balanced share (48/8=6 -> cap 24), so the
+    kmeans-blocked dedup must drop it; the spread cells must survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim = 64
+    rng_vecs = []
+    for i in range(16):
+        # deterministic, well-separated directions
+        v = [0.0] * dim
+        v[i % dim] = 10.0
+        v[(i * 7 + 3) % dim] = float(3 + i)
+        rng_vecs.append((i, v, 1))
+    hot = [1.0] * dim
+    for j in range(32):
+        rng_vecs.append((1000 + j, hot, 2))
+    d = tmp_path_factory.mktemp("collapsed_emb")
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([v[0] for v in rng_vecs], pa.int64()),
+            "embedding": pa.array([v[1] for v in rng_vecs], pa.list_(pa.float32())),
+            "label": pa.array([v[2] for v in rng_vecs], pa.int32()),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+def test_kmeans_dedup_cell_skew_guard(spark, collapsed_emb_dir):
+    """CELL_SKEW_MULT drops the collapsed cell (no quadratic 32^2/2 pair
+    set from the identical vectors) and the Spark result still matches
+    the DuckDB oracle, whose okc CTE mirrors the cap."""
+    from roapi_spark.functions import dedup
+
+    spec = load_all()["dedup_embedding_kmeans"]
+    res = compare(
+        "dedup_embedding_kmeans",
+        spec.builder(spark, collapsed_emb_dir),
+        duckdb_conn(collapsed_emb_dir),
+        spec.oracle,
+    )
+    assert res.ok, res.detail
+    rows = spec.builder(spark, collapsed_emb_dir).collect()
+    hot_ids = {1000 + j for j in range(32)}
+    assert not any(r.id_a in hot_ids or r.id_b in hot_ids for r in rows), (
+        "collapsed-cell pairs must be dropped by the skew guard"
+    )
+    # guard off -> the quadratic pair set appears (the blowup being bounded)
+    saved = dedup.CELL_SKEW_MULT
+    try:
+        dedup.CELL_SKEW_MULT = 10**9
+        uncapped = spec.builder(spark, collapsed_emb_dir).collect()
+    finally:
+        dedup.CELL_SKEW_MULT = saved
+    hot_pairs = sum(
+        1 for r in uncapped if r.id_a in hot_ids and r.id_b in hot_ids
+    )
+    assert hot_pairs == 32 * 31 // 2

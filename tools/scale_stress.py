@@ -161,6 +161,40 @@ def ensure_adversarial(src: str, out: str, n_docs: int = 1200,
     open(os.path.join(out, "_READY_adv2"), "w").close()
 
 
+def ensure_adversarial_emb(src: str, out: str, n_collapsed: int = 1200,
+                           n_normal: int = 800) -> None:
+    """Degenerate-embedding corpus: n_normal real sf0.1 vectors (incl.
+    vec_id 0..K_LISTS-1, the k-means seeds) plus n_collapsed copies of ONE
+    vector — the all-embeddings-in-one-centroid shape that turns the
+    kmeans-blocked dedup equi-join quadratic. The collapsed cell ends up
+    over CELL_SKEW_MULT x the balanced share, so the guard must drop it
+    while the normal cells keep producing pairs."""
+    if os.path.exists(os.path.join(out, "_READY_advemb1")):
+        return
+    shutil.rmtree(out, ignore_errors=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out, exist_ok=True)
+    embt = pq.read_table(os.path.join(src, "embeddings.parquet"))
+    base = embt.column("embedding").to_pylist()
+    labels = embt.column("label").to_pylist()
+    vecs = base[:n_normal] + [base[0]] * n_collapsed
+    ids = list(range(n_normal)) + [VEC_OFF + i for i in range(n_collapsed)]
+    labs = labels[:n_normal] + [labels[0]] * n_collapsed
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(vecs),
+            "label": pa.array(labs),
+        }),
+        os.path.join(out, "embeddings.parquet"),
+    )
+    for aux in ("documents.parquet", "events.parquet"):
+        shutil.copy(os.path.join(src, aux), os.path.join(out, aux))
+    open(os.path.join(out, "_READY_advemb1"), "w").close()
+
+
 def run_adversarial(out_dir: str) -> None:
     """Measure the df-cap / band-cap value on the skew corpus: candidate
     pair counts and wall time with the guards ON vs OFF (the OFF run is
@@ -206,6 +240,32 @@ def run_adversarial(out_dir: str) -> None:
         r = round(u[k] / c[k], 1) if c[k] else float("inf")
         print(f"| {k} | {c[k]} | {u[k]} | {r}x |")
     print(json.dumps({"adversarial": results}))
+
+    # embedding-blocked dedup: the analogous skew is every vector
+    # collapsing onto one centroid — CELL_SKEW_MULT must bound the pair
+    # join while normal cells keep producing pairs
+    advemb = os.path.join(out_dir, "sf_adv_emb")
+    ensure_adversarial_emb(SRC, advemb)
+    eres = {}
+    saved_mult = dedup.CELL_SKEW_MULT
+    try:
+        for mode in ("capped", "uncapped"):
+            dedup.CELL_SKEW_MULT = saved_mult if mode == "capped" else 10**9
+            t0 = time.time()
+            pairs = dedup.dedup_embedding_kmeans(spark, advemb).count()
+            eres[mode] = {"kmeans_pairs": pairs,
+                          "kmeans_pairs_s": round(time.time() - t0, 2)}
+    finally:
+        dedup.CELL_SKEW_MULT = saved_mult
+        shutil.rmtree(cache_root(), ignore_errors=True)
+    ce, ue = eres["capped"], eres["uncapped"]
+    print("| adversarial metric (800 real + 1200 collapsed embeddings) "
+          "| cap on | cap off | blowup |")
+    print("|---|---|---|---|")
+    for k in ("kmeans_pairs", "kmeans_pairs_s"):
+        r = round(ue[k] / ce[k], 1) if ce[k] else float("inf")
+        print(f"| {k} | {ce[k]} | {ue[k]} | {r}x |")
+    print(json.dumps({"adversarial_emb": eres}))
 
 
 def main() -> None:
@@ -284,7 +344,9 @@ def main() -> None:
                   "multimodal_image_jpeg", "multimodal_video_mjpeg",
                   "multimodal_image_jpeg_progressive",
                   "multimodal_image_webp", "multimodal_audio_flac",
-                  "multimodal_image_phash"):
+                  "multimodal_image_phash",
+                  # round-7 addition: BM25 (tf shuffle should be ~linear)
+                  "q_bm25_topk"):
             best = None
             for _ in range(2):
                 t, _n = timed(lambda: specs[q].builder(spark, sf_dir).count())
@@ -352,7 +414,7 @@ def main() -> None:
               "multimodal_image_jpeg_s", "multimodal_video_mjpeg_s",
               "multimodal_image_jpeg_progressive_s",
               "multimodal_image_webp_s", "multimodal_audio_flac_s",
-              "multimodal_image_phash_s",
+              "multimodal_image_phash_s", "q_bm25_topk_s",
               "delta_4appends_s", "delta_compact_s", "delta_vacuum_s",
               "delta_vacuumed_files", "recall_at_5", "recall_at_5_nprobe"):
         print(f"| {k} | {a[k]} | {b[k]} | {ratio(k)}x |")
