@@ -1,0 +1,216 @@
+"""Training-pipeline batch 8 (round 7): statistical language-model
+quality signals.
+
+Two standard corpus-curation scorers that need only the corpus itself:
+
+- ``q_ngram_perplexity`` — a bigram LM with Laplace smoothing fit on the
+  whole corpus, scoring every document by cross-entropy (bits/bigram).
+  This is the KenLM-perplexity filter of CCNet/Gopher-style pipelines
+  reduced to its n-gram essence: fluent in-distribution text scores low,
+  boilerplate/garbled text scores high. No external model artifact — the
+  LM "training" is two count aggregations over the same exploded bigram
+  set the scoring pass uses.
+- ``q_source_kl`` — KL divergence of each source's unigram distribution
+  against the corpus mixture: the drift/mixture diagnostic run before
+  reweighting sources (a source with high KL is lexically unlike the
+  blend the model will see).
+
+Scale shape at 100 TB: everything is (term)- or (bigram)-keyed aggregation
+— the same shuffle family as tf-idf/BM25. The LM count tables are
+vocabulary-bounded dimensions joined back on their own grouping key (no
+second shuffle of the exploded side under AQE: the bigram explode is
+aggregated per (doc, bigram) FIRST, so the join input is the compacted
+per-doc postings, not raw token streams). Outputs are per-doc/per-source
+rows — no all-pairs, no unbounded collect.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roapi_spark.plans.registry import register
+from roapi_spark.plans.util import maybe_broadcast
+from roapi_spark.util import pround
+
+_TOKS_DUCK = (
+    "list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+    "x -> length(x) > 0)"
+)
+
+LAPLACE_K = 1.0  # add-one smoothing: exact, engine-agnostic
+
+
+def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _bigrams_over(w: str):
+    """array<struct<prev,cur>> of adjacent token pairs over a
+    MATERIALIZED token-array column named ``w`` — a plain column
+    reference, safe inside lambdas (docs/SCALE.md pitfall #2: a computed
+    expression here would re-evaluate the tokenizer split per element)."""
+    return F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("prev"),
+                F.element_at(w, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+
+
+@register(
+    "q_ngram_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_DUCK}) AS term,
+             generate_subscripts({_TOKS_DUCK}, 1) AS pos
+      FROM documents
+    ), big AS (
+      SELECT a.doc_id, a.term AS prev, b.term AS cur
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ), dbig AS (
+      SELECT doc_id, prev, cur, COUNT(*) AS n
+      FROM big GROUP BY doc_id, prev, cur
+    ), bc AS (
+      SELECT prev, cur, SUM(n) AS c2 FROM dbig GROUP BY prev, cur
+    ), uc AS (
+      SELECT prev, SUM(c2) AS c1 FROM bc GROUP BY prev
+    ), vocab AS (
+      SELECT COUNT(DISTINCT term) AS v FROM toks
+    ), scored AS (
+      SELECT d.doc_id,
+             SUM(d.n) AS n_bigrams,
+             SUM(d.n * -LN((bc.c2 + {LAPLACE_K}) / (uc.c1 + {LAPLACE_K} * vocab.v))
+                 / LN(2.0)) / SUM(d.n) AS h
+      FROM dbig d
+      JOIN bc ON bc.prev = d.prev AND bc.cur = d.cur
+      JOIN uc ON uc.prev = d.prev
+      CROSS JOIN vocab
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           FLOOR(h * 10000 + 0.5) / 10000.0 AS bits_per_bigram
+    FROM scored
+    ORDER BY bits_per_bigram DESC, doc_id LIMIT 50
+    """,
+    doc="Bigram-LM cross-entropy per document (bits/bigram, Laplace "
+    "smoothing, LM fit on the corpus itself) — the n-gram core of the "
+    "CCNet/KenLM perplexity quality filter. Top-50 most-surprising docs. "
+    "Plan: one (doc,bigram) explode+agg shuffle; the bigram/unigram count "
+    "tables derive from THAT aggregate (vocabulary-bounded) and join back "
+    "on their own grouping key; vocab size broadcasts as a 1-row stat.",
+    tags=("text", "quality", "pipeline"),
+)
+def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+    from roapi_spark.functions.text import tokens_col
+
+    dbig = (
+        docs(spark, sf_dir)
+        .select("doc_id", tokens_col().alias("w"))
+        .select("doc_id", F.explode(_bigrams_over("w")).alias("bg"))
+        .groupBy("doc_id", "bg.prev", "bg.cur")
+        .agg(F.count("*").alias("n"))
+    )
+    bc = dbig.groupBy("prev", "cur").agg(F.sum("n").alias("c2"))
+    uc = bc.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        docs(spark, sf_dir)
+        .select(F.explode(tokens_col()).alias("term"))
+        .agg(F.count_distinct("term").alias("v"))
+    )
+    scored = (
+        dbig.join(maybe_broadcast(bc), ["prev", "cur"])
+        .join(maybe_broadcast(uc), "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            (
+                F.sum(
+                    F.col("n")
+                    * -F.log(
+                        (F.col("c2") + F.lit(LAPLACE_K))
+                        / (F.col("c1") + F.lit(LAPLACE_K) * F.col("v"))
+                    )
+                    / F.lit(math.log(2.0))
+                )
+                / F.sum("n")
+            ).alias("h"),
+        )
+    )
+    out = scored.select(
+        "doc_id", "n_bigrams", pround(F.col("h")).alias("bits_per_bigram")
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    # partial top-k then a 50-row merge, never a single-partition sort of
+    # every doc (a global row_number window would be exactly that)
+    return out.orderBy(F.desc("bits_per_bigram"), F.asc("doc_id")).limit(50)
+
+
+@register(
+    "q_source_kl",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_DUCK}) AS term FROM documents
+    ), st AS (
+      SELECT source, term, COUNT(*) AS c FROM toks GROUP BY source, term
+    ), ct AS (
+      SELECT term, SUM(c) AS cc FROM st GROUP BY term
+    ), totals AS (
+      SELECT SUM(c) AS n FROM st
+    ), stot AS (
+      SELECT source, SUM(c) AS ns FROM st GROUP BY source
+    )
+    SELECT st.source,
+           CAST(MAX(stot.ns) AS BIGINT) AS n_tokens,
+           FLOOR(SUM((st.c * 1.0 / stot.ns)
+                     * LN((st.c * 1.0 / stot.ns) / (ct.cc * 1.0 / totals.n)))
+                 * 10000 + 0.5) / 10000.0 AS kl_vs_corpus
+    FROM st
+    JOIN ct USING (term)
+    JOIN stot USING (source)
+    CROSS JOIN totals
+    GROUP BY st.source
+    ORDER BY kl_vs_corpus DESC, source
+    """,
+    doc="Per-source unigram KL divergence against the corpus mixture "
+    "(nats) — the drift diagnostic run before source reweighting. Plan: "
+    "one (source,term) agg shuffle; corpus term counts derive from that "
+    "aggregate and join back term-keyed (vocabulary-bounded); totals "
+    "broadcast as 1-row/source-count stats. Output is one row per source.",
+    tags=("text", "mixture", "pipeline"),
+)
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.text import tokens_col
+
+    st = (
+        docs(spark, sf_dir)
+        .select("source", F.explode(tokens_col()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    ct = st.groupBy("term").agg(F.sum("c").alias("cc"))
+    totals = st.agg(F.sum("c").alias("n"))
+    stot = st.groupBy("source").agg(F.sum("c").alias("ns"))
+    ps = F.col("c") * F.lit(1.0) / F.col("ns")
+    q = F.col("cc") * F.lit(1.0) / F.col("n")
+    return (
+        st.join(maybe_broadcast(ct), "term")
+        .join(maybe_broadcast(stot), "source")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("source")
+        .agg(
+            F.max("ns").cast("bigint").alias("n_tokens"),
+            pround(F.sum(ps * F.log(ps / q))).alias("kl_vs_corpus"),
+        )
+        .orderBy(F.desc("kl_vs_corpus"), F.asc("source"))
+    )
