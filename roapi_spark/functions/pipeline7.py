@@ -37,9 +37,7 @@ def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
-@register(
-    "q_bm25_topk",
-    oracle=f"""
+_BM25_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents
     ), tf AS (
@@ -77,7 +75,12 @@ def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT qid, doc_id, score, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {BM25_TOPK}
-    """,
+    """
+
+
+@register(
+    "q_bm25_topk",
+    oracle=_BM25_ORACLE,
     doc="BM25 top-10 retrieval: the first 5 documents are the query set, "
     "the rest the corpus. Plan: one (doc_id, term)-keyed tf shuffle "
     "feeding df + doclen aggregates (vocabulary / corpus-row bounded), "
@@ -130,6 +133,134 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(1.0 - BM25_B)
                         + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
                     )
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("qid", "doc_id").agg(pround(F.sum("c")).alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: the serve-path half of BM25. q_bm25_topk above recomputes
+# tokenization + three aggregates from raw text on every call — the right
+# shape for a one-shot batch score, the wrong one for a retrieval endpoint.
+# bm25_index materializes the classic inverted index once per corpus
+# snapshot (content-addressed via the parquet footer digest, same lifecycle
+# as ivf_layout / the LSH pair graphs); q_bm25_topk_served answers from it.
+
+N_PBUCKETS = 64  # term-hash partition fan-out of the postings layout
+
+
+def bm25_index(spark: SparkSession, sf_dir: str) -> tuple[str, int, float]:
+    """Build-once BM25 inverted index for ``sf_dir``: postings parquet
+    (term, doc_id, tf, dl — doc length denormalized onto every posting so
+    serving never joins a doc-keyed table) partitioned by ``pb =
+    crc32(term) % N_PBUCKETS``, a document-frequency table, and the two
+    scalar stats. The pb partitioning is what makes serving an INDEX READ
+    instead of a scan: a query's terms map to a handful of pb values, so
+    the FileScan carries PartitionFilters and reads only those posting
+    shards. Returns (layout dir, n_docs, avgdl)."""
+    import json
+
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+    from roapi_spark.functions.text import tokens_col
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = snapshot_cache_dir(src, "bm25-v1")
+
+    def _ready(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_BM25_READY"))
+
+    def _build(tmp: str) -> None:
+        toks = docs(spark, sf_dir).select(
+            "doc_id", F.explode(tokens_col()).alias("term")
+        )
+        tf = (
+            toks.filter(F.col("doc_id") >= N_QUERY_DOCS)
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+        postings = (
+            tf.join(dl, "doc_id")
+            .withColumn("pb", F.crc32(F.col("term")) % N_PBUCKETS)
+        )
+        postings.repartition("pb").write.mode("overwrite").partitionBy(
+            "pb"
+        ).parquet(os.path.join(tmp, "postings"))
+        tf.groupBy("term").agg(F.count("*").alias("df")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "dfreq"))
+        n_docs, avgdl = dl.agg(F.count("*"), F.avg("dl")).first()
+        with open(os.path.join(tmp, "_stats.json"), "w") as f:
+            json.dump({"n_docs": int(n_docs), "avgdl": float(avgdl)}, f)
+        open(os.path.join(tmp, "_BM25_READY"), "w").close()
+
+    build_once(out, _ready, _build)
+    with open(os.path.join(out, "_stats.json")) as f:
+        st = json.load(f)
+    return out, int(st["n_docs"]), float(st["avgdl"])
+
+
+@register(
+    "q_bm25_topk_served",
+    oracle=_BM25_ORACLE,
+    doc="Same result contract as q_bm25_topk (identical oracle), served "
+    "from the build-once bm25-v1 inverted index instead of re-scoring raw "
+    "text: query-doc terms (a bounded set — the query docs' vocabulary, "
+    "same bounded-driver-state rule as knn's query vectors) resolve to "
+    "crc32 partition buckets, so the postings FileScan carries "
+    "PartitionFilters and touches only the probed shards; df joins "
+    "broadcast, scores aggregate per doc, WindowGroupLimit takes top-k. "
+    "At 100 TB this is the retrieval-endpoint plan: the tokenize+aggregate "
+    "cost is paid once per corpus snapshot, not per query.",
+    tags=("text", "retrieval", "pipeline", "artifact"),
+)
+def q_bm25_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.text import tokens_col
+    from roapi_spark.plans.util import maybe_broadcast
+
+    layout, n_docs, avgdl = bm25_index(spark, sf_dir)
+    qterms = (
+        docs(spark, sf_dir)
+        .filter(F.col("doc_id") < N_QUERY_DOCS)
+        .select(F.col("doc_id").alias("qid"), F.explode(tokens_col()).alias("term"))
+        .distinct()
+    )
+    # the probed bucket set: bounded by the query docs' vocabulary (the
+    # only driver-side state, same contract as knn/IVF query collects)
+    pbs = sorted(
+        {int(r.pb) for r in qterms.select(
+            (F.crc32(F.col("term")) % N_PBUCKETS).alias("pb")
+        ).distinct().collect()}
+    )
+    postings = spark.read.parquet(os.path.join(layout, "postings")).filter(
+        F.col("pb").isin(pbs)
+    )
+    dfreq = spark.read.parquet(os.path.join(layout, "dfreq"))
+    contrib = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(maybe_broadcast(dfreq), "term")
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.log(
+                    (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * F.col("tf")
+                * F.lit(BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
                 )
             ).alias("c"),
         )

@@ -138,6 +138,7 @@ KNOWN_TAGS = (
     "sq8-v1",
     "ivf-v2",
     "streambands-v1",
+    "bm25-v1",
 )
 
 

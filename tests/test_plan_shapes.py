@@ -119,3 +119,22 @@ def test_maybe_broadcast_size_gate(spark):
     assert plan_size_bytes(dim) > 0
     unhinted = maybe_broadcast(dim, cap_bytes=1)  # pretend it is huge
     assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
+
+
+def test_bm25_served_prunes_posting_partitions(spark, specs):
+    """The bm25-v1 inverted index serve plan must be an index READ:
+    the postings FileScan carries a pb PartitionFilter (only the query
+    terms' crc32 buckets are touched) and the query-term join
+    broadcasts — no shuffle of the postings side before aggregation."""
+    plan = _plan(spark, specs, "q_bm25_topk_served")
+    assert "PartitionFilters: [pb" in plan.replace("#", " #") or (
+        "PartitionFilters" in plan and "pb#" in plan.split("PartitionFilters", 1)[1][:200]
+    ), plan[:2000]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_perplexity_take_ordered(spark, specs):
+    """Top-50 surprising docs via TakeOrderedAndProject, never a global
+    single-partition row_number sort over every document."""
+    plan = _plan(spark, specs, "q_ngram_perplexity")
+    assert "TakeOrderedAndProject" in plan
