@@ -181,10 +181,13 @@ def main() -> None:
     }
     line = json.dumps(line_obj)
     if len(line) > 1900:
-        line_obj.pop("families", None)
+        # shed precision before fields: the r7 62-query map overflows at
+        # 2 decimals, but 1 decimal keeps the full schema (queries +
+        # families) under the driver's tail budget
+        line_obj["queries"] = {n: round(v, 1) for n, v in line_obj["queries"].items()}
         line = json.dumps(line_obj)
     if len(line) > 1900:
-        line_obj["queries"] = {n: round(v, 1) for n, v in line_obj["queries"].items()}
+        line_obj.pop("families", None)
         line = json.dumps(line_obj)
     print(line)
 

@@ -193,12 +193,25 @@ def bm25_index(spark: SparkSession, sf_dir: str) -> tuple[str, int, float]:
         postings.repartition("pb").write.mode("overwrite").partitionBy(
             "pb"
         ).parquet(os.path.join(tmp, "postings"))
-        tf.groupBy("term").agg(F.count("*").alias("df")).write.mode(
+        # dfreq and the scalar stats derive from the postings JUST
+        # written, not from tf's lazy lineage: re-running that lineage
+        # would pay the corpus tokenize + tf shuffle (the dominant build
+        # cost) three times instead of once — the compacted postings are
+        # orders of magnitude smaller than the raw text
+        pdf = spark.read.parquet(os.path.join(tmp, "postings"))
+        pdf.groupBy("term").agg(F.count("*").alias("df")).write.mode(
             "overwrite"
         ).parquet(os.path.join(tmp, "dfreq"))
-        n_docs, avgdl = dl.agg(F.count("*"), F.avg("dl")).first()
+        n_docs, avgdl = (
+            pdf.groupBy("doc_id")
+            .agg(F.first("dl").alias("dl"))
+            .agg(F.count("*"), F.avg("dl"))
+            .first()
+        )
         with open(os.path.join(tmp, "_stats.json"), "w") as f:
-            json.dump({"n_docs": int(n_docs), "avgdl": float(avgdl)}, f)
+            json.dump(
+                {"n_docs": int(n_docs), "avgdl": float(avgdl or 0.0)}, f
+            )
         open(os.path.join(tmp, "_BM25_READY"), "w").close()
 
     build_once(out, _ready, _build)

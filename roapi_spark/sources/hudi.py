@@ -179,7 +179,10 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
             )
         if log_pairs:  # MoR: log-only deltacommits surface incrementally
             try:
-                rows = _log_rows(log_pairs)
+                rows = _log_rows(
+                    log_pairs,
+                    key_field=str(ts.option.get("record_key", _RECORD_KEY)),
+                )
             except (HudiError, OSError) as exc:
                 raise LoadError(f"hudi table {ts.name!r}: {exc}") from exc
             lo = str(ts.option["incremental_from"])
@@ -202,10 +205,16 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
             out = out.unionByName(p, allowMissingColumns=True)
         # CoW rewrites whole base files: when the data carries Hudi's
         # per-row _hoodie_commit_time meta column, refine to rows
-        # actually written in the range (carried-over rows drop out)
+        # actually written in the range (carried-over rows drop out).
+        # Rows WITHOUT the meta value — log-replayed upserts and DELETE
+        # tombstones (allowMissingColumns leaves theirs NULL), or slices
+        # from before the column existed — fall back to the commit
+        # instant that surfaced them, which is exact for log blocks and
+        # the correct whole-file attribution for base rewrites
         if "_hoodie_commit_time" in out.columns:
             out = out.filter(
-                F.col("_hoodie_commit_time") > str(ts.option["incremental_from"])
+                F.coalesce(F.col("_hoodie_commit_time"), F.col("_commit_instant"))
+                > str(ts.option["incremental_from"])
             )
         return out
     try:
@@ -293,6 +302,12 @@ def _merge_log_deltas(spark, base, log_files, ts) -> DataFrame:
 
     key = str(ts.option.get("record_key", _RECORD_KEY))
     rows = _log_rows(log_files, key_field=key)
+    # time travel: a shared log file is recorded once at its first touch,
+    # so blocks APPENDED after the as-of instant still replay — drop them
+    # by their block-header instant or the historical view shows future rows
+    as_of = ts.option.get("as_of_instant")
+    if as_of is not None:
+        rows = [r for r in rows if r["__instant"] <= str(as_of)]
     if not rows:
         if base is None:
             raise HudiError("log files contained no records and no base exists")

@@ -184,7 +184,15 @@ def read_log_file(data: bytes) -> list[dict]:
         elif btype == DELETE_BLOCK:
             if len(content) < 8:
                 raise HudiLogError("truncated hudi DELETE block payload")
-            _ver, plen = struct.unpack(">II", content[:8])
+            ver, plen = struct.unpack(">II", content[:8])
+            if ver < 2:
+                # v1 delete payloads are kryo-serialized HoodieKey lists —
+                # feeding them to the Avro decoder would at best error
+                # confusingly, at worst delete wrong keys
+                raise HudiLogError(
+                    f"unsupported hudi DELETE payload version {ver} "
+                    "(only avro HoodieDeleteRecordList, version >= 2)"
+                )
             body = content[8 : 8 + plen]
             if len(body) < plen:
                 raise HudiLogError("truncated hudi DELETE block record list")

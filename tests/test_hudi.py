@@ -420,3 +420,63 @@ def test_hudi_mor_no_double_read_when_commits_share_log_file(spark, tmp_path):
                          "option": {"format": "hudi", "incremental_from": "001",
                                     "incremental_to": "002"}})
     assert [r["_hoodie_record_key"] for r in inc2.collect()] == ["k2"]
+
+
+def test_hudi_mor_time_travel_excludes_future_log_blocks(spark, tmp_path):
+    """as_of_instant must hide blocks APPENDED to a shared log file
+    after the as-of instant — the file is recorded at its first touch,
+    so the per-block INSTANT_TIME is what bounds the historical view."""
+    from roapi_spark.sources.hudi_log import (
+        AVRO_DATA_BLOCK, H_INSTANT_TIME, write_log_block,
+    )
+
+    root = tmp_path / "tt_shared"
+    meta = root / ".hoodie"
+    meta.mkdir(parents=True)
+    (meta / "hoodie.properties").write_text("hoodie.table.type=MERGE_ON_READ\n")
+    p1 = _base_file(root, "", "fg1", "001", {
+        "_hoodie_record_key": ["k1"], "id": [1], "fare": [10.0],
+        "_hoodie_is_deleted": [False],
+    })
+    _commit(meta, "001", {"": [{"fileId": "fg1", "path": p1}]})
+    name = ".fg1_001.log.1_0-1-0"
+    b1 = write_log_block(AVRO_DATA_BLOCK, {H_INSTANT_TIME: "002"},
+                         [_rec("k2", 2, 20.0)], _MOR_SCHEMA)
+    (root / name).write_bytes(b1)
+    _commit(meta, "002", {"": [{"fileId": "fg1", "path": name}]},
+            kind="deltacommit")
+    b2 = write_log_block(AVRO_DATA_BLOCK, {H_INSTANT_TIME: "003"},
+                         [_rec("k3", 3, 30.0)], _MOR_SCHEMA)
+    (root / name).write_bytes(b1 + b2)
+    _commit(meta, "003", {"": [{"fileId": "fg1", "path": name}]},
+            kind="deltacommit")
+    at2 = _load(spark, {"name": "t", "uri": str(root),
+                        "option": {"as_of_instant": "002"}})
+    keys = {r["_hoodie_record_key"] for r in at2.collect()}
+    assert keys == {"k1", "k2"}  # k3 (appended at 003) must not appear
+
+
+def test_hudi_incremental_delete_tombstone_survives_commit_time_refine(
+    spark, tmp_path
+):
+    """A DELETE tombstone inside the incremental range must surface even
+    when the table's data carries _hoodie_commit_time (the meta-column
+    refinement falls back to the commit instant for rows that lack it)."""
+    root = tmp_path / "inc_del"
+    meta = root / ".hoodie"
+    meta.mkdir(parents=True)
+    (meta / "hoodie.properties").write_text("hoodie.table.type=MERGE_ON_READ\n")
+    p1 = _base_file(root, "", "fg1", "001", {
+        "_hoodie_record_key": ["k1", "k2"],
+        "_hoodie_commit_time": ["001", "001"],
+        "id": [1, 2], "fare": [10.0, 20.0],
+    })
+    _commit(meta, "001", {"": [{"fileId": "fg1", "path": p1}]})
+    l1 = _delete_log_file(root, "fg1", "001", "002", ["k1"])
+    _commit(meta, "002", {"": [{"fileId": "fg1", "path": l1}]},
+            kind="deltacommit")
+    inc = _load(spark, {"name": "t", "uri": str(root),
+                        "option": {"format": "hudi", "incremental_from": "001"}})
+    rows = [(r["_commit_instant"], r["_hoodie_record_key"],
+             bool(r["_hoodie_is_deleted"])) for r in inc.collect()]
+    assert rows == [("002", "k1", True)]
