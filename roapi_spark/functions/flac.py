@@ -38,21 +38,43 @@ FIXED_COEFFS = {
 }
 
 
+def _make_crc8_table() -> list[int]:
+    tbl = []
+    for b in range(256):
+        crc = b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        tbl.append(crc)
+    return tbl
+
+
+def _make_crc16_table() -> list[int]:
+    tbl = []
+    for b in range(256):
+        crc = b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+            )
+        tbl.append(crc)
+    return tbl
+
+
+_CRC8_TABLE = _make_crc8_table()
+_CRC16_TABLE = _make_crc16_table()
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = _CRC8_TABLE[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = _CRC16_TABLE[((crc >> 8) ^ b) & 0xFF] ^ ((crc << 8) & 0xFFFF)
     return crc
 
 
@@ -96,6 +118,32 @@ class _BitWriter:
             self.write(0, 32)
             q -= 32
         self.write(1, q + 1)  # q zeros then a one
+
+    def write_many(self, vals: np.ndarray, lens: np.ndarray) -> None:
+        """Bulk MSB-first append of (value, nbits) pairs via one numpy
+        bit pack — the Rice residual loop emits one pair per sample and
+        per-call Python bit writes dominate the encoder profile (same
+        fix as the VP8L encoder's LSB write_many)."""
+        vals = np.asarray(vals, dtype=np.int64)
+        lens = np.asarray(lens, dtype=np.int64)
+        total = int(lens.sum())
+        if not total:
+            return
+        offs = np.cumsum(lens) - lens
+        j = np.arange(total, dtype=np.int64) - np.repeat(offs, lens)
+        shift = np.repeat(lens, lens) - 1 - j  # MSB first within each value
+        bits = ((np.repeat(vals, lens) >> shift) & 1).astype(np.uint8)
+        if self.n:  # fold the pending sub-byte accumulator in front
+            pend = (
+                (self.acc >> (self.n - 1 - np.arange(self.n, dtype=np.int64))) & 1
+            ).astype(np.uint8)
+            bits = np.concatenate([pend, bits])
+        packed = np.packbits(bits)  # MSB-first byte order
+        nfull = bits.size // 8
+        self.buf.extend(packed[:nfull].tobytes())
+        rem = bits.size - nfull * 8
+        self.acc = (int(packed[nfull]) >> (8 - rem)) if rem else 0
+        self.n = rem
 
     def align(self) -> None:
         if self.n:
@@ -188,10 +236,28 @@ def _write_residual(bw: _BitWriter, res: np.ndarray, block: int, order: int) -> 
         nbits = max(1, int(folded.max()).bit_length() + 1) if len(folded) else 1
         bw.write(0b1111, 4)
         bw.write(nbits, 5)
-        for r in res:
-            bw.write(int(r) & ((1 << nbits) - 1), nbits)
+        bw.write_many(
+            res.astype(np.int64) & ((1 << nbits) - 1),
+            np.full(len(res), nbits, dtype=np.int64),
+        )
         return
     bw.write(k, 4)
+    q = (folded >> k).astype(np.int64)
+    # one (1, q+1) pair emits the unary run (q zeros then the stop one),
+    # one (low bits, k) pair the remainder — both in a single bulk pack.
+    # Guard the expansion: a lone outlier under a small k means a huge
+    # unary run (the per-bit expansion buffer is sum-of-bits sized), so
+    # past ~2 MiB of bits fall back to the scalar writer
+    total_bits = int(q.sum()) + len(folded) * (k + 1)
+    if total_bits <= (1 << 24):
+        vals = np.empty(2 * len(folded), dtype=np.int64)
+        lens = np.empty(2 * len(folded), dtype=np.int64)
+        vals[0::2] = 1
+        lens[0::2] = q + 1
+        vals[1::2] = folded.astype(np.int64) & ((1 << k) - 1)
+        lens[1::2] = k
+        bw.write_many(vals, lens)
+        return
     for u in folded:
         u = int(u)
         bw.write_unary(u >> k)
@@ -267,8 +333,10 @@ def _write_subframe(
     if mode == "verbatim":
         bw.write(1, 6)
         bw.write(0, 1)
-        for s in samples:
-            bw.write(int(s) & ((1 << bits) - 1), bits)
+        bw.write_many(
+            samples.astype(np.int64) & ((1 << bits) - 1),
+            np.full(len(samples), bits, dtype=np.int64),
+        )
         return
     if mode == "lpc2":
         # LPC order 2 with coefficients equal to the fixed order-2
