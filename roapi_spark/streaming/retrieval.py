@@ -1,0 +1,97 @@
+"""Streaming retrieval: score ARRIVING documents against the static
+BM25 inverted index (`roapi_spark.functions.pipeline7.bm25_index`).
+
+This is the online half of the retrieval story: the index is the
+once-per-corpus-snapshot artifact; new documents (queries, candidate
+passages, monitoring probes) stream in and each micro-batch scores them
+with two STREAM-STATIC equi-joins — the static side is the pb-
+partitioned postings layout, so Spark plans an ordinary broadcast/hash
+join per micro-batch with no stream-stream state. Per-query-doc term
+dedup happens IN-ROW (``array_distinct`` before the explode), so the
+only stateful operator is the final (qid, doc_id) score aggregation —
+update-mode, keyed by a pair whose rows all arrive within the one
+micro-batch that carried the query doc.
+
+Top-k selection is left to the consumer (streaming row_number is not
+supported by Structured Streaming; a downstream batch read of the sink
+applies the same WindowGroupLimit as the batch query).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def stream_docs(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
+    return spark.readStream.schema(DOCS_SCHEMA).format(fmt).load(path)
+
+
+def bm25_score_stream(
+    stream: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(qid, doc_id, score) per arriving document against the bm25-v1
+    index of ``sf_dir`` — identical scores to the batch
+    ``q_bm25_topk_served`` before its top-k cut (same constants, same
+    rounding)."""
+    from roapi_spark.functions.pipeline7 import (
+        BM25_B,
+        BM25_K1,
+        bm25_index,
+    )
+    from roapi_spark.functions.text import tokens_col
+    from roapi_spark.util import pround
+
+    layout, n_docs, avgdl = bm25_index(spark, sf_dir)
+    postings = spark.read.parquet(os.path.join(layout, "postings"))
+    dfreq = spark.read.parquet(os.path.join(layout, "dfreq"))
+    qt = stream.select(
+        F.col("doc_id").alias("qid"),
+        F.explode(F.array_distinct(tokens_col())).alias("term"),
+    )
+    contrib = (
+        qt.join(postings, "term")  # stream-static: no streaming state
+        .join(dfreq, "term")
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.log(
+                    (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * F.col("tf")
+                * F.lit(BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    return contrib.groupBy("qid", "doc_id").agg(
+        pround(F.sum("c")).alias("score")
+    )

@@ -495,3 +495,58 @@ def test_lsh_match_stream_checkpoint_restart(spark, tmp_path):
     pairs = [(r.doc_id, r.match_id) for r in out]
     assert len(pairs) == len(set(pairs)), "replay after restart re-emitted pairs"
     assert any(r.doc_id == 900001 and r.match_id == 0 for r in out)
+
+
+def test_bm25_score_stream_matches_batch(spark, tmp_path):
+    """Streaming twin contract: scoring an arriving query doc against
+    the static bm25-v1 index yields EXACTLY the batch
+    q_bm25_topk_served rows for that qid (same formula, same rounding),
+    once the same top-k cut is applied to the streamed scores."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from roapi_spark.functions.pipeline7 import BM25_TOPK
+    from roapi_spark.plans.registry import load_all
+    from roapi_spark.streaming.retrieval import bm25_score_stream, stream_docs
+
+    sf_dir = "/root/testdata/sf0.001"
+    # arriving docs = the batch query set members 0 and 1, replayed
+    docs_tbl = _pq.read_table(f"{sf_dir}/documents.parquet")
+    rows = [
+        {k: r[k] for k in ("doc_id", "text", "lang", "source", "n_chars")}
+        for r in docs_tbl.to_pylist()
+        if r["doc_id"] in (0, 1)
+    ]
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    (sdir / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    scored = bm25_score_stream(stream_docs(spark, str(sdir)), spark, sf_dir)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("bm25_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM bm25_stream").collect()
+    finally:
+        q.stop()
+    streamed = {}
+    for r in got:
+        streamed.setdefault(r.qid, []).append((r.doc_id, r.score))
+    topk = {
+        qid: sorted(v, key=lambda t: (-t[1], t[0]))[:BM25_TOPK]
+        for qid, v in streamed.items()
+    }
+    batch = load_all()["q_bm25_topk_served"].builder(spark, sf_dir).collect()
+    want = {}
+    for r in batch:
+        if r.qid in (0, 1):
+            want.setdefault(r.qid, []).append((r.doc_id, r.score))
+    assert set(topk) == set(want)
+    for qid in want:
+        assert topk[qid] == want[qid], f"qid {qid} mismatch"
