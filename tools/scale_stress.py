@@ -277,10 +277,43 @@ def main() -> None:
                     help="wipe snapshot caches first so build times are cold")
     ap.add_argument("--adversarial", action="store_true",
                     help="run only the boilerplate-skew cap-on/cap-off probe")
+    ap.add_argument("--only", nargs="*", default=None, metavar="QUERY",
+                    help="re-measure only these registry queries' serve "
+                    "rows at both SFs (skips builds/pair counts/delta; "
+                    "reuses the scaled corpus + warm artifacts)")
     args = ap.parse_args()
 
     if args.adversarial:
         run_adversarial(os.path.dirname(args.out))
+        return
+
+    if args.only:
+        from roapi_spark.plans.registry import load_all
+        from roapi_spark.session import get_spark
+
+        ensure_scaled(SRC, args.out, args.copies)
+        specs = load_all()
+        spark = get_spark("scale-stress-only")
+        spark.range(1000).count()
+        rep: dict[str, dict[str, float]] = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1", args.out)):
+            row = {}
+            for q in args.only:
+                best = None
+                for _ in range(2):
+                    t0 = time.time()
+                    specs[q].builder(spark, sf_dir).count()
+                    t = round(time.time() - t0, 2)
+                    best = t if best is None or t < best else best
+                row[q + "_s"] = best
+            rep[label] = row
+        print("| metric | sf0.1 | sf1 (10x) | ratio |")
+        print("|---|---|---|---|")
+        for q in args.only:
+            a, b = rep["sf0.1"][q + "_s"], rep["sf1"][q + "_s"]
+            r = round(b / a, 2) if a else float("inf")
+            print(f"| {q}_s | {a} | {b} | {r}x |")
+        print(json.dumps(rep))
         return
 
     from roapi_spark.functions import dedup, similarity
