@@ -120,17 +120,35 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     return out
 
 
-def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol for the bit-at-a-time decoder."""
-    out: dict[tuple[int, int], int] = {}
-    code, k = 0, 0
-    for length in range(1, 17):
-        for _ in range(bits[length]):
-            out[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return out
+class _HuffTable:
+    """Canonical decode tables (ITU T.81 F.16 DECODE): mincode/maxcode/
+    valptr per length for the 16-bit-peek fast path, plus the
+    (length, code) dict for the bit-at-a-time fallback near segment
+    ends (where a 16-bit prefetch would cross the terminating marker)."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "vals", "slow")
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.vals = list(vals)
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.slow: dict[tuple[int, int], int] = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            if bits[length]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                for _ in range(bits[length]):
+                    self.slow[(length, code)] = vals[k]
+                    code += 1
+                    k += 1
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    return _HuffTable(bits, vals)
 
 
 # ---------------------------------------------------------------- encoder
@@ -369,7 +387,9 @@ class _BitReader:
                 raise _SegmentEnd(nxt)
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask to the live window: without it acc grows one byte per fill
+        # forever and every shift becomes a bignum operation
+        self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
         self.n += 8
 
     def bit(self) -> int:
@@ -378,9 +398,26 @@ class _BitReader:
         self.n -= 1
         return (self.acc >> self.n) & 1
 
+    def prefetch(self, k: int) -> None:
+        """Best-effort buffer of >= k bits. Swallows the restart/segment
+        exceptions (``_fill`` raises BEFORE consuming a marker, so they
+        re-raise untouched on the next genuine read past the boundary)."""
+        try:
+            while self.n < k:
+                self._fill()
+        except (_RestartMarker, _SegmentEnd):
+            pass
+
     def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.n < k:
+            self.prefetch(k)
+        if self.n >= k:
+            self.n -= k
+            return (self.acc >> self.n) & ((1 << k) - 1)
         v = 0
-        for _ in range(k):
+        for _ in range(k):  # segment tail: per-bit so the marker raises
             v = (v << 1) | self.bit()
         return v
 
@@ -405,11 +442,25 @@ class _SegmentEnd(Exception):
     pass
 
 
-def _huff_read(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
+def _huff_read(br: _BitReader, table: _HuffTable) -> int:
+    if br.n < 16:
+        br.prefetch(16)
+    if br.n >= 16:
+        # T.81 F.16: compare the 16-bit peek's length-L prefix against
+        # maxcode[L]; canonical code order guarantees the first match is
+        # the symbol — no per-bit reader calls on the hot path
+        peek = (br.acc >> (br.n - 16)) & 0xFFFF
+        maxc = table.maxcode
+        for length in range(1, 17):
+            c = peek >> (16 - length)
+            if c <= maxc[length]:
+                br.n -= length
+                return table.vals[table.valptr[length] + c - table.mincode[length]]
+        raise ValueError("invalid JPEG Huffman code")
+    code = 0  # segment tail: per-bit so the terminating marker raises
     for length in range(1, 17):
         code = (code << 1) | br.bit()
-        sym = table.get((length, code))
+        sym = table.slow.get((length, code))
         if sym is not None:
             return sym
     raise ValueError("invalid JPEG Huffman code")
@@ -421,8 +472,8 @@ def _extend(v: int, size: int) -> int:
 
 def _decode_block(
     br: _BitReader,
-    dc_tab: dict[tuple[int, int], int],
-    ac_tab: dict[tuple[int, int], int],
+    dc_tab: _HuffTable,
+    ac_tab: _HuffTable,
     pred: int,
 ) -> tuple[np.ndarray, int]:
     zz = np.zeros(64, dtype=np.int32)
@@ -467,7 +518,7 @@ def _decode_jpeg_inner(blob: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htables: dict[tuple[int, int], _HuffTable] = {}
     frame: dict | None = None
     stores: list[np.ndarray] = []
     restart_interval = 0
