@@ -155,11 +155,26 @@ class _BitWriter:
 
 
 class _BitReader:
-    def __init__(self, data: bytes, pos: int = 0) -> None:
+    def __init__(self, data: bytes, pos: int = 0, cache=None) -> None:
         self.data = data
         self.pos = pos  # byte position of next fill
         self.acc = 0
         self.n = 0
+        # optional (bits, ones) arrays shared across the file's frames —
+        # unpacked once in decode_flac, they let Rice partitions decode
+        # as numpy gathers instead of per-sample reader calls
+        self.cache = cache
+
+    def bitpos(self) -> int:
+        """Absolute bit position of the next unread bit."""
+        return self.pos * 8 - self.n
+
+    def seek_bit(self, bp: int) -> None:
+        """Reposition to absolute bit position ``bp`` (cache fast path's
+        re-sync back into the byte-oriented reader state)."""
+        self.pos = (bp + 7) >> 3
+        self.n = self.pos * 8 - bp
+        self.acc = (self.data[self.pos - 1] & ((1 << self.n) - 1)) if self.n else 0
 
     def read(self, nbits: int) -> int:
         while self.n < nbits:
@@ -264,6 +279,70 @@ def _write_residual(bw: _BitWriter, res: np.ndarray, block: int, order: int) -> 
         bw.write(u & ((1 << k) - 1), k)
 
 
+def _rice_decode_vec(br: _BitReader, n: int, k: int) -> np.ndarray | None:
+    """Whole-partition Rice decode as numpy gathers: locate the n unary
+    stop bits by pointer-jumping over the file's 1-bit positions
+    (``nxt[j] = first one >= ones[j] + 1 + k`` applied i times via a
+    binary-decomposition walk), then batch-extract the k-bit remainders.
+    Returns None when the cache can't serve it (truncation near EOF) —
+    caller falls back to the exact scalar path and its error messages."""
+    bits, ones = br.cache
+    total = bits.size
+    P = br.bitpos()
+    j0 = int(np.searchsorted(ones, P))
+    # working slice: each sample consumes exactly one stop-one and at
+    # most k payload-ones, so n*(k+1) ones bound the partition
+    hi = min(j0 + n * (k + 1) + 1, ones.size)
+    seg = ones[j0:hi]
+    m = seg.size
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if m == 0:
+        return None  # no stop bits left -> truncated; scalar path raises
+    if k == 0:
+        # no payload bits: every one in the region IS a stop bit
+        if n > m:
+            return None
+        stops = seg[:n]
+    else:
+        # relative jump function: nxt[j] = first one >= seg[j] + 1 + k
+        # (skip the stop bit itself plus k payload bits); index m is the
+        # absorbing out-of-range state. j_i = nxt^i(0) for all i at once
+        # via binary decomposition with a squared jump table.
+        nxt = np.searchsorted(seg, seg + 1 + k).astype(np.int64)
+        T = np.append(nxt, m)  # T[m] = m
+        idx = np.zeros(n, dtype=np.int64)
+        steps = np.arange(n, dtype=np.int64)
+        level = 0
+        while (1 << level) <= n - 1:
+            mask = ((steps >> level) & 1).astype(bool)
+            if mask.any():
+                idx[mask] = T[idx[mask]]
+            T = T[T]  # nxt^(2^level) -> nxt^(2^(level+1))
+            level += 1
+        if (idx >= m).any():
+            return None  # ran past the slice -> truncated stream
+        stops = seg[idx]
+    prev = np.empty(n, dtype=np.int64)
+    prev[0] = P
+    prev[1:] = stops[:-1] + 1 + k
+    q = stops - prev
+    if (q < 0).any():
+        return None
+    end = int(stops[-1]) + 1 + k
+    if end > total:
+        return None
+    if k:
+        low = bits[stops[:, None] + 1 + np.arange(k, dtype=np.int64)].astype(
+            np.int64
+        ) @ (1 << np.arange(k - 1, -1, -1, dtype=np.int64))
+        u = (q << k) | low
+    else:
+        u = q
+    br.seek_bit(end)
+    return np.where(u & 1 == 0, u >> 1, -((u + 1) >> 1))
+
+
 def _read_residual(br: _BitReader, block: int, order: int) -> np.ndarray:
     method = br.read(2)
     if method > 1:
@@ -282,10 +361,28 @@ def _read_residual(br: _BitReader, block: int, order: int) -> np.ndarray:
         k = br.read(plen)
         if k == (1 << plen) - 1:  # escape: raw
             nbits = br.read(5)
+            if br.cache is not None and nbits:
+                bits, _ones = br.cache
+                P = br.bitpos()
+                if P + n * nbits <= bits.size:
+                    offs = P + np.arange(n, dtype=np.int64) * nbits
+                    mat = bits[offs[:, None] + np.arange(nbits, dtype=np.int64)]
+                    v = mat.astype(np.int64) @ (
+                        1 << np.arange(nbits - 1, -1, -1, dtype=np.int64)
+                    )
+                    out[idx : idx + n] = v - (v >= (1 << (nbits - 1))) * (1 << nbits)
+                    idx += n
+                    br.seek_bit(P + n * nbits)
+                    continue
             for _ in range(n):
                 out[idx] = br.read_signed(nbits) if nbits else 0
                 idx += 1
         else:
+            dec = _rice_decode_vec(br, n, k) if br.cache is not None else None
+            if dec is not None:
+                out[idx : idx + n] = dec
+                idx += n
+                continue
             for _ in range(n):
                 q = br.read_unary()
                 u = (q << k) | (br.read(k) if k else 0)
@@ -295,18 +392,24 @@ def _read_residual(br: _BitReader, block: int, order: int) -> np.ndarray:
 
 
 def _predict_fixed(order: int, warm: np.ndarray, res: np.ndarray) -> np.ndarray:
-    out = np.empty(len(warm) + len(res), dtype=np.int64)
-    out[: len(warm)] = warm
-    coeffs = FIXED_COEFFS[order]
+    """Invert the fixed predictor: the order-d residual is the d-th
+    finite difference of the signal (binomial coefficients), so
+    reconstruction is d iterated cumulative sums seeded by the warmup's
+    difference pyramid — no per-sample IIR loop."""
     if order == 0:
+        out = np.empty(len(warm) + len(res), dtype=np.int64)
+        out[: len(warm)] = warm
         out[len(warm):] = res
-    elif order == 1:
-        out[1:] = res
-        out = np.cumsum(out)
-    else:
-        for i, r in enumerate(res, start=order):
-            out[i] = r + sum(c * out[i - j - 1] for j, c in enumerate(coeffs))
-    return out
+        return out
+    wd = warm.astype(np.int64)
+    heads = [wd[:1]]
+    for _ in range(1, order):
+        wd = np.diff(wd)
+        heads.append(wd[:1])  # heads[j] = (delta^j x)[j]
+    cur = res.astype(np.int64)  # delta^order x at indices order..N-1
+    for j in range(order - 1, -1, -1):
+        cur = np.cumsum(np.concatenate([heads[j], cur]))
+    return cur
 
 
 def _subframe_residual(order: int, samples: np.ndarray) -> np.ndarray:
@@ -542,6 +645,11 @@ def _decode_flac_inner(blob: bytes) -> tuple[int, np.ndarray]:
 
     chans_out: list[np.ndarray] = []
     got = 0
+    # one bit/one-position unpack for the whole file, shared by every
+    # frame's reader — the Rice fast path decodes partitions as gathers
+    _blob_u8 = np.frombuffer(blob, dtype=np.uint8)
+    _bits_all = np.unpackbits(_blob_u8)
+    bitcache = (_bits_all, np.flatnonzero(_bits_all).astype(np.int64))
     # total == 0 means "unknown length" (spec-legal for streamed FLAC):
     # decode frames until the data runs out instead of decoding nothing
     while (got < total) if total else (pos + 5 <= len(blob)):
@@ -598,7 +706,7 @@ def _decode_flac_inner(blob: bytes) -> tuple[int, np.ndarray]:
                 "variable-blocksize FLAC requires libflac"
             )
 
-        br = _BitReader(blob, pos)
+        br = _BitReader(blob, pos, cache=bitcache)
         if chan_assign < 8:
             if chan_assign + 1 != nch:
                 raise ValueError("FLAC frame channel count != STREAMINFO")
