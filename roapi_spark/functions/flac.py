@@ -247,8 +247,22 @@ def _write_residual(bw: _BitWriter, res: np.ndarray, block: int, order: int) -> 
     folded = _rice_fold(res)
     k = _best_rice_param(folded)
     if k >= 15 or (len(folded) and int(folded.max()).bit_length() > 30):
-        # escape: raw nbits follows
-        nbits = max(1, int(folded.max()).bit_length() + 1) if len(folded) else 1
+        # escape: raw signed residuals, nbits in a 5-bit field (<= 31).
+        # Width comes from the SIGNED residual magnitudes, not the folded
+        # domain (folding doubles the value range — sizing from it both
+        # wasted a bit and could push nbits past the 5-bit field, which
+        # previously truncated silently and produced a garbage stream)
+        nbits = 1
+        for r in res:
+            r = int(r)
+            need = (r.bit_length() + 1) if r >= 0 else ((-r - 1).bit_length() + 1)
+            if need > nbits:
+                nbits = need
+        if nbits > 31:
+            raise ValueError(
+                f"FLAC escape partition needs {nbits}-bit residuals; the "
+                "5-bit raw-width field caps at 31"
+            )
         bw.write(0b1111, 4)
         bw.write(nbits, 5)
         bw.write_many(

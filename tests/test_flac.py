@@ -169,3 +169,78 @@ def test_input_shape_validation():
     assert out.shape == (50,)  # (n,1) is mono
     with pytest.raises(ValueError, match="stereo"):
         encode_flac(8000, np.zeros((10, 3), dtype=np.int16))
+
+
+def test_residual_escape_partition_roundtrip_vec_and_scalar():
+    """The raw-escape partition (k=15 sentinel) is unreachable from
+    16-bit PCM through encode_flac (orders bound residuals under 2^21),
+    but external streams can carry it — pin the writer/reader pair
+    directly, through BOTH the vectorized cache path and the scalar
+    fallback."""
+    import numpy as np
+
+    from roapi_spark.functions.flac import (
+        _BitReader,
+        _BitWriter,
+        _read_residual,
+        _rice_fold,
+    )
+
+    res = np.array([2**29, -(2**29), 5, -7, 0, 123456789], dtype=np.int64)
+    assert int(_rice_fold(res).max()).bit_length() > 30  # forces escape
+    bw = _BitWriter()
+    from roapi_spark.functions.flac import _write_residual
+
+    _write_residual(bw, res, block=len(res), order=0)
+    bw.align()
+    blob = bw.bytes()
+    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
+    cache = (bits, np.flatnonzero(bits).astype(np.int64))
+    got_vec = _read_residual(_BitReader(blob, 0, cache=cache), len(res), 0)
+    got_scalar = _read_residual(_BitReader(blob, 0), len(res), 0)
+    assert np.array_equal(got_vec, res)
+    assert np.array_equal(got_scalar, res)
+
+
+def test_residual_rice_vec_equals_scalar_random():
+    """Property: for random residual blocks, the vectorized Rice decode
+    and the scalar reader produce identical arrays (and both invert the
+    writer)."""
+    import numpy as np
+
+    from roapi_spark.functions.flac import (
+        _BitReader,
+        _BitWriter,
+        _read_residual,
+        _write_residual,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(1, 300))
+        scale = int(rng.choice([1, 3, 40, 900, 20000]))
+        res = rng.integers(-scale, scale + 1, n).astype(np.int64)
+        order = int(rng.integers(0, min(4, n - 1) + 1)) if n > 1 else 0
+        bw = _BitWriter()
+        _write_residual(bw, res[order:] if False else res, block=n + order, order=order)
+        bw.align()
+        blob = bw.bytes()
+        bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
+        cache = (bits, np.flatnonzero(bits).astype(np.int64))
+        got_vec = _read_residual(_BitReader(blob, 0, cache=cache), n + order, order)
+        got_scalar = _read_residual(_BitReader(blob, 0), n + order, order)
+        assert np.array_equal(got_vec, got_scalar), f"trial {trial}"
+        assert np.array_equal(got_vec, res), f"trial {trial}"
+
+
+def test_residual_escape_too_wide_raises():
+    """Residuals needing > 31 raw bits cannot be represented in FLAC's
+    5-bit escape width field — the writer must refuse, not truncate."""
+    import numpy as np
+    import pytest as _pytest
+
+    from roapi_spark.functions.flac import _BitWriter, _write_residual
+
+    res = np.array([2**31, 1], dtype=np.int64)  # needs 33 signed bits
+    with _pytest.raises(ValueError, match="caps at 31"):
+        _write_residual(_BitWriter(), res, block=len(res), order=0)
