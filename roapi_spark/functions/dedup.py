@@ -241,10 +241,12 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     return hs.select("doc_id", sig.alias("sig"))
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_SHINGLES_DUCK},
+def lsh_cand_oracle_cte() -> str:
+    """The shared DuckDB CTE chain ending in ``cand(doc_a, doc_b)`` and
+    ``minh`` — the oracle twin of ``_lsh_candidate_pairs`` (minhash
+    signatures, banding, hot-band cap). Reused by every query whose
+    oracle needs the near-dup candidate pair set."""
+    return f"""{_SHINGLES_DUCK},
     hs AS (
       SELECT doc_id, ('0x' || SUBSTR(MD5(shingle), 1, 8))::BIGINT AS h FROM sh
     ),
@@ -268,7 +270,13 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bandsf a JOIN bandsf b
         ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {lsh_cand_oracle_cte()}
     SELECT c.doc_a, c.doc_b,
            FLOOR(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / CAST({N_MINHASH} AS DOUBLE)
                  * 10000 + 0.5) / 10000.0 AS est_jaccard

@@ -214,3 +214,59 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("kl_vs_corpus"), F.asc("source"))
     )
+
+
+def _cross_source_oracle() -> str:
+    from roapi_spark.functions.dedup import lsh_cand_oracle_cte
+
+    return f"""
+    WITH {lsh_cand_oracle_cte()},
+    attributed AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b
+      FROM cand c
+      JOIN documents da ON da.doc_id = c.doc_a
+      JOIN documents db ON db.doc_id = c.doc_b
+    )
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM attributed GROUP BY source_a, source_b
+    ORDER BY n_pairs DESC, source_a, source_b
+    """
+
+
+@register(
+    "q_dedup_cross_source_matrix",
+    oracle=_cross_source_oracle(),
+    doc="Near-duplicate pair counts per (source, source) cell — WHICH "
+    "shards copy from each other, the routing signal for source-level "
+    "dedup policy (within-source dups get local dedup; heavy cross-source "
+    "cells get a shared pass). Serve path reads the cached lshpairs-v4 "
+    "edge artifact (the same one dedup_minhash_lsh serves from) and "
+    "broadcasts the dimension-sized edge set into two doc_id joins; the "
+    "symmetric matrix key is (least, greatest) of the two sources.",
+    tags=("dedup", "quality", "pipeline"),
+)
+def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.dedup import docs as _docs
+    from roapi_spark.functions.dedup import lsh_pairs_cached
+
+    pairs = lsh_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    # the edge set is the small side at any scale (near-dup pairs ~
+    # O(corpus dup-rate)); broadcast it so the doc scans never shuffle
+    attributed = (
+        maybe_broadcast(pairs)
+        .join(src.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("source", "sa"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("source", "sb"), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return (
+        attributed.groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("source_a"), F.asc("source_b"))
+    )
