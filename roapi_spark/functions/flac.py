@@ -132,7 +132,11 @@ class _BitWriter:
         offs = np.cumsum(lens) - lens
         j = np.arange(total, dtype=np.int64) - np.repeat(offs, lens)
         shift = np.repeat(lens, lens) - 1 - j  # MSB first within each value
-        bits = ((np.repeat(vals, lens) >> shift) & 1).astype(np.uint8)
+        # clamp: a unary run (value 1, q+1 bits) makes shift exceed 63,
+        # and numpy >> with out-of-range counts is UNDEFINED (x86 masks
+        # mod 64 -> a stray 1 bit inside the zero run on some builds);
+        # values here are non-negative < 2^63, so min(shift, 63) is exact
+        bits = ((np.repeat(vals, lens) >> np.minimum(shift, 63)) & 1).astype(np.uint8)
         if self.n:  # fold the pending sub-byte accumulator in front
             pend = (
                 (self.acc >> (self.n - 1 - np.arange(self.n, dtype=np.int64))) & 1
@@ -659,11 +663,17 @@ def _decode_flac_inner(blob: bytes) -> tuple[int, np.ndarray]:
 
     chans_out: list[np.ndarray] = []
     got = 0
-    # one bit/one-position unpack for the whole file, shared by every
-    # frame's reader — the Rice fast path decodes partitions as gathers
-    _blob_u8 = np.frombuffer(blob, dtype=np.uint8)
-    _bits_all = np.unpackbits(_blob_u8)
-    bitcache = (_bits_all, np.flatnonzero(_bits_all).astype(np.int64))
+    # One bit/one-position unpack for the whole file, shared by every
+    # frame's reader — the Rice fast path decodes partitions as gathers.
+    # Capped: the cache is an ~8-12x transient expansion (uint8 bit array
+    # + int32 one-positions), fine for corpus blobs but an executor-
+    # memory hazard for multi-MB files under concurrent Arrow workers —
+    # past the cap the exact scalar reader serves, as before round 7.
+    if len(blob) <= (2 << 20):
+        _bits_all = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
+        bitcache = (_bits_all, np.flatnonzero(_bits_all).astype(np.int32))
+    else:
+        bitcache = None
     # total == 0 means "unknown length" (spec-legal for streamed FLAC):
     # decode frames until the data runs out instead of decoding nothing
     while (got < total) if total else (pos + 5 <= len(blob)):

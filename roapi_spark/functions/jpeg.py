@@ -147,10 +147,6 @@ class _HuffTable:
             code <<= 1
 
 
-def _huff_decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
-    return _HuffTable(bits, vals)
-
-
 # ---------------------------------------------------------------- encoder
 
 
@@ -578,7 +574,7 @@ def _decode_jpeg_inner(blob: bytes) -> np.ndarray:
                 if i + 17 + nval > len(seg):
                     raise ValueError("truncated JPEG DHT values")
                 vals = list(seg[i + 17 : i + 17 + nval])
-                htables[(tc, th)] = _huff_decode_table(bits, vals)
+                htables[(tc, th)] = _HuffTable(bits, vals)
                 i += 17 + nval
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2 (progressive = C2)
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])

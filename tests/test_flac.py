@@ -222,7 +222,7 @@ def test_residual_rice_vec_equals_scalar_random():
         res = rng.integers(-scale, scale + 1, n).astype(np.int64)
         order = int(rng.integers(0, min(4, n - 1) + 1)) if n > 1 else 0
         bw = _BitWriter()
-        _write_residual(bw, res[order:] if False else res, block=n + order, order=order)
+        _write_residual(bw, res, block=n + order, order=order)
         bw.align()
         blob = bw.bytes()
         bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))

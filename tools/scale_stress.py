@@ -287,12 +287,17 @@ def main() -> None:
         run_adversarial(os.path.dirname(args.out))
         return
 
-    if args.only:
+    if args.only is not None:
         from roapi_spark.plans.registry import load_all
         from roapi_spark.session import get_spark
 
-        ensure_scaled(SRC, args.out, args.copies)
         specs = load_all()
+        unknown = [q for q in args.only if q not in specs]
+        if not args.only or unknown:
+            ap.error(
+                f"--only needs registry query names; unknown: {unknown or '(none given)'}"
+            )
+        ensure_scaled(SRC, args.out, args.copies)
         spark = get_spark("scale-stress-only")
         spark.range(1000).count()
         rep: dict[str, dict[str, float]] = {}
