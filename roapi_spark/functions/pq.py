@@ -344,20 +344,22 @@ def _ivfpq_oracle_sql() -> str:
     tags=("similarity",),
 )
 def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from roapi_spark.functions.similarity import _assign_expr, ivf_layout
+    from roapi_spark.functions.similarity import assign_client, ivf_layout
 
     ivf_dir, cents = ivf_layout(spark, sf_dir)
     pq_dir, books = pq_layout(spark, sf_dir)
     # quantize the queries against the persisted coarse centroids
+    # (client-side: same integer math as the layout's _assign_expr,
+    # without its per-call driver analysis cost)
     qrows = (
         emb(spark, sf_dir)
         .filter(F.col("vec_id") < N_QUERIES)
         .withColumn("vq", _vq_col())
-        .withColumn("qcid", _assign_expr(cents))
-        .select("vec_id", "vq", "qcid")
+        .select("vec_id", "vq")
         .collect()
     )
-    probe_cids = sorted({int(r.qcid) for r in qrows})
+    qcids = {int(r.vec_id): assign_client([int(x) for x in r.vq], cents) for r in qrows}
+    probe_cids = sorted(set(qcids.values()))
     table = []
     for r in qrows:
         vq = list(r.vq)
@@ -365,7 +367,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             sv = vq[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
             for k, cw in enumerate(books[m]):
                 d = sum((int(a) - int(b)) ** 2 for a, b in zip(sv, cw))
-                table.append((int(r.vec_id), int(r.qcid), m, k, d))
+                table.append((int(r.vec_id), qcids[int(r.vec_id)], m, k, d))
     tdf = spark.createDataFrame(table, "qid bigint, qcid bigint, m int, code int, d bigint")
     # candidate side: only the probed cid= partitions of the IVF layout,
     # joined to the PQ code table on vec_id

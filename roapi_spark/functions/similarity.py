@@ -387,6 +387,20 @@ def _vq_col() -> Column:
     return F.transform(F.col("v"), lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("bigint"))
 
 
+def assign_client(vq: list[int], cents: list[tuple[int, list[int]]]) -> int:
+    """Exact-integer client-side coarse assignment for QUERY vectors:
+    the same (distance, cid) ordering as ``_assign_expr`` / the oracle's
+    ROW_NUMBER (full squared distance differs from the reduced form only
+    by the per-vector constant ``||x||^2``). Query sets are bounded, and
+    baking the k*dim literal tree into Catalyst costs ~1.5 s of driver
+    analysis PER CALL — the corpus-side assignment (ivf_layout build)
+    keeps the JVM expression, where it runs distributed once per
+    snapshot."""
+    return min(
+        ((sum((x - c) * (x - c) for x, c in zip(vq, cv)), cid) for cid, cv in cents)
+    )[1]
+
+
 def _assign_expr(cents: list[tuple[int, list[int]]]) -> Column:
     # argmin over (dist, cid) structs — array_min orders by dist then cid,
     # the same tie-break the oracle's ROW_NUMBER uses.  The scored distance
@@ -604,15 +618,17 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb(spark, sf_dir)
         .filter(F.col("vec_id") < N_QUERIES)
         .withColumn("vq", _vq_col())
-        .withColumn("qcid", _assign_expr(cents))
-        .select("vec_id", "v", "qcid")
+        .select("vec_id", "v", "vq")
         .collect()
     )
+    # client-side quantization (assign_client): identical integer math,
+    # none of _assign_expr's per-call driver analysis cost
+    qass = [(r, assign_client([int(x) for x in r.vq], cents)) for r in qrows]
     q = spark.createDataFrame(
-        [(int(r.vec_id), [float(x) for x in r.v], int(r.qcid)) for r in qrows],
+        [(int(r.vec_id), [float(x) for x in r.v], int(qcid)) for r, qcid in qass],
         "qid bigint, qv array<double>, qcid bigint",
     )
-    probe_cids = sorted({int(r.qcid) for r in qrows})
+    probe_cids = sorted({qcid for _, qcid in qass})
     # Candidate side: static IN-list on the partition column -> partition
     # pruning at planning time; only the probed lists' files are read.
     cand_src = spark.read.parquet(layout_dir).filter(F.col("cid").isin(probe_cids))

@@ -356,11 +356,11 @@ def main() -> None:
         from pyspark.sql import functions as F
 
         qcids = sorted(
-            {int(r.qcid) for r in similarity.emb(spark, sf_dir)
+            {similarity.assign_client([int(x) for x in r.vq], cents)
+             for r in similarity.emb(spark, sf_dir)
              .filter(F.col("vec_id") < similarity.N_QUERIES)
              .withColumn("vq", similarity._vq_col())
-             .withColumn("qcid", similarity._assign_expr(cents))
-             .select("qcid").collect()}
+             .select("vq").collect()}
         )
         row["ivf_probed_rows"] = (
             spark.read.parquet(layout_dir).filter(F.col("cid").isin(qcids)).count()
