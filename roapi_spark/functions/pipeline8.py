@@ -270,3 +270,61 @@ def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
         .orderBy(F.desc("n_pairs"), F.asc("source_a"), F.asc("source_b"))
     )
+
+
+def _cluster_sizes_oracle() -> str:
+    from roapi_spark.functions.dedup import _PAIRS_DUCK
+
+    return f"""
+    WITH RECURSIVE {_PAIRS_DUCK.strip().lstrip("WITH").strip()},
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, m) AS (
+      SELECT a, a FROM e
+      UNION
+      SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a
+    ),
+    comp AS (
+      SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n
+    ),
+    sizes AS (
+      SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    ORDER BY cluster_size
+    """
+
+
+@register(
+    "q_dedup_cluster_sizes",
+    oracle=_cluster_sizes_oracle(),
+    doc="Near-dup cluster-size distribution (how many 2-doc pairs vs "
+    "100-doc boilerplate families) — the histogram read before choosing "
+    "keep-one-per-cluster vs cap-per-cluster policy, and the first place "
+    "template explosions show up. Serve path: two tiny aggregations over "
+    "the persisted components-v1 label artifact (pair-graph-sized, "
+    "orders of magnitude under the corpus).",
+    tags=("dedup", "quality", "pipeline"),
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.dedup import dedup_components
+
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
