@@ -155,20 +155,65 @@ class _BitWriter:
         self.out = bytearray()
         self.acc = 0
         self.n = 0
+        self._vals: list[int] = []
+        self._lens: list[int] = []
 
     def put(self, value: int, nbits: int) -> None:
-        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
-        self.n += nbits
-        while self.n >= 8:
-            self.n -= 8
-            b = (self.acc >> self.n) & 0xFF
-            self.out.append(b)
-            if b == 0xFF:
-                self.out.append(0x00)  # byte stuffing
+        # deferred: queue the pair; flush() materializes everything in
+        # one numpy bit pack + stuffing pass (per-symbol bit arithmetic
+        # in Python dominated the encoder profile)
+        self._vals.append(value)
+        self._lens.append(nbits)
+
+    def put_many(self, vals: list[int], lens: list[int]) -> None:
+        self._vals.extend(vals)
+        self._lens.extend(lens)
+
+    def _materialize(self) -> None:
+        """Pack every queued (value, nbits) pair: one MSB-first numpy
+        bit pack + vectorized 0xFF byte stuffing."""
+        vals, lens = self._vals, self._lens
+        self._vals, self._lens = [], []
+        v = np.asarray(vals, dtype=np.int64)
+        ln = np.asarray(lens, dtype=np.int64)
+        total = int(ln.sum())
+        if not total:
+            return
+        offs = np.cumsum(ln) - ln
+        j = np.arange(total, dtype=np.int64) - np.repeat(offs, ln)
+        shift = np.repeat(ln, ln) - 1 - j  # MSB first within each value
+        bits = ((np.repeat(v, ln) >> np.minimum(shift, 63)) & 1).astype(np.uint8)
+        if self.n:  # fold the pending sub-byte accumulator in front
+            pend = (
+                (self.acc >> (self.n - 1 - np.arange(self.n, dtype=np.int64))) & 1
+            ).astype(np.uint8)
+            bits = np.concatenate([pend, bits])
+        nfull = bits.size // 8
+        packed = np.packbits(bits[: nfull * 8])
+        if (packed == 0xFF).any():
+            # stuff a 0x00 after every 0xFF: scatter bytes to their
+            # post-stuffing offsets over a zero-filled buffer
+            reps = np.where(packed == 0xFF, 2, 1)
+            out = np.zeros(int(reps.sum()), dtype=np.uint8)
+            out[np.cumsum(reps) - reps] = packed
+            self.out.extend(out.tobytes())
+        else:
+            self.out.extend(packed.tobytes())
+        rem = bits.size - nfull * 8
+        if rem:
+            tail = bits[nfull * 8 :].astype(np.int64)
+            self.acc = int(tail @ (1 << np.arange(rem - 1, -1, -1, dtype=np.int64)))
+        else:
+            self.acc = 0
+        self.n = rem
 
     def flush(self) -> bytes:
+        self._materialize()
         if self.n:
-            self.put(0x7F, 8 - self.n)  # pad with 1s per spec
+            pad = 0x7F & ((1 << (8 - self.n)) - 1)
+            self._vals.append(pad)  # pad with 1s per spec
+            self._lens.append(8 - self.n)
+            self._materialize()
         return bytes(self.out)
 
 
@@ -217,14 +262,20 @@ def _write_blocks(
     ac_codes: dict[int, tuple[int, int]],
     pred: int,
 ) -> int:
+    vals: list[int] = []
+    lens: list[int] = []
+    emit = vals.append
+    emitl = lens.append
     for blk in zz:
         diff = int(blk[0]) - pred
         pred = int(blk[0])
         size, bits = _magnitude(diff)
         code, length = dc_codes[size]
-        bw.put(code, length)
+        emit(code)
+        emitl(length)
         if size:
-            bw.put(bits, size)
+            emit(bits)
+            emitl(size)
         run = 0
         nz = np.nonzero(blk[1:])[0]
         last = nz[-1] + 1 if len(nz) else 0
@@ -235,16 +286,22 @@ def _write_blocks(
                 continue
             while run > 15:
                 code, length = ac_codes[0xF0]  # ZRL
-                bw.put(code, length)
+                emit(code)
+                emitl(length)
                 run -= 16
             size, bits = _magnitude(v)
             code, length = ac_codes[(run << 4) | size]
-            bw.put(code, length)
-            bw.put(bits, size)
+            emit(code)
+            emitl(length)
+            emit(bits)
+            emitl(size)
             run = 0
         if last < 63:
             code, length = ac_codes[0x00]  # EOB
-            bw.put(code, length)
+            emit(code)
+            emitl(length)
+    # one bulk bit pack + stuffing pass for the whole block run
+    bw.put_many(vals, lens)
     return pred
 
 
