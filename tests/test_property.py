@@ -153,3 +153,102 @@ def test_avro_codec_roundtrip(schema_rows, codec):
     out_schema, decoded = read_container(write_container(schema, rows, codec))
     assert out_schema == schema
     assert decoded == rows
+
+
+# -- round-7 bit-level kernels: the bulk bit packers must be bit-exact ------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=24), st.randoms()),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_bulk_writer_matches_scalar_reference(pairs):
+    """The deferred JPEG _BitWriter (bulk numpy pack + vectorized byte
+    stuffing) must emit byte-identical streams to a scalar reference
+    writer for arbitrary (value, nbits) sequences, including 0xFF
+    stuffing and the 1-padded flush."""
+    from roapi_spark.functions.jpeg import _BitWriter
+
+    vals, lens = [], []
+    for nbits, rnd in pairs:
+        vals.append(rnd.getrandbits(nbits))
+        lens.append(nbits)
+
+    # scalar reference: the pre-round-7 semantics
+    out = bytearray()
+    acc = n = 0
+    for v, ln in zip(vals, lens):
+        acc = (acc << ln) | (v & ((1 << ln) - 1))
+        n += ln
+        while n >= 8:
+            n -= 8
+            b = (acc >> n) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        acc &= (1 << n) - 1
+    if n:
+        acc = (acc << (8 - n)) | (0x7F & ((1 << (8 - n)) - 1))
+        b = acc & 0xFF
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+
+    bw = _BitWriter()
+    for v, ln in zip(vals, lens):
+        bw.put(v, ln)
+    assert bw.flush() == bytes(out)
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**14), max_value=2**14), min_size=1, max_size=200),
+    st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_flac_residual_roundtrip_property(res_list, order):
+    """Any residual block round-trips exactly through the FLAC Rice
+    writer and BOTH readers (vectorized cache path == scalar path),
+    regardless of the k chosen or unary run lengths."""
+    import numpy as np
+
+    from roapi_spark.functions.flac import (
+        _BitReader,
+        _BitWriter,
+        _read_residual,
+        _write_residual,
+    )
+
+    res = np.array(res_list, dtype=np.int64)
+    n = len(res)
+    if order > n - 1:
+        order = 0
+    bw = _BitWriter()
+    _write_residual(bw, res, block=n + order, order=order)
+    bw.align()
+    blob = bw.bytes()
+    bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
+    cache = (bits, np.flatnonzero(bits).astype(np.int32))
+    got_vec = _read_residual(_BitReader(blob, 0, cache=cache), n + order, order)
+    got_scalar = _read_residual(_BitReader(blob, 0), n + order, order)
+    assert np.array_equal(got_vec, res)
+    assert np.array_equal(got_scalar, res)
+
+
+@given(st.lists(st.integers(min_value=-(2**15), max_value=2**15 - 1),
+                min_size=1, max_size=400))
+@settings(max_examples=40, deadline=None)
+def test_flac_full_roundtrip_property(samples):
+    """encode_flac -> decode_flac is sample-exact for arbitrary 16-bit
+    mono PCM (fixed predictors, Rice + escape paths, CRC/MD5 verify)."""
+    import numpy as np
+
+    from roapi_spark.functions.flac import decode_flac, encode_flac
+
+    pcm = np.array(samples, dtype=np.int16)
+    rate, got = decode_flac(encode_flac(8000, pcm))
+    assert rate == 8000
+    assert np.array_equal(got, pcm.astype(np.int64))
