@@ -447,29 +447,29 @@ def dedup_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from roapi_spark.functions.similarity import (
         K_LISTS,
         dot_expr,
+        ivf_cell_sizes,
         ivf_layout,
         norm_expr,
     )
 
     layout_dir, _ = ivf_layout(spark, sf_dir)
+    # degenerate-cell guard (CELL_SKEW_MULT): cell sizes persist in the
+    # layout artifact, so the gate is a driver-side threshold on K_LISTS
+    # ints that compiles into a PartitionFilter on the cid= directories —
+    # the degenerate cells' files are never even read
+    sizes = ivf_cell_sizes(layout_dir)
+    tot = sum(sizes.values())
+    ok = sorted(
+        cid for cid, cn in sizes.items() if cn <= CELL_SKEW_MULT * tot / K_LISTS
+    )
     # same norm hoist as dedup_embedding_cosine: one map-side fold per
     # vector, a single dot fold per candidate pair
     e = (
         spark.read.parquet(layout_dir)
+        .filter(F.col("cid").isin(ok))
         .select("vec_id", "v", "cid")
         .withColumn("n", norm_expr("v"))
     )
-    # degenerate-cell guard (CELL_SKEW_MULT): both aggregates are
-    # K_LISTS-sized / 1-row, broadcast into the membership filter — the
-    # layout scan itself never reshuffles
-    cells = e.groupBy("cid").agg(F.count("*").alias("cn"))
-    tot = e.agg(F.count("*").alias("tot"))
-    ok = (
-        cells.crossJoin(F.broadcast(tot))
-        .filter(F.col("cn") <= F.lit(CELL_SKEW_MULT) * F.col("tot") / F.lit(K_LISTS))
-        .select("cid")
-    )
-    e = e.join(F.broadcast(ok), "cid")
     a = e.alias("a")
     b = e.alias("b")
     # try_divide: ANSI-safe on zero-norm vectors (NULL -> below threshold)

@@ -533,7 +533,7 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_LAYOUT_VERSION = "v2"  # v2: content-addressed key (parquet-footer digest)
+_IVF_LAYOUT_VERSION = "v3"  # v3: + per-cell sizes in _centroids.json
 
 
 def _cache_root() -> str:
@@ -565,8 +565,10 @@ def ivf_layout(
     cent_path = os.path.join(out, "_centroids.json")
 
     def _ready(d: str) -> bool:
-        return os.path.exists(os.path.join(d, "_SUCCESS")) and os.path.exists(
-            os.path.join(d, "_centroids.json")
+        return (
+            os.path.exists(os.path.join(d, "_SUCCESS"))
+            and os.path.exists(os.path.join(d, "_centroids.json"))
+            and os.path.exists(os.path.join(d, "_cells.json"))
         )
 
     def _build(tmp: str) -> None:
@@ -584,11 +586,31 @@ def ivf_layout(
         ).parquet(tmp)
         with open(os.path.join(tmp, "_centroids.json"), "w") as f:
             json.dump(cents, f)
+        # per-cell sizes (K_LISTS rows, from the layout just written):
+        # consumers gate degenerate cells as a PARTITION FILTER instead of
+        # re-aggregating the layout per query
+        sizes = {
+            int(r.cid): int(r.n)
+            for r in spark.read.parquet(tmp)
+            .groupBy("cid")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        with open(os.path.join(tmp, "_cells.json"), "w") as f:
+            json.dump(sizes, f)
 
     build_once(out, _ready, _build)
     with open(cent_path) as f:
         cents = [(int(c), [int(x) for x in v]) for c, v in json.load(f)]
     return out, cents
+
+
+def ivf_cell_sizes(layout_dir: str) -> dict[int, int]:
+    """Per-cell member counts persisted at layout build time."""
+    import json
+
+    with open(os.path.join(layout_dir, "_cells.json")) as f:
+        return {int(k): int(v) for k, v in json.load(f).items()}
 
 
 @register(

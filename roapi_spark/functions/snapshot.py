@@ -136,7 +136,7 @@ KNOWN_TAGS = (
     "incrmerged-v2",
     "pq-v1",
     "sq8-v1",
-    "ivf-v2",
+    "ivf-v3",
     "streambands-v1",
     "bm25-v1",
 )
