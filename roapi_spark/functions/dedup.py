@@ -654,10 +654,11 @@ _PAIRS_DUCK = f"""
 """
 
 
-@register(
-    "dedup_components",
-    oracle=f"""
-    WITH RECURSIVE {_PAIRS_DUCK.strip().lstrip("WITH").strip()},
+# Transitive closure over the candidate pairs -> comp(doc_id, component)
+# (min-label connected components). Use as: WITH RECURSIVE {_COMPONENTS_DUCK}
+# — shared by the clustering oracles so the labeling rule can't silently
+# diverge between them.
+_COMPONENTS_DUCK = f"""{_PAIRS_DUCK.strip().lstrip("WITH").strip()},
     e AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
@@ -666,9 +667,17 @@ _PAIRS_DUCK = f"""
       SELECT a, a FROM e
       UNION
       SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a
-    )
-    SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS component
-    FROM reach GROUP BY n
+    ),
+    comp AS (
+      SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n
+    )"""
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_COMPONENTS_DUCK}
+    SELECT doc_id, CAST(component AS BIGINT) AS component FROM comp
     """,
     doc="Near-dup clustering: connected components over the LSH candidate "
     "graph via iterative min-label propagation (the canonical duplicate-"

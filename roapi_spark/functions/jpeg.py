@@ -159,15 +159,25 @@ class _BitWriter:
         self._lens: list[int] = []
 
     def put(self, value: int, nbits: int) -> None:
-        # deferred: queue the pair; flush() materializes everything in
-        # one numpy bit pack + stuffing pass (per-symbol bit arithmetic
-        # in Python dominated the encoder profile)
+        # deferred: queue the pair; flush() (or the chunk bound)
+        # materializes in one numpy bit pack + stuffing pass (per-symbol
+        # bit arithmetic in Python dominated the encoder profile)
         self._vals.append(value)
         self._lens.append(nbits)
+        if len(self._vals) >= self._CHUNK:
+            self._materialize()
+
+    # chunk bound: the per-bit expansion in _materialize costs ~24 bytes
+    # of int64 temporaries per emitted bit, so an unbounded queue on a
+    # huge scan would peak at GBs where the old streamed writer was O(1);
+    # draining at 1M pairs keeps the bulk-pack win with a bounded peak
+    _CHUNK = 1 << 20
 
     def put_many(self, vals: list[int], lens: list[int]) -> None:
         self._vals.extend(vals)
         self._lens.extend(lens)
+        if len(self._vals) >= self._CHUNK:
+            self._materialize()
 
     def _materialize(self) -> None:
         """Pack every queued (value, nbits) pair: one MSB-first numpy
@@ -179,10 +189,14 @@ class _BitWriter:
         total = int(ln.sum())
         if not total:
             return
+        if int(ln.max()) > 63:
+            # the old scalar writer handled arbitrary widths; the int64
+            # pack cannot — fail loudly rather than emit corrupt bits
+            raise ValueError("JPEG bit writer supports values up to 63 bits")
         offs = np.cumsum(ln) - ln
         j = np.arange(total, dtype=np.int64) - np.repeat(offs, ln)
         shift = np.repeat(ln, ln) - 1 - j  # MSB first within each value
-        bits = ((np.repeat(v, ln) >> np.minimum(shift, 63)) & 1).astype(np.uint8)
+        bits = ((np.repeat(v, ln) >> shift) & 1).astype(np.uint8)  # shift <= 62 by the guard
         if self.n:  # fold the pending sub-byte accumulator in front
             pend = (
                 (self.acc >> (self.n - 1 - np.arange(self.n, dtype=np.int64))) & 1

@@ -273,22 +273,10 @@ def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cluster_sizes_oracle() -> str:
-    from roapi_spark.functions.dedup import _PAIRS_DUCK
+    from roapi_spark.functions.dedup import _COMPONENTS_DUCK
 
     return f"""
-    WITH RECURSIVE {_PAIRS_DUCK.strip().lstrip("WITH").strip()},
-    e AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(n, m) AS (
-      SELECT a, a FROM e
-      UNION
-      SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a
-    ),
-    comp AS (
-      SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n
-    ),
+    WITH RECURSIVE {_COMPONENTS_DUCK},
     sizes AS (
       SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
     )

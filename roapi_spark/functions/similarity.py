@@ -533,7 +533,7 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_LAYOUT_VERSION = "v3"  # v3: + per-cell sizes in _centroids.json
+_IVF_LAYOUT_VERSION = "v3"  # v3: + per-cell sizes (_cells.json)
 
 
 def _cache_root() -> str:
