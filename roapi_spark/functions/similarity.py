@@ -208,6 +208,83 @@ def _lsh_planes_sql() -> str:
     return f"(VALUES {rows}) AS planes(p, w)"
 
 
+def _lsh_sig_expr(planes: list[list[int]]) -> Column:
+    """8-bit hyperplane signature over a MATERIALIZED ``vq`` integer
+    column (MSB = plane 0): every projection sign is exact integer
+    arithmetic, so the build, the client-side query bucketing and the
+    DuckDB oracle agree bit-for-bit."""
+    plane_arr = F.array(
+        *[F.array(*[F.lit(x).cast("bigint") for x in plane]) for plane in planes]
+    )
+    return F.aggregate(
+        F.transform(
+            plane_arr,
+            lambda plane: F.when(
+                F.aggregate(
+                    F.zip_with(F.col("vq"), plane, lambda x, w_: x * w_),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, bit: acc * 2 + bit,
+    )
+
+
+def bucket_client(vq: list[int], planes: list[list[int]]) -> int:
+    """Client-side LSH bucket for QUERY vectors: the same integer plane
+    dots and MSB-first bit fold as ``_lsh_sig_expr`` — query sets are
+    bounded, and baking the plane-literal tree into Catalyst costs
+    driver analysis time per call (the corpus side keeps the JVM
+    expression, paid once at layout build)."""
+    acc = 0
+    for plane in planes:
+        dot = sum(x * w for x, w in zip(vq, plane))
+        acc = acc * 2 + (1 if dot >= 0 else 0)
+    return acc
+
+
+def lsh_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once hyperplane-LSH layout: the embedding corpus written as
+    parquet partitioned by its 8-bit signature (``bucket=`` directories).
+
+    The 'hash the corpus' half of LSH serving — one signature pass + one
+    shuffle-by-bucket write, amortized across every later probe (cache
+    key = content-addressed source snapshot via the parquet footer
+    digest, same as ``ivf_layout``). A probe then reads ONLY its query
+    buckets' directories (a planning-time PartitionFilter), an
+    O(corpus/2^planes) scan instead of re-hashing the full corpus per
+    query — at 100 TB the bucket directories are the table layout a
+    production LSH index materializes anyway."""
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    out = snapshot_cache_dir(src, "lsh-v1")
+
+    def _ready(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    def _build(tmp: str) -> None:
+        planes = _lsh_planes()
+        sigs = (
+            emb(spark, sf_dir)
+            .withColumn("vq", _vq_col())
+            .withColumn("bucket", _lsh_sig_expr(planes).cast("bigint"))
+            .drop("vq")
+        )
+        # one shuffle by bucket, then each bucket is a contiguous set of
+        # parquet files under its own bucket= directory
+        sigs.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(tmp)
+
+    build_once(out, _ready, _build)
+    return out
+
+
 @register(
     "ann_lsh",
     oracle=f"""
@@ -249,38 +326,61 @@ def _lsh_planes_sql() -> str:
     "8-bit signature; candidates = same bucket; exact re-rank in-bucket. "
     "Bucket join replaces the full cross product. Signatures use integer-"
     "quantized vectors (floor(x*1000+0.5)) so the sign of every projection "
-    "is exact integer arithmetic — no fp-order sensitivity, full oracle.",
+    "is exact integer arithmetic — no fp-order sensitivity, full oracle. "
+    "Serving goes through the build-once ``lsh_layout``: the corpus is "
+    "hashed once per snapshot into bucket-partitioned parquet, query "
+    "vectors are bucketed client-side (bounded integer math), and the "
+    "candidate read lists only the probed bucket= directories.",
     tags=("similarity",),
 )
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _lsh_planes()
-    e = emb(spark, sf_dir)
-    vq = F.transform(
-        F.col("v"), lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("bigint")
+    layout_dir = lsh_layout(spark, sf_dir)
+    # Probe side: the N query vectors come off the source table (vec_id
+    # predicate pushed to the parquet scan); their Spark-computed integer
+    # quantization feeds the client-side bucket fold — identical integer
+    # math to the layout build, none of the plane-literal tree's per-call
+    # driver analysis cost (same pattern as ann_ivf_kmeans).
+    qrows = (
+        emb(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("vq", _vq_col())
+        .select("vec_id", "v", "vq")
+        .collect()
     )
-    plane_arr = F.array(
-        *[F.array(*[F.lit(x).cast("bigint") for x in plane]) for plane in planes]
-    )
-    sig = F.aggregate(
-        F.transform(
-            plane_arr,
-            lambda plane: F.when(
-                F.aggregate(
-                    F.zip_with(F.col("vq"), plane, lambda x, w_: x * w_),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + x,
-                )
-                >= 0,
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, bit: acc * 2 + bit,
-    )
-    sigs = e.withColumn("vq", vq).withColumn("bucket", sig.cast("bigint")).drop("vq")
-    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
-    )
+    qdata = [
+        (
+            int(r.vec_id),
+            [float(x) for x in r.v],
+            bucket_client([int(x) for x in r.vq], planes),
+        )
+        for r in qrows
+    ]
+    q = spark.createDataFrame(qdata, "qid bigint, qv array<double>, qb bigint")
+    probe_buckets = sorted({qb for _, _, qb in qdata})
+    # Read ONLY the probed bucket= directories (basePath keeps the
+    # partition column). An IN-list PartitionFilter would prune the same
+    # files, but partition DISCOVERY still lists all 2^planes directories
+    # first — a parallel listing job per call that costs more than the
+    # probe itself. Explicit paths skip straight to the probed dirs; a
+    # bucket with no directory simply has no members (empty bucket).
+    probe_paths = [
+        p
+        for b in probe_buckets
+        if os.path.isdir(p := os.path.join(layout_dir, f"bucket={b}"))
+    ]
+    if not probe_paths:
+        sigs = (
+            spark.read.parquet(layout_dir)
+            .filter(F.lit(False))
+            .select("vec_id", "v", F.col("bucket").cast("bigint").alias("bucket"))
+        )
+    else:
+        sigs = (
+            spark.read.option("basePath", layout_dir)
+            .parquet(*probe_paths)
+            .select("vec_id", "v", F.col("bucket").cast("bigint").alias("bucket"))
+        )
     # cosine projected once; the window orders by the computed column
     # (double-eval fix, same as ann_ivf_kmeans)
     cand = sigs.join(

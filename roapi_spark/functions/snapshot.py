@@ -137,6 +137,7 @@ KNOWN_TAGS = (
     "pq-v1",
     "sq8-v1",
     "ivf-v3",
+    "lsh-v1",
     "streambands-v1",
     "bm25-v1",
 )
