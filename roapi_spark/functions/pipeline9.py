@@ -1,0 +1,276 @@
+"""Training-pipeline batch 9 (round 7): curation audits that close the
+loop on the engine's OWN approximate structures.
+
+Complements pipeline6's corpus data-card queries (mixture allocation,
+Zipf/Heaps fits, method agreement) with the audits that were still
+missing (reference scope: roapi serves tables, `columnq/src/table/
+mod.rs`; these extend the engine with the curation analytics a 100 TB
+text corpus needs on top):
+
+- ``q_hash_split`` — deterministic md5-bucket train/val/test assignment,
+  reported as a (split, source) matrix: reproducible across engines and
+  runs, no RNG state, and the per-source breakdown makes imbalance
+  visible.
+- ``q_cluster_purity`` — label purity + entropy per learned k-means cell
+  over the persisted IVF layout: the quantizer-quality audit read before
+  trusting centroid-blocked dedup/ANN.
+- ``q_minhash_calibration`` — the MinHash estimator audited against
+  exact shingle Jaccard on the cached candidate pairs, bucketed by
+  estimate: the error table that justifies the estimator's band/row
+  parameters (q_dedup_method_agreement counts set overlap; this measures
+  estimator ERROR).
+
+Scale shape at 100 TB: every query is one corpus-keyed aggregation plus
+dimension-sized (split / cell / pair) follow-ups; the calibration pair
+set is the cached sub-quadratic LSH edge artifact, not an all-pairs
+join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roapi_spark.plans.registry import register
+from roapi_spark.plans.util import maybe_broadcast
+from roapi_spark.util import pround
+
+_TOKS_DUCK = (
+    "list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+    "x -> length(x) > 0)"
+)
+
+# md5-bucket split bounds out of 100: [0,80) train, [80,90) val, rest test
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 90
+
+
+def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@register(
+    "q_hash_split",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT source,
+             ('0x' || SUBSTR(MD5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b,
+             LEN({_TOKS_DUCK}) AS ntok
+      FROM documents
+    )
+    SELECT CASE WHEN b < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN b < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens
+    FROM tagged
+    GROUP BY 1, 2
+    ORDER BY split, source
+    """,
+    doc="Deterministic train/val/test assignment: md5(doc_id) -> bucket "
+    f"0..99, [0,{SPLIT_TRAIN_PCT}) train / [{SPLIT_TRAIN_PCT},"
+    f"{SPLIT_VAL_PCT}) val / rest test — reproducible across engines, "
+    "runs and shards with zero RNG state (the only split rule that "
+    "survives a distributed re-run). Reported per (split, source) so "
+    "imbalance would be visible. Pure map-side tag + one agg shuffle of "
+    "split*source cells.",
+    tags=("text", "sampling", "pipeline"),
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.text import tokens_col
+
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % 100
+    )
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs(spark, sf_dir)
+        .select(split.alias("split"), "source", F.size(tokens_col()).alias("ntok"))
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def _cluster_purity_oracle() -> str:
+    from roapi_spark.functions.similarity import kmeans_oracle_prefix
+
+    return f"""
+    WITH {kmeans_oracle_prefix()},
+    cl AS (
+      SELECT af.cid, em.label, COUNT(*) AS c
+      FROM af JOIN embeddings em ON em.vec_id = af.vec_id
+      GROUP BY af.cid, em.label
+    ), tot AS (
+      SELECT cid, SUM(c) AS n FROM cl GROUP BY cid
+    )
+    SELECT cl.cid, CAST(MAX(tot.n) AS BIGINT) AS n_members,
+           CAST(COUNT(*) AS BIGINT) AS n_labels,
+           FLOOR(MAX(cl.c) * 1.0 / MAX(tot.n) * 10000 + 0.5) / 10000.0
+             AS purity,
+           FLOOR(-SUM((cl.c * 1.0 / tot.n) * LN(cl.c * 1.0 / tot.n))
+                 * 10000 + 0.5) / 10000.0 AS label_entropy
+    FROM cl JOIN tot USING (cid)
+    GROUP BY cl.cid
+    ORDER BY cl.cid
+    """
+
+
+@register(
+    "q_cluster_purity",
+    oracle=_cluster_purity_oracle(),
+    doc="Quantizer-quality audit: label purity (majority-label share) and "
+    "label entropy per learned k-means cell, read off the persisted IVF "
+    "layout — the check run before trusting centroid-blocked dedup or "
+    "IVF probes (a low-purity, high-entropy cell means the coarse "
+    "quantizer is mixing semantic neighborhoods). Serve path: one "
+    "(cid,label) agg over the cid-partitioned layout, then K_LISTS-sized "
+    "joins; the k-means fit itself is the amortized build-once artifact, "
+    "and the full pipeline is DuckDB-oracle-checked.",
+    tags=("similarity", "quality", "pipeline"),
+)
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.similarity import ivf_layout
+
+    layout_dir, _ = ivf_layout(spark, sf_dir)
+    cl = (
+        spark.read.parquet(layout_dir)
+        .groupBy("cid", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cl.groupBy("cid").agg(F.sum("c").alias("n"))
+    p = F.col("c") * F.lit(1.0) / F.col("n")
+    return (
+        cl.join(maybe_broadcast(tot), "cid")
+        .groupBy("cid")
+        .agg(
+            F.max("n").cast("bigint").alias("n_members"),
+            F.count("*").cast("bigint").alias("n_labels"),
+            pround(F.max("c") * F.lit(1.0) / F.max("n")).alias("purity"),
+            pround(-F.sum(p * F.log(p))).alias("label_entropy"),
+        )
+        .select("cid", "n_members", "n_labels", "purity", "label_entropy")
+        .orderBy("cid")
+    )
+
+
+def _minhash_calibration_oracle() -> str:
+    from roapi_spark.functions.dedup import N_MINHASH, lsh_cand_oracle_cte
+
+    return f"""
+    WITH {lsh_cand_oracle_cte()},
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             FLOOR(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)
+                   / CAST({N_MINHASH} AS DOUBLE) * 10000 + 0.5) / 10000.0
+               AS est_jaccard
+      FROM cand c
+        JOIN minh ma ON ma.doc_id = c.doc_a
+        JOIN minh mb ON mb.doc_id = c.doc_b AND ma.k = mb.k
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT e.doc_a, e.doc_b, COUNT(*) AS i
+      FROM est e
+        JOIN sh a ON a.doc_id = e.doc_a
+        JOIN sh b ON b.doc_id = e.doc_b AND b.shingle = a.shingle
+      GROUP BY e.doc_a, e.doc_b
+    ),
+    scored AS (
+      SELECT e.est_jaccard,
+             COALESCE(i.i, 0) * 1.0
+               / (sa.sz + sb.sz - COALESCE(i.i, 0)) AS exact_jaccard
+      FROM est e
+        LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+        JOIN szs sa ON sa.doc_id = e.doc_a
+        JOIN szs sb ON sb.doc_id = e.doc_b
+    )
+    SELECT CAST(FLOOR(est_jaccard * 10) AS BIGINT) AS est_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR(AVG(exact_jaccard) * 10000 + 0.5) / 10000.0 AS mean_exact,
+           FLOOR(AVG(ABS(est_jaccard - exact_jaccard)) * 10000 + 0.5) / 10000.0
+             AS mean_abs_err
+    FROM scored
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "q_minhash_calibration",
+    oracle=_minhash_calibration_oracle(),
+    doc="MinHash estimator calibration: for every cached LSH candidate "
+    "pair, the signature-match estimate vs the EXACT shingle Jaccard, "
+    "bucketed by estimate decile — the error table that justifies (or "
+    "indicts) the N_MINHASH/band parameters. Serve path: pair-bounded "
+    "throughout — the est side is the cached lshpairs-v4 artifact, the "
+    "exact side joins the pair set (broadcast) against the distinct "
+    "shingle postings, so work scales with candidate pairs x shingles "
+    "per doc, never all-pairs.",
+    tags=("dedup", "quality", "pipeline"),
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.dedup import docs as _docs
+    from roapi_spark.functions.dedup import lsh_pairs_cached, shingles
+
+    pairs = lsh_pairs_cached(spark, sf_dir)
+    sh = shingles(_docs(spark, sf_dir))
+    szs = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        maybe_broadcast(pairs.select("doc_a", "doc_b"))
+        .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b2").withColumnRenamed(
+                "shingle", "shingle_b"
+            ),
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    scored = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            maybe_broadcast(szs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza")),
+            "doc_a",
+        )
+        .join(
+            maybe_broadcast(szs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb")),
+            "doc_b",
+        )
+        .select(
+            "est_jaccard",
+            (
+                F.coalesce(F.col("i"), F.lit(0))
+                * F.lit(1.0)
+                / (F.col("sza") + F.col("szb") - F.coalesce(F.col("i"), F.lit(0)))
+            ).alias("exact_jaccard"),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.floor(F.col("est_jaccard") * 10).cast("bigint").alias("est_bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            pround(F.avg("exact_jaccard")).alias("mean_exact"),
+            pround(F.avg(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")))).alias(
+                "mean_abs_err"
+            ),
+        )
+        .orderBy("est_bucket")
+    )

@@ -33,6 +33,19 @@ def register(
     name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()
 ) -> Callable[[Builder], Builder]:
     def deco(fn: Builder) -> Builder:
+        # fail loud on duplicate names: a silent override would swap a
+        # query's semantics (and its oracle) out from under every
+        # consumer — corpus_report, bench, the driver's correctness rows
+        prev = QUERIES.get(name)
+        if prev is not None and (
+            prev.builder.__module__ != fn.__module__
+            or prev.builder.__qualname__ != fn.__qualname__
+        ):  # same-module re-exec (test reloads) is fine; a second module
+            # claiming the name is not
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(existing: {prev.builder.__module__})"
+            )
         QUERIES[name] = QuerySpec(name=name, builder=fn, oracle=oracle, doc=doc, tags=tags)
         return fn
 
@@ -50,6 +63,7 @@ def load_all() -> dict[str, QuerySpec]:
     import roapi_spark.functions.pipeline6  # noqa: F401
     import roapi_spark.functions.pipeline7  # noqa: F401
     import roapi_spark.functions.pipeline8  # noqa: F401
+    import roapi_spark.functions.pipeline9  # noqa: F401
     import roapi_spark.functions.pq  # noqa: F401
     import roapi_spark.functions.similarity  # noqa: F401
     import roapi_spark.functions.text  # noqa: F401
