@@ -176,38 +176,32 @@ def _semantic_keep_oracle() -> str:
     doc="SemDeDup-style apply (Abbas et al. 2023, greedy min-id variant): "
     "within each learned k-means cell, a vector is dropped iff it is a "
     "near-duplicate (cosine >= 0.3) of a lower-id vector — one anti-join "
-    "of the corpus against the cell-blocked near-dup pair set (the same "
-    "pairs dedup_embedding_kmeans emits). Keeps exactly the minimal "
+    "of the corpus against the cell-blocked near-dup pair set (the "
+    "build-once embpairscid-v1 artifact shared with "
+    "dedup_embedding_kmeans). Keeps exactly the minimal "
     "representative of every near-dup star; no all-pairs work anywhere.",
     tags=("dedup", "similarity", "pipeline"),
 )
 def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from roapi_spark.functions.similarity import dot_expr, ivf_layout, norm_expr
+    from roapi_spark.functions.dedup import emb_pairs_cid_cached
+    from roapi_spark.functions.similarity import ivf_layout
 
-    # the cid-partitioned IVF layout stores exactly (vec_id, v, cid) —
-    # the build-once index amortizes the k-means fit across every
-    # cell-blocked op (test_ivf_layout pins layout == live assignment).
-    # Norms are hoisted map-side so the per-pair filter is one dot fold.
+    # Both halves are build-once artifacts: the cid-partitioned IVF
+    # layout (k-means fit amortized across every cell-blocked op;
+    # test_ivf_layout pins layout == live assignment) and the
+    # cell-blocked near-dup edge set (emb_pairs_cid_cached, shared with
+    # dedup_embedding_kmeans). The apply is one distinct + one anti-join.
     layout_dir, _ = ivf_layout(spark, sf_dir)
-    e = (
-        spark.read.parquet(layout_dir)
-        .select("vec_id", "v", "cid")
-        .withColumn("n", norm_expr("v"))
-    )
-    a = e.alias("a")
-    b = e.alias("b")
-    # try_divide: ANSI-safe on zero-norm vectors (NULL -> below threshold)
-    cos = F.try_divide(dot_expr("a.v", "b.v"), F.col("a.n") * F.col("b.n"))
     dropped = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(F.round(cos, 4) >= 0.3)
-        .select(F.col("b.vec_id").alias("vec_id"))
+        emb_pairs_cid_cached(spark, sf_dir)
+        .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
-    return e.select("vec_id", "cid").join(dropped, "vec_id", "left_anti")
+    return (
+        spark.read.parquet(layout_dir)
+        .select("vec_id", "cid")
+        .join(dropped, "vec_id", "left_anti")
+    )
 
 
 @register(

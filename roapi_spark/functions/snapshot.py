@@ -138,6 +138,8 @@ KNOWN_TAGS = (
     "sq8-v1",
     "ivf-v3",
     "lsh-v1",
+    "embpairslbl-v1",
+    "embpairscid-v1",
     "streambands-v1",
     "bm25-v1",
 )

@@ -58,6 +58,35 @@ def test_one_build_two_consumers(spark, tmp_path_factory):
         del os.environ["SPARK_GRAFT_CACHE_DIR"]
 
 
+def test_emb_pairs_one_build_two_consumers(spark, tmp_path_factory):
+    """dedup_embedding_kmeans and dedup_semantic_keep share the
+    embpairscid-v1 edge artifact: the first consumer builds, the second
+    serves with no rebuild, and the skew-capped consumer's rows are a
+    subset of the artifact."""
+    cache = tmp_path_factory.mktemp("embpairs_cache")
+    os.environ["SPARK_GRAFT_CACHE_DIR"] = str(cache)
+    try:
+        from roapi_spark.functions.dedup import emb_pairs_cid_cached
+
+        specs = load_all()
+        n_km = specs["dedup_embedding_kmeans"].builder(spark, SF).count()
+        art_dir = next(
+            r
+            for r, _, fs in os.walk(cache)
+            for f in fs
+            if f == "_SUCCESS" and os.path.basename(r).startswith("embpairscid")
+        )
+        mark = os.path.getmtime(os.path.join(art_dir, "_SUCCESS"))
+        n_keep = specs["dedup_semantic_keep"].builder(spark, SF).count()
+        assert n_keep > 0
+        assert os.path.getmtime(os.path.join(art_dir, "_SUCCESS")) == mark
+        # the capped consumer serves a subset of the artifact's edges
+        assert n_km <= emb_pairs_cid_cached(spark, SF).count()
+        assert os.path.getmtime(os.path.join(art_dir, "_SUCCESS")) == mark
+    finally:
+        del os.environ["SPARK_GRAFT_CACHE_DIR"]
+
+
 def test_serving_path_leaves_no_cached_blocks(spark, tmp_path_factory):
     """A server answering dedup queries repeatedly must not accumulate
     persisted RDD blocks (round-3 behavior cached the shingle explosion
