@@ -316,3 +316,140 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# -- served bigram LM (tokenize-once artifact) ------------------------------
+
+
+def bigram_lm_index(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Build-once bigram-LM artifact for ``sf_dir``: the per-doc bigram
+    count table (``dbig``) plus the LM count tables derived from it
+    (``bc`` bigram totals, ``uc`` context totals) and the vocabulary
+    size, snapshot-keyed like the BM25 index.
+
+    At 100 TB "tokenize once, persist the postings" is the pipeline
+    norm: the corpus explode+agg (the dominant cost of every LM-scoring
+    pass) runs once per snapshot; re-scores — after a smoothing change,
+    against a different threshold, in the streaming twin — read the
+    compacted (doc, bigram) table, which is orders of magnitude smaller
+    than raw text. bc/uc derive from the dbig parquet JUST written, not
+    from its lazy lineage (same no-recompute rule as bm25_index).
+    Returns (layout dir, vocab size)."""
+    import json
+
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+    from roapi_spark.functions.text import tokens_col
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = snapshot_cache_dir(src, "bigramlm-v1")
+
+    def _ready(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_LM_READY"))
+
+    def _build(tmp: str) -> None:
+        dbig = (
+            docs(spark, sf_dir)
+            .select("doc_id", tokens_col().alias("w"))
+            .select("doc_id", F.explode(_bigrams_over("w")).alias("bg"))
+            .groupBy("doc_id", "bg.prev", "bg.cur")
+            .agg(F.count("*").alias("n"))
+        )
+        dbig.write.mode("overwrite").parquet(os.path.join(tmp, "dbig"))
+        d2 = spark.read.parquet(os.path.join(tmp, "dbig"))
+        bc = d2.groupBy("prev", "cur").agg(F.sum("n").alias("c2"))
+        bc.write.mode("overwrite").parquet(os.path.join(tmp, "bc"))
+        spark.read.parquet(os.path.join(tmp, "bc")).groupBy("prev").agg(
+            F.sum("c2").alias("c1")
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "uc"))
+        # vocab = distinct UNIGRAMS (not just bigram members: single-token
+        # docs count) — one extra corpus pass, build-time only
+        v = (
+            docs(spark, sf_dir)
+            .select(F.explode(tokens_col()).alias("term"))
+            .agg(F.count_distinct("term").alias("v"))
+            .collect()[0][0]
+        )
+        with open(os.path.join(tmp, "_stats.json"), "w") as f:
+            json.dump({"v": int(v)}, f)
+        with open(os.path.join(tmp, "_LM_READY"), "w") as f:
+            f.write("ok")
+
+    build_once(out, _ready, _build)
+    with open(os.path.join(out, "_stats.json")) as f:
+        v = int(json.load(f)["v"])
+    return out, v
+
+
+@register(
+    "q_ngram_perplexity_served",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_DUCK}) AS term,
+             generate_subscripts({_TOKS_DUCK}, 1) AS pos
+      FROM documents
+    ), big AS (
+      SELECT a.doc_id, a.term AS prev, b.term AS cur
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ), dbig AS (
+      SELECT doc_id, prev, cur, COUNT(*) AS n
+      FROM big GROUP BY doc_id, prev, cur
+    ), bc AS (
+      SELECT prev, cur, SUM(n) AS c2 FROM dbig GROUP BY prev, cur
+    ), uc AS (
+      SELECT prev, SUM(c2) AS c1 FROM bc GROUP BY prev
+    ), vocab AS (
+      SELECT COUNT(DISTINCT term) AS v FROM toks
+    ), scored AS (
+      SELECT d.doc_id,
+             SUM(d.n) AS n_bigrams,
+             SUM(d.n * -LN((bc.c2 + {LAPLACE_K}) / (uc.c1 + {LAPLACE_K} * vocab.v))
+                 / LN(2.0)) / SUM(d.n) AS h
+      FROM dbig d
+      JOIN bc ON bc.prev = d.prev AND bc.cur = d.cur
+      JOIN uc ON uc.prev = d.prev
+      CROSS JOIN vocab
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           FLOOR(h * 10000 + 0.5) / 10000.0 AS bits_per_bigram
+    FROM scored
+    ORDER BY bits_per_bigram DESC, doc_id LIMIT 50
+    """,
+    doc="q_ngram_perplexity answered from the build-once bigramlm-v1 "
+    "artifact instead of re-exploding raw text: the scoring pass reads "
+    "the persisted per-doc bigram counts and joins the persisted LM "
+    "count tables back on their own grouping keys (vocabulary-bounded, "
+    "size-capped broadcast); the vocab size is a literal from the "
+    "artifact stats. Same oracle, identical results — the pair "
+    "(recompute vs served) mirrors q_bm25_topk / q_bm25_topk_served.",
+    tags=("text", "quality", "pipeline"),
+)
+def q_ngram_perplexity_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, v = bigram_lm_index(spark, sf_dir)
+    dbig = spark.read.parquet(os.path.join(out, "dbig"))
+    bc = spark.read.parquet(os.path.join(out, "bc"))
+    uc = spark.read.parquet(os.path.join(out, "uc"))
+    scored = (
+        dbig.join(maybe_broadcast(bc), ["prev", "cur"])
+        .join(maybe_broadcast(uc), "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            (
+                F.sum(
+                    F.col("n")
+                    * -F.log(
+                        (F.col("c2") + F.lit(LAPLACE_K))
+                        / (F.col("c1") + F.lit(LAPLACE_K) * F.lit(v))
+                    )
+                    / F.lit(math.log(2.0))
+                )
+                / F.sum("n")
+            ).alias("h"),
+        )
+    )
+    out_df = scored.select(
+        "doc_id", "n_bigrams", pround(F.col("h")).alias("bits_per_bigram")
+    )
+    return out_df.orderBy(F.desc("bits_per_bigram"), F.asc("doc_id")).limit(50)

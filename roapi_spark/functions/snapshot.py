@@ -142,6 +142,7 @@ KNOWN_TAGS = (
     "embpairscid-v1",
     "streambands-v1",
     "bm25-v1",
+    "bigramlm-v1",
 )
 
 

@@ -95,3 +95,59 @@ def bm25_score_stream(
     return contrib.groupBy("qid", "doc_id").agg(
         pround(F.sum("c")).alias("score")
     )
+
+
+def perplexity_score_stream(
+    stream: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, n_bigrams, bits_per_bigram) per arriving document,
+    scored against the static bigram LM of ``sf_dir``
+    (`roapi_spark.functions.pipeline8.bigram_lm_index`) — the online
+    quality gate of a CCNet-style ingest: the LM count tables are the
+    once-per-corpus-snapshot artifact, each micro-batch scores its docs
+    with two STREAM-STATIC equi-joins (bc on the bigram, uc on the
+    context), and the only stateful operator is the final per-doc
+    aggregation (update-mode, all rows of a doc arrive in its own
+    micro-batch). Identical numbers to the batch
+    ``q_ngram_perplexity_served`` before its top-50 cut (same smoothing
+    constants, same rounding; per-instance summation differs from the
+    batch's grouped n*log only in float association, absorbed by the
+    4-decimal rounding)."""
+    import math
+
+    from roapi_spark.functions.pipeline8 import (
+        LAPLACE_K,
+        _bigrams_over,
+        bigram_lm_index,
+    )
+    from roapi_spark.functions.text import tokens_col
+    from roapi_spark.util import pround
+
+    out, v = bigram_lm_index(spark, sf_dir)
+    bc = spark.read.parquet(os.path.join(out, "bc"))
+    uc = spark.read.parquet(os.path.join(out, "uc"))
+    bgs = stream.select("doc_id", tokens_col().alias("w")).select(
+        "doc_id", F.explode(_bigrams_over("w")).alias("bg")
+    )
+    contrib = (
+        bgs.select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+        .join(bc, ["prev", "cur"], "left")
+        .join(uc, "prev", "left")
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(LAPLACE_K))
+                    / (
+                        F.coalesce(F.col("c1"), F.lit(0))
+                        + F.lit(LAPLACE_K) * F.lit(v)
+                    )
+                )
+                / F.lit(math.log(2.0))
+            ).alias("bits"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        pround(F.sum("bits") / F.count("*")).alias("bits_per_bigram"),
+    )

@@ -550,3 +550,49 @@ def test_bm25_score_stream_matches_batch(spark, tmp_path):
     assert set(topk) == set(want)
     for qid in want:
         assert topk[qid] == want[qid], f"qid {qid} mismatch"
+
+
+def test_perplexity_score_stream_matches_batch(spark, tmp_path):
+    """Streaming twin contract: scoring arriving corpus docs against the
+    static bigramlm-v1 artifact yields EXACTLY the batch
+    q_ngram_perplexity_served rows for those doc_ids (same smoothing,
+    same rounding)."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from roapi_spark.plans.registry import load_all
+    from roapi_spark.streaming.retrieval import (
+        perplexity_score_stream,
+        stream_docs,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = load_all()["q_ngram_perplexity_served"].builder(spark, sf_dir).collect()
+    want = {r.doc_id: (r.n_bigrams, r.bits_per_bigram) for r in batch[:5]}
+    docs_tbl = _pq.read_table(f"{sf_dir}/documents.parquet")
+    rows = [
+        {k: r[k] for k in ("doc_id", "text", "lang", "source", "n_chars")}
+        for r in docs_tbl.to_pylist()
+        if r["doc_id"] in want
+    ]
+    assert rows, "batch top-50 ids missing from the corpus?"
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    (sdir / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    scored = perplexity_score_stream(stream_docs(spark, str(sdir)), spark, sf_dir)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("ppl_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM ppl_stream").collect()
+    finally:
+        q.stop()
+    streamed = {r.doc_id: (r.n_bigrams, r.bits_per_bigram) for r in got}
+    assert streamed == want
