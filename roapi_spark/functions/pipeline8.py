@@ -65,9 +65,12 @@ def _bigrams_over(w: str):
     ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
 
 
-@register(
-    "q_ngram_perplexity",
-    oracle=f"""
+# The ONE Laplace-smoothed bigram scoring contract, shared by the batch
+# recompute, the artifact serve (same oracle) and the streaming scorer:
+# bits(prev->cur) = -log2((c2 + K) / (c1 + K*V)). The oracle multiplies
+# n * (bits) with the SAME association as lm_bits_expr so both engines
+# evaluate the identical float expression tree.
+_PPL_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, unnest({_TOKS_DUCK}) AS term,
              generate_subscripts({_TOKS_DUCK}, 1) AS pos
@@ -88,8 +91,8 @@ def _bigrams_over(w: str):
     ), scored AS (
       SELECT d.doc_id,
              SUM(d.n) AS n_bigrams,
-             SUM(d.n * -LN((bc.c2 + {LAPLACE_K}) / (uc.c1 + {LAPLACE_K} * vocab.v))
-                 / LN(2.0)) / SUM(d.n) AS h
+             SUM(d.n * (-LN((bc.c2 + {LAPLACE_K}) / (uc.c1 + {LAPLACE_K} * vocab.v))
+                 / LN(2.0))) / SUM(d.n) AS h
       FROM dbig d
       JOIN bc ON bc.prev = d.prev AND bc.cur = d.cur
       JOIN uc ON uc.prev = d.prev
@@ -100,7 +103,22 @@ def _bigrams_over(w: str):
            FLOOR(h * 10000 + 0.5) / 10000.0 AS bits_per_bigram
     FROM scored
     ORDER BY bits_per_bigram DESC, doc_id LIMIT 50
-    """,
+    """
+
+
+def lm_bits_expr(c2, c1, v):
+    """-log2 of the Laplace-smoothed bigram probability — the Spark twin
+    of _PPL_ORACLE's inner expression. ``c2``/``c1``/``v`` are Columns
+    (or literals) so the batch, served and streaming callers share one
+    formula; a smoothing change edits exactly here + _PPL_ORACLE."""
+    return -F.log(
+        (c2 + F.lit(LAPLACE_K)) / (c1 + F.lit(LAPLACE_K) * v)
+    ) / F.lit(math.log(2.0))
+
+
+@register(
+    "q_ngram_perplexity",
+    oracle=_PPL_ORACLE,
     doc="Bigram-LM cross-entropy per document (bits/bigram, Laplace "
     "smoothing, LM fit on the corpus itself) — the n-gram core of the "
     "CCNet/KenLM perplexity quality filter. Top-50 most-surprising docs. "
@@ -137,11 +155,7 @@ def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.sum(
                     F.col("n")
-                    * -F.log(
-                        (F.col("c2") + F.lit(LAPLACE_K))
-                        / (F.col("c1") + F.lit(LAPLACE_K) * F.col("v"))
-                    )
-                    / F.lit(math.log(2.0))
+                    * lm_bits_expr(F.col("c2"), F.col("c1"), F.col("v"))
                 )
                 / F.sum("n")
             ).alias("h"),
@@ -347,10 +361,19 @@ def bigram_lm_index(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
         return os.path.exists(os.path.join(d, "_LM_READY"))
 
     def _build(tmp: str) -> None:
-        dbig = (
+        # ONE tokenize pass: the regex split (the dominant per-doc cost)
+        # runs once into a materialized token-array table; both the
+        # bigram aggregation and the vocab count (distinct UNIGRAMS —
+        # single-token docs count, so bigram members alone are not
+        # enough) derive from it. The checkpoint holds token ARRAYS
+        # (≈ corpus text size) only for the duration of the build.
+        wdocs = (
             docs(spark, sf_dir)
             .select("doc_id", tokens_col().alias("w"))
-            .select("doc_id", F.explode(_bigrams_over("w")).alias("bg"))
+            .localCheckpoint(eager=False)
+        )
+        dbig = (
+            wdocs.select("doc_id", F.explode(_bigrams_over("w")).alias("bg"))
             .groupBy("doc_id", "bg.prev", "bg.cur")
             .agg(F.count("*").alias("n"))
         )
@@ -361,11 +384,8 @@ def bigram_lm_index(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
         spark.read.parquet(os.path.join(tmp, "bc")).groupBy("prev").agg(
             F.sum("c2").alias("c1")
         ).write.mode("overwrite").parquet(os.path.join(tmp, "uc"))
-        # vocab = distinct UNIGRAMS (not just bigram members: single-token
-        # docs count) — one extra corpus pass, build-time only
         v = (
-            docs(spark, sf_dir)
-            .select(F.explode(tokens_col()).alias("term"))
+            wdocs.select(F.explode("w").alias("term"))
             .agg(F.count_distinct("term").alias("v"))
             .collect()[0][0]
         )
@@ -382,40 +402,7 @@ def bigram_lm_index(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
 
 @register(
     "q_ngram_perplexity_served",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest({_TOKS_DUCK}) AS term,
-             generate_subscripts({_TOKS_DUCK}, 1) AS pos
-      FROM documents
-    ), big AS (
-      SELECT a.doc_id, a.term AS prev, b.term AS cur
-      FROM toks a JOIN toks b
-        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-    ), dbig AS (
-      SELECT doc_id, prev, cur, COUNT(*) AS n
-      FROM big GROUP BY doc_id, prev, cur
-    ), bc AS (
-      SELECT prev, cur, SUM(n) AS c2 FROM dbig GROUP BY prev, cur
-    ), uc AS (
-      SELECT prev, SUM(c2) AS c1 FROM bc GROUP BY prev
-    ), vocab AS (
-      SELECT COUNT(DISTINCT term) AS v FROM toks
-    ), scored AS (
-      SELECT d.doc_id,
-             SUM(d.n) AS n_bigrams,
-             SUM(d.n * -LN((bc.c2 + {LAPLACE_K}) / (uc.c1 + {LAPLACE_K} * vocab.v))
-                 / LN(2.0)) / SUM(d.n) AS h
-      FROM dbig d
-      JOIN bc ON bc.prev = d.prev AND bc.cur = d.cur
-      JOIN uc ON uc.prev = d.prev
-      CROSS JOIN vocab
-      GROUP BY d.doc_id
-    )
-    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-           FLOOR(h * 10000 + 0.5) / 10000.0 AS bits_per_bigram
-    FROM scored
-    ORDER BY bits_per_bigram DESC, doc_id LIMIT 50
-    """,
+    oracle=_PPL_ORACLE,
     doc="q_ngram_perplexity answered from the build-once bigramlm-v1 "
     "artifact instead of re-exploding raw text: the scoring pass reads "
     "the persisted per-doc bigram counts and joins the persisted LM "
@@ -439,11 +426,7 @@ def q_ngram_perplexity_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.sum(
                     F.col("n")
-                    * -F.log(
-                        (F.col("c2") + F.lit(LAPLACE_K))
-                        / (F.col("c1") + F.lit(LAPLACE_K) * F.lit(v))
-                    )
-                    / F.lit(math.log(2.0))
+                    * lm_bits_expr(F.col("c2"), F.col("c1"), F.lit(v))
                 )
                 / F.sum("n")
             ).alias("h"),

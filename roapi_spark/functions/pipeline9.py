@@ -227,7 +227,18 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from roapi_spark.functions.dedup import lsh_pairs_cached, shingles
 
     pairs = lsh_pairs_cached(spark, sf_dir)
-    sh = shingles(_docs(spark, sf_dir))
+    # Pair-bounded on the SCAN side too: only docs that appear in a
+    # cached pair get tokenized/shingled (the member set is pair-graph-
+    # sized, orders of magnitude under the corpus), and the barrier
+    # materializes the exploded postings ONCE for all three consumers
+    # below (szs + both sides of the intersection join) instead of
+    # re-running the explode per subtree.
+    pdocs = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sh = shingles(
+        _docs(spark, sf_dir).join(maybe_broadcast(pdocs), "doc_id")
+    ).localCheckpoint(eager=False)
     szs = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         maybe_broadcast(pairs.select("doc_a", "doc_b"))

@@ -139,7 +139,8 @@ KNOWN_TAGS = (
     "ivf-v3",
     "lsh-v1",
     "embpairslbl-v1",
-    "embpairscid-v1",
+    "embpairscid-v3",  # suffix tracks _IVF_LAYOUT_VERSION (edge set is a
+    # function of the clustering, not just the source snapshot)
     "streambands-v1",
     "bm25-v1",
     "bigramlm-v1",

@@ -113,12 +113,10 @@ def perplexity_score_stream(
     constants, same rounding; per-instance summation differs from the
     batch's grouped n*log only in float association, absorbed by the
     4-decimal rounding)."""
-    import math
-
     from roapi_spark.functions.pipeline8 import (
-        LAPLACE_K,
         _bigrams_over,
         bigram_lm_index,
+        lm_bits_expr,
     )
     from roapi_spark.functions.text import tokens_col
     from roapi_spark.util import pround
@@ -135,15 +133,10 @@ def perplexity_score_stream(
         .join(uc, "prev", "left")
         .select(
             "doc_id",
-            (
-                -F.log(
-                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(LAPLACE_K))
-                    / (
-                        F.coalesce(F.col("c1"), F.lit(0))
-                        + F.lit(LAPLACE_K) * F.lit(v)
-                    )
-                )
-                / F.lit(math.log(2.0))
+            lm_bits_expr(
+                F.coalesce(F.col("c2"), F.lit(0)),
+                F.coalesce(F.col("c1"), F.lit(0)),
+                F.lit(v),
             ).alias("bits"),
         )
     )

@@ -223,6 +223,10 @@ def test_known_tags_cover_every_call_site():
                 from roapi_spark.functions.similarity import _IVF_LAYOUT_VERSION
 
                 used.add(f"ivf-{_IVF_LAYOUT_VERSION}")
+            elif arg.startswith('f"embpairscid-'):
+                from roapi_spark.functions.similarity import _IVF_LAYOUT_VERSION
+
+                used.add(f"embpairscid-{_IVF_LAYOUT_VERSION}")
             else:
                 raise AssertionError(f"unrecognized tag expression: {arg} in {p}")
     assert used, "no call sites found — the regex is broken"
