@@ -692,3 +692,78 @@ def q_ann_recall_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from roapi_spark.functions.similarity import ann_ivf_nprobe
 
     return _ann_recall_pair(spark, sf_dir, ann_ivf_nprobe(spark, sf_dir))
+
+
+def _lsh_recall_oracle() -> str:
+    import roapi_spark.functions.similarity  # noqa: F401
+    from roapi_spark.plans.registry import QUERIES
+
+    lsh = QUERIES["ann_lsh"].oracle
+    exact = QUERIES["knn_bruteforce"].oracle
+    return f"""
+    WITH lsh AS ({lsh}), exact AS ({exact}),
+    ov AS (
+      SELECT i.qid, COUNT(*) AS hits
+      FROM lsh i JOIN exact e ON e.qid = i.qid AND e.neighbor_id = i.neighbor_id
+      GROUP BY i.qid
+    ),
+    q AS (SELECT DISTINCT qid FROM exact)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           FLOOR(AVG(COALESCE(ov.hits, 0) / 5.0) * 10000 + 0.5) / 10000.0
+             AS recall_at_5
+    FROM q LEFT JOIN ov USING (qid)
+    """
+
+
+@register(
+    "q_lsh_recall",
+    oracle=_lsh_recall_oracle(),
+    doc="Recall@5 of the hyperplane-LSH search against the exact "
+    "brute-force top-5 — the quality axis for the hashing index family, "
+    "completing the per-family audit trio (IVF: q_ann_recall/_nprobe; "
+    "LSH: here; PQ: q_pq_recall). A single 8-bit signature family trades "
+    "recall for a 1/2^8 expected bucket scan; this query is the measured "
+    "price. Same N_QUERIES-bounded overlap join as the IVF audits.",
+    tags=("similarity", "audit"),
+)
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.similarity import ann_lsh
+
+    return _ann_recall_pair(spark, sf_dir, ann_lsh(spark, sf_dir))
+
+
+def _pq_recall_oracle() -> str:
+    import roapi_spark.functions.pq  # noqa: F401
+    from roapi_spark.plans.registry import QUERIES
+
+    pq = QUERIES["ann_pq_adc"].oracle
+    exact = QUERIES["knn_bruteforce"].oracle
+    return f"""
+    WITH pq AS ({pq}), exact AS ({exact}),
+    ov AS (
+      SELECT i.qid, COUNT(*) AS hits
+      FROM pq i JOIN exact e ON e.qid = i.qid AND e.neighbor_id = i.neighbor_id
+      GROUP BY i.qid
+    ),
+    q AS (SELECT DISTINCT qid FROM exact)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           FLOOR(AVG(COALESCE(ov.hits, 0) / 5.0) * 10000 + 0.5) / 10000.0
+             AS recall_at_5
+    FROM q LEFT JOIN ov USING (qid)
+    """
+
+
+@register(
+    "q_pq_recall",
+    oracle=_pq_recall_oracle(),
+    doc="Recall@5 of the product-quantized ADC search against the exact "
+    "brute-force top-5 — the measured quantization loss of the ~256x "
+    "code compression (the number that justifies, or indicts, M and K "
+    "for a corpus). Same N_QUERIES-bounded overlap join as the other "
+    "recall audits.",
+    tags=("similarity", "audit"),
+)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.pq import ann_pq_adc
+
+    return _ann_recall_pair(spark, sf_dir, ann_pq_adc(spark, sf_dir))
