@@ -767,3 +767,39 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from roapi_spark.functions.pq import ann_pq_adc
 
     return _ann_recall_pair(spark, sf_dir, ann_pq_adc(spark, sf_dir))
+
+
+def _lsh_multi_recall_oracle() -> str:
+    import roapi_spark.functions.similarity  # noqa: F401
+    from roapi_spark.plans.registry import QUERIES
+
+    lshm = QUERIES["ann_lsh_multi"].oracle
+    exact = QUERIES["knn_bruteforce"].oracle
+    return f"""
+    WITH lshm AS ({lshm}), exact AS ({exact}),
+    ov AS (
+      SELECT i.qid, COUNT(*) AS hits
+      FROM lshm i JOIN exact e ON e.qid = i.qid AND e.neighbor_id = i.neighbor_id
+      GROUP BY i.qid
+    ),
+    q AS (SELECT DISTINCT qid FROM exact)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           FLOOR(AVG(COALESCE(ov.hits, 0) / 5.0) * 10000 + 0.5) / 10000.0
+             AS recall_at_5
+    FROM q LEFT JOIN ov USING (qid)
+    """
+
+
+@register(
+    "q_lsh_multi_recall",
+    oracle=_lsh_multi_recall_oracle(),
+    doc="Recall@5 of the multi-table LSH search — the after picture to "
+    "q_lsh_recall's single-table 0.00: L independent tables give each "
+    "true neighbor L collision chances (1-(1-p^k)^L), the measured value "
+    "of the L-tables knob. Same N_QUERIES-bounded overlap join.",
+    tags=("similarity", "audit"),
+)
+def q_lsh_multi_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.similarity import ann_lsh_multi
+
+    return _ann_recall_pair(spark, sf_dir, ann_lsh_multi(spark, sf_dir))

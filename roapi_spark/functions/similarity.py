@@ -208,6 +208,43 @@ def _lsh_planes_sql() -> str:
     return f"(VALUES {rows}) AS planes(p, w)"
 
 
+N_LSH_TABLES = 4  # independent hash tables (union of probes)
+N_LSH_PLANES_MULTI = 6  # shorter signatures per table than ann_lsh's 8
+
+
+def _lsh_planes_multi(
+    n_tables: int = N_LSH_TABLES,
+    n_planes: int = N_LSH_PLANES_MULTI,
+    dim: int = 64,
+) -> list[list[list[int]]]:
+    """Deterministic +/-1 hyperplanes for L independent LSH tables —
+    family ``t`` is seeded md5(f"{t}/{p}:{d}"), disjoint from
+    ``_lsh_planes``' seeds so the single-table query is untouched."""
+    import hashlib
+
+    return [
+        [
+            [
+                1
+                if int(hashlib.md5(f"{t}/{p}:{d}".encode()).hexdigest()[:8], 16) % 2
+                else -1
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def _lsh_planes_multi_sql() -> str:
+    rows = ", ".join(
+        f"({t}, {p}, {plane})"
+        for t, fam in enumerate(_lsh_planes_multi())
+        for p, plane in enumerate(fam)
+    )
+    return f"(VALUES {rows}) AS planes(t, p, w)"
+
+
 def _lsh_sig_expr(planes: list[list[int]]) -> Column:
     """8-bit hyperplane signature over a MATERIALIZED ``vq`` integer
     column (MSB = plane 0): every projection sign is exact integer
@@ -389,6 +426,182 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         F.col("vec_id").alias("neighbor_id"),
         F.round(cosine_expr("qv", "v"), 4).alias("cos_sim"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "neighbor_id", "cos_sim", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+def lsh_multi_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once multi-table LSH layout: the corpus replicated into
+    L independent hash tables, parquet-partitioned by (t, bucket).
+
+    This is the standard fix for single-table LSH's recall cliff (the
+    measured 0.00 recall@5 in docs/SCALE.md): L shorter signatures give
+    each true neighbor L chances to collide — recall 1-(1-p^k)^L — at
+    the cost of L x the index storage and L probed buckets per query,
+    which is exactly the knob a production LSH deployment turns. Same
+    content-addressed snapshot cache as ``lsh_layout``."""
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    out = snapshot_cache_dir(src, "lshmulti-v1")
+
+    def _ready(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    def _build(tmp: str) -> None:
+        fams = _lsh_planes_multi()
+        sigs = (
+            emb(spark, sf_dir)
+            .withColumn("vq", _vq_col())
+            .select(
+                "vec_id",
+                "v",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).alias("t"),
+                                _lsh_sig_expr(fam).cast("bigint").alias("bucket"),
+                            )
+                            for t, fam in enumerate(fams)
+                        ]
+                    )
+                ).alias("tb"),
+            )
+            .select("vec_id", "v", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+        )
+        sigs.repartition("t", "bucket").write.mode("overwrite").partitionBy(
+            "t", "bucket"
+        ).parquet(tmp)
+
+    build_once(out, _ready, _build)
+    return out
+
+
+@register(
+    "ann_lsh_multi",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             LIST_TRANSFORM(embedding::DOUBLE[],
+                            x -> CAST(FLOOR(x * 1000 + 0.5) AS BIGINT)) AS vq
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT e.vec_id, t,
+             CAST(SUM(CASE WHEN LIST_SUM(
+                      LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+                                     i -> vq[i] * w[i])) >= 0
+                  THEN CAST(POWER(2, {N_LSH_PLANES_MULTI - 1} - p) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN {_lsh_planes_multi_sql()}
+      GROUP BY e.vec_id, t
+    ),
+    q AS (SELECT s.vec_id AS qid, s.t, s.bucket AS qb
+          FROM sigs s WHERE s.vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT DISTINCT q.qid, s.vec_id AS neighbor_id
+      FROM q JOIN sigs s ON s.t = q.t AND s.bucket = q.qb AND s.vec_id <> q.qid
+    ),
+    scored AS (
+      SELECT c.qid, c.neighbor_id,
+             ROUND(LIST_COSINE_SIMILARITY(eq.v, en.v), 4) AS cos_sim
+      FROM cand c
+        JOIN e eq ON eq.vec_id = c.qid
+        JOIN e en ON en.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT qid, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+    doc=f"Multi-table LSH: {N_LSH_TABLES} independent "
+    f"{N_LSH_PLANES_MULTI}-plane families, candidates = union of the "
+    "query's bucket across tables (distinct before re-rank), exact "
+    "cosine top-k — the standard recall fix for single-table LSH "
+    "(ann_lsh measures 0.00 recall@5; this is the L-tables knob a "
+    "production deployment turns, at L x index storage). Serving reads "
+    "the build-once (t, bucket)-partitioned ``lsh_multi_layout``; query "
+    "vectors are bucketed client-side per family with the same exact "
+    "integer math.",
+    tags=("similarity",),
+)
+def ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fams = _lsh_planes_multi()
+    layout_dir = lsh_multi_layout(spark, sf_dir)
+    qrows = (
+        emb(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("vq", _vq_col())
+        .select("vec_id", "v", "vq")
+        .collect()
+    )
+    qdata = [
+        (
+            int(r.vec_id),
+            [float(x) for x in r.v],
+            t,
+            bucket_client([int(x) for x in r.vq], fam),
+        )
+        for r in qrows
+        for t, fam in enumerate(fams)
+    ]
+    q = spark.createDataFrame(
+        qdata, "qid bigint, qv array<double>, qt int, qb bigint"
+    )
+    probe_paths = [
+        p
+        for _, _, t, b in qdata
+        if os.path.isdir(p := os.path.join(layout_dir, f"t={t}", f"bucket={b}"))
+    ]
+    if not probe_paths:
+        sigs = (
+            spark.read.parquet(layout_dir)
+            .filter(F.lit(False))
+            .select(
+                "vec_id",
+                "v",
+                F.col("t").cast("int").alias("t"),
+                F.col("bucket").cast("bigint").alias("bucket"),
+            )
+        )
+    else:
+        sigs = (
+            spark.read.option("basePath", layout_dir)
+            .parquet(*sorted(set(probe_paths)))
+            .select(
+                "vec_id",
+                "v",
+                F.col("t").cast("int").alias("t"),
+                F.col("bucket").cast("bigint").alias("bucket"),
+            )
+        )
+    # union-of-tables candidates: score per collision, then DISTINCT on
+    # the (qid, neighbor, rounded-cos) row — duplicates across tables
+    # are identical rows, so distinct-after-score avoids an array-typed
+    # distinct on the vector column
+    cand = (
+        sigs.join(
+            F.broadcast(q),
+            (F.col("t") == F.col("qt"))
+            & (F.col("bucket") == F.col("qb"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_expr("qv", "v"), 4).alias("cos_sim"),
+        )
+        .distinct()
     )
     w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (

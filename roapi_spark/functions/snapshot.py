@@ -138,6 +138,7 @@ KNOWN_TAGS = (
     "sq8-v1",
     "ivf-v3",
     "lsh-v1",
+    "lshmulti-v1",
     "embpairslbl-v1",
     "embpairscid-v3",  # suffix tracks _IVF_LAYOUT_VERSION (edge set is a
     # function of the clustering, not just the source snapshot)
