@@ -285,3 +285,97 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("est_bucket")
     )
+
+
+def _emb_incremental_oracle() -> str:
+    from roapi_spark.functions.dedup import CELL_SKEW_MULT, INCR_MOD, INCR_NEW
+    from roapi_spark.functions.similarity import K_LISTS, kmeans_oracle_prefix
+
+    return f"""
+    WITH {kmeans_oracle_prefix()},
+    newv AS (SELECT vec_id, cid FROM af WHERE vec_id % {INCR_MOD} = {INCR_NEW}),
+    corp AS (SELECT vec_id, cid FROM af WHERE vec_id % {INCR_MOD} <> {INCR_NEW}),
+    csz AS (SELECT cid, COUNT(*) AS nc FROM corp GROUP BY cid),
+    okc AS (  -- corpus-side degenerate-cell guard, same bound as batch
+      SELECT csz.cid, csz.nc FROM csz
+      WHERE csz.nc <= {CELL_SKEW_MULT} * (SELECT COUNT(*) FROM corp)
+                      / {K_LISTS}),
+    dups AS (
+      SELECT n.vec_id AS new_id, COUNT(*) AS n_dups
+      FROM newv n
+        JOIN corp c ON c.cid = n.cid
+        JOIN okc ON okc.cid = n.cid
+        JOIN e en ON en.vec_id = n.vec_id
+        JOIN e ec ON ec.vec_id = c.vec_id
+      WHERE ROUND(LIST_COSINE_SIMILARITY(en.v, ec.v), 4) >= 0.3
+      GROUP BY 1
+    )
+    SELECT n.vec_id AS new_id, n.cid,
+           CAST(COALESCE(okc.nc, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups
+    FROM newv n
+      LEFT JOIN okc ON okc.cid = n.cid
+      LEFT JOIN dups d ON d.new_id = n.vec_id
+    ORDER BY new_id
+    """
+
+
+@register(
+    "dedup_embedding_incremental",
+    oracle=_emb_incremental_oracle(),
+    doc="Incremental embedding dedup: an arriving vector batch (the "
+    "simulated vec_id%10==7 slice, same convention as dedup_incremental) "
+    "is assigned with the PERSISTED coarse quantizer and audited against "
+    "only its cell's corpus members — n_candidates (cell occupancy after "
+    "the corpus-side skew cap) and n_dups (cosine >= 0.3 matches) per "
+    "new vector, no corpus-wide recompute. Serve path composes the two "
+    "build-once artifacts: cell membership from the IVF layout, the "
+    "actual duplicate edges from the shared embpairscid pair graph "
+    "filtered to new-vs-corpus orientation — both joins are "
+    "dimension-sized.",
+    tags=("dedup", "similarity", "pipeline"),
+)
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.dedup import (
+        CELL_SKEW_MULT,
+        INCR_MOD,
+        INCR_NEW,
+        emb_pairs_cid_cached,
+    )
+    from roapi_spark.functions.similarity import K_LISTS, ivf_layout
+
+    layout_dir, _ = ivf_layout(spark, sf_dir)
+    members = spark.read.parquet(layout_dir).select("vec_id", "cid")
+    is_new = F.col("vec_id") % INCR_MOD == INCR_NEW
+    newv = members.filter(is_new)
+    corp = members.filter(~is_new)
+    csz = corp.groupBy("cid").agg(F.count("*").alias("nc"))
+    totc = corp.agg(F.count("*").alias("tot"))
+    okc = (
+        csz.crossJoin(F.broadcast(totc))
+        .filter(F.col("nc") <= F.lit(CELL_SKEW_MULT) * F.col("tot") / F.lit(K_LISTS))
+        .select("cid", "nc")
+    )
+    pairs = emb_pairs_cid_cached(spark, sf_dir)
+    # new-vs-corpus edges, either orientation of the (id_a < id_b) pair
+    a_new = (F.col("id_a") % INCR_MOD == INCR_NEW)
+    b_new = (F.col("id_b") % INCR_MOD == INCR_NEW)
+    dups = (
+        pairs.join(maybe_broadcast(okc.select("cid")), "cid")
+        .filter(a_new != b_new)
+        .select(F.when(a_new, F.col("id_a")).otherwise(F.col("id_b")).alias("new_id"))
+        .groupBy("new_id")
+        .agg(F.count("*").alias("n_dups"))
+    )
+    return (
+        newv.select(F.col("vec_id").alias("new_id"), "cid")
+        .join(maybe_broadcast(okc), "cid", "left")
+        .join(maybe_broadcast(dups), "new_id", "left")
+        .select(
+            "new_id",
+            "cid",
+            F.coalesce("nc", F.lit(0)).cast("bigint").alias("n_candidates"),
+            F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+        )
+        .orderBy("new_id")
+    )
