@@ -24,6 +24,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -143,4 +145,58 @@ def perplexity_score_stream(
     return contrib.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
         pround(F.sum("bits") / F.count("*")).alias("bits_per_bigram"),
+    )
+
+
+VECS_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def stream_vectors(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
+    return spark.readStream.schema(VECS_SCHEMA).format(fmt).load(path)
+
+
+def emb_match_stream(
+    stream: DataFrame, spark: SparkSession, sf_dir: str, threshold: float = 0.3
+) -> DataFrame:
+    """(vec_id, match_id, cos_sim) per arriving embedding vector against
+    the static IVF layout of ``sf_dir`` — the ANN twin of
+    ``streaming.docs.lsh_match_stream``: each micro-batch quantizes its
+    vectors with the PERSISTED centroids (the k*dim literal assignment
+    expression is built once at stream definition, not per batch),
+    equi-joins its coarse cell's members (stream-static, stateless), and
+    emits exact-cosine matches at the dedup threshold. Identical edges
+    to the batch ``emb_pairs_cid_cached`` artifact for vectors already
+    in the corpus (pinned by the twin test)."""
+    from roapi_spark.functions.similarity import (
+        _assign_expr,
+        _vq_col,
+        cosine_expr,
+        ivf_layout,
+    )
+
+    layout_dir, cents = ivf_layout(spark, sf_dir)
+    static = spark.read.parquet(layout_dir).select(
+        F.col("vec_id").alias("match_id"),
+        F.col("v").alias("mv"),
+        F.col("cid").cast("int").alias("mcid"),
+    )
+    s = (
+        stream.select("vec_id", F.col("embedding").alias("v"))
+        .withColumn("vq", _vq_col())
+        .withColumn("cid", _assign_expr(cents))
+        .select("vec_id", F.col("v").alias("sv"), "cid")
+    )
+    cos = F.round(cosine_expr("sv", "mv"), 4)
+    return (
+        s.join(
+            static,
+            (F.col("cid") == F.col("mcid")) & (F.col("vec_id") != F.col("match_id")),
+        )
+        .select("vec_id", "match_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
     )

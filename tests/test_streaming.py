@@ -596,3 +596,53 @@ def test_perplexity_score_stream_matches_batch(spark, tmp_path):
         q.stop()
     streamed = {r.doc_id: (r.n_bigrams, r.bits_per_bigram) for r in got}
     assert streamed == want
+
+
+def test_emb_match_stream_matches_pair_artifact(spark, tmp_path):
+    """Streaming twin contract: arriving corpus vectors matched against
+    the static IVF layout emit EXACTLY the embpairscid edge artifact's
+    edges for those ids (same quantizer, same cosine rounding, same
+    threshold)."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from roapi_spark.functions.dedup import INCR_MOD, INCR_NEW, emb_pairs_cid_cached
+    from roapi_spark.streaming.retrieval import emb_match_stream, stream_vectors
+
+    sf_dir = "/root/testdata/sf0.001"
+    vec_tbl = _pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    arriving = [
+        {"vec_id": r["vec_id"], "embedding": [float(x) for x in r["embedding"]]}
+        for r in vec_tbl
+        if r["vec_id"] % INCR_MOD == INCR_NEW
+    ][:20]
+    ids = {r["vec_id"] for r in arriving}
+    assert arriving
+    sdir = tmp_path / "in"
+    sdir.mkdir()
+    (sdir / "b1.json").write_text("\n".join(_json.dumps(r) for r in arriving))
+
+    matched = emb_match_stream(stream_vectors(spark, str(sdir)), spark, sf_dir)
+    q = (
+        matched.writeStream.format("memory")
+        .queryName("emb_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.vec_id, r.match_id, r.cos_sim)
+            for r in spark.sql("SELECT * FROM emb_stream").collect()
+        }
+    finally:
+        q.stop()
+    want = set()
+    for r in emb_pairs_cid_cached(spark, sf_dir).collect():
+        if r.id_a in ids:
+            want.add((r.id_a, r.id_b, r.cos_sim))
+        if r.id_b in ids:
+            want.add((r.id_b, r.id_a, r.cos_sim))
+    assert got == want
