@@ -598,33 +598,38 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- ANN recall audit --------------------------------------------------------
 
 
-def _ann_recall_oracle() -> str:
-    # compose the two registered full queries as nested CTEs (DuckDB
-    # allows a WITH inside a CTE body). Import the module directly —
-    # its @register calls populate QUERIES — instead of load_all(),
-    # which would re-enter the registry's import chain mid-import.
+def _recall_oracle(query_name: str) -> str:
+    """Compose any registered approximate-search query's oracle with the
+    exact brute-force oracle as nested CTEs (DuckDB allows a WITH inside
+    a CTE body) into ONE recall@TOP_K audit — the single source of the
+    overlap/rounding recipe for every per-family recall query. Imports
+    the registering modules directly (their @register calls populate
+    QUERIES) instead of load_all(), which would re-enter the registry's
+    import chain mid-import."""
+    import roapi_spark.functions.pq  # noqa: F401
     import roapi_spark.functions.similarity  # noqa: F401
+    from roapi_spark.functions.similarity import TOP_K
     from roapi_spark.plans.registry import QUERIES
 
-    ivf = QUERIES["ann_ivf_kmeans"].oracle
+    approx = QUERIES[query_name].oracle
     exact = QUERIES["knn_bruteforce"].oracle
     return f"""
-    WITH ivf AS ({ivf}), exact AS ({exact}),
+    WITH approx AS ({approx}), exact AS ({exact}),
     ov AS (
       SELECT i.qid, COUNT(*) AS hits
-      FROM ivf i JOIN exact e ON e.qid = i.qid AND e.neighbor_id = i.neighbor_id
+      FROM approx i JOIN exact e ON e.qid = i.qid AND e.neighbor_id = i.neighbor_id
       GROUP BY i.qid
     ),
     q AS (SELECT DISTINCT qid FROM exact)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-           FLOOR(AVG(COALESCE(ov.hits, 0) / 5.0) * 10000 + 0.5) / 10000.0
+           FLOOR(AVG(COALESCE(ov.hits, 0) / {float(TOP_K)}) * 10000 + 0.5) / 10000.0
              AS recall_at_5
     FROM q LEFT JOIN ov USING (qid)
     """
 
 
 def _ann_recall_pair(spark, sf_dir, ann_df):
-    from roapi_spark.functions.similarity import knn_bruteforce
+    from roapi_spark.functions.similarity import TOP_K, knn_bruteforce
 
     exact = knn_bruteforce(spark, sf_dir).select("qid", "neighbor_id")
     ov = (
@@ -636,15 +641,15 @@ def _ann_recall_pair(spark, sf_dir, ann_df):
     q = exact.select("qid").distinct()
     return q.join(ov, "qid", "left").agg(
         F.count("*").cast("bigint").alias("n_queries"),
-        pround(F.avg(F.coalesce("hits", F.lit(0)) / F.lit(5.0))).alias(
-            "recall_at_5"
-        ),
+        pround(
+            F.avg(F.coalesce("hits", F.lit(0)) / F.lit(float(TOP_K)))
+        ).alias("recall_at_5"),
     )
 
 
 @register(
     "q_ann_recall",
-    oracle=_ann_recall_oracle(),
+    oracle=_recall_oracle("ann_ivf_kmeans"),
     doc="ANN recall audit: recall@5 of the IVF-k-means search against "
     "the exact brute-force top-5 — THE number an ANN deployment tunes "
     "nprobe/list-count by. Composes the two registered operators (IVF "
@@ -658,30 +663,11 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_pair(spark, sf_dir, ann_ivf_kmeans(spark, sf_dir))
 
 
-def _ann_recall_nprobe_oracle() -> str:
-    import roapi_spark.functions.similarity  # noqa: F401
-    from roapi_spark.plans.registry import QUERIES
-
-    nprobe = QUERIES["ann_ivf_nprobe"].oracle
-    exact = QUERIES["knn_bruteforce"].oracle
-    return f"""
-    WITH ivf AS ({nprobe}), exact AS ({exact}),
-    ov AS (
-      SELECT i.qid, COUNT(*) AS hits
-      FROM ivf i JOIN exact e ON e.qid = i.qid AND e.neighbor_id = i.neighbor_id
-      GROUP BY i.qid
-    ),
-    q AS (SELECT DISTINCT qid FROM exact)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-           FLOOR(AVG(COALESCE(ov.hits, 0) / 5.0) * 10000 + 0.5) / 10000.0
-             AS recall_at_5
-    FROM q LEFT JOIN ov USING (qid)
-    """
 
 
 @register(
     "q_ann_recall_nprobe",
-    oracle=_ann_recall_nprobe_oracle(),
+    oracle=_recall_oracle("ann_ivf_nprobe"),
     doc="Recall@5 of the multi-probe IVF variant — paired with "
     "q_ann_recall (single probe) this is the nprobe dial measured: more "
     "probed lists, higher recall, more rows scanned (the ivf_probed_rows "
@@ -694,30 +680,11 @@ def q_ann_recall_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_pair(spark, sf_dir, ann_ivf_nprobe(spark, sf_dir))
 
 
-def _lsh_recall_oracle() -> str:
-    import roapi_spark.functions.similarity  # noqa: F401
-    from roapi_spark.plans.registry import QUERIES
-
-    lsh = QUERIES["ann_lsh"].oracle
-    exact = QUERIES["knn_bruteforce"].oracle
-    return f"""
-    WITH lsh AS ({lsh}), exact AS ({exact}),
-    ov AS (
-      SELECT i.qid, COUNT(*) AS hits
-      FROM lsh i JOIN exact e ON e.qid = i.qid AND e.neighbor_id = i.neighbor_id
-      GROUP BY i.qid
-    ),
-    q AS (SELECT DISTINCT qid FROM exact)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-           FLOOR(AVG(COALESCE(ov.hits, 0) / 5.0) * 10000 + 0.5) / 10000.0
-             AS recall_at_5
-    FROM q LEFT JOIN ov USING (qid)
-    """
 
 
 @register(
     "q_lsh_recall",
-    oracle=_lsh_recall_oracle(),
+    oracle=_recall_oracle("ann_lsh"),
     doc="Recall@5 of the hyperplane-LSH search against the exact "
     "brute-force top-5 — the quality axis for the hashing index family, "
     "completing the per-family audit trio (IVF: q_ann_recall/_nprobe; "
@@ -732,30 +699,11 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_pair(spark, sf_dir, ann_lsh(spark, sf_dir))
 
 
-def _pq_recall_oracle() -> str:
-    import roapi_spark.functions.pq  # noqa: F401
-    from roapi_spark.plans.registry import QUERIES
-
-    pq = QUERIES["ann_pq_adc"].oracle
-    exact = QUERIES["knn_bruteforce"].oracle
-    return f"""
-    WITH pq AS ({pq}), exact AS ({exact}),
-    ov AS (
-      SELECT i.qid, COUNT(*) AS hits
-      FROM pq i JOIN exact e ON e.qid = i.qid AND e.neighbor_id = i.neighbor_id
-      GROUP BY i.qid
-    ),
-    q AS (SELECT DISTINCT qid FROM exact)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-           FLOOR(AVG(COALESCE(ov.hits, 0) / 5.0) * 10000 + 0.5) / 10000.0
-             AS recall_at_5
-    FROM q LEFT JOIN ov USING (qid)
-    """
 
 
 @register(
     "q_pq_recall",
-    oracle=_pq_recall_oracle(),
+    oracle=_recall_oracle("ann_pq_adc"),
     doc="Recall@5 of the product-quantized ADC search against the exact "
     "brute-force top-5 — the measured quantization loss of the ~256x "
     "code compression (the number that justifies, or indicts, M and K "
@@ -769,30 +717,11 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_pair(spark, sf_dir, ann_pq_adc(spark, sf_dir))
 
 
-def _lsh_multi_recall_oracle() -> str:
-    import roapi_spark.functions.similarity  # noqa: F401
-    from roapi_spark.plans.registry import QUERIES
-
-    lshm = QUERIES["ann_lsh_multi"].oracle
-    exact = QUERIES["knn_bruteforce"].oracle
-    return f"""
-    WITH lshm AS ({lshm}), exact AS ({exact}),
-    ov AS (
-      SELECT i.qid, COUNT(*) AS hits
-      FROM lshm i JOIN exact e ON e.qid = i.qid AND e.neighbor_id = i.neighbor_id
-      GROUP BY i.qid
-    ),
-    q AS (SELECT DISTINCT qid FROM exact)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-           FLOOR(AVG(COALESCE(ov.hits, 0) / 5.0) * 10000 + 0.5) / 10000.0
-             AS recall_at_5
-    FROM q LEFT JOIN ov USING (qid)
-    """
 
 
 @register(
     "q_lsh_multi_recall",
-    oracle=_lsh_multi_recall_oracle(),
+    oracle=_recall_oracle("ann_lsh_multi"),
     doc="Recall@5 of the multi-table LSH search — the after picture to "
     "q_lsh_recall's single-table 0.00: L independent tables give each "
     "true neighbor L collision chances (1-(1-p^k)^L), the measured value "

@@ -342,20 +342,33 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         INCR_NEW,
         emb_pairs_cid_cached,
     )
-    from roapi_spark.functions.similarity import K_LISTS, ivf_layout
+    from roapi_spark.functions.similarity import (
+        K_LISTS,
+        ivf_cell_sizes,
+        ivf_layout,
+    )
 
     layout_dir, _ = ivf_layout(spark, sf_dir)
     members = spark.read.parquet(layout_dir).select("vec_id", "cid")
     is_new = F.col("vec_id") % INCR_MOD == INCR_NEW
     newv = members.filter(is_new)
-    corp = members.filter(~is_new)
-    csz = corp.groupBy("cid").agg(F.count("*").alias("nc"))
-    totc = corp.agg(F.count("*").alias("tot"))
-    okc = (
-        csz.crossJoin(F.broadcast(totc))
-        .filter(F.col("nc") <= F.lit(CELL_SKEW_MULT) * F.col("tot") / F.lit(K_LISTS))
-        .select("cid", "nc")
+    # corpus-side cell occupancy = the layout's PERSISTED per-cell sizes
+    # minus the new slice's per-cell counts (one K_LISTS-row collect of
+    # the batch we list anyway) — the skew gate is then driver-side
+    # integer math, with no second corpus-wide aggregation per call
+    sizes = ivf_cell_sizes(layout_dir)
+    new_counts = {
+        int(r.cid): int(r.n)
+        for r in newv.groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    corp_sizes = {cid: n - new_counts.get(cid, 0) for cid, n in sizes.items()}
+    totc = sum(corp_sizes.values())
+    ok_cells = sorted(
+        (cid, nc)
+        for cid, nc in corp_sizes.items()
+        if nc <= CELL_SKEW_MULT * totc / K_LISTS
     )
+    okc = spark.createDataFrame(ok_cells, "cid int, nc bigint")
     pairs = emb_pairs_cid_cached(spark, sf_dir)
     # new-vs-corpus edges, either orientation of the (id_a < id_b) pair
     a_new = (F.col("id_a") % INCR_MOD == INCR_NEW)

@@ -284,6 +284,102 @@ def bucket_client(vq: list[int], planes: list[list[int]]) -> int:
     return acc
 
 
+def _lsh_bucket_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    layout_dir: str,
+    fams: list[list[list[int]]],
+    multi_table: bool,
+) -> DataFrame:
+    """Shared LSH probe scaffolding for the single- and multi-table
+    layouts: query vectors come off the source table with their
+    Spark-computed integer quantization (vec_id pushdown), are bucketed
+    client-side per plane family (identical integer math to the layout
+    build, none of the plane-literal tree's per-call driver analysis),
+    and ONLY the probed (t=,)bucket= directories are read — explicit
+    paths with basePath, skipping the all-directories partition
+    discovery an IN-list filter would still pay. Cosine is projected
+    once and the rank window orders by the computed column (double-eval
+    fix, same as ann_ivf_kmeans); multi-table candidates are distinct-ed
+    after scoring (duplicate collisions are identical rows, avoiding an
+    array-typed distinct on the vector)."""
+    qrows = (
+        emb(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("vq", _vq_col())
+        .select("vec_id", "v", "vq")
+        .collect()
+    )
+    qdata = [
+        (
+            int(r.vec_id),
+            [float(x) for x in r.v],
+            t,
+            bucket_client([int(x) for x in r.vq], fam),
+        )
+        for r in qrows
+        for t, fam in enumerate(fams)
+    ]
+    if multi_table:
+        q = spark.createDataFrame(
+            qdata, "qid bigint, qv array<double>, qt int, qb bigint"
+        )
+        probe_dirs = {
+            os.path.join(layout_dir, f"t={t}", f"bucket={b}")
+            for _, _, t, b in qdata
+        }
+        part_cols = [
+            F.col("t").cast("int").alias("t"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+        ]
+        cond = (
+            (F.col("t") == F.col("qt"))
+            & (F.col("bucket") == F.col("qb"))
+            & (F.col("vec_id") != F.col("qid"))
+        )
+    else:
+        q = spark.createDataFrame(
+            [(qid, qv, b) for qid, qv, _, b in qdata],
+            "qid bigint, qv array<double>, qb bigint",
+        )
+        probe_dirs = {
+            os.path.join(layout_dir, f"bucket={b}") for _, _, _, b in qdata
+        }
+        part_cols = [F.col("bucket").cast("bigint").alias("bucket")]
+        cond = (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("qid"))
+    paths = sorted(p for p in probe_dirs if os.path.isdir(p))
+    if not paths:  # every probed bucket empty -> empty, schema-stable
+        sigs = (
+            spark.read.parquet(layout_dir)
+            .filter(F.lit(False))
+            .select("vec_id", "v", *part_cols)
+        )
+    else:
+        sigs = (
+            spark.read.option("basePath", layout_dir)
+            .parquet(*paths)
+            .select("vec_id", "v", *part_cols)
+        )
+    cand = sigs.join(F.broadcast(q), cond).select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_expr("qv", "v"), 4).alias("cos_sim"),
+    )
+    if multi_table:
+        cand = cand.distinct()
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "qid",
+            "neighbor_id",
+            "cos_sim",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
 def lsh_layout(spark: SparkSession, sf_dir: str) -> str:
     """Build-once hyperplane-LSH layout: the embedding corpus written as
     parquet partitioned by its 8-bit signature (``bucket=`` directories).
@@ -371,67 +467,8 @@ def lsh_layout(spark: SparkSession, sf_dir: str) -> str:
     tags=("similarity",),
 )
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    planes = _lsh_planes()
-    layout_dir = lsh_layout(spark, sf_dir)
-    # Probe side: the N query vectors come off the source table (vec_id
-    # predicate pushed to the parquet scan); their Spark-computed integer
-    # quantization feeds the client-side bucket fold — identical integer
-    # math to the layout build, none of the plane-literal tree's per-call
-    # driver analysis cost (same pattern as ann_ivf_kmeans).
-    qrows = (
-        emb(spark, sf_dir)
-        .filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("vq", _vq_col())
-        .select("vec_id", "v", "vq")
-        .collect()
-    )
-    qdata = [
-        (
-            int(r.vec_id),
-            [float(x) for x in r.v],
-            bucket_client([int(x) for x in r.vq], planes),
-        )
-        for r in qrows
-    ]
-    q = spark.createDataFrame(qdata, "qid bigint, qv array<double>, qb bigint")
-    probe_buckets = sorted({qb for _, _, qb in qdata})
-    # Read ONLY the probed bucket= directories (basePath keeps the
-    # partition column). An IN-list PartitionFilter would prune the same
-    # files, but partition DISCOVERY still lists all 2^planes directories
-    # first — a parallel listing job per call that costs more than the
-    # probe itself. Explicit paths skip straight to the probed dirs; a
-    # bucket with no directory simply has no members (empty bucket).
-    probe_paths = [
-        p
-        for b in probe_buckets
-        if os.path.isdir(p := os.path.join(layout_dir, f"bucket={b}"))
-    ]
-    if not probe_paths:
-        sigs = (
-            spark.read.parquet(layout_dir)
-            .filter(F.lit(False))
-            .select("vec_id", "v", F.col("bucket").cast("bigint").alias("bucket"))
-        )
-    else:
-        sigs = (
-            spark.read.option("basePath", layout_dir)
-            .parquet(*probe_paths)
-            .select("vec_id", "v", F.col("bucket").cast("bigint").alias("bucket"))
-        )
-    # cosine projected once; the window orders by the computed column
-    # (double-eval fix, same as ann_ivf_kmeans)
-    cand = sigs.join(
-        F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("qid"))
-    ).select(
-        "qid",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine_expr("qv", "v"), 4).alias("cos_sim"),
-    )
-    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("qid", "neighbor_id", "cos_sim", F.col("rnk").cast("bigint").alias("rnk"))
+    return _lsh_bucket_serve(
+        spark, sf_dir, lsh_layout(spark, sf_dir), [_lsh_planes()], multi_table=False
     )
 
 
@@ -536,78 +573,12 @@ def lsh_multi_layout(spark: SparkSession, sf_dir: str) -> str:
     tags=("similarity",),
 )
 def ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fams = _lsh_planes_multi()
-    layout_dir = lsh_multi_layout(spark, sf_dir)
-    qrows = (
-        emb(spark, sf_dir)
-        .filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("vq", _vq_col())
-        .select("vec_id", "v", "vq")
-        .collect()
-    )
-    qdata = [
-        (
-            int(r.vec_id),
-            [float(x) for x in r.v],
-            t,
-            bucket_client([int(x) for x in r.vq], fam),
-        )
-        for r in qrows
-        for t, fam in enumerate(fams)
-    ]
-    q = spark.createDataFrame(
-        qdata, "qid bigint, qv array<double>, qt int, qb bigint"
-    )
-    probe_paths = [
-        p
-        for _, _, t, b in qdata
-        if os.path.isdir(p := os.path.join(layout_dir, f"t={t}", f"bucket={b}"))
-    ]
-    if not probe_paths:
-        sigs = (
-            spark.read.parquet(layout_dir)
-            .filter(F.lit(False))
-            .select(
-                "vec_id",
-                "v",
-                F.col("t").cast("int").alias("t"),
-                F.col("bucket").cast("bigint").alias("bucket"),
-            )
-        )
-    else:
-        sigs = (
-            spark.read.option("basePath", layout_dir)
-            .parquet(*sorted(set(probe_paths)))
-            .select(
-                "vec_id",
-                "v",
-                F.col("t").cast("int").alias("t"),
-                F.col("bucket").cast("bigint").alias("bucket"),
-            )
-        )
-    # union-of-tables candidates: score per collision, then DISTINCT on
-    # the (qid, neighbor, rounded-cos) row — duplicates across tables
-    # are identical rows, so distinct-after-score avoids an array-typed
-    # distinct on the vector column
-    cand = (
-        sigs.join(
-            F.broadcast(q),
-            (F.col("t") == F.col("qt"))
-            & (F.col("bucket") == F.col("qb"))
-            & (F.col("vec_id") != F.col("qid")),
-        )
-        .select(
-            "qid",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_expr("qv", "v"), 4).alias("cos_sim"),
-        )
-        .distinct()
-    )
-    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("qid", "neighbor_id", "cos_sim", F.col("rnk").cast("bigint").alias("rnk"))
+    return _lsh_bucket_serve(
+        spark,
+        sf_dir,
+        lsh_multi_layout(spark, sf_dir),
+        _lsh_planes_multi(),
+        multi_table=True,
     )
 
 

@@ -167,7 +167,10 @@ def emb_match_stream(
     the static IVF layout of ``sf_dir`` — the ANN twin of
     ``streaming.docs.lsh_match_stream``: each micro-batch quantizes its
     vectors with the PERSISTED centroids (the k*dim literal assignment
-    expression is built once at stream definition, not per batch),
+    expression — note Structured Streaming re-plans the query per
+    micro-batch, so the tree's ~1s driver analysis recurs per trigger;
+    fine at batch-seconds cadence, and a sub-second-latency deployment
+    would pre-quantize upstream or assign client-side in foreachBatch),
     equi-joins its coarse cell's members (stream-static, stateless), and
     emits exact-cosine matches at the dedup threshold. Identical edges
     to the batch ``emb_pairs_cid_cached`` artifact for vectors already
