@@ -252,9 +252,18 @@ def q_bm25_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.crc32(F.col("term")) % N_PBUCKETS).alias("pb")
         ).distinct().collect()}
     )
-    postings = spark.read.parquet(os.path.join(layout, "postings")).filter(
-        F.col("pb").isin(pbs)
-    )
+    # explicit probe paths, not an IN-list PartitionFilter: partition
+    # DISCOVERY would still list all N_PBUCKETS directories per call (a
+    # parallel listing job that costs more than the probe — same finding
+    # as the ann_lsh layout); a pb with no directory has no postings
+    pdir = os.path.join(layout, "postings")
+    probe_paths = [
+        p for b in pbs if os.path.isdir(p := os.path.join(pdir, f"pb={b}"))
+    ]
+    if not probe_paths:
+        postings = spark.read.parquet(pdir).filter(F.lit(False))
+    else:
+        postings = spark.read.option("basePath", pdir).parquet(*probe_paths)
     dfreq = spark.read.parquet(os.path.join(layout, "dfreq"))
     contrib = (
         postings.join(F.broadcast(qterms), "term")
