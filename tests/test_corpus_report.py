@@ -18,8 +18,13 @@ def test_corpus_report_builds(spark):
     assert summary["langs"] >= 1 and summary["sources"] >= 1
     for section in ("# Corpus data card", "## Language mix",
                     "## Source mixture plan", "## Duplication",
-                    "## Distributional health"):
+                    "## Distributional health",
+                    "## Train/val/test split (deterministic md5 buckets)",
+                    "## Quantizer quality (k-means cells vs labels)",
+                    "MinHash estimator calibration"):
         assert section in md
+    assert summary["splits"] > 0
+    assert summary["min_cell_purity"] is not None
     # the Zipf/Heaps numbers surfaced
     assert str(summary["zipf_slope"]) in md
     assert str(summary["heaps_beta"]) in md

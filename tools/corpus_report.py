@@ -46,6 +46,11 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
     packing = run("q_packing_efficiency")
     recall = run("q_ann_recall")[0]
     recall_np = run("q_ann_recall_nprobe")[0]
+    recall_lshm = run("q_lsh_multi_recall")[0]
+    recall_pq = run("q_pq_recall")[0]
+    splits = run("q_hash_split")
+    purity = run("q_cluster_purity")
+    calib = run("q_minhash_calibration")
 
     lines = [
         f"# Corpus data card — `{sf_dir}`",
@@ -91,6 +96,25 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
         f"lsh_only={agreement.get('lsh_only', 0)}, "
         f"jaccard_only={agreement.get('jaccard_only', 0)} (recall misses)",
         "",
+        "MinHash estimator calibration (est bucket -> exact Jaccard):",
+        "",
+        "| est decile | pairs | mean exact | mean abs err |",
+        "|---|---|---|---|",
+        *[
+            f"| {r['est_bucket']} | {r['n_pairs']} | {r['mean_exact']} | "
+            f"{r['mean_abs_err']} |"
+            for r in calib
+        ],
+        "",
+        "## Train/val/test split (deterministic md5 buckets)",
+        "",
+        "| split | source | docs | tokens |",
+        "|---|---|---|---|",
+        *[
+            f"| {r['split']} | {r['source']} | {r['n_docs']} | {r['n_tokens']} |"
+            for r in splits
+        ],
+        "",
         "## Packing (concat-and-chunk, per source)",
         "",
         "| source | packs | straddle frac | last-pack fill |",
@@ -110,7 +134,19 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
         "templated/synthetic text)",
         f"- ANN recall@5 vs exact: IVF single-probe "
         f"**{recall['recall_at_5']}**, multi-probe "
-        f"**{recall_np['recall_at_5']}** (the nprobe dial)",
+        f"**{recall_np['recall_at_5']}** (the nprobe dial); "
+        f"multi-table LSH {recall_lshm['recall_at_5']}, "
+        f"PQ-ADC {recall_pq['recall_at_5']} — the per-family frontier",
+        "",
+        "## Quantizer quality (k-means cells vs labels)",
+        "",
+        "| cell | members | labels | purity | entropy |",
+        "|---|---|---|---|---|",
+        *[
+            f"| {r['cid']} | {r['n_members']} | {r['n_labels']} | "
+            f"{r['purity']} | {r['label_entropy']} |"
+            for r in purity
+        ],
         "",
     ]
     summary = {
@@ -123,6 +159,11 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
         "heaps_beta": heaps["heaps_beta"],
         "lsh_recall_misses": agreement.get("jaccard_only", 0),
         "ann_recall_at_5": recall["recall_at_5"],
+        "splits": len(splits),
+        "min_cell_purity": min((r["purity"] for r in purity), default=None),
+        "minhash_mean_abs_err": max(
+            (r["mean_abs_err"] for r in calib), default=None
+        ),
     }
     return "\n".join(lines), summary
 
