@@ -646,3 +646,65 @@ def test_emb_match_stream_matches_pair_artifact(spark, tmp_path):
         if r.id_b in ids:
             want.add((r.id_b, r.id_a, r.cos_sim))
     assert got == want
+
+
+def test_emb_match_stream_checkpoint_restart(spark, tmp_path):
+    """Restart recovery for the stateless ANN matcher: the checkpoint
+    carries the file-source offsets, so a restart neither reprocesses
+    batch-1 files (no duplicate edges) nor misses files that arrived
+    while the query was down."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from roapi_spark.streaming.retrieval import emb_match_stream, stream_vectors
+
+    sf_dir = "/root/testdata/sf0.001"
+    base = _pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    # synthetic arrivals that REUSE corpus embeddings: each is guaranteed
+    # a cos=1.0 match with its source vector's cell partner
+    vecs = [
+        {"vec_id": 900001, "embedding": base[0]["embedding"]},
+        {"vec_id": 900002, "embedding": base[1]["embedding"]},
+    ]
+    d = tmp_path / "vin"
+    d.mkdir()
+
+    def row(r):
+        return _json.dumps(
+            {"vec_id": r["vec_id"], "embedding": [float(x) for x in r["embedding"]]}
+        )
+
+    (d / "b1.json").write_text(row(vecs[0]))
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def start():
+        return (
+            emb_match_stream(stream_vectors(spark, str(d)), spark, sf_dir)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # a new file arrives while the query is DOWN; restart picks it up
+    # exactly once and does not reprocess b1
+    (d / "b2.json").write_text(row(vecs[1]))
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    out = spark.read.parquet(out_dir).collect()
+    edges = [(r.vec_id, r.match_id) for r in out]
+    assert len(edges) == len(set(edges)), "restart re-emitted batch-1 edges"
+    # both arrivals matched (each reuses a corpus embedding -> cos 1.0
+    # with its source), and nothing else leaked in
+    assert {r.vec_id for r in out} == {900001, 900002}
