@@ -57,3 +57,32 @@ def test_every_query_documented_and_tagged():
     notags = [n for n, s in specs.items() if not s.tags]
     assert not nodoc, f"queries without a doc string: {nodoc}"
     assert not notags, f"queries without tags: {notags}"
+
+
+def test_duplicate_registration_fails_loud():
+    """A second module claiming an existing query name must raise — a
+    silent override would swap the query's semantics AND its oracle out
+    from under every consumer (the guard that caught a would-be second
+    q_zipf_slope in round 7). Same-module re-registration (test reloads)
+    stays allowed."""
+    import pytest
+
+    from roapi_spark.plans.registry import QUERIES, register
+
+    assert "q1_pricing_summary" in load_all()
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        @register("q1_pricing_summary")
+        def q1_pricing_summary(spark, sf_dir):  # pragma: no cover
+            raise AssertionError("never built")
+
+    # same module + qualname re-registers fine (module re-exec path)
+    prev = QUERIES["q1_pricing_summary"]
+    fn = prev.builder
+
+    def redo():
+        return register(
+            "q1_pricing_summary", oracle=prev.oracle, doc=prev.doc, tags=prev.tags
+        )(fn)
+
+    redo()
+    assert QUERIES["q1_pricing_summary"].builder is fn
