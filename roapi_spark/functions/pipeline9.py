@@ -392,3 +392,69 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_id")
     )
+
+
+def _dedup_funnel_oracle() -> str:
+    from roapi_spark.functions.dedup import _COMPONENTS_DUCK
+
+    return f"""
+    WITH RECURSIVE {_COMPONENTS_DUCK},
+    keep_ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)),
+    drop_near AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+    surv AS (
+      SELECT k.doc_id FROM keep_ex k
+      WHERE k.doc_id NOT IN (SELECT doc_id FROM drop_near)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM keep_ex) AS n_after_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n_after_near,
+           FLOOR((SELECT COUNT(*) FROM surv) * 1.0
+                 / (SELECT COUNT(*) FROM documents) * 10000 + 0.5) / 10000.0
+             AS pct_kept
+    """
+
+
+@register(
+    "q_dedup_funnel",
+    oracle=_dedup_funnel_oracle(),
+    doc="Corpus-level dedup funnel — the one-row headline of a dedup "
+    "report: docs -> exact-unique (keep min doc_id per md5) -> near-dup "
+    "survivors (exact keepers that are not non-representative members "
+    "of an LSH component), with the final keep rate. Serve path: the "
+    "exact stage is one 16-byte-digest shuffle; the near stage reads "
+    "the snapshot-cached component labels (pair-graph-sized) and "
+    "anti-joins — no text ever shuffles, no pair recompute.",
+    tags=("dedup", "quality", "pipeline"),
+)
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.dedup import dedup_components
+    from roapi_spark.functions.dedup import docs as _docs
+
+    d = _docs(spark, sf_dir)
+    keep_ex = (
+        d.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    drop_near = (
+        dedup_components(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("component"))
+        .select("doc_id")
+    )
+    surv = keep_ex.join(maybe_broadcast(drop_near), "doc_id", "left_anti")
+    n_docs = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    n_ex = keep_ex.agg(F.count("*").cast("bigint").alias("n_after_exact"))
+    n_surv = surv.agg(F.count("*").cast("bigint").alias("n_after_near"))
+    return (
+        n_docs.crossJoin(F.broadcast(n_ex))
+        .crossJoin(F.broadcast(n_surv))
+        .select(
+            "n_docs",
+            "n_after_exact",
+            "n_after_near",
+            pround(
+                F.col("n_after_near") * F.lit(1.0) / F.col("n_docs")
+            ).alias("pct_kept"),
+        )
+    )

@@ -51,6 +51,7 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
     splits = run("q_hash_split")
     purity = run("q_cluster_purity")
     calib = run("q_minhash_calibration")
+    funnel = run("q_dedup_funnel")[0]
 
     lines = [
         f"# Corpus data card — `{sf_dir}`",
@@ -79,6 +80,10 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
         ],
         "",
         "## Duplication",
+        "",
+        f"Funnel: {funnel['n_docs']} docs -> {funnel['n_after_exact']} "
+        f"exact-unique -> {funnel['n_after_near']} after near-dup "
+        f"({funnel['pct_kept']:.2%} kept)",
         "",
         "| source | docs | exact-dup rate |",
         "|---|---|---|",
