@@ -19,11 +19,16 @@ text corpus needs on top):
   estimate: the error table that justifies the estimator's band/row
   parameters (q_dedup_method_agreement counts set overlap; this measures
   estimator ERROR).
+- ``dedup_embedding_incremental`` — an arriving vector batch audited
+  against only its coarse-quantizer cell's corpus members, composing
+  the persisted IVF layout with the shared embpairscid edge artifact.
+- ``q_dedup_funnel`` — the one-row dedup headline: docs -> exact-unique
+  -> near-dup survivors with the final keep rate.
 
 Scale shape at 100 TB: every query is one corpus-keyed aggregation plus
 dimension-sized (split / cell / pair) follow-ups; the calibration pair
 set is the cached sub-quadratic LSH edge artifact, not an all-pairs
-join.
+join, and the incremental/funnel serves read snapshot artifacts.
 """
 
 from __future__ import annotations

@@ -123,13 +123,16 @@ def test_maybe_broadcast_size_gate(spark):
 
 def test_bm25_served_prunes_posting_partitions(spark, specs):
     """The bm25-v1 inverted index serve plan must be an index READ:
-    the postings FileScan carries a pb PartitionFilter (only the query
-    terms' crc32 buckets are touched) and the query-term join
-    broadcasts — no shuffle of the postings side before aggregation."""
+    only the query terms' crc32 posting shards are scanned — since the
+    explicit-probe-paths change the pruning happens at FILE LISTING
+    time (the scan's file index holds pb= directories directly, not the
+    postings root + an IN-list PartitionFilter, which would still list
+    every bucket directory during discovery) — and the query-term join
+    broadcasts, no shuffle of the postings side before aggregation."""
     plan = _plan(spark, specs, "q_bm25_topk_served")
-    assert "PartitionFilters: [pb" in plan.replace("#", " #") or (
-        "PartitionFilters" in plan and "pb#" in plan.split("PartitionFilters", 1)[1][:200]
-    ), plan[:2000]
+    loc = plan.split("InMemoryFileIndex", 1)[1][:400] if "InMemoryFileIndex" in plan else ""
+    assert "pb=" in loc, plan[:2000]
+    assert "postings]" not in loc.split(",")[0], loc  # not the unpruned root
     assert "BroadcastHashJoin" in plan
 
 
