@@ -1,0 +1,136 @@
+"""Behavior + plan-shape tests for the batch-10 selection/rewrite
+operators (DSIR weights, span rewrite, token-budget shards). Oracle
+parity at sf0.001 is covered generically by test_oracle_parity."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from roapi_spark.functions.pipeline10 import (
+    SHARD_BUDGET,
+    dedup_span_rewrite,
+    q_dsir_weights,
+    q_token_budget_shards,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, texts_by_source):
+    doc_id, text, source = [], [], []
+    i = 0
+    for src, texts in texts_by_source.items():
+        for t in texts:
+            doc_id.append(i)
+            text.append(t)
+            source.append(src)
+            i += 1
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_id, type=pa.int64()),
+            "text": pa.array(text),
+            "lang": pa.array(["en"] * len(text)),
+            "source": pa.array(source),
+            "n_chars": pa.array([len(t) for t in text], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+SHARED8 = "a b c d e f g h"  # one exact 8-token span shared by two docs
+
+
+def test_span_rewrite_cuts_only_covered_positions(spark, tmp_path):
+    d = _write_docs(
+        tmp_path,
+        {
+            "s": [
+                SHARED8 + " ua ub uc",  # span at positions 0..7
+                "va vb vc " + SHARED8,  # span at positions 3..10
+                "wa wb wc",  # shorter than K: no grams, untouched
+            ]
+        },
+    )
+    out = {r.doc_id: r for r in dedup_span_rewrite(spark, d).collect()}
+    assert (out[0].n_tokens, out[0].n_kept, out[0].clean_text) == (11, 3, "ua ub uc")
+    assert (out[1].n_tokens, out[1].n_kept, out[1].clean_text) == (11, 3, "va vb vc")
+    assert (out[2].n_tokens, out[2].n_kept, out[2].clean_text) == (3, 3, "wa wb wc")
+
+
+def test_span_rewrite_identical_docs_fully_cut(spark, tmp_path):
+    t = "p q r s t u v w x y"  # 10 tokens; starts 0..2 cover positions 0..9
+    d = _write_docs(tmp_path, {"s": [t, t]})
+    for r in dedup_span_rewrite(spark, d).collect():
+        assert (r.n_tokens, r.n_kept, r.clean_text) == (10, 0, "")
+
+
+def test_dsir_separates_target_like_docs(spark, tmp_path):
+    # src0 (the target) speaks only "alpha"; src1 speaks "beta" except one
+    # doc that speaks "alpha" — DSIR should rank exactly that doc
+    # target-like (positive weight) and the beta docs negative.
+    d = _write_docs(
+        tmp_path,
+        {
+            "src0": ["alpha alpha alpha"] * 3,
+            "src1": ["beta beta beta"] * 3 + ["alpha alpha"],
+        },
+    )
+    rows = {r.source: r for r in q_dsir_weights(spark, d).collect()}
+    assert rows["src0"].sel_rate == 1.0 and rows["src0"].avg_weight > 0
+    # 1 of 4 src1 docs is target-like
+    assert rows["src1"].sel_rate == 0.25
+    assert rows["src1"].avg_weight < rows["src0"].avg_weight
+
+
+def test_shard_manifest_matches_driver_side_reference(spark):
+    # independent reference: same md5 order + greedy packing in Python
+    rows = (
+        spark.read.parquet(SF + "/documents.parquet")
+        .selectExpr(
+            "doc_id",
+            "size(filter(split(lower(text), '[^a-z]+'), x -> length(x) > 0)) AS n",
+        )
+        .collect()
+    )
+    docs = sorted(
+        (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id, r.n)
+        for r in rows
+    )
+    ref: dict[int, list[int]] = {}
+    cum = 0
+    for _h, _i, n in docs:
+        ref.setdefault(cum // SHARD_BUDGET, []).append(n)
+        cum += n
+    got = {
+        r.shard: (r.n_docs, r.n_tokens)
+        for r in q_token_budget_shards(spark, SF).collect()
+    }
+    assert got == {s: (len(v), sum(v)) for s, v in ref.items()}
+
+
+def test_shard_prefix_sum_is_distributed(spark):
+    # the scale-critical property: the running sum must come from a
+    # bucket-partitioned window, never an Exchange SinglePartition
+    plan = (
+        q_token_budget_shards(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+    assert "Window" in plan and "[bkt" in plan
+
+
+def test_span_rewrite_shuffles_digests_not_gram_text(spark):
+    plan = (
+        dedup_span_rewrite(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the gram tally's exchange key is the md5 digest column g
+    assert "hashpartitioning(g#" in plan
