@@ -24,6 +24,13 @@ corpus needs on top, each from a published public method:
   are packed greedily into fixed token-budget shards via a distributed
   prefix sum. The per-shard doc/token counts are the manifest a
   training job reads.
+- ``q_split_leakage`` — near-duplicate pairs crossing the train/val/
+  test hash-split boundary: benchmark decontamination checks external
+  eval sets, but a random split of a near-duplicated corpus leaks
+  through SELF-duplication (train twins of val/test docs). Composes the
+  split rule (pipeline9.split_col) with the cached LSH pair artifact —
+  the labels derive from doc_id alone, so the audit is a pure map over
+  the edge set, zero joins.
 
 Scale shape at 100 TB:
 - DSIR's feature space is the B=256 hash-bucket table — the log-ratio
@@ -326,4 +333,50 @@ def q_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ntok").cast("bigint").alias("n_tokens"),
         )
         .orderBy("shard")
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from roapi_spark.functions.dedup import lsh_cand_oracle_cte
+    from roapi_spark.functions.pipeline9 import split_sql
+
+    return f"""
+    WITH {lsh_cand_oracle_cte()},
+    lab AS (
+      SELECT {split_sql('doc_a')} AS sa, {split_sql('doc_b')} AS sb FROM cand
+    )
+    SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY 1, 2 ORDER BY split_a, split_b
+    """
+
+
+@register(
+    "q_split_leakage",
+    oracle=_split_leakage_oracle(),
+    doc="Split-leakage audit: near-duplicate candidate pairs bucketed by "
+    "the (split, split) cell they straddle. Benchmark decontamination "
+    "(q_contamination) checks external eval sets; this catches the "
+    "subtler leak — a random split of a near-duplicated corpus puts "
+    "twins of val/test docs into train, inflating eval. Cross-split "
+    "cells are the leak; the fix is splitting by dedup-cluster instead "
+    "of by doc. Plan: reads the cached lshpairs-v4 edge artifact (the "
+    "same snapshot artifact dedup_minhash_lsh serves from); both split "
+    "labels are md5(doc_id) expressions computed map-side over the edge "
+    "set — zero joins, one 6-cell agg. Serve wall is edge-count-bound, "
+    "not corpus-bound.",
+    tags=("dedup", "sampling", "pipeline"),
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.dedup import lsh_pairs_cached
+    from roapi_spark.functions.pipeline9 import split_col
+
+    sa = split_col(F.col("doc_a"))
+    sb = split_col(F.col("doc_b"))
+    return (
+        lsh_pairs_cached(spark, sf_dir)
+        .select(F.least(sa, sb).alias("split_a"), F.greatest(sa, sb).alias("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("split_a", "split_b")
     )

@@ -56,6 +56,31 @@ def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def split_col(doc_id) -> F.Column:
+    """The train/val/test label for a doc id — pure function of
+    md5(doc_id), identical across engines/runs/shards. Shared by
+    q_hash_split and the leakage audit (pipeline10.q_split_leakage)."""
+    b = (
+        F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    return (
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+def split_sql(expr: str) -> str:
+    """DuckDB twin of :func:`split_col` for oracle CTEs."""
+    return (
+        f"CASE WHEN ('0x' || SUBSTR(MD5(({expr})::VARCHAR), 1, 8))::BIGINT % 100"
+        f" < {SPLIT_TRAIN_PCT} THEN 'train'"
+        f" WHEN ('0x' || SUBSTR(MD5(({expr})::VARCHAR), 1, 8))::BIGINT % 100"
+        f" < {SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END"
+    )
+
+
 @register(
     "q_hash_split",
     oracle=f"""
@@ -87,20 +112,13 @@ def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from roapi_spark.functions.text import tokens_col
 
-    b = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-            "bigint"
-        )
-        % 100
-    )
-    split = (
-        F.when(b < SPLIT_TRAIN_PCT, "train")
-        .when(b < SPLIT_VAL_PCT, "val")
-        .otherwise("test")
-    )
     return (
         docs(spark, sf_dir)
-        .select(split.alias("split"), "source", F.size(tokens_col()).alias("ntok"))
+        .select(
+            split_col(F.col("doc_id")).alias("split"),
+            "source",
+            F.size(tokens_col()).alias("ntok"),
+        )
         .groupBy("split", "source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),

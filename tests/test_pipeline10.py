@@ -134,3 +134,26 @@ def test_span_rewrite_shuffles_digests_not_gram_text(spark):
     )
     # the gram tally's exchange key is the md5 digest column g
     assert "hashpartitioning(g#" in plan
+
+
+def test_split_leakage_counts_boundary_pairs(spark, tmp_path, monkeypatch):
+    # route the snapshot cache into the test tmp dir so the tiny corpus
+    # gets its own artifact
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+    # two exact near-dup twins land in whichever splits md5 assigns;
+    # verify against a driver-side recomputation of the same rule
+    t = "qa qb qc qd qe qf qg qh qi qj"
+    d = _write_docs(tmp_path, {"s": [t, t, "ra rb rc rd re rf rg rh"]})
+    from roapi_spark.functions.pipeline10 import q_split_leakage
+    from roapi_spark.functions.pipeline9 import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+
+    def split_of(doc_id: int) -> str:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < SPLIT_TRAIN_PCT else "val" if b < SPLIT_VAL_PCT else "test"
+
+    sa, sb = sorted([split_of(0), split_of(1)])
+    out = {(r.split_a, r.split_b): r.n_pairs for r in q_split_leakage(spark, d).collect()}
+    assert out == {(sa, sb): 1}
