@@ -84,11 +84,16 @@ BENCH_QUERIES = [
     "ann_lsh_multi",  # round 7 (session 2) additions, likewise excluded
     "q_ngram_perplexity_served",
     "q_dedup_funnel",
+    "q_dsir_weights",  # round 7 (session 3) selection/rewrite batch
+    "dedup_span_rewrite",
+    "q_token_budget_shards",
+    "q_split_leakage",
 ]
 # names in the headline map that postdate the historical 61-query subset
 # (subset61_sec must keep measuring the SAME set round over round)
 _POST61 = {"q_bm25_topk", "ann_lsh_multi", "q_ngram_perplexity_served",
-           "q_dedup_funnel"}
+           "q_dedup_funnel", "q_dsir_weights", "dedup_span_rewrite",
+           "q_token_budget_shards", "q_split_leakage"}
 # Round 4: the bench covers the FULL registry — the list above keeps its
 # historical order for round-over-round comparability, and every other
 # registered query (incl. the remaining TPC-H shapes q2/q7/q8/q11/q15/

@@ -52,6 +52,12 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
     purity = run("q_cluster_purity")
     calib = run("q_minhash_calibration")
     funnel = run("q_dedup_funnel")[0]
+    leakage = run("q_split_leakage")
+    dsir = sorted(run("q_dsir_weights"), key=lambda r: r["source"])
+    shards = run("q_token_budget_shards")
+    span = specs["dedup_span_rewrite"].builder(spark, sf_dir).agg(
+        F.sum("n_tokens").alias("n_tokens"), F.sum("n_kept").alias("n_kept")
+    ).collect()[0]
 
     lines = [
         f"# Corpus data card — `{sf_dir}`",
@@ -101,6 +107,10 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
         f"lsh_only={agreement.get('lsh_only', 0)}, "
         f"jaccard_only={agreement.get('jaccard_only', 0)} (recall misses)",
         "",
+        f"Exact-substring rewrite (Lee et al. removal step): "
+        f"{span['n_kept']}/{span['n_tokens']} tokens survive "
+        f"({100.0 * span['n_kept'] / max(span['n_tokens'], 1):.1f}%)",
+        "",
         "MinHash estimator calibration (est bucket -> exact Jaccard):",
         "",
         "| est decile | pairs | mean exact | mean abs err |",
@@ -119,6 +129,32 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
             f"| {r['split']} | {r['source']} | {r['n_docs']} | {r['n_tokens']} |"
             for r in splits
         ],
+        "",
+        "Near-dup pairs by split cell (cross-split cells are leakage — "
+        "fix by splitting on dedup-cluster, not doc): "
+        + (
+            ", ".join(
+                f"{r['split_a']}x{r['split_b']}={r['n_pairs']}" for r in leakage
+            )
+            or "none"
+        ),
+        "",
+        "## DSIR selection weights (target domain: src0)",
+        "",
+        "| source | docs | avg weight | target-like rate |",
+        "|---|---|---|---|",
+        *[
+            f"| {r['source']} | {r['n_docs']} | {r['avg_weight']} | "
+            f"{r['sel_rate']} |"
+            for r in dsir
+        ],
+        "",
+        "## Shard manifest (md5-ordered, 4096-token budget)",
+        "",
+        f"{len(shards)} shards; docs/shard "
+        f"{min(r['n_docs'] for r in shards)}-{max(r['n_docs'] for r in shards)}, "
+        f"tokens/shard {min(r['n_tokens'] for r in shards)}-"
+        f"{max(r['n_tokens'] for r in shards)}",
         "",
         "## Packing (concat-and-chunk, per source)",
         "",
@@ -169,6 +205,13 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
         "minhash_mean_abs_err": max(
             (r["mean_abs_err"] for r in calib), default=None
         ),
+        "cross_split_leak_pairs": sum(
+            r["n_pairs"] for r in leakage if r["split_a"] != r["split_b"]
+        ),
+        "span_survival_rate": round(
+            span["n_kept"] / max(span["n_tokens"], 1), 4
+        ),
+        "n_shards": len(shards),
     }
     return "\n".join(lines), summary
 
