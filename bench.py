@@ -2,6 +2,12 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+Sink methodology (round 7): per-query timings evaluate through the noop
+sink (full materialization of every output column); rounds 4-6 used
+count(), which Catalyst can partially optimize away for per-doc-output
+shapes. subset61_sec alone keeps the count() sink so that one series
+stays comparable across rounds; both sinks are named in the JSON.
 """
 
 from __future__ import annotations
@@ -86,6 +92,7 @@ BENCH_QUERIES = [
     "q_dedup_funnel",
     "q_dsir_weights",  # round 7 (session 3) selection/rewrite batch
     "dedup_span_rewrite",
+    "dedup_span_rewrite_served",
     "q_token_budget_shards",
     "q_split_leakage",
 ]
@@ -93,7 +100,8 @@ BENCH_QUERIES = [
 # (subset61_sec must keep measuring the SAME set round over round)
 _POST61 = {"q_bm25_topk", "ann_lsh_multi", "q_ngram_perplexity_served",
            "q_dedup_funnel", "q_dsir_weights", "dedup_span_rewrite",
-           "q_token_budget_shards", "q_split_leakage"}
+           "dedup_span_rewrite_served", "q_token_budget_shards",
+           "q_split_leakage"}
 # Round 4: the bench covers the FULL registry — the list above keeps its
 # historical order for round-over-round comparability, and every other
 # registered query (incl. the remaining TPC-H shapes q2/q7/q8/q11/q15/
@@ -123,26 +131,44 @@ def main() -> None:
         ).values():
             rdd.unpersist(False)
 
-    timings: dict[str, float] = {}
-    for name in names:
-        spec = specs[name]
+    def best_of_two(name: str, sink) -> float:
         # min of two passes: this host shares cores with the test driver's
         # own JVMs and single runs swing 2-4x under transient contention;
         # the min is the reproducible figure (page-cache-warm, standard
         # steady-state benchmarking)
-        best, n = None, 0
+        best = None
         for _ in range(2):
             drop_persistent_blocks()
             t0 = time.time()
-            df = spec.builder(spark, sf_dir)
-            n = df.count()
+            sink(specs[name].builder(spark, sf_dir))
             el = time.time() - t0
             best = el if best is None or el < best else best
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        return round(best, 3)
+
+    def noop_sink(df) -> None:
+        # full evaluation: count() lets Catalyst prune every output column
+        # (a per-doc projection times as a bare row count) and eliminate a
+        # left join of a unique-keyed aggregate (dedup_span_rewrite's
+        # shape). The noop sink materializes what a consumer would read.
+        df.write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = best_of_two(name, noop_sink)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    subset61 = round(sum(timings[n] for n in BENCH_QUERIES if n not in _POST61), 3)
+    # subset61_sec keeps its original count() sink so the round-over-round
+    # series stays apples-to-apples with rounds 4-7 (re-timed separately;
+    # for agg-shaped queries the two sinks measure the same work)
+    subset61 = round(
+        sum(
+            best_of_two(n, lambda df: df.count())
+            for n in BENCH_QUERIES
+            if n not in _POST61
+        ),
+        3,
+    )
 
     # Full per-query detail goes to a file (and already streamed to stderr
     # above); the stdout line must stay under the driver's ~2KB tail
@@ -155,6 +181,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "subset61_sec": subset61,
+        "sink": "noop",
+        "subset61_sink": "count",
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
@@ -187,6 +215,7 @@ def main() -> None:
         "subset61_sec": subset61,
         "families": fams,
         "n_queries": len(timings),
+        "sink": "noop",
     }
     line = json.dumps(line_obj)
     if len(line) > 1900:
@@ -194,6 +223,14 @@ def main() -> None:
         # 2 decimals, but 1 decimal keeps the full schema (queries +
         # families) under the driver's tail budget
         line_obj["queries"] = {n: round(v, 1) for n, v in line_obj["queries"].items()}
+        line = json.dumps(line_obj)
+    if len(line) > 1900:
+        # the long-named post-61 additions pushed even the 1-decimal map
+        # over budget: keep the historical 61 on stdout (the comparable
+        # series) — every per-query figure is still in BENCH_DETAIL.json
+        line_obj["queries"] = {
+            n: v for n, v in line_obj["queries"].items() if n not in _POST61
+        }
         line = json.dumps(line_obj)
     if len(line) > 1900:
         line_obj.pop("families", None)

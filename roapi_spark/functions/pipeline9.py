@@ -60,10 +60,9 @@ def split_col(doc_id) -> F.Column:
     """The train/val/test label for a doc id — pure function of
     md5(doc_id), identical across engines/runs/shards. Shared by
     q_hash_split and the leakage audit (pipeline10.q_split_leakage)."""
-    b = (
-        F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 8), 16, 10).cast("bigint")
-        % 100
-    )
+    from roapi_spark.util import hash_bucket
+
+    b = hash_bucket(doc_id.cast("string"), 100)
     return (
         F.when(b < SPLIT_TRAIN_PCT, "train")
         .when(b < SPLIT_VAL_PCT, "val")
@@ -73,11 +72,12 @@ def split_col(doc_id) -> F.Column:
 
 def split_sql(expr: str) -> str:
     """DuckDB twin of :func:`split_col` for oracle CTEs."""
+    from roapi_spark.util import hash_bucket_sql
+
+    b = hash_bucket_sql(f"({expr})::VARCHAR", 100)
     return (
-        f"CASE WHEN ('0x' || SUBSTR(MD5(({expr})::VARCHAR), 1, 8))::BIGINT % 100"
-        f" < {SPLIT_TRAIN_PCT} THEN 'train'"
-        f" WHEN ('0x' || SUBSTR(MD5(({expr})::VARCHAR), 1, 8))::BIGINT % 100"
-        f" < {SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END"
+        f"CASE WHEN {b} < {SPLIT_TRAIN_PCT} THEN 'train'"
+        f" WHEN {b} < {SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END"
     )
 
 

@@ -145,6 +145,7 @@ KNOWN_TAGS = (
     "streambands-v1",
     "bm25-v1",
     "bigramlm-v1",
+    "spancov-v1",
 )
 
 

@@ -21,3 +21,16 @@ def pround(col: Column, digits: int = 4) -> Column:
 def pround_sql(expr: str, digits: int = 4) -> str:
     scale = 10**digits
     return f"FLOOR(({expr}) * {scale} + 0.5) / {scale}.0"
+
+
+def hash_bucket(col: Column, n: int) -> Column:
+    """md5-prefix hash bucket in [0, n): the cross-engine deterministic
+    hash used for splits, DSIR features, and shard ordering. Twin of
+    :func:`hash_bucket_sql` — keep the two expressions in lockstep, a
+    drift in either silently breaks oracle parity."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % n
+
+
+def hash_bucket_sql(expr: str, n: int) -> str:
+    """DuckDB twin of :func:`hash_bucket` (expr must already be VARCHAR)."""
+    return f"('0x' || SUBSTR(MD5({expr}), 1, 8))::BIGINT % {n}"

@@ -77,6 +77,7 @@ def test_dsir_separates_target_like_docs(spark, tmp_path):
         {
             "src0": ["alpha alpha alpha"] * 3,
             "src1": ["beta beta beta"] * 3 + ["alpha alpha"],
+            "src2": ["123 456"],  # zero tokens: counts, with weight 0
         },
     )
     rows = {r.source: r for r in q_dsir_weights(spark, d).collect()}
@@ -84,6 +85,11 @@ def test_dsir_separates_target_like_docs(spark, tmp_path):
     # 1 of 4 src1 docs is target-like
     assert rows["src1"].sel_rate == 0.25
     assert rows["src1"].avg_weight < rows["src0"].avg_weight
+    assert (rows["src2"].n_docs, rows["src2"].avg_weight, rows["src2"].sel_rate) == (
+        1,
+        0.0,
+        0.0,
+    )
 
 
 def test_shard_manifest_matches_driver_side_reference(spark):
@@ -157,3 +163,20 @@ def test_split_leakage_counts_boundary_pairs(spark, tmp_path, monkeypatch):
     sa, sb = sorted([split_of(0), split_of(1)])
     out = {(r.split_a, r.split_b): r.n_pairs for r in q_split_leakage(spark, d).collect()}
     assert out == {(sa, sb): 1}
+
+
+def test_span_rewrite_served_skips_gram_tally(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+    t = "sa sb sc sd se sf sg sh si"
+    d = _write_docs(tmp_path, {"s": [t, t, "ta tb tc"]})
+    from roapi_spark.functions.pipeline10 import dedup_span_rewrite_served
+
+    out = dedup_span_rewrite_served(spark, d)
+    got = {r.doc_id: (r.n_kept, r.clean_text) for r in out.collect()}
+    assert got == {0: (0, ""), 1: (0, ""), 2: (3, "ta tb tc")}
+    # serve plan reads the artifact: no gram-digest exchange anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(g#" not in plan
+    # FileScan of the cached (doc_id, p) artifact (path is truncated in
+    # the plan string, so pin the scan schema instead)
+    assert "ReadSchema: struct<doc_id:bigint,p:int>" in plan
