@@ -263,35 +263,31 @@ def span_cov_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _span_rebuild(spark: SparkSession, sf_dir: str, covered: DataFrame) -> DataFrame:
     """Cut covered positions and reassemble survivors in order — the
     doc-keyed half of the rewrite, shared by the recompute and serve
-    paths."""
-    toks = _toks(spark, sf_dir)
-    pos = toks.select("doc_id", F.posexplode("w").alias("p", "tok"))
-    rebuilt = (
-        pos.join(covered, ["doc_id", "p"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(F.col("p").alias("p"), F.col("tok").alias("tok"))
-                        )
-                    ),
-                    lambda s: s["tok"],
-                ),
-            ).alias("clean_text"),
-        )
+    paths.
+
+    The token stream itself never shuffles: covered positions aggregate
+    to a per-doc array (rows only for docs that HAVE duplication), join
+    doc-keyed onto the token arrays, and the cut + reassembly is a
+    map-side filter-with-index + concat. The first version posexploded
+    every token and anti-joined — shuffling the whole corpus text to
+    remove a usually-small fraction of it."""
+    cov = covered.groupBy("doc_id").agg(F.collect_set("p").alias("cov"))
+    kept = F.filter(
+        F.col("w"), lambda x, i: ~F.array_contains(F.col("cov"), i)
     )
     return (
-        toks.select("doc_id", F.size("w").cast("bigint").alias("n_tokens"))
-        .join(rebuilt, "doc_id", "left")
+        _toks(spark, sf_dir)
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_tokens"),
+            F.when(F.col("cov").isNull(), F.col("w")).otherwise(kept).alias("kw"),
+        )
         .select(
             "doc_id",
             "n_tokens",
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.size("kw").cast("bigint").alias("n_kept"),
+            F.concat_ws(" ", F.col("kw")).alias("clean_text"),
         )
     )
 
