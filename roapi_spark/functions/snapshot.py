@@ -146,6 +146,7 @@ KNOWN_TAGS = (
     "bm25-v1",
     "bigramlm-v1",
     "spancov-v1",
+    "spanidx-v1",
 )
 
 

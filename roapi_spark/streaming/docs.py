@@ -137,3 +137,108 @@ def lsh_match_stream(
         .filter(F.col("n_matches") >= min_matches)
     )
     return joined.dropDuplicatesWithinWatermark(["doc_id", "match_id"])
+
+
+def corpus_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct md5 digests of every positional K-gram in the corpus
+    (``spanidx-v1``), persisted per snapshot: the static side of the
+    streaming span screen. This is the relational form of what Lee et
+    al.'s suffix array materializes — linear in corpus tokens (16 B per
+    distinct gram), built once, never rebuilt per stream start."""
+    import os
+
+    from roapi_spark.functions.pipeline6 import _positional_grams
+    from roapi_spark.functions.pipeline10 import REWRITE_K, _toks
+    from roapi_spark.functions.snapshot import (
+        build_once,
+        parquet_ready,
+        snapshot_cache_dir,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = snapshot_cache_dir(src, "spanidx-v1")
+
+    def _build(tmp: str) -> None:
+        (
+            _toks(spark, sf_dir)
+            .filter(F.size("w") >= REWRITE_K)
+            .select(F.explode(_positional_grams(F.col("w"))).alias("gram"))
+            .select(F.md5("gram").alias("g"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    build_once(out, parquet_ready, _build)
+    return spark.read.parquet(out)
+
+
+def span_clean_stream(
+    stream: DataFrame,
+    gram_idx: DataFrame,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """(doc_id, ts, n_tokens, n_kept, clean_text): arriving documents
+    with every K-token span that already appears ANYWHERE in the corpus
+    cut out — the ingest-time twin of ``dedup_span_rewrite``. Semantics
+    differ deliberately: the batch op cuts spans duplicated WITHIN the
+    corpus (count > 1); the stream screens NEW text against the corpus,
+    where one prior occurrence already makes the arriving span a
+    duplicate.
+
+    Shape: positional grams per arriving doc, one stream-static left
+    join against the gram-digest artifact (at real scale: a bucketed or
+    bloom-pruned lookup), covered starts re-aggregated per (doc_id, ts)
+    under the watermark, then the same map-side cut-and-reassemble as
+    the batch rebuild. Docs shorter than K bypass the join entirely."""
+    from roapi_spark.functions.pipeline6 import _positional_grams
+    from roapi_spark.functions.pipeline10 import REWRITE_K
+
+    s = stream.withWatermark("ts", watermark)
+    toks = s.select("doc_id", "ts", tokens_col().alias("w"))
+    long_docs = toks.filter(F.size("w") >= REWRITE_K)
+    g = long_docs.select(
+        "doc_id",
+        "ts",
+        "w",
+        F.posexplode(_positional_grams(F.col("w"))).alias("i", "gram"),
+    ).select("doc_id", "ts", "w", "i", F.md5("gram").alias("g"))
+    marked = g.join(
+        gram_idx.select(F.col("g"), F.lit(True).alias("hit")), "g", "left"
+    )
+    agg = marked.groupBy("doc_id", "ts").agg(
+        F.first("w").alias("w"),
+        F.collect_set(F.when(F.col("hit"), F.col("i"))).alias("starts"),
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("starts"), lambda s_: F.sequence(s_, s_ + (REWRITE_K - 1))
+            )
+        )
+    )
+    kept = F.filter(F.col("w"), lambda x, i: ~F.array_contains(F.col("cov"), i))
+    cleaned_long = (
+        agg.withColumn("cov", covered)
+        .select(
+            "doc_id",
+            "ts",
+            F.size("w").cast("bigint").alias("n_tokens"),
+            kept.alias("kw"),
+        )
+        .select(
+            "doc_id",
+            "ts",
+            "n_tokens",
+            F.size("kw").cast("bigint").alias("n_kept"),
+            F.concat_ws(" ", F.col("kw")).alias("clean_text"),
+        )
+    )
+    short_docs = toks.filter(F.size("w") < REWRITE_K).select(
+        "doc_id",
+        "ts",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.size("w").cast("bigint").alias("n_kept"),
+        F.concat_ws(" ", F.col("w")).alias("clean_text"),
+    )
+    return cleaned_long.unionByName(short_docs)

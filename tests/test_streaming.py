@@ -708,3 +708,63 @@ def test_emb_match_stream_checkpoint_restart(spark, tmp_path):
     # both arrivals matched (each reuses a corpus embedding -> cos 1.0
     # with its source), and nothing else leaked in
     assert {r.vec_id for r in out} == {900001, 900002}
+
+
+def test_span_clean_stream_cuts_corpus_spans(spark, tmp_path):
+    # an arriving doc embedding an exact 8-token corpus span gets that
+    # span cut; fresh text and sub-K docs pass through untouched
+    import json as _json
+
+    from roapi_spark.functions.dedup import docs as corpus_docs
+    from roapi_spark.streaming.docs import (
+        corpus_gram_index,
+        span_clean_stream,
+        stream_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    text0 = corpus_docs(spark, sf).filter("doc_id = 0").first()["text"]
+    span8 = " ".join(text0.split()[:8])
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    rows = [
+        {"doc_id": 910001, "text": span8 + " zzqa zzqb zzqc",
+         "ts": "2024-01-01T00:00:10"},
+        {"doc_id": 910002,
+         "text": "zzqa zzqb zzqc zzqd zzqe zzqf zzqg zzqh zzqi",
+         "ts": "2024-01-01T00:00:11"},
+        {"doc_id": 910003, "text": "zzx zzy", "ts": "2024-01-01T00:00:12"},
+    ]
+    (d / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    idx = corpus_gram_index(spark, sf)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            span_clean_stream(stream_docs(spark, str(d)), idx)
+            .writeStream.format("memory")
+            .queryName("span_clean")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    try:
+        q.processAllAvailable()
+        # advance the watermark so the first batch's aggregated groups emit
+        (d / "b2.json").write_text(
+            _json.dumps({"doc_id": 910009, "text": "zz zz",
+                         "ts": "2024-01-01T01:00:00"})
+        )
+        q.processAllAvailable()
+        out = {r.doc_id: r for r in spark.sql("SELECT * FROM span_clean").collect()}
+        assert (out[910001].n_tokens, out[910001].n_kept,
+                out[910001].clean_text) == (11, 3, "zzqa zzqb zzqc")
+        assert (out[910002].n_tokens, out[910002].n_kept) == (9, 9)
+        assert out[910002].clean_text == rows[1]["text"]
+        assert (out[910003].n_tokens, out[910003].n_kept,
+                out[910003].clean_text) == (2, 2, "zzx zzy")
+    finally:
+        q.stop()
