@@ -5,8 +5,14 @@ building blocks and staged as parquet snapshots:
   stage 1  quality gate     text_quality_logit keep + contamination drop
   stage 2  dedup            exact representative + LSH near-dup
                             representative (connected components)
+  stage 2b span rewrite     dedup_span_rewrite cuts the duplicated
+                            exact-substring spans that survive doc-level
+                            dedup; docs left empty are dropped
   stage 3  plan + pack      mixture allocation table + GPT-style
                             sequence packing of the surviving corpus
+  stage 4  ship             token-budget shard manifest + a closing
+                            split-leakage audit (doc-level dedup should
+                            have collapsed the cross-split twins)
 
 Each stage WRITES a documents.parquet snapshot and the next stage runs
 the registry operators against that directory — exercising the same
@@ -83,6 +89,41 @@ def stage2_dedup(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
     return _write_snapshot(kept, out_dir)
 
 
+def stage2b_span_rewrite(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Cut corpus-duplicated exact-substring spans from the surviving
+    docs (Lee et al.'s removal step — doc-level dedup keeps one twin per
+    cluster, but shared boilerplate SPANS survive inside kept docs);
+    docs rewritten to nothing are dropped."""
+    from roapi_spark.functions.pipeline10 import dedup_span_rewrite
+
+    rewritten = dedup_span_rewrite(spark, sf_dir).filter(F.col("n_kept") > 0)
+    kept = (
+        _docs(spark, sf_dir)
+        .drop("text", "n_chars")
+        .join(rewritten.select("doc_id", F.col("clean_text").alias("text")), "doc_id")
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    return _write_snapshot(kept, out_dir)
+
+
+def stage4_ship(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """Shard manifest for the final corpus + the closing leakage audit:
+    near-dup pairs crossing the train/val/test boundary AFTER dedup."""
+    from roapi_spark.functions.pipeline10 import (
+        q_split_leakage,
+        q_token_budget_shards,
+    )
+
+    n_shards = q_token_budget_shards(spark, sf_dir).count()
+    leak = sum(
+        r.n_pairs
+        for r in q_split_leakage(spark, sf_dir).collect()
+        if r.split_a != r.split_b
+    )
+    return n_shards, leak
+
+
 def stage3_plan_and_pack(spark: SparkSession, sf_dir: str) -> tuple[list, int]:
     from roapi_spark.functions.pipeline import text_seq_pack
     from roapi_spark.functions.pipeline6 import q_mixture_allocation
@@ -99,14 +140,20 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     n1 = _docs(spark, s1).count()
     s2 = stage2_dedup(spark, s1, os.path.join(out_dir, "stage2"))
     n2 = _docs(spark, s2).count()
-    alloc, n_packs = stage3_plan_and_pack(spark, s2)
+    s2b = stage2b_span_rewrite(spark, s2, os.path.join(out_dir, "stage2b"))
+    n2b = _docs(spark, s2b).count()
+    alloc, n_packs = stage3_plan_and_pack(spark, s2b)
+    n_shards, leak = stage4_ship(spark, s2b)
     return {
         "input_docs": n0,
         "after_quality": n1,
         "after_dedup": n2,
+        "after_span_rewrite": n2b,
         "n_packs": n_packs,
+        "n_shards": n_shards,
+        "cross_split_leak_pairs": leak,
         "allocations": alloc,
-        "final_snapshot": s2,
+        "final_snapshot": s2b,
     }
 
 

@@ -17,7 +17,12 @@ def test_training_pipeline_end_to_end(spark, tmp_path):
     assert summary["input_docs"] == 500
     assert 0 < summary["after_quality"] <= summary["input_docs"]
     assert 0 < summary["after_dedup"] <= summary["after_quality"]
+    assert 0 < summary["after_span_rewrite"] <= summary["after_dedup"]
     assert summary["n_packs"] >= 1
+    assert summary["n_shards"] >= 1
+    # doc-level dedup kept one twin per near-dup cluster, so the closing
+    # split-leakage audit over the final snapshot should be (near) empty
+    assert summary["cross_split_leak_pairs"] == 0
     assert summary["allocations"], "per-source allocation table is empty"
     for row in summary["allocations"]:
         assert row["epochs"] > 0 and row["alloc_tokens"] > 0
@@ -25,7 +30,7 @@ def test_training_pipeline_end_to_end(spark, tmp_path):
     final = spark.read.parquet(
         os.path.join(summary["final_snapshot"], "documents.parquet")
     )
-    assert final.count() == summary["after_dedup"]
+    assert final.count() == summary["after_span_rewrite"]
     assert {"doc_id", "text", "source"} <= set(final.columns)
 
 
