@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "q_ngram_perplexity_served",
     "q_dedup_funnel",
     "q_dsir_weights",  # round 7 (session 3) selection/rewrite batch
+    "q_dsir_weights_served",
     "dedup_span_rewrite",
     "dedup_span_rewrite_served",
     "q_token_budget_shards",
@@ -99,7 +100,8 @@ BENCH_QUERIES = [
 # names in the headline map that postdate the historical 61-query subset
 # (subset61_sec must keep measuring the SAME set round over round)
 _POST61 = {"q_bm25_topk", "ann_lsh_multi", "q_ngram_perplexity_served",
-           "q_dedup_funnel", "q_dsir_weights", "dedup_span_rewrite",
+           "q_dedup_funnel", "q_dsir_weights", "q_dsir_weights_served",
+           "dedup_span_rewrite",
            "dedup_span_rewrite_served", "q_token_budget_shards",
            "q_split_leakage"}
 # Round 4: the bench covers the FULL registry — the list above keeps its

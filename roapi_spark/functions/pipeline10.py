@@ -76,9 +76,7 @@ def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
-@register(
-    "q_dsir_weights",
-    oracle=f"""
+_DSIR_ORACLE = f"""
     WITH tok AS (
       SELECT doc_id, source, unnest({_TOKS_DUCK}) AS tok FROM documents
     ), tb AS (
@@ -112,8 +110,10 @@ def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            {pround_sql('AVG(CASE WHEN w > 0 THEN 1.0 ELSE 0.0 END)')}
              AS sel_rate
     FROM dwall GROUP BY source ORDER BY source
-    """,
-    doc="DSIR importance weights (Xie et al. 2023): hashed-unigram "
+    """
+
+_DSIR_DOC = (
+    "DSIR importance weights (Xie et al. 2023): hashed-unigram "
     f"({DSIR_BUCKETS} md5 buckets) Laplace-smoothed log-likelihood ratio "
     f"of the target domain ('{DSIR_TARGET}') vs the raw pool; a doc's "
     "weight is its mean token log-ratio (zero-token docs count with "
@@ -122,31 +122,66 @@ def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Plan: the feature space is the bucket table, NOT the vocabulary — "
     f"one {DSIR_BUCKETS}-row agg, a broadcast log-ratio join onto the "
     "token stream, one doc-keyed agg, one source-keyed rollup. Nothing "
-    "driver-side, nothing vocabulary-sized, no all-pairs.",
-    tags=("text", "sampling", "pipeline"),
+    "driver-side, nothing vocabulary-sized, no all-pairs."
 )
-def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+def _dsir_token_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from roapi_spark.functions.text import tokens_col
 
-    tb = (
+    return (
         docs(spark, sf_dir)
         .select("doc_id", "source", F.explode(tokens_col()).alias("tok"))
         .select(
             "doc_id", "source", hash_bucket(F.col("tok"), DSIR_BUCKETS).alias("b")
         )
     )
+
+
+def _dsir_log_ratios(tb: DataFrame) -> DataFrame:
+    """(b, lr): the Laplace-smoothed target-vs-raw log-likelihood ratio
+    per hash bucket — the entire learned state of DSIR, at most
+    DSIR_BUCKETS rows."""
     c = tb.groupBy("b").agg(
         F.sum(F.when(F.col("source") == DSIR_TARGET, 1).otherwise(0)).alias("ct"),
         F.sum(F.when(F.col("source") != DSIR_TARGET, 1).otherwise(0)).alias("cr"),
     )
     tot = c.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
-    lr = c.crossJoin(F.broadcast(tot)).select(
+    return c.crossJoin(F.broadcast(tot)).select(
         "b",
         (
             F.log((F.col("ct") + 1.0) / (F.col("tt") + DSIR_BUCKETS))
             - F.log((F.col("cr") + 1.0) / (F.col("tr") + DSIR_BUCKETS))
         ).alias("lr"),
     )
+
+
+def dsir_lr_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once DSIR log-ratio table (``dsirlr-v1``): the counting
+    pass over the corpus token stream runs once per snapshot; scoring
+    consumers broadcast-read the <= DSIR_BUCKETS-row artifact."""
+    from roapi_spark.functions.snapshot import (
+        build_once,
+        parquet_ready,
+        snapshot_cache_dir,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = snapshot_cache_dir(src, "dsirlr-v1")
+    build_once(
+        out,
+        parquet_ready,
+        lambda tmp: _dsir_log_ratios(_dsir_token_buckets(spark, sf_dir))
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    return spark.read.parquet(out)
+
+
+def _dsir_report(
+    spark: SparkSession, sf_dir: str, lr: DataFrame
+) -> DataFrame:
+    tb = _dsir_token_buckets(spark, sf_dir)
     dw = tb.join(F.broadcast(lr), "b").groupBy("doc_id").agg(F.avg("lr").alias("w"))
     # left join from the full doc set: zero-token docs keep weight 0
     # instead of silently dropping out of n_docs / sel_rate
@@ -167,6 +202,31 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_dsir_weights",
+    oracle=_DSIR_ORACLE,
+    doc=_DSIR_DOC,
+    tags=("text", "sampling", "pipeline"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tb = _dsir_token_buckets(spark, sf_dir)
+    return _dsir_report(spark, sf_dir, _dsir_log_ratios(tb))
+
+
+@register(
+    "q_dsir_weights_served",
+    oracle=_DSIR_ORACLE,
+    doc=_DSIR_DOC + " Serve path: the counting pass persists as the "
+    "dsirlr-v1 artifact (the model IS 256 doubles), so serving is the "
+    "scoring pass alone — one broadcast join over the token stream. "
+    "Same oracle as the recompute: identical output is the artifact-"
+    "correctness check.",
+    tags=("text", "sampling", "pipeline"),
+)
+def q_dsir_weights_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_report(spark, sf_dir, dsir_lr_cached(spark, sf_dir))
 
 
 _SPAN_REWRITE_ORACLE = f"""

@@ -147,6 +147,7 @@ KNOWN_TAGS = (
     "bigramlm-v1",
     "spancov-v1",
     "spanidx-v1",
+    "dsirlr-v1",
 )
 
 
