@@ -331,23 +331,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fully map-side: token hashes as an array, 32 bit-votes folded with
-    # higher-order aggregate — zero shuffle at any scale
+    # higher-order aggregate — zero shuffle at any scale.
+    # ONE fold over the hash array accumulating all 32 votes at once
+    # (zip_with against a constant weight array): the first version
+    # re-folded the array per bit with a pow(2.0, i) PER TOKEN PER BIT
+    # inside the lambda — 12.4 s vs 2.4 s at sf0.1 under full evaluation,
+    # bit-identical output.
     d = docs(spark, sf_dir)
     hs = F.transform(
         tokens_col(),
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
     )
-    bit_weight = lambda i: F.pow(F.lit(2.0), i).cast("bigint")  # noqa: E731
-    vote_sum = lambda i: F.aggregate(  # noqa: E731
+    weights = F.array(*[F.lit(1 << i).cast("bigint") for i in range(32)])
+    votes = F.aggregate(
         F.col("hs"),
-        F.lit(0),
-        lambda acc, h: acc
-        + F.when((h / bit_weight(i)).cast("bigint") % 2 == 1, 1).otherwise(-1),
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.col("bw"),
+                lambda w: F.when((h / w).cast("bigint") % 2 == 1, 1).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
     )
     simhash = F.aggregate(
-        F.sequence(F.lit(0), F.lit(31)),
+        F.zip_with(
+            F.col("bw"),
+            F.col("votes"),
+            lambda w, v: F.when(v > 0, w).otherwise(F.lit(0).cast("bigint")),
+        ),
         F.lit(0).cast("bigint"),
-        lambda acc, i: acc + F.when(vote_sum(i) > 0, bit_weight(i)).otherwise(F.lit(0).cast("bigint")),
+        lambda acc, x: acc + x,
     )
     # Docs with zero [a-z] tokens have no defined simhash: drop them on
     # both engines (the oracle's UNNEST of an empty token list already
@@ -358,7 +373,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the hash work (same pitfall as minhash_signatures' barrier above).
     return (
         d.filter(F.size(tokens_col()) >= 1)
-        .select("doc_id", hs.alias("hs"))
+        .select("doc_id", hs.alias("hs"), weights.alias("bw"))
+        .select("doc_id", votes.alias("votes"), "bw")
         .select("doc_id", simhash.cast("bigint").alias("simhash32"))
     )
 

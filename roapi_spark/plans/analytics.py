@@ -703,7 +703,11 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "error one: each group emits exact_parts plus booleans asserting the "
     "sketch landed within tolerance (HLL rsd=5% -> 10%; KLL accuracy=1e4 "
     "-> 5%); the oracle pins the booleans TRUE, so sketch drift fails the "
-    "hash. Exact + approx fold into ONE aggregation (single scan).",
+    "hash. The exact-distinct agg runs SEPARATELY from the percentile "
+    "agg and joins on the 3-row group keys: mixing them makes the "
+    "single-distinct rewrite pre-group by (flag, partkey) and carry "
+    "imperative percentile buffers per pre-group — measured 28 s vs "
+    "5.4 s split at sf0.1 under full evaluation.",
     tags=("agg", "approx"),
 )
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,14 +715,17 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = lambda approx, exact, tol: (  # noqa: E731
         F.abs(approx.cast("double") - exact) / exact <= tol
     )
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    pcts = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
         F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
         F.percentile_approx("l_extendedprice", 0.95).alias("approx_p95"),
     )
+    parts = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    agg = pcts.join(parts, "l_returnflag")
     return agg.select(
         "l_returnflag",
         F.col("exact_parts").cast("bigint").alias("exact_parts"),
