@@ -92,36 +92,49 @@ def stage2_dedup(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
 def stage2b_span_rewrite(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
     """Cut corpus-duplicated exact-substring spans from the surviving
     docs (Lee et al.'s removal step — doc-level dedup keeps one twin per
-    cluster, but shared boilerplate SPANS survive inside kept docs);
-    docs rewritten to nothing are dropped."""
+    cluster, but shared boilerplate SPANS survive inside kept docs).
+    Only docs that actually LOST tokens get their text replaced by the
+    token reconstruction (clean_text is lowercase [a-z] tokens — a lossy
+    normalization casing/digits/punctuation must not pay for free);
+    untouched docs keep their original bytes, and docs cut to nothing
+    are dropped (zero-token docs had nothing to dedup and pass)."""
     from roapi_spark.functions.pipeline10 import dedup_span_rewrite
 
-    rewritten = dedup_span_rewrite(spark, sf_dir).filter(F.col("n_kept") > 0)
+    rw = dedup_span_rewrite(spark, sf_dir).filter(
+        (F.col("n_kept") > 0) | (F.col("n_tokens") == 0)
+    )
     kept = (
         _docs(spark, sf_dir)
-        .drop("text", "n_chars")
-        .join(rewritten.select("doc_id", F.col("clean_text").alias("text")), "doc_id")
+        .join(rw.select("doc_id", "n_tokens", "n_kept", "clean_text"), "doc_id")
+        .withColumn(
+            "text",
+            F.when(F.col("n_kept") < F.col("n_tokens"), F.col("clean_text")).otherwise(
+                F.col("text")
+            ),
+        )
         .withColumn("n_chars", F.length("text").cast("bigint"))
         .select("doc_id", "text", "lang", "source", "n_chars")
     )
     return _write_snapshot(kept, out_dir)
 
 
-def stage4_ship(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
-    """Shard manifest for the final corpus + the closing leakage audit:
-    near-dup pairs crossing the train/val/test boundary AFTER dedup."""
-    from roapi_spark.functions.pipeline10 import (
-        q_split_leakage,
-        q_token_budget_shards,
-    )
+def _cross_split_pairs(spark: SparkSession, sf_dir: str) -> int:
+    from roapi_spark.functions.pipeline10 import q_split_leakage
 
-    n_shards = q_token_budget_shards(spark, sf_dir).count()
-    leak = sum(
+    return sum(
         r.n_pairs
         for r in q_split_leakage(spark, sf_dir).collect()
         if r.split_a != r.split_b
     )
-    return n_shards, leak
+
+
+def stage4_ship(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """Shard manifest for the final corpus + the closing leakage audit:
+    near-dup pairs crossing the train/val/test boundary AFTER dedup."""
+    from roapi_spark.functions.pipeline10 import q_token_budget_shards
+
+    n_shards = q_token_budget_shards(spark, sf_dir).count()
+    return n_shards, _cross_split_pairs(spark, sf_dir)
 
 
 def stage3_plan_and_pack(spark: SparkSession, sf_dir: str) -> tuple[list, int]:
@@ -144,8 +157,10 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     n2b = _docs(spark, s2b).count()
     alloc, n_packs = stage3_plan_and_pack(spark, s2b)
     n_shards, leak = stage4_ship(spark, s2b)
+    leak_before = _cross_split_pairs(spark, sf_dir)
     return {
         "input_docs": n0,
+        "cross_split_leak_pairs_before": leak_before,
         "after_quality": n1,
         "after_dedup": n2,
         "after_span_rewrite": n2b,

@@ -157,7 +157,7 @@ def _dsir_log_ratios(tb: DataFrame) -> DataFrame:
 
 
 def dsir_lr_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build-once DSIR log-ratio table (``dsirlr-v1``): the counting
+    """Build-once DSIR log-ratio table (``dsirlr-b{B}-{target}-v1`` — the tag encodes the feature dimensionality and target domain): the counting
     pass over the corpus token stream runs once per snapshot; scoring
     consumers broadcast-read the <= DSIR_BUCKETS-row artifact."""
     from roapi_spark.functions.snapshot import (
@@ -167,7 +167,7 @@ def dsir_lr_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = os.path.join(sf_dir, "documents.parquet")
-    out = snapshot_cache_dir(src, "dsirlr-v1")
+    out = snapshot_cache_dir(src, f"dsirlr-b{DSIR_BUCKETS}-{DSIR_TARGET}-v1")
     build_once(
         out,
         parquet_ready,
@@ -298,7 +298,7 @@ def _covered_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def span_cov_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build-once covered-position artifact (``spancov-v1``): the gram
+    """Build-once covered-position artifact (``spancov-k{K}-v1`` — the tag encodes the gram width, so retuning REWRITE_K keys a fresh artifact instead of serving a stale one): the gram
     tally + duplicate join runs once per corpus snapshot; every rewrite
     consumer reads the materialized (doc_id, p) set (content-addressed
     key via the parquet footer digest, like ``dedup.lsh_pairs_cached``)."""
@@ -309,7 +309,7 @@ def span_cov_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = os.path.join(sf_dir, "documents.parquet")
-    out = snapshot_cache_dir(src, "spancov-v1")
+    out = snapshot_cache_dir(src, f"spancov-k{REWRITE_K}-v1")
     build_once(
         out,
         parquet_ready,

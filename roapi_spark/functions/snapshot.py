@@ -145,9 +145,10 @@ KNOWN_TAGS = (
     "streambands-v1",
     "bm25-v1",
     "bigramlm-v1",
-    "spancov-v1",
-    "spanidx-v1",
-    "dsirlr-v1",
+    "spancov-k8-v1",  # suffix tracks REWRITE_K (= pipeline6.SPAN_K): the
+    # covered positions are a function of the gram width
+    "spanidx-k8-v1",  # same suffix rule (streaming gram index)
+    "dsirlr-b256-src0-v1",  # suffix tracks DSIR_BUCKETS + DSIR_TARGET
 )
 
 

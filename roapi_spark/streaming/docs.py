@@ -141,7 +141,7 @@ def lsh_match_stream(
 
 def corpus_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct md5 digests of every positional K-gram in the corpus
-    (``spanidx-v1``), persisted per snapshot: the static side of the
+    (``spanidx-k{K}-v1``; the tag encodes the gram width), persisted per snapshot: the static side of the
     streaming span screen. This is the relational form of what Lee et
     al.'s suffix array materializes — linear in corpus tokens (16 B per
     distinct gram), built once, never rebuilt per stream start."""
@@ -156,7 +156,7 @@ def corpus_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = os.path.join(sf_dir, "documents.parquet")
-    out = snapshot_cache_dir(src, "spanidx-v1")
+    out = snapshot_cache_dir(src, f"spanidx-k{REWRITE_K}-v1")
 
     def _build(tmp: str) -> None:
         (
@@ -197,17 +197,28 @@ def span_clean_stream(
     s = stream.withWatermark("ts", watermark)
     toks = s.select("doc_id", "ts", tokens_col().alias("w"))
     long_docs = toks.filter(F.size("w") >= REWRITE_K)
+    # carry the token array on ONLY the i=0 gram row (every long doc has
+    # one): shipping `w` on every exploded row would make per-doc shuffle
+    # volume O(n_tokens^2) through the stream-static join — the module
+    # rule is "shuffle digests, never token text", and one array copy per
+    # doc is the floor the rebuild needs
     g = long_docs.select(
         "doc_id",
         "ts",
         "w",
         F.posexplode(_positional_grams(F.col("w"))).alias("i", "gram"),
-    ).select("doc_id", "ts", "w", "i", F.md5("gram").alias("g"))
+    ).select(
+        "doc_id",
+        "ts",
+        F.when(F.col("i") == 0, F.col("w")).alias("w"),
+        "i",
+        F.md5("gram").alias("g"),
+    )
     marked = g.join(
         gram_idx.select(F.col("g"), F.lit(True).alias("hit")), "g", "left"
     )
     agg = marked.groupBy("doc_id", "ts").agg(
-        F.first("w").alias("w"),
+        F.first("w", ignorenulls=True).alias("w"),
         F.collect_set(F.when(F.col("hit"), F.col("i"))).alias("starts"),
     )
     covered = F.array_distinct(

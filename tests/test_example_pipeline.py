@@ -21,8 +21,13 @@ def test_training_pipeline_end_to_end(spark, tmp_path):
     assert summary["n_packs"] >= 1
     assert summary["n_shards"] >= 1
     # doc-level dedup kept one twin per near-dup cluster, so the closing
-    # split-leakage audit over the final snapshot should be (near) empty
-    assert summary["cross_split_leak_pairs"] == 0
+    # split-leakage audit must not exceed the raw corpus's (exact zero is
+    # not guaranteed — the span rewrite can leave similar short residues
+    # that form NEW candidate pairs); on the current testdata it IS zero
+    assert (
+        summary["cross_split_leak_pairs"]
+        <= summary["cross_split_leak_pairs_before"]
+    )
     assert summary["allocations"], "per-source allocation table is empty"
     for row in summary["allocations"]:
         assert row["epochs"] > 0 and row["alloc_tokens"] > 0

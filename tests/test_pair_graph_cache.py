@@ -227,6 +227,18 @@ def test_known_tags_cover_every_call_site():
                 from roapi_spark.functions.similarity import _IVF_LAYOUT_VERSION
 
                 used.add(f"embpairscid-{_IVF_LAYOUT_VERSION}")
+            elif arg.startswith('f"spancov-') or arg.startswith('f"spanidx-'):
+                from roapi_spark.functions.pipeline10 import REWRITE_K
+
+                kind = "spancov" if "spancov" in arg else "spanidx"
+                used.add(f"{kind}-k{REWRITE_K}-v1")
+            elif arg.startswith('f"dsirlr-'):
+                from roapi_spark.functions.pipeline10 import (
+                    DSIR_BUCKETS,
+                    DSIR_TARGET,
+                )
+
+                used.add(f"dsirlr-b{DSIR_BUCKETS}-{DSIR_TARGET}-v1")
             else:
                 raise AssertionError(f"unrecognized tag expression: {arg} in {p}")
     assert used, "no call sites found — the regex is broken"
