@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "dedup_span_rewrite_served",
     "q_token_budget_shards",
     "q_split_leakage",
+    "q_rewrite_impact",  # round 7 (session 3) second-order audits
+    "q_shard_mixture",
+    "q_dup_quality_bias",
 ]
 # names in the headline map that postdate the historical 61-query subset
 # (subset61_sec must keep measuring the SAME set round over round)
@@ -103,7 +106,8 @@ _POST61 = {"q_bm25_topk", "ann_lsh_multi", "q_ngram_perplexity_served",
            "q_dedup_funnel", "q_dsir_weights", "q_dsir_weights_served",
            "dedup_span_rewrite",
            "dedup_span_rewrite_served", "q_token_budget_shards",
-           "q_split_leakage"}
+           "q_split_leakage", "q_rewrite_impact", "q_shard_mixture",
+           "q_dup_quality_bias"}
 # Round 4: the bench covers the FULL registry — the list above keeps its
 # historical order for round-over-round comparability, and every other
 # registered query (incl. the remaining TPC-H shapes q2/q7/q8/q11/q15/

@@ -229,8 +229,9 @@ def q_dsir_weights_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dsir_report(spark, sf_dir, dsir_lr_cached(spark, sf_dir))
 
 
-_SPAN_REWRITE_ORACLE = f"""
-    WITH toks AS (SELECT doc_id, {_TOKS_DUCK} AS w FROM documents),
+# the CTE chain (toks .. reb) shared by the rewrite oracle and the
+# batch-11 impact audit (pipeline11)
+_SPAN_CTE = f"""toks AS (SELECT doc_id, {_TOKS_DUCK} AS w FROM documents),
     g AS (
       SELECT doc_id, i - 1 AS i,
              MD5(array_to_string(w[i:i + {REWRITE_K - 1}], ' ')) AS g
@@ -255,7 +256,10 @@ _SPAN_REWRITE_ORACLE = f"""
       SELECT doc_id, COUNT(*) AS n_kept,
              STRING_AGG(tok, ' ' ORDER BY p) AS clean_text
       FROM kept GROUP BY doc_id
-    )
+    )"""
+
+_SPAN_REWRITE_ORACLE = f"""
+    WITH {_SPAN_CTE}
     SELECT t.doc_id,
            CAST(LEN(t.w) AS BIGINT) AS n_tokens,
            CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
@@ -387,6 +391,50 @@ def dedup_span_rewrite_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _span_rebuild(spark, sf_dir, span_cov_cached(spark, sf_dir))
 
 
+def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, ntok, shard): the distributed-prefix-sum shard
+    assignment, shared by the manifest query and the batch-11 shard-
+    mixture audit (Catalyst prunes `source` when a consumer drops it)."""
+    from roapi_spark.functions.text import tokens_col
+
+    d = docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(tokens_col()).cast("bigint").alias("ntok"),
+    )
+    # range bucket = 2-hex-char md5 prefix: ordering by (bkt, h) equals
+    # ordering by h, so per-bucket windows + bucket offsets reproduce the
+    # global running sum without a single-partition sort
+    d = d.withColumn(
+        "bkt", F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
+    )
+    bucket_tot = d.groupBy("bkt").agg(F.sum("ntok").alias("btok"))
+    rows = sorted(
+        (r["bkt"], r["btok"]) for r in bucket_tot.collect()
+    )  # <=256 rows of driver state — exact integer math for the scan
+    offsets, acc = [], 0
+    for bkt, btok in rows:
+        offsets.append((bkt, acc))
+        acc += btok
+    off = spark.createDataFrame(offsets, "bkt int, off long")
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(off), "bkt")
+        .withColumn("cb", F.col("off") + F.sum("ntok").over(w) - F.col("ntok"))
+        .select(
+            "doc_id",
+            "source",
+            "ntok",
+            F.floor(F.col("cb") / float(SHARD_BUDGET)).cast("bigint").alias("shard"),
+        )
+    )
+
+
 @register(
     "q_token_budget_shards",
     oracle=f"""
@@ -418,42 +466,9 @@ def dedup_span_rewrite_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "sampling", "pipeline"),
 )
 def q_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from roapi_spark.functions.text import tokens_col
-
-    d = docs(spark, sf_dir).select(
-        "doc_id",
-        F.md5(F.col("doc_id").cast("string")).alias("h"),
-        F.size(tokens_col()).cast("bigint").alias("ntok"),
-    )
-    # range bucket = 2-hex-char md5 prefix: ordering by (bkt, h) equals
-    # ordering by h, so per-bucket windows + bucket offsets reproduce the
-    # global running sum without a single-partition sort
-    d = d.withColumn(
-        "bkt", F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
-    )
-    bucket_tot = d.groupBy("bkt").agg(F.sum("ntok").alias("btok"))
-    rows = sorted(
-        (r["bkt"], r["btok"]) for r in bucket_tot.collect()
-    )  # <=256 rows of driver state — exact integer math for the scan
-    offsets, acc = [], 0
-    for bkt, btok in rows:
-        offsets.append((bkt, acc))
-        acc += btok
-    off = spark.createDataFrame(offsets, "bkt int, off long")
-    w = (
-        Window.partitionBy("bkt")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = (
-        d.join(F.broadcast(off), "bkt")
-        .withColumn("cb", F.col("off") + F.sum("ntok").over(w) - F.col("ntok"))
-        .withColumn(
-            "shard", F.floor(F.col("cb") / float(SHARD_BUDGET)).cast("bigint")
-        )
-    )
     return (
-        c.groupBy("shard")
+        shard_assign(spark, sf_dir)
+        .groupBy("shard")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("ntok").cast("bigint").alias("n_tokens"),

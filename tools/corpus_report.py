@@ -55,6 +55,8 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
     leakage = run("q_split_leakage")
     dsir = sorted(run("q_dsir_weights"), key=lambda r: r["source"])
     shards = run("q_token_budget_shards")
+    shard_mix = run("q_shard_mixture")
+    dup_bias = {r["is_dup"]: r for r in run("q_dup_quality_bias")}
     span = specs["dedup_span_rewrite"].builder(spark, sf_dir).agg(
         F.sum("n_tokens").alias("n_tokens"), F.sum("n_kept").alias("n_kept")
     ).collect()[0]
@@ -111,6 +113,13 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
         f"{span['n_kept']}/{span['n_tokens']} tokens survive "
         f"({100.0 * span['n_kept'] / max(span['n_tokens'], 1):.1f}%)",
         "",
+        "Near-dup quality bias (candidate-pair members vs unique docs): "
+        + ", ".join(
+            f"{'dup' if k else 'unique'}: {v['n_docs']} docs, "
+            f"avg {v['avg_tokens']} tokens, TTR {v['avg_ttr']}"
+            for k, v in sorted(dup_bias.items())
+        ),
+        "",
         "MinHash estimator calibration (est bucket -> exact Jaccard):",
         "",
         "| est decile | pairs | mean exact | mean abs err |",
@@ -154,7 +163,11 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
         f"{len(shards)} shards; docs/shard "
         f"{min(r['n_docs'] for r in shards)}-{max(r['n_docs'] for r in shards)}, "
         f"tokens/shard {min(r['n_tokens'] for r in shards)}-"
-        f"{max(r['n_tokens'] for r in shards)}",
+        f"{max(r['n_tokens'] for r in shards)}; source entropy/shard "
+        f"{min(r['source_entropy'] for r in shard_mix)}-"
+        f"{max(r['source_entropy'] for r in shard_mix)} nats "
+        f"(sources/shard {min(r['n_sources'] for r in shard_mix)}-"
+        f"{max(r['n_sources'] for r in shard_mix)})",
         "",
         "## Packing (concat-and-chunk, per source)",
         "",
