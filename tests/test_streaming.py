@@ -768,3 +768,62 @@ def test_span_clean_stream_cuts_corpus_spans(spark, tmp_path):
                 out[910003].clean_text) == (2, 2, "zzx zzy")
     finally:
         q.stop()
+
+
+def test_span_clean_stream_checkpoint_restart(spark, tmp_path):
+    """The watermarked per-(doc, ts) aggregation recovers its state
+    store across a restart: a group buffered before the stop emits
+    exactly once after a later batch advances the watermark post-restart
+    (parquet sink — memory sinks cannot recover)."""
+    import json as _json
+
+    from roapi_spark.functions.dedup import docs as corpus_docs
+    from roapi_spark.streaming.docs import (
+        corpus_gram_index,
+        span_clean_stream,
+        stream_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    text0 = corpus_docs(spark, sf).filter("doc_id = 0").first()["text"]
+    span8 = " ".join(text0.split()[:8])
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    (d / "b1.json").write_text(
+        _json.dumps({"doc_id": 920001, "text": span8 + " zzqa zzqb zzqc",
+                     "ts": "2024-01-01T00:00:10"})
+    )
+    idx = corpus_gram_index(spark, sf)
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def start():
+        return (
+            span_clean_stream(stream_docs(spark, str(d)), idx)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()  # group buffered, watermark not advanced
+    finally:
+        q.stop()
+    (d / "b2.json").write_text(
+        _json.dumps({"doc_id": 920009, "text": "zz zz",
+                     "ts": "2024-01-01T01:00:00"})
+    )
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rows = [r for r in spark.read.parquet(out_dir).collect()
+            if r.doc_id == 920001]
+    assert len(rows) == 1, f"expected exactly one emission, got {rows}"
+    assert (rows[0].n_tokens, rows[0].n_kept, rows[0].clean_text) == (
+        11, 3, "zzqa zzqb zzqc",
+    )
