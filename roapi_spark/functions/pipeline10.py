@@ -219,7 +219,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dsir_weights_served",
     oracle=_DSIR_ORACLE,
     doc=_DSIR_DOC + " Serve path: the counting pass persists as the "
-    "dsirlr-v1 artifact (the model IS 256 doubles), so serving is the "
+    "dsirlr-b256-src0-v1 artifact (the model IS 256 doubles), so serving is the "
     "scoring pass alone — one broadcast join over the token stream. "
     "Same oracle as the recompute: identical output is the artifact-"
     "correctness check.",
@@ -379,7 +379,7 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_span_rewrite_served",
     oracle=_SPAN_REWRITE_ORACLE,
-    doc="dedup_span_rewrite served from the build-once spancov-v1 "
+    doc="dedup_span_rewrite served from the build-once spancov-k8-v1 "
     "covered-position artifact: the gram tally + duplicate join (the "
     "corpus-shuffle half, ~2/3 of the recompute wall) runs once per "
     "corpus snapshot; the serve path is the doc-keyed anti-join + "

@@ -18,8 +18,9 @@ shipping a curated corpus:
   repetitive) from unique ones? The empirical check behind the common
   claim that dedup preferentially removes low-quality text.
 
-Scale shape at 100 TB: q_rewrite_impact rides the span-rewrite CTE
-(md5-digest gram shuffle, doc-keyed rebuild) plus one source-keyed agg;
+Scale shape at 100 TB: q_rewrite_impact rides the cached spancov
+covered-position artifact (the served rewrite path) plus one
+source-keyed agg;
 q_shard_mixture reuses the distributed prefix sum (no single-partition
 window) plus shard-keyed aggs; q_dup_quality_bias reads the cached
 lshpairs-v4 edge artifact and left-joins the dimension-sized dup-doc id
@@ -28,28 +29,19 @@ set onto one corpus scan.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from roapi_spark.functions.pipeline10 import (
     _SPAN_CTE,
+    _TOKS_DUCK,
     SHARD_BUDGET,
-    dedup_span_rewrite,
+    dedup_span_rewrite_served,
+    docs,
     shard_assign,
 )
 from roapi_spark.plans.registry import register
 from roapi_spark.util import pround, pround_sql
-
-_TOKS_DUCK = (
-    "list_filter(string_split_regex(lower(text), '[^a-z]+'), "
-    "x -> length(x) > 0)"
-)
-
-
-def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
 @register(
@@ -69,14 +61,15 @@ def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per JOIN documents d USING (doc_id)
     GROUP BY d.source ORDER BY d.source
     """,
-    doc="Per-source token loss from the exact-substring span rewrite "
-    "(dedup_span_rewrite): which shards carry the boilerplate. Plan: "
-    "the rewrite's gram-digest shuffle + doc-keyed rebuild, then one "
-    "broadcast join to source labels and a source-keyed agg (20 rows).",
+    doc="Per-source token loss from the exact-substring span rewrite: "
+    "which shards carry the boilerplate. Plan: rides the cached "
+    "spancov covered-position artifact (the dedup_span_rewrite_served "
+    "path — no per-call gram tally), then one join to source labels "
+    "and a source-keyed agg (20 rows).",
     tags=("dedup", "text", "pipeline"),
 )
 def q_rewrite_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rw = dedup_span_rewrite(spark, sf_dir)
+    rw = dedup_span_rewrite_served(spark, sf_dir)
     return (
         rw.join(docs(spark, sf_dir).select("doc_id", "source"), "doc_id")
         .groupBy("source")
