@@ -180,3 +180,30 @@ def test_span_rewrite_served_skips_gram_tally(spark, tmp_path, monkeypatch):
     # FileScan of the cached (doc_id, p) artifact (path is truncated in
     # the plan string, so pin the scan schema instead)
     assert "ReadSchema: struct<doc_id:bigint,p:int>" in plan
+
+
+def test_shard_assign_oversized_doc_stays_one_shard(spark, tmp_path):
+    # greedy packing assigns by START offset: a doc larger than the
+    # budget inflates its own shard rather than splitting (shards are
+    # document-atomic — the training loader owns intra-doc chunking),
+    # and the NEXT doc starts a fresh shard
+    from roapi_spark.functions.pipeline10 import SHARD_BUDGET, shard_assign
+
+    big = " ".join(
+        f"w{chr(97 + i % 26)}{chr(97 + (i // 26) % 26)}"
+        for i in range(2 * SHARD_BUDGET)
+    )
+    d = _write_docs(tmp_path, {"s": [big, "xa xb xc", "ya yb yc yd"]})
+    got = {r.doc_id: r.shard for r in shard_assign(spark, d).collect()}
+    # Python reference: md5 order, cumulative start offsets, atomic docs
+    ntoks = {0: 2 * SHARD_BUDGET, 1: 3, 2: 4}
+    order = sorted(ntoks, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    expected, cum = {}, 0
+    for i in order:
+        expected[i] = cum // SHARD_BUDGET
+        cum += ntoks[i]
+    assert got == expected
+    # whichever doc starts after the oversized one skipped >= 2 budgets
+    after = order[order.index(0) + 1 :]
+    if after:
+        assert expected[after[0]] - expected[0] >= 2
