@@ -86,3 +86,17 @@ def test_duplicate_registration_fails_loud():
 
     redo()
     assert QUERIES["q1_pricing_summary"].builder is fn
+
+
+def test_bench_historical_subset_is_exactly_61():
+    """subset61_sec's value series is only comparable across rounds if
+    the underlying query set NEVER changes: every new headline query
+    must also be added to _POST61, or it silently joins (and breaks)
+    the historical series."""
+    import bench
+
+    hist = [n for n in bench.BENCH_QUERIES if n not in bench._POST61]
+    assert len(hist) == 61, (
+        f"historical bench subset changed size ({len(hist)}): new "
+        "headline queries must be added to bench._POST61"
+    )
