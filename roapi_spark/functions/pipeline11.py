@@ -218,3 +218,82 @@ def q_dup_quality_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_dup")
     )
+
+
+def _curation_funnel_oracle() -> str:
+    from roapi_spark.functions.dedup import _COMPONENTS_DUCK
+    from roapi_spark.functions.pipeline10 import _SPAN_CTE
+
+    # _COMPONENTS_DUCK's chain already defines `toks` IDENTICALLY to
+    # _SPAN_CTE's first entry (doc_id + tokenized w): drop the duplicate
+    # line so the two chains compose under one WITH
+    first, rest = _SPAN_CTE.split("\n", 1)
+    assert first.strip().startswith("toks AS (") and first.rstrip().endswith("),")
+    return f"""
+    WITH RECURSIVE {_COMPONENTS_DUCK},
+    keep_ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)),
+    drop_near AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+    surv AS (
+      SELECT k.doc_id FROM keep_ex k
+      WHERE k.doc_id NOT IN (SELECT doc_id FROM drop_near)
+    ),
+    {rest},
+    per AS (
+      SELECT t.doc_id, LEN(t.w) AS nt, COALESCE(r.n_kept, 0) AS nk
+      FROM toks t JOIN surv USING (doc_id)
+      LEFT JOIN reb r ON r.doc_id = t.doc_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM keep_ex) AS n_after_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n_after_near,
+           CAST(SUM(nt) AS BIGINT) AS tokens_total,
+           CAST(SUM(nk) AS BIGINT) AS tokens_shipped,
+           {pround_sql('SUM(nk) * 1.0 / GREATEST(SUM(nt), 1)')}
+             AS pct_tokens_kept
+    FROM per
+    """
+
+
+@register(
+    "q_curation_funnel",
+    oracle=_curation_funnel_oracle(),
+    doc="The full curation funnel in one row: docs -> exact-unique -> "
+    "near-dup survivors (q_dedup_funnel's doc stages) extended to the "
+    "TOKEN axis — of the surviving docs' tokens, how many survive the "
+    "exact-substring span rewrite. Doc-level dedup keeps one twin per "
+    "cluster; this row also shows the boilerplate INSIDE the kept docs. "
+    "Serve shape: exact stage is a 16-byte-digest shuffle, near stage "
+    "reads the cached component labels, token stage reads the cached "
+    "spancov covered-position artifact — no text shuffles, no pair or "
+    "gram recompute anywhere.",
+    tags=("dedup", "quality", "pipeline"),
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.pipeline9 import funnel_survivors
+
+    d, keep_ex, surv = funnel_survivors(spark, sf_dir)
+    per = dedup_span_rewrite_served(spark, sf_dir).join(surv, "doc_id")
+    tok = per.agg(
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        F.sum("n_kept").cast("bigint").alias("tokens_shipped"),
+    )
+    n_docs = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    n_ex = keep_ex.agg(F.count("*").cast("bigint").alias("n_after_exact"))
+    n_surv = surv.agg(F.count("*").cast("bigint").alias("n_after_near"))
+    return (
+        n_docs.crossJoin(F.broadcast(n_ex))
+        .crossJoin(F.broadcast(n_surv))
+        .crossJoin(F.broadcast(tok))
+        .select(
+            "n_docs",
+            "n_after_exact",
+            "n_after_near",
+            "tokens_total",
+            "tokens_shipped",
+            pround(
+                F.col("tokens_shipped")
+                * F.lit(1.0)
+                / F.greatest(F.col("tokens_total"), F.lit(1))
+            ).alias("pct_tokens_kept"),
+        )
+    )

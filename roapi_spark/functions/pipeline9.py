@@ -437,19 +437,11 @@ def _dedup_funnel_oracle() -> str:
     """
 
 
-@register(
-    "q_dedup_funnel",
-    oracle=_dedup_funnel_oracle(),
-    doc="Corpus-level dedup funnel — the one-row headline of a dedup "
-    "report: docs -> exact-unique (keep min doc_id per md5) -> near-dup "
-    "survivors (exact keepers that are not non-representative members "
-    "of an LSH component), with the final keep rate. Serve path: the "
-    "exact stage is one 16-byte-digest shuffle; the near stage reads "
-    "the snapshot-cached component labels (pair-graph-sized) and "
-    "anti-joins — no text ever shuffles, no pair recompute.",
-    tags=("dedup", "quality", "pipeline"),
-)
-def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def funnel_survivors(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(docs, exact-keepers, doc-dedup survivors) — the funnel's doc-id
+    frames, shared with the batch-11 curation funnel."""
     from roapi_spark.functions.dedup import dedup_components
     from roapi_spark.functions.dedup import docs as _docs
 
@@ -466,6 +458,23 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     surv = keep_ex.join(maybe_broadcast(drop_near), "doc_id", "left_anti")
+    return d, keep_ex, surv
+
+
+@register(
+    "q_dedup_funnel",
+    oracle=_dedup_funnel_oracle(),
+    doc="Corpus-level dedup funnel — the one-row headline of a dedup "
+    "report: docs -> exact-unique (keep min doc_id per md5) -> near-dup "
+    "survivors (exact keepers that are not non-representative members "
+    "of an LSH component), with the final keep rate. Serve path: the "
+    "exact stage is one 16-byte-digest shuffle; the near stage reads "
+    "the snapshot-cached component labels (pair-graph-sized) and "
+    "anti-joins — no text ever shuffles, no pair recompute.",
+    tags=("dedup", "quality", "pipeline"),
+)
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, keep_ex, surv = funnel_survivors(spark, sf_dir)
     n_docs = d.agg(F.count("*").cast("bigint").alias("n_docs"))
     n_ex = keep_ex.agg(F.count("*").cast("bigint").alias("n_after_exact"))
     n_surv = surv.agg(F.count("*").cast("bigint").alias("n_after_near"))

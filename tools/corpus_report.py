@@ -52,6 +52,7 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
     purity = run("q_cluster_purity")
     calib = run("q_minhash_calibration")
     funnel = run("q_dedup_funnel")[0]
+    cfunnel = run("q_curation_funnel")[0]
     leakage = run("q_split_leakage")
     dsir = sorted(run("q_dsir_weights"), key=lambda r: r["source"])
     shards = run("q_token_budget_shards")
@@ -91,7 +92,9 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
         "",
         f"Funnel: {funnel['n_docs']} docs -> {funnel['n_after_exact']} "
         f"exact-unique -> {funnel['n_after_near']} after near-dup "
-        f"({funnel['pct_kept']:.2%} kept)",
+        f"({funnel['pct_kept']:.2%} kept); of the survivors' "
+        f"{cfunnel['tokens_total']} tokens, {cfunnel['tokens_shipped']} "
+        f"({cfunnel['pct_tokens_kept']:.2%}) survive the span rewrite",
         "",
         "| source | docs | exact-dup rate |",
         "|---|---|---|",
