@@ -222,21 +222,25 @@ def q_dup_quality_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _curation_funnel_oracle() -> str:
     from roapi_spark.functions.dedup import _COMPONENTS_DUCK
+    from roapi_spark.functions.dedup import _TOKS_DUCK as _DEDUP_TOKS
+    from roapi_spark.functions.pipeline9 import _FUNNEL_DUCK
     from roapi_spark.functions.pipeline10 import _SPAN_CTE
 
-    # _COMPONENTS_DUCK's chain already defines `toks` IDENTICALLY to
-    # _SPAN_CTE's first entry (doc_id + tokenized w): drop the duplicate
-    # line so the two chains compose under one WITH
+    # _COMPONENTS_DUCK's chain already defines `toks`: drop _SPAN_CTE's
+    # duplicate entry so the two chains compose under one WITH — but
+    # ONLY if the two tokenizers are still byte-identical (a retuned
+    # pipeline10 tokenizer must fail loudly here, not silently validate
+    # the span stages against dedup's old one)
     first, rest = _SPAN_CTE.split("\n", 1)
-    assert first.strip().startswith("toks AS (") and first.rstrip().endswith("),")
+    expected = f"toks AS (SELECT doc_id, {_DEDUP_TOKS} AS w FROM documents),"
+    if first.strip() != expected:
+        raise ValueError(
+            "pipeline10._SPAN_CTE's toks entry no longer matches dedup's "
+            "tokenizer — the curation-funnel oracle can't drop it"
+        )
     return f"""
     WITH RECURSIVE {_COMPONENTS_DUCK},
-    keep_ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)),
-    drop_near AS (SELECT doc_id FROM comp WHERE doc_id <> component),
-    surv AS (
-      SELECT k.doc_id FROM keep_ex k
-      WHERE k.doc_id NOT IN (SELECT doc_id FROM drop_near)
-    ),
+    {_FUNNEL_DUCK},
     {rest},
     per AS (
       SELECT t.doc_id, LEN(t.w) AS nt, COALESCE(r.n_kept, 0) AS nk

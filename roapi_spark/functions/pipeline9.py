@@ -417,17 +417,23 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the funnel's doc-stage CTEs (requires comp from _COMPONENTS_DUCK) —
+# shared with pipeline11's curation funnel so the keep rule can't
+# silently diverge between the two oracles
+_FUNNEL_DUCK = """keep_ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)),
+    drop_near AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+    surv AS (
+      SELECT k.doc_id FROM keep_ex k
+      WHERE k.doc_id NOT IN (SELECT doc_id FROM drop_near)
+    )"""
+
+
 def _dedup_funnel_oracle() -> str:
     from roapi_spark.functions.dedup import _COMPONENTS_DUCK
 
     return f"""
     WITH RECURSIVE {_COMPONENTS_DUCK},
-    keep_ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)),
-    drop_near AS (SELECT doc_id FROM comp WHERE doc_id <> component),
-    surv AS (
-      SELECT k.doc_id FROM keep_ex k
-      WHERE k.doc_id NOT IN (SELECT doc_id FROM drop_near)
-    )
+    {_FUNNEL_DUCK}
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM keep_ex) AS n_after_exact,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n_after_near,

@@ -193,17 +193,18 @@ def test_shard_assign_oversized_doc_stays_one_shard(spark, tmp_path):
         f"w{chr(97 + i % 26)}{chr(97 + (i // 26) % 26)}"
         for i in range(2 * SHARD_BUDGET)
     )
-    d = _write_docs(tmp_path, {"s": [big, "xa xb xc", "ya yb yc yd"]})
+    # md5('1') < md5('2') < md5('0'): give the oversized text doc_id 1 so
+    # it packs FIRST and the skip-two-budgets assertion actually runs
+    d = _write_docs(tmp_path, {"s": ["xa xb xc", big, "ya yb yc yd"]})
     got = {r.doc_id: r.shard for r in shard_assign(spark, d).collect()}
     # Python reference: md5 order, cumulative start offsets, atomic docs
-    ntoks = {0: 2 * SHARD_BUDGET, 1: 3, 2: 4}
+    ntoks = {0: 3, 1: 2 * SHARD_BUDGET, 2: 4}
     order = sorted(ntoks, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    assert order[0] == 1, "fixture invariant: the oversized doc packs first"
     expected, cum = {}, 0
     for i in order:
         expected[i] = cum // SHARD_BUDGET
         cum += ntoks[i]
     assert got == expected
-    # whichever doc starts after the oversized one skipped >= 2 budgets
-    after = order[order.index(0) + 1 :]
-    if after:
-        assert expected[after[0]] - expected[0] >= 2
+    # the doc after the oversized one skipped the >= 2 budgets it consumed
+    assert expected[order[1]] - expected[1] >= 2

@@ -51,7 +51,8 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
     splits = run("q_hash_split")
     purity = run("q_cluster_purity")
     calib = run("q_minhash_calibration")
-    funnel = run("q_dedup_funnel")[0]
+    # q_curation_funnel is a superset of q_dedup_funnel (doc stages +
+    # token stage) — run the doc-stage shuffles once, not twice
     cfunnel = run("q_curation_funnel")[0]
     leakage = run("q_split_leakage")
     dsir = sorted(run("q_dsir_weights"), key=lambda r: r["source"])
@@ -90,9 +91,10 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
         "",
         "## Duplication",
         "",
-        f"Funnel: {funnel['n_docs']} docs -> {funnel['n_after_exact']} "
-        f"exact-unique -> {funnel['n_after_near']} after near-dup "
-        f"({funnel['pct_kept']:.2%} kept); of the survivors' "
+        f"Funnel: {cfunnel['n_docs']} docs -> {cfunnel['n_after_exact']} "
+        f"exact-unique -> {cfunnel['n_after_near']} after near-dup "
+        f"({cfunnel['n_after_near'] / max(cfunnel['n_docs'], 1):.2%} kept); "
+        f"of the survivors' "
         f"{cfunnel['tokens_total']} tokens, {cfunnel['tokens_shipped']} "
         f"({cfunnel['pct_tokens_kept']:.2%}) survive the span rewrite",
         "",
