@@ -39,3 +39,21 @@ def test_dup_quality_bias_flags_pair_members(spark, tmp_path, monkeypatch):
     out = {r.is_dup: r for r in q_dup_quality_bias(spark, d).collect()}
     assert out[True].n_docs == 2 and out[False].n_docs == 1
     assert out[True].avg_tokens == 10.0 and out[False].avg_tokens == 8.0
+
+
+def test_curation_funnel_doc_stages_match_dedup_funnel(spark):
+    # the curation funnel's doc stages must be exactly q_dedup_funnel's
+    # (both now derive from funnel_survivors / _FUNNEL_DUCK)
+    from roapi_spark.functions.pipeline9 import q_dedup_funnel
+    from roapi_spark.functions.pipeline11 import q_curation_funnel
+
+    sf = "/root/testdata/sf0.001"
+    a = q_dedup_funnel(spark, sf).collect()[0]
+    b = q_curation_funnel(spark, sf).collect()[0]
+    assert (a.n_docs, a.n_after_exact, a.n_after_near) == (
+        b.n_docs,
+        b.n_after_exact,
+        b.n_after_near,
+    )
+    assert 0 < b.tokens_shipped <= b.tokens_total
+    assert 0.0 < b.pct_tokens_kept <= 1.0
