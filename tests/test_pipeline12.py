@@ -1,0 +1,121 @@
+"""Behavior tests for the batch-12 BPE trainer. Oracle parity at
+sf0.001 is covered generically by test_oracle_parity; these pin the
+algorithm itself against INDEPENDENT pure-Python implementations:
+
+1. the wrapped-symbol ``replace`` merge application equals the
+   classic greedy left-to-right merge pass (hypothesis-fuzzed,
+   including same-symbol runs — the case naive space-separated
+   replace gets wrong);
+2. the full distributed trainer reproduces an independently written
+   reference BPE trainer (word counts -> iterated pair argmax) on a
+   tiny corpus, merge-for-merge and count-for-count.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests.test_pipeline10 import _write_docs
+
+
+# --- independent reference implementation (no shared code with
+# roapi_spark.functions.pipeline12: list-based, no string replace) ---
+
+def _greedy_merge(syms: list[str], pair: tuple[str, str]) -> list[str]:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_train(texts: list[str], n_merges: int):
+    words = Counter()
+    for t in texts:
+        words.update(w for w in re.split(r"[^a-z]+", t.lower()) if w)
+    vocab = {tuple(list(w) + ["#"]): c for w, c in words.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        # tie-break: count DESC, then 'l|r' pair string ASC
+        (lft, rgt), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], f"{kv[0][0]}|{kv[0][1]}")
+        )
+        merges.append((rank, lft, rgt, lft + rgt, cnt))
+        vocab = {
+            tuple(_greedy_merge(list(s), (lft, rgt))): c for s, c in vocab.items()
+        }
+    return merges, vocab
+
+
+def _wrapped_replace_merge(syms: list[str], pair: tuple[str, str]) -> list[str]:
+    """The production encoding: str.replace has the same left-to-right
+    non-overlapping semantics as Spark's replace() and DuckDB's
+    replace(), so this mirrors what both engines compute."""
+    s = "," + ",,".join(syms) + ","
+    s = s.replace(f",{pair[0]},,{pair[1]},", f",{pair[0]}{pair[1]},")
+    return [x for x in s.split(",") if x]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab", "aa", "c"]), min_size=1, max_size=12),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "ab", "aa", "c"]),
+        st.sampled_from(["a", "b", "ab", "aa", "c"]),
+    ),
+)
+def test_wrapped_replace_equals_greedy_merge(syms, pair):
+    assert _wrapped_replace_merge(syms, pair) == _greedy_merge(syms, pair)
+
+
+CORPUS = {
+    "s0": ["the theme thesis", "low lower lowest", "the the the"],
+    "s1": ["new newer newest", "wide wider widest", "low low lower"],
+}
+
+
+def test_trainer_matches_independent_reference(spark, tmp_path):
+    from roapi_spark.functions.pipeline12 import bpe_train_state
+
+    texts = [t for ts in CORPUS.values() for t in ts]
+    d = _write_docs(tmp_path, CORPUS)
+    got, _ = bpe_train_state(spark, d, n_merges=6)
+    want, _ = _ref_train(texts, 6)
+    assert got == want
+
+
+def test_fertility_equals_reference_piece_counts(spark, tmp_path):
+    from roapi_spark.functions.pipeline12 import (
+        BPE_MERGES,
+        text_bpe_fertility,
+    )
+
+    d = _write_docs(tmp_path, CORPUS)
+    texts_by_src = {
+        src: [w for t in ts for w in re.split(r"[^a-z]+", t.lower()) if w]
+        for src, ts in CORPUS.items()
+    }
+    _, vocab = _ref_train([t for ts in CORPUS.values() for t in ts], BPE_MERGES)
+    # piece count per surface word: strip the EOW marker to key by word
+    np_by_word = {"".join(s)[:-1]: len(s) for s in vocab}
+    out = {r.source: r for r in text_bpe_fertility(spark, d).collect()}
+    for src, toks in texts_by_src.items():
+        want_tokens = len(toks)
+        want_pieces = sum(np_by_word[w] for w in toks)
+        assert out[src].n_tokens == want_tokens
+        assert out[src].n_pieces == want_pieces
+        assert abs(out[src].fertility - want_pieces / want_tokens) < 1e-3
