@@ -1,5 +1,7 @@
 """Training-pipeline batch 12 (round 8): a distributed BPE merge
-trainer — the tokenizer-construction step of an LLM data pipeline.
+trainer — the tokenizer-construction step of an LLM data pipeline —
+plus the end-to-end gate for the Delta writer's new row-level DML
+(``q_delta_merge``).
 
 Reference scope: roapi serves tables as-is (`columnq/src/table/mod.rs`)
 and has no tokenizer surface; this extends the engine with the public
@@ -272,4 +274,108 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("np") * 1.0 / F.count("*")).alias("fertility"),
         )
         .orderBy("source")
+    )
+
+
+# --- Delta MERGE end-to-end gate -------------------------------------------
+
+_MERGE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+
+
+def _merged_orders_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Delta artifact: a base table from ``orders`` plus ONE
+    MERGE commit exercising all three clauses (update, delete, insert)
+    through the copy-on-write writer. The registered query reads the
+    post-merge table back through the pure-Python delta source, so the
+    oracle row checks writer DML + log commit + reader replay end to
+    end."""
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+    from roapi_spark.sinks.delta import merge_delta, write_delta
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    out = snapshot_cache_dir(src, "deltamerge-v1")
+
+    def ready(d: str) -> bool:
+        return os.path.isfile(
+            os.path.join(d, "_delta_log", f"{1:020d}.json")
+        )
+
+    def build(tmp: str) -> None:
+        orders = spark.read.parquet(src)
+        base = orders.filter("o_orderkey % 4 = 0").select(_MERGE_COLS)
+        write_delta(base, tmp, mode="overwrite")
+        source = (
+            orders.filter("o_orderkey % 8 = 0 OR o_orderkey % 4 = 1")
+            .select(_MERGE_COLS)
+            .withColumn("o_orderstatus", F.lit("N"))
+        )
+        merge_delta(
+            spark,
+            tmp,
+            source,
+            on=["o_orderkey"],
+            when_matched_update={
+                "o_totalprice": "s.o_totalprice * 2",
+                "o_orderstatus": "'U'",
+            },
+            when_matched_delete="t.o_orderkey % 16 = 0",
+            when_not_matched_insert=True,
+        )
+
+    return build_once(out, ready, build)
+
+
+@register(
+    "q_delta_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 4 = 0
+    ), src AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, 'N' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 1
+    ), merged AS (
+      SELECT b.o_orderkey, b.o_custkey,
+             CASE WHEN s.o_orderkey IS NOT NULL
+                  THEN b.o_totalprice * 2 ELSE b.o_totalprice
+             END AS o_totalprice,
+             CASE WHEN s.o_orderkey IS NOT NULL
+                  THEN 'U' ELSE b.o_orderstatus
+             END AS o_orderstatus
+      FROM base b LEFT JOIN src s USING (o_orderkey)
+      WHERE NOT (s.o_orderkey IS NOT NULL AND b.o_orderkey % 16 = 0)
+      UNION ALL
+      SELECT s.* FROM src s ANTI JOIN base b USING (o_orderkey)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="End-to-end gate for Delta row-level DML: a MERGE with matched-"
+    "update (price doubled, status 'U'), matched-delete (every 16th "
+    "key), and not-matched-insert (status 'N') committed copy-on-write "
+    "by sinks/delta.merge_delta, then read back through the pure-Python "
+    "log replay and aggregated by status. The oracle replicates the "
+    "MERGE relationally, so a wrong rewrite (lost rows, double-applied "
+    "updates, resurrected deletes) hash-mismatches. Plan: serve path is "
+    "one FileScan of the build-once artifact + a 3-group agg; the merge "
+    "itself rewrites only files containing matched keys (provenance "
+    "semi-join), the scale-correct copy-on-write shape.",
+    tags=("sql", "delta"),
+)
+def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.config import TableSource
+    from roapi_spark.sources.delta import to_dataframe
+
+    path = _merged_orders_table(spark, sf_dir)
+    ts = TableSource(name="_merged", uri=path, format="delta", option={})
+    return (
+        to_dataframe(spark, ts)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
     )

@@ -149,6 +149,7 @@ KNOWN_TAGS = (
     # covered positions are a function of the gram width
     "spanidx-k8-v1",  # same suffix rule (streaming gram index)
     "dsirlr-b256-src0-v1",  # suffix tracks DSIR_BUCKETS + DSIR_TARGET
+    "deltamerge-v1",  # post-MERGE Delta table (q_delta_merge's serve path)
 )
 
 

@@ -274,6 +274,15 @@ def write_delta(
 
     # 3) atomic publish: O_EXCL create of the next version file — losing
     #    a race surfaces as a conflict, never a half-visible table
+    return _atomic_commit(path, version, actions, rels)
+
+
+def _atomic_commit(
+    path: str, version: int, actions: list[dict], rels: list[str]
+) -> int:
+    """O_EXCL-create the next log entry; on a lost race, roll back the
+    (still unreferenced) staged data files and raise a conflict."""
+    log_dir = _log_dir(path)
     os.makedirs(log_dir, exist_ok=True)
     entry = os.path.join(log_dir, f"{version:020d}.json")
     body = "".join(json.dumps(a, separators=(",", ":")) + "\n" for a in actions)
@@ -281,7 +290,6 @@ def write_delta(
         with open(entry, "x") as f:
             f.write(body)
     except FileExistsError:
-        # roll back our (unreferenced) data files and report the loss
         for rel in rels:
             try:
                 os.remove(os.path.join(path, rel))
@@ -437,6 +445,308 @@ def compact(spark, path: str, target_partitions: int | None = None) -> int:
     elif not partition_by:
         df = df.coalesce(max(1, df.rdd.getNumPartitions() // 8))
     return write_delta(df, path, mode="overwrite", partition_by=partition_by)
+
+
+# ---------------------------------------------------------------------------
+# Row-level DML: MERGE / UPDATE / DELETE, copy-on-write
+#
+# The standard Delta copy-on-write strategy (the reference's delta-rs and
+# delta-spark both implement this shape; columnq only READS delta —
+# columnq/src/table/delta.rs — so DML is a beyond-parity extension):
+# identify the files that contain affected rows (one provenance scan),
+# rewrite ONLY those files, and publish remove(old)+add(new) in one atomic
+# commit. At 100 TB the rewrite cost is proportional to the touched file
+# set, not the table; the driver only ever holds the touched-file list
+# (bounded by file count, same order as the log itself).
+# ---------------------------------------------------------------------------
+
+
+def _dml_snapshot(spark, path: str):
+    """Current snapshot for a rewrite: (DataFrame with ``__file``
+    provenance column, metaData, {normalized abs path -> raw stored add
+    path}). Fails loudly on reader features a naive rewrite would
+    corrupt (deletion vectors, column mapping) — our own writer never
+    produces them, and silently dropping DV masks is data loss."""
+    from pyspark.sql import functions as F
+
+    from roapi_spark.sources.delta import snapshot_raw_state
+
+    raw, meta = snapshot_raw_state(path)
+    for p, dv in raw.items():
+        if dv:
+            raise DeltaWriteError(
+                f"DML on tables with deletion vectors is not supported: {p}"
+            )
+    conf = (meta or {}).get("configuration") or {}
+    if conf.get("delta.columnMapping.mode", "none") != "none":
+        raise DeltaWriteError("DML on column-mapped tables is not supported")
+    by_abs = {
+        os.path.normpath(os.path.join(path, unquote(p))): p for p in raw
+    }
+    files = sorted(by_abs)
+    if not files:
+        raise DeltaWriteError(f"empty table snapshot: {path}")
+    df = (
+        spark.read.option("basePath", path)
+        .parquet(*files)
+        .withColumn(
+            "__file",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        )
+    )
+    return df, meta, by_abs
+
+
+def _rewrite_commit(
+    spark,
+    path: str,
+    new_df,
+    meta: dict | None,
+    removes_raw: list[str],
+    operation: str,
+    params: dict,
+) -> int:
+    """Stage ``new_df`` (may be empty), relocate, and commit
+    remove+add atomically as the next version."""
+    partition_by = (meta or {}).get("partitionColumns") or []
+    version = (_existing_versions(_log_dir(path)) or [-1])[-1] + 1
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    writer = new_df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    try:
+        rels = _relocate_staging(staging, path)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    for stored in removes_raw:
+        actions.append(
+            {
+                "remove": {
+                    "path": stored,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    for rel in sorted(rels):
+        st = os.stat(os.path.join(path, rel))
+        actions.append(
+            {
+                "add": {
+                    "path": quote(rel, safe="/="),
+                    "partitionValues": _partition_values(rel, partition_by),
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                    "stats": _file_stats(os.path.join(path, rel)),
+                }
+            }
+        )
+    actions.append(
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": operation,
+                "operationParameters": params,
+            }
+        }
+    )
+    return _atomic_commit(path, version, actions, rels)
+
+
+def delete_delta(spark, path: str, condition: str) -> int:
+    """``DELETE FROM <table> WHERE condition``: rewrite only the files
+    containing matching rows, dropping those rows; commit atomically.
+    Returns the new version (a no-match delete still commits an empty
+    DML version, like delta-spark)."""
+    from pyspark.sql import functions as F
+
+    df, meta, by_abs = _dml_snapshot(spark, path)
+    cond = F.expr(condition)
+    touched = [
+        r["__file"]
+        for r in df.filter(cond).select("__file").distinct().collect()
+    ]
+    data_cols = [c for c in df.columns if c != "__file"]
+    kept = (
+        df.filter(F.col("__file").isin(touched))
+        .filter(~F.coalesce(cond, F.lit(False)))
+        .select(data_cols)
+    )
+    return _rewrite_commit(
+        spark,
+        path,
+        kept,
+        meta,
+        [by_abs[os.path.normpath(f)] for f in touched],
+        "DELETE",
+        {"predicate": condition},
+    )
+
+
+def update_delta(spark, path: str, condition: str, set: dict[str, str]) -> int:
+    """``UPDATE <table> SET col=expr, ... WHERE condition``: rewrite only
+    the touched files, applying ``set`` expressions (referencing table
+    columns) to matching rows. Returns the new version."""
+    from pyspark.sql import functions as F
+
+    df, meta, by_abs = _dml_snapshot(spark, path)
+    data_cols = [c for c in df.columns if c != "__file"]
+    bad = [c for c in set if c not in data_cols]
+    if bad:
+        raise DeltaWriteError(f"SET columns not in table: {bad}")
+    cond = F.expr(condition)
+    touched = [
+        r["__file"]
+        for r in df.filter(cond).select("__file").distinct().collect()
+    ]
+    hit = F.coalesce(cond, F.lit(False))
+    out = df.filter(F.col("__file").isin(touched)).select(
+        [
+            (
+                F.when(hit, F.expr(set[c]).cast(df.schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set
+                else F.col(c)
+            )
+            for c in data_cols
+        ]
+    )
+    return _rewrite_commit(
+        spark,
+        path,
+        out,
+        meta,
+        [by_abs[os.path.normpath(f)] for f in touched],
+        "UPDATE",
+        {"predicate": condition},
+    )
+
+
+def merge_delta(
+    spark,
+    path: str,
+    source,
+    on: list[str],
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: bool = True,
+    check_duplicate_source: bool = True,
+) -> int:
+    """``MERGE INTO <table> t USING <source> s ON t.k = s.k`` with the
+    three standard clauses, copy-on-write:
+
+    - ``when_matched_delete``: SQL condition over ``t.*``/``s.*``;
+      matched rows satisfying it are dropped (evaluated FIRST, like
+      Delta's clause ordering when delete precedes update).
+    - ``when_matched_update``: {target column -> SQL expr over
+      ``t.*``/``s.*``} applied to remaining matched rows.
+    - ``when_not_matched_insert``: insert source rows with no target
+      match (source must carry every target column).
+
+    Only files containing matched keys are rewritten; inserts go to new
+    files; one atomic commit publishes the whole MERGE. Duplicate keys
+    in ``source`` are an error (ambiguous match — same runtime check
+    delta-spark performs) unless ``check_duplicate_source=False``.
+    """
+    from pyspark.sql import functions as F
+
+    df, meta, by_abs = _dml_snapshot(spark, path)
+    data_cols = [c for c in df.columns if c != "__file"]
+    missing_keys = [k for k in on if k not in data_cols or k not in source.columns]
+    if missing_keys:
+        raise DeltaWriteError(f"merge keys missing from a side: {missing_keys}")
+    if when_not_matched_insert:
+        lack = [c for c in data_cols if c not in source.columns]
+        if lack:
+            raise DeltaWriteError(
+                f"insert clause needs every table column in source; missing: {lack}"
+            )
+    if check_duplicate_source:
+        dup = (
+            source.groupBy(*[F.col(k) for k in on])
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise DeltaWriteError(
+                "source has duplicate merge keys (ambiguous MERGE); "
+                "dedupe the source or pass check_duplicate_source=False"
+            )
+
+    src = source.withColumn("__m", F.lit(True)).alias("s")
+    tgt = df.alias("t")
+    key_cond = None
+    for k in on:
+        eq = F.col(f"t.{k}") == F.col(f"s.{k}")
+        key_cond = eq if key_cond is None else (key_cond & eq)
+
+    # touched files: one semi-join provenance scan, driver holds paths only
+    touched = [
+        r["__file"]
+        for r in tgt.join(src, key_cond, "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    ]
+
+    # rewrite scan: re-read ONLY the touched files (cheaper than an isin
+    # filter over the full snapshot, and the plan prunes to those paths)
+    if touched:
+        base = spark.read.option("basePath", path).parquet(*sorted(touched))
+    else:
+        base = df.select(data_cols).filter(F.lit(False))
+    joined = base.alias("t").join(src, key_cond, "left")
+    matched = F.coalesce(F.col("s.__m"), F.lit(False))
+    deleted = (
+        matched & F.coalesce(F.expr(when_matched_delete), F.lit(False))
+        if when_matched_delete
+        else F.lit(False)
+    )
+    updated = matched & ~deleted
+    upd = when_matched_update or {}
+    bad = [c for c in upd if c not in data_cols]
+    if bad:
+        raise DeltaWriteError(f"update columns not in table: {bad}")
+    rewritten = joined.filter(~deleted).select(
+        [
+            (
+                F.when(updated, F.expr(upd[c]).cast(df.schema[c].dataType))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                if c in upd
+                else F.col(f"t.{c}").alias(c)
+            )
+            for c in data_cols
+        ]
+    )
+    new_df = rewritten
+    if when_not_matched_insert:
+        inserts = (
+            src.join(df.select(on), on, "left_anti")
+            .select([F.col(c).cast(df.schema[c].dataType).alias(c) for c in data_cols])
+        )
+        new_df = rewritten.unionByName(inserts)
+    return _rewrite_commit(
+        spark,
+        path,
+        new_df,
+        meta,
+        [by_abs[os.path.normpath(f)] for f in touched],
+        "MERGE",
+        {
+            "on": json.dumps(on),
+            "matchedUpdate": json.dumps(sorted(upd)),
+            "matchedDelete": when_matched_delete or "",
+            "notMatchedInsert": str(bool(when_not_matched_insert)).lower(),
+        },
+    )
 
 
 def vacuum(path: str, keep_versions: int = 2) -> list[str]:

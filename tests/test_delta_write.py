@@ -413,3 +413,146 @@ def test_external_fixture_overwrite_echoes_stored_paths(spark, tmp_path):
     # and history remains time-travelable across the writer boundary
     v1 = _read(spark, path, version=1)
     assert sorted(r["id"] for r in v1.collect()) == [1, 2, 3, 4]
+
+
+# --- row-level DML: MERGE / UPDATE / DELETE (copy-on-write) ---
+
+
+def _versions(path):
+    return sorted(
+        int(f[:20])
+        for f in os.listdir(os.path.join(path, "_delta_log"))
+        if f.endswith(".json")
+    )
+
+
+def test_delete_rewrites_only_touched_files(spark, people, tmp_path):
+    from roapi_spark.sinks.delta import delete_delta
+
+    path = str(tmp_path / "del")
+    # two files: ids 1-3 and 4-6 (append creates a second file set)
+    write_delta(people.repartition(1), path, mode="overwrite")
+    extra = spark.createDataFrame(
+        [(4, "grace", "us"), (5, "edsger", "nl"), (6, "ken", "us")], people.schema
+    )
+    write_delta(extra.repartition(1), path, mode="append")
+    v = delete_delta(spark, path, "country = 'us'")
+    assert v == 2
+    got = sorted(r.id for r in _read(spark, path).collect())
+    assert got == [1, 2, 3, 5]
+    # the untouched file (ids 1-3) must NOT have been rewritten
+    log = open(os.path.join(path, "_delta_log", f"{v:020d}.json")).read()
+    acts = [json.loads(x) for x in log.splitlines()]
+    removed = [a["remove"]["path"] for a in acts if "remove" in a]
+    assert len(removed) == 1  # only the file containing 'us' rows
+    # time travel to pre-delete still sees all six
+    assert _read(spark, path, version="1").count() == 6
+
+
+def test_update_applies_set_exprs_to_matching_rows(spark, people, tmp_path):
+    from roapi_spark.sinks.delta import update_delta
+
+    path = str(tmp_path / "upd")
+    write_delta(people, path, mode="overwrite")
+    update_delta(
+        spark, path, "id >= 2", {"name": "upper(name)", "id": "id + 100"}
+    )
+    got = {(r.id, r.name) for r in _read(spark, path).collect()}
+    assert got == {(1, "ada"), (102, "LINUS"), (103, "GUIDO")}
+
+
+def test_merge_update_delete_insert_one_commit(spark, people, tmp_path):
+    from roapi_spark.sinks.delta import merge_delta
+
+    path = str(tmp_path / "mrg")
+    write_delta(people, path, mode="overwrite")
+    source = spark.createDataFrame(
+        [
+            (1, "ada lovelace", "uk"),   # matched -> update
+            (2, "linus", "fi"),          # matched -> delete (country fi)
+            (7, "barbara", "us"),        # not matched -> insert
+        ],
+        people.schema,
+    )
+    v = merge_delta(
+        spark,
+        path,
+        source,
+        on=["id"],
+        when_matched_update={"name": "s.name"},
+        when_matched_delete="t.country = 'fi'",
+        when_not_matched_insert=True,
+    )
+    assert v == 1
+    got = {(r.id, r.name, r.country) for r in _read(spark, path).collect()}
+    assert got == {
+        (1, "ada lovelace", "uk"),
+        (3, "guido", "nl"),
+        (7, "barbara", "us"),
+    }
+    # exactly one commit for the whole MERGE; pre-merge snapshot intact
+    assert _versions(path) == [0, 1]
+    assert _read(spark, path, version="0").count() == 3
+
+
+def test_merge_on_partitioned_table_keeps_layout(spark, people, tmp_path):
+    from roapi_spark.sinks.delta import merge_delta
+
+    path = str(tmp_path / "mrgpart")
+    write_delta(people, path, mode="overwrite", partition_by=["country"])
+    source = spark.createDataFrame(
+        [(3, "guido v", "nl"), (8, "rob", "us")], people.schema
+    )
+    merge_delta(spark, path, source, on=["id"], when_matched_update={"name": "s.name"})
+    df = _read(spark, path)
+    got = {(r.id, r.name, r.country) for r in df.collect()}
+    assert got == {
+        (1, "ada", "uk"),
+        (2, "linus", "fi"),
+        (3, "guido v", "nl"),
+        (8, "rob", "us"),
+    }
+    # inserted row landed in hive layout (partition pruning still works)
+    assert os.path.isdir(os.path.join(path, "country=us"))
+
+
+def test_merge_duplicate_source_keys_is_loud(spark, people, tmp_path):
+    from roapi_spark.sinks.delta import merge_delta
+
+    path = str(tmp_path / "mrgdup")
+    write_delta(people, path, mode="overwrite")
+    dup = spark.createDataFrame(
+        [(1, "x", "aa"), (1, "y", "bb")], people.schema
+    )
+    with pytest.raises(DeltaWriteError, match="duplicate merge keys"):
+        merge_delta(spark, path, dup, on=["id"])
+
+
+def test_merge_insert_requires_full_schema(spark, people, tmp_path):
+    from roapi_spark.sinks.delta import merge_delta
+
+    path = str(tmp_path / "mrgschema")
+    write_delta(people, path, mode="overwrite")
+    partial = spark.createDataFrame([(9,)], "id bigint")
+    with pytest.raises(DeltaWriteError, match="missing"):
+        merge_delta(spark, path, partial, on=["id"], when_not_matched_insert=True)
+    # update-only merge with a partial source is fine
+    v = merge_delta(
+        spark, path, partial, on=["id"],
+        when_matched_update=None, when_not_matched_insert=False,
+    )
+    assert v == 1 and _read(spark, path).count() == 3
+
+
+def test_dml_refuses_deletion_vector_tables(spark, tmp_path):
+    # rewriting a DV-masked file without honoring the mask would
+    # resurrect deleted rows — must be a loud refusal, not data loss
+    from roapi_spark.sinks.delta import delete_delta
+    from roapi_spark.sources.deletion_vectors import write_dv_file
+    from tests.test_deletion_vectors import _META, _PROTO, _add, _commit, _mk_table
+
+    root = _mk_table(tmp_path)
+    dv = write_dv_file(str(root / "dv1.bin"), [1, 3])
+    _commit(root, 0, [_PROTO, _META, _add("part-0.parquet", dv)])
+    with pytest.raises(DeltaWriteError, match="deletion vectors"):
+        delete_delta(spark, str(root), "true")
