@@ -720,6 +720,25 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pq_rerank_recall",
+    oracle=_recall_oracle("ann_ivfpq_rerank"),
+    doc="Recall@5 of IVF-PQ WITH exact re-ranking — the after picture to "
+    "q_pq_recall's raw ADC number: the refine stage re-scores a "
+    "constant-size shortlist with exact distances, recovering the "
+    "accuracy the code compression threw away at O(C) extra work per "
+    "query. Paired with q_pq_recall this is the measured value of the "
+    "refine knob. Same N_QUERIES-bounded overlap join.",
+    tags=("similarity", "audit"),
+)
+def q_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.pq import ann_ivfpq_rerank
+
+    return _ann_recall_pair(spark, sf_dir, ann_ivfpq_rerank(spark, sf_dir))
+
+
+
+
+@register(
     "q_lsh_multi_recall",
     oracle=_recall_oracle("ann_lsh_multi"),
     doc="Recall@5 of the multi-table LSH search — the after picture to "

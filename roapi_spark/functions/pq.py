@@ -289,10 +289,11 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle_sql() -> str:
-    """IVF coarse filter (unrolled k-means, similarity.kmeans_oracle_prefix)
-    composed with the PQ encode + ADC CTEs: candidates come only from the
-    query's coarse cell, ranked by integer ADC distance."""
+def _ivfpq_cte_body() -> str:
+    """Shared WITH-body through ``ranked`` (ADC-ordered candidates of the
+    query's coarse cell): IVF coarse filter (unrolled k-means,
+    similarity.kmeans_oracle_prefix) composed with the PQ encode + ADC
+    CTEs."""
     from roapi_spark.functions.similarity import kmeans_oracle_prefix
 
     pq_part = _pq_oracle_sql()
@@ -304,8 +305,7 @@ def _ivfpq_oracle_sql() -> str:
     # and reusing the prefix's. The PQ body's first CTE IS `e`; strip it.
     body = body.split("WITH ", 1)[1]
     body = body.split("),", 1)[1]  # drop the leading `e AS (...)` CTE
-    return f"""
-    WITH {kmeans_oracle_prefix()},
+    return f"""{kmeans_oracle_prefix()},
     {body},
     q AS (
       SELECT af.vec_id AS qid, af.cid AS qcid FROM af WHERE af.vec_id < {N_QUERIES}),
@@ -322,7 +322,12 @@ def _ivfpq_oracle_sql() -> str:
       SELECT qid, neighbor_id, adc_dist,
              ROW_NUMBER() OVER (PARTITION BY qid
                ORDER BY adc_dist ASC, neighbor_id) AS rnk
-      FROM scored)
+      FROM scored)"""
+
+
+def _ivfpq_oracle_sql() -> str:
+    return f"""
+    WITH {_ivfpq_cte_body()}
     SELECT qid, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
            CAST(rnk AS BIGINT) AS rnk
     FROM ranked WHERE rnk <= {TOP_K}
@@ -344,6 +349,23 @@ def _ivfpq_oracle_sql() -> str:
     tags=("similarity",),
 )
 def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored, _qrows, _ivf_dir, _probes = _ivfpq_scored(spark, sf_dir)
+    w = W.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "qid",
+            "neighbor_id",
+            F.col("adc_dist").cast("bigint").alias("adc_dist"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+def _ivfpq_scored(spark: SparkSession, sf_dir: str):
+    """Shared ADC stage: returns (scored DF [qid, neighbor_id, adc_dist],
+    query rows with their vq, ivf layout dir, probed cids)."""
     from roapi_spark.functions.similarity import assign_client, ivf_layout
 
     ivf_dir, cents = ivf_layout(spark, sf_dir)
@@ -397,14 +419,87 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d").alias("adc_dist"))
     )
+    return scored, qrows, ivf_dir, probe_cids
+
+
+RERANK_C = 32  # exact-refine pool per query (FAISS IndexRefineFlat shape)
+
+
+@register(
+    "ann_ivfpq_rerank",
+    oracle=f"""
+    WITH {_ivfpq_cte_body()},
+    cand AS (SELECT qid, neighbor_id FROM ranked WHERE rnk <= {RERANK_C}),
+    ex AS (
+      SELECT c.qid, c.neighbor_id,
+             LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+               i -> (eq.vq[i] - en.vq[i]) * (eq.vq[i] - en.vq[i])))
+               AS exact_dist
+      FROM cand c
+      JOIN e eq ON eq.vec_id = c.qid
+      JOIN e en ON en.vec_id = c.neighbor_id),
+    rr AS (
+      SELECT qid, neighbor_id, exact_dist,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY exact_dist ASC, neighbor_id) AS rnk
+      FROM ex)
+    SELECT qid, neighbor_id, CAST(exact_dist AS BIGINT) AS exact_dist,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM rr WHERE rnk <= {TOP_K}
+    """,
+    doc="IVF-PQ with exact re-ranking (FAISS IndexRefineFlat shape; "
+    f"Jégou et al. 2011 §V.D): the ADC stage shortlists {RERANK_C} "
+    "candidates per query from the probed coarse cell, then ONLY those "
+    "rows' stored vectors are read back (from the probed cid= "
+    "partitions of the IVF layout — partition-pruned, map-side "
+    "re-quantize) and re-ranked by exact integer L2. The standard "
+    "accuracy-recovery trick: ADC's codebook error can swap near-ties, "
+    "and refining a constant-size shortlist fixes the top-k at O(C) "
+    "exact distances per query instead of a full scan. Integer-exact "
+    "end to end, so the composed oracle matches bit-for-bit.",
+    tags=("similarity",),
+)
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored, qrows, ivf_dir, probe_cids = _ivfpq_scored(spark, sf_dir)
     w = W.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    cand = (
+        scored.withColumn("crnk", F.row_number().over(w))
+        .filter(F.col("crnk") <= RERANK_C)
+        .select("qid", "neighbor_id")
+    )
+    # refine side: stored vectors of the probed partitions only,
+    # re-quantized map-side (the layout keeps raw embeddings; vq is a
+    # narrow projection, no shuffle beyond the candidate join)
+    nvq = (
+        spark.read.parquet(ivf_dir)
+        .filter(F.col("cid").isin(probe_cids))
+        .withColumn("nvq", _vq_col())
+        .select(F.col("vec_id").alias("neighbor_id"), "nvq")
+    )
+    qdf = spark.createDataFrame(
+        [(int(r.vec_id), [int(x) for x in r.vq]) for r in qrows],
+        "qid bigint, qvq array<bigint>",
+    )
+    exact = (
+        cand.join(nvq, "neighbor_id")
+        .join(F.broadcast(qdf), "qid")
+        .withColumn(
+            "exact_dist",
+            F.aggregate(
+                F.zip_with("qvq", "nvq", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, y: acc + y,
+            ),
+        )
+    )
+    w2 = W.partitionBy("qid").orderBy(F.col("exact_dist").asc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        exact.withColumn("rnk", F.row_number().over(w2))
         .filter(F.col("rnk") <= TOP_K)
         .select(
             "qid",
             "neighbor_id",
-            F.col("adc_dist").cast("bigint").alias("adc_dist"),
+            F.col("exact_dist").cast("bigint").alias("exact_dist"),
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )

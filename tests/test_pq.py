@@ -103,3 +103,41 @@ def test_ivfpq_candidates_stay_in_coarse_cell(spark, cache_dir):
     for r in out:
         assert cid[r.neighbor_id] == cid[r.qid]
         assert r.neighbor_id != r.qid
+
+
+def test_ivfpq_rerank_subset_and_exact_order(spark):
+    """The reranked top-k must (a) come from the ADC candidate pool,
+    (b) be ordered by EXACT integer L2 (verified independently against
+    the quantized vectors), and (c) never pair a query with itself."""
+    from roapi_spark.functions.pq import RERANK_C, ann_ivfpq_rerank, _ivfpq_scored
+    from roapi_spark.functions.similarity import _vq_col, emb
+
+    out = ann_ivfpq_rerank(spark, SF).collect()
+    assert out
+    vq = {
+        int(r.vec_id): [int(x) for x in r.vq]
+        for r in emb(spark, SF).withColumn("vq", _vq_col()).select("vec_id", "vq").collect()
+    }
+    scored, _, _, _ = _ivfpq_scored(spark, SF)
+    pool = {(r.qid, r.neighbor_id) for r in scored.collect()}
+    by_q: dict = {}
+    for r in out:
+        assert (r.qid, r.neighbor_id) in pool
+        assert r.neighbor_id != r.qid
+        want = sum((a - b) ** 2 for a, b in zip(vq[r.qid], vq[r.neighbor_id]))
+        assert r.exact_dist == want
+        by_q.setdefault(r.qid, []).append((r.rnk, r.exact_dist, r.neighbor_id))
+    for rows in by_q.values():
+        rows.sort()
+        dists = [(d, n) for _, d, n in rows]
+        assert dists == sorted(dists)  # exact-dist order, id tie-break
+
+
+def test_rerank_recall_dominates_raw_adc(spark):
+    """The refine stage exists to recover ADC's quantization loss: on
+    the test corpus reranked recall@5 must be >= the raw ADC recall."""
+    from roapi_spark.functions.pipeline6 import q_pq_recall, q_pq_rerank_recall
+
+    raw = q_pq_recall(spark, SF).collect()[0].recall_at_5
+    rer = q_pq_rerank_recall(spark, SF).collect()[0].recall_at_5
+    assert rer >= raw
