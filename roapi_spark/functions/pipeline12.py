@@ -1,6 +1,8 @@
 """Training-pipeline batch 12 (round 8): a distributed BPE merge
 trainer — the tokenizer-construction step of an LLM data pipeline —
-plus the end-to-end gate for the Delta writer's new row-level DML
+a distributed fixed-point logistic-regression quality-classifier
+trainer (``q_quality_lr_train`` / ``q_quality_lr_eval``), and the
+end-to-end gate for the Delta writer's new row-level DML
 (``q_delta_merge``).
 
 Reference scope: roapi serves tables as-is (`columnq/src/table/mod.rs`)
@@ -378,4 +380,288 @@ def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+# --- fixed-point logistic-regression quality classifier --------------------
+#
+# Distributed full-batch gradient descent, bit-exact across engines: the
+# sigmoid is the "hard sigmoid" (clamped line — pure arithmetic, no
+# exp()), weights live on an integer grid (scale LR_S), every per-row
+# quantity is integer, and every gradient is an exact BIGINT sum. The
+# only floats are x/const divisions of exact integers below 2^53, which
+# IEEE754 defines identically everywhere — the same trick the k-means /
+# PQ family uses for bit-for-bit oracles. Fixed-point training itself is
+# standard practice (quantized/embedded ML); here it buys a DuckDB
+# oracle that replays the ENTIRE training trajectory exactly.
+#
+# The task is CCNet-style quality-classifier distillation: cheap surface
+# features (length, mean word length, stopword hits, alpha ratio — all
+# centered at fixed constants) against a held rule label. At 100 TB each
+# GD iteration is ONE scan of the cached feature projection (map-side
+# partial sums, D+1=5 BIGINTs to the driver), T iterations total —
+# the treeAggregate shape of MLlib's own linear trainers, made
+# deterministic.
+
+LR_S = 1024       # weight / probability fixed-point scale
+LR_HALF = LR_S // 2
+LR_T = 8          # GD iterations (unrolled in the oracle)
+LR_DIV = 8.0      # learning-rate divisor: step = floor(g / (n * LR_DIV))
+LR_SIG = 4.0      # hard-sigmoid slope divisor
+LR_CLAMP = 16384  # weight clamp (16 * LR_S)
+LR_D = 5          # features: bias + 4 surface stats
+
+_LR_STOP_DUCK = "'the','a','and','of','to','in','is','it'"
+
+_LR_FEAT_DUCK = f"""lrf AS MATERIALIZED (
+      SELECT source,
+             CASE WHEN 2 * sh + ml >= 12 THEN 1 ELSE 0 END AS y,
+             CAST(1 AS BIGINT) AS x0,
+             LEAST(CAST(FLOOR(nt / 16.0) AS BIGINT), 15) - 4 AS x1,
+             LEAST(ml, 15) - 5 AS x2,
+             LEAST(sh, 15) - 2 AS x3,
+             LEAST(ar, 10) - 7 AS x4
+      FROM (
+        SELECT LEN(t) AS nt,
+               CAST(FLOOR(LIST_SUM(LIST_TRANSFORM(t, w -> LENGTH(w))) * 1.0
+                          / GREATEST(LEN(t), 1)) AS BIGINT) AS ml,
+               CAST(LEN(LIST_FILTER(t, w -> w IN ({_LR_STOP_DUCK}))) AS BIGINT) AS sh,
+               CAST(FLOOR(LENGTH(REGEXP_REPLACE(LOWER(text), '[^a-z]', '', 'g'))
+                          * 10.0 / GREATEST(LENGTH(text), 1)) AS BIGINT) AS ar,
+               source
+        FROM (SELECT text, source, {_TOKENS_SQL_DUCK} AS t FROM documents)
+      )
+    )"""
+
+
+def _lr_chain(n_iters: int = LR_T) -> str:
+    """Shared oracle CTE chain: lrf features, w0..w{n} weight states,
+    s0..s{n} per-iteration gradient/accuracy aggregates."""
+    zeros = ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(LR_D))
+    parts = [_LR_FEAT_DUCK, f"w0 AS MATERIALIZED (SELECT {zeros})"]
+    for i in range(n_iters + 1):
+        u = " + ".join(f"(SELECT w{j} FROM w{i}) * x{j}" for j in range(LR_D))
+        yhat = (
+            f"LEAST({LR_S}, GREATEST(0, {LR_HALF} + "
+            f"CAST(FLOOR(({u}) / {LR_SIG}) AS BIGINT)))"
+        )
+        gsums = ", ".join(
+            f"CAST(SUM(({yhat} - y * {LR_S}) * x{j}) AS BIGINT) AS g{j}"
+            for j in range(LR_D)
+        )
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT COUNT(*) AS n, {gsums},
+             SUM(CASE WHEN (CASE WHEN {yhat} >= {LR_HALF} THEN 1 ELSE 0 END) = y
+                      THEN 1 ELSE 0 END) AS ok
+      FROM lrf)"""
+        )
+        if i < n_iters:
+            upd = ", ".join(
+                f"GREATEST(-{LR_CLAMP}, LEAST({LR_CLAMP}, "
+                f"(SELECT w{j} FROM w{i}) - CAST(FLOOR(g{j} / (n * {LR_DIV})) AS BIGINT)))"
+                f" AS w{j}"
+                for j in range(LR_D)
+            )
+            parts.append(f"w{i + 1} AS MATERIALIZED (SELECT {upd} FROM s{i})")
+    return ",\n    ".join(parts)
+
+
+def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the lrf CTE: (y, x0..x4, source), all integer."""
+    from roapi_spark.functions.text import STOPWORDS_EN, stopword_hits
+
+    t = tokens_col()
+    nt = F.size(t)
+    ml = F.floor(
+        F.aggregate(
+            F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        )
+        * 1.0
+        / F.greatest(nt, F.lit(1))
+    ).cast("bigint")
+    sh = stopword_hits(t, STOPWORDS_EN).cast("bigint")
+    ar = F.floor(
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+        * 10.0
+        / F.greatest(F.length(F.col("text")), F.lit(1))
+    ).cast("bigint")
+    base = docs(spark, sf_dir).select(
+        F.col("source"),
+        nt.cast("bigint").alias("nt"),
+        ml.alias("ml"),
+        sh.alias("sh"),
+        ar.alias("ar"),
+    )
+    return base.select(
+        "source",
+        F.when(2 * F.col("sh") + F.col("ml") >= 12, 1).otherwise(0).alias("y"),
+        F.lit(1).cast("bigint").alias("x0"),
+        (F.least(F.floor(F.col("nt") / 16.0).cast("bigint"), F.lit(15)) - 4).alias("x1"),
+        (F.least(F.col("ml"), F.lit(15)) - 5).alias("x2"),
+        (F.least(F.col("sh"), F.lit(15)) - 2).alias("x3"),
+        (F.least(F.col("ar"), F.lit(10)) - 7).alias("x4"),
+    )
+
+
+def lr_train_state(
+    spark: SparkSession, sf_dir: str, n_iters: int = LR_T
+) -> list[tuple]:
+    """Run the fixed-point GD; returns one row per weight state:
+    (it, w0..w4, acc_num, n) with acc measured under that state's
+    weights. Driver holds LR_D ints per iteration; each iteration is
+    one aggregate over the cached feature projection."""
+    import math
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(path),
+        os.path.getmtime(path),
+        "lr",
+        n_iters,
+    )
+    hit = _MEMO.get(key)
+    if hit is not None:
+        return hit
+
+    f = _lr_features(spark, sf_dir).cache()
+    w = [0] * LR_D
+    rows: list[tuple] = []
+    for it in range(n_iters + 1):
+        u = sum((F.col(f"x{j}") * F.lit(int(w[j]))) for j in range(LR_D))
+        yhat = F.least(
+            F.lit(LR_S),
+            F.greatest(F.lit(0), LR_HALF + F.floor(u / LR_SIG).cast("bigint")),
+        )
+        aggs = [F.count("*").alias("n")] + [
+            F.sum((yhat - F.col("y") * LR_S) * F.col(f"x{j}"))
+            .cast("bigint")
+            .alias(f"g{j}")
+            for j in range(LR_D)
+        ] + [
+            F.sum(
+                F.when(
+                    (F.when(yhat >= LR_HALF, 1).otherwise(0)) == F.col("y"), 1
+                ).otherwise(0)
+            ).alias("ok")
+        ]
+        s = f.agg(*aggs).collect()[0]
+        rows.append((it, *[int(x) for x in w], int(s["ok"]), int(s["n"])))
+        if it < n_iters:
+            w = [
+                max(
+                    -LR_CLAMP,
+                    min(
+                        LR_CLAMP,
+                        w[j] - math.floor(int(s[f"g{j}"]) / (int(s["n"]) * LR_DIV)),
+                    ),
+                )
+                for j in range(LR_D)
+            ]
+    _MEMO[key] = rows
+    return rows
+
+
+_LR_SCHEMA = T.StructType(
+    [T.StructField("it", T.IntegerType())]
+    + [T.StructField(f"w{j}", T.LongType()) for j in range(LR_D)]
+    + [T.StructField("ok", T.LongType()), T.StructField("n", T.LongType())]
+)
+
+
+def _lr_train_oracle() -> str:
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {i} AS it, "
+        + ", ".join(f"(SELECT w{j} FROM w{i}) AS w{j}" for j in range(LR_D))
+        + f", (SELECT CAST(ok AS BIGINT) FROM s{i}) AS ok"
+        + f", (SELECT CAST(n AS BIGINT) FROM s{i}) AS n"
+        + f", (SELECT {pround_sql('ok * 1.0 / n')} FROM s{i}) AS acc"
+        for i in range(LR_T + 1)
+    )
+    return f"""
+    WITH {_lr_chain()}
+    SELECT * FROM ({rows}) ORDER BY it
+    """
+
+
+@register(
+    "q_quality_lr_train",
+    oracle=_lr_train_oracle(),
+    doc="Distributed quality-classifier training (CCNet-style "
+    "distillation of a rule label into a linear head): full-batch "
+    "gradient descent on fixed-point integer weights with a hard-"
+    f"sigmoid link, {LR_T} iterations, one row per weight state with "
+    "its training accuracy — the whole trajectory is bit-exact across "
+    "engines (integer gradients, IEEE-defined float division of exact "
+    "ints), so the oracle replays training, not just the final state. "
+    "Plan: per iteration ONE aggregate over the cached integer feature "
+    "projection (map-side partials, 5 BIGINT sums to the driver) — "
+    "MLlib's treeAggregate shape, deterministic.",
+    tags=("text", "pipeline", "ml"),
+)
+def q_quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = lr_train_state(spark, sf_dir)
+    out = spark.createDataFrame(
+        [(it, *ws_ok_n) for (it, *ws_ok_n) in rows], _LR_SCHEMA
+    )
+    return out.select(
+        "it",
+        *[F.col(f"w{j}") for j in range(LR_D)],
+        "ok",
+        "n",
+        pround(F.col("ok") * 1.0 / F.col("n")).alias("acc"),
+    ).orderBy("it")
+
+
+@register(
+    "q_quality_lr_eval",
+    oracle=f"""
+    WITH {_lr_chain()}
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {pround_sql('AVG(CASE WHEN yh >= ' + str(LR_HALF) + ' THEN 1.0 ELSE 0.0 END)')}
+             AS pred_pos_rate,
+           {pround_sql('AVG(CASE WHEN (CASE WHEN yh >= ' + str(LR_HALF) + ' THEN 1 ELSE 0 END) = y THEN 1.0 ELSE 0.0 END)')}
+             AS agreement
+    FROM (
+      SELECT source, y,
+             LEAST({LR_S}, GREATEST(0, {LR_HALF} + CAST(FLOOR((
+               {' + '.join(f'(SELECT w{j} FROM w{LR_T}) * x{j}' for j in range(LR_D))}
+             ) / {LR_SIG}) AS BIGINT))) AS yh
+      FROM lrf
+    )
+    GROUP BY source ORDER BY source
+    """,
+    doc="Serve side of the trained quality head: per source, the "
+    "predicted-positive rate and agreement with the rule label under "
+    "the FINAL trained weights — the shard-level quality report a "
+    "curation run reads before setting sampling rates. Plan: one scan "
+    "of the feature projection with the weight vector inlined as "
+    "literals (broadcast-free: 5 ints), one source-keyed agg.",
+    tags=("text", "pipeline", "ml"),
+)
+def q_quality_lr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = lr_train_state(spark, sf_dir)
+    w = list(rows[-1][1 : 1 + LR_D])
+    f = _lr_features(spark, sf_dir)
+    u = sum((F.col(f"x{j}") * F.lit(int(w[j]))) for j in range(LR_D))
+    yh = F.least(
+        F.lit(LR_S),
+        F.greatest(F.lit(0), LR_HALF + F.floor(u / LR_SIG).cast("bigint")),
+    )
+    pred = F.when(yh >= LR_HALF, 1).otherwise(0)
+    return (
+        f.select("source", "y", pred.alias("p"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            pround(F.avg(F.when(F.col("p") == 1, 1.0).otherwise(0.0))).alias(
+                "pred_pos_rate"
+            ),
+            pround(
+                F.avg(F.when(F.col("p") == F.col("y"), 1.0).otherwise(0.0))
+            ).alias("agreement"),
+        )
+        .orderBy("source")
     )

@@ -119,3 +119,60 @@ def test_fertility_equals_reference_piece_counts(spark, tmp_path):
         assert out[src].n_tokens == want_tokens
         assert out[src].n_pieces == want_pieces
         assert abs(out[src].fertility - want_pieces / want_tokens) < 1e-3
+
+
+# --- fixed-point LR trainer ---
+
+
+def _ref_lr(rows, n_iters, S=1024, half=512, lr_div=8.0, sig_div=4.0, clamp=16384):
+    """Independent reference: plain-Python full-batch GD over explicit
+    feature rows [(y, x0..x4)], mirroring the published fixed-point
+    recipe (hard sigmoid, integer gradients) without any shared code."""
+    import math
+
+    D = 5
+    w = [0] * D
+    out = []
+    for it in range(n_iters + 1):
+        g = [0] * D
+        ok = 0
+        for y, *x in rows:
+            u = sum(w[j] * x[j] for j in range(D))
+            yh = min(S, max(0, half + math.floor(u / sig_div)))
+            err = yh - y * S
+            for j in range(D):
+                g[j] += err * x[j]
+            ok += 1 if (1 if yh >= half else 0) == y else 0
+        out.append((it, *w, ok, len(rows)))
+        w = [
+            max(-clamp, min(clamp, w[j] - math.floor(g[j] / (len(rows) * lr_div))))
+            for j in range(D)
+        ]
+    return out
+
+
+def test_lr_trainer_matches_independent_reference(spark, tmp_path):
+    from roapi_spark.functions.pipeline12 import _lr_features, lr_train_state
+
+    corpus = {
+        "a": ["the cat sat on the mat in a hat", "zzzz qqqq xxxx", "a b c d"],
+        "b": ["the quick brown fox is it and of to in", "1234 5678 !!!", 
+              "wonderful delightful marvellous extraordinary"],
+    }
+    d = _write_docs(tmp_path, corpus)
+    feats = [
+        (r.y, r.x0, r.x1, r.x2, r.x3, r.x4)
+        for r in _lr_features(spark, d).collect()
+    ]
+    got = lr_train_state(spark, d, n_iters=4)
+    want = _ref_lr(feats, 4)
+    assert got == want
+
+
+def test_lr_training_improves_accuracy(spark):
+    from roapi_spark.functions.pipeline12 import lr_train_state
+
+    rows = lr_train_state(spark, "/root/testdata/sf0.001")
+    acc = [ok / n for (_, _, _, _, _, _, ok, n) in rows]
+    assert acc[-1] > acc[0]  # GD learned something
+    assert acc[-1] >= 0.85  # and the head distills the rule well
