@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "q_pq_rerank_recall",
     "q_quality_lr_train",  # round 8: fixed-point distributed GD
     "q_quality_lr_eval",
+    "text_bpe_train_served",  # round 8: artifact-served tokenizer
+    "text_bpe_fertility_served",
 ]
 # names in the headline map that postdate the historical 61-query subset
 # (subset61_sec must keep measuring the SAME set round over round)
@@ -118,7 +120,8 @@ _POST61 = {"q_bm25_topk", "ann_lsh_multi", "q_ngram_perplexity_served",
            "q_dup_quality_bias", "q_curation_funnel",
            "text_bpe_train", "text_bpe_fertility", "q_delta_merge",
            "ann_ivfpq_rerank", "q_pq_rerank_recall",
-           "q_quality_lr_train", "q_quality_lr_eval"}
+           "q_quality_lr_train", "q_quality_lr_eval",
+           "text_bpe_train_served", "text_bpe_fertility_served"}
 # Round 4: the bench covers the FULL registry — the list above keeps its
 # historical order for round-over-round comparability, and every other
 # registered query (incl. the remaining TPC-H shapes q2/q7/q8/q11/q15/

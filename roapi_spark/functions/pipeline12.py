@@ -232,9 +232,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(merges, _TRAIN_SCHEMA).orderBy("merge_rank")
 
 
-@register(
-    "text_bpe_fertility",
-    oracle=f"""
+_FERTILITY_ORACLE = f"""
     WITH {_oracle_chain()},
     np AS (
       SELECT tok, len({_SYMS_DUCK}) AS np FROM v{BPE_MERGES + 1}
@@ -248,7 +246,12 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
            {pround_sql('SUM(np.np) * 1.0 / COUNT(*)')} AS fertility
     FROM corp JOIN np USING (tok)
     GROUP BY source ORDER BY source
-    """,
+    """
+
+
+@register(
+    "text_bpe_fertility",
+    oracle=_FERTILITY_ORACLE,
     doc="Subword fertility audit of the learned BPE vocabulary: per "
     "source, word tokens, BPE pieces after applying the learned merges, "
     "and pieces-per-token fertility (high fertility = the shard's text "
@@ -261,6 +264,87 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, vocab = bpe_train_state(spark, sf_dir)
+    np_df = vocab.select(
+        "tok", F.size(F.expr(_SYMS_SPARK)).cast("bigint").alias("np")
+    )
+    corp = docs(spark, sf_dir).select(
+        "source", F.explode(tokens_col()).alias("tok")
+    )
+    return (
+        corp.join(maybe_broadcast(np_df), "tok")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("np").cast("bigint").alias("n_pieces"),
+            pround(F.sum("np") * 1.0 / F.count("*")).alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- artifact-served BPE: build once per corpus snapshot -------------------
+
+
+def bpe_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once BPE artifact for ``sf_dir``: the learned merge table
+    (merges.json — N rows, KB-scale) plus the post-merge vocab parquet
+    (tok, s, c) that tokenization/fertility consumers join against.
+    Cache key is the content-addressed corpus snapshot, so a refreshed
+    corpus retrains automatically. At 100 TB this is how a tokenizer
+    actually ships: train once per corpus snapshot, serve the merge
+    table everywhere."""
+    import json
+
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = snapshot_cache_dir(src, f"bpe-m{BPE_MERGES}-v1")
+
+    def _ready(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_BPE_READY"))
+
+    def _build(tmp: str) -> None:
+        merges, vocab = bpe_train_state(spark, sf_dir)
+        vocab.write.mode("overwrite").parquet(os.path.join(tmp, "vocab"))
+        with open(os.path.join(tmp, "merges.json"), "w") as f:
+            json.dump(merges, f)
+        open(os.path.join(tmp, "_BPE_READY"), "w").close()
+
+    return build_once(out, _ready, _build)
+
+
+@register(
+    "text_bpe_train_served",
+    oracle=_train_oracle(),
+    doc="Same result contract as text_bpe_train (identical oracle), "
+    "served from the build-once bpe-m8-v1 artifact: the merge table is "
+    "a KB-scale driver read, so a consumer (tokenizer worker, fertility "
+    "audit, data card) pays zero training jobs per call. The iterative "
+    "trainer runs once per corpus snapshot — the deploy shape of every "
+    "production tokenizer.",
+    tags=("text", "pipeline", "artifact"),
+)
+def text_bpe_train_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    layout = bpe_layout(spark, sf_dir)
+    with open(os.path.join(layout, "merges.json")) as f:
+        merges = [tuple(m) for m in json.load(f)]
+    return spark.createDataFrame(merges, _TRAIN_SCHEMA).orderBy("merge_rank")
+
+
+@register(
+    "text_bpe_fertility_served",
+    oracle=_FERTILITY_ORACLE,
+    doc="Same result contract as text_bpe_fertility (identical oracle), "
+    "but the word->piece-count side comes from the artifact's vocab "
+    "parquet instead of retraining: one corpus token scan + a size-"
+    "capped broadcast join, zero training jobs per call.",
+    tags=("text", "pipeline", "artifact"),
+)
+def text_bpe_fertility_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    layout = bpe_layout(spark, sf_dir)
+    vocab = spark.read.parquet(os.path.join(layout, "vocab"))
     np_df = vocab.select(
         "tok", F.size(F.expr(_SYMS_SPARK)).cast("bigint").alias("np")
     )

@@ -13,6 +13,7 @@ algorithm itself against INDEPENDENT pure-Python implementations:
 
 from __future__ import annotations
 
+import os
 import re
 from collections import Counter
 
@@ -176,3 +177,32 @@ def test_lr_training_improves_accuracy(spark):
     acc = [ok / n for (_, _, _, _, _, _, ok, n) in rows]
     assert acc[-1] > acc[0]  # GD learned something
     assert acc[-1] >= 0.85  # and the head distills the rule well
+
+
+def test_bpe_served_paths_equal_recompute(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+    from roapi_spark.functions.pipeline12 import (
+        text_bpe_fertility,
+        text_bpe_fertility_served,
+        text_bpe_train,
+        text_bpe_train_served,
+    )
+
+    d = _write_docs(tmp_path, CORPUS)
+    assert (
+        text_bpe_train_served(spark, d).collect()
+        == text_bpe_train(spark, d).collect()
+    )
+    assert (
+        text_bpe_fertility_served(spark, d).collect()
+        == text_bpe_fertility(spark, d).collect()
+    )
+    # second call must be a pure artifact read (no retrain): drop the
+    # in-process memo and verify the layout is reused, not rebuilt
+    from roapi_spark.functions import pipeline12 as p12
+
+    layout_before = p12.bpe_layout(spark, d)
+    mtime = os.path.getmtime(os.path.join(layout_before, "merges.json"))
+    p12._MEMO.clear()
+    assert p12.bpe_layout(spark, d) == layout_before
+    assert os.path.getmtime(os.path.join(layout_before, "merges.json")) == mtime
