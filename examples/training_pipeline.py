@@ -158,6 +158,7 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     alloc, n_packs = stage3_plan_and_pack(spark, s2b)
     n_shards, leak = stage4_ship(spark, s2b)
     leak_before = _cross_split_pairs(spark, sf_dir)
+    bpe_fert, lr_acc = stage5_tokenizer_audit(spark, s2b)
     return {
         "input_docs": n0,
         "cross_split_leak_pairs_before": leak_before,
@@ -168,8 +169,31 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         "n_shards": n_shards,
         "cross_split_leak_pairs": leak,
         "allocations": alloc,
+        "bpe_fertility_by_source": bpe_fert,
+        "quality_head_final_acc": lr_acc,
         "final_snapshot": s2b,
     }
+
+
+def stage5_tokenizer_audit(spark: SparkSession, sf_dir: str):
+    """Close the loop on the SHIPPED corpus: train the BPE merge table
+    on the final snapshot and read its per-source fertility (does any
+    surviving shard fragment under the vocabulary?), and distill the
+    quality rule into the fixed-point LR head (the classifier a serving
+    tier would run on future crawl batches). Both are build-once
+    artifacts keyed to this snapshot."""
+    from roapi_spark.functions.pipeline12 import (
+        lr_train_state,
+        text_bpe_fertility_served,
+    )
+
+    fert = {
+        r.source: float(r.fertility)
+        for r in text_bpe_fertility_served(spark, sf_dir).collect()
+    }
+    rows = lr_train_state(spark, sf_dir)
+    _, *_w, ok, n = rows[-1]
+    return fert, round(ok / max(n, 1), 4)
 
 
 def main() -> None:

@@ -21,8 +21,13 @@ def test_corpus_report_builds(spark):
                     "## Distributional health",
                     "## Train/val/test split (deterministic md5 buckets)",
                     "## Quantizer quality (k-means cells vs labels)",
+                    "## Tokenizer (BPE, trained on this corpus)",
+                    "## Quality head (fixed-point LR, distilled",
                     "MinHash estimator calibration"):
         assert section in md
+    assert summary["lr_final_acc"] is not None
+    assert summary["bpe_max_fertility"] is not None
+    assert summary["pq_rerank_recall_at_5"] is not None
     assert summary["splits"] > 0
     assert summary["min_cell_purity"] is not None
     # the Zipf/Heaps numbers surfaced

@@ -39,6 +39,12 @@ def test_training_pipeline_end_to_end(spark, tmp_path):
     )
     assert final.count() == summary["after_span_rewrite"]
     assert {"doc_id", "text", "source"} <= set(final.columns)
+    # stage 5: the shipped-corpus tokenizer/quality audits are present
+    # and sane (fertility >= 1 by construction; the distilled head must
+    # beat coin-flipping on its own training rule)
+    assert summary["bpe_fertility_by_source"]
+    assert all(v >= 1.0 for v in summary["bpe_fertility_by_source"].values())
+    assert summary["quality_head_final_acc"] > 0.5
 
 
 def test_delta_lifecycle_example(spark, tmp_path):

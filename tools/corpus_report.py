@@ -48,6 +48,11 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
     recall_np = run("q_ann_recall_nprobe")[0]
     recall_lshm = run("q_lsh_multi_recall")[0]
     recall_pq = run("q_pq_recall")[0]
+    recall_pqr = run("q_pq_rerank_recall")[0]
+    bpe_merges = run("text_bpe_train_served")
+    bpe_fert = sorted(run("text_bpe_fertility_served"), key=lambda r: r["source"])
+    lr_traj = sorted(run("q_quality_lr_train"), key=lambda r: r["it"])
+    lr_eval = sorted(run("q_quality_lr_eval"), key=lambda r: r["source"])
     splits = run("q_hash_split")
     purity = run("q_cluster_purity")
     calib = run("q_minhash_calibration")
@@ -195,7 +200,43 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
         f"**{recall['recall_at_5']}**, multi-probe "
         f"**{recall_np['recall_at_5']}** (the nprobe dial); "
         f"multi-table LSH {recall_lshm['recall_at_5']}, "
-        f"PQ-ADC {recall_pq['recall_at_5']} — the per-family frontier",
+        f"PQ-ADC {recall_pq['recall_at_5']} -> "
+        f"**{recall_pqr['recall_at_5']}** with exact re-ranking "
+        "(the refine knob) — the per-family frontier",
+        "",
+        "## Tokenizer (BPE, trained on this corpus)",
+        "",
+        "First learned merges (rank: left+right, weighted pair count):",
+        "",
+        "> "
+        + ", ".join(
+            f"{m['merge_rank']}: {m['lft']}+{m['rgt']} ({m['pair_count']})"
+            for m in bpe_merges
+        ),
+        "",
+        "Per-source subword fertility (pieces per word token; high = the",
+        "shard fragments under this vocabulary, i.e. domain mismatch):",
+        "",
+        "| source | tokens | pieces | fertility |",
+        "|---|---|---|---|",
+        *[
+            f"| {r['source']} | {r['n_tokens']} | {r['n_pieces']} | "
+            f"{r['fertility']} |"
+            for r in bpe_fert
+        ],
+        "",
+        "## Quality head (fixed-point LR, distilled from the rule label)",
+        "",
+        "Training trajectory (full-batch GD, bit-exact across engines): "
+        + " -> ".join(f"{r['acc']}" for r in lr_traj),
+        "",
+        "| source | docs | pred-positive rate | agreement with rule |",
+        "|---|---|---|---|",
+        *[
+            f"| {r['source']} | {r['n_docs']} | {r['pred_pos_rate']} | "
+            f"{r['agreement']} |"
+            for r in lr_eval
+        ],
         "",
         "## Quantizer quality (k-means cells vs labels)",
         "",
@@ -230,6 +271,11 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
             span["n_kept"] / max(span["n_tokens"], 1), 4
         ),
         "n_shards": len(shards),
+        "pq_rerank_recall_at_5": recall_pqr["recall_at_5"],
+        "bpe_max_fertility": max(
+            (r["fertility"] for r in bpe_fert), default=None
+        ),
+        "lr_final_acc": lr_traj[-1]["acc"] if lr_traj else None,
     }
     return "\n".join(lines), summary
 
