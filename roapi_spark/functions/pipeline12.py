@@ -363,6 +363,100 @@ def text_bpe_fertility_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _encode_oracle() -> str:
+    """Per-doc encode oracle: the same map-side construction — wrapped
+    token stream, the 8 learned merges applied as nested replaces (the
+    merge table comes from the shared m{i} CTEs), then the readable
+    piece sequence is split back out and hashed."""
+    base = (
+        "array_to_string(list_transform(t, tok -> ',' || "
+        f"array_to_string(list_append(string_split(tok, ''), '{EOW}'), ',,')"
+        " || ','), ' ')"
+    )
+    expr = base
+    for i in range(1, BPE_MERGES + 1):
+        sel = f"(SELECT pr FROM m{i})"
+        pat = (
+            f"',' || string_split({sel}, '|')[1] || ',,' || "
+            f"string_split({sel}, '|')[2] || ','"
+        )
+        rep = f"',' || replace({sel}, '|', '') || ','"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""
+    WITH {_oracle_chain()},
+    enc AS (
+      SELECT doc_id,
+             list_filter(string_split_regex({expr}, '[, ]+'), x -> x <> '')
+               AS pieces
+      FROM (SELECT doc_id, {_TOKENS_SQL_DUCK} AS t FROM documents)
+      WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(len(pieces) AS BIGINT) AS n_pieces,
+           MD5(array_to_string(pieces, ' ')) AS piece_hash
+    FROM enc ORDER BY doc_id
+    """
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_encode_oracle(),
+    doc="The tokenization pass itself: every document encoded into its "
+    "BPE piece sequence under the learned merge table (per-doc piece "
+    "count + an md5 over the ordered pieces, so a wrong merge order or "
+    "a boundary-crossing merge hash-mismatches). Plan: MAP-SIDE ONLY — "
+    "the merge table is 8 driver-side rows from the bpe-m8-v1 artifact "
+    "inlined as replace literals, each doc's token stream is wrapped "
+    "and rewritten in a single narrow projection: FileScan + Project, "
+    "zero shuffle, zero join (space separators between tokens cannot "
+    "match any ',l,,r,' pattern, so merges never cross word "
+    "boundaries). At 100 TB this is the shape you want for the most "
+    "corpus-intensive pass in the pipeline: embarrassingly parallel, "
+    "no vocab-sized state per executor beyond 8 literals.",
+    tags=("text", "pipeline", "artifact"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    layout = bpe_layout(spark, sf_dir)
+    with open(os.path.join(layout, "merges.json")) as f:
+        merges = json.load(f)
+    t = tokens_col()
+    wrapped = F.array_join(
+        F.transform(
+            t,
+            lambda tok: F.concat(
+                F.lit(","),
+                F.array_join(
+                    F.concat(
+                        F.filter(F.split(tok, ""), lambda x: F.length(x) > 0),
+                        F.array(F.lit(EOW)),
+                    ),
+                    ",,",
+                ),
+                F.lit(","),
+            ),
+        ),
+        " ",
+    )
+    s = wrapped
+    for _rank, lft, rgt, merged, _cnt in merges:
+        s = F.replace(s, F.lit(f",{lft},,{rgt},"), F.lit(f",{merged},"))
+    pieces = F.filter(F.split(s, "[, ]+"), lambda x: F.length(x) > 0)
+    # no orderBy: the correctness compare is order-insensitive, and a
+    # presentation sort would cost a range exchange on the single pure
+    # map-side pass in the registry
+    return (
+        docs(spark, sf_dir)
+        .filter(F.size(t) > 0)
+        .select(
+            "doc_id",
+            F.size(pieces).cast("bigint").alias("n_pieces"),
+            F.md5(F.array_join(pieces, " ")).alias("piece_hash"),
+        )
+    )
+
+
 # --- Delta MERGE end-to-end gate -------------------------------------------
 
 _MERGE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]

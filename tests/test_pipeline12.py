@@ -206,3 +206,43 @@ def test_bpe_served_paths_equal_recompute(spark, tmp_path, monkeypatch):
     p12._MEMO.clear()
     assert p12.bpe_layout(spark, d) == layout_before
     assert os.path.getmtime(os.path.join(layout_before, "merges.json")) == mtime
+
+
+def test_encode_consistent_with_fertility_and_reference(spark, tmp_path, monkeypatch):
+    """Encode is the per-doc view of the same tokenization: summing its
+    piece counts per source must reproduce the fertility table, and the
+    per-doc piece sequences must equal applying the reference trainer's
+    final vocab word-by-word."""
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+    from roapi_spark.functions.pipeline12 import (
+        BPE_MERGES,
+        text_bpe_encode,
+        text_bpe_fertility,
+    )
+
+    d = _write_docs(tmp_path, CORPUS)
+    enc = text_bpe_encode(spark, d).collect()
+    fert = {r.source: r for r in text_bpe_fertility(spark, d).collect()}
+    # doc_id -> source mapping follows _write_docs insertion order
+    src_of = {}
+    i = 0
+    for src, ts in CORPUS.items():
+        for _ in ts:
+            src_of[i] = src
+            i += 1
+    by_src: dict = {}
+    for r in enc:
+        by_src[src_of[r.doc_id]] = by_src.get(src_of[r.doc_id], 0) + r.n_pieces
+    for src, row in fert.items():
+        assert by_src[src] == row.n_pieces
+    # independent reference: encode each doc word-by-word with _ref_train
+    import hashlib
+
+    _, vocab = _ref_train([t for ts in CORPUS.values() for t in ts], BPE_MERGES)
+    pieces_of = {"".join(s)[:-1]: list(s) for s in vocab}
+    texts = [t for ts in CORPUS.values() for t in ts]
+    for r in enc:
+        words = [w for w in re.split(r"[^a-z]+", texts[r.doc_id].lower()) if w]
+        want = [p for w in words for p in pieces_of[w]]
+        assert r.n_pieces == len(want)
+        assert r.piece_hash == hashlib.md5(" ".join(want).encode()).hexdigest()
