@@ -227,12 +227,171 @@ class Catalog:
             "data_type string"
         ).createOrReplaceTempView("information_schema_columns")
 
+    # -- SQL DML on delta-backed tables (read-write mode) ------------------
+    #
+    # Spark's v1 file relations reject DELETE/UPDATE/MERGE ("only
+    # supported with v2 tables"); in read-write mode we parse the
+    # statement with Spark's own parser and route it to the copy-on-write
+    # sink (roapi_spark/sinks/delta.py) when the target is a registered
+    # delta table. The reference is read-only end to end (roapi serves
+    # tables; columnq never writes), so this whole surface is an
+    # extension — but it is what makes `--read-only false` + a delta
+    # table a usable read-write endpoint over HTTP/pgwire/CLI.
+
+    @staticmethod
+    def _scala_seq(jseq) -> list:
+        return [jseq.apply(i) for i in range(jseq.size())]
+
+    def _relation_name(self, rel) -> tuple[str, str | None]:
+        """(table name, alias) from UnresolvedRelation or
+        SubqueryAlias(UnresolvedRelation)."""
+        cls = rel.getClass().getSimpleName()
+        alias = None
+        if cls == "SubqueryAlias":
+            alias = rel.alias()
+            rel = rel.child()
+            cls = rel.getClass().getSimpleName()
+        if cls != "UnresolvedRelation":
+            raise CatalogError(
+                f"DML target/source must be a registered table, got {cls}"
+            )
+        name = ".".join(self._scala_seq(rel.multipartIdentifier()))
+        return name, alias
+
+    def _delta_path(self, name: str) -> str:
+        if name not in self.sources:
+            raise CatalogError(f"table not found: {name}")
+        ts = self.sources[name]
+        if (ts.format or "").lower() != "delta":
+            raise CatalogError(
+                f"DML is only supported on delta-backed tables; "
+                f"{name!r} has format {ts.format!r}"
+            )
+        return ts.uri
+
+    def _dml_summary(self, operation: str, table: str, version: int) -> DataFrame:
+        # refresh the bound view so subsequent queries see the new version
+        self.load_table(self.sources[table])
+        return self.spark.createDataFrame(
+            [(operation, table, version)],
+            "operation string, table string, version bigint",
+        )
+
+    def _route_dml(self, sql: str) -> DataFrame | None:
+        """Returns a 1-row summary DF for DELETE/UPDATE/MERGE statements
+        on delta tables, or None when ``sql`` is not DML."""
+        from roapi_spark.sinks.delta import (
+            delete_delta,
+            merge_delta,
+            update_delta,
+        )
+
+        try:
+            plan = self.spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+        except Exception:
+            return None  # let spark.sql raise its own parse error
+        kind = plan.getClass().getSimpleName()
+        if kind == "DeleteFromTable":
+            name, _ = self._relation_name(plan.table())
+            v = delete_delta(self.spark, self._delta_path(name), plan.condition().sql())
+            return self._dml_summary("DELETE", name, v)
+        if kind == "UpdateTable":
+            name, _ = self._relation_name(plan.table())
+            sets = {
+                a.key().sql(): a.value().sql()
+                for a in self._scala_seq(plan.assignments())
+            }
+            cond = plan.condition()
+            v = update_delta(
+                self.spark,
+                self._delta_path(name),
+                cond.get().sql() if cond.isDefined() else "true",
+                sets,
+            )
+            return self._dml_summary("UPDATE", name, v)
+        if kind == "MergeIntoTable":
+            return self._route_merge(plan, merge_delta)
+        return None
+
+    def _route_merge(self, plan, merge_delta) -> DataFrame:
+        tname, talias = self._relation_name(plan.targetTable())
+        sname, salias = self._relation_name(plan.sourceTable())
+        talias = talias or tname
+        salias = salias or sname
+        if talias == salias:
+            raise CatalogError(
+                "MERGE target and source need distinct names/aliases"
+            )
+        upd: dict[str, str] | None = None
+        upd_cond: str | None = None
+        del_cond: str | None = None
+        seen_update = False
+        for act in self._scala_seq(plan.matchedActions()):
+            acls = act.getClass().getSimpleName()
+            cond = act.condition()
+            cond_sql = cond.get().sql() if cond.isDefined() else None
+            if acls == "DeleteAction":
+                if del_cond is not None:
+                    raise CatalogError("at most one WHEN MATCHED ... DELETE")
+                if seen_update and cond_sql is not None:
+                    # our sink evaluates delete BEFORE update; an
+                    # update-then-conditional-delete ordering would flip
+                    # per-row semantics — refuse loudly
+                    raise CatalogError(
+                        "UPDATE before conditional DELETE is not supported; "
+                        "put the DELETE clause first"
+                    )
+                del_cond = cond_sql or "true"
+            elif acls in ("UpdateAction", "UpdateStarAction"):
+                if upd is not None:
+                    raise CatalogError("at most one WHEN MATCHED ... UPDATE")
+                seen_update = True
+                upd_cond = cond_sql
+                if acls == "UpdateStarAction":
+                    upd = {
+                        c: f"{salias}.{c}"
+                        for c in self.table(tname).columns
+                    }
+                else:
+                    upd = {
+                        a.key().sql(): a.value().sql()
+                        for a in self._scala_seq(act.assignments())
+                    }
+            else:
+                raise CatalogError(f"unsupported matched action: {acls}")
+        insert = False
+        for act in self._scala_seq(plan.notMatchedActions()):
+            acls = act.getClass().getSimpleName()
+            if acls == "InsertStarAction":
+                insert = True
+            else:
+                raise CatalogError(
+                    f"only INSERT * is supported for WHEN NOT MATCHED, got {acls}"
+                )
+        v = merge_delta(
+            self.spark,
+            self._delta_path(tname),
+            self.table(sname),
+            on_condition=plan.mergeCondition().sql(),
+            when_matched_update=upd,
+            when_matched_update_condition=upd_cond,
+            when_matched_delete=del_cond,
+            when_not_matched_insert=insert,
+            target_alias=talias,
+            source_alias=salias,
+        )
+        return self._dml_summary("MERGE", tname, v)
+
     def query_sql(self, sql: str, args: list | None = None) -> DataFrame:
         """``args`` are positional parameters for ``?`` placeholders,
         bound by Spark's native parameterized-SQL support (values never
         pasted into the SQL text — no quoting/injection concerns)."""
         if self.read_only:
             self._assert_read_only_sql(sql)
+        else:
+            routed = self._route_dml(sql)
+            if routed is not None:
+                return routed
         if self._INFO_SCHEMA_RE.search(sql):
             self._materialize_information_schema()
             sql = self._INFO_SCHEMA_RE.sub(lambda m: f"information_schema_{m.group(1).lower()}", sql)

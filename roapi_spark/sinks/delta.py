@@ -631,11 +631,15 @@ def merge_delta(
     spark,
     path: str,
     source,
-    on: list[str],
+    on: list[str] | None = None,
     when_matched_update: dict[str, str] | None = None,
     when_matched_delete: str | None = None,
     when_not_matched_insert: bool = True,
     check_duplicate_source: bool = True,
+    on_condition: str | None = None,
+    when_matched_update_condition: str | None = None,
+    target_alias: str = "t",
+    source_alias: str = "s",
 ) -> int:
     """``MERGE INTO <table> t USING <source> s ON t.k = s.k`` with the
     three standard clauses, copy-on-write:
@@ -644,29 +648,41 @@ def merge_delta(
       matched rows satisfying it are dropped (evaluated FIRST, like
       Delta's clause ordering when delete precedes update).
     - ``when_matched_update``: {target column -> SQL expr over
-      ``t.*``/``s.*``} applied to remaining matched rows.
+      ``t.*``/``s.*``} applied to remaining matched rows — optionally
+      gated by ``when_matched_update_condition``.
     - ``when_not_matched_insert``: insert source rows with no target
       match (source must carry every target column).
 
+    The match join is either the equi-key list ``on`` or an arbitrary
+    ``on_condition`` SQL string (the SQL-surface router passes the
+    parsed MERGE condition through); ``target_alias``/``source_alias``
+    name the two sides in every expression (default ``t``/``s``).
+
     Only files containing matched keys are rewritten; inserts go to new
-    files; one atomic commit publishes the whole MERGE. Duplicate keys
-    in ``source`` are an error (ambiguous match — same runtime check
-    delta-spark performs) unless ``check_duplicate_source=False``.
+    files; one atomic commit publishes the whole MERGE. A source that
+    matches any single target row more than once is an error (ambiguous
+    match — same runtime check delta-spark performs) unless
+    ``check_duplicate_source=False``.
     """
     from pyspark.sql import functions as F
 
+    if (on is None) == (on_condition is None):
+        raise DeltaWriteError("pass exactly one of on= or on_condition=")
     df, meta, by_abs = _dml_snapshot(spark, path)
     data_cols = [c for c in df.columns if c != "__file"]
-    missing_keys = [k for k in on if k not in data_cols or k not in source.columns]
-    if missing_keys:
-        raise DeltaWriteError(f"merge keys missing from a side: {missing_keys}")
+    if on is not None:
+        missing_keys = [
+            k for k in on if k not in data_cols or k not in source.columns
+        ]
+        if missing_keys:
+            raise DeltaWriteError(f"merge keys missing from a side: {missing_keys}")
     if when_not_matched_insert:
         lack = [c for c in data_cols if c not in source.columns]
         if lack:
             raise DeltaWriteError(
                 f"insert clause needs every table column in source; missing: {lack}"
             )
-    if check_duplicate_source:
+    if check_duplicate_source and on is not None:
         dup = (
             source.groupBy(*[F.col(k) for k in on])
             .count()
@@ -680,12 +696,15 @@ def merge_delta(
                 "dedupe the source or pass check_duplicate_source=False"
             )
 
-    src = source.withColumn("__m", F.lit(True)).alias("s")
-    tgt = df.alias("t")
-    key_cond = None
-    for k in on:
-        eq = F.col(f"t.{k}") == F.col(f"s.{k}")
-        key_cond = eq if key_cond is None else (key_cond & eq)
+    src = source.withColumn("__m", F.lit(True)).alias(source_alias)
+    tgt = df.alias(target_alias)
+    if on_condition is not None:
+        key_cond = F.expr(on_condition)
+    else:
+        key_cond = None
+        for k in on:
+            eq = F.col(f"{target_alias}.{k}") == F.col(f"{source_alias}.{k}")
+            key_cond = eq if key_cond is None else (key_cond & eq)
 
     # touched files: one semi-join provenance scan, driver holds paths only
     touched = [
@@ -702,14 +721,37 @@ def merge_delta(
         base = spark.read.option("basePath", path).parquet(*sorted(touched))
     else:
         base = df.select(data_cols).filter(F.lit(False))
-    joined = base.alias("t").join(src, key_cond, "left")
-    matched = F.coalesce(F.col("s.__m"), F.lit(False))
+    if check_duplicate_source and on_condition is not None:
+        # general-condition ambiguity check: any touched target row with
+        # >1 source match (the id is transient — only counts matter)
+        amb = (
+            base.withColumn("__tid", F.monotonically_increasing_id())
+            .alias(target_alias)
+            .join(src, key_cond)
+            .groupBy("__tid")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if amb:
+            raise DeltaWriteError(
+                "a target row matches multiple source rows (ambiguous "
+                "MERGE); dedupe the source or pass "
+                "check_duplicate_source=False"
+            )
+    joined = base.alias(target_alias).join(src, key_cond, "left")
+    matched = F.coalesce(F.col(f"{source_alias}.__m"), F.lit(False))
     deleted = (
         matched & F.coalesce(F.expr(when_matched_delete), F.lit(False))
         if when_matched_delete
         else F.lit(False)
     )
     updated = matched & ~deleted
+    if when_matched_update_condition is not None:
+        updated = updated & F.coalesce(
+            F.expr(when_matched_update_condition), F.lit(False)
+        )
     upd = when_matched_update or {}
     bad = [c for c in upd if c not in data_cols]
     if bad:
@@ -718,18 +760,24 @@ def merge_delta(
         [
             (
                 F.when(updated, F.expr(upd[c]).cast(df.schema[c].dataType))
-                .otherwise(F.col(f"t.{c}"))
+                .otherwise(F.col(f"{target_alias}.{c}"))
                 .alias(c)
                 if c in upd
-                else F.col(f"t.{c}").alias(c)
+                else F.col(f"{target_alias}.{c}").alias(c)
             )
             for c in data_cols
         ]
     )
     new_df = rewritten
     if when_not_matched_insert:
+        anti_right = (
+            df.select(on).alias(target_alias)
+            if on is not None
+            else df.select(data_cols).alias(target_alias)
+        )
+        join_on = on if on is not None else key_cond
         inserts = (
-            src.join(df.select(on), on, "left_anti")
+            src.join(anti_right, join_on, "left_anti")
             .select([F.col(c).cast(df.schema[c].dataType).alias(c) for c in data_cols])
         )
         new_df = rewritten.unionByName(inserts)
@@ -741,7 +789,7 @@ def merge_delta(
         [by_abs[os.path.normpath(f)] for f in touched],
         "MERGE",
         {
-            "on": json.dumps(on),
+            "on": json.dumps(on) if on is not None else (on_condition or ""),
             "matchedUpdate": json.dumps(sorted(upd)),
             "matchedDelete": when_matched_delete or "",
             "notMatchedInsert": str(bool(when_not_matched_insert)).lower(),

@@ -123,3 +123,89 @@ def test_catalog_from_config(spark, csv_file):
     )
     cat = catalog_from_config(spark, cfg)
     assert cat.table_names() == ["t"]
+
+
+# --- SQL DML routing to the delta sink (read-write mode) ---
+
+
+@pytest.fixture
+def delta_cat(spark, tmp_path):
+    from roapi_spark.sinks.delta import write_delta
+
+    path = str(tmp_path / "people")
+    df = spark.createDataFrame(
+        [(1, "ada", 10.0), (2, "linus", 20.0), (3, "guido", 30.0)],
+        "id bigint, name string, score double",
+    )
+    write_delta(df, path, mode="overwrite")
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(parse_table_config({"name": "people", "uri": path, "option": {"format": "delta"}}))
+    # a plain parquet source table for the MERGE and for format gating
+    src = str(tmp_path / "upd.parquet")
+    spark.createDataFrame(
+        [(2, "linus t", 25.0), (9, "barbara", 90.0)],
+        "id bigint, name string, score double",
+    ).write.parquet(src)
+    cat.load_table(parse_table_config({"name": "upd", "uri": src, "option": {"format": "parquet"}}))
+    return cat
+
+
+def test_sql_delete_routes_to_sink(spark, delta_cat):
+    out = delta_cat.query_sql("DELETE FROM people WHERE id = 2").collect()[0]
+    assert (out.operation, out.table, out.version) == ("DELETE", "people", 1)
+    assert sorted(r.id for r in delta_cat.query_sql("SELECT id FROM people").collect()) == [1, 3]
+
+
+def test_sql_update_routes_to_sink(spark, delta_cat):
+    delta_cat.query_sql("UPDATE people SET score = score * 2, name = upper(name) WHERE id >= 2")
+    got = {r.id: (r.name, r.score) for r in delta_cat.query_sql("SELECT * FROM people").collect()}
+    assert got == {1: ("ada", 10.0), 2: ("LINUS", 40.0), 3: ("GUIDO", 60.0)}
+
+
+def test_sql_merge_routes_to_sink(spark, delta_cat):
+    out = delta_cat.query_sql(
+        "MERGE INTO people AS t USING upd AS u ON t.id = u.id "
+        "WHEN MATCHED AND t.score < 100 THEN UPDATE SET name = u.name, score = u.score "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert out.operation == "MERGE" and out.version == 1
+    got = {r.id: (r.name, r.score) for r in delta_cat.query_sql("SELECT * FROM people").collect()}
+    assert got == {
+        1: ("ada", 10.0),
+        2: ("linus t", 25.0),
+        3: ("guido", 30.0),
+        9: ("barbara", 90.0),
+    }
+
+
+def test_sql_merge_update_star_and_delete(spark, delta_cat):
+    delta_cat.query_sql(
+        "MERGE INTO people t USING upd u ON t.id = u.id "
+        "WHEN MATCHED AND u.score > 50 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    got = {r.id: r.name for r in delta_cat.query_sql("SELECT * FROM people").collect()}
+    assert got == {1: "ada", 2: "linus t", 3: "guido"}  # id 2 updated, no inserts
+
+
+def test_sql_dml_rejected_on_non_delta(spark, delta_cat):
+    with pytest.raises(CatalogError, match="delta-backed"):
+        delta_cat.query_sql("DELETE FROM upd WHERE id = 2")
+
+
+def test_sql_dml_rejected_in_read_only(spark, tmp_path):
+    from roapi_spark.sinks.delta import write_delta
+
+    path = str(tmp_path / "ro")
+    write_delta(
+        spark.createDataFrame([(1,)], "id bigint"), path, mode="overwrite"
+    )
+    cat = Catalog(spark, read_only=True)
+    cat.load_table(parse_table_config({"name": "ro", "uri": path, "option": {"format": "delta"}}))
+    for stmt in (
+        "DELETE FROM ro WHERE id = 1",
+        "UPDATE ro SET id = 2",
+        "MERGE INTO ro USING ro2 ON ro.id = ro2.id WHEN MATCHED THEN DELETE",
+    ):
+        with pytest.raises(ReadOnlyError):
+            cat.query_sql(stmt)
