@@ -311,7 +311,75 @@ class Catalog:
             return self._dml_summary("UPDATE", name, v)
         if kind == "MergeIntoTable":
             return self._route_merge(plan, merge_delta)
+        if kind == "InsertIntoStatement":
+            return self._route_insert(plan)
         return None
+
+    def _route_insert(self, plan) -> DataFrame:
+        """INSERT INTO / INSERT OVERWRITE <delta table> [(cols)] <query>:
+        materialize the parsed query subtree, align columns positionally
+        (or via the user column list), and append/overwrite through the
+        sink — the table keeps its declared partition layout."""
+        from pyspark.sql import DataFrame as PyDataFrame
+        from pyspark.sql import functions as F
+
+        from roapi_spark.sinks.delta import write_delta
+        from roapi_spark.sources.delta import snapshot_state
+
+        name, _ = self._relation_name(plan.table())
+        path = self._delta_path(name)
+        if plan.partitionSpec().size() > 0:
+            raise CatalogError(
+                "INSERT ... PARTITION (...) is not supported; the table's "
+                "own partition layout is preserved automatically"
+            )
+        jdf = self.spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            self.spark._jsparkSession, plan.query()
+        )
+        src = PyDataFrame(jdf, self.spark)
+        schema = self.table(name).schema
+        user_cols = [
+            str(c) for c in self._scala_seq(plan.userSpecifiedCols())
+        ]
+        if user_cols:
+            if sorted(user_cols) != sorted(f.name for f in schema.fields):
+                raise CatalogError(
+                    f"INSERT column list must cover every table column; "
+                    f"table has {[f.name for f in schema.fields]}, got {user_cols}"
+                )
+            if len(src.columns) != len(user_cols):
+                raise CatalogError(
+                    f"INSERT arity mismatch: {len(user_cols)} columns "
+                    f"listed, query produces {len(src.columns)}"
+                )
+            by_name = dict(zip(user_cols, src.columns))
+            aligned = src.select(
+                [
+                    F.col(by_name[f.name]).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        else:
+            if len(src.columns) != len(schema.fields):
+                raise CatalogError(
+                    f"INSERT arity mismatch: table {name} has "
+                    f"{len(schema.fields)} columns, query produces "
+                    f"{len(src.columns)}"
+                )
+            aligned = src.select(
+                [
+                    F.col(src.columns[i]).cast(f.dataType).alias(f.name)
+                    for i, f in enumerate(schema.fields)
+                ]
+            )
+        _, meta = snapshot_state(path)
+        v = write_delta(
+            aligned,
+            path,
+            mode="overwrite" if plan.overwrite() else "append",
+            partition_by=(meta or {}).get("partitionColumns") or [],
+        )
+        return self._dml_summary("INSERT", name, v)
 
     def _route_merge(self, plan, merge_delta) -> DataFrame:
         tname, talias = self._relation_name(plan.targetTable())

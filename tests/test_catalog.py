@@ -209,3 +209,24 @@ def test_sql_dml_rejected_in_read_only(spark, tmp_path):
     ):
         with pytest.raises(ReadOnlyError):
             cat.query_sql(stmt)
+
+
+def test_sql_insert_routes_to_sink(spark, delta_cat):
+    out = delta_cat.query_sql(
+        "INSERT INTO people VALUES (7, 'grace', 70.0), (8, 'ken', 80.0)"
+    ).collect()[0]
+    assert (out.operation, out.version) == ("INSERT", 1)
+    assert delta_cat.query_sql("SELECT count(*) AS n FROM people").collect()[0].n == 5
+    # INSERT ... SELECT from another registered table, column list form
+    delta_cat.query_sql(
+        "INSERT INTO people (id, name, score) SELECT id, name, score FROM upd WHERE id = 9"
+    )
+    assert sorted(r.id for r in delta_cat.query_sql("SELECT id FROM people").collect()) == [1, 2, 3, 7, 8, 9]
+    # INSERT OVERWRITE replaces the table contents in one version
+    delta_cat.query_sql("INSERT OVERWRITE people SELECT * FROM upd")
+    assert delta_cat.query_sql("SELECT count(*) AS n FROM people").collect()[0].n == 2
+
+
+def test_sql_insert_arity_mismatch_is_loud(spark, delta_cat):
+    with pytest.raises(CatalogError, match="arity"):
+        delta_cat.query_sql("INSERT INTO people VALUES (1, 'x')")
