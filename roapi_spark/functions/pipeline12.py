@@ -645,8 +645,11 @@ def _lr_chain(n_iters: int = LR_T) -> str:
     return ",\n    ".join(parts)
 
 
-def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of the lrf CTE: (y, x0..x4, source), all integer."""
+def lr_feature_frame(base: DataFrame, extra_cols: list[str]) -> DataFrame:
+    """The lrf feature projection over any frame carrying a ``text``
+    column: (extra_cols..., y, x0..x4), all integer. Shared verbatim by
+    the batch trainer and the streaming quality screen so the two paths
+    can never drift."""
     from roapi_spark.functions.text import STOPWORDS_EN, stopword_hits
 
     t = tokens_col()
@@ -664,15 +667,15 @@ def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 10.0
         / F.greatest(F.length(F.col("text")), F.lit(1))
     ).cast("bigint")
-    base = docs(spark, sf_dir).select(
-        F.col("source"),
+    mid = base.select(
+        *extra_cols,
         nt.cast("bigint").alias("nt"),
         ml.alias("ml"),
         sh.alias("sh"),
         ar.alias("ar"),
     )
-    return base.select(
-        "source",
+    return mid.select(
+        *extra_cols,
         F.when(2 * F.col("sh") + F.col("ml") >= 12, 1).otherwise(0).alias("y"),
         F.lit(1).cast("bigint").alias("x0"),
         (F.least(F.floor(F.col("nt") / 16.0).cast("bigint"), F.lit(15)) - 4).alias("x1"),
@@ -680,6 +683,23 @@ def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.least(F.col("sh"), F.lit(15)) - 2).alias("x3"),
         (F.least(F.col("ar"), F.lit(10)) - 7).alias("x4"),
     )
+
+
+def lr_score_cols(weights: list[int]) -> tuple[F.Column, F.Column]:
+    """(yh, keep) columns for a feature frame under fixed-point weights
+    — the serve-side scoring expression, shared by q_quality_lr_eval
+    and the streaming screen."""
+    u = sum((F.col(f"x{j}") * F.lit(int(weights[j]))) for j in range(LR_D))
+    yh = F.least(
+        F.lit(LR_S),
+        F.greatest(F.lit(0), LR_HALF + F.floor(u / LR_SIG).cast("bigint")),
+    )
+    return yh, yh >= LR_HALF
+
+
+def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the lrf CTE: (source, y, x0..x4), all integer."""
+    return lr_feature_frame(docs(spark, sf_dir), ["source"])
 
 
 def lr_train_state(
@@ -823,12 +843,8 @@ def q_quality_lr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = lr_train_state(spark, sf_dir)
     w = list(rows[-1][1 : 1 + LR_D])
     f = _lr_features(spark, sf_dir)
-    u = sum((F.col(f"x{j}") * F.lit(int(w[j]))) for j in range(LR_D))
-    yh = F.least(
-        F.lit(LR_S),
-        F.greatest(F.lit(0), LR_HALF + F.floor(u / LR_SIG).cast("bigint")),
-    )
-    pred = F.when(yh >= LR_HALF, 1).otherwise(0)
+    _yh, keep = lr_score_cols(w)
+    pred = F.when(keep, 1).otherwise(0)
     return (
         f.select("source", "y", pred.alias("p"))
         .groupBy("source")

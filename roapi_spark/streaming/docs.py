@@ -253,3 +253,27 @@ def span_clean_stream(
         F.concat_ws(" ", F.col("w")).alias("clean_text"),
     )
     return cleaned_long.unionByName(short_docs)
+
+
+def quality_screen_stream(stream: DataFrame, weights: list[int]) -> DataFrame:
+    """Quality-gate arriving documents with the trained fixed-point LR
+    head (functions.pipeline12): per doc the rule label, the scaled
+    score, and the keep decision.
+
+    This is the landing-zone screen in front of the corpus: the batch
+    trainer distills the expensive rule once per snapshot, and ingest
+    applies the 5-int weight vector as a STATELESS map-side projection —
+    zero state, zero shuffle, throughput bounded only by ingest. The
+    feature expressions are imported from the batch trainer
+    (lr_feature_frame), so the two paths cannot drift."""
+    from roapi_spark.functions.pipeline12 import lr_feature_frame, lr_score_cols
+
+    feats = lr_feature_frame(stream, ["doc_id", "ts"])
+    yh, keep = lr_score_cols(weights)
+    return feats.select(
+        "doc_id",
+        "ts",
+        F.col("y").alias("rule_label"),
+        yh.alias("score_scaled"),
+        keep.alias("keep"),
+    )

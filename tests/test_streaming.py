@@ -827,3 +827,65 @@ def test_span_clean_stream_checkpoint_restart(spark, tmp_path):
     assert (rows[0].n_tokens, rows[0].n_kept, rows[0].clean_text) == (
         11, 3, "zzqa zzqb zzqc",
     )
+
+
+def test_quality_screen_stream_matches_batch_head(spark, tmp_path):
+    """The streaming screen must reproduce the batch head's decisions
+    exactly: same feature expressions, same fixed-point weights."""
+    import json as _json
+
+    from roapi_spark.functions.pipeline12 import (
+        LR_D,
+        lr_feature_frame,
+        lr_score_cols,
+        lr_train_state,
+    )
+    from roapi_spark.streaming.docs import quality_screen_stream, stream_docs
+
+    sf = "/root/testdata/sf0.001"
+    rows_state = lr_train_state(spark, sf)
+    w = list(rows_state[-1][1 : 1 + LR_D])
+
+    from roapi_spark.functions.dedup import docs as corpus_docs
+
+    texts = [r["text"] for r in corpus_docs(spark, sf).limit(6).collect()]
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    rows = [
+        {"doc_id": 920000 + i, "text": t, "ts": f"2024-01-01T00:00:{10 + i}"}
+        for i, t in enumerate(texts)
+    ]
+    (d / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            quality_screen_stream(stream_docs(spark, str(d)), w)
+            .writeStream.format("memory")
+            .queryName("qscreen")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable()
+        got = {
+            r.doc_id: (r.rule_label, r.score_scaled, r.keep)
+            for r in spark.sql("SELECT * FROM qscreen").collect()
+        }
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    # batch twin over the identical rows
+    static = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id bigint, text string"
+    )
+    yh, keep = lr_score_cols(w)
+    want = {
+        r.doc_id: (r.y, r.s, r.k)
+        for r in lr_feature_frame(static, ["doc_id"])
+        .select("doc_id", "y", yh.alias("s"), keep.alias("k"))
+        .collect()
+    }
+    assert got == want and len(got) == 6
