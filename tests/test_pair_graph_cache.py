@@ -232,6 +232,10 @@ def test_known_tags_cover_every_call_site():
 
                 kind = "spancov" if "spancov" in arg else "spanidx"
                 used.add(f"{kind}-k{REWRITE_K}-v1")
+            elif arg.startswith('f"bpe-m'):
+                from roapi_spark.functions.pipeline12 import BPE_MERGES
+
+                used.add(f"bpe-m{BPE_MERGES}-v1")
             elif arg.startswith('f"dsirlr-'):
                 from roapi_spark.functions.pipeline10 import (
                     DSIR_BUCKETS,
