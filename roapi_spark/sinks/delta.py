@@ -421,14 +421,73 @@ def write_checkpoint(path: str) -> int:
     return version
 
 
-def compact(spark, path: str, target_partitions: int | None = None) -> int:
+ZORDER_BUCKETS = 256  # per-dimension quantile buckets (8 bits interleaved)
+
+
+def _zorder_col(df, cols: list[str]):
+    """Morton/Z-value column over up to 4 numeric columns: each column
+    is quantile-bucketed to 8 bits (boundaries via approxQuantile — a
+    bounded driver-side sample sketch, the same mechanism delta-spark's
+    OPTIMIZE ZORDER uses for range IDs), then the bit strings are
+    interleaved so a sort by the Z-value clusters ALL dimensions at
+    once. Files written from a Z-sorted layout carry tight min/max
+    stats on every Z-dimension — readers skip files for predicates on
+    any of them, not just the leading sort key."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= len(cols) <= 4:
+        raise DeltaWriteError("zorder_by takes 1-4 columns")
+    probs = [i / ZORDER_BUCKETS for i in range(1, ZORDER_BUCKETS)]
+    z = F.lit(0).cast("bigint")
+    n = len(cols)
+    for ci, c in enumerate(cols):
+        if df.schema[c].dataType.simpleString() not in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+            "date", "timestamp",
+        ):
+            raise DeltaWriteError(
+                f"zorder_by column {c!r} must be numeric/date, got "
+                f"{df.schema[c].dataType.simpleString()}"
+            )
+        col = F.col(c).cast("double")
+        bnds = df.select(col.alias("v")).approxQuantile("v", probs, 0.01)
+        bucket = F.size(
+            F.filter(
+                F.lit([float(b) for b in bnds]).cast("array<double>"),
+                lambda b: b <= col,
+            )
+        ).cast("bigint")
+        for bit in range(8):
+            z = z + (
+                F.shiftleft(
+                    F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
+                    bit * n + ci,
+                )
+            )
+    return z
+
+
+def compact(
+    spark,
+    path: str,
+    target_partitions: int | None = None,
+    zorder_by: list[str] | None = None,
+) -> int:
     """OPTIMIZE-style compaction: rewrite the current snapshot's many
     small files (the inevitable output of per-micro-batch appends) into
     ``target_partitions`` larger ones, committed as one atomic
     overwrite version. Time travel to pre-compaction versions still
     works — compaction never physically deletes. Partitioned tables
     keep their partition columns (hive layout re-derived from the
-    latest metaData)."""
+    latest metaData).
+
+    ``zorder_by`` additionally range-partitions and sorts the rewrite
+    by a Morton Z-value over the given numeric columns (OPTIMIZE ZORDER
+    BY): each output file then covers a small hyper-rectangle of the
+    key space, so the per-file min/max stats written into the add
+    actions let any Delta reader skip files for predicates on EVERY
+    Z-dimension. Unpartitioned tables only (a hive layout already
+    clusters its partition columns)."""
     from roapi_spark.config import TableSource
     from roapi_spark.sources.delta import snapshot_state, to_dataframe
 
@@ -436,7 +495,21 @@ def compact(spark, path: str, target_partitions: int | None = None) -> int:
     partition_by = (meta or {}).get("partitionColumns") or []
     ts = TableSource(name="_compact", uri=path, format="delta", option={})
     df = to_dataframe(spark, ts)
-    if target_partitions:
+    if zorder_by:
+        if partition_by:
+            raise DeltaWriteError(
+                "zorder_by is supported on unpartitioned tables only"
+            )
+        from pyspark.sql import functions as F
+
+        nparts = target_partitions or max(1, df.rdd.getNumPartitions() // 8)
+        df = (
+            df.withColumn("__z", _zorder_col(df, zorder_by))
+            .repartitionByRange(nparts, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif target_partitions:
         df = (
             df.repartition(target_partitions, *partition_by)
             if partition_by

@@ -556,3 +556,73 @@ def test_dml_refuses_deletion_vector_tables(spark, tmp_path):
     _commit(root, 0, [_PROTO, _META, _add("part-0.parquet", dv)])
     with pytest.raises(DeltaWriteError, match="deletion vectors"):
         delete_delta(spark, str(root), "true")
+
+
+def test_zorder_compaction_enables_two_dimensional_skipping(spark, tmp_path):
+    """After OPTIMIZE ZORDER BY (x, y), per-file min/max stats must let
+    a reader skip files for point predicates on BOTH columns — the
+    property a plain single-key sort cannot give the trailing key."""
+    from roapi_spark.sinks.delta import compact, write_delta
+
+    path = str(tmp_path / "z")
+    n = 8192
+    df = spark.range(n).selectExpr(
+        "id % 97 AS x", "CAST((id * 37) % 89 AS BIGINT) AS y", "id AS payload"
+    )
+    # write unclustered (hash-shuffled) so the baseline has no locality
+    write_delta(df.repartition(8), path, mode="overwrite")
+
+    def skippable(pred_col, lo, hi):
+        acts = []
+        log_dir = os.path.join(path, "_delta_log")
+        last = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))[-1]
+        alive = {}
+        for f in sorted(x for x in os.listdir(log_dir) if x.endswith(".json")):
+            for line in open(os.path.join(log_dir, f)):
+                a = json.loads(line)
+                if "add" in a:
+                    alive[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    alive.pop(a["remove"]["path"], None)
+        total, skip = 0, 0
+        for add in alive.values():
+            st = json.loads(add["stats"])
+            total += 1
+            if st["maxValues"][pred_col] < lo or st["minValues"][pred_col] > hi:
+                skip += 1
+        return skip, total
+
+    sx0, t0 = skippable("x", 10, 20)
+    sy0, _ = skippable("y", 10, 20)
+    compact(spark, path, target_partitions=8, zorder_by=["x", "y"])
+    sx1, t1 = skippable("x", 10, 20)
+    sy1, _ = skippable("y", 10, 20)
+    assert t1 == 8
+    # unclustered baseline: every file spans the whole domain — no skips
+    assert sx0 == 0 and sy0 == 0
+    # z-ordered: BOTH dimensions skip files for a narrow range predicate
+    assert sx1 >= 2 and sy1 >= 2, (sx1, sy1)
+    # contents unchanged
+    from roapi_spark.config import TableSource
+    from roapi_spark.sources.delta import to_dataframe
+
+    ts = TableSource(name="zt", uri=path, format="delta", option={})
+    out = to_dataframe(spark, ts)
+    assert out.count() == n
+    assert out.agg({"payload": "sum"}).collect()[0][0] == n * (n - 1) // 2
+
+
+def test_zorder_rejects_partitioned_and_non_numeric(spark, tmp_path):
+    from roapi_spark.sinks.delta import compact, write_delta
+
+    p1 = str(tmp_path / "zp")
+    df = spark.createDataFrame(
+        [(1, "a", "uk"), (2, "b", "fi")], "id bigint, name string, country string"
+    )
+    write_delta(df, p1, mode="overwrite", partition_by=["country"])
+    with pytest.raises(DeltaWriteError, match="unpartitioned"):
+        compact(spark, p1, zorder_by=["id"])
+    p2 = str(tmp_path / "zs")
+    write_delta(df, p2, mode="overwrite")
+    with pytest.raises(DeltaWriteError, match="numeric"):
+        compact(spark, p2, zorder_by=["name"])
