@@ -56,7 +56,7 @@ from pyspark.sql.window import Window
 
 from roapi_spark.functions.pipeline6 import SPAN_K
 from roapi_spark.plans.registry import register
-from roapi_spark.util import hash_bucket, pround, pround_sql
+from roapi_spark.util import hash_bucket, hash_bucket_sql, pround, pround_sql
 
 _TOKS_DUCK = (
     "list_filter(string_split_regex(lower(text), '[^a-z]+'), "
@@ -76,8 +76,7 @@ def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
-_DSIR_ORACLE = f"""
-    WITH tok AS (
+_DSIR_CTES = f"""tok AS (
       SELECT doc_id, source, unnest({_TOKS_DUCK}) AS tok FROM documents
     ), tb AS (
       SELECT doc_id, source,
@@ -101,9 +100,12 @@ _DSIR_ORACLE = f"""
       -- zero-token docs (no [a-z] runs) still count, with weight 0:
       -- excluding them would silently shrink n_docs and sel_rate's
       -- denominator relative to every other per-source table
-      SELECT d.source, COALESCE(dw.w, 0.0) AS w
+      SELECT d.doc_id, d.source, COALESCE(dw.w, 0.0) AS w
       FROM documents d LEFT JOIN dw USING (doc_id)
-    )
+    )"""
+
+_DSIR_ORACLE = f"""
+    WITH {_DSIR_CTES}
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            {pround_sql('AVG(w)')} AS avg_weight,
@@ -213,6 +215,79 @@ def _dsir_report(
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = _dsir_token_buckets(spark, sf_dir)
     return _dsir_report(spark, sf_dir, _dsir_log_ratios(tb))
+
+
+@register(
+    "q_dsir_select",
+    oracle=f"""
+    WITH {_DSIR_CTES},
+    sel AS (
+      SELECT source, w,
+             CASE WHEN {hash_bucket_sql("doc_id::VARCHAR", 1000)} <
+                  LEAST(1000, GREATEST(0,
+                    CAST(FLOOR(w * 1000 + 0.5) AS BIGINT)))
+             THEN 1 ELSE 0 END AS s
+      FROM dwall
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s) AS BIGINT) AS n_selected,
+           {pround_sql('AVG(s * 1.0)')} AS sel_frac,
+           {pround_sql(
+               'COALESCE(SUM(w * s) / NULLIF(SUM(s), 0), 0.0)'
+           )} AS avg_w_selected
+    FROM sel GROUP BY source ORDER BY source
+    """,
+    doc="DSIR selection EXECUTED (the resampling step of Xie et al. "
+    "2023): each document is accepted with probability proportional to "
+    "its clipped importance weight — deterministically, by comparing "
+    "the doc's md5 hash bucket (a reproducible uniform in [0,1000)) "
+    "against the pround-quantized weight, so there is no RNG state and "
+    "both engines make identical accept/reject decisions. Reported per "
+    "source: pool size, accepted count, accept fraction, and the mean "
+    "weight of the accepted set (the selected corpus skews target-like "
+    "by construction). Plan: serves the dsirlr artifact (broadcast "
+    "<=256 rows), one token-stream scoring pass, one doc-keyed agg, "
+    "one source rollup — the selection itself is a stateless map over "
+    "doc weights.",
+    tags=("text", "sampling", "pipeline"),
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lr = dsir_lr_cached(spark, sf_dir)
+    tb = _dsir_token_buckets(spark, sf_dir)
+    dw = tb.join(F.broadcast(lr), "b").groupBy("doc_id").agg(
+        F.avg("lr").alias("w")
+    )
+    dwall = (
+        docs(spark, sf_dir)
+        .select("doc_id", "source")
+        .join(dw, "doc_id", "left")
+        .select("doc_id", "source", F.coalesce("w", F.lit(0.0)).alias("w"))
+    )
+    p = F.least(
+        F.lit(1000),
+        F.greatest(F.lit(0), F.floor(F.col("w") * 1000 + 0.5).cast("bigint")),
+    )
+    s = F.when(
+        hash_bucket(F.col("doc_id").cast("string"), 1000) < p, 1
+    ).otherwise(0)
+    return (
+        dwall.select("source", "w", s.alias("s"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("s").cast("bigint").alias("n_selected"),
+            pround(F.avg(F.col("s") * 1.0)).alias("sel_frac"),
+            pround(
+                F.coalesce(
+                    F.sum(F.col("w") * F.col("s"))
+                    / F.nullif(F.sum("s"), F.lit(0)),
+                    F.lit(0.0),
+                )
+            ).alias("avg_w_selected"),
+        )
+        .orderBy("source")
+    )
 
 
 @register(

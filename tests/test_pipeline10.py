@@ -208,3 +208,31 @@ def test_shard_assign_oversized_doc_stays_one_shard(spark, tmp_path):
     assert got == expected
     # the doc after the oversized one skipped the >= 2 budgets it consumed
     assert expected[order[1]] - expected[1] >= 2
+
+
+def test_dsir_select_skews_target_like(spark, tmp_path, monkeypatch):
+    """The executed resampling must admit target-like docs at a higher
+    rate: the accepted set's mean weight dominates the pool's, and a
+    source full of target-domain text out-selects an off-domain one."""
+    monkeypatch.setenv("SPARK_GRAFT_CACHE_DIR", str(tmp_path / "cache"))
+    from roapi_spark.functions.pipeline10 import q_dsir_select, q_dsir_weights
+
+    target_text = "alpha beta gamma delta epsilon zeta eta theta"
+    off_text = "zulu yankee xray whiskey victor uniform tango sierra"
+    d = _write_docs(
+        tmp_path,
+        {
+            "src0": [target_text] * 6,          # the target domain proxy
+            "srcA": [target_text] * 4 + [off_text],
+            "srcB": [off_text] * 5,
+        },
+    )
+    sel = {r.source: r for r in q_dsir_select(spark, d).collect()}
+    w = {r.source: r for r in q_dsir_weights(spark, d).collect()}
+    # target-like source admits more than the off-domain source
+    assert sel["srcA"].sel_frac > sel["srcB"].sel_frac
+    assert sel["srcB"].n_selected == 0  # negative weights never accept
+    # accepted docs are at least as target-like as the pool average
+    for s in ("src0", "srcA"):
+        if sel[s].n_selected:
+            assert sel[s].avg_w_selected >= w[s].avg_weight - 1e-9
