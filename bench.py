@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "text_bpe_fertility_served",
     "text_bpe_encode",  # round 8: map-side corpus tokenization
     "q_dsir_select",  # round 8: DSIR resampling executed
+    "text_seq_pack_bpe",  # round 8: packing under the trained tokenizer
 ]
 # names in the headline map that postdate the historical 61-query subset
 # (subset61_sec must keep measuring the SAME set round over round)
@@ -124,7 +125,7 @@ _POST61 = {"q_bm25_topk", "ann_lsh_multi", "q_ngram_perplexity_served",
            "ann_ivfpq_rerank", "q_pq_rerank_recall",
            "q_quality_lr_train", "q_quality_lr_eval",
            "text_bpe_train_served", "text_bpe_fertility_served",
-           "text_bpe_encode", "q_dsir_select"}
+           "text_bpe_encode", "q_dsir_select", "text_seq_pack_bpe"}
 # Round 4: the bench covers the FULL registry — the list above keeps its
 # historical order for round-over-round comparability, and every other
 # registered query (incl. the remaining TPC-H shapes q2/q7/q8/q11/q15/

@@ -859,3 +859,94 @@ def q_quality_lr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- sequence packing under the REAL tokenizer -----------------------------
+
+PACK_PIECES = 512  # pieces per packed training sequence
+
+
+@register(
+    "text_seq_pack_bpe",
+    oracle=f"""
+    WITH {_oracle_chain()},
+    np AS (
+      SELECT tok, len({_SYMS_DUCK}) AS np FROM v{BPE_MERGES + 1}
+    ),
+    dnp AS (
+      SELECT d.doc_id, d.source, COALESCE(s.np, 0) AS n_pieces
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, CAST(SUM(np.np) AS BIGINT) AS np
+        FROM (SELECT doc_id, unnest({_TOKENS_SQL_DUCK}) AS tok FROM documents) t
+        JOIN np USING (tok)
+        GROUP BY doc_id
+      ) s USING (doc_id)
+    ),
+    c AS (
+      SELECT doc_id, source, n_pieces,
+             COALESCE(SUM(n_pieces) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM dnp
+    )
+    SELECT doc_id, source, CAST(n_pieces AS BIGINT) AS n_pieces,
+           CAST(FLOOR(cb / {PACK_PIECES}.0) AS BIGINT) AS pack_id,
+           CAST(cb % {PACK_PIECES} AS BIGINT) AS pack_offset
+    FROM c ORDER BY source, doc_id
+    """,
+    doc="GPT-style sequence packing under the TRAINED tokenizer: every "
+    "document's length is its BPE piece count (from the bpe-m8-v1 "
+    "vocab), and docs pack greedily into "
+    f"{PACK_PIECES}-piece training sequences per source — the packing a "
+    "training job actually runs, where budget is measured in the "
+    "tokenizer's units, not whitespace words (text_seq_pack's "
+    "approximation drifts exactly where fertility > 1). Plan: piece "
+    "counts via one size-capped broadcast join of the artifact vocab "
+    "onto the token stream + a doc-keyed agg; the cumulative pack "
+    "assignment is a per-source running sum (same window pattern as "
+    "text_seq_pack; the distributed-prefix-sum variant for sources "
+    "bigger than a partition is q_token_budget_shards' documented "
+    "pattern).",
+    tags=("text", "pipeline", "artifact"),
+)
+def text_seq_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    layout = bpe_layout(spark, sf_dir)
+    vocab = spark.read.parquet(os.path.join(layout, "vocab"))
+    np_df = vocab.select(
+        "tok", F.size(F.expr(_SYMS_SPARK)).cast("bigint").alias("np")
+    )
+    per_doc = (
+        docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens_col()).alias("tok"))
+        .join(maybe_broadcast(np_df), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("np").cast("bigint").alias("np"))
+    )
+    dnp = (
+        docs(spark, sf_dir)
+        .select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "source", F.coalesce("np", F.lit(0)).alias("n_pieces")
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = dnp.select(
+        "doc_id",
+        "source",
+        "n_pieces",
+        F.coalesce(F.sum("n_pieces").over(w), F.lit(0)).alias("cb"),
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        F.col("n_pieces").cast("bigint").alias("n_pieces"),
+        F.floor(F.col("cb") / float(PACK_PIECES)).cast("bigint").alias("pack_id"),
+        (F.col("cb") % PACK_PIECES).cast("bigint").alias("pack_offset"),
+    ).orderBy("source", "doc_id")
