@@ -333,9 +333,18 @@ class Catalog:
                 "INSERT ... PARTITION (...) is not supported; the table's "
                 "own partition layout is preserved automatically"
             )
-        jdf = self.spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-            self.spark._jsparkSession, plan.query()
-        )
+        # Spark 4.x moved the concrete Dataset into the .classic
+        # namespace; on 3.5 that package doesn't exist (py4j surfaces a
+        # not-callable JavaPackage, i.e. TypeError — a real failure
+        # inside ofRows raises Py4JJavaError instead and propagates).
+        try:
+            jdf = self.spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                self.spark._jsparkSession, plan.query()
+            )
+        except TypeError:
+            jdf = self.spark._jvm.org.apache.spark.sql.Dataset.ofRows(
+                self.spark._jsparkSession, plan.query()
+            )
         src = PyDataFrame(jdf, self.spark)
         schema = self.table(name).schema
         user_cols = [
@@ -390,31 +399,51 @@ class Catalog:
             raise CatalogError(
                 "MERGE target and source need distinct names/aliases"
             )
-        upd: dict[str, str] | None = None
-        upd_cond: str | None = None
-        del_cond: str | None = None
-        seen_update = False
+        # Collect matched clauses IN SOURCE ORDER first; SQL evaluates
+        # WHEN MATCHED clauses top-down per row, while our sink always
+        # evaluates delete before update, so an UPDATE-then-DELETE
+        # ordering must be translated, not passed through verbatim.
+        ordered: list[tuple[str, str | None, object]] = []
         for act in self._scala_seq(plan.matchedActions()):
             acls = act.getClass().getSimpleName()
             cond = act.condition()
             cond_sql = cond.get().sql() if cond.isDefined() else None
+            if acls not in ("DeleteAction", "UpdateAction", "UpdateStarAction"):
+                raise CatalogError(f"unsupported matched action: {acls}")
+            ordered.append((acls, cond_sql, act))
+        if sum(1 for a, _, _ in ordered if a == "DeleteAction") > 1:
+            raise CatalogError("at most one WHEN MATCHED ... DELETE")
+        if sum(1 for a, _, _ in ordered if a != "DeleteAction") > 1:
+            raise CatalogError("at most one WHEN MATCHED ... UPDATE")
+        for i, (_, cond_sql, _) in enumerate(ordered):
+            # the plan is parse-only (analysis never runs), so enforce the
+            # standard rule ourselves: a clause can only be skipped over if
+            # it has a condition — an unconditional non-final clause makes
+            # every later clause unreachable
+            if cond_sql is None and i < len(ordered) - 1:
+                raise CatalogError(
+                    "only the last WHEN MATCHED clause may omit its condition"
+                )
+        upd: dict[str, str] | None = None
+        upd_cond: str | None = None
+        del_cond: str | None = None
+        prior_upd_cond: str | None = None
+        for acls, cond_sql, act in ordered:
             if acls == "DeleteAction":
-                if del_cond is not None:
-                    raise CatalogError("at most one WHEN MATCHED ... DELETE")
-                if seen_update and cond_sql is not None:
-                    # our sink evaluates delete BEFORE update; an
-                    # update-then-conditional-delete ordering would flip
-                    # per-row semantics — refuse loudly
-                    raise CatalogError(
-                        "UPDATE before conditional DELETE is not supported; "
-                        "put the DELETE clause first"
+                if prior_upd_cond is not None:
+                    # UPDATE (AND c) came first: per SQL, a matched row is
+                    # deleted only when c did NOT fire (false or NULL).
+                    # Our sink evaluates delete first, so fold that guard
+                    # into the delete predicate.
+                    guard = f"(NOT coalesce(({prior_upd_cond}), false))"
+                    del_cond = (
+                        f"{guard} AND ({cond_sql})" if cond_sql else guard
                     )
-                del_cond = cond_sql or "true"
-            elif acls in ("UpdateAction", "UpdateStarAction"):
-                if upd is not None:
-                    raise CatalogError("at most one WHEN MATCHED ... UPDATE")
-                seen_update = True
+                else:
+                    del_cond = cond_sql or "true"
+            else:  # UpdateAction / UpdateStarAction
                 upd_cond = cond_sql
+                prior_upd_cond = cond_sql or "true"
                 if acls == "UpdateStarAction":
                     upd = {
                         c: f"{salias}.{c}"
@@ -425,8 +454,6 @@ class Catalog:
                         a.key().sql(): a.value().sql()
                         for a in self._scala_seq(act.assignments())
                     }
-            else:
-                raise CatalogError(f"unsupported matched action: {acls}")
         insert = False
         for act in self._scala_seq(plan.notMatchedActions()):
             acls = act.getClass().getSimpleName()

@@ -537,14 +537,24 @@ def compact(
 def _dml_snapshot(spark, path: str):
     """Current snapshot for a rewrite: (DataFrame with ``__file``
     provenance column, metaData, {normalized abs path -> raw stored add
-    path}). Fails loudly on reader features a naive rewrite would
-    corrupt (deletion vectors, column mapping) — our own writer never
-    produces them, and silently dropping DV masks is data loss."""
+    path}, snapshot version). The version is PINNED here — first the log
+    is listed, then the replay is capped at that version — so the whole
+    read-modify-write cycle operates on one consistent snapshot and the
+    commit lands at exactly ``snapshot_version + 1``: a concurrent
+    writer publishing in between makes the O_EXCL create fail with
+    DeltaCommitConflict instead of being silently built upon. Fails
+    loudly on reader features a naive rewrite would corrupt (deletion
+    vectors, column mapping) — our own writer never produces them, and
+    silently dropping DV masks is data loss."""
     from pyspark.sql import functions as F
 
     from roapi_spark.sources.delta import snapshot_raw_state
 
-    raw, meta = snapshot_raw_state(path)
+    versions = _existing_versions(_log_dir(path))
+    if not versions:
+        raise DeltaWriteError(f"not a delta table (no commits): {path}")
+    snap_v = versions[-1]
+    raw, meta = snapshot_raw_state(path, version=snap_v)
     for p, dv in raw.items():
         if dv:
             raise DeltaWriteError(
@@ -567,7 +577,7 @@ def _dml_snapshot(spark, path: str):
             F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
         )
     )
-    return df, meta, by_abs
+    return df, meta, by_abs, snap_v
 
 
 def _rewrite_commit(
@@ -578,11 +588,16 @@ def _rewrite_commit(
     removes_raw: list[str],
     operation: str,
     params: dict,
+    base_version: int,
 ) -> int:
-    """Stage ``new_df`` (may be empty), relocate, and commit
-    remove+add atomically as the next version."""
+    """Stage ``new_df`` (may be empty), relocate, and commit remove+add
+    atomically at exactly ``base_version + 1`` — the version pinned by
+    ``_dml_snapshot``. Re-listing the log here instead would let a
+    commit that landed mid-DML be silently built upon (our removes
+    could reference files it already removed); pinning turns that race
+    into a clean ``DeltaCommitConflict`` from the O_EXCL create."""
     partition_by = (meta or {}).get("partitionColumns") or []
-    version = (_existing_versions(_log_dir(path)) or [-1])[-1] + 1
+    version = base_version + 1
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
     writer = new_df.write.mode("overwrite")
     if partition_by:
@@ -637,7 +652,7 @@ def delete_delta(spark, path: str, condition: str) -> int:
     DML version, like delta-spark)."""
     from pyspark.sql import functions as F
 
-    df, meta, by_abs = _dml_snapshot(spark, path)
+    df, meta, by_abs, snap_v = _dml_snapshot(spark, path)
     cond = F.expr(condition)
     touched = [
         r["__file"]
@@ -657,6 +672,7 @@ def delete_delta(spark, path: str, condition: str) -> int:
         [by_abs[os.path.normpath(f)] for f in touched],
         "DELETE",
         {"predicate": condition},
+        snap_v,
     )
 
 
@@ -666,7 +682,7 @@ def update_delta(spark, path: str, condition: str, set: dict[str, str]) -> int:
     columns) to matching rows. Returns the new version."""
     from pyspark.sql import functions as F
 
-    df, meta, by_abs = _dml_snapshot(spark, path)
+    df, meta, by_abs, snap_v = _dml_snapshot(spark, path)
     data_cols = [c for c in df.columns if c != "__file"]
     bad = [c for c in set if c not in data_cols]
     if bad:
@@ -697,6 +713,7 @@ def update_delta(spark, path: str, condition: str, set: dict[str, str]) -> int:
         [by_abs[os.path.normpath(f)] for f in touched],
         "UPDATE",
         {"predicate": condition},
+        snap_v,
     )
 
 
@@ -741,7 +758,7 @@ def merge_delta(
 
     if (on is None) == (on_condition is None):
         raise DeltaWriteError("pass exactly one of on= or on_condition=")
-    df, meta, by_abs = _dml_snapshot(spark, path)
+    df, meta, by_abs, snap_v = _dml_snapshot(spark, path)
     data_cols = [c for c in df.columns if c != "__file"]
     if on is not None:
         missing_keys = [
@@ -867,6 +884,7 @@ def merge_delta(
             "matchedDelete": when_matched_delete or "",
             "notMatchedInsert": str(bool(when_not_matched_insert)).lower(),
         },
+        snap_v,
     )
 
 

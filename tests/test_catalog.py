@@ -188,6 +188,73 @@ def test_sql_merge_update_star_and_delete(spark, delta_cat):
     assert got == {1: "ada", 2: "linus t", 3: "guido"}  # id 2 updated, no inserts
 
 
+@pytest.fixture
+def branchy_cat(spark, tmp_path):
+    """Target/source shaped so a MERGE's matched rows split across the
+    update and delete branches — catches clause-order translation bugs
+    that an all-one-branch fixture hides."""
+    from roapi_spark.sinks.delta import write_delta
+
+    path = str(tmp_path / "tgt")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id bigint, name string, score double",
+        ),
+        path,
+        mode="overwrite",
+    )
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [(1, "A", 100.0), (2, "B", 5.0), (3, "C", 20.0)],
+        "id bigint, name string, score double",
+    ).write.parquet(src)
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(parse_table_config({"name": "tgt", "uri": path, "option": {"format": "delta"}}))
+    cat.load_table(parse_table_config({"name": "src", "uri": src, "option": {"format": "parquet"}}))
+    return cat
+
+
+def test_sql_merge_update_then_unconditional_delete(spark, branchy_cat):
+    # SQL clause order: rows where s.score > 50 are UPDATED; only the
+    # REMAINING matched rows fall through to the DELETE. A router that
+    # passes delete='true' to a delete-first sink wipes them all.
+    branchy_cat.query_sql(
+        "MERGE INTO tgt t USING src s ON t.id = s.id "
+        "WHEN MATCHED AND s.score > 50 THEN UPDATE SET * "
+        "WHEN MATCHED THEN DELETE"
+    )
+    got = {r.id: (r.name, r.score) for r in branchy_cat.query_sql("SELECT * FROM tgt").collect()}
+    assert got == {1: ("A", 100.0)}  # 1 updated; 2 and 3 deleted
+
+
+def test_sql_merge_update_then_conditional_delete(spark, branchy_cat):
+    # conditional UPDATE then conditional DELETE: id 1 updates (score
+    # 100 > 50), id 2 deletes (5 < 10), id 3 matches neither clause and
+    # must survive untouched.
+    branchy_cat.query_sql(
+        "MERGE INTO tgt t USING src s ON t.id = s.id "
+        "WHEN MATCHED AND s.score > 50 THEN UPDATE SET * "
+        "WHEN MATCHED AND s.score < 10 THEN DELETE"
+    )
+    got = {r.id: (r.name, r.score) for r in branchy_cat.query_sql("SELECT * FROM tgt").collect()}
+    assert got == {1: ("A", 100.0), 3: ("c", 30.0)}
+
+
+def test_sql_merge_nonfinal_unconditional_clause_rejected(spark, branchy_cat):
+    # "only the last WHEN MATCHED clause may omit its condition": Spark's
+    # parser rejects this before our router sees it (the router keeps its
+    # own equivalent guard for the direct merge_delta path)
+    from pyspark.errors import ParseException
+
+    with pytest.raises(ParseException, match="NON_LAST_MATCHED"):
+        branchy_cat.query_sql(
+            "MERGE INTO tgt t USING src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
 def test_sql_dml_rejected_on_non_delta(spark, delta_cat):
     with pytest.raises(CatalogError, match="delta-backed"):
         delta_cat.query_sql("DELETE FROM upd WHERE id = 2")

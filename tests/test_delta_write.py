@@ -102,6 +102,44 @@ def test_commit_conflict_rolls_back(spark, people, tmp_path, monkeypatch):
     assert after == before  # losing writer's data files rolled back
 
 
+def test_dml_conflict_on_intervening_commit(spark, people, tmp_path, monkeypatch):
+    """A commit landing between the DML's provenance scan and its
+    publish must surface as DeltaCommitConflict (the DML pins its
+    snapshot version and commits at exactly snapshot+1), never be
+    silently built upon — its removes would reference a superseded
+    file set. A retry from a fresh snapshot then wins cleanly."""
+    import roapi_spark.sinks.delta as dw
+
+    path = str(tmp_path / "dmlrace")
+    write_delta(people, path)  # v0
+    real = dw._relocate_staging
+    fired = {"done": False}
+
+    def racy(staging, dest):
+        if not fired["done"]:
+            fired["done"] = True
+            extra = spark.createDataFrame([(4, "grace", "us")], people.schema)
+            assert write_delta(extra, path, mode="append") == 1
+        return real(staging, dest)
+
+    monkeypatch.setattr(dw, "_relocate_staging", racy)
+    before = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    with pytest.raises(DeltaCommitConflict):
+        dw.delete_delta(spark, path, "id = 2")
+    # the losing writer's staged files rolled back: the only new data
+    # files on disk are exactly the concurrent v1 commit's adds
+    after = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    v1_adds = {
+        os.path.basename(json.loads(ln)["add"]["path"])
+        for ln in open(os.path.join(path, "_delta_log", f"{1:020d}.json"))
+        if '"add"' in ln and json.loads(ln).get("add")
+    }
+    assert after - before == v1_adds
+    monkeypatch.setattr(dw, "_relocate_staging", real)
+    assert dw.delete_delta(spark, path, "id = 2") == 2
+    assert sorted(r.id for r in _read(spark, path).collect()) == [1, 3, 4]
+
+
 def test_protocol_readable_by_any_reader(spark, people, tmp_path):
     path = str(tmp_path / "proto")
     write_delta(people, path)
