@@ -230,9 +230,14 @@ def main() -> None:
                 return fam
         return "sql"
 
-    fams: dict[str, float] = {}
+    # per-family subtotal AND query count: the registry grows across
+    # rounds, so a bare family total reads as a regression when the
+    # family merely gained members — counts make the series comparable
+    fams: dict[str, dict] = {}
     for n, v in timings.items():
-        fams[family(n)] = round(fams.get(family(n), 0.0) + v, 2)
+        f = fams.setdefault(family(n), {"sec": 0.0, "n": 0})
+        f["sec"] = round(f["sec"] + v, 2)
+        f["n"] += 1
 
     # stdout: historical 61-query map (2-decimal) for round-over-round
     # comparability + per-family subtotals over the full registry. Guarded:

@@ -561,6 +561,91 @@ def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zordered_orders_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Delta artifact: orders written UNCLUSTERED across 8
+    hash-partitioned files, then OPTIMIZE ZORDER BY (o_custkey,
+    o_totalprice) — the two-dimensional clustering whose per-file
+    min/max stats make selective predicates on either column prune
+    files (measured 16x file-skip in tools/zorder_audit.py)."""
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+    from roapi_spark.sinks.delta import compact, write_delta
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    out = snapshot_cache_dir(src, "deltazorder-v1")
+
+    def ready(d: str) -> bool:
+        return os.path.isfile(
+            os.path.join(d, "_delta_log", f"{1:020d}.json")
+        )
+
+    def build(tmp: str) -> None:
+        orders = spark.read.parquet(src).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        write_delta(orders.repartition(8), tmp, mode="overwrite")
+        compact(spark, tmp, target_partitions=8,
+                zorder_by=["o_custkey", "o_totalprice"])
+
+    return build_once(out, ready, build)
+
+
+_ZORDER_CK = (100, 400)
+_ZORDER_TP = (50_000.0, 150_000.0)
+
+
+@register(
+    "q_delta_zorder",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_custkey BETWEEN {_ZORDER_CK[0]} AND {_ZORDER_CK[1]}
+      AND o_totalprice BETWEEN {_ZORDER_TP[0]} AND {_ZORDER_TP[1]}
+    """,
+    doc="End-to-end gate for OPTIMIZE ZORDER + stats-based file "
+    "skipping: orders is written unclustered, Morton-clustered by "
+    "(o_custkey, o_totalprice) via sinks/delta.compact, and the serve "
+    "path resolves the file list through "
+    "sources/delta.snapshot_adds_pruned — ONLY files whose add.stats "
+    "min/max overlap the two-column range predicate are handed to the "
+    "parquet scan. The oracle runs the same predicate over the raw "
+    "orders table, so a skip of a file that held matching rows (stats "
+    "written wrong, pruning too eager) hash-mismatches, and sum_cents "
+    "is exact-integer so the check is engine-independent. Plan: one "
+    "FileScan over the pruned candidates + global agg; at 100 TB the "
+    "pruning shrinks the FILE LIST before any footer is opened — "
+    "measured 4/64 files, 5.4/90 MB on an independent-uniform 2M-row "
+    "table (tools/zorder_audit.py, docs/SCALE.md round-9).",
+    tags=("sql", "delta"),
+)
+def q_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.sources.delta import snapshot_adds_pruned
+
+    path = _zordered_orders_table(spark, sf_dir)
+    cand, _skipped, _cb, _tb = snapshot_adds_pruned(
+        path,
+        {"o_custkey": _ZORDER_CK, "o_totalprice": _ZORDER_TP},
+    )
+    return (
+        spark.read.parquet(*sorted(cand))
+        .filter(
+            (F.col("o_custkey").between(*_ZORDER_CK))
+            & (F.col("o_totalprice").between(*_ZORDER_TP))
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            ).cast("bigint").alias("sum_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
 # --- fixed-point logistic-regression quality classifier --------------------
 #
 # Distributed full-batch gradient descent, bit-exact across engines: the

@@ -283,6 +283,85 @@ def snapshot_raw_state(
     return active, meta
 
 
+def snapshot_adds_pruned(
+    table_path: str,
+    ranges: dict[str, tuple],
+    version: int | None = None,
+) -> tuple[list[str], list[str], int, int]:
+    """Stats-based file pruning: given conjunctive per-column closed
+    ranges ``{col: (lo, hi)}`` (either bound may be None), split the
+    snapshot's active files into (candidates, skipped) using the
+    per-file min/max recorded in ``add.stats``, plus (candidate_bytes,
+    total_bytes).
+
+    This is the delta data-skipping scale path: at 100 TB a selective
+    scan must shrink the FILE LIST before Spark ever opens a footer —
+    row-group pruning alone still pays one open+footer read per file.
+    A file with no stats (foreign writer, stats disabled) can never be
+    skipped. NULL-only columns (min/max absent but nullCount present)
+    are skippable for non-NULL-matching ranges. ZORDER clustering
+    (sinks/delta.py compact) is what makes these ranges tight on more
+    than one column at once."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise LoadError(f"not a delta table (no _delta_log): {table_path}")
+    raw, _meta = snapshot_raw_state(table_path, version=version)
+    # re-replay to recover FULL add actions (snapshot_raw_state keeps
+    # only path->dv): checkpoint rows first, then every json commit —
+    # later adds of the same path win, matching replay order. An add
+    # whose stats were dropped anywhere simply stays un-skippable.
+    adds: dict[str, dict] = {}
+    base_v, _cp_active, _ = _checkpoint_state(log_dir, version)
+    if base_v >= 0:
+        for cp in _checkpoint_files(log_dir, base_v):
+            for a in _checkpoint_actions(log_dir, cp):
+                if "add" in a and (a["add"] or {}).get("path"):
+                    adds[a["add"]["path"]] = a["add"]
+    for v, p in _log_versions(log_dir):
+        if v <= base_v:
+            continue
+        if version is not None and v > version:
+            break
+        with open(p) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a and a["add"].get("path"):
+                    adds[a["add"]["path"]] = a["add"]
+    candidates, skipped = [], []
+    cand_bytes = total = 0
+    for rel in raw:
+        abs_p = os.path.join(table_path, unquote(rel))
+        add = adds.get(rel)
+        size = int(add.get("size", 0)) if add else 0
+        total += size
+        st = None
+        if add and add.get("stats"):
+            try:
+                st = json.loads(add["stats"])
+            except (TypeError, ValueError):
+                st = None
+        skip = False
+        if st:
+            mins = st.get("minValues") or {}
+            maxs = st.get("maxValues") or {}
+            for col, (lo, hi) in ranges.items():
+                if col not in mins or col not in maxs:
+                    continue
+                if (hi is not None and mins[col] > hi) or (
+                    lo is not None and maxs[col] < lo
+                ):
+                    skip = True
+                    break
+        if skip:
+            skipped.append(abs_p)
+        else:
+            candidates.append(abs_p)
+            cand_bytes += size
+    return candidates, skipped, cand_bytes, total
+
+
 def _read_via_log(spark: SparkSession, ts: TableSource) -> DataFrame:
     version = ts.option.get("version")
     adds, meta = snapshot_state(

@@ -650,6 +650,62 @@ def test_zorder_compaction_enables_two_dimensional_skipping(spark, tmp_path):
     assert out.agg({"payload": "sum"}).collect()[0][0] == n * (n - 1) // 2
 
 
+def test_snapshot_adds_pruned_skips_by_stats(spark, tmp_path):
+    """File-level data skipping from add.stats: a range-sorted write
+    gives disjoint per-file ranges, so a selective predicate must prune
+    most files — and never a file that holds matching rows."""
+    from roapi_spark.sinks.delta import write_delta
+    from roapi_spark.sources.delta import snapshot_adds_pruned
+
+    path = str(tmp_path / "sk")
+    df = spark.range(10_000).selectExpr("id AS k", "id % 7 AS v")
+    write_delta(df.repartitionByRange(10, "k"), path, mode="overwrite")
+
+    cand, skipped, cb, tb = snapshot_adds_pruned(path, {"k": (4000, 4400)})
+    assert len(cand) + len(skipped) == 10 and len(skipped) >= 8
+    assert 0 < cb < tb
+    # correctness: candidates alone reproduce the full filtered result
+    got = (
+        spark.read.parquet(*cand)
+        .filter("k BETWEEN 4000 AND 4400")
+        .count()
+    )
+    assert got == 401
+    # open ranges + unknown columns never skip wrongly
+    cand2, _, _, _ = snapshot_adds_pruned(path, {"k": (9999, None)})
+    assert spark.read.parquet(*cand2).filter("k >= 9999").count() == 1
+    cand3, skipped3, _, _ = snapshot_adds_pruned(path, {"nope": (1, 2)})
+    assert len(cand3) == 10 and not skipped3
+
+
+def test_snapshot_adds_pruned_uses_checkpoint_stats(spark, tmp_path):
+    """Once a checkpoint seeds the snapshot, the pruner must harvest
+    add.stats from the CHECKPOINT rows (json replay starts after it) —
+    otherwise every pre-checkpoint file silently becomes un-skippable."""
+    from roapi_spark.sinks.delta import write_checkpoint, write_delta
+    from roapi_spark.sources.delta import snapshot_adds_pruned
+
+    path = str(tmp_path / "ckpt")
+    df = spark.range(8_000).selectExpr("id AS k")
+    write_delta(df.repartitionByRange(8, "k"), path, mode="overwrite")
+    extra = spark.range(8_000, 12_000).selectExpr("id AS k")
+    write_delta(extra.repartitionByRange(4, "k"), path, mode="append")
+    assert write_checkpoint(path) == 1
+    # post-checkpoint commit too: adds must merge from both sources
+    more = spark.range(12_000, 13_000).selectExpr("id AS k").coalesce(1)
+    write_delta(more, path, mode="append")
+
+    cand, skipped, cb, tb = snapshot_adds_pruned(path, {"k": (2000, 2900)})
+    assert len(cand) + len(skipped) == 13
+    # only ~1/8th of the v0 range matches; checkpointed stats must skip
+    # the other v0 files AND all v1/v2 files
+    assert len(skipped) >= 10, (len(cand), len(skipped))
+    assert (
+        spark.read.parquet(*cand).filter("k BETWEEN 2000 AND 2900").count()
+        == 901
+    )
+
+
 def test_zorder_rejects_partitioned_and_non_numeric(spark, tmp_path):
     from roapi_spark.sinks.delta import compact, write_delta
 

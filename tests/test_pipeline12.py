@@ -246,3 +246,45 @@ def test_encode_consistent_with_fertility_and_reference(spark, tmp_path, monkeyp
         want = [p for w in words for p in pieces_of[w]]
         assert r.n_pieces == len(want)
         assert r.piece_hash == hashlib.md5(" ".join(want).encode()).hexdigest()
+
+
+# --- ZORDER + stats skipping gate -------------------------------------------
+
+
+def test_delta_zorder_serve_path_actually_skips_files(spark, tmp_path, monkeypatch):
+    """q_delta_zorder must not degenerate into a full scan: after the
+    Morton clustering, the two-column range predicate must prune a
+    strict majority of the snapshot's files via add.stats, and the
+    pruned candidate set must still reproduce the full filtered
+    result exactly."""
+    import roapi_spark.functions.snapshot as snap
+    from roapi_spark.functions.pipeline12 import (
+        _ZORDER_CK,
+        _ZORDER_TP,
+        _zordered_orders_table,
+        q_delta_zorder,
+    )
+    from roapi_spark.sources.delta import snapshot_adds_pruned
+
+    monkeypatch.setattr(
+        snap, "cache_root", lambda: str(tmp_path / "cache")
+    )
+    sf_dir = "/root/testdata/sf0.001"
+    path = _zordered_orders_table(spark, sf_dir)
+    cand, skipped, cb, tb = snapshot_adds_pruned(
+        path, {"o_custkey": _ZORDER_CK, "o_totalprice": _ZORDER_TP}
+    )
+    assert len(cand) + len(skipped) == 8
+    assert len(skipped) >= 5, (len(cand), len(skipped))
+    assert cb < tb
+    # exactness: the pruned scan equals the raw-table filter
+    want = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter(
+            f"o_custkey BETWEEN {_ZORDER_CK[0]} AND {_ZORDER_CK[1]} "
+            f"AND o_totalprice BETWEEN {_ZORDER_TP[0]} AND {_ZORDER_TP[1]}"
+        )
+        .count()
+    )
+    got = q_delta_zorder(spark, sf_dir).collect()[0]
+    assert got.n_rows == want
