@@ -9,6 +9,8 @@ import json
 import os
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from roapi_spark.sinks.delta import (
     DeltaCommitConflict,
@@ -138,6 +140,42 @@ def test_dml_conflict_on_intervening_commit(spark, people, tmp_path, monkeypatch
     monkeypatch.setattr(dw, "_relocate_staging", real)
     assert dw.delete_delta(spark, path, "id = 2") == 2
     assert sorted(r.id for r in _read(spark, path).collect()) == [1, 3, 4]
+
+
+def test_concurrent_appenders_linearize(spark, people, tmp_path):
+    """Real threads racing appends against one table: every writer must
+    either commit a distinct version or surface DeltaCommitConflict —
+    never silently drop or duplicate a commit. The final snapshot holds
+    exactly the winners' rows (optimistic concurrency, O_EXCL commit)."""
+    import threading
+
+    path = str(tmp_path / "cc")
+    write_delta(people, path)  # v0: 3 rows
+    n_writers, results, errs = 6, [], []
+
+    def append(i: int) -> None:
+        df = spark.createDataFrame([(100 + i, f"w{i}", "xx")], people.schema)
+        for _attempt in range(n_writers + 1):
+            try:
+                results.append(write_delta(df, path, mode="append"))
+                return
+            except DeltaCommitConflict:
+                continue  # lost the race — re-read the log and retry
+        errs.append(i)
+
+    threads = [threading.Thread(target=append, args=(i,)) for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, f"writers exhausted retries: {errs}"
+    # all 6 landed, each at a distinct version, log is gapless
+    assert sorted(results) == [1, 2, 3, 4, 5, 6]
+    got = _read(spark, path)
+    assert got.count() == 3 + n_writers
+    assert sorted(r.id for r in got.collect() if r.id >= 100) == [
+        100 + i for i in range(n_writers)
+    ]
 
 
 def test_protocol_readable_by_any_reader(spark, people, tmp_path):
@@ -704,6 +742,54 @@ def test_snapshot_adds_pruned_uses_checkpoint_stats(spark, tmp_path):
         spark.read.parquet(*cand).filter("k BETWEEN 2000 AND 2900").count()
         == 901
     )
+
+
+@pytest.fixture(scope="module")
+def pruning_table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("prune") / "tbl")
+    df = spark.range(20_000).selectExpr(
+        "CAST(hash(id, 7) & 1023 AS BIGINT) AS a",
+        "CAST(hash(id, 8) & 1023 AS BIGINT) AS b",
+    )
+    from roapi_spark.sinks.delta import compact, write_delta
+
+    write_delta(df.repartition(16), path, mode="overwrite")
+    compact(spark, path, target_partitions=16, zorder_by=["a", "b"])
+    return path
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    a_lo=st.integers(0, 1023), a_w=st.integers(0, 200),
+    b_lo=st.integers(0, 1023), b_w=st.integers(0, 200),
+    open_a=st.booleans(),
+)
+def test_pruning_never_skips_a_matching_file(pruning_table, a_lo, a_w, b_lo, b_w, open_a):
+    """Property: for ANY conjunctive range, a skipped file contains no
+    matching row (verified row-by-row via pyarrow), and candidates +
+    skipped partition the snapshot. Pruning may be conservative, never
+    eager."""
+    import pyarrow.parquet as pq
+
+    from roapi_spark.sources.delta import snapshot_adds_pruned
+
+    ranges = {
+        "a": (None, a_lo + a_w) if open_a else (a_lo, a_lo + a_w),
+        "b": (b_lo, b_lo + b_w),
+    }
+    cand, skipped, cb, tb = snapshot_adds_pruned(pruning_table, ranges)
+    assert len(cand) + len(skipped) == 16
+    assert 0 <= cb <= tb
+    for f in skipped:
+        t = pq.read_table(f, columns=["a", "b"])
+        a, b = t.column("a").to_pylist(), t.column("b").to_pylist()
+        hit = any(
+            (ranges["a"][0] is None or x >= ranges["a"][0])
+            and x <= ranges["a"][1]
+            and ranges["b"][0] <= y <= ranges["b"][1]
+            for x, y in zip(a, b)
+        )
+        assert not hit, f"skipped file {f} holds a matching row"
 
 
 def test_zorder_rejects_partitioned_and_non_numeric(spark, tmp_path):
