@@ -902,26 +902,23 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
         raise DeltaWriteError(f"not a delta table (no log): {path}")
     keep_from = versions[max(0, len(versions) - keep_versions)]
 
-    def active_at(v: int) -> set[str]:
-        state: dict[str, None] = {}
-        for vv in versions:
-            if vv > v:
-                break
-            with open(os.path.join(log_dir, f"{vv:020d}.json")) as f:
-                for line in f:
-                    if not line.strip():
-                        continue
-                    a = json.loads(line)
-                    if "add" in a:
-                        state[a["add"]["path"]] = None
-                    elif "remove" in a:
-                        state.pop(a["remove"]["path"], None)
-        return set(state)
-
+    # single incremental replay: carry the active set through every
+    # version and union the snapshots inside the retention window —
+    # O(total log size), not O(keep_versions x log size)
+    state: dict[str, None] = {}
     referenced: set[str] = set()
-    for v in versions:
-        if v >= keep_from:
-            referenced |= active_at(v)
+    for vv in versions:
+        with open(os.path.join(log_dir, f"{vv:020d}.json")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    state[a["add"]["path"]] = None
+                elif "remove" in a:
+                    state.pop(a["remove"]["path"], None)
+        if vv >= keep_from:
+            referenced |= set(state)
     # compare in FILESYSTEM space: stored paths may be percent-encoded
     # (ours, delta-rs) or literal (delta-spark hive '='), so unquote the
     # referenced set instead of guessing how to re-quote disk paths
