@@ -234,7 +234,11 @@ def write_delta(
         # string, and external writers (delta-spark) store hive-partition
         # paths with a literal '=' that quote() would mangle to %3D,
         # leaving every old file permanently active (silent stale reads)
-        active_raw, _ = snapshot_raw_state(path)
+        # pinned to the version this commit builds on: a commit landing
+        # mid-write must never leak its files into our remove list (the
+        # O_EXCL create would reject this commit anyway — pinning keeps
+        # the composed actions consistent with the version we claim)
+        active_raw, _ = snapshot_raw_state(path, version=versions[-1])
         for stored_path in active_raw:
             actions.append(
                 {
