@@ -716,6 +716,27 @@ def test_snapshot_adds_pruned_skips_by_stats(spark, tmp_path):
     assert len(cand3) == 10 and not skipped3
 
 
+def test_snapshot_adds_pruned_honors_version(spark, tmp_path):
+    """Time travel: pruning at version=0 sees the pre-overwrite file
+    set, at HEAD the post-overwrite one — file lists must come from the
+    same snapshot the reader would scan."""
+    from roapi_spark.sinks.delta import write_delta
+    from roapi_spark.sources.delta import snapshot_adds_pruned
+
+    path = str(tmp_path / "tt")
+    v0 = spark.range(1_000).selectExpr("id AS k")
+    write_delta(v0.repartitionByRange(4, "k"), path, mode="overwrite")
+    v1 = spark.range(1_000, 3_000).selectExpr("id AS k")
+    write_delta(v1.repartitionByRange(4, "k"), path, mode="overwrite")
+
+    c0, s0, _, _ = snapshot_adds_pruned(path, {"k": (0, 100)}, version=0)
+    c1, s1, _, _ = snapshot_adds_pruned(path, {"k": (0, 100)})
+    assert len(c0) + len(s0) == 4 and len(c1) + len(s1) == 4
+    assert spark.read.parquet(*c0).filter("k <= 100").count() == 101
+    assert len(c1) == 0  # post-overwrite table holds no k <= 100 at all
+    assert not set(c0) & {f for f in s1 + c1}  # disjoint physical files
+
+
 def test_snapshot_adds_pruned_uses_checkpoint_stats(spark, tmp_path):
     """Once a checkpoint seeds the snapshot, the pruner must harvest
     add.stats from the CHECKPOINT rows (json replay starts after it) —
