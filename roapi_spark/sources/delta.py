@@ -448,11 +448,17 @@ def snapshot_adds_pruned(
             for col, (lo, hi) in ranges.items():
                 if col not in mins or col not in maxs:
                     continue
-                if (hi is not None and mins[col] > hi) or (
-                    lo is not None and maxs[col] < lo
-                ):
-                    skip = True
-                    break
+                try:
+                    if (hi is not None and mins[col] > hi) or (
+                        lo is not None and maxs[col] < lo
+                    ):
+                        skip = True
+                        break
+                except TypeError:
+                    # bound/stat type mismatch (string stats vs numeric
+                    # range, or None stat): pruning must stay
+                    # conservative — the file remains a candidate
+                    continue
         if skip:
             skipped.append(abs_p)
         else:
