@@ -5,7 +5,16 @@
                                          foreachBatch from a stream)
   3. checkpoint write_checkpoint         bound log replay for readers
   4. compact   compact                   collapse per-batch small files
-  5. vacuum    vacuum                    reclaim out-of-window files
+  5. dml       delete_delta / merge_delta  row-level curation fixes
+                                         (copy-on-write, only touched
+                                         files rewritten; also reachable
+                                         as SQL DELETE/MERGE in rw mode)
+  6. vacuum    vacuum                    reclaim out-of-window files
+  7. zorder    compact(zorder_by=...)    Morton-cluster an unpartitioned
+                                         metrics table, then serve a
+                                         selective range scan through
+                                         snapshot_adds_pruned (stats-
+                                         based file skipping)
 
 Every step is readable by this engine's own pure-Python delta source
 (register the directory with format: delta) and by any external Delta
@@ -51,10 +60,53 @@ def run(spark, table_path: str, sf_dir: str) -> dict:
     # 4. compact the per-batch small files into one file per partition
     cv = compact(spark, table_path)
 
-    # 5. reclaim files only referenced by pre-compaction versions
-    # (keep_versions=1: retain just the compacted snapshot — keeping 2
-    # would still reference the small files through the prior version)
-    removed = vacuum(table_path, keep_versions=1)
+    # 5. row-level curation fixes, copy-on-write (only files holding
+    #    affected rows are rewritten; each is one atomic version):
+    #    drop docs a later screen flagged, then MERGE in relabelled rows
+    from roapi_spark.sinks.delta import delete_delta, merge_delta
+
+    dv = delete_delta(spark, table_path, "n_chars < 50")
+    fixes = (
+        to_dataframe(
+            spark,
+            TableSource(name="_c", uri=table_path, format="delta", option={}),
+        )
+        .filter(F.col("doc_id") % 97 == 0)
+        .withColumn("lang", F.lit("und"))
+    )
+    mv = merge_delta(
+        spark,
+        table_path,
+        fixes,
+        on=["doc_id"],
+        when_matched_update={"lang": "s.lang"},
+        when_not_matched_insert=False,
+    )
+
+    # 6. reclaim files only referenced by out-of-window versions
+    # (keep_versions=3: the two DML versions + their parent still
+    # resolve; older pre-compaction snapshots lose their files loudly)
+    removed = vacuum(table_path, keep_versions=3)
+
+    # 7. a separate UNPARTITIONED metrics table: Morton-cluster it and
+    #    serve a selective two-column scan from the pruned file list
+    from roapi_spark.sources.delta import snapshot_adds_pruned
+
+    metrics_path = table_path + "_metrics"
+    metrics = docs.select("doc_id", "n_chars")
+    write_delta(metrics.repartition(8), metrics_path, mode="overwrite")
+    compact(spark, metrics_path, target_partitions=8,
+            zorder_by=["n_chars", "doc_id"])
+    cand, skipped, cand_bytes, total_bytes = snapshot_adds_pruned(
+        metrics_path, {"n_chars": (100, 300), "doc_id": (0, 63)}
+    )
+    selective = (
+        spark.read.parquet(*cand)
+        .filter("n_chars BETWEEN 100 AND 300 AND doc_id BETWEEN 0 AND 63")
+        .count()
+        if cand
+        else 0
+    )
 
     ts = TableSource(name="corpus", uri=table_path, format="delta", option={})
     live = to_dataframe(spark, ts)
@@ -63,9 +115,14 @@ def run(spark, table_path: str, sf_dir: str) -> dict:
         "initial_version": v0,
         "checkpoint_version": ck,
         "compacted_version": cv,
+        "delete_version": dv,
+        "merge_version": mv,
         "vacuumed_files": len(removed),
         "live_rows": live.count(),
         "live_files": len(adds),
+        "zorder_files_skipped": len(skipped),
+        "zorder_files_scanned": len(cand),
+        "zorder_selective_rows": selective,
     }
 
 

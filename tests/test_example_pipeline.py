@@ -54,5 +54,11 @@ def test_delta_lifecycle_example(spark, tmp_path):
     assert out["initial_version"] == 0
     assert out["checkpoint_version"] == 2  # v0 + two appends
     assert out["compacted_version"] == 3
+    assert out["delete_version"] == 4 and out["merge_version"] == 5
     assert out["vacuumed_files"] > 0
     assert out["live_rows"] > 0 and out["live_files"] >= 1
+    # the zordered metrics table must actually skip files for the
+    # selective two-column predicate, and still return matching rows
+    assert out["zorder_files_skipped"] >= 4
+    assert out["zorder_files_scanned"] + out["zorder_files_skipped"] == 8
+    assert out["zorder_selective_rows"] > 0
