@@ -457,3 +457,24 @@ def test_extended_wrong_result_format_count_errors(pg):
     c.execute("", 0)
     assert any(t == b"D" for t, _ in c.sync())
     c.close()
+
+
+def test_extended_binary_float_bool_bytea(pg):
+    """Remaining binary wire forms: float4/float8 (IEEE754 big-endian),
+    bool (1 byte), bytea (raw bytes) — computed columns force the oids."""
+    c = MiniPgClient(pg.port)
+    c.parse(
+        "s13",
+        "SELECT CAST(1.5 AS FLOAT) AS f4, CAST(2.25 AS DOUBLE) AS f8, "
+        "id = 1 AS b, CAST('hi' AS BINARY) AS bin FROM pgt WHERE id = 1",
+        [],
+    )
+    c.bind("", "s13", [], result_fmts=[1])
+    c.execute("", 0)
+    msgs = c.sync()
+    (row,) = _binary_rows(msgs)
+    assert row[0] == struct.pack(">f", 1.5)
+    assert row[1] == struct.pack(">d", 2.25)
+    assert row[2] == b"\x01"
+    assert row[3] == b"hi"
+    c.close()
