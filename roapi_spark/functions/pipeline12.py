@@ -561,6 +561,75 @@ def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_delta_time_travel",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 4 = 0
+    ), src AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, 'N' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 1
+    ), merged AS (
+      SELECT b.o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL
+                  THEN b.o_totalprice * 2 ELSE b.o_totalprice
+             END AS o_totalprice
+      FROM base b LEFT JOIN src s USING (o_orderkey)
+      WHERE NOT (s.o_orderkey IS NOT NULL AND b.o_orderkey % 16 = 0)
+      UNION ALL
+      SELECT s.o_orderkey, s.o_totalprice
+      FROM src s ANTI JOIN base b USING (o_orderkey)
+    ),
+    v0 AS (SELECT CAST(0 AS BIGINT) AS version,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS sum_cents
+           FROM base),
+    v1 AS (SELECT CAST(1 AS BIGINT) AS version,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS sum_cents
+           FROM merged)
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1 ORDER BY version
+    """,
+    doc="Time travel under the driver gate: the post-MERGE Delta "
+    "artifact is read BOTH at version=0 (the pre-merge base) and at "
+    "HEAD through the pure-Python log replay, and each snapshot is "
+    "summarized (row count + exact-integer cent sum). The oracle "
+    "reconstructs both states relationally from orders, so a replay "
+    "that leaks post-merge files into the v0 snapshot (or vice versa) "
+    "hash-mismatches. Plan: two FileScans over disjoint snapshot file "
+    "lists + two global aggs + a 2-row union — snapshot resolution is "
+    "driver-side log replay, bounded by log size, never a data scan.",
+    tags=("sql", "delta"),
+)
+def q_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.config import TableSource
+    from roapi_spark.sources.delta import to_dataframe
+
+    path = _merged_orders_table(spark, sf_dir)
+
+    def snap(version: int | None, tag: int) -> DataFrame:
+        opt = {} if version is None else {"version": str(version)}
+        ts = TableSource(name=f"_tt{tag}", uri=path, format="delta", option=opt)
+        return (
+            to_dataframe(spark, ts)
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+                ).cast("bigint").alias("sum_cents"),
+            )
+            .select(
+                F.lit(tag).cast("bigint").alias("version"),
+                "n_rows",
+                "sum_cents",
+            )
+        )
+    return snap(0, 0).unionAll(snap(None, 1)).orderBy("version")
+
+
 def _zordered_orders_table(spark: SparkSession, sf_dir: str) -> str:
     """Build-once Delta artifact: orders written UNCLUSTERED across 8
     hash-partitioned files, then OPTIMIZE ZORDER BY (o_custkey,
