@@ -630,6 +630,72 @@ def q_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap(0, 0).unionAll(snap(None, 1)).orderBy("version")
 
 
+def _checkpointed_orders_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once Delta artifact exercising checkpoint-seeded replay:
+    base slice (v0), append (v1), classic parquet checkpoint at v1,
+    then a post-checkpoint append (v2). Readers must seed from the
+    checkpoint (columnar harvest, sources/delta._checkpoint_file_state)
+    and replay only v2's json on top."""
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+    from roapi_spark.sinks.delta import write_checkpoint, write_delta
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    out = snapshot_cache_dir(src, "deltackpt-v1")
+
+    def ready(d: str) -> bool:
+        return os.path.isfile(
+            os.path.join(d, "_delta_log", "_last_checkpoint")
+        ) and os.path.isfile(os.path.join(d, "_delta_log", f"{2:020d}.json"))
+
+    def build(tmp: str) -> None:
+        orders = spark.read.parquet(src).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        write_delta(orders.filter("o_orderkey % 3 = 0"), tmp, mode="overwrite")
+        write_delta(orders.filter("o_orderkey % 3 = 1"), tmp, mode="append")
+        write_checkpoint(tmp)
+        write_delta(orders.filter("o_orderkey % 3 = 2"), tmp, mode="append")
+
+    return build_once(out, ready, build)
+
+
+@register(
+    "q_delta_checkpoint_read",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    """,
+    doc="Checkpoint-seeded replay under the driver gate: the artifact "
+    "has a classic parquet checkpoint at v1 (written by "
+    "sinks/delta.write_checkpoint) plus a post-checkpoint json commit; "
+    "the reader seeds its active set from the checkpoint via the "
+    "columnar struct-field harvest and replays only v2 on top. The "
+    "oracle is the full orders table (the three slices partition it), "
+    "so a checkpoint that drops/duplicates adds, or a replay that "
+    "re-applies pre-checkpoint commits, hash-mismatches. Plan: one "
+    "FileScan over the snapshot file list + global agg; checkpoint "
+    "parsing is driver-side and columnar (0.23 s at 100k adds, "
+    "docs/SCALE.md round-9).",
+    tags=("sql", "delta"),
+)
+def q_delta_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.config import TableSource
+    from roapi_spark.sources.delta import to_dataframe
+
+    path = _checkpointed_orders_table(spark, sf_dir)
+    ts = TableSource(name="_ckpt", uri=path, format="delta", option={})
+    return to_dataframe(spark, ts).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_cust"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        ).cast("bigint").alias("sum_cents"),
+    )
+
+
 def _zordered_orders_table(spark: SparkSession, sf_dir: str) -> str:
     """Build-once Delta artifact: orders written UNCLUSTERED across 8
     hash-partitioned files, then OPTIMIZE ZORDER BY (o_custkey,

@@ -151,6 +151,7 @@ KNOWN_TAGS = (
     "dsirlr-b256-src0-v1",  # suffix tracks DSIR_BUCKETS + DSIR_TARGET
     "deltamerge-v1",  # post-MERGE Delta table (q_delta_merge's serve path)
     "deltazorder-v1",  # ZORDER-clustered Delta table (q_delta_zorder's serve path)
+    "deltackpt-v1",  # checkpointed Delta table (q_delta_checkpoint_read)
     "bpe-m8-v1",  # learned BPE merges + post-merge vocab (suffix = BPE_MERGES)
 )
 
