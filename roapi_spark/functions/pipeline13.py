@@ -1,0 +1,271 @@
+"""Batch 13: source-format gates under the driver oracle.
+
+Every loader in SURVEY.md §2's S-rows is pytest-covered, but until this
+module only the delta family was ALSO driven end-to-end by the external
+correctness gate (Spark loader vs DuckDB oracle at sf0.01). Each query
+here materializes a deterministic slice of ``orders`` INTO the format
+under test — through this repo's own encoders where they exist
+(avro_lite container writer, hand-rolled OOXML for xlsx, stdlib sqlite)
+— then loads it back through ``roapi_spark.sources.load_table`` (the
+exact path the server's table registration uses, reference:
+columnq/src/table/mod.rs dispatch) and aggregates. The oracle computes
+the same aggregate from the raw parquet, so a loader that drops rows,
+mangles types, mis-infers a schema, or mis-decodes a value
+hash-mismatches.
+
+The artifact is a build-once directory holding all format files; the
+build collects the 1/10 orders slice to the driver (1.5k rows at
+sf0.01) — a bounded fixture write, not a data-path pattern.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roapi_spark.plans.registry import register
+
+_COLS = ["o_orderkey", "o_custkey", "o_orderstatus"]
+
+_SRC_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           MIN(o_orderstatus) AS min_status,
+           MAX(o_orderstatus) AS max_status
+    FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
+def _rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, int, str]]:
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter("o_orderkey % 10 = 0")
+        .select(*_COLS)
+        .orderBy("o_orderkey")
+    )
+    return [(r[0], r[1], r[2]) for r in df.collect()]
+
+
+def _col_letters(ci: int) -> str:
+    out = ""
+    ci += 1
+    while ci:
+        ci, rem = divmod(ci - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def _write_xlsx(path: str, rows: list[list]) -> None:
+    """Minimal OOXML workbook (ECMA-376: workbook + one sheet + shared
+    strings) — numbers as inline <v>, strings via the shared table."""
+    shared: list[str] = []
+
+    def cell(ref: str, v) -> str:
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        if v not in shared:
+            shared.append(v)
+        return f'<c r="{ref}" t="s"><v>{shared.index(v)}</v></c>'
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    body = "".join(
+        f'<row r="{ri + 1}">'
+        + "".join(cell(f"{_col_letters(ci)}{ri + 1}", v) for ci, v in enumerate(row))
+        + "</row>"
+        for ri, row in enumerate(rows)
+    )
+    sst = "".join(f"<si><t>{s}</t></si>" for s in shared)
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook {ns} {rns}><sheets>'
+            f'<sheet name="orders" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+            'relationships"><Relationship Id="rId1" Type="http://schemas.'
+            "openxmlformats.org/officeDocument/2006/relationships/worksheet\" "
+            'Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        zf.writestr("xl/sharedStrings.xml", f"<sst {ns}>{sst}</sst>")
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f"<worksheet {ns}><sheetData>{body}</sheetData></worksheet>",
+        )
+
+
+def _formats_dir(spark: SparkSession, sf_dir: str) -> str:
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+    from roapi_spark.sources.avro_lite import write_container
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    out = snapshot_cache_dir(src, "srcfmt-v1")
+    names = (
+        "orders.csv", "orders.ndjson", "orders.json", "orders.arrow",
+        "orders.arrows", "orders.avro", "orders_orc", "orders.db",
+        "orders.xlsx",
+    )
+
+    def ready(d: str) -> bool:
+        return all(os.path.exists(os.path.join(d, n)) for n in names)
+
+    def build(tmp: str) -> None:
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        os.makedirs(tmp, exist_ok=True)
+        rows = _rows(spark, sf_dir)
+
+        with open(os.path.join(tmp, "orders.csv"), "w") as f:
+            f.write(",".join(_COLS) + "\n")
+            for k, c, s in rows:
+                f.write(f"{k},{c},{s}\n")
+
+        with open(os.path.join(tmp, "orders.ndjson"), "w") as f:
+            for k, c, s in rows:
+                f.write(json.dumps(dict(zip(_COLS, (k, c, s)))) + "\n")
+
+        # nested document + RFC-6901 pointer (json.rs:57-80 parity shape)
+        with open(os.path.join(tmp, "orders.json"), "w") as f:
+            json.dump(
+                {"meta": {"table": "orders"},
+                 "data": {"rows": [dict(zip(_COLS, r)) for r in rows]}},
+                f,
+            )
+
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        with ipc.new_file(os.path.join(tmp, "orders.arrow"), tbl.schema) as w:
+            w.write_table(tbl)
+        with ipc.new_stream(os.path.join(tmp, "orders.arrows"), tbl.schema) as w:
+            w.write_table(tbl)
+
+        schema = {
+            "type": "record",
+            "name": "orders",
+            "fields": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "o_custkey", "type": "long"},
+                {"name": "o_orderstatus", "type": "string"},
+            ],
+        }
+        with open(os.path.join(tmp, "orders.avro"), "wb") as f:
+            f.write(
+                write_container(
+                    schema,
+                    [dict(zip(_COLS, r)) for r in rows],
+                    codec="deflate",
+                )
+            )
+
+        (
+            spark.createDataFrame(rows, "o_orderkey bigint, o_custkey bigint, o_orderstatus string")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .orc(os.path.join(tmp, "orders_orc"))
+        )
+
+        conn = sqlite3.connect(os.path.join(tmp, "orders.db"))
+        conn.execute(
+            "CREATE TABLE orders (o_orderkey INTEGER, o_custkey INTEGER, "
+            "o_orderstatus TEXT)"
+        )
+        conn.executemany("INSERT INTO orders VALUES (?,?,?)", rows)
+        conn.commit()
+        conn.close()
+
+        _write_xlsx(
+            os.path.join(tmp, "orders.xlsx"),
+            [list(_COLS)] + [list(r) for r in rows],
+        )
+
+    return build_once(out, ready, build)
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).cast("bigint").alias("sum_key"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_cust"),
+        F.min("o_orderstatus").alias("min_status"),
+        F.max("o_orderstatus").alias("max_status"),
+    )
+
+
+def _load(spark: SparkSession, path: str, fmt: str, option: dict | None = None):
+    from roapi_spark.config import TableSource
+    from roapi_spark.sources import load_table
+
+    return load_table(
+        spark,
+        TableSource(name="_fmt", uri=path, format=fmt, option=option or {}),
+    )
+
+
+def _gate(name: str, fmt: str, filename: str, option: dict | None = None,
+          doc_extra: str = ""):
+    @register(
+        name,
+        oracle=_SRC_ORACLE,
+        doc=f"Source-format gate for the {fmt} loader: a deterministic "
+        f"orders slice is materialized as {filename} and read back "
+        f"through sources.load_table (the server's registration path), "
+        f"then aggregated; the oracle computes the same aggregate from "
+        f"the raw parquet, so dropped rows / type mangling / schema "
+        f"mis-inference hash-mismatch. {doc_extra}Plan: fixture-sized "
+        f"scan + global agg — the gate exercises decode correctness, "
+        f"not scale (the scale path for bulk data is parquet/delta).",
+        tags=("source", fmt),
+    )
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        d = _formats_dir(spark, sf_dir)
+        df = _load(spark, os.path.join(d, filename), fmt, option)
+        return _agg(
+            df.select(
+                F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                F.col("o_custkey").cast("bigint").alias("o_custkey"),
+                F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+            )
+        )
+
+    q.__name__ = name
+    return q
+
+
+q_src_csv = _gate("q_src_csv", "csv", "orders.csv",
+                  option={"has_header": True},
+                  doc_extra="Schema inference over headered CSV. ")
+q_src_ndjson = _gate("q_src_ndjson", "ndjson", "orders.ndjson")
+q_src_json_pointer = _gate(
+    "q_src_json_pointer", "json", "orders.json",
+    option={"pointer": "/data/rows"},
+    doc_extra="RFC-6901 pointer walk into a nested document. ")
+q_src_arrow_file = _gate("q_src_arrow_file", "arrow", "orders.arrow")
+q_src_arrow_stream = _gate("q_src_arrow_stream", "arrows", "orders.arrows")
+q_src_avro = _gate(
+    "q_src_avro", "avro", "orders.avro",
+    doc_extra="Write side uses this repo's own avro_lite container "
+    "encoder (deflate codec), so the gate pins encoder+decoder. ")
+q_src_orc = _gate("q_src_orc", "orc", "orders_orc")
+q_src_sqlite = _gate(
+    "q_src_sqlite", "sqlite", "orders.db",
+    option={"table": "orders"},
+    doc_extra="stdlib sqlite3 database file through the database "
+    "loader (S10). ")
+q_src_xlsx = _gate(
+    "q_src_xlsx", "xlsx", "orders.xlsx",
+    doc_extra="Hand-rolled ECMA-376 workbook (shared strings + numeric "
+    "cells) through the pure-Python xlsx decoder (S8). ")

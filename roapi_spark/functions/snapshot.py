@@ -152,6 +152,7 @@ KNOWN_TAGS = (
     "deltamerge-v1",  # post-MERGE Delta table (q_delta_merge's serve path)
     "deltazorder-v1",  # ZORDER-clustered Delta table (q_delta_zorder's serve path)
     "deltackpt-v1",  # checkpointed Delta table (q_delta_checkpoint_read)
+    "srcfmt-v1",  # source-format gate fixtures (pipeline13 q_src_*)
     "bpe-m8-v1",  # learned BPE merges + post-merge vocab (suffix = BPE_MERGES)
 )
 
