@@ -109,9 +109,9 @@ def _formats_dir(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "orders.parquet")
     out = snapshot_cache_dir(src, "srcfmt-v1")
     names = (
-        "orders.csv", "orders.ndjson", "orders.json", "orders.arrow",
-        "orders.arrows", "orders.avro", "orders_orc", "orders.db",
-        "orders.xlsx",
+        "orders.csv", "orders.tsv", "orders.ndjson", "orders.json",
+        "orders.arrow", "orders.arrows", "orders.avro", "orders_orc",
+        "orders.db", "orders.xlsx",
     )
 
     def ready(d: str) -> bool:
@@ -128,6 +128,11 @@ def _formats_dir(spark: SparkSession, sf_dir: str) -> str:
             f.write(",".join(_COLS) + "\n")
             for k, c, s in rows:
                 f.write(f"{k},{c},{s}\n")
+
+        with open(os.path.join(tmp, "orders.tsv"), "w") as f:
+            f.write("\t".join(_COLS) + "\n")
+            for k, c, s_ in rows:
+                f.write(f"{k}\t{c}\t{s_}\n")
 
         with open(os.path.join(tmp, "orders.ndjson"), "w") as f:
             for k, c, s in rows:
@@ -269,3 +274,102 @@ q_src_xlsx = _gate(
     "q_src_xlsx", "xlsx", "orders.xlsx",
     doc_extra="Hand-rolled ECMA-376 workbook (shared strings + numeric "
     "cells) through the pure-Python xlsx decoder (S8). ")
+
+
+q_src_tsv = _gate("q_src_tsv", "tsv", "orders.tsv",
+                  option={"has_header": True},
+                  doc_extra="Tab-delimiter variant of the CSV loader. ")
+
+
+@register(
+    "q_src_hive_partitioned",
+    oracle=_SRC_ORACLE,
+    doc="Hive-partition discovery gate (S13): the orders slice is "
+    "written as o_orderstatus=<v>/ directories; the parquet loader must "
+    "reconstruct the partition column from the directory names (the "
+    "data files do not carry it) and the values must round-trip "
+    "exactly. Aggregates include the partition column, so a dropped or "
+    "mis-decoded partition value hash-mismatches. Plan: partition-"
+    "discovering FileScan + global agg.",
+    tags=("source", "parquet"),
+)
+def q_src_hive_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    out = snapshot_cache_dir(src, "srchive-v1")
+
+    def ready(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    def build(tmp: str) -> None:
+        (
+            spark.read.parquet(src)
+            .filter("o_orderkey % 10 = 0")
+            .select(*_COLS)
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(tmp)
+        )
+
+    d = build_once(out, ready, build)
+    return _agg(
+        _load(spark, d, "parquet").select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        )
+    )
+
+
+@register(
+    "q_src_http",
+    oracle=_SRC_ORACLE,
+    doc="HTTP IO-backend gate (S12): the csv fixture is served from an "
+    "ephemeral localhost http.server and registered with an http:// "
+    "uri — sources.http.fetch_to_local must download it, sniff/keep "
+    "the csv format, and hand it to the csv loader. No external "
+    "network: the server binds 127.0.0.1 for the duration of the "
+    "load only. Plan: identical to q_src_csv after the fetch.",
+    tags=("source", "http"),
+)
+def q_src_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import http.server
+    import socketserver
+    import threading
+
+    d = _formats_dir(spark, sf_dir)
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=d, **kw)
+
+        def log_message(self, *a):  # noqa: D102 — quiet
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), Handler) as srv:
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            df = _load(
+                spark,
+                f"http://127.0.0.1:{port}/orders.csv",
+                "csv",
+                {"has_header": True},
+            )
+            out = _agg(
+                df.select(
+                    F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                    F.col("o_custkey").cast("bigint").alias("o_custkey"),
+                    F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+                )
+            )
+            # materialize before the server dies: the fetch is eager
+            # (fetch_to_local downloads at registration), but keep the
+            # window explicit
+            out.count()
+            return out
+        finally:
+            srv.shutdown()
+            t.join(timeout=5)

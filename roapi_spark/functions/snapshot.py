@@ -153,6 +153,7 @@ KNOWN_TAGS = (
     "deltazorder-v1",  # ZORDER-clustered Delta table (q_delta_zorder's serve path)
     "deltackpt-v1",  # checkpointed Delta table (q_delta_checkpoint_read)
     "srcfmt-v1",  # source-format gate fixtures (pipeline13 q_src_*)
+    "srchive-v1",  # hive-partitioned gate fixture (q_src_hive_partitioned)
     "bpe-m8-v1",  # learned BPE merges + post-merge vocab (suffix = BPE_MERGES)
 )
 
