@@ -630,6 +630,61 @@ def test_delta_table_through_http_api(base_url, spark, tmp_path_factory):
     assert json.loads(out) == [{"id": 3, "name": "c"}]
 
 
+def test_delta_dml_through_http_api(base_url, spark, tmp_path_factory):
+    """Row-level DML over the live HTTP server (read-write catalog):
+    INSERT, UPDATE, DELETE and MERGE posted to /api/sql must route to
+    the copy-on-write delta sink, commit atomically, and be visible to
+    the very next read on the same endpoint — the full user-facing
+    lakehouse write path."""
+    from roapi_spark.sinks.delta import write_delta
+
+    url, _root = base_url
+    d = str(tmp_path_factory.mktemp("dml_e2e") / "inv")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id bigint, name string, price double",
+        ),
+        d,
+        mode="overwrite",
+    )
+    body = json.dumps(
+        [{"tableName": "inv", "uri": d, "option": {"format": "delta"}}]
+    ).encode()
+    assert _req(f"{url}/api/table", "POST", body)[0] == 200
+
+    def sql(stmt: str):
+        status, _, out = _req(f"{url}/api/sql", "POST", stmt.encode())
+        assert status == 200, out
+        return json.loads(out)
+
+    assert sql("INSERT INTO inv VALUES (4, 'd', 40.0)")[0]["version"] == 1
+    assert sql("UPDATE inv SET price = price * 2 WHERE id <= 2")[0]["version"] == 2
+    assert sql("DELETE FROM inv WHERE id = 3")[0]["version"] == 3
+    # MERGE needs a registered source table
+    src = str(tmp_path_factory.mktemp("dml_e2e_src") / "fix.parquet")
+    spark.createDataFrame(
+        [(4, "dd", 99.0), (5, "e", 50.0)], "id bigint, name string, price double"
+    ).write.parquet(src)
+    assert _req(
+        f"{url}/api/table",
+        "POST",
+        json.dumps([{"tableName": "fix", "uri": src}]).encode(),
+    )[0] == 200
+    out = sql(
+        "MERGE INTO inv t USING fix s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert out[0]["version"] == 4
+    got = {r["id"]: (r["name"], r["price"]) for r in sql("SELECT * FROM inv")}
+    assert got == {
+        1: ("a", 20.0),
+        2: ("b", 40.0),
+        4: ("dd", 99.0),
+        5: ("e", 50.0),
+    }
+
+
 def test_runtime_error_yields_400_and_server_survives(base_url):
     """A query that fails at EXECUTION time (ANSI divide-by-zero — not a
     parse/analysis error) maps to the reference's 400 error shape and
