@@ -39,6 +39,13 @@ def main(argv: list[str] | None = None) -> int:
         default="table",
         choices=["table", "json", "csv", "parquet", "arrow", "arrows"],
     )
+    sql.add_argument(
+        "-d",
+        "--disable-read-only",
+        action="store_true",
+        help="allow SQL DML (INSERT/UPDATE/DELETE/MERGE) against "
+        "delta-backed tables — same flag as the server",
+    )
     args = ap.parse_args(argv)
 
     from roapi_spark.catalog import Catalog
@@ -47,7 +54,7 @@ def main(argv: list[str] | None = None) -> int:
     from roapi_spark.session import get_spark
 
     spark = get_spark("roapi_spark_cli")
-    cat = Catalog(spark)
+    cat = Catalog(spark, read_only=not args.disable_read_only)
     for t in args.table:
         cat.load_table(parse_table_uri_arg(t))
 

@@ -1,0 +1,62 @@
+"""CLI one-shot coverage (reference: columnq-cli/src/main.rs): table and
+json outputs, and the -d/--disable-read-only flag gating SQL DML (the
+same flag the server exposes; the reference CLI is read-only, the DML
+surface is this repo's extension)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from roapi_spark import cli
+from tests.conftest import spark  # noqa: F401
+
+
+@pytest.fixture()
+def csv_table(tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("id,name\n1,a\n2,b\n")
+    return str(p)
+
+
+def test_cli_one_shot_table_output(spark, csv_table, capsys):
+    assert cli.main(["sql", "SELECT count(*) AS n FROM t", "-t", f"t={csv_table}"]) == 0
+    out = capsys.readouterr().out
+    assert "| n" in out and "| 2" in out
+
+
+def test_cli_one_shot_json_output(spark, csv_table, capsys):
+    assert (
+        cli.main(
+            ["sql", "SELECT id FROM t ORDER BY id", "-t", f"t={csv_table}",
+             "-o", "json"]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert json.loads(out) == [{"id": 1}, {"id": 2}]
+
+
+def test_cli_dml_requires_disable_read_only(spark, tmp_path, capsys):
+    from roapi_spark.catalog import ReadOnlyError
+    from roapi_spark.sinks.delta import write_delta
+
+    d = str(tmp_path / "inv")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string"),
+        d,
+        mode="overwrite",
+    )
+    targ = f"inv={d},format=delta"
+    with pytest.raises(ReadOnlyError):
+        cli.main(["sql", "DELETE FROM inv WHERE id = 2", "-t", targ])
+    # with -d the DML routes to the sink and the summary row prints
+    assert cli.main(["sql", "DELETE FROM inv WHERE id = 2", "-t", targ, "-d"]) == 0
+    out = capsys.readouterr().out
+    assert "DELETE" in out
+    assert os.path.isfile(os.path.join(d, "_delta_log", f"{1:020d}.json"))
+    capsys.readouterr()
+    assert cli.main(["sql", "SELECT count(*) AS n FROM inv", "-t", targ]) == 0
+    assert "| 1" in capsys.readouterr().out

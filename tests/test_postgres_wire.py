@@ -478,3 +478,41 @@ def test_extended_binary_float_bool_bytea(pg):
     assert row[2] == b"\x01"
     assert row[3] == b"hi"
     c.close()
+
+
+def test_dml_through_pg_wire(spark, tmp_path_factory):
+    """Row-level DML over the wire (read-write catalog): simple-protocol
+    DELETE and extended-protocol UPDATE against a delta table must route
+    to the copy-on-write sink, return the 1-row DML summary, and be
+    visible to the next SELECT on the same connection."""
+    from roapi_spark.sinks.delta import write_delta
+
+    root = tmp_path_factory.mktemp("pgdml")
+    d = str(root / "inv")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id bigint, name string, price double",
+        ),
+        d,
+        mode="overwrite",
+    )
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(parse_table_config({"name": "inv", "uri": d, "option": {"format": "delta"}}))
+    server = PostgresServer(cat)
+    server.start()
+    try:
+        c = MiniPgClient(server.port)
+        rows = parse_data_rows(c.query("DELETE FROM inv WHERE id = 3"))
+        assert rows and rows[0][0] == "DELETE" and rows[0][2] == "1"
+        # extended protocol UPDATE with a bound parameter
+        c.parse("u1", "UPDATE inv SET price = price * 10 WHERE id = $1", [20])
+        c.bind("", "u1", [b"2"])
+        c.execute("", 0)
+        msgs = c.sync()
+        assert any(t == b"D" for t, _ in msgs)  # summary row came back
+        got = parse_data_rows(c.query("SELECT id, price FROM inv ORDER BY id"))
+        assert got == [("1", "10.0"), ("2", "200.0")]
+        c.close()
+    finally:
+        server.stop()
