@@ -298,3 +298,36 @@ def test_flightsql_table_types_and_xdbc_type_info(served):
         ).endpoints[0].ticket
     ).read_all()
     assert only.column("type_name").to_pylist() == ["BIGINT"]
+
+
+def test_dml_through_flightsql(spark, tmp_path_factory):
+    """SQL DML over Arrow Flight (read-write catalog): a DELETE routed
+    through get_flight_info/do_get returns the 1-row DML summary batch,
+    and the commit is visible to the next Flight query."""
+    from roapi_spark.sinks.delta import write_delta
+
+    root = tmp_path_factory.mktemp("flightdml")
+    d = str(root / "inv")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id bigint, name string"),
+        d,
+        mode="overwrite",
+    )
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(parse_table_config({"name": "inv", "uri": d, "option": {"format": "delta"}}))
+    server = SparkFlightServer(cat)
+    try:
+        client = flight.connect(f"grpc://127.0.0.1:{server.port}")
+        info = client.get_flight_info(
+            flight.FlightDescriptor.for_command(b"DELETE FROM inv WHERE id >= 2")
+        )
+        t = client.do_get(info.endpoints[0].ticket).read_all()
+        assert t.column("operation").to_pylist() == ["DELETE"]
+        assert t.column("version").to_pylist() == [1]
+        info2 = client.get_flight_info(
+            flight.FlightDescriptor.for_command(b"SELECT id FROM inv")
+        )
+        t2 = client.do_get(info2.endpoints[0].ticket).read_all()
+        assert t2.column("id").to_pylist() == [1]
+    finally:
+        server.shutdown()
