@@ -373,3 +373,298 @@ def q_src_http(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             srv.shutdown()
             t.join(timeout=5)
+
+
+@register(
+    "q_src_hudi",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                         THEN o_custkey + 1000000 ELSE o_custkey END)
+                AS BIGINT) AS sum_cust,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+    doc="Hudi CoW timeline gate: a hand-built .hoodie table (public "
+    "Hudi layout — hoodie.properties, completed commit instants, "
+    "hive-partitioned base files named fileId_writeToken_instant) with "
+    "three instants: initial write per status partition, a "
+    "copy-on-write UPDATE rewriting the 'O' partition's file group "
+    "(custkey shifted by 1e6 — the oracle replicates the shift), and a "
+    "replacecommit re-clustering another partition. The loader must "
+    "serve ONLY each file group's latest base file, honor the "
+    "replacecommit tombstone, reconstruct the partition column from "
+    "the path, and ignore the planted inflight instant. Plan: "
+    "fixture-sized FileScan + global agg.",
+    tags=("source", "hudi"),
+)
+def q_src_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    out = snapshot_cache_dir(src, "srchudi-v1")
+
+    def ready(d: str) -> bool:
+        return os.path.exists(os.path.join(d, ".hoodie", "003.replacecommit"))
+
+    def build(tmp: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        meta = os.path.join(tmp, ".hoodie")
+        os.makedirs(meta)
+        with open(os.path.join(meta, "hoodie.properties"), "w") as f:
+            f.write("hoodie.table.name=orders\nhoodie.table.type=COPY_ON_WRITE\n")
+        rows = _rows(spark, sf_dir)
+        by_status: dict[str, list] = {}
+        for k, c, s in rows:
+            by_status.setdefault(s, []).append((k, c))
+
+        def base_file(status: str, file_id: str, instant: str, recs, shift=0):
+            part = f"o_orderstatus={status}"
+            os.makedirs(os.path.join(tmp, part), exist_ok=True)
+            name = f"{file_id}_0-1-0_{instant}.parquet"
+            pq.write_table(
+                pa.table(
+                    {
+                        "o_orderkey": pa.array([r[0] for r in recs], pa.int64()),
+                        "o_custkey": pa.array(
+                            [r[1] + shift for r in recs], pa.int64()
+                        ),
+                    }
+                ),
+                os.path.join(tmp, part, name),
+            )
+            return f"{part}/{name}"
+
+        def commit(instant: str, stats: dict, replaced=None, kind="commit"):
+            body = {"partitionToWriteStats": stats}
+            if replaced:
+                body["partitionToReplaceFileIds"] = replaced
+            with open(os.path.join(meta, f"{instant}.{kind}"), "w") as f:
+                json.dump(body, f)
+
+        statuses = sorted(by_status)
+        stats1 = {
+            f"o_orderstatus={s}": [
+                {"fileId": f"fg{i}", "path": base_file(s, f"fg{i}", "001", by_status[s])}
+            ]
+            for i, s in enumerate(statuses)
+        }
+        commit("001", stats1)
+        # 002: CoW update — rewrite the 'O' partition's file group with
+        # custkey shifted (same fileId, newer instant wins)
+        io = statuses.index("O")
+        commit(
+            "002",
+            {"o_orderstatus=O": [
+                {"fileId": f"fg{io}",
+                 "path": base_file("O", f"fg{io}", "002", by_status["O"], shift=1_000_000)}
+            ]},
+        )
+        # 003: replacecommit re-clusters the first partition into a new
+        # file group (same data, new fileId; old one tombstoned)
+        s0 = statuses[0] if statuses[0] != "O" else statuses[1]
+        i0 = statuses.index(s0)
+        commit(
+            "003",
+            {f"o_orderstatus={s0}": [
+                {"fileId": "fgR", "path": base_file(s0, "fgR", "003", by_status[s0])}
+            ]},
+            replaced={f"o_orderstatus={s0}": [f"fg{i0}"]},
+            kind="replacecommit",
+        )
+        # incomplete instants must stay invisible
+        open(os.path.join(meta, "004.commit.requested"), "w").close()
+        open(os.path.join(meta, "004.inflight"), "w").close()
+
+    d = build_once(out, ready, build)
+    df = _load(spark, d, "hudi")
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).cast("bigint").alias("sum_key"),
+        F.sum(F.col("o_custkey").cast("bigint")).cast("bigint").alias("sum_cust"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("n_status"),
+    )
+
+
+@register(
+    "q_src_iceberg",
+    oracle="""
+    WITH slice AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), a AS (
+      SELECT * FROM slice WHERE o_orderkey % 20 = 0
+        AND o_orderkey > (SELECT MIN(o_orderkey) FROM slice
+                          WHERE o_orderkey % 20 = 0)
+    ), b AS (
+      SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, o_orderstatus
+      FROM slice WHERE o_orderkey % 20 = 10
+    ), state AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+    FROM state
+    """,
+    doc="Iceberg v2 metadata gate: a hand-built table (version-hint -> "
+    "metadata.json -> manifest list -> manifests, all avro via this "
+    "repo's own avro_lite encoder) with two snapshots — snapshot 2 "
+    "removes one data file (status=2), adds its custkey-shifted "
+    "replacement, and attaches a positional delete dropping the first "
+    "row of the surviving file. The reader must serve the CURRENT "
+    "snapshot only, apply the pos-delete by (file, ordinal), and skip "
+    "the removed file; the oracle reconstructs that exact state "
+    "relationally. Plan: fixture-sized FileScan + anti-join for the "
+    "pos-delete + global agg.",
+    tags=("source", "iceberg"),
+)
+def q_src_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+    from roapi_spark.sources.avro_lite import write_container
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    out = snapshot_cache_dir(src, "srciceberg-v1")
+
+    def ready(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "metadata", "version-hint.text"))
+
+    def build(tmp: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        data = os.path.join(tmp, "data")
+        meta = os.path.join(tmp, "metadata")
+        os.makedirs(data)
+        os.makedirs(meta)
+        rows = _rows(spark, sf_dir)
+        f1_rows = [r for r in rows if r[0] % 20 == 0]
+        f2_rows = [r for r in rows if r[0] % 20 == 10]
+
+        def wpq(name: str, recs, shift: int = 0) -> str:
+            p = os.path.join(data, name)
+            pq.write_table(
+                pa.table(
+                    {
+                        "o_orderkey": pa.array([r[0] for r in recs], pa.int64()),
+                        "o_custkey": pa.array(
+                            [r[1] + shift for r in recs], pa.int64()
+                        ),
+                        "o_orderstatus": pa.array(
+                            [r[2] for r in recs], pa.string()
+                        ),
+                    }
+                ),
+                p,
+            )
+            return p
+
+        f1 = wpq("f1.parquet", f1_rows)
+        f2 = wpq("f2.parquet", f2_rows)
+        f3 = wpq("f3.parquet", f2_rows, shift=1_000_000)
+        pd = os.path.join(data, "pd1.parquet")
+        pq.write_table(
+            pa.table({"file_path": [f1], "pos": pa.array([0], pa.int64())}),
+            pd,
+        )
+
+        mf_list_schema = {
+            "type": "record",
+            "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "content", "type": "int"},
+                {"name": "added_snapshot_id", "type": "long"},
+            ],
+        }
+        mf_schema = {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"]},
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "content", "type": "int"},
+                            {"name": "file_path", "type": "string"},
+                            {"name": "file_format", "type": "string"},
+                            {"name": "record_count", "type": "long"},
+                            {"name": "file_size_in_bytes", "type": "long"},
+                            {"name": "equality_ids",
+                             "type": ["null", {"type": "array", "items": "int"}]},
+                        ],
+                    },
+                },
+            ],
+        }
+
+        def entry(path: str, status: int = 1, content: int = 0, n: int = 1):
+            return {
+                "status": status,
+                "snapshot_id": None,
+                "data_file": {
+                    "content": content,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "record_count": n,
+                    "file_size_in_bytes": 1,
+                    "equality_ids": None,
+                },
+            }
+
+        def wavro(name: str, schema: dict, recs: list) -> str:
+            p = os.path.join(meta, name)
+            with open(p, "wb") as f:
+                f.write(write_container(schema, recs))
+            return p
+
+        m1 = wavro("m1.avro", mf_schema,
+                   [entry(f1, n=len(f1_rows)), entry(f2, n=len(f2_rows))])
+        ml1 = wavro("ml1.avro", mf_list_schema, [
+            {"manifest_path": m1, "manifest_length": 1, "content": 0,
+             "added_snapshot_id": 100}])
+        m2 = wavro("m2.avro", mf_schema, [
+            entry(f1, status=0, n=len(f1_rows)),
+            entry(f2, status=2, n=len(f2_rows)),
+            entry(f3, n=len(f2_rows)),
+        ])
+        md2 = wavro("md2.avro", mf_schema, [entry(pd, content=1)])
+        ml2 = wavro("ml2.avro", mf_list_schema, [
+            {"manifest_path": m2, "manifest_length": 1, "content": 0,
+             "added_snapshot_id": 200},
+            {"manifest_path": md2, "manifest_length": 1, "content": 1,
+             "added_snapshot_id": 200}])
+        with open(os.path.join(meta, "v2.metadata.json"), "w") as f:
+            json.dump(
+                {
+                    "format-version": 2,
+                    "table-uuid": "srciceberg",
+                    "location": tmp,
+                    "current-snapshot-id": 200,
+                    "snapshots": [
+                        {"snapshot-id": 100, "timestamp-ms": 1_000,
+                         "manifest-list": ml1},
+                        {"snapshot-id": 200, "timestamp-ms": 2_000,
+                         "manifest-list": ml2},
+                    ],
+                },
+                f,
+            )
+        with open(os.path.join(meta, "version-hint.text"), "w") as f:
+            f.write("2")
+
+    d = build_once(out, ready, build)
+    df = _load(spark, d, "iceberg")
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_orderkey").cast("bigint")).cast("bigint").alias("sum_key"),
+        F.sum(F.col("o_custkey").cast("bigint")).cast("bigint").alias("sum_cust"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("n_status"),
+    )

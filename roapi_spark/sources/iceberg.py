@@ -268,8 +268,12 @@ def _rebase_dv_path(col, base: str):
     from pyspark.sql import functions as F
 
     rest = F.element_at(F.split(col, "/data/", 2), 2)
+    # base + "/": a bare prefix test would wrongly treat a SIBLING
+    # directory whose name extends the table root as "inside" it
+    # (e.g. <root>.tmp-… staging paths recorded before an atomic
+    # rename into <root>) and skip the rebase
     return F.when(
-        col.contains("/data/") & ~col.startswith(base),
+        col.contains("/data/") & ~col.startswith(base + "/"),
         F.concat(F.lit(base + "/data/"), rest),
     ).otherwise(col)
 

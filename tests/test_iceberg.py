@@ -441,3 +441,27 @@ def test_iceberg_incremental_non_append_fails_loudly(tmp_path):
     (root / "metadata" / "v1.metadata.json").write_text(_json.dumps(meta))
     with pytest.raises(LoadError, match="non-append snapshot 200"):
         incremental_files(str(root), 100)
+
+
+def test_rebase_dv_path_sibling_prefix_dir(spark):
+    """A recorded delete-file path under a SIBLING directory whose name
+    extends the table root (<root>.tmp-… staging recorded before an
+    atomic rename into <root>) must still be rebased — a bare
+    startswith(root) prefix test wrongly classifies it as inside the
+    root and skips the rebase, silently dropping the pos-delete."""
+    from pyspark.sql import functions as F
+
+    from roapi_spark.sources.iceberg import _rebase_dv_path
+
+    base = "/tables/ice"
+    df = spark.createDataFrame(
+        [("/tables/ice.tmp-99/data/f1.parquet",),   # sibling-prefix: rebase
+         ("/tables/ice/data/f2.parquet",),          # already inside: keep
+         ("/elsewhere/data/f3.parquet",)],          # moved table: rebase
+        "p string",
+    ).select(_rebase_dv_path(F.col("p"), base).alias("r"))
+    assert [r.r for r in df.collect()] == [
+        "/tables/ice/data/f1.parquet",
+        "/tables/ice/data/f2.parquet",
+        "/tables/ice/data/f3.parquet",
+    ]
