@@ -668,3 +668,51 @@ def q_src_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_custkey").cast("bigint")).cast("bigint").alias("sum_cust"),
         F.countDistinct("o_orderstatus").cast("bigint").alias("n_status"),
     )
+
+
+@register(
+    "q_src_postgres",
+    oracle=_SRC_ORACLE,
+    doc="postgres:// source gate, loopback: the csv fixture is served "
+    "by this repo's OWN pg-wire server (server/postgres.py) and read "
+    "back through the pure-Python wire-v3 client fallback "
+    "(sources/pgwire.py — the stand-in for ConnectorX when JDBC jars "
+    "are absent, columnq/src/table/database.rs:37-73), typed decode "
+    "included. One oracle row gates server encode + client decode + "
+    "loader registration together. No external network: the server "
+    "binds 127.0.0.1 for the duration of the load.",
+    tags=("source", "postgres"),
+)
+def q_src_postgres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.catalog import Catalog
+    from roapi_spark.config import parse_table_config
+    from roapi_spark.server.postgres import PostgresServer
+
+    d = _formats_dir(spark, sf_dir)
+    cat = Catalog(spark)
+    cat.load_table(
+        parse_table_config(
+            {"name": "orders", "uri": os.path.join(d, "orders.csv"),
+             "option": {"format": "csv"}}
+        )
+    )
+    server = PostgresServer(cat)
+    server.start()
+    try:
+        df = _load(
+            spark,
+            f"postgres://gate@127.0.0.1:{server.port}/postgres",
+            "postgres",
+            {"table": "orders"},
+        )
+        out = _agg(
+            df.select(
+                F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                F.col("o_custkey").cast("bigint").alias("o_custkey"),
+                F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+            )
+        )
+        out.count()  # materialize while the server is up (wire read is eager)
+        return out
+    finally:
+        server.stop()
