@@ -716,3 +716,118 @@ def q_src_postgres(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         server.stop()
+
+
+# --- response-encoder gates (E-rows): encode -> re-ingest -> oracle ---------
+
+def _enc_gate(name: str, fmt: str, reload_fmt: str, suffix: str,
+              reload_option: dict | None = None):
+    @register(
+        name,
+        oracle=_SRC_ORACLE,
+        doc=f"Response-encoder gate for the {fmt} encoder (E-rows): the "
+        f"orders slice is encoded through encoders.encode_batches_iter "
+        f"(the SAME streaming path the HTTP content-negotiation layer "
+        f"uses — chunked, memory-bounded), the bytes are written to a "
+        f"file, re-ingested through the {reload_fmt} loader, and "
+        f"aggregated against the shared parquet oracle. A lossy or "
+        f"misframed encoding (wrong quoting, truncated stream, schema "
+        f"drift) hash-mismatches. Plan: fixture-sized encode/decode + "
+        f"global agg.",
+        tags=("encoder", fmt),
+    )
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from roapi_spark.encoders import encode_batches_iter
+        from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+
+        out_dir = snapshot_cache_dir(
+            os.path.join(sf_dir, "orders.parquet"), "encgate-v1"
+        )
+        fname = f"orders{suffix}"
+
+        def ready(d: str) -> bool:
+            return os.path.exists(os.path.join(d, fname))
+
+        def build(tmp: str) -> None:
+            os.makedirs(tmp, exist_ok=True)
+            src = (
+                spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+                .filter("o_orderkey % 10 = 0")
+                .select(*_COLS)
+            )
+            with open(os.path.join(tmp, fname), "wb") as f:
+                # small chunks force the multi-chunk framing paths
+                for chunk in encode_batches_iter(src, fmt, chunk_rows=257):
+                    f.write(chunk)
+
+        d = build_once(out_dir, ready, build)
+        df = _load(spark, os.path.join(d, fname), reload_fmt, reload_option)
+        return _agg(
+            df.select(
+                F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                F.col("o_custkey").cast("bigint").alias("o_custkey"),
+                F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+            )
+        )
+
+    q.__name__ = name
+    return q
+
+
+q_enc_csv = _enc_gate("q_enc_csv", "csv", "csv", ".csv",
+                      {"has_header": True})
+q_enc_arrows = _enc_gate("q_enc_arrows", "arrows", "arrows", ".arrows")
+
+
+def _enc_single_gate(name: str, fmt: str, reload_fmt: str, suffix: str,
+                     reload_option: dict | None = None):
+    @register(
+        name,
+        oracle=_SRC_ORACLE,
+        doc=f"Response-encoder gate for the single-shot {fmt} encoder "
+        f"(encoders.encode_dataframe — the exact function the HTTP "
+        f"content-negotiation layer and the CLI -o path call): encode "
+        f"the orders slice, re-ingest through the {reload_fmt} loader, "
+        f"aggregate against the shared parquet oracle. Plan: "
+        f"fixture-sized encode/decode + global agg.",
+        tags=("encoder", fmt),
+    )
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from roapi_spark.encoders import encode_dataframe
+        from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+
+        out_dir = snapshot_cache_dir(
+            os.path.join(sf_dir, "orders.parquet"), "encgate-v1"
+        )
+        fname = f"orders_single{suffix}"
+
+        def ready(d: str) -> bool:
+            return os.path.exists(os.path.join(d, fname))
+
+        def build(tmp: str) -> None:
+            os.makedirs(tmp, exist_ok=True)
+            src = (
+                spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+                .filter("o_orderkey % 10 = 0")
+                .select(*_COLS)
+            )
+            with open(os.path.join(tmp, fname), "wb") as f:
+                f.write(encode_dataframe(src, fmt))
+
+        d = build_once(out_dir, ready, build)
+        df = _load(spark, os.path.join(d, fname), reload_fmt, reload_option)
+        return _agg(
+            df.select(
+                F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                F.col("o_custkey").cast("bigint").alias("o_custkey"),
+                F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+            )
+        )
+
+    q.__name__ = name
+    return q
+
+
+q_enc_json = _enc_single_gate("q_enc_json", "json", "json", ".json")
+q_enc_arrow_file = _enc_single_gate("q_enc_arrow_file", "arrow", "arrow", ".arrow")
+q_enc_parquet = _enc_single_gate("q_enc_parquet", "parquet", "parquet", ".parquet")

@@ -156,6 +156,7 @@ KNOWN_TAGS = (
     "srchive-v1",  # hive-partitioned gate fixture (q_src_hive_partitioned)
     "srchudi-v1",  # Hudi CoW timeline gate fixture (q_src_hudi)
     "srciceberg-v1",  # Iceberg v2 metadata gate fixture (q_src_iceberg)
+    "encgate-v1",  # response-encoder gate outputs (pipeline13 q_enc_*)
     "bpe-m8-v1",  # learned BPE merges + post-merge vocab (suffix = BPE_MERGES)
 )
 

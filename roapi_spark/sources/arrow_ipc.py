@@ -17,6 +17,7 @@ import pyarrow.ipc as ipc
 from pyspark.sql import DataFrame, SparkSession
 
 from roapi_spark.config import TableSource
+from roapi_spark.sources import LoadError
 
 
 def _files(uri: str, exts: tuple[str, ...]) -> list[str]:
@@ -33,9 +34,23 @@ def _files(uri: str, exts: tuple[str, ...]) -> list[str]:
 
 def _read_one(path: str, stream: bool) -> pa.Table:
     with open(path, "rb") as f:
-        if stream:
-            return ipc.open_stream(f).read_all()
-        return ipc.open_file(f).read_all()
+        if not stream:
+            return ipc.open_file(f).read_all()
+        # a .arrows file may hold SEVERAL concatenated IPC streams (the
+        # chunked-export shape encoders.encode_batches_iter documents as
+        # concat-safe): drain streams until EOF instead of silently
+        # returning only the first chunk
+        parts: list[pa.Table] = []
+        size = os.fstat(f.fileno()).st_size
+        while f.tell() < size:
+            parts.append(ipc.open_stream(f).read_all())
+        if not parts:
+            raise LoadError(f"empty arrow stream file: {path}")
+        return (
+            parts[0]
+            if len(parts) == 1
+            else pa.concat_tables(parts, promote_options="permissive")
+        )
 
 
 def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
