@@ -831,3 +831,43 @@ def _enc_single_gate(name: str, fmt: str, reload_fmt: str, suffix: str,
 q_enc_json = _enc_single_gate("q_enc_json", "json", "json", ".json")
 q_enc_arrow_file = _enc_single_gate("q_enc_arrow_file", "arrow", "arrow", ".arrow")
 q_enc_parquet = _enc_single_gate("q_enc_parquet", "parquet", "parquet", ".parquet")
+
+
+@register(
+    "q_kv_lookup",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS k, o_orderstatus AS v
+    FROM orders
+    WHERE o_orderkey IN (10, 20, 30, 40, 50)
+    ORDER BY o_orderkey
+    """,
+    doc="Key-value store gate (M4, columnq.rs:275-331 parity): the csv "
+    "fixture is registered through catalog.load_kv (key/value columns "
+    "materialized to a driver dict — the reference's HashMap contract, "
+    "Utf8-stringified) and five deterministic keys are looked up via "
+    "kv_get, the same call the /api/kv/{name}/{key} route makes. The "
+    "oracle selects the same pairs relationally, so a mis-keyed or "
+    "value-mangling materialization hash-mismatches. Plan: driver-side "
+    "dict build from one fixture scan + a 5-row local DataFrame.",
+    tags=("kv", "api"),
+)
+def q_kv_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.catalog import Catalog
+    from roapi_spark.config import parse_kv_config
+
+    d = _formats_dir(spark, sf_dir)
+    cat = Catalog(spark)
+    cat.load_kv(
+        parse_kv_config(
+            {
+                "name": "status_by_key",
+                "uri": os.path.join(d, "orders.csv"),
+                "option": {"format": "csv"},
+                "key": "o_orderkey",
+                "value": "o_orderstatus",
+            }
+        )
+    )
+    keys = ["10", "20", "30", "40", "50"]
+    rows = [(k, cat.kv_get("status_by_key", k)) for k in keys]
+    return spark.createDataFrame(rows, "k string, v string")
