@@ -205,20 +205,6 @@ def main() -> None:
     # above); the stdout line must stay under the driver's ~2KB tail
     # capture (round 4's full-registry line overflowed it and the perf
     # record was lost — VERDICT r4 item #1).
-    detail = {
-        "metric": "headline_queries_total_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "subset61_sec": subset61,
-        "sink": "noop",
-        "subset61_sink": "count",
-    }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
-        json.dump(detail, f, indent=1)
-
     def family(name: str) -> str:
         if re.match(r"q\d+_", name):
             return "tpch"
@@ -238,6 +224,21 @@ def main() -> None:
         f = fams.setdefault(family(n), {"sec": 0.0, "n": 0})
         f["sec"] = round(f["sec"] + v, 2)
         f["n"] += 1
+
+    detail = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "subset61_sec": subset61,
+        "sink": "noop",
+        "subset61_sink": "count",
+        "families": fams,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
 
     # stdout: historical 61-query map (2-decimal) for round-over-round
     # comparability + per-family subtotals over the full registry. Guarded:
@@ -267,6 +268,12 @@ def main() -> None:
         line_obj["queries"] = {
             n: v for n, v in line_obj["queries"].items() if n not in _POST61
         }
+        line = json.dumps(line_obj)
+    if len(line) > 1900:
+        # families (with per-family query counts) are the like-for-like
+        # cross-round series — shed the per-query map before them
+        # (BENCH_DETAIL.json keeps every figure)
+        line_obj.pop("queries", None)
         line = json.dumps(line_obj)
     if len(line) > 1900:
         line_obj.pop("families", None)
