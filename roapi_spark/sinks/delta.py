@@ -276,33 +276,88 @@ def write_delta(
         }
     )
 
-    # 3) atomic publish: O_EXCL create of the next version file — losing
-    #    a race surfaces as a conflict, never a half-visible table
-    return _atomic_commit(path, version, actions, rels)
+    # 3) atomic publish: O_EXCL create of the next version file. An
+    #    append reads no table state, so a lost race auto-retries at the
+    #    new tail (delta-spark append semantics — see _atomic_commit);
+    #    overwrite's removes are pinned to the snapshot it listed, and a
+    #    racing create-vs-create is a real conflict, so neither retries.
+    return _atomic_commit(
+        path,
+        version,
+        actions,
+        rels,
+        append_retry=(mode == "append" and version > 0),
+    )
+
+
+def _intervening_metadata_change(log_dir: str, from_version: int) -> bool:
+    """True if any committed version >= from_version carries a metaData
+    or protocol action — a schema/feature change an append built on the
+    older snapshot must not be blindly re-committed over."""
+    for v in _existing_versions(log_dir):
+        if v < from_version:
+            continue
+        try:
+            with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "metaData" in a or "protocol" in a:
+                        return True
+        except OSError:
+            return True  # unreadable entry: be conservative
+    return False
 
 
 def _atomic_commit(
-    path: str, version: int, actions: list[dict], rels: list[str]
+    path: str,
+    version: int,
+    actions: list[dict],
+    rels: list[str],
+    *,
+    append_retry: bool = False,
+    max_retries: int = 8,
 ) -> int:
     """O_EXCL-create the next log entry; on a lost race, roll back the
-    (still unreferenced) staged data files and raise a conflict."""
+    (still unreferenced) staged data files and raise a conflict.
+
+    ``append_retry=True`` enables the logical conflict resolution
+    delta-spark applies to blind appends (OptimisticTransaction's
+    commit-retry loop): an append reads nothing, so a commit that lost
+    the O_EXCL race is re-pointed at the new tail version and retried
+    with the SAME staged files — unless an intervening commit changed
+    metaData/protocol (schema may have moved under us: surface the
+    conflict so the caller re-validates) or the log listing shows no
+    progress (can't tell what won: surface)."""
     log_dir = _log_dir(path)
     os.makedirs(log_dir, exist_ok=True)
-    entry = os.path.join(log_dir, f"{version:020d}.json")
     body = "".join(json.dumps(a, separators=(",", ":")) + "\n" for a in actions)
-    try:
-        with open(entry, "x") as f:
-            f.write(body)
-    except FileExistsError:
-        for rel in rels:
-            try:
-                os.remove(os.path.join(path, rel))
-            except OSError:
-                pass
-        raise DeltaCommitConflict(
-            f"version {version} already committed by another writer: {entry}"
-        ) from None
-    return version
+    attempt = 0
+    while True:
+        entry = os.path.join(log_dir, f"{version:020d}.json")
+        try:
+            with open(entry, "x") as f:
+                f.write(body)
+            return version
+        except FileExistsError:
+            if append_retry and attempt < max_retries:
+                if not _intervening_metadata_change(log_dir, version):
+                    committed = _existing_versions(log_dir)
+                    nxt = (committed[-1] + 1) if committed else version
+                    if nxt > version:
+                        version = nxt
+                        attempt += 1
+                        continue
+            for rel in rels:
+                try:
+                    os.remove(os.path.join(path, rel))
+                except OSError:
+                    pass
+            raise DeltaCommitConflict(
+                f"version {version} already committed by another writer: "
+                f"{entry}"
+            ) from None
 
 
 def write_checkpoint(path: str) -> int:
@@ -649,8 +704,41 @@ def _rewrite_commit(
     return _atomic_commit(path, version, actions, rels)
 
 
+_DML_MAX_RETRIES = 3
+
+
+def _serialize_after_winner(op):
+    """Logical conflict resolution for read-modify-write DML: when the
+    pinned-snapshot commit loses its O_EXCL race (a writer published
+    between our provenance scan and our publish), re-execute the WHOLE
+    operation against the fresh snapshot and try again.
+
+    This is strictly stronger than delta-spark's conflict checker
+    (OptimisticTransaction.checkForConflicts): delta-spark re-commits
+    the stale result when it can prove the winner's files are disjoint
+    from the loser's read set and surfaces ConcurrentAppend/DeleteRead
+    exceptions otherwise; re-execution serializes the loser AFTER the
+    winner in every case — disjoint-partition MERGEs both commit, and
+    overlapping DMLs compose as if run sequentially — at the price of
+    recomputing the rewrite on actual races (rare by construction).
+    DeltaCommitConflict still surfaces after _DML_MAX_RETRIES straight
+    lost races (a livelock signal, not a correctness hazard)."""
+    for attempt in range(_DML_MAX_RETRIES + 1):
+        try:
+            return op()
+        except DeltaCommitConflict:
+            if attempt == _DML_MAX_RETRIES:
+                raise
+
+
 def delete_delta(spark, path: str, condition: str) -> int:
-    """``DELETE FROM <table> WHERE condition``: rewrite only the files
+    """``DELETE FROM <table> WHERE condition`` with logical conflict
+    resolution (see _serialize_after_winner)."""
+    return _serialize_after_winner(lambda: _delete_delta_once(spark, path, condition))
+
+
+def _delete_delta_once(spark, path: str, condition: str) -> int:
+    """One pinned-snapshot DELETE attempt: rewrite only the files
     containing matching rows, dropping those rows; commit atomically.
     Returns the new version (a no-match delete still commits an empty
     DML version, like delta-spark)."""
@@ -681,9 +769,19 @@ def delete_delta(spark, path: str, condition: str) -> int:
 
 
 def update_delta(spark, path: str, condition: str, set: dict[str, str]) -> int:
-    """``UPDATE <table> SET col=expr, ... WHERE condition``: rewrite only
-    the touched files, applying ``set`` expressions (referencing table
-    columns) to matching rows. Returns the new version."""
+    """``UPDATE <table> SET col=expr, ... WHERE condition`` with logical
+    conflict resolution (see _serialize_after_winner)."""
+    return _serialize_after_winner(
+        lambda: _update_delta_once(spark, path, condition, set)
+    )
+
+
+def _update_delta_once(
+    spark, path: str, condition: str, set: dict[str, str]
+) -> int:
+    """One pinned-snapshot UPDATE attempt: rewrite only the touched
+    files, applying ``set`` expressions (referencing table columns) to
+    matching rows. Returns the new version."""
     from pyspark.sql import functions as F
 
     df, meta, by_abs, snap_v = _dml_snapshot(spark, path)
@@ -735,8 +833,45 @@ def merge_delta(
     target_alias: str = "t",
     source_alias: str = "s",
 ) -> int:
-    """``MERGE INTO <table> t USING <source> s ON t.k = s.k`` with the
-    three standard clauses, copy-on-write:
+    """``MERGE INTO <table> t USING <source> s ON t.k = s.k`` with
+    logical conflict resolution (see _serialize_after_winner):
+    concurrent MERGEs — disjoint partitions or not — serialize instead
+    of surfacing DeltaCommitConflict. Clause semantics documented on
+    _merge_delta_once."""
+    return _serialize_after_winner(
+        lambda: _merge_delta_once(
+            spark,
+            path,
+            source,
+            on=on,
+            when_matched_update=when_matched_update,
+            when_matched_delete=when_matched_delete,
+            when_not_matched_insert=when_not_matched_insert,
+            check_duplicate_source=check_duplicate_source,
+            on_condition=on_condition,
+            when_matched_update_condition=when_matched_update_condition,
+            target_alias=target_alias,
+            source_alias=source_alias,
+        )
+    )
+
+
+def _merge_delta_once(
+    spark,
+    path: str,
+    source,
+    on: list[str] | None = None,
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: bool = True,
+    check_duplicate_source: bool = True,
+    on_condition: str | None = None,
+    when_matched_update_condition: str | None = None,
+    target_alias: str = "t",
+    source_alias: str = "s",
+) -> int:
+    """One pinned-snapshot MERGE attempt with the three standard
+    clauses, copy-on-write:
 
     - ``when_matched_delete``: SQL condition over ``t.*``/``s.*``;
       matched rows satisfying it are dropped (evaluated FIRST, like

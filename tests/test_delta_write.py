@@ -106,10 +106,13 @@ def test_commit_conflict_rolls_back(spark, people, tmp_path, monkeypatch):
 
 def test_dml_conflict_on_intervening_commit(spark, people, tmp_path, monkeypatch):
     """A commit landing between the DML's provenance scan and its
-    publish must surface as DeltaCommitConflict (the DML pins its
-    snapshot version and commits at exactly snapshot+1), never be
-    silently built upon — its removes would reference a superseded
-    file set. A retry from a fresh snapshot then wins cleanly."""
+    publish must never be silently built upon (the DML pins its
+    snapshot version and commits at exactly snapshot+1 — its removes
+    would reference a superseded file set). Since round 10 the loser
+    resolves the conflict logically: it re-executes against the fresh
+    snapshot and commits AFTER the winner, so the caller sees a clean
+    success, the winner's rows survive, and the first attempt's staged
+    files are rolled back (no orphans)."""
     import roapi_spark.sinks.delta as dw
 
     path = str(tmp_path / "dmlrace")
@@ -125,21 +128,53 @@ def test_dml_conflict_on_intervening_commit(spark, people, tmp_path, monkeypatch
         return real(staging, dest)
 
     monkeypatch.setattr(dw, "_relocate_staging", racy)
-    before = {f for f in os.listdir(path) if f.endswith(".parquet")}
-    with pytest.raises(DeltaCommitConflict):
-        dw.delete_delta(spark, path, "id = 2")
-    # the losing writer's staged files rolled back: the only new data
-    # files on disk are exactly the concurrent v1 commit's adds
-    after = {f for f in os.listdir(path) if f.endswith(".parquet")}
-    v1_adds = {
-        os.path.basename(json.loads(ln)["add"]["path"])
-        for ln in open(os.path.join(path, "_delta_log", f"{1:020d}.json"))
-        if '"add"' in ln and json.loads(ln).get("add")
-    }
-    assert after - before == v1_adds
-    monkeypatch.setattr(dw, "_relocate_staging", real)
+    # attempt 1 pins v0, loses the O_EXCL race to the append at v1,
+    # re-executes on the v1 snapshot, and commits at v2
     assert dw.delete_delta(spark, path, "id = 2") == 2
     assert sorted(r.id for r in _read(spark, path).collect()) == [1, 3, 4]
+    # no orphans: every parquet on disk is referenced by some log version
+    # (the losing attempt's staged files were rolled back)
+    referenced = set()
+    log = os.path.join(path, "_delta_log")
+    for v in range(3):
+        for ln in open(os.path.join(log, f"{v:020d}.json")):
+            a = json.loads(ln)
+            if a.get("add"):
+                referenced.add(os.path.basename(a["add"]["path"]))
+    on_disk = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    assert on_disk <= referenced
+
+
+def test_dml_conflict_surfaces_after_retry_budget(
+    spark, people, tmp_path, monkeypatch
+):
+    """When every re-execution keeps losing (a hot-loop writer), the
+    conflict still surfaces after _DML_MAX_RETRIES — resolution must
+    not become an unbounded livelock."""
+    import roapi_spark.sinks.delta as dw
+
+    path = str(tmp_path / "dmlhot")
+    write_delta(people, path)  # v0
+    real = dw._relocate_staging
+    state = {"i": 0}
+
+    def always_racy(staging, dest):
+        if not state.get("in"):  # the appender's own relocate re-enters
+            state["in"] = True
+            try:
+                extra = spark.createDataFrame(
+                    [(100 + state["i"], f"w{state['i']}", "xx")], people.schema
+                )
+                state["i"] += 1
+                write_delta(extra, path, mode="append")
+            finally:
+                state["in"] = False
+        return real(staging, dest)
+
+    monkeypatch.setattr(dw, "_relocate_staging", always_racy)
+    with pytest.raises(DeltaCommitConflict):
+        dw.delete_delta(spark, path, "id = 2")
+    assert state["i"] == dw._DML_MAX_RETRIES + 1  # one race per attempt
 
 
 def test_concurrent_appenders_linearize(spark, people, tmp_path):
@@ -176,6 +211,113 @@ def test_concurrent_appenders_linearize(spark, people, tmp_path):
     assert sorted(r.id for r in got.collect() if r.id >= 100) == [
         100 + i for i in range(n_writers)
     ]
+
+
+def test_concurrent_disjoint_merges_both_commit(spark, tmp_path):
+    """Two MERGEs racing on DISJOINT partitions must both commit without
+    surfacing DeltaCommitConflict (r9 verdict item: delta-spark resolves
+    logically and retries; we serialize the loser after the winner by
+    re-execution). Final state = both merges applied, in some order."""
+    import threading
+
+    from roapi_spark.sinks.delta import merge_delta
+
+    path = str(tmp_path / "disjoint")
+    base = spark.createDataFrame(
+        [(1, 10, "uk"), (2, 20, "uk"), (3, 30, "fi"), (4, 40, "fi")],
+        "id bigint, score bigint, country string",
+    )
+    write_delta(base, path, mode="overwrite", partition_by=["country"])  # v0
+
+    def upsert(country: str, rows, out, idx):
+        src = spark.createDataFrame(
+            rows, "id bigint, score bigint, country string"
+        )
+        try:
+            out[idx] = merge_delta(
+                spark,
+                path,
+                src,
+                on=["id"],
+                when_matched_update={"score": "s.score"},
+                when_not_matched_insert=True,
+            )
+        except Exception as exc:  # noqa: BLE001
+            out[idx] = exc
+
+    results: list = [None, None]
+    t1 = threading.Thread(
+        target=upsert, args=("uk", [(1, 11, "uk"), (5, 50, "uk")], results, 0)
+    )
+    t2 = threading.Thread(
+        target=upsert, args=("fi", [(3, 33, "fi"), (6, 60, "fi")], results, 1)
+    )
+    t1.start(), t2.start()
+    t1.join(), t2.join()
+    assert all(isinstance(r, int) for r in results), results
+    assert sorted(results) == [1, 2]  # both committed, distinct versions
+    got = {(r.id, r.score) for r in _read(spark, path).collect()}
+    assert got == {(1, 11), (2, 20), (3, 33), (4, 40), (5, 50), (6, 60)}
+
+
+def test_concurrent_appends_auto_resolve(spark, people, tmp_path):
+    """Appends read nothing, so racing appenders must ALL commit with no
+    caller-side retry loop (delta-spark append semantics: the lost
+    O_EXCL race re-points the same staged files at the new tail)."""
+    import threading
+
+    path = str(tmp_path / "autoapp")
+    write_delta(people, path)  # v0
+    n, results = 6, []
+
+    def append(i: int) -> None:
+        df = spark.createDataFrame([(200 + i, f"a{i}", "yy")], people.schema)
+        results.append(write_delta(df, path, mode="append"))
+
+    threads = [threading.Thread(target=append, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results) == [1, 2, 3, 4, 5, 6]
+    assert _read(spark, path).count() == 3 + n
+
+
+def test_append_retry_surfaces_on_metadata_change(
+    spark, people, tmp_path, monkeypatch
+):
+    """The append fast-path must NOT blind-recommit over an intervening
+    metaData change (the schema may have moved): it rolls back and
+    surfaces the conflict so the caller re-validates."""
+    import roapi_spark.sinks.delta as dw
+
+    path = str(tmp_path / "metarace")
+    write_delta(people, path)  # v0
+    real = dw._relocate_staging
+    fired = {"done": False}
+
+    def racy(staging, dest):
+        rels = real(staging, dest)
+        if not fired["done"]:
+            fired["done"] = True
+            # a schema-changing overwrite lands between stage and publish
+            other = spark.createDataFrame([(1, 2.5)], "id bigint, v double")
+            assert write_delta(other, path, mode="overwrite") == 1
+        return rels
+
+    monkeypatch.setattr(dw, "_relocate_staging", racy)
+    before = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    with pytest.raises(DeltaCommitConflict):
+        write_delta(people, path, mode="append")
+    # loser's staged files rolled back; winner's overwrite intact
+    after = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    v1_adds = {
+        os.path.basename(json.loads(ln)["add"]["path"])
+        for ln in open(os.path.join(path, "_delta_log", f"{1:020d}.json"))
+        if '"add"' in ln and json.loads(ln).get("add")
+    }
+    assert after - before == v1_adds
+    assert _read(spark, path).columns == ["id", "v"]
 
 
 def test_protocol_readable_by_any_reader(spark, people, tmp_path):

@@ -136,6 +136,21 @@ def test_bm25_served_prunes_posting_partitions(spark, specs):
     assert "BroadcastHashJoin" in plan
 
 
+def test_heaps_law_distributed_prefix_sum(spark, specs):
+    """The Heaps'-law running sums must never run as a single-partition
+    global window (the r9 verdict's one scale-killer): the cumulative
+    sums are per-range-bucket windows (partitionBy bkt) plus broadcast
+    driver-scanned offsets, so the Window node is keyed on the bucket and
+    nothing below it collapses to a single partition.  (The one
+    SinglePartition Exchange ABOVE the window is the final scalar
+    regression aggregate reducing 32 partial-agg rows — benign.)"""
+    plan = _plan(spark, specs, "q_heaps_law")
+    assert "Window" in plan and "windowspecdefinition(bkt" in plan, plan[:3000]
+    below_window = plan.split("Window [", 1)[1]
+    assert "Exchange SinglePartition" not in below_window, below_window[:3000]
+    assert "hashpartitioning(bkt" in below_window  # window keyed on bucket
+
+
 def test_ngram_perplexity_take_ordered(spark, specs):
     """Top-50 surprising docs via TakeOrderedAndProject, never a global
     single-partition row_number sort over every document."""
