@@ -157,18 +157,23 @@ def _maps_to_dicts(x):
 
 
 def _checkpoint_file_state(
-    table_path: str, path: str
-) -> tuple[dict[str, dict | None], dict | None, list[str]]:
-    """(active adds {raw path -> dv|None}, metaData|None, sidecar paths)
-    from ONE checkpoint part. Parquet parts are read with columnar
-    struct-field projection — add.path/add.deletionVector come out as
-    flat arrays instead of 100k per-row dicts (measured ~4x on the
-    whole read path at 100k adds, docs/SCALE.md round-9); the rare
-    protocol/metaData/sidecar rows still materialize individually so
-    their guards (_check_protocol) see the full action."""
+    table_path: str, path: str, collect_stats: bool = False
+) -> tuple[dict[str, dict | None], dict | None, list[str], dict[str, dict]]:
+    """(active adds {raw path -> dv|None}, metaData|None, sidecar paths,
+    stats adds {raw path -> {path,size,stats}}) from ONE checkpoint
+    part. Parquet parts are read with columnar struct-field projection —
+    add.path/add.deletionVector come out as flat arrays instead of 100k
+    per-row dicts (measured ~4x on the whole read path at 100k adds,
+    docs/SCALE.md round-9); the rare protocol/metaData/sidecar rows
+    still materialize individually so their guards (_check_protocol)
+    see the full action. ``collect_stats=True`` additionally harvests
+    add.size/add.stats from the SAME read (the table is already in
+    memory — no second checkpoint parse; snapshot_adds_pruned used to
+    re-read every part for these three fields)."""
     active: dict[str, dict | None] = {}
     meta: dict | None = None
     sidecars: list[str] = []
+    stats_adds: dict[str, dict] = {}
     if path.endswith(".json"):
         for action in _checkpoint_actions(os.path.dirname(path), path):
             _check_protocol(action, table_path)
@@ -178,9 +183,11 @@ def _checkpoint_file_state(
                 active[action["add"]["path"]] = _norm_dv(
                     action["add"].get("deletionVector")
                 )
+                if collect_stats:
+                    stats_adds[action["add"]["path"]] = action["add"]
             elif "sidecar" in action and action["sidecar"].get("path"):
                 sidecars.append(action["sidecar"]["path"])
-        return active, meta, sidecars
+        return active, meta, sidecars, stats_adds
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -213,41 +220,64 @@ def _checkpoint_file_state(
             if has_dv
             else None
         )
+        sizes = stats = None
+        if collect_stats:
+            field_names = {
+                addtype.field(i).name for i in range(addtype.num_fields)
+            }
+            if "size" in field_names:
+                sizes = pc.struct_field(addcol, "size").to_pylist()
+            if "stats" in field_names:
+                stats = pc.struct_field(addcol, "stats").to_pylist()
         for i, p in enumerate(paths):
             if p:
                 active[p] = _norm_dv(dvs[i] if dvs else None)
+                if collect_stats:
+                    stats_adds[p] = {
+                        "path": p,
+                        "size": (sizes[i] if sizes else 0) or 0,
+                        "stats": stats[i] if stats else None,
+                    }
     if "sidecar" in names:
         for p in pc.struct_field(tbl.column("sidecar"), "path").to_pylist():
             if p:
                 sidecars.append(p)
-    return active, meta, sidecars
+    return active, meta, sidecars, stats_adds
 
 
 def _checkpoint_state(
-    log_dir: str, upto: int | None
-) -> tuple[int, dict[str, dict | None], dict | None]:
+    log_dir: str, upto: int | None, collect_stats: bool = False
+) -> tuple[int, dict[str, dict | None], dict | None, dict[str, dict]]:
     """Seed the active-file set from the newest usable checkpoint
     (classic, multi-part, or v2-with-sidecars). Returns
-    (checkpoint_version, active, metaData) — replay continues after it."""
+    (checkpoint_version, active, metaData, stats_adds) — replay
+    continues after it. ``stats_adds`` ({raw path -> add with
+    path/size/stats}) is populated only when ``collect_stats=True``,
+    from the same parquet read (v2 sidecar adds are NOT harvested for
+    stats — pruning over them stays conservative)."""
     lc = os.path.join(log_dir, "_last_checkpoint")
     if not os.path.exists(lc):
-        return -1, {}, None
+        return -1, {}, None, {}
     table_path = os.path.dirname(log_dir)
     try:
         with open(lc) as f:
             info = json.load(f)
         v = int(info["version"])
         if upto is not None and v > upto:
-            return -1, {}, None  # checkpoint is past the requested snapshot
+            return -1, {}, None, {}  # checkpoint is past the requested snapshot
         files = _checkpoint_files(log_dir, v)
         if not files:
-            return -1, {}, None
+            return -1, {}, None, {}
         meta = None
         active: dict[str, dict | None] = {}
         sidecars: list[str] = []
+        stats_adds: dict[str, dict] = {}
         for path in files:
-            f_active, f_meta, f_side = _checkpoint_file_state(table_path, path)
+            f_active, f_meta, f_side, f_stats = _checkpoint_file_state(
+                table_path, path, collect_stats=collect_stats
+            )
             active.update(f_active)
+            stats_adds.update(f_stats)
             if f_meta is not None:
                 meta = f_meta
             sidecars.extend(f_side)
@@ -258,11 +288,11 @@ def _checkpoint_state(
                     active[action["add"]["path"]] = _norm_dv(action["add"].get("deletionVector"))
                 elif "remove" in action and action["remove"].get("path"):
                     active.pop(action["remove"]["path"], None)
-        return v, active, meta
+        return v, active, meta, stats_adds
     except LoadError:
         raise
     except Exception:  # noqa: BLE001 — fall back to full json replay
-        return -1, {}, None
+        return -1, {}, None, {}
 
 
 def snapshot_files(table_path: str, version: int | None = None,
@@ -318,7 +348,7 @@ def snapshot_raw_state(
         if not eligible:
             raise LoadError(f"no delta commit at or before {timestamp}")
         version = max(eligible)
-    base_v, active, meta = _checkpoint_state(log_dir, version)
+    base_v, active, meta, _ = _checkpoint_state(log_dir, version)
     for v, path in commits:
         if v <= base_v:
             continue
@@ -343,45 +373,6 @@ def snapshot_raw_state(
     return active, meta
 
 
-def _checkpoint_add_stats(path: str) -> dict[str, dict]:
-    """Fast columnar harvest of ``add`` rows from one checkpoint file:
-    only the three fields pruning needs (path/size/stats), read via
-    struct-field projection instead of the generic per-row
-    ``_checkpoint_actions`` dict materialization — at 100k+ adds the
-    generic path is ~8x slower (measured, docs/SCALE.md round-9).
-    Falls back to the generic reader on any unexpected layout."""
-    if path.endswith(".json"):
-        out: dict[str, dict] = {}
-        with open(path) as f:
-            for line in f:
-                if line.strip():
-                    a = json.loads(line)
-                    if "add" in a and (a["add"] or {}).get("path"):
-                        out[a["add"]["path"]] = a["add"]
-        return out
-    try:
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(path, columns=["add"])
-        col = tbl.column("add")
-        paths = pc.struct_field(col, "path").to_pylist()
-        sizes = pc.struct_field(col, "size").to_pylist()
-        stats = pc.struct_field(col, "stats").to_pylist()
-        return {
-            p: {"path": p, "size": s or 0, "stats": st}
-            for p, s, st in zip(paths, sizes, stats)
-            if p
-        }
-    except Exception:  # noqa: BLE001 — odd checkpoint shape: generic path
-        log_dir = os.path.dirname(path)
-        return {
-            a["add"]["path"]: a["add"]
-            for a in _checkpoint_actions(log_dir, path)
-            if "add" in a and (a["add"] or {}).get("path")
-        }
-
-
 def snapshot_adds_pruned(
     table_path: str,
     ranges: dict[str, tuple],
@@ -397,26 +388,37 @@ def snapshot_adds_pruned(
     scan must shrink the FILE LIST before Spark ever opens a footer —
     row-group pruning alone still pays one open+footer read per file.
     A file with no stats (foreign writer, stats disabled) can never be
-    skipped. NULL-only columns (min/max absent but nullCount present)
-    are skippable for non-NULL-matching ranges. ZORDER clustering
+    skipped. A column whose min/max are absent but whose nullCount
+    equals numRecords (NULL-only file) IS skipped for any bounded
+    range — NULL matches no comparison. ZORDER clustering
     (sinks/delta.py compact) is what makes these ranges tight on more
-    than one column at once."""
+    than one column at once.
+
+    Raises LoadError when any active add carries a deletion vector:
+    the return value is bare candidate paths, and every caller scans
+    them with spark.read.parquet directly — serving a DV table through
+    this API would silently resurrect deleted rows (the un-pruned
+    to_dataframe path applies DVs and handles such tables fine).
+
+    Single log pass: the checkpoint parquet is parsed once
+    (_checkpoint_state collect_stats=True harvests path/size/stats from
+    the same read that builds the active set), then each json commit is
+    replayed once for both the active set and the full add actions —
+    at the 100k-add scale this module targets the previous
+    snapshot_raw_state + re-replay shape parsed every checkpoint part
+    twice."""
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise LoadError(f"not a delta table (no _delta_log): {table_path}")
-    raw, _meta = snapshot_raw_state(table_path, version=version)
-    # re-replay to recover FULL add actions (snapshot_raw_state keeps
-    # only path->dv): checkpoint rows first, then every json commit —
-    # later adds of the same path win, matching replay order. An add
-    # whose stats were dropped anywhere simply stays un-skippable.
-    adds: dict[str, dict] = {}
-    base_v, _cp_active, _ = _checkpoint_state(log_dir, version)
-    if base_v >= 0:
-        for cp in _checkpoint_files(log_dir, base_v):
-            adds.update(_checkpoint_add_stats(cp))
-        # v2 sidecar adds are NOT harvested here — their files simply
-        # stay un-skippable (pruning must only ever be conservative)
-    for v, p in _log_versions(log_dir):
+    commits = _log_versions(log_dir)
+    if not commits:
+        raise LoadError(f"empty delta log: {table_path}")
+    base_v, active, _meta, adds = _checkpoint_state(
+        log_dir, version, collect_stats=True
+    )
+    # v2 sidecar adds land in `active` but not `adds` — they simply
+    # stay un-skippable (pruning must only ever be conservative)
+    for v, p in commits:
         if v <= base_v:
             continue
         if version is not None and v > version:
@@ -426,14 +428,26 @@ def snapshot_adds_pruned(
                 if not line.strip():
                     continue
                 a = json.loads(line)
+                _check_protocol(a, table_path)
                 if "add" in a and a["add"].get("path"):
+                    active[a["add"]["path"]] = _norm_dv(
+                        a["add"].get("deletionVector")
+                    )
                     adds[a["add"]["path"]] = a["add"]
+                elif "remove" in a and a["remove"].get("path"):
+                    active.pop(a["remove"]["path"], None)
     candidates, skipped = [], []
     cand_bytes = total = 0
-    for rel in raw:
+    for rel, dv in active.items():
+        if dv:
+            raise LoadError(
+                "snapshot_adds_pruned returns bare file paths and cannot "
+                f"represent deletion vectors (file {rel!r} carries one); "
+                "read this table through to_dataframe, which applies DVs"
+            )
         abs_p = os.path.join(table_path, unquote(rel))
         add = adds.get(rel)
-        size = int(add.get("size", 0)) if add else 0
+        size = int(add.get("size", 0) or 0) if add else 0
         total += size
         st = None
         if add and add.get("stats"):
@@ -445,8 +459,21 @@ def snapshot_adds_pruned(
         if st:
             mins = st.get("minValues") or {}
             maxs = st.get("maxValues") or {}
+            nulls = st.get("nullCount") or {}
+            nrec = st.get("numRecords")
             for col, (lo, hi) in ranges.items():
                 if col not in mins or col not in maxs:
+                    # NULL-only column: every row is NULL, and NULL
+                    # satisfies no range bound — skippable whenever the
+                    # range constrains the column at all
+                    if (
+                        (lo is not None or hi is not None)
+                        and nrec is not None
+                        and col in nulls
+                        and nulls[col] == nrec
+                    ):
+                        skip = True
+                        break
                     continue
                 try:
                     if (hi is not None and mins[col] > hi) or (

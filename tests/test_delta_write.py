@@ -907,6 +907,77 @@ def test_snapshot_adds_pruned_uses_checkpoint_stats(spark, tmp_path):
     )
 
 
+def test_snapshot_adds_pruned_skips_null_only_files(spark, tmp_path):
+    """A file whose column is ALL NULL (min/max absent, nullCount ==
+    numRecords) must be skipped for any bounded range on that column —
+    NULL satisfies no comparison. Files with a mere stats gap (unknown
+    coverage) must stay candidates."""
+    from roapi_spark.sinks.delta import write_delta
+    from roapi_spark.sources.delta import snapshot_adds_pruned
+
+    path = str(tmp_path / "nulls")
+    full = spark.range(100).selectExpr("id AS k", "CAST(id AS BIGINT) AS v")
+    nul = spark.range(100, 200).selectExpr(
+        "id AS k", "CAST(NULL AS BIGINT) AS v"
+    )
+    write_delta(full.coalesce(1), path, mode="overwrite")
+    write_delta(nul.coalesce(1), path, mode="append")
+
+    cand, skipped, _, _ = snapshot_adds_pruned(path, {"v": (0, 50)})
+    assert len(cand) == 1 and len(skipped) == 1
+    assert spark.read.parquet(*cand).filter("v BETWEEN 0 AND 50").count() == 51
+    # half-open ranges constrain the column too: still skippable
+    c2, s2, _, _ = snapshot_adds_pruned(path, {"v": (None, 10)})
+    assert len(s2) == 1
+    # an unconstrained (None, None) range can never skip
+    c3, s3, _, _ = snapshot_adds_pruned(path, {"v": (None, None)})
+    assert len(c3) == 2 and not s3
+
+
+def test_snapshot_adds_pruned_refuses_deletion_vectors(tmp_path):
+    """snapshot_adds_pruned returns bare candidate paths — a table with
+    deletion vectors cannot be served through it (callers scan the
+    candidates directly and would resurrect deleted rows). It must
+    raise, pointing at the DV-applying read path."""
+    import json as _json
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from roapi_spark.sources.delta import LoadError, snapshot_adds_pruned
+    from roapi_spark.sources.deletion_vectors import write_dv_file
+
+    root = tmp_path / "dvprune"
+    (root / "_delta_log").mkdir(parents=True)
+    _pq.write_table(_pa.table({"id": list(range(10))}), root / "p0.parquet")
+    dv = write_dv_file(str(root / "dv.bin"), [1, 3])
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {"metaData": {"id": "m", "format": {"provider": "parquet"}}},
+        {
+            "add": {
+                "path": "p0.parquet",
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": dv,
+            }
+        },
+    ]
+    (root / "_delta_log" / f"{0:020d}.json").write_text(
+        "\n".join(_json.dumps(a) for a in actions)
+    )
+    with pytest.raises(LoadError, match="deletion vector"):
+        snapshot_adds_pruned(str(root), {"id": (0, 5)})
+
+
 @pytest.fixture(scope="module")
 def pruning_table(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("prune") / "tbl")
