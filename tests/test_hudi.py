@@ -480,3 +480,178 @@ def test_hudi_incremental_delete_tombstone_survives_commit_time_refine(
     rows = [(r["_commit_instant"], r["_hoodie_record_key"],
              bool(r["_hoodie_is_deleted"])) for r in inc.collect()]
     assert rows == [("002", "k1", True)]
+
+
+# ---------------------------------------------------------------------------
+# Independent byte-level fixture: everything above writes its log files
+# through hudi_log.write_log_block, so a shared reader/writer bug would
+# cancel out (r9 verdict item #5). The log below is assembled BY HAND —
+# struct.pack framing straight from the published HoodieLogFormat
+# (MAGIC "#HUDI#", u64 size, u32 version=1, u32 block-type ordinal,
+# ordinal-keyed header map, u64 content length, content, footer map,
+# u64 reverse pointer) and hand-encoded Avro binary bodies (zigzag
+# varints) — and SHA-256-pinned so the vector can never silently drift
+# onto the writer under test.
+# ---------------------------------------------------------------------------
+
+_HAND_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "_hoodie_record_key", "type": "string"},
+            {"name": "v", "type": "long"},
+        ],
+    },
+    separators=(",", ":"),
+)
+
+
+def _hand_map(entries):
+    """Header/footer map: u32 count, then per entry u32 ordinal,
+    u32 byte length, utf8 value (HeaderMetadataType ordinals)."""
+    import struct
+
+    out = struct.pack(">I", len(entries))
+    for o, v in entries:
+        raw = v.encode()
+        out += struct.pack(">II", o, len(raw)) + raw
+    return out
+
+
+def _hand_block(btype, header, content):
+    import struct
+
+    body = (
+        struct.pack(">II", 1, btype)  # log format version 1, block type
+        + _hand_map(header)
+        + struct.pack(">Q", len(content))
+        + content
+        + _hand_map([])  # empty footer
+    )
+    body += struct.pack(">Q", 14 + len(body) + 8)  # reverse-seek pointer
+    return b"#HUDI#" + struct.pack(">Q", len(body)) + body
+
+
+def _hand_avro_data(record_bodies):
+    import struct
+
+    out = struct.pack(">II", 3, len(record_bodies))  # format 3, count
+    for r in record_bodies:
+        out += struct.pack(">I", len(r)) + r
+    return out
+
+
+def _hand_log() -> bytes:
+    """Four blocks: data(001: k1=1, k2=-3), data(002: k1=10),
+    DELETE v2 (003: k2), rollback COMMAND voiding 002.
+    Avro record bodies are hand-encoded: string = zigzag-varint length
+    + utf8; long = zigzag varint ("k1",1 -> 04 6b 31 02; -3 -> 05;
+    10 -> 14). The HoodieDeleteRecordList body is array count 1 (02),
+    recordKey union branch 1 (02) + "k2" (04 6b 32), partitionPath
+    branch 1 + "" (02 00), orderingVal branch 0/null (00), array
+    terminator (00)."""
+    import struct
+
+    b1 = _hand_block(
+        3,  # AVRO_DATA
+        [(0, "001"), (2, _HAND_SCHEMA)],  # INSTANT_TIME, SCHEMA
+        _hand_avro_data([b"\x04k1\x02", b"\x04k2\x05"]),
+    )
+    b2 = _hand_block(
+        3, [(0, "002"), (2, _HAND_SCHEMA)], _hand_avro_data([b"\x04k1\x14"])
+    )
+    del_body = b"\x02" + b"\x02\x04k2" + b"\x02\x00" + b"\x00" + b"\x00"
+    b3 = _hand_block(
+        1,  # DELETE
+        [(0, "003")],
+        struct.pack(">II", 2, len(del_body)) + del_body,  # payload v2
+    )
+    b4 = _hand_block(
+        0,  # COMMAND
+        [(0, "004"), (1, "002"), (3, "ROLLBACK_BLOCK")],  # TARGET=002
+        b"",
+    )
+    return b1 + b2 + b3 + b4
+
+
+def test_hudi_reader_parses_hand_assembled_log():
+    """The reader must parse a log it did NOT write: hand-framed blocks,
+    hand-encoded Avro, pinned by SHA-256. Expected merge: the rollback
+    voids instant 002 (k1 reverts to v=1) and the DELETE block
+    tombstones k2."""
+    import hashlib
+
+    from roapi_spark.sources.hudi_log import merged_records, read_log_file
+
+    log = _hand_log()
+    assert (
+        hashlib.sha256(log).hexdigest()
+        == "7fcec249b9240fa6c3026fdded9a8da63922592c7177d9ecf904f285e5ee1ab7"
+    ), "hand-built vector drifted — it must stay independent of the writer"
+    blocks = read_log_file(log)
+    assert [(b["type"], b["header"].get(0)) for b in blocks] == [
+        (3, "001"),
+        (3, "002"),
+        (1, "003"),
+        (0, "004"),
+    ]
+    assert merged_records(log) == [
+        ("001", {"_hoodie_record_key": "k1", "v": 1}),
+        ("001", {"_hoodie_record_key": "k2", "v": -3}),
+        ("003", {"_hoodie_record_key": "k2", "_hoodie_is_deleted": True}),
+    ]
+
+
+def test_hudi_hand_log_served_through_mor_table(spark, tmp_path):
+    """End-to-end: the hand-assembled log serves through the full MoR
+    snapshot path (base parquet + log merge), not just the block parser."""
+    root = tmp_path / "handmor"
+    meta = root / ".hoodie"
+    meta.mkdir(parents=True)
+    (meta / "hoodie.properties").write_text(
+        "hoodie.table.name=hand\nhoodie.table.type=MERGE_ON_READ\n"
+    )
+    p1 = _base_file(
+        root, "", "fg1", "000",
+        {"_hoodie_record_key": ["k1", "k2", "k3"], "v": [0, 0, 99]},
+    )
+    _commit(meta, "000", {"": [{"fileId": "fg1", "path": p1}]})
+    log_name = ".fg1_000.log.1_0-1-0"
+    (root / log_name).write_bytes(_hand_log())
+    _commit(
+        meta, "004", {"": [{"fileId": "fg1", "path": log_name}]},
+        kind="deltacommit",
+    )
+    df = _load(spark, {"name": "t", "uri": str(root), "option": {"format": "hudi"}})
+    got = {(r["_hoodie_record_key"], r["v"]) for r in df.collect()}
+    # k1 upserted to 1 (002's v=10 rolled back), k2 hard-deleted,
+    # k3 untouched from the base file
+    assert got == {("k1", 1), ("k3", 99)}
+
+
+def test_hudi_v1_kryo_delete_payload_rejected():
+    """A hand-built DELETE block with payload version 1 (kryo-serialized
+    HoodieKey list in real Hudi) must fail loudly, never decode-as-avro."""
+    import struct
+
+    from roapi_spark.sources.hudi_log import HudiLogError, read_log_file
+
+    blk = _hand_block(1, [(0, "001")], struct.pack(">II", 1, 4) + b"\x00" * 4)
+    with pytest.raises(HudiLogError, match="version 1"):
+        read_log_file(blk)
+
+
+def test_hudi_bad_reverse_pointer_rejected():
+    """Corrupt the trailing reverse-seek pointer of a hand-built block:
+    the reader must refuse rather than trust the forward framing."""
+    import struct
+
+    from roapi_spark.sources.hudi_log import HudiLogError, read_log_file
+
+    blk = bytearray(
+        _hand_block(3, [(0, "001"), (2, _HAND_SCHEMA)], _hand_avro_data([b"\x04k1\x02"]))
+    )
+    blk[-8:] = struct.pack(">Q", 7)  # nonsense pointer
+    with pytest.raises(HudiLogError, match="reverse pointer"):
+        read_log_file(bytes(blk))
