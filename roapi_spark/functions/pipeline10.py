@@ -484,6 +484,11 @@ def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.withColumn(
         "bkt", F.conv(F.substring("h", 1, 2), 16, 10).cast("int")
     )
+    # barrier: the bucket-totals collect and the final windowed plan
+    # both consume `d` — without it the tokenize+md5 pass over the
+    # corpus runs twice. One row per doc (4 narrow cols), so the
+    # checkpoint is doc-count sized.
+    d = d.localCheckpoint(eager=False)
     bucket_tot = d.groupBy("bkt").agg(F.sum("ntok").alias("btok"))
     rows = sorted(
         (r["bkt"], r["btok"]) for r in bucket_tot.collect()

@@ -505,6 +505,12 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("doc_id") - F.lit(lo)) * n_bkt / F.lit(span)),
         ).cast("int"),
     )
+    # barrier: the bucket-totals collect below and the final windowed
+    # plan both consume `joined` — without it the token explosion +
+    # two aggregations run TWICE (once for the offsets, once at
+    # execution). One row per doc, so the checkpoint is corpus-doc
+    # sized, not token sized (the dedup.py:minhash pattern).
+    joined = joined.localCheckpoint(eager=False)
     totals = sorted(
         (r["bkt"], r["bt"], r["bv"])
         for r in joined.groupBy("bkt")

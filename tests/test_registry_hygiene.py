@@ -100,3 +100,29 @@ def test_bench_historical_subset_is_exactly_61():
         f"historical bench subset changed size ({len(hist)}): new "
         "headline queries must be added to bench._POST61"
     )
+
+
+def test_no_unpartitioned_windows_in_package_source():
+    """Round 10 removed the last single-partition global window
+    (q_heaps_law, the r9 verdict's one scale-killer in 209 plans) and
+    bounded the limit-sized rankers with explicit partition keys. An
+    unpartitioned window funnels the whole frame through ONE task at
+    100 TB — lock the invariant at the source level so a new one cannot
+    land silently: every Window spec in the package must start with
+    partitionBy(<something>)."""
+    bad = []
+    pat = re.compile(r"(?:Window|W)\s*\.\s*orderBy\s*\(|partitionBy\(\)")
+    pkg = os.path.join(REPO, "roapi_spark")
+    for dirpath, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, fn)
+            with open(p) as f:
+                for i, line in enumerate(f, 1):
+                    if pat.search(line) and not line.lstrip().startswith("#"):
+                        bad.append(f"{os.path.relpath(p, REPO)}:{i}: {line.strip()}")
+    assert not bad, (
+        "unpartitioned Window specs found (single-partition sort at "
+        f"scale):\n" + "\n".join(bad)
+    )
