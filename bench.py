@@ -229,7 +229,7 @@ def main() -> None:
     # gates) report as their own family so the sql family stays an
     # apples-to-apples volume-operator series across rounds (r9 verdict
     # item: the 24 gates added +18s to "sql" and broke the comparison)
-    _GATE_TAGS = {"source", "encoder", "kv"}
+    _GATE_TAGS = {"source", "encoder", "kv", "gate"}
     _GATE_NAMES = {"q_delta_time_travel", "q_delta_checkpoint_read",
                    "q_delta_zorder"}
 

@@ -277,6 +277,62 @@ class Catalog:
             "operation string, table string, version bigint",
         )
 
+    # OPTIMIZE / VACUUM are delta-spark SQL extensions — Spark's vanilla
+    # parser rejects them, so they are recognized up front by shape (the
+    # same pre-parser routing delta-spark's own SparkSessionExtensions
+    # injects). Grammar supported:
+    #   OPTIMIZE <table> [ZORDER BY (c1, c2, ...)]
+    #   VACUUM <table> [RETAIN <n> VERSIONS]
+    # VACUUM retention is VERSION-based (this writer's vacuum() contract,
+    # sinks/delta.py) rather than delta-spark's RETAIN <n> HOURS — the
+    # clause name makes the unit explicit so the divergence cannot be
+    # mistaken for hour semantics.
+    _MAINT_RE = re.compile(
+        r"^\s*(OPTIMIZE|VACUUM)\s+([A-Za-z_][\w.]*)\s*(.*?)\s*;?\s*$",
+        re.I | re.S,
+    )
+    _ZORDER_RE = re.compile(r"^ZORDER\s+BY\s*\(\s*([\w\s,`]+?)\s*\)$", re.I)
+    _RETAIN_RE = re.compile(r"^RETAIN\s+(\d+)\s+VERSIONS$", re.I)
+
+    def _route_maintenance(self, sql: str) -> DataFrame | None:
+        m = self._MAINT_RE.match(sql)
+        if m is None:
+            return None
+        verb, name, rest = m.group(1).upper(), m.group(2), m.group(3).strip()
+        path = self._delta_path(name)
+        if verb == "OPTIMIZE":
+            from roapi_spark.sinks.delta import compact
+
+            zorder = None
+            if rest:
+                zm = self._ZORDER_RE.match(rest)
+                if zm is None:
+                    raise CatalogError(
+                        f"unsupported OPTIMIZE clause {rest!r} "
+                        "(use: OPTIMIZE <table> [ZORDER BY (c1, c2)])"
+                    )
+                zorder = [
+                    c.strip().strip("`") for c in zm.group(1).split(",") if c.strip()
+                ]
+            v = compact(self.spark, path, zorder_by=zorder)
+            return self._dml_summary("OPTIMIZE", name, v)
+        keep = 2
+        if rest:
+            rm = self._RETAIN_RE.match(rest)
+            if rm is None:
+                raise CatalogError(
+                    f"unsupported VACUUM clause {rest!r} "
+                    "(use: VACUUM <table> [RETAIN <n> VERSIONS])"
+                )
+            keep = int(rm.group(1))
+        from roapi_spark.sinks.delta import vacuum
+
+        deleted = vacuum(path, keep_versions=keep)
+        return self.spark.createDataFrame(
+            [("VACUUM", name, len(deleted))],
+            "operation string, table string, files_deleted bigint",
+        )
+
     def _route_dml(self, sql: str) -> DataFrame | None:
         """Returns a 1-row summary DF for DELETE/UPDATE/MERGE statements
         on delta tables, or None when ``sql`` is not DML."""
@@ -482,9 +538,15 @@ class Catalog:
         bound by Spark's native parameterized-SQL support (values never
         pasted into the SQL text — no quoting/injection concerns)."""
         if self.read_only:
+            if self._MAINT_RE.match(sql):
+                raise ReadOnlyError(
+                    f"read-only mode rejects table maintenance: {sql[:80]}"
+                )
             self._assert_read_only_sql(sql)
         else:
-            routed = self._route_dml(sql)
+            routed = self._route_maintenance(sql)
+            if routed is None:
+                routed = self._route_dml(sql)
             if routed is not None:
                 return routed
         if self._INFO_SCHEMA_RE.search(sql):

@@ -871,3 +871,73 @@ def q_kv_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = ["10", "20", "30", "40", "50"]
     rows = [(k, cat.kv_get("status_by_key", k)) for k in keys]
     return spark.createDataFrame(rows, "k string, v string")
+
+
+@register(
+    "q_sql_maintenance",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_orderkey % 10 = 0 AND o_custkey % 7 <> 0
+    """,
+    doc="SQL table-maintenance gate (round 10): a delta table built "
+    "from the 1/10 orders slice is driven ENTIRELY through the SQL "
+    "surface of a read-write catalog — DELETE FROM ... WHERE "
+    "(copy-on-write rewrite), OPTIMIZE ... ZORDER BY (Morton "
+    "re-clustering via the compaction sink), then VACUUM ... RETAIN 1 "
+    "VERSIONS (physical reclaim of the files only dead versions "
+    "reference) — and the surviving rows are aggregated through the "
+    "same catalog's SELECT path. The oracle applies the identical "
+    "slice+delete predicate to the raw orders table, so a DELETE that "
+    "dropped wrong rows, an OPTIMIZE that lost/duplicated rows, or a "
+    "VACUUM that reclaimed a LIVE file all hash-mismatch (the last as "
+    "a loud missing-file read error). sum_cents is exact-integer. "
+    "Plan: fixture-sized (1.5k rows at sf0.01) — this gates the SQL "
+    "routing + maintenance correctness, not volume; the table is "
+    "rebuilt fresh each run so every statement actually executes.",
+    tags=("sql", "delta", "gate"),
+)
+def q_sql_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from roapi_spark.catalog import Catalog
+    from roapi_spark.config import parse_table_config
+    from roapi_spark.sinks.delta import write_delta
+
+    path = os.path.join(tempfile.gettempdir(), "roapi_spark_sqlmaint")
+    shutil.rmtree(path, ignore_errors=True)
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter("o_orderkey % 10 = 0")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    write_delta(base.repartition(4), path, mode="overwrite")  # v0
+
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(
+        parse_table_config(
+            {"name": "maint_t", "uri": path, "option": {"format": "delta"}}
+        )
+    )
+    d = cat.query_sql("DELETE FROM maint_t WHERE o_custkey % 7 = 0").collect()[0]
+    o = cat.query_sql(
+        "OPTIMIZE maint_t ZORDER BY (o_custkey, o_totalprice)"
+    ).collect()[0]
+    v = cat.query_sql("VACUUM maint_t RETAIN 1 VERSIONS").collect()[0]
+    if (d.version, o.version) != (1, 2) or v.files_deleted < 1:
+        raise RuntimeError(
+            f"maintenance route misbehaved: delete v{d.version}, "
+            f"optimize v{o.version}, vacuum reclaimed {v.files_deleted}"
+        )
+    return cat.query_sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+        " AS sum_cents, "
+        "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key "
+        "FROM maint_t"
+    )

@@ -188,6 +188,54 @@ def test_sql_merge_update_star_and_delete(spark, delta_cat):
     assert got == {1: "ada", 2: "linus t", 3: "guido"}  # id 2 updated, no inserts
 
 
+def test_sql_optimize_routes_to_compact(spark, delta_cat, tmp_path):
+    """OPTIMIZE <t> [ZORDER BY (...)] is a delta-spark SQL extension
+    Spark's parser rejects — the catalog routes it by shape to the
+    compaction sink; the summary row carries the committed version and
+    the table keeps serving identical rows from fewer/clustered files."""
+    before = {tuple(r) for r in delta_cat.query_sql("SELECT * FROM people").collect()}
+    out = delta_cat.query_sql("OPTIMIZE people").collect()[0]
+    assert (out.operation, out.table, out.version) == ("OPTIMIZE", "people", 1)
+    after = {tuple(r) for r in delta_cat.query_sql("SELECT * FROM people").collect()}
+    assert after == before
+
+    out2 = delta_cat.query_sql("OPTIMIZE people ZORDER BY (id, score)").collect()[0]
+    assert (out2.operation, out2.version) == ("OPTIMIZE", 2)
+    assert {
+        tuple(r) for r in delta_cat.query_sql("SELECT * FROM people").collect()
+    } == before
+
+    with pytest.raises(CatalogError, match="unsupported OPTIMIZE clause"):
+        delta_cat.query_sql("OPTIMIZE people WHERE id > 1")
+    with pytest.raises(CatalogError, match="only supported on delta"):
+        delta_cat.query_sql("OPTIMIZE upd")
+
+
+def test_sql_vacuum_routes_to_sink(spark, delta_cat):
+    """VACUUM <t> [RETAIN <n> VERSIONS]: version-based retention (the
+    writer's vacuum() contract — the clause says VERSIONS, not HOURS, so
+    the divergence from delta-spark is explicit). An overwrite leaves
+    the old files dead; vacuum reclaims them and current reads hold."""
+    delta_cat.query_sql("DELETE FROM people WHERE id = 1")  # v1
+    delta_cat.query_sql("DELETE FROM people WHERE id = 2")  # v2
+    out = delta_cat.query_sql("VACUUM people RETAIN 1 VERSIONS").collect()[0]
+    assert out.operation == "VACUUM" and out.table == "people"
+    assert out.files_deleted >= 1  # v0/v1-only files reclaimed
+    assert sorted(
+        r.id for r in delta_cat.query_sql("SELECT id FROM people").collect()
+    ) == [3]
+    with pytest.raises(CatalogError, match="unsupported VACUUM clause"):
+        delta_cat.query_sql("VACUUM people RETAIN 24 HOURS")
+
+
+def test_read_only_rejects_maintenance(spark, delta_cat, tmp_path):
+    cat = Catalog(spark, read_only=True)
+    cat.sources = delta_cat.sources  # same registered tables
+    for stmt in ("OPTIMIZE people", "VACUUM people RETAIN 1 VERSIONS"):
+        with pytest.raises(ReadOnlyError):
+            cat.query_sql(stmt)
+
+
 @pytest.fixture
 def branchy_cat(spark, tmp_path):
     """Target/source shaped so a MERGE's matched rows split across the
