@@ -676,13 +676,22 @@ def test_delta_dml_through_http_api(base_url, spark, tmp_path_factory):
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
     )
     assert out[0]["version"] == 4
-    got = {r["id"]: (r["name"], r["price"]) for r in sql("SELECT * FROM inv")}
-    assert got == {
+    expect = {
         1: ("a", 20.0),
         2: ("b", 40.0),
         4: ("dd", 99.0),
         5: ("e", 50.0),
     }
+    got = {r["id"]: (r["name"], r["price"]) for r in sql("SELECT * FROM inv")}
+    assert got == expect
+    # table maintenance over the same endpoint (round 10): OPTIMIZE
+    # re-clusters, VACUUM reclaims the versions the DML left behind —
+    # content must be identical after both
+    assert sql("OPTIMIZE inv ZORDER BY (id, price)")[0]["version"] == 5
+    v = sql("VACUUM inv RETAIN 1 VERSIONS")[0]
+    assert v["operation"] == "VACUUM" and v["files_deleted"] >= 1
+    got = {r["id"]: (r["name"], r["price"]) for r in sql("SELECT * FROM inv")}
+    assert got == expect
 
 
 def test_runtime_error_yields_400_and_server_survives(base_url):
