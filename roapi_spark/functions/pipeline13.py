@@ -909,7 +909,13 @@ def q_sql_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from roapi_spark.config import parse_table_config
     from roapi_spark.sinks.delta import write_delta
 
-    path = os.path.join(tempfile.gettempdir(), "roapi_spark_sqlmaint")
+    # session-scoped scratch: two sessions gating concurrently (driver +
+    # local check) must not race on one table path; rebuilt fresh per
+    # run so every statement actually executes
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"roapi_spark_sqlmaint-{spark.sparkContext.applicationId}",
+    )
     shutil.rmtree(path, ignore_errors=True)
     base = (
         spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))

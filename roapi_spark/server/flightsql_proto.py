@@ -91,17 +91,21 @@ def any_pack(msg_name: str, payload: bytes) -> bytes:
 
 
 def any_unpack(buf: bytes) -> tuple[str, bytes] | None:
-    """Return (short message name, payload) if buf is a FlightSQL Any."""
+    """Return (short message name, payload) if buf is a FlightSQL Any.
+    Total: returns None on ANY non-Any input (the server calls this on
+    every client-controlled descriptor/ticket/action body — a malformed
+    frame must map to a clean 'unknown command', never an exception;
+    field 1 can decode as a varint on garbage, hence the type check)."""
     try:
         fields = decode_fields(buf)
         url = fields[1][0]
         if isinstance(url, bytes):
             url = url.decode()
+        if not isinstance(url, str) or not url.startswith(_ANY_PREFIX):
+            return None
+        value = fields.get(2, [b""])[0]
     except Exception:  # noqa: BLE001 — not a protobuf Any
         return None
-    if not url.startswith(_ANY_PREFIX):
-        return None
-    value = fields.get(2, [b""])[0]
     return url[len(_ANY_PREFIX) :], value if isinstance(value, bytes) else b""
 
 

@@ -86,3 +86,76 @@ def test_audio_video_decoders_fail_closed(seed):
             decode_video(blob)
         except OK:
             pass
+
+
+# --- protocol/metadata readers: same fail-closed contract ------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_hudi_log_reader_fails_closed(seed):
+    """Mutated/truncated HoodieLogFormat bytes must raise HudiLogError
+    (a ValueError) — never struct.error or IndexError; a corrupt log
+    file in a MoR file group must mark THAT read bad, not crash the
+    loader with an undocumented type."""
+    import struct
+
+    from roapi_spark.sources.hudi_log import (
+        AVRO_DATA_BLOCK,
+        HudiLogError,
+        read_log_file,
+        write_log_block,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "_hoodie_record_key", "type": "string"},
+            {"name": "v", "type": "long"},
+        ],
+    }
+    whole = write_log_block(
+        AVRO_DATA_BLOCK,
+        {0: "001", 2: __import__("json").dumps(schema)},
+        records=[{"_hoodie_record_key": "k1", "v": 1}],
+        schema=schema,
+    )
+    rng = np.random.default_rng(seed)
+    # keep the 6-byte magic; flip bytes / truncate everywhere after it
+    for blob in _corruptions(whole, rng, 300, keep_magic=6):
+        try:
+            read_log_file(blob)
+        except HudiLogError:
+            pass  # the documented failure type
+        except (ValueError,):
+            pass  # AvroError et al. are ValueErrors — also documented
+        # anything else (struct.error, IndexError, KeyError...) fails the
+        # test by propagating
+    # garbage that does not even start with the magic
+    for _ in range(100):
+        blob = rng.bytes(int(rng.integers(1, 64)))
+        if blob[:6] == b"#HUDI#":
+            continue
+        with pytest.raises(ValueError):
+            read_log_file(blob)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_flightsql_any_unpack_never_crashes(seed):
+    """any_unpack on arbitrary bytes returns None or a (name, payload)
+    tuple — it must never raise: the Flight server calls it on every
+    incoming descriptor/ticket/action body, and a malformed client
+    frame must produce a clean 'unknown command' error, not a stack
+    trace from the varint reader."""
+    import roapi_spark.server.flightsql_proto as fsp
+
+    rng = np.random.default_rng(seed)
+    for _ in range(500):
+        blob = rng.bytes(int(rng.integers(0, 96)))
+        out = fsp.any_unpack(blob)
+        assert out is None or (isinstance(out[0], str) and isinstance(out[1], bytes))
+    # a truncated but valid-prefix Any (type_url present, value cut off)
+    legit = fsp.command_statement_query("SELECT 1")
+    for cut in range(len(legit)):
+        out = fsp.any_unpack(legit[:cut])
+        assert out is None or isinstance(out[1], bytes)
