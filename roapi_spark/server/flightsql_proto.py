@@ -38,6 +38,10 @@ def _varint(n: int) -> bytes:
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
     result = shift = 0
     while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
+        if shift > 63:
+            raise ValueError("varint longer than 64 bits")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -59,7 +63,12 @@ def encode_varint_field(num: int, value: int) -> bytes:
 
 
 def decode_fields(buf: bytes) -> dict[int, list[int | bytes]]:
-    """Parse a message into {field_number: [values]} (varint + len-delim)."""
+    """Parse a message into {field_number: [values]} (varint + len-delim).
+    Raises ValueError — and only ValueError — on malformed input
+    (truncated varint, length past the buffer, unknown wire type): the
+    Flight server feeds it client-controlled bytes, and conformant
+    protobuf decoders reject a lying length rather than silently
+    returning a truncated value."""
     fields: dict[int, list[int | bytes]] = {}
     pos = 0
     while pos < len(buf):
@@ -69,12 +78,18 @@ def decode_fields(buf: bytes) -> dict[int, list[int | bytes]]:
             v, pos = _read_varint(buf, pos)
         elif wt == 2:
             ln, pos = _read_varint(buf, pos)
+            if pos + ln > len(buf):
+                raise ValueError("length-delimited field past end of buffer")
             v = buf[pos : pos + ln]
             pos += ln
         elif wt == 5:  # fixed32
+            if pos + 4 > len(buf):
+                raise ValueError("truncated fixed32 field")
             v = int.from_bytes(buf[pos : pos + 4], "little")
             pos += 4
         elif wt == 1:  # fixed64
+            if pos + 8 > len(buf):
+                raise ValueError("truncated fixed64 field")
             v = int.from_bytes(buf[pos : pos + 8], "little")
             pos += 8
         else:

@@ -60,3 +60,32 @@ def test_cli_dml_requires_disable_read_only(spark, tmp_path, capsys):
     capsys.readouterr()
     assert cli.main(["sql", "SELECT count(*) AS n FROM inv", "-t", targ]) == 0
     assert "| 1" in capsys.readouterr().out
+
+
+def test_cli_maintenance_statements(spark, tmp_path, capsys):
+    """OPTIMIZE / VACUUM route through the same SQL surface the CLI
+    exposes: gated by -d, summary row printed, content preserved."""
+    from roapi_spark.catalog import ReadOnlyError
+    from roapi_spark.sinks.delta import write_delta
+
+    d = str(tmp_path / "mt")
+    write_delta(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "id bigint, v double"
+        ).repartition(4),
+        d,
+        mode="overwrite",
+    )
+    targ = f"mt={d},format=delta"
+    with pytest.raises(ReadOnlyError):
+        cli.main(["sql", "OPTIMIZE mt", "-t", targ])
+    assert cli.main(["sql", "OPTIMIZE mt ZORDER BY (id, v)", "-t", targ, "-d"]) == 0
+    assert "OPTIMIZE" in capsys.readouterr().out
+    assert cli.main(
+        ["sql", "VACUUM mt RETAIN 1 VERSIONS", "-t", targ, "-d", "-o", "json"]
+    ) == 0
+    row = json.loads(capsys.readouterr().out)[0]
+    assert row["operation"] == "VACUUM" and row["files_deleted"] >= 1
+    capsys.readouterr()
+    assert cli.main(["sql", "SELECT count(*) AS n FROM mt", "-t", targ]) == 0
+    assert "| 20" in capsys.readouterr().out
