@@ -487,6 +487,13 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_toks",
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
+    # barrier FIRST: three consumers follow (doc_id bounds, bucket
+    # totals, the final windowed plan) — without it the token explosion
+    # + two aggregations would run once PER consumer. One row per doc,
+    # so the checkpoint is corpus-doc sized, not token sized (the
+    # dedup.py:minhash pattern); bounds + totals then read the
+    # materialized blocks.
+    joined = joined.localCheckpoint(eager=False)
     # Distributed prefix sum: equal-width integer ranges over the doc_id
     # domain are order-preserving (doc_id asc == (bkt, doc_id) asc), so
     # per-bucket cumulative windows plus exclusive bucket offsets
@@ -505,12 +512,6 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("doc_id") - F.lit(lo)) * n_bkt / F.lit(span)),
         ).cast("int"),
     )
-    # barrier: the bucket-totals collect below and the final windowed
-    # plan both consume `joined` — without it the token explosion +
-    # two aggregations run TWICE (once for the offsets, once at
-    # execution). One row per doc, so the checkpoint is corpus-doc
-    # sized, not token sized (the dedup.py:minhash pattern).
-    joined = joined.localCheckpoint(eager=False)
     totals = sorted(
         (r["bkt"], r["bt"], r["bv"])
         for r in joined.groupBy("bkt")
