@@ -294,6 +294,53 @@ class Catalog:
     _ZORDER_RE = re.compile(r"^ZORDER\s+BY\s*\(\s*([\w\s,`]+?)\s*\)$", re.I)
     _RETAIN_RE = re.compile(r"^RETAIN\s+(\d+)\s+VERSIONS$", re.I)
 
+    # DESCRIBE HISTORY <t> — delta-spark's audit-trail statement, safe in
+    # read-only mode (it reads the log, never the data): one row per
+    # committed version with the commitInfo operation + parameters.
+    _HISTORY_RE = re.compile(
+        r"^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I
+    )
+
+    def _route_history(self, sql: str) -> DataFrame | None:
+        m = self._HISTORY_RE.match(sql)
+        if m is None:
+            return None
+        import json as _json
+
+        from roapi_spark.sources.delta import _log_versions
+
+        path = self._delta_path(m.group(1))
+        rows = []
+        for v, entry in _log_versions(os.path.join(path, "_delta_log")):
+            op, params, ts = None, None, None
+            with open(entry) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    a = _json.loads(line)
+                    if "commitInfo" in a:
+                        ci = a["commitInfo"]
+                        op = ci.get("operation")
+                        params = _json.dumps(
+                            ci.get("operationParameters") or {}, sort_keys=True
+                        )
+                        ts = ci.get("timestamp")
+                        break
+            rows.append(
+                (
+                    v,
+                    None if ts is None else int(ts),
+                    op,
+                    params,
+                )
+            )
+        rows.sort(reverse=True)  # newest first, like delta-spark
+        return self.spark.createDataFrame(
+            rows,
+            "version bigint, timestamp_ms bigint, operation string, "
+            "operationParameters string",
+        )
+
     def _route_maintenance(self, sql: str) -> DataFrame | None:
         m = self._MAINT_RE.match(sql)
         if m is None:
@@ -537,6 +584,9 @@ class Catalog:
         """``args`` are positional parameters for ``?`` placeholders,
         bound by Spark's native parameterized-SQL support (values never
         pasted into the SQL text — no quoting/injection concerns)."""
+        history = self._route_history(sql)  # read-only-safe: log metadata
+        if history is not None:
+            return history
         if self.read_only:
             if self._MAINT_RE.match(sql):
                 raise ReadOnlyError(

@@ -161,12 +161,16 @@ def write_delta(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    operation: str | None = None,
+    operation_params: dict | None = None,
 ) -> int:
     """Write ``df`` as a new Delta table version; returns the committed
     version number. ``mode='append'`` adds files; ``mode='overwrite'``
     logically removes every previously-active file in the same atomic
     commit (time travel to old versions still works — nothing is
-    physically deleted)."""
+    physically deleted). ``operation``/``operation_params`` override the
+    commitInfo stamp (compact() records OPTIMIZE, like delta-spark, so
+    DESCRIBE HISTORY tells a rewrite from a compaction)."""
     if mode not in ("append", "overwrite"):
         raise DeltaWriteError(f"unsupported mode {mode!r}")
     partition_by = list(partition_by or [])
@@ -270,8 +274,9 @@ def write_delta(
         {
             "commitInfo": {
                 "timestamp": now_ms,
-                "operation": "WRITE",
-                "operationParameters": {"mode": mode.upper()},
+                "operation": operation or "WRITE",
+                "operationParameters": operation_params
+                or {"mode": mode.upper()},
             }
         }
     )
@@ -576,7 +581,17 @@ def compact(
         )
     elif not partition_by:
         df = df.coalesce(max(1, df.rdd.getNumPartitions() // 8))
-    return write_delta(df, path, mode="overwrite", partition_by=partition_by)
+    return write_delta(
+        df,
+        path,
+        mode="overwrite",
+        partition_by=partition_by,
+        operation="OPTIMIZE",
+        operation_params={
+            "zorderBy": json.dumps(zorder_by or []),
+            "targetPartitions": str(target_partitions or ""),
+        },
+    )
 
 
 # ---------------------------------------------------------------------------

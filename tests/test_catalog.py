@@ -228,6 +228,29 @@ def test_sql_vacuum_routes_to_sink(spark, delta_cat):
         delta_cat.query_sql("VACUUM people RETAIN 24 HOURS")
 
 
+def test_sql_describe_history(spark, delta_cat):
+    """DESCRIBE HISTORY <t> (delta-spark parity): one row per committed
+    version, newest first, carrying the commitInfo operation — and it
+    works in READ-ONLY mode too (log metadata, never data)."""
+    delta_cat.query_sql("DELETE FROM people WHERE id = 1")      # v1
+    delta_cat.query_sql("OPTIMIZE people")                      # v2
+    hist = delta_cat.query_sql("DESCRIBE HISTORY people").collect()
+    assert [(r.version, r.operation) for r in hist] == [
+        (2, "OPTIMIZE"),
+        (1, "DELETE"),
+        (0, "WRITE"),
+    ]
+    assert all(r.timestamp_ms > 0 for r in hist)
+    assert '"predicate": "(id = 1)"' in hist[1].operationParameters or (
+        "id" in hist[1].operationParameters
+    )
+    ro = Catalog(spark, read_only=True)
+    ro.sources = delta_cat.sources
+    assert len(ro.query_sql("DESCRIBE HISTORY people").collect()) == 3
+    with pytest.raises(CatalogError, match="only supported on delta"):
+        delta_cat.query_sql("DESCRIBE HISTORY upd")
+
+
 def test_read_only_rejects_maintenance(spark, delta_cat, tmp_path):
     cat = Catalog(spark, read_only=True)
     cat.sources = delta_cat.sources  # same registered tables
