@@ -270,7 +270,10 @@ def write_delta(
                 }
             }
         )
-    actions.append(
+    # commitInfo FIRST, like delta-spark: history/audit readers find it
+    # on line 1 instead of scanning past every add action
+    actions.insert(
+        0,
         {
             "commitInfo": {
                 "timestamp": now_ms,
@@ -278,7 +281,7 @@ def write_delta(
                 "operationParameters": operation_params
                 or {"mode": mode.upper()},
             }
-        }
+        },
     )
 
     # 3) atomic publish: O_EXCL create of the next version file. An
@@ -707,14 +710,16 @@ def _rewrite_commit(
                 }
             }
         )
-    actions.append(
+    # commitInfo first (delta-spark layout): audit readers stop at line 1
+    actions.insert(
+        0,
         {
             "commitInfo": {
                 "timestamp": now_ms,
                 "operation": operation,
                 "operationParameters": params,
             }
-        }
+        },
     )
     return _atomic_commit(path, version, actions, rels)
 
