@@ -341,10 +341,66 @@ class Catalog:
             "operationParameters string",
         )
 
+    # DESCRIBE DETAIL <t> — table-level metadata snapshot (delta-spark
+    # parity, read-only-safe): format/location/partition columns/file
+    # count/total bytes, sizes taken from the log's add actions (one log
+    # pass, no per-file filesystem stat — the 100k-file path).
+    _DETAIL_RE = re.compile(
+        r"^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I
+    )
+
+    def _route_detail(self, sql: str) -> DataFrame | None:
+        m = self._DETAIL_RE.match(sql)
+        if m is None:
+            return None
+        from roapi_spark.sources.delta import snapshot_active_adds
+
+        name = m.group(1)
+        path = self._delta_path(name)
+        active, adds, meta = snapshot_active_adds(path)
+        size = sum(int((adds.get(p) or {}).get("size", 0) or 0) for p in active)
+        parts = (meta or {}).get("partitionColumns") or []
+        return self.spark.createDataFrame(
+            [
+                (
+                    "delta",
+                    (meta or {}).get("id"),
+                    name,
+                    path,
+                    ",".join(parts),
+                    len(active),
+                    size,
+                    (meta or {}).get("createdTime"),
+                )
+            ],
+            "format string, id string, name string, location string, "
+            "partition_columns string, num_files bigint, "
+            "size_bytes bigint, created_ms bigint",
+        )
+
+    # RESTORE TABLE <t> TO VERSION AS OF <n> — delta-spark syntax; a
+    # metadata-only commit re-activating the target version's file set
+    # (sinks/delta.restore_delta). Write op: read-only mode rejects it.
+    _RESTORE_RE = re.compile(
+        r"^\s*RESTORE\s+TABLE\s+([A-Za-z_][\w.]*)\s+TO\s+VERSION\s+AS\s+OF"
+        r"\s+(\d+)\s*;?\s*$",
+        re.I,
+    )
+
+    def _route_restore(self, sql: str) -> DataFrame | None:
+        m = self._RESTORE_RE.match(sql)
+        if m is None:
+            return None
+        from roapi_spark.sinks.delta import restore_delta
+
+        name, target = m.group(1), int(m.group(2))
+        v = restore_delta(self._delta_path(name), target)
+        return self._dml_summary("RESTORE", name, v)
+
     def _route_maintenance(self, sql: str) -> DataFrame | None:
         m = self._MAINT_RE.match(sql)
         if m is None:
-            return None
+            return self._route_restore(sql)
         verb, name, rest = m.group(1).upper(), m.group(2), m.group(3).strip()
         path = self._delta_path(name)
         if verb == "OPTIMIZE":
@@ -584,11 +640,13 @@ class Catalog:
         """``args`` are positional parameters for ``?`` placeholders,
         bound by Spark's native parameterized-SQL support (values never
         pasted into the SQL text — no quoting/injection concerns)."""
-        history = self._route_history(sql)  # read-only-safe: log metadata
-        if history is not None:
-            return history
+        meta_df = self._route_history(sql)  # read-only-safe: log metadata
+        if meta_df is None:
+            meta_df = self._route_detail(sql)
+        if meta_df is not None:
+            return meta_df
         if self.read_only:
-            if self._MAINT_RE.match(sql):
+            if self._MAINT_RE.match(sql) or self._RESTORE_RE.match(sql):
                 raise ReadOnlyError(
                     f"read-only mode rejects table maintenance: {sql[:80]}"
                 )

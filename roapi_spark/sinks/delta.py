@@ -1047,6 +1047,88 @@ def _merge_delta_once(
     )
 
 
+def restore_delta(path: str, version: int) -> int:
+    """``RESTORE TABLE <t> TO VERSION AS OF <version>`` (delta-spark
+    parity): ONE metadata-only commit that re-activates the target
+    snapshot's file set — removes every currently-active file absent
+    from the target, re-adds the target's add actions verbatim
+    (path/partitionValues/size/stats echoed from the stored action) —
+    so the table reads as it did at ``version`` while history keeps
+    growing forward. No data file moves or rewrites; like delta-spark,
+    table metadata (schema) is NOT restored, only the file set.
+
+    Fails loudly when a target file was already VACUUMed away (the
+    restore would publish dangling adds), when the json history below
+    the target is incomplete, or when the target is not strictly older
+    than the current version."""
+    log_dir = _log_dir(path)
+    versions = _existing_versions(log_dir)
+    if not versions:
+        raise DeltaWriteError(f"not a delta table (no log): {path}")
+    head = versions[-1]
+    if not 0 <= version < head:
+        raise DeltaWriteError(
+            f"cannot restore to version {version}: current head is {head} "
+            "(target must be an older, existing version)"
+        )
+    if versions[: version + 1] != list(range(version + 1)):
+        raise DeltaWriteError(
+            f"incomplete json history below version {version}: cannot restore"
+        )
+    # full add actions active at the target: plain json replay 0..version
+    target_adds: dict[str, dict] = {}
+    for v in range(version + 1):
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a and a["add"].get("path"):
+                    target_adds[a["add"]["path"]] = a["add"]
+                elif "remove" in a and a["remove"].get("path"):
+                    target_adds.pop(a["remove"]["path"], None)
+    missing = [
+        p
+        for p in target_adds
+        if not os.path.isfile(os.path.join(path, unquote(p)))
+    ]
+    if missing:
+        raise DeltaWriteError(
+            f"cannot restore to version {version}: {len(missing)} target "
+            f"file(s) no longer exist (vacuumed?), e.g. {missing[0]!r}"
+        )
+    from roapi_spark.sources.delta import snapshot_raw_state
+
+    current, _meta = snapshot_raw_state(path, version=head)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": str(version)},
+            }
+        }
+    ]
+    for p in sorted(current):
+        if p not in target_adds:
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    for p in sorted(target_adds):
+        if p not in current:
+            add = dict(target_adds[p])
+            add["dataChange"] = True
+            actions.append({"add": add})
+    return _atomic_commit(path, head + 1, actions, [])
+
+
 def vacuum(path: str, keep_versions: int = 2) -> list[str]:
     """Physically delete data files referenced ONLY by versions older
     than the newest ``keep_versions`` (plus orphans no version

@@ -373,6 +373,50 @@ def snapshot_raw_state(
     return active, meta
 
 
+def snapshot_active_adds(
+    table_path: str, version: int | None = None
+) -> tuple[dict[str, dict | None], dict[str, dict], dict | None]:
+    """(active {raw path -> dv|None}, full adds {raw path -> add action},
+    metaData) at a snapshot, in ONE log pass: the checkpoint parquet is
+    parsed once (_checkpoint_state collect_stats=True harvests
+    path/size/stats from the same read that builds the active set), then
+    each json commit is replayed once for both maps. Checkpoint-seeded
+    entries carry only path/size/stats in `adds` (no partitionValues);
+    v2 sidecar adds land in `active` but not `adds` — consumers must
+    treat a missing/partial add conservatively (pruning: un-skippable;
+    detail: size 0)."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise LoadError(f"not a delta table (no _delta_log): {table_path}")
+    commits = _log_versions(log_dir)
+    if not commits:
+        raise LoadError(f"empty delta log: {table_path}")
+    base_v, active, meta, adds = _checkpoint_state(
+        log_dir, version, collect_stats=True
+    )
+    for v, p in commits:
+        if v <= base_v:
+            continue
+        if version is not None and v > version:
+            break
+        with open(p) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                _check_protocol(a, table_path)
+                if "add" in a and a["add"].get("path"):
+                    active[a["add"]["path"]] = _norm_dv(
+                        a["add"].get("deletionVector")
+                    )
+                    adds[a["add"]["path"]] = a["add"]
+                elif "remove" in a and a["remove"].get("path"):
+                    active.pop(a["remove"]["path"], None)
+                elif "metaData" in a:
+                    meta = a["metaData"]
+    return active, adds, meta
+
+
 def snapshot_adds_pruned(
     table_path: str,
     ranges: dict[str, tuple],
@@ -407,35 +451,7 @@ def snapshot_adds_pruned(
     at the 100k-add scale this module targets the previous
     snapshot_raw_state + re-replay shape parsed every checkpoint part
     twice."""
-    log_dir = os.path.join(table_path, "_delta_log")
-    if not os.path.isdir(log_dir):
-        raise LoadError(f"not a delta table (no _delta_log): {table_path}")
-    commits = _log_versions(log_dir)
-    if not commits:
-        raise LoadError(f"empty delta log: {table_path}")
-    base_v, active, _meta, adds = _checkpoint_state(
-        log_dir, version, collect_stats=True
-    )
-    # v2 sidecar adds land in `active` but not `adds` — they simply
-    # stay un-skippable (pruning must only ever be conservative)
-    for v, p in commits:
-        if v <= base_v:
-            continue
-        if version is not None and v > version:
-            break
-        with open(p) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                _check_protocol(a, table_path)
-                if "add" in a and a["add"].get("path"):
-                    active[a["add"]["path"]] = _norm_dv(
-                        a["add"].get("deletionVector")
-                    )
-                    adds[a["add"]["path"]] = a["add"]
-                elif "remove" in a and a["remove"].get("path"):
-                    active.pop(a["remove"]["path"], None)
+    active, adds, _meta = snapshot_active_adds(table_path, version)
     candidates, skipped = [], []
     cand_bytes = total = 0
     for rel, dv in active.items():

@@ -251,10 +251,50 @@ def test_sql_describe_history(spark, delta_cat):
         delta_cat.query_sql("DESCRIBE HISTORY upd")
 
 
+def test_sql_restore_to_version(spark, delta_cat):
+    """RESTORE TABLE t TO VERSION AS OF n: a metadata-only commit that
+    re-activates the old file set — the table reads exactly as it did
+    at the target version, history keeps growing forward, and a
+    vacuumed-away target fails loudly instead of publishing dangling
+    adds."""
+    before = {tuple(r) for r in delta_cat.query_sql("SELECT * FROM people").collect()}
+    delta_cat.query_sql("DELETE FROM people WHERE id <= 2")  # v1
+    assert delta_cat.query_sql("SELECT count(*) AS n FROM people").collect()[0].n == 1
+    out = delta_cat.query_sql("RESTORE TABLE people TO VERSION AS OF 0").collect()[0]
+    assert (out.operation, out.version) == ("RESTORE", 2)
+    after = {tuple(r) for r in delta_cat.query_sql("SELECT * FROM people").collect()}
+    assert after == before
+    hist = delta_cat.query_sql("DESCRIBE HISTORY people").collect()
+    assert hist[0].operation == "RESTORE"
+    # restore target must be strictly older than head
+    with pytest.raises(Exception, match="older"):
+        delta_cat.query_sql("RESTORE TABLE people TO VERSION AS OF 2")
+    # vacuum away v0/v1 files, then a restore to v1 must fail loudly
+    delta_cat.query_sql("DELETE FROM people WHERE id = 1")  # v3
+    delta_cat.query_sql("VACUUM people RETAIN 1 VERSIONS")
+    with pytest.raises(Exception, match="no longer exist"):
+        delta_cat.query_sql("RESTORE TABLE people TO VERSION AS OF 1")
+
+
+def test_sql_describe_detail(spark, delta_cat):
+    row = delta_cat.query_sql("DESCRIBE DETAIL people").collect()[0]
+    assert row.format == "delta" and row.name == "people"
+    assert row.num_files >= 1 and row.size_bytes > 0
+    assert row.partition_columns == ""
+    # read-only-safe
+    ro = Catalog(spark, read_only=True)
+    ro.sources = delta_cat.sources
+    assert ro.query_sql("DESCRIBE DETAIL people").collect()[0].num_files >= 1
+
+
 def test_read_only_rejects_maintenance(spark, delta_cat, tmp_path):
     cat = Catalog(spark, read_only=True)
     cat.sources = delta_cat.sources  # same registered tables
-    for stmt in ("OPTIMIZE people", "VACUUM people RETAIN 1 VERSIONS"):
+    for stmt in (
+        "OPTIMIZE people",
+        "VACUUM people RETAIN 1 VERSIONS",
+        "RESTORE TABLE people TO VERSION AS OF 0",
+    ):
         with pytest.raises(ReadOnlyError):
             cat.query_sql(stmt)
 
