@@ -947,3 +947,71 @@ def q_sql_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key "
         "FROM maint_t"
     )
+
+
+@register(
+    "q_sql_restore",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+    doc="SQL RESTORE gate (round 10): a delta table built from the 1/10 "
+    "orders slice loses half its rows to DELETE (v1), then RESTORE "
+    "TABLE ... TO VERSION AS OF 0 re-activates the original file set "
+    "in one metadata-only commit (v2) — the oracle is the aggregate of "
+    "the UNTOUCHED slice, so a restore that loses rows, resurrects the "
+    "wrong snapshot, or leaves the delete's rewrite active "
+    "hash-mismatches. DESCRIBE HISTORY order and the restored row "
+    "count are asserted in-line. Plan: fixture-sized (1.5k rows at "
+    "sf0.01); rebuilt fresh each run so every statement executes.",
+    tags=("sql", "delta", "gate"),
+)
+def q_sql_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from roapi_spark.catalog import Catalog
+    from roapi_spark.config import parse_table_config
+    from roapi_spark.sinks.delta import write_delta
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"roapi_spark_sqlrestore-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter("o_orderkey % 10 = 0")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    write_delta(base.repartition(4), path, mode="overwrite")  # v0
+
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(
+        parse_table_config(
+            {"name": "restore_t", "uri": path, "option": {"format": "delta"}}
+        )
+    )
+    d = cat.query_sql("DELETE FROM restore_t WHERE o_custkey % 2 = 0").collect()[0]
+    r = cat.query_sql("RESTORE TABLE restore_t TO VERSION AS OF 0").collect()[0]
+    hist = [
+        row.operation
+        for row in cat.query_sql("DESCRIBE HISTORY restore_t").collect()
+    ]
+    if (d.version, r.version) != (1, 2) or hist != ["RESTORE", "DELETE", "WRITE"]:
+        raise RuntimeError(
+            f"restore route misbehaved: delete v{d.version}, "
+            f"restore v{r.version}, history {hist}"
+        )
+    return cat.query_sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+        " AS sum_cents, "
+        "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key "
+        "FROM restore_t"
+    )
