@@ -513,6 +513,18 @@ def test_dml_through_pg_wire(spark, tmp_path_factory):
         assert any(t == b"D" for t, _ in msgs)  # summary row came back
         got = parse_data_rows(c.query("SELECT id, price FROM inv ORDER BY id"))
         assert got == [("1", "10.0"), ("2", "200.0")]
+        # round-10 maintenance surface over the same wire: OPTIMIZE,
+        # DESCRIBE HISTORY (newest first), RESTORE, VACUUM
+        rows = parse_data_rows(c.query("OPTIMIZE inv ZORDER BY (id, price)"))
+        assert rows[0][0] == "OPTIMIZE"
+        hist = parse_data_rows(c.query("DESCRIBE HISTORY inv"))
+        assert [h[2] for h in hist] == ["OPTIMIZE", "UPDATE", "DELETE", "WRITE"]
+        rows = parse_data_rows(c.query("RESTORE TABLE inv TO VERSION AS OF 0"))
+        assert rows[0][0] == "RESTORE"
+        got = parse_data_rows(c.query("SELECT count(*) AS n FROM inv"))
+        assert got == [("3",)]
+        rows = parse_data_rows(c.query("VACUUM inv RETAIN 1 VERSIONS"))
+        assert int(rows[0][2]) >= 1
         c.close()
     finally:
         server.stop()
