@@ -1097,7 +1097,7 @@ def restore_delta(path: str, version: int) -> int:
             f"cannot restore to version {version}: {len(missing)} target "
             f"file(s) no longer exist (vacuumed?), e.g. {missing[0]!r}"
         )
-    from roapi_spark.sources.delta import snapshot_raw_state
+    from roapi_spark.sources.delta import _norm_dv, snapshot_raw_state
 
     current, _meta = snapshot_raw_state(path, version=head)
     now_ms = int(time.time() * 1000)
@@ -1122,7 +1122,14 @@ def restore_delta(path: str, version: int) -> int:
                 }
             )
     for p in sorted(target_adds):
-        if p not in current:
+        # re-add when the file is not active OR its deletion-vector
+        # state changed since the target (a foreign writer's DELETE may
+        # have attached a DV to a file active in both snapshots; log
+        # replay treats a re-add of the same path as a DV replacement,
+        # so echoing the target's action restores the undeleted rows)
+        if p not in current or current[p] != _norm_dv(
+            target_adds[p].get("deletionVector")
+        ):
             add = dict(target_adds[p])
             add["dataChange"] = True
             actions.append({"add": add})

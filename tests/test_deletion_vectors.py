@@ -191,3 +191,23 @@ def test_dv_unreadable_fails_loudly(spark, tmp_path):
     _commit(root, 0, [_PROTO, _META, _add("part-0.parquet", dv)])
     with pytest.raises(LoadError, match="deletion vector"):
         _load(spark, {"name": "t", "uri": str(root), "option": {"format": "delta"}})
+
+
+def test_restore_resets_deletion_vector(spark, tmp_path):
+    """RESTORE to a pre-DELETE version must re-add the file WITHOUT its
+    deletion vector (log replay treats a re-add as DV replacement) —
+    the deleted rows come back, exactly like delta-spark's RESTORE on a
+    DV table."""
+    from roapi_spark.sinks.delta import restore_delta
+
+    root = _mk_table(tmp_path)
+    dv = write_dv_file(str(root / "dv1.bin"), [1, 3, 7])
+    _commit(root, 0, [_PROTO, _META, _add("part-0.parquet"), _add("part-1.parquet")])
+    _commit(root, 1, [_add("part-0.parquet", dv)])  # DELETE-with-DV shape
+
+    before = _load(spark, {"name": "t", "uri": str(root), "option": {"format": "delta"}})
+    assert sorted(r.id for r in before.collect()) == [0, 2, 4, 5, 6, 8, 9, 100, 101]
+
+    assert restore_delta(str(root), 0) == 2
+    after = _load(spark, {"name": "t", "uri": str(root), "option": {"format": "delta"}})
+    assert sorted(r.id for r in after.collect()) == list(range(10)) + [100, 101]
