@@ -30,8 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def _latest_rows() -> dict[str, dict]:
-    """name -> the most recent driver row for that query (highest round)."""
+def _latest_rows() -> dict[str, tuple[int, dict]]:
+    """name -> (round, row): the most recent driver row per query."""
     import glob
     import json
     import os
@@ -50,7 +50,123 @@ def _latest_rows() -> dict[str, dict]:
         for name, row in rows.items():
             if name not in latest or rnd > latest[name][0]:
                 latest[name] = (rnd, row)
-    return {n: row for n, (_, row) in latest.items()}
+    return latest
+
+
+def _changed_since_round(rnd: int) -> set[str] | None:
+    """Repo-relative paths changed since round ``rnd``'s rows were
+    recorded (= since the last commit that touched CORRECTNESS_r{rnd});
+    includes uncommitted working-tree changes. None when git can't
+    answer (no repo, file never committed) — callers treat that as
+    'unknown, assume unchanged'."""
+    import subprocess
+
+    cache = _changed_since_round.__dict__.setdefault("cache", {})
+    if rnd in cache:
+        return cache[rnd]
+    result = None
+    try:
+        rec = subprocess.run(
+            ["git", "log", "-n1", "--format=%H", "--",
+             f"CORRECTNESS_r{rnd:02d}.json"],
+            cwd=_REPO_ROOT, capture_output=True, text=True, timeout=30,
+        )
+        commit = rec.stdout.strip()
+        if rec.returncode == 0 and commit:
+            diff = subprocess.run(
+                ["git", "diff", "--name-only", commit],
+                cwd=_REPO_ROOT, capture_output=True, text=True, timeout=30,
+            )
+            if diff.returncode == 0:
+                result = {ln.strip() for ln in diff.stdout.splitlines() if ln.strip()}
+    except Exception:
+        result = None
+    cache[rnd] = result
+    return result
+
+
+def _transitive_module_files(mod_name: str) -> set[str]:
+    """Repo-relative .py files ``mod_name`` depends on, transitively,
+    within the roapi_spark package (static AST import scan, memoized).
+    This is what makes rotation change-aware for queries whose builder
+    is a thin wrapper over reworked machinery (e.g. the delta DML
+    queries in functions/pipeline13.py over sinks/delta.py)."""
+    import ast
+    import os
+
+    state = _transitive_module_files.__dict__
+
+    def mod_file(mod: str) -> str | None:
+        rel = mod.replace(".", os.sep)
+        for cand in (rel + ".py", os.path.join(rel, "__init__.py")):
+            if os.path.isfile(os.path.join(_REPO_ROOT, cand)):
+                return cand
+        return None
+
+    if "graph" not in state:
+        # one pass: direct-import graph over every roapi_spark .py file
+        graph: dict[str, set[str]] = {}
+        pkg_root = os.path.join(_REPO_ROOT, "roapi_spark")
+        for dirpath, _dirs, files in os.walk(pkg_root):
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, fname), _REPO_ROOT)
+                parts = rel[:-3].split(os.sep)
+                if parts[-1] == "__init__":
+                    parts = parts[:-1]
+                mod = ".".join(parts)
+                pkg_parts = parts[:-1] if fname != "__init__.py" else parts
+                try:
+                    with open(os.path.join(_REPO_ROOT, rel)) as f:
+                        tree = ast.parse(f.read())
+                except (OSError, SyntaxError):
+                    graph[mod] = set()
+                    continue
+                deps: set[str] = set()
+                for node in ast.walk(tree):
+                    if isinstance(node, ast.Import):
+                        deps.update(a.name for a in node.names)
+                    elif isinstance(node, ast.ImportFrom):
+                        if node.level:  # relative: resolve against package
+                            base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+                            stem = ".".join(
+                                list(base) + ([node.module] if node.module else [])
+                            )
+                        else:
+                            stem = node.module or ""
+                        if stem:
+                            deps.add(stem)
+                            # `from pkg import name` where name is a submodule
+                            deps.update(f"{stem}.{a.name}" for a in node.names)
+                graph[mod] = {d for d in deps if d.startswith("roapi_spark")}
+        state["graph"] = graph
+        state["closure"] = {}
+
+    # glue module: load_all() imports every builder module (so expanding
+    # it would make every query depend on everything), and the file
+    # itself churns every round as new queries register imports without
+    # ever changing existing query semantics — exclude it outright
+    _GLUE = {"roapi_spark.plans.registry"}
+
+    graph = state["graph"]
+    closure = state["closure"]
+    if mod_name not in closure:
+        files: set[str] = set()
+        queue, seen = [mod_name], {mod_name}
+        while queue:
+            mod = queue.pop()
+            if mod in _GLUE:
+                continue
+            rel = mod_file(mod)
+            if rel is not None:
+                files.add(rel)
+            for dep in graph.get(mod, ()):  # unknown (e.g. attr import) -> skip
+                if dep not in seen:
+                    seen.add(dep)
+                    queue.append(dep)
+        closure[mod_name] = files
+    return closure[mod_name]
 
 
 def _is_full_pass(row: dict) -> bool:
@@ -69,7 +185,12 @@ def _ordered_specs():
     # Priority: (1) queries whose LATEST recorded row is not a full pass
     # (errors, stale no-oracle rows-only checks — these have fixes that
     # need re-recording), (2) never-recorded queries (newest operators),
-    # (3) the rest in registration order (already green in some round).
+    # (3) change-aware re-verification: queries whose implementing code
+    # (builder module + its transitive roapi_spark imports) changed
+    # since the round their latest row was recorded, oldest row first —
+    # a green row from round K says nothing about code reworked in
+    # round K+2, (4) the rest, oldest recorded row first, so long-green
+    # rows still rotate through the 50-row window eventually.
     specs = load_all()
     latest = _latest_rows()
     # A spec with no oracle can never hash-match — only an err row means
@@ -79,11 +200,40 @@ def _ordered_specs():
         n: s
         for n, s in specs.items()
         if n in latest
-        and not _is_full_pass(latest[n])
-        and (s.oracle is not None or latest[n].get("err") is not None)
+        and not _is_full_pass(latest[n][1])
+        and (s.oracle is not None or latest[n][1].get("err") is not None)
     }
     out = dict(needs_rerecord)
     out.update({n: s for n, s in specs.items() if n not in latest})
+
+    recorded = [
+        (latest[n][0], n, s) for n, s in specs.items() if n not in out and n in latest
+    ]
+    recorded.sort(key=lambda t: t[0])  # oldest round first
+    # Rank stale rows by how RECENT their invalidating change is: a row
+    # invalidated by this round's uncommitted work has no green record
+    # at all for the code that will ship, so it outranks one invalidated
+    # three rounds ago that the driver just hasn't rotated to yet. The
+    # driver caps a round at 50 rows — this ordering decides which 50.
+    max_round = max((r for r, _, _ in recorded), default=0)
+    stale, fresh = [], []
+    for rnd, n, s in recorded:
+        changed = _changed_since_round(rnd)
+        impl = _transitive_module_files(s.builder.__module__)
+        if changed is None or not (impl & changed):
+            fresh.append((n, s))
+            continue
+        # most recent round boundary whose subsequent work touched impl
+        recency = rnd
+        for k in range(max_round, rnd, -1):
+            ck = _changed_since_round(k)
+            if ck is not None and (impl & ck):
+                recency = k
+                break
+        stale.append((recency, rnd, n, s))
+    stale.sort(key=lambda t: (-t[0], t[1]))  # newest invalidation, oldest row
+    out.update({n: s for _, _, n, s in stale})
+    out.update(dict(fresh))
     out.update({n: s for n, s in specs.items() if n not in out})
     return out
 

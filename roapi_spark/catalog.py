@@ -258,13 +258,22 @@ class Catalog:
         name = ".".join(self._scala_seq(rel.multipartIdentifier()))
         return name, alias
 
-    def _delta_path(self, name: str) -> str:
+    @staticmethod
+    def _unquote_ident(name: str) -> str:
+        """Strip one level of backtick quoting (`` `my table` ``) from a
+        maintenance-grammar identifier."""
+        if len(name) >= 2 and name[0] == name[-1] == "`":
+            return name[1:-1]
+        return name
+
+    def _delta_path(self, name: str, stmt: str = "DML") -> str:
+        name = self._unquote_ident(name)
         if name not in self.sources:
             raise CatalogError(f"table not found: {name}")
         ts = self.sources[name]
         if (ts.format or "").lower() != "delta":
             raise CatalogError(
-                f"DML is only supported on delta-backed tables; "
+                f"{stmt} is only supported on delta-backed tables; "
                 f"{name!r} has format {ts.format!r}"
             )
         return ts.uri
@@ -282,23 +291,24 @@ class Catalog:
     # same pre-parser routing delta-spark's own SparkSessionExtensions
     # injects). Grammar supported:
     #   OPTIMIZE <table> [ZORDER BY (c1, c2, ...)]
-    #   VACUUM <table> [RETAIN <n> VERSIONS]
-    # VACUUM retention is VERSION-based (this writer's vacuum() contract,
-    # sinks/delta.py) rather than delta-spark's RETAIN <n> HOURS — the
-    # clause name makes the unit explicit so the divergence cannot be
-    # mistaken for hour semantics.
+    #   VACUUM <table> [RETAIN <n> VERSIONS | RETAIN <n> HOURS]
+    # RETAIN <n> HOURS is delta-spark's grammar (time-based retention,
+    # resolved to a version cutoff via each commit's commitInfo
+    # timestamp); RETAIN <n> VERSIONS is this writer's native contract
+    # (sinks/delta.vacuum). Both are explicit about their unit.
+    _IDENT = r"(`[^`]+`|[A-Za-z_][\w.]*)"
     _MAINT_RE = re.compile(
-        r"^\s*(OPTIMIZE|VACUUM)\s+([A-Za-z_][\w.]*)\s*(.*?)\s*;?\s*$",
+        r"^\s*(OPTIMIZE|VACUUM)\s+" + _IDENT + r"\s*(.*?)\s*;?\s*$",
         re.I | re.S,
     )
     _ZORDER_RE = re.compile(r"^ZORDER\s+BY\s*\(\s*([\w\s,`]+?)\s*\)$", re.I)
-    _RETAIN_RE = re.compile(r"^RETAIN\s+(\d+)\s+VERSIONS$", re.I)
+    _RETAIN_RE = re.compile(r"^RETAIN\s+(\d+)\s+(VERSIONS|HOURS)$", re.I)
 
     # DESCRIBE HISTORY <t> — delta-spark's audit-trail statement, safe in
     # read-only mode (it reads the log, never the data): one row per
     # committed version with the commitInfo operation + parameters.
     _HISTORY_RE = re.compile(
-        r"^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I
+        r"^\s*DESCRIBE\s+HISTORY\s+" + _IDENT + r"\s*;?\s*$", re.I
     )
 
     def _route_history(self, sql: str) -> DataFrame | None:
@@ -309,7 +319,7 @@ class Catalog:
 
         from roapi_spark.sources.delta import _log_versions
 
-        path = self._delta_path(m.group(1))
+        path = self._delta_path(m.group(1), stmt="DESCRIBE HISTORY")
         rows = []
         for v, entry in _log_versions(os.path.join(path, "_delta_log")):
             op, params, ts = None, None, None
@@ -346,7 +356,7 @@ class Catalog:
     # count/total bytes, sizes taken from the log's add actions (one log
     # pass, no per-file filesystem stat — the 100k-file path).
     _DETAIL_RE = re.compile(
-        r"^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I
+        r"^\s*DESCRIBE\s+DETAIL\s+" + _IDENT + r"\s*;?\s*$", re.I
     )
 
     def _route_detail(self, sql: str) -> DataFrame | None:
@@ -355,8 +365,8 @@ class Catalog:
             return None
         from roapi_spark.sources.delta import snapshot_active_adds
 
-        name = m.group(1)
-        path = self._delta_path(name)
+        name = self._unquote_ident(m.group(1))
+        path = self._delta_path(name, stmt="DESCRIBE DETAIL")
         active, adds, meta = snapshot_active_adds(path)
         size = sum(int((adds.get(p) or {}).get("size", 0) or 0) for p in active)
         parts = (meta or {}).get("partitionColumns") or []
@@ -382,7 +392,7 @@ class Catalog:
     # metadata-only commit re-activating the target version's file set
     # (sinks/delta.restore_delta). Write op: read-only mode rejects it.
     _RESTORE_RE = re.compile(
-        r"^\s*RESTORE\s+TABLE\s+([A-Za-z_][\w.]*)\s+TO\s+VERSION\s+AS\s+OF"
+        r"^\s*RESTORE\s+TABLE\s+" + _IDENT + r"\s+TO\s+VERSION\s+AS\s+OF"
         r"\s+(\d+)\s*;?\s*$",
         re.I,
     )
@@ -393,16 +403,20 @@ class Catalog:
             return None
         from roapi_spark.sinks.delta import restore_delta
 
-        name, target = m.group(1), int(m.group(2))
-        v = restore_delta(self._delta_path(name), target)
+        name, target = self._unquote_ident(m.group(1)), int(m.group(2))
+        v = restore_delta(self._delta_path(name, stmt="RESTORE"), target)
         return self._dml_summary("RESTORE", name, v)
 
     def _route_maintenance(self, sql: str) -> DataFrame | None:
         m = self._MAINT_RE.match(sql)
         if m is None:
             return self._route_restore(sql)
-        verb, name, rest = m.group(1).upper(), m.group(2), m.group(3).strip()
-        path = self._delta_path(name)
+        verb, name, rest = (
+            m.group(1).upper(),
+            self._unquote_ident(m.group(2)),
+            m.group(3).strip(),
+        )
+        path = self._delta_path(name, stmt=verb)
         if verb == "OPTIMIZE":
             from roapi_spark.sinks.delta import compact
 
@@ -425,12 +439,22 @@ class Catalog:
             if rm is None:
                 raise CatalogError(
                     f"unsupported VACUUM clause {rest!r} "
-                    "(use: VACUUM <table> [RETAIN <n> VERSIONS])"
+                    "(use: VACUUM <table> [RETAIN <n> VERSIONS | "
+                    "RETAIN <n> HOURS])"
                 )
-            keep = int(rm.group(1))
+            n, unit = int(rm.group(1)), rm.group(2).upper()
+            if unit == "HOURS":
+                from roapi_spark.sinks.delta import retention_keep_versions
+
+                keep = retention_keep_versions(path, n)
+            else:
+                keep = n
         from roapi_spark.sinks.delta import vacuum
 
         deleted = vacuum(path, keep_versions=keep)
+        # re-bind so a stale view cannot keep referencing files an
+        # external writer's commits made vacuum-eligible since load
+        self.load_table(self.sources[name])
         return self.spark.createDataFrame(
             [("VACUUM", name, len(deleted))],
             "operation string, table string, files_deleted bigint",

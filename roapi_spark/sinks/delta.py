@@ -313,8 +313,14 @@ def _intervening_metadata_change(log_dir: str, from_version: int) -> bool:
                     a = json.loads(line)
                     if "metaData" in a or "protocol" in a:
                         return True
-        except OSError:
-            return True  # unreadable entry: be conservative
+        except (OSError, ValueError):
+            # unreadable OR half-written entry (commit publish is a plain
+            # open('x')+write, so a concurrent writer's partial file can
+            # fail json.loads): be conservative — treating it as a
+            # metadata change keeps the caller on the rollback-and-
+            # conflict path instead of letting JSONDecodeError escape
+            # past the staged-file cleanup
+            return True
     return False
 
 
@@ -1092,6 +1098,17 @@ def restore_delta(path: str, version: int) -> int:
         for p in target_adds
         if not os.path.isfile(os.path.join(path, unquote(p)))
     ]
+    # DV sidecars too: a target add carrying a file-backed deletion
+    # vector ('u'/'p' storageType) is only restorable if its .bin still
+    # exists — otherwise the restore would publish a dangling DV
+    # reference that fails later, at read time, instead of here
+    from roapi_spark.sources.deletion_vectors import _dv_file_path
+
+    for p, add in target_adds.items():
+        dv = add.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p"):
+            if not os.path.isfile(_dv_file_path(dv, path)):
+                missing.append(f"{p} (deletion vector)")
     if missing:
         raise DeltaWriteError(
             f"cannot restore to version {version}: {len(missing)} target "
@@ -1134,6 +1151,48 @@ def restore_delta(path: str, version: int) -> int:
             add["dataChange"] = True
             actions.append({"add": add})
     return _atomic_commit(path, head + 1, actions, [])
+
+
+def _commit_timestamp_ms(log_dir: str, version: int) -> int | None:
+    """The commitInfo timestamp of one log entry (ms since epoch), or
+    None when the commit carries no commitInfo (foreign minimal
+    writers). commitInfo is the first action of every commit this
+    writer produces, so the scan usually stops on line one."""
+    try:
+        with open(os.path.join(log_dir, f"{version:020d}.json")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    ts = a["commitInfo"].get("timestamp")
+                    return None if ts is None else int(ts)
+    except (OSError, ValueError):
+        return None
+    return None
+
+
+def retention_keep_versions(path: str, hours: float) -> int:
+    """Resolve delta-spark's time-based VACUUM retention
+    (``RETAIN <n> HOURS``) to this writer's version-count contract:
+    count, newest-first, the versions whose commitInfo timestamp is
+    inside the retention window and stop at the first expired one
+    (commit timestamps are monotone, so everything older is expired
+    too). Commits without a timestamp are conservatively treated as
+    recent — vacuum must never widen its reclaim set on missing
+    metadata. Always >= 1: the head version is never reclaimable."""
+    log_dir = _log_dir(path)
+    versions = _existing_versions(log_dir)
+    if not versions:
+        raise DeltaWriteError(f"not a delta table (no log): {path}")
+    cutoff_ms = int(time.time() * 1000) - int(hours * 3_600_000)
+    keep = 0
+    for v in reversed(versions):
+        ts = _commit_timestamp_ms(log_dir, v)
+        if ts is not None and ts < cutoff_ms:
+            break
+        keep += 1
+    return max(keep, 1)
 
 
 def vacuum(path: str, keep_versions: int = 2) -> list[str]:

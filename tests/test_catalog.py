@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import pytest
@@ -213,9 +214,9 @@ def test_sql_optimize_routes_to_compact(spark, delta_cat, tmp_path):
 
 def test_sql_vacuum_routes_to_sink(spark, delta_cat):
     """VACUUM <t> [RETAIN <n> VERSIONS]: version-based retention (the
-    writer's vacuum() contract — the clause says VERSIONS, not HOURS, so
-    the divergence from delta-spark is explicit). An overwrite leaves
-    the old files dead; vacuum reclaims them and current reads hold."""
+    writer's vacuum() contract, unit explicit in the clause). An
+    overwrite leaves the old files dead; vacuum reclaims them and
+    current reads hold."""
     delta_cat.query_sql("DELETE FROM people WHERE id = 1")  # v1
     delta_cat.query_sql("DELETE FROM people WHERE id = 2")  # v2
     out = delta_cat.query_sql("VACUUM people RETAIN 1 VERSIONS").collect()[0]
@@ -225,7 +226,104 @@ def test_sql_vacuum_routes_to_sink(spark, delta_cat):
         r.id for r in delta_cat.query_sql("SELECT id FROM people").collect()
     ) == [3]
     with pytest.raises(CatalogError, match="unsupported VACUUM clause"):
-        delta_cat.query_sql("VACUUM people RETAIN 24 HOURS")
+        delta_cat.query_sql("VACUUM people RETAIN 24 FORTNIGHTS")
+
+
+def _rewrite_commit_timestamp(table_path, version, ts_ms):
+    """Edit a committed log entry's commitInfo timestamp in place (test
+    helper: simulates a table whose old versions aged past retention)."""
+    import json as _json
+
+    entry = os.path.join(table_path, "_delta_log", f"{version:020d}.json")
+    lines = []
+    with open(entry) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            a = _json.loads(line)
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts_ms
+            lines.append(_json.dumps(a, separators=(",", ":")))
+    with open(entry, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_sql_vacuum_retain_hours(spark, delta_cat):
+    """VACUUM <t> RETAIN <n> HOURS (delta-spark's grammar): hours are
+    resolved to a version cutoff via each commit's commitInfo timestamp.
+    Only files referenced exclusively by expired-by-time versions are
+    reclaimed; a generous window reclaims nothing."""
+    import time as _time
+
+    delta_cat.query_sql("DELETE FROM people WHERE id = 1")  # v1
+    delta_cat.query_sql("DELETE FROM people WHERE id = 2")  # v2
+    path = delta_cat.sources["people"].uri
+    # everything is seconds old: a 168h window must keep all versions
+    out = delta_cat.query_sql("VACUUM people RETAIN 168 HOURS").collect()[0]
+    assert out.files_deleted == 0
+    # age v0/v1 past the window, keep v2 fresh: exactly the files only
+    # the expired versions reference go away, and the head still reads
+    old = int(_time.time() * 1000) - 200 * 3_600_000
+    _rewrite_commit_timestamp(path, 0, old)
+    _rewrite_commit_timestamp(path, 1, old)
+    out = delta_cat.query_sql("VACUUM people RETAIN 168 HOURS").collect()[0]
+    assert out.files_deleted >= 1
+    assert sorted(
+        r.id for r in delta_cat.query_sql("SELECT id FROM people").collect()
+    ) == [3]
+    # time travel into the reclaimed window now fails loudly at restore
+    with pytest.raises(Exception, match="no longer exist"):
+        delta_cat.query_sql("RESTORE TABLE people TO VERSION AS OF 0")
+
+
+def test_maintenance_backtick_identifiers_and_error_text(spark, delta_cat):
+    """Backtick-quoted table names work across the maintenance grammar,
+    and non-delta targets get an error naming the statement kind rather
+    than a generic 'DML' message."""
+    hist = delta_cat.query_sql("DESCRIBE HISTORY `people`").collect()
+    assert hist[0].version == 0
+    assert (
+        delta_cat.query_sql("DESCRIBE DETAIL `people`").collect()[0].format
+        == "delta"
+    )
+    out = delta_cat.query_sql("OPTIMIZE `people`").collect()[0]
+    assert (out.operation, out.table) == ("OPTIMIZE", "people")
+    out = delta_cat.query_sql("VACUUM `people` RETAIN 5 VERSIONS").collect()[0]
+    assert out.table == "people"
+    delta_cat.query_sql("DELETE FROM people WHERE id = 1")
+    out = delta_cat.query_sql(
+        "RESTORE TABLE `people` TO VERSION AS OF 1"
+    ).collect()[0]
+    assert out.operation == "RESTORE"
+    for stmt, kind in (
+        ("DESCRIBE HISTORY upd", "DESCRIBE HISTORY"),
+        ("DESCRIBE DETAIL upd", "DESCRIBE DETAIL"),
+        ("OPTIMIZE upd", "OPTIMIZE"),
+        ("VACUUM upd", "VACUUM"),
+        ("RESTORE TABLE upd TO VERSION AS OF 0", "RESTORE"),
+    ):
+        with pytest.raises(
+            CatalogError, match=f"{kind} is only supported on delta"
+        ):
+            delta_cat.query_sql(stmt)
+
+
+def test_vacuum_rebinds_view_after_external_writer(spark, delta_cat):
+    """VACUUM re-binds the table view: if an external writer advanced
+    the table since load, vacuum must not leave a stale bound view
+    pointing at files it just reclaimed."""
+    from roapi_spark.sinks.delta import write_delta
+
+    path = delta_cat.sources["people"].uri
+    # external writer overwrites the table behind the catalog's back
+    write_delta(
+        spark.createDataFrame([(7, "grace", 70.0)], "id bigint, name string, score double"),
+        path,
+        mode="overwrite",
+    )
+    delta_cat.query_sql("VACUUM people RETAIN 1 VERSIONS")
+    rows = delta_cat.query_sql("SELECT id FROM people").collect()
+    assert [r.id for r in rows] == [7]
 
 
 def test_sql_describe_history(spark, delta_cat):

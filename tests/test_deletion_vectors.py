@@ -211,3 +211,21 @@ def test_restore_resets_deletion_vector(spark, tmp_path):
     assert restore_delta(str(root), 0) == 2
     after = _load(spark, {"name": "t", "uri": str(root), "option": {"format": "delta"}})
     assert sorted(r.id for r in after.collect()) == list(range(10)) + [100, 101]
+
+
+def test_restore_rejects_missing_dv_sidecar(spark, tmp_path):
+    """RESTORE to a DV-bearing version whose .bin sidecar was removed
+    (foreign cleaner) must fail loudly up front — not publish a
+    dangling deletionVector reference that only breaks at read time."""
+    import os
+
+    from roapi_spark.sinks.delta import DeltaWriteError, restore_delta
+
+    root = _mk_table(tmp_path)
+    dv = write_dv_file(str(root / "dv1.bin"), [1, 3, 7])
+    # v0 carries the DV; v1 drops it (re-add without deletionVector)
+    _commit(root, 0, [_PROTO, _META, _add("part-0.parquet", dv), _add("part-1.parquet")])
+    _commit(root, 1, [_add("part-0.parquet")])
+    os.remove(root / "dv1.bin")  # foreign cleaner reclaimed the sidecar
+    with pytest.raises(DeltaWriteError, match="no longer exist"):
+        restore_delta(str(root), 0)

@@ -320,6 +320,39 @@ def test_append_retry_surfaces_on_metadata_change(
     assert _read(spark, path).columns == ["id", "v"]
 
 
+def test_append_retry_conflict_on_half_written_entry(
+    spark, people, tmp_path, monkeypatch
+):
+    """Commit publish is a plain open('x')+write, so a concurrent
+    writer's log entry can be observed half-written (invalid JSON). The
+    append retry's metadata probe must treat that as a conflict — run
+    the rollback and raise DeltaCommitConflict — not let
+    JSONDecodeError escape past the staged-file cleanup."""
+    import roapi_spark.sinks.delta as dw
+
+    path = str(tmp_path / "halfrace")
+    write_delta(people, path)  # v0
+    log = os.path.join(path, "_delta_log")
+    real = dw._relocate_staging
+    fired = {"done": False}
+
+    def racy(staging, dest):
+        rels = real(staging, dest)
+        if not fired["done"]:
+            fired["done"] = True
+            # a racing writer's v1 lands half-written (truncated JSON)
+            # between this writer's staging and its O_EXCL publish
+            open(os.path.join(log, f"{1:020d}.json"), "w").write('{"add":{"pa')
+        return rels
+
+    monkeypatch.setattr(dw, "_relocate_staging", racy)
+    before = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    with pytest.raises(DeltaCommitConflict):
+        write_delta(people, path, mode="append")
+    after = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    assert after == before  # staged files rolled back, no orphans
+
+
 def test_protocol_readable_by_any_reader(spark, people, tmp_path):
     path = str(tmp_path / "proto")
     write_delta(people, path)
