@@ -50,6 +50,15 @@ class Catalog:
         self._refresh_stop = threading.Event()
         self._refresh_thread: threading.Thread | None = None
         self._lock = threading.Lock()
+        # delta tables: log head version at (re-)bind time, so VACUUM can
+        # tell "external writer advanced the table" from "nothing moved"
+        self._bound_delta_head: dict[str, int] = {}
+        # views invalidated by our own DML, re-bound lazily at the next
+        # read: consecutive DML statements (DELETE; OPTIMIZE; VACUUM)
+        # never read the view — they pin their own log snapshot — so an
+        # eager reload per statement is a full log replay bought for
+        # nothing
+        self._stale_dml_views: set[str] = set()
         # pinned generations for refreshable tables: name -> [older, newer]
         self._pinned: dict[str, list[DataFrame]] = {}
         # staged point-in-time file copies backing those generations
@@ -135,6 +144,14 @@ class Catalog:
         with self._lock:
             self._bind(ts, df)
             self.sources[ts.name] = ts
+            if (ts.format or "").lower() == "delta":
+                from roapi_spark.sources.delta import _log_versions
+
+                self._bound_delta_head[ts.name] = max(
+                    (v for v, _ in _log_versions(
+                        os.path.join(ts.uri, "_delta_log"))),
+                    default=-1,
+                )
 
     def drop_table(self, name: str, dynamic: bool = False) -> None:
         if dynamic and self.read_only:
@@ -155,6 +172,8 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name not in self.sources:
             raise CatalogError(f"table not found: {name}")
+        if self._stale_dml_views:
+            self._flush_stale_views()
         return self.spark.table(name)
 
     def table_names(self) -> list[str]:
@@ -279,12 +298,20 @@ class Catalog:
         return ts.uri
 
     def _dml_summary(self, operation: str, table: str, version: int) -> DataFrame:
-        # refresh the bound view so subsequent queries see the new version
-        self.load_table(self.sources[table])
+        # mark the bound view stale; the next read re-binds it
+        self._stale_dml_views.add(table)
         return self.spark.createDataFrame(
             [(operation, table, version)],
             "operation string, table string, version bigint",
         )
+
+    def _flush_stale_views(self) -> None:
+        """Re-bind every view our own DML invalidated (lazy counterpart
+        of the per-statement reload): runs at the top of each read path
+        so SELECT-after-DML always sees the committed head."""
+        while self._stale_dml_views:
+            name = self._stale_dml_views.pop()
+            self.load_table(self.sources[name])
 
     # OPTIMIZE / VACUUM are delta-spark SQL extensions — Spark's vanilla
     # parser rejects them, so they are recognized up front by shape (the
@@ -450,11 +477,20 @@ class Catalog:
             else:
                 keep = n
         from roapi_spark.sinks.delta import vacuum
+        from roapi_spark.sources.delta import _log_versions
 
         deleted = vacuum(path, keep_versions=keep)
-        # re-bind so a stale view cannot keep referencing files an
-        # external writer's commits made vacuum-eligible since load
-        self.load_table(self.sources[name])
+        # re-bind ONLY if the table advanced since this catalog bound it
+        # (our own DML — flagged stale — or an external writer):
+        # otherwise the bound view references head files vacuum never
+        # touches, and a reload would buy a full log replay for nothing
+        head = max(
+            (v for v, _ in _log_versions(os.path.join(path, "_delta_log"))),
+            default=-1,
+        )
+        if head != self._bound_delta_head.get(name):
+            self.load_table(self.sources[name])
+            self._stale_dml_views.discard(name)
         return self.spark.createDataFrame(
             [("VACUUM", name, len(deleted))],
             "operation string, table string, files_deleted bigint",
@@ -660,6 +696,56 @@ class Catalog:
         )
         return self._dml_summary("MERGE", tname, v)
 
+    # SELECT-level time travel (delta-spark grammar): `FROM <t> [FOR]
+    # VERSION AS OF <n>` / `TIMESTAMP AS OF '<ts>'`. Spark's parser
+    # accepts the syntax but only resolves it for v2 tables, so the
+    # reference is rewritten to a version-pinned temp view built by the
+    # delta reader (sources/delta.py option.version/option.timestamp)
+    # before the statement reaches spark.sql. Read-only-safe: a pinned
+    # snapshot is a read.
+    _TT_RE = re.compile(
+        r"(`[^`]+`|[A-Za-z_][\w.]*)\s+(?:FOR\s+)?"
+        r"(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)",
+        re.I,
+    )
+
+    def _rewrite_time_travel(self, sql: str) -> str:
+        def repl(m: re.Match) -> str:
+            name = self._unquote_ident(m.group(1))
+            if name.upper() == "TO":  # RESTORE ... TO VERSION AS OF
+                return m.group(0)
+            if name not in self.sources:
+                raise CatalogError(f"table not found: {name}")
+            ts = self.sources[name]
+            if (ts.format or "").lower() != "delta":
+                raise CatalogError(
+                    f"time travel is only supported on delta-backed tables; "
+                    f"{name!r} has format {ts.format!r}"
+                )
+            kind, raw = m.group(2).upper(), m.group(3)
+            opt = dict(ts.option)
+            if kind == "VERSION":
+                if not raw.isdigit():
+                    raise CatalogError(
+                        f"VERSION AS OF expects an integer, got {raw}"
+                    )
+                opt["version"] = int(raw)
+                view = f"__asof_{name}_v{raw}"
+            else:
+                if not (raw.startswith("'") and raw.endswith("'")):
+                    raise CatalogError(
+                        f"TIMESTAMP AS OF expects a quoted timestamp, got {raw}"
+                    )
+                opt["timestamp"] = raw[1:-1]
+                view = f"__asof_{name}_t{re.sub(r'[^0-9]', '', raw)}"
+            import dataclasses
+
+            pinned = dataclasses.replace(ts, name=view, option=opt)
+            _load(self.spark, self._stage_source(pinned)).createOrReplaceTempView(view)
+            return view
+
+        return self._TT_RE.sub(repl, sql)
+
     def query_sql(self, sql: str, args: list | None = None) -> DataFrame:
         """``args`` are positional parameters for ``?`` placeholders,
         bound by Spark's native parameterized-SQL support (values never
@@ -681,6 +767,10 @@ class Catalog:
                 routed = self._route_dml(sql)
             if routed is not None:
                 return routed
+        if self._stale_dml_views:
+            self._flush_stale_views()
+        if self._TT_RE.search(sql):
+            sql = self._rewrite_time_travel(sql)
         if self._INFO_SCHEMA_RE.search(sql):
             self._materialize_information_schema()
             sql = self._INFO_SCHEMA_RE.sub(lambda m: f"information_schema_{m.group(1).lower()}", sql)
@@ -692,6 +782,8 @@ class Catalog:
         return rest_query_to_df(self.table(table), params)
 
     def query_graphql(self, query: str) -> DataFrame:
+        if self._stale_dml_views:
+            self._flush_stale_views()
         tables = {name: self.spark.table(name) for name in self.sources}
         return graphql_to_df(tables, query)
 

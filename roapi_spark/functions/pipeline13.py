@@ -873,6 +873,46 @@ def q_kv_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "k string, v string")
 
 
+def _sql_gate_table(spark: SparkSession, sf_dir: str, gate: str) -> str:
+    """Fresh per-run delta table for a SQL gate, copied from a pristine
+    v0 fixture built ONCE per testdata content and disk-cached (the
+    same build_once pattern the source gates use). The copy keeps the
+    'rebuilt fresh each run so every statement actually executes'
+    property while dropping the per-run Spark read+write job the three
+    SQL gates used to repeat — the dominant fixed cost of the bench's
+    gate family."""
+    import shutil
+    import tempfile
+
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+    from roapi_spark.sinks.delta import write_delta
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    fixture = snapshot_cache_dir(src, "sqlgatefix-v1")
+
+    def ready(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_delta_log", f"{0:020d}.json"))
+
+    def build(tmp: str) -> None:
+        base = (
+            spark.read.parquet(src)
+            .filter("o_orderkey % 10 = 0")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+        )
+        write_delta(base.repartition(4), tmp, mode="overwrite")  # v0
+
+    build_once(fixture, ready, build)
+    # session-scoped copy: two sessions gating concurrently (driver +
+    # local check) must not race on one table path
+    dst = os.path.join(
+        tempfile.gettempdir(),
+        f"roapi_spark_{gate}-{spark.sparkContext.applicationId}",
+    )
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(fixture, dst)
+    return dst
+
+
 @register(
     "q_sql_maintenance",
     oracle="""
@@ -888,9 +928,11 @@ def q_kv_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from the 1/10 orders slice is driven ENTIRELY through the SQL "
     "surface of a read-write catalog — DELETE FROM ... WHERE "
     "(copy-on-write rewrite), OPTIMIZE ... ZORDER BY (Morton "
-    "re-clustering via the compaction sink), then VACUUM ... RETAIN 1 "
-    "VERSIONS (physical reclaim of the files only dead versions "
-    "reference) — and the surviving rows are aggregated through the "
+    "re-clustering via the compaction sink), VACUUM ... RETAIN 168 "
+    "HOURS (time-based retention, must reclaim nothing on a "
+    "seconds-old table), then VACUUM ... RETAIN 1 VERSIONS (physical "
+    "reclaim of the files only dead versions reference) — and the "
+    "surviving rows are aggregated through the "
     "same catalog's SELECT path. The oracle applies the identical "
     "slice+delete predicate to the raw orders table, so a DELETE that "
     "dropped wrong rows, an OPTIMIZE that lost/duplicated rows, or a "
@@ -902,28 +944,10 @@ def q_kv_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sql", "delta", "gate"),
 )
 def q_sql_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from roapi_spark.catalog import Catalog
     from roapi_spark.config import parse_table_config
-    from roapi_spark.sinks.delta import write_delta
 
-    # session-scoped scratch: two sessions gating concurrently (driver +
-    # local check) must not race on one table path; rebuilt fresh per
-    # run so every statement actually executes
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"roapi_spark_sqlmaint-{spark.sparkContext.applicationId}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    base = (
-        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-        .filter("o_orderkey % 10 = 0")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-    )
-    write_delta(base.repartition(4), path, mode="overwrite")  # v0
-
+    path = _sql_gate_table(spark, sf_dir, "sqlmaint")
     cat = Catalog(spark, read_only=False)
     cat.load_table(
         parse_table_config(
@@ -934,11 +958,15 @@ def q_sql_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = cat.query_sql(
         "OPTIMIZE maint_t ZORDER BY (o_custkey, o_totalprice)"
     ).collect()[0]
+    # time-based retention first (delta-spark grammar): every commit is
+    # seconds old, so a 168h window must reclaim nothing
+    vh = cat.query_sql("VACUUM maint_t RETAIN 168 HOURS").collect()[0]
     v = cat.query_sql("VACUUM maint_t RETAIN 1 VERSIONS").collect()[0]
-    if (d.version, o.version) != (1, 2) or v.files_deleted < 1:
+    if (d.version, o.version) != (1, 2) or vh.files_deleted != 0 or v.files_deleted < 1:
         raise RuntimeError(
             f"maintenance route misbehaved: delete v{d.version}, "
-            f"optimize v{o.version}, vacuum reclaimed {v.files_deleted}"
+            f"optimize v{o.version}, vacuum reclaimed "
+            f"{vh.files_deleted}/{v.files_deleted}"
         )
     return cat.query_sql(
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
@@ -972,25 +1000,10 @@ def q_sql_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sql", "delta", "gate"),
 )
 def q_sql_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from roapi_spark.catalog import Catalog
     from roapi_spark.config import parse_table_config
-    from roapi_spark.sinks.delta import write_delta
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"roapi_spark_sqlrestore-{spark.sparkContext.applicationId}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    base = (
-        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-        .filter("o_orderkey % 10 = 0")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-    )
-    write_delta(base.repartition(4), path, mode="overwrite")  # v0
-
+    path = _sql_gate_table(spark, sf_dir, "sqlrestore")
     cat = Catalog(spark, read_only=False)
     cat.load_table(
         parse_table_config(
@@ -1014,4 +1027,59 @@ def q_sql_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS sum_cents, "
         "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key "
         "FROM restore_t"
+    )
+
+
+@register(
+    "q_sql_time_travel",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+    doc="SELECT-level time travel gate (round 11): after a DELETE "
+    "halves the delta table (v1), the query text itself selects the "
+    "untouched v0 — `SELECT ... FROM tt_t VERSION AS OF 0` — through a "
+    "READ-ONLY catalog (time travel is a read; the rewrite pins a "
+    "snapshot view over the v0 file set, catalog._rewrite_time_travel)."
+    " The oracle is the aggregate of the untouched slice, so a rewrite "
+    "that serves the current version, the wrong version, or leaks the "
+    "DELETE's rewrite into the pinned snapshot hash-mismatches. The "
+    "current-version row count is asserted in-line to prove the DELETE "
+    "actually landed before the travel. delta-spark grammar parity: "
+    "spark.sql('... VERSION AS OF 0') on a delta v2 table. Plan: "
+    "fixture-sized; one log replay + pruned FileScan over v0's files.",
+    tags=("sql", "delta", "gate"),
+)
+def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.catalog import Catalog
+    from roapi_spark.config import parse_table_config
+
+    path = _sql_gate_table(spark, sf_dir, "sqltt")
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(
+        parse_table_config(
+            {"name": "tt_t", "uri": path, "option": {"format": "delta"}}
+        )
+    )
+    full = cat.query_sql("SELECT COUNT(*) AS n FROM tt_t").collect()[0].n
+    d = cat.query_sql("DELETE FROM tt_t WHERE o_custkey % 2 = 0").collect()[0]
+    cur = cat.query_sql("SELECT COUNT(*) AS n FROM tt_t").collect()[0].n
+    if d.version != 1 or not 0 < cur < full:
+        raise RuntimeError(
+            f"time-travel gate setup misbehaved: delete v{d.version}, "
+            f"rows {full} -> {cur}"
+        )
+    ro = Catalog(spark, read_only=True)
+    ro.sources = cat.sources
+    return ro.query_sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+        " AS sum_cents, "
+        "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key "
+        "FROM tt_t VERSION AS OF 0"
     )

@@ -308,6 +308,43 @@ def test_maintenance_backtick_identifiers_and_error_text(spark, delta_cat):
             delta_cat.query_sql(stmt)
 
 
+def test_select_time_travel(spark, delta_cat):
+    """SELECT ... FROM <t> [FOR] VERSION AS OF n / TIMESTAMP AS OF 'ts'
+    (delta-spark grammar): rewritten to a version-pinned snapshot view,
+    so the query text itself selects an old version — works read-only
+    (it's a read), and non-delta targets fail loudly."""
+    delta_cat.query_sql("DELETE FROM people WHERE id <= 2")  # v1
+    assert [
+        r.id for r in delta_cat.query_sql("SELECT id FROM people").collect()
+    ] == [3]
+    got = delta_cat.query_sql(
+        "SELECT id, name FROM people VERSION AS OF 0 ORDER BY id"
+    ).collect()
+    assert [(r.id, r.name) for r in got] == [(1, "ada"), (2, "linus"), (3, "guido")]
+    # FOR VERSION AS OF + join back against the current version
+    n = delta_cat.query_sql(
+        "SELECT count(*) AS n FROM people FOR VERSION AS OF 0 p0 "
+        "LEFT ANTI JOIN people p ON p0.id = p.id"
+    ).collect()[0].n
+    assert n == 2  # the two deleted rows
+    # TIMESTAMP AS OF far in the future resolves to the latest version
+    future = delta_cat.query_sql(
+        "SELECT count(*) AS n FROM people TIMESTAMP AS OF '2100-01-01 00:00:00'"
+    ).collect()[0].n
+    assert future == 1
+    # read-only: time travel is a read, allowed
+    ro = Catalog(spark, read_only=True)
+    ro.sources = delta_cat.sources
+    assert (
+        ro.query_sql("SELECT count(*) AS n FROM people VERSION AS OF 0")
+        .collect()[0]
+        .n
+        == 3
+    )
+    with pytest.raises(CatalogError, match="only supported on delta"):
+        delta_cat.query_sql("SELECT * FROM upd VERSION AS OF 0")
+
+
 def test_vacuum_rebinds_view_after_external_writer(spark, delta_cat):
     """VACUUM re-binds the table view: if an external writer advanced
     the table since load, vacuum must not leave a stale bound view

@@ -260,6 +260,120 @@ def test_concurrent_disjoint_merges_both_commit(spark, tmp_path):
     assert got == {(1, 11), (2, 20), (3, 33), (4, 40), (5, 50), (6, 60)}
 
 
+def test_optimize_loses_race_to_merge_loudly(spark, people, tmp_path, monkeypatch):
+    """OPTIMIZE (compaction) racing a MERGE that commits mid-compaction:
+    the compaction's overwrite pinned its snapshot, so blindly
+    publishing would erase the merge's rows — it must surface
+    DeltaCommitConflict (and roll back its staged files), never lose
+    rows silently. delta-spark raises ConcurrentWriteException on the
+    same shape."""
+    import roapi_spark.sinks.delta as dw
+    from roapi_spark.sinks.delta import compact, merge_delta
+
+    path = str(tmp_path / "optrace")
+    write_delta(people, path)  # v0
+    real = dw._relocate_staging
+    fired = {"done": False}
+
+    def racy(staging, dest):
+        if not fired["done"]:
+            fired["done"] = True
+            # a MERGE lands between the compaction's scan and publish
+            src = spark.createDataFrame([(1, "ada2", "zz"), (9, "nine", "zz")],
+                                        people.schema)
+            assert merge_delta(
+                spark, path, src, on=["id"],
+                when_matched_update={"name": "s.name"},
+                when_not_matched_insert=True,
+            ) == 1
+        return real(staging, dest)
+
+    monkeypatch.setattr(dw, "_relocate_staging", racy)
+    with pytest.raises(DeltaCommitConflict):
+        compact(spark, path)
+    # merge's result intact, compaction rolled back, no orphans
+    got = {(r.id, r.name) for r in _read(spark, path).select("id", "name").collect()}
+    assert (1, "ada2") in got and (9, "nine") in got
+    assert len(got) == people.count() + 1
+    log = os.path.join(path, "_delta_log")
+    referenced = set()
+    for entry in os.listdir(log):
+        if entry.endswith(".json"):
+            for ln in open(os.path.join(log, entry)):
+                a = json.loads(ln)
+                if "add" in a:
+                    referenced.add(a["add"]["path"])
+    on_disk = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    assert on_disk <= referenced  # every surviving file is log-referenced
+
+
+def test_merge_loses_race_to_optimize_serializes(spark, people, tmp_path, monkeypatch):
+    """MERGE racing an OPTIMIZE that commits mid-merge: the merge's
+    pinned commit loses the O_EXCL race and must RE-EXECUTE against the
+    compacted snapshot (_serialize_after_winner) — both operations
+    land, rows compose as if sequential."""
+    import roapi_spark.sinks.delta as dw
+    from roapi_spark.sinks.delta import compact, merge_delta
+
+    path = str(tmp_path / "mrgrace")
+    write_delta(people.repartition(3), path)  # v0, multiple files
+    real = dw._relocate_staging
+    fired = {"done": False}
+
+    def racy(staging, dest):
+        if not fired["done"]:
+            fired["done"] = True
+            assert compact(spark, path) == 1  # compaction wins v1
+        return real(staging, dest)
+
+    monkeypatch.setattr(dw, "_relocate_staging", racy)
+    src = spark.createDataFrame([(1, "ada2", "zz"), (9, "nine", "zz")],
+                                people.schema)
+    v = merge_delta(
+        spark, path, src, on=["id"],
+        when_matched_update={"name": "s.name"},
+        when_not_matched_insert=True,
+    )
+    assert v == 2  # serialized after the compaction
+    got = {(r.id, r.name) for r in _read(spark, path).select("id", "name").collect()}
+    assert (1, "ada2") in got and (9, "nine") in got
+    assert len(got) == people.count() + 1
+
+
+def test_vacuum_racing_restore_fails_loudly_not_silently(
+    spark, people, tmp_path, monkeypatch
+):
+    """VACUUM racing a RESTORE that re-references a reclaimed file: if
+    vacuum physically deletes the target files AFTER restore's
+    existence check but BEFORE its commit, the table must fail LOUDLY
+    on read (missing file), never serve a silently smaller row set.
+    (Same hazard class as delta-spark, where VACUUM + time travel race
+    unprotected; the invariant we pin is loud-not-wrong.)"""
+    import roapi_spark.sinks.delta as dw
+    from roapi_spark.sinks.delta import restore_delta, vacuum
+
+    path = str(tmp_path / "vacrace")
+    write_delta(people, path)  # v0
+    write_delta(
+        spark.createDataFrame([(7, "g", "zz")], people.schema),
+        path,
+        mode="overwrite",
+    )  # v1: v0's files now dead
+    real = dw._atomic_commit
+    fired = {"done": False}
+
+    def racy(p, version, actions, rels, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            vacuum(path, keep_versions=1)  # reclaims v0-only files mid-restore
+        return real(p, version, actions, rels, **kw)
+
+    monkeypatch.setattr(dw, "_atomic_commit", racy)
+    restore_delta(path, 0)  # passes its existence check, then loses the race
+    with pytest.raises(Exception):  # noqa: B017 — any loud read error
+        _read(spark, path).collect()
+
+
 def test_concurrent_appends_auto_resolve(spark, people, tmp_path):
     """Appends read nothing, so racing appenders must ALL commit with no
     caller-side retry loop (delta-spark append semantics: the lost
