@@ -419,8 +419,9 @@ class Catalog:
     # metadata-only commit re-activating the target version's file set
     # (sinks/delta.restore_delta). Write op: read-only mode rejects it.
     _RESTORE_RE = re.compile(
-        r"^\s*RESTORE\s+TABLE\s+" + _IDENT + r"\s+TO\s+VERSION\s+AS\s+OF"
-        r"\s+(\d+)\s*;?\s*$",
+        r"^\s*RESTORE\s+TABLE\s+" + _IDENT + r"\s+TO\s+"
+        r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
+        r"\s*;?\s*$",
         re.I,
     )
 
@@ -428,10 +429,17 @@ class Catalog:
         m = self._RESTORE_RE.match(sql)
         if m is None:
             return None
-        from roapi_spark.sinks.delta import restore_delta
+        from roapi_spark.sinks.delta import restore_delta, version_at_timestamp
 
-        name, target = self._unquote_ident(m.group(1)), int(m.group(2))
-        v = restore_delta(self._delta_path(name, stmt="RESTORE"), target)
+        name = self._unquote_ident(m.group(1))
+        path = self._delta_path(name, stmt="RESTORE")
+        if m.group(2) is not None:
+            target = int(m.group(2))
+        else:
+            # delta-spark's TIMESTAMP AS OF restore: resolve via each
+            # commit's commitInfo timestamp (last commit at or before)
+            target = version_at_timestamp(path, m.group(3))
+        v = restore_delta(path, target)
         return self._dml_summary("RESTORE", name, v)
 
     def _route_maintenance(self, sql: str) -> DataFrame | None:
@@ -746,6 +754,31 @@ class Catalog:
 
         return self._TT_RE.sub(repl, sql)
 
+    # delta-spark's CDF table-valued function: `SELECT ... FROM
+    # table_changes('t', start[, end])`. Spark has no such TVF for v1
+    # relations, so the call is rewritten to a temp view over the CDF
+    # reader (sources/delta.table_changes: _change_type /
+    # _commit_version / _commit_timestamp per changed row). A read —
+    # allowed in read-only mode.
+    _CDF_RE = re.compile(
+        r"table_changes\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+        re.I,
+    )
+
+    def _rewrite_table_changes(self, sql: str) -> str:
+        def repl(m: re.Match) -> str:
+            name, start, end = m.group(1), int(m.group(2)), m.group(3)
+            path = self._delta_path(name, stmt="table_changes")
+            from roapi_spark.sources.delta import table_changes
+
+            view = f"__cdf_{name}_{start}_{end if end else 'head'}"
+            table_changes(
+                self.spark, path, start, None if end is None else int(end)
+            ).createOrReplaceTempView(view)
+            return view
+
+        return self._CDF_RE.sub(repl, sql)
+
     def query_sql(self, sql: str, args: list | None = None) -> DataFrame:
         """``args`` are positional parameters for ``?`` placeholders,
         bound by Spark's native parameterized-SQL support (values never
@@ -771,6 +804,8 @@ class Catalog:
             self._flush_stale_views()
         if self._TT_RE.search(sql):
             sql = self._rewrite_time_travel(sql)
+        if self._CDF_RE.search(sql):
+            sql = self._rewrite_table_changes(sql)
         if self._INFO_SCHEMA_RE.search(sql):
             self._materialize_information_schema()
             sql = self._INFO_SCHEMA_RE.sub(lambda m: f"information_schema_{m.group(1).lower()}", sql)

@@ -1083,3 +1083,66 @@ def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key "
         "FROM tt_t VERSION AS OF 0"
     )
+
+
+@register(
+    "q_sql_cdf",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT * FROM (
+      SELECT 'delete' AS change_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      FROM s
+      UNION ALL
+      SELECT 'insert' AS change_type,
+             CAST(COUNT(*) + SUM(CASE WHEN o_custkey % 2 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rows,
+             CAST(SUM(o_orderkey)
+                  + SUM(CASE WHEN o_custkey % 2 <> 0 THEN o_orderkey ELSE 0 END)
+                  AS BIGINT) AS sum_key
+      FROM s
+    ) ORDER BY change_type
+    """,
+    doc="Change Data Feed SQL gate (round 11): `SELECT ... FROM "
+    "table_changes('cdf_t', 0)` — delta-spark's CDF TVF, rewritten by "
+    "the catalog to a view over the pure-Python CDF reader "
+    "(sources/delta.table_changes). The fixture takes one DELETE "
+    "(o_custkey % 2 = 0), so the full change stream is: v0's blind "
+    "write -> one insert per slice row; v1's copy-on-write DELETE -> "
+    "one delete per row of every touched file and one re-insert per "
+    "survivor. Each fixture file holds ~375 rows at sf0.01 with a ~1/2 "
+    "match rate, so every file is touched (miss odds 2^-375) and the "
+    "counts are layout-independent: deletes = N, inserts = N + "
+    "survivors. The oracle computes both aggregates from the raw "
+    "slice; a CDF reader that drops a commit, mislabels a change type, "
+    "or double-serves a rewrite hash-mismatches. Runs through a "
+    "READ-ONLY catalog (CDF is a read). Plan: fixture-sized log replay "
+    "+ per-commit file reads.",
+    tags=("sql", "delta", "gate"),
+)
+def q_sql_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.catalog import Catalog
+    from roapi_spark.config import parse_table_config
+
+    path = _sql_gate_table(spark, sf_dir, "sqlcdf")
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(
+        parse_table_config(
+            {"name": "cdf_t", "uri": path, "option": {"format": "delta"}}
+        )
+    )
+    d = cat.query_sql("DELETE FROM cdf_t WHERE o_custkey % 2 = 0").collect()[0]
+    if d.version != 1:
+        raise RuntimeError(f"cdf gate setup misbehaved: delete v{d.version}")
+    ro = Catalog(spark, read_only=True)
+    ro.sources = cat.sources
+    return ro.query_sql(
+        "SELECT _change_type AS change_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sum_key "
+        "FROM table_changes('cdf_t', 0) "
+        "GROUP BY _change_type ORDER BY change_type"
+    )

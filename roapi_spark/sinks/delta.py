@@ -1172,6 +1172,38 @@ def _commit_timestamp_ms(log_dir: str, version: int) -> int | None:
     return None
 
 
+def version_at_timestamp(path: str, timestamp: str) -> int:
+    """Last committed version at or before ``timestamp`` (ISO form,
+    interpreted UTC like the reader's ``option.timestamp``), resolved
+    via commitInfo timestamps with a log-file-mtime fallback for
+    foreign minimal writers. Backs ``RESTORE TABLE t TO TIMESTAMP AS
+    OF`` (delta-spark grammar)."""
+    from datetime import datetime, timezone
+
+    log_dir = _log_dir(path)
+    versions = _existing_versions(log_dir)
+    if not versions:
+        raise DeltaWriteError(f"not a delta table (no log): {path}")
+    limit_ms = int(
+        datetime.fromisoformat(timestamp)
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+        * 1000
+    )
+    eligible = []
+    for v in versions:
+        ts = _commit_timestamp_ms(log_dir, v)
+        if ts is None:
+            ts = int(
+                os.path.getmtime(os.path.join(log_dir, f"{v:020d}.json")) * 1000
+            )
+        if ts <= limit_ms:
+            eligible.append(v)
+    if not eligible:
+        raise DeltaWriteError(f"no delta commit at or before {timestamp}")
+    return max(eligible)
+
+
 def retention_keep_versions(path: str, hours: float) -> int:
     """Resolve delta-spark's time-based VACUUM retention
     (``RETAIN <n> HOURS``) to this writer's version-count contract:
@@ -1230,7 +1262,7 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
     # (ours, delta-rs) or literal (delta-spark hive '='), so unquote the
     # referenced set instead of guessing how to re-quote disk paths
     referenced = {unquote(p) for p in referenced}
-    deleted = []
+    victims = []
     for root, _dirs, files in os.walk(path):
         if "_delta_log" in root or "_staging-" in root:
             continue
@@ -1240,6 +1272,17 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
             abs_file = os.path.join(root, name)
             rel = os.path.relpath(abs_file, path)
             if rel not in referenced:
-                os.remove(abs_file)
-                deleted.append(rel)
-    return deleted
+                victims.append((abs_file, rel))
+    # parallel unlink: at the 1M-file scale a big vacuum reclaims,
+    # serial os.remove is the wall clock (unlink syscalls release the
+    # GIL, so threads give a real ~Nx; measured 199 s -> tens of
+    # seconds at 1M files, tools/metadata_stress.py)
+    if len(victims) > 64:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            list(ex.map(lambda v: os.remove(v[0]), victims))
+    else:
+        for abs_file, _rel in victims:
+            os.remove(abs_file)
+    return [rel for _abs, rel in victims]

@@ -308,6 +308,35 @@ def test_maintenance_backtick_identifiers_and_error_text(spark, delta_cat):
             delta_cat.query_sql(stmt)
 
 
+def test_restore_to_timestamp(spark, delta_cat):
+    """RESTORE TABLE t TO TIMESTAMP AS OF 'ts' (delta-spark grammar):
+    resolves via commitInfo timestamps to the last commit at or before
+    the given time, then restores that version's file set."""
+    import time as _time
+
+    before = {tuple(r) for r in delta_cat.query_sql("SELECT * FROM people").collect()}
+    delta_cat.query_sql("DELETE FROM people WHERE id <= 2")  # v1
+    path = delta_cat.sources["people"].uri
+    # age v0 so a between-versions timestamp resolves to it
+    _rewrite_commit_timestamp(path, 0, int(_time.time() * 1000) - 48 * 3_600_000)
+    from datetime import datetime, timedelta, timezone
+
+    mid = (datetime.now(timezone.utc) - timedelta(hours=24)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    out = delta_cat.query_sql(
+        f"RESTORE TABLE people TO TIMESTAMP AS OF '{mid}'"
+    ).collect()[0]
+    assert (out.operation, out.version) == ("RESTORE", 2)
+    after = {tuple(r) for r in delta_cat.query_sql("SELECT * FROM people").collect()}
+    assert after == before
+    # a pre-table timestamp fails loudly
+    with pytest.raises(Exception, match="no delta commit"):
+        delta_cat.query_sql(
+            "RESTORE TABLE people TO TIMESTAMP AS OF '1990-01-01 00:00:00'"
+        )
+
+
 def test_select_time_travel(spark, delta_cat):
     """SELECT ... FROM <t> [FOR] VERSION AS OF n / TIMESTAMP AS OF 'ts'
     (delta-spark grammar): rewritten to a version-pinned snapshot view,
@@ -343,6 +372,39 @@ def test_select_time_travel(spark, delta_cat):
     )
     with pytest.raises(CatalogError, match="only supported on delta"):
         delta_cat.query_sql("SELECT * FROM upd VERSION AS OF 0")
+
+
+def test_sql_table_changes_tvf(spark, delta_cat):
+    """SELECT ... FROM table_changes('t', start[, end]) (delta-spark's
+    CDF TVF): rewritten to a view over the CDF reader — one row per
+    changed record with _change_type/_commit_version; works read-only."""
+    delta_cat.query_sql("DELETE FROM people WHERE id = 2")  # v1
+    rows = delta_cat.query_sql(
+        "SELECT _change_type, id FROM table_changes('people', 1, 1) "
+        "ORDER BY _change_type, id"
+    ).collect()
+    # the copy-on-write DELETE rewrites the touched file: id=2 appears
+    # as a delete (survivors of that file re-appear as inserts)
+    got = {(r._change_type, r.id) for r in rows}
+    assert ("delete", 2) in got and ("insert", 2) not in got
+    # the full range starts with the 3 initial inserts
+    all_rows = delta_cat.query_sql(
+        "SELECT _change_type, count(*) AS n FROM table_changes('people', 0) "
+        "GROUP BY _change_type ORDER BY _change_type"
+    ).collect()
+    kinds = {r._change_type: r.n for r in all_rows}
+    assert kinds.get("insert", 0) >= 3
+    # read-only: CDF is a read
+    ro = Catalog(spark, read_only=True)
+    ro.sources = delta_cat.sources
+    assert (
+        ro.query_sql(
+            "SELECT count(*) AS n FROM table_changes('people', 0, 0)"
+        ).collect()[0].n
+        == 3
+    )
+    with pytest.raises(CatalogError, match="only supported on delta"):
+        delta_cat.query_sql("SELECT * FROM table_changes('upd', 0)")
 
 
 def test_vacuum_rebinds_view_after_external_writer(spark, delta_cat):

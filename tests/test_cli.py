@@ -82,6 +82,11 @@ def test_cli_maintenance_statements(spark, tmp_path, capsys):
     assert cli.main(["sql", "OPTIMIZE mt ZORDER BY (id, v)", "-t", targ, "-d"]) == 0
     assert "OPTIMIZE" in capsys.readouterr().out
     assert cli.main(
+        ["sql", "VACUUM mt RETAIN 168 HOURS", "-t", targ, "-d", "-o", "json"]
+    ) == 0
+    row = json.loads(capsys.readouterr().out)[0]
+    assert row["operation"] == "VACUUM" and row["files_deleted"] == 0
+    assert cli.main(
         ["sql", "VACUUM mt RETAIN 1 VERSIONS", "-t", targ, "-d", "-o", "json"]
     ) == 0
     row = json.loads(capsys.readouterr().out)[0]

@@ -523,6 +523,16 @@ def test_dml_through_pg_wire(spark, tmp_path_factory):
         assert rows[0][0] == "RESTORE"
         got = parse_data_rows(c.query("SELECT count(*) AS n FROM inv"))
         assert got == [("3",)]
+        # SELECT-level time travel over the wire (round 11): the
+        # pre-restore head (v3) still has the UPDATE applied
+        got = parse_data_rows(
+            c.query("SELECT price FROM inv VERSION AS OF 3 WHERE id = 2")
+        )
+        assert got == [("200.0",)]
+        # both VACUUM retention grammars (round 11): hours first — all
+        # commits are seconds old, so nothing may be reclaimed
+        rows = parse_data_rows(c.query("VACUUM inv RETAIN 168 HOURS"))
+        assert int(rows[0][2]) == 0
         rows = parse_data_rows(c.query("VACUUM inv RETAIN 1 VERSIONS"))
         assert int(rows[0][2]) >= 1
         c.close()
