@@ -156,3 +156,39 @@ def test_ngram_perplexity_take_ordered(spark, specs):
     single-partition row_number sort over every document."""
     plan = _plan(spark, specs, "q_ngram_perplexity")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_time_travel_scans_only_pinned_version_files(spark, tmp_path):
+    """SELECT ... VERSION AS OF 0 must plan as a FileScan over exactly
+    v0's files: the DELETE's rewrite files (current head) may not
+    appear in the pinned snapshot's scan, and vice versa — otherwise
+    "time travel" is a filter over the wrong data at any scale."""
+    from roapi_spark.catalog import Catalog
+    from roapi_spark.config import parse_table_config
+    from roapi_spark.sinks.delta import write_delta
+    from roapi_spark.sources.delta import snapshot_files
+
+    path = str(tmp_path / "ttplan")
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(100)], "id bigint, name string"
+    )
+    write_delta(df.repartition(2), path, mode="overwrite")  # v0
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(
+        parse_table_config({"name": "tt", "uri": path, "option": {"format": "delta"}})
+    )
+    cat.query_sql("DELETE FROM tt WHERE id < 50")  # v1 rewrites both files
+    v0_files = set(snapshot_files(path, version=0))
+    head_files = set(snapshot_files(path))
+    assert v0_files and head_files and v0_files.isdisjoint(head_files)
+    plan = (
+        cat.query_sql("SELECT count(*) AS n FROM tt VERSION AS OF 0")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # no head (post-DELETE) file may leak into the pinned snapshot's scan
+    for f in head_files:
+        assert f.split("/")[-1] not in plan
+    n = cat.query_sql("SELECT count(*) AS n FROM tt VERSION AS OF 0").collect()[0].n
+    assert n == 100

@@ -688,6 +688,15 @@ def test_delta_dml_through_http_api(base_url, spark, tmp_path_factory):
     # re-clusters, VACUUM reclaims the versions the DML left behind —
     # content must be identical after both
     assert sql("OPTIMIZE inv ZORDER BY (id, price)")[0]["version"] == 5
+    # round 11: SELECT-level time travel + the CDF TVF over HTTP — both
+    # reads, both must see history that VACUUM below will reclaim
+    n0 = sql("SELECT count(*) AS n FROM inv VERSION AS OF 0")[0]["n"]
+    assert n0 == 3  # the pre-DML row count
+    kinds = {
+        r["_change_type"]
+        for r in sql("SELECT DISTINCT _change_type FROM table_changes('inv', 0)")
+    }
+    assert {"insert", "delete"} <= kinds
     v = sql("VACUUM inv RETAIN 1 VERSIONS")[0]
     assert v["operation"] == "VACUUM" and v["files_deleted"] >= 1
     got = {r["id"]: (r["name"], r["price"]) for r in sql("SELECT * FROM inv")}
