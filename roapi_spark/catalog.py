@@ -309,8 +309,11 @@ class Catalog:
         """Re-bind every view our own DML invalidated (lazy counterpart
         of the per-statement reload): runs at the top of each read path
         so SELECT-after-DML always sees the committed head."""
-        while self._stale_dml_views:
-            name = self._stale_dml_views.pop()
+        while True:
+            try:  # set.pop is atomic; two reader threads may race here
+                name = self._stale_dml_views.pop()
+            except KeyError:
+                break
             self.load_table(self.sources[name])
 
     # OPTIMIZE / VACUUM are delta-spark SQL extensions — Spark's vanilla
@@ -711,17 +714,58 @@ class Catalog:
     # delta reader (sources/delta.py option.version/option.timestamp)
     # before the statement reaches spark.sql. Read-only-safe: a pinned
     # snapshot is a read.
-    _TT_RE = re.compile(
-        r"(`[^`]+`|[A-Za-z_][\w.]*)\s+(?:FOR\s+)?"
-        r"(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)",
-        re.I,
+    #
+    # The match is keyword-anchored with a MANUAL backward scan for the
+    # table identifier: an `ident\s+(FOR\s+)?VERSION AS OF` regex
+    # backtracks quadratically on long identifier-char runs (a 70 KB
+    # /* xxx... */ comment pad hung the h2c upload e2e for minutes),
+    # while finditer on the literal keyword + a linear walk backward is
+    # O(n) on any input.
+    _TT_KEY_RE = re.compile(
+        r"\b(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)", re.I
+    )
+    _IDENT_CHARS = frozenset(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_."
     )
 
+    def _ident_before(self, sql: str, pos: int) -> tuple[str, int] | None:
+        """The table identifier (bare or backticked) that immediately
+        precedes ``pos``, skipping whitespace and one optional FOR
+        keyword; returns (identifier, start_index) or None."""
+        j = pos
+        while j > 0 and sql[j - 1].isspace():
+            j -= 1
+        if (
+            j >= 3
+            and sql[j - 3 : j].upper() == "FOR"
+            and (j - 3 == 0 or not (sql[j - 4] in self._IDENT_CHARS or sql[j - 4] == "`"))
+        ):
+            j -= 3
+            while j > 0 and sql[j - 1].isspace():
+                j -= 1
+        if j > 0 and sql[j - 1] == "`":
+            k = sql.rfind("`", 0, j - 1)
+            if k < 0:
+                return None
+            return sql[k:j], k
+        k = j
+        while k > 0 and sql[k - 1] in self._IDENT_CHARS:
+            k -= 1
+        return (sql[k:j], k) if k < j else None
+
     def _rewrite_time_travel(self, sql: str) -> str:
-        def repl(m: re.Match) -> str:
-            name = self._unquote_ident(m.group(1))
+        out: list[str] = []
+        last = 0
+        for m in self._TT_KEY_RE.finditer(sql):
+            if m.start() < last:  # keyword inside a consumed span
+                continue
+            found = self._ident_before(sql, m.start())
+            if found is None:
+                continue
+            ident, start = found
+            name = self._unquote_ident(ident)
             if name.upper() == "TO":  # RESTORE ... TO VERSION AS OF
-                return m.group(0)
+                continue
             if name not in self.sources:
                 raise CatalogError(f"table not found: {name}")
             ts = self.sources[name]
@@ -730,7 +774,7 @@ class Catalog:
                     f"time travel is only supported on delta-backed tables; "
                     f"{name!r} has format {ts.format!r}"
                 )
-            kind, raw = m.group(2).upper(), m.group(3)
+            kind, raw = m.group(1).upper(), m.group(2)
             opt = dict(ts.option)
             if kind == "VERSION":
                 if not raw.isdigit():
@@ -750,9 +794,11 @@ class Catalog:
 
             pinned = dataclasses.replace(ts, name=view, option=opt)
             _load(self.spark, self._stage_source(pinned)).createOrReplaceTempView(view)
-            return view
-
-        return self._TT_RE.sub(repl, sql)
+            out.append(sql[last:start])
+            out.append(view)
+            last = m.end()
+        out.append(sql[last:])
+        return "".join(out)
 
     # delta-spark's CDF table-valued function: `SELECT ... FROM
     # table_changes('t', start[, end])`. Spark has no such TVF for v1
@@ -802,7 +848,7 @@ class Catalog:
                 return routed
         if self._stale_dml_views:
             self._flush_stale_views()
-        if self._TT_RE.search(sql):
+        if self._TT_KEY_RE.search(sql):
             sql = self._rewrite_time_travel(sql)
         if self._CDF_RE.search(sql):
             sql = self._rewrite_table_changes(sql)

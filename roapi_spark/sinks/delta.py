@@ -1277,12 +1277,18 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
     # serial os.remove is the wall clock (unlink syscalls release the
     # GIL, so threads give a real ~Nx; measured 199 s -> tens of
     # seconds at 1M files, tools/metadata_stress.py)
+    def rm(abs_file: str) -> None:
+        try:
+            os.remove(abs_file)
+        except FileNotFoundError:
+            pass  # a concurrent vacuum won this file's race — same outcome
+
     if len(victims) > 64:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=16) as ex:
-            list(ex.map(lambda v: os.remove(v[0]), victims))
+            list(ex.map(lambda v: rm(v[0]), victims))
     else:
         for abs_file, _rel in victims:
-            os.remove(abs_file)
+            rm(abs_file)
     return [rel for _abs, rel in victims]
