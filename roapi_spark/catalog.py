@@ -776,20 +776,21 @@ class Catalog:
                 )
             kind, raw = m.group(1).upper(), m.group(2)
             opt = dict(ts.option)
+            safe = re.sub(r"\W", "_", name)  # temp view names reject dots
             if kind == "VERSION":
                 if not raw.isdigit():
                     raise CatalogError(
                         f"VERSION AS OF expects an integer, got {raw}"
                     )
                 opt["version"] = int(raw)
-                view = f"__asof_{name}_v{raw}"
+                view = f"__asof_{safe}_v{raw}"
             else:
                 if not (raw.startswith("'") and raw.endswith("'")):
                     raise CatalogError(
                         f"TIMESTAMP AS OF expects a quoted timestamp, got {raw}"
                     )
                 opt["timestamp"] = raw[1:-1]
-                view = f"__asof_{name}_t{re.sub(r'[^0-9]', '', raw)}"
+                view = f"__asof_{safe}_t{re.sub(r'[^0-9]', '', raw)}"
             import dataclasses
 
             pinned = dataclasses.replace(ts, name=view, option=opt)
@@ -817,7 +818,8 @@ class Catalog:
             path = self._delta_path(name, stmt="table_changes")
             from roapi_spark.sources.delta import table_changes
 
-            view = f"__cdf_{name}_{start}_{end if end else 'head'}"
+            safe = re.sub(r"\W", "_", name)  # temp view names reject dots
+            view = f"__cdf_{safe}_{start}_{end if end else 'head'}"
             table_changes(
                 self.spark, path, start, None if end is None else int(end)
             ).createOrReplaceTempView(view)

@@ -153,6 +153,7 @@ KNOWN_TAGS = (
     "deltazorder-v1",  # ZORDER-clustered Delta table (q_delta_zorder's serve path)
     "deltackpt-v1",  # checkpointed Delta table (q_delta_checkpoint_read)
     "srcfmt-v1",  # source-format gate fixtures (pipeline13 q_src_*)
+    "sqlgatefix-v1",  # pristine v0 delta fixture the SQL gates copy per run
     "srchive-v1",  # hive-partitioned gate fixture (q_src_hive_partitioned)
     "srchudi-v1",  # Hudi CoW timeline gate fixture (q_src_hudi)
     "srciceberg-v1",  # Iceberg v2 metadata gate fixture (q_src_iceberg)
