@@ -163,6 +163,8 @@ def write_delta(
     partition_by: list[str] | None = None,
     operation: str | None = None,
     operation_params: dict | None = None,
+    configuration: dict | None = None,
+    data_change: bool = True,
 ) -> int:
     """Write ``df`` as a new Delta table version; returns the committed
     version number. ``mode='append'`` adds files; ``mode='overwrite'``
@@ -170,7 +172,14 @@ def write_delta(
     commit (time travel to old versions still works — nothing is
     physically deleted). ``operation``/``operation_params`` override the
     commitInfo stamp (compact() records OPTIMIZE, like delta-spark, so
-    DESCRIBE HISTORY tells a rewrite from a compaction)."""
+    DESCRIBE HISTORY tells a rewrite from a compaction).
+
+    ``configuration`` sets table properties in the metaData action
+    (e.g. ``{"delta.enableChangeDataFeed": "true"}`` — DML then emits
+    ``_change_data/`` cdc files); an overwrite with ``configuration=
+    None`` carries the existing properties forward, like delta-spark.
+    ``data_change=False`` marks the commit's add/remove actions as
+    physical rearrangement (compaction), invisible to CDF readers."""
     if mode not in ("append", "overwrite"):
         raise DeltaWriteError(f"unsupported mode {mode!r}")
     partition_by = list(partition_by or [])
@@ -214,9 +223,29 @@ def write_delta(
     # 2) compose the commit
     actions: list[dict] = []
     if version == 0 or mode == "overwrite":
+        conf = configuration
+        if conf is None:
+            conf = {}
+            if versions:  # overwrite keeps table properties (delta-spark)
+                from roapi_spark.sources.delta import snapshot_state
+
+                _, prior_meta = snapshot_state(path)
+                conf = dict((prior_meta or {}).get("configuration") or {})
+        cdf = str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true"
         if version == 0:
             actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        # CDF requires writer v4 (Delta PROTOCOL.md)
+                        "minWriterVersion": 4 if cdf else 2,
+                    }
+                }
+            )
+        elif cdf and configuration is not None:
+            # property newly set on an existing table: upgrade protocol
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
             )
         actions.append(
             {
@@ -225,7 +254,7 @@ def write_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
                     "partitionColumns": partition_by,
-                    "configuration": {},
+                    "configuration": conf,
                     "createdTime": now_ms,
                 }
             }
@@ -249,7 +278,7 @@ def write_delta(
                     "remove": {
                         "path": stored_path,
                         "deletionTimestamp": now_ms,
-                        "dataChange": True,
+                        "dataChange": data_change,
                     }
                 }
             )
@@ -265,7 +294,7 @@ def write_delta(
                     "partitionValues": _partition_values(rel, partition_by),
                     "size": st.st_size,
                     "modificationTime": int(st.st_mtime * 1000),
-                    "dataChange": True,
+                    "dataChange": data_change,
                     "stats": _file_stats(os.path.join(path, rel)),
                 }
             }
@@ -600,6 +629,10 @@ def compact(
             "zorderBy": json.dumps(zorder_by or []),
             "targetPartitions": str(target_partitions or ""),
         },
+        # physical rearrangement, not a logical change: CDF readers must
+        # not derive phantom whole-table delete+insert from a compaction
+        # (delta-spark's OPTIMIZE writes dataChange=false the same way)
+        data_change=False,
     )
 
 
@@ -663,6 +696,48 @@ def _dml_snapshot(spark, path: str):
     return df, meta, by_abs, snap_v
 
 
+def _cdf_enabled(meta: dict | None) -> bool:
+    """True when the table's metaData opts into Change Data Feed
+    (``delta.enableChangeDataFeed=true`` — delta-spark's property)."""
+    conf = (meta or {}).get("configuration") or {}
+    return str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true"
+
+
+def _stage_cdc(path: str, cdc_df) -> tuple[list[dict], list[str]]:
+    """Write change-data rows (table columns + ``_change_type``) as
+    ``_change_data/`` parquet; returns (cdc actions, relative paths for
+    conflict rollback). Per the Delta CDF spec, a commit carrying cdc
+    actions is read from THEM alone — the add/remove pairs of the same
+    commit are not re-derived — so these rows must describe the full
+    logical change."""
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
+    cdc_df.write.mode("overwrite").parquet(staging)
+    os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
+    actions: list[dict] = []
+    rels: list[str] = []
+    try:
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.join("_change_data", f"cdc-{uuid.uuid4().hex}.parquet")
+            os.replace(os.path.join(staging, name), os.path.join(path, rel))
+            st = os.stat(os.path.join(path, rel))
+            actions.append(
+                {
+                    "cdc": {
+                        "path": quote(rel, safe="/="),
+                        "partitionValues": {},
+                        "size": st.st_size,
+                        "dataChange": False,
+                    }
+                }
+            )
+            rels.append(rel)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return actions, rels
+
+
 def _rewrite_commit(
     spark,
     path: str,
@@ -672,13 +747,19 @@ def _rewrite_commit(
     operation: str,
     params: dict,
     base_version: int,
+    cdc_df=None,
 ) -> int:
     """Stage ``new_df`` (may be empty), relocate, and commit remove+add
     atomically at exactly ``base_version + 1`` — the version pinned by
     ``_dml_snapshot``. Re-listing the log here instead would let a
     commit that landed mid-DML be silently built upon (our removes
     could reference files it already removed); pinning turns that race
-    into a clean ``DeltaCommitConflict`` from the O_EXCL create."""
+    into a clean ``DeltaCommitConflict`` from the O_EXCL create.
+
+    ``cdc_df`` (when the table has Change Data Feed enabled) carries
+    the commit's logical change rows; they are staged under
+    ``_change_data/`` and published as cdc actions in the SAME atomic
+    commit, and rolled back with the data files on a lost race."""
     partition_by = (meta or {}).get("partitionColumns") or []
     version = base_version + 1
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
@@ -692,6 +773,10 @@ def _rewrite_commit(
         shutil.rmtree(staging, ignore_errors=True)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
+    cdc_rels: list[str] = []
+    if cdc_df is not None:
+        cdc_actions, cdc_rels = _stage_cdc(path, cdc_df)
+        actions.extend(cdc_actions)
     for stored in removes_raw:
         actions.append(
             {
@@ -727,7 +812,7 @@ def _rewrite_commit(
             }
         },
     )
-    return _atomic_commit(path, version, actions, rels)
+    return _atomic_commit(path, version, actions, rels + cdc_rels)
 
 
 _DML_MAX_RETRIES = 3
@@ -782,6 +867,16 @@ def _delete_delta_once(spark, path: str, condition: str) -> int:
         .filter(~F.coalesce(cond, F.lit(False)))
         .select(data_cols)
     )
+    cdc_df = None
+    if _cdf_enabled(meta):
+        # logical change = exactly the deleted rows (survivor re-adds in
+        # the same commit are physical, not logical — the cdc rows
+        # replace derivation for this commit)
+        cdc_df = (
+            df.filter(F.coalesce(cond, F.lit(False)))
+            .select(data_cols)
+            .withColumn("_change_type", F.lit("delete"))
+        )
     return _rewrite_commit(
         spark,
         path,
@@ -791,6 +886,7 @@ def _delete_delta_once(spark, path: str, condition: str) -> int:
         "DELETE",
         {"predicate": condition},
         snap_v,
+        cdc_df=cdc_df,
     )
 
 
@@ -821,18 +917,27 @@ def _update_delta_once(
         for r in df.filter(cond).select("__file").distinct().collect()
     ]
     hit = F.coalesce(cond, F.lit(False))
-    out = df.filter(F.col("__file").isin(touched)).select(
-        [
-            (
-                F.when(hit, F.expr(set[c]).cast(df.schema[c].dataType))
-                .otherwise(F.col(c))
-                .alias(c)
-                if c in set
-                else F.col(c)
-            )
-            for c in data_cols
-        ]
-    )
+    applied = [
+        (
+            F.when(hit, F.expr(set[c]).cast(df.schema[c].dataType))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in set
+            else F.col(c)
+        )
+        for c in data_cols
+    ]
+    out = df.filter(F.col("__file").isin(touched)).select(applied)
+    cdc_df = None
+    if _cdf_enabled(meta):
+        matched = df.filter(hit)
+        pre = matched.select(data_cols).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = matched.select(applied).withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        cdc_df = pre.unionByName(post)
     return _rewrite_commit(
         spark,
         path,
@@ -842,6 +947,7 @@ def _update_delta_once(
         "UPDATE",
         {"predicate": condition},
         snap_v,
+        cdc_df=cdc_df,
     )
 
 
@@ -1024,6 +1130,7 @@ def _merge_delta_once(
         ]
     )
     new_df = rewritten
+    inserts = None
     if when_not_matched_insert:
         anti_right = (
             df.select(on).alias(target_alias)
@@ -1036,6 +1143,41 @@ def _merge_delta_once(
             .select([F.col(c).cast(df.schema[c].dataType).alias(c) for c in data_cols])
         )
         new_df = rewritten.unionByName(inserts)
+    cdc_df = None
+    if _cdf_enabled(meta):
+        tcols = [F.col(f"{target_alias}.{c}").alias(c) for c in data_cols]
+        parts = []
+        if when_matched_delete:
+            parts.append(
+                joined.filter(deleted)
+                .select(tcols)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        if upd:
+            m = joined.filter(updated)
+            parts.append(
+                m.select(tcols).withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+            )
+            parts.append(
+                m.select(
+                    [
+                        (
+                            F.expr(upd[c]).cast(df.schema[c].dataType).alias(c)
+                            if c in upd
+                            else F.col(f"{target_alias}.{c}").alias(c)
+                        )
+                        for c in data_cols
+                    ]
+                ).withColumn("_change_type", F.lit("update_postimage"))
+            )
+        if inserts is not None:
+            parts.append(inserts.withColumn("_change_type", F.lit("insert")))
+        if parts:
+            cdc_df = parts[0]
+            for p in parts[1:]:
+                cdc_df = cdc_df.unionByName(p)
     return _rewrite_commit(
         spark,
         path,
@@ -1050,6 +1192,7 @@ def _merge_delta_once(
             "notMatchedInsert": str(bool(when_not_matched_insert)).lower(),
         },
         snap_v,
+        cdc_df=cdc_df,
     )
 
 
@@ -1247,6 +1390,7 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
     state: dict[str, None] = {}
     referenced: set[str] = set()
     for vv in versions:
+        cdc_paths: list[str] = []
         with open(os.path.join(log_dir, f"{vv:020d}.json")) as f:
             for line in f:
                 if not line.strip():
@@ -1256,8 +1400,15 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
                     state[a["add"]["path"]] = None
                 elif "remove" in a:
                     state.pop(a["remove"]["path"], None)
+                elif "cdc" in a:
+                    cdc_paths.append(a["cdc"]["path"])
         if vv >= keep_from:
             referenced |= set(state)
+            # change-data files belong to their commit, not to the
+            # forward-carried snapshot: keep them for every version the
+            # retention window still serves (CDF reads inside the
+            # window must not hit reclaimed files)
+            referenced |= set(cdc_paths)
     # compare in FILESYSTEM space: stored paths may be percent-encoded
     # (ours, delta-rs) or literal (delta-spark hive '='), so unquote the
     # referenced set instead of guessing how to re-quote disk paths
