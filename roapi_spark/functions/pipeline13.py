@@ -873,14 +873,17 @@ def q_kv_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "k string, v string")
 
 
-def _sql_gate_table(spark: SparkSession, sf_dir: str, gate: str) -> str:
+def _sql_gate_table(
+    spark: SparkSession, sf_dir: str, gate: str, cdf: bool = False
+) -> str:
     """Fresh per-run delta table for a SQL gate, copied from a pristine
     v0 fixture built ONCE per testdata content and disk-cached (the
     same build_once pattern the source gates use). The copy keeps the
     'rebuilt fresh each run so every statement actually executes'
-    property while dropping the per-run Spark read+write job the three
-    SQL gates used to repeat — the dominant fixed cost of the bench's
-    gate family."""
+    property while dropping the per-run Spark read+write job the SQL
+    gates used to repeat — the dominant fixed cost of the bench's
+    gate family. ``cdf=True`` selects the change-data-feed-enabled
+    variant of the fixture (separate cache tag, same slice)."""
     import shutil
     import tempfile
 
@@ -888,7 +891,8 @@ def _sql_gate_table(spark: SparkSession, sf_dir: str, gate: str) -> str:
     from roapi_spark.sinks.delta import write_delta
 
     src = os.path.join(sf_dir, "orders.parquet")
-    fixture = snapshot_cache_dir(src, "sqlgatefix-v1")
+    tag = "sqlcdcfix-v1" if cdf else "sqlgatefix-v1"
+    fixture = snapshot_cache_dir(src, tag)
 
     def ready(d: str) -> bool:
         return os.path.exists(os.path.join(d, "_delta_log", f"{0:020d}.json"))
@@ -899,7 +903,14 @@ def _sql_gate_table(spark: SparkSession, sf_dir: str, gate: str) -> str:
             .filter("o_orderkey % 10 = 0")
             .select("o_orderkey", "o_custkey", "o_totalprice")
         )
-        write_delta(base.repartition(4), tmp, mode="overwrite")  # v0
+        write_delta(
+            base.repartition(4),
+            tmp,
+            mode="overwrite",
+            configuration=(
+                {"delta.enableChangeDataFeed": "true"} if cdf else None
+            ),
+        )  # v0
 
     build_once(fixture, ready, build)
     # session-scoped copy: two sessions gating concurrently (driver +
@@ -1144,5 +1155,72 @@ def q_sql_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(COUNT(*) AS BIGINT) AS n_rows, "
         "CAST(SUM(o_orderkey) AS BIGINT) AS sum_key "
         "FROM table_changes('cdf_t', 0) "
+        "GROUP BY _change_type ORDER BY change_type"
+    )
+
+
+@register(
+    "q_sql_cdc_images",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey % 10 = 0 AND o_custkey % 3 = 0
+    )
+    SELECT * FROM (
+      SELECT 'update_postimage' AS change_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 2 * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sum_cents,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      FROM m
+      UNION ALL
+      SELECT 'update_preimage' AS change_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sum_cents,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      FROM m
+    ) ORDER BY change_type
+    """,
+    doc="CDC write-path gate (round 11): the fixture is rebuilt as a "
+    "CDF-ENABLED delta table (delta.enableChangeDataFeed=true, "
+    "minWriterVersion 4), one SQL UPDATE doubles o_totalprice for the "
+    "o_custkey%3 slice, and the gate aggregates the _change_data rows "
+    "the DML sink WROTE — update_preimage must carry the original "
+    "prices, update_postimage the doubled ones, over exactly the "
+    "matched keys. Unlike derivation gates this is layout-independent "
+    "(images are the matched rows themselves, never whole-file churn), "
+    "so a cdc writer that stages the wrong rows, swaps image labels, "
+    "applies SET exprs to the preimage, or loses rows in the atomic "
+    "publish hash-mismatches against the raw-slice oracle. sum_cents "
+    "is exact-integer on both sides. Plan: fixture-sized; one "
+    "copy-on-write UPDATE + one cdc parquet write + a pruned read of "
+    "_change_data via the table_changes TVF.",
+    tags=("sql", "delta", "gate"),
+)
+def q_sql_cdc_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.catalog import Catalog
+    from roapi_spark.config import parse_table_config
+
+    path = _sql_gate_table(spark, sf_dir, "sqlcdc", cdf=True)
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(
+        parse_table_config(
+            {"name": "cdc_t", "uri": path, "option": {"format": "delta"}}
+        )
+    )
+    u = cat.query_sql(
+        "UPDATE cdc_t SET o_totalprice = o_totalprice * 2 "
+        "WHERE o_custkey % 3 = 0"
+    ).collect()[0]
+    if u.version != 1:
+        raise RuntimeError(f"cdc gate setup misbehaved: update v{u.version}")
+    return cat.query_sql(
+        "SELECT _change_type AS change_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+        " AS sum_cents, "
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sum_key "
+        "FROM table_changes('cdc_t', 1, 1) "
         "GROUP BY _change_type ORDER BY change_type"
     )

@@ -154,6 +154,7 @@ KNOWN_TAGS = (
     "deltackpt-v1",  # checkpointed Delta table (q_delta_checkpoint_read)
     "srcfmt-v1",  # source-format gate fixtures (pipeline13 q_src_*)
     "sqlgatefix-v1",  # pristine v0 delta fixture the SQL gates copy per run
+    "sqlcdcfix-v1",  # CDF-enabled variant (q_sql_cdc_images)
     "srchive-v1",  # hive-partitioned gate fixture (q_src_hive_partitioned)
     "srchudi-v1",  # Hudi CoW timeline gate fixture (q_src_hudi)
     "srciceberg-v1",  # Iceberg v2 metadata gate fixture (q_src_iceberg)
