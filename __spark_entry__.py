@@ -230,9 +230,16 @@ def _ordered_specs():
             if ck is not None and (impl & ck):
                 recency = k
                 break
-        stale.append((recency, rnd, n, s))
-    stale.sort(key=lambda t: (-t[0], t[1]))  # newest invalidation, oldest row
-    out.update({n: s for _, _, n, s in stale})
+        # within a recency tier, rank by how MUCH of the query's
+        # machinery the latest wave touched: a query whose sink, source
+        # and SQL routing all changed outranks one grazed by a shared
+        # helper's two-line edit (both are stale, but the 50-row driver
+        # cap has to choose)
+        overlap = len(impl & (_changed_since_round(recency) or set()))
+        stale.append((recency, overlap, rnd, n, s))
+    # newest invalidation, biggest blast radius, oldest row
+    stale.sort(key=lambda t: (-t[0], -t[1], t[2]))
+    out.update({n: s for _, _, _, n, s in stale})
     out.update(dict(fresh))
     out.update({n: s for n, s in specs.items() if n not in out})
     return out
