@@ -1224,3 +1224,98 @@ def q_sql_cdc_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM table_changes('cdc_t', 1, 1) "
         "GROUP BY _change_type ORDER BY change_type"
     )
+
+
+@register(
+    "stream_cdc_feed",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey % 10 = 0
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS commit_version, 'insert' AS change_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sum_cents,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      FROM s
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), 'update_preimage',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT),
+             CAST(SUM(o_orderkey) AS BIGINT)
+      FROM s WHERE o_custkey % 3 = 0
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), 'update_postimage',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(FLOOR(o_totalprice * 2 * 100 + 0.5) AS BIGINT))
+                  AS BIGINT),
+             CAST(SUM(o_orderkey) AS BIGINT)
+      FROM s WHERE o_custkey % 3 = 0
+    ) ORDER BY commit_version, change_type
+    """,
+    doc="Streaming CDF gate (round 11): the change stream of a "
+    "CDF-enabled delta table is consumed through an actual Structured "
+    "Streaming query (streaming/cdf.py: file source over the log = "
+    "exactly-once version cursor, batch CDF reader per version) — v0's "
+    "blind-write inserts and v1's UPDATE pre/post images arrive as "
+    "separate per-version deliveries, aggregated per (version, "
+    "change_type) and compared against the raw-slice oracle. A stream "
+    "that drops a version, double-delivers, mixes versions, or serves "
+    "derived churn instead of cdc images hash-mismatches. Plan: "
+    "fixture-sized; the stream reads KB of log text + one cdc file — "
+    "input volume is the COMMIT RATE, the property that holds at "
+    "100 TB. First registry entry driving the streaming subsystem "
+    "under the external oracle.",
+    tags=("streaming", "delta"),
+)
+def stream_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from roapi_spark.sinks.delta import update_delta
+    from roapi_spark.streaming.cdf import stream_table_changes
+
+    path = _sql_gate_table(spark, sf_dir, "streamcdc", cdf=True)
+    update_delta(
+        spark, path, "o_custkey % 3 = 0", {"o_totalprice": "o_totalprice * 2"}
+    )  # v1 with cdc images
+    collected: list[tuple] = []
+
+    def process(version: int, changes: DataFrame) -> None:
+        rows = (
+            changes.groupBy("_change_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                )
+                .cast("bigint")
+                .alias("sum_cents"),
+                F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+            )
+            .collect()
+        )
+        for r in rows:
+            collected.append(
+                (version, r._change_type, r.n_rows, r.sum_cents, r.sum_key)
+            )
+
+    # fresh checkpoint per run: it lives inside the per-run table copy,
+    # so the stream always starts from version 0
+    q = stream_table_changes(
+        spark, path, process, os.path.join(path, "_stream_ckpt"),
+        query_name="stream_cdc_feed",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        sorted(collected),
+        "commit_version bigint, change_type string, n_rows bigint, "
+        "sum_cents bigint, sum_key bigint",
+    )
