@@ -213,3 +213,29 @@ def test_sql_surface_serves_cdc_images(spark, tmp_path):
         ("update_postimage", 1, 6.0),
         ("update_preimage", 1, 5.0),
     ]
+
+
+def test_cdc_on_partitioned_table(spark, tmp_path):
+    """CDC on a hive-partitioned table: partition columns travel as
+    regular data columns in the cdc file (partitionValues stays empty —
+    the change rows carry them inline), so the change stream reads
+    complete rows."""
+    path = str(tmp_path / "cdfpart")
+    df = spark.createDataFrame(
+        [(1, 10.0, "uk"), (2, 20.0, "uk"), (3, 30.0, "fi")],
+        "id bigint, score double, country string",
+    )
+    write_delta(df, path, partition_by=["country"], configuration=CDF)
+    update_delta(spark, path, "country = 'uk' AND id = 1", {"score": "99.0"})
+    rows = {
+        (r._change_type, r.id, r.score, r.country)
+        for r in table_changes(spark, path, 1, 1)
+        .select("_change_type", "id", "score", "country")
+        .collect()
+    }
+    assert rows == {
+        ("update_preimage", 1, 10.0, "uk"),
+        ("update_postimage", 1, 99.0, "uk"),
+    }
+    # the partitioned layout itself is intact after the rewrite
+    assert os.path.isdir(os.path.join(path, "country=uk"))
