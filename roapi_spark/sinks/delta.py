@@ -815,7 +815,13 @@ def _rewrite_commit(
     return _atomic_commit(path, version, actions, rels + cdc_rels)
 
 
-_DML_MAX_RETRIES = 3
+# Straight-loss budget before a DML surfaces DeltaCommitConflict.
+# delta-spark's maxCommitAttempts is effectively unbounded (1e7); a
+# re-execution here is a full provenance scan + rewrite, so the budget
+# is finite — but 3 proved too tight under a 4-writer chaos soak
+# (test_delta_chaos.py found a MERGE exhausting it in 6 ops). 10 keeps
+# the livelock bound while absorbing realistic multi-writer bursts.
+_DML_MAX_RETRIES = 10
 
 
 def _serialize_after_winner(op):
