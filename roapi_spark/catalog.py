@@ -445,9 +445,42 @@ class Catalog:
         v = restore_delta(path, target)
         return self._dml_summary("RESTORE", name, v)
 
+    # ALTER TABLE <t> SET TBLPROPERTIES ('k'='v', ...) — delta-spark's
+    # property surface (e.g. enabling delta.enableChangeDataFeed on an
+    # existing table): one metadata-only commit. A value of '' unsets.
+    _TBLPROPS_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+" + _IDENT + r"\s+SET\s+TBLPROPERTIES\s*"
+        r"\(\s*(.+?)\s*\)\s*;?\s*$",
+        re.I | re.S,
+    )
+    _PROP_KV_RE = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
+
+    def _route_tblproperties(self, sql: str) -> DataFrame | None:
+        m = self._TBLPROPS_RE.match(sql)
+        if m is None:
+            return None
+        from roapi_spark.sinks.delta import set_table_properties
+
+        name = self._unquote_ident(m.group(1))
+        body = m.group(2)
+        props = dict(self._PROP_KV_RE.findall(body))
+        leftover = self._PROP_KV_RE.sub("", body).replace(",", "").strip()
+        if not props or leftover:
+            raise CatalogError(
+                "SET TBLPROPERTIES expects ('key'='value', ...) with "
+                f"quoted strings; could not parse: {body!r}"
+            )
+        v = set_table_properties(
+            self._delta_path(name, stmt="SET TBLPROPERTIES"), props
+        )
+        return self._dml_summary("SET TBLPROPERTIES", name, v)
+
     def _route_maintenance(self, sql: str) -> DataFrame | None:
         m = self._MAINT_RE.match(sql)
         if m is None:
+            routed = self._route_tblproperties(sql)
+            if routed is not None:
+                return routed
             return self._route_restore(sql)
         verb, name, rest = (
             m.group(1).upper(),

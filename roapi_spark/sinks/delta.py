@@ -1321,6 +1321,51 @@ def _commit_timestamp_ms(log_dir: str, version: int) -> int | None:
     return None
 
 
+def set_table_properties(path: str, props: dict[str, str]) -> int:
+    """``ALTER TABLE t SET TBLPROPERTIES (...)`` (delta-spark parity):
+    ONE metadata-only commit republishing the current metaData with the
+    merged configuration — no data movement at any table size. Setting
+    ``delta.enableChangeDataFeed=true`` on an existing table upgrades
+    the protocol to minWriterVersion 4 in the same commit, after which
+    DML emits cdc files. A property set to the empty string is removed
+    (the cheap UNSET form)."""
+    from roapi_spark.sources.delta import snapshot_state
+
+    log_dir = _log_dir(path)
+    versions = _existing_versions(log_dir)
+    if not versions:
+        raise DeltaWriteError(f"not a delta table (no log): {path}")
+    _, meta = snapshot_state(path)
+    if meta is None:
+        raise DeltaWriteError(f"no metaData action in log: {path}")
+    conf = dict(meta.get("configuration") or {})
+    for k, v in props.items():
+        if v == "":
+            conf.pop(k, None)
+        else:
+            conf[k] = v
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps(props, sort_keys=True)
+                },
+            }
+        }
+    ]
+    if str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true":
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
+        )
+    new_meta = dict(meta)
+    new_meta["configuration"] = conf
+    actions.append({"metaData": new_meta})
+    return _atomic_commit(path, versions[-1] + 1, actions, [])
+
+
 def version_at_timestamp(path: str, timestamp: str) -> int:
     """Last committed version at or before ``timestamp`` (ISO form,
     interpreted UTC like the reader's ``option.timestamp``), resolved

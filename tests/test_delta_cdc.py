@@ -188,6 +188,62 @@ def test_overwrite_carries_configuration_forward(spark, people, tmp_path):
     assert (meta or {}).get("configuration") == {}
 
 
+def test_alter_tblproperties_enables_cdc_on_existing_table(spark, tmp_path):
+    """ALTER TABLE t SET TBLPROPERTIES ('delta.enableChangeDataFeed'=
+    'true') on a PLAIN table: one metadata-only commit (protocol
+    upgraded to writer v4 in the same commit), after which DML emits
+    cdc files; '' unsets a property."""
+    from roapi_spark.catalog import Catalog
+    from roapi_spark.config import parse_table_config
+
+    path = str(tmp_path / "alter")
+    write_delta(
+        spark.createDataFrame([(1, 5.0), (2, 6.0)], "id bigint, v double"),
+        path,
+    )  # v0, no CDF
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(
+        parse_table_config({"name": "a", "uri": path, "option": {"format": "delta"}})
+    )
+    out = cat.query_sql(
+        "ALTER TABLE a SET TBLPROPERTIES "
+        "('delta.enableChangeDataFeed'='true', 'x'='y')"
+    ).collect()[0]
+    assert (out.operation, out.version) == ("SET TBLPROPERTIES", 1)
+    log1 = [json.loads(ln) for ln in open(
+        os.path.join(path, "_delta_log", f"{1:020d}.json"))]
+    proto = next(a["protocol"] for a in log1 if "protocol" in a)
+    assert proto["minWriterVersion"] == 4
+    # DML after the ALTER writes cdc images
+    cat.query_sql("UPDATE a SET v = 9.0 WHERE id = 1")  # v2
+    got = {
+        (r._change_type, r.id)
+        for r in cat.query_sql(
+            "SELECT _change_type, id FROM table_changes('a', 2, 2)"
+        ).collect()
+    }
+    assert got == {("update_preimage", 1), ("update_postimage", 1)}
+    # unset via empty value
+    cat.query_sql("ALTER TABLE a SET TBLPROPERTIES ('x'='')")
+    from roapi_spark.sources.delta import snapshot_state
+
+    _, meta = snapshot_state(path)
+    conf = (meta or {}).get("configuration") or {}
+    assert "x" not in conf and conf.get("delta.enableChangeDataFeed") == "true"
+    # read-only rejects it (it's a write)
+    from roapi_spark.catalog import ReadOnlyError
+
+    ro = Catalog(spark, read_only=True)
+    ro.sources = cat.sources
+    with pytest.raises(ReadOnlyError):
+        ro.query_sql("ALTER TABLE a SET TBLPROPERTIES ('k'='v')")
+    # malformed property lists are loud
+    from roapi_spark.catalog import CatalogError
+
+    with pytest.raises(CatalogError, match="could not parse"):
+        cat.query_sql("ALTER TABLE a SET TBLPROPERTIES (k=v)")
+
+
 def test_sql_surface_serves_cdc_images(spark, tmp_path):
     """End to end through the catalog: UPDATE on a CDF table, then the
     table_changes TVF returns the pre/post images SQL-side."""
