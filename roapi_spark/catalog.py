@@ -475,10 +475,74 @@ class Catalog:
         )
         return self._dml_summary("SET TBLPROPERTIES", name, v)
 
+    # CREATE [OR REPLACE] TABLE <t> USING DELTA LOCATION '<path>' AS
+    # <select> — delta-spark's external-table CTAS: materialize the
+    # query as a new delta table at the location and register it. DROP
+    # TABLE <t> deregisters (external-table semantics: data stays).
+    _CTAS_RE = re.compile(
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+" + _IDENT
+        + r"\s+USING\s+DELTA\s+LOCATION\s+'([^']+)'\s+AS\s+(.+?)\s*;?\s*$",
+        re.I | re.S,
+    )
+    _DROP_RE = re.compile(
+        r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?" + _IDENT + r"\s*;?\s*$",
+        re.I,
+    )
+
+    def _route_ctas(self, sql: str) -> DataFrame | None:
+        m = self._CTAS_RE.match(sql)
+        if m is not None:
+            from roapi_spark.config import parse_table_config
+            from roapi_spark.sinks.delta import write_delta
+
+            replace = m.group(1) is not None
+            name = self._unquote_ident(m.group(2))
+            location, select = m.group(3), m.group(4)
+            if name in self.sources and not replace:
+                raise CatalogError(
+                    f"table already registered: {name} "
+                    "(use CREATE OR REPLACE TABLE)"
+                )
+            if not replace and os.path.isdir(
+                os.path.join(location, "_delta_log")
+            ):
+                raise CatalogError(
+                    f"a delta table already exists at {location} "
+                    "(use CREATE OR REPLACE TABLE)"
+                )
+            df = self.query_sql(select)  # full read surface incl. rewrites
+            v = write_delta(df, location, mode="overwrite")
+            self.load_table(
+                parse_table_config(
+                    {"name": name, "uri": location, "option": {"format": "delta"}}
+                )
+            )
+            return self.spark.createDataFrame(
+                [("CREATE TABLE", name, v)],
+                "operation string, table string, version bigint",
+            )
+        m = self._DROP_RE.match(sql)
+        if m is not None:
+            name = self._unquote_ident(m.group(1))
+            if name not in self.sources and "IF EXISTS" in sql.upper():
+                return self.spark.createDataFrame(
+                    [("DROP TABLE", name, -1)],
+                    "operation string, table string, version bigint",
+                )
+            self.drop_table(name)
+            return self.spark.createDataFrame(
+                [("DROP TABLE", name, -1)],
+                "operation string, table string, version bigint",
+            )
+        return None
+
     def _route_maintenance(self, sql: str) -> DataFrame | None:
         m = self._MAINT_RE.match(sql)
         if m is None:
             routed = self._route_tblproperties(sql)
+            if routed is not None:
+                return routed
+            routed = self._route_ctas(sql)
             if routed is not None:
                 return routed
             return self._route_restore(sql)

@@ -407,6 +407,57 @@ def test_sql_table_changes_tvf(spark, delta_cat):
         delta_cat.query_sql("SELECT * FROM table_changes('upd', 0)")
 
 
+def test_sql_ctas_and_drop_table(spark, delta_cat, tmp_path):
+    """CREATE [OR REPLACE] TABLE ... USING DELTA LOCATION ... AS SELECT
+    materializes the query as a registered delta table (delta-spark's
+    external-table CTAS); DROP TABLE deregisters, keeping the data
+    (external semantics)."""
+    loc = str(tmp_path / "ctas_out")
+    out = delta_cat.query_sql(
+        f"CREATE TABLE top2 USING DELTA LOCATION '{loc}' AS "
+        "SELECT id, score FROM people WHERE score >= 20 "
+    ).collect()[0]
+    assert (out.operation, out.table, out.version) == ("CREATE TABLE", "top2", 0)
+    assert sorted(
+        r.id for r in delta_cat.query_sql("SELECT id FROM top2").collect()
+    ) == [2, 3]
+    # DML works on the created table immediately
+    delta_cat.query_sql("DELETE FROM top2 WHERE id = 2")
+    assert [
+        r.id for r in delta_cat.query_sql("SELECT id FROM top2").collect()
+    ] == [3]
+    # plain CREATE refuses to clobber (registered name OR existing log)
+    with pytest.raises(CatalogError, match="already registered"):
+        delta_cat.query_sql(
+            f"CREATE TABLE top2 USING DELTA LOCATION '{loc}' AS SELECT 1 AS x"
+        )
+    # OR REPLACE recreates in place
+    out = delta_cat.query_sql(
+        f"CREATE OR REPLACE TABLE top2 USING DELTA LOCATION '{loc}' AS "
+        "SELECT id FROM people"
+    ).collect()[0]
+    assert out.operation == "CREATE TABLE"
+    assert delta_cat.query_sql("SELECT count(*) AS n FROM top2").collect()[0].n == 3
+    # DROP deregisters; the delta table stays on disk (external)
+    delta_cat.query_sql("DROP TABLE top2")
+    assert "top2" not in delta_cat.table_names()
+    assert os.path.isdir(os.path.join(loc, "_delta_log"))
+    # IF EXISTS on a missing table is a no-op summary, not an error
+    row = delta_cat.query_sql("DROP TABLE IF EXISTS top2").collect()[0]
+    assert row.operation == "DROP TABLE"
+    with pytest.raises(CatalogError, match="table not found"):
+        delta_cat.query_sql("DROP TABLE top2")
+    # read-only mode rejects both (Commands at the parser gate)
+    ro = Catalog(spark, read_only=True)
+    ro.sources = dict(delta_cat.sources)
+    with pytest.raises(ReadOnlyError):
+        ro.query_sql(
+            f"CREATE TABLE x USING DELTA LOCATION '{loc}2' AS SELECT 1 AS a"
+        )
+    with pytest.raises(ReadOnlyError):
+        ro.query_sql("DROP TABLE people")
+
+
 def test_vacuum_rebinds_view_after_external_writer(spark, delta_cat):
     """VACUUM re-binds the table view: if an external writer advanced
     the table since load, vacuum must not leave a stale bound view
