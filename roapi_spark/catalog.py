@@ -455,6 +455,28 @@ class Catalog:
     )
     _PROP_KV_RE = re.compile(r"'([^']+)'\s*=\s*'([^']*)'")
 
+    # SHOW TBLPROPERTIES <t> — read-only metadata (log only, no data):
+    # one (key, value) row per table property.
+    _SHOW_PROPS_RE = re.compile(
+        r"^\s*SHOW\s+TBLPROPERTIES\s+" + _IDENT + r"\s*;?\s*$", re.I
+    )
+
+    def _route_show_tblproperties(self, sql: str) -> DataFrame | None:
+        m = self._SHOW_PROPS_RE.match(sql)
+        if m is None:
+            return None
+        from roapi_spark.sources.delta import snapshot_state
+
+        path = self._delta_path(m.group(1), stmt="SHOW TBLPROPERTIES")
+        _, meta = snapshot_state(path)
+        conf = (meta or {}).get("configuration") or {}
+        rows = sorted(conf.items()) or []
+        return self.spark.createDataFrame(
+            rows, "key string, value string"
+        ) if rows else self.spark.createDataFrame(
+            [], "key string, value string"
+        )
+
     def _route_tblproperties(self, sql: str) -> DataFrame | None:
         m = self._TBLPROPS_RE.match(sql)
         if m is None:
@@ -931,6 +953,8 @@ class Catalog:
         meta_df = self._route_history(sql)  # read-only-safe: log metadata
         if meta_df is None:
             meta_df = self._route_detail(sql)
+        if meta_df is None:
+            meta_df = self._route_show_tblproperties(sql)
         if meta_df is not None:
             return meta_df
         if self.read_only:

@@ -230,11 +230,17 @@ def test_alter_tblproperties_enables_cdc_on_existing_table(spark, tmp_path):
     _, meta = snapshot_state(path)
     conf = (meta or {}).get("configuration") or {}
     assert "x" not in conf and conf.get("delta.enableChangeDataFeed") == "true"
-    # read-only rejects it (it's a write)
+    # SHOW TBLPROPERTIES reads back the merged state — and works in
+    # read-only mode (log metadata only)
     from roapi_spark.catalog import ReadOnlyError
 
     ro = Catalog(spark, read_only=True)
     ro.sources = cat.sources
+    shown = {
+        r.key: r.value
+        for r in ro.query_sql("SHOW TBLPROPERTIES a").collect()
+    }
+    assert shown == {"delta.enableChangeDataFeed": "true"}
     with pytest.raises(ReadOnlyError):
         ro.query_sql("ALTER TABLE a SET TBLPROPERTIES ('k'='v')")
     # malformed property lists are loud
