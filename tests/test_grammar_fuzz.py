@@ -68,6 +68,10 @@ def test_grammar_gates_are_linear_time(sql):
         Catalog._HISTORY_RE,
         Catalog._DETAIL_RE,
         Catalog._INFO_SCHEMA_RE,
+        Catalog._TBLPROPS_RE,
+        Catalog._SHOW_PROPS_RE,
+        Catalog._CTAS_RE,
+        Catalog._DROP_RE,
     ):
         pat.search(sql)
     assert time.time() - t0 < 0.15, f"super-linear gate on: {sql[:80]!r}..."
