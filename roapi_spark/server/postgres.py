@@ -357,7 +357,12 @@ class _Handler(socketserver.BaseRequestHandler):
                 continue
             ran_any = True
             low = stmt.lower()
-            if low.startswith(("show", "set")):  # accepted no-ops
+            # session-parameter SHOW/SET are accepted no-ops (client
+            # handshake statements); SHOW TBLPROPERTIES is real SQL and
+            # falls through to the catalog
+            if low.startswith("set") or (
+                low.startswith("show") and not low.startswith("show tblproperties")
+            ):
                 sock.sendall(_msg(b"C", _cstr("SET" if low.startswith("set") else "SHOW")))
                 continue
             try:
@@ -443,7 +448,10 @@ class _Handler(socketserver.BaseRequestHandler):
     def _run_portal(self, p: dict) -> None:
         """Materialize the portal's result set on first Execute/Describe."""
         low = p["sql"].lower()
-        if not p["sql"] or low.startswith(("show ", "set ")) or low in ("show", "set"):
+        if not p["sql"] or (
+            (low.startswith(("show ", "set ")) or low in ("show", "set"))
+            and not low.startswith("show tblproperties")
+        ):
             p["fields"], p["rows"] = [], []
             p["noop_tag"] = "SET" if low.startswith("set") else "SHOW"
             return

@@ -535,6 +535,13 @@ def test_dml_through_pg_wire(spark, tmp_path_factory):
         assert int(rows[0][2]) == 0
         rows = parse_data_rows(c.query("VACUUM inv RETAIN 1 VERSIONS"))
         assert int(rows[0][2]) >= 1
+        # property surface over the wire (round 11)
+        rows = parse_data_rows(
+            c.query("ALTER TABLE inv SET TBLPROPERTIES ('owner'='wire')")
+        )
+        assert rows[0][0] == "SET TBLPROPERTIES"
+        rows = parse_data_rows(c.query("SHOW TBLPROPERTIES inv"))
+        assert ("owner", "wire") in {(r[0], r[1]) for r in rows}
         c.close()
     finally:
         server.stop()
