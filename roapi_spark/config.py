@@ -47,6 +47,8 @@ KNOWN_FORMATS = {
     "postgres",
     "google_spreadsheet",
     "airtable",
+    "binary",
+    "warc",
 }
 
 _EXT_TO_FORMAT = {
@@ -67,6 +69,7 @@ _EXT_TO_FORMAT = {
     ".db": "sqlite",
     ".sqlite": "sqlite",
     ".sqlite3": "sqlite",
+    ".warc": "warc",
 }
 
 _SCHEME_TO_FORMAT = {
@@ -141,6 +144,8 @@ def sniff_format(uri: str) -> str | None:
     if scheme in _SCHEME_TO_FORMAT:
         return _SCHEME_TO_FORMAT[scheme]
     path = uri.split("://", 1)[-1].split("?", 1)[0]
+    if path.lower().endswith(".warc.gz"):  # splitext sees only .gz
+        return "warc"
     _, ext = os.path.splitext(path.rstrip("/"))
     fmt = _EXT_TO_FORMAT.get(ext.lower())
     if fmt is None and os.path.isdir(path):

@@ -1,0 +1,688 @@
+"""Batch 14: web-crawl ingestion front-end under the driver oracle.
+
+A 100 TB training corpus does not start life as a parquet ``documents``
+table — it starts as crawl archives (Common Crawl ships ~90k x ~1 GB
+``.warc.gz`` files per snapshot). This module closes that gap end to
+end and puts every stage under the external DuckDB oracle:
+
+* ``q_src_warc``        — the WARC loader (sources/warc.py) itself:
+  a deterministic WARC fixture is built FROM the documents table
+  (each doc becomes an HTTP response record; plus warcinfo, request,
+  404, text/plain and duplicate-URL records on fixed doc_id residues),
+  read back through sources.load_table, and aggregated; the oracle
+  recomputes every count from the raw parquet via the same residue
+  arithmetic, so a loader that drops records, mis-frames a block, or
+  mangles a payload hash-mismatches.
+* ``text_html_extract`` — HTML main-text extraction (functions/web.py)
+  must recover each document's text EXACTLY (whitespace-normalized)
+  from a realistic page wrapping it in chrome (nav/header/sidebar/
+  footer/script/style); verified by joining the extracted text back to
+  the documents table.
+* ``q_url_canonicalize``— URL canonicalization as pure built-in
+  expressions; messy variants (case, default ports, tracking params,
+  fragments, trailing slashes, shuffled query order) collapse to one
+  canonical key per page.
+* ``q_domain_filter``   — registrable-domain extraction + broadcast
+  blocklist anti-join (the UT1/abuse-list pattern).
+* ``q_crawl_funnel``    — the end-to-end funnel: fetched -> HTTP 200
+  -> text/html -> extracted-text length gate -> canonical-URL dedup,
+  one row of stage counts.
+
+No reference parity (columnq has no web-ingestion surface) — this is
+training-data-pipeline extension surface.
+
+Scale notes: the WARC scan parallelizes per file and streams records
+(constant memory in file size); extraction is Arrow-batched
+``mapInPandas`` proportional to HTML bytes with no shuffle;
+canonicalization/domain logic is whole-stage-codegen'd built-ins usable
+as shuffle keys; the funnel is one pass + one hash aggregate. The
+fixture build collects the documents slice to the driver (500 rows at
+sf0.01) — a bounded fixture write, not a data-path pattern.
+"""
+
+from __future__ import annotations
+
+import gzip
+import html as html_mod
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roapi_spark.functions.web import canonical_url, registrable_domain
+from roapi_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# deterministic residue rules shared by the fixture builder, the Spark
+# queries, and the DuckDB oracles (doc_id % k):
+#   % 11 == 3  -> HTTP 404 (body is a stub page)
+#   % 7  == 2  -> text/plain payload (the raw doc text)
+#   % 13 == 5  -> a second response record for the same page under a
+#                 messier URL (same canonical form)
+#   % 10 == 0  -> a request record precedes the response
+# messy-URL residues: %5 host case, %9 explicit :443, %4 trailing /,
+# %2 tracking params + shuffled order, %6 fragment.
+# ---------------------------------------------------------------------------
+
+_MIN_TEXT = 200  # funnel stage: ws-normalized main text must reach this
+
+
+def _raw_url(doc_id: int, source: str) -> str:
+    host = "CRAWL.Example.com" if doc_id % 5 == 0 else "crawl.example.com"
+    port = ":443" if doc_id % 9 == 4 else ""
+    trail = "/" if doc_id % 4 == 1 else ""
+    q = "?utm_source=feed&b=2&a=1" if doc_id % 2 == 0 else "?a=1&b=2"
+    frag = "#frag" if doc_id % 6 == 3 else ""
+    return f"https://{host}{port}/{source}/{doc_id}{trail}{q}{frag}"
+
+
+def _dup_url(doc_id: int, source: str) -> str:
+    return (
+        f"https://crawl.example.com:443/{source}/{doc_id}/"
+        "?b=2&a=1&utm_medium=x#x2"
+    )
+
+
+def _html_page(doc_id: int, text: str) -> str:
+    return (
+        "<!DOCTYPE html>\n"
+        f"<html><head><title>doc {doc_id}</title>\n"
+        "<style>body { margin: 0; }</style>\n"
+        f'<script>var tracker = "{doc_id}";</script>\n'
+        "</head><body>\n"
+        '<nav><a href="/">Home</a> <a href="/about">About</a></nav>\n'
+        f"<header><h1>Document {doc_id}</h1></header>\n"
+        '<div class="sidebar"><a href="/t/1">One</a> <a href="/t/2">Two</a>'
+        ' <a href="/t/3">Three</a></div>\n'
+        f"<main><p>{html_mod.escape(text)}</p></main>\n"
+        '<footer><a href="/privacy">Privacy</a> (c) Example Corp</footer>\n'
+        "</body></html>"
+    )
+
+
+def _warc_record(
+    wtype: str, uri: str | None, block: bytes, ctype: str
+) -> bytes:
+    head = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{wtype}-{uri or 'file'}>\r\n"
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(block)}\r\n\r\n"
+    )
+    return head.encode() + block + b"\r\n\r\n"
+
+
+def _http_response(status: int, ctype: str, body: bytes) -> bytes:
+    reason = {200: "OK", 404: "Not Found"}[status]
+    return (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def _response_record(doc_id: int, source: str, text: str, uri: str) -> bytes:
+    if doc_id % 11 == 3:
+        status, ctype = 404, "text/html; charset=utf-8"
+        body = b"<html><body><p>gone</p></body></html>"
+    elif doc_id % 7 == 2:
+        status, ctype = 200, "text/plain; charset=utf-8"
+        body = text.encode()
+    else:
+        status, ctype = 200, "text/html; charset=utf-8"
+        body = _html_page(doc_id, text).encode()
+    return _warc_record(
+        "response",
+        uri,
+        _http_response(status, ctype, body),
+        "application/http; msgtype=response",
+    )
+
+
+def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once WARC fixture: docs-00.warc.gz (even doc_id, one gzip
+    member per record — the Common Crawl layout) + docs-01.warc (odd,
+    uncompressed), each opening with a warcinfo record."""
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = snapshot_cache_dir(src, "warc-v1")
+    names = ("docs-00.warc.gz", "docs-01.warc")
+
+    def ready(d: str) -> bool:
+        return all(os.path.exists(os.path.join(d, n)) for n in names)
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        rows = (
+            spark.read.parquet(src)
+            .select("doc_id", "source", "text")
+            .orderBy("doc_id")
+            .collect()
+        )
+        info = _warc_record(
+            "warcinfo",
+            None,
+            b"software: roapi_spark fixture\r\n",
+            "application/warc-fields",
+        )
+        even: list[bytes] = [info]
+        odd: list[bytes] = [info]
+        for r in rows:
+            doc_id, source, text = r[0], r[1], r[2]
+            uri = _raw_url(doc_id, source)
+            recs = []
+            if doc_id % 10 == 0:
+                recs.append(
+                    _warc_record(
+                        "request",
+                        uri,
+                        f"GET /{source}/{doc_id} HTTP/1.1\r\n"
+                        "Host: crawl.example.com\r\n\r\n".encode(),
+                        "application/http; msgtype=request",
+                    )
+                )
+            recs.append(_response_record(doc_id, source, text, uri))
+            if doc_id % 13 == 5:
+                recs.append(
+                    _response_record(
+                        doc_id, source, text, _dup_url(doc_id, source)
+                    )
+                )
+            (even if doc_id % 2 == 0 else odd).extend(recs)
+        with open(os.path.join(tmp, "docs-00.warc.gz"), "wb") as f:
+            for rec in even:
+                f.write(gzip.compress(rec, mtime=0))
+        with open(os.path.join(tmp, "docs-01.warc"), "wb") as f:
+            for rec in odd:
+                f.write(rec)
+
+    return build_once(out, ready, build)
+
+
+def _read_warc(spark: SparkSession, sf_dir: str, **option) -> DataFrame:
+    from roapi_spark.config import TableSource
+    from roapi_spark.sources import load_table
+
+    return load_table(
+        spark,
+        TableSource(
+            name="_warc",
+            uri=_warc_fixture_dir(spark, sf_dir),
+            format="warc",
+            option=option,
+        ),
+    )
+
+
+# ---- oracle SQL fragments shared across the gates -------------------------
+
+_NORM_LEN = "length(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+# messy raw URLs reconstructed from the documents table (primary form,
+# then the duplicate form for the %13 residue) — mirrors _raw_url/_dup_url
+_URL_CTE = """
+  SELECT doc_id,
+         'https://'
+         || (CASE WHEN doc_id % 5 = 0 THEN 'CRAWL.Example.com'
+                  ELSE 'crawl.example.com' END)
+         || (CASE WHEN doc_id % 9 = 4 THEN ':443' ELSE '' END)
+         || '/' || source || '/' || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+                  ELSE '?a=1&b=2' END)
+         || (CASE WHEN doc_id % 6 = 3 THEN '#frag' ELSE '' END) AS raw_url
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'https://crawl.example.com:443/' || source || '/'
+         || CAST(doc_id AS VARCHAR) || '/?b=2&a=1&utm_medium=x#x2'
+  FROM documents WHERE doc_id % 13 = 5
+"""
+
+
+def _canon_sql(col: str) -> str:
+    """DuckDB mirror of functions/web.canonical_url, built from the same
+    regexes so the two engines canonicalize identically."""
+    scheme = f"lower(regexp_extract({col}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = (
+        f"lower(regexp_extract({col}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    )
+    host = (
+        f"CASE WHEN {scheme} = 'https' "
+        f"THEN regexp_replace({hostport}, ':443$', '') "
+        f"WHEN {scheme} = 'http' "
+        f"THEN regexp_replace({hostport}, ':80$', '') "
+        f"ELSE {hostport} END"
+    )
+    rawpath = (
+        f"regexp_extract({col}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
+    )
+    path = (
+        f"CASE WHEN regexp_replace({rawpath}, '/+$', '') = '' THEN '/' "
+        f"ELSE regexp_replace({rawpath}, '/+$', '') END"
+    )
+    qs = f"regexp_extract({col}, '\\?([^#]*)', 1)"
+    q = (
+        f"array_to_string(list_sort(list_filter(string_split({qs}, '&'), "
+        f"x -> x <> '' AND NOT starts_with(x, 'utm_') "
+        f"AND NOT starts_with(x, 'fbclid') "
+        f"AND NOT starts_with(x, 'gclid') "
+        f"AND NOT starts_with(x, 'msclkid'))), '&')"
+    )
+    return (
+        f"{scheme} || '://' || {host} || {path} || "
+        f"(CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END)"
+    )
+
+
+# ---- q_src_warc ------------------------------------------------------------
+
+
+@register(
+    "q_src_warc",
+    oracle=f"""
+    WITH u AS ({_URL_CTE})
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM u)
+        + CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        + 2 AS n_records,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_responses,
+      CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_requests,
+      CAST(2 AS BIGINT) AS n_warcinfo,
+      CAST(SUM(CASE WHEN doc_id % 11 = 3
+               THEN 1 + (CASE WHEN doc_id % 13 = 5 THEN 1 ELSE 0 END)
+               ELSE 0 END) AS BIGINT) AS n_404,
+      CAST(SUM(CASE WHEN doc_id % 11 <> 3 AND doc_id % 7 = 2
+               THEN 1 + (CASE WHEN doc_id % 13 = 5 THEN 1 ELSE 0 END)
+               ELSE 0 END) AS BIGINT) AS n_plain,
+      CAST(SUM(CASE WHEN doc_id % 11 <> 3 AND doc_id % 7 = 2
+               THEN strlen(text)
+                    * (1 + (CASE WHEN doc_id % 13 = 5 THEN 1 ELSE 0 END))
+               ELSE 0 END) AS BIGINT) AS plain_octets,
+      (SELECT CAST(COUNT(DISTINCT raw_url) AS BIGINT) FROM u) AS n_uri,
+      (SELECT CAST(SUM(strlen(raw_url)) AS BIGINT) FROM u) AS uri_octets
+    FROM documents
+    """,
+    doc="Source gate for the WARC loader (ISO 28500): a deterministic "
+    "crawl fixture (one gzip member per record + an uncompressed file; "
+    "warcinfo/request/response types; 404, text/plain, duplicate-URL "
+    "records on fixed doc_id residues) is built FROM the documents "
+    "table, read back through sources.load_table, and aggregated by "
+    "record type / HTTP status / payload octets / distinct URI; the "
+    "oracle recomputes every figure from the raw parquet via the same "
+    "residue arithmetic, so dropped records, framing errors, or payload "
+    "corruption hash-mismatch. Plan: per-file streaming mapInPandas "
+    "scan (parallelism = WARC files, the Common Crawl unit) + one "
+    "global agg — no shuffle before the final exchange.",
+    tags=("source", "warc", "web"),
+)
+def q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read_warc(spark, sf_dir)
+    is_resp = F.col("warc_type") == "response"
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_records"),
+        F.sum(is_resp.cast("bigint")).cast("bigint").alias("n_responses"),
+        F.sum((F.col("warc_type") == "request").cast("bigint"))
+        .cast("bigint")
+        .alias("n_requests"),
+        F.sum((F.col("warc_type") == "warcinfo").cast("bigint"))
+        .cast("bigint")
+        .alias("n_warcinfo"),
+        F.sum((is_resp & (F.col("http_status") == 404)).cast("bigint"))
+        .cast("bigint")
+        .alias("n_404"),
+        F.sum(
+            (
+                is_resp
+                & (F.col("http_status") == 200)
+                & F.col("http_content_type").startswith("text/plain")
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_plain"),
+        F.sum(
+            F.when(
+                is_resp
+                & (F.col("http_status") == 200)
+                & F.col("http_content_type").startswith("text/plain"),
+                F.length("payload").cast("bigint"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("plain_octets"),
+        F.count_distinct(F.when(is_resp, F.col("target_uri")))
+        .cast("bigint")
+        .alias("n_uri"),
+        F.sum(
+            F.when(is_resp, F.length("target_uri").cast("bigint")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("uri_octets"),
+    )
+
+
+# ---- text_html_extract -----------------------------------------------------
+
+
+def _extract_kernel(schema_needs_text: bool):
+    """mapInPandas kernel: decode + extract main text for 200/text/html
+    response rows; emits (doc_id, norm_len[, extracted])."""
+    import pandas as pd
+
+    from roapi_spark.functions.web import extract_main_text
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: list[dict] = []
+            for uri, status, ctype, payload in zip(
+                pdf["target_uri"],
+                pdf["http_status"],
+                pdf["http_content_type"],
+                pdf["payload"],
+            ):
+                rec: dict = {
+                    "target_uri": uri,
+                    "is_ok": int(status == 200),
+                    "is_html": int(
+                        status == 200
+                        and str(ctype or "").startswith("text/html")
+                    ),
+                    "norm_len": None,
+                }
+                if rec["is_html"]:
+                    text = extract_main_text(bytes(payload).decode("utf-8"))
+                    rec["norm_len"] = len(text)
+                    if schema_needs_text:
+                        rec["extracted"] = text
+                elif schema_needs_text:
+                    rec["extracted"] = None
+                out.append(rec)
+            cols = ["target_uri", "is_ok", "is_html", "norm_len"] + (
+                ["extracted"] if schema_needs_text else []
+            )
+            yield pd.DataFrame(out, columns=cols)
+
+    return fn
+
+
+_EXTRACT_SCHEMA = (
+    "target_uri string, is_ok int, is_html int, norm_len bigint"
+)
+
+
+@register(
+    "text_html_extract",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM({_NORM_LEN}) AS BIGINT) AS sum_norm_len
+    FROM documents
+    WHERE doc_id % 11 <> 3 AND doc_id % 7 <> 2
+    """,
+    doc="HTML main-text extraction gate: every 200/text/html page in the "
+    "WARC fixture wraps one document's text in chrome (title/style/"
+    "script/nav/header, a link-dense sidebar the link-density heuristic "
+    "must drop, footer); extraction must recover the document text "
+    "EXACTLY (whitespace-normalized), verified by joining back to the "
+    "documents table on the doc_id parsed from the URL — n_exact is "
+    "COUNT(*) in the oracle, so a single mis-extracted byte fails the "
+    "gate. The %13 duplicate RECORDS are excluded (their primary "
+    "records stay) to keep one row per doc. Plan: streaming WARC scan "
+    "-> Arrow-batched mapInPandas "
+    "extraction (no shuffle) -> broadcast-able join on doc_id -> one "
+    "agg.",
+    tags=("text", "web"),
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resp = _read_warc(spark, sf_dir, types="response").filter(
+        ~F.col("target_uri").contains("utm_medium=x")  # %13 dup form
+    )
+    extracted = resp.mapInPandas(
+        _extract_kernel(schema_needs_text=True),
+        _EXTRACT_SCHEMA + ", extracted string",
+    ).filter(F.col("is_html") == 1)
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(
+            "doc_id",
+            F.trim(F.regexp_replace("text", r"\s+", " ")).alias("norm_text"),
+        )
+    )
+    joined = extracted.withColumn(
+        "doc_id",
+        F.regexp_extract("target_uri", r"://[^/]+/[^/]+/(\d+)", 1).cast(
+            "bigint"
+        ),
+    ).join(docs, "doc_id", "inner")
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.sum((F.col("extracted") == F.col("norm_text")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum(F.length("norm_text").cast("bigint"))
+        .cast("bigint")
+        .alias("sum_norm_len"),
+    )
+
+
+# ---- q_url_canonicalize ----------------------------------------------------
+
+
+@register(
+    "q_url_canonicalize",
+    oracle=f"""
+    WITH u AS ({_URL_CTE}),
+    c AS (SELECT doc_id, {_canon_sql("raw_url")} AS canon FROM u),
+    g AS (SELECT canon, COUNT(*) AS n FROM c GROUP BY canon)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_raw,
+           CAST(COUNT(*) AS BIGINT) AS n_canon,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups,
+           CAST(SUM(strlen(canon)) AS BIGINT) AS canon_octets,
+           MIN(canon) AS min_canon,
+           MAX(canon) AS max_canon
+    FROM g
+    """,
+    doc="URL canonicalization gate: messy raw URLs (mixed host case, "
+    "explicit :443, trailing slashes, utm_*/click-id tracking params, "
+    "shuffled query order, fragments) are synthesized from the "
+    "documents table on fixed residues and canonicalized with PURE "
+    "built-in expressions (functions/web.canonical_url: regexp_extract "
+    "+ filter + array_sort — whole-stage codegen, usable as a dedup "
+    "shuffle key); every variant pair must collapse to one canonical "
+    "key, and the oracle runs the SAME regex pipeline in DuckDB so "
+    "min/max/octet aggregates pin the exact canonical strings. Plan: "
+    "one FileScan -> projection -> hash agg on canon -> global agg; no "
+    "Python anywhere.",
+    tags=("web", "dedup"),
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    primary = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("CRAWL.Example.com")
+            ).otherwise(F.lit("crawl.example.com")),
+            F.when(F.col("doc_id") % 9 == 4, F.lit(":443")).otherwise(
+                F.lit("")
+            ),
+            F.lit("/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 4 == 1, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed&b=2&a=1")
+            ).otherwise(F.lit("?a=1&b=2")),
+            F.when(F.col("doc_id") % 6 == 3, F.lit("#frag")).otherwise(
+                F.lit("")
+            ),
+        ).alias("raw_url"),
+    )
+    dup = docs.filter(F.col("doc_id") % 13 == 5).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://crawl.example.com:443/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?b=2&a=1&utm_medium=x#x2"),
+        ).alias("raw_url"),
+    )
+    c = primary.unionAll(dup).select(canonical_url(F.col("raw_url")).alias("canon"))
+    g = c.groupBy("canon").agg(F.count("*").alias("n"))
+    return g.agg(
+        F.sum("n").cast("bigint").alias("n_raw"),
+        F.count("*").cast("bigint").alias("n_canon"),
+        F.sum((F.col("n") > 1).cast("bigint"))
+        .cast("bigint")
+        .alias("n_dup_groups"),
+        F.sum(F.length("canon").cast("bigint"))
+        .cast("bigint")
+        .alias("canon_octets"),
+        F.min("canon").alias("min_canon"),
+        F.max("canon").alias("max_canon"),
+    )
+
+
+# ---- q_domain_filter -------------------------------------------------------
+
+_HOSTS = (
+    "news.example.com",
+    "blog.example.co.uk",
+    "ads.tracker.net",
+    "cdn.example.org",
+)
+_BLOCKLIST = ("tracker.net",)
+
+_DOM_SQL = (
+    "CASE WHEN regexp_matches(host, "
+    "'\\.(?:co\\.uk|org\\.uk|ac\\.uk|com\\.au|co\\.jp)$') "
+    "THEN regexp_extract(host, "
+    "'([^.]+\\.(?:co\\.uk|org\\.uk|ac\\.uk|com\\.au|co\\.jp))$', 1) "
+    "ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END"
+)
+
+
+@register(
+    "q_domain_filter",
+    oracle=f"""
+    WITH h AS (
+      SELECT CASE doc_id % 4
+               WHEN 0 THEN '{_HOSTS[0]}' WHEN 1 THEN '{_HOSTS[1]}'
+               WHEN 2 THEN '{_HOSTS[2]}' ELSE '{_HOSTS[3]}' END AS host
+      FROM documents
+    ),
+    d AS (SELECT {_DOM_SQL} AS domain FROM h)
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM d WHERE domain NOT IN ('{_BLOCKLIST[0]}')
+    GROUP BY domain ORDER BY domain
+    """,
+    doc="Domain blocklist gate (the UT1/abuse-list pattern): hosts are "
+    "assigned per doc on a fixed residue, reduced to their registrable "
+    "domain (last two labels, or three under a multi-label public "
+    "suffix like co.uk — functions/web.registrable_domain, pure "
+    "regexp), and filtered by a broadcast anti-join against the "
+    "blocklist; the oracle mirrors the suffix regexes in DuckDB. "
+    "Plan: FileScan -> codegen'd domain projection -> "
+    "BroadcastHashJoin(LeftAnti) -> hash agg; at 100 TB the blocklist "
+    "(UT1 is ~4M rows) still broadcasts, and the domain key is "
+    "shuffle-safe.",
+    tags=("web", "filter"),
+)
+def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    host = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_HOSTS[0]))
+        .when(F.col("doc_id") % 4 == 1, F.lit(_HOSTS[1]))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_HOSTS[2]))
+        .otherwise(F.lit(_HOSTS[3]))
+    )
+    d = docs.select(registrable_domain(host).alias("domain"))
+    block = spark.createDataFrame(
+        [(b,) for b in _BLOCKLIST], "domain string"
+    )
+    kept = d.join(F.broadcast(block), "domain", "left_anti")
+    return (
+        kept.groupBy("domain")
+        .agg(F.count("*").cast("bigint").alias("n_kept"))
+        .orderBy("domain")
+    )
+
+
+# ---- q_crawl_funnel --------------------------------------------------------
+
+
+@register(
+    "q_crawl_funnel",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_NORM_LEN} AS nlen,
+             (doc_id % 11 = 3) AS is404,
+             (doc_id % 7 = 2) AS isplain,
+             (doc_id % 13 = 5) AS hasdup
+      FROM documents
+    ),
+    r AS (
+      SELECT * FROM d
+      UNION ALL
+      SELECT * FROM d WHERE hasdup
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fetched,
+           CAST(SUM(CASE WHEN NOT is404 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ok,
+           CAST(SUM(CASE WHEN NOT is404 AND NOT isplain THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_html,
+           CAST(SUM(CASE WHEN NOT is404 AND NOT isplain
+                    AND nlen >= {_MIN_TEXT} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_text,
+           CAST(COUNT(DISTINCT CASE WHEN NOT is404 AND NOT isplain
+                    AND nlen >= {_MIN_TEXT} THEN doc_id END) AS BIGINT)
+             AS n_unique
+    FROM r
+    """,
+    doc="End-to-end crawl-to-corpus funnel over the WARC fixture: "
+    "fetched responses -> HTTP 200 -> text/html -> extracted main text "
+    f"of at least {_MIN_TEXT} normalized chars -> canonical-URL dedup "
+    "(duplicate-URL records collapse via functions/web.canonical_url). "
+    "One output row of stage counts; the oracle replays each stage "
+    "from the documents table via the fixture's residue arithmetic and "
+    "the SAME whitespace normalization, so a wrong extraction, a "
+    "mis-parsed status, or a canonicalization miss shifts a count and "
+    "hash-mismatches. Plan: streaming WARC scan -> mapInPandas extract "
+    "(no shuffle) -> codegen'd canonical key -> single hash agg with a "
+    "conditional distinct.",
+    tags=("web", "pipeline"),
+)
+def q_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resp = _read_warc(spark, sf_dir, types="response")
+    flags = resp.mapInPandas(
+        _extract_kernel(schema_needs_text=False), _EXTRACT_SCHEMA
+    )
+    staged = flags.withColumn(
+        "canon", canonical_url(F.col("target_uri"))
+    ).withColumn(
+        "passes",
+        (F.col("is_html") == 1) & (F.col("norm_len") >= _MIN_TEXT),
+    )
+    return staged.agg(
+        F.count("*").cast("bigint").alias("n_fetched"),
+        F.sum("is_ok").cast("bigint").alias("n_ok"),
+        F.sum("is_html").cast("bigint").alias("n_html"),
+        F.sum(F.col("passes").cast("bigint")).cast("bigint").alias("n_text"),
+        F.count_distinct(F.when(F.col("passes"), F.col("canon")))
+        .cast("bigint")
+        .alias("n_unique"),
+    )

@@ -1,0 +1,173 @@
+"""Web-ingestion primitives: HTML main-text extraction, URL
+canonicalization, registrable-domain extraction.
+
+These are the operators a crawl-to-corpus pipeline applies between the
+WARC scan (sources/warc.py) and the documents table the rest of the
+pipeline suite (dedup / quality / tokenization) consumes. No reference
+parity — columnq has no web-ingestion surface — this is
+training-data-pipeline extension surface, built to the same standard:
+JVM-side expressions wherever Spark can express the semantics, and
+Arrow-batched Python only where it can't (HTML parsing).
+
+Scale notes:
+
+* ``extract_main_text`` is per-row pure Python (stdlib ``HTMLParser``,
+  no regex backtracking hazards) applied through ``mapInPandas`` by the
+  callers — cost is proportional to HTML bytes, embarrassingly
+  parallel, no shuffle.
+* ``canonical_url`` / ``registrable_domain`` are COMPOSED BUILT-INS
+  (regexp_extract / array_sort / filter) — whole-stage codegen'd,
+  mirrorable 1:1 in ANSI SQL for the DuckDB oracle, and usable as a
+  shuffle key for URL-level dedup without any Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# content-free containers: their text is chrome, not body
+_DROP_TAGS = {
+    "script", "style", "noscript", "template", "title", "svg",
+    "nav", "header", "footer", "aside", "form", "iframe", "button",
+}
+# elements that delimit text blocks for the link-density heuristic
+_BLOCK_TAGS = {
+    "p", "div", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+    "br", "tr", "td", "table", "article", "section", "main",
+    "blockquote", "pre", "body",
+}
+# a block whose characters are mostly anchor text is navigation chrome
+_MAX_LINK_RATIO = 0.5
+
+
+class _MainTextParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._drop_depth = 0
+        self._link_depth = 0
+        self._text: list[str] = []
+        self._link_chars = 0
+        self._total_chars = 0
+        self.blocks: list[str] = []
+
+    def _flush(self) -> None:
+        text = " ".join("".join(self._text).split())
+        if text and (
+            self._total_chars == 0
+            or self._link_chars / self._total_chars <= _MAX_LINK_RATIO
+        ):
+            self.blocks.append(text)
+        self._text, self._link_chars, self._total_chars = [], 0, 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _DROP_TAGS:
+            self._drop_depth += 1
+        elif tag == "a":
+            self._link_depth += 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+        elif tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth:
+            return
+        self._text.append(data)
+        n = len(data.strip())
+        self._total_chars += n
+        if self._link_depth:
+            self._link_chars += n
+
+
+def extract_main_text(html: str) -> str:
+    """Boilerplate-stripped main text of an HTML page: drops chrome
+    containers (script/style/nav/header/footer/...), drops blocks whose
+    text is >50% anchor text (link lists), whitespace-normalizes, and
+    joins the surviving blocks with single spaces."""
+    p = _MainTextParser()
+    p.feed(html)
+    p.close()
+    p._flush()
+    return " ".join(p.blocks)
+
+
+# registrable-domain: last two host labels, or three under a multi-label
+# public suffix (a deliberately small, documented subset — a full PSL is
+# a data file, not logic; the expression shape is what matters)
+_MULTI_SUFFIXES = ("co.uk", "org.uk", "ac.uk", "com.au", "co.jp")
+_SUFFIX_ALT = "|".join(s.replace(".", "\\.") for s in _MULTI_SUFFIXES)
+_DOM3_RE = f"([^.]+\\.(?:{_SUFFIX_ALT}))$"
+_DOM2_RE = "([^.]+\\.[^.]+)$"
+
+# tracking query parameters stripped during canonicalization
+_TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid")
+
+
+def url_scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host with default ports stripped (http:80, https:443)."""
+    hostport = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    scheme = url_scheme(url)
+    return (
+        F.when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .otherwise(hostport)
+    )
+
+
+def url_path(url: Column) -> Column:
+    """Path with trailing slashes collapsed; empty path reads as '/'."""
+    raw = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    trimmed = F.regexp_replace(raw, "/+$", "")
+    return F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
+
+
+def url_query_canonical(url: Column) -> Column:
+    """Query string with tracking params removed and the rest sorted
+    bytewise — order-insensitive equality for URL dedup."""
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "")
+        & (~p.startswith("utm_"))
+        & (~p.startswith("fbclid"))
+        & (~p.startswith("gclid"))
+        & (~p.startswith("msclkid")),
+    )
+    return F.array_join(F.array_sort(params), "&")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form: lower scheme+host, default port stripped, fragment
+    dropped, trailing-slash-normalized path, tracking params removed,
+    remaining query params sorted. Pure built-ins — codegen'd, usable as
+    a dedup/shuffle key, and mirrored 1:1 in the DuckDB oracles."""
+    q = url_query_canonical(url)
+    return F.concat(
+        url_scheme(url),
+        F.lit("://"),
+        url_host(url),
+        url_path(url),
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+
+
+def registrable_domain(host: Column) -> Column:
+    return F.when(
+        host.rlike(f"\\.(?:{_SUFFIX_ALT})$"),
+        F.regexp_extract(host, _DOM3_RE, 1),
+    ).otherwise(F.regexp_extract(host, _DOM2_RE, 1))

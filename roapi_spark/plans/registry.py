@@ -68,6 +68,7 @@ def load_all() -> dict[str, QuerySpec]:
     import roapi_spark.functions.pipeline11  # noqa: F401
     import roapi_spark.functions.pipeline12  # noqa: F401
     import roapi_spark.functions.pipeline13  # noqa: F401
+    import roapi_spark.functions.pipeline14  # noqa: F401
     import roapi_spark.functions.pq  # noqa: F401
     import roapi_spark.functions.similarity  # noqa: F401
     import roapi_spark.functions.text  # noqa: F401

@@ -45,6 +45,7 @@ _LOADERS: dict[str, str] = {
     "google_spreadsheet": "roapi_spark.sources.gsheets",
     "airtable": "roapi_spark.sources.airtable",
     "binary": "roapi_spark.sources.binaryfile",
+    "warc": "roapi_spark.sources.warc",
 }
 
 

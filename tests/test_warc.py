@@ -1,0 +1,203 @@
+"""WARC loader (sources/warc.py): from-spec framing (ISO 28500), both
+file layouts (plain + one-gzip-member-per-record), HTTP payload
+splitting, type filtering, and fail-loud behavior on malformed input.
+
+The golden fixture is hand-assembled bytes (not produced by any writer
+in this repo), so the reader is pinned to the spec, not to itself."""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+
+import pytest
+
+from roapi_spark.config import TableSource, sniff_format
+from roapi_spark.sources import load_table
+from roapi_spark.sources.warc import (
+    WarcFormatError,
+    iter_records,
+    read_warc_file,
+)
+
+BODY = b"hello crawl"
+HTTP_OK = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+    + BODY
+)
+
+
+def rec(
+    wtype: str,
+    uri: str | None,
+    block: bytes,
+    ctype: str = "application/http; msgtype=response",
+    version: str = "WARC/1.0",
+) -> bytes:
+    head = (
+        f"{version}\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{wtype}>\r\n"
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(block)}\r\n\r\n"
+    )
+    return head.encode() + block + b"\r\n\r\n"
+
+
+def golden() -> bytes:
+    return (
+        rec(
+            "warcinfo",
+            None,
+            b"software: test\r\n",
+            ctype="application/warc-fields",
+        )
+        + rec(
+            "request",
+            "https://example.com/a",
+            b"GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n",
+            ctype="application/http; msgtype=request",
+        )
+        + rec("response", "https://example.com/a", HTTP_OK)
+    )
+
+
+def parse(data: bytes) -> list[dict]:
+    return list(iter_records(io.BufferedReader(io.BytesIO(data)), "t"))
+
+
+def test_golden_bytes_are_pinned():
+    # the fixture itself is pinned so a helper edit can't silently
+    # weaken every assertion below
+    assert hashlib.sha256(golden()).hexdigest() == (
+        "ac906e6704e37cfd1698a86fbf51e0bec407cfbc029a90953b551dad552dc895"
+    )
+
+
+def test_record_framing_and_http_split():
+    recs = parse(golden())
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo",
+        "request",
+        "response",
+    ]
+    info, req, resp = recs
+    assert info["target_uri"] is None
+    assert info["payload"] == b"software: test\r\n"
+    assert req["http_status"] is None  # request line has no status
+    assert resp["http_status"] == 200
+    assert resp["http_content_type"] == "text/html; charset=utf-8"
+    assert resp["payload"] == BODY
+    assert resp["content_length"] == len(HTTP_OK)
+    assert resp["warc_date"] == "2026-01-01T00:00:00Z"
+
+
+def test_warc_1_1_version_line_accepted():
+    recs = parse(rec("response", "https://e.com", HTTP_OK, version="WARC/1.1"))
+    assert recs[0]["http_status"] == 200
+
+
+def test_header_continuation_lines():
+    block = b"x"
+    data = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: metadata\r\n"
+        b"WARC-Target-URI: https://example.com/very\r\n"
+        b"\tlong/path\r\n"
+        b"Content-Type: text/plain\r\n"
+        b"Content-Length: 1\r\n\r\n" + block + b"\r\n\r\n"
+    )
+    (r,) = parse(data)
+    assert r["target_uri"] == "https://example.com/very long/path"
+
+
+def test_bare_lf_writer_tolerated():
+    data = (
+        b"WARC/1.0\n"
+        b"WARC-Type: resource\n"
+        b"Content-Type: text/plain\n"
+        b"Content-Length: 2\n\n"
+        b"ab\n\n"
+    )
+    (r,) = parse(data)
+    assert r["payload"] == b"ab" and r["warc_type"] == "resource"
+
+
+def test_gzip_member_per_record_layout(tmp_path):
+    p = tmp_path / "t.warc.gz"
+    p.write_bytes(
+        gzip.compress(rec("response", "https://e.com/1", HTTP_OK), mtime=0)
+        + gzip.compress(rec("response", "https://e.com/2", HTTP_OK), mtime=0)
+    )
+    recs = list(read_warc_file(str(p)))
+    assert [r["target_uri"] for r in recs] == [
+        "https://e.com/1",
+        "https://e.com/2",
+    ]
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda d: d[:-20], "truncated record"),
+        (lambda d: d.replace(b"WARC/1.0", b"WARK/1.0", 1), "version line"),
+        (
+            lambda d: d.replace(b"Content-Length: ", b"Content-Length: 9", 1),
+            "truncated record",
+        ),
+        (
+            lambda d: d.replace(b"Content-Length", b"Content-Weight", 1),
+            "without Content-Length",
+        ),
+        (lambda d: d[:-2], "bad record trailer"),
+    ],
+)
+def test_malformed_input_fails_loudly(mutate, msg):
+    data = rec("response", "https://e.com", HTTP_OK)
+    with pytest.raises(WarcFormatError, match=msg):
+        parse(mutate(data))
+
+
+def test_sniff_format():
+    assert sniff_format("crawl/part-0.warc") == "warc"
+    assert sniff_format("crawl/part-0.warc.gz") == "warc"
+    assert sniff_format("CRAWL/PART-0.WARC.GZ") == "warc"
+
+
+def test_loader_directory_scan_and_types_filter(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(golden())
+    (tmp_path / "b.warc.gz").write_bytes(
+        gzip.compress(rec("response", "https://e.com/b", HTTP_OK), mtime=0)
+    )
+    (tmp_path / "notes.txt").write_text("ignored")
+    ts = TableSource(name="crawl", uri=str(tmp_path), format="warc")
+    df = load_table(spark, ts)
+    rows = {(r["warc_file"], r["warc_type"]) for r in df.collect()}
+    assert rows == {
+        ("a.warc", "warcinfo"),
+        ("a.warc", "request"),
+        ("a.warc", "response"),
+        ("b.warc.gz", "response"),
+    }
+
+    only = load_table(
+        spark,
+        TableSource(
+            name="crawl",
+            uri=str(tmp_path),
+            format="warc",
+            option={"types": "response"},
+        ),
+    )
+    assert {r["warc_type"] for r in only.collect()} == {"response"}
+
+
+def test_loader_empty_dir_fails_loudly(spark, tmp_path):
+    with pytest.raises(WarcFormatError, match="no '\\*.warc\\*' files"):
+        load_table(
+            spark,
+            TableSource(name="c", uri=str(tmp_path), format="warc"),
+        ).collect()

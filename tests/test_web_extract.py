@@ -1,0 +1,103 @@
+"""Web-ingestion primitives (functions/web.py): HTML main-text
+extraction (chrome stripping + link-density heuristic) and URL
+canonicalization / registrable-domain expressions. The Spark-expression
+paths are asserted against literal expectations here; their DuckDB
+mirrors are asserted by the pipeline14 oracle gates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from roapi_spark.functions.web import (
+    canonical_url,
+    extract_main_text,
+    registrable_domain,
+)
+
+
+class TestExtractMainText:
+    def test_drops_chrome_containers(self):
+        html = (
+            "<html><head><title>T</title><style>a{}</style>"
+            "<script>var x=1;</script></head><body>"
+            "<nav><a href='/'>Home</a></nav>"
+            "<header><h1>Heading</h1></header>"
+            "<main><p>Real content here.</p></main>"
+            "<footer>legal</footer></body></html>"
+        )
+        assert extract_main_text(html) == "Real content here."
+
+    def test_link_dense_block_dropped(self):
+        html = (
+            "<body><div><a href='/1'>One</a> <a href='/2'>Two</a></div>"
+            "<p>Body text that is not navigation.</p></body>"
+        )
+        assert extract_main_text(html) == "Body text that is not navigation."
+
+    def test_half_link_block_kept(self):
+        # exactly at the 0.5 boundary: kept (<=)
+        html = "<body><p>abcd <a href='/x'>wxyz</a></p></body>"
+        assert extract_main_text(html) == "abcd wxyz"
+
+    def test_entities_unescaped_and_whitespace_normalized(self):
+        html = "<body><p>a &amp; b\n\t &lt;c&gt;</p></body>"
+        assert extract_main_text(html) == "a & b <c>"
+
+    def test_multiple_blocks_joined(self):
+        html = "<body><p>First para.</p><p>Second para.</p></body>"
+        assert extract_main_text(html) == "First para. Second para."
+
+    def test_unclosed_tags_tolerated(self):
+        html = "<body><p>open paragraph<div>and a div"
+        assert extract_main_text(html) == "open paragraph and a div"
+
+
+URL_CASES = [
+    # (raw, canonical)
+    ("https://Example.COM/a", "https://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/a/b/", "https://example.com/a/b"),
+    ("https://example.com/a#frag", "https://example.com/a"),
+    (
+        "https://example.com/a?b=2&a=1",
+        "https://example.com/a?a=1&b=2",
+    ),
+    (
+        "https://example.com/a?utm_source=x&a=1&gclid=g&fbclid=f",
+        "https://example.com/a?a=1",
+    ),
+    (
+        "https://example.com/a?utm_source=x",
+        "https://example.com/a",
+    ),
+]
+
+
+@pytest.mark.parametrize("raw, want", URL_CASES)
+def test_canonical_url(spark, raw, want):
+    df = spark.createDataFrame([(raw,)], "u string").select(
+        canonical_url(F.col("u")).alias("c")
+    )
+    assert df.first()["c"] == want
+
+
+DOMAIN_CASES = [
+    ("news.example.com", "example.com"),
+    ("example.com", "example.com"),
+    ("a.b.c.example.org", "example.org"),
+    ("blog.example.co.uk", "example.co.uk"),
+    ("www.example.com.au", "example.com.au"),
+    ("couk.example.net", "example.net"),  # suffix match is anchored
+]
+
+
+def test_registrable_domain(spark):
+    df = spark.createDataFrame(
+        [(h,) for h, _ in DOMAIN_CASES], "h string"
+    ).select("h", registrable_domain(F.col("h")).alias("d"))
+    got = {r["h"]: r["d"] for r in df.collect()}
+    assert got == dict(DOMAIN_CASES)
