@@ -143,15 +143,23 @@ def _response_record(doc_id: int, source: str, text: str, uri: str) -> bytes:
     )
 
 
+_N_SHARDS = 8  # crawl-file parallelism unit: the scan's task count
+
+
 def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once WARC fixture: docs-00.warc.gz (even doc_id, one gzip
-    member per record — the Common Crawl layout) + docs-01.warc (odd,
-    uncompressed), each opening with a warcinfo record."""
+    """Build-once WARC fixture, sharded into 8 files by doc_id (even
+    shards one-gzip-member-per-record — the Common Crawl layout — odd
+    shards uncompressed), each opening with a warcinfo record. Sharding
+    matters: the WARC scan parallelizes per FILE, so the fixture must
+    present the multi-file shape real crawls have."""
     from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
 
     src = os.path.join(sf_dir, "documents.parquet")
-    out = snapshot_cache_dir(src, "warc-v1")
-    names = ("docs-00.warc.gz", "docs-01.warc")
+    out = snapshot_cache_dir(src, "warc-v2")
+    names = tuple(
+        f"docs-{s:02d}.warc" + (".gz" if s % 2 == 0 else "")
+        for s in range(_N_SHARDS)
+    )
 
     def ready(d: str) -> bool:
         return all(os.path.exists(os.path.join(d, n)) for n in names)
@@ -170,8 +178,7 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             b"software: roapi_spark fixture\r\n",
             "application/warc-fields",
         )
-        even: list[bytes] = [info]
-        odd: list[bytes] = [info]
+        shards: list[list[bytes]] = [[info] for _ in range(_N_SHARDS)]
         for r in rows:
             doc_id, source, text = r[0], r[1], r[2]
             uri = _raw_url(doc_id, source)
@@ -193,13 +200,16 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
                         doc_id, source, text, _dup_url(doc_id, source)
                     )
                 )
-            (even if doc_id % 2 == 0 else odd).extend(recs)
-        with open(os.path.join(tmp, "docs-00.warc.gz"), "wb") as f:
-            for rec in even:
-                f.write(gzip.compress(rec, mtime=0))
-        with open(os.path.join(tmp, "docs-01.warc"), "wb") as f:
-            for rec in odd:
-                f.write(rec)
+            shards[doc_id % _N_SHARDS].extend(recs)
+        for s, recs in enumerate(shards):
+            if s % 2 == 0:
+                with open(os.path.join(tmp, names[s]), "wb") as f:
+                    for rec in recs:
+                        f.write(gzip.compress(rec, mtime=0))
+            else:
+                with open(os.path.join(tmp, names[s]), "wb") as f:
+                    for rec in recs:
+                        f.write(rec)
 
     return build_once(out, ready, build)
 
@@ -292,11 +302,11 @@ def _canon_sql(col: str) -> str:
     SELECT
       (SELECT CAST(COUNT(*) AS BIGINT) FROM u)
         + CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        + 2 AS n_records,
+        + {_N_SHARDS} AS n_records,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_responses,
       CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
         AS n_requests,
-      CAST(2 AS BIGINT) AS n_warcinfo,
+      CAST({_N_SHARDS} AS BIGINT) AS n_warcinfo,
       CAST(SUM(CASE WHEN doc_id % 11 = 3
                THEN 1 + (CASE WHEN doc_id % 13 = 5 THEN 1 ELSE 0 END)
                ELSE 0 END) AS BIGINT) AS n_404,

@@ -201,3 +201,42 @@ def test_loader_empty_dir_fails_loudly(spark, tmp_path):
             spark,
             TableSource(name="c", uri=str(tmp_path), format="warc"),
         ).collect()
+
+
+def test_warc_table_through_catalog(spark, tmp_path):
+    """A crawl directory registers like any other table (config parse ->
+    sniff -> load -> temp view) and the full SQL/REST surface works over
+    it — the user-facing path for 'point roapi at my crawl'."""
+    from roapi_spark.catalog import Catalog
+    from roapi_spark.config import parse_table_config
+
+    (tmp_path / "a.warc").write_bytes(golden())
+    (tmp_path / "b.warc.gz").write_bytes(
+        gzip.compress(rec("response", "https://e.com/b", HTTP_OK), mtime=0)
+    )
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(
+        parse_table_config(
+            {"name": "crawl", "uri": str(tmp_path), "format": "warc"}
+        )
+    )
+    got = cat.query_sql(
+        "SELECT warc_type, count(*) AS n FROM crawl "
+        "GROUP BY warc_type ORDER BY warc_type"
+    ).collect()
+    assert [(r.warc_type, r.n) for r in got] == [
+        ("request", 1),
+        ("response", 2),
+        ("warcinfo", 1),
+    ]
+    rest = cat.query_rest(
+        "crawl", {"filter[warc_type]": "response", "columns": "target_uri"}
+    ).collect()
+    assert sorted(r.target_uri for r in rest) == [
+        "https://e.com/b",
+        "https://example.com/a",
+    ]
+    assert cat.query_sql(
+        "SELECT CAST(payload AS STRING) AS body FROM crawl "
+        "WHERE http_status = 200 AND warc_file = 'a.warc'"
+    ).collect()[0].body == BODY.decode()
