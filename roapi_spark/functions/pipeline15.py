@@ -1,0 +1,505 @@
+"""Batch 15: unigram-LM subword tokenizer trainer (SentencePiece-style)
+under the driver oracle.
+
+Completes the tokenizer-construction suite next to the BPE trainer
+(pipeline12): the OTHER mainstream subword algorithm. Reference scope:
+roapi has no tokenizer surface (columnq/src/table/mod.rs serves tables
+as-is) — this is training-data-pipeline extension surface implementing
+the public unigram language-model tokenizer (Kudo 2018, "Subword
+Regularization", ACL; the SentencePiece default), in its hard-EM
+(Viterbi-EM) variant:
+
+* training units are adjacent word-token PAIRS joined by ``_``
+  (``the_quick``, truncated to ``MAX_W`` chars) — the analogue of
+  SentencePiece operating on space-carrying sentence text, so learned
+  pieces can span word boundaries (``e_``, ``_th``);
+* seed vocabulary: every substring of length 1..``MAX_P`` weighted by
+  occurrence, all single characters plus the top-``SEED`` multi-char
+  pieces (count DESC, piece ASC);
+* per EM iteration: piece costs are integer fixed-point negative
+  log-probs, ``floor(SCALE * ln((total + V)/(cnt + 1)) + 0.5)``
+  (add-one smoothing over the fixed seed vocab V); the E-step
+  Viterbi-segments every distinct training unit under those costs and
+  re-counts pieces weighted by unit frequency (hard EM: argmax path,
+  not expected counts — the standard fast variant).
+
+Determinism contract (what makes the DuckDB oracle exact): costs are
+integers; the Viterbi DP minimizes an integer sum, and the backtrace
+resolves cost ties by taking the SMALLEST piece length first at each
+step — both engines implement the identical rule, so the learned
+trajectory is bit-identical. ``ln``/``FLOOR`` agreement between
+Python's libm and DuckDB over the realized count ratios is pinned by
+``tests/test_pipeline15.py::test_ln_fixed_point_agreement``.
+
+Oracle shape: the full training replay is GENERATED SQL — the Viterbi
+DP is unrolled into one materialized CTE per DP position and backtrace
+step (lateral-alias substitution grows the expression tree as 4^L
+otherwise), and piece-cost lookups are a single hash join + pivot per
+iteration (``wl{i}``), never correlated subqueries (a correlated
+lookup re-derives the whole upstream chain per row and does not finish).
+
+Scale shape at 100 TB:
+- the corpus is scanned ONCE to build the pair-unit frequency table
+  (explode + hash agg with map-side partials); it is Heaps-bounded
+  (vocabulary of adjacent-pair spellings, not corpus-sized);
+- every EM iteration is one Arrow-batched ``mapInPandas`` Viterbi pass
+  over that table (embarrassingly parallel, no shuffle) + one
+  vocab-keyed hash agg; the driver holds only vocab-sized state
+  (V = ~150 rows of counts/costs per iteration — same bounded-collect
+  pattern as the BPE argmax and the IVF centroids);
+- scoring (fertility) joins the corpus pair stream to the unit->pieces
+  dimension via size-capped broadcast: one corpus scan, no
+  corpus-sized shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from roapi_spark.functions.text import _TOKENS_SQL_DUCK, docs, tokens_col
+from roapi_spark.plans.registry import register
+from roapi_spark.plans.util import maybe_broadcast
+from roapi_spark.util import pround, pround_sql
+
+MAX_W = 10  # training units truncated to this many chars (DP bound)
+MAX_P = 4  # max piece length
+SEED = 120  # multi-char seed pieces kept (plus ALL single chars)
+SCALE = 256  # fixed-point scale for integer neg-log-prob costs
+EM_T = 2  # hard-EM iterations
+BIG = 1 << 40  # "piece not in vocab" cost (unreachable: singles cover)
+
+# valid (start, len) piece slots inside a MAX_W-char unit
+_SKS = [
+    (s, k)
+    for s in range(1, MAX_W + 1)
+    for k in range(1, MAX_P + 1)
+    if s + k - 1 <= MAX_W
+]
+
+# adjacent word pairs joined by '_' — the training unit (both engines)
+_PAIRS_SPARK = (
+    "transform(slice(l, 1, size(l)-1), (x, i) -> "
+    "substring(concat(x, '_', element_at(l, i+2)), 1, {mw}))"
+).format(mw=MAX_W)
+_PAIRS_DUCK = (
+    "list_transform(range(1, len(l)), j -> "
+    "substr(l[j] || '_' || l[j+1], 1, {mw}))"
+).format(mw=MAX_W)
+
+
+# --------------------------------------------------------------------------
+# oracle SQL generation (DuckDB replay of the full training run)
+# --------------------------------------------------------------------------
+
+
+def _base_ctes() -> list[str]:
+    return [
+        f"""wt AS MATERIALIZED (
+      SELECT pr AS w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_PAIRS_DUCK}) AS pr
+            FROM (SELECT {_TOKENS_SQL_DUCK} AS l FROM documents))
+      GROUP BY 1
+    )""",
+        "pos AS (SELECT w, c, unnest(generate_series(1, length(w))) AS s FROM wt)",
+        f"""sub AS MATERIALIZED (
+      SELECT substr(w, s, l) AS piece, CAST(SUM(c) AS BIGINT) AS cnt
+      FROM pos, (VALUES (1),(2),(3),(4)) AS L(l)
+      WHERE s + l - 1 <= length(w)
+      GROUP BY 1
+    )""",
+        f"""v0 AS MATERIALIZED (
+      SELECT piece, cnt FROM sub WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM sub WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece ASC LIMIT {SEED})
+    )""",
+    ]
+
+
+def _cost_cte(i: int) -> str:
+    return (
+        f"c{i} AS MATERIALIZED (SELECT piece, cnt, "
+        f"CAST(FLOOR({SCALE} * ln((t.total + t.v) * 1.0 / (cnt + 1)) + 0.5)"
+        f" AS BIGINT) AS cost "
+        f"FROM v{i}, (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM v{i}) t)"
+    )
+
+
+def _lookup_cte(i: int) -> str:
+    """wl{i}: per-unit pivoted piece-cost columns t{s}_{k} — ONE hash
+    join (substring -> cost) + ONE pivot aggregate."""
+    pivots = ", ".join(
+        f"COALESCE(MAX(CASE WHEN s = {s} AND l = {k} THEN cost END), {BIG})"
+        f" AS t{s}_{k}"
+        for s, k in _SKS
+    )
+    return (
+        f"wl{i} AS MATERIALIZED (\n"
+        f"  SELECT w, ANY_VALUE(c) AS c, {pivots}\n"
+        f"  FROM (SELECT pl.w, pl.c, pl.s, pl.l, cv.cost\n"
+        f"        FROM (SELECT p.w, p.c, p.s, L.l FROM pos p,\n"
+        f"              (VALUES (1),(2),(3),(4)) AS L(l)\n"
+        f"              WHERE p.s + L.l - 1 <= length(p.w)) pl\n"
+        f"        LEFT JOIN c{i} cv ON cv.piece = substr(pl.w, pl.s, pl.l))\n"
+        f"  GROUP BY w)"
+    )
+
+
+def _seg_ctes(i: int) -> str:
+    """Viterbi DP + backtrace: one MATERIALIZED CTE per DP position and
+    per backtrace step (a single-SELECT lateral-alias form substitutes
+    b_{j-1} into b_j and grows the tree 4^L)."""
+    ctes = [f"g{i}_0 AS (SELECT *, CAST(0 AS BIGINT) AS b0 FROM wl{i})"]
+    for j in range(1, MAX_W + 1):
+        cands = [
+            f"b{j - k} + t{j - k + 1}_{k}" for k in range(1, min(MAX_P, j) + 1)
+        ]
+        expr = cands[0] if len(cands) == 1 else "LEAST(" + ", ".join(cands) + ")"
+        ctes.append(
+            f"g{i}_{j} AS MATERIALIZED (SELECT *, CASE WHEN length(w) >= {j} "
+            f"THEN {expr} ELSE 0 END AS b{j} FROM g{i}_{j - 1})"
+        )
+    kcols = []
+    for j in range(1, MAX_W + 1):
+        whens = " ".join(
+            f"WHEN b{j} = b{j - k} + t{j - k + 1}_{k} THEN {k}"
+            for k in range(1, min(MAX_P, j) + 1)
+        )
+        kcols.append(
+            f"CASE WHEN length(w) < {j} THEN 0 {whens} ELSE 0 END AS k{j}"
+        )
+    ctes.append(
+        f"h{i}_0 AS MATERIALIZED (SELECT *, {', '.join(kcols)}, "
+        f"length(w) AS e_init FROM g{i}_{MAX_W})"
+    )
+
+    def kat(e: str) -> str:
+        return (
+            "CASE "
+            + e
+            + " "
+            + " ".join(f"WHEN {j} THEN k{j}" for j in range(1, MAX_W + 1))
+            + " ELSE 0 END"
+        )
+
+    for step in range(MAX_W):
+        prev = "e_init" if step == 0 else f"e{step - 1}"
+        ctes.append(
+            f"h{i}_{step + 1} AS MATERIALIZED (SELECT *, "
+            f"{kat(prev)} AS s{step}, "
+            f"{prev} - ({kat(prev)}) AS e{step}, "
+            f"CASE WHEN {kat(prev)} > 0 THEN "
+            f"substr(w, {prev} - ({kat(prev)}) + 1, {kat(prev)}) END "
+            f"AS p{step} FROM h{i}_{step})"
+        )
+    pieces = (
+        "list_filter(["
+        + ", ".join(f"p{s}" for s in range(MAX_W))
+        + "], x -> x IS NOT NULL)"
+    )
+    ctes.append(
+        f"seg{i} AS MATERIALIZED (SELECT w, c, unnest({pieces}) AS piece "
+        f"FROM h{i}_{MAX_W})"
+    )
+    return ",\n".join(ctes)
+
+
+def _next_counts_cte(i: int) -> str:
+    return (
+        f"v{i + 1} AS MATERIALIZED (SELECT v.piece, "
+        f"CAST(COALESCE(u.cnt, 0) AS BIGINT) AS cnt "
+        f"FROM v0 v LEFT JOIN (SELECT piece, SUM(c) AS cnt "
+        f"FROM seg{i} GROUP BY piece) u USING (piece))"
+    )
+
+
+def _chain(with_final_seg: bool = False) -> str:
+    parts = _base_ctes()
+    for i in range(EM_T):
+        parts.append(_cost_cte(i))
+        parts.append(_lookup_cte(i))
+        parts.append(_seg_ctes(i))
+        parts.append(_next_counts_cte(i))
+    parts.append(_cost_cte(EM_T))
+    if with_final_seg:
+        parts.append(_lookup_cte(EM_T))
+        parts.append(_seg_ctes(EM_T))
+    return ",\n".join(parts)
+
+
+def _train_oracle() -> str:
+    rows = "\n UNION ALL ".join(
+        f"""SELECT {it} AS it,
+      (SELECT CAST(SUM(cnt) AS BIGINT) FROM v{it}) AS total_pieces,
+      (SELECT CAST(COUNT(*) FILTER (WHERE cnt > 0) AS BIGINT) FROM v{it})
+        AS n_active,
+      (SELECT piece FROM v{it} ORDER BY cnt DESC, piece LIMIT 1) AS top_piece,
+      (SELECT CAST(MAX(cnt) AS BIGINT) FROM v{it}) AS top_cnt"""
+        for it in range(EM_T + 1)
+    )
+    return f"WITH {_chain()}\nSELECT * FROM ({rows}) ORDER BY it"
+
+
+_VOCAB_TOP = 20
+
+_VOCAB_ORACLE = (
+    f"WITH {_chain()}\nSELECT piece, cnt, cost FROM c{EM_T} "
+    f"ORDER BY cnt DESC, piece LIMIT {_VOCAB_TOP}"
+)
+
+_FERTILITY_ORACLE = f"""
+    WITH {_chain(with_final_seg=True)},
+    np AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS np FROM seg{EM_T} GROUP BY w),
+    corp AS (
+      SELECT source, unnest({_PAIRS_DUCK}) AS w
+      FROM (SELECT source, {_TOKENS_SQL_DUCK} AS l FROM documents)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_units,
+           CAST(SUM(np.np) AS BIGINT) AS n_pieces,
+           {pround_sql("SUM(np.np) * 1.0 / COUNT(*)")} AS fertility
+    FROM corp JOIN np USING (w)
+    GROUP BY source ORDER BY source
+    """
+
+
+# --------------------------------------------------------------------------
+# Spark-side training
+# --------------------------------------------------------------------------
+
+
+def _viterbi(w: str, cost: dict[str, int]) -> list[str]:
+    """Integer Viterbi with smallest-k-first backtrace — the exact rule
+    the generated SQL DP implements."""
+    L = len(w)
+    b: list[int] = [0] + [0] * L
+    for j in range(1, L + 1):
+        best = None
+        for k in range(1, min(MAX_P, j) + 1):
+            cand = b[j - k] + cost.get(w[j - k : j], BIG)
+            if best is None or cand < best:
+                best = cand
+        b[j] = best  # type: ignore[assignment]
+    pieces: list[str] = []
+    j = L
+    while j > 0:
+        for k in range(1, min(MAX_P, j) + 1):
+            if b[j] == b[j - k] + cost.get(w[j - k : j], BIG):
+                pieces.append(w[j - k : j])
+                j -= k
+                break
+        else:  # pragma: no cover — singles make every position reachable
+            raise AssertionError(f"viterbi backtrace failed for {w!r}")
+    return pieces[::-1]
+
+
+def _costs_of(counts: dict[str, int]) -> dict[str, int]:
+    total = sum(counts.values())
+    v = len(counts)
+    return {
+        p: math.floor(SCALE * math.log((total + v) / (c + 1)) + 0.5)
+        for p, c in counts.items()
+    }
+
+
+def _units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct training units with frequencies: (w, c)."""
+    return (
+        docs(spark, sf_dir)
+        .select(tokens_col().alias("l"))
+        .select(F.explode(F.expr(_PAIRS_SPARK)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def _seg_kernel(cost: dict[str, int]):
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for w, c in zip(pdf["w"], pdf["c"]):
+                for p in _viterbi(w, cost):
+                    out.append((w, int(c), p))
+            yield pd.DataFrame(out, columns=["w", "c", "piece"])
+
+    return fn
+
+
+_SEG_SCHEMA = "w string, c bigint, piece string"
+
+# process-local memo (same pattern as bpe_train_state): the trainer is
+# iterative with vocab-sized driver collects; queries sharing a corpus
+# reuse the learned state
+_MEMO: dict[tuple, tuple] = {}
+
+
+def unigram_train_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple], dict[str, int], dict[str, int]]:
+    """Run hard-EM; returns (trajectory rows, final counts, final costs).
+
+    Trajectory rows are ``(it, total_pieces, n_active, top_piece,
+    top_cnt)`` for it = 0..EM_T.
+    """
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(path),
+        os.path.getmtime(path),
+    )
+    hit = _MEMO.get(key)
+    if hit is not None:
+        return hit
+
+    units = _units(spark, sf_dir).cache()
+
+    # seed: all substring occurrences, weighted — distributed explode +
+    # hash agg; only the vocab-sized top cut is collected
+    subs = (
+        units.select(
+            "c",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(w)), s -> "
+                    f"transform(sequence(1, least({MAX_P}, length(w) - s + 1)), "
+                    "k -> substring(w, s, k))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+        .cache()
+    )
+    singles = subs.filter(F.length("piece") == 1).collect()
+    multis = (
+        subs.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(SEED)
+        .collect()
+    )
+    counts: dict[str, int] = {r["piece"]: int(r["cnt"]) for r in singles}
+    counts.update({r["piece"]: int(r["cnt"]) for r in multis})
+
+    def snapshot(it: int, cts: dict[str, int]) -> tuple:
+        total = sum(cts.values())
+        active = sum(1 for v in cts.values() if v > 0)
+        top_p, top_c = sorted(cts.items(), key=lambda pc: (-pc[1], pc[0]))[0]
+        return (it, total, active, top_p, top_c)
+
+    traj = [snapshot(0, counts)]
+    vocab_pieces = sorted(counts)
+    for it in range(1, EM_T + 1):
+        cost = _costs_of(counts)
+        seg = units.mapInPandas(_seg_kernel(cost), _SEG_SCHEMA)
+        rows = (
+            seg.groupBy("piece").agg(F.sum("c").cast("bigint").alias("cnt"))
+        ).collect()
+        used = {r["piece"]: int(r["cnt"]) for r in rows}
+        counts = {p: used.get(p, 0) for p in vocab_pieces}
+        traj.append(snapshot(it, counts))
+
+    state = (traj, counts, _costs_of(counts))
+    _MEMO[key] = state
+    return state
+
+
+_TRAJ_SCHEMA = T.StructType(
+    [
+        T.StructField("it", T.IntegerType()),
+        T.StructField("total_pieces", T.LongType()),
+        T.StructField("n_active", T.LongType()),
+        T.StructField("top_piece", T.StringType()),
+        T.StructField("top_cnt", T.LongType()),
+    ]
+)
+
+
+@register(
+    "text_unigram_train",
+    oracle=_train_oracle(),
+    doc="Unigram-LM subword trainer (Kudo 2018, SentencePiece default), "
+    f"hard-EM variant: {EM_T} Viterbi-EM iterations over adjacent-word-"
+    "pair units with integer fixed-point neg-log-prob costs; one row "
+    "per iteration (total piece count, active vocab, argmax piece). "
+    "The oracle REPLAYS THE ENTIRE TRAINING RUN in generated SQL — "
+    "seed substring counts, cost derivation, the unrolled Viterbi DP "
+    "(one materialized CTE per position; piece lookups are a hash join "
+    "+ pivot, never correlated subqueries), smallest-k backtrace, and "
+    "the count updates — so a single mis-segmented unit anywhere in "
+    "training hash-mismatches. Plan: one corpus scan builds the Heaps-"
+    "bounded unit table; each iteration is an Arrow-batched mapInPandas "
+    "Viterbi pass + vocab-keyed agg; the driver holds ~150 rows.",
+    tags=("text", "pipeline", "ml"),
+)
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    traj, _, _ = unigram_train_state(spark, sf_dir)
+    return spark.createDataFrame(traj, _TRAJ_SCHEMA).orderBy("it")
+
+
+@register(
+    "text_unigram_vocab",
+    oracle=_VOCAB_ORACLE,
+    doc=f"Serve side of the unigram trainer: the top {_VOCAB_TOP} learned "
+    "pieces with their final counts and integer costs — the artifact a "
+    "tokenizer worker ships (piece->cost is the entire inference-time "
+    "model for Viterbi encoding). Same full-training-replay oracle as "
+    "text_unigram_train. Plan: training state is memoized per corpus "
+    "snapshot; this query is a vocab-sized createDataFrame.",
+    tags=("text", "pipeline", "ml"),
+)
+def text_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, counts, costs = unigram_train_state(spark, sf_dir)
+    top = sorted(
+        ((p, counts[p], costs[p]) for p in counts),
+        key=lambda x: (-x[1], x[0]),
+    )[:_VOCAB_TOP]
+    return spark.createDataFrame(
+        top, "piece string, cnt bigint, cost bigint"
+    ).orderBy(F.col("cnt").desc(), F.col("piece").asc())
+
+
+@register(
+    "text_unigram_fertility",
+    oracle=_FERTILITY_ORACLE,
+    doc="Fertility audit of the learned unigram vocabulary: per source, "
+    "training units, Viterbi pieces under the FINAL model, and "
+    "pieces-per-unit fertility (the shard-level domain-fit metric, "
+    "same contract as text_bpe_fertility). Plan: one final mapInPandas "
+    "Viterbi pass over the Heaps-bounded unit table builds the "
+    "unit->piece-count dimension; the corpus pair stream joins it via "
+    "size-capped broadcast and aggregates per source — one corpus "
+    "scan, no corpus-sized shuffle.",
+    tags=("text", "pipeline", "ml"),
+)
+def text_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, costs = unigram_train_state(spark, sf_dir)
+    units = _units(spark, sf_dir)
+    np_df = (
+        units.mapInPandas(_seg_kernel(costs), _SEG_SCHEMA)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("np"))
+    )
+    corp = (
+        docs(spark, sf_dir)
+        .select("source", tokens_col().alias("l"))
+        .select("source", F.explode(F.expr(_PAIRS_SPARK)).alias("w"))
+    )
+    return (
+        corp.join(maybe_broadcast(np_df), "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_units"),
+            F.sum("np").cast("bigint").alias("n_pieces"),
+            pround(F.sum("np") * 1.0 / F.count("*")).alias("fertility"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,122 @@
+"""Unigram-LM trainer (pipeline15): cross-engine fixed-point contract,
+Viterbi semantics against an independent recursive implementation, and
+end-to-end state sanity on the smoke corpus."""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import duckdb
+import pytest
+
+from roapi_spark.functions.pipeline15 import (
+    BIG,
+    EM_T,
+    MAX_P,
+    SCALE,
+    _costs_of,
+    _viterbi,
+    unigram_train_state,
+)
+
+
+def test_ln_fixed_point_agreement():
+    """floor(SCALE*ln((total+V)/(cnt+1)) + 0.5) must agree between
+    Python's libm and DuckDB over a dense grid of realistic count
+    ratios — this is the only float step in the trainer, and the oracle
+    recomputes it independently."""
+    vals = [
+        (t, v, c)
+        for t in (997, 26665, 112270, 507051)
+        for v in (27, 145, 146)
+        for c in range(0, 512, 7)
+    ]
+    rows = duckdb.sql(
+        f"SELECT CAST(FLOOR({SCALE} * ln((t + v) * 1.0 / (c + 1)) + 0.5) "
+        "AS BIGINT) FROM (SELECT unnest($1) t, unnest($2) v, unnest($3) c)",
+        params=[[x[0] for x in vals], [x[1] for x in vals], [x[2] for x in vals]],
+    ).fetchall()
+    for (t, v, c), (got,) in zip(vals, rows):
+        want = math.floor(SCALE * math.log((t + v) / (c + 1)) + 0.5)
+        assert got == want, (t, v, c, got, want)
+
+
+def _ref_segment(w: str, cost: dict[str, int]) -> list[str]:
+    """Independent reference: exhaustive recursion minimizing
+    (total cost, then the piece-length sequence READ FROM THE END
+    lexicographically) — the smallest-k-first BACKTRACE resolves ties
+    starting at the last piece, so that is the induced total order."""
+
+    @lru_cache(maxsize=None)
+    def best(j: int) -> tuple[int, tuple[int, ...]]:
+        if j == 0:
+            return (0, ())
+        cands = []
+        for k in range(1, min(MAX_P, j) + 1):
+            sub_cost, sub_ks = best(j - k)
+            # ks in backtrace order: this step's k first
+            cands.append((sub_cost + cost.get(w[j - k : j], BIG), (k,) + sub_ks))
+        return min(cands)
+
+    _, ks = best(len(w))
+    pieces, pos = [], 0
+    for k in reversed(ks):  # backtrace order -> forward order
+        pieces.append(w[pos : pos + k])
+        pos += k
+    assert pos == len(w)
+    return pieces
+
+
+@pytest.mark.parametrize(
+    "w, cost, want",
+    [
+        # one cheap multi-char piece wins
+        ("abc", {"a": 10, "b": 10, "c": 10, "abc": 15}, ["abc"]),
+        # equal-cost tie: smallest piece length first
+        ("ab", {"a": 5, "b": 5, "ab": 10}, ["a", "b"]),
+        # missing pieces fall back to singles
+        ("xy", {"x": 3, "y": 4}, ["x", "y"]),
+        # overlap: cheap 'bc' must not be taken if 'ab'+'c' is cheaper
+        ("abc", {"a": 1, "b": 9, "c": 1, "ab": 2, "bc": 2}, ["ab", "c"]),
+    ],
+)
+def test_viterbi_known_cases(w, cost, want):
+    assert _viterbi(w, cost) == want
+
+
+def test_viterbi_matches_independent_reference():
+    """Randomized-ish sweep: every unit of a small corpus segments
+    identically under the production DP and the exhaustive recursion."""
+    pieces = ["a", "b", "c", "_", "ab", "b_", "_c", "abc", "c_a", "ab_c"]
+    cost = {p: (i * 37) % 29 + len(p) for i, p in enumerate(pieces)}
+    words = [
+        "a", "ab", "abc", "ab_c", "abc_abc", "c_ab_c", "b_c_a_b",
+        "abcabcab", "ababababab", "c_c_c_c_c",
+    ]
+    for w in words:
+        assert _viterbi(w, cost) == _ref_segment(w, cost), w
+
+
+def test_costs_of_is_smoothed_and_positive():
+    counts = {"a": 100, "b": 0, "ab": 50}
+    costs = _costs_of(counts)
+    assert all(c > 0 for c in costs.values())
+    assert costs["b"] > costs["a"]  # zero-count piece is most expensive
+    # exact fixed-point values
+    total, v = 150, 3
+    assert costs["a"] == math.floor(SCALE * math.log((total + v) / 101) + 0.5)
+
+
+def test_train_state_smoke(spark, sf_dir):
+    traj, counts, costs = unigram_train_state(spark, sf_dir)
+    assert [r[0] for r in traj] == list(range(EM_T + 1))
+    # EM never increases total pieces after the seed state (it=0 counts
+    # substring OCCURRENCES; it>=1 counts segmentation pieces)
+    assert traj[1][1] < traj[0][1]
+    assert set(costs) == set(counts)
+    # every single char of every unit is in the vocab (coverage invariant)
+    singles = {p for p in counts if len(p) == 1}
+    assert "_" in singles
+    # memoized: second call returns the identical object
+    assert unigram_train_state(spark, sf_dir)[0] is traj
