@@ -696,3 +696,117 @@ def q_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_unique"),
     )
+
+
+# ---- stream_crawl_ingest ---------------------------------------------------
+
+
+@register(
+    "stream_crawl_ingest",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % {_N_SHARDS} AS shard, {_NORM_LEN} AS nlen,
+             (doc_id % 11 = 3) AS is404,
+             (doc_id % 7 = 2) AS isplain,
+             (doc_id % 13 = 5) AS hasdup
+      FROM documents
+    ),
+    r AS (
+      SELECT * FROM d
+      UNION ALL
+      SELECT * FROM d WHERE hasdup
+    )
+    SELECT 'docs-0' || shard || (CASE WHEN shard % 2 = 0 THEN '.warc.gz'
+                                      ELSE '.warc' END) AS warc_file,
+           CAST(COUNT(*) AS BIGINT) AS n_responses,
+           CAST(SUM(CASE WHEN NOT is404 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ok,
+           CAST(SUM(CASE WHEN NOT is404 AND NOT isplain THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_html,
+           CAST(SUM(CASE WHEN NOT is404 AND NOT isplain
+                    AND nlen >= {_MIN_TEXT} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_text,
+           CAST(COUNT(DISTINCT CASE WHEN NOT is404 AND NOT isplain
+                    AND nlen >= {_MIN_TEXT} THEN doc_id END) AS BIGINT)
+             AS n_unique
+    FROM r GROUP BY shard ORDER BY warc_file
+    """,
+    doc="Streaming twin of the crawl funnel: WARC shards LAND in a "
+    "directory in two arrival waves; an actual Structured Streaming "
+    "query (streaming/crawl.py: binaryFile file-stream source = "
+    "exactly-once per-file cursor, Arrow-batched parse + HTML "
+    "extraction per batch) ingests them incrementally and accumulates "
+    "per-file funnel counts. Output is one row per WARC file, so a "
+    "stream that drops a file, double-delivers one (counts double and "
+    "hash-mismatch), or mis-parses a payload fails the gate; the "
+    "oracle replays the funnel from the documents table via the "
+    "fixture's shard/residue arithmetic. Plan: fixture-sized; input "
+    "volume per batch is the file-ARRIVAL rate, never the corpus size "
+    "— the property that holds when a fetcher fleet feeds a 100 TB "
+    "corpus. Checkpoint-restart exactly-once is pinned in "
+    "tests/test_warc.py.",
+    tags=("streaming", "web"),
+)
+def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from roapi_spark.streaming.crawl import stream_crawl_ingest as _ingest
+
+    src = _warc_fixture_dir(spark, sf_dir)
+    shards = sorted(os.listdir(src))
+    landing = tempfile.mkdtemp(prefix="crawl_landing_")
+    acc: dict[str, list] = {}
+
+    def process(flags: DataFrame, batch_id: int) -> None:
+        passes = (F.col("is_html") == 1) & (F.col("norm_len") >= _MIN_TEXT)
+        rows = (
+            flags.groupBy("warc_file")
+            .agg(
+                F.count("*").cast("bigint").alias("n_responses"),
+                F.sum("is_ok").cast("bigint").alias("n_ok"),
+                F.sum("is_html").cast("bigint").alias("n_html"),
+                F.sum(passes.cast("bigint")).cast("bigint").alias("n_text"),
+                F.count_distinct(F.when(passes, F.col("canon")))
+                .cast("bigint")
+                .alias("n_unique"),
+            )
+            .collect()
+        )
+        for r in rows:
+            # accumulate ADDITIVELY: a double-delivered file doubles its
+            # counts and hash-mismatches, which is the point
+            cur = acc.setdefault(r["warc_file"], [0, 0, 0, 0, 0])
+            cur[0] += r["n_responses"]
+            cur[1] += r["n_ok"]
+            cur[2] += r["n_html"]
+            cur[3] += r["n_text"]
+            cur[4] += r["n_unique"]
+
+    try:
+        # wave 1 lands before the stream starts, wave 2 mid-stream
+        for name in shards[: _N_SHARDS // 2]:
+            shutil.copy(os.path.join(src, name), os.path.join(landing, name))
+        q = _ingest(
+            spark,
+            landing,
+            process,
+            os.path.join(landing, "_ckpt"),
+            query_name="stream_crawl_ingest",
+        )
+        try:
+            q.processAllAvailable()
+            for name in shards[_N_SHARDS // 2 :]:
+                shutil.copy(
+                    os.path.join(src, name), os.path.join(landing, name)
+                )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted((f, *v) for f, v in acc.items()),
+        "warc_file string, n_responses bigint, n_ok bigint, n_html bigint, "
+        "n_text bigint, n_unique bigint",
+    )

@@ -189,6 +189,19 @@ def iter_records(
             offset += clen
 
 
+def parse_warc_bytes(data: bytes, name: str) -> Iterator[dict]:
+    """Yield records from in-memory WARC bytes (gzip members or plain,
+    decided by ``name``). The streaming ingest path (Spark's binaryFile
+    file-stream source delivers whole files as rows) parses through
+    this; the batch path streams from disk via ``read_warc_file``."""
+    raw: io.BufferedIOBase
+    if name.endswith(".gz"):
+        raw = gzip.GzipFile(fileobj=io.BytesIO(data))
+    else:
+        raw = io.BytesIO(data)
+    yield from iter_records(io.BufferedReader(raw), name)
+
+
 def read_warc_file(path: str) -> Iterator[dict]:
     """Open one .warc / .warc.gz file and yield its records (streaming —
     constant memory in the file size)."""

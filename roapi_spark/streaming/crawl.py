@@ -1,0 +1,118 @@
+"""Streaming crawl ingestion: a Structured Streaming query over a
+directory that crawl archives LAND in, delivering parsed + extracted
+funnel rows per new WARC file, exactly once.
+
+No reference parity (roapi has no streaming surface at all) — this is
+the streaming twin of the batch crawl funnel (functions/pipeline14.py):
+the deploy shape where a fetcher fleet drops ``.warc.gz`` files into
+object storage and the corpus pipeline consumes them incrementally
+instead of re-scanning the crawl.
+
+Mechanics: Spark's ``binaryFile`` FILE STREAM source is the cursor —
+its checkpoint records which files were committed, giving exactly-once
+per-file delivery across restarts (same pattern as streaming/cdf.py's
+log-file cursor). Each micro-batch carries whole files as rows; an
+Arrow-batched ``mapInPandas`` kernel parses the WARC records
+(sources/warc.parse_warc_bytes), splits HTTP payloads, runs HTML
+main-text extraction (functions/web.extract_main_text), and emits one
+flag row per response record. The canonical-URL key is added JVM-side.
+
+Scale notes: input volume per batch is the ARRIVAL rate (new crawl
+files), never the corpus size; parallelism is per-file, the crawl
+unit. Whole-file rows bound memory at max(file size) per task — the
+same bound the batch binaryFile/multimodal path already carries; crawl
+producers cap file sizes (Common Crawl: ~1 GB) for exactly this
+reason.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length bigint, content binary"
+)
+
+FLAGS_SCHEMA = (
+    "warc_file string, target_uri string, is_ok int, is_html int, "
+    "norm_len bigint"
+)
+
+
+def _parse_extract_kernel():
+    import pandas as pd
+
+    from roapi_spark.functions.web import extract_main_text
+    from roapi_spark.sources.warc import parse_warc_bytes
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: list[dict] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = str(path).rsplit("/", 1)[-1]
+                for rec in parse_warc_bytes(bytes(content), name):
+                    if rec["warc_type"] != "response":
+                        continue
+                    ok = rec["http_status"] == 200
+                    html = ok and str(
+                        rec["http_content_type"] or ""
+                    ).startswith("text/html")
+                    norm_len = None
+                    if html:
+                        norm_len = len(
+                            extract_main_text(rec["payload"].decode("utf-8"))
+                        )
+                    out.append(
+                        {
+                            "warc_file": name,
+                            "target_uri": rec["target_uri"],
+                            "is_ok": int(ok),
+                            "is_html": int(html),
+                            "norm_len": norm_len,
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "warc_file", "target_uri", "is_ok", "is_html", "norm_len",
+                ],
+            )
+
+    return fn
+
+
+def stream_crawl_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    process: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    query_name: str = "crawl_ingest",
+) -> StreamingQuery:
+    """Start the ingest stream over ``landing_dir``; ``process`` receives
+    (funnel-flag DataFrame in FLAGS_SCHEMA + a ``canon`` canonical-URL
+    column, batch_id) once per micro-batch of newly landed files."""
+    from roapi_spark.functions.web import canonical_url
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.warc*")
+        .load(landing_dir)
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        flags = batch_df.mapInPandas(
+            _parse_extract_kernel(), FLAGS_SCHEMA
+        ).withColumn("canon", canonical_url(F.col("target_uri")))
+        process(flags, batch_id)
+
+    return (
+        files.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )

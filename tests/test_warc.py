@@ -240,3 +240,74 @@ def test_warc_table_through_catalog(spark, tmp_path):
         "SELECT CAST(payload AS STRING) AS body FROM crawl "
         "WHERE http_status = 200 AND warc_file = 'a.warc'"
     ).collect()[0].body == BODY.decode()
+
+
+def test_stream_crawl_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill the ingest stream after wave 1, restart a NEW query on the
+    same checkpoint, land wave 2: each file's rows are delivered exactly
+    once across the restart (the binaryFile source's checkpoint is the
+    cursor)."""
+    from roapi_spark.streaming.crawl import stream_crawl_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ck = str(tmp_path / "ckpt")
+    seen: list[tuple[str, int]] = []
+
+    def process(flags, batch_id):
+        for r in flags.groupBy("warc_file").count().collect():
+            seen.append((r["warc_file"], r["count"]))
+
+    (landing / "w1.warc").write_bytes(
+        rec("response", "https://e.com/1", HTTP_OK)
+        + rec("response", "https://e.com/2", HTTP_OK)
+    )
+    q1 = stream_crawl_ingest(spark, str(landing), process, ck)
+    q1.processAllAvailable()
+    q1.stop()
+    assert seen == [("w1.warc", 2)]
+
+    (landing / "w2.warc.gz").write_bytes(
+        gzip.compress(rec("response", "https://e.com/3", HTTP_OK), mtime=0)
+    )
+    q2 = stream_crawl_ingest(spark, str(landing), process, ck)
+    q2.processAllAvailable()
+    q2.stop()
+    # w1 NOT re-delivered; w2 delivered once
+    assert sorted(seen) == [("w1.warc", 2), ("w2.warc.gz", 1)]
+
+
+def test_stream_crawl_flags_and_canonical(spark, tmp_path):
+    """The per-batch DataFrame carries parse + extraction + canonical
+    columns: a 404, a text/plain 200, and an html 200 produce the
+    expected flags, and the canonical key strips the tracking param."""
+    from roapi_spark.streaming.crawl import stream_crawl_ingest
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    html = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<body><p>real body text</p></body>"
+    )
+    plain = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhi"
+    notfound = b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone"
+    (landing / "w.warc").write_bytes(
+        rec("response", "https://e.com/a?utm_source=x&b=1", html)
+        + rec("response", "https://e.com/b", plain)
+        + rec("response", "https://e.com/c", notfound)
+    )
+    rows: list = []
+
+    def process(flags, batch_id):
+        rows.extend(flags.orderBy("target_uri").collect())
+
+    q = stream_crawl_ingest(
+        spark, str(landing), process, str(tmp_path / "ck")
+    )
+    q.processAllAvailable()
+    q.stop()
+    a, b, c = rows
+    assert (a.is_ok, a.is_html, a.norm_len) == (1, 1, len("real body text"))
+    assert a.canon == "https://e.com/a?b=1"
+    assert (b.is_ok, b.is_html, b.norm_len) == (1, 0, None)
+    assert (c.is_ok, c.is_html) == (0, 0)
