@@ -810,3 +810,81 @@ def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "warc_file string, n_responses bigint, n_ok bigint, n_html bigint, "
         "n_text bigint, n_unique bigint",
     )
+
+
+# ---- q_robots_filter -------------------------------------------------------
+
+# a policy exercising group selection (the '*' group disallows
+# EVERYTHING — if group selection broke, every URL blocks), multi-UA
+# groups, prefix semantics (/src1 also blocks src10..src19), longer-
+# pattern re-allows, wildcard+anchor rules, and comments/blank lines
+_ROBOTS_TXT = """\
+# crawl policy for example.com
+User-agent: *
+Disallow: /
+
+User-agent: trainbot
+User-agent: otherbot
+Allow: /
+Disallow: /src1
+Allow: /src1*0$
+Disallow: /src2/
+Allow: /src13
+Disallow: /*9$
+"""
+
+from roapi_spark.functions.web import (  # noqa: E402
+    parse_robots,
+    robots_allowed_col,
+    robots_allowed_sql,
+)
+
+_ROBOTS_RULES = parse_robots(_ROBOTS_TXT, "trainbot")
+_PATH_SQL = "'/' || source || '/' || CAST(doc_id AS VARCHAR)"
+
+
+@register(
+    "q_robots_filter",
+    oracle=f"""
+    SELECT source,
+           CAST(SUM(CASE WHEN {robots_allowed_sql(_PATH_SQL, _ROBOTS_RULES)}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+           CAST(SUM(CASE WHEN {robots_allowed_sql(_PATH_SQL, _ROBOTS_RULES)}
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_blocked,
+           CAST(SUM(CASE WHEN {robots_allowed_sql(_PATH_SQL, _ROBOTS_RULES)}
+                    THEN doc_id ELSE 0 END) AS BIGINT) AS sum_allowed_id
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="robots.txt URL filter (Robots Exclusion Protocol, RFC 9309): "
+    "a policy with a deny-all '*' group, a multi-UA specific group, "
+    "prefix rules, longer-pattern re-allows, and wildcard+anchor rules "
+    "is parsed from-spec (functions/web.parse_robots) and applied to "
+    "per-doc URL paths with most-specific-wins precedence (longest "
+    "pattern; allow wins ties) as COMPOSED BUILT-INS — one rlike per "
+    "rule, GREATEST per side, allow >= disallow — so the decision is "
+    "whole-stage codegen'd and shuffle-free; the oracle runs the same "
+    "generated rule regexes in DuckDB. Parsing itself is pinned to RFC "
+    "examples in tests/test_web_extract.py. Plan: FileScan -> codegen'd "
+    "projection -> source-keyed hash agg; at 100 TB the policy set "
+    "rides the scan (a per-host policy table becomes a broadcast "
+    "join on registrable domain — same shape as q_domain_filter).",
+    tags=("web", "filter"),
+)
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    path = F.concat(
+        F.lit("/"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string")
+    )
+    allowed = robots_allowed_col(path, _ROBOTS_RULES)
+    return (
+        docs.select("source", "doc_id", allowed.alias("ok"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("ok").cast("bigint")).cast("bigint").alias("n_allowed"),
+            F.sum((~F.col("ok")).cast("bigint")).cast("bigint").alias("n_blocked"),
+            F.sum(F.when(F.col("ok"), F.col("doc_id")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("sum_allowed_id"),
+        )
+        .orderBy("source")
+    )

@@ -171,3 +171,113 @@ def registrable_domain(host: Column) -> Column:
         host.rlike(f"\\.(?:{_SUFFIX_ALT})$"),
         F.regexp_extract(host, _DOM3_RE, 1),
     ).otherwise(F.regexp_extract(host, _DOM2_RE, 1))
+
+
+# --- robots.txt (Robots Exclusion Protocol, RFC 9309) -----------------------
+#
+# Parsing is from the spec: '#' comments, "key: value" lines, groups of
+# consecutive User-agent lines followed by Allow/Disallow rules; a crawler
+# obeys the union of the groups naming its product token (case-insensitive
+# exact match) and falls back to the '*' groups only when none do. Rule
+# precedence at match time is the RFC's most-specific-wins: the rule whose
+# PATH PATTERN has the most octets wins; on an allow/disallow tie, allow
+# wins. Patterns support '*' (any run of octets) and a trailing '$' (end
+# anchor). An empty Disallow value means "everything allowed" (ignored as
+# a rule). No rule matching at all means allowed.
+
+
+def parse_robots(txt: str, user_agent: str) -> list[tuple[bool, str]]:
+    """Rules ``(allow, pattern)`` applying to ``user_agent``."""
+    ua = user_agent.strip().lower()
+    specific: list[tuple[bool, str]] = []
+    wildcard: list[tuple[bool, str]] = []
+    group_uas: list[str] = []
+    in_rules = False
+
+    def sink() -> list[tuple[bool, str]] | None:
+        if ua in group_uas:
+            return specific
+        if "*" in group_uas:
+            return wildcard
+        return None
+
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, value = line.partition(":")
+        if not sep:
+            continue
+        key, value = key.strip().lower(), value.strip()
+        if key == "user-agent":
+            if in_rules:  # a new group starts
+                group_uas, in_rules = [], False
+            group_uas.append(value.lower())
+        elif key in ("allow", "disallow"):
+            in_rules = True
+            if value == "":
+                continue  # empty pattern matches nothing (allow-all)
+            dest = sink()
+            if dest is not None:
+                dest.append((key == "allow", value))
+    return specific if specific else wildcard
+
+
+def _robots_regex(pattern: str) -> str:
+    """Anchored regex for a robots path pattern — kept to syntax both
+    Java regex (Spark) and RE2 (DuckDB) accept identically."""
+    import re as _re
+
+    anchored_end = pattern.endswith("$")
+    body = pattern[:-1] if anchored_end else pattern
+    parts = [_re.escape(p) for p in body.split("*")]
+    return "^" + ".*".join(parts) + ("$" if anchored_end else "")
+
+
+def robots_allowed(path: str, rules: list[tuple[bool, str]]) -> bool:
+    """Reference matcher (used by tests and kernel-side callers)."""
+    import re as _re
+
+    best_len, best_allow = -1, True
+    for allow, pattern in rules:
+        if _re.match(_robots_regex(pattern), path):
+            plen = len(pattern)
+            if plen > best_len or (plen == best_len and allow):
+                best_len, best_allow = plen, allow
+    return best_allow
+
+
+def robots_allowed_col(path: Column, rules: list[tuple[bool, str]]) -> Column:
+    """The same most-specific-wins decision as composed built-ins: one
+    rlike per rule, GREATEST over matched pattern lengths per side,
+    allow >= disallow. Codegen'd; mirrored by robots_allowed_sql."""
+    def side(want_allow: bool) -> Column:
+        lens = [
+            F.when(path.rlike(_robots_regex(p)), F.lit(len(p))).otherwise(
+                F.lit(-1)
+            )
+            for allow, p in rules
+            if allow == want_allow
+        ]
+        if not lens:
+            return F.lit(-1)
+        return F.greatest(*lens) if len(lens) > 1 else lens[0]
+
+    return side(True) >= side(False)
+
+
+def robots_allowed_sql(path_expr: str, rules: list[tuple[bool, str]]) -> str:
+    """DuckDB mirror of robots_allowed_col, generated from the same
+    parsed rule list."""
+    def side(want_allow: bool) -> str:
+        lens = [
+            f"(CASE WHEN regexp_matches({path_expr}, "
+            f"'{_robots_regex(p)}') THEN {len(p)} ELSE -1 END)"
+            for allow, p in rules
+            if allow == want_allow
+        ]
+        if not lens:
+            return "-1"
+        return lens[0] if len(lens) == 1 else "GREATEST(" + ", ".join(lens) + ")"
+
+    return f"({side(True)} >= {side(False)})"

@@ -101,3 +101,87 @@ def test_registrable_domain(spark):
     ).select("h", registrable_domain(F.col("h")).alias("d"))
     got = {r["h"]: r["d"] for r in df.collect()}
     assert got == dict(DOMAIN_CASES)
+
+
+class TestRobots:
+    """RFC 9309 parsing + most-specific-wins matching."""
+
+    TXT = (
+        "# policy\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: trainbot\n"
+        "User-agent: otherbot\n"
+        "Allow: /\n"
+        "Disallow: /private\n"
+        "Allow: /private/pub*.html$\n"
+        "Disallow: /*.zip$\n"
+        "Disallow:\n"  # empty pattern = no rule
+    )
+
+    def _rules(self, ua="trainbot"):
+        from roapi_spark.functions.web import parse_robots
+
+        return parse_robots(self.TXT, ua)
+
+    def test_group_selection_specific_beats_wildcard(self):
+        rules = self._rules()
+        assert (True, "/") in rules  # from the trainbot group
+        assert (False, "/") not in rules  # '*' group not merged in
+
+    def test_multi_ua_group_and_case_insensitive(self):
+        from roapi_spark.functions.web import parse_robots
+
+        assert parse_robots(self.TXT, "OtherBot") == self._rules()
+
+    def test_unknown_ua_falls_back_to_wildcard(self):
+        from roapi_spark.functions.web import parse_robots, robots_allowed
+
+        rules = parse_robots(self.TXT, "strangerbot")
+        assert rules == [(False, "/")]
+        assert not robots_allowed("/anything", rules)
+
+    @pytest.mark.parametrize(
+        "path, want",
+        [
+            ("/index.html", True),  # Allow: /
+            ("/private/a", False),  # Disallow: /private (prefix)
+            ("/privateer", False),  # prefix matches mid-token too
+            ("/private/pub1.html", True),  # longer allow re-allows
+            ("/private/pub1.html.bak", False),  # $ anchor must not match
+            ("/data.zip", False),  # wildcard + anchor
+            ("/data.zip.txt", True),  # anchored: suffix only
+        ],
+    )
+    def test_matching(self, path, want):
+        from roapi_spark.functions.web import robots_allowed
+
+        assert robots_allowed(path, self._rules()) is want
+
+    def test_allow_wins_length_ties(self):
+        from roapi_spark.functions.web import robots_allowed
+
+        rules = [(False, "/a/b"), (True, "/a/c"), (True, "/a/b"), (False, "/a/c")]
+        assert robots_allowed("/a/b", rules)
+        assert robots_allowed("/a/c", rules)
+
+    def test_column_matcher_agrees_with_reference(self, spark):
+        from pyspark.sql import functions as F
+
+        from roapi_spark.functions.web import (
+            robots_allowed,
+            robots_allowed_col,
+        )
+
+        rules = self._rules()
+        paths = [
+            "/", "/index.html", "/private", "/private/", "/privateer",
+            "/private/pub.html", "/private/pubX.html", "/x/data.zip",
+            "/x/data.zip/y", "/a.zip", "/.zip",
+        ]
+        df = spark.createDataFrame([(p,) for p in paths], "p string").select(
+            "p", robots_allowed_col(F.col("p"), rules).alias("ok")
+        )
+        got = {r["p"]: r["ok"] for r in df.collect()}
+        assert got == {p: robots_allowed(p, rules) for p in paths}
