@@ -410,8 +410,13 @@ def _extract_kernel(schema_needs_text: bool):
                     "norm_len": None,
                 }
                 if rec["is_html"]:
-                    text = extract_main_text(bytes(payload).decode("utf-8"))
-                    rec["norm_len"] = len(text)
+                    from roapi_spark.functions.web import decode_http_text
+
+                    raw = decode_http_text(bytes(payload), ctype)
+                    # fail-closed per record: an undecodable page is an
+                    # extraction miss (norm_len NULL), never mojibake
+                    text = None if raw is None else extract_main_text(raw)
+                    rec["norm_len"] = None if text is None else len(text)
                     if schema_needs_text:
                         rec["extracted"] = text
                 elif schema_needs_text:

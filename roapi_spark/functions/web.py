@@ -173,6 +173,34 @@ def registrable_domain(host: Column) -> Column:
     ).otherwise(F.regexp_extract(host, _DOM2_RE, 1))
 
 
+def decode_http_text(payload: bytes, content_type: str | None) -> str | None:
+    """Decode an HTTP text payload using the charset parameter of its
+    Content-Type (RFC 9110 §8.3; default utf-8, which covers ascii).
+    Returns None — fail-closed per record, the multimodal-codec
+    convention — for unknown charsets or bytes invalid under the
+    declared one, so a mojibake page becomes a counted extraction miss,
+    never silently corrupted corpus text."""
+    charset = "utf-8"
+    for part in str(content_type or "").split(";")[1:]:
+        k, sep, v = part.partition("=")
+        if sep and k.strip().lower() == "charset":
+            charset = v.strip().strip("\"'").lower()
+    if charset in ("utf-8", "utf8", "us-ascii", "ascii"):
+        codec = "utf-8"
+    elif charset in ("iso-8859-1", "latin-1", "latin1", "windows-1252",
+                     "cp1252"):
+        # windows-1252 is the WHATWG-mandated superset reading of 8859-1
+        codec = "cp1252"
+    elif charset in ("utf-16", "utf-16le", "utf-16be"):
+        codec = charset
+    else:
+        return None
+    try:
+        return payload.decode(codec)
+    except (UnicodeDecodeError, ValueError):
+        return None
+
+
 # --- robots.txt (Robots Exclusion Protocol, RFC 9309) -----------------------
 #
 # Parsing is from the spec: '#' comments, "key: value" lines, groups of

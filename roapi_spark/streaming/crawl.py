@@ -46,7 +46,7 @@ FLAGS_SCHEMA = (
 def _parse_extract_kernel():
     import pandas as pd
 
-    from roapi_spark.functions.web import extract_main_text
+    from roapi_spark.functions.web import decode_http_text, extract_main_text
     from roapi_spark.sources.warc import parse_warc_bytes
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -63,9 +63,12 @@ def _parse_extract_kernel():
                     ).startswith("text/html")
                     norm_len = None
                     if html:
-                        norm_len = len(
-                            extract_main_text(rec["payload"].decode("utf-8"))
+                        raw = decode_http_text(
+                            rec["payload"], rec["http_content_type"]
                         )
+                        # fail-closed: undecodable page = extraction miss
+                        if raw is not None:
+                            norm_len = len(extract_main_text(raw))
                     out.append(
                         {
                             "warc_file": name,

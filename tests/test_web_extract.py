@@ -185,3 +185,31 @@ class TestRobots:
         )
         got = {r["p"]: r["ok"] for r in df.collect()}
         assert got == {p: robots_allowed(p, rules) for p in paths}
+
+
+class TestDecodeHttpText:
+    def test_charset_variants(self):
+        from roapi_spark.functions.web import decode_http_text
+
+        assert decode_http_text(b"abc", "text/html") == "abc"
+        assert decode_http_text(b"abc", None) == "abc"
+        assert (
+            decode_http_text(
+                "café".encode("cp1252"), "text/html; charset=iso-8859-1"
+            )
+            == "café"
+        )
+        assert (
+            decode_http_text(
+                "héllo".encode("utf-16le"), 'text/html; charset="utf-16le"'
+            )
+            == "héllo"
+        )
+
+    def test_fail_closed(self):
+        from roapi_spark.functions.web import decode_http_text
+
+        # invalid bytes under the declared charset
+        assert decode_http_text(b"\xff\xfe\x00ab", "text/html; charset=utf-8") is None
+        # unknown charset
+        assert decode_http_text(b"abc", "text/html; charset=shift_jis") is None
