@@ -279,12 +279,16 @@ def _canon_sql(col: str) -> str:
         f"ELSE regexp_replace({rawpath}, '/+$', '') END"
     )
     qs = f"regexp_extract({col}, '\\?([^#]*)', 1)"
+    # COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — found by tests/test_web_fuzz.py, and it
+    # would null the whole concatenation for all-tracking query strings
     q = (
-        f"array_to_string(list_sort(list_filter(string_split({qs}, '&'), "
+        f"COALESCE(array_to_string(list_sort(list_filter("
+        f"string_split({qs}, '&'), "
         f"x -> x <> '' AND NOT starts_with(x, 'utm_') "
         f"AND NOT starts_with(x, 'fbclid') "
         f"AND NOT starts_with(x, 'gclid') "
-        f"AND NOT starts_with(x, 'msclkid'))), '&')"
+        f"AND NOT starts_with(x, 'msclkid'))), '&'), '')"
     )
     return (
         f"{scheme} || '://' || {host} || {path} || "

@@ -1,0 +1,156 @@
+"""Cross-engine fuzz for the web-ingestion expressions: the pipeline14
+oracles claim that functions/web's Spark column expressions and the
+generated DuckDB SQL canonicalize/match IDENTICALLY — these tests
+hammer that equivalence over generated inputs instead of the gates'
+fixed residues, and pin parser robustness (a 100 TB crawl contains
+every malformed page and policy file imaginable; kernels must never
+throw an unexpected exception type)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from roapi_spark.functions.pipeline14 import _canon_sql
+from roapi_spark.functions.web import (
+    canonical_url,
+    extract_main_text,
+    parse_robots,
+    robots_allowed,
+    robots_allowed_col,
+    robots_allowed_sql,
+)
+
+
+def _gen_urls(rng: random.Random, n: int) -> list[str]:
+    schemes = ["http", "https", "HTTP", "Https"]
+    hosts = [
+        "example.com", "Example.COM", "a.b.example.co.uk", "x--y.net",
+        "example.com:443", "example.com:80", "example.com:8080",
+    ]
+    paths = ["", "/", "/a", "/a/", "/a//", "/a/b/c", "/a%20b", "/./a",
+             "/a/b///", "/index.html"]
+    params = ["", "a=1", "b=2", "utm_source=x", "utm_medium=y", "gclid=g",
+              "fbclid=f", "msclkid=m", "z=", "=v", "a=1&a=1", "empty"]
+    frags = ["", "#f", "#a?b=2", "#"]
+    out = []
+    for _ in range(n):
+        qs = "&".join(
+            rng.sample(params, rng.randint(0, 4))
+        )
+        out.append(
+            rng.choice(schemes)
+            + "://"
+            + rng.choice(hosts)
+            + rng.choice(paths)
+            + (("?" + qs) if qs or rng.random() < 0.2 else "")
+            + rng.choice(frags)
+        )
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_canonical_url_spark_duckdb_equivalence(spark, seed):
+    """One batched comparison per seed: 120 generated messy URLs must
+    canonicalize to the same string under the Spark expression and the
+    generated DuckDB mirror the oracles embed."""
+    urls = _gen_urls(random.Random(seed), 120)
+    got_spark = [
+        r["c"]
+        for r in spark.createDataFrame([(u,) for u in urls], "u string")
+        .select(canonical_url(F.col("u")).alias("c"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INTEGER, u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(urls)))
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {_canon_sql('u')} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert got_spark == got_duck, [
+        (u, a, b) for u, a, b in zip(urls, got_spark, got_duck) if a != b
+    ][:3]
+
+
+def _gen_rules(rng: random.Random) -> list[tuple[bool, str]]:
+    segs = ["/", "/a", "/ab", "/a/b", "/*", "/*b", "/a*", "/a*b", "/a$",
+            "/*b$", "/a/b$", "/a*b*c", "/.x", "/a+b"]
+    return [
+        (rng.random() < 0.5, rng.choice(segs))
+        for _ in range(rng.randint(1, 6))
+    ]
+
+
+def _gen_paths(rng: random.Random, n: int) -> list[str]:
+    alphabet = "ab/.x+$"
+    return [
+        "/" + "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 8)))
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_robots_matching_three_way_equivalence(spark, seed):
+    """Python reference, Spark column matcher, and generated DuckDB SQL
+    agree on random rule sets x random paths (wildcards, anchors, regex
+    metacharacters in literals)."""
+    rng = random.Random(seed)
+    rules = _gen_rules(rng)
+    paths = _gen_paths(rng, 60)
+    want = [robots_allowed(p, rules) for p in paths]
+    got_spark = [
+        r["ok"]
+        for r in spark.createDataFrame([(p,) for p in paths], "p string")
+        .select(robots_allowed_col(F.col("p"), rules).alias("ok"))
+        .collect()
+    ]
+    assert got_spark == want, (rules, [
+        (p, a, b) for p, a, b in zip(paths, want, got_spark) if a != b
+    ][:3])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INTEGER, p VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(paths)))
+    sql = robots_allowed_sql("p", rules)
+    got_duck = [
+        bool(r[0])
+        for r in con.execute(f"SELECT {sql} FROM t ORDER BY i").fetchall()
+    ]
+    assert got_duck == want, (rules, [
+        (p, a, b) for p, a, b in zip(paths, want, got_duck) if a != b
+    ][:3])
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_extract_never_raises_and_normalizes(seed):
+    """Arbitrary tag soup: extraction must never raise and must emit
+    fully whitespace-normalized text (no leading/trailing/double
+    spaces)."""
+    rng = random.Random(seed)
+    vocab = [
+        "<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>", "<br>",
+        "<script>", "</script>", "<nav>", "</nav>", "< p", ">", "<",
+        "&amp;", "&bogus;", "&#65;", "text", "  ", "\\n", "\t", "<!--",
+        "-->", "<![CDATA[", "]]>", "<x", "y=z", "<a", "'", '"',
+    ]
+    for _ in range(40):
+        soup = "".join(rng.choice(vocab) for _ in range(rng.randint(0, 60)))
+        out = extract_main_text(soup)
+        assert out == " ".join(out.split())
+
+
+def test_parse_robots_never_raises_on_garbage():
+    garbage = [
+        "", ":", "::", "User-agent", "User-agent:", "Allow: /x\n" * 5,
+        "Disallow: /\nUser-agent: a\n", "\x00\x01", "User-agent: *\n" * 50,
+        "key without colon\nAllow /nope\nUser-agent: *\nDisallow: /a",
+    ]
+    for txt in garbage:
+        rules = parse_robots(txt, "trainbot")
+        for p in ("/", "/a", ""):
+            assert robots_allowed(p, rules) in (True, False)
