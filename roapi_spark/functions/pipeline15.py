@@ -503,3 +503,99 @@ def text_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- text_unigram_encode ---------------------------------------------------
+
+_ENC_SAMPLE = 25  # encode docs with doc_id % _ENC_SAMPLE == 0
+
+_P_LIST = "[" + ", ".join(f"p{s}" for s in range(MAX_W)) + "]"
+
+_ENCODE_ORACLE = f"""
+    WITH {_chain(with_final_seg=True)},
+    segarr AS (
+      SELECT w, list_reverse(list_filter({_P_LIST}, x -> x IS NOT NULL))
+             AS pieces
+      FROM h{EM_T}_{MAX_W}
+    ),
+    corp AS (
+      SELECT doc_id, {_PAIRS_DUCK} AS pl
+      FROM (SELECT doc_id, {_TOKENS_SQL_DUCK} AS l FROM documents
+            WHERE doc_id % {_ENC_SAMPLE} = 0)
+    ),
+    units AS (
+      SELECT doc_id, unnest(pl) AS w,
+             CAST(generate_subscripts(pl, 1) AS BIGINT) AS unit_idx
+      FROM corp
+    ),
+    j AS (SELECT doc_id, unit_idx, pieces FROM units JOIN segarr USING (w))
+    SELECT doc_id, unit_idx,
+           CAST(generate_subscripts(pieces, 1) AS BIGINT) AS piece_idx,
+           unnest(pieces) AS piece
+    FROM j ORDER BY doc_id, unit_idx, piece_idx
+    """
+
+
+def _seg_array_kernel(cost: dict[str, int]):
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "pieces": [_viterbi(w, cost) for w in pdf["w"]],
+                }
+            )
+
+    return fn
+
+
+@register(
+    "text_unigram_encode",
+    oracle=_ENCODE_ORACLE,
+    doc="Corpus ENCODE pass under the trained unigram model: a "
+    f"deterministic doc sample (doc_id %% {_ENC_SAMPLE} == 0) is "
+    "tokenized to ordered pair-units and each unit Viterbi-segmented "
+    "under the FINAL piece costs, emitting (doc, unit, piece position, "
+    "piece) — the inference-time tokenizer, positions included, so a "
+    "piece emitted out of order or a wrong segmentation anywhere "
+    "hash-mismatches. Plan: one mapInPandas Viterbi pass over the "
+    "Heaps-bounded unit table builds the unit->ordered-pieces "
+    "dimension; the sampled corpus stream joins it via size-capped "
+    "broadcast and explodes positions JVM-side — one corpus scan, no "
+    "corpus-sized shuffle (the bpe-encode shape).",
+    tags=("text", "pipeline", "ml"),
+)
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, costs = unigram_train_state(spark, sf_dir)
+    seg_arr = _units(spark, sf_dir).mapInPandas(
+        _seg_array_kernel(costs), "w string, pieces array<string>"
+    )
+    corp = (
+        docs(spark, sf_dir)
+        .filter(F.col("doc_id") % _ENC_SAMPLE == 0)
+        .select("doc_id", tokens_col().alias("l"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(_PAIRS_SPARK)).alias("i0", "w"),
+        )
+        .select(
+            "doc_id", (F.col("i0") + 1).cast("bigint").alias("unit_idx"), "w"
+        )
+    )
+    return (
+        corp.join(maybe_broadcast(seg_arr), "w")
+        .select(
+            "doc_id",
+            "unit_idx",
+            F.posexplode("pieces").alias("j0", "piece"),
+        )
+        .select(
+            "doc_id",
+            "unit_idx",
+            (F.col("j0") + 1).cast("bigint").alias("piece_idx"),
+            "piece",
+        )
+        .orderBy("doc_id", "unit_idx", "piece_idx")
+    )

@@ -120,3 +120,39 @@ def test_train_state_smoke(spark, sf_dir):
     assert "_" in singles
     # memoized: second call returns the identical object
     assert unigram_train_state(spark, sf_dir)[0] is traj
+
+
+def test_encode_pieces_concatenate_back(spark, sf_dir):
+    """Round-trip invariant: within every (doc, unit), the ordered
+    pieces concatenate to exactly the unit string."""
+    from pyspark.sql import functions as F
+
+    from roapi_spark.functions.pipeline15 import (
+        _PAIRS_SPARK,
+        text_unigram_encode,
+    )
+    from roapi_spark.functions.text import docs, tokens_col
+
+    enc = text_unigram_encode(spark, sf_dir)
+    # collect_list order is not shuffle-stable: sort by piece_idx inside
+    # the aggregate instead
+    rebuilt = enc.groupBy("doc_id", "unit_idx").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("piece_idx", "piece"))),
+                lambda s: s.piece,
+            ),
+        ).alias("w")
+    )
+    units = (
+        docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", tokens_col().alias("l"))
+        .select("doc_id", F.posexplode(F.expr(_PAIRS_SPARK)).alias("i0", "w"))
+        .select("doc_id", (F.col("i0") + 1).alias("unit_idx"), "w")
+    )
+    mismatches = rebuilt.join(
+        units, ["doc_id", "unit_idx"]
+    ).filter(rebuilt.w != units.w)
+    assert mismatches.count() == 0
