@@ -897,3 +897,106 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- stream_url_frontier ---------------------------------------------------
+
+
+@register(
+    "stream_url_frontier",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % {_N_SHARDS} AS shard,
+             (doc_id % 13 = 5) AS hasdup
+      FROM documents
+    ),
+    per_shard AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT)
+               + CAST(SUM(CASE WHEN hasdup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_urls,
+             CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM d GROUP BY shard
+    ),
+    named AS (
+      SELECT 'docs-0' || shard || (CASE WHEN shard % 2 = 0 THEN '.warc.gz'
+                                        ELSE '.warc' END) AS warc_file,
+             n_urls, n_new
+      FROM per_shard
+      UNION ALL
+      SELECT 'recrawl-00.warc.gz', n_urls, CAST(0 AS BIGINT)
+      FROM per_shard WHERE shard = 0
+    )
+    SELECT * FROM named ORDER BY warc_file
+    """,
+    doc="Crawl-frontier gate: the custom stateful streaming operator "
+    "(streaming/crawl.stream_url_frontier: applyInPandasWithState "
+    "keyed on the CANONICAL url, one int of state per key) classifies "
+    "every response URL in arriving WARC files as first-seen or "
+    "revisit. Shards land in two waves; wave 2 re-lands shard 0 under "
+    "a new name (a re-crawl), so the state built in wave 1 must "
+    "classify every one of its URLs as already-seen across the batch "
+    "boundary — and the %13 duplicate-URL records collapse WITHIN a "
+    "batch (case/tracking variants, one frontier entry). Output is one "
+    "row per file (arrivals, first-seen count); state loss, "
+    "double-counting, or canonicalization misses shift a count and "
+    "hash-mismatch. Plan: fixture-sized; per-batch input is the "
+    "file-arrival rate, state is one int per canonical in the "
+    "checkpointed store (production bounds it with TTL or a bloom "
+    "front — this is the exact kernel those approximate).",
+    tags=("streaming", "web"),
+)
+def stream_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from roapi_spark.streaming.crawl import stream_url_frontier as _frontier
+
+    src = _warc_fixture_dir(spark, sf_dir)
+    shards = sorted(os.listdir(src))
+    landing = tempfile.mkdtemp(prefix="frontier_landing_")
+    acc: dict[str, list] = {}
+
+    def process(classified: DataFrame, batch_id: int) -> None:
+        for r in (
+            classified.groupBy("warc_file")
+            .agg(
+                F.count("*").cast("bigint").alias("n_urls"),
+                F.sum("is_new").cast("bigint").alias("n_new"),
+            )
+            .collect()
+        ):
+            cur = acc.setdefault(r["warc_file"], [0, 0])
+            cur[0] += r["n_urls"]
+            cur[1] += r["n_new"]
+
+    try:
+        for name in shards[: _N_SHARDS // 2]:
+            shutil.copy(os.path.join(src, name), os.path.join(landing, name))
+        q = _frontier(
+            spark,
+            landing,
+            process,
+            os.path.join(landing, "_ckpt"),
+            query_name="stream_url_frontier",
+        )
+        try:
+            q.processAllAvailable()
+            for name in shards[_N_SHARDS // 2 :]:
+                shutil.copy(
+                    os.path.join(src, name), os.path.join(landing, name)
+                )
+            # wave 2 also RE-LANDS shard 0: a re-crawl of known URLs
+            shutil.copy(
+                os.path.join(src, shards[0]),
+                os.path.join(landing, "recrawl-00.warc.gz"),
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted((f, *v) for f, v in acc.items()),
+        "warc_file string, n_urls bigint, n_new bigint",
+    )

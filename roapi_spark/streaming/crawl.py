@@ -119,3 +119,95 @@ def stream_crawl_ingest(
         .queryName(query_name)
         .start()
     )
+
+
+# --- URL frontier: crawl-revisit dedup with custom keyed state --------------
+
+FRONTIER_OUTPUT = "canon string, warc_file string, is_new int"
+FRONTIER_STATE = "seen int"
+
+
+def _frontier_fn(key, pdfs, state):
+    """Per-canonical-URL state: the first arrival EVER is emitted with
+    is_new=1 (attributed deterministically to the smallest
+    (warc_file, target_uri) row of its batch); every later arrival —
+    same batch or any later one — emits is_new=0. State is one int per
+    canonical."""
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["warc_file", "target_uri"], kind="stable"
+    )
+    first_is_new = 0 if state.exists else 1
+    flags = [first_is_new] + [0] * (len(rows) - 1)
+    state.update((1,))
+    yield pd.DataFrame(
+        {
+            "canon": [key[0]] * len(rows),
+            "warc_file": list(rows["warc_file"]),
+            "is_new": flags,
+        }
+    )
+
+
+def _parse_urls_kernel():
+    import pandas as pd
+
+    from roapi_spark.sources.warc import parse_warc_bytes
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: list[tuple[str, str]] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = str(path).rsplit("/", 1)[-1]
+                for rec in parse_warc_bytes(bytes(content), name):
+                    if rec["warc_type"] == "response" and rec["target_uri"]:
+                        out.append((name, rec["target_uri"]))
+            yield pd.DataFrame(out, columns=["warc_file", "target_uri"])
+
+    return fn
+
+
+def stream_url_frontier(
+    spark: SparkSession,
+    landing_dir: str,
+    process: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    query_name: str = "url_frontier",
+) -> StreamingQuery:
+    """The crawl-frontier primitive: as WARC files land, classify every
+    response URL as first-seen (fetch it) or already-seen (a revisit /
+    re-crawl / retry), keyed on the CANONICAL form so tracking-param and
+    case variants of one page collapse to one frontier entry.
+
+    State is one int per canonical URL in the checkpointed state store —
+    the honest cost of an exact frontier. A production deployment bounds
+    it the usual ways (TTL timeout for re-crawl-after-N-days semantics,
+    or a bloom-filter front); the semantics here are the exact kernel
+    those approximations approximate."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from roapi_spark.functions.web import canonical_url
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.warc*")
+        .load(landing_dir)
+    )
+    urls = files.mapInPandas(
+        _parse_urls_kernel(), "warc_file string, target_uri string"
+    ).withColumn("canon", canonical_url(F.col("target_uri")))
+    classified = urls.groupBy("canon").applyInPandasWithState(
+        _frontier_fn,
+        FRONTIER_OUTPUT,
+        FRONTIER_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        classified.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )

@@ -311,3 +311,41 @@ def test_stream_crawl_flags_and_canonical(spark, tmp_path):
     assert a.canon == "https://e.com/a?b=1"
     assert (b.is_ok, b.is_html, b.norm_len) == (1, 0, None)
     assert (c.is_ok, c.is_html) == (0, 0)
+
+
+def test_url_frontier_state_survives_restart(spark, tmp_path):
+    """Frontier state must persist in the checkpointed state store: a
+    canonical URL seen before a stream restart classifies as a revisit
+    after it — including when the raw form differs (canonical key)."""
+    from roapi_spark.streaming.crawl import stream_url_frontier
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ck = str(tmp_path / "ck")
+    rows: list[tuple[str, str, int]] = []
+
+    def process(df, bid):
+        rows.extend(
+            (r["canon"], r["warc_file"], r["is_new"]) for r in df.collect()
+        )
+
+    (landing / "w1.warc").write_bytes(
+        rec("response", "https://E.com/a?utm_source=x", HTTP_OK)
+    )
+    q1 = stream_url_frontier(spark, str(landing), process, ck)
+    q1.processAllAvailable()
+    q1.stop()
+    assert rows == [("https://e.com/a", "w1.warc", 1)]
+
+    # restart: a messy variant of the SAME page + one genuinely new page
+    (landing / "w2.warc").write_bytes(
+        rec("response", "https://e.com:443/a", HTTP_OK)
+        + rec("response", "https://e.com/b", HTTP_OK)
+    )
+    q2 = stream_url_frontier(spark, str(landing), process, ck)
+    q2.processAllAvailable()
+    q2.stop()
+    assert sorted(rows[1:]) == [
+        ("https://e.com/a", "w2.warc", 0),  # revisit: state survived
+        ("https://e.com/b", "w2.warc", 1),
+    ]
