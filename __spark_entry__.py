@@ -245,8 +245,51 @@ def _ordered_specs():
     return out
 
 
+def _ensure_worker_imports(spark: SparkSession) -> None:
+    """Local-mode Python workers inherit the DRIVER'S CWD, not its
+    sys.path — a harness importing this file from another directory gets
+    ModuleNotFoundError inside every mapInPandas kernel. Ship the
+    package once per session via addPyFile (workers put shipped archives
+    on their sys.path), keyed by applicationId."""
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg = os.path.join(_REPO_ROOT, "roapi_spark")
+    fd, zpath = tempfile.mkstemp(prefix="roapi_spark_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for name in files:
+                if name.endswith(".py"):
+                    full = os.path.join(root, name)
+                    zf.write(full, os.path.relpath(full, _REPO_ROOT))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(app)
+
+
+_SHIPPED: set[str] = set()
+
+
+def _with_shipping(
+    builder: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_worker_imports(spark)
+        return builder(spark, sf_dir)
+
+    run.__name__ = getattr(builder, "__name__", "query")
+    run.__module__ = builder.__module__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.builder for name, spec in _ordered_specs().items()}
+    return {
+        name: _with_shipping(spec.builder)
+        for name, spec in _ordered_specs().items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -599,3 +599,60 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "unit_idx", "piece_idx")
     )
+
+
+# ---- artifact-served unigram: build once per corpus snapshot ---------------
+
+
+def unigram_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once unigram artifact for ``sf_dir``: the training
+    trajectory (traj.json, KB-scale) plus the final piece->count/cost
+    vocab parquet tokenization consumers join against. Content-addressed
+    on the corpus snapshot, so a refreshed corpus retrains automatically
+    — the deploy shape of a production tokenizer (train once per
+    snapshot, serve the model table everywhere; same contract as
+    bpe_layout)."""
+    import json
+
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = snapshot_cache_dir(src, f"unigram-t{EM_T}-v1")
+
+    def _ready(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_UNIGRAM_READY"))
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        traj, counts, costs = unigram_train_state(spark, sf_dir)
+        with open(os.path.join(tmp, "traj.json"), "w") as f:
+            json.dump(traj, f)
+        spark.createDataFrame(
+            [(p, counts[p], costs[p]) for p in sorted(counts)],
+            "piece string, cnt bigint, cost bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "vocab")
+        )
+        open(os.path.join(tmp, "_UNIGRAM_READY"), "w").close()
+
+    return build_once(out, _ready, _build)
+
+
+@register(
+    "text_unigram_train_served",
+    oracle=_train_oracle(),
+    doc="Same result contract as text_unigram_train (identical full-"
+    "training-replay oracle), served from the build-once unigram-t2-v1 "
+    "artifact: the trajectory is a KB-scale driver read, so a consumer "
+    "(tokenizer worker, data card) pays zero training jobs per call — "
+    "the hard-EM trainer runs once per corpus snapshot. Mirrors "
+    "text_bpe_train_served.",
+    tags=("text", "pipeline", "ml", "artifact"),
+)
+def text_unigram_train_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    layout = unigram_layout(spark, sf_dir)
+    with open(os.path.join(layout, "traj.json")) as f:
+        traj = [tuple(r) for r in json.load(f)]
+    return spark.createDataFrame(traj, _TRAJ_SCHEMA).orderBy("it")

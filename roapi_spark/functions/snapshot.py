@@ -161,6 +161,7 @@ KNOWN_TAGS = (
     "encgate-v1",  # response-encoder gate outputs (pipeline13 q_enc_*)
     "bpe-m8-v1",  # learned BPE merges + post-merge vocab (suffix = BPE_MERGES)
     "warc-v2",  # crawl-archive gate fixture (pipeline14), 8 file shards
+    "unigram-t2-v1",  # unigram trajectory + vocab (suffix = EM_T)
 )
 
 
