@@ -656,3 +656,65 @@ def text_unigram_train_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(layout, "traj.json")) as f:
         traj = [tuple(r) for r in json.load(f)]
     return spark.createDataFrame(traj, _TRAJ_SCHEMA).orderBy("it")
+
+
+# ---- text_tokenizer_compare ------------------------------------------------
+
+
+def _compare_oracle() -> str:
+    """Join the two trainers' full-replay fertility oracles as scoped
+    subqueries (each carries its own WITH chain; DuckDB scopes CTE names
+    per subquery, so the BPE chain's v{i} and the unigram chain's v{i}
+    never collide)."""
+    from roapi_spark.functions.pipeline12 import _FERTILITY_ORACLE
+
+    return f"""
+    SELECT b.source,
+           b.fertility AS bpe_fertility,
+           u.fertility AS unigram_fertility,
+           {pround_sql("u.fertility / b.fertility")} AS uni_over_bpe
+    FROM ({_FERTILITY_ORACLE}) b
+    JOIN ({_FERTILITY_ORACLE_UNIGRAM}) u USING (source)
+    ORDER BY source
+    """
+
+
+_FERTILITY_ORACLE_UNIGRAM = _FERTILITY_ORACLE  # alias for readability
+
+
+@register(
+    "text_tokenizer_compare",
+    oracle=_compare_oracle(),
+    doc="Tokenizer-selection audit: per source, subword fertility under "
+    "the trained BPE vocabulary vs the trained unigram-LM vocabulary "
+    "and their ratio — the standard report a pipeline reads before "
+    "picking a tokenizer for a corpus (fertility = pieces per unit; "
+    "lower = the vocabulary fits the shard). The oracle joins BOTH "
+    "trainers' full-training-replay chains as scoped subqueries, so "
+    "this gate re-verifies the entire BPE merge sequence AND the "
+    "entire unigram EM trajectory in one hash. Plan: both trained "
+    "states are memoized per corpus snapshot; the comparison is two "
+    "broadcast-joined corpus scans + a source-keyed agg each.",
+    tags=("text", "pipeline", "ml"),
+)
+def text_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.pipeline12 import text_bpe_fertility
+
+    bpe = text_bpe_fertility(spark, sf_dir).select(
+        "source", F.col("fertility").alias("bpe_fertility")
+    )
+    uni = text_unigram_fertility(spark, sf_dir).select(
+        "source", F.col("fertility").alias("unigram_fertility")
+    )
+    return (
+        bpe.join(uni, "source")
+        .select(
+            "source",
+            "bpe_fertility",
+            "unigram_fertility",
+            pround(
+                F.col("unigram_fertility") / F.col("bpe_fertility")
+            ).alias("uni_over_bpe"),
+        )
+        .orderBy("source")
+    )

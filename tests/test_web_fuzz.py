@@ -154,3 +154,41 @@ def test_parse_robots_never_raises_on_garbage():
         rules = parse_robots(txt, "trainbot")
         for p in ("/", "/a", ""):
             assert robots_allowed(p, rules) in (True, False)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_warc_parser_fails_closed_on_corruption(seed):
+    """Truncations and byte flips of a valid WARC must raise
+    WarcFormatError (or parse to valid records when the flip lands in a
+    value byte) — never IndexError/KeyError/UnicodeDecodeError/struct
+    errors: one garbage crawl file must not kill a scan stage with an
+    exception type callers don't catch. Gzip corruption surfaces the
+    stdlib's documented gzip/EOF errors, which read_warc_file callers
+    treat as file-level failures."""
+    import gzip as _gzip
+
+    from roapi_spark.sources.warc import WarcFormatError, iter_records
+    import io
+
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>x</p>"
+    whole = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:1>\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: https://e.com/a\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+        + body
+        + b"\r\n\r\n"
+    ) * 3
+    rng = random.Random(seed)
+    for _ in range(150):
+        b = bytearray(whole)
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        data = bytes(b[: rng.randrange(1, len(b) + 1)])
+        try:
+            list(iter_records(io.BufferedReader(io.BytesIO(data)), "f"))
+        except WarcFormatError:
+            pass  # the documented failure mode
+        # anything else propagating is a test failure by exception
