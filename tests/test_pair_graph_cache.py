@@ -236,6 +236,10 @@ def test_known_tags_cover_every_call_site():
                 from roapi_spark.functions.pipeline12 import BPE_MERGES
 
                 used.add(f"bpe-m{BPE_MERGES}-v1")
+            elif arg.startswith('f"unigram-t'):
+                from roapi_spark.functions.pipeline15 import EM_T
+
+                used.add(f"unigram-t{EM_T}-v1")
             elif arg.startswith('f"dsirlr-'):
                 from roapi_spark.functions.pipeline10 import (
                     DSIR_BUCKETS,
