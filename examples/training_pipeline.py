@@ -2,7 +2,7 @@
 the chain a pretraining data team runs, composed from the registered
 building blocks and staged as parquet snapshots:
 
-  stage 1  quality gate     text_quality_logit keep + contamination drop
+  stage 0  crawl ingest     (opt-in) WARC scan -> robots/blocklist ->\n                            HTML extraction -> canonical-URL dedup ->\n                            documents snapshot (run(from_crawl=True))\n  stage 1  quality gate     text_quality_logit keep + contamination drop
   stage 2  dedup            exact representative + LSH near-dup
                             representative (connected components)
   stage 2b span rewrite     dedup_span_rewrite cuts the duplicated
@@ -47,6 +47,110 @@ def _write_snapshot(df: DataFrame, out_dir: str) -> str:
     os.makedirs(out_dir, exist_ok=True)
     df.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
     return out_dir
+
+
+def stage0_crawl_ingest(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Crawl archives -> documents snapshot: the stage BEFORE everything
+    else in a real pretraining pipeline. Scans WARC files (the 8-shard
+    crawl fixture pipeline14 derives from sf_dir — standing in for a
+    landing directory of real archives), keeps HTTP-200 responses,
+    enforces robots.txt + the domain blocklist, extracts main text from
+    HTML pages (charset-aware, fail-closed) or takes text/plain payloads
+    verbatim, collapses duplicate-URL fetches on the canonical form, and
+    writes a documents.parquet-shaped snapshot (doc_id/source parsed
+    from the URL, lang re-predicted with the stopword language ID)."""
+    from roapi_spark.functions.pipeline14 import _extract_kernel, _read_warc
+    from roapi_spark.functions.web import parse_robots
+
+    # this crawl's policy: the wildcard group denies everything, our UA
+    # group allows it — group selection must pick the right one
+    robots_rules = parse_robots(
+        "User-agent: *\nDisallow: /\n\nUser-agent: trainbot\nAllow: /\n",
+        "trainbot",
+    )
+    from roapi_spark.functions.web import (
+        canonical_url,
+        registrable_domain,
+        robots_allowed_col,
+        url_host,
+        url_path,
+    )
+
+    resp = _read_warc(spark, sf_dir, types="response")
+    pages = resp.mapInPandas(
+        _extract_kernel(schema_needs_text=True),
+        "target_uri string, is_ok int, is_html int, norm_len bigint, "
+        "extracted string",
+    )
+    # text/plain 200s carry the document verbatim; recover them from the
+    # raw response rows (the extract kernel only handles text/html)
+    plain = resp.filter(
+        (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/plain")
+    ).select(
+        "target_uri",
+        F.trim(
+            F.regexp_replace(F.col("payload").cast("string"), r"\s+", " ")
+        ).alias("text"),
+    )
+    html = pages.filter(
+        (F.col("is_html") == 1) & F.col("extracted").isNotNull()
+    ).select("target_uri", F.col("extracted").alias("text"))
+    fetched = html.unionByName(plain)
+
+    canon = canonical_url(F.col("target_uri"))
+    allowed = robots_allowed_col(url_path(canon), robots_rules)
+    blocked = spark.createDataFrame([("tracker.net",)], "domain string")
+    staged = (
+        fetched.withColumn("canon", canon)
+        .withColumn("domain", registrable_domain(url_host(F.col("canon"))))
+        .filter(allowed)
+        .join(F.broadcast(blocked), "domain", "left_anti")
+        .withColumn(
+            "doc_id",
+            F.regexp_extract("canon", r"://[^/]+/[^/]+/(\d+)", 1).cast("bigint"),
+        )
+        .withColumn(
+            "source", F.regexp_extract("canon", r"://[^/]+/([^/]+)/", 1)
+        )
+    )
+    # canonical-URL dedup: duplicate fetches of one page collapse
+    one_per_page = staged.groupBy("canon").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("source").alias("source"),
+        F.min("text").alias("text"),
+    )
+    # language ID on the EXTRACTED text (the original label is gone by
+    # this point in a real crawl) — same stopword scorer as text_langid
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: F.length(x) > 0
+    )
+    n = F.greatest(F.size(toks), F.lit(1))
+
+    def score(words: list[str]) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return (
+            F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).cast(
+                "double"
+            )
+            / n
+        )
+
+    s_en = score(["the", "a", "and", "of", "is"])
+    s_de = score(["der", "die", "das", "und", "ist"])
+    s_es = score(["el", "la", "de", "que", "es"])
+    docs_shaped = one_per_page.select(
+        "doc_id",
+        "text",
+        (
+            F.when((s_en >= s_de) & (s_en >= s_es), "en")
+            .when(s_de >= s_es, "de")
+            .otherwise("es")
+        ).alias("lang"),
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return _write_snapshot(docs_shaped, out_dir)
 
 
 def stage1_quality(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
@@ -147,7 +251,16 @@ def stage3_plan_and_pack(spark: SparkSession, sf_dir: str) -> tuple[list, int]:
     return alloc, n_packs
 
 
-def run(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+def run(
+    spark: SparkSession, sf_dir: str, out_dir: str, from_crawl: bool = False
+) -> dict:
+    crawl_docs = None
+    if from_crawl:
+        # start from crawl archives instead of a curated documents table
+        sf_dir = stage0_crawl_ingest(
+            spark, sf_dir, os.path.join(out_dir, "stage0")
+        )
+        crawl_docs = _docs(spark, sf_dir).count()
     n0 = _docs(spark, sf_dir).count()
     s1 = stage1_quality(spark, sf_dir, os.path.join(out_dir, "stage1"))
     n1 = _docs(spark, s1).count()
@@ -160,6 +273,7 @@ def run(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     leak_before = _cross_split_pairs(spark, sf_dir)
     bpe_fert, lr_acc = stage5_tokenizer_audit(spark, s2b)
     return {
+        "crawl_docs": crawl_docs,
         "input_docs": n0,
         "cross_split_leak_pairs_before": leak_before,
         "after_quality": n1,

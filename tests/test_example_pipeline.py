@@ -62,3 +62,31 @@ def test_delta_lifecycle_example(spark, tmp_path):
     assert out["zorder_files_skipped"] >= 4
     assert out["zorder_files_scanned"] + out["zorder_files_skipped"] == 8
     assert out["zorder_selective_rows"] > 0
+
+
+def test_training_pipeline_from_crawl(spark, tmp_path):
+    """The opt-in crawl entry point: WARC archives -> extracted
+    documents snapshot -> the same downstream gates. 404s (and their
+    duplicate-URL records) drop at ingest; duplicate fetches collapse
+    on the canonical URL; the snapshot is documents-shaped so every
+    downstream operator runs unchanged."""
+    import duckdb
+
+    from training_pipeline import run
+
+    summary = run(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "out"), from_crawl=True
+    )
+    # every non-404 doc survives ingest exactly once (dups collapse)
+    expect = duckdb.sql(
+        "SELECT COUNT(*) FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE doc_id % 11 <> 3"
+    ).fetchone()[0]
+    assert summary["crawl_docs"] == expect
+    assert summary["input_docs"] == summary["crawl_docs"]
+    assert 0 < summary["after_quality"] <= summary["input_docs"]
+    assert summary["n_packs"] >= 1 and summary["n_shards"] >= 1
+    final = spark.read.parquet(
+        os.path.join(summary["final_snapshot"], "documents.parquet")
+    )
+    assert {"doc_id", "text", "lang", "source", "n_chars"} <= set(final.columns)
