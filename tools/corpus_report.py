@@ -67,6 +67,8 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
     span = specs["dedup_span_rewrite"].builder(spark, sf_dir).agg(
         F.sum("n_tokens").alias("n_tokens"), F.sum("n_kept").alias("n_kept")
     ).collect()[0]
+    tok_cmp = sorted(run("text_tokenizer_compare"), key=lambda r: r["source"])
+    crawl = run("q_crawl_funnel")[0]
 
     lines = [
         f"# Corpus data card — `{sf_dir}`",
@@ -92,6 +94,23 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
             f"| {r['source']} | {r['n_docs']} | {r['n_tokens']} | "
             f"{r['weight']} | {r['alloc_tokens']} | {r['epochs']} |"
             for r in mix
+        ],
+        "",
+        "## Crawl ingest funnel (WARC -> corpus)",
+        "",
+        f"{crawl['n_fetched']} fetched -> {crawl['n_ok']} HTTP 200 -> "
+        f"{crawl['n_html']} text/html -> {crawl['n_text']} past the "
+        f"extraction length gate -> {crawl['n_unique']} unique pages "
+        "(canonical-URL dedup)",
+        "",
+        "## Tokenizer selection (fertility: pieces per unit, lower fits better)",
+        "",
+        "| source | BPE | unigram | unigram/BPE |",
+        "|---|---|---|---|",
+        *[
+            f"| {r['source']} | {r['bpe_fertility']} | "
+            f"{r['unigram_fertility']} | {r['uni_over_bpe']} |"
+            for r in tok_cmp
         ],
         "",
         "## Duplication",
@@ -250,6 +269,10 @@ def build_report(spark, sf_dir: str) -> tuple[str, dict]:
         "",
     ]
     summary = {
+        "crawl_unique_pages": crawl["n_unique"],
+        "uni_over_bpe_mean": round(
+            sum(r["uni_over_bpe"] for r in tok_cmp) / max(len(tok_cmp), 1), 4
+        ),
         "sf_dir": sf_dir,
         "n_docs": n_docs,
         "keep_rate": round(n_keep / max(n_docs, 1), 4),
