@@ -718,3 +718,94 @@ def text_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- text_unigram_prune ----------------------------------------------------
+
+PRUNE_KEEP = 60  # multi-char pieces kept after pruning (singles always stay)
+
+
+def _prune_oracle() -> str:
+    """Chain = full training replay + the prune round: keep all singles
+    plus the top PRUNE_KEEP multi-char pieces by final count, re-derive
+    costs over the pruned vocab, and run one more Viterbi-EM pass. The
+    int-keyed CTE generators take the literal suffix 'p' (cp/wlp/segp),
+    so the prune round reuses the same generated DP shape."""
+    prune_parts = [
+        f"""vp AS MATERIALIZED (
+      SELECT piece, cnt FROM v{EM_T} WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM v{EM_T} WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece ASC LIMIT {PRUNE_KEEP})
+    )""",
+        _cost_cte("p"),
+        _lookup_cte("p"),
+        _seg_ctes("p"),
+        f"""vq AS MATERIALIZED (
+      SELECT v.piece, CAST(COALESCE(u.cnt, 0) AS BIGINT) AS cnt
+      FROM vp v LEFT JOIN (SELECT piece, SUM(c) AS cnt
+                           FROM segp GROUP BY piece) u USING (piece)
+    )""",
+    ]
+    chain = _chain() + ",\n" + ",\n".join(prune_parts)
+    rows = "\n UNION ALL ".join(
+        f"""SELECT '{label}' AS stage,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM {v}) AS vocab_size,
+      (SELECT CAST(SUM(cnt) AS BIGINT) FROM {v}) AS total_pieces,
+      (SELECT CAST(COUNT(*) FILTER (WHERE cnt > 0) AS BIGINT) FROM {v})
+        AS n_active,
+      (SELECT piece FROM {v} ORDER BY cnt DESC, piece LIMIT 1) AS top_piece,
+      (SELECT CAST(MAX(cnt) AS BIGINT) FROM {v}) AS top_cnt"""
+        for label, v in (("1_trained", f"v{EM_T}"), ("2_pruned", "vq"))
+    )
+    return f"WITH {chain}\nSELECT * FROM ({rows}) ORDER BY stage"
+
+
+@register(
+    "text_unigram_prune",
+    oracle=_prune_oracle(),
+    doc="Vocabulary pruning — the third pillar of the unigram algorithm "
+    "(Kudo 2018 prunes the seed vocab toward the target size across EM "
+    f"rounds): keep every single character plus the top {PRUNE_KEEP} "
+    "multi-char pieces by trained count, re-derive costs over the "
+    "pruned vocab, and run one more Viterbi-EM pass so the corpus "
+    "re-segments under the smaller model. Output: vocab/total/active/"
+    "argmax before and after. The oracle extends the full-training-"
+    "replay chain with the prune round (the generated DP CTEs are "
+    "suffix-parameterized, so the same unrolled shape replays it). "
+    "Plan: one extra mapInPandas Viterbi pass over the Heaps-bounded "
+    "unit table + a vocab-keyed agg — pruning cost is an EM iteration, "
+    "nothing more.",
+    tags=("text", "pipeline", "ml"),
+)
+def text_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, counts, _ = unigram_train_state(spark, sf_dir)
+
+    def snap(label: str, cts: dict[str, int]) -> tuple:
+        total = sum(cts.values())
+        active = sum(1 for v in cts.values() if v > 0)
+        top_p, top_c = sorted(cts.items(), key=lambda pc: (-pc[1], pc[0]))[0]
+        return (label, len(cts), total, active, top_p, top_c)
+
+    singles = {p: c for p, c in counts.items() if len(p) == 1}
+    multis = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:PRUNE_KEEP]
+    pruned = dict(singles)
+    pruned.update(dict(multis))
+    cost = _costs_of(pruned)
+    seg = _units(spark, sf_dir).mapInPandas(_seg_kernel(cost), _SEG_SCHEMA)
+    used = {
+        r["piece"]: int(r["cnt"])
+        for r in seg.groupBy("piece")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+        .collect()
+    }
+    after = {p: used.get(p, 0) for p in pruned}
+    return spark.createDataFrame(
+        [snap("1_trained", counts), snap("2_pruned", after)],
+        "stage string, vocab_size bigint, total_pieces bigint, "
+        "n_active bigint, top_piece string, top_cnt bigint",
+    ).orderBy("stage")

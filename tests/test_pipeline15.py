@@ -156,3 +156,29 @@ def test_encode_pieces_concatenate_back(spark, sf_dir):
         units, ["doc_id", "unit_idx"]
     ).filter(rebuilt.w != units.w)
     assert mismatches.count() == 0
+
+
+def test_prune_invariants(spark, sf_dir):
+    """Pruning keeps all singles, caps multis, and the re-segmented
+    corpus emits at least as many pieces as the full vocab did (fewer
+    multi-char pieces => coarser segmentation is impossible)."""
+    from pyspark.sql import Row
+
+    from roapi_spark.functions.pipeline15 import (
+        PRUNE_KEEP,
+        text_unigram_prune,
+        unigram_train_state,
+    )
+
+    rows = {r["stage"]: r for r in text_unigram_prune(spark, sf_dir).collect()}
+    before, after = rows["1_trained"], rows["2_pruned"]
+    _, counts, _ = unigram_train_state(spark, sf_dir)
+    n_singles = sum(1 for p in counts if len(p) == 1)
+    assert after["vocab_size"] == n_singles + min(
+        PRUNE_KEEP, sum(1 for p in counts if len(p) > 1)
+    )
+    assert after["vocab_size"] < before["vocab_size"]
+    # total pieces = corpus segmentation length: can only grow when the
+    # vocabulary shrinks
+    assert after["total_pieces"] >= before["total_pieces"]
+    assert after["n_active"] <= after["vocab_size"]
