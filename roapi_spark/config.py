@@ -159,6 +159,10 @@ def sniff_format(uri: str) -> str | None:
             for n in os.listdir(os.path.join(path, "metadata"))
         ):
             return "iceberg"
+        if any(
+            n.endswith((".warc", ".warc.gz")) for n in os.listdir(path)
+        ):
+            return "warc"
     return fmt
 
 

@@ -718,3 +718,54 @@ def test_runtime_error_yields_400_and_server_survives(base_url):
     assert raised is not None, "expected an HTTP 400"
     status, _, out = _req(f"{url}/api/sql", "POST", b"SELECT COUNT(*) AS n FROM uk_cities")
     assert status == 200 and json.loads(out) == [{"n": 3}]
+
+
+def test_warc_table_through_http_api(base_url, spark, tmp_path_factory):
+    """'Point roapi at my crawl' over the full HTTP surface: a crawl
+    directory registers dynamically via POST /api/table (format sniffed
+    from .warc.gz), SQL aggregates records, REST filters by type, and
+    the payload round-trips as base64-able binary through the JSON
+    encoder."""
+    import gzip
+
+    from test_warc import HTTP_OK, golden, rec
+
+    url, _ = base_url
+    crawl = tmp_path_factory.mktemp("crawl")
+    (crawl / "a.warc").write_bytes(golden())
+    (crawl / "b.warc.gz").write_bytes(
+        gzip.compress(rec("response", "https://e.com/b", HTTP_OK), mtime=0)
+    )
+    status, _, _ = _req(
+        f"{url}/api/table",
+        "POST",
+        json.dumps([{"tableName": "crawl", "uri": str(crawl)}]).encode(),
+    )
+    assert status == 200
+    status, _, body = _req(
+        f"{url}/api/sql",
+        "POST",
+        b"SELECT warc_type, count(*) AS n FROM crawl "
+        b"GROUP BY warc_type ORDER BY warc_type",
+    )
+    assert status == 200
+    assert json.loads(body) == [
+        {"warc_type": "request", "n": 1},
+        {"warc_type": "response", "n": 2},
+        {"warc_type": "warcinfo", "n": 1},
+    ]
+    status, _, body = _req(
+        f"{url}/api/tables/crawl?filter[warc_type]=response"
+        "&columns=target_uri,http_status&sort=target_uri"
+    )
+    rows = json.loads(body)
+    assert [r["target_uri"] for r in rows] == [
+        "https://e.com/b",
+        "https://example.com/a",
+    ]
+    assert all(r["http_status"] == 200 for r in rows)
+    _req(
+        f"{url}/api/tables/drop",
+        "POST",
+        json.dumps([{"tableName": "crawl"}]).encode(),
+    )
