@@ -1000,3 +1000,149 @@ def stream_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted((f, *v) for f, v in acc.items()),
         "warc_file string, n_urls bigint, n_new bigint",
     )
+
+
+# ---- multimodal_crawl_images -----------------------------------------------
+
+# every doc_id % 5 == 0 page also serves a grayscale PNG whose pixels
+# follow the closed form pixel(y, x) = base + x + 2y with
+# base = doc_id % 200 (max value 199 + 11 + 14 < 256: no uint8 wrap, so
+# the oracle can integrate the plane analytically)
+_IMG_RESIDUE = 5
+
+
+def _img_dims(doc_id: int) -> tuple[int, int, int]:
+    return 8 + doc_id % 5, 6 + doc_id % 3, doc_id % 200  # w, h, base
+
+
+def _warc_images_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once crawl-image fixture: 2 gzip WARC shards of image/png
+    responses, payloads produced by the repo's own from-spec PNG encoder
+    (scanline filters cycling, so the decoder's unfilter paths are
+    load-bearing)."""
+    import numpy as np
+
+    from roapi_spark.functions.multimodal import encode_png
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = snapshot_cache_dir(src, "warcimg-v1")
+    names = ("img-00.warc.gz", "img-01.warc.gz")
+
+    def ready(d: str) -> bool:
+        return all(os.path.exists(os.path.join(d, n)) for n in names)
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        rows = (
+            spark.read.parquet(src)
+            .filter(F.col("doc_id") % _IMG_RESIDUE == 0)
+            .select("doc_id", "source")
+            .orderBy("doc_id")
+            .collect()
+        )
+        shards: list[list[bytes]] = [[], []]
+        for r in rows:
+            doc_id, source = r[0], r[1]
+            w, h, base = _img_dims(doc_id)
+            gray = np.fromfunction(
+                lambda y, x: base + x + 2 * y, (h, w), dtype=np.int64
+            ).astype(np.uint8)
+            png = encode_png(gray)
+            block = (
+                f"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n"
+                f"Content-Length: {len(png)}\r\n\r\n"
+            ).encode() + png
+            rec = _warc_record(
+                "response",
+                f"https://img.example.com/{source}/{doc_id}.png",
+                block,
+                "application/http; msgtype=response",
+            )
+            shards[(doc_id // _IMG_RESIDUE) % 2].append(rec)
+        for i, name in enumerate(names):
+            with open(os.path.join(tmp, name), "wb") as f:
+                for rec in shards[i]:
+                    f.write(gzip.compress(rec, mtime=0))
+
+    return build_once(out, ready, build)
+
+
+@register(
+    "multimodal_crawl_images",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             8 + doc_id % 5 AS w,
+             6 + doc_id % 3 AS h,
+             doc_id % 200 AS base
+      FROM documents WHERE doc_id % {_IMG_RESIDUE} = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(w * h) AS BIGINT) AS px_count,
+           CAST(SUM(w * h * base
+                    + h * (w * (w - 1) / 2)
+                    + 2 * w * (h * (h - 1) / 2)) AS BIGINT) AS pixel_sum,
+           CAST(SUM(base) AS BIGINT) AS corner_sum,
+           CAST(SUM(base + (w - 1) + 2 * (h - 1)) AS BIGINT)
+             AS far_corner_sum
+    FROM p
+    """,
+    doc="Crawl-to-multimodal composition gate: image/png HTTP responses "
+    "inside WARC shards are scanned by the WARC source and decoded by "
+    "the repo's own from-spec PNG codec (encode side cycles all five "
+    "scanline filters, so every unfilter path is load-bearing); pixel "
+    "geometry/sum/corner aggregates must match the oracle's ANALYTIC "
+    "integration of the synthetic pixel plane pixel(y,x) = base + x + "
+    "2y — a single wrong pixel anywhere in the decode chain "
+    "hash-mismatches. Plan: per-file streaming WARC scan -> "
+    "Arrow-batched decode kernel (no shuffle) -> one global agg; the "
+    "shape a multimodal crawl harvest runs at 100 TB (images ride the "
+    "same archives as the text).",
+    tags=("multimodal", "web"),
+)
+def multimodal_crawl_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.config import TableSource
+    from roapi_spark.sources import load_table
+
+    d = _warc_images_dir(spark, sf_dir)
+    resp = load_table(
+        spark,
+        TableSource(name="_imgs", uri=d, format="warc",
+                    option={"types": "response"}),
+    ).filter(F.col("http_content_type") == "image/png")
+
+    def kernel(batches):
+        import pandas as pd
+
+        from roapi_spark.functions.multimodal import decode_image
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                arr = decode_image(bytes(payload))
+                h, w = arr.shape
+                out.append(
+                    {
+                        "w": w,
+                        "h": h,
+                        "pixel_sum": int(arr.sum(dtype="int64")),
+                        "corner": int(arr[0, 0]),
+                        "far_corner": int(arr[h - 1, w - 1]),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["w", "h", "pixel_sum", "corner", "far_corner"]
+            )
+
+    decoded = resp.mapInPandas(
+        kernel,
+        "w int, h int, pixel_sum bigint, corner int, far_corner int",
+    )
+    return decoded.agg(
+        F.count("*").cast("bigint").alias("n_images"),
+        F.sum(F.col("w") * F.col("h")).cast("bigint").alias("px_count"),
+        F.sum("pixel_sum").cast("bigint").alias("pixel_sum"),
+        F.sum("corner").cast("bigint").alias("corner_sum"),
+        F.sum("far_corner").cast("bigint").alias("far_corner_sum"),
+    )
