@@ -160,6 +160,16 @@ def iter_records(
                 t += stream.read(1)
             if t not in (b"\r\n", b"\n"):
                 raise WarcFormatError(f"bad record trailer {t!r} at {where}")
+        # spec §5.18: segmented records split one logical payload across
+        # physical records. Parsing a segment as a whole record would
+        # silently serve a PARTIAL payload — reject loudly instead
+        # (Common Crawl does not segment; a reassembler can be added
+        # behind this error if a real corpus needs it).
+        if "warc-segment-number" in headers:
+            raise WarcFormatError(
+                f"segmented WARC records (WARC-Segment-Number) are not "
+                f"supported at {where}"
+            )
         wtype = headers.get("warc-type", "")
         ctype = headers.get("content-type", "")
         status: int | None = None
@@ -189,13 +199,18 @@ def iter_records(
             offset += clen
 
 
+_GZ_MAGIC = b"\x1f\x8b"
+
+
 def parse_warc_bytes(data: bytes, name: str) -> Iterator[dict]:
-    """Yield records from in-memory WARC bytes (gzip members or plain,
-    decided by ``name``). The streaming ingest path (Spark's binaryFile
-    file-stream source delivers whole files as rows) parses through
-    this; the batch path streams from disk via ``read_warc_file``."""
+    """Yield records from in-memory WARC bytes (gzip members or plain —
+    decided by the gzip MAGIC, not the name: an http-fetched .warc.gz
+    lands in a temp file without its extension). The streaming ingest
+    path (Spark's binaryFile file-stream source delivers whole files as
+    rows) parses through this; the batch path streams from disk via
+    ``read_warc_file``."""
     raw: io.BufferedIOBase
-    if name.endswith(".gz"):
+    if data[:2] == _GZ_MAGIC:
         raw = gzip.GzipFile(fileobj=io.BytesIO(data))
     else:
         raw = io.BytesIO(data)
@@ -204,9 +219,12 @@ def parse_warc_bytes(data: bytes, name: str) -> Iterator[dict]:
 
 def read_warc_file(path: str) -> Iterator[dict]:
     """Open one .warc / .warc.gz file and yield its records (streaming —
-    constant memory in the file size)."""
+    constant memory in the file size). Compression is sniffed from the
+    gzip magic, never the extension."""
+    with open(path, "rb") as probe:
+        is_gz = probe.read(2) == _GZ_MAGIC
     raw: io.BufferedIOBase
-    if path.endswith(".gz"):
+    if is_gz:
         raw = gzip.open(path, "rb")  # reads concatenated members
     else:
         raw = open(path, "rb")

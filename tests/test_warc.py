@@ -349,3 +349,58 @@ def test_url_frontier_state_survives_restart(spark, tmp_path):
         ("https://e.com/a", "w2.warc", 0),  # revisit: state survived
         ("https://e.com/b", "w2.warc", 1),
     ]
+
+
+def test_segmented_records_rejected():
+    data = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Segment-Number: 1\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: 2\r\n\r\nab\r\n\r\n"
+    )
+    with pytest.raises(WarcFormatError, match="segmented"):
+        parse(data)
+
+
+def test_gzip_sniffed_by_magic_not_extension(tmp_path):
+    """An http-fetched .warc.gz lands in a temp file WITHOUT the .gz
+    extension (sources/http.py names it by resolved format) — the
+    reader must sniff the gzip magic, not trust the name."""
+    gz_bytes = gzip.compress(rec("response", "https://e.com/g", HTTP_OK), mtime=0)
+    p = tmp_path / "fetched.warc"  # wrong extension on purpose
+    p.write_bytes(gz_bytes)
+    (r,) = list(read_warc_file(str(p)))
+    assert r["target_uri"] == "https://e.com/g"
+    # and in-memory parsing makes the same call
+    from roapi_spark.sources.warc import parse_warc_bytes
+
+    (r2,) = list(parse_warc_bytes(gz_bytes, "fetched.warc"))
+    assert r2["target_uri"] == "https://e.com/g"
+
+
+def test_warc_over_http_fetch(spark, tmp_path):
+    """Full registration path for a remote crawl file: http:// uri ->
+    fetch_to_local -> format sniffed from the URL -> gzip sniffed from
+    the payload magic -> records served."""
+    import functools
+    import http.server
+    import threading
+
+    (tmp_path / "part.warc.gz").write_bytes(
+        gzip.compress(rec("response", "https://e.com/h", HTTP_OK), mtime=0)
+    )
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path)
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/part.warc.gz"
+        df = load_table(spark, TableSource(name="remote", uri=url))
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0]["target_uri"] == "https://e.com/h"
+        assert rows[0]["http_status"] == 200
+    finally:
+        srv.shutdown()
