@@ -1146,3 +1146,88 @@ def multimodal_crawl_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("corner").cast("bigint").alias("corner_sum"),
         F.sum("far_corner").cast("bigint").alias("far_corner_sum"),
     )
+
+
+# ---- stream_crawl_to_delta -------------------------------------------------
+
+
+@register(
+    "stream_crawl_to_delta",
+    oracle=f"""
+    WITH kept AS (
+      SELECT doc_id, source, {_NORM_LEN} AS n_chars
+      FROM documents
+      WHERE doc_id % 11 <> 3 AND doc_id % 7 <> 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+           CAST(2 AS BIGINT) AS n_commits
+    FROM kept
+    """,
+    doc="Streaming corpus delivery gate: WARC shards land in two waves; "
+    "each micro-batch is parsed + extracted, filtered to usable pages, "
+    "canonical-URL-deduped within the batch, and APPENDED to a Delta "
+    "table as one atomic commit through this repo's own writer "
+    "(streaming/crawl.stream_crawl_to_delta). The gate then reads the "
+    "table back through the pure-Python Delta source and checks "
+    "docs/sources/char-sum/id-sum AND the commit count (2 waves = 2 "
+    "versions), so a dropped batch, a double append, a partial commit, "
+    "or a mis-extracted page hash-mismatches. This closes the ingest "
+    "loop end to end: crawl stream -> delta corpus -> (CDF) -> the "
+    "incremental dedup/quality consumers. Plan: fixture-sized; at "
+    "scale each batch costs its arrival volume and one commit.",
+    tags=("streaming", "web", "delta"),
+)
+def stream_crawl_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from roapi_spark.sources.delta import _log_versions
+    from roapi_spark.streaming.crawl import stream_crawl_to_delta as _deliver
+
+    src = _warc_fixture_dir(spark, sf_dir)
+    shards = sorted(os.listdir(src))
+    landing = tempfile.mkdtemp(prefix="crawl_delta_landing_")
+    table = tempfile.mkdtemp(prefix="crawl_delta_table_") + "/corpus"
+    try:
+        for name in shards[: _N_SHARDS // 2]:
+            shutil.copy(os.path.join(src, name), os.path.join(landing, name))
+        q = _deliver(
+            spark,
+            landing,
+            table,
+            os.path.join(landing, "_ckpt"),
+            query_name="stream_crawl_to_delta",
+        )
+        try:
+            q.processAllAvailable()
+            for name in shards[_N_SHARDS // 2 :]:
+                shutil.copy(
+                    os.path.join(src, name), os.path.join(landing, name)
+                )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        from roapi_spark.config import TableSource
+        from roapi_spark.sources import load_table
+
+        corpus = load_table(
+            spark, TableSource(name="_corpus", uri=table, format="delta")
+        )
+        n_commits = len(
+            _log_versions(os.path.join(table, "_delta_log"))
+        )
+        return corpus.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum("doc_id").cast("bigint").alias("sum_id"),
+            F.lit(n_commits).cast("bigint").alias("n_commits"),
+        )
+    finally:
+        # the returned DataFrame reads the table LAZILY — only the
+        # landing dir is disposable here; the table tmpdir is left for
+        # the OS tmp reaper
+        shutil.rmtree(landing, ignore_errors=True)

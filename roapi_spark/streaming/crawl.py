@@ -43,7 +43,7 @@ FLAGS_SCHEMA = (
 )
 
 
-def _parse_extract_kernel():
+def _parse_extract_kernel(include_text: bool = False):
     import pandas as pd
 
     from roapi_spark.functions.web import decode_http_text, extract_main_text
@@ -61,29 +61,29 @@ def _parse_extract_kernel():
                     html = ok and str(
                         rec["http_content_type"] or ""
                     ).startswith("text/html")
-                    norm_len = None
+                    norm_len, text = None, None
                     if html:
                         raw = decode_http_text(
                             rec["payload"], rec["http_content_type"]
                         )
                         # fail-closed: undecodable page = extraction miss
                         if raw is not None:
-                            norm_len = len(extract_main_text(raw))
-                    out.append(
-                        {
-                            "warc_file": name,
-                            "target_uri": rec["target_uri"],
-                            "is_ok": int(ok),
-                            "is_html": int(html),
-                            "norm_len": norm_len,
-                        }
-                    )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "warc_file", "target_uri", "is_ok", "is_html", "norm_len",
-                ],
-            )
+                            text = extract_main_text(raw)
+                            norm_len = len(text)
+                    row = {
+                        "warc_file": name,
+                        "target_uri": rec["target_uri"],
+                        "is_ok": int(ok),
+                        "is_html": int(html),
+                        "norm_len": norm_len,
+                    }
+                    if include_text:
+                        row["extracted"] = text
+                    out.append(row)
+            cols = [
+                "warc_file", "target_uri", "is_ok", "is_html", "norm_len",
+            ] + (["extracted"] if include_text else [])
+            yield pd.DataFrame(out, columns=cols)
 
     return fn
 
@@ -207,6 +207,71 @@ def stream_url_frontier(
     )
     return (
         classified.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def stream_crawl_to_delta(
+    spark: SparkSession,
+    landing_dir: str,
+    table_path: str,
+    checkpoint: str,
+    min_text: int = 1,
+    query_name: str = "crawl_to_delta",
+) -> StreamingQuery:
+    """Streaming corpus DELIVERY: each micro-batch of newly landed WARC
+    files is parsed + extracted, filtered to pages with usable main text,
+    collapsed on the canonical URL within the batch, shaped into
+    documents rows (doc_id/source parsed from the URL), and APPENDED to
+    a Delta table — one atomic commit per batch through this repo's own
+    writer, so the corpus table is readable mid-stream by any Delta
+    client and by the CDF-based incremental consumers downstream.
+
+    Exactly-once: the file-stream checkpoint gives at-most-once file
+    delivery per query; a batch that fails mid-append is retried by the
+    engine and the delta writer's atomic O_EXCL commit keeps partial
+    output invisible."""
+    from pyspark.sql import functions as F
+
+    from roapi_spark.functions.web import canonical_url
+    from roapi_spark.sinks.delta import write_delta
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.warc*")
+        .load(landing_dir)
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        flags = batch_df.mapInPandas(
+            _parse_extract_kernel(include_text=True),
+            FLAGS_SCHEMA + ", extracted string",
+        )
+        docs = (
+            flags.filter(
+                (F.col("is_html") == 1) & (F.col("norm_len") >= min_text)
+            )
+            .withColumn("canon", canonical_url(F.col("target_uri")))
+            .dropDuplicates(["canon"])
+            .select(
+                F.regexp_extract("canon", r"://[^/]+/[^/]+/(\d+)", 1)
+                .cast("bigint")
+                .alias("doc_id"),
+                F.col("extracted").alias("text"),
+                F.regexp_extract("canon", r"://[^/]+/([^/]+)/", 1).alias(
+                    "source"
+                ),
+                F.col("norm_len").alias("n_chars"),
+            )
+        )
+        if docs.take(1):
+            write_delta(docs, table_path, mode="append")
+
+    return (
+        files.writeStream.foreachBatch(on_batch)
         .option("checkpointLocation", checkpoint)
         .queryName(query_name)
         .start()
