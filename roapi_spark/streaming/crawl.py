@@ -267,8 +267,15 @@ def stream_crawl_to_delta(
                 F.col("norm_len").alias("n_chars"),
             )
         )
-        if docs.take(1):
-            write_delta(docs, table_path, mode="append")
+        # an empty micro-batch (stream start, no new files) must not
+        # publish an empty commit; persist so the emptiness probe and
+        # the write share ONE extraction pass instead of recomputing
+        docs = docs.persist()
+        try:
+            if docs.take(1):
+                write_delta(docs, table_path, mode="append")
+        finally:
+            docs.unpersist()
 
     return (
         files.writeStream.foreachBatch(on_batch)
