@@ -84,7 +84,12 @@ def _dup_url(doc_id: int, source: str) -> str:
     )
 
 
-def _html_page(doc_id: int, text: str) -> str:
+def _html_page(doc_id: int, text: str, link_to: int | None = None) -> str:
+    # the cross-doc link lives in the FOOTER: chrome to the extractor
+    # (dropped by tag), signal to the link-graph pass
+    next_link = (
+        f'<a href="/link/{link_to}">next</a> ' if link_to is not None else ""
+    )
     return (
         "<!DOCTYPE html>\n"
         f"<html><head><title>doc {doc_id}</title>\n"
@@ -96,7 +101,8 @@ def _html_page(doc_id: int, text: str) -> str:
         '<div class="sidebar"><a href="/t/1">One</a> <a href="/t/2">Two</a>'
         ' <a href="/t/3">Three</a></div>\n'
         f"<main><p>{html_mod.escape(text)}</p></main>\n"
-        '<footer><a href="/privacy">Privacy</a> (c) Example Corp</footer>\n'
+        f'<footer>{next_link}<a href="/privacy">Privacy</a>'
+        " (c) Example Corp</footer>\n"
         "</body></html>"
     )
 
@@ -125,7 +131,9 @@ def _http_response(status: int, ctype: str, body: bytes) -> bytes:
     ).encode() + body
 
 
-def _response_record(doc_id: int, source: str, text: str, uri: str) -> bytes:
+def _response_record(
+    doc_id: int, source: str, text: str, uri: str, link_to: int | None = None
+) -> bytes:
     if doc_id % 11 == 3:
         status, ctype = 404, "text/html; charset=utf-8"
         body = b"<html><body><p>gone</p></body></html>"
@@ -134,7 +142,7 @@ def _response_record(doc_id: int, source: str, text: str, uri: str) -> bytes:
         body = text.encode()
     else:
         status, ctype = 200, "text/html; charset=utf-8"
-        body = _html_page(doc_id, text).encode()
+        body = _html_page(doc_id, text, link_to).encode()
     return _warc_record(
         "response",
         uri,
@@ -155,7 +163,7 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
 
     src = os.path.join(sf_dir, "documents.parquet")
-    out = snapshot_cache_dir(src, "warc-v2")
+    out = snapshot_cache_dir(src, "warc-v3")
     names = tuple(
         f"docs-{s:02d}.warc" + (".gz" if s % 2 == 0 else "")
         for s in range(_N_SHARDS)
@@ -179,9 +187,11 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             "application/warc-fields",
         )
         shards: list[list[bytes]] = [[info] for _ in range(_N_SHARDS)]
+        n_docs = len(rows)
         for r in rows:
             doc_id, source, text = r[0], r[1], r[2]
             uri = _raw_url(doc_id, source)
+            link_to = (doc_id * 7) % n_docs  # functional link graph
             recs = []
             if doc_id % 10 == 0:
                 recs.append(
@@ -193,11 +203,14 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
                         "application/http; msgtype=request",
                     )
                 )
-            recs.append(_response_record(doc_id, source, text, uri))
+            recs.append(
+                _response_record(doc_id, source, text, uri, link_to)
+            )
             if doc_id % 13 == 5:
                 recs.append(
                     _response_record(
-                        doc_id, source, text, _dup_url(doc_id, source)
+                        doc_id, source, text, _dup_url(doc_id, source),
+                        link_to,
                     )
                 )
             shards[doc_id % _N_SHARDS].extend(recs)
@@ -1231,3 +1244,84 @@ def stream_crawl_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         # landing dir is disposable here; the table tmpdir is left for
         # the OS tmp reaper
         shutil.rmtree(landing, ignore_errors=True)
+
+
+# ---- q_crawl_link_graph ----------------------------------------------------
+
+
+@register(
+    "q_crawl_link_graph",
+    oracle="""
+    WITH live AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 11 <> 3 AND doc_id % 7 <> 2
+    ),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * 7) % (SELECT COUNT(*) FROM documents) AS dst
+      FROM live
+    ),
+    indeg AS (SELECT dst, COUNT(*) AS d FROM edges GROUP BY dst)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_targets,
+           CAST(MAX(d) AS BIGINT) AS max_indegree,
+           CAST(SUM(dst * d) AS BIGINT) AS sum_dst,
+           CAST(MIN(dst) AS BIGINT) AS min_dst
+    FROM indeg
+    """,
+    doc="Crawl link-graph extraction (the WAT-derivative pass): every "
+    "HTML page in the WARC fixture carries one cross-document footer "
+    "link following a functional map (dst = 7*src mod N); the links "
+    "kernel parses ALL anchors per page (functions/web.extract_links), "
+    "the chrome links (nav/sidebar/privacy) are filtered by the "
+    "intra-corpus link shape, and the in-degree profile of the "
+    "resulting graph — edge count, distinct targets, max in-degree, "
+    "degree-weighted target sum — must match the oracle's closed-form "
+    "replay of the functional map over the live pages. Duplicate-URL "
+    "records (%13) are excluded so each page contributes exactly one "
+    "edge. Plan: streaming WARC scan -> Arrow-batched link parse (no "
+    "shuffle) -> codegen'd filter/extract -> one hash agg on dst — at "
+    "100 TB this is the host-graph build that feeds PageRank-style "
+    "quality priors, and the shuffle key is the target id.",
+    tags=("web", "graph"),
+)
+def q_crawl_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resp = _read_warc(spark, sf_dir, types="response").filter(
+        ~F.col("target_uri").contains("utm_medium=x")  # %13 dup records
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        from roapi_spark.functions.web import decode_http_text, extract_links
+
+        for pdf in batches:
+            out = []
+            for status, ctype, payload in zip(
+                pdf["http_status"], pdf["http_content_type"], pdf["payload"]
+            ):
+                if status != 200 or not str(ctype or "").startswith(
+                    "text/html"
+                ):
+                    continue
+                raw = decode_http_text(bytes(payload), ctype)
+                if raw is None:
+                    continue
+                for href in extract_links(raw):
+                    out.append({"href": href})
+            yield pd.DataFrame(out, columns=["href"])
+
+    links = resp.mapInPandas(kernel, "href string")
+    edges = links.filter(F.col("href").rlike(r"^/link/\d+$")).select(
+        F.regexp_extract("href", r"^/link/(\d+)$", 1)
+        .cast("bigint")
+        .alias("dst")
+    )
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("d"))
+    return indeg.agg(
+        F.sum("d").cast("bigint").alias("n_edges"),
+        F.count("*").cast("bigint").alias("n_targets"),
+        F.max("d").cast("bigint").alias("max_indegree"),
+        F.sum(F.col("dst") * F.col("d")).cast("bigint").alias("sum_dst"),
+        F.min("dst").cast("bigint").alias("min_dst"),
+    )

@@ -88,6 +88,28 @@ class _MainTextParser(HTMLParser):
             self._link_chars += n
 
 
+class _LinkParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href" and value:
+                    self.hrefs.append(value)
+
+
+def extract_links(html: str) -> list[str]:
+    """All anchor hrefs of a page, document order, duplicates kept —
+    the WAT-derivative pass a crawl link graph is built from. Callers
+    resolve/canonicalize; this stays a pure parse."""
+    p = _LinkParser()
+    p.feed(html)
+    p.close()
+    return p.hrefs
+
+
 def extract_main_text(html: str) -> str:
     """Boilerplate-stripped main text of an HTML page: drops chrome
     containers (script/style/nav/header/footer/...), drops blocks whose
