@@ -1249,6 +1249,50 @@ def stream_crawl_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- q_crawl_link_graph ----------------------------------------------------
 
 
+def _crawl_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) doc-id edges parsed from the fixture's HTML pages:
+    the links kernel walks every anchor; chrome links are filtered by
+    the intra-corpus href shape."""
+    resp = _read_warc(spark, sf_dir, types="response").filter(
+        ~F.col("target_uri").contains("utm_medium=x")  # %13 dup records
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        from roapi_spark.functions.web import decode_http_text, extract_links
+
+        for pdf in batches:
+            out = []
+            for uri, status, ctype, payload in zip(
+                pdf["target_uri"],
+                pdf["http_status"],
+                pdf["http_content_type"],
+                pdf["payload"],
+            ):
+                if status != 200 or not str(ctype or "").startswith(
+                    "text/html"
+                ):
+                    continue
+                raw = decode_http_text(bytes(payload), ctype)
+                if raw is None:
+                    continue
+                for href in extract_links(raw):
+                    out.append({"src_uri": uri, "href": href})
+            yield pd.DataFrame(out, columns=["src_uri", "href"])
+
+    links = resp.mapInPandas(kernel, "src_uri string, href string")
+    return links.filter(F.col("href").rlike(r"^/link/\d+$")).select(
+        F.regexp_extract("src_uri", r"://[^/]+/[^/]+/(\d+)", 1)
+        .cast("bigint")
+        .alias("src"),
+        F.regexp_extract("href", r"^/link/(\d+)$", 1)
+        .cast("bigint")
+        .alias("dst"),
+    )
+
+
+
 @register(
     "q_crawl_link_graph",
     oracle="""
@@ -1286,37 +1330,7 @@ def stream_crawl_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("web", "graph"),
 )
 def q_crawl_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    resp = _read_warc(spark, sf_dir, types="response").filter(
-        ~F.col("target_uri").contains("utm_medium=x")  # %13 dup records
-    )
-
-    def kernel(batches):
-        import pandas as pd
-
-        from roapi_spark.functions.web import decode_http_text, extract_links
-
-        for pdf in batches:
-            out = []
-            for status, ctype, payload in zip(
-                pdf["http_status"], pdf["http_content_type"], pdf["payload"]
-            ):
-                if status != 200 or not str(ctype or "").startswith(
-                    "text/html"
-                ):
-                    continue
-                raw = decode_http_text(bytes(payload), ctype)
-                if raw is None:
-                    continue
-                for href in extract_links(raw):
-                    out.append({"href": href})
-            yield pd.DataFrame(out, columns=["href"])
-
-    links = resp.mapInPandas(kernel, "href string")
-    edges = links.filter(F.col("href").rlike(r"^/link/\d+$")).select(
-        F.regexp_extract("href", r"^/link/(\d+)$", 1)
-        .cast("bigint")
-        .alias("dst")
-    )
+    edges = _crawl_edges(spark, sf_dir).select("dst")
     indeg = edges.groupBy("dst").agg(F.count("*").alias("d"))
     return indeg.agg(
         F.sum("d").cast("bigint").alias("n_edges"),
@@ -1324,4 +1338,123 @@ def q_crawl_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").cast("bigint").alias("max_indegree"),
         F.sum(F.col("dst") * F.col("d")).cast("bigint").alias("sum_dst"),
         F.min("dst").cast("bigint").alias("min_dst"),
+    )
+
+
+# ---- q_crawl_pagerank ------------------------------------------------------
+
+_CPR_ITERS = 2
+_CPR_SCALE = 1_000_000
+_CPR_DN, _CPR_DD = 85, 100  # damping 0.85 as an exact ratio
+
+
+def _crawl_pagerank_oracle() -> str:
+    base = _CPR_SCALE * (_CPR_DD - _CPR_DN) // _CPR_DD
+    parts = [
+        """live AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 11 <> 3 AND doc_id % 7 <> 2
+    ),
+    edges AS (
+      SELECT doc_id AS a,
+             (doc_id * 7) % (SELECT COUNT(*) FROM documents) AS b
+      FROM live
+    ),
+    nodes AS (SELECT a AS n FROM edges UNION SELECT b FROM edges),
+    deg AS (SELECT a AS n, COUNT(*) AS d FROM edges GROUP BY a),
+    pr0 AS (SELECT n, {scale} AS pr FROM nodes)""".format(scale=_CPR_SCALE)
+    ]
+    for t in range(1, _CPR_ITERS + 1):
+        parts.append(
+            f"""s{t} AS (
+      SELECT e.b AS n, SUM(p.pr // d.d) AS s
+      FROM edges e JOIN pr{t - 1} p ON p.n = e.a JOIN deg d ON d.n = e.a
+      GROUP BY e.b
+    ),
+    pr{t} AS (
+      SELECT nodes.n,
+             {base} + (COALESCE(s{t}.s, 0) * {_CPR_DN}) // {_CPR_DD} AS pr
+      FROM nodes LEFT JOIN s{t} ON nodes.n = s{t}.n
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT nodes.n AS doc_id,
+           CAST(COALESCE(deg.d, 0) AS BIGINT) AS out_degree,
+           CAST(pr{_CPR_ITERS}.pr AS BIGINT) AS pagerank
+    FROM nodes LEFT JOIN deg ON nodes.n = deg.n
+    JOIN pr{_CPR_ITERS} ON nodes.n = pr{_CPR_ITERS}.n
+    ORDER BY doc_id
+    """
+    )
+
+
+@register(
+    "q_crawl_pagerank",
+    oracle=_crawl_pagerank_oracle(),
+    doc=f"PageRank over the crawl link graph ({_CPR_ITERS} power "
+    "iterations, damping 0.85, fixed-point integer arithmetic — the "
+    "same bit-exact iterative pattern as q_pagerank_dupgraph, but over "
+    "a DIRECTED graph parsed from real page anchors by the links "
+    "kernel, dangling pages contributing nothing): the quality prior a "
+    "crawl scheduler feeds back into fetch ordering. Per-node output "
+    "(doc_id, out_degree, pagerank) joins edge endpoints only, so an "
+    "isolated page never invents rank. Plan: one WARC scan builds the "
+    "edge set (graph-sized, tiny vs the corpus), then each iteration "
+    "is two broadcast-scale joins + one hash agg over EDGES, "
+    "checkpointed — corpus is never re-scanned.",
+    tags=("web", "graph", "iterative"),
+)
+def q_crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        _crawl_edges(spark, sf_dir)
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("a").alias("n"))
+        .union(edges.select(F.col("b").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy(F.col("a").alias("n")).agg(F.count("*").alias("d"))
+    base = _CPR_SCALE * (_CPR_DD - _CPR_DN) // _CPR_DD
+    pr = nodes.select("n", F.lit(_CPR_SCALE).cast("bigint").alias("pr"))
+    for _ in range(_CPR_ITERS):
+        contrib = (
+            edges.join(pr, edges.a == pr.n)
+            .join(
+                deg.select(F.col("n").alias("dn"), "d"),
+                edges.a == F.col("dn"),
+            )
+            .select(F.col("b"), F.expr("pr div d").alias("c"))
+            .groupBy("b")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.n == contrib.b, "left")
+            .select(
+                "n",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"(coalesce(s, 0) * {_CPR_DN}) div {_CPR_DD}"
+                    )
+                )
+                .cast("bigint")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        nodes.join(deg, "n", "left")
+        .join(pr.select(F.col("n").alias("pn"), "pr"), nodes.n == F.col("pn"))
+        .select(
+            F.col("n").alias("doc_id"),
+            F.coalesce(F.col("d"), F.lit(0)).cast("bigint").alias("out_degree"),
+            F.col("pr").cast("bigint").alias("pagerank"),
+        )
+        .orderBy("doc_id")
     )
