@@ -182,3 +182,31 @@ def test_prune_invariants(spark, sf_dir):
     # vocabulary shrinks
     assert after["total_pieces"] >= before["total_pieces"]
     assert after["n_active"] <= after["vocab_size"]
+
+
+def test_viterbi_is_optimal_vs_singles_and_random_splits():
+    """The DP's path cost never exceeds the all-singles segmentation or
+    any random valid segmentation (true optimality, not just agreement
+    with another implementation)."""
+    import random
+
+    rng = random.Random(7)
+    pieces = ["a", "b", "c", "_", "ab", "bc", "c_", "_a", "abc", "b_c"]
+    cost = {p: rng.randrange(1, 50) for p in pieces}
+
+    def path_cost(w, segs):
+        return sum(cost.get(p, BIG) for p in segs)
+
+    def random_split(w, rng):
+        segs, pos = [], 0
+        while pos < len(w):
+            k = rng.randint(1, min(MAX_P, len(w) - pos))
+            segs.append(w[pos : pos + k])
+            pos += k
+        return segs
+
+    for w in ["abc_ab", "c_a_b_c", "ababab", "abc_abc_ab", "b_c_b_c"]:
+        best = path_cost(w, _viterbi(w, cost))
+        assert best <= path_cost(w, list(w))  # all singles
+        for _ in range(50):
+            assert best <= path_cost(w, random_split(w, rng))

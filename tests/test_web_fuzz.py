@@ -192,3 +192,18 @@ def test_warc_parser_fails_closed_on_corruption(seed):
         except WarcFormatError:
             pass  # the documented failure mode
         # anything else propagating is a test failure by exception
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_canonical_url_is_idempotent(spark, seed):
+    """A canonical form must be a FIXED POINT: canonicalizing it again
+    changes nothing (otherwise two passes of the pipeline would key
+    the same page differently)."""
+    urls = _gen_urls(random.Random(seed), 100)
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(canonical_url(F.col("u")).alias("c"))
+    twice = once.select(
+        F.col("c"), canonical_url(F.col("c")).alias("c2")
+    ).filter(F.col("c") != F.col("c2"))
+    bad = twice.collect()
+    assert not bad, bad[:3]
