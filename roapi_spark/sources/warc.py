@@ -33,6 +33,8 @@ Options:
             (default ``*.warc*``)
     types:  comma-separated WARC-Type filter, e.g. ``response``
             (default: all record types)
+    recursive: walk nested directories (crawl segments) when ``uri``
+            is a directory (default false)
 Schema:
     warc_file string, record_offset bigint, warc_type string,
     record_id string, target_uri string, warc_date string,
@@ -234,14 +236,27 @@ def read_warc_file(path: str) -> Iterator[dict]:
         raw.close()
 
 
-def _list_files(uri: str, glob: str) -> list[str]:
+def _list_files(uri: str, glob: str, recursive: bool = False) -> list[str]:
     if os.path.isdir(uri):
-        names = sorted(
-            n for n in os.listdir(uri) if fnmatch.fnmatch(n, glob)
-        )
-        if not names:
+        if recursive:
+            # crawls nest archives (segments/, per-day dirs): walk depth-
+            # first, sorted, so the file order — and therefore task
+            # assignment — is deterministic
+            paths = sorted(
+                os.path.join(root, n)
+                for root, _dirs, files in os.walk(uri)
+                for n in files
+                if fnmatch.fnmatch(n, glob)
+            )
+        else:
+            paths = [
+                os.path.join(uri, n)
+                for n in sorted(os.listdir(uri))
+                if fnmatch.fnmatch(n, glob)
+            ]
+        if not paths:
             raise WarcFormatError(f"no {glob!r} files under {uri}")
-        return [os.path.join(uri, n) for n in names]
+        return paths
     if not os.path.isfile(uri):
         raise WarcFormatError(f"WARC source not found: {uri}")
     return [uri]
@@ -250,7 +265,12 @@ def _list_files(uri: str, glob: str) -> list[str]:
 def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
     import pandas as pd
 
-    files = _list_files(ts.uri, str(ts.option.get("glob", "*.warc*")))
+    files = _list_files(
+        ts.uri,
+        str(ts.option.get("glob", "*.warc*")),
+        recursive=str(ts.option.get("recursive", "false")).lower()
+        == "true",
+    )
     types = {
         t.strip()
         for t in str(ts.option.get("types", "")).split(",")

@@ -404,3 +404,33 @@ def test_warc_over_http_fetch(spark, tmp_path):
         assert rows[0]["http_status"] == 200
     finally:
         srv.shutdown()
+
+
+def test_recursive_directory_discovery(spark, tmp_path):
+    """Crawls nest archives (segments/, per-day dirs): recursive=true
+    walks them deterministically; the default stays top-level-only."""
+    seg = tmp_path / "segments" / "day1"
+    seg.mkdir(parents=True)
+    (tmp_path / "top.warc").write_bytes(
+        rec("response", "https://e.com/top", HTTP_OK)
+    )
+    (seg / "deep.warc").write_bytes(
+        rec("response", "https://e.com/deep", HTTP_OK)
+    )
+    flat = load_table(
+        spark, TableSource(name="c", uri=str(tmp_path), format="warc")
+    )
+    assert {r["target_uri"] for r in flat.collect()} == {"https://e.com/top"}
+    deep = load_table(
+        spark,
+        TableSource(
+            name="c",
+            uri=str(tmp_path),
+            format="warc",
+            option={"recursive": "true"},
+        ),
+    )
+    assert {r["target_uri"] for r in deep.collect()} == {
+        "https://e.com/top",
+        "https://e.com/deep",
+    }
