@@ -27,6 +27,17 @@ end and puts every stage under the external DuckDB oracle:
 * ``q_crawl_funnel``    — the end-to-end funnel: fetched -> HTTP 200
   -> text/html -> extracted-text length gate -> canonical-URL dedup,
   one row of stage counts.
+* ``q_robots_filter``   — RFC 9309 robots.txt rule matching as
+  composed built-ins (parse from-spec, longest-pattern-wins).
+* ``q_crawl_link_graph`` / ``q_crawl_pagerank`` — the WAT-derivative
+  pass: anchors parsed per page, in-degree profile and fixed-point
+  integer PageRank over the resulting directed graph.
+* ``multimodal_crawl_images`` — image/png responses decoded by the
+  from-spec PNG codec against an analytically-integrated pixel oracle.
+* ``stream_crawl_ingest`` / ``stream_url_frontier`` /
+  ``stream_crawl_to_delta`` — the streaming twins (streaming/crawl.py):
+  exactly-once landing-directory funnel, stateful canonical-URL
+  revisit dedup, and per-batch atomic Delta corpus delivery.
 
 No reference parity (columnq has no web-ingestion surface) — this is
 training-data-pipeline extension surface.

@@ -1,6 +1,12 @@
-"""Streaming crawl ingestion: a Structured Streaming query over a
-directory that crawl archives LAND in, delivering parsed + extracted
-funnel rows per new WARC file, exactly once.
+"""Streaming crawl ingestion: Structured Streaming queries over a
+directory that crawl archives LAND in — three operators sharing the
+binaryFile file-stream cursor (exactly-once per-file delivery):
+
+* ``stream_crawl_ingest``   — parsed + extracted funnel rows per batch
+* ``stream_url_frontier``   — stateful first-seen/revisit classification
+  keyed on the canonical URL (applyInPandasWithState)
+* ``stream_crawl_to_delta`` — corpus delivery: filtered, batch-deduped
+  documents appended to a Delta table, one atomic commit per batch
 
 No reference parity (roapi has no streaming surface at all) — this is
 the streaming twin of the batch crawl funnel (functions/pipeline14.py):
