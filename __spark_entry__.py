@@ -267,6 +267,12 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
                     full = os.path.join(root, name)
                     zf.write(full, os.path.relpath(full, _REPO_ROOT))
     spark.sparkContext.addPyFile(zpath)
+    # addPyFile copies the archive into Spark's own file-server dir;
+    # the staging zip is disposable immediately
+    try:
+        os.unlink(zpath)
+    except OSError:
+        pass
     _SHIPPED.add(app)
 
 

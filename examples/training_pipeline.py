@@ -2,7 +2,10 @@
 the chain a pretraining data team runs, composed from the registered
 building blocks and staged as parquet snapshots:
 
-  stage 0  crawl ingest     (opt-in) WARC scan -> robots/blocklist ->\n                            HTML extraction -> canonical-URL dedup ->\n                            documents snapshot (run(from_crawl=True))\n  stage 1  quality gate     text_quality_logit keep + contamination drop
+  stage 0  crawl ingest     (opt-in) WARC scan -> robots/blocklist ->
+                            HTML extraction -> canonical-URL dedup ->
+                            documents snapshot (run(from_crawl=True))
+  stage 1  quality gate     text_quality_logit keep + contamination drop
   stage 2  dedup            exact representative + LSH near-dup
                             representative (connected components)
   stage 2b span rewrite     dedup_span_rewrite cuts the duplicated

@@ -306,13 +306,12 @@ def _canon_sql(col: str) -> str:
     # COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
     # array_join([]) is '' — found by tests/test_web_fuzz.py, and it
     # would null the whole concatenation for all-tracking query strings
+    from roapi_spark.functions.web import tracking_filter_sql
+
     q = (
         f"COALESCE(array_to_string(list_sort(list_filter("
         f"string_split({qs}, '&'), "
-        f"x -> x <> '' AND NOT starts_with(x, 'utm_') "
-        f"AND NOT starts_with(x, 'fbclid') "
-        f"AND NOT starts_with(x, 'gclid') "
-        f"AND NOT starts_with(x, 'msclkid'))), '&'), '')"
+        f"x -> {tracking_filter_sql('x')})), '&'), '')"
     )
     return (
         f"{scheme} || '://' || {host} || {path} || "

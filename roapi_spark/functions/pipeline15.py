@@ -83,8 +83,11 @@ _SKS = [
 ]
 
 # adjacent word pairs joined by '_' — the training unit (both engines)
+# greatest(...) guard: a letter-free document tokenizes to [] and
+# slice(l, 1, -1) throws — the guard makes it an empty pair list, the
+# same result the DuckDB range(1, len(l)) side produces
 _PAIRS_SPARK = (
-    "transform(slice(l, 1, size(l)-1), (x, i) -> "
+    "transform(slice(l, 1, greatest(size(l)-1, 0)), (x, i) -> "
     "substring(concat(x, '_', element_at(l, i+2)), 1, {mw}))"
 ).format(mw=MAX_W)
 _PAIRS_DUCK = (

@@ -130,8 +130,18 @@ _SUFFIX_ALT = "|".join(s.replace(".", "\\.") for s in _MULTI_SUFFIXES)
 _DOM3_RE = f"([^.]+\\.(?:{_SUFFIX_ALT}))$"
 _DOM2_RE = "([^.]+\\.[^.]+)$"
 
-# tracking query parameters stripped during canonicalization
-_TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid")
+# tracking query parameters stripped during canonicalization — the
+# SINGLE source for both engines: url_query_canonical derives the Spark
+# lambda and tracking_filter_sql the DuckDB mirror from this tuple
+TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid")
+
+
+def tracking_filter_sql(var: str = "x") -> str:
+    """DuckDB list_filter predicate body matching url_query_canonical."""
+    conds = " ".join(
+        f"AND NOT starts_with({var}, '{p}')" for p in TRACKING_PREFIXES
+    )
+    return f"{var} <> '' {conds}"
 
 
 def url_scheme(url: Column) -> Column:
@@ -162,15 +172,14 @@ def url_query_canonical(url: Column) -> Column:
     """Query string with tracking params removed and the rest sorted
     bytewise — order-insensitive equality for URL dedup."""
     qs = F.regexp_extract(url, r"\?([^#]*)", 1)
-    params = F.filter(
-        F.split(qs, "&"),
-        lambda p: (p != "")
-        & (~p.startswith("utm_"))
-        & (~p.startswith("fbclid"))
-        & (~p.startswith("gclid"))
-        & (~p.startswith("msclkid")),
-    )
-    return F.array_join(F.array_sort(params), "&")
+
+    def keep(p: Column) -> Column:
+        cond = p != ""
+        for prefix in TRACKING_PREFIXES:
+            cond = cond & (~p.startswith(prefix))
+        return cond
+
+    return F.array_join(F.array_sort(F.filter(F.split(qs, "&"), keep)), "&")
 
 
 def canonical_url(url: Column) -> Column:
@@ -243,9 +252,14 @@ def parse_robots(txt: str, user_agent: str) -> list[tuple[bool, str]]:
     wildcard: list[tuple[bool, str]] = []
     group_uas: list[str] = []
     in_rules = False
+    saw_specific = False  # a group NAMING the UA overrides '*' even if
+    # its only rules are empty-Disallow (RFC 9309: rule-free group =
+    # everything allowed for that agent)
 
     def sink() -> list[tuple[bool, str]] | None:
+        nonlocal saw_specific
         if ua in group_uas:
+            saw_specific = True
             return specific
         if "*" in group_uas:
             return wildcard
@@ -265,12 +279,11 @@ def parse_robots(txt: str, user_agent: str) -> list[tuple[bool, str]]:
             group_uas.append(value.lower())
         elif key in ("allow", "disallow"):
             in_rules = True
-            if value == "":
+            dest = sink()  # marks the group seen even for empty values
+            if value == "" or dest is None:
                 continue  # empty pattern matches nothing (allow-all)
-            dest = sink()
-            if dest is not None:
-                dest.append((key == "allow", value))
-    return specific if specific else wildcard
+            dest.append((key == "allow", value))
+    return specific if saw_specific else wildcard
 
 
 def _robots_regex(pattern: str) -> str:
@@ -320,9 +333,13 @@ def robots_allowed_sql(path_expr: str, rules: list[tuple[bool, str]]) -> str:
     """DuckDB mirror of robots_allowed_col, generated from the same
     parsed rule list."""
     def side(want_allow: bool) -> str:
+        # robots.txt is untrusted crawled content: double any single
+        # quote so a pattern like /o'brien cannot terminate (or inject
+        # into) the generated SQL literal
         lens = [
             f"(CASE WHEN regexp_matches({path_expr}, "
-            f"'{_robots_regex(p)}') THEN {len(p)} ELSE -1 END)"
+            f"'{_robots_regex(p).replace(chr(39), chr(39) * 2)}') "
+            f"THEN {len(p)} ELSE -1 END)"
             for allow, p in rules
             if allow == want_allow
         ]

@@ -219,10 +219,12 @@ def parse_warc_bytes(data: bytes, name: str) -> Iterator[dict]:
     yield from iter_records(io.BufferedReader(raw), name)
 
 
-def read_warc_file(path: str) -> Iterator[dict]:
+def read_warc_file(path: str, label: str | None = None) -> Iterator[dict]:
     """Open one .warc / .warc.gz file and yield its records (streaming —
     constant memory in the file size). Compression is sniffed from the
-    gzip magic, never the extension."""
+    gzip magic, never the extension. ``label`` becomes ``warc_file`` —
+    callers doing recursive discovery pass the root-relative path so
+    same-named files in different segments stay distinguishable."""
     with open(path, "rb") as probe:
         is_gz = probe.read(2) == _GZ_MAGIC
     raw: io.BufferedIOBase
@@ -231,7 +233,9 @@ def read_warc_file(path: str) -> Iterator[dict]:
     else:
         raw = open(path, "rb")
     try:
-        yield from iter_records(io.BufferedReader(raw), os.path.basename(path))
+        yield from iter_records(
+            io.BufferedReader(raw), label or os.path.basename(path)
+        )
     finally:
         raw.close()
 
@@ -281,11 +285,16 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
         [(p,) for p in files], "path string"
     ).repartition(len(files), "path")
 
+    root = ts.uri if os.path.isdir(ts.uri) else None
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         buf: list[dict] = []
         for pdf in batches:
             for p in pdf["path"]:
-                for rec in read_warc_file(p):
+                # root-relative label: segments/00/data.warc.gz and
+                # segments/01/data.warc.gz must not collapse
+                label = os.path.relpath(p, root) if root else None
+                for rec in read_warc_file(p, label):
                     if types and rec["warc_type"] not in types:
                         continue
                     buf.append(rec)

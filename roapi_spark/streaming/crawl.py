@@ -33,6 +33,7 @@ reason.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -219,6 +220,38 @@ def stream_url_frontier(
     )
 
 
+
+def _last_delivered_epoch(table_path: str, query_name: str) -> int | None:
+    """Latest epochId this query committed to the table (Delta txn
+    idempotency): scan commit files NEWEST first and return the first
+    commitInfo carrying our queryId. Commits are KB-scale json lines;
+    the scan stops at the most recent match, so steady-state cost is
+    one file read."""
+    import json
+
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        return None
+    versions = sorted(
+        (n for n in os.listdir(log_dir) if n.endswith(".json")), reverse=True
+    )
+    for name in versions:
+        try:
+            with open(os.path.join(log_dir, name)) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    info = json.loads(line).get("commitInfo")
+                    if info is None:
+                        continue
+                    params = info.get("operationParameters") or {}
+                    if params.get("queryId") == query_name:
+                        return int(params["epochId"])
+                    break  # commitInfo is the first action; not ours
+        except (OSError, ValueError, KeyError):
+            continue  # unreadable/foreign commit: keep scanning
+    return None
+
 def stream_crawl_to_delta(
     spark: SparkSession,
     landing_dir: str,
@@ -235,10 +268,15 @@ def stream_crawl_to_delta(
     writer, so the corpus table is readable mid-stream by any Delta
     client and by the CDF-based incremental consumers downstream.
 
-    Exactly-once: the file-stream checkpoint gives at-most-once file
-    delivery per query; a batch that fails mid-append is retried by the
-    engine and the delta writer's atomic O_EXCL commit keeps partial
-    output invisible."""
+    Exactly-once end to end: the file-stream checkpoint gives
+    per-file delivery, and the APPEND itself is idempotent via the
+    Delta txn pattern — every commit records (queryId, epochId) in its
+    commitInfo, and a replayed batch (crash between the Delta commit
+    and the checkpoint commit) is detected and skipped by comparing
+    against the table's latest delivered epoch for this queryId. The
+    contract mirrors delta-spark's streaming sink: checkpoint and table
+    move together; restarting with a FRESH checkpoint against an
+    already-delivered table requires a new query_name."""
     from pyspark.sql import functions as F
 
     from roapi_spark.functions.web import canonical_url
@@ -252,6 +290,9 @@ def stream_crawl_to_delta(
     )
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = _last_delivered_epoch(table_path, query_name)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: its commit already landed
         flags = batch_df.mapInPandas(
             _parse_extract_kernel(include_text=True),
             FLAGS_SCHEMA + ", extracted string",
@@ -279,7 +320,16 @@ def stream_crawl_to_delta(
         docs = docs.persist()
         try:
             if docs.take(1):
-                write_delta(docs, table_path, mode="append")
+                write_delta(
+                    docs,
+                    table_path,
+                    mode="append",
+                    operation="STREAMING UPDATE",
+                    operation_params={
+                        "queryId": query_name,
+                        "epochId": str(batch_id),
+                    },
+                )
         finally:
             docs.unpersist()
 

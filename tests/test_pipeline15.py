@@ -210,3 +210,22 @@ def test_viterbi_is_optimal_vs_singles_and_random_splits():
         assert best <= path_cost(w, list(w))  # all singles
         for _ in range(50):
             assert best <= path_cost(w, random_split(w, rng))
+
+
+def test_letter_free_docs_do_not_crash_pair_units(spark):
+    """A document with no ASCII letters tokenizes to [] — the pair
+    expression must yield an empty list, not a slice() error."""
+    from pyspark.sql import functions as F
+
+    from roapi_spark.functions.pipeline15 import _PAIRS_SPARK
+
+    df = spark.createDataFrame(
+        [("1234 !!!",), ("one",), ("two words",)], "text string"
+    ).select(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"),
+            lambda x: F.length(x) > 0,
+        ).alias("l")
+    )
+    pairs = df.select(F.expr(_PAIRS_SPARK).alias("p")).collect()
+    assert [len(r["p"]) for r in pairs] == [0, 0, 1]

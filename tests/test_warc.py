@@ -434,3 +434,47 @@ def test_recursive_directory_discovery(spark, tmp_path):
         "https://e.com/top",
         "https://e.com/deep",
     }
+
+
+def test_crawl_to_delta_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay semantics (Delta txn pattern): wiping the streaming
+    checkpoint and re-running the SAME query over an already-delivered
+    table must not duplicate rows or add commits — every batch's commit
+    carries (queryId, epochId) and replays are skipped."""
+    import shutil
+
+    from roapi_spark.sources.delta import _log_versions
+    from roapi_spark.streaming.crawl import stream_crawl_to_delta
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+    html = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<body><p>corpus text body</p></body>"
+    )
+    (landing / "w1.warc").write_bytes(
+        rec("response", "https://e.com/d/1", html)
+    )
+    q = stream_crawl_to_delta(spark, str(landing), table, ck, min_text=1)
+    q.processAllAvailable()
+    q.stop()
+    n1 = spark.read.parquet(table).count() if False else None
+    from roapi_spark.config import TableSource
+    from roapi_spark.sources import load_table
+
+    def snap():
+        df = load_table(
+            spark, TableSource(name="t", uri=table, format="delta")
+        )
+        return df.count(), len(_log_versions(table + "/_delta_log"))
+
+    rows_before, commits_before = snap()
+    assert rows_before == 1 and commits_before == 1
+
+    shutil.rmtree(ck)  # simulate lost checkpoint -> full re-delivery
+    q2 = stream_crawl_to_delta(spark, str(landing), table, ck, min_text=1)
+    q2.processAllAvailable()
+    q2.stop()
+    assert snap() == (rows_before, commits_before)

@@ -213,3 +213,31 @@ class TestDecodeHttpText:
         assert decode_http_text(b"\xff\xfe\x00ab", "text/html; charset=utf-8") is None
         # unknown charset
         assert decode_http_text(b"abc", "text/html; charset=shift_jis") is None
+
+
+def test_rule_free_specific_group_overrides_wildcard():
+    """RFC 9309: a group NAMING the crawler — even with only empty
+    Disallow lines — overrides the '*' group entirely."""
+    from roapi_spark.functions.web import parse_robots, robots_allowed
+
+    txt = "User-agent: mybot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    rules = parse_robots(txt, "mybot")
+    assert rules == []
+    assert robots_allowed("/anything", rules)
+
+
+def test_robots_sql_escapes_quotes():
+    import duckdb
+
+    from roapi_spark.functions.web import robots_allowed, robots_allowed_sql
+
+    rules = [(False, "/o'brien"), (True, "/")]
+    sql = robots_allowed_sql("p", rules)
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {sql} FROM (VALUES ('/o''brien/x'), ('/ok')) t(p)"
+    ).fetchall()
+    assert [bool(r[0]) for r in got] == [
+        robots_allowed("/o'brien/x", rules),
+        robots_allowed("/ok", rules),
+    ]
