@@ -254,12 +254,19 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
     app = spark.sparkContext.applicationId
     if app in _SHIPPED:
         return
+    import atexit
     import tempfile
     import zipfile
 
     pkg = os.path.join(_REPO_ROOT, "roapi_spark")
-    fd, zpath = tempfile.mkstemp(prefix="roapi_spark_", suffix=".zip")
-    os.close(fd)
+    # one stable path per process: local-mode task fetch RE-READS the
+    # source path and compares it against the userFiles copy, so the
+    # zip must outlive the session (unlink-after-addPyFile fails tasks
+    # with 'exists and does not match'); atexit reclaims it, and the
+    # per-pid name keeps repeated harness sessions from accumulating
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"roapi_spark_ship_{os.getpid()}.zip"
+    )
     with zipfile.ZipFile(zpath, "w") as zf:
         for root, _dirs, files in os.walk(pkg):
             for name in files:
@@ -267,13 +274,16 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
                     full = os.path.join(root, name)
                     zf.write(full, os.path.relpath(full, _REPO_ROOT))
     spark.sparkContext.addPyFile(zpath)
-    # addPyFile copies the archive into Spark's own file-server dir;
-    # the staging zip is disposable immediately
+    if not _SHIPPED:  # register the reaper once per process
+        atexit.register(lambda: _unlink_quiet(zpath))
+    _SHIPPED.add(app)
+
+
+def _unlink_quiet(path: str) -> None:
     try:
-        os.unlink(zpath)
+        os.unlink(path)
     except OSError:
         pass
-    _SHIPPED.add(app)
 
 
 _SHIPPED: set[str] = set()
