@@ -478,3 +478,31 @@ def test_crawl_to_delta_replay_is_idempotent(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert snap() == (rows_before, commits_before)
+
+
+def test_last_delivered_epoch_skips_foreign_commits(spark, tmp_path):
+    """The idempotency scan must find OUR query's newest epoch even when
+    other writers (another query, manual DML) committed after it, and
+    must return None for tables we never wrote."""
+    from pyspark.sql import Row
+
+    from roapi_spark.sinks.delta import write_delta
+    from roapi_spark.streaming.crawl import _last_delivered_epoch
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([Row(a=1)])
+    write_delta(df, table, mode="append",
+                operation="STREAMING UPDATE",
+                operation_params={"queryId": "q1", "epochId": "0"})
+    write_delta(df, table, mode="append",
+                operation="STREAMING UPDATE",
+                operation_params={"queryId": "q1", "epochId": "1"})
+    # a foreign writer lands AFTER our newest epoch
+    write_delta(df, table, mode="append")
+    write_delta(df, table, mode="append",
+                operation="STREAMING UPDATE",
+                operation_params={"queryId": "OTHER", "epochId": "9"})
+    assert _last_delivered_epoch(table, "q1") == 1
+    assert _last_delivered_epoch(table, "OTHER") == 9
+    assert _last_delivered_epoch(table, "never-wrote") is None
+    assert _last_delivered_epoch(str(tmp_path / "missing"), "q1") is None
