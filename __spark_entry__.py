@@ -259,13 +259,17 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
     import zipfile
 
     pkg = os.path.join(_REPO_ROOT, "roapi_spark")
-    # one stable path per process: local-mode task fetch RE-READS the
-    # source path and compares it against the userFiles copy, so the
+    # one stable path per (process, app): local-mode task fetch RE-READS
+    # the source path and compares it against the userFiles copy, so the
     # zip must outlive the session (unlink-after-addPyFile fails tasks
-    # with 'exists and does not match'); atexit reclaims it, and the
-    # per-pid name keeps repeated harness sessions from accumulating
+    # with 'exists and does not match') AND must be immutable for the
+    # app that registered it — a second SparkSession in the same process
+    # rewriting a pid-only path would trip that same check if the
+    # package source changed in between. atexit reaps each one.
+    safe_app = "".join(c if c.isalnum() or c in "-_" else "_" for c in app)
     zpath = os.path.join(
-        tempfile.gettempdir(), f"roapi_spark_ship_{os.getpid()}.zip"
+        tempfile.gettempdir(),
+        f"roapi_spark_ship_{os.getpid()}_{safe_app}.zip",
     )
     with zipfile.ZipFile(zpath, "w") as zf:
         for root, _dirs, files in os.walk(pkg):
@@ -274,8 +278,7 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
                     full = os.path.join(root, name)
                     zf.write(full, os.path.relpath(full, _REPO_ROOT))
     spark.sparkContext.addPyFile(zpath)
-    if not _SHIPPED:  # register the reaper once per process
-        atexit.register(lambda: _unlink_quiet(zpath))
+    atexit.register(_unlink_quiet, zpath)  # one reaper per shipped zip
     _SHIPPED.add(app)
 
 

@@ -1204,6 +1204,7 @@ def multimodal_crawl_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "web", "delta"),
 )
 def stream_crawl_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
     import shutil
     import tempfile
 
@@ -1213,7 +1214,12 @@ def stream_crawl_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _warc_fixture_dir(spark, sf_dir)
     shards = sorted(os.listdir(src))
     landing = tempfile.mkdtemp(prefix="crawl_delta_landing_")
-    table = tempfile.mkdtemp(prefix="crawl_delta_table_") + "/corpus"
+    table_root = tempfile.mkdtemp(prefix="crawl_delta_table_")
+    # the returned DataFrame reads the table LAZILY, so the tmpdir must
+    # survive this call — reap it at process exit (same pattern as the
+    # worker-ship zip) so repeated gate runs don't accumulate tmpdirs
+    atexit.register(shutil.rmtree, table_root, ignore_errors=True)
+    table = table_root + "/corpus"
     try:
         for name in shards[: _N_SHARDS // 2]:
             shutil.copy(os.path.join(src, name), os.path.join(landing, name))
@@ -1251,8 +1257,8 @@ def stream_crawl_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         # the returned DataFrame reads the table LAZILY — only the
-        # landing dir is disposable here; the table tmpdir is left for
-        # the OS tmp reaper
+        # landing dir is disposable here; the table tmpdir is reaped by
+        # the atexit hook registered above
         shutil.rmtree(landing, ignore_errors=True)
 
 

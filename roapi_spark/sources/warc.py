@@ -253,10 +253,15 @@ def _list_files(uri: str, glob: str, recursive: bool = False) -> list[str]:
                 if fnmatch.fnmatch(n, glob)
             )
         else:
+            # isfile filter (mirrors the walk branch, which yields only
+            # files): a subdirectory named like the glob, or a writer's
+            # in-flight temp file that vanishes before the task opens
+            # it, must not fail the whole scan
             paths = [
-                os.path.join(uri, n)
+                p
                 for n in sorted(os.listdir(uri))
                 if fnmatch.fnmatch(n, glob)
+                and os.path.isfile(p := os.path.join(uri, n))
             ]
         if not paths:
             raise WarcFormatError(f"no {glob!r} files under {uri}")

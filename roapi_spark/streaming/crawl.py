@@ -238,18 +238,33 @@ def _last_delivered_epoch(table_path: str, query_name: str) -> int | None:
     for name in versions:
         try:
             with open(os.path.join(log_dir, name)) as f:
-                for line in f:
-                    if not line.strip():
-                        continue
-                    info = json.loads(line).get("commitInfo")
-                    if info is None:
-                        continue
-                    params = info.get("operationParameters") or {}
-                    if params.get("queryId") == query_name:
-                        return int(params["epochId"])
-                    break  # commitInfo is the first action; not ours
-        except (OSError, ValueError, KeyError):
-            continue  # unreadable/foreign commit: keep scanning
+                lines = f.readlines()
+        except OSError:
+            continue  # unreadable foreign commit: keep scanning
+        for line in lines:
+            if not line.strip():
+                continue
+            try:
+                info = json.loads(line).get("commitInfo")
+            except ValueError:
+                break  # unparseable foreign commit: next file
+            if info is None:
+                continue
+            params = info.get("operationParameters") or {}
+            if params.get("queryId") == query_name:
+                # OUR commit with a missing/garbled epochId must fail
+                # LOUD: skipping it would let the scan return an older
+                # epoch, and a replayed batch would then re-append —
+                # silent duplicate rows instead of idempotent delivery
+                try:
+                    return int(params["epochId"])
+                except (KeyError, TypeError, ValueError) as exc:
+                    raise ValueError(
+                        f"delta commit {name} carries queryId="
+                        f"{query_name!r} but no parseable epochId: "
+                        f"{params.get('epochId')!r}"
+                    ) from exc
+            break  # a foreign writer's commitInfo: not ours, next file
     return None
 
 def stream_crawl_to_delta(

@@ -195,6 +195,17 @@ def test_loader_directory_scan_and_types_filter(spark, tmp_path):
     assert {r["warc_type"] for r in only.collect()} == {"response"}
 
 
+def test_loader_skips_glob_matching_non_files(spark, tmp_path):
+    """A subdirectory whose NAME matches the glob (crawls nest
+    segments/) must not be opened as a WARC file in the flat scan."""
+    (tmp_path / "a.warc").write_bytes(golden())
+    (tmp_path / "seg.warc").mkdir()  # directory named like an archive
+    ts = TableSource(name="crawl", uri=str(tmp_path), format="warc")
+    assert {r["warc_file"] for r in load_table(spark, ts).collect()} == {
+        "a.warc"
+    }
+
+
 def test_loader_empty_dir_fails_loudly(spark, tmp_path):
     with pytest.raises(WarcFormatError, match="no '\\*.warc\\*' files"):
         load_table(
@@ -506,3 +517,28 @@ def test_last_delivered_epoch_skips_foreign_commits(spark, tmp_path):
     assert _last_delivered_epoch(table, "OTHER") == 9
     assert _last_delivered_epoch(table, "never-wrote") is None
     assert _last_delivered_epoch(str(tmp_path / "missing"), "q1") is None
+
+
+def test_last_delivered_epoch_garbled_own_commit_fails_loud(
+    spark, tmp_path
+):
+    """A commit carrying OUR queryId but no parseable epochId is a hard
+    error: silently scanning past it would return an older epoch, and a
+    replayed batch would re-append — duplicate rows, not idempotence."""
+    from pyspark.sql import Row
+
+    from roapi_spark.sinks.delta import write_delta
+    from roapi_spark.streaming.crawl import _last_delivered_epoch
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([Row(a=1)])
+    write_delta(df, table, mode="append",
+                operation="STREAMING UPDATE",
+                operation_params={"queryId": "q1", "epochId": "0"})
+    write_delta(df, table, mode="append",
+                operation="STREAMING UPDATE",
+                operation_params={"queryId": "q1"})  # epochId lost
+    with pytest.raises(ValueError, match="no parseable epochId"):
+        _last_delivered_epoch(table, "q1")
+    # other queries are unaffected by q1's garbled commit
+    assert _last_delivered_epoch(table, "q2") is None
