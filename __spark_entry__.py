@@ -274,7 +274,9 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
     with zipfile.ZipFile(zpath, "w") as zf:
         for root, _dirs, files in os.walk(pkg):
             for name in files:
-                if name.endswith(".py"):
+                # .dat: pinned data snapshots (public-suffix list) some
+                # modules load lazily — ship them alongside the code
+                if name.endswith((".py", ".dat")):
                     full = os.path.join(root, name)
                     zf.write(full, os.path.relpath(full, _REPO_ROOT))
     spark.sparkContext.addPyFile(zpath)

@@ -95,12 +95,64 @@ def _dup_url(doc_id: int, source: str) -> str:
     )
 
 
-def _html_page(doc_id: int, text: str, link_to: int | None = None) -> str:
-    # the cross-doc link lives in the FOOTER: chrome to the extractor
-    # (dropped by tag), signal to the link-graph pass
-    next_link = (
-        f'<a href="/link/{link_to}">next</a> ' if link_to is not None else ""
-    )
+# external hosts the cross-host footer link cycles through (by
+# doc_id % 6) — chosen to span PSL snapshot families so the host-graph
+# gate exercises registrable-domain keying, not just string equality
+_EXT_HOSTS = (
+    "news.example.co.uk",
+    "mirror.loja.com.br",
+    "docs.user1.github.io",
+    "archive.example.ac.in",
+    "static.demo.blogspot.com",
+    "data.example.gob.mx",
+)
+
+
+def _doc_link_href(doc_id: int, source: str, dst: int, dst_source: str) -> str:
+    """The cross-document footer href, in a doc_id-residue-chosen RFC
+    3986 reference form (absolute, protocol-relative, path-absolute
+    with tracking noise, dot-segmented relative, dot-segmented
+    absolute) — all resolving against the page's target URI to the same
+    canonical target, so the link-graph pass must do real reference
+    resolution, not href-shape matching."""
+    tail = f"{dst_source}/{dst}?b=2&a=1"
+    form = doc_id % 5
+    if form == 3 and doc_id % 13 == 5:
+        # %13 docs exist under TWO base URIs (primary + messy dup) with
+        # different base paths; a path-RELATIVE href would resolve
+        # differently per record — keep their href base-independent
+        form = 2
+    if form == 0:
+        href = f"https://crawl.example.com/{tail}"
+    elif form == 1:
+        href = f"//CRAWL.example.com/{tail}"  # protocol-relative + case
+    elif form == 2:
+        href = f"/{tail}&utm_campaign=footer"  # tracking noise
+    elif form == 3:
+        # path-relative with ../ — depth depends on the base path's
+        # trailing slash (%4 residue): /s/21 dir=/s/, /s/21/ dir=/s/21/
+        ups = "../" * (2 if doc_id % 4 == 1 else 1)
+        href = f"{ups}{tail}"
+    else:
+        href = f"/./{dst_source}/../{tail}"  # dot segments, absolute
+    if doc_id % 3 == 0:
+        href += "#sec"  # fragments drop during canonicalization
+    return href
+
+
+def _html_page(doc_id: int, text: str, link_to: int | None = None,
+               link_href: str | None = None) -> str:
+    # the cross-doc + cross-host links live in the FOOTER: chrome to
+    # the extractor (dropped by tag), signal to the link-graph pass
+    next_link = ""
+    if link_href is not None:
+        ext = _EXT_HOSTS[doc_id % len(_EXT_HOSTS)]
+        next_link = (
+            f'<a href="{link_href}">next</a> '
+            f'<a href="https://{ext}/partner/{doc_id}">partner</a> '
+        )
+    elif link_to is not None:
+        next_link = f'<a href="/link/{link_to}">next</a> '
     return (
         "<!DOCTYPE html>\n"
         f"<html><head><title>doc {doc_id}</title>\n"
@@ -143,7 +195,8 @@ def _http_response(status: int, ctype: str, body: bytes) -> bytes:
 
 
 def _response_record(
-    doc_id: int, source: str, text: str, uri: str, link_to: int | None = None
+    doc_id: int, source: str, text: str, uri: str,
+    link_href: str | None = None,
 ) -> bytes:
     if doc_id % 11 == 3:
         status, ctype = 404, "text/html; charset=utf-8"
@@ -153,7 +206,7 @@ def _response_record(
         body = text.encode()
     else:
         status, ctype = 200, "text/html; charset=utf-8"
-        body = _html_page(doc_id, text, link_to).encode()
+        body = _html_page(doc_id, text, link_href=link_href).encode()
     return _warc_record(
         "response",
         uri,
@@ -174,7 +227,7 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
 
     src = os.path.join(sf_dir, "documents.parquet")
-    out = snapshot_cache_dir(src, "warc-v3")
+    out = snapshot_cache_dir(src, "warc-v4")
     names = tuple(
         f"docs-{s:02d}.warc" + (".gz" if s % 2 == 0 else "")
         for s in range(_N_SHARDS)
@@ -199,10 +252,12 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         )
         shards: list[list[bytes]] = [[info] for _ in range(_N_SHARDS)]
         n_docs = len(rows)
+        src_of = {r[0]: r[1] for r in rows}
         for r in rows:
             doc_id, source, text = r[0], r[1], r[2]
             uri = _raw_url(doc_id, source)
             link_to = (doc_id * 7) % n_docs  # functional link graph
+            href = _doc_link_href(doc_id, source, link_to, src_of[link_to])
             recs = []
             if doc_id % 10 == 0:
                 recs.append(
@@ -215,13 +270,13 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
                     )
                 )
             recs.append(
-                _response_record(doc_id, source, text, uri, link_to)
+                _response_record(doc_id, source, text, uri, href)
             )
             if doc_id % 13 == 5:
                 recs.append(
                     _response_record(
                         doc_id, source, text, _dup_url(doc_id, source),
-                        link_to,
+                        href,
                     )
                 )
             shards[doc_id % _N_SHARDS].extend(recs)
@@ -609,13 +664,11 @@ _HOSTS = (
 )
 _BLOCKLIST = ("tracker.net",)
 
-_DOM_SQL = (
-    "CASE WHEN regexp_matches(host, "
-    "'\\.(?:co\\.uk|org\\.uk|ac\\.uk|com\\.au|co\\.jp)$') "
-    "THEN regexp_extract(host, "
-    "'([^.]+\\.(?:co\\.uk|org\\.uk|ac\\.uk|com\\.au|co\\.jp))$', 1) "
-    "ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END"
-)
+from roapi_spark.functions.web import registrable_domain_sql  # noqa: E402
+
+# generated from the SAME pinned public-suffix snapshot the Spark
+# expression reads — the two engines cannot disagree on a suffix rule
+_DOM_SQL = registrable_domain_sql("host")
 
 
 @register(
@@ -1265,44 +1318,78 @@ def stream_crawl_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- q_crawl_link_graph ----------------------------------------------------
 
 
-def _crawl_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(src, dst) doc-id edges parsed from the fixture's HTML pages:
-    the links kernel walks every anchor; chrome links are filtered by
-    the intra-corpus href shape."""
-    resp = _read_warc(spark, sf_dir, types="response").filter(
-        ~F.col("target_uri").contains("utm_medium=x")  # %13 dup records
+def _crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERAL WAT pass, stage 1: every anchor of every fetched
+    HTML page, RESOLVED against the page's WARC-Target-URI (RFC 3986 §5
+    reference resolution — functions/web.resolve_url handles absolute,
+    protocol-relative, path-absolute, dot-segmented and path-relative
+    hrefs) — no href-shape assumptions anywhere. Pages are deduplicated
+    on their canonical URL first, so re-crawled records contribute one
+    page each. Returns (src_canon, dst_canon): canonical source page ->
+    canonical resolved target."""
+    resp = _read_warc(spark, sf_dir, types="response").withColumn(
+        "canon", canonical_url(F.col("target_uri"))
     )
+    html = resp.filter(
+        (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+    ).dropDuplicates(["canon"])
 
     def kernel(batches):
         import pandas as pd
 
-        from roapi_spark.functions.web import decode_http_text, extract_links
+        from roapi_spark.functions.web import (
+            decode_http_text,
+            extract_links,
+            resolve_url,
+        )
 
         for pdf in batches:
             out = []
-            for uri, status, ctype, payload in zip(
+            for canon, uri, ctype, payload in zip(
+                pdf["canon"],
                 pdf["target_uri"],
-                pdf["http_status"],
                 pdf["http_content_type"],
                 pdf["payload"],
             ):
-                if status != 200 or not str(ctype or "").startswith(
-                    "text/html"
-                ):
-                    continue
                 raw = decode_http_text(bytes(payload), ctype)
                 if raw is None:
                     continue
                 for href in extract_links(raw):
-                    out.append({"src_uri": uri, "href": href})
-            yield pd.DataFrame(out, columns=["src_uri", "href"])
+                    out.append(
+                        {"src_canon": canon,
+                         "resolved": resolve_url(uri, href)}
+                    )
+            yield pd.DataFrame(out, columns=["src_canon", "resolved"])
 
-    links = resp.mapInPandas(kernel, "src_uri string, href string")
-    return links.filter(F.col("href").rlike(r"^/link/\d+$")).select(
-        F.regexp_extract("src_uri", r"://[^/]+/[^/]+/(\d+)", 1)
+    links = html.select(
+        "canon", "target_uri", "http_content_type", "payload"
+    ).mapInPandas(kernel, "src_canon string, resolved string")
+    return links.withColumn(
+        "dst_canon", canonical_url(F.col("resolved"))
+    ).select("src_canon", "dst_canon")
+
+
+def _crawl_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) doc-id edges: the general link pass restricted to the
+    CRAWLED SET — a resolved target is an intra-corpus edge iff its
+    canonical form is itself a fetched page (left-semi join against the
+    canonical page set), which is how a real WAT pass separates corpus
+    links from chrome/external ones; no href-shape regex. The final
+    canonical->doc_id mapping uses the fixture's URL layout (gate glue,
+    same as every other gate's id recovery)."""
+    resp = _read_warc(spark, sf_dir, types="response")
+    page_set = (
+        resp.select(canonical_url(F.col("target_uri")).alias("dst_canon"))
+        .distinct()
+    )
+    links = _crawl_links(spark, sf_dir)
+    intra = links.join(F.broadcast(page_set), "dst_canon", "left_semi")
+    return intra.select(
+        F.regexp_extract("src_canon", r"://[^/]+/[^/]+/(\d+)", 1)
         .cast("bigint")
         .alias("src"),
-        F.regexp_extract("href", r"^/link/(\d+)$", 1)
+        F.regexp_extract("dst_canon", r"://[^/]+/[^/]+/(\d+)", 1)
         .cast("bigint")
         .alias("dst"),
     )
@@ -1329,20 +1416,25 @@ def _crawl_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(dst) AS BIGINT) AS min_dst
     FROM indeg
     """,
-    doc="Crawl link-graph extraction (the WAT-derivative pass): every "
-    "HTML page in the WARC fixture carries one cross-document footer "
-    "link following a functional map (dst = 7*src mod N); the links "
-    "kernel parses ALL anchors per page (functions/web.extract_links), "
-    "the chrome links (nav/sidebar/privacy) are filtered by the "
-    "intra-corpus link shape, and the in-degree profile of the "
-    "resulting graph — edge count, distinct targets, max in-degree, "
-    "degree-weighted target sum — must match the oracle's closed-form "
-    "replay of the functional map over the live pages. Duplicate-URL "
-    "records (%13) are excluded so each page contributes exactly one "
-    "edge. Plan: streaming WARC scan -> Arrow-batched link parse (no "
-    "shuffle) -> codegen'd filter/extract -> one hash agg on dst — at "
-    "100 TB this is the host-graph build that feeds PageRank-style "
-    "quality priors, and the shuffle key is the target id.",
+    doc="Crawl link-graph extraction (the GENERAL WAT pass): every "
+    "HTML page carries one cross-document footer link following a "
+    "functional map (dst = 7*src mod N), emitted in doc_id-residue-"
+    "varied RFC 3986 reference forms (absolute, protocol-relative, "
+    "path-absolute with tracking noise, ../-relative, dot-segmented); "
+    "the links kernel parses ALL anchors (functions/web.extract_links), "
+    "RESOLVES each against the page's target URI (web.resolve_url, "
+    "RFC 3986 §5), canonicalizes, and keeps intra-corpus edges by a "
+    "left-semi join against the canonical page set — chrome and "
+    "external links drop out because they are not fetched pages, not "
+    "because of any href-shape regex. The in-degree profile must match "
+    "the oracle's closed-form replay of the functional map over live "
+    "pages; any resolution or canonicalization error lands the edge "
+    "outside the page set and shifts a count. Duplicate-URL records "
+    "(%13) collapse via canonical page dedup. Plan: streaming WARC "
+    "scan -> Arrow-batched parse+resolve (no shuffle) -> codegen'd "
+    "canonicalization -> broadcast semi join on the page set -> one "
+    "hash agg on dst; at 100 TB the page-set join becomes a shuffle "
+    "join keyed on the canonical URL — still one corpus scan.",
     tags=("web", "graph"),
 )
 def q_crawl_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -122,13 +122,59 @@ def extract_main_text(html: str) -> str:
     return " ".join(p.blocks)
 
 
-# registrable-domain: last two host labels, or three under a multi-label
-# public suffix (a deliberately small, documented subset — a full PSL is
-# a data file, not logic; the expression shape is what matters)
-_MULTI_SUFFIXES = ("co.uk", "org.uk", "ac.uk", "com.au", "co.jp")
-_SUFFIX_ALT = "|".join(s.replace(".", "\\.") for s in _MULTI_SUFFIXES)
-_DOM3_RE = f"([^.]+\\.(?:{_SUFFIX_ALT}))$"
+# registrable-domain: the public-suffix rules are DATA (a pinned
+# snapshot of publicsuffix.org entries shipped next to this module),
+# not logic — the expressions below are composed from whatever that
+# file says, so swapping in a fuller snapshot changes no code. Loading
+# is LAZY and driver-only: mapInPandas kernels import this module on
+# workers for the HTML parsers, and must not require the data file.
+_PSL_FILE = "public_suffix_snapshot.dat"
 _DOM2_RE = "([^.]+\\.[^.]+)$"
+
+
+def load_public_suffixes() -> dict[int, tuple[str, ...]]:
+    """Exact public-suffix rules from the pinned snapshot, grouped by
+    label count (2-label: co.uk; 3-label: k12.ca.us), memoized. Rejects
+    wildcard/exception rules loudly — the snapshot keeps exact rules
+    only, so a full PSL dump can't silently half-apply."""
+    cached = load_public_suffixes.__dict__.get("rules")
+    if cached is not None:
+        return cached
+    import os as _os
+
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         _PSL_FILE)
+    rules: dict[int, list[str]] = {2: [], 3: []}
+    with open(path, encoding="utf-8") as f:
+        for raw in f:
+            line = raw.strip()
+            if not line or line.startswith("//"):
+                continue
+            if line.startswith(("*", "!")):
+                raise ValueError(
+                    f"{_PSL_FILE}: wildcard/exception rule {line!r} not "
+                    "supported by this snapshot loader"
+                )
+            n = line.count(".") + 1
+            if n == 1:
+                continue  # single-label suffixes are the default rule
+            if n not in rules:
+                raise ValueError(
+                    f"{_PSL_FILE}: {line!r} has {n} labels; loader "
+                    "supports 2- and 3-label exact rules"
+                )
+            rules[n].append(line.lower())
+    out = {n: tuple(sorted(set(v))) for n, v in rules.items()}
+    load_public_suffixes.__dict__["rules"] = out
+    return out
+
+
+def _suffix_alt(n_labels: int) -> str:
+    """Regex alternation over the n-label suffixes — identical source
+    for the Spark expression and the DuckDB oracle mirror."""
+    return "|".join(
+        s.replace(".", "\\.") for s in load_public_suffixes()[n_labels]
+    )
 
 # tracking query parameters stripped during canonicalization — the
 # SINGLE source for both engines: url_query_canonical derives the Spark
@@ -198,10 +244,132 @@ def canonical_url(url: Column) -> Column:
 
 
 def registrable_domain(host: Column) -> Column:
-    return F.when(
-        host.rlike(f"\\.(?:{_SUFFIX_ALT})$"),
-        F.regexp_extract(host, _DOM3_RE, 1),
-    ).otherwise(F.regexp_extract(host, _DOM2_RE, 1))
+    """Registrable domain (eTLD+1): suffix + one label, longest matching
+    suffix rule first (3-label beats 2-label beats the implicit 1-label
+    default) — the PSL match algorithm over the pinned snapshot's exact
+    rules. Pure composed built-ins: the alternations compile once per
+    task and the column stays codegen'd and shuffle-key-safe."""
+    alt3, alt2 = _suffix_alt(3), _suffix_alt(2)
+    return (
+        F.when(
+            host.rlike(f"\\.(?:{alt3})$"),
+            F.regexp_extract(host, f"([^.]+\\.(?:{alt3}))$", 1),
+        )
+        .when(
+            host.rlike(f"\\.(?:{alt2})$"),
+            F.regexp_extract(host, f"([^.]+\\.(?:{alt2}))$", 1),
+        )
+        .otherwise(F.regexp_extract(host, _DOM2_RE, 1))
+    )
+
+
+def registrable_domain_sql(host_expr: str) -> str:
+    """DuckDB mirror of registrable_domain, generated from the SAME
+    snapshot file so the two engines can never disagree on a rule."""
+    alt3, alt2 = _suffix_alt(3), _suffix_alt(2)
+    return (
+        f"CASE WHEN regexp_matches({host_expr}, '\\.(?:{alt3})$') "
+        f"THEN regexp_extract({host_expr}, '([^.]+\\.(?:{alt3}))$', 1) "
+        f"WHEN regexp_matches({host_expr}, '\\.(?:{alt2})$') "
+        f"THEN regexp_extract({host_expr}, '([^.]+\\.(?:{alt2}))$', 1) "
+        f"ELSE regexp_extract({host_expr}, '{_DOM2_RE}', 1) END"
+    )
+
+
+# --- RFC 3986 §5: reference resolution (urljoin semantics) ------------------
+#
+# From-spec implementation used by the crawl link-graph pass to resolve
+# every anchor href (absolute, protocol-relative, path-absolute,
+# path-relative, dot-segmented, query/fragment-only) against the page's
+# WARC-Target-URI. Pure per-row Python applied inside the Arrow-batched
+# links kernel — resolution output feeds the JVM-side canonical_url, so
+# the shuffle keys downstream stay codegen'd. Pinned to the RFC §5.4
+# normal + abnormal reference examples in tests/test_web_extract.py.
+
+import re as _re_mod
+
+# RFC 3986 appendix B: the URI-splitting regex, verbatim shape
+_URI_SPLIT = _re_mod.compile(
+    r"^(?:([A-Za-z][A-Za-z0-9+.\-]*):)?(?://([^/?#]*))?"
+    r"([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+)
+
+
+def _split_uri(uri: str):
+    """(scheme, authority, path, query, fragment); absent parts None
+    (path: empty string), per RFC 3986 §3."""
+    m = _URI_SPLIT.match(uri)
+    return m.group(1), m.group(2), m.group(3) or "", m.group(4), m.group(5)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4, the five-case loop verbatim."""
+    out: list[str] = []
+    inp = path
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            cut = inp.find("/", 1)  # first segment incl. any leading '/'
+            if cut == -1:
+                out.append(inp)
+                inp = ""
+            else:
+                out.append(inp[:cut])
+                inp = inp[cut:]
+    return "".join(out)
+
+
+def resolve_url(base: str, ref: str) -> str:
+    """Resolve ``ref`` against ``base`` — RFC 3986 §5.2.2 (strict) +
+    §5.2.3 path merge + §5.3 recomposition."""
+    b_s, b_a, b_p, b_q, _b_f = _split_uri(base)
+    r_s, r_a, r_p, r_q, r_f = _split_uri(ref)
+    if r_s is not None:
+        s, a, p, q = r_s, r_a, _remove_dot_segments(r_p), r_q
+    elif r_a is not None:
+        s, a, p, q = b_s, r_a, _remove_dot_segments(r_p), r_q
+    elif r_p == "":
+        s, a, p = b_s, b_a, b_p
+        q = r_q if r_q is not None else b_q
+    else:
+        s, a = b_s, b_a
+        if r_p.startswith("/"):
+            p = _remove_dot_segments(r_p)
+        elif b_a is not None and b_p == "":
+            p = _remove_dot_segments("/" + r_p)
+        else:
+            cut = b_p.rfind("/")
+            merged = (b_p[: cut + 1] if cut >= 0 else "") + r_p
+            p = _remove_dot_segments(merged)
+        q = r_q
+    parts = []
+    if s is not None:
+        parts.append(s + ":")
+    if a is not None:
+        parts.append("//" + a)
+    parts.append(p)
+    if q is not None:
+        parts.append("?" + q)
+    if r_f is not None:
+        parts.append("#" + r_f)
+    return "".join(parts)
 
 
 def decode_http_text(payload: bytes, content_type: str | None) -> str | None:

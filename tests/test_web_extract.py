@@ -92,6 +92,19 @@ DOMAIN_CASES = [
     ("blog.example.co.uk", "example.co.uk"),
     ("www.example.com.au", "example.com.au"),
     ("couk.example.net", "example.net"),  # suffix match is anchored
+    # PSL-snapshot families beyond the original hand tuple
+    ("shop.loja.com.br", "loja.com.br"),
+    ("x.example.co.in", "example.co.in"),
+    ("media.example.com.tr", "example.com.tr"),
+    ("www.example.gob.mx", "example.gob.mx"),
+    # private-section platform suffixes
+    ("user1.github.io", "user1.github.io"),
+    ("deep.user1.github.io", "user1.github.io"),
+    ("demo.blogspot.com", "demo.blogspot.com"),
+    # 3-label rules beat 2-label rules (longest suffix wins)
+    ("pupil.k12.ca.us", "pupil.k12.ca.us"),
+    ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+    ("city.ca.us", "city.ca.us"),  # 2-label ca.us still applies
 ]
 
 
@@ -101,6 +114,112 @@ def test_registrable_domain(spark):
     ).select("h", registrable_domain(F.col("h")).alias("d"))
     got = {r["h"]: r["d"] for r in df.collect()}
     assert got == dict(DOMAIN_CASES)
+
+
+def test_registrable_domain_sql_mirror():
+    """The DuckDB mirror is generated from the same snapshot file — the
+    two engines must map every case identically."""
+    import duckdb
+
+    from roapi_spark.functions.web import registrable_domain_sql
+
+    con = duckdb.connect()
+    sql = registrable_domain_sql("h")
+    for host, want in DOMAIN_CASES:
+        got = con.execute(
+            f"SELECT {sql} FROM (SELECT '{host}' AS h)"
+        ).fetchone()[0]
+        assert got == want, (host, got, want)
+
+
+def test_psl_snapshot_loader():
+    from roapi_spark.functions.web import load_public_suffixes
+
+    rules = load_public_suffixes()
+    assert "co.uk" in rules[2] and "github.io" in rules[2]
+    assert "k12.ca.us" in rules[3] and "s3.amazonaws.com" in rules[3]
+    # ≥10 distinct TLD families represented among the 2-label rules
+    assert len({s.rsplit(".", 1)[1] for s in rules[2]}) >= 10
+
+
+# RFC 3986 §5.4 reference-resolution examples (base = §5.4 base URI);
+# includes the §5.4.2 abnormal cases
+RFC3986_BASE = "http://a/b/c/d;p?q"
+RFC3986_CASES = [
+    ("g", "http://a/b/c/g"),
+    ("./g", "http://a/b/c/g"),
+    ("g/", "http://a/b/c/g/"),
+    ("/g", "http://a/g"),
+    ("//g", "http://g"),
+    ("?y", "http://a/b/c/d;p?y"),
+    ("g?y", "http://a/b/c/g?y"),
+    ("#s", "http://a/b/c/d;p?q#s"),
+    ("g#s", "http://a/b/c/g#s"),
+    ("g?y#s", "http://a/b/c/g?y#s"),
+    (";x", "http://a/b/c/;x"),
+    ("g;x", "http://a/b/c/g;x"),
+    ("g;x?y#s", "http://a/b/c/g;x?y#s"),
+    ("", "http://a/b/c/d;p?q"),
+    (".", "http://a/b/c/"),
+    ("./", "http://a/b/c/"),
+    ("..", "http://a/b/"),
+    ("../", "http://a/b/"),
+    ("../g", "http://a/b/g"),
+    ("../..", "http://a/"),
+    ("../../", "http://a/"),
+    ("../../g", "http://a/g"),
+    # §5.4.2 abnormal examples
+    ("../../../g", "http://a/g"),
+    ("../../../../g", "http://a/g"),
+    ("/./g", "http://a/g"),
+    ("/../g", "http://a/g"),
+    ("g.", "http://a/b/c/g."),
+    (".g", "http://a/b/c/.g"),
+    ("g..", "http://a/b/c/g.."),
+    ("..g", "http://a/b/c/..g"),
+    ("./../g", "http://a/b/g"),
+    ("./g/.", "http://a/b/c/g/"),
+    ("g/./h", "http://a/b/c/g/h"),
+    ("g/../h", "http://a/b/c/h"),
+    ("g;x=1/./y", "http://a/b/c/g;x=1/y"),
+    ("g;x=1/../y", "http://a/b/c/y"),
+    ("g?y/./x", "http://a/b/c/g?y/./x"),
+    ("g?y/../x", "http://a/b/c/g?y/../x"),
+    ("g#s/./x", "http://a/b/c/g#s/./x"),
+    ("g#s/../x", "http://a/b/c/g#s/../x"),
+    ("http:g", "http:g"),  # strict parser
+]
+
+
+def test_resolve_url_rfc3986_examples():
+    from roapi_spark.functions.web import resolve_url
+
+    for ref, want in RFC3986_CASES:
+        got = resolve_url(RFC3986_BASE, ref)
+        assert got == want, (ref, got, want)
+
+
+def test_resolve_url_crawl_shapes():
+    from roapi_spark.functions.web import resolve_url
+
+    base = "https://CRAWL.Example.com:443/src1/21/?a=1&b=2#frag"
+    # base fragment never leaks; trailing-slash base dirs merge right
+    assert (
+        resolve_url(base, "../../src2/42?b=2&a=1")
+        == "https://CRAWL.Example.com:443/src2/42?b=2&a=1"
+    )
+    assert (
+        resolve_url(base, "//other.example.org/x")
+        == "https://other.example.org/x"
+    )
+    assert (
+        resolve_url("https://a.example.com/p/q", "/./s/../s/7?x=1")
+        == "https://a.example.com/s/7?x=1"
+    )
+    # authority with empty path: merge gets a leading slash
+    assert resolve_url("https://a.example.com", "g") == (
+        "https://a.example.com/g"
+    )
 
 
 class TestRobots:
