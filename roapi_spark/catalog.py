@@ -921,27 +921,39 @@ class Catalog:
         return "".join(out)
 
     # delta-spark's CDF table-valued function: `SELECT ... FROM
-    # table_changes('t', start[, end])`. Spark has no such TVF for v1
-    # relations, so the call is rewritten to a temp view over the CDF
-    # reader (sources/delta.table_changes: _change_type /
-    # _commit_version / _commit_timestamp per changed row). A read —
-    # allowed in read-only mode.
+    # table_changes('t', start[, end])` where each bound is a version
+    # number or a quoted ISO timestamp (resolved against commit times,
+    # like delta-spark). Spark has no such TVF for v1 relations, so the
+    # call is rewritten to a temp view over the CDF reader
+    # (sources/delta.table_changes: _change_type / _commit_version /
+    # _commit_timestamp per changed row). A read — allowed in
+    # read-only mode.
     _CDF_RE = re.compile(
-        r"table_changes\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+        r"table_changes\(\s*'([^']+)'\s*,\s*(\d+|'[^']*')\s*"
+        r"(?:,\s*(\d+|'[^']*')\s*)?\)",
         re.I,
     )
 
     def _rewrite_table_changes(self, sql: str) -> str:
+        def bound(tok: str | None) -> int | str | None:
+            if tok is None:
+                return None
+            return tok[1:-1] if tok.startswith("'") else int(tok)
+
         def repl(m: re.Match) -> str:
-            name, start, end = m.group(1), int(m.group(2)), m.group(3)
+            name = m.group(1)
+            start, end = bound(m.group(2)), bound(m.group(3))
             path = self._delta_path(name, stmt="table_changes")
             from roapi_spark.sources.delta import table_changes
 
-            safe = re.sub(r"\W", "_", name)  # temp view names reject dots
-            view = f"__cdf_{safe}_{start}_{end if end else 'head'}"
-            table_changes(
-                self.spark, path, start, None if end is None else int(end)
-            ).createOrReplaceTempView(view)
+            # temp view names reject dots/quotes/colons
+            safe = re.sub(r"\W", "_", name)
+            s_tag = re.sub(r"\W", "_", m.group(2))
+            e_tag = re.sub(r"\W", "_", m.group(3)) if m.group(3) else "head"
+            view = f"__cdf_{safe}_{s_tag}_{e_tag}"
+            table_changes(self.spark, path, start, end).createOrReplaceTempView(
+                view
+            )
             return view
 
         return self._CDF_RE.sub(repl, sql)

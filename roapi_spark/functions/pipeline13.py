@@ -1160,6 +1160,107 @@ def q_sql_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sql_cdf_ts",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT * FROM (
+      SELECT 'delete' AS change_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      FROM s
+      UNION ALL
+      SELECT 'insert' AS change_type,
+             CAST(SUM(CASE WHEN o_custkey % 2 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_custkey % 2 <> 0 THEN o_orderkey ELSE 0 END)
+                  AS BIGINT) AS sum_key
+      FROM s
+    ) ORDER BY change_type
+    """,
+    doc="CDF TVF timestamp-bound gate (round 12): `table_changes('t', "
+    "'<ts>', '<ts>')` with ISO timestamps instead of versions — "
+    "delta-spark semantics: the start timestamp resolves to the FIRST "
+    "commit at-or-after it, the end to the LAST at-or-before, against "
+    "commit-file mtimes (the same source timestamp time travel uses). "
+    "The fixture takes TWO deletes (v1: o_custkey%2, v2: o_custkey%3) "
+    "and the gate reads a window whose midpoint timestamps must "
+    "resolve to exactly [v1, v1] — v0's blind insert and v2's second "
+    "delete both excluded, so an off-by-one in either bound direction "
+    "hash-mismatches against the v1-only closed form. The gate also "
+    "asserts delta-spark's out-of-range behavior first: a start "
+    "timestamp after the newest commit and an end timestamp before "
+    "the oldest must raise, never serve an empty feed. Plan: "
+    "fixture-sized log replay + per-commit file reads; timestamp "
+    "resolution is one mtime scan of the (KB-scale) commit list.",
+    tags=("sql", "delta", "gate"),
+)
+def q_sql_cdf_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime, timezone
+
+    from roapi_spark.catalog import Catalog
+    from roapi_spark.config import parse_table_config
+    from roapi_spark.sources.delta import (
+        LoadError,
+        _log_versions,
+        table_changes,
+    )
+
+    path = _sql_gate_table(spark, sf_dir, "sqlcdfts")
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(
+        parse_table_config(
+            {"name": "cdfts_t", "uri": path, "option": {"format": "delta"}}
+        )
+    )
+    d1 = cat.query_sql("DELETE FROM cdfts_t WHERE o_custkey % 2 = 0")
+    d2 = cat.query_sql("DELETE FROM cdfts_t WHERE o_custkey % 3 = 0")
+    versions = (d1.collect()[0].version, d2.collect()[0].version)
+    if versions != (1, 2):
+        raise RuntimeError(f"cdf_ts gate setup misbehaved: {versions}")
+    mts = [
+        os.path.getmtime(p)
+        for _, p in _log_versions(os.path.join(path, "_delta_log"))
+    ]
+    if not (mts[0] < mts[1] < mts[2]):
+        raise RuntimeError(f"commit mtimes not strictly ordered: {mts}")
+
+    def iso(t: float) -> str:
+        return (
+            datetime.fromtimestamp(t, tz=timezone.utc)
+            .replace(tzinfo=None)
+            .isoformat()
+        )
+
+    # out-of-range bounds must fail like delta-spark, not serve empties
+    for bad_start, bad_end in (
+        (iso(mts[2] + 3600), None),
+        (0, iso(mts[0] - 3600)),
+    ):
+        try:
+            table_changes(spark, path, bad_start, bad_end)
+        except LoadError:
+            pass
+        else:
+            raise RuntimeError(
+                f"out-of-range CDF bound ({bad_start!r}, {bad_end!r}) "
+                "did not error"
+            )
+
+    start_ts, end_ts = iso((mts[0] + mts[1]) / 2), iso((mts[1] + mts[2]) / 2)
+    ro = Catalog(spark, read_only=True)
+    ro.sources = cat.sources
+    return ro.query_sql(
+        "SELECT _change_type AS change_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(o_orderkey) AS BIGINT) AS sum_key "
+        f"FROM table_changes('cdfts_t', '{start_ts}', '{end_ts}') "
+        "GROUP BY _change_type ORDER BY change_type"
+    )
+
+
+@register(
     "q_sql_cdc_images",
     oracle="""
     WITH m AS (

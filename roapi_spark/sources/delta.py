@@ -637,15 +637,34 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
         return _read_via_log(spark, ts)
 
 
+def _ts_epoch(ts: str) -> float:
+    """ISO timestamp -> epoch seconds, the same naive-as-UTC convention
+    the snapshot time-travel resolver uses (snapshot_raw_state)."""
+    from datetime import datetime, timezone
+
+    return (
+        datetime.fromisoformat(ts).replace(tzinfo=timezone.utc).timestamp()
+    )
+
+
 def table_changes(
     spark: SparkSession,
     table_path: str,
-    start_version: int,
-    end_version: int | None = None,
+    start_version: int | str,
+    end_version: int | str | None = None,
 ) -> DataFrame:
     """Change Data Feed (pure Python, public Delta CDF spec): one row per
     changed record for commits in ``[start_version, end_version]``, with
     ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``.
+
+    Bounds may be versions (int) or ISO timestamp strings, matching
+    delta-spark's ``table_changes`` TVF: a start timestamp resolves to
+    the FIRST commit at-or-after it, an end timestamp to the LAST
+    commit at-or-before it — both against commit-file modification
+    times, the same source snapshot timestamp time travel uses. A start
+    timestamp after the newest commit, or an end timestamp before the
+    oldest, is an error (delta-spark's out-of-range behavior), never a
+    silent empty feed.
 
     Commits carrying explicit ``cdc`` actions (writers with
     ``delta.enableChangeDataFeed=true`` emit ``_change_data/`` parquet
@@ -666,8 +685,29 @@ def table_changes(
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise LoadError(f"not a delta table (no _delta_log): {table_path}")
+    commits = _log_versions(log_dir)
+    if isinstance(start_version, str):
+        limit = _ts_epoch(start_version)
+        at_or_after = [v for v, p in commits if os.path.getmtime(p) >= limit]
+        if not at_or_after:
+            raise LoadError(
+                f"starting timestamp {start_version!r} is after the "
+                f"latest commit of {table_path}; use a timestamp at or "
+                "before it"
+            )
+        start_version = min(at_or_after)
+    if isinstance(end_version, str):
+        limit = _ts_epoch(end_version)
+        at_or_before = [v for v, p in commits if os.path.getmtime(p) <= limit]
+        if not at_or_before:
+            raise LoadError(
+                f"ending timestamp {end_version!r} is before the "
+                f"earliest commit of {table_path}; use a timestamp at "
+                "or after it"
+            )
+        end_version = max(at_or_before)
     parts: list[DataFrame] = []
-    for v, path in _log_versions(log_dir):
+    for v, path in commits:
         if v < start_version or (end_version is not None and v > end_version):
             continue
         cdc_files: list[str] = []
