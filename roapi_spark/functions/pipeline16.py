@@ -199,6 +199,141 @@ def q_crawl_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- stream_frontier_bounded ------------------------------------------------
+
+
+@register(
+    "stream_frontier_bounded",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             (doc_id % 13 = 5) AS hasdup
+      FROM documents
+    ),
+    per_shard AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT)
+               + CAST(SUM(CASE WHEN hasdup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_urls,
+             CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM d GROUP BY shard
+    ),
+    named AS (
+      SELECT 'docs-0' || shard || (CASE WHEN shard % 2 = 0 THEN '.warc.gz'
+                                        ELSE '.warc' END) AS warc_file,
+             n_urls, n_new
+      FROM per_shard
+      UNION ALL
+      SELECT 'recrawl-00.warc.gz', n_urls, CAST(0 AS BIGINT)
+      FROM per_shard WHERE shard = 0
+      UNION ALL
+      SELECT 'recrawl-01.warc', n_urls, CAST(0 AS BIGINT)
+      FROM per_shard WHERE shard = 1
+    )
+    SELECT * FROM named ORDER BY warc_file
+    """,
+    doc="Bounded-frontier gate: the Bloom-fronted variant of the crawl "
+    "frontier (streaming/crawl.stream_url_frontier_bounded) — state is "
+    "64 fixed 8 KiB Bloom bitmaps (512 KiB total, checkpointed) "
+    "instead of one row per canonical URL, the production bound the "
+    "exact kernel's docstring promises. Shards land in two waves and "
+    "wave 2 RE-LANDS two wave-1 shards under new names (a re-crawl-"
+    "heavy arrival mix), so cross-batch revisit suppression must hold "
+    "through the bitmap state. Classification is md5-deterministic; "
+    "the oracle pins the EXACT expected first-seen counts, so any "
+    "false positive inside the fixture (budget ~(nK/bits)^K < 1e-6 per "
+    "URL at sf0.1) shifts n_new and hash-mismatches — the FP-budget "
+    "assertion. The gate additionally asserts the state bound itself: "
+    "distinct touched buckets <= 64 < distinct canonicals. Plan: "
+    "fixture-sized; per-batch input is the file-arrival rate and "
+    "state is CONSTANT in crawl size — the scale story the exact "
+    "frontier can't offer.",
+    tags=("streaming", "web"),
+)
+def stream_frontier_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from roapi_spark.functions.pipeline14 import (
+        _N_SHARDS,
+        _warc_fixture_dir,
+    )
+    from roapi_spark.streaming.crawl import (
+        N_BLOOM_BUCKETS,
+        stream_url_frontier_bounded,
+    )
+
+    src = _warc_fixture_dir(spark, sf_dir)
+    shards = sorted(os.listdir(src))
+    landing = tempfile.mkdtemp(prefix="frontier_bounded_landing_")
+    acc: dict[str, list] = {}
+    buckets: set[int] = set()
+    canons: set[str] = set()
+
+    def process(classified: DataFrame, batch_id: int) -> None:
+        for r in (
+            classified.groupBy("warc_file")
+            .agg(
+                F.count("*").cast("bigint").alias("n_urls"),
+                F.sum("is_new").cast("bigint").alias("n_new"),
+            )
+            .collect()
+        ):
+            cur = acc.setdefault(r["warc_file"], [0, 0])
+            cur[0] += r["n_urls"]
+            cur[1] += r["n_new"]
+        # gate-fixture aggregates (bounded by fixture size): the state-
+        # bound assertion needs touched buckets vs distinct canonicals
+        for r in classified.select("bucket", "canon").collect():
+            buckets.add(r["bucket"])
+            canons.add(r["canon"])
+
+    try:
+        for name in shards[: _N_SHARDS // 2]:
+            shutil.copy(os.path.join(src, name), os.path.join(landing, name))
+        q = stream_url_frontier_bounded(
+            spark,
+            landing,
+            process,
+            os.path.join(landing, "_ckpt"),
+            query_name="stream_frontier_bounded",
+        )
+        try:
+            q.processAllAvailable()
+            for name in shards[_N_SHARDS // 2 :]:
+                shutil.copy(
+                    os.path.join(src, name), os.path.join(landing, name)
+                )
+            # wave 2 re-lands shards 0 and 1: a re-crawl-heavy mix
+            shutil.copy(
+                os.path.join(src, shards[0]),
+                os.path.join(landing, "recrawl-00.warc.gz"),
+            )
+            shutil.copy(
+                os.path.join(src, shards[1]),
+                os.path.join(landing, "recrawl-01.warc"),
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+    if len(buckets) > N_BLOOM_BUCKETS:
+        raise RuntimeError(
+            f"state bound violated: {len(buckets)} buckets > "
+            f"{N_BLOOM_BUCKETS}"
+        )
+    if len(canons) > N_BLOOM_BUCKETS and len(buckets) >= len(canons):
+        raise RuntimeError(
+            f"no state compression: {len(buckets)} buckets for "
+            f"{len(canons)} canonicals"
+        )
+    return spark.createDataFrame(
+        sorted((f, *v) for f, v in acc.items()),
+        "warc_file string, n_urls bigint, n_new bigint",
+    )
+
+
 # ---- q_robots_policies ------------------------------------------------------
 
 # four hosts, four policies: deny-all; a rule-free specific group (RFC

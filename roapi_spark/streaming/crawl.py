@@ -221,6 +221,130 @@ def stream_url_frontier(
 
 
 
+# --- bounded URL frontier: bloom-fronted state ------------------------------
+#
+# The exact frontier above keeps one state row per canonical URL — the
+# honest cost of exact semantics, and unbounded at crawl scale. This is
+# the production-bounded variant: state is a FIXED number of bucket
+# rows (one per hash bucket), each holding a fixed-size Bloom bitmap,
+# so the checkpointed store is O(N_BUCKETS * BLOOM_BITS) bytes no
+# matter how many URLs flow through. The trade is a declared
+# false-positive budget: a brand-new URL whose bits happen to be set
+# classifies as a revisit (never the reverse — revisits are always
+# caught). All hashing is md5-derived, so classification is
+# deterministic per input set: the oracle gate pins the EXACT expected
+# first-seen counts and any FP within the fixture would hash-mismatch,
+# which is the budget assertion (expected FPs at gate scale < 1e-6).
+
+FRONTIER_BOUNDED_OUTPUT = (
+    "bucket bigint, canon string, warc_file string, is_new int"
+)
+FRONTIER_BOUNDED_STATE = "bloom binary"
+N_BLOOM_BUCKETS = 64
+_BLOOM_BITS = 65536  # 8 KiB per bucket; 512 KiB total state, fixed
+_BLOOM_K = 3
+
+
+def bloom_bucket_col(canon) -> "F.Column":
+    """Shuffle/bucket key: first 4 md5 bytes mod N_BLOOM_BUCKETS —
+    JVM-side (codegen'd), matching int.from_bytes(digest[:4])."""
+    return (
+        F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+        % N_BLOOM_BUCKETS
+    )
+
+
+def _bloom_positions(canon: str) -> list[int]:
+    """Bit positions from md5 bytes 4..16 — disjoint from the bucket's
+    bytes 0..4 so positions stay independent of bucket membership."""
+    import hashlib
+
+    h = hashlib.md5(canon.encode("utf-8")).digest()
+    return [
+        int.from_bytes(h[4 + 4 * i : 8 + 4 * i], "big") % _BLOOM_BITS
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bounded_frontier_fn(key, pdfs, state):
+    """Per-bucket state: a Bloom bitmap over every canonical ever seen
+    in this bucket. First arrival whose bits are not all set emits
+    is_new=1 (attributed to the smallest (warc_file, target_uri) row,
+    same rule as the exact frontier); revisits — same batch or any
+    later one — emit 0."""
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["warc_file", "target_uri"], kind="stable"
+    )
+    bloom = (
+        bytearray(state.get[0])
+        if state.exists
+        else bytearray(_BLOOM_BITS // 8)
+    )
+    flags = []
+    for canon in rows["canon"]:
+        pos = _bloom_positions(canon)
+        seen = all(bloom[p >> 3] & (1 << (p & 7)) for p in pos)
+        if not seen:
+            for p in pos:
+                bloom[p >> 3] |= 1 << (p & 7)
+        flags.append(0 if seen else 1)
+    state.update((bytes(bloom),))
+    yield pd.DataFrame(
+        {
+            "bucket": [key[0]] * len(rows),
+            "canon": list(rows["canon"]),
+            "warc_file": list(rows["warc_file"]),
+            "is_new": flags,
+        }
+    )
+
+
+def stream_url_frontier_bounded(
+    spark: SparkSession,
+    landing_dir: str,
+    process: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    query_name: str = "url_frontier_bounded",
+) -> StreamingQuery:
+    """The bounded crawl frontier: same first-seen/revisit contract as
+    stream_url_frontier, but state is N_BLOOM_BUCKETS fixed-size Bloom
+    bitmaps instead of one row per canonical — O(512 KiB) checkpointed
+    state regardless of crawl size, at a declared (md5-deterministic)
+    false-positive budget of ~(n_bucket*K/BITS)^K per new URL."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from roapi_spark.functions.web import canonical_url
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.warc*")
+        .load(landing_dir)
+    )
+    urls = files.mapInPandas(
+        _parse_urls_kernel(), "warc_file string, target_uri string"
+    ).withColumn("canon", canonical_url(F.col("target_uri")))
+    classified = (
+        urls.withColumn("bucket", bloom_bucket_col(F.col("canon")))
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            _bounded_frontier_fn,
+            FRONTIER_BOUNDED_OUTPUT,
+            FRONTIER_BOUNDED_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        classified.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
+
+
 def _last_delivered_epoch(table_path: str, query_name: str) -> int | None:
     """Latest epochId this query committed to the table (Delta txn
     idempotency): scan commit files NEWEST first and return the first

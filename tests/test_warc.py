@@ -288,6 +288,48 @@ def test_stream_crawl_checkpoint_restart_exactly_once(spark, tmp_path):
     assert sorted(seen) == [("w1.warc", 2), ("w2.warc.gz", 1)]
 
 
+def test_bounded_frontier_state_survives_restart(spark, tmp_path):
+    """The Bloom-bitmap state must persist through a query restart: a
+    URL first seen before the restart classifies as a revisit after it
+    (even under a canonical variant), and brand-new URLs still come
+    through as first-seen."""
+    from roapi_spark.streaming.crawl import stream_url_frontier_bounded
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ck = str(tmp_path / "ckpt")
+    got: list[tuple[str, str, int]] = []
+
+    def process(classified, batch_id):
+        for r in classified.collect():
+            got.append((r["warc_file"], r["canon"], r["is_new"]))
+
+    (landing / "w1.warc").write_bytes(
+        rec("response", "https://e.com/a?b=1", HTTP_OK)
+        + rec("response", "https://e.com/a?b=1&utm_source=x", HTTP_OK)
+    )
+    q1 = stream_url_frontier_bounded(spark, str(landing), process, ck)
+    q1.processAllAvailable()
+    q1.stop()
+    assert sorted(got) == [
+        ("w1.warc", "https://e.com/a?b=1", 0),  # within-batch variant
+        ("w1.warc", "https://e.com/a?b=1", 1),
+    ]
+
+    got.clear()
+    (landing / "w2.warc").write_bytes(
+        rec("response", "https://E.COM/a?b=1", HTTP_OK)  # revisit, cased
+        + rec("response", "https://e.com/new", HTTP_OK)
+    )
+    q2 = stream_url_frontier_bounded(spark, str(landing), process, ck)
+    q2.processAllAvailable()
+    q2.stop()
+    assert sorted(got) == [
+        ("w2.warc", "https://e.com/a?b=1", 0),  # state crossed restart
+        ("w2.warc", "https://e.com/new", 1),
+    ]
+
+
 def test_stream_crawl_flags_and_canonical(spark, tmp_path):
     """The per-batch DataFrame carries parse + extraction + canonical
     columns: a 404, a text/plain 200, and an html 200 produce the
