@@ -812,3 +812,282 @@ def text_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage string, vocab_size bigint, total_pieces bigint, "
         "n_active bigint, top_piece string, top_cnt bigint",
     ).orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# text_unigram_em: FULL EM (lattice forward-backward expected counts)
+# --------------------------------------------------------------------------
+#
+# The trainer above is hard-EM (Viterbi counts — the fast SentencePiece
+# default). This is the numerically interesting half of Kudo 2018: the
+# E-step marginalizes over ALL segmentations of each unit, accumulating
+# EXPECTED piece counts, not argmax-path counts.
+#
+# Exactness contract (what makes the DuckDB replay bit-identical):
+# piece probabilities are QUANTIZED integers p = max(floor((cnt+1) *
+# EM_Q / (total+V)), 1); the forward/backward tables are then pure
+# integer sum-products (NO division inside the DP, so alpha/beta/Z are
+# exact integers on any engine), and the single flooring division
+# happens once per lattice arc: q = (alpha[i] * p * beta[j]) //
+# max(Z // EM_S, 1). The Spark kernel runs the O(L*K) forward-backward
+# DP; the oracle replays the same integers by brute-force PATH
+# ENUMERATION (units are <= EM_W chars with pieces <= EM_P, so each
+# length has <= 24 compositions) — forward-backward and path
+# enumeration compute the same marginal sums, so the only thing the
+# two engines must share is the arithmetic, which is all-integer.
+#
+# Magnitudes (int64-safe by construction): p <= EM_Q=256, path product
+# <= 256^6 ~ 2.8e14, Z <= 24 * that ~ 6.8e15, q <= ~2 * EM_S.
+
+_EM_W = 6  # EM units: single word tokens truncated to 6 chars
+_EM_P = 3  # max piece length
+_EM_Q = 256  # probability quantization scale
+_EM_S = 1_000_000  # expected-count fixed-point scale
+_EM_T = 2  # full-EM iterations
+_EM_SKS = [
+    (s, k)
+    for s in range(1, _EM_W + 1)
+    for k in range(1, _EM_P + 1)
+    if s + k - 1 <= _EM_W
+]
+
+
+def _em_paths(length: int) -> list[list[tuple[int, int]]]:
+    """All segmentations of a length-``length`` unit into pieces of
+    1..EM_P chars, as slot lists [(start, len), ...] (1-based)."""
+    if length == 0:
+        return [[]]
+    out = []
+    for k in range(1, min(_EM_P, length) + 1):
+        for rest in _em_paths(length - k):
+            out.append(
+                [(1, k)] + [(s + k, kk) for s, kk in rest]
+            )
+    return out
+
+
+def _em_oracle() -> str:
+    base = [
+        f"""eut AS MATERIALIZED (
+      SELECT substr(t, 1, {_EM_W}) AS w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(l) AS t
+            FROM (SELECT {_TOKENS_SQL_DUCK} AS l FROM documents))
+      GROUP BY 1
+    )""",
+        "eposn AS (SELECT w, c, "
+        "unnest(generate_series(1, length(w))) AS s FROM eut)",
+        f"""ev0 AS MATERIALIZED (
+      SELECT substr(w, s, l) AS piece, CAST(SUM(c) AS BIGINT) AS cnt
+      FROM eposn, (VALUES (1),(2),(3)) AS L(l)
+      WHERE s + l - 1 <= length(w)
+      GROUP BY 1
+    )""",
+    ]
+    parts = list(base)
+    for i in range(_EM_T):
+        parts.append(
+            f"epr{i} AS MATERIALIZED (SELECT piece, "
+            f"GREATEST(CAST(((cnt + 1) * {_EM_Q}) // (t.total + t.v) "
+            f"AS BIGINT), 1) AS p "
+            f"FROM ev{i}, (SELECT SUM(cnt) AS total, COUNT(*) AS v "
+            f"FROM ev{i}) t)"
+        )
+        pivots = ", ".join(
+            f"MAX(CASE WHEN s = {s} AND l = {k} THEN p END) AS q{s}_{k}"
+            for s, k in _EM_SKS
+        )
+        parts.append(
+            f"ewl{i} AS MATERIALIZED (\n"
+            f"  SELECT w, ANY_VALUE(c) AS c, {pivots}\n"
+            f"  FROM (SELECT pl.w, pl.c, pl.s, pl.l, pv.p\n"
+            f"        FROM (SELECT p.w, p.c, p.s, L.l FROM eposn p,\n"
+            f"              (VALUES (1),(2),(3)) AS L(l)\n"
+            f"              WHERE p.s + L.l - 1 <= length(p.w)) pl\n"
+            f"        JOIN epr{i} pv ON pv.piece = "
+            f"substr(pl.w, pl.s, pl.l))\n"
+            f"  GROUP BY w)"
+        )
+        # Z per unit: sum of path products, static per length
+        z_whens = []
+        for ell in range(1, _EM_W + 1):
+            prods = [
+                " * ".join(f"q{s}_{k}" for s, k in path)
+                for path in _em_paths(ell)
+            ]
+            z_whens.append(f"WHEN {ell} THEN " + " + ".join(prods))
+        parts.append(
+            f"ez{i} AS MATERIALIZED (SELECT *, "
+            f"CASE length(w) {' '.join(z_whens)} END AS z FROM ewl{i})"
+        )
+        # per-slot marginal numerators, then the one flooring division
+        slot_selects = []
+        for s, k in _EM_SKS:
+            numer_whens = []
+            for ell in range(s + k - 1, _EM_W + 1):
+                prods = [
+                    " * ".join(f"q{ps}_{pk}" for ps, pk in path)
+                    for path in _em_paths(ell)
+                    if (s, k) in path
+                ]
+                if prods:
+                    numer_whens.append(
+                        f"WHEN {ell} THEN " + " + ".join(prods)
+                    )
+            slot_selects.append(
+                f"SELECT substr(w, {s}, {k}) AS piece, c,\n"
+                f"  (CASE length(w) {' '.join(numer_whens)} ELSE 0 END)\n"
+                f"  // GREATEST(z // {_EM_S}, 1) AS q FROM ez{i}"
+            )
+        parts.append(
+            f"eo{i} AS MATERIALIZED (SELECT piece, "
+            f"CAST(SUM(c * q) AS BIGINT) AS e FROM (\n"
+            + "\nUNION ALL\n".join(slot_selects)
+            + ") GROUP BY piece)"
+        )
+        parts.append(
+            f"ee{i + 1} AS MATERIALIZED (SELECT v.piece, "
+            f"CAST(COALESCE(o.e, 0) AS BIGINT) AS e "
+            f"FROM ev0 v LEFT JOIN eo{i} o USING (piece))"
+        )
+        parts.append(
+            f"ev{i + 1} AS MATERIALIZED (SELECT piece, "
+            f"CAST(e // {_EM_S} AS BIGINT) AS cnt FROM ee{i + 1})"
+        )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {it} AS it,
+      (SELECT CAST(COUNT(*) FILTER (WHERE e > 0) AS BIGINT) FROM ee{it})
+        AS n_active,
+      (SELECT piece FROM ee{it} ORDER BY e DESC, piece LIMIT 1)
+        AS top_piece,
+      (SELECT CAST(MAX(e) AS BIGINT) FROM ee{it}) AS top_e,
+      (SELECT CAST(SUM(e) AS BIGINT) FROM ee{it}) AS sum_e"""
+        for it in range(1, _EM_T + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({rows}) ORDER BY it"
+    )
+
+
+def _em_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        docs(spark, sf_dir)
+        .select(F.explode(tokens_col()).alias("t"))
+        .select(F.substring("t", 1, _EM_W).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def _em_probs(counts: dict[str, int]) -> dict[str, int]:
+    total, v = sum(counts.values()), len(counts)
+    return {
+        p: max(((c + 1) * _EM_Q) // (total + v), 1)
+        for p, c in counts.items()
+    }
+
+
+def _em_fb_kernel(p_int: dict[str, int]):
+    """Forward-backward over each unit's piece lattice: exact integer
+    alpha/beta (no division inside the DP), one flooring division per
+    arc — emits (piece, e) expected-count contributions."""
+    import pandas as pd
+
+    def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: list[tuple[str, int]] = []
+            for w, c in zip(pdf["w"], pdf["c"]):
+                L = len(w)
+                a = [1] + [0] * L
+                for j in range(1, L + 1):
+                    a[j] = sum(
+                        a[j - k] * p_int[w[j - k : j]]
+                        for k in range(1, min(_EM_P, j) + 1)
+                    )
+                b = [0] * L + [1]
+                for j in range(L - 1, -1, -1):
+                    b[j] = sum(
+                        p_int[w[j : j + k]] * b[j + k]
+                        for k in range(1, min(_EM_P, L - j) + 1)
+                    )
+                den = max(a[L] // _EM_S, 1)
+                for s in range(1, L + 1):
+                    for k in range(1, min(_EM_P, L - s + 1) + 1):
+                        piece = w[s - 1 : s - 1 + k]
+                        q = (a[s - 1] * p_int[piece] * b[s - 1 + k]) // den
+                        out.append((piece, int(c) * q))
+            yield pd.DataFrame(out, columns=["piece", "e"])
+
+    return fn
+
+
+@register(
+    "text_unigram_em",
+    oracle=_em_oracle(),
+    doc="Unigram-LM FULL-EM gate (Kudo 2018's marginalizing E-step, vs "
+    "the hard-EM trainer's Viterbi counts): piece probabilities are "
+    "quantized integers, the E-step runs lattice forward-backward with "
+    "pure integer sum-products (alpha/beta/Z exact — no division "
+    "inside the DP) and ONE flooring division per arc, and expected "
+    "counts drive the next iteration's probabilities — two full "
+    "fixed-point EM iterations, trajectory pinned per iteration "
+    "(active pieces, argmax piece, expected-count totals). The oracle "
+    "replays the identical integers by brute-force path enumeration "
+    "(units <= 6 chars, pieces <= 3: <= 24 compositions per unit, "
+    "generated as static SQL per length) — forward-backward and path "
+    "enumeration must agree exactly or the hash mismatches, which is "
+    "precisely the marginalization property the gate pins. Plan: one "
+    "corpus scan builds the alphabet-bounded unit table; each "
+    "iteration is an Arrow-batched mapInPandas forward-backward pass "
+    "(no shuffle) + one vocab-keyed hash agg; driver state is the "
+    "(<= 18k-entry, alphabet-bounded) piece-count dict — the same "
+    "vocab-sized-collect pattern as the hard-EM trainer.",
+    tags=("text", "pipeline", "ml"),
+)
+def text_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    units = _em_units(spark, sf_dir).cache()
+    seed = (
+        units.select(
+            "c",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(w)), s -> "
+                    f"transform(sequence(1, least({_EM_P}, "
+                    "length(w) - s + 1)), "
+                    "k -> substring(w, s, k))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+        .collect()
+    )
+    counts: dict[str, int] = {r["piece"]: int(r["cnt"]) for r in seed}
+    vocab = sorted(counts)
+    traj: list[tuple] = []
+    for it in range(1, _EM_T + 1):
+        p_int = _em_probs(counts)
+        e_rows = (
+            units.mapInPandas(_em_fb_kernel(p_int), "piece string, e bigint")
+            .groupBy("piece")
+            .agg(F.sum("e").cast("bigint").alias("e"))
+            .collect()
+        )
+        e_of = {r["piece"]: int(r["e"]) for r in e_rows}
+        es = {p: e_of.get(p, 0) for p in vocab}
+        top_p, top_e = sorted(es.items(), key=lambda pe: (-pe[1], pe[0]))[0]
+        traj.append(
+            (
+                it,
+                sum(1 for v in es.values() if v > 0),
+                top_p,
+                top_e,
+                sum(es.values()),
+            )
+        )
+        counts = {p: e // _EM_S for p, e in es.items()}
+    units.unpersist()
+    return spark.createDataFrame(
+        traj,
+        "it int, n_active bigint, top_piece string, top_e bigint, "
+        "sum_e bigint",
+    ).orderBy("it")

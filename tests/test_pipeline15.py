@@ -229,3 +229,66 @@ def test_letter_free_docs_do_not_crash_pair_units(spark):
     )
     pairs = df.select(F.expr(_PAIRS_SPARK).alias("p")).collect()
     assert [len(r["p"]) for r in pairs] == [0, 0, 1]
+
+
+def test_em_forward_backward_equals_path_enumeration():
+    """The EM kernel's alpha/beta marginals must equal brute-force path
+    enumeration EXACTLY (pure integer sum-products) — the property that
+    lets the DuckDB oracle replay the E-step by enumeration."""
+    from itertools import product as iproduct
+
+    import pandas as pd
+
+    from roapi_spark.functions.pipeline15 import (
+        _EM_P,
+        _EM_S,
+        _em_fb_kernel,
+        _em_paths,
+    )
+
+    words = ["a", "ab", "abc", "abca", "banana", "zzzzzz", "xyxyxy"]
+    pieces = {
+        w[s : s + k]
+        for w in words
+        for s in range(len(w))
+        for k in range(1, _EM_P + 1)
+        if s + k <= len(w)
+    }
+    # adversarial weights: mix of 1s (floor-to-min path) and primes
+    weights = {}
+    for i, p in enumerate(sorted(pieces)):
+        weights[p] = [1, 2, 3, 251, 256][i % 5]
+
+    got: dict[str, int] = {}
+    pdf = pd.DataFrame({"w": words, "c": [3] * len(words)})
+    for out in _em_fb_kernel(weights)([pdf]):
+        for piece, e in zip(out["piece"], out["e"]):
+            got[piece] = got.get(piece, 0) + int(e)
+
+    want: dict[str, int] = {}
+    for w in words:
+        paths = _em_paths(len(w))
+        prods = []
+        for path in paths:
+            v = 1
+            for s, k in path:
+                v *= weights[w[s - 1 : s - 1 + k]]
+            prods.append(v)
+        z = sum(prods)
+        den = max(z // _EM_S, 1)
+        for s in range(1, len(w) + 1):
+            for k in range(1, min(_EM_P, len(w) - s + 1) + 1):
+                numer = sum(
+                    v
+                    for v, path in zip(prods, paths)
+                    if (s, k) in path
+                )
+                piece = w[s - 1 : s - 1 + k]
+                want[piece] = want.get(piece, 0) + 3 * (numer // den)
+    assert got == want
+
+
+def test_em_paths_counts_are_tribonacci():
+    from roapi_spark.functions.pipeline15 import _em_paths
+
+    assert [len(_em_paths(n)) for n in range(7)] == [1, 1, 2, 4, 7, 13, 24]
