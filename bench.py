@@ -221,6 +221,34 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # Per-query regression gate (round 12): compare against the
+    # COMMITTED prior round's detail (read before we overwrite it).
+    # A query >1.5x its prior at the same sf+sink is flagged — with a
+    # 0.3 s floor so sub-100 ms jitter never reads as a regression.
+    # Flags are advisory (this host is shared; the committed artifact
+    # makes drift attributable per query instead of per family).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    regressions: dict[str, list[float]] = {}
+    prior_queries: dict[str, float] = {}
+    try:
+        with open(detail_path) as f:
+            prior = json.load(f)
+        if prior.get("sf") == sf and prior.get("sink") == "noop":
+            prior_queries = prior.get("queries", {})
+    except (OSError, ValueError):
+        pass
+    for n, now in timings.items():
+        was = prior_queries.get(n)
+        if was is not None and now > max(1.5 * was, was + 0.3):
+            regressions[n] = [was, now]
+    for n, pair in sorted(regressions.items()):
+        print(
+            f"# REGRESSION {n}: {pair[0]:.3f}s -> {pair[1]:.3f}s",
+            file=sys.stderr,
+        )
+
     # Full per-query detail goes to a file (and already streamed to stderr
     # above); the stdout line must stay under the driver's ~2KB tail
     # capture (round 4's full-registry line overflowed it and the perf
@@ -268,9 +296,9 @@ def main() -> None:
         "sink": "noop",
         "subset61_sink": "count",
         "families": fams,
+        "regressions": regressions,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
+    with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
 
     # stdout: historical 61-query map (2-decimal) for round-over-round
@@ -287,9 +315,15 @@ def main() -> None:
         "subset61_spread_sec": subset61_spread,
         "families": fams,
         "n_queries": len(timings),
+        "n_regressions": len(regressions),
+        "regressions": regressions,
         "sink": "noop",
     }
     line = json.dumps(line_obj)
+    if len(line) > 1900 and regressions:
+        # keep the count; the per-query pairs live in BENCH_DETAIL.json
+        line_obj["regressions"] = {}
+        line = json.dumps(line_obj)
     if len(line) > 1900:
         # shed precision before fields: the r7 62-query map overflows at
         # 2 decimals, but 1 decimal keeps the full schema (queries +
