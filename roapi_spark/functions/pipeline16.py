@@ -56,8 +56,9 @@ from roapi_spark.plans.registry import register
 
 # ---- q_psl_domains ----------------------------------------------------------
 
-# hosts cycled by doc_id % 12, spanning: 2-label ccSLDs, 3-label rules,
-# private platform suffixes, and default-rule (last-two-labels) hosts
+# hosts cycled by doc_id % 16, spanning: 2-label ccSLDs, 3-label rules,
+# private platform suffixes, wildcard rules ('*' = one label),
+# exception rules, and default-rule (last-two-labels) hosts
 _PSL_HOSTS = (
     "blog.example.co.uk",
     "shop.loja.com.br",
@@ -71,6 +72,10 @@ _PSL_HOSTS = (
     "www.example.gob.mx",
     "cdn.example.org",
     "files.example.co.jp",
+    "foo.bar.ck",  # wildcard *.ck => bar.ck is a suffix
+    "deep.a.b.kawasaki.jp",  # wildcard *.kawasaki.jp
+    "shop.www.ck",  # exception !www.ck => www.ck registrable
+    "sub.city.kawasaki.jp",  # exception !city.kawasaki.jp
 )
 
 
@@ -101,12 +106,15 @@ def _host_case_col(hosts: tuple[str, ...]) -> F.Column:
            CAST(COUNT(*) AS BIGINT) AS n_hosts
     FROM h GROUP BY domain ORDER BY domain
     """,
-    doc="Public-suffix-list gate: hosts cycled across 12 residue "
+    doc="Public-suffix-list gate: hosts cycled across 16 residue "
     "classes span ≥10 suffix families from the pinned PSL snapshot — "
     "ccSLDs (co.uk, com.br, com.tr, ac.in, gob.mx, co.jp), 3-label "
     "rules that must beat their 2-label prefixes (k12.ca.us, "
     "s3.amazonaws.com), private platform suffixes (github.io, "
-    "blogspot.com) and default-rule hosts — and reduce to eTLD+1 via "
+    "blogspot.com), WILDCARD rules ('*' matching exactly one label: "
+    "*.ck, *.kawasaki.jp), EXCEPTION rules that prevail over them "
+    "(!www.ck, !city.kawasaki.jp) and default-rule hosts — and reduce "
+    "to eTLD+1 via "
     "functions/web.registrable_domain, whose suffix alternations are "
     "COMPILED FROM the snapshot data file; the oracle derives its CASE "
     "from the SAME file (registrable_domain_sql), so a dropped or "

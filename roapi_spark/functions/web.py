@@ -132,11 +132,21 @@ _PSL_FILE = "public_suffix_snapshot.dat"
 _DOM2_RE = "([^.]+\\.[^.]+)$"
 
 
-def load_public_suffixes() -> dict[int, tuple[str, ...]]:
-    """Exact public-suffix rules from the pinned snapshot, grouped by
-    label count (2-label: co.uk; 3-label: k12.ca.us), memoized. Rejects
-    wildcard/exception rules loudly — the snapshot keeps exact rules
-    only, so a full PSL dump can't silently half-apply."""
+def load_public_suffixes() -> dict:
+    """Public-suffix rules from the pinned snapshot, memoized:
+
+    - keys ``2``/``3``: exact suffixes grouped by label count
+      (``co.uk`` / ``k12.ca.us``);
+    - ``w1``/``w2``: wildcard BASES — ``*.ck`` stores ``ck`` under
+      ``w1`` (the ``*`` adds one label, so its effective suffixes are
+      2-label), ``*.kawasaki.jp`` stores ``kawasaki.jp`` under ``w2``;
+    - ``exc``: exception domains (``!www.ck`` -> ``www.ck``), which
+      are registrable themselves and prevail over wildcards (the PSL
+      match algorithm's exception rule).
+
+    Rules the composition can't express (a ``*`` anywhere but the
+    leading label, suffixes deeper than 3 labels) are rejected loudly
+    so a full PSL dump can't silently half-apply."""
     cached = load_public_suffixes.__dict__.get("rules")
     if cached is not None:
         return cached
@@ -144,37 +154,65 @@ def load_public_suffixes() -> dict[int, tuple[str, ...]]:
 
     path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                          _PSL_FILE)
-    rules: dict[int, list[str]] = {2: [], 3: []}
+    rules: dict = {2: [], 3: [], "w1": [], "w2": [], "exc": []}
     with open(path, encoding="utf-8") as f:
         for raw in f:
-            line = raw.strip()
+            line = raw.strip().lower()
             if not line or line.startswith("//"):
                 continue
-            if line.startswith(("*", "!")):
+            if line.startswith("!"):
+                rules["exc"].append(line[1:])
+                continue
+            if line.startswith("*."):
+                base = line[2:]
+                if "*" in base:
+                    raise ValueError(
+                        f"{_PSL_FILE}: {line!r} — '*' is only supported "
+                        "as the leading label"
+                    )
+                n_base = base.count(".") + 1
+                if n_base not in (1, 2):
+                    raise ValueError(
+                        f"{_PSL_FILE}: {line!r} exceeds the 3-label "
+                        "suffix depth this composition supports"
+                    )
+                rules[f"w{n_base}"].append(base)
+                continue
+            if "*" in line:
                 raise ValueError(
-                    f"{_PSL_FILE}: wildcard/exception rule {line!r} not "
-                    "supported by this snapshot loader"
+                    f"{_PSL_FILE}: {line!r} — '*' is only supported as "
+                    "the leading label"
                 )
             n = line.count(".") + 1
             if n == 1:
                 continue  # single-label suffixes are the default rule
-            if n not in rules:
+            if n not in (2, 3):
                 raise ValueError(
                     f"{_PSL_FILE}: {line!r} has {n} labels; loader "
                     "supports 2- and 3-label exact rules"
                 )
-            rules[n].append(line.lower())
-    out = {n: tuple(sorted(set(v))) for n, v in rules.items()}
+            rules[n].append(line)
+    out = {k: tuple(sorted(set(v))) for k, v in rules.items()}
     load_public_suffixes.__dict__["rules"] = out
     return out
 
 
+def _esc(s: str) -> str:
+    return s.replace(".", "\\.")
+
+
 def _suffix_alt(n_labels: int) -> str:
-    """Regex alternation over the n-label suffixes — identical source
-    for the Spark expression and the DuckDB oracle mirror."""
-    return "|".join(
-        s.replace(".", "\\.") for s in load_public_suffixes()[n_labels]
-    )
+    """Regex alternation over the EFFECTIVE n-label suffixes (exact
+    rules plus wildcard rules expanded to ``[^.]+`` for the ``*``) —
+    identical source for the Spark expression and the DuckDB mirror."""
+    rules = load_public_suffixes()
+    frags = [_esc(s) for s in rules[n_labels]]
+    frags += [f"[^.]+\\.{_esc(b)}" for b in rules[f"w{n_labels - 1}"]]
+    return "|".join(frags)
+
+
+def _exception_alt() -> str:
+    return "|".join(_esc(d) for d in load_public_suffixes()["exc"])
 
 # tracking query parameters stripped during canonicalization — the
 # SINGLE source for both engines: url_query_canonical derives the Spark
@@ -244,31 +282,46 @@ def canonical_url(url: Column) -> Column:
 
 
 def registrable_domain(host: Column) -> Column:
-    """Registrable domain (eTLD+1): suffix + one label, longest matching
-    suffix rule first (3-label beats 2-label beats the implicit 1-label
-    default) — the PSL match algorithm over the pinned snapshot's exact
-    rules. Pure composed built-ins: the alternations compile once per
-    task and the column stays codegen'd and shuffle-key-safe."""
-    alt3, alt2 = _suffix_alt(3), _suffix_alt(2)
-    return (
-        F.when(
-            host.rlike(f"\\.(?:{alt3})$"),
-            F.regexp_extract(host, f"([^.]+\\.(?:{alt3}))$", 1),
-        )
-        .when(
-            host.rlike(f"\\.(?:{alt2})$"),
-            F.regexp_extract(host, f"([^.]+\\.(?:{alt2}))$", 1),
-        )
-        .otherwise(F.regexp_extract(host, _DOM2_RE, 1))
-    )
+    """Registrable domain (eTLD+1) — the PSL match algorithm over the
+    pinned snapshot, as pure composed built-ins (alternations compile
+    once per task; the column stays codegen'd and shuffle-key-safe).
+    Branch order IS rule precedence: exception rules prevail (the
+    named domain is itself registrable), then the longest matching
+    suffix (3-label effective — exact or wildcard-expanded — beats
+    2-label beats the implicit 1-label default). Edge convention: a
+    host that IS a public suffix has no registrable domain per the
+    PSL; this composition returns its last two labels (for an exact
+    multi-label suffix, the host itself) — callers that must drop
+    such rows filter them explicitly."""
+    exc, alt3, alt2 = _exception_alt(), _suffix_alt(3), _suffix_alt(2)
+    expr = F.when(
+        host.rlike(f"\\.(?:{alt3})$"),
+        F.regexp_extract(host, f"([^.]+\\.(?:{alt3}))$", 1),
+    ).when(
+        host.rlike(f"\\.(?:{alt2})$"),
+        F.regexp_extract(host, f"([^.]+\\.(?:{alt2}))$", 1),
+    ).otherwise(F.regexp_extract(host, _DOM2_RE, 1))
+    if exc:
+        expr = F.when(
+            host.rlike(f"(^|\\.)(?:{exc})$"),
+            F.regexp_extract(host, f"((?:{exc}))$", 1),
+        ).otherwise(expr)
+    return expr
 
 
 def registrable_domain_sql(host_expr: str) -> str:
     """DuckDB mirror of registrable_domain, generated from the SAME
     snapshot file so the two engines can never disagree on a rule."""
-    alt3, alt2 = _suffix_alt(3), _suffix_alt(2)
+    exc, alt3, alt2 = _exception_alt(), _suffix_alt(3), _suffix_alt(2)
+    exc_branch = (
+        f"WHEN regexp_matches({host_expr}, '(^|\\.)(?:{exc})$') "
+        f"THEN regexp_extract({host_expr}, '((?:{exc}))$', 1) "
+        if exc
+        else ""
+    )
     return (
-        f"CASE WHEN regexp_matches({host_expr}, '\\.(?:{alt3})$') "
+        f"CASE {exc_branch}"
+        f"WHEN regexp_matches({host_expr}, '\\.(?:{alt3})$') "
         f"THEN regexp_extract({host_expr}, '([^.]+\\.(?:{alt3}))$', 1) "
         f"WHEN regexp_matches({host_expr}, '\\.(?:{alt2})$') "
         f"THEN regexp_extract({host_expr}, '([^.]+\\.(?:{alt2}))$', 1) "

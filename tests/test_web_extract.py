@@ -105,6 +105,16 @@ DOMAIN_CASES = [
     ("pupil.k12.ca.us", "pupil.k12.ca.us"),
     ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
     ("city.ca.us", "city.ca.us"),  # 2-label ca.us still applies
+    # wildcard rules: '*' matches exactly one label
+    ("foo.bar.ck", "foo.bar.ck"),  # *.ck => bar.ck is a suffix
+    ("deep.foo.bar.ck", "foo.bar.ck"),
+    ("a.b.kawasaki.jp", "a.b.kawasaki.jp"),  # *.kawasaki.jp
+    ("deep.a.b.kawasaki.jp", "a.b.kawasaki.jp"),
+    # exception rules prevail over wildcards (the domain IS registrable)
+    ("www.ck", "www.ck"),
+    ("shop.www.ck", "www.ck"),
+    ("city.kawasaki.jp", "city.kawasaki.jp"),
+    ("sub.city.kawasaki.jp", "city.kawasaki.jp"),
 ]
 
 
@@ -138,6 +148,8 @@ def test_psl_snapshot_loader():
     rules = load_public_suffixes()
     assert "co.uk" in rules[2] and "github.io" in rules[2]
     assert "k12.ca.us" in rules[3] and "s3.amazonaws.com" in rules[3]
+    assert "ck" in rules["w1"] and "kawasaki.jp" in rules["w2"]
+    assert "www.ck" in rules["exc"] and "city.kobe.jp" in rules["exc"]
     # ≥10 distinct TLD families represented among the 2-label rules
     assert len({s.rsplit(".", 1)[1] for s in rules[2]}) >= 10
 
