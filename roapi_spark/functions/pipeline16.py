@@ -25,6 +25,12 @@ external DuckDB oracle:
   Covers a deny-all host, a rule-free specific group (RFC 9309:
   everything allowed), a mixed longest-match policy, and a host with
   no robots.txt at all (left join miss => allowed).
+* ``stream_frontier_bounded`` — the production-bounded crawl frontier:
+  fixed Bloom-bitmap state (constant in crawl size) with an
+  md5-deterministic, oracle-pinned false-positive budget.
+* ``q_crawl_policy_funnel`` — the pieces composed: one WARC pass
+  through canonical dedup + the broadcast per-host robots decision,
+  stage counts against a closed-form oracle.
 
 No reference parity (columnq has no web surface) — training-data-
 pipeline extension surface, same standard as batches 14/15.
@@ -405,6 +411,39 @@ def _robots_policies_oracle() -> str:
     """
 
 
+def _policies_df(spark: SparkSession) -> DataFrame:
+    """The (domain -> parsed rule array) policy table — MB-scale per
+    million hosts in production, broadcast everywhere it's joined."""
+    pol_rows = [
+        (
+            dom,
+            [(allow, _robots_regex(p), len(p)) for allow, p in rules],
+        )
+        for dom, rules in _PARSED_POLICIES.items()
+    ]
+    return spark.createDataFrame(
+        pol_rows,
+        "domain string, rules array<struct<allow:boolean,rx:string,plen:int>>",
+    )
+
+
+def _robots_ok_col(path_col: str = "path") -> F.Column:
+    """RFC 9309 most-specific-wins over a joined ``rules`` array, as
+    higher-order expressions (filter + aggregate + regexp_like); a
+    left-join miss (NULL rules — host without robots.txt) allows."""
+
+    def side(want_allow: str) -> str:
+        return (
+            f"aggregate(filter(rules, r -> {want_allow} AND "
+            f"regexp_like({path_col}, r.rx)), -1, "
+            "(acc, r) -> greatest(acc, r.plen))"
+        )
+
+    return F.when(F.col("rules").isNull(), F.lit(True)).otherwise(
+        F.expr(f"{side('r.allow')} >= {side('NOT r.allow')}")
+    )
+
+
 @register(
     "q_robots_policies",
     oracle=_robots_policies_oracle(),
@@ -439,17 +478,6 @@ def q_robots_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("/"),
         F.col("doc_id").cast("string"),
     )
-    pol_rows = [
-        (
-            dom,
-            [(allow, _robots_regex(p), len(p)) for allow, p in rules],
-        )
-        for dom, rules in _PARSED_POLICIES.items()
-    ]
-    policies = spark.createDataFrame(
-        pol_rows,
-        "domain string, rules array<struct<allow:boolean,rx:string,plen:int>>",
-    )
     urls = docs.select(
         "doc_id",
         F.concat(
@@ -458,18 +486,8 @@ def q_robots_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path"),
         registrable_domain(url_host(url)).alias("domain"),
     )
-    joined = urls.join(F.broadcast(policies), "domain", "left")
-
-    def side(want_allow: str) -> str:
-        return (
-            f"aggregate(filter(rules, r -> {want_allow} AND "
-            "regexp_like(path, r.rx)), -1, "
-            "(acc, r) -> greatest(acc, r.plen))"
-        )
-
-    ok = F.when(F.col("rules").isNull(), F.lit(True)).otherwise(
-        F.expr(f"{side('r.allow')} >= {side('NOT r.allow')}")
-    )
+    joined = urls.join(F.broadcast(_policies_df(spark)), "domain", "left")
+    ok = _robots_ok_col()
     return (
         joined.select("domain", "doc_id", ok.alias("ok"))
         .groupBy("domain")
@@ -485,4 +503,103 @@ def q_robots_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_allowed_id"),
         )
         .orderBy("domain")
+    )
+
+
+# ---- q_crawl_policy_funnel --------------------------------------------------
+
+
+def _policy_funnel_oracle() -> str:
+    rok = robots_allowed_sql(_PATH_SQL, _PARSED_POLICIES["example.com"])
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 11 = 3) AS is404,
+             (doc_id % 7 = 2) AS isplain,
+             (doc_id % 13 = 5) AS hasdup,
+             {rok} AS rok
+      FROM documents
+    ),
+    r AS (SELECT * FROM d UNION ALL SELECT * FROM d WHERE hasdup)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fetched,
+           CAST(SUM(CASE WHEN NOT is404 AND NOT isplain THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_ok_html,
+           CAST(COUNT(DISTINCT CASE WHEN NOT is404 AND NOT isplain
+                    THEN doc_id END) AS BIGINT) AS n_unique,
+           CAST(COUNT(DISTINCT CASE WHEN NOT is404 AND NOT isplain AND rok
+                    THEN doc_id END) AS BIGINT) AS n_allowed,
+           CAST(SUM(DISTINCT CASE WHEN NOT is404 AND NOT isplain AND rok
+                    THEN doc_id END) AS BIGINT) AS sum_allowed_id
+    FROM r
+    """
+
+
+@register(
+    "q_crawl_policy_funnel",
+    oracle=_policy_funnel_oracle(),
+    doc="Policy-composed crawl funnel: the round-12 pieces in one pass "
+    "over the WARC fixture — fetched responses -> HTTP 200 text/html "
+    "-> canonical-URL dedup -> per-host robots decision, where the "
+    "decision comes from the broadcast (domain -> rules) policy table "
+    "joined on registrable_domain(url_host(canonical)) and evaluated "
+    "by the same higher-order most-specific-wins expressions as "
+    "q_robots_policies (the crawl pages' example.com carries the "
+    "mixed longest-match policy; the table's other hosts simply don't "
+    "bind). One output row of stage counts plus the allowed-id "
+    "checksum; the oracle replays every stage from the documents "
+    "table via residue arithmetic and the same generated rule "
+    "regexes. Plan: one streaming WARC scan -> codegen'd canonical/"
+    "domain/path projections -> BroadcastHashJoin(LeftOuter) with the "
+    "policy table -> single hash agg with conditional distincts — no "
+    "Python in the decision path, no second corpus scan; at 100 TB "
+    "this is the fetch-to-corpus admission plan, and re-fetching "
+    "robots.txt only re-broadcasts the policy table.",
+    tags=("web", "pipeline", "filter"),
+)
+def q_crawl_policy_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.pipeline14 import _read_warc
+    from roapi_spark.functions.web import canonical_url, url_path
+
+    resp = _read_warc(spark, sf_dir, types="response")
+    canon = canonical_url(F.col("target_uri"))
+    staged = (
+        resp.select(
+            F.col("http_status").alias("status"),
+            F.col("http_content_type").alias("ctype"),
+            canon.alias("canon"),
+        )
+        .withColumn(
+            "okhtml",
+            (F.col("status") == 200)
+            & F.col("ctype").startswith("text/html"),
+        )
+        .withColumn("domain", registrable_domain(url_host(F.col("canon"))))
+        .withColumn("path", url_path(F.col("canon")))
+        .withColumn(
+            "doc_id",
+            F.regexp_extract("canon", r"://[^/]+/[^/]+/(\d+)", 1).cast(
+                "bigint"
+            ),
+        )
+        .join(F.broadcast(_policies_df(spark)), "domain", "left")
+        .withColumn("rok", _robots_ok_col())
+    )
+    return staged.agg(
+        F.count("*").cast("bigint").alias("n_fetched"),
+        F.sum(F.col("okhtml").cast("bigint")).cast("bigint").alias(
+            "n_ok_html"
+        ),
+        F.count_distinct(F.when(F.col("okhtml"), F.col("canon")))
+        .cast("bigint")
+        .alias("n_unique"),
+        F.count_distinct(
+            F.when(F.col("okhtml") & F.col("rok"), F.col("canon"))
+        )
+        .cast("bigint")
+        .alias("n_allowed"),
+        F.sum_distinct(
+            F.when(F.col("okhtml") & F.col("rok"), F.col("doc_id"))
+        )
+        .cast("bigint")
+        .alias("sum_allowed_id"),
     )
