@@ -171,7 +171,11 @@ def _html_page(doc_id: int, text: str, link_to: int | None = None,
 
 
 def _warc_record(
-    wtype: str, uri: str | None, block: bytes, ctype: str
+    wtype: str,
+    uri: str | None,
+    block: bytes,
+    ctype: str,
+    extra: dict[str, str] | None = None,
 ) -> bytes:
     head = (
         "WARC/1.0\r\n"
@@ -179,6 +183,7 @@ def _warc_record(
         f"WARC-Record-ID: <urn:uuid:{wtype}-{uri or 'file'}>\r\n"
         "WARC-Date: 2026-01-01T00:00:00Z\r\n"
         + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + "".join(f"{k}: {v}\r\n" for k, v in (extra or {}).items())
         + f"Content-Type: {ctype}\r\n"
         f"Content-Length: {len(block)}\r\n\r\n"
     )
@@ -227,7 +232,7 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
 
     src = os.path.join(sf_dir, "documents.parquet")
-    out = snapshot_cache_dir(src, "warc-v4")
+    out = snapshot_cache_dir(src, "warc-v5")
     names = tuple(
         f"docs-{s:02d}.warc" + (".gz" if s % 2 == 0 else "")
         for s in range(_N_SHARDS)
@@ -277,6 +282,33 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
                     _response_record(
                         doc_id, source, text, _dup_url(doc_id, source),
                         href,
+                    )
+                )
+            if doc_id % 17 == 1:
+                # a later re-fetch found the payload unchanged: the
+                # crawler wrote a REVISIT record (ISO 28500 §6.7,
+                # identical-payload-digest profile) — headers only, no
+                # body, pointing at the record it matched. The %3
+                # residue DANGLES the reference (the original landed in
+                # a crawl file that was lost) so resolution joins have
+                # a real miss path.
+                ref = (
+                    f"<urn:uuid:response-missing-{doc_id}>"
+                    if doc_id % 3 == 0
+                    else f"<urn:uuid:response-{uri}>"
+                )
+                recs.append(
+                    _warc_record(
+                        "revisit",
+                        uri,
+                        b"HTTP/1.1 200 OK\r\n"
+                        b"Content-Type: text/html; charset=utf-8\r\n\r\n",
+                        "application/http; msgtype=response",
+                        extra={
+                            "WARC-Refers-To": ref,
+                            "WARC-Profile": "http://netpreservation.org"
+                            "/warc/1.0/revisit/identical-payload-digest",
+                        },
                     )
                 )
             shards[doc_id % _N_SHARDS].extend(recs)
@@ -384,11 +416,14 @@ def _canon_sql(col: str) -> str:
     SELECT
       (SELECT CAST(COUNT(*) AS BIGINT) FROM u)
         + CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        + CAST(SUM(CASE WHEN doc_id % 17 = 1 THEN 1 ELSE 0 END) AS BIGINT)
         + {_N_SHARDS} AS n_records,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_responses,
       CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
         AS n_requests,
       CAST({_N_SHARDS} AS BIGINT) AS n_warcinfo,
+      CAST(SUM(CASE WHEN doc_id % 17 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_revisit,
       CAST(SUM(CASE WHEN doc_id % 11 = 3
                THEN 1 + (CASE WHEN doc_id % 13 = 5 THEN 1 ELSE 0 END)
                ELSE 0 END) AS BIGINT) AS n_404,
@@ -428,6 +463,9 @@ def q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("warc_type") == "warcinfo").cast("bigint"))
         .cast("bigint")
         .alias("n_warcinfo"),
+        F.sum((F.col("warc_type") == "revisit").cast("bigint"))
+        .cast("bigint")
+        .alias("n_revisit"),
         F.sum((is_resp & (F.col("http_status") == 404)).cast("bigint"))
         .cast("bigint")
         .alias("n_404"),
@@ -460,6 +498,70 @@ def q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("uri_octets"),
+    )
+
+
+# ---- q_src_warc_revisit ----------------------------------------------------
+
+
+@register(
+    "q_src_warc_revisit",
+    oracle="""
+    WITH rv AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_revisit,
+           CAST(SUM(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_resolved,
+           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dangling,
+           CAST(SUM(CASE WHEN doc_id % 3 <> 0 THEN doc_id ELSE 0 END)
+             AS BIGINT) AS sum_resolved_id
+    FROM rv
+    """,
+    doc="WARC revisit-record gate (ISO 28500 §6.7 — the crawl-side "
+    "dedup record type Heritrix/Common Crawl write when a re-fetch "
+    "matches a stored payload): the fixture emits headers-only revisit "
+    "records (identical-payload-digest profile) on the %17 residue, "
+    "each carrying WARC-Refers-To; the %3 sub-residue DANGLES the "
+    "reference (original lost with its crawl file), so the "
+    "resolution join — revisits against response record ids — has a "
+    "real miss path. The loader must surface refers_to and parse the "
+    "bodiless http block (status from headers, empty payload); a "
+    "dropped header, a mis-typed record, or a join that fabricates or "
+    "loses a match shifts a count against the residue-arithmetic "
+    "oracle. Plan: one WARC scan -> type-split -> broadcast join on "
+    "record id (revisit streams are crawl-sized, originals "
+    "index-sized per window) -> one agg.",
+    tags=("source", "warc", "web"),
+)
+def q_src_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _read_warc(spark, sf_dir)
+    rev = df.filter(F.col("warc_type") == "revisit").select(
+        "refers_to",
+        F.regexp_extract("target_uri", r"://[^/]+/[^/]+/(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+    )
+    resp = (
+        df.filter(F.col("warc_type") == "response")
+        .select(F.col("record_id").alias("orig_id"))
+        .distinct()
+    )
+    j = rev.join(F.broadcast(resp), rev.refers_to == F.col("orig_id"), "left")
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_revisit"),
+        F.sum(F.col("orig_id").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_resolved"),
+        F.sum(F.col("orig_id").isNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_dangling"),
+        F.sum(
+            F.when(F.col("orig_id").isNotNull(), F.col("doc_id")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("sum_resolved_id"),
     )
 
 

@@ -160,8 +160,8 @@ KNOWN_TAGS = (
     "srciceberg-v1",  # Iceberg v2 metadata gate fixture (q_src_iceberg)
     "encgate-v1",  # response-encoder gate outputs (pipeline13 q_enc_*)
     "bpe-m8-v1",  # learned BPE merges + post-merge vocab (suffix = BPE_MERGES)
-    "warc-v4",  # crawl-archive gate fixture (pipeline14), 8 file shards
-    # + link graph with RFC 3986 reference-form hrefs and cross-host links
+    "warc-v5",  # crawl-archive gate fixture (pipeline14), 8 file shards
+    # + RFC 3986 reference-form hrefs, cross-host links, revisit records
     "unigram-t2-v1",  # unigram trajectory + vocab (suffix = EM_T)
     "warcimg-v1",  # crawl-image gate fixture (pipeline14 multimodal_crawl_images)
 )

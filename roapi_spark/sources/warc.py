@@ -57,8 +57,8 @@ from roapi_spark.config import TableSource
 SCHEMA = (
     "warc_file string, record_offset bigint, warc_type string, "
     "record_id string, target_uri string, warc_date string, "
-    "content_type string, content_length bigint, http_status int, "
-    "http_content_type string, payload binary"
+    "refers_to string, content_type string, content_length bigint, "
+    "http_status int, http_content_type string, payload binary"
 )
 
 _FIELDS = [f.strip().split(" ")[0] for f in SCHEMA.split(",")]
@@ -186,6 +186,9 @@ def iter_records(
             "record_id": headers.get("warc-record-id", ""),
             "target_uri": headers.get("warc-target-uri"),
             "warc_date": headers.get("warc-date"),
+            # revisit records (ISO 28500 §6.7 — crawl-side dedup) point
+            # at the record holding the payload they matched
+            "refers_to": headers.get("warc-refers-to"),
             "content_type": ctype or None,
             "content_length": clen,
             "http_status": status,

@@ -195,6 +195,46 @@ def test_loader_directory_scan_and_types_filter(spark, tmp_path):
     assert {r["warc_type"] for r in only.collect()} == {"response"}
 
 
+def test_revisit_record_refers_to_parsed():
+    """ISO 28500 §6.7: a revisit record (headers-only http block,
+    identical-payload-digest profile) surfaces refers_to, its status
+    from the bodiless block, and an empty payload."""
+    raw = (
+        "WARC/1.0\r\n"
+        "WARC-Type: revisit\r\n"
+        "WARC-Record-ID: <urn:uuid:rv1>\r\n"
+        "WARC-Date: 2026-01-02T00:00:00Z\r\n"
+        "WARC-Target-URI: https://example.com/a\r\n"
+        "WARC-Refers-To: <urn:uuid:orig1>\r\n"
+        "WARC-Profile: http://netpreservation.org/warc/1.0/revisit/"
+        "identical-payload-digest\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+    )
+    block = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    data = (
+        raw.encode()
+        + f"Content-Length: {len(block)}\r\n\r\n".encode()
+        + block
+        + b"\r\n\r\n"
+    )
+    recs = list(iter_records(io.BufferedReader(io.BytesIO(data)), "t"))
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["warc_type"] == "revisit"
+    assert r["refers_to"] == "<urn:uuid:orig1>"
+    assert r["http_status"] == 200 and r["payload"] == b""
+    # non-revisit records carry refers_to = None
+    other = list(
+        iter_records(
+            io.BufferedReader(
+                io.BytesIO(rec("response", "https://e.com/x", HTTP_OK))
+            ),
+            "t",
+        )
+    )
+    assert other[0]["refers_to"] is None
+
+
 def test_loader_skips_glob_matching_non_files(spark, tmp_path):
     """A subdirectory whose NAME matches the glob (crawls nest
     segments/) must not be opened as a WARC file in the flat scan."""
