@@ -534,7 +534,7 @@ def q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("source", "warc", "web"),
 )
 def q_src_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _read_warc(spark, sf_dir)
+    df = _read_warc(spark, sf_dir, payload="false")  # metadata-only pass
     rev = df.filter(F.col("warc_type") == "revisit").select(
         "refers_to",
         F.regexp_extract("target_uri", r"://[^/]+/[^/]+/(\d+)", 1)
@@ -1480,7 +1480,10 @@ def _crawl_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     links from chrome/external ones; no href-shape regex. The final
     canonical->doc_id mapping uses the fixture's URL layout (gate glue,
     same as every other gate's id recovery)."""
-    resp = _read_warc(spark, sf_dir, types="response")
+    # metadata-only pass: the page SET needs URIs, never payloads —
+    # payload=false keeps corpus bytes out of the Arrow transfer (at
+    # real crawl scale this pass reads the CDX index instead)
+    resp = _read_warc(spark, sf_dir, types="response", payload="false")
     page_set = (
         resp.select(canonical_url(F.col("target_uri")).alias("dst_canon"))
         .distinct()

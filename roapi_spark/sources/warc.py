@@ -288,6 +288,13 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
         for t in str(ts.option.get("types", "")).split(",")
         if t.strip()
     }
+    # payload=false: metadata-only scans (URL sets, type counts, revisit
+    # resolution) still stream-decompress every record — unavoidable in
+    # the format — but never materialize corpus bytes into Arrow
+    # batches, which is the dominant transfer cost of such passes
+    keep_payload = (
+        str(ts.option.get("payload", "true")).lower() != "false"
+    )
 
     paths = spark.createDataFrame(
         [(p,) for p in files], "path string"
@@ -305,6 +312,8 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
                 for rec in read_warc_file(p, label):
                     if types and rec["warc_type"] not in types:
                         continue
+                    if not keep_payload:
+                        rec["payload"] = None
                     buf.append(rec)
                     if len(buf) >= 256:
                         yield pd.DataFrame(buf, columns=_FIELDS)

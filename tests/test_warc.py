@@ -235,6 +235,28 @@ def test_revisit_record_refers_to_parsed():
     assert other[0]["refers_to"] is None
 
 
+def test_loader_payload_false_is_metadata_only(spark, tmp_path):
+    """payload=false serves every record with a NULL payload — the
+    Arrow transfer for URL-set/type-count passes carries no corpus
+    bytes, while all metadata columns stay intact."""
+    (tmp_path / "a.warc").write_bytes(golden())
+    df = load_table(
+        spark,
+        TableSource(
+            name="c",
+            uri=str(tmp_path),
+            format="warc",
+            option={"payload": "false"},
+        ),
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    assert all(r["payload"] is None for r in rows)
+    resp = [r for r in rows if r["warc_type"] == "response"][0]
+    assert resp["http_status"] == 200
+    assert resp["target_uri"] == "https://example.com/a"
+
+
 def test_loader_skips_glob_matching_non_files(spark, tmp_path):
     """A subdirectory whose NAME matches the glob (crawls nest
     segments/) must not be opened as a WARC file in the flat scan."""
