@@ -49,6 +49,7 @@ KNOWN_FORMATS = {
     "airtable",
     "binary",
     "warc",
+    "cdx",
 }
 
 _EXT_TO_FORMAT = {
@@ -70,6 +71,8 @@ _EXT_TO_FORMAT = {
     ".sqlite": "sqlite",
     ".sqlite3": "sqlite",
     ".warc": "warc",
+    ".cdx": "cdx",
+    ".cdxj": "cdx",
 }
 
 _SCHEME_TO_FORMAT = {
@@ -146,6 +149,8 @@ def sniff_format(uri: str) -> str | None:
     path = uri.split("://", 1)[-1].split("?", 1)[0]
     if path.lower().endswith(".warc.gz"):  # splitext sees only .gz
         return "warc"
+    if path.lower().endswith((".cdx.gz", ".cdxj.gz")):
+        return "cdx"
     _, ext = os.path.splitext(path.rstrip("/"))
     fmt = _EXT_TO_FORMAT.get(ext.lower())
     if fmt is None and os.path.isdir(path):

@@ -501,6 +501,167 @@ def q_src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- q_src_cdx -------------------------------------------------------------
+
+
+def _surt(canon: str) -> str:
+    """SURT key of a canonical URL: host labels reversed and
+    comma-joined, ')/' separator, then path+query — the sort key CDX
+    files are ordered by."""
+    rest = canon.split("://", 1)[1]
+    host, _, pathq = rest.partition("/")
+    return ",".join(reversed(host.split("."))) + ")/" + pathq
+
+
+def _cdx_line(doc_id: int, source: str, url: str, fetch_ts: str) -> str:
+    import json as _json
+
+    is404 = doc_id % 11 == 3
+    isplain = (not is404) and doc_id % 7 == 2
+    shard = doc_id % _N_SHARDS
+    fname = f"docs-{shard:02d}.warc" + (".gz" if shard % 2 == 0 else "")
+    # canonical form for the SURT key (what a CDX writer canonicalizes)
+    canon = (
+        f"https://crawl.example.com/{source}/{doc_id}?a=1&b=2"
+    )
+    blob = {
+        "url": url,
+        "mime": "text/plain" if isplain else "text/html",
+        "status": "404" if is404 else "200",
+        "digest": f"sha1:{doc_id}",
+        "length": str(100 + doc_id % 251),
+        "offset": str((doc_id * 7919) % 1000003),
+        "filename": fname,
+    }
+    return f"{_surt(canon)} {fetch_ts} {_json.dumps(blob)}"
+
+
+def _cdx_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once CDXJ index fixture mirroring the WARC fixture's URL
+    set: one line per capture (primary + the %13 later re-capture),
+    SURT-sorted within each of 4 shard files, half gzipped (the
+    text reader must decompress transparently)."""
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = snapshot_cache_dir(src, "cdx-v1")
+    names = tuple(
+        f"index-{s:02d}.cdx" + (".gz" if s % 2 == 0 else "j")
+        for s in range(4)
+    )
+
+    def ready(d: str) -> bool:
+        return all(os.path.exists(os.path.join(d, n)) for n in names)
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        rows = (
+            spark.read.parquet(src)
+            .select("doc_id", "source")
+            .orderBy("doc_id")
+            .collect()
+        )
+        shards: list[list[str]] = [[] for _ in names]
+        for r in rows:
+            doc_id, source = r[0], r[1]
+            uri = _raw_url(doc_id, source)
+            shards[doc_id % len(names)].append(
+                _cdx_line(doc_id, source, uri, "20260101000000")
+            )
+            if doc_id % 13 == 5:
+                shards[doc_id % len(names)].append(
+                    _cdx_line(
+                        doc_id, source, _dup_url(doc_id, source),
+                        "20260102000000",
+                    )
+                )
+        for s, lines in enumerate(shards):
+            data = "\n".join(sorted(lines)) + "\n"
+            path = os.path.join(tmp, names[s])
+            if names[s].endswith(".gz"):
+                with open(path, "wb") as f:
+                    f.write(gzip.compress(data.encode(), mtime=0))
+            else:
+                with open(path, "w") as f:
+                    f.write(data)
+
+    return build_once(out, ready, build)
+
+
+@register(
+    "q_src_cdx",
+    oracle=f"""
+    WITH u AS ({_URL_CTE}),
+    d AS (
+      SELECT doc_id,
+             (doc_id % 11 = 3) AS is404,
+             (doc_id % 11 <> 3 AND doc_id % 7 = 2) AS isplain,
+             (CASE WHEN doc_id % 13 = 5 THEN 2 ELSE 1 END) AS m,
+             100 + (doc_id % 251) AS len,
+             (doc_id * 7919) % 1000003 AS off
+      FROM documents
+    )
+    SELECT CAST(SUM(m) AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN NOT is404 THEN m ELSE 0 END) AS BIGINT)
+             AS n_200,
+           CAST(SUM(CASE WHEN is404 THEN m ELSE 0 END) AS BIGINT) AS n_404,
+           CAST(SUM(CASE WHEN isplain THEN m ELSE 0 END) AS BIGINT)
+             AS n_plain,
+           CAST(SUM(m * len) AS BIGINT) AS sum_length,
+           CAST(SUM(m * off) AS BIGINT) AS sum_offset,
+           (SELECT CAST(COUNT(DISTINCT doc_id % {_N_SHARDS}) AS BIGINT)
+            FROM documents) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_surt,
+           (SELECT CAST(COUNT(DISTINCT raw_url) AS BIGINT) FROM u) AS n_urls
+    FROM d
+    """,
+    doc="CDX(J) index source gate: the per-URL sidecar index a real "
+    "crawl queries instead of scanning archives (Common Crawl's "
+    "cc-index layout — SURT key, fetch timestamp, JSON blob). The "
+    "fixture mirrors the WARC fixture's capture set (primary + %13 "
+    "re-capture under the messy URL) across 4 SURT-sorted shard files, "
+    "half gzipped; the loader (sources/cdx.py) parses it with COMPOSED "
+    "BUILT-INS only — text scan, two codegen'd splits, FAILFAST "
+    "from_json, typed casts — and the gate aggregates status/mime "
+    "counts, byte/offset checksums, distinct archive filenames, "
+    "distinct SURT keys (re-captures of one page share a key: n_surt "
+    "= docs while n_records counts captures) and distinct raw URLs, "
+    "all replayed by the oracle from residue arithmetic. Plan: "
+    "splittable text FileScan (partition parallelism at 100 TB, .gz "
+    "transparent) -> WholeStageCodegen parse -> one agg; the index is "
+    "~1000x smaller than the archives, which is why page-set joins "
+    "read it instead of the WARCs.",
+    tags=("source", "web"),
+)
+def q_src_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.config import TableSource
+    from roapi_spark.sources import load_table
+
+    df = load_table(
+        spark,
+        TableSource(
+            name="_cdx", uri=_cdx_fixture_dir(spark, sf_dir), format="cdx"
+        ),
+    )
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_records"),
+        F.sum((F.col("status") == 200).cast("bigint"))
+        .cast("bigint")
+        .alias("n_200"),
+        F.sum((F.col("status") == 404).cast("bigint"))
+        .cast("bigint")
+        .alias("n_404"),
+        F.sum((F.col("mime") == "text/plain").cast("bigint"))
+        .cast("bigint")
+        .alias("n_plain"),
+        F.sum("length").cast("bigint").alias("sum_length"),
+        F.sum("offset").cast("bigint").alias("sum_offset"),
+        F.count_distinct("warc_filename").cast("bigint").alias("n_files"),
+        F.count_distinct("surt_key").cast("bigint").alias("n_surt"),
+        F.count_distinct("url").cast("bigint").alias("n_urls"),
+    )
+
+
 # ---- q_src_warc_revisit ----------------------------------------------------
 
 

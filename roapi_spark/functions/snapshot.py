@@ -162,6 +162,7 @@ KNOWN_TAGS = (
     "bpe-m8-v1",  # learned BPE merges + post-merge vocab (suffix = BPE_MERGES)
     "warc-v5",  # crawl-archive gate fixture (pipeline14), 8 file shards
     # + RFC 3986 reference-form hrefs, cross-host links, revisit records
+    "cdx-v1",  # CDXJ index fixture (pipeline14), 4 SURT-sorted shards
     "unigram-t2-v1",  # unigram trajectory + vocab (suffix = EM_T)
     "warcimg-v1",  # crawl-image gate fixture (pipeline14 multimodal_crawl_images)
 )

@@ -46,6 +46,7 @@ _LOADERS: dict[str, str] = {
     "airtable": "roapi_spark.sources.airtable",
     "binary": "roapi_spark.sources.binaryfile",
     "warc": "roapi_spark.sources.warc",
+    "cdx": "roapi_spark.sources.cdx",
 }
 
 
