@@ -662,6 +662,62 @@ def q_src_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- q_cdx_digest_dedup ----------------------------------------------------
+
+
+@register(
+    "q_cdx_digest_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 13 = 5 THEN 2 ELSE 1 END) AS caps
+      FROM documents
+    )
+    SELECT CAST(SUM(caps) AS BIGINT) AS n_captures,
+           CAST(COUNT(*) AS BIGINT) AS n_digests,
+           CAST(SUM(caps - 1) AS BIGINT) AS n_redundant,
+           CAST(SUM(CASE WHEN caps > 1 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS sum_dup_id
+    FROM d
+    """,
+    doc="Crawl-time dedup from the INDEX alone: captures grouped by "
+    "payload digest over the CDX sidecar — the pass a real pipeline "
+    "runs before touching any archive byte (re-captures of unchanged "
+    "pages are redundant fetches; their WARC records need never be "
+    "read). The %13 re-captures share their primary's digest, so "
+    "n_redundant and the duplicate-id checksum are closed-form. Plan: "
+    "splittable text scan -> codegen'd parse -> digest-keyed hash agg "
+    "(map-side partials) -> one summary agg; at 100 TB the digest "
+    "column is the shuffle key and the archives are never opened.",
+    tags=("web", "dedup", "source"),
+)
+def q_cdx_digest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.config import TableSource
+    from roapi_spark.sources import load_table
+
+    df = load_table(
+        spark,
+        TableSource(
+            name="_cdx", uri=_cdx_fixture_dir(spark, sf_dir), format="cdx"
+        ),
+    )
+    per_digest = df.groupBy("digest").agg(
+        F.count("*").alias("caps"),
+        # digest is 'sha1:{doc_id}' in the fixture: recover the id for
+        # the checksum (gate glue, same as every id recovery)
+        F.min(F.regexp_extract("digest", r"sha1:(\d+)", 1).cast("bigint"))
+        .alias("doc_id"),
+    )
+    return per_digest.agg(
+        F.sum("caps").cast("bigint").alias("n_captures"),
+        F.count("*").cast("bigint").alias("n_digests"),
+        F.sum(F.col("caps") - 1).cast("bigint").alias("n_redundant"),
+        F.sum(F.when(F.col("caps") > 1, F.col("doc_id")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sum_dup_id"),
+    )
+
+
 # ---- q_src_warc_revisit ----------------------------------------------------
 
 
