@@ -223,6 +223,46 @@ def _response_record(
 _N_SHARDS = 8  # crawl-file parallelism unit: the scan's task count
 
 
+def _capture_meta(
+    doc_id: int, source: str, url: str, dup: bool = False
+) -> dict:
+    """Per-capture pointer metadata (mirrors the record the builder is
+    about to write; residues match _response_record)."""
+    is404 = doc_id % 11 == 3
+    return {
+        "doc_id": doc_id,
+        "source": source,
+        "url": url,
+        "status": "404" if is404 else "200",
+        "mime": (
+            "text/plain" if (not is404 and doc_id % 7 == 2) else "text/html"
+        ),
+        "ts": "20260102000000" if dup else "20260101000000",
+    }
+
+
+def _pointer_line(meta: dict, offset: int, length: int, fname: str) -> str:
+    """One CDXJ pointer line with the capture's TRUE archive
+    coordinates (compressed-member offset/length in .gz shards, raw
+    record slice in plain shards)."""
+    import json as _json
+
+    canon = (
+        f"https://crawl.example.com/{meta['source']}/{meta['doc_id']}"
+        "?a=1&b=2"
+    )
+    blob = {
+        "url": meta["url"],
+        "mime": meta["mime"],
+        "status": meta["status"],
+        "digest": f"sha1:{meta['doc_id']}",
+        "length": str(length),
+        "offset": str(offset),
+        "filename": fname,
+    }
+    return f"{_surt(canon)} {meta['ts']} {_json.dumps(blob)}"
+
+
 def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build-once WARC fixture, sharded into 8 files by doc_id (even
     shards one-gzip-member-per-record — the Common Crawl layout — odd
@@ -232,14 +272,17 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
 
     src = os.path.join(sf_dir, "documents.parquet")
-    out = snapshot_cache_dir(src, "warc-v5")
+    out = snapshot_cache_dir(src, "warc-v6")
     names = tuple(
         f"docs-{s:02d}.warc" + (".gz" if s % 2 == 0 else "")
         for s in range(_N_SHARDS)
     )
+    ptr_names = tuple(f"pointers-{s:02d}.cdxj" for s in range(_N_SHARDS))
 
     def ready(d: str) -> bool:
-        return all(os.path.exists(os.path.join(d, n)) for n in names)
+        return all(
+            os.path.exists(os.path.join(d, n)) for n in names + ptr_names
+        )
 
     def build(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)
@@ -255,7 +298,13 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             b"software: roapi_spark fixture\r\n",
             "application/warc-fields",
         )
-        shards: list[list[bytes]] = [[info] for _ in range(_N_SHARDS)]
+        # each shard holds (record bytes, capture-pointer meta | None):
+        # response records get a CDXJ pointer with their TRUE (offset,
+        # length) recorded at write time, so the random-access fetch
+        # path has real coordinates to seek to
+        shards: list[list[tuple[bytes, dict | None]]] = [
+            [(info, None)] for _ in range(_N_SHARDS)
+        ]
         n_docs = len(rows)
         src_of = {r[0]: r[1] for r in rows}
         for r in rows:
@@ -263,25 +312,37 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             uri = _raw_url(doc_id, source)
             link_to = (doc_id * 7) % n_docs  # functional link graph
             href = _doc_link_href(doc_id, source, link_to, src_of[link_to])
-            recs = []
+            recs: list[tuple[bytes, dict | None]] = []
             if doc_id % 10 == 0:
                 recs.append(
-                    _warc_record(
-                        "request",
-                        uri,
-                        f"GET /{source}/{doc_id} HTTP/1.1\r\n"
-                        "Host: crawl.example.com\r\n\r\n".encode(),
-                        "application/http; msgtype=request",
+                    (
+                        _warc_record(
+                            "request",
+                            uri,
+                            f"GET /{source}/{doc_id} HTTP/1.1\r\n"
+                            "Host: crawl.example.com\r\n\r\n".encode(),
+                            "application/http; msgtype=request",
+                        ),
+                        None,
                     )
                 )
             recs.append(
-                _response_record(doc_id, source, text, uri, href)
+                (
+                    _response_record(doc_id, source, text, uri, href),
+                    _capture_meta(doc_id, source, uri),
+                )
             )
             if doc_id % 13 == 5:
                 recs.append(
-                    _response_record(
-                        doc_id, source, text, _dup_url(doc_id, source),
-                        href,
+                    (
+                        _response_record(
+                            doc_id, source, text,
+                            _dup_url(doc_id, source), href,
+                        ),
+                        _capture_meta(
+                            doc_id, source, _dup_url(doc_id, source),
+                            dup=True,
+                        ),
                     )
                 )
             if doc_id % 17 == 1:
@@ -298,31 +359,49 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
                     else f"<urn:uuid:response-{uri}>"
                 )
                 recs.append(
-                    _warc_record(
-                        "revisit",
-                        uri,
-                        b"HTTP/1.1 200 OK\r\n"
-                        b"Content-Type: text/html; charset=utf-8\r\n\r\n",
-                        "application/http; msgtype=response",
-                        extra={
-                            "WARC-Refers-To": ref,
-                            "WARC-Profile": "http://netpreservation.org"
-                            "/warc/1.0/revisit/identical-payload-digest",
-                        },
+                    (
+                        _warc_record(
+                            "revisit",
+                            uri,
+                            b"HTTP/1.1 200 OK\r\n"
+                            b"Content-Type: text/html; charset=utf-8\r\n\r\n",
+                            "application/http; msgtype=response",
+                            extra={
+                                "WARC-Refers-To": ref,
+                                "WARC-Profile": "http://netpreservation"
+                                ".org/warc/1.0/revisit/"
+                                "identical-payload-digest",
+                            },
+                        ),
+                        None,
                     )
                 )
             shards[doc_id % _N_SHARDS].extend(recs)
         for s, recs in enumerate(shards):
-            if s % 2 == 0:
-                with open(os.path.join(tmp, names[s]), "wb") as f:
-                    for rec in recs:
-                        f.write(gzip.compress(rec, mtime=0))
-            else:
-                with open(os.path.join(tmp, names[s]), "wb") as f:
-                    for rec in recs:
-                        f.write(rec)
+            pos = 0
+            pointers: list[str] = []
+            with open(os.path.join(tmp, names[s]), "wb") as f:
+                for rec, meta in recs:
+                    out_b = (
+                        gzip.compress(rec, mtime=0) if s % 2 == 0 else rec
+                    )
+                    if meta is not None:
+                        pointers.append(
+                            _pointer_line(meta, pos, len(out_b), names[s])
+                        )
+                    f.write(out_b)
+                    pos += len(out_b)
+            with open(os.path.join(tmp, ptr_names[s]), "w") as pf:
+                pf.write("\n".join(sorted(pointers)) + "\n")
 
     return build_once(out, ready, build)
+
+
+def _warc_shards(src: str) -> list[str]:
+    """Archive shard names in the fixture dir — pointer index files
+    (and anything else non-WARC) excluded; the unit the streaming
+    gates land wave by wave."""
+    return sorted(n for n in os.listdir(src) if ".warc" in n)
 
 
 def _read_warc(spark: SparkSession, sf_dir: str, **option) -> DataFrame:
@@ -659,6 +738,134 @@ def q_src_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("warc_filename").cast("bigint").alias("n_files"),
         F.count_distinct("surt_key").cast("bigint").alias("n_surt"),
         F.count_distinct("url").cast("bigint").alias("n_urls"),
+    )
+
+
+# ---- q_warc_random_fetch ---------------------------------------------------
+
+
+@register(
+    "q_warc_random_fetch",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, strlen(text) AS tl,
+             (CASE WHEN doc_id % 13 = 5 THEN 2 ELSE 1 END) AS m,
+             (doc_id % 11 = 3) AS is404,
+             (doc_id % 11 <> 3 AND doc_id % 7 = 2) AS isplain
+      FROM documents
+    ),
+    f AS (SELECT * FROM d WHERE is404 OR isplain)
+    SELECT CAST(SUM(m) AS BIGINT) AS n_fetched,
+           CAST(SUM(CASE WHEN isplain THEN m ELSE 0 END) AS BIGINT)
+             AS n_plain,
+           CAST(SUM(CASE WHEN is404 THEN m ELSE 0 END) AS BIGINT) AS n_404,
+           CAST(SUM(CASE WHEN isplain THEN m * tl ELSE 0 END) AS BIGINT)
+             AS plain_octets,
+           CAST(SUM(CASE WHEN is404 THEN m * 37 ELSE 0 END) AS BIGINT)
+             AS octets_404,
+           CAST(SUM(m) AS BIGINT) AS n_match
+    FROM f
+    """,
+    doc="CDX-pointer RANDOM ACCESS into the archives — the pattern "
+    "that makes a 100 TB crawl queryable: the WARC fixture build "
+    "records each capture's TRUE coordinates (compressed-member "
+    "offset/length in .gz shards, raw record slice in plain shards) "
+    "into CDXJ pointer files; the gate filters the INDEX to a sparse "
+    "subset (text/plain captures + 404s — the filter prunes before "
+    "any archive byte moves), then an Arrow-batched kernel seeks and "
+    "reads exactly the pointed-at bytes per capture "
+    "(sources/warc.read_record_at: gzip-member or raw slice by magic, "
+    "fail-loud framing) and re-parses the record. The gate checks "
+    "fetched counts, per-class payload octet sums, AND that every "
+    "pointer's url/status equal the fetched record's — a stale "
+    "offset, wrong-member read, or framing drift fails n_match. Plan: "
+    "codegen'd index scan+filter -> mapInPandas fetch (per-capture "
+    "cost is one seek+read of ~one record, NOT a file scan) -> one "
+    "agg; at 100 TB this is how you serve 0.001% of pages without "
+    "opening the other 99.999%.",
+    tags=("web", "source"),
+)
+def q_warc_random_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.config import TableSource
+    from roapi_spark.sources import load_table
+
+    archive_dir = _warc_fixture_dir(spark, sf_dir)
+    pointers = load_table(
+        spark,
+        TableSource(
+            name="_ptr",
+            uri=archive_dir,
+            format="cdx",
+            option={"glob": "pointers-*.cdxj"},
+        ),
+    )
+    wanted = pointers.filter(
+        (F.col("mime") == "text/plain") | (F.col("status") == 404)
+    ).select("url", "status", "warc_filename", "offset", "length")
+
+    out_schema = (
+        "ptr_url string, ptr_status int, rec_uri string, rec_status int, "
+        "rec_ctype string, octets bigint"
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        from roapi_spark.sources.warc import read_record_at
+
+        for pdf in batches:
+            out = []
+            for url, status, fname, off, ln in zip(
+                pdf["url"],
+                pdf["status"],
+                pdf["warc_filename"],
+                pdf["offset"],
+                pdf["length"],
+            ):
+                rec = read_record_at(
+                    os.path.join(archive_dir, str(fname)), int(off), int(ln)
+                )
+                out.append(
+                    {
+                        "ptr_url": url,
+                        "ptr_status": int(status),
+                        "rec_uri": rec["target_uri"],
+                        "rec_status": rec["http_status"],
+                        "rec_ctype": rec["http_content_type"],
+                        "octets": len(rec["payload"]),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "ptr_url", "ptr_status", "rec_uri", "rec_status",
+                    "rec_ctype", "octets",
+                ],
+            )
+
+    fetched = wanted.mapInPandas(kernel, out_schema)
+    is_plain = (F.col("rec_status") == 200) & F.col("rec_ctype").startswith(
+        "text/plain"
+    )
+    is_404 = F.col("rec_status") == 404
+    return fetched.agg(
+        F.count("*").cast("bigint").alias("n_fetched"),
+        F.sum(is_plain.cast("bigint")).cast("bigint").alias("n_plain"),
+        F.sum(is_404.cast("bigint")).cast("bigint").alias("n_404"),
+        F.sum(F.when(is_plain, F.col("octets")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("plain_octets"),
+        F.sum(F.when(is_404, F.col("octets")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("octets_404"),
+        F.sum(
+            (
+                (F.col("ptr_url") == F.col("rec_uri"))
+                & (F.col("ptr_status") == F.col("rec_status"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_match"),
     )
 
 
@@ -1158,7 +1365,7 @@ def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from roapi_spark.streaming.crawl import stream_crawl_ingest as _ingest
 
     src = _warc_fixture_dir(spark, sf_dir)
-    shards = sorted(os.listdir(src))
+    shards = _warc_shards(src)
     landing = tempfile.mkdtemp(prefix="crawl_landing_")
     acc: dict[str, list] = {}
 
@@ -1348,7 +1555,7 @@ def stream_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from roapi_spark.streaming.crawl import stream_url_frontier as _frontier
 
     src = _warc_fixture_dir(spark, sf_dir)
-    shards = sorted(os.listdir(src))
+    shards = _warc_shards(src)
     landing = tempfile.mkdtemp(prefix="frontier_landing_")
     acc: dict[str, list] = {}
 
@@ -1584,7 +1791,7 @@ def stream_crawl_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from roapi_spark.streaming.crawl import stream_crawl_to_delta as _deliver
 
     src = _warc_fixture_dir(spark, sf_dir)
-    shards = sorted(os.listdir(src))
+    shards = _warc_shards(src)
     landing = tempfile.mkdtemp(prefix="crawl_delta_landing_")
     table_root = tempfile.mkdtemp(prefix="crawl_delta_table_")
     # the returned DataFrame reads the table LAZILY, so the tmpdir must

@@ -271,6 +271,7 @@ def stream_frontier_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from roapi_spark.functions.pipeline14 import (
         _N_SHARDS,
         _warc_fixture_dir,
+        _warc_shards,
     )
     from roapi_spark.streaming.crawl import (
         N_BLOOM_BUCKETS,
@@ -278,7 +279,7 @@ def stream_frontier_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = _warc_fixture_dir(spark, sf_dir)
-    shards = sorted(os.listdir(src))
+    shards = _warc_shards(src)
     landing = tempfile.mkdtemp(prefix="frontier_bounded_landing_")
     acc: dict[str, list] = {}
     buckets: set[int] = set()

@@ -160,8 +160,9 @@ KNOWN_TAGS = (
     "srciceberg-v1",  # Iceberg v2 metadata gate fixture (q_src_iceberg)
     "encgate-v1",  # response-encoder gate outputs (pipeline13 q_enc_*)
     "bpe-m8-v1",  # learned BPE merges + post-merge vocab (suffix = BPE_MERGES)
-    "warc-v5",  # crawl-archive gate fixture (pipeline14), 8 file shards
-    # + RFC 3986 reference-form hrefs, cross-host links, revisit records
+    "warc-v6",  # crawl-archive gate fixture (pipeline14), 8 file shards
+    # + RFC 3986 hrefs, cross-host links, revisit records, CDXJ pointer
+    # files with true per-capture (offset, length) coordinates
     "cdx-v1",  # CDXJ index fixture (pipeline14), 4 SURT-sorted shards
     "unigram-t2-v1",  # unigram trajectory + vocab (suffix = EM_T)
     "warcimg-v1",  # crawl-image gate fixture (pipeline14 multimodal_crawl_images)

@@ -44,7 +44,11 @@ _JSON_SCHEMA = (
 
 
 def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
-    lines = spark.read.text(ts.uri)
+    reader = spark.read
+    glob = ts.option.get("glob")
+    if glob:  # index files living next to the archives they point into
+        reader = reader.option("pathGlobFilter", str(glob))
+    lines = reader.text(ts.uri)
     # tolerate blank lines and legacy OpenWayback " CDX ..." header
     # lines (classic-format headers start with a space, per the CDX
     # file-format docs); everything else must parse or the scan fails

@@ -243,6 +243,32 @@ def read_warc_file(path: str, label: str | None = None) -> Iterator[dict]:
         raw.close()
 
 
+def read_record_at(
+    path: str, offset: int, length: int, label: str | None = None
+) -> dict:
+    """Random-access fetch of ONE record by (offset, length) pointer —
+    the CDX-index access pattern: seek, read exactly the pointed-at
+    bytes (an independent gzip member in member-per-record files, a raw
+    record slice in plain files — disambiguated by the gzip magic), and
+    parse. Fail-loud framing: short reads and pointers that do not
+    frame exactly one record are errors, never partial rows."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        data = f.read(length)
+    if len(data) != length:
+        raise WarcFormatError(
+            f"short read at {path}@{offset}: wanted {length} octets, "
+            f"got {len(data)}"
+        )
+    recs = list(parse_warc_bytes(data, label or os.path.basename(path)))
+    if len(recs) != 1:
+        raise WarcFormatError(
+            f"pointer {path}@{offset}+{length} frames {len(recs)} "
+            "records, expected exactly 1"
+        )
+    return recs[0]
+
+
 def _list_files(uri: str, glob: str, recursive: bool = False) -> list[str]:
     if os.path.isdir(uri):
         if recursive:
