@@ -799,73 +799,119 @@ def q_warc_random_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
             option={"glob": "pointers-*.cdxj"},
         ),
     )
+    from roapi_spark.sources.warc import fetch_records
+
     wanted = pointers.filter(
         (F.col("mime") == "text/plain") | (F.col("status") == 404)
     ).select("url", "status", "warc_filename", "offset", "length")
 
-    out_schema = (
-        "ptr_url string, ptr_status int, rec_uri string, rec_status int, "
-        "rec_ctype string, octets bigint"
-    )
-
-    def kernel(batches):
-        import pandas as pd
-
-        from roapi_spark.sources.warc import read_record_at
-
-        for pdf in batches:
-            out = []
-            for url, status, fname, off, ln in zip(
-                pdf["url"],
-                pdf["status"],
-                pdf["warc_filename"],
-                pdf["offset"],
-                pdf["length"],
-            ):
-                rec = read_record_at(
-                    os.path.join(archive_dir, str(fname)), int(off), int(ln)
-                )
-                out.append(
-                    {
-                        "ptr_url": url,
-                        "ptr_status": int(status),
-                        "rec_uri": rec["target_uri"],
-                        "rec_status": rec["http_status"],
-                        "rec_ctype": rec["http_content_type"],
-                        "octets": len(rec["payload"]),
-                    }
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "ptr_url", "ptr_status", "rec_uri", "rec_status",
-                    "rec_ctype", "octets",
-                ],
-            )
-
-    fetched = wanted.mapInPandas(kernel, out_schema)
-    is_plain = (F.col("rec_status") == 200) & F.col("rec_ctype").startswith(
-        "text/plain"
-    )
-    is_404 = F.col("rec_status") == 404
+    fetched = fetch_records(wanted, archive_dir)
+    is_plain = (F.col("http_status") == 200) & F.col(
+        "http_content_type"
+    ).startswith("text/plain")
+    is_404 = F.col("http_status") == 404
     return fetched.agg(
         F.count("*").cast("bigint").alias("n_fetched"),
         F.sum(is_plain.cast("bigint")).cast("bigint").alias("n_plain"),
         F.sum(is_404.cast("bigint")).cast("bigint").alias("n_404"),
-        F.sum(F.when(is_plain, F.col("octets")).otherwise(F.lit(0)))
+        F.sum(
+            F.when(is_plain, F.length("payload").cast("bigint")).otherwise(
+                F.lit(0)
+            )
+        )
         .cast("bigint")
         .alias("plain_octets"),
-        F.sum(F.when(is_404, F.col("octets")).otherwise(F.lit(0)))
+        F.sum(
+            F.when(is_404, F.length("payload").cast("bigint")).otherwise(
+                F.lit(0)
+            )
+        )
         .cast("bigint")
         .alias("octets_404"),
         F.sum(
             (
-                (F.col("ptr_url") == F.col("rec_uri"))
-                & (F.col("ptr_status") == F.col("rec_status"))
+                (F.col("ptr_url") == F.col("target_uri"))
+                & (F.col("ptr_status") == F.col("http_status"))
             ).cast("bigint")
         )
         .cast("bigint")
         .alias("n_match"),
+    )
+
+
+# ---- q_warc_roundtrip ------------------------------------------------------
+
+
+@register(
+    "q_warc_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) + COUNT(DISTINCT doc_id % 4) AS BIGINT)
+             AS n_records,
+           CAST(COUNT(*) AS BIGINT) AS n_responses,
+           CAST(COUNT(DISTINCT doc_id % 4) AS BIGINT) AS n_files,
+           CAST(SUM(strlen(text)) AS BIGINT) AS payload_octets,
+           CAST(COUNT(*) AS BIGINT) AS n_uri
+    FROM documents
+    """,
+    doc="WARC write-read round trip: the corpus is exported through "
+    "the WARC SINK (sinks/warc.py — one gzip member-per-record archive "
+    "per shard value, warcinfo head, tmp+rename atomic publish, "
+    "deterministic uuid5 record ids so task retries re-land identical "
+    "bytes) and read back through the WARC SOURCE; record/response/"
+    "file counts, payload octet sum and distinct-URI count must match "
+    "the documents table. A framing bug in EITHER half breaks the trip "
+    "— the reader was pinned to hand-assembled spec bytes before the "
+    "writer existed, so they cannot share a mistake. Plan: "
+    "groupBy(shard) -> applyInPandas write (one task = one archive = "
+    "the caller-chosen file size) -> per-file streaming read-back -> "
+    "one agg; the sink's member-per-record gzip keeps the OUTPUT "
+    "random-accessible and CDX-indexable.",
+    tags=("web", "gate"),
+)
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from roapi_spark.config import TableSource
+    from roapi_spark.sinks.warc import write_warc
+    from roapi_spark.sources import load_table
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rows = docs.select(
+        F.concat(
+            F.lit("https://corpus.example.org/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(200).alias("http_status"),
+        F.lit("text/plain; charset=utf-8").alias("http_content_type"),
+        (F.col("doc_id") % 4).alias("shard"),
+    )
+    out_root = tempfile.mkdtemp(prefix="warc_sink_gate_")
+    atexit.register(shutil.rmtree, out_root, ignore_errors=True)
+    out_dir = os.path.join(out_root, "export")
+    write_warc(rows, out_dir, shard_col="shard").count()  # execute write
+    back = load_table(
+        spark, TableSource(name="_rt", uri=out_dir, format="warc")
+    )
+    is_resp = F.col("warc_type") == "response"
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_records"),
+        F.sum(is_resp.cast("bigint")).cast("bigint").alias("n_responses"),
+        F.count_distinct("warc_file").cast("bigint").alias("n_files"),
+        F.sum(
+            F.when(is_resp, F.length("payload").cast("bigint")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("payload_octets"),
+        F.count_distinct(F.when(is_resp, F.col("target_uri")))
+        .cast("bigint")
+        .alias("n_uri"),
     )
 
 

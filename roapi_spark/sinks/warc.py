@@ -1,0 +1,152 @@
+"""WARC sink: write a DataFrame of HTTP captures as ISO 28500 archives.
+
+The write half of the crawl round-trip (sources/warc.py is the read
+half): corpus exports, re-sharding a crawl, or materializing synthetic
+captures land as standard ``.warc[.gz]`` files any WARC consumer reads.
+
+Layout contract (the crawl-file unit): ONE archive per value of the
+caller-supplied shard column — file sizing is therefore an explicit
+caller decision (Common Crawl caps ~1 GB per file for fetch-unit
+parallelism), never an accident of Spark partitioning. Each archive
+opens with a ``warcinfo`` record and is written tmp+rename, so readers
+never observe a partial archive and task retries/speculation are
+idempotent (last rename wins with identical bytes — records are sorted
+by target URI inside each shard, and record IDs are deterministic
+uuid5 hashes of (uri, date), so a re-executed task produces the exact
+same file).
+
+Expected columns: ``target_uri`` (string, required), ``payload``
+(binary), plus optional ``http_status`` (int, default 200),
+``http_content_type`` (string, default application/octet-stream) and
+``warc_date`` (string, default 1970-01-01T00:00:00Z — the sink never
+invents a timestamp; real pipelines carry the fetch time).
+
+Scale: groupBy(shard) -> applyInPandas means one task materializes one
+archive (memory bounds = shard size = the file size the caller chose);
+gzip is member-per-record, so the OUTPUT is itself random-accessible
+and CDX-indexable.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+
+_REASONS = {
+    200: "OK",
+    204: "No Content",
+    301: "Moved Permanently",
+    302: "Found",
+    304: "Not Modified",
+    404: "Not Found",
+    410: "Gone",
+    500: "Internal Server Error",
+    503: "Service Unavailable",
+}
+
+_DEFAULT_DATE = "1970-01-01T00:00:00Z"
+
+
+def _record(
+    wtype: str,
+    uri: str | None,
+    block: bytes,
+    ctype: str,
+    date: str,
+    rid_seed: str,
+) -> bytes:
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, rid_seed)
+    head = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Date: {date}\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(block)}\r\n\r\n"
+    )
+    return head.encode() + block + b"\r\n\r\n"
+
+
+def _http_block(status: int, ctype: str, body: bytes) -> bytes:
+    reason = _REASONS.get(status, "Status")
+    return (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    shard_col: str = "shard",
+    prefix: str = "corpus",
+    gzip_members: bool = True,
+    software: str = "roapi_spark warc sink",
+) -> DataFrame:
+    """Write ``df`` as one WARC archive per ``shard_col`` value under
+    ``out_dir``; returns the (lazy) manifest DataFrame ``(warc_file,
+    n_records)`` — run an action on it to execute the write."""
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = ".warc.gz" if gzip_members else ".warc"
+
+    def writer(pdf):
+        import pandas as pd
+
+        shard = int(pdf[shard_col].iloc[0])
+        name = f"{prefix}-{shard:05d}{suffix}"
+        final = os.path.join(out_dir, name)
+        tmp = f"{final}.tmp-{os.getpid()}"
+        pdf = pdf.sort_values("target_uri", kind="stable")
+        has_status = "http_status" in pdf.columns
+        has_ctype = "http_content_type" in pdf.columns
+        has_date = "warc_date" in pdf.columns
+        recs = [
+            _record(
+                "warcinfo",
+                None,
+                f"software: {software}\r\n".encode(),
+                "application/warc-fields",
+                _DEFAULT_DATE,
+                f"warcinfo|{name}",
+            )
+        ]
+        for row in pdf.itertuples(index=False):
+            uri = str(row.target_uri)
+            status = int(row.http_status) if has_status else 200
+            ctype = (
+                str(row.http_content_type)
+                if has_ctype and row.http_content_type is not None
+                else "application/octet-stream"
+            )
+            date = (
+                str(row.warc_date)
+                if has_date and row.warc_date is not None
+                else _DEFAULT_DATE
+            )
+            body = bytes(row.payload) if row.payload is not None else b""
+            recs.append(
+                _record(
+                    "response",
+                    uri,
+                    _http_block(status, ctype, body),
+                    "application/http; msgtype=response",
+                    date,
+                    f"response|{uri}|{date}",
+                )
+            )
+        with open(tmp, "wb") as f:
+            for rec in recs:
+                f.write(gzip.compress(rec, mtime=0) if gzip_members else rec)
+        os.replace(tmp, final)  # atomic publish; retries re-land same bytes
+        return pd.DataFrame(
+            [{"warc_file": name, "n_records": len(recs)}]
+        )
+
+    return df.groupBy(shard_col).applyInPandas(
+        writer, "warc_file string, n_records bigint"
+    )

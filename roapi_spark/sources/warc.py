@@ -269,6 +269,44 @@ def read_record_at(
     return recs[0]
 
 
+def fetch_records(pointers: DataFrame, base_dir: str) -> DataFrame:
+    """Random-access fetch operator: one parsed WARC record per CDX
+    pointer row. ``pointers`` must carry ``warc_filename`` / ``offset``
+    / ``length``; every OTHER pointer column passes through prefixed
+    ``ptr_`` (so index fields never shadow record fields). Arrow-batched
+    mapInPandas; per-row cost is one seek+read of ~one record, never a
+    file scan — the 100 TB pattern for serving a sparse capture subset
+    out of archives that are otherwise never opened."""
+    coord = ("warc_filename", "offset", "length")
+    extras = [f for f in pointers.schema.fields if f.name not in coord]
+    cols = list(coord) + [f.name for f in extras]
+    out_schema = SCHEMA + "".join(
+        f", ptr_{f.name} {f.dataType.simpleString()}" for f in extras
+    )
+    extra_names = [f.name for f in extras]
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for tup in pdf[cols].itertuples(index=False):
+                rec = read_record_at(
+                    os.path.join(base_dir, str(tup.warc_filename)),
+                    int(tup.offset),
+                    int(tup.length),
+                )
+                rec = dict(rec)
+                for n in extra_names:
+                    rec[f"ptr_{n}"] = getattr(tup, n)
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=_FIELDS + [f"ptr_{n}" for n in extra_names]
+            )
+
+    return pointers.select(*cols).mapInPandas(kernel, out_schema)
+
+
 def _list_files(uri: str, glob: str, recursive: bool = False) -> list[str]:
     if os.path.isdir(uri):
         if recursive:

@@ -195,6 +195,58 @@ def test_loader_directory_scan_and_types_filter(spark, tmp_path):
     assert {r["warc_type"] for r in only.collect()} == {"response"}
 
 
+def test_warc_sink_roundtrip_and_determinism(spark, tmp_path):
+    """The sink writes one member-per-record gzip archive per shard,
+    readable by the source; a second identical write re-lands byte-
+    identical files (deterministic ids + sorted records => idempotent
+    task retries)."""
+    import hashlib as _hl
+    import os
+
+    from roapi_spark.sinks.warc import write_warc
+
+    rows = spark.createDataFrame(
+        [
+            ("https://e.com/b", b"beta", 200, "text/plain", 0),
+            ("https://e.com/a", b"alpha", 404, "text/html", 0),
+            ("https://e.com/c", b"gamma", 200, "text/plain", 1),
+        ],
+        "target_uri string, payload binary, http_status int, "
+        "http_content_type string, shard int",
+    )
+    out = str(tmp_path / "exp")
+    m = {
+        r["warc_file"]: r["n_records"]
+        for r in write_warc(rows, out, shard_col="shard").collect()
+    }
+    assert m == {"corpus-00000.warc.gz": 3, "corpus-00001.warc.gz": 2}
+
+    def digest():
+        return {
+            n: _hl.sha256((tmp_path / "exp" / n).read_bytes()).hexdigest()
+            for n in sorted(os.listdir(out))
+        }
+
+    first = digest()
+    write_warc(rows, out, shard_col="shard").collect()  # retry/re-land
+    assert digest() == first
+
+    back = load_table(
+        spark, TableSource(name="rt", uri=out, format="warc")
+    )
+    got = {
+        (r["target_uri"], r["http_status"], bytes(r["payload"] or b""))
+        for r in back.filter("warc_type = 'response'").collect()
+    }
+    assert got == {
+        ("https://e.com/a", 404, b"alpha"),
+        ("https://e.com/b", 200, b"beta"),
+        ("https://e.com/c", 200, b"gamma"),
+    }
+    infos = back.filter("warc_type = 'warcinfo'").count()
+    assert infos == 2
+
+
 def test_revisit_record_refers_to_parsed():
     """ISO 28500 §6.7: a revisit record (headers-only http block,
     identical-payload-digest profile) surfaces refers_to, its status
