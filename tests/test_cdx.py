@@ -47,6 +47,28 @@ def test_cdx_parse_plain_and_gz(spark, tmp_path):
     assert b["fetch_ts"] == "20260102000000"
 
 
+def test_cdx_table_through_catalog(spark, tmp_path):
+    """A CDX index registers like any table (sniff -> load -> view) and
+    the SQL surface works over it — 'point roapi at my crawl index'."""
+    from roapi_spark.catalog import Catalog
+    from roapi_spark.config import parse_table_config
+
+    (tmp_path / "a.cdxj").write_text(LINE_A + "\n")
+    (tmp_path / "b.cdx.gz").write_bytes(
+        gzip.compress((LINE_B + "\n").encode(), mtime=0)
+    )
+    cat = Catalog(spark)
+    cat.load_table(
+        parse_table_config({"name": "idx", "uri": str(tmp_path / "a.cdxj")})
+    )
+    row = cat.query_sql(
+        "SELECT status, warc_filename FROM idx ORDER BY surt_key"
+    ).collect()
+    assert [(r["status"], r["warc_filename"]) for r in row] == [
+        (200, "x.warc.gz")
+    ]
+
+
 def test_cdx_header_line_tolerated_malformed_json_fails(spark, tmp_path):
     (tmp_path / "h.cdx").write_text(
         " CDX N b a m s k r M S V g\n" + LINE_A + "\n"
