@@ -1942,6 +1942,52 @@ def _crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("src_canon", "dst_canon")
 
 
+def _crawl_links_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general WAT pass with anchor TEXT: (anchor_text, dst_canon)
+    per anchor of every deduped fetched HTML page — same
+    parse/resolve/canonicalize path as _crawl_links, plus the
+    whitespace-normalized text inside each anchor (the relevance/label
+    signal WAT consumers mine)."""
+    resp = _read_warc(spark, sf_dir, types="response").withColumn(
+        "canon", canonical_url(F.col("target_uri"))
+    )
+    html = resp.filter(
+        (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+    ).dropDuplicates(["canon"])
+
+    def kernel(batches):
+        import pandas as pd
+
+        from roapi_spark.functions.web import (
+            decode_http_text,
+            extract_links_with_text,
+            resolve_url,
+        )
+
+        for pdf in batches:
+            out = []
+            for uri, ctype, payload in zip(
+                pdf["target_uri"], pdf["http_content_type"], pdf["payload"]
+            ):
+                raw = decode_http_text(bytes(payload), ctype)
+                if raw is None:
+                    continue
+                for href, text in extract_links_with_text(raw):
+                    out.append(
+                        {"anchor_text": text,
+                         "resolved": resolve_url(uri, href)}
+                    )
+            yield pd.DataFrame(out, columns=["anchor_text", "resolved"])
+
+    links = html.select(
+        "target_uri", "http_content_type", "payload"
+    ).mapInPandas(kernel, "anchor_text string, resolved string")
+    return links.withColumn(
+        "dst_canon", canonical_url(F.col("resolved"))
+    ).select("anchor_text", "dst_canon")
+
+
 def _crawl_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, dst) doc-id edges: the general link pass restricted to the
     CRAWLED SET — a resolved target is an intra-corpus edge iff its

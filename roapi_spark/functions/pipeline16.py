@@ -604,3 +604,76 @@ def q_crawl_policy_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_allowed_id"),
     )
+
+
+# ---- q_crawl_anchor_text ----------------------------------------------------
+
+
+def _anchor_text_oracle() -> str:
+    from roapi_spark.functions.pipeline14 import _EXT_HOSTS
+
+    live = (
+        "SELECT doc_id FROM documents "
+        "WHERE doc_id % 11 <> 3 AND doc_id % 7 <> 2"
+    )
+    one_dom = ", ".join(
+        f"SELECT '{t}' AS anchor_text, "
+        "CAST((SELECT COUNT(*) FROM live) AS BIGINT) AS n_links, "
+        "CAST(1 AS BIGINT) AS n_dst_domains"
+        for t in ("About", "Home", "One", "Privacy", "Three", "Two", "next")
+    ).replace(", SELECT", " UNION ALL SELECT")
+    return f"""
+    WITH live AS ({live}),
+    ext AS (
+      SELECT {registrable_domain_sql(_host_case_sql(_EXT_HOSTS))} AS dom
+      FROM live
+    )
+    SELECT * FROM (
+      {one_dom}
+      UNION ALL
+      SELECT 'partner',
+             CAST((SELECT COUNT(*) FROM live) AS BIGINT),
+             (SELECT CAST(COUNT(DISTINCT dom) AS BIGINT) FROM ext)
+    ) ORDER BY anchor_text
+    """
+
+
+@register(
+    "q_crawl_anchor_text",
+    oracle=_anchor_text_oracle(),
+    doc="Anchor-text mining over the general link pass: every anchor's "
+    "whitespace-normalized inner text (functions/web."
+    "extract_links_with_text — the WAT-side relevance/label signal "
+    "crawls feed into ranking and query-document mining) grouped by "
+    "text, with per-text link counts and DISTINCT destination "
+    "registrable domains. The fixture's chrome anchors each point at "
+    "one crawl-domain target, the 'partner' anchors fan out across "
+    "six PSL families — a parser that loses anchor boundaries, merges "
+    "adjacent anchors' text, or mis-resolves a target shifts a count "
+    "or a domain fan-out. Plan: one WARC scan -> Arrow-batched "
+    "parse+resolve (no shuffle) -> codegen'd canonical/domain -> "
+    "(text)-keyed hash agg with a distinct; at 100 TB anchor text is "
+    "the natural shuffle key and the agg is Heaps-bounded in distinct "
+    "texts.",
+    tags=("web", "graph"),
+)
+def q_crawl_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.pipeline14 import _crawl_links_text
+
+    links = _crawl_links_text(spark, sf_dir)
+    return (
+        links.select(
+            "anchor_text",
+            registrable_domain(url_host(F.col("dst_canon"))).alias(
+                "dst_domain"
+            ),
+        )
+        .groupBy("anchor_text")
+        .agg(
+            F.count("*").cast("bigint").alias("n_links"),
+            F.count_distinct("dst_domain").cast("bigint").alias(
+                "n_dst_domains"
+            ),
+        )
+        .orderBy("anchor_text")
+    )

@@ -91,23 +91,52 @@ class _MainTextParser(HTMLParser):
 class _LinkParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.hrefs: list[str] = []
+        self.links: list[tuple[str, str]] = []  # (href, anchor text)
+        self._href: str | None = None
+        self._text: list[str] = []
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            self.links.append(
+                (self._href, " ".join("".join(self._text).split()))
+            )
+        self._href, self._text = None, []
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag == "a":
+            self._flush()  # unclosed previous anchor still counts
             for name, value in attrs:
                 if name == "href" and value:
-                    self.hrefs.append(value)
+                    self._href = value
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None:
+            self._text.append(data)
+
+    def close(self) -> None:  # trailing unclosed anchor
+        super().close()
+        self._flush()
 
 
 def extract_links(html: str) -> list[str]:
     """All anchor hrefs of a page, document order, duplicates kept —
     the WAT-derivative pass a crawl link graph is built from. Callers
     resolve/canonicalize; this stays a pure parse."""
+    return [href for href, _text in extract_links_with_text(html)]
+
+
+def extract_links_with_text(html: str) -> list[tuple[str, str]]:
+    """(href, whitespace-normalized anchor text) per anchor, document
+    order — anchor text is the WAT-side relevance/label signal a crawl
+    feeds into ranking and query-document mining."""
     p = _LinkParser()
     p.feed(html)
     p.close()
-    return p.hrefs
+    return p.links
 
 
 def extract_main_text(html: str) -> str:
