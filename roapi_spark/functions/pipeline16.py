@@ -677,3 +677,137 @@ def q_crawl_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_text")
     )
+
+
+# ---- stream_index_fetch -----------------------------------------------------
+
+
+@register(
+    "stream_index_fetch",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, strlen(text) AS tl,
+             (CASE WHEN doc_id % 13 = 5 THEN 2 ELSE 1 END) AS m,
+             (doc_id % 11 = 3) AS is404,
+             (doc_id % 11 <> 3 AND doc_id % 7 = 2) AS isplain
+      FROM documents
+    ),
+    f AS (SELECT * FROM d WHERE is404 OR isplain)
+    SELECT CAST(SUM(m) AS BIGINT) AS n_fetched,
+           CAST(SUM(CASE WHEN isplain THEN m ELSE 0 END) AS BIGINT)
+             AS n_plain,
+           CAST(SUM(CASE WHEN is404 THEN m ELSE 0 END) AS BIGINT) AS n_404,
+           CAST(SUM(CASE WHEN isplain THEN m * tl ELSE 0 END) AS BIGINT)
+             AS plain_octets,
+           CAST(SUM(CASE WHEN is404 THEN m * 37 ELSE 0 END) AS BIGINT)
+             AS octets_404,
+           CAST(SUM(m) AS BIGINT) AS n_match
+    FROM f
+    """,
+    doc="Streaming index-driven fetch gate (the fetcher-fleet "
+    "consumption pattern): CDXJ pointer shards land in two waves; each "
+    "micro-batch parses the new pointers with the SAME parse the batch "
+    "cdx source uses, prunes to the sparse capture subset (text/plain "
+    "+ 404s) with codegen'd filters BEFORE any archive byte moves, and "
+    "random-access fetches exactly the pointed-at records from the "
+    "static archives (streaming/crawl.stream_index_fetch -> "
+    "sources/warc.fetch_records). Totals across both waves — counts, "
+    "per-class payload octets, pointer-vs-record url/status equality — "
+    "must match the residue closed form, so a dropped shard, a "
+    "re-delivered shard, a stale offset, or a parse drift shifts a "
+    "figure. Plan: per-batch cost = newly landed index volume + one "
+    "seek+read per surviving pointer; exactly-once per index shard via "
+    "the file-stream checkpoint; the archives are never scanned.",
+    tags=("streaming", "web"),
+)
+def stream_index_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from roapi_spark.functions.pipeline14 import _warc_fixture_dir
+    from roapi_spark.streaming.crawl import stream_index_fetch as _ifetch
+
+    src = _warc_fixture_dir(spark, sf_dir)
+    ptr_files = sorted(
+        n for n in os.listdir(src) if n.startswith("pointers-")
+    )
+    landing = tempfile.mkdtemp(prefix="index_fetch_landing_")
+    acc = {
+        k: 0
+        for k in (
+            "n_fetched", "n_plain", "n_404", "plain_octets",
+            "octets_404", "n_match",
+        )
+    }
+
+    def pfilter(p: DataFrame) -> DataFrame:
+        return p.filter(
+            (F.col("mime") == "text/plain") | (F.col("status") == 404)
+        ).select("url", "status", "warc_filename", "offset", "length")
+
+    def process(fetched: DataFrame, batch_id: int) -> None:
+        is_plain = (F.col("http_status") == 200) & F.col(
+            "http_content_type"
+        ).startswith("text/plain")
+        is_404 = F.col("http_status") == 404
+        rows = fetched.agg(
+            F.count("*").cast("bigint").alias("n_fetched"),
+            F.sum(is_plain.cast("bigint")).cast("bigint").alias("n_plain"),
+            F.sum(is_404.cast("bigint")).cast("bigint").alias("n_404"),
+            F.sum(
+                F.when(
+                    is_plain, F.length("payload").cast("bigint")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("plain_octets"),
+            F.sum(
+                F.when(
+                    is_404, F.length("payload").cast("bigint")
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("octets_404"),
+            F.sum(
+                (
+                    (F.col("ptr_url") == F.col("target_uri"))
+                    & (F.col("ptr_status") == F.col("http_status"))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_match"),
+        ).collect()
+        for k in acc:
+            acc[k] += int(rows[0][k] or 0)
+
+    try:
+        for name in ptr_files[: len(ptr_files) // 2]:
+            shutil.copy(os.path.join(src, name), os.path.join(landing, name))
+        q = _ifetch(
+            spark,
+            landing,
+            src,
+            process,
+            os.path.join(landing, "_ckpt"),
+            pointer_filter=pfilter,
+            query_name="stream_index_fetch",
+        )
+        try:
+            q.processAllAvailable()
+            for name in ptr_files[len(ptr_files) // 2 :]:
+                shutil.copy(
+                    os.path.join(src, name), os.path.join(landing, name)
+                )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(acc[k] for k in (
+            "n_fetched", "n_plain", "n_404", "plain_octets",
+            "octets_404", "n_match",
+        ))],
+        "n_fetched bigint, n_plain bigint, n_404 bigint, "
+        "plain_octets bigint, octets_404 bigint, n_match bigint",
+    )

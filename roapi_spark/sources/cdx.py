@@ -43,26 +43,35 @@ _JSON_SCHEMA = (
 )
 
 
-def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
-    reader = spark.read
-    glob = ts.option.get("glob")
-    if glob:  # index files living next to the archives they point into
-        reader = reader.option("pathGlobFilter", str(glob))
-    lines = reader.text(ts.uri)
-    # tolerate blank lines and legacy OpenWayback " CDX ..." header
-    # lines (classic-format headers start with a space, per the CDX
-    # file-format docs); everything else must parse or the scan fails
-    body = lines.filter(
-        (F.trim(F.col("value")) != "") & (~F.col("value").startswith(" CDX"))
+def parse_cdx_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Shared CDXJ line parse — the batch text source and the streaming
+    index-fetch path (whole index shards split into lines) both route
+    through this, so the two can never drift. Tolerates blank lines and
+    legacy OpenWayback ' CDX ...' header lines (classic-format headers
+    start with a space, per the CDX file-format docs); everything else
+    must parse or the scan fails: a truncated line is rewritten to a
+    self-describing non-JSON sentinel, so FAILFAST from_json rejects
+    both malformed blobs and short lines.
+
+    Every expression here is TOTAL per row (the only fallible pieces
+    live inside CASE branches, which Catalyst's common-subexpression
+    elimination never hoists): when a caller's downstream filter merges
+    with the skip-blank filter, eager CSE evaluation over skipped lines
+    must not be able to throw — found the hard way with ANSI
+    element_at under a merged predicate."""
+    v = F.col(value_col)
+    clean = F.when((F.trim(v) != "") & (~v.startswith(" CDX")), v)
+    parts = F.split(clean, " ", 3)
+    blob = (
+        F.when(clean.isNull(), F.lit(None))
+        .when(F.size(parts) == 3, F.element_at(parts, 3))
+        .otherwise(F.lit('__TRUNCATED_CDX_LINE__ (fewer than 3 fields)'))
     )
-    parts = F.split(F.col("value"), " ", 3)
-    parsed = body.select(
-        F.element_at(parts, 1).alias("surt_key"),
-        F.element_at(parts, 2).alias("fetch_ts"),
-        F.from_json(
-            F.element_at(parts, 3), _JSON_SCHEMA, {"mode": "FAILFAST"}
-        ).alias("j"),
-    )
+    parsed = lines.select(
+        F.try_element_at(parts, F.lit(1)).alias("surt_key"),
+        F.try_element_at(parts, F.lit(2)).alias("fetch_ts"),
+        F.from_json(blob, _JSON_SCHEMA, {"mode": "FAILFAST"}).alias("j"),
+    ).filter(F.col("surt_key").isNotNull())
     return parsed.select(
         "surt_key",
         "fetch_ts",
@@ -74,3 +83,11 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
         F.col("j.offset").cast("bigint").alias("offset"),
         F.col("j.filename").alias("warc_filename"),
     )
+
+
+def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
+    reader = spark.read
+    glob = ts.option.get("glob")
+    if glob:  # index files living next to the archives they point into
+        reader = reader.option("pathGlobFilter", str(glob))
+    return parse_cdx_lines(reader.text(ts.uri))

@@ -221,6 +221,61 @@ def stream_url_frontier(
 
 
 
+# --- streaming index-driven fetch --------------------------------------------
+
+
+def stream_index_fetch(
+    spark: SparkSession,
+    landing_dir: str,
+    archive_dir: str,
+    process: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    pointer_filter: Callable[[DataFrame], DataFrame] | None = None,
+    query_name: str = "index_fetch",
+) -> StreamingQuery:
+    """Fetcher-fleet consumption pattern: as CDX(J) pointer shards land
+    in ``landing_dir`` (exactly-once per shard via the file-stream
+    cursor), each micro-batch parses the new pointers (the SAME parse
+    the batch cdx source uses), optionally filters them (codegen'd —
+    the prune happens before any archive byte moves), and random-access
+    fetches exactly the pointed-at records from the static archives
+    under ``archive_dir``. ``process`` receives (fetched-records
+    DataFrame — full WARC record schema plus ptr_* passthrough
+    columns, batch_id) per micro-batch.
+
+    Scale: per-batch cost = newly landed index volume + one seek+read
+    per surviving pointer; the archives are never scanned. Index
+    shards here are plain text; gzipped shards would gunzip in the
+    line-split step (not needed by the gates, documented)."""
+    from roapi_spark.sources.cdx import parse_cdx_lines
+    from roapi_spark.sources.warc import fetch_records
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.cdx*")
+        .load(landing_dir)
+    )
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        lines = batch_df.select(
+            F.explode(
+                F.split(F.decode(F.col("content"), "UTF-8"), "\n")
+            ).alias("value")
+        )
+        pointers = parse_cdx_lines(lines)
+        if pointer_filter is not None:
+            pointers = pointer_filter(pointers)
+        process(fetch_records(pointers, archive_dir), batch_id)
+
+    return (
+        files.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
+
+
 # --- bounded URL frontier: bloom-fronted state ------------------------------
 #
 # The exact frontier above keeps one state row per canonical URL — the

@@ -88,3 +88,14 @@ def test_cdx_header_line_tolerated_malformed_json_fails(spark, tmp_path):
     # parsed column fails loudly
     with pytest.raises(Exception, match="(?i)malformed|failfast|json"):
         broken.select("url").collect()
+
+
+def test_cdx_truncated_line_fails_loud(spark, tmp_path):
+    """A non-blank line with fewer than 3 fields is a framing error,
+    not a silent null row."""
+    (tmp_path / "t.cdx").write_text("com,example)/x 20260101000000\n")
+    df = load_table(
+        spark, TableSource(name="t", uri=str(tmp_path), format="cdx")
+    )
+    with pytest.raises(Exception, match="(?i)malformed|truncated"):
+        df.select("url").collect()
