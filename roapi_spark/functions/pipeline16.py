@@ -257,11 +257,14 @@ def q_crawl_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the oracle pins the EXACT expected first-seen counts, so any "
     "false positive inside the fixture (budget ~(nK/bits)^K < 1e-6 per "
     "URL at sf0.1) shifts n_new and hash-mismatches — the FP-budget "
-    "assertion. The gate additionally asserts the state bound itself: "
-    "distinct touched buckets <= 64 < distinct canonicals. Plan: "
-    "fixture-sized; per-batch input is the file-arrival rate and "
-    "state is CONSTANT in crawl size — the scale story the exact "
-    "frontier can't offer.",
+    "assertion. The gate additionally asserts state compression is "
+    "real: distinct canonicals must EXCEED the 64-bucket bound (the "
+    "fixture stresses it) and touched buckets must be strictly fewer "
+    "than canonicals — both computed DISTRIBUTED from a per-batch "
+    "parquet spill (only two scalars reach the driver; never a row "
+    "per URL). Plan: fixture-sized; per-batch input is the file-"
+    "arrival rate and state is CONSTANT in crawl size — the scale "
+    "story the exact frontier can't offer.",
     tags=("streaming", "web"),
 )
 def stream_frontier_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,9 +284,8 @@ def stream_frontier_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _warc_fixture_dir(spark, sf_dir)
     shards = _warc_shards(src)
     landing = tempfile.mkdtemp(prefix="frontier_bounded_landing_")
+    spill = tempfile.mkdtemp(prefix="frontier_bounded_spill_")
     acc: dict[str, list] = {}
-    buckets: set[int] = set()
-    canons: set[str] = set()
 
     def process(classified: DataFrame, batch_id: int) -> None:
         for r in (
@@ -297,11 +299,13 @@ def stream_frontier_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur = acc.setdefault(r["warc_file"], [0, 0])
             cur[0] += r["n_urls"]
             cur[1] += r["n_new"]
-        # gate-fixture aggregates (bounded by fixture size): the state-
-        # bound assertion needs touched buckets vs distinct canonicals
-        for r in classified.select("bucket", "canon").collect():
-            buckets.add(r["bucket"])
-            canons.add(r["canon"])
+        # state-bound evidence stays DISTRIBUTED: spill (bucket, canon)
+        # to parquet per batch; the cross-batch distinct counts are
+        # computed executor-side after the stream ends and only the two
+        # numbers reach the driver — never one row per URL
+        classified.select("bucket", "canon").write.mode("append").parquet(
+            spill
+        )
 
     try:
         for name in shards[: _N_SHARDS // 2]:
@@ -333,15 +337,34 @@ def stream_frontier_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     finally:
         shutil.rmtree(landing, ignore_errors=True)
-    if len(buckets) > N_BLOOM_BUCKETS:
-        raise RuntimeError(
-            f"state bound violated: {len(buckets)} buckets > "
-            f"{N_BLOOM_BUCKETS}"
+    try:
+        n_buckets, n_canons = (
+            spark.read.parquet(spill)
+            .agg(
+                F.countDistinct("bucket").alias("b"),
+                F.countDistinct("canon").alias("c"),
+            )
+            .first()
         )
-    if len(canons) > N_BLOOM_BUCKETS and len(buckets) >= len(canons):
+    finally:
+        shutil.rmtree(spill, ignore_errors=True)
+    # Falsifiable state-bound evidence (bucket<=63 holds by construction
+    # — md5 % N_BLOOM_BUCKETS — so asserting it would be dead code):
+    # (a) the fixture must actually STRESS the bound — more distinct
+    #     canonicals than the bitmap count, else the gate proves nothing;
+    # (b) compression must actually happen — strictly fewer touched
+    #     buckets than canonicals. A broken canonicalizer (collapsing
+    #     URLs) fails (a); a broken bucketer (e.g. dropping the modulo
+    #     upstream or keying state per-URL) fails (b).
+    if n_canons <= N_BLOOM_BUCKETS:
         raise RuntimeError(
-            f"no state compression: {len(buckets)} buckets for "
-            f"{len(canons)} canonicals"
+            f"fixture too small to stress the state bound: {n_canons} "
+            f"canonicals <= {N_BLOOM_BUCKETS} buckets"
+        )
+    if n_buckets >= n_canons:
+        raise RuntimeError(
+            f"no state compression: {n_buckets} buckets for "
+            f"{n_canons} canonicals"
         )
     return spark.createDataFrame(
         sorted((f, *v) for f, v in acc.items()),

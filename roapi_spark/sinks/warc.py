@@ -11,9 +11,10 @@ parallelism), never an accident of Spark partitioning. Each archive
 opens with a ``warcinfo`` record and is written tmp+rename, so readers
 never observe a partial archive and task retries/speculation are
 idempotent (last rename wins with identical bytes — records are sorted
-by target URI inside each shard, and record IDs are deterministic
-uuid5 hashes of (uri, date), so a re-executed task produces the exact
-same file).
+by (uri, date, payload digest) inside each shard, and record IDs are
+deterministic uuid5 hashes of (uri, date, digest, ordinal) — unique
+per record as ISO 28500 §5.2 requires, yet a re-executed task still
+produces the exact same file).
 
 Expected columns: ``target_uri`` (string, required), ``payload``
 (binary), plus optional ``http_status`` (int, default 200),
@@ -30,6 +31,7 @@ and CDX-indexable.
 from __future__ import annotations
 
 import gzip
+import hashlib
 import os
 import uuid
 
@@ -100,21 +102,14 @@ def write_warc(
         shard = int(pdf[shard_col].iloc[0])
         name = f"{prefix}-{shard:05d}{suffix}"
         final = os.path.join(out_dir, name)
-        tmp = f"{final}.tmp-{os.getpid()}"
-        pdf = pdf.sort_values("target_uri", kind="stable")
+        # dot-prefixed tmp: the reader skips hidden/_-prefixed names
+        # (Hadoop FileInputFormat convention), so a task that dies
+        # between write and rename never poisons a later scan
+        tmp = os.path.join(out_dir, f".{name}.tmp-{os.getpid()}")
         has_status = "http_status" in pdf.columns
         has_ctype = "http_content_type" in pdf.columns
         has_date = "warc_date" in pdf.columns
-        recs = [
-            _record(
-                "warcinfo",
-                None,
-                f"software: {software}\r\n".encode(),
-                "application/warc-fields",
-                _DEFAULT_DATE,
-                f"warcinfo|{name}",
-            )
-        ]
+        rows = []
         for row in pdf.itertuples(index=False):
             uri = str(row.target_uri)
             status = int(row.http_status) if has_status else 200
@@ -129,6 +124,25 @@ def write_warc(
                 else _DEFAULT_DATE
             )
             body = bytes(row.payload) if row.payload is not None else b""
+            # sort on the FULL record key (digest included) so the
+            # order — and therefore the per-record ordinal below — is
+            # deterministic across task retries even when two rows
+            # share target_uri+date
+            rows.append(
+                (uri, date, hashlib.sha1(body).hexdigest(), status, ctype, body)
+            )
+        rows.sort(key=lambda r: r[:5])
+        recs = [
+            _record(
+                "warcinfo",
+                None,
+                f"software: {software}\r\n".encode(),
+                "application/warc-fields",
+                _DEFAULT_DATE,
+                f"warcinfo|{name}",
+            )
+        ]
+        for i, (uri, date, digest, status, ctype, body) in enumerate(rows):
             recs.append(
                 _record(
                     "response",
@@ -136,7 +150,10 @@ def write_warc(
                     _http_block(status, ctype, body),
                     "application/http; msgtype=response",
                     date,
-                    f"response|{uri}|{date}",
+                    # digest+ordinal make WARC-Record-IDs unique (ISO
+                    # 28500 §5.2) even for duplicate captures, while
+                    # staying deterministic for idempotent retries
+                    f"response|{uri}|{date}|{digest}|{i}",
                 )
             )
         with open(tmp, "wb") as f:

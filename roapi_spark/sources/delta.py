@@ -638,13 +638,17 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
 
 
 def _ts_epoch(ts: str) -> float:
-    """ISO timestamp -> epoch seconds, the same naive-as-UTC convention
-    the snapshot time-travel resolver uses (snapshot_raw_state)."""
+    """ISO timestamp -> epoch seconds. A naive timestamp is interpreted
+    as UTC (the snapshot time-travel resolver's convention,
+    snapshot_raw_state); one carrying an explicit offset
+    ('...T00:00:00+05:00') keeps that offset — delta-spark honors the
+    zone rather than silently discarding it."""
     from datetime import datetime, timezone
 
-    return (
-        datetime.fromisoformat(ts).replace(tzinfo=timezone.utc).timestamp()
-    )
+    dt = datetime.fromisoformat(ts)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
 
 
 def table_changes(

@@ -317,17 +317,21 @@ def _list_files(uri: str, glob: str, recursive: bool = False) -> list[str]:
                 os.path.join(root, n)
                 for root, _dirs, files in os.walk(uri)
                 for n in files
-                if fnmatch.fnmatch(n, glob)
+                if fnmatch.fnmatch(n, glob) and not n.startswith((".", "_"))
             )
         else:
             # isfile filter (mirrors the walk branch, which yields only
-            # files): a subdirectory named like the glob, or a writer's
-            # in-flight temp file that vanishes before the task opens
-            # it, must not fail the whole scan
+            # files): a subdirectory named like the glob must not fail
+            # the whole scan. Hidden/underscore-prefixed names (Hadoop
+            # FileInputFormat convention) are skipped so the sink's
+            # in-flight '.name.tmp-<pid>' files — which fnmatch's '*'
+            # would otherwise match — never poison a scan even if a
+            # dead task leaves one behind
             paths = [
                 p
                 for n in sorted(os.listdir(uri))
                 if fnmatch.fnmatch(n, glob)
+                and not n.startswith((".", "_"))
                 and os.path.isfile(p := os.path.join(uri, n))
             ]
         if not paths:

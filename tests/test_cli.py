@@ -94,3 +94,60 @@ def test_cli_maintenance_statements(spark, tmp_path, capsys):
     capsys.readouterr()
     assert cli.main(["sql", "SELECT count(*) AS n FROM mt", "-t", targ]) == 0
     assert "| 20" in capsys.readouterr().out
+
+
+def test_cli_stdin_csv(spark, capsys, monkeypatch):
+    """S11 stdin source end-to-end (reference: parse_table_uri_arg's
+    'stdin' branch, columnq/src/table/mod.rs:888-896): bytes piped on
+    stdin land as a queryable table, dispatched by the declared format."""
+    import io
+
+    monkeypatch.setattr(
+        "sys.stdin", io.TextIOWrapper(io.BytesIO(b"id,name\n1,a\n2,b\n3,c\n"))
+    )
+    assert (
+        cli.main(
+            [
+                "sql",
+                "SELECT count(*) AS n, max(id) AS mx FROM t",
+                "-t",
+                "t=stdin,format=csv",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "| 3" in out and "| 2 " not in out.split("\n")[3]
+
+
+def test_cli_stdin_json(spark, capsys, monkeypatch):
+    """stdin with format=json (NDJSON body) and the '-' alias."""
+    import io
+
+    monkeypatch.setattr(
+        "sys.stdin",
+        io.TextIOWrapper(io.BytesIO(b'{"id": 1, "v": "x"}\n{"id": 2, "v": "y"}\n')),
+    )
+    assert (
+        cli.main(
+            [
+                "sql",
+                "SELECT id FROM j ORDER BY id",
+                "-t",
+                "j=-,format=ndjson",
+                "-o",
+                "json",
+            ]
+        )
+        == 0
+    )
+    assert json.loads(capsys.readouterr().out) == [{"id": 1}, {"id": 2}]
+
+
+def test_cli_stdin_requires_format(spark):
+    """Missing format is a loud ConfigError (sources/stdin.py): there are
+    no bytes to sniff a format from before consuming the pipe."""
+    from roapi_spark.config import ConfigError
+
+    with pytest.raises(ConfigError, match="format"):
+        cli.main(["sql", "SELECT 1", "-t", "t=stdin"])
