@@ -446,41 +446,23 @@ _URL_CTE = """
 
 
 def _canon_sql(col: str) -> str:
-    """DuckDB mirror of functions/web.canonical_url, built from the same
-    regexes so the two engines canonicalize identically."""
-    scheme = f"lower(regexp_extract({col}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-    hostport = (
-        f"lower(regexp_extract({col}, "
-        f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    """DuckDB mirror of functions/web.canonical_url, composed from the
+    same fragment builders (web.url_*_sql) as the SURT mirror so the two
+    engines canonicalize identically. (The COALESCE inside the query
+    fragment — DuckDB array_to_string([]) is NULL where Spark's
+    array_join([]) is '' — was found by tests/test_web_fuzz.py; it
+    would null the whole concatenation for all-tracking query strings.)"""
+    from roapi_spark.functions.web import (
+        url_host_sql,
+        url_path_sql,
+        url_query_canonical_sql,
+        url_scheme_sql,
     )
-    host = (
-        f"CASE WHEN {scheme} = 'https' "
-        f"THEN regexp_replace({hostport}, ':443$', '') "
-        f"WHEN {scheme} = 'http' "
-        f"THEN regexp_replace({hostport}, ':80$', '') "
-        f"ELSE {hostport} END"
-    )
-    rawpath = (
-        f"regexp_extract({col}, "
-        f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
-    )
-    path = (
-        f"CASE WHEN regexp_replace({rawpath}, '/+$', '') = '' THEN '/' "
-        f"ELSE regexp_replace({rawpath}, '/+$', '') END"
-    )
-    qs = f"regexp_extract({col}, '\\?([^#]*)', 1)"
-    # COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
-    # array_join([]) is '' — found by tests/test_web_fuzz.py, and it
-    # would null the whole concatenation for all-tracking query strings
-    from roapi_spark.functions.web import tracking_filter_sql
 
-    q = (
-        f"COALESCE(array_to_string(list_sort(list_filter("
-        f"string_split({qs}, '&'), "
-        f"x -> {tracking_filter_sql('x')})), '&'), '')"
-    )
+    q = url_query_canonical_sql(col)
     return (
-        f"{scheme} || '://' || {host} || {path} || "
+        f"{url_scheme_sql(col)} || '://' || {url_host_sql(col)} || "
+        f"{url_path_sql(col)} || "
         f"(CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END)"
     )
 
@@ -738,6 +720,124 @@ def q_src_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("warc_filename").cast("bigint").alias("n_files"),
         F.count_distinct("surt_key").cast("bigint").alias("n_surt"),
         F.count_distinct("url").cast("bigint").alias("n_urls"),
+    )
+
+
+# ---- q_cdx_surt_join -------------------------------------------------------
+
+
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, raw_url) in the fixture's messy variants — the Spark
+    twin of the _URL_CTE oracle fragment (primary form per doc, plus
+    the %13 duplicate form)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    primary = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("CRAWL.Example.com")
+            ).otherwise(F.lit("crawl.example.com")),
+            F.when(F.col("doc_id") % 9 == 4, F.lit(":443")).otherwise(
+                F.lit("")
+            ),
+            F.lit("/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 4 == 1, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed&b=2&a=1")
+            ).otherwise(F.lit("?a=1&b=2")),
+            F.when(F.col("doc_id") % 6 == 3, F.lit("#frag")).otherwise(
+                F.lit("")
+            ),
+        ).alias("raw_url"),
+    )
+    dup = docs.filter(F.col("doc_id") % 13 == 5).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://crawl.example.com:443/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?b=2&a=1&utm_medium=x#x2"),
+        ).alias("raw_url"),
+    )
+    return primary.unionAll(dup)
+
+
+from roapi_spark.functions.web import url_to_surt, url_to_surt_sql  # noqa: E402
+
+_SURT_KEY_SQL = (
+    "'com,example,crawl)/' || source || '/' || CAST(doc_id AS VARCHAR)"
+    " || '?a=1&b=2'"
+)
+
+
+@register(
+    "q_cdx_surt_join",
+    oracle=f"""
+    WITH u AS ({_URL_CTE}),
+    k AS (SELECT doc_id, {url_to_surt_sql("raw_url")} AS surt FROM u),
+    cdx AS (
+      SELECT {_SURT_KEY_SQL} AS surt_key,
+             CASE WHEN doc_id % 11 = 3 THEN 404 ELSE 200 END AS status
+      FROM documents
+      UNION ALL
+      SELECT {_SURT_KEY_SQL},
+             CASE WHEN doc_id % 11 = 3 THEN 404 ELSE 200 END
+      FROM documents WHERE doc_id % 13 = 5
+    ),
+    j AS (SELECT k.surt, cdx.status FROM k JOIN cdx ON k.surt = cdx.surt_key)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT surt) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN status = 404 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_404_pairs,
+           MIN(surt) AS min_surt,
+           MAX(surt) AS max_surt
+    FROM j
+    """,
+    doc="SURT-key generation gate (the read-side complement of the CDX "
+    "source — r12 verdict item 5): url_to_surt turns messy corpus URLs "
+    "(mixed host case, explicit :443, trailing slashes, tracking "
+    "params, shuffled query order, fragments) into the sort key a "
+    "cc-index is ordered by — canonicalize, reverse+comma-join host "
+    "labels, ')' separator — as PURE composed built-ins, then "
+    "equi-joins the real CDX fixture on surt_key. Every messy variant "
+    "must land on its index line: per doc the primary AND %13-dup URL "
+    "forms both map to the single fixture key (n_pairs counts the "
+    "(1+dup)^2 cross matches; min/max pin exact SURT strings). The "
+    "oracle rebuilds the index keys closed-form and runs the SAME "
+    "fragment-built SQL mirror of the SURT pipeline in DuckDB. Plan: "
+    "both sides whole-stage-codegen'd scans; the join key is computed "
+    "(no shuffle skew — one key per page); at 100 TB this is the "
+    "URL->index probe pattern: the corpus side shuffles by SURT once "
+    "and the index side is ~1000x smaller than the archives.",
+    tags=("web", "source"),
+)
+def q_cdx_surt_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.config import TableSource
+    from roapi_spark.sources import load_table
+
+    keyed = _messy_urls(spark, sf_dir).select(
+        url_to_surt(F.col("raw_url")).alias("surt")
+    )
+    idx = load_table(
+        spark,
+        TableSource(
+            name="_cdx", uri=_cdx_fixture_dir(spark, sf_dir), format="cdx"
+        ),
+    ).select("surt_key", "status")
+    j = keyed.join(idx, keyed["surt"] == idx["surt_key"], "inner")
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.count_distinct("surt").cast("bigint").alias("n_keys"),
+        F.sum((F.col("status") == 404).cast("bigint"))
+        .cast("bigint")
+        .alias("n_404_pairs"),
+        F.min("surt").alias("min_surt"),
+        F.max("surt").alias("max_surt"),
     )
 
 

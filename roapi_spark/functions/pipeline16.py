@@ -702,6 +702,93 @@ def q_crawl_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- q_crawl_inlink_text ----------------------------------------------------
+
+
+def _inlink_text_oracle() -> str:
+    from roapi_spark.functions.pipeline14 import _EXT_HOSTS
+
+    live = (
+        "SELECT doc_id FROM documents "
+        "WHERE doc_id % 11 <> 3 AND doc_id % 7 <> 2"
+    )
+    chrome = " UNION ALL ".join(
+        f"SELECT 'example.com' AS dst_domain, '{t}' AS term, "
+        "CAST((SELECT COUNT(*) FROM live) AS BIGINT) AS n"
+        for t in ("about", "home", "next", "one", "privacy", "three", "two")
+    )
+    return f"""
+    WITH live AS ({live}),
+    ext AS (
+      SELECT {registrable_domain_sql(_host_case_sql(_EXT_HOSTS))}
+               AS dst_domain,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM live GROUP BY 1
+    ),
+    terms AS (
+      {chrome}
+      UNION ALL
+      SELECT dst_domain, 'partner', n FROM ext
+    ),
+    r AS (
+      SELECT dst_domain, term, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY dst_domain ORDER BY n DESC, term
+             ) AS rnk
+      FROM terms
+    )
+    SELECT dst_domain, CAST(rnk AS INT) AS rnk, term, n
+    FROM r WHERE rnk <= 3
+    ORDER BY dst_domain, rnk
+    """
+
+
+@register(
+    "q_crawl_inlink_text",
+    oracle=_inlink_text_oracle(),
+    doc="Per-destination inlink anchor profiles (r12 verdict item 7): "
+    "the WAT-derived relevance feature an LLM crawl joins onto pages — "
+    "every anchor's text from the general link pass, lower-cased, "
+    "whitespace-tokenized, counted per (destination registrable "
+    "domain, term), then top-3 terms per destination by count "
+    "(row_number window, count desc / term asc tie-break — the "
+    "q_window_topk_per_group shape). The crawl domain accumulates all "
+    "seven chrome/nav terms at equal counts (the tie-break order is "
+    "itself pinned); the six external PSL-family partner domains each "
+    "profile to their residue-class count. Plan: one WARC scan -> "
+    "Arrow-batched parse+resolve -> codegen'd domain key -> "
+    "(domain, term) hash agg -> window over the (small) per-domain "
+    "term sets; at 100 TB the agg shuffles once on (domain, term) and "
+    "the window input is Heaps-bounded in distinct terms per domain, "
+    "so top-k never sees raw edges.",
+    tags=("web", "graph"),
+)
+def q_crawl_inlink_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from roapi_spark.functions.pipeline14 import _crawl_links_text
+
+    links = _crawl_links_text(spark, sf_dir)
+    terms = links.select(
+        registrable_domain(url_host(F.col("dst_canon"))).alias("dst_domain"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col("anchor_text"))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("dst_domain", "term").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("dst_domain").orderBy(
+        F.desc("n"), F.asc("term")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("dst_domain", "rnk", "term", "n")
+        .orderBy("dst_domain", "rnk")
+    )
+
+
 # ---- stream_index_fetch -----------------------------------------------------
 
 

@@ -358,6 +358,90 @@ def registrable_domain_sql(host_expr: str) -> str:
     )
 
 
+# --- SURT (Sort-friendly URI Reordering Transform) ---------------------------
+#
+# The key form CDX(J) crawl indexes are sorted by (pywb / Common Crawl
+# cc-index convention, same public-documentation standing as the CDXJ
+# format sources/cdx.py parses): canonicalized URL with the host labels
+# reversed and comma-joined, a ')' separator, then path+query —
+# 'https://Crawl.Example.COM:443/a/1?b=2&a=1#f' ->
+# 'com,example,crawl)/a/1?a=1&b=2'. url_to_surt is the read-side
+# complement of the CDX source: it turns corpus URLs into the key an
+# index probe / index join needs (sources/cdx.py parses the keys an
+# index SHIPS; nothing previously generated one from a URL).
+
+
+def url_to_surt(url: Column) -> Column:
+    """SURT key of a URL, canonicalized first (the exact canonical_url
+    pipeline: lower host, default ports stripped, fragment dropped,
+    trailing-slash-normalized path, tracking params removed, remaining
+    query sorted) so messy variants of one page produce ONE key. Pure
+    composed built-ins — codegen'd and usable directly as a join/
+    shuffle key against a CDX index's surt_key column."""
+    q = url_query_canonical(url)
+    return F.concat(
+        F.array_join(F.reverse(F.split(url_host(url), r"\.")), ","),
+        F.lit(")"),
+        url_path(url),
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+
+
+def url_scheme_sql(col: str) -> str:
+    return f"lower(regexp_extract({col}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+
+
+def url_host_sql(col: str) -> str:
+    """DuckDB mirror of url_host — same regexes, same port stripping."""
+    scheme = url_scheme_sql(col)
+    hostport = (
+        f"lower(regexp_extract({col}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    )
+    return (
+        f"CASE WHEN {scheme} = 'https' "
+        f"THEN regexp_replace({hostport}, ':443$', '') "
+        f"WHEN {scheme} = 'http' "
+        f"THEN regexp_replace({hostport}, ':80$', '') "
+        f"ELSE {hostport} END"
+    )
+
+
+def url_path_sql(col: str) -> str:
+    """DuckDB mirror of url_path."""
+    rawpath = (
+        f"regexp_extract({col}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
+    )
+    return (
+        f"CASE WHEN regexp_replace({rawpath}, '/+$', '') = '' THEN '/' "
+        f"ELSE regexp_replace({rawpath}, '/+$', '') END"
+    )
+
+
+def url_query_canonical_sql(col: str) -> str:
+    """DuckDB mirror of url_query_canonical. COALESCE: DuckDB's
+    array_to_string([]) is NULL where Spark's array_join([]) is ''."""
+    qs = f"regexp_extract({col}, '\\?([^#]*)', 1)"
+    return (
+        f"COALESCE(array_to_string(list_sort(list_filter("
+        f"string_split({qs}, '&'), "
+        f"x -> {tracking_filter_sql('x')})), '&'), '')"
+    )
+
+
+def url_to_surt_sql(col: str) -> str:
+    """DuckDB mirror of url_to_surt, composed from the same fragment
+    builders as canonical_url's mirror so the engines cannot drift."""
+    host = url_host_sql(col)
+    q = url_query_canonical_sql(col)
+    return (
+        f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+        f" || ')' || {url_path_sql(col)} || "
+        f"(CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END)"
+    )
+
+
 # --- RFC 3986 §5: reference resolution (urljoin semantics) ------------------
 #
 # From-spec implementation used by the crawl link-graph pass to resolve

@@ -207,3 +207,54 @@ def test_canonical_url_is_idempotent(spark, seed):
     ).filter(F.col("c") != F.col("c2"))
     bad = twice.collect()
     assert not bad, bad[:3]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_url_to_surt_spark_duckdb_equivalence(spark, seed):
+    """url_to_surt and its generated DuckDB mirror must agree over the
+    same messy-URL generator the canonical_url fuzz uses — the SURT
+    join gate (q_cdx_surt_join) rests on this equivalence."""
+    from roapi_spark.functions.web import url_to_surt, url_to_surt_sql
+
+    urls = _gen_urls(random.Random(seed), 120)
+    got_spark = [
+        r["s"]
+        for r in spark.createDataFrame([(u,) for u in urls], "u string")
+        .select(url_to_surt(F.col("u")).alias("s"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INTEGER, u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(urls)))
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {url_to_surt_sql('u')} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert got_spark == got_duck, [
+        (u, a, b) for u, a, b in zip(urls, got_spark, got_duck) if a != b
+    ][:3]
+
+
+def test_url_to_surt_known_forms(spark):
+    """Closed-form SURT pins: host reversal, port/tracking/fragment
+    stripping, query sorting, bare-host and deep-label shapes."""
+    from roapi_spark.functions.web import url_to_surt
+
+    cases = {
+        "https://Crawl.Example.COM:443/a/1?b=2&a=1#f": (
+            "com,example,crawl)/a/1?a=1&b=2"
+        ),
+        "http://example.com:80/": "com,example)/",
+        "https://example.com": "com,example)/",
+        "https://a.b.c.example.co.uk/x/?utm_source=f": (
+            "uk,co,example,c,b,a)/x"
+        ),
+    }
+    got = dict(
+        spark.createDataFrame([(u,) for u in cases], "u string")
+        .select("u", url_to_surt(F.col("u")).alias("s"))
+        .collect()
+    )
+    assert got == cases
