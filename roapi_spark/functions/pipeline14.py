@@ -1015,6 +1015,86 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- q_wet_roundtrip -------------------------------------------------------
+
+
+@register(
+    "q_wet_roundtrip",
+    oracle=f"""
+    WITH live AS (
+      SELECT doc_id, {_NORM_LEN} AS nl FROM documents
+      WHERE doc_id % 11 <> 3 AND doc_id % 7 <> 2
+    )
+    SELECT CAST(COUNT(*) + 2 AS BIGINT) AS n_records,
+           CAST(COUNT(*) AS BIGINT) AS n_conversion,
+           CAST(2 AS BIGINT) AS n_files,
+           CAST(SUM(nl) AS BIGINT) AS text_octets,
+           CAST(COUNT(*) AS BIGINT) AS n_uri
+    FROM live
+    """,
+    doc="WET derivative round trip (Common Crawl's *.warc.wet layout, "
+    "ISO 28500 §6.8 conversion records — what an LLM corpus ingests "
+    "instead of raw archives): 200/text/html pages from the WARC "
+    "fixture run through main-text extraction, land as conversion "
+    "records via sinks/warc.write_wet (2 shards, warcinfo heads, "
+    "deterministic bytes), and are read back through the WARC SOURCE; "
+    "record/conversion/file counts, text octet sum, and distinct-URI "
+    "count must match the documents table's whitespace-normalized "
+    "lengths closed-form — so a lost page, a mis-extracted byte, or a "
+    "framing bug in either half fails. Plan: streaming WARC scan -> "
+    "Arrow-batched extraction (no shuffle) -> groupBy(shard) "
+    "applyInPandas write (one task = one WET file) -> streaming "
+    "read-back -> one agg; at 100 TB the WET pass is embarrassingly "
+    "parallel and its output is ~5x smaller than the archives.",
+    tags=("web", "gate", "text"),
+)
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from roapi_spark.config import TableSource
+    from roapi_spark.sinks.warc import write_wet
+    from roapi_spark.sources import load_table
+
+    resp = _read_warc(spark, sf_dir, types="response").filter(
+        ~F.col("target_uri").contains("utm_medium=x")  # %13 dup records
+    )
+    extracted = resp.mapInPandas(
+        _extract_kernel(schema_needs_text=True),
+        _EXTRACT_SCHEMA + ", extracted string",
+    ).filter((F.col("is_html") == 1) & F.col("extracted").isNotNull())
+    wet_rows = extracted.select(
+        "target_uri",
+        F.col("extracted").alias("text"),
+        F.lit("2026-01-03T00:00:00Z").alias("warc_date"),
+        F.pmod(F.crc32(F.col("target_uri")), F.lit(2)).alias("shard"),
+    )
+    out_root = tempfile.mkdtemp(prefix="wet_sink_gate_")
+    atexit.register(shutil.rmtree, out_root, ignore_errors=True)
+    out_dir = os.path.join(out_root, "wet")
+    write_wet(wet_rows, out_dir).count()  # execute the write
+    back = load_table(
+        spark, TableSource(name="_wet", uri=out_dir, format="warc")
+    )
+    is_conv = F.col("warc_type") == "conversion"
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_records"),
+        F.sum(is_conv.cast("bigint")).cast("bigint").alias("n_conversion"),
+        F.count_distinct("warc_file").cast("bigint").alias("n_files"),
+        F.sum(
+            F.when(is_conv, F.length("payload").cast("bigint")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("text_octets"),
+        F.count_distinct(F.when(is_conv, F.col("target_uri")))
+        .cast("bigint")
+        .alias("n_uri"),
+    )
+
+
 # ---- q_cdx_digest_dedup ----------------------------------------------------
 
 
@@ -1068,6 +1148,144 @@ def q_cdx_digest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("caps") > 1, F.col("doc_id")).otherwise(F.lit(0)))
         .cast("bigint")
         .alias("sum_dup_id"),
+    )
+
+
+# ---- q_cdx_index_roundtrip -------------------------------------------------
+
+
+@register(
+    "q_cdx_index_roundtrip",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, strlen(text) AS tl,
+             (CASE WHEN doc_id % 13 = 5 THEN 2 ELSE 1 END) AS m,
+             (doc_id % 17 = 1) AS isrev,
+             (doc_id % 11 = 3) AS is404,
+             (doc_id % 11 <> 3 AND doc_id % 7 = 2) AS isplain
+      FROM documents
+    )
+    SELECT CAST(SUM(m) + SUM(CASE WHEN isrev THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ptr_direct,
+           CAST(SUM(m) + SUM(CASE WHEN isrev THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_roundtrip,
+           CAST(SUM(CASE WHEN isrev THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rev_ptr,
+           (SELECT CAST(COUNT(DISTINCT doc_id % {_N_SHARDS}) AS BIGINT)
+            FROM documents) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_surt,
+           CAST(SUM(CASE WHEN is404 OR isplain THEN m ELSE 0 END) AS BIGINT)
+             AS n_fetched,
+           CAST(SUM(CASE WHEN isplain THEN m * tl ELSE 0 END) AS BIGINT)
+             AS plain_octets,
+           CAST(SUM(CASE WHEN is404 THEN m * 37 ELSE 0 END) AS BIGINT)
+             AS octets_404,
+           CAST(SUM(CASE WHEN is404 OR isplain THEN m ELSE 0 END) AS BIGINT)
+             AS n_match
+    FROM d
+    """,
+    doc="CDX index GENERATION round trip — the third leg of the crawl "
+    "toolchain (sinks/warc.py writes archives, sinks/cdx.index_warc "
+    "indexes them, sources/warc.fetch_records seeks through the "
+    "result): the WARC fixture is indexed from its raw bytes (gzip "
+    "member spans recovered by zlib walk — exact consumed-byte counts, "
+    "never magic-number guessing; plain-layout slices from record "
+    "offsets), written as SURT-sorted CDXJ shards through the CDX "
+    "SINK, read back through the CDX SOURCE, and the 404/plain subset "
+    "is random-access FETCHED through the generated pointers — a wrong "
+    "offset or length fails the reader's exact-framing contract, and "
+    "fetched url/status must equal the pointer row's. Counts (response "
+    "+ revisit pointers, distinct SURT = distinct pages, shard files) "
+    "and fetched payload octets are residue closed-form. Plan: one "
+    "task indexes one archive (memory bounded by archive size, the "
+    "sink's own file-size contract); SURT keys attach JVM-side; at "
+    "100 TB this is how a crawl BUILDS the index the other cdx gates "
+    "consume, without any external indexer.",
+    tags=("web", "gate", "source"),
+)
+def q_cdx_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from roapi_spark.config import TableSource
+    from roapi_spark.sinks.cdx import index_warc, write_cdx
+    from roapi_spark.sources import load_table
+    from roapi_spark.sources.warc import fetch_records
+
+    warc_dir = _warc_fixture_dir(spark, sf_dir)
+    ptrs = index_warc(spark, warc_dir, glob="*.warc*")
+    out_root = tempfile.mkdtemp(prefix="cdx_sink_gate_")
+    atexit.register(shutil.rmtree, out_root, ignore_errors=True)
+    out_dir = os.path.join(out_root, "index")
+    write_cdx(
+        ptrs.withColumn(
+            "shard", F.pmod(F.crc32(F.col("surt_key")), F.lit(2))
+        ),
+        out_dir,
+    ).count()  # execute the write
+    back = load_table(
+        spark, TableSource(name="_gen", uri=out_dir, format="cdx")
+    )
+    direct = ptrs.agg(
+        F.count("*").cast("bigint").alias("n_ptr_direct")
+    )
+    fetched = fetch_records(
+        back.filter(
+            (F.col("status") == 404) | (F.col("mime") == "text/plain")
+        ),
+        warc_dir,
+    )
+    fetch_agg = fetched.agg(
+        F.count("*").cast("bigint").alias("n_fetched"),
+        F.sum(
+            F.when(
+                F.col("http_content_type").startswith("text/plain"),
+                F.length("payload").cast("bigint"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("plain_octets"),
+        F.sum(
+            F.when(
+                F.col("http_status") == 404,
+                F.length("payload").cast("bigint"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("octets_404"),
+        F.sum(
+            (
+                (F.col("target_uri") == F.col("ptr_url"))
+                & (F.col("http_status") == F.col("ptr_status"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_match"),
+    )
+    back_agg = back.agg(
+        F.count("*").cast("bigint").alias("n_roundtrip"),
+        F.count_distinct("warc_filename").cast("bigint").alias("n_files"),
+        F.count_distinct("surt_key").cast("bigint").alias("n_surt"),
+    )
+    # revisit pointers: zero-payload digest (sha1 of b'') marks the
+    # headers-only revisit records the indexer emitted
+    import hashlib as _hl
+
+    empty_digest = "sha1:" + _hl.sha1(b"").hexdigest()
+    rev = back.agg(
+        F.sum((F.col("digest") == empty_digest).cast("bigint"))
+        .cast("bigint")
+        .alias("n_rev_ptr")
+    )
+    return (
+        direct.crossJoin(back_agg)
+        .crossJoin(rev)
+        .crossJoin(fetch_agg)
+        .select(
+            "n_ptr_direct", "n_roundtrip", "n_rev_ptr", "n_files",
+            "n_surt", "n_fetched", "plain_octets", "octets_404", "n_match",
+        )
     )
 
 

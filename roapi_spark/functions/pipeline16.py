@@ -213,6 +213,163 @@ def q_crawl_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- q_crawl_hits -----------------------------------------------------------
+
+_HITS_SCALE = 1_000_000
+_HITS_ITERS = 2
+
+
+def _crawl_hits_oracle() -> str:
+    from roapi_spark.functions.pipeline14 import _EXT_HOSTS
+
+    parts = [
+        f"""live AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 11 <> 3 AND doc_id % 7 <> 2
+    ),
+    ext AS (
+      SELECT {registrable_domain_sql("host")} AS d,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM (SELECT {_host_case_sql(_EXT_HOSTS)} AS host FROM live)
+      GROUP BY 1
+    ),
+    edges AS (
+      SELECT 'example.com' AS src, d AS dst, w FROM ext
+      UNION ALL
+      SELECT 'example.com', 'example.com',
+             CAST({_LINKS_PER_PAGE_SAME_DOMAIN}
+                  * (SELECT COUNT(*) FROM live) AS BIGINT)
+    ),
+    nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+    h0 AS (SELECT n, CAST({_HITS_SCALE} AS BIGINT) AS v FROM nodes)"""
+    ]
+    prev_h = "h0"
+    for t in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f"""a{t}r AS (
+      SELECT e.dst AS n, SUM(e.w * p.v) AS s
+      FROM edges e JOIN {prev_h} p ON p.n = e.src GROUP BY 1
+    ),
+    a{t}u AS (
+      SELECT nodes.n, CAST(COALESCE(s, 0) AS BIGINT) AS v
+      FROM nodes LEFT JOIN a{t}r ON nodes.n = a{t}r.n
+    ),
+    a{t} AS (
+      SELECT n, CAST((v * {_HITS_SCALE})
+                     // (SELECT MAX(v) FROM a{t}u) AS BIGINT) AS v
+      FROM a{t}u
+    ),
+    h{t}r AS (
+      SELECT e.src AS n, SUM(e.w * a.v) AS s
+      FROM edges e JOIN a{t} a ON a.n = e.dst GROUP BY 1
+    ),
+    h{t}u AS (
+      SELECT nodes.n, CAST(COALESCE(s, 0) AS BIGINT) AS v
+      FROM nodes LEFT JOIN h{t}r ON nodes.n = h{t}r.n
+    ),
+    h{t} AS (
+      SELECT n, CAST((v * {_HITS_SCALE})
+                     // (SELECT MAX(v) FROM h{t}u) AS BIGINT) AS v
+      FROM h{t}u
+    )"""
+        )
+        prev_h = f"h{t}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT nodes.n AS domain,
+           CAST(h{_HITS_ITERS}.v AS BIGINT) AS hub,
+           CAST(a{_HITS_ITERS}.v AS BIGINT) AS authority
+    FROM nodes
+    JOIN h{_HITS_ITERS} ON nodes.n = h{_HITS_ITERS}.n
+    JOIN a{_HITS_ITERS} ON nodes.n = a{_HITS_ITERS}.n
+    ORDER BY domain
+    """
+    )
+
+
+@register(
+    "q_crawl_hits",
+    oracle=_crawl_hits_oracle(),
+    doc=f"HITS hubs & authorities over the WEIGHTED host-level link "
+    f"graph ({_HITS_ITERS} iterations, fixed-point integers, per-step "
+    "max-normalization so values stay bit-exact and bounded — the "
+    "same exact-replay discipline as the PageRank gates): the crawl "
+    "domain is the sole hub (all outlinks originate there), the six "
+    "external PSL-family partner domains are pure authorities, and "
+    "weights are the per-domain link counts from the general WAT "
+    "pass — so a dropped anchor, a mis-bucketed suffix, or an "
+    "off-by-one in either matrix product shifts a fixed-point value "
+    "and hash-mismatches against the DuckDB replay. Plan: one WARC "
+    "scan builds the weighted domain edges (tiny vs the corpus); "
+    "each iteration is two broadcast-scale joins + hash aggs over "
+    "EDGES plus a 1-row max broadcast; at 100 TB the edge table is "
+    "the domain-pair aggregate, never raw links.",
+    tags=("web", "graph", "iterative"),
+)
+def q_crawl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.pipeline14 import _crawl_links
+
+    links = _crawl_links(spark, sf_dir)
+    edges = (
+        links.select(
+            registrable_domain(url_host(F.col("src_canon"))).alias("src"),
+            registrable_domain(url_host(F.col("dst_canon"))).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _norm(scores: DataFrame) -> DataFrame:
+        mx = scores.agg(F.max("v").alias("mx"))
+        return scores.crossJoin(F.broadcast(mx)).select(
+            "n",
+            F.expr(f"(v * {_HITS_SCALE}) div mx").cast("bigint").alias("v"),
+        )
+
+    h = nodes.select("n", F.lit(_HITS_SCALE).cast("bigint").alias("v"))
+    a = None
+    for _ in range(_HITS_ITERS):
+        a_raw = (
+            edges.join(h.withColumnRenamed("n", "hn"), edges.src == F.col("hn"))
+            .select("dst", (F.col("w") * F.col("v")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("bigint").alias("s"))
+        )
+        a = _norm(
+            nodes.join(a_raw, nodes.n == a_raw.dst, "left").select(
+                "n", F.coalesce(F.col("s"), F.lit(0)).cast("bigint").alias("v")
+            )
+        )
+        h_raw = (
+            edges.join(a.withColumnRenamed("n", "an"), edges.dst == F.col("an"))
+            .select("src", (F.col("w") * F.col("v")).alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").cast("bigint").alias("s"))
+        )
+        h = _norm(
+            nodes.join(h_raw, nodes.n == h_raw.src, "left").select(
+                "n", F.coalesce(F.col("s"), F.lit(0)).cast("bigint").alias("v")
+            )
+        )
+    return (
+        nodes.join(h.select(F.col("n").alias("hn"), F.col("v").alias("hub")),
+                   nodes.n == F.col("hn"))
+        .join(a.select(F.col("n").alias("an"), F.col("v").alias("authority")),
+              nodes.n == F.col("an"))
+        .select(F.col("n").alias("domain"), "hub", "authority")
+        .orderBy("domain")
+    )
+
+
 # ---- stream_frontier_bounded ------------------------------------------------
 
 

@@ -1,0 +1,210 @@
+"""CDX(J) index sink: build the sidecar index for WARC archives.
+
+The write-side complement of ``sources/cdx.py`` (which parses an index
+someone else built) and the missing third leg of the crawl toolchain:
+``sinks/warc.py`` writes archives, this module indexes them, and
+``sources/warc.fetch_records`` random-accesses through the result —
+write -> index -> seek closes with no external indexer (pywb's
+``cdx-indexer`` is the reference tool shape; format per the public pywb
+CDXJ spec / Common Crawl cc-index docs, the same standing as the ISO
+28500 spec the WARC reader is pinned to).
+
+Indexing requires REAL archive coordinates: for gzip member-per-record
+files (the spec annex C layout Common Crawl uses) the pointer is the
+compressed member's (offset, length); for plain ``.warc`` files it is
+the raw record slice. Member boundaries are recovered by walking the
+file with ``zlib.decompressobj`` — each member's consumed-byte count is
+exact, never a magic-number guess (gzip magic can occur inside
+compressed data). A solid-gzip archive (one member for the whole file)
+is rejected loudly: it cannot be random-accessed, and silently emitting
+a whole-file pointer would defeat the index's purpose.
+
+Scale: one task indexes one archive file (``mapInPandas`` over the file
+list), reading it once; task memory is bounded by the largest archive
+file — the same bound the WARC sink's one-task-one-archive write
+already sets (Common Crawl caps ~1 GB/file for exactly this reason).
+SURT keys are attached JVM-side afterwards (``web.url_to_surt``), so
+the key column is codegen'd and consistent with the probe side
+(``q_cdx_surt_join``). Only records that carry a WARC-Target-URI and
+are ``response``/``revisit`` typed are indexed (what a cc-index
+carries); requests and warcinfo never get pointers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roapi_spark.sources.warc import (
+    WarcFormatError,
+    _GZ_MAGIC,
+    _list_files,
+    iter_records,
+)
+
+_INDEXED_TYPES = ("response", "revisit")
+
+
+def _iter_member_spans(data: bytes, name: str):
+    """(offset, length, decompressed_bytes) per gzip member."""
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        raw = d.decompress(data[pos:])
+        if not d.eof:
+            raise WarcFormatError(
+                f"{name}: truncated gzip member at offset {pos}"
+            )
+        consumed = (len(data) - pos) - len(d.unused_data)
+        yield pos, consumed, raw
+        pos += consumed
+
+
+def iter_record_pointers(path: str, name: str):
+    """(offset, length, record) per WARC record with TRUE archive
+    coordinates, both layouts (gzip-member vs plain decided by magic)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] == _GZ_MAGIC:
+        for off, length, raw in _iter_member_spans(data, name):
+            recs = list(iter_records(io.BufferedReader(io.BytesIO(raw)), name))
+            if len(recs) != 1:
+                raise WarcFormatError(
+                    f"{name}: gzip member at {off} holds {len(recs)} "
+                    "records — member-per-record layout is required for "
+                    "a random-access index (solid gzip cannot be seeked)"
+                )
+            yield off, length, recs[0]
+        return
+    # plain layout: record i's span runs from its start offset to the
+    # next record's start (trailing CRLF padding folds into the slice —
+    # the reader's parse tolerates it), the last to end-of-file
+    recs = list(iter_records(io.BufferedReader(io.BytesIO(data)), name))
+    for i, rec in enumerate(recs):
+        start = rec["record_offset"]
+        end = recs[i + 1]["record_offset"] if i + 1 < len(recs) else len(data)
+        yield start, end - start, rec
+
+
+def index_warc(
+    spark: SparkSession,
+    uri: str,
+    glob: str = "*.warc*",
+    recursive: bool = False,
+) -> DataFrame:
+    """One CDX pointer row per indexable record, schema matching the
+    ``cdx`` SOURCE exactly (surt_key, fetch_ts, url, mime, status,
+    digest, length, offset, warc_filename) — so a generated index and a
+    shipped one are interchangeable downstream."""
+    files = _list_files(uri, glob, recursive=recursive)
+    base = uri if os.path.isdir(uri) else os.path.dirname(uri)
+    names = [os.path.relpath(p, base) for p in files]
+
+    def kernel(batches):
+        import pandas as pd
+
+        cols = [
+            "fetch_ts", "url", "mime", "status",
+            "digest", "length", "offset", "warc_filename",
+        ]
+        for pdf in batches:
+            rows = []
+            for fname in pdf["fname"]:
+                for off, length, rec in iter_record_pointers(
+                    os.path.join(base, str(fname)), str(fname)
+                ):
+                    if (
+                        rec["warc_type"] not in _INDEXED_TYPES
+                        or not rec["target_uri"]
+                    ):
+                        continue
+                    mime = rec["http_content_type"]
+                    rows.append(
+                        {
+                            "fetch_ts": "".join(
+                                c for c in (rec["warc_date"] or "")
+                                if c.isdigit()
+                            ),
+                            "url": rec["target_uri"],
+                            "mime": (
+                                mime.split(";")[0].strip() if mime else None
+                            ),
+                            "status": rec["http_status"],
+                            "digest": "sha1:"
+                            + hashlib.sha1(rec["payload"] or b"").hexdigest(),
+                            "length": length,
+                            "offset": off,
+                            "warc_filename": str(fname),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    pointers = spark.createDataFrame(
+        [(n,) for n in names], "fname string"
+    ).repartition(len(names)).mapInPandas(
+        kernel,
+        "fetch_ts string, url string, mime string, status int, "
+        "digest string, length bigint, offset bigint, warc_filename string",
+    )
+    from roapi_spark.functions.web import url_to_surt
+
+    return pointers.select(
+        url_to_surt(F.col("url")).alias("surt_key"),
+        "fetch_ts", "url", "mime", "status",
+        "digest", "length", "offset", "warc_filename",
+    )
+
+
+def write_cdx(
+    df: DataFrame,
+    out_dir: str,
+    shard_col: str = "shard",
+    prefix: str = "index",
+) -> DataFrame:
+    """Write pointer rows as CDXJ shard files (one per ``shard_col``
+    value, SURT-sorted within each — the binary-searchable layout),
+    ``{surt} {ts} {json}`` lines the ``cdx`` source reads back
+    verbatim. Same contract as the WARC sink: tmp+rename publish,
+    deterministic bytes (sorted lines), one task per shard; returns the
+    lazy manifest (cdx_file, n_lines)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def writer(pdf):
+        import pandas as pd
+
+        shard = int(pdf[shard_col].iloc[0])
+        name = f"{prefix}-{shard:05d}.cdxj"
+        final = os.path.join(out_dir, name)
+        tmp = os.path.join(out_dir, f".{name}.tmp-{os.getpid()}")
+        lines = []
+        for r in pdf.itertuples(index=False):
+            blob = {
+                "url": r.url,
+                "mime": r.mime,
+                "status": str(r.status) if r.status is not None else None,
+                "digest": r.digest,
+                "length": str(int(r.length)),
+                "offset": str(int(r.offset)),
+                "filename": r.warc_filename,
+            }
+            lines.append(
+                f"{r.surt_key} {r.fetch_ts} "
+                + json.dumps(
+                    {k: v for k, v in blob.items() if v is not None},
+                    sort_keys=True,
+                )
+            )
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("\n".join(sorted(lines)) + "\n")
+        os.replace(tmp, final)
+        return pd.DataFrame([{"cdx_file": name, "n_lines": len(lines)}])
+
+    return df.groupBy(shard_col).applyInPandas(
+        writer, "cdx_file string, n_lines bigint"
+    )

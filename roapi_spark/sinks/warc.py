@@ -167,3 +167,78 @@ def write_warc(
     return df.groupBy(shard_col).applyInPandas(
         writer, "warc_file string, n_records bigint"
     )
+
+
+def write_wet(
+    df: DataFrame,
+    out_dir: str,
+    shard_col: str = "shard",
+    prefix: str = "wet",
+    gzip_members: bool = True,
+    software: str = "roapi_spark wet sink",
+) -> DataFrame:
+    """Write extracted-text ``conversion`` records (the WET derivative —
+    Common Crawl's *.warc.wet.gz layout: one ``conversion`` record per
+    page carrying the extracted plain text, ISO 28500 §6.8) — what an
+    LLM corpus actually ingests instead of raw archives. Same contract
+    as write_warc: one archive per shard value, warcinfo head,
+    dot-prefixed tmp + rename publish, records sorted by (uri, date,
+    digest) with uuid5(uri,date,digest,ordinal) ids — deterministic
+    bytes across task retries. Expected columns: ``target_uri``,
+    ``text`` (string), optional ``warc_date``."""
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = ".warc.wet.gz" if gzip_members else ".warc.wet"
+
+    def writer(pdf):
+        import pandas as pd
+
+        shard = int(pdf[shard_col].iloc[0])
+        name = f"{prefix}-{shard:05d}{suffix}"
+        final = os.path.join(out_dir, name)
+        tmp = os.path.join(out_dir, f".{name}.tmp-{os.getpid()}")
+        has_date = "warc_date" in pdf.columns
+        rows = []
+        for row in pdf.itertuples(index=False):
+            uri = str(row.target_uri)
+            date = (
+                str(row.warc_date)
+                if has_date and row.warc_date is not None
+                else _DEFAULT_DATE
+            )
+            body = (
+                str(row.text).encode("utf-8") if row.text is not None else b""
+            )
+            rows.append(
+                (uri, date, hashlib.sha1(body).hexdigest(), body)
+            )
+        rows.sort(key=lambda r: r[:3])
+        recs = [
+            _record(
+                "warcinfo",
+                None,
+                f"software: {software}\r\n".encode(),
+                "application/warc-fields",
+                _DEFAULT_DATE,
+                f"warcinfo|{name}",
+            )
+        ]
+        for i, (uri, date, digest, body) in enumerate(rows):
+            recs.append(
+                _record(
+                    "conversion",
+                    uri,
+                    body,
+                    "text/plain",
+                    date,
+                    f"conversion|{uri}|{date}|{digest}|{i}",
+                )
+            )
+        with open(tmp, "wb") as f:
+            for rec in recs:
+                f.write(gzip.compress(rec, mtime=0) if gzip_members else rec)
+        os.replace(tmp, final)
+        return pd.DataFrame([{"warc_file": name, "n_records": len(recs)}])
+
+    return df.groupBy(shard_col).applyInPandas(
+        writer, "warc_file string, n_records bigint"
+    )
