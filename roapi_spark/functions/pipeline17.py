@@ -1,0 +1,222 @@
+"""Round-13 pipeline additions: crawl-budget apportionment and the
+deterministic training-order shuffle.
+
+* ``q_crawl_host_budget`` — proportional-fair fetch-budget allocation
+  across domains by the largest-remainder (Hamilton) method: all
+  integer arithmetic, so the allocation is exact, sums to the budget
+  by construction, and replays bit-for-bit in the DuckDB oracle. The
+  crawl-scheduling step between the host graph and the frontier.
+* ``q_train_shuffle`` — the deterministic global shuffle a training
+  pipeline applies before sharding: every doc gets an md5-derived
+  position key (no RNG state — reproducible on any cluster layout,
+  re-seedable per epoch via the salt), docs hash-partition into
+  shards by key, and the WITHIN-shard order is the rank of the key.
+  The global order is never materialized as a global sort — shards
+  are independent, which is the point at 100 TB: writers stream one
+  shard each, readers seek one shard each.
+
+No reference parity (columnq has neither surface) — training-data
+pipeline extension, same standing as pipeline3's mixture/sampling ops.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roapi_spark.plans.registry import register
+
+# ---- q_crawl_host_budget ----------------------------------------------------
+
+_BUDGET = 1000
+
+
+def _host_budget_oracle() -> str:
+    from roapi_spark.functions.pipeline14 import _EXT_HOSTS
+    from roapi_spark.functions.pipeline16 import (
+        _LINKS_PER_PAGE_SAME_DOMAIN,
+        _host_case_sql,
+    )
+    from roapi_spark.functions.web import registrable_domain_sql
+
+    return f"""
+    WITH live AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 11 <> 3 AND doc_id % 7 <> 2
+    ),
+    w AS (
+      SELECT {registrable_domain_sql("host")} AS domain,
+             CAST(COUNT(*) AS BIGINT) AS n_links
+      FROM (SELECT {_host_case_sql(_EXT_HOSTS)} AS host FROM live)
+      GROUP BY 1
+      UNION ALL
+      SELECT 'example.com',
+             CAST({_LINKS_PER_PAGE_SAME_DOMAIN}
+                  * (SELECT COUNT(*) FROM live) AS BIGINT)
+    ),
+    q AS (
+      SELECT domain, n_links,
+             ({_BUDGET} * n_links) // (SELECT SUM(n_links) FROM w)
+               AS base,
+             ({_BUDGET} * n_links) % (SELECT SUM(n_links) FROM w)
+               AS rem
+      FROM w
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, domain) AS rnk,
+             (SELECT {_BUDGET} - SUM(base) FROM q) AS leftover
+      FROM q
+    )
+    SELECT domain, n_links,
+           CAST(base + (CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)
+                AS BIGINT) AS alloc
+    FROM r ORDER BY domain
+    """
+
+
+@register(
+    "q_crawl_host_budget",
+    oracle=_host_budget_oracle(),
+    doc=f"Proportional-fair crawl-budget apportionment (largest-"
+    f"remainder / Hamilton method, budget {_BUDGET}): per-domain link "
+    "counts from the general WAT pass become fetch-slot allocations — "
+    "base = floor(B*n/N) plus one extra slot to the largest "
+    "remainders (domain-asc tie-break) until exactly B slots are "
+    "placed. ALL integer arithmetic: the oracle replays the same "
+    "division/remainder/rank pipeline, so the allocations must match "
+    "bit-for-bit and sum to the budget by construction — the rounding "
+    "property naive per-domain rounding lacks. Plan: one WARC scan -> "
+    "domain hash agg (tiny) -> 1-row total broadcast -> remainder "
+    "rank; at 100 TB the ranked set is the DOMAIN table (~1e6 rows), "
+    "a top-R selection, never the corpus.",
+    tags=("web", "graph"),
+)
+def q_crawl_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from roapi_spark.functions.pipeline14 import _crawl_links
+    from roapi_spark.functions.web import registrable_domain, url_host
+
+    links = _crawl_links(spark, sf_dir)
+    w = (
+        links.select(
+            registrable_domain(url_host(F.col("dst_canon"))).alias("domain")
+        )
+        .groupBy("domain")
+        .agg(F.count("*").cast("bigint").alias("n_links"))
+    )
+    tot = w.agg(F.sum("n_links").alias("total"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_links",
+        F.expr(f"({_BUDGET} * n_links) div total").alias("base"),
+        (F.lit(_BUDGET) * F.col("n_links") % F.col("total")).alias("rem"),
+    )
+    placed = q.agg((F.lit(_BUDGET) - F.sum("base")).alias("leftover"))
+    ranked = q.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.desc("rem"), F.asc("domain"))
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(placed))
+        .select(
+            "domain",
+            "n_links",
+            (
+                F.col("base")
+                + (F.col("rnk") <= F.col("leftover")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .orderBy("domain")
+    )
+
+
+# ---- q_train_shuffle ---------------------------------------------------------
+
+_SHUFFLE_SALT = "epoch0"
+_N_TRAIN_SHARDS = 8
+
+
+@register(
+    "q_train_shuffle",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             ('0x' || SUBSTR(MD5(doc_id::VARCHAR || ':{_SHUFFLE_SALT}'),
+                             1, 8))::BIGINT AS key
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, key, key % {_N_TRAIN_SHARDS} AS shard,
+             ROW_NUMBER() OVER (
+               PARTITION BY key % {_N_TRAIN_SHARDS}
+               ORDER BY key, doc_id
+             ) AS pos
+      FROM k
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN_BY(doc_id, pos) AS BIGINT) AS first_doc,
+           CAST(MAX_BY(doc_id, pos) AS BIGINT) AS last_doc,
+           CAST(SUM(doc_id * pos) AS BIGINT) AS order_checksum
+    FROM p GROUP BY shard ORDER BY shard
+    """,
+    doc=f"Deterministic global training shuffle: md5(doc_id:salt) is "
+    "the position key (no RNG state — bit-identical on any cluster "
+    f"layout; re-seed per epoch via the salt), docs land in "
+    f"{_N_TRAIN_SHARDS} shards by key residue and are ordered WITHIN "
+    "each shard by key rank. The per-shard (first, last, sum(id*pos)) "
+    "checksums pin the complete order against the DuckDB replay — a "
+    "single transposition anywhere shifts the checksum. Plan: "
+    "hash-partition by shard + sortWithinPartitions, NEVER a global "
+    "sort — shards are written/read independently, which is the whole "
+    "point of the pattern at 100 TB (a global orderBy would funnel "
+    "the corpus through one range-partition step).",
+    tags=("text", "sampling", "pipeline"),
+)
+def q_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    keyed = d.select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(f":{_SHUFFLE_SALT}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("key"),
+    ).withColumn("shard", F.pmod(F.col("key"), F.lit(_N_TRAIN_SHARDS)))
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("key", "doc_id")
+    )
+    p = keyed.repartition(_N_TRAIN_SHARDS, "shard").withColumn("pos", pos)
+    return (
+        p.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min_by("doc_id", "pos").cast("bigint").alias("first_doc"),
+            F.max_by("doc_id", "pos").cast("bigint").alias("last_doc"),
+            F.sum(F.col("doc_id") * F.col("pos"))
+            .cast("bigint")
+            .alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )

@@ -47,6 +47,7 @@ _LOADERS: dict[str, str] = {
     "binary": "roapi_spark.sources.binaryfile",
     "warc": "roapi_spark.sources.warc",
     "cdx": "roapi_spark.sources.cdx",
+    "sitemap": "roapi_spark.sources.sitemap",
 }
 
 
