@@ -2306,7 +2306,50 @@ def _crawl_links_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("anchor_text", "dst_canon")
 
 
-def _crawl_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _links_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general link pass materialized ONCE as parquet — the WAT
+    pattern (Common Crawl publishes WAT files precisely so every graph
+    analysis doesn't re-parse the HTML): q_crawl_link_graph and
+    q_crawl_anchor_text keep measuring the FRESH parse and pin its
+    values; the derived analyses (pagerank, host graph, HITS, budget,
+    inlink profiles) read this snapshot. Same build-once discipline as
+    the ANN layouts and the fixture dirs."""
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = snapshot_cache_dir(src, "crawllinks-v1")
+
+    def ready(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    def build(tmp: str) -> None:
+        _crawl_links(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+
+    build_once(out, ready, build)
+    return spark.read.parquet(out)
+
+
+def _links_text_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor_text, dst_canon) snapshot — the text-bearing WAT half,
+    same contract as _links_snapshot."""
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = snapshot_cache_dir(src, "crawllinkstext-v1")
+
+    def ready(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    def build(tmp: str) -> None:
+        _crawl_links_text(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+
+    build_once(out, ready, build)
+    return spark.read.parquet(out)
+
+
+def _crawl_edges(
+    spark: SparkSession, sf_dir: str, links: DataFrame | None = None
+) -> DataFrame:
     """(src, dst) doc-id edges: the general link pass restricted to the
     CRAWLED SET — a resolved target is an intra-corpus edge iff its
     canonical form is itself a fetched page (left-semi join against the
@@ -2322,7 +2365,8 @@ def _crawl_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         resp.select(canonical_url(F.col("target_uri")).alias("dst_canon"))
         .distinct()
     )
-    links = _crawl_links(spark, sf_dir)
+    if links is None:
+        links = _crawl_links(spark, sf_dir)
     intra = links.join(F.broadcast(page_set), "dst_canon", "left_semi")
     return intra.select(
         F.regexp_extract("src_canon", r"://[^/]+/[^/]+/(\d+)", 1)
@@ -2446,7 +2490,9 @@ def _crawl_pagerank_oracle() -> str:
     "same bit-exact iterative pattern as q_pagerank_dupgraph, but over "
     "a DIRECTED graph parsed from real page anchors by the links "
     "kernel, dangling pages contributing nothing): the quality prior a "
-    "crawl scheduler feeds back into fetch ordering. Per-node output "
+    "crawl scheduler feeds back into fetch ordering (edge source = the "
+    "materialized WAT snapshot; the parse is pinned fresh by "
+    "q_crawl_link_graph). Per-node output "
     "(doc_id, out_degree, pagerank) joins edge endpoints only, so an "
     "isolated page never invents rank. Plan: one WARC scan builds the "
     "edge set (graph-sized, tiny vs the corpus), then each iteration "
@@ -2456,7 +2502,7 @@ def _crawl_pagerank_oracle() -> str:
 )
 def q_crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
-        _crawl_edges(spark, sf_dir)
+        _crawl_edges(spark, sf_dir, links=_links_snapshot(spark, sf_dir))
         .select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .localCheckpoint(eager=True)
     )

@@ -187,17 +187,18 @@ def _host_graph_oracle() -> str:
     "replays the per-page link inventory in closed form and derives "
     "the external domains from the SAME suffix snapshot, so a "
     "resolution miss, a dropped anchor, or a mis-bucketed suffix "
-    "shifts a count. Plan: one WARC scan -> Arrow-batched "
-    "parse+resolve -> codegen'd canonicalize+domain -> hash agg on "
+    "shifts a count. Plan: reads the materialized WAT snapshot "
+    "(pipeline14._links_snapshot — the parse is paid once and pinned "
+    "fresh by q_crawl_link_graph) -> codegen'd canonicalize+domain -> hash agg on "
     "(src_domain, dst_domain); at 100 TB this is the host-graph build "
     "behind crawl scheduling and domain-level quality priors, and the "
     "agg key is the (tiny) domain pair.",
     tags=("web", "graph"),
 )
 def q_crawl_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from roapi_spark.functions.pipeline14 import _crawl_links
+    from roapi_spark.functions.pipeline14 import _links_snapshot
 
-    links = _crawl_links(spark, sf_dir)
+    links = _links_snapshot(spark, sf_dir)
     return (
         links.select(
             registrable_domain(url_host(F.col("src_canon"))).alias(
@@ -474,17 +475,17 @@ def _crawl_hits_oracle() -> str:
     "weights are the per-domain link counts from the general WAT "
     "pass — so a dropped anchor, a mis-bucketed suffix, or an "
     "off-by-one in either matrix product shifts a fixed-point value "
-    "and hash-mismatches against the DuckDB replay. Plan: one WARC "
-    "scan builds the weighted domain edges (tiny vs the corpus); "
+    "and hash-mismatches against the DuckDB replay. Plan: the WAT "
+    "snapshot builds the weighted domain edges (tiny vs the corpus); "
     "each iteration is two broadcast-scale joins + hash aggs over "
     "EDGES plus a 1-row max broadcast; at 100 TB the edge table is "
     "the domain-pair aggregate, never raw links.",
     tags=("web", "graph", "iterative"),
 )
 def q_crawl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from roapi_spark.functions.pipeline14 import _crawl_links
+    from roapi_spark.functions.pipeline14 import _links_snapshot
 
-    links = _crawl_links(spark, sf_dir)
+    links = _links_snapshot(spark, sf_dir)
     edges = (
         links.select(
             registrable_domain(url_host(F.col("src_canon"))).alias("src"),
@@ -1082,7 +1083,9 @@ def _inlink_text_oracle() -> str:
     "whitespace-tokenized, counted per (destination registrable "
     "domain, term), then top-3 terms per destination by count "
     "(row_number window, count desc / term asc tie-break — the "
-    "q_window_topk_per_group shape). The crawl domain accumulates all "
+    "q_window_topk_per_group shape; edge source = the materialized WAT "
+    "text snapshot, parse pinned fresh by q_crawl_anchor_text). The "
+    "crawl domain accumulates all "
     "seven chrome/nav terms at equal counts (the tie-break order is "
     "itself pinned); the six external PSL-family partner domains each "
     "profile to their residue-class count. Plan: one WARC scan -> "
@@ -1096,9 +1099,9 @@ def _inlink_text_oracle() -> str:
 def q_crawl_inlink_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from roapi_spark.functions.pipeline14 import _crawl_links_text
+    from roapi_spark.functions.pipeline14 import _links_text_snapshot
 
-    links = _crawl_links_text(spark, sf_dir)
+    links = _links_text_snapshot(spark, sf_dir)
     terms = links.select(
         registrable_domain(url_host(F.col("dst_canon"))).alias("dst_domain"),
         F.explode(

@@ -88,7 +88,7 @@ def _host_budget_oracle() -> str:
     "placed. ALL integer arithmetic: the oracle replays the same "
     "division/remainder/rank pipeline, so the allocations must match "
     "bit-for-bit and sum to the budget by construction — the rounding "
-    "property naive per-domain rounding lacks. Plan: one WARC scan -> "
+    "property naive per-domain rounding lacks. Plan: WAT snapshot -> "
     "domain hash agg (tiny) -> 1-row total broadcast -> remainder "
     "rank; at 100 TB the ranked set is the DOMAIN table (~1e6 rows), "
     "a top-R selection, never the corpus.",
@@ -97,10 +97,10 @@ def _host_budget_oracle() -> str:
 def q_crawl_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from roapi_spark.functions.pipeline14 import _crawl_links
+    from roapi_spark.functions.pipeline14 import _links_snapshot
     from roapi_spark.functions.web import registrable_domain, url_host
 
-    links = _crawl_links(spark, sf_dir)
+    links = _links_snapshot(spark, sf_dir)
     w = (
         links.select(
             registrable_domain(url_host(F.col("dst_canon"))).alias("domain")
