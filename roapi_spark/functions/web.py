@@ -620,6 +620,23 @@ def parse_robots(txt: str, user_agent: str) -> list[tuple[bool, str]]:
     return specific if saw_specific else wildcard
 
 
+def robots_sitemaps(txt: str) -> list[str]:
+    """``Sitemap:`` directives from a robots.txt (RFC 9309 §2.2.4 /
+    sitemaps.org discovery: group-independent, case-insensitive key,
+    absolute URL value) — the discovery hop between the robots surface
+    and the sitemap source: fetch robots, collect these, feed the
+    sitemap parser. Order-preserving, duplicates dropped."""
+    out: list[str] = []
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, sep, rest = line.partition(":")
+        if sep and key.strip().lower() == "sitemap":
+            url = rest.strip()  # the URL's own colon stays in `rest`
+            if url and url not in out:
+                out.append(url)
+    return out
+
+
 def _robots_regex(pattern: str) -> str:
     """Anchored regex for a robots path pattern — kept to syntax both
     Java regex (Spark) and RE2 (DuckDB) accept identically."""

@@ -74,3 +74,23 @@ def test_missing_child_and_bad_root(tmp_path):
     (tmp_path / "bad.xml").write_text("<rss><channel/></rss>")
     with pytest.raises(SitemapFormatError, match="root"):
         resolve_files(str(tmp_path / "bad.xml"))
+
+
+def test_robots_sitemap_discovery():
+    """robots.txt 'Sitemap:' directives (the discovery hop into this
+    source): group-independent, case-insensitive, comment-stripped,
+    URL colons preserved, duplicates dropped."""
+    from roapi_spark.functions.web import robots_sitemaps
+
+    txt = (
+        "User-agent: *\nDisallow: /private\n\n"
+        "Sitemap: https://a.example.com/sitemap.xml\n"
+        "SITEMAP: https://a.example.com/s2.xml.gz # the comment goes\n"
+        "sitemap: https://a.example.com/sitemap.xml\n"
+        "Crawl-delay: 3\n"
+    )
+    assert robots_sitemaps(txt) == [
+        "https://a.example.com/sitemap.xml",
+        "https://a.example.com/s2.xml.gz",
+    ]
+    assert robots_sitemaps("User-agent: *\nDisallow:\n") == []
