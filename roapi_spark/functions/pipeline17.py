@@ -1,5 +1,5 @@
-"""Round-13 pipeline additions: crawl-budget apportionment and the
-deterministic training-order shuffle.
+"""Round-13 pipeline additions: crawl scheduling and training-order
+curation.
 
 * ``q_crawl_host_budget`` — proportional-fair fetch-budget allocation
   across domains by the largest-remainder (Hamilton) method: all
@@ -14,9 +14,19 @@ deterministic training-order shuffle.
   The global order is never materialized as a global sort — shards
   are independent, which is the point at 100 TB: writers stream one
   shard each, readers seek one shard each.
+* ``q_train_curriculum`` — the shuffle composed with a difficulty
+  prior: bucket-major (easy-to-hard) within-shard order, shuffled
+  within each bucket.
+* ``q_recrawl_plan`` — the conditional-refetch decision between crawl
+  rounds: sitemap declarations (lastmod/changefreq) SURT-joined
+  against the CDX index's latest captures; only the sidecars are read.
+* ``q_domain_cap`` — anti-domination curation: keep at most K docs per
+  registrable domain, best-quality-first, with Catalyst's
+  WindowGroupLimit pushing the rank cut below the per-domain sort.
 
-No reference parity (columnq has neither surface) — training-data
-pipeline extension, same standing as pipeline3's mixture/sampling ops.
+No reference parity (columnq has none of these surfaces) —
+training-data pipeline extension, same standing as pipeline3's
+mixture/sampling ops.
 """
 
 from __future__ import annotations
@@ -358,4 +368,200 @@ def q_recrawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("refetch_checksum"),
+    )
+
+
+# ---- q_domain_cap ------------------------------------------------------------
+
+_DOMAIN_CAP = 20
+
+
+def _domain_cap_oracle() -> str:
+    from roapi_spark.functions.pipeline16 import _PSL_HOSTS, _host_case_sql
+    from roapi_spark.functions.web import registrable_domain_sql
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             {_host_case_sql(_PSL_HOSTS)} AS host,
+             length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS q
+      FROM documents
+    ),
+    dom AS (
+      SELECT doc_id, q, {registrable_domain_sql("host")} AS domain FROM d
+    ),
+    r AS (
+      SELECT doc_id, q, domain,
+             ROW_NUMBER() OVER (
+               PARTITION BY domain ORDER BY q DESC, doc_id
+             ) AS rnk
+      FROM dom
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rnk <= {_DOMAIN_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rnk <= {_DOMAIN_CAP} THEN doc_id ELSE 0 END)
+                AS BIGINT) AS kept_checksum,
+           CAST(MIN(CASE WHEN rnk <= {_DOMAIN_CAP} THEN q END) AS BIGINT)
+             AS min_kept_quality
+    FROM r GROUP BY domain ORDER BY domain
+    """
+
+
+@register(
+    "q_domain_cap",
+    oracle=_domain_cap_oracle(),
+    doc=f"Per-domain cap sampling — the anti-domination curation step "
+    f"(a handful of boilerplate-heavy sites must not dominate a "
+    f"training mix): keep at most {_DOMAIN_CAP} docs per registrable "
+    "domain, best-quality-first (whitespace-normalized length as the "
+    "deterministic quality stand-in, doc_id tie-break), domains from "
+    "the 16-family PSL host cycle. Per-domain kept counts, kept-id "
+    "checksum and the quality cut line replay in the DuckDB oracle. "
+    "Plan: one shuffle on domain, then Spark's WindowGroupLimit "
+    "pushes the rank<=K filter BELOW the full per-domain sort "
+    "(partial top-K per partition before the final one) — so a "
+    "skewed mega-domain never materializes its full sorted run; "
+    "the kept set is K*|domains|, corpus-independent.",
+    tags=("text", "sampling", "pipeline", "web"),
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from roapi_spark.functions.pipeline16 import _host_case_col, _PSL_HOSTS
+    from roapi_spark.functions.web import registrable_domain
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dom = d.select(
+        "doc_id",
+        registrable_domain(_host_case_col(_PSL_HOSTS)).alias("domain"),
+        F.length(
+            F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+        ).alias("q"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("domain").orderBy(F.desc("q"), F.asc("doc_id"))
+    )
+    # the kept branch FILTERS on the rank so Catalyst's WindowGroupLimit
+    # inserts a partial per-partition top-K below the full sort (folding
+    # the rank into aggregate CASEs instead would keep every row and
+    # forfeit the pushdown — verified via explain)
+    kept = (
+        dom.withColumn("rnk", rn)
+        .filter(F.col("rnk") <= _DOMAIN_CAP)
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_checksum"),
+            F.min("q").cast("bigint").alias("min_kept_quality"),
+        )
+    )
+    counts = dom.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return (
+        counts.join(kept, "domain")
+        .select(
+            "domain", "n_docs", "n_kept", "kept_checksum",
+            "min_kept_quality",
+        )
+        .orderBy("domain")
+    )
+
+
+# ---- q_train_curriculum --------------------------------------------------------
+
+
+@register(
+    "q_train_curriculum",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             LEAST(9, length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                      // 100) AS bucket,
+             ('0x' || SUBSTR(MD5(doc_id::VARCHAR || ':{_SHUFFLE_SALT}'),
+                             1, 8))::BIGINT AS key
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, bucket, key % {_N_TRAIN_SHARDS} AS shard,
+             ROW_NUMBER() OVER (
+               PARTITION BY key % {_N_TRAIN_SHARDS}
+               ORDER BY bucket, key, doc_id
+             ) AS pos
+      FROM k
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN_BY(doc_id, pos) AS BIGINT) AS first_doc,
+           CAST(MAX_BY(doc_id, pos) AS BIGINT) AS last_doc,
+           CAST(SUM(doc_id * pos) AS BIGINT) AS order_checksum,
+           CAST(SUM(bucket * pos) AS BIGINT) AS curriculum_checksum
+    FROM p GROUP BY shard ORDER BY shard
+    """,
+    doc="Curriculum training order: q_train_shuffle's deterministic "
+    "md5 shuffle COMPOSED with a difficulty prior — docs order within "
+    "each shard by (quality bucket ASC, md5 key) so every shard "
+    "streams easy-to-hard while staying internally shuffled within a "
+    "bucket (bucket = capped normalized-length decile, the "
+    "deterministic difficulty stand-in). Per-shard order and "
+    "bucket-weighted checksums replay in DuckDB — a transposition "
+    "ACROSS buckets or within one shifts a checksum. Plan: identical "
+    "to q_train_shuffle (hash-partition + sortWithinPartitions on a "
+    "wider key, never a global sort).",
+    tags=("text", "sampling", "pipeline"),
+)
+def q_train_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    keyed = d.select(
+        "doc_id",
+        F.least(
+            F.lit(9),
+            F.floor(
+                F.length(
+                    F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+                )
+                / 100
+            ),
+        )
+        .cast("bigint")
+        .alias("bucket"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(f":{_SHUFFLE_SALT}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("key"),
+    ).withColumn("shard", F.pmod(F.col("key"), F.lit(_N_TRAIN_SHARDS)))
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("bucket", "key", "doc_id")
+    )
+    p = keyed.repartition(_N_TRAIN_SHARDS, "shard").withColumn("pos", pos)
+    return (
+        p.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min_by("doc_id", "pos").cast("bigint").alias("first_doc"),
+            F.max_by("doc_id", "pos").cast("bigint").alias("last_doc"),
+            F.sum(F.col("doc_id") * F.col("pos"))
+            .cast("bigint")
+            .alias("order_checksum"),
+            F.sum(F.col("bucket") * F.col("pos"))
+            .cast("bigint")
+            .alias("curriculum_checksum"),
+        )
+        .orderBy("shard")
     )
