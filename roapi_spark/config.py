@@ -50,6 +50,7 @@ KNOWN_FORMATS = {
     "binary",
     "warc",
     "cdx",
+    "sitemap",
 }
 
 _EXT_TO_FORMAT = {

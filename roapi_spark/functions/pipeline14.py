@@ -1095,6 +1095,156 @@ def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- q_warc_dedup_export ----------------------------------------------------
+
+
+@register(
+    "q_warc_dedup_export",
+    oracle="""
+    WITH caps AS (
+      SELECT 'https://corpus.example.org/' || source || '/'
+               || CAST(doc_id AS VARCHAR) AS uri,
+             text, doc_id % 4 AS shard
+      FROM documents
+      UNION ALL
+      SELECT 'https://mirror.example.org/' || source || '/'
+               || CAST(doc_id AS VARCHAR),
+             text, doc_id % 4
+      FROM documents WHERE doc_id % 13 = 5
+    ),
+    r AS (
+      SELECT uri, strlen(text) AS tl, shard,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY uri) AS rn
+      FROM caps
+    )
+    SELECT CAST(COUNT(*)
+                + (SELECT COUNT(DISTINCT shard) FROM caps) AS BIGINT)
+             AS n_records,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_responses,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_revisit,
+           CAST(SUM(CASE WHEN rn = 1 THEN tl ELSE 0 END) AS BIGINT)
+             AS stored_octets,
+           CAST(SUM(CASE WHEN rn > 1 THEN tl ELSE 0 END) AS BIGINT)
+             AS octets_saved,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_resolved
+    FROM r
+    """,
+    doc="Dedup-aware WARC export — the write half of crawl-side dedup "
+    "(ISO 28500 §6.7): duplicate captures (%13 re-fetches AND any "
+    "cross-document byte-identical payloads — sf0.1 has 8 natural "
+    "text dups, which the replay oracle covers) are detected by "
+    "payload-digest window (first capture by URI wins) and land as "
+    "headers-only REVISIT "
+    "records pointing at the original by target URI (WARC 1.1 "
+    "WARC-Refers-To-Target-URI) with the shared WARC-Payload-Digest — "
+    "the payload is stored ONCE. Read back through the WARC source: "
+    "record/response/revisit counts, stored octets (each text once), "
+    "octets saved, and revisit->original resolution (every revisit's "
+    "refers_to must name a stored response URI — an inner join, no "
+    "misses) replay closed-form. Plan: digest window is one shuffle "
+    "on the digest key (WindowGroupLimit-free: every capture is "
+    "kept, just re-typed); groupBy(shard) applyInPandas write; at "
+    "100 TB this is the storage-dedup pass Common Crawl runs at "
+    "write time — ~idempotent refetches stop costing archive bytes.",
+    tags=("web", "gate", "dedup"),
+)
+def q_warc_dedup_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from roapi_spark.config import TableSource
+    from roapi_spark.sinks.warc import write_warc
+    from roapi_spark.sources import load_table
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    primary = docs.select(
+        F.concat(
+            F.lit("https://corpus.example.org/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        (F.col("doc_id") % 4).alias("shard"),
+    )
+    dup = docs.filter(F.col("doc_id") % 13 == 5).select(
+        F.concat(
+            F.lit("https://mirror.example.org/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        (F.col("doc_id") % 4).alias("shard"),
+    )
+    captures = primary.unionAll(dup)
+    # crawl-side dedup decision: first capture per payload digest (by
+    # URI — corpus.example.org sorts before mirror.example.org) keeps
+    # the payload; later captures become revisits pointing at it
+    w = Window.partitionBy("digest").orderBy("target_uri")
+    marked = (
+        captures.withColumn("digest", F.md5(F.col("payload")))
+        .withColumn("orig_uri", F.first("target_uri").over(w))
+        .withColumn(
+            "revisit_of",
+            F.when(
+                F.col("target_uri") != F.col("orig_uri"), F.col("orig_uri")
+            ),
+        )
+        .drop("digest", "orig_uri")
+    )
+    out_root = tempfile.mkdtemp(prefix="warc_dedup_gate_")
+    atexit.register(shutil.rmtree, out_root, ignore_errors=True)
+    out_dir = os.path.join(out_root, "dedup")
+    write_warc(marked, out_dir).count()  # execute the write
+    back = load_table(
+        spark, TableSource(name="_dd", uri=out_dir, format="warc")
+    )
+    is_resp = F.col("warc_type") == "response"
+    is_rev = F.col("warc_type") == "revisit"
+    # revisit->original resolution: every revisit's refers_to must name
+    # a stored response URI; the join also recovers the octets each
+    # revisit AVOIDED storing (= its original's payload length)
+    resolved = (
+        back.filter(is_rev)
+        .select(F.col("refers_to").alias("ref"))
+        .join(
+            back.filter(is_resp).select(
+                F.col("target_uri").alias("ref"),
+                F.length("payload").cast("bigint").alias("l"),
+            ),
+            "ref",
+            "inner",
+        )
+        .agg(
+            F.sum("l").cast("bigint").alias("octets_saved"),
+            F.count("*").cast("bigint").alias("n_resolved"),
+        )
+    )
+    agg = back.agg(
+        F.count("*").cast("bigint").alias("n_records"),
+        F.sum(is_resp.cast("bigint")).cast("bigint").alias("n_responses"),
+        F.sum(is_rev.cast("bigint")).cast("bigint").alias("n_revisit"),
+        F.sum(
+            F.when(is_resp, F.length("payload").cast("bigint")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("stored_octets"),
+    )
+    return agg.crossJoin(F.broadcast(resolved)).select(
+        "n_records", "n_responses", "n_revisit", "stored_octets",
+        "octets_saved", "n_resolved",
+    )
+
+
 # ---- q_cdx_digest_dedup ----------------------------------------------------
 
 

@@ -59,6 +59,7 @@ def _record(
     ctype: str,
     date: str,
     rid_seed: str,
+    extra: dict[str, str] | None = None,
 ) -> bytes:
     rid = uuid.uuid5(uuid.NAMESPACE_URL, rid_seed)
     head = (
@@ -67,6 +68,7 @@ def _record(
         f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
         f"WARC-Date: {date}\r\n"
         + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + "".join(f"{k}: {v}\r\n" for k, v in (extra or {}).items())
         + f"Content-Type: {ctype}\r\n"
         f"Content-Length: {len(block)}\r\n\r\n"
     )
@@ -109,6 +111,7 @@ def write_warc(
         has_status = "http_status" in pdf.columns
         has_ctype = "http_content_type" in pdf.columns
         has_date = "warc_date" in pdf.columns
+        has_revisit = "revisit_of" in pdf.columns
         rows = []
         for row in pdf.itertuples(index=False):
             uri = str(row.target_uri)
@@ -124,12 +127,20 @@ def write_warc(
                 else _DEFAULT_DATE
             )
             body = bytes(row.payload) if row.payload is not None else b""
+            revisit_of = (
+                str(row.revisit_of)
+                if has_revisit and row.revisit_of is not None
+                else None
+            )
             # sort on the FULL record key (digest included) so the
             # order — and therefore the per-record ordinal below — is
             # deterministic across task retries even when two rows
             # share target_uri+date
             rows.append(
-                (uri, date, hashlib.sha1(body).hexdigest(), status, ctype, body)
+                (
+                    uri, date, hashlib.sha1(body).hexdigest(),
+                    status, ctype, body, revisit_of,
+                )
             )
         rows.sort(key=lambda r: r[:5])
         recs = [
@@ -142,7 +153,32 @@ def write_warc(
                 f"warcinfo|{name}",
             )
         ]
-        for i, (uri, date, digest, status, ctype, body) in enumerate(rows):
+        for i, (uri, date, digest, status, ctype, body, revisit_of) in (
+            enumerate(rows)
+        ):
+            if revisit_of is not None:
+                # crawl-side dedup (ISO 28500 §6.7 identical-payload-
+                # digest): the payload is stored ONCE in the original's
+                # record; this capture lands headers-only, pointing at
+                # the original by target URI (WARC 1.1 form) and
+                # carrying the shared payload digest
+                recs.append(
+                    _record(
+                        "revisit",
+                        uri,
+                        _http_block(status, ctype, b""),  # headers only
+                        "application/http; msgtype=response",
+                        date,
+                        f"revisit|{uri}|{date}|{digest}|{i}",
+                        extra={
+                            "WARC-Refers-To-Target-URI": revisit_of,
+                            "WARC-Payload-Digest": f"sha1:{digest}",
+                            "WARC-Profile": "http://netpreservation.org"
+                            "/warc/1.0/revisit/identical-payload-digest",
+                        },
+                    )
+                )
+                continue
             recs.append(
                 _record(
                     "response",

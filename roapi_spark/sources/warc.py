@@ -187,8 +187,11 @@ def iter_records(
             "target_uri": headers.get("warc-target-uri"),
             "warc_date": headers.get("warc-date"),
             # revisit records (ISO 28500 §6.7 — crawl-side dedup) point
-            # at the record holding the payload they matched
-            "refers_to": headers.get("warc-refers-to"),
+            # at the record holding the payload they matched: by record
+            # id (warc-refers-to) or, WARC 1.1, by target URI — one
+            # column surfaces whichever pointer form the writer used
+            "refers_to": headers.get("warc-refers-to")
+            or headers.get("warc-refers-to-target-uri"),
             "content_type": ctype or None,
             "content_length": clen,
             "http_status": status,

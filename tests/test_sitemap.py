@@ -94,3 +94,26 @@ def test_robots_sitemap_discovery():
         "https://a.example.com/s2.xml.gz",
     ]
     assert robots_sitemaps("User-agent: *\nDisallow:\n") == []
+
+
+def test_sitemap_registers_as_catalog_table(spark, tmp_path):
+    """The sitemap format is a first-class table source: register it
+    in the catalog and query it over SQL like any other table."""
+    from roapi_spark.catalog import Catalog
+    from roapi_spark.config import parse_table_config
+
+    (tmp_path / "s.xml").write_text(_URLSET)
+    cat = Catalog(spark)
+    cat.load_table(
+        parse_table_config(
+            {
+                "name": "seeds",
+                "uri": str(tmp_path / "s.xml"),
+                "option": {"format": "sitemap"},
+            }
+        )
+    )
+    rows = cat.query_sql(
+        "SELECT loc FROM seeds WHERE priority IS NOT NULL"
+    ).collect()
+    assert [r["loc"] for r in rows] == ["https://x.example.com/a?b=1&c=2"]
