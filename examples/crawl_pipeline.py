@@ -1,0 +1,106 @@
+"""End-to-end crawl toolchain over the roapi_spark crawl operators —
+the loop a web-scale corpus team runs each round, composed from the
+registered building blocks:
+
+  stage 0  seeds            sitemap source (index followed, urlset
+                            shards parsed) -> SURT-keyed seed list
+  stage 1  recrawl plan     seeds joined against the CDX index's
+                            latest captures: stale / daily / fresh
+                            verdicts — only the sidecars are read
+  stage 2  budget           proportional-fair fetch-slot apportionment
+                            across registrable domains
+                            (largest-remainder method)
+  stage 3  fetch + archive  (simulated here by the WARC fixture) ->
+                            dedup-aware WARC export: duplicate
+                            payloads land as headers-only revisit
+                            records, payload stored once
+  stage 4  index            CDX generation from the raw archive bytes
+                            (gzip member spans via zlib walk), written
+                            as SURT-sorted CDXJ shards
+  stage 5  derive           WET extraction records for the LLM corpus
+                            + the WAT link snapshot feeding PageRank /
+                            HITS / anchor profiles
+
+Usage:
+    python examples/crawl_pipeline.py [sf_dir] [out_dir]
+
+Prints one JSON summary line per stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_root = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else tempfile.mkdtemp(prefix="crawl_pipeline_")
+    )
+    from roapi_spark.plans.registry import load_all
+    from roapi_spark.session import get_spark
+
+    specs = load_all()
+    spark = get_spark("crawl_pipeline")
+    summary: dict = {"sf_dir": sf_dir, "out": out_root}
+
+    # stage 0+1: seed list -> recrawl plan (sidecars only)
+    plan = specs["q_recrawl_plan"].builder(spark, sf_dir).first()
+    summary["recrawl"] = {
+        "n_pages": plan["n_pages"],
+        "stale": plan["n_stale"],
+        "daily": plan["n_daily"],
+        "fresh": plan["n_fresh"],
+    }
+
+    # stage 2: fetch budget across domains
+    alloc = specs["q_crawl_host_budget"].builder(spark, sf_dir).collect()
+    summary["budget"] = {r["domain"]: r["alloc"] for r in alloc}
+
+    # stage 3: dedup-aware archive export (payload stored once)
+    dd = specs["q_warc_dedup_export"].builder(spark, sf_dir).first()
+    summary["archive"] = {
+        "responses": dd["n_responses"],
+        "revisits": dd["n_revisit"],
+        "stored_octets": dd["stored_octets"],
+        "octets_saved": dd["octets_saved"],
+    }
+
+    # stage 4: index the archives, write CDXJ
+    from roapi_spark.functions.pipeline14 import _warc_fixture_dir
+    from roapi_spark.sinks.cdx import index_warc, write_cdx
+
+    ptrs = index_warc(spark, _warc_fixture_dir(spark, sf_dir))
+    manifest = write_cdx(
+        ptrs.withColumn(
+            "shard", F.pmod(F.crc32(F.col("surt_key")), F.lit(2))
+        ),
+        os.path.join(out_root, "cdx"),
+    ).collect()
+    summary["index"] = {r["cdx_file"]: r["n_lines"] for r in manifest}
+
+    # stage 5: WET derivative + link-graph signals off the WAT snapshot
+    wet = specs["q_wet_roundtrip"].builder(spark, sf_dir).first()
+    summary["wet"] = {
+        "conversion_records": wet["n_conversion"],
+        "text_octets": wet["text_octets"],
+    }
+    hits = specs["q_crawl_hits"].builder(spark, sf_dir).collect()
+    summary["authorities"] = {
+        r["domain"]: r["authority"] for r in hits if r["authority"] > 0
+    }
+
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -224,8 +224,10 @@ def _sitemap_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     urlset shards by doc_id%3 (shard 0 gzipped), one sitemapindex
     referencing all three, locs in the fixture's messy primary URL form
     (XML-escaped — the parse must decode &amp;), optional fields on
-    fixed residues (lastmod %2==0, changefreq %3!=1 cycling four
-    values, priority %5==0 at doc%10/10)."""
+    fixed residues (lastmod %2==0; changefreq present when %3!=1,
+    kind cycled by (doc_id + doc_id//10) %% 4 — decorrelated from the
+    lastmod parity so every (lastmod?, kind) combination occurs;
+    priority %5==0 at doc%10/10)."""
     import gzip as _gzip
     import html as _html
 
@@ -233,7 +235,7 @@ def _sitemap_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
 
     src = os.path.join(sf_dir, "documents.parquet")
-    out = snapshot_cache_dir(src, "sitemap-v1")
+    out = snapshot_cache_dir(src, "sitemap-v2")
     shard_names = ("urlset-0.xml.gz", "urlset-1.xml", "urlset-2.xml")
     names = shard_names + ("sitemap-index.xml",)
 
@@ -264,7 +266,7 @@ def _sitemap_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             if doc_id % 3 != 1:
                 entry.append(
                     "    <changefreq>"
-                    + _CHANGEFREQS[doc_id % 4]
+                    + _CHANGEFREQS[(doc_id + doc_id // 10) % 4]
                     + "</changefreq>\n"
                 )
             if doc_id % 5 == 0:
@@ -328,7 +330,8 @@ _SITEMAP_URL_SQL = (
            CAST(SUM(CASE WHEN doc_id % 3 <> 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_changefreq,
            CAST(COUNT(DISTINCT CASE WHEN doc_id % 3 <> 1
-                 THEN doc_id % 4 END) AS BIGINT) AS n_freq_kinds,
+                 THEN (doc_id + doc_id // 10) % 4 END) AS BIGINT)
+             AS n_freq_kinds,
            CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN doc_id % 10 ELSE 0 END)
                 AS BIGINT) AS sum_priority10,
            MIN(loc) AS min_loc,

@@ -99,14 +99,16 @@ def _host_budget_oracle() -> str:
     "division/remainder/rank pipeline, so the allocations must match "
     "bit-for-bit and sum to the budget by construction — the rounding "
     "property naive per-domain rounding lacks. Plan: WAT snapshot -> "
-    "domain hash agg (tiny) -> 1-row total broadcast -> remainder "
-    "rank; at 100 TB the ranked set is the DOMAIN table (~1e6 rows), "
-    "a top-R selection, never the corpus.",
+    "domain hash agg (tiny) -> 1-row total broadcast -> the R extra "
+    "slots selected by a DISTRIBUTED orderBy+limit (Spark's "
+    "TakeOrderedAndProject: per-partition top-R then a driver merge "
+    "of R-sized heaps — never a single-partition global window) "
+    "joined back onto the allocation table; R itself is one collected "
+    "scalar. At 100 TB the ordered set is the DOMAIN table "
+    "(~1e6 rows), and only R rows ever leave it.",
     tags=("web", "graph"),
 )
 def q_crawl_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from roapi_spark.functions.pipeline14 import _links_snapshot
     from roapi_spark.functions.web import registrable_domain, url_host
 
@@ -125,22 +127,21 @@ def q_crawl_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"({_BUDGET} * n_links) div total").alias("base"),
         (F.lit(_BUDGET) * F.col("n_links") % F.col("total")).alias("rem"),
     )
-    placed = q.agg((F.lit(_BUDGET) - F.sum("base")).alias("leftover"))
-    ranked = q.withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.orderBy(F.desc("rem"), F.asc("domain"))
-        ),
+    # one scalar to the driver: how many remainder slots to hand out
+    leftover = int(
+        q.agg((F.lit(_BUDGET) - F.sum("base")).alias("l")).first()["l"]
+    )
+    extras = (
+        q.orderBy(F.desc("rem"), F.asc("domain"))
+        .limit(leftover)
+        .select("domain", F.lit(1).cast("bigint").alias("extra"))
     )
     return (
-        ranked.crossJoin(F.broadcast(placed))
+        q.join(extras, "domain", "left")
         .select(
             "domain",
             "n_links",
-            (
-                F.col("base")
-                + (F.col("rnk") <= F.col("leftover")).cast("bigint")
-            )
+            (F.col("base") + F.coalesce(F.col("extra"), F.lit(0)))
             .cast("bigint")
             .alias("alloc"),
         )
@@ -242,7 +243,7 @@ def _recrawl_oracle() -> str:
              CASE WHEN doc_id % 2 = 0
                   THEN 20260101 + doc_id % 3 END AS lastmod_day,
              CASE WHEN doc_id % 3 <> 1
-                  THEN CASE doc_id % 4 WHEN 0 THEN 'daily'
+                  THEN CASE (doc_id + doc_id // 10) % 4 WHEN 0 THEN 'daily'
                        WHEN 1 THEN 'weekly' WHEN 2 THEN 'monthly'
                        ELSE 'never' END END AS changefreq,
              CASE WHEN doc_id % 13 = 5 THEN 20260102
