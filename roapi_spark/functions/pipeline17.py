@@ -566,3 +566,118 @@ def q_train_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---- q_crawl_fetch_schedule ----------------------------------------------------
+
+# per-domain politeness delay (milliseconds between fetches to one
+# host) — a pinned policy table, the shape a crawler derives from
+# robots Crawl-delay hints and server-health feedback
+_DELAY_MS = {
+    "example.com": 100,
+    "example.co.uk": 300,
+    "loja.com.br": 200,
+    "user1.github.io": 300,
+    "example.ac.in": 200,
+    "demo.blogspot.com": 100,
+    "example.gob.mx": 300,
+}
+
+
+def _fetch_schedule_oracle() -> str:
+    from roapi_spark.functions.pipeline14 import _EXT_HOSTS
+    from roapi_spark.functions.pipeline16 import (
+        _LINKS_PER_PAGE_SAME_DOMAIN,
+        _host_case_sql,
+    )
+    from roapi_spark.functions.web import registrable_domain_sql
+
+    delay_case = " ".join(
+        f"WHEN '{d}' THEN {ms}" for d, ms in sorted(_DELAY_MS.items())
+    )
+    return f"""
+    WITH live AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 11 <> 3 AND doc_id % 7 <> 2
+    ),
+    w AS (
+      SELECT {registrable_domain_sql("host")} AS domain,
+             CAST(COUNT(*) AS BIGINT) AS n_links
+      FROM (SELECT {_host_case_sql(_EXT_HOSTS)} AS host FROM live)
+      GROUP BY 1
+      UNION ALL
+      SELECT 'example.com',
+             CAST({_LINKS_PER_PAGE_SAME_DOMAIN}
+                  * (SELECT COUNT(*) FROM live) AS BIGINT)
+    ),
+    q AS (
+      SELECT domain, n_links,
+             ({_BUDGET} * n_links) // (SELECT SUM(n_links) FROM w) AS base,
+             ({_BUDGET} * n_links) % (SELECT SUM(n_links) FROM w) AS rem
+      FROM w
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, domain) AS rnk,
+             (SELECT {_BUDGET} - SUM(base) FROM q) AS leftover
+      FROM q
+    ),
+    a AS (
+      SELECT domain,
+             base + (CASE WHEN rnk <= leftover THEN 1 ELSE 0 END) AS alloc,
+             CASE domain {delay_case} ELSE 500 END AS delay_ms
+      FROM r
+    ),
+    s AS (
+      SELECT domain, CAST(alloc AS BIGINT) AS alloc,
+             CAST(delay_ms AS BIGINT) AS delay_ms,
+             CAST(CASE WHEN alloc > 0 THEN (alloc - 1) * delay_ms
+                       ELSE 0 END AS BIGINT) AS finish_ms
+      FROM a
+    )
+    SELECT domain, alloc, delay_ms, finish_ms,
+           CAST((SELECT MAX(finish_ms) FROM s) AS BIGINT) AS makespan_ms
+    FROM s ORDER BY domain
+    """
+
+
+@register(
+    "q_crawl_fetch_schedule",
+    oracle=_fetch_schedule_oracle(),
+    doc="Politeness-aware fetch schedule — budget composed with "
+    "per-domain delay policy: each domain's allocated slots (the "
+    "Hamilton apportionment, replayed) fetch one-per-delay, so its "
+    "lane finishes at (alloc-1)*delay_ms; the fleet's makespan is the "
+    "max over lanes — the number a crawl operator actually plans "
+    "around (a polite slow host, not the big one, is usually "
+    "critical). All integers, bit-exact DuckDB replay. Plan: the "
+    "(domain, alloc) table is tiny (domain-cardinality); delay policy "
+    "is a literal CASE (a broadcast map at fleet scale); the makespan "
+    "is a 1-row agg broadcast back — no corpus access at all.",
+    tags=("web", "graph"),
+)
+def q_crawl_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    alloc = q_crawl_host_budget(spark, sf_dir).select("domain", "alloc")
+    delay = F.lit(500)
+    for d, ms in sorted(_DELAY_MS.items()):
+        delay = F.when(F.col("domain") == d, F.lit(ms)).otherwise(delay)
+    s = alloc.select(
+        "domain",
+        F.col("alloc").cast("bigint").alias("alloc"),
+        delay.cast("bigint").alias("delay_ms"),
+        F.when(
+            F.col("alloc") > 0,
+            (F.col("alloc") - 1) * delay,
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("finish_ms"),
+    )
+    mk = s.agg(F.max("finish_ms").alias("makespan_ms"))
+    return (
+        s.crossJoin(F.broadcast(mk))
+        .select(
+            "domain", "alloc", "delay_ms", "finish_ms",
+            F.col("makespan_ms").cast("bigint").alias("makespan_ms"),
+        )
+        .orderBy("domain")
+    )
