@@ -1,0 +1,75 @@
+"""CDX sink robustness: the pointer math the roundtrip gate can't pin
+one failure at a time — member-span recovery, layout classification,
+and the fail-loud contracts (solid gzip, truncated members)."""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+
+import pytest
+
+from roapi_spark.sinks.cdx import _iter_member_spans, iter_record_pointers
+from roapi_spark.sources.warc import WarcFormatError, read_record_at
+
+
+def _rec(uri: str, body: bytes) -> bytes:
+    block = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+    return (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Record-ID: <urn:uuid:x>\r\n"
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(block)}\r\n\r\n"
+    ).encode() + block + b"\r\n\r\n"
+
+
+def test_member_spans_are_exact(tmp_path):
+    members = [gzip.compress(_rec(f"https://x/{i}", b"b" * i), mtime=0)
+               for i in (1, 50, 3)]
+    data = b"".join(members)
+    spans = list(_iter_member_spans(data, "t"))
+    assert [(off, ln) for off, ln, _ in spans] == [
+        (0, len(members[0])),
+        (len(members[0]), len(members[1])),
+        (len(members[0]) + len(members[1]), len(members[2])),
+    ]
+
+
+def test_pointers_fetch_back_both_layouts(tmp_path):
+    recs = [_rec(f"https://x/{i}", bytes([65 + i]) * (10 + i)) for i in range(3)]
+    gz = tmp_path / "a.warc.gz"
+    gz.write_bytes(b"".join(gzip.compress(r, mtime=0) for r in recs))
+    plain = tmp_path / "b.warc"
+    plain.write_bytes(b"".join(recs))
+    for path in (gz, plain):
+        ptrs = list(iter_record_pointers(str(path), path.name))
+        assert [r["target_uri"] for _, _, r in ptrs] == [
+            f"https://x/{i}" for i in range(3)
+        ]
+        # every pointer must round-trip through the random-access reader
+        for off, ln, rec in ptrs:
+            got = read_record_at(str(path), off, ln)
+            assert got["target_uri"] == rec["target_uri"]
+            assert got["payload"] == rec["payload"]
+
+
+def test_solid_gzip_rejected(tmp_path):
+    recs = b"".join(_rec(f"https://x/{i}", b"z") for i in range(3))
+    p = tmp_path / "solid.warc.gz"
+    p.write_bytes(gzip.compress(recs, mtime=0))  # ONE member, 3 records
+    with pytest.raises(WarcFormatError, match="member-per-record"):
+        list(iter_record_pointers(str(p), "solid"))
+
+
+def test_truncated_member_rejected(tmp_path):
+    good = gzip.compress(_rec("https://x/0", b"ok"), mtime=0)
+    p = tmp_path / "trunc.warc.gz"
+    p.write_bytes(good + good[: len(good) // 2])
+    with pytest.raises((WarcFormatError, zlib.error), match=""):
+        list(iter_record_pointers(str(p), "trunc"))
