@@ -681,3 +681,95 @@ def q_crawl_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# ---- stream_sitemap_seeds ------------------------------------------------------
+
+
+@register(
+    "stream_sitemap_seeds",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 3 AS s FROM documents),
+    per AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY s)
+    SELECT * FROM (
+      SELECT 'recrawl-1.xml' AS sitemap_file, n AS n_seeds,
+             CAST(0 AS BIGINT) AS n_new FROM per WHERE s = 1
+      UNION ALL
+      SELECT 'urlset-0.xml.gz', n, n FROM per WHERE s = 0
+      UNION ALL
+      SELECT 'urlset-1.xml', n, n FROM per WHERE s = 1
+      UNION ALL
+      SELECT 'urlset-2.xml', n, n FROM per WHERE s = 2
+    ) ORDER BY sitemap_file
+    """,
+    doc="Streaming seed discovery gate: urlset shards land in two "
+    "waves (wave 2 additionally RE-LANDS wave 1's shard under a new "
+    "name — the overlapping-sitemap / re-publish arrival mix) and "
+    "every offered page is SURT-classified first-seen vs known "
+    "through keyed state (streaming/crawl.stream_sitemap_seeds). The "
+    "parse is the SAME shared codegen'd urlset parse the batch source "
+    "uses; per-file seed and first-seen counts must match the residue "
+    "closed form across both waves, so a dropped shard, a re-delivered "
+    "file leaking duplicate seeds, or SURT drift between the batch "
+    "and streaming paths shifts a count. Plan: per-batch cost is the "
+    "newly landed sitemap bytes (~1000x smaller than a crawl); state "
+    "is one int per SURT — the exact kernel whose constant-state twin "
+    "is the Bloom-bounded frontier.",
+    tags=("streaming", "web", "source"),
+)
+def stream_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from roapi_spark.functions.pipeline16 import _sitemap_fixture_dir
+    from roapi_spark.streaming.crawl import (
+        stream_sitemap_seeds as _stream,
+    )
+
+    src = _sitemap_fixture_dir(spark, sf_dir)
+    landing = tempfile.mkdtemp(prefix="sitemap_seeds_landing_")
+    acc: dict[str, list] = {}
+
+    def process(classified: DataFrame, batch_id: int) -> None:
+        for r in (
+            classified.groupBy("sitemap_file")
+            .agg(
+                F.count("*").cast("bigint").alias("n_seeds"),
+                F.sum("is_new").cast("bigint").alias("n_new"),
+            )
+            .collect()  # bounded: one row per landed file per batch
+        ):
+            cur = acc.setdefault(r["sitemap_file"], [0, 0])
+            cur[0] += r["n_seeds"]
+            cur[1] += r["n_new"]
+
+    try:
+        for name in ("urlset-1.xml", "urlset-2.xml"):
+            shutil.copy(os.path.join(src, name), os.path.join(landing, name))
+        q = _stream(
+            spark,
+            landing,
+            process,
+            os.path.join(landing, "_ckpt"),
+            query_name="stream_sitemap_seeds",
+        )
+        try:
+            q.processAllAvailable()
+            shutil.copy(
+                os.path.join(src, "urlset-0.xml.gz"),
+                os.path.join(landing, "urlset-0.xml.gz"),
+            )
+            # wave 2 re-lands shard 1: re-published sitemap, zero new
+            shutil.copy(
+                os.path.join(src, "urlset-1.xml"),
+                os.path.join(landing, "recrawl-1.xml"),
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted((f, *v) for f, v in acc.items()),
+        "sitemap_file string, n_seeds bigint, n_new bigint",
+    )

@@ -124,21 +124,16 @@ def resolve_files(uri: str, glob: str = "*.xml*") -> list[str]:
     return sorted(dict.fromkeys(out))
 
 
-def parse_sitemap_files(spark: SparkSession, files: list[str]) -> DataFrame:
-    # NB: the wholetext kwarg, not .option("wholetext", ...) — the
-    # option spelling is silently ignored by DataFrameReader.text here
-    raw = (
-        spark.read.text(files, wholetext=True)
-        .select(
-            "value",
-            F.element_at(
-                F.split(F.input_file_name(), "/"), -1
-            ).alias("sitemap_file"),
-        )
-    )
+def parse_sitemap_content(
+    raw: DataFrame, content_col: str = "value", file_col: str = "sitemap_file"
+) -> DataFrame:
+    """Shared urlset parse — the batch source and the streaming seed
+    stream both route whole-file rows through this, so the two can
+    never drift. Every expression is total per row (absent optional
+    fields are NULL, never errors)."""
     frag = raw.select(
-        F.explode(F.split(F.col("value"), "</url>")).alias("u"),
-        "sitemap_file",
+        F.explode(F.split(F.col(content_col), "</url>")).alias("u"),
+        F.col(file_col).alias("sitemap_file"),
     ).filter(F.col("u").contains("<url>"))
 
     def field(tag: str) -> Column:
@@ -155,6 +150,21 @@ def parse_sitemap_files(spark: SparkSession, files: list[str]) -> DataFrame:
         field("priority").cast("double").alias("priority"),
         "sitemap_file",
     ).filter(F.col("loc").isNotNull())
+
+
+def parse_sitemap_files(spark: SparkSession, files: list[str]) -> DataFrame:
+    # NB: the wholetext kwarg, not .option("wholetext", ...) — the
+    # option spelling is silently ignored by DataFrameReader.text here
+    raw = (
+        spark.read.text(files, wholetext=True)
+        .select(
+            "value",
+            F.element_at(
+                F.split(F.input_file_name(), "/"), -1
+            ).alias("sitemap_file"),
+        )
+    )
+    return parse_sitemap_content(raw)
 
 
 def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:

@@ -533,3 +533,89 @@ def stream_crawl_to_delta(
         .queryName(query_name)
         .start()
     )
+
+
+# --- streaming sitemap seed discovery ----------------------------------------
+
+SEED_OUTPUT = "surt string, sitemap_file string, is_new int"
+
+
+def _seed_frontier_fn(key, pdfs, state):
+    """Per-SURT seed state — the discovery twin of _frontier_fn: the
+    first time a sitemap offers a page key, it is a NEW seed (feed the
+    fetcher); every later offer — re-landed shard, overlapping
+    sitemaps, next discovery round — is known. State is one int per
+    SURT."""
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["sitemap_file", "loc"], kind="stable"
+    )
+    first_is_new = 0 if state.exists else 1
+    flags = [first_is_new] + [0] * (len(rows) - 1)
+    state.update((1,))
+    yield pd.DataFrame(
+        {
+            "surt": [key[0]] * len(rows),
+            "sitemap_file": list(rows["sitemap_file"]),
+            "is_new": flags,
+        }
+    )
+
+
+def stream_sitemap_seeds(
+    spark: SparkSession,
+    landing_dir: str,
+    process: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    query_name: str = "sitemap_seeds",
+) -> StreamingQuery:
+    """Seed discovery as a stream: urlset shards land (a site publishes
+    or refreshes its sitemaps), each micro-batch parses ONLY the newly
+    landed files with the SAME codegen'd parse the batch sitemap source
+    uses (sources/sitemap.parse_sitemap_content — shared, so the two
+    can never drift), SURT-keys every loc (web.url_to_surt, the index/
+    frontier key), and classifies each offered page first-seen vs
+    already-known through keyed state — the discovery front-end that
+    feeds a fetcher fleet only NEW work.
+
+    Mechanics: the text file-stream source is the cursor (wholetext —
+    one row per landed file, .gz-transparent; sitemap files are
+    spec-capped at 50 MB so whole-file rows are format-bounded), its
+    checkpoint gives exactly-once per-file delivery across restarts.
+    State is one int per SURT — the exact kernel; the Bloom-bounded
+    frontier shows the constant-state variant of the same pattern."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from roapi_spark.functions.web import url_to_surt
+    from roapi_spark.sources.sitemap import parse_sitemap_content
+
+    raw = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", "*.xml*")
+        .schema("value string")
+        .load(landing_dir)
+        .select(
+            "value",
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+                "sitemap_file"
+            ),
+        )
+    )
+    seeds = parse_sitemap_content(raw).select(
+        url_to_surt(F.col("loc")).alias("surt"), "loc", "sitemap_file"
+    )
+    classified = seeds.groupBy("surt").applyInPandasWithState(
+        _seed_frontier_fn,
+        SEED_OUTPUT,
+        FRONTIER_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        classified.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
