@@ -773,3 +773,121 @@ def stream_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted((f, *v) for f, v in acc.items()),
         "sitemap_file string, n_seeds bigint, n_new bigint",
     )
+
+
+# ---- q_chat_validate -----------------------------------------------------------
+
+_CHAT_ROLES = ("system", "user", "assistant")
+
+
+@register(
+    "q_chat_validate",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 8 = 1) AS br,
+             (doc_id % 8 <> 1 AND doc_id % 9 = 4) AS be,
+             (doc_id % 8 <> 1 AND doc_id % 9 <> 4 AND doc_id % 12 = 7)
+               AS ec,
+             (doc_id % 5 = 0) AS hs
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_chats,
+           CAST(SUM(CASE WHEN NOT br AND NOT be AND NOT ec
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN br THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bad_role,
+           CAST(SUM(CASE WHEN be THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bad_ending,
+           CAST(SUM(CASE WHEN ec THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty_content,
+           CAST(SUM(CASE WHEN NOT br AND NOT be AND NOT ec AND hs
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_with_system,
+           CAST(SUM(CASE WHEN NOT br AND NOT be AND NOT ec
+                    THEN 2 + (CASE WHEN hs THEN 1 ELSE 0 END)
+                    ELSE 0 END) AS BIGINT) AS sum_turns_valid
+    FROM d
+    """,
+    doc="Chat-transcript validation — the SFT-data hygiene gate: "
+    "conversations are synthesized as REAL JSON (to_json over "
+    "struct arrays, so quoting/escaping is Spark's own) with defects "
+    "planted one-per-row on fixed residues (invalid role name, "
+    "missing final assistant turn, empty assistant content), then "
+    "parsed back (from_json) and validated ENTIRELY by higher-order "
+    "expressions — exists() over roles against the allowlist, "
+    "element_at(-1) ending check, trimmed-content emptiness — never "
+    "Python. Verdict counts, valid-with-system split, and the "
+    "turn-count sum replay closed-form. Plan: one FileScan -> "
+    "codegen'd JSON round-trip + lambda predicates -> one agg; at "
+    "100 TB validation is map-side with no shuffle before the final "
+    "1-row agg.",
+    tags=("text", "pipeline"),
+)
+def q_chat_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    norm = F.regexp_replace(F.col("text"), r"\s+", " ")
+    br = F.col("doc_id") % 8 == 1
+    be = ~br & (F.col("doc_id") % 9 == 4)
+    ec = ~br & ~be & (F.col("doc_id") % 12 == 7)
+    hs = F.col("doc_id") % 5 == 0
+
+    def turn(role, content):
+        return F.struct(role.alias("role"), content.alias("content"))
+
+    sys_t = F.when(
+        hs, turn(F.lit("system"), F.lit("You are a helpful assistant."))
+    )
+    user_t = turn(
+        F.when(br, F.lit("usr")).otherwise(F.lit("user")),
+        F.substring(norm, 1, 20),
+    )
+    asst_t = F.when(
+        ~be,
+        turn(
+            F.lit("assistant"),
+            F.when(ec, F.lit("")).otherwise(F.substring(norm, 21, 20)),
+        ),
+    )
+    js = F.to_json(
+        F.filter(F.array(sys_t, user_t, asst_t), lambda x: x.isNotNull())
+    )
+    parsed = F.from_json(
+        js, "array<struct<role string, content string>>"
+    )
+    chats = d.select(parsed.alias("p"))
+    bad_role = F.exists(
+        F.col("p"), lambda x: ~x["role"].isin(*_CHAT_ROLES)
+    )
+    bad_end = F.element_at(F.col("p"), -1)["role"] != "assistant"
+    empty = F.exists(F.col("p"), lambda x: F.trim(x["content"]) == "")
+    verdict = (
+        F.when(bad_role, F.lit("bad_role"))
+        .when(bad_end, F.lit("bad_ending"))
+        .when(empty, F.lit("empty_content"))
+        .otherwise(F.lit("valid"))
+    )
+    v = chats.select(
+        verdict.alias("verdict"),
+        F.size("p").alias("n_turns"),
+        (F.element_at(F.col("p"), 1)["role"] == "system").alias("has_sys"),
+    )
+    is_valid = F.col("verdict") == "valid"
+    return v.agg(
+        F.count("*").cast("bigint").alias("n_chats"),
+        F.sum(is_valid.cast("bigint")).cast("bigint").alias("n_valid"),
+        F.sum((F.col("verdict") == "bad_role").cast("bigint"))
+        .cast("bigint")
+        .alias("n_bad_role"),
+        F.sum((F.col("verdict") == "bad_ending").cast("bigint"))
+        .cast("bigint")
+        .alias("n_bad_ending"),
+        F.sum((F.col("verdict") == "empty_content").cast("bigint"))
+        .cast("bigint")
+        .alias("n_empty_content"),
+        F.sum((is_valid & F.col("has_sys")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_valid_with_system"),
+        F.sum(F.when(is_valid, F.col("n_turns")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sum_turns_valid"),
+    )
