@@ -23,6 +23,18 @@ curation.
 * ``q_domain_cap`` — anti-domination curation: keep at most K docs per
   registrable domain, best-quality-first, with Catalyst's
   WindowGroupLimit pushing the rank cut below the per-domain sort.
+* ``q_crawl_fetch_schedule`` — the budget composed with a per-domain
+  politeness delay policy: lane finish times and the fleet makespan.
+* ``stream_sitemap_seeds`` — seed discovery as a stream: newly landed
+  urlset shards parsed by the SHARED batch parse, SURT-keyed, and
+  first-seen-classified through keyed state.
+* ``q_chat_validate`` — SFT-transcript hygiene: real JSON round-trip
+  (to_json/from_json) validated by higher-order expressions.
+* ``q_pref_pair_audit`` — DPO-pair hygiene: degenerate pairs, length
+  bias, shared-prompt leakage.
+* ``q_split_by_domain`` — domain-disjoint train/heldout split: the
+  split key is a pure function of the registrable domain, so
+  disjointness is structural.
 
 No reference parity (columnq has none of these surfaces) —
 training-data pipeline extension, same standing as pipeline3's
@@ -890,4 +902,182 @@ def q_chat_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_valid, F.col("n_turns")).otherwise(F.lit(0)))
         .cast("bigint")
         .alias("sum_turns_valid"),
+    )
+
+
+# ---- q_pref_pair_audit ---------------------------------------------------------
+
+
+@register(
+    "q_pref_pair_audit",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nl,
+             (doc_id % 10 = 6) AS degen,
+             (doc_id % 7 = 3) AS dupp
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, degen,
+             CASE WHEN dupp THEN 'prompt-shared-' ||
+                  CAST(doc_id % 5 AS VARCHAR)
+                  ELSE 'prompt-' || CAST(doc_id AS VARCHAR) END AS prompt,
+             CASE WHEN degen THEN nl / 2 ELSE nl END AS chosen_len,
+             nl / 2 AS rejected_len
+      FROM d
+    ),
+    dup_prompts AS (
+      SELECT prompt FROM p GROUP BY prompt HAVING COUNT(*) > 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN degen THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_degenerate,
+           CAST(SUM(CASE WHEN NOT degen AND chosen_len > rejected_len
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_chosen_longer,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dup_prompts)
+             AS n_dup_prompts,
+           CAST((SELECT COUNT(*) FROM p
+                 WHERE prompt IN (SELECT prompt FROM dup_prompts))
+                AS BIGINT) AS n_pairs_on_dup_prompts
+    FROM p
+    """,
+    doc="Preference-pair (DPO/RLHF) data audit: pairs are synthesized "
+    "from the documents table (chosen = the doc text, rejected = its "
+    "first half; %10 residue plants DEGENERATE pairs where chosen == "
+    "rejected, %7 routes pairs onto five SHARED prompts) and the audit "
+    "computes the three hygiene signals a preference dataset is "
+    "screened for: degenerate chosen==rejected pairs (zero training "
+    "signal), the chosen-longer rate (length bias — a reward model "
+    "trained on length-confounded pairs learns length), and prompts "
+    "appearing in multiple pairs (epistemic leakage across pairs). "
+    "Counts replay closed-form. Plan: map-side pair synthesis + one "
+    "hash agg on prompt for the dup split, one final agg; the dup "
+    "check is the only shuffle and its key is the prompt.",
+    tags=("text", "pipeline"),
+)
+def q_pref_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    degen = F.col("doc_id") % 10 == 6
+    dupp = F.col("doc_id") % 7 == 3
+    half = F.substring(norm, F.lit(1), (F.length(norm) / 2).cast("int"))
+    pairs = d.select(
+        "doc_id",
+        F.when(
+            dupp,
+            F.concat(
+                F.lit("prompt-shared-"),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("prompt-"), F.col("doc_id").cast("string"))
+        )
+        .alias("prompt"),
+        F.when(degen, half).otherwise(norm).alias("chosen"),
+        half.alias("rejected"),
+    )
+    per_prompt = pairs.groupBy("prompt").agg(
+        F.count("*").alias("n_on_prompt")
+    )
+    joined = pairs.join(per_prompt, "prompt")
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum((F.col("chosen") == F.col("rejected")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_degenerate"),
+        F.sum(
+            (
+                (F.col("chosen") != F.col("rejected"))
+                & (F.length("chosen") > F.length("rejected"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_chosen_longer"),
+        F.count_distinct(
+            F.when(F.col("n_on_prompt") > 1, F.col("prompt"))
+        )
+        .cast("bigint")
+        .alias("n_dup_prompts"),
+        F.sum((F.col("n_on_prompt") > 1).cast("bigint"))
+        .cast("bigint")
+        .alias("n_pairs_on_dup_prompts"),
+    )
+
+
+# ---- q_split_by_domain ---------------------------------------------------------
+
+
+def _split_by_domain_oracle() -> str:
+    from roapi_spark.functions.pipeline16 import _PSL_HOSTS, _host_case_sql
+    from roapi_spark.functions.web import registrable_domain_sql
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_host_case_sql(_PSL_HOSTS)} AS host FROM documents
+    ),
+    dom AS (
+      SELECT doc_id, {registrable_domain_sql("host")} AS domain FROM d
+    ),
+    s AS (
+      SELECT doc_id, domain,
+             CASE WHEN ('0x' || SUBSTR(MD5(domain || ':split0'), 1, 8))
+                       ::BIGINT % 10 < 8
+                  THEN 'train' ELSE 'heldout' END AS split
+      FROM dom
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_domains,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM s GROUP BY split ORDER BY split
+    """
+
+
+@register(
+    "q_split_by_domain",
+    oracle=_split_by_domain_oracle(),
+    doc="Domain-disjoint train/heldout split — leakage prevention one "
+    "level above doc-dedup: near-duplicate pages cluster WITHIN a "
+    "site, so doc-level random splits leak; hashing the REGISTRABLE "
+    "DOMAIN (md5, salt re-seedable) sends every doc of a domain to "
+    "one side by construction. Per-split doc/domain counts and id "
+    "checksums replay closed-form; disjointness is structural (the "
+    "split key is a pure function of the domain), not sampled-and-"
+    "checked. Plan: codegen'd domain + hash expressions, one hash agg "
+    "— map-side decision, no shuffle before the 2-row agg; at 100 TB "
+    "this is a projection on the corpus scan.",
+    tags=("text", "sampling", "pipeline", "web"),
+)
+def q_split_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.functions.pipeline16 import _host_case_col, _PSL_HOSTS
+    from roapi_spark.functions.web import registrable_domain
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dom = d.select(
+        "doc_id",
+        registrable_domain(_host_case_col(_PSL_HOSTS)).alias("domain"),
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("domain"), F.lit(":split0"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    s = dom.withColumn(
+        "split",
+        F.when(F.pmod(key, F.lit(10)) < 8, F.lit("train")).otherwise(
+            F.lit("heldout")
+        ),
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("domain").cast("bigint").alias("n_domains"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("split")
     )
