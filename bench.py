@@ -200,6 +200,13 @@ def main() -> None:
     # it with median-of-3 full passes (each pass times every subset query
     # once, in order); the median pass total plus the min-max spread makes
     # round-over-round drift attributable: spread >> delta means noise.
+    # Round 13 observation: three same-day full runs at identical code
+    # measured subset medians 28.5 / 38.1 / 37.6 with spreads 1.4 / 8.7 /
+    # 6.3 — the subset phase (first thing timed) is acutely sensitive to
+    # the external driver's periodic JVM activity. Interpret the subset
+    # series ONLY together with its spread; the per-query floors +
+    # isolated retimes absorb this for the regression gate (all three
+    # runs converged to 0 regressions).
     subset_names = [n for n in BENCH_QUERIES if n not in _POST61]
     pass_totals = []
     for _ in range(3):
