@@ -35,6 +35,10 @@ curation.
 * ``q_split_by_domain`` — domain-disjoint train/heldout split: the
   split key is a pure function of the registrable domain, so
   disjointness is structural.
+* ``stream_recrawl_frontier`` — the TTL frontier: captures classified
+  new / fresh / due against per-SURT last-capture-day state — the
+  third frontier variant (exact bounds correctness, Bloom bounds
+  state, TTL bounds refetch rate).
 
 No reference parity (columnq has none of these surfaces) —
 training-data pipeline extension, same standing as pipeline3's
@@ -1080,4 +1084,105 @@ def q_split_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("id_checksum"),
         )
         .orderBy("split")
+    )
+
+
+# ---- stream_recrawl_frontier -----------------------------------------------------
+
+
+@register(
+    "stream_recrawl_frontier",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'day1-00.cdxj' AS cdx_file, 'new' AS verdict,
+             CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      UNION ALL
+      SELECT 'day1-again.cdxj', 'fresh', CAST(COUNT(*) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'day2-00.cdxj', 'due',
+             CAST(SUM(CASE WHEN doc_id % 13 = 5 THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM documents
+    ) ORDER BY cdx_file
+    """,
+    doc="TTL recrawl frontier gate (streaming/crawl."
+    "stream_recrawl_frontier, ttl=1 day): CDXJ index shards land in "
+    "two waves — day-1 captures, then day-2 re-captures PLUS a "
+    "re-delivered copy of the day-1 file — and every capture is "
+    "classified against per-SURT last-capture-day state: day-1 lines "
+    "are 'new', the re-delivered same-day copy is entirely 'fresh' "
+    "(inside the TTL — no wasted refetch), and the %13 day-2 "
+    "re-captures are 'due' (TTL elapsed — refetch). The third "
+    "frontier variant: exact first-seen bounds CORRECTNESS, the Bloom "
+    "variant bounds STATE, this bounds REFETCH RATE. The line parse "
+    "is the batch cdx source's own (shared parse_cdx_lines with a "
+    "passthrough column). Per-file verdict counts replay closed-form; "
+    "a re-delivered file leaking refetches, day arithmetic done on "
+    "raw ints instead of real dates, or state not advancing on 'due' "
+    "all shift a count. Plan: per-batch cost = newly landed index "
+    "bytes; state one int per SURT.",
+    tags=("streaming", "web", "source"),
+)
+def stream_recrawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import gzip as _gzip
+    import shutil
+    import tempfile
+
+    from roapi_spark.functions.pipeline14 import _cdx_fixture_dir
+    from roapi_spark.streaming.crawl import (
+        stream_recrawl_frontier as _stream,
+    )
+
+    src = _cdx_fixture_dir(spark, sf_dir)
+    day1, day2 = [], []
+    for name in sorted(os.listdir(src)):
+        if not name.startswith("index-"):
+            continue
+        path = os.path.join(src, name)
+        opener = _gzip.open if name.endswith(".gz") else open
+        with opener(path, "rt", encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                (day2 if " 20260102000000 " in line else day1).append(line)
+    landing = tempfile.mkdtemp(prefix="recrawl_frontier_landing_")
+    acc: dict[tuple[str, str], int] = {}
+
+    def process(classified: DataFrame, batch_id: int) -> None:
+        for r in (
+            classified.groupBy("cdx_file", "verdict")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .collect()  # bounded: files x 3 verdicts per batch
+        ):
+            k = (r["cdx_file"], r["verdict"])
+            acc[k] = acc.get(k, 0) + r["n"]
+
+    def land(name: str, lines: list[str]) -> None:
+        with open(os.path.join(landing, name), "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+
+    try:
+        land("day1-00.cdxj", day1)
+        q = _stream(
+            spark,
+            landing,
+            process,
+            os.path.join(landing, "_ckpt"),
+            ttl_days=1,
+            query_name="stream_recrawl_frontier",
+        )
+        try:
+            q.processAllAvailable()
+            land("day2-00.cdxj", day2)
+            land("day1-again.cdxj", day1)  # re-delivery: all inside TTL
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted((f, v, n) for (f, v), n in acc.items()),
+        "cdx_file string, verdict string, n bigint",
     )

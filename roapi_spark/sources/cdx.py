@@ -43,7 +43,11 @@ _JSON_SCHEMA = (
 )
 
 
-def parse_cdx_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_cdx_lines(
+    lines: DataFrame,
+    value_col: str = "value",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Shared CDXJ line parse — the batch text source and the streaming
     index-fetch path (whole index shards split into lines) both route
     through this, so the two can never drift. Tolerates blank lines and
@@ -71,8 +75,10 @@ def parse_cdx_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
         F.try_element_at(parts, F.lit(1)).alias("surt_key"),
         F.try_element_at(parts, F.lit(2)).alias("fetch_ts"),
         F.from_json(blob, _JSON_SCHEMA, {"mode": "FAILFAST"}).alias("j"),
+        *passthrough,
     ).filter(F.col("surt_key").isNotNull())
     return parsed.select(
+        *passthrough,
         "surt_key",
         "fetch_ts",
         F.col("j.url").alias("url"),

@@ -619,3 +619,110 @@ def stream_sitemap_seeds(
         .queryName(query_name)
         .start()
     )
+
+
+# --- TTL recrawl frontier ------------------------------------------------------
+
+TTL_OUTPUT = "surt string, cdx_file string, verdict string"
+TTL_STATE = "last_day int"
+
+
+def _ttl_frontier_fn(ttl_days: int):
+    """Per-SURT recrawl state: last capture day (int yyyymmdd -> epoch
+    days via datetime, so month/year boundaries are real). A capture is
+    'new' (never seen), 'due' (last capture >= ttl_days older — refetch
+    and advance state) or 'fresh' (inside the TTL — skip). The
+    re-crawl-after-N-days semantics the exact frontier's docstring
+    points at, as REAL bounded state: one int per SURT regardless of
+    how many times a page is re-offered."""
+
+    def fn(key, pdfs, state):
+        import datetime as _dt
+
+        import pandas as pd
+
+        def day_num(ts14: str) -> int:
+            return _dt.date(
+                int(ts14[0:4]), int(ts14[4:6]), int(ts14[6:8])
+            ).toordinal()
+
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["fetch_ts", "cdx_file"], kind="stable"
+        )
+        last = state.get[0] if state.exists else None
+        out_v = []
+        for ts in rows["fetch_ts"]:
+            d = day_num(str(ts))
+            if last is None:
+                v = "new"
+            elif d - last >= ttl_days:
+                v = "due"
+            else:
+                v = "fresh"
+            if v != "fresh":
+                last = max(d, last or 0)
+            out_v.append(v)
+        state.update((int(last),))
+        yield pd.DataFrame(
+            {
+                "surt": [key[0]] * len(rows),
+                "cdx_file": list(rows["cdx_file"]),
+                "verdict": out_v,
+            }
+        )
+
+    return fn
+
+
+def stream_recrawl_frontier(
+    spark: SparkSession,
+    landing_dir: str,
+    process: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    ttl_days: int = 1,
+    query_name: str = "recrawl_frontier",
+) -> StreamingQuery:
+    """TTL recrawl frontier over a landing directory of CDXJ index
+    shards: each micro-batch parses newly landed pointer lines with the
+    SAME codegen'd parse the batch cdx source uses
+    (sources/cdx.parse_cdx_lines — shared, no drift), keys captures by
+    SURT, and classifies each against per-SURT last-capture-day state:
+    never seen -> 'new', older than ``ttl_days`` -> 'due' (refetch),
+    inside the TTL -> 'fresh' (skip). The third frontier variant:
+    stream_url_frontier is exact first-seen, the Bloom variant bounds
+    state size, this one bounds RE-FETCH RATE — together they are the
+    scheduling core of a continuous crawl. The index lines are
+    ~1000x smaller than archives; per-batch cost is index arrival
+    volume; state is one int per SURT."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from roapi_spark.sources.cdx import parse_cdx_lines
+
+    lines = (
+        spark.readStream.format("text")
+        .option("pathGlobFilter", "*.cdx*")
+        .schema("value string")
+        .load(landing_dir)
+        .select(
+            "value",
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+                "cdx_file"
+            ),
+        )
+    )
+    parsed = parse_cdx_lines(lines, passthrough=("cdx_file",)).select(
+        "surt_key", "fetch_ts", "cdx_file"
+    )
+    classified = parsed.groupBy("surt_key").applyInPandasWithState(
+        _ttl_frontier_fn(ttl_days),
+        TTL_OUTPUT,
+        TTL_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        classified.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
