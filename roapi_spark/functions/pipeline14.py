@@ -1095,6 +1095,91 @@ def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- q_wat_roundtrip ---------------------------------------------------------
+
+_WAT_SCHEMA = (
+    "Envelope struct<"
+    "`WARC-Header-Metadata` struct<`WARC-Target-URI` string>, "
+    "`Payload-Metadata` struct<`HTTP-Response-Metadata` struct<"
+    "`HTML-Metadata` struct<Links array<struct<url string>>>>>>"
+)
+
+
+@register(
+    "q_wat_roundtrip",
+    oracle="""
+    WITH live AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 11 <> 3 AND doc_id % 7 <> 2
+    )
+    SELECT CAST(COUNT(*) + 2 AS BIGINT) AS n_records,
+           CAST(COUNT(*) AS BIGINT) AS n_meta,
+           CAST(2 AS BIGINT) AS n_files,
+           CAST(8 * COUNT(*) AS BIGINT) AS sum_links,
+           CAST(COUNT(*) AS BIGINT) AS n_uri
+    FROM live
+    """,
+    doc="WAT derivative round trip — the third Common Crawl artifact "
+    "(WARC bytes / WET text / WAT structure), closing the write-side "
+    "triple: per-page outlink sets from the WAT snapshot land as ISO "
+    "28500 metadata records whose payload is the WAT JSON envelope "
+    "(Envelope -> Payload-Metadata -> HTML-Metadata -> Links, the "
+    "shape WAT consumers parse), via sinks/warc.write_wat (2 shards, "
+    "warcinfo heads, deterministic bytes); read back through the WARC "
+    "source and the envelopes parsed with from_json — record/metadata/"
+    "file counts, per-page link sums (every live page carries exactly "
+    "its 6 chrome + 1 corpus + 1 partner links), and distinct-URI "
+    "count replay closed-form. Plan: snapshot scan -> (page) "
+    "collect_list agg -> groupBy(shard) applyInPandas write -> "
+    "streaming read-back -> codegen'd JSON parse -> one agg.",
+    tags=("web", "gate", "graph"),
+)
+def q_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from roapi_spark.config import TableSource
+    from roapi_spark.sinks.warc import write_wat
+    from roapi_spark.sources import load_table
+
+    links = _links_snapshot(spark, sf_dir)
+    pages = (
+        links.groupBy(F.col("src_canon").alias("target_uri"))
+        .agg(F.collect_set("dst_canon").alias("links"))
+        .withColumn(
+            "shard", F.pmod(F.crc32(F.col("target_uri")), F.lit(2))
+        )
+    )
+    out_root = tempfile.mkdtemp(prefix="wat_sink_gate_")
+    atexit.register(shutil.rmtree, out_root, ignore_errors=True)
+    out_dir = os.path.join(out_root, "wat")
+    write_wat(pages, out_dir).count()  # execute the write
+    back = load_table(
+        spark, TableSource(name="_wat", uri=out_dir, format="warc")
+    )
+    is_meta = F.col("warc_type") == "metadata"
+    env = F.from_json(
+        F.decode(F.col("payload"), "UTF-8"), _WAT_SCHEMA
+    )
+    n_links = F.size(
+        env["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"][
+            "HTML-Metadata"
+        ]["Links"]
+    )
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_records"),
+        F.sum(is_meta.cast("bigint")).cast("bigint").alias("n_meta"),
+        F.count_distinct("warc_file").cast("bigint").alias("n_files"),
+        F.sum(F.when(is_meta, n_links).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sum_links"),
+        F.count_distinct(F.when(is_meta, F.col("target_uri")))
+        .cast("bigint")
+        .alias("n_uri"),
+    )
+
+
 # ---- q_warc_dedup_export ----------------------------------------------------
 
 

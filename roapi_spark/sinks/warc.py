@@ -278,3 +278,99 @@ def write_wet(
     return df.groupBy(shard_col).applyInPandas(
         writer, "warc_file string, n_records bigint"
     )
+
+
+def write_wat(
+    df: DataFrame,
+    out_dir: str,
+    shard_col: str = "shard",
+    prefix: str = "wat",
+    gzip_members: bool = True,
+    software: str = "roapi_spark wat sink",
+) -> DataFrame:
+    """Write per-page link metadata as WAT ``metadata`` records (the
+    third Common Crawl derivative: WARC holds bytes, WET holds text,
+    WAT holds structure) — one ISO 28500 ``metadata`` record per page,
+    payload a JSON envelope carrying the page's outlinks, the shape WAT
+    consumers (link-graph, anchor-mining jobs) parse. Same contract as
+    the other archive writers: one file per shard value, warcinfo head,
+    dot-prefixed tmp + rename, records sorted by (uri, date, digest)
+    with uuid5 ids — deterministic bytes across retries. Expected
+    columns: ``target_uri``, ``links`` (array<string> — resolved link
+    targets), optional ``warc_date``."""
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = ".warc.wat.gz" if gzip_members else ".warc.wat"
+
+    def writer(pdf):
+        import json as _json
+
+        import pandas as pd
+
+        shard = int(pdf[shard_col].iloc[0])
+        name = f"{prefix}-{shard:05d}{suffix}"
+        final = os.path.join(out_dir, name)
+        tmp = os.path.join(out_dir, f".{name}.tmp-{os.getpid()}")
+        has_date = "warc_date" in pdf.columns
+        rows = []
+        for row in pdf.itertuples(index=False):
+            uri = str(row.target_uri)
+            date = (
+                str(row.warc_date)
+                if has_date and row.warc_date is not None
+                else _DEFAULT_DATE
+            )
+            # row.links arrives as a numpy array: no `or` truthiness
+            raw_links = row.links
+            links = sorted(
+                str(x)
+                for x in (raw_links if raw_links is not None else [])
+            )
+            body = _json.dumps(
+                {
+                    "Envelope": {
+                        "WARC-Header-Metadata": {"WARC-Target-URI": uri},
+                        "Payload-Metadata": {
+                            "HTTP-Response-Metadata": {
+                                "HTML-Metadata": {
+                                    "Links": [{"url": u} for u in links]
+                                }
+                            }
+                        },
+                    }
+                },
+                sort_keys=True,
+            ).encode()
+            rows.append(
+                (uri, date, hashlib.sha1(body).hexdigest(), body)
+            )
+        rows.sort(key=lambda r: r[:3])
+        recs = [
+            _record(
+                "warcinfo",
+                None,
+                f"software: {software}\r\n".encode(),
+                "application/warc-fields",
+                _DEFAULT_DATE,
+                f"warcinfo|{name}",
+            )
+        ]
+        for i, (uri, date, digest, body) in enumerate(rows):
+            recs.append(
+                _record(
+                    "metadata",
+                    uri,
+                    body,
+                    "application/json",
+                    date,
+                    f"metadata|{uri}|{date}|{digest}|{i}",
+                )
+            )
+        with open(tmp, "wb") as f:
+            for rec in recs:
+                f.write(gzip.compress(rec, mtime=0) if gzip_members else rec)
+        os.replace(tmp, final)
+        return pd.DataFrame([{"warc_file": name, "n_records": len(recs)}])
+
+    return df.groupBy(shard_col).applyInPandas(
+        writer, "warc_file string, n_records bigint"
+    )
