@@ -620,6 +620,47 @@ def parse_robots(txt: str, user_agent: str) -> list[tuple[bool, str]]:
     return specific if saw_specific else wildcard
 
 
+def robots_crawl_delay(txt: str, user_agent: str) -> float | None:
+    """``Crawl-delay`` for ``user_agent`` (seconds) — not in RFC 9309
+    but the de-facto extension crawlers honor; group-scoped like the
+    allow/disallow rules: a group naming the agent beats '*', first
+    value in the winning group wins, non-numeric values are ignored
+    (real robots files carry garbage). None = no delay declared — the
+    caller applies its own politeness default."""
+    ua = user_agent.strip().lower()
+    specific: list[float] = []
+    wildcard: list[float] = []
+    group_uas: list[str] = []
+    in_rules = False
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, value = line.partition(":")
+        if not sep:
+            continue
+        key, value = key.strip().lower(), value.strip()
+        if key == "user-agent":
+            if in_rules:
+                group_uas, in_rules = [], False
+            group_uas.append(value.lower())
+        elif key in ("allow", "disallow", "crawl-delay"):
+            in_rules = True
+            if key != "crawl-delay":
+                continue
+            try:
+                delay = float(value)
+            except ValueError:
+                continue
+            if ua in group_uas:
+                specific.append(delay)
+            elif "*" in group_uas:
+                wildcard.append(delay)
+    if specific:
+        return specific[0]
+    return wildcard[0] if wildcard else None
+
+
 def robots_sitemaps(txt: str) -> list[str]:
     """``Sitemap:`` directives from a robots.txt (RFC 9309 §2.2.4 /
     sitemaps.org discovery: group-independent, case-insensitive key,

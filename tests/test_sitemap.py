@@ -117,3 +117,18 @@ def test_sitemap_registers_as_catalog_table(spark, tmp_path):
         "SELECT loc FROM seeds WHERE priority IS NOT NULL"
     ).collect()
     assert [r["loc"] for r in rows] == ["https://x.example.com/a?b=1&c=2"]
+
+
+def test_robots_crawl_delay():
+    """Crawl-delay extraction: group-scoped, specific-agent beats '*',
+    first value in the winning group wins, garbage values ignored."""
+    from roapi_spark.functions.web import robots_crawl_delay
+
+    txt = (
+        "User-agent: *\nCrawl-delay: 5\nDisallow: /x\n\n"
+        "User-agent: trainbot\nCrawl-delay: nonsense\n"
+        "Crawl-delay: 0.5\nCrawl-delay: 9\nDisallow:\n"
+    )
+    assert robots_crawl_delay(txt, "trainbot") == 0.5
+    assert robots_crawl_delay(txt, "otherbot") == 5.0
+    assert robots_crawl_delay("User-agent: *\nDisallow: /\n", "b") is None
