@@ -1503,13 +1503,11 @@ def q_cdx_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("warc_filename").cast("bigint").alias("n_files"),
         F.count_distinct("surt_key").cast("bigint").alias("n_surt"),
     )
-    # revisit pointers: zero-payload digest (sha1 of b'') marks the
-    # headers-only revisit records the indexer emitted
-    import hashlib as _hl
-
-    empty_digest = "sha1:" + _hl.sha1(b"").hexdigest()
+    # revisit pointers: the indexer marks headers-only revisit records
+    # with pywb's 'warc/revisit' mime (their digest column carries the
+    # ORIGINAL payload's Base32 SHA-1, per the declared header)
     rev = back.agg(
-        F.sum((F.col("digest") == empty_digest).cast("bigint"))
+        F.sum((F.col("mime") == "warc/revisit").cast("bigint"))
         .cast("bigint")
         .alias("n_rev_ptr")
     )

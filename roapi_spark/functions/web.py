@@ -611,10 +611,16 @@ def parse_robots(txt: str, user_agent: str) -> list[tuple[bool, str]]:
             if in_rules:  # a new group starts
                 group_uas, in_rules = [], False
             group_uas.append(value.lower())
-        elif key in ("allow", "disallow"):
+        elif key in ("allow", "disallow", "crawl-delay"):
+            # crawl-delay is group-scoped like the path rules, so it
+            # CLOSES the user-agent run exactly as robots_crawl_delay
+            # sees it — both parsers must agree on group structure for
+            # 'UA: a / Crawl-delay: 1 / UA: b / Disallow: /x'
             in_rules = True
             dest = sink()  # marks the group seen even for empty values
-            if value == "" or dest is None:
+            # (a group whose only directive is a crawl-delay still
+            # wins UA selection, as protego/pywb resolve it)
+            if key == "crawl-delay" or value == "" or dest is None:
                 continue  # empty pattern matches nothing (allow-all)
             dest.append((key == "allow", value))
     return specific if saw_specific else wildcard

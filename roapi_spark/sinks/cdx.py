@@ -32,6 +32,7 @@ carries); requests and warcinfo never get pointers.
 
 from __future__ import annotations
 
+import base64
 import hashlib
 import io
 import json
@@ -51,19 +52,40 @@ from roapi_spark.sources.warc import (
 _INDEXED_TYPES = ("response", "revisit")
 
 
-def _iter_member_spans(data: bytes, name: str):
-    """(offset, length, decompressed_bytes) per gzip member."""
-    pos = 0
-    while pos < len(data):
-        d = zlib.decompressobj(wbits=31)
-        raw = d.decompress(data[pos:])
-        if not d.eof:
-            raise WarcFormatError(
-                f"{name}: truncated gzip member at offset {pos}"
-            )
-        consumed = (len(data) - pos) - len(d.unused_data)
-        yield pos, consumed, raw
-        pos += consumed
+def _iter_member_spans(data: bytes, name: str, chunk: int = 1 << 20):
+    """(offset, length, decompressed_bytes) per gzip member.
+
+    Feeds the decompressor fixed-size chunks off a memoryview so each
+    archive byte is copied O(1) times regardless of member count — a
+    member boundary only re-feeds the (<= chunk-sized) ``unused_data``
+    tail to the next member's decompressor, never the whole remainder.
+    """
+    view = memoryview(data)
+    n = len(data)
+    pos = 0  # absolute offset of the current member's first byte
+    fed = 0  # absolute offset one past the last byte sliced off `view`
+    pending = b""  # unconsumed tail at abs [fed - len(pending), fed)
+    d = zlib.decompressobj(wbits=31)
+    pieces: list[bytes] = []
+    while pos < n:
+        if pending:
+            feed, feed_start, pending = pending, fed - len(pending), b""
+        else:
+            if fed >= n:
+                raise WarcFormatError(
+                    f"{name}: truncated gzip member at offset {pos}"
+                )
+            feed = bytes(view[fed:fed + chunk])
+            feed_start = fed
+            fed += len(feed)
+        pieces.append(d.decompress(feed))
+        if d.eof:
+            tail = d.unused_data
+            end = feed_start + len(feed) - len(tail)
+            yield pos, end - pos, b"".join(pieces)
+            pos, pending = end, tail
+            d = zlib.decompressobj(wbits=31)
+            pieces = []
 
 
 def iter_record_pointers(path: str, name: str):
@@ -124,20 +146,34 @@ def index_warc(
                         or not rec["target_uri"]
                     ):
                         continue
+                    is_revisit = rec["warc_type"] == "revisit"
                     mime = rec["http_content_type"]
+                    # digest: pywb / Common Crawl CDXJ carry labelled
+                    # Base32 SHA-1 payload digests — match that so a
+                    # generated index joins/dedupes against a shipped
+                    # one. Revisit blocks are headers-only: index the
+                    # record's DECLARED WARC-Payload-Digest (the
+                    # original payload's), never sha1 of the empty
+                    # block.
+                    declared = rec.get("payload_digest")
+                    if declared is None:
+                        declared = "sha1:" + base64.b32encode(
+                            hashlib.sha1(rec["payload"] or b"").digest()
+                        ).decode("ascii")
                     rows.append(
                         {
                             "fetch_ts": "".join(
                                 c for c in (rec["warc_date"] or "")
                                 if c.isdigit()
                             ),
+                            # revisit rows get pywb's marker mime: the
+                            # block carries no http entity of its own
                             "url": rec["target_uri"],
-                            "mime": (
+                            "mime": "warc/revisit" if is_revisit else (
                                 mime.split(";")[0].strip() if mime else None
                             ),
                             "status": rec["http_status"],
-                            "digest": "sha1:"
-                            + hashlib.sha1(rec["payload"] or b"").hexdigest(),
+                            "digest": declared,
                             "length": length,
                             "offset": off,
                             "warc_filename": str(fname),

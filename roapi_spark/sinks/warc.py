@@ -30,6 +30,7 @@ and CDX-indexable.
 
 from __future__ import annotations
 
+import base64
 import gzip
 import hashlib
 import os
@@ -50,6 +51,14 @@ _REASONS = {
 }
 
 _DEFAULT_DATE = "1970-01-01T00:00:00Z"
+
+
+def _b32_from_hex(hex_digest: str) -> str:
+    """ISO 28500 digest encoding: labelled Base32 (RFC 4648) of the raw
+    SHA-1 — the form pywb / Common Crawl CDXJ carry, so our headers and
+    a genuinely shipped index agree byte-for-byte on digest values.
+    Record-ID seeds keep the hex form (changing them would churn ids)."""
+    return base64.b32encode(bytes.fromhex(hex_digest)).decode("ascii")
 
 
 def _record(
@@ -172,7 +181,8 @@ def write_warc(
                         f"revisit|{uri}|{date}|{digest}|{i}",
                         extra={
                             "WARC-Refers-To-Target-URI": revisit_of,
-                            "WARC-Payload-Digest": f"sha1:{digest}",
+                            "WARC-Payload-Digest":
+                                f"sha1:{_b32_from_hex(digest)}",
                             "WARC-Profile": "http://netpreservation.org"
                             "/warc/1.0/revisit/identical-payload-digest",
                         },
@@ -190,6 +200,10 @@ def write_warc(
                     # 28500 §5.2) even for duplicate captures, while
                     # staying deterministic for idempotent retries
                     f"response|{uri}|{date}|{digest}|{i}",
+                    extra={
+                        "WARC-Payload-Digest":
+                            f"sha1:{_b32_from_hex(digest)}",
+                    },
                 )
             )
         with open(tmp, "wb") as f:

@@ -192,6 +192,10 @@ def iter_records(
             # column surfaces whichever pointer form the writer used
             "refers_to": headers.get("warc-refers-to")
             or headers.get("warc-refers-to-target-uri"),
+            # declared payload digest (ISO 28500 §5.9, Base32 SHA-1 by
+            # convention) — the indexer uses it for revisit records,
+            # whose own block is headers-only
+            "payload_digest": headers.get("warc-payload-digest"),
             "content_type": ctype or None,
             "content_length": clen,
             "http_status": status,
