@@ -466,6 +466,96 @@ def _crawl_hits_oracle() -> str:
     )
 
 
+def hits_scores(
+    edges: DataFrame, nodes: DataFrame, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """``iters`` HITS iterations over weighted edges (src, dst, w) in
+    fixed-point integers with per-step max-normalization; returns
+    (hub, authority) score frames keyed by ``n``.
+
+    Each iteration ends in a ``localCheckpoint(eager=False)`` on both
+    score frames — without it the lineage doubles per iteration (two
+    joins + a broadcast-normalize per step) and the optimizer blows up
+    past ~10 iterations; with it the plan stays one-iteration-deep at
+    any count (the PageRank discipline next door,
+    pipeline14.q_crawl_pagerank)."""
+    h = nodes.select("n", F.lit(_HITS_SCALE).cast("bigint").alias("v"))
+    a = h
+    for _ in range(iters):
+        h, a = _hits_step(edges, nodes, h)
+    return h, a
+
+
+def hits_converged(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iters: int = 50,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Iterate HITS until the fixed-point scores stop changing (exact
+    integer compare — max-normalized fixed-point reaches a true fixed
+    point, no epsilon needed) or ``max_iters``; returns (hub,
+    authority, iterations_run). One anti-join count per iteration is
+    the price of the stopping test — the convergence path is for
+    analyses that need stable ranks, not the exact-replay gates."""
+    h, a = hits_scores(edges, nodes, 1)
+    for it in range(2, max_iters + 1):
+        # run one more iteration from the checkpointed state
+        nh, na = _hits_step(edges, nodes, h)
+        changed = (
+            nh.alias("x")
+            .join(h.alias("y"), F.col("x.n") == F.col("y.n"))
+            .filter(F.col("x.v") != F.col("y.v"))
+            .union(
+                na.alias("x")
+                .join(a.alias("y"), F.col("x.n") == F.col("y.n"))
+                .filter(F.col("x.v") != F.col("y.v"))
+            )
+            .limit(1)
+            .count()
+        )
+        h, a = nh, na
+        if changed == 0:
+            return h, a, it
+    return h, a, max_iters
+
+
+def _hits_step(
+    edges: DataFrame, nodes: DataFrame, h: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """One (authority, hub) update from hub state ``h``, checkpointed."""
+
+    def _norm(scores: DataFrame) -> DataFrame:
+        mx = scores.agg(F.max("v").alias("mx"))
+        return scores.crossJoin(F.broadcast(mx)).select(
+            "n",
+            F.expr(f"(v * {_HITS_SCALE}) div mx").cast("bigint").alias("v"),
+        )
+
+    a_raw = (
+        edges.join(h.withColumnRenamed("n", "hn"), edges.src == F.col("hn"))
+        .select("dst", (F.col("w") * F.col("v")).alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").cast("bigint").alias("s"))
+    )
+    a = _norm(
+        nodes.join(a_raw, nodes.n == a_raw.dst, "left").select(
+            "n", F.coalesce(F.col("s"), F.lit(0)).cast("bigint").alias("v")
+        )
+    ).localCheckpoint(eager=False)
+    h_raw = (
+        edges.join(a.withColumnRenamed("n", "an"), edges.dst == F.col("an"))
+        .select("src", (F.col("w") * F.col("v")).alias("c"))
+        .groupBy("src")
+        .agg(F.sum("c").cast("bigint").alias("s"))
+    )
+    nh = _norm(
+        nodes.join(h_raw, nodes.n == h_raw.src, "left").select(
+            "n", F.coalesce(F.col("s"), F.lit(0)).cast("bigint").alias("v")
+        )
+    ).localCheckpoint(eager=False)
+    return nh, a
+
+
 @register(
     "q_crawl_hits",
     oracle=_crawl_hits_oracle(),
@@ -481,8 +571,10 @@ def _crawl_hits_oracle() -> str:
     "and hash-mismatches against the DuckDB replay. Plan: the WAT "
     "snapshot builds the weighted domain edges (tiny vs the corpus); "
     "each iteration is two broadcast-scale joins + hash aggs over "
-    "EDGES plus a 1-row max broadcast; at 100 TB the edge table is "
-    "the domain-pair aggregate, never raw links.",
+    "EDGES plus a 1-row max broadcast, checkpointed per step "
+    "(hits_scores) so deep runs stay one-iteration-deep in the "
+    "optimizer; at 100 TB the edge table is the domain-pair "
+    "aggregate, never raw links.",
     tags=("web", "graph", "iterative"),
 )
 def q_crawl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,39 +596,7 @@ def q_crawl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-
-    def _norm(scores: DataFrame) -> DataFrame:
-        mx = scores.agg(F.max("v").alias("mx"))
-        return scores.crossJoin(F.broadcast(mx)).select(
-            "n",
-            F.expr(f"(v * {_HITS_SCALE}) div mx").cast("bigint").alias("v"),
-        )
-
-    h = nodes.select("n", F.lit(_HITS_SCALE).cast("bigint").alias("v"))
-    a = None
-    for _ in range(_HITS_ITERS):
-        a_raw = (
-            edges.join(h.withColumnRenamed("n", "hn"), edges.src == F.col("hn"))
-            .select("dst", (F.col("w") * F.col("v")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").cast("bigint").alias("s"))
-        )
-        a = _norm(
-            nodes.join(a_raw, nodes.n == a_raw.dst, "left").select(
-                "n", F.coalesce(F.col("s"), F.lit(0)).cast("bigint").alias("v")
-            )
-        )
-        h_raw = (
-            edges.join(a.withColumnRenamed("n", "an"), edges.dst == F.col("an"))
-            .select("src", (F.col("w") * F.col("v")).alias("c"))
-            .groupBy("src")
-            .agg(F.sum("c").cast("bigint").alias("s"))
-        )
-        h = _norm(
-            nodes.join(h_raw, nodes.n == h_raw.src, "left").select(
-                "n", F.coalesce(F.col("s"), F.lit(0)).cast("bigint").alias("v")
-            )
-        )
+    h, a = hits_scores(edges, nodes, _HITS_ITERS)
     return (
         nodes.join(h.select(F.col("n").alias("hn"), F.col("v").alias("hub")),
                    nodes.n == F.col("hn"))
