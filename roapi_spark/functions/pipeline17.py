@@ -586,18 +586,53 @@ def q_train_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- q_crawl_fetch_schedule ----------------------------------------------------
 
-# per-domain politeness delay (milliseconds between fetches to one
-# host) — a pinned policy table, the shape a crawler derives from
-# robots Crawl-delay hints and server-health feedback
-_DELAY_MS = {
-    "example.com": 100,
-    "example.co.uk": 300,
-    "loja.com.br": 200,
-    "user1.github.io": 300,
-    "example.ac.in": 200,
-    "demo.blogspot.com": 100,
-    "example.gob.mx": 300,
+# per-domain robots.txt texts — what a crawler's robots-fetch pass
+# caches per host; the politeness delays below are PARSED from these
+# (functions/web.robots_crawl_delay, group-scoped like the path
+# rules), not pinned as a literal table, so the gate closes the
+# robots -> schedule loop data-driven. The texts exercise the
+# parser's selection rules: agent group beats '*', first value in the
+# winning group wins, garbage values are skipped, a missing/empty
+# declaration falls to the crawler's own politeness default.
+_CRAWL_UA = "trainbot"
+_DEFAULT_DELAY_MS = 500
+
+_ROBOTS_BY_DOMAIN = {
+    # trainbot's own group (0.1 s) beats the '*' group's 2 s
+    "example.com": (
+        "User-agent: trainbot\nCrawl-delay: 0.1\n\n"
+        "User-agent: *\nCrawl-delay: 2\n"
+    ),
+    "example.co.uk": "User-agent: *\nCrawl-delay: 0.3\n",
+    "loja.com.br": "User-agent: *\nCrawl-delay: 0.2\nDisallow: /tmp\n",
+    # non-numeric value skipped; next value in the group wins
+    "user1.github.io": (
+        "User-agent: *\nCrawl-delay: soon\nCrawl-delay: 0.3\n"
+    ),
+    "example.ac.in": (
+        "User-agent: trainbot\nDisallow:\nCrawl-delay: 0.2\n"
+    ),
+    # declares no delay at all -> politeness default applies
+    "demo.blogspot.com": "User-agent: *\nDisallow: /private\n",
+    "example.gob.mx": "User-agent: *\nCrawl-delay: 0.3\n",
 }
+
+
+def _delays_from_robots(
+    robots_by_domain: dict[str, str],
+) -> dict[str, int]:
+    """domain -> delay_ms for domains whose robots declare one."""
+    from roapi_spark.functions.web import robots_crawl_delay
+
+    out: dict[str, int] = {}
+    for d, txt in robots_by_domain.items():
+        delay = robots_crawl_delay(txt, _CRAWL_UA)
+        if delay is not None:
+            out[d] = int(round(delay * 1000))
+    return out
+
+
+_DELAY_MS = _delays_from_robots(_ROBOTS_BY_DOMAIN)
 
 
 def _fetch_schedule_oracle() -> str:
@@ -640,7 +675,8 @@ def _fetch_schedule_oracle() -> str:
     a AS (
       SELECT domain,
              base + (CASE WHEN rnk <= leftover THEN 1 ELSE 0 END) AS alloc,
-             CASE domain {delay_case} ELSE 500 END AS delay_ms
+             CASE domain {delay_case} ELSE {_DEFAULT_DELAY_MS} END
+               AS delay_ms
       FROM r
     ),
     s AS (
@@ -665,16 +701,30 @@ def _fetch_schedule_oracle() -> str:
     "lane finishes at (alloc-1)*delay_ms; the fleet's makespan is the "
     "max over lanes — the number a crawl operator actually plans "
     "around (a polite slow host, not the big one, is usually "
-    "critical). All integers, bit-exact DuckDB replay. Plan: the "
-    "(domain, alloc) table is tiny (domain-cardinality); delay policy "
-    "is a literal CASE (a broadcast map at fleet scale); the makespan "
-    "is a 1-row agg broadcast back — no corpus access at all.",
+    "critical). The delay policy is PARSED from per-domain robots.txt "
+    "texts (functions/web.robots_crawl_delay — agent group beats '*', "
+    "garbage values skipped, undeclared falls to the politeness "
+    "default), and the oracle derives its CASE from the same parse, "
+    "so the robots -> schedule loop is closed data-driven. All "
+    "integers, bit-exact DuckDB replay. Plan: the (domain, alloc) "
+    "table is tiny (domain-cardinality); the parsed policy is a "
+    "broadcast map at fleet scale; the makespan is a 1-row agg "
+    "broadcast back — no corpus access at all.",
     tags=("web", "graph"),
 )
 def q_crawl_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fetch_schedule_frame(spark, sf_dir, _DELAY_MS)
+
+
+def _fetch_schedule_frame(
+    spark: SparkSession, sf_dir: str, delay_ms: dict[str, int]
+) -> DataFrame:
+    """Schedule from an explicit domain->delay_ms policy (the gate
+    derives its policy from the robots fixture; tests inject variants
+    to prove a declared Crawl-delay moves the makespan)."""
     alloc = q_crawl_host_budget(spark, sf_dir).select("domain", "alloc")
-    delay = F.lit(500)
-    for d, ms in sorted(_DELAY_MS.items()):
+    delay = F.lit(_DEFAULT_DELAY_MS)
+    for d, ms in sorted(delay_ms.items()):
         delay = F.when(F.col("domain") == d, F.lit(ms)).otherwise(delay)
     s = alloc.select(
         "domain",
