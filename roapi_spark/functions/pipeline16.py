@@ -219,23 +219,49 @@ def q_crawl_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHANGEFREQS = ("daily", "weekly", "monthly", "never")
 
 
-def _sitemap_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once sitemaps.org fixture from the documents table: three
-    urlset shards by doc_id%3 (shard 0 gzipped), one sitemapindex
-    referencing all three, locs in the fixture's messy primary URL form
-    (XML-escaped — the parse must decode &amp;), optional fields on
-    fixed residues (lastmod %2==0; changefreq present when %3!=1,
-    kind cycled by (doc_id + doc_id//10) %% 4 — decorrelated from the
+def _sitemap_entries(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """The fixture's url rows as a DataFrame (all codegen'd exprs):
+    locs in the messy primary URL form, optional fields on fixed
+    residues (lastmod %2==0; changefreq present when %3!=1, kind
+    cycled by (doc_id + doc_id div 10) % 4 — decorrelated from the
     lastmod parity so every (lastmod?, kind) combination occurs;
-    priority %5==0 at doc%10/10)."""
-    import gzip as _gzip
-    import html as _html
+    priority %5==0 at doc%10/10), shard = doc_id % 3."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    freqs = ", ".join(f"'{c}'" for c in _CHANGEFREQS)
+    return spark.read.parquet(src).selectExpr(
+        "'https://'"
+        " || (CASE WHEN doc_id % 5 = 0 THEN 'CRAWL.Example.com'"
+        "          ELSE 'crawl.example.com' END)"
+        " || (CASE WHEN doc_id % 9 = 4 THEN ':443' ELSE '' END)"
+        " || '/' || source || '/' || CAST(doc_id AS STRING)"
+        " || (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END)"
+        " || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'"
+        "          ELSE '?a=1&b=2' END)"
+        " || (CASE WHEN doc_id % 6 = 3 THEN '#frag' ELSE '' END) AS loc",
+        "CASE WHEN doc_id % 2 = 0"
+        "     THEN format_string('2026-01-%02d', 1 + doc_id % 3) "
+        "END AS lastmod",
+        f"CASE WHEN doc_id % 3 <> 1 THEN element_at(array({freqs}),"
+        " CAST((doc_id + doc_id div 10) % 4 AS INT) + 1) END"
+        " AS changefreq",
+        "CASE WHEN doc_id % 5 = 0 THEN (doc_id % 10) / 10.0 END"
+        " AS priority",
+        "CAST(doc_id % 3 AS INT) AS shard",
+    )
 
-    from roapi_spark.functions.pipeline14 import _raw_url
+
+def _sitemap_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once sitemaps.org fixture from the documents table,
+    written through the DISTRIBUTED sitemap sink (sinks/sitemap.py —
+    one task per urlset shard, spec caps enforced, tmp+rename): three
+    shards by doc_id%3 (shard 0 gzipped), one sitemapindex referencing
+    all three. No corpus rows ever route through the driver — the only
+    driver-side step is the shard-cardinality index file."""
     from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+    from roapi_spark.sinks.sitemap import write_sitemap, write_sitemap_index
 
     src = os.path.join(sf_dir, "documents.parquet")
-    out = snapshot_cache_dir(src, "sitemap-v2")
+    out = snapshot_cache_dir(src, "sitemap-v3")
     shard_names = ("urlset-0.xml.gz", "urlset-1.xml", "urlset-2.xml")
     names = shard_names + ("sitemap-index.xml",)
 
@@ -244,61 +270,12 @@ def _sitemap_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
 
     def build(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)
-        rows = (
-            spark.read.parquet(src)
-            .select("doc_id", "source")
-            .orderBy("doc_id")
-            .collect()
-        )
-        shards: list[list[str]] = [[] for _ in shard_names]
-        for r in rows:
-            doc_id, source = r[0], r[1]
-            entry = ["  <url>\n"]
-            entry.append(
-                "    <loc>"
-                + _html.escape(_raw_url(doc_id, source), quote=False)
-                + "</loc>\n"
-            )
-            if doc_id % 2 == 0:
-                entry.append(
-                    f"    <lastmod>2026-01-{1 + doc_id % 3:02d}</lastmod>\n"
-                )
-            if doc_id % 3 != 1:
-                entry.append(
-                    "    <changefreq>"
-                    + _CHANGEFREQS[(doc_id + doc_id // 10) % 4]
-                    + "</changefreq>\n"
-                )
-            if doc_id % 5 == 0:
-                entry.append(
-                    f"    <priority>{(doc_id % 10) / 10:.1f}</priority>\n"
-                )
-            entry.append("  </url>\n")
-            shards[doc_id % 3].append("".join(entry))
-        for s, entries in enumerate(shards):
-            body = (
-                '<?xml version="1.0" encoding="UTF-8"?>\n'
-                '<urlset xmlns="http://www.sitemaps.org/schemas/'
-                'sitemap/0.9">\n' + "".join(entries) + "</urlset>\n"
-            ).encode()
-            path = os.path.join(tmp, shard_names[s])
-            if path.endswith(".gz"):
-                with open(path, "wb") as f:
-                    f.write(_gzip.compress(body, mtime=0))
-            else:
-                with open(path, "wb") as f:
-                    f.write(body)
-        index = (
-            '<?xml version="1.0" encoding="UTF-8"?>\n'
-            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
-            'sitemap/0.9">\n'
-            + "".join(
-                f"  <sitemap><loc>{n}</loc></sitemap>\n" for n in shard_names
-            )
-            + "</sitemapindex>\n"
-        )
-        with open(os.path.join(tmp, "sitemap-index.xml"), "w") as f:
-            f.write(index)
+        manifest = write_sitemap(
+            _sitemap_entries(spark, sf_dir),
+            tmp,
+            gzip_shards={0},
+        ).collect()  # shard-cardinality manifest, not corpus rows
+        write_sitemap_index(tmp, [m["sitemap_file"] for m in manifest])
 
     return build_once(out, ready, build)
 

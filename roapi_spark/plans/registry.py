@@ -72,6 +72,7 @@ def load_all() -> dict[str, QuerySpec]:
     import roapi_spark.functions.pipeline15  # noqa: F401
     import roapi_spark.functions.pipeline16  # noqa: F401
     import roapi_spark.functions.pipeline17  # noqa: F401
+    import roapi_spark.functions.pipeline18  # noqa: F401
     import roapi_spark.functions.pq  # noqa: F401
     import roapi_spark.functions.similarity  # noqa: F401
     import roapi_spark.functions.text  # noqa: F401

@@ -244,3 +244,67 @@ def write_cdx(
     return df.groupBy(shard_col).applyInPandas(
         writer, "cdx_file string, n_lines bigint"
     )
+
+
+def merge_cdx(
+    spark: SparkSession,
+    index_dirs: list[str],
+    out_dir: str,
+    n_shards: int = 4,
+    latest_only: bool = False,
+    prefix: str = "merged",
+) -> DataFrame:
+    """K-way merge of per-round CDXJ shard sets into ONE master index
+    — the cc-index maintenance step (pywb's cdx-indexer + sort-merge
+    is the tool shape): successive crawl rounds each land their own
+    SURT-sorted shards; consumers that want "the index" (incremental
+    recrawl planning, dedup probes, random access) should read one
+    merged set, not an N-round shard scan.
+
+    ``latest_only=True`` additionally dedups to the LATEST capture per
+    SURT key (ties broken by fetch_ts, then filename/offset — total
+    order, so retries are deterministic): the "current state of the
+    web" view recrawl planners consume. False keeps every capture (the
+    full-history view wayback-style replay needs).
+
+    Layout: master shards are keyed by crc32(surt_key) % n_shards and
+    SURT-sorted within each — the SAME bucketing the repo's index
+    consumers already probe with (q_cdx_index_roundtrip writes
+    fixture indexes this way), so a point lookup computes its bucket
+    from the key and binary-searches one shard; a domain-prefix scan
+    fans out over all shards in parallel. Plan: one distributed text
+    scan over every round's shards (codegen'd parse, no Python), at
+    most one window per SURT key for latest-capture, one shuffle onto
+    the output bucketing; per-task memory = one output shard, the
+    same caller-sized bound every sink in this package sets."""
+    from pyspark.sql import Window
+
+    from roapi_spark.config import TableSource
+    from roapi_spark.sources import load_table
+
+    parts = [
+        load_table(
+            spark,
+            TableSource(name=f"_cdx_{i}", uri=d, format="cdx"),
+        )
+        for i, d in enumerate(index_dirs)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    if latest_only:
+        w = Window.partitionBy("surt_key").orderBy(
+            F.desc("fetch_ts"), F.desc("warc_filename"), F.desc("offset")
+        )
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return write_cdx(
+        df.withColumn(
+            "shard", F.pmod(F.crc32(F.col("surt_key")), F.lit(n_shards))
+        ),
+        out_dir,
+        prefix=prefix,
+    )
