@@ -73,3 +73,33 @@ def test_truncated_member_rejected(tmp_path):
     p.write_bytes(good + good[: len(good) // 2])
     with pytest.raises((WarcFormatError, zlib.error), match=""):
         list(iter_record_pointers(str(p), "trunc"))
+
+def test_member_spans_chunked_feed():
+    """The chunked walker (each byte copied O(1) times — ADVICE fix)
+    must recover exact spans when chunk << member, chunk ~ member, and
+    many members fit in one chunk; fixture-sized defaults never
+    exercise the multi-chunk path, so force tiny chunks here."""
+    members = [
+        gzip.compress(_rec(f"https://x/{i}", bytes([97 + i]) * n), mtime=0)
+        for i, n in enumerate((900, 3, 40, 0, 2000))
+    ]
+    data = b"".join(members)
+    want = []
+    off = 0
+    for m in members:
+        want.append((off, len(m)))
+        off += len(m)
+    for chunk in (7, 64, 1 << 20):
+        spans = list(_iter_member_spans(data, "t", chunk=chunk))
+        assert [(o, ln) for o, ln, _ in spans] == want, f"chunk={chunk}"
+        # decompressed bytes must be exact too, not just the framing
+        assert [raw for _, _, raw in spans] == [
+            gzip.decompress(m) for m in members
+        ]
+
+
+def test_truncated_member_rejected_chunked():
+    good = gzip.compress(_rec("https://x/0", b"ok"), mtime=0)
+    data = good + good[: len(good) // 2]
+    with pytest.raises((WarcFormatError, zlib.error)):
+        list(_iter_member_spans(data, "t", chunk=5))
