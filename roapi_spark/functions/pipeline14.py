@@ -306,12 +306,16 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             [(info, None)] for _ in range(_N_SHARDS)
         ]
         n_docs = len(rows)
-        src_of = {r[0]: r[1] for r in rows}
-        for r in rows:
+        for i, r in enumerate(rows):
             doc_id, source, text = r[0], r[1], r[2]
             uri = _raw_url(doc_id, source)
-            link_to = (doc_id * 7) % n_docs  # functional link graph
-            href = _doc_link_href(doc_id, source, link_to, src_of[link_to])
+            # functional link graph by POSITION in the doc_id-sorted
+            # order: for the driver corpora (contiguous 0..n-1 ids)
+            # this is byte-identical to (doc_id*7) % n_docs — the form
+            # the oracles replay — while staying total for corpora
+            # with offset id spaces (the sf1 scale-stress clones)
+            link_row = rows[(i * 7) % n_docs]
+            href = _doc_link_href(doc_id, source, link_row[0], link_row[1])
             recs: list[tuple[bytes, dict | None]] = []
             if doc_id % 10 == 0:
                 recs.append(
