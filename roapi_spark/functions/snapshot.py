@@ -166,7 +166,7 @@ KNOWN_TAGS = (
     "cdx-v1",  # CDXJ index fixture (pipeline14), 4 SURT-sorted shards
     "unigram-t2-v1",  # unigram trajectory + vocab (suffix = EM_T)
     "warcimg-v1",  # crawl-image gate fixture (pipeline14 multimodal_crawl_images)
-    "sitemap-v2",  # sitemaps.org fixture (pipeline16 q_src_sitemap):
+    "sitemap-v3",  # sitemaps.org fixture (pipeline16 q_src_sitemap):
     # index + 3 urlset shards, decorrelated optional-field residues
     "crawllinks-v1",  # materialized WAT link snapshot (src/dst canon)
     "crawllinkstext-v1",  # WAT snapshot with anchor text
