@@ -28,6 +28,14 @@ def main(argv: list[str] | None = None) -> int:
         help="basic-auth credential for the HTTP API (repeatable)",
     )
     ap.add_argument("--pg-addr", default=None, help="host:port for the postgres-wire endpoint")
+    ap.add_argument("--mysql-addr", default=None, help="host:port for the mysql-wire endpoint")
+    ap.add_argument(
+        "--mysql-user",
+        action="append",
+        default=[],
+        metavar="USER:PASS",
+        help="mysql-wire credential (repeatable; default spark with empty password)",
+    )
     ap.add_argument("--flight-addr", default=None, help="host:port for the Arrow Flight endpoint")
     ap.add_argument("--flight-token", default=None, help="bearer token for the Flight endpoint")
     ap.add_argument(
@@ -71,7 +79,7 @@ def main(argv: list[str] | None = None) -> int:
     print(f"roapi_spark listening on {scheme}://{bound_host}:{bound_port}", flush=True)
 
     # optional wire protocols, served alongside HTTP (startup.rs:140-177)
-    pg_server = flight_server = None
+    pg_server = mysql_server = flight_server = None
     if args.pg_addr:
         from roapi_spark.server.postgres import PostgresServer
 
@@ -79,6 +87,16 @@ def main(argv: list[str] | None = None) -> int:
         pg_server = PostgresServer(cat, h or "127.0.0.1", int(p or 5432))
         pg_server.start()
         print(f"postgres wire on {h or '127.0.0.1'}:{pg_server.port}", flush=True)
+    if args.mysql_addr:
+        from roapi_spark.server.mysql import MySqlServer
+
+        h, _, p = args.mysql_addr.partition(":")
+        users = dict(c.partition(":")[::2] for c in args.mysql_user)
+        mysql_server = MySqlServer(
+            cat, h or "127.0.0.1", int(p or 3306), users=users or None
+        )
+        mysql_server.start()
+        print(f"mysql wire on {h or '127.0.0.1'}:{mysql_server.port}", flush=True)
     if args.flight_addr:
         from roapi_spark.server.flight import SparkFlightServer
 
@@ -97,6 +115,8 @@ def main(argv: list[str] | None = None) -> int:
     server.stop()
     if pg_server:
         pg_server.stop()
+    if mysql_server:
+        mysql_server.stop()
     if flight_server:
         flight_server.shutdown()
     return 0
