@@ -20,6 +20,13 @@ registered building blocks:
   stage 5  derive           WET extraction records for the LLM corpus
                             + the WAT link snapshot feeding PageRank /
                             HITS / anchor profiles
+  stage 6  publish          the crawled page inventory as sitemaps.org
+                            urlset shards + index (the seed list the
+                            NEXT round's stage 0 reads)
+  stage 7  master index     this round's CDXJ shards merged with the
+                            prior round's into one latest-capture
+                            master (the cc-index maintenance step the
+                            NEXT round's stage 1 plans from)
 
 Usage:
     python examples/crawl_pipeline.py [sf_dir] [out_dir]
@@ -39,18 +46,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    out_root = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else tempfile.mkdtemp(prefix="crawl_pipeline_")
-    )
+def run(spark, sf_dir: str, out_root: str) -> dict:
     from roapi_spark.plans.registry import load_all
-    from roapi_spark.session import get_spark
 
     specs = load_all()
-    spark = get_spark("crawl_pipeline")
     summary: dict = {"sf_dir": sf_dir, "out": out_root}
 
     # stage 0+1: seed list -> recrawl plan (sidecars only)
@@ -99,7 +98,59 @@ def main() -> None:
         r["domain"]: r["authority"] for r in hits if r["authority"] > 0
     }
 
-    print(json.dumps(summary))
+    # stage 6: publish the crawled inventory as a sitemap set — the
+    # seed list the NEXT round's stage 0 consumes (distributed sink,
+    # spec caps enforced per shard; only the tiny index is driver-side)
+    from roapi_spark.sinks.sitemap import write_sitemap, write_sitemap_index
+
+    site_dir = os.path.join(out_root, "sitemaps")
+    inventory = ptrs.select(
+        F.col("url").alias("loc"),
+        F.to_date(F.to_timestamp(F.col("fetch_ts"), "yyyyMMddHHmmss"))
+        .cast("string")
+        .alias("lastmod"),
+        F.pmod(F.crc32(F.col("url")), F.lit(2)).cast("int").alias("shard"),
+    )
+    sm_manifest = write_sitemap(inventory, site_dir).collect()
+    write_sitemap_index(site_dir, [r["sitemap_file"] for r in sm_manifest])
+    summary["sitemap"] = {r["sitemap_file"]: r["n_urls"] for r in sm_manifest}
+
+    # stage 7: merge this round's shards with the prior round's into
+    # one latest-capture-per-SURT master index (simulate the prior
+    # round by re-sharding the same pointers under an older timestamp)
+    from roapi_spark.sinks.cdx import merge_cdx
+
+    prior_dir = os.path.join(out_root, "cdx_prior")
+    write_cdx(
+        ptrs.withColumn(
+            "fetch_ts", F.lit("20250101000000")
+        ).withColumn(
+            "shard", F.pmod(F.crc32(F.col("surt_key")), F.lit(2))
+        ),
+        prior_dir,
+    ).collect()
+    master_dir = os.path.join(out_root, "cdx_master")
+    mg = merge_cdx(
+        spark,
+        [prior_dir, os.path.join(out_root, "cdx")],
+        master_dir,
+        n_shards=2,
+        latest_only=True,
+    ).collect()
+    summary["master_index"] = {r["cdx_file"]: r["n_lines"] for r in mg}
+    return summary
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_root = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else tempfile.mkdtemp(prefix="crawl_pipeline_")
+    )
+    from roapi_spark.session import get_spark
+
+    print(json.dumps(run(get_spark("crawl_pipeline"), sf_dir, out_root)))
 
 
 if __name__ == "__main__":

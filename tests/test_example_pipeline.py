@@ -90,3 +90,29 @@ def test_training_pipeline_from_crawl(spark, tmp_path):
         os.path.join(summary["final_snapshot"], "documents.parquet")
     )
     assert {"doc_id", "text", "lang", "source", "n_chars"} <= set(final.columns)
+
+
+def test_crawl_pipeline_end_to_end(spark, tmp_path):
+    """The 8-stage crawl loop (examples/crawl_pipeline.py) closes on
+    itself: the archives it indexes publish as next round's sitemap
+    seed list, and its CDXJ shards merge with the prior round's into
+    one latest-capture master index."""
+    from crawl_pipeline import run
+
+    s = run(spark, "/root/testdata/sf0.001", str(tmp_path / "crawl"))
+    n_pages = s["recrawl"]["n_pages"]
+    assert n_pages == 500
+    assert s["recrawl"]["stale"] + s["recrawl"]["daily"] + s["recrawl"][
+        "fresh"
+    ] == n_pages
+    # the budget apportions exactly the fixed slot budget
+    assert sum(s["budget"].values()) == 1000
+    # dedup-aware export stored fewer octets than a naive archive
+    assert s["archive"]["octets_saved"] > 0
+    n_ptrs = sum(s["index"].values())
+    assert n_ptrs >= n_pages  # responses + revisit pointers
+    # every indexed capture is published as a seed for the next round
+    assert sum(s["sitemap"].values()) == n_ptrs
+    # the merged master keeps exactly one capture per SURT page
+    assert sum(s["master_index"].values()) == n_pages
+    assert s["authorities"], "HITS must surface at least one authority"
