@@ -154,6 +154,55 @@ def _round_captures(
     )
 
 
+def _two_round_crawl_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once two-round crawl fixture for the merge gate: round-1
+    archives over every document (v1 payloads), round-2 re-fetch of
+    the doc_id%7==1 residue (v2 payloads, newer date), each round
+    indexed from raw bytes and written as its own CDXJ shard set —
+    all through the real sinks, one task per file. Cached like every
+    other fixture (keyed on the documents parquet), so per-serve work
+    is the OPERATOR under test (merge + fetch-back), not the setup;
+    write_warc/index_warc/write_cdx stay per-serve-exercised by
+    q_warc_dedup_export and q_cdx_index_roundtrip."""
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+    from roapi_spark.sinks.cdx import index_warc, write_cdx
+    from roapi_spark.sinks.warc import write_warc
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = snapshot_cache_dir(src, "cdxmerge-v1")
+
+    def ready(d: str) -> bool:
+        return all(
+            os.path.isdir(os.path.join(d, n))
+            for n in ("archives", "idx_r1", "idx_r2")
+        )
+
+    def build(tmp: str) -> None:
+        arch = os.path.join(tmp, "archives")
+        write_warc(
+            _round_captures(spark, sf_dir, "v1", _R1_DATE), arch,
+            prefix="r1",
+        ).count()
+        write_warc(
+            _round_captures(
+                spark, sf_dir, "v2", _R2_DATE,
+                residue_filter="doc_id % 7 = 1",
+            ),
+            arch,
+            prefix="r2",
+        ).count()
+        for rnd in ("r1", "r2"):
+            ptrs = index_warc(spark, arch, glob=f"{rnd}-*.warc*")
+            write_cdx(
+                ptrs.withColumn(
+                    "shard", F.pmod(F.crc32(F.col("surt_key")), F.lit(2))
+                ),
+                os.path.join(tmp, f"idx_{rnd}"),
+            ).count()
+
+    return build_once(out, ready, build)
+
+
 @register(
     "q_cdx_merge",
     oracle=f"""
@@ -194,38 +243,15 @@ def q_cdx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from roapi_spark.config import TableSource
-    from roapi_spark.sinks.cdx import index_warc, merge_cdx, write_cdx
-    from roapi_spark.sinks.warc import write_warc
+    from roapi_spark.sinks.cdx import merge_cdx
     from roapi_spark.sources import load_table
     from roapi_spark.sources.warc import fetch_records
 
+    fixture = _two_round_crawl_dir(spark, sf_dir)
+    arch = os.path.join(fixture, "archives")
+    idx = {r: os.path.join(fixture, f"idx_{r}") for r in ("r1", "r2")}
     root = tempfile.mkdtemp(prefix="cdx_merge_gate_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
-    arch = os.path.join(root, "archives")
-
-    # round 1: full fetch; round 2: re-fetch of the %7==1 residue with
-    # a newer date and DIFFERENT payload bytes (v2| prefix)
-    write_warc(
-        _round_captures(spark, sf_dir, "v1", _R1_DATE), arch, prefix="r1"
-    ).count()
-    write_warc(
-        _round_captures(
-            spark, sf_dir, "v2", _R2_DATE, residue_filter="doc_id % 7 = 1"
-        ),
-        arch,
-        prefix="r2",
-    ).count()
-
-    idx = {}
-    for rnd in ("r1", "r2"):
-        ptrs = index_warc(spark, arch, glob=f"{rnd}-*.warc*")
-        idx[rnd] = os.path.join(root, f"idx_{rnd}")
-        write_cdx(
-            ptrs.withColumn(
-                "shard", F.pmod(F.crc32(F.col("surt_key")), F.lit(2))
-            ),
-            idx[rnd],
-        ).count()
 
     master_dir = os.path.join(root, "master")
     merge_cdx(

@@ -170,6 +170,8 @@ KNOWN_TAGS = (
     # index + 3 urlset shards, decorrelated optional-field residues
     "crawllinks-v1",  # materialized WAT link snapshot (src/dst canon)
     "crawllinkstext-v1",  # WAT snapshot with anchor text
+    "cdxmerge-v1",  # two-round crawl fixture (pipeline18 q_cdx_merge):
+    # r1+r2 archives + each round's CDXJ shard set
 )
 
 
