@@ -236,13 +236,24 @@ def write_cdx(
                     sort_keys=True,
                 )
             )
+        lines.sort()
         with open(tmp, "w", encoding="utf-8") as f:
-            f.write("\n".join(sorted(lines)) + "\n")
+            f.write("\n".join(lines) + "\n")
         os.replace(tmp, final)
-        return pd.DataFrame([{"cdx_file": name, "n_lines": len(lines)}])
+        return pd.DataFrame(
+            [{
+                "cdx_file": name,
+                "n_lines": len(lines),
+                # key range for shard-pruning sidecars (range layout)
+                "min_surt": lines[0].split(" ", 1)[0] if lines else None,
+                "max_surt": lines[-1].split(" ", 1)[0] if lines else None,
+            }]
+        )
 
     return df.groupBy(shard_col).applyInPandas(
-        writer, "cdx_file string, n_lines bigint"
+        writer,
+        "cdx_file string, n_lines bigint, "
+        "min_surt string, max_surt string",
     )
 
 
@@ -253,6 +264,7 @@ def merge_cdx(
     n_shards: int = 4,
     latest_only: bool = False,
     prefix: str = "merged",
+    layout: str = "hash",
 ) -> DataFrame:
     """K-way merge of per-round CDXJ shard sets into ONE master index
     — the cc-index maintenance step (pywb's cdx-indexer + sort-merge
@@ -267,21 +279,34 @@ def merge_cdx(
     web" view recrawl planners consume. False keeps every capture (the
     full-history view wayback-style replay needs).
 
-    Layout: master shards are keyed by crc32(surt_key) % n_shards and
-    SURT-sorted within each — the SAME bucketing the repo's index
-    consumers already probe with (q_cdx_index_roundtrip writes
-    fixture indexes this way), so a point lookup computes its bucket
-    from the key and binary-searches one shard; a domain-prefix scan
-    fans out over all shards in parallel. Plan: one distributed text
-    scan over every round's shards (codegen'd parse, no Python), at
-    most one window per SURT key for latest-capture, one shuffle onto
-    the output bucketing; per-task memory = one output shard, the
-    same caller-sized bound every sink in this package sets."""
+    Layouts (both SURT-sorted within each shard):
+
+    * ``hash`` (default) — shards keyed by crc32(surt_key) % n_shards,
+      the SAME bucketing the repo's index consumers already probe with
+      (q_cdx_index_roundtrip writes fixture indexes this way): a point
+      lookup computes its bucket from the key and binary-searches one
+      shard; a domain-prefix scan fans out over all shards.
+    * ``range`` — shards are GLOBAL SURT ranges (repartitionByRange,
+      Spark's sampled range partitioner — the scalable total-order
+      shuffle) and a driver-side ``_shards.idx`` sidecar records each
+      shard's [min_surt, max_surt]: the cc-index/zipnum cluster.idx
+      shape, so a domain-prefix scan opens ONLY the overlapping shards
+      (read_cdx_prefix). Boundaries come from sampling and are not
+      bit-stable across runs; consumers read the sidecar, never assume
+      boundaries, so correctness is boundary-independent.
+
+    Plan: one distributed text scan over every round's shards
+    (codegen'd parse, no Python), at most one window per SURT key for
+    latest-capture, one shuffle onto the output bucketing; per-task
+    memory = one output shard, the same caller-sized bound every sink
+    in this package sets."""
     from pyspark.sql import Window
 
     from roapi_spark.config import TableSource
     from roapi_spark.sources import load_table
 
+    if layout not in ("hash", "range"):
+        raise ValueError(f"unknown merge layout {layout!r}")
     parts = [
         load_table(
             spark,
@@ -301,10 +326,70 @@ def merge_cdx(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-    return write_cdx(
-        df.withColumn(
+    if layout == "range":
+        df = df.repartitionByRange(
+            n_shards, "surt_key", "fetch_ts"
+        ).withColumn("shard", F.spark_partition_id())
+    else:
+        df = df.withColumn(
             "shard", F.pmod(F.crc32(F.col("surt_key")), F.lit(n_shards))
-        ),
-        out_dir,
-        prefix=prefix,
+        )
+    manifest = write_cdx(df, out_dir, prefix=prefix)
+    if layout == "range":
+        # shard-cardinality sidecar, tmp+rename like the shards
+        rows = sorted(
+            (r["min_surt"], r["max_surt"], r["cdx_file"], r["n_lines"])
+            for r in manifest.collect()
+            if r["n_lines"] > 0
+        )
+        tmp = os.path.join(out_dir, f"._shards.idx.tmp-{os.getpid()}")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for mn, mx, name, n in rows:
+                f.write(f"{mn} {mx} {name} {n}\n")
+        os.replace(tmp, os.path.join(out_dir, "_shards.idx"))
+        return manifest  # already materialized above; still a DataFrame
+    return manifest
+
+
+def read_cdx_prefix(
+    spark: SparkSession, master_dir: str, surt_prefix: str
+) -> DataFrame:
+    """Domain-prefix scan over a range-layout master index: the
+    ``_shards.idx`` sidecar prunes to the shards (underscore-prefixed so directory text scans skip it, the Hadoop convention) whose [min, max] range
+    can contain the prefix, so a 100 TB-corpus index opens only the
+    file(s) covering that domain instead of every shard. Falls back
+    to the full set when no sidecar exists (hash layout)."""
+    from roapi_spark.config import TableSource
+    from roapi_spark.sources import load_table
+
+    idx_path = os.path.join(master_dir, "_shards.idx")
+    files = None
+    if os.path.exists(idx_path):
+        files = []
+        with open(idx_path, encoding="utf-8") as f:
+            for line in f:
+                mn, mx, name, _n = line.split(" ", 3)
+                # a shard can contain keys with this prefix iff its
+                # [min, max] range overlaps [prefix, prefix + U+10FFFF)
+                if mx >= surt_prefix and mn <= surt_prefix + "\U0010ffff":
+                    files.append(name)
+    if files is not None and not files:
+        # prefix outside every shard range: empty frame, zero files read
+        from roapi_spark.sources.cdx import SCHEMA
+
+        return spark.createDataFrame([], SCHEMA)
+    uri = (
+        [os.path.join(master_dir, n) for n in files]
+        if files is not None
+        else master_dir
     )
+    if isinstance(uri, list):
+        reader = spark.read.text(uri)
+        from roapi_spark.sources.cdx import parse_cdx_lines
+
+        df = parse_cdx_lines(reader)
+    else:
+        df = load_table(
+            spark, TableSource(name="_pfx", uri=uri, format="cdx")
+        )
+    return df.filter(F.col("surt_key").startswith(surt_prefix))

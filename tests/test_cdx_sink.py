@@ -103,3 +103,79 @@ def test_truncated_member_rejected_chunked():
     data = good + good[: len(good) // 2]
     with pytest.raises((WarcFormatError, zlib.error)):
         list(_iter_member_spans(data, "t", chunk=5))
+
+
+def _cdx_rows(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "surt_key string, fetch_ts string, url string, mime string, "
+        "status int, digest string, length bigint, offset bigint, "
+        "warc_filename string",
+    )
+
+
+def test_range_layout_master_and_prefix_pruning(spark, tmp_path):
+    """merge_cdx(layout='range'): shards are global SURT ranges with a
+    shards.idx sidecar; a prefix scan opens ONLY overlapping shards
+    and returns the same rows as filtering a full scan."""
+    from roapi_spark.config import TableSource
+    from roapi_spark.sinks.cdx import merge_cdx, read_cdx_prefix, write_cdx
+    from roapi_spark.sources import load_table
+
+    import pyspark.sql.functions as F
+
+    rows = [
+        (
+            f"{dom}}}/p/{i}", "20260101000000", f"https://{dom}/p/{i}",
+            "text/html", 200, f"sha1:{i}", 10, i * 10, "a.warc.gz",
+        )
+        for dom in ("com,alpha)", "com,beta)", "org,gamma)")
+        for i in range(40)
+    ]
+    # keys look like 'com,alpha)}/p/0' — '}' keeps the SURT shape while
+    # staying lexicographically simple for the range assertions
+    src_dir = str(tmp_path / "round")
+    write_cdx(
+        _cdx_rows(spark, rows).withColumn(
+            "shard", F.pmod(F.crc32("surt_key"), F.lit(2))
+        ),
+        src_dir,
+    ).collect()
+
+    master = str(tmp_path / "master")
+    man = merge_cdx(
+        spark, [src_dir], master, n_shards=4, layout="range"
+    ).collect()
+    idx = (tmp_path / "master" / "_shards.idx").read_text().splitlines()
+    assert 1 < len(idx) <= 4
+    # sidecar ranges are ordered and non-overlapping, and match files
+    spans = [line.split(" ") for line in idx]
+    for (mn, mx, name, n) in spans:
+        body = (tmp_path / "master" / name).read_text().splitlines()
+        assert body[0].split(" ")[0] == mn
+        assert body[-1].split(" ")[0] == mx
+        assert len(body) == int(n)
+        assert body == sorted(body)
+    for a, b in zip(spans, spans[1:]):
+        assert a[1] <= b[0], "ranges must not overlap"
+
+    # pruned prefix scan == full-scan filter, reading fewer files
+    full = load_table(
+        spark, TableSource(name="m", uri=master, format="cdx")
+    )
+    want = sorted(
+        r["url"] for r in full.filter(
+            F.col("surt_key").startswith("com,beta)")
+        ).collect()
+    )
+    got_df = read_cdx_prefix(spark, master, "com,beta)")
+    assert sorted(r["url"] for r in got_df.collect()) == want
+    overlapping = [
+        name for mn, mx, name, _ in spans
+        if mx >= "com,beta)" and mn <= "com,beta)\U0010ffff"
+    ]
+    assert len(overlapping) < len(spans), (
+        "prefix must prune at least one shard on this key distribution"
+    )
+    # a prefix beyond every range reads nothing and returns empty
+    assert read_cdx_prefix(spark, master, "zz,nowhere)").count() == 0
