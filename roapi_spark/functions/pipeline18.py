@@ -302,3 +302,95 @@ def q_cdx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_fetched", "n_byte_match",
         )
     )
+
+
+# ---- q_cdx_prefix_scan -------------------------------------------------------
+
+
+def _range_master_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once range-layout latest-capture master index over the
+    two-round fixture — the cc-index/zipnum shape `read_cdx_prefix`
+    prunes against. Cached so the per-serve work is the PRUNED SCAN
+    under test, not the merge (which q_cdx_merge per-serve exercises)."""
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+    from roapi_spark.sinks.cdx import merge_cdx
+
+    fixture = _two_round_crawl_dir(spark, sf_dir)
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = snapshot_cache_dir(src, "cdxmaster-v1")
+
+    def ready(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_shards.idx"))
+
+    def build(tmp: str) -> None:
+        merge_cdx(
+            spark,
+            [os.path.join(fixture, f"idx_{r}") for r in ("r1", "r2")],
+            tmp,
+            n_shards=4,
+            latest_only=True,
+            layout="range",
+        )
+
+    return build_once(out, ready, build)
+
+
+@register(
+    "q_cdx_prefix_scan",
+    oracle="""
+    SELECT 'src1' AS probe,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_surt,
+           CAST(1 AS BIGINT) AS pruned
+    FROM documents WHERE source = 'src1'
+    UNION ALL
+    SELECT 'src7',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+           CAST(1 AS BIGINT)
+    FROM documents WHERE source = 'src7'
+    UNION ALL
+    SELECT 'zz_absent', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(1 AS BIGINT)
+    ORDER BY probe
+    """,
+    doc="Pruned prefix scan over the range-layout master index "
+    "(sinks/cdx.read_cdx_prefix + the _shards.idx sidecar): two "
+    "path-prefix probes must return exactly the fixture rows under "
+    "that prefix (latest-capture master: one row per SURT) while "
+    "opening STRICTLY FEWER shard files than the master holds, and a "
+    "probe past every shard range must read ZERO files and return "
+    "zero rows. `pruned` is computed from the same sidecar the scan "
+    "plans with, so a pruning regression (sidecar ignored, bound "
+    "wrong, stale ranges) flips it and hash-fails the gate. Scale: "
+    "this is the 'open one file out of thousands' cc-index access "
+    "path a 100 TB corpus index needs for per-domain analyses.",
+    tags=("web", "sink"),
+)
+def q_cdx_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.sinks.cdx import _prefix_shard_files, read_cdx_prefix
+
+    master = _range_master_dir(spark, sf_dir)
+    with open(os.path.join(master, "_shards.idx"), encoding="utf-8") as f:
+        n_shards_total = sum(1 for _ in f)
+    probes = [
+        ("src1", "com,example,crawl)/src1/"),
+        ("src7", "com,example,crawl)/src7/"),
+        ("zz_absent", "com,example,crawl)/zz"),
+    ]
+    out = None
+    for label, pfx in probes:
+        files = _prefix_shard_files(master, pfx)
+        part = read_cdx_prefix(spark, master, pfx).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count_distinct("surt_key").cast("bigint").alias("n_surt"),
+        ).select(
+            F.lit(label).alias("probe"),
+            "n_rows",
+            "n_surt",
+            F.lit(int(len(files) < n_shards_total))
+            .cast("bigint")
+            .alias("pruned"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("probe")

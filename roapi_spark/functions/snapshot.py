@@ -172,6 +172,8 @@ KNOWN_TAGS = (
     "crawllinkstext-v1",  # WAT snapshot with anchor text
     "cdxmerge-v1",  # two-round crawl fixture (pipeline18 q_cdx_merge):
     # r1+r2 archives + each round's CDXJ shard set
+    "cdxmaster-v1",  # range-layout latest-capture master index merged
+    # from the two-round fixture (pipeline18 q_cdx_prefix_scan)
 )
 
 

@@ -27,13 +27,14 @@ Pure stdlib (struct + socketserver), threaded like the pg server.
 
 from __future__ import annotations
 
-import hashlib
+import json
 import os
 import socketserver
 import struct
 import threading
 from datetime import date, datetime
 
+from pyspark.sql import Row
 from pyspark.sql import types as T
 
 from roapi_spark.catalog import Catalog
@@ -72,6 +73,20 @@ def _mysql_type(dt: T.DataType) -> int:
     return 253  # arrays/structs/binary render as text
 
 
+def _jsonable(v: object) -> object:
+    """Collapse collect() shapes (Row, bytearray, nested containers) to
+    plain JSON values so complex columns render as JSON text, not reprs."""
+    if isinstance(v, Row):
+        return {k: _jsonable(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
 def _render(v: object) -> bytes | None:
     if v is None:
         return None
@@ -81,8 +96,10 @@ def _render(v: object) -> bytes | None:
         return v.isoformat(sep=" ").encode()
     if isinstance(v, date):
         return v.isoformat().encode()
-    if isinstance(v, bytes):
-        return v
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)  # collect() yields bytearray for BinaryType
+    if isinstance(v, (list, dict, Row)):
+        return json.dumps(_jsonable(v), default=str).encode()
     return str(v).encode()
 
 
@@ -217,20 +234,24 @@ class _Handler(socketserver.BaseRequestHandler):
         resp = self._read_packet(sock)
         if resp is None:
             return False
-        caps_client = struct.unpack_from("<I", resp, 0)[0]
-        off = 4 + 4 + 1 + 23  # caps, max-packet, charset, reserved
-        end = resp.index(b"\x00", off)
-        user = resp[off:end].decode()
-        off = end + 1
-        alen = resp[off]
-        auth = resp[off + 1 : off + 1 + alen]
-        off += 1 + alen
-        if caps_client & _CLIENT_CONNECT_WITH_DB and off < len(resp):
-            off = resp.index(b"\x00", off) + 1  # database — accepted, unused
-        plugin = _NATIVE
-        if caps_client & _CLIENT_PLUGIN_AUTH and off < len(resp):
-            pend = resp.find(b"\x00", off)
-            plugin = resp[off : pend if pend >= 0 else len(resp)].decode()
+        try:  # non-MySQL probe bytes must not traceback out of handle()
+            caps_client = struct.unpack_from("<I", resp, 0)[0]
+            off = 4 + 4 + 1 + 23  # caps, max-packet, charset, reserved
+            end = resp.index(b"\x00", off)
+            user = resp[off:end].decode()
+            off = end + 1
+            alen = resp[off]
+            auth = resp[off + 1 : off + 1 + alen]
+            off += 1 + alen
+            if caps_client & _CLIENT_CONNECT_WITH_DB and off < len(resp):
+                off = resp.index(b"\x00", off) + 1  # database — accepted, unused
+            plugin = _NATIVE
+            if caps_client & _CLIENT_PLUGIN_AUTH and off < len(resp):
+                pend = resp.find(b"\x00", off)
+                plugin = resp[off : pend if pend >= 0 else len(resp)].decode()
+        except (ValueError, IndexError, struct.error, UnicodeDecodeError):
+            self._err(sock, 1043, "malformed handshake response")
+            return False
 
         if plugin != _NATIVE or self.server.force_auth_switch:  # type: ignore[attr-defined]
             # drive the client's AuthSwitch branch: new nonce, re-scramble
@@ -262,7 +283,7 @@ class _Handler(socketserver.BaseRequestHandler):
             fields = df.schema.fields
             rows = df.collect()
         except Exception as exc:  # noqa: BLE001 — surface as wire error
-            self._err(sock, 1064, str(exc).splitlines()[0][:400])
+            self._err(sock, 1064, str(exc).split("\n", 1)[0][:400] or type(exc).__name__)
             return
         self._send(sock, _lenenc_int(len(fields)))
         for f in fields:

@@ -31,6 +31,7 @@ import struct
 import threading
 from datetime import date, datetime
 
+from pyspark.sql import Row
 from pyspark.sql import types as T
 
 from roapi_spark.catalog import Catalog
@@ -71,16 +72,18 @@ def _render(v: object) -> bytes | None:
         return None
     if isinstance(v, bool):
         return b"t" if v else b"f"
-    if isinstance(v, bytes):
-        return b"\\x" + v.hex().encode()
+    if isinstance(v, (bytes, bytearray)):
+        return b"\\x" + bytes(v).hex().encode()  # collect() yields bytearray
     if isinstance(v, datetime):
         return v.isoformat(sep=" ").encode()
     if isinstance(v, date):
         return v.isoformat().encode()
-    if isinstance(v, (list, dict)):
+    if isinstance(v, (list, dict, Row)):
         import json
 
-        return json.dumps(v, default=str).encode()
+        from roapi_spark.server.mysql import _jsonable
+
+        return json.dumps(_jsonable(v), default=str).encode()
     return str(v).encode()
 
 
@@ -370,7 +373,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 fields = df.schema.fields
                 rows = df.collect()
             except Exception as exc:  # noqa: BLE001 — surface as pg error
-                self._error(sock, str(exc).splitlines()[0][:500])
+                self._error(sock, str(exc).split("\n", 1)[0][:500] or type(exc).__name__)
                 sock.sendall(_msg(b"Z", b"I"))
                 return
             sock.sendall(_msg(b"T", self._row_desc(fields)))
@@ -501,7 +504,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 if p["rows"] is None:
                     self._run_portal(p)
             except Exception as exc:  # noqa: BLE001
-                self._ext_error(sock, str(exc).splitlines()[0][:500])
+                self._ext_error(sock, str(exc).split("\n", 1)[0][:500] or type(exc).__name__)
                 return
             if p["fields"]:
                 sock.sendall(_msg(b"T", self._row_desc(p["fields"], p.get("rfmts"))))
@@ -521,7 +524,7 @@ class _Handler(socketserver.BaseRequestHandler):
             if p["rows"] is None:
                 self._run_portal(p)
         except Exception as exc:  # noqa: BLE001
-            self._ext_error(sock, str(exc).splitlines()[0][:500])
+            self._ext_error(sock, str(exc).split("\n", 1)[0][:500] or type(exc).__name__)
             return
         if "noop_tag" in p:
             sock.sendall(_msg(b"C", _cstr(p["noop_tag"])))

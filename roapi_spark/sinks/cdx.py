@@ -299,7 +299,14 @@ def merge_cdx(
     (codegen'd parse, no Python), at most one window per SURT key for
     latest-capture, one shuffle onto the output bucketing; per-task
     memory = one output shard, the same caller-sized bound every sink
-    in this package sets."""
+    in this package sets.
+
+    EAGER: the merge executes inside this call (exactly once) and the
+    returned manifest is a small local DataFrame — so a caller action
+    never re-runs the distributed job, and stale files from a previous
+    merge into the same ``out_dir`` (higher-numbered shards from a
+    larger ``n_shards``, a ``_shards.idx`` left by a range-layout run)
+    are swept after the new shards are published, never before."""
     from pyspark.sql import Window
 
     from roapi_spark.config import TableSource
@@ -307,6 +314,21 @@ def merge_cdx(
 
     if layout not in ("hash", "range"):
         raise ValueError(f"unknown merge layout {layout!r}")
+    real_out = os.path.realpath(out_dir)
+    for d in index_dirs:
+        if os.path.realpath(d) == real_out:
+            raise ValueError(
+                "merge_cdx out_dir must not be one of index_dirs "
+                f"(self-merge would read and rewrite {out_dir!r})"
+            )
+    stale = set()
+    if os.path.isdir(out_dir):
+        stale = {
+            n
+            for n in os.listdir(out_dir)
+            if (n.startswith(f"{prefix}-") and n.endswith(".cdxj"))
+            or n == "_shards.idx"
+        }
     parts = [
         load_table(
             spark,
@@ -335,11 +357,13 @@ def merge_cdx(
             "shard", F.pmod(F.crc32(F.col("surt_key")), F.lit(n_shards))
         )
     manifest = write_cdx(df, out_dir, prefix=prefix)
+    collected = manifest.collect()  # the ONE execution of the merge
+    written = {r["cdx_file"] for r in collected}
     if layout == "range":
         # shard-cardinality sidecar, tmp+rename like the shards
         rows = sorted(
             (r["min_surt"], r["max_surt"], r["cdx_file"], r["n_lines"])
-            for r in manifest.collect()
+            for r in collected
             if r["n_lines"] > 0
         )
         tmp = os.path.join(out_dir, f"._shards.idx.tmp-{os.getpid()}")
@@ -347,8 +371,40 @@ def merge_cdx(
             for mn, mx, name, n in rows:
                 f.write(f"{mn} {mx} {name} {n}\n")
         os.replace(tmp, os.path.join(out_dir, "_shards.idx"))
-        return manifest  # already materialized above; still a DataFrame
-    return manifest
+        written.add("_shards.idx")
+    # sweep leftovers from a previous merge (smaller run, other layout)
+    # AFTER publishing — a crash mid-merge never deletes the old index
+    for name in stale - written:
+        try:
+            os.remove(os.path.join(out_dir, name))
+        except FileNotFoundError:
+            pass
+    # local manifest: caller actions must not re-run the distributed job
+    return spark.createDataFrame(collected, manifest.schema)
+
+
+def _prefix_shard_files(
+    master_dir: str, surt_prefix: str
+) -> list[str] | None:
+    """Shard files of a range-layout master whose [min, max] SURT range
+    can contain keys with ``surt_prefix`` — the pruning decision, split
+    out so gates can assert HOW MANY files a prefix scan opens. Returns
+    None when no ``_shards.idx`` sidecar exists (hash layout)."""
+    idx_path = os.path.join(master_dir, "_shards.idx")
+    if not os.path.exists(idx_path):
+        return None
+    files = []
+    with open(idx_path, encoding="utf-8") as f:
+        for line in f:
+            mn, mx, name, _n = line.split(" ", 3)
+            # a shard can contain keys with this prefix iff
+            # max >= prefix (some key sorts at/above it) and min is
+            # not already past every prefix-keyed string — i.e. its
+            # first len(prefix) chars don't sort above the prefix
+            # (robust for any codepoints, unlike prefix+U+10FFFF)
+            if mx >= surt_prefix and mn[: len(surt_prefix)] <= surt_prefix:
+                files.append(name)
+    return files
 
 
 def read_cdx_prefix(
@@ -362,17 +418,7 @@ def read_cdx_prefix(
     from roapi_spark.config import TableSource
     from roapi_spark.sources import load_table
 
-    idx_path = os.path.join(master_dir, "_shards.idx")
-    files = None
-    if os.path.exists(idx_path):
-        files = []
-        with open(idx_path, encoding="utf-8") as f:
-            for line in f:
-                mn, mx, name, _n = line.split(" ", 3)
-                # a shard can contain keys with this prefix iff its
-                # [min, max] range overlaps [prefix, prefix + U+10FFFF)
-                if mx >= surt_prefix and mn <= surt_prefix + "\U0010ffff":
-                    files.append(name)
+    files = _prefix_shard_files(master_dir, surt_prefix)
     if files is not None and not files:
         # prefix outside every shard range: empty frame, zero files read
         from roapi_spark.sources.cdx import SCHEMA

@@ -179,3 +179,58 @@ def test_range_layout_master_and_prefix_pruning(spark, tmp_path):
     )
     # a prefix beyond every range reads nothing and returns empty
     assert read_cdx_prefix(spark, master, "zz,nowhere)").count() == 0
+
+
+def test_remerge_sweeps_stale_layout_and_is_local(spark, tmp_path):
+    """Re-merging into a reused out_dir must not leave the previous
+    run's sidecar or higher-numbered shards behind (a hash re-merge
+    after a range merge, or a smaller n_shards, would otherwise poison
+    prefix pruning and full-dir scans); and the returned manifest is a
+    LOCAL DataFrame — caller actions never re-run the distributed
+    merge."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from roapi_spark.config import TableSource
+    from roapi_spark.sinks.cdx import merge_cdx, write_cdx
+    from roapi_spark.sources import load_table
+
+    rows = [
+        (
+            f"com,site)/p/{i}", "20260101000000", f"https://site.com/p/{i}",
+            "text/html", 200, f"sha1:{i}", 10, i * 10, "a.warc.gz",
+        )
+        for i in range(40)
+    ]
+    src_dir = str(tmp_path / "round")
+    write_cdx(
+        _cdx_rows(spark, rows).withColumn(
+            "shard", F.pmod(F.crc32("surt_key"), F.lit(2))
+        ),
+        src_dir,
+    ).collect()
+
+    master = tmp_path / "master"
+    merge_cdx(spark, [src_dir], str(master), n_shards=4, layout="range")
+    assert (master / "_shards.idx").exists()
+
+    # self-merge is refused before anything is touched
+    with pytest.raises(ValueError, match="self-merge"):
+        merge_cdx(spark, [str(master)], str(master))
+
+    man = merge_cdx(spark, [src_dir], str(master), n_shards=2, layout="hash")
+    names = sorted(p.name for p in master.iterdir())
+    assert "_shards.idx" not in names, "stale range sidecar must be swept"
+    assert all(n in ("merged-00000.cdxj", "merged-00001.cdxj") for n in names), (
+        f"stale higher-numbered shards must be swept: {names}"
+    )
+    got = load_table(
+        spark, TableSource(name="m2", uri=str(master), format="cdx")
+    )
+    assert got.count() == len(rows)
+
+    # manifest survives source deletion => the merge ran exactly once,
+    # inside merge_cdx, and the result is driver-local
+    shutil.rmtree(src_dir)
+    assert sum(r["n_lines"] for r in man.collect()) == len(rows)

@@ -132,3 +132,50 @@ def test_error_surfaces_and_connection_survives(my_loop):
         assert res.rows == [[3]]
     finally:
         c.close()
+
+
+def test_complex_and_binary_values_render_as_data_not_reprs(my_loop, spark):
+    """collect() yields bytearray for BinaryType and Row for structs;
+    the text resultset must carry the payload bytes / JSON text, never
+    Python reprs like "bytearray(b'..')" or "Row(a=1)"."""
+    import json
+
+    from roapi_spark.sources.mysqlwire import MySqlWireClient
+
+    df = spark.sql(
+        "SELECT cast('abc' as binary) AS b, array('x', 'y') AS arr, "
+        "named_struct('k', 7, 'raw', cast('z' as binary)) AS st, "
+        "map('m', 1) AS mp"
+    )
+    df.createOrReplaceTempView("cplx")  # catalog shares this spark session
+    c = MySqlWireClient(
+        "127.0.0.1", my_loop.port, user="spark", password="sekrit"
+    )
+    try:
+        res = c.query("SELECT b, arr, st, mp FROM cplx")
+    finally:
+        c.close()
+    (b, arr, st, mp), = res.rows
+    assert b == "abc", f"binary must arrive as payload bytes, got {b!r}"
+    assert json.loads(arr) == ["x", "y"]
+    assert json.loads(st) == {"k": 7, "raw": "7a"}  # nested binary -> hex
+    assert json.loads(mp) == {"m": 1}
+
+
+def test_probe_bytes_get_err_packet_not_traceback(my_loop):
+    """Non-MySQL bytes (an HTTP probe) on the port must be answered
+    with a clean ERR packet, not a handler traceback."""
+    import socket
+    import struct as _s
+
+    s = socket.create_connection(("127.0.0.1", my_loop.port), timeout=5)
+    try:
+        s.recv(4096)  # greeting
+        garbage = b"GET / HTTP/1.1\r\nHost: x\r\n\r\n"
+        s.sendall(_s.pack("<I", len(garbage))[:3] + b"\x01" + garbage)
+        hdr = s.recv(4)
+        body = s.recv(hdr[0] | (hdr[1] << 8) | (hdr[2] << 16))
+        assert body[:1] == b"\xff", "expected an ERR packet"
+        assert b"malformed" in body
+    finally:
+        s.close()

@@ -102,3 +102,27 @@ def test_pgwire_client_custom_query_and_error(pg_loop):
         assert res.rows == [[3]]
     finally:
         c.close()
+
+
+def test_pg_complex_and_binary_values_render_as_data_not_reprs(pg_loop, spark):
+    """collect() yields bytearray for BinaryType and Row for structs;
+    pg text format must carry \\x-hex / JSON text, never Python reprs."""
+    import json
+
+    from roapi_spark.sources.pgwire import PgWireClient
+
+    spark.sql(
+        "SELECT cast('abc' as binary) AS b, array('x', 'y') AS arr, "
+        "named_struct('k', 7) AS st"
+    ).createOrReplaceTempView("pgcplx")  # catalog shares this session
+    c = PgWireClient("127.0.0.1", pg_loop.port, user="t", database="t")
+    try:
+        res = c.query("SELECT b, arr, st FROM pgcplx")
+    finally:
+        c.close()
+    (b, arr, st), = res.rows
+    assert b == bytes.fromhex("616263") or b == "\\x616263", (
+        f"bytea must be hex-escaped payload, got {b!r}"
+    )
+    assert json.loads(arr) == ["x", "y"]
+    assert json.loads(st) == {"k": 7}
