@@ -379,12 +379,17 @@ def url_to_surt(url: Column) -> Column:
     composed built-ins — codegen'd and usable directly as a join/
     shuffle key against a CDX index's surt_key column."""
     q = url_query_canonical(url)
-    return F.concat(
+    key = F.concat(
         F.array_join(F.reverse(F.split(url_host(url), r"\.")), ","),
         F.lit(")"),
         url_path(url),
         F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
     )
+    # literal spaces (invalid per RFC 3986 but seen in real crawl
+    # Target-URIs) would corrupt the space-delimited CDXJ line format;
+    # percent-encode them like pywb's canonicalizer so keys stay
+    # join-consistent between index writers and probe generators
+    return F.replace(key, F.lit(" "), F.lit("%20"))
 
 
 def url_scheme_sql(col: str) -> str:
@@ -436,9 +441,9 @@ def url_to_surt_sql(col: str) -> str:
     host = url_host_sql(col)
     q = url_query_canonical_sql(col)
     return (
-        f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+        f"replace(array_to_string(list_reverse(string_split({host}, '.')), ',')"
         f" || ')' || {url_path_sql(col)} || "
-        f"(CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END)"
+        f"(CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END), ' ', '%20')"
     )
 
 

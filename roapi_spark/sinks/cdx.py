@@ -220,6 +220,14 @@ def write_cdx(
         tmp = os.path.join(out_dir, f".{name}.tmp-{os.getpid()}")
         lines = []
         for r in pdf.itertuples(index=False):
+            if " " in r.surt_key or "\n" in r.surt_key or " " in r.fetch_ts:
+                # url_to_surt %20-encodes spaces; a key that still has
+                # one came from elsewhere and would corrupt the
+                # space-delimited line format — fail naming the key
+                raise ValueError(
+                    f"CDXJ key fields must not contain spaces/newlines: "
+                    f"surt_key={r.surt_key!r} fetch_ts={r.fetch_ts!r}"
+                )
             blob = {
                 "url": r.url,
                 "mime": r.mime,

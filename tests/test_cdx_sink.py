@@ -234,3 +234,56 @@ def test_remerge_sweeps_stale_layout_and_is_local(spark, tmp_path):
     # inside merge_cdx, and the result is driver-local
     shutil.rmtree(src_dir)
     assert sum(r["n_lines"] for r in man.collect()) == len(rows)
+
+
+def test_write_cdx_rejects_space_bearing_keys(spark, tmp_path):
+    """Keys that bypass url_to_surt's %20 encoding and still carry a
+    literal space would silently corrupt the space-delimited CDXJ line
+    format — the writer must fail loudly naming the key."""
+    import pyspark.sql.functions as F
+
+    from roapi_spark.sinks.cdx import write_cdx
+
+    bad = _cdx_rows(
+        spark,
+        [(
+            "com,x)/a b", "20260101000000", "https://x.com/a b",
+            "text/html", 200, "sha1:x", 10, 0, "a.warc.gz",
+        )],
+    ).withColumn("shard", F.lit(0))
+    with pytest.raises(Exception, match="must not contain spaces"):
+        write_cdx(bad, str(tmp_path / "out")).collect()
+
+
+def test_space_url_roundtrips_through_index(spark, tmp_path):
+    """A space-bearing URL indexed via url_to_surt lands as one intact
+    CDXJ line (%20 key) and parses back with the original URL."""
+    import pyspark.sql.functions as SF
+
+    from roapi_spark.config import TableSource
+    from roapi_spark.functions.web import url_to_surt
+    from roapi_spark.sinks.cdx import write_cdx
+    from roapi_spark.sources import load_table
+
+    df = spark.createDataFrame(
+        [("https://x.com/a b/c",)], "url string"
+    ).select(
+        url_to_surt(SF.col("url")).alias("surt_key"),
+        SF.lit("20260101000000").alias("fetch_ts"),
+        "url",
+        SF.lit("text/html").alias("mime"),
+        SF.lit(200).alias("status"),
+        SF.lit("sha1:x").alias("digest"),
+        SF.lit(10).cast("bigint").alias("length"),
+        SF.lit(0).cast("bigint").alias("offset"),
+        SF.lit("a.warc.gz").alias("warc_filename"),
+        SF.lit(0).alias("shard"),
+    )
+    out = str(tmp_path / "idx")
+    write_cdx(df, out).collect()
+    got = load_table(
+        spark, TableSource(name="sp", uri=out, format="cdx")
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["surt_key"] == "com,x)/a%20b/c"
+    assert got[0]["url"] == "https://x.com/a b/c"

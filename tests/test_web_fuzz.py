@@ -32,9 +32,10 @@ def _gen_urls(rng: random.Random, n: int) -> list[str]:
         "example.com:443", "example.com:80", "example.com:8080",
     ]
     paths = ["", "/", "/a", "/a/", "/a//", "/a/b/c", "/a%20b", "/./a",
-             "/a/b///", "/index.html"]
+             "/a/b///", "/index.html", "/a b", "/a b/c d"]
     params = ["", "a=1", "b=2", "utm_source=x", "utm_medium=y", "gclid=g",
-              "fbclid=f", "msclkid=m", "z=", "=v", "a=1&a=1", "empty"]
+              "fbclid=f", "msclkid=m", "z=", "=v", "a=1&a=1", "empty",
+              "q=a b"]
     frags = ["", "#f", "#a?b=2", "#"]
     out = []
     for _ in range(n):
@@ -250,6 +251,12 @@ def test_url_to_surt_known_forms(spark):
         "https://example.com": "com,example)/",
         "https://a.b.c.example.co.uk/x/?utm_source=f": (
             "uk,co,example,c,b,a)/x"
+        ),
+        # literal spaces (invalid but seen in real crawl Target-URIs)
+        # must %20-encode: a raw space would corrupt the space-delimited
+        # CDXJ line format and desync writer/probe join keys
+        "https://example.com/a b/c?q=x y": (
+            "com,example)/a%20b/c?q=x%20y"
         ),
     }
     got = dict(
