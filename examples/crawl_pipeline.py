@@ -26,7 +26,11 @@ registered building blocks:
   stage 7  master index     this round's CDXJ shards merged with the
                             prior round's into one latest-capture
                             master (the cc-index maintenance step the
-                            NEXT round's stage 1 plans from)
+                            NEXT round's stage 1 plans from), laid out
+                            as global SURT ranges + _shards.idx
+  stage 8  prefix scan      a per-prefix analysis through the pruned
+                            scan: the sidecar narrows the read to the
+                            shard file(s) covering the prefix
 
 Usage:
     python examples/crawl_pipeline.py [sf_dir] [out_dir]
@@ -134,10 +138,32 @@ def run(spark, sf_dir: str, out_root: str) -> dict:
         spark,
         [prior_dir, os.path.join(out_root, "cdx")],
         master_dir,
-        n_shards=2,
+        n_shards=4,
         latest_only=True,
+        layout="range",  # global SURT ranges + _shards.idx sidecar
     ).collect()
     summary["master_index"] = {r["cdx_file"]: r["n_lines"] for r in mg}
+
+    # stage 8: per-prefix analysis through the PRUNED scan — the
+    # cc-index access path: open only the shard file(s) whose sidecar
+    # range covers this prefix, never the whole master
+    from roapi_spark.sinks.cdx import _prefix_shard_files, read_cdx_prefix
+
+    pfx = (
+        ptrs.select(
+            F.concat(
+                F.substring_index("surt_key", "/", 2), F.lit("/")
+            ).alias("p")
+        )
+        .groupBy("p").count().orderBy(F.desc("count"), "p").first()["p"]
+    )
+    opened = _prefix_shard_files(master_dir, pfx)
+    summary["prefix_scan"] = {
+        "prefix": pfx,
+        "n_rows": read_cdx_prefix(spark, master_dir, pfx).count(),
+        "files_opened": len(opened),
+        "files_total": len(mg),
+    }
     return summary
 
 

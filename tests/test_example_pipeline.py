@@ -116,3 +116,8 @@ def test_crawl_pipeline_end_to_end(spark, tmp_path):
     # the merged master keeps exactly one capture per SURT page
     assert sum(s["master_index"].values()) == n_pages
     assert s["authorities"], "HITS must surface at least one authority"
+    # the pruned prefix scan returned rows while opening a subset of
+    # the range-layout master's shard files
+    ps = s["prefix_scan"]
+    assert 0 < ps["n_rows"] < n_pages
+    assert 1 <= ps["files_opened"] <= ps["files_total"] == 4
