@@ -365,7 +365,7 @@ def _range_master_dir(spark: SparkSession, sf_dir: str) -> str:
     "wrong, stale ranges) flips it and hash-fails the gate. Scale: "
     "this is the 'open one file out of thousands' cc-index access "
     "path a 100 TB corpus index needs for per-domain analyses.",
-    tags=("web", "sink"),
+    tags=("web", "gate", "sink"),
 )
 def q_cdx_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from roapi_spark.sinks.cdx import _prefix_shard_files, read_cdx_prefix

@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 
 from roapi_spark.catalog import Catalog
 from roapi_spark.sources.mysqlwire import _native_password_scramble
+from roapi_spark.util import jsonable
 
 _CLIENT_CONNECT_WITH_DB = 0x8
 _CLIENT_PROTOCOL_41 = 0x200
@@ -73,20 +74,6 @@ def _mysql_type(dt: T.DataType) -> int:
     return 253  # arrays/structs/binary render as text
 
 
-def _jsonable(v: object) -> object:
-    """Collapse collect() shapes (Row, bytearray, nested containers) to
-    plain JSON values so complex columns render as JSON text, not reprs."""
-    if isinstance(v, Row):
-        return {k: _jsonable(x) for k, x in v.asDict().items()}
-    if isinstance(v, dict):
-        return {k: _jsonable(x) for k, x in v.items()}
-    if isinstance(v, (list, tuple)):
-        return [_jsonable(x) for x in v]
-    if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
-    return v
-
-
 def _render(v: object) -> bytes | None:
     if v is None:
         return None
@@ -99,7 +86,7 @@ def _render(v: object) -> bytes | None:
     if isinstance(v, (bytes, bytearray)):
         return bytes(v)  # collect() yields bytearray for BinaryType
     if isinstance(v, (list, dict, Row)):
-        return json.dumps(_jsonable(v), default=str).encode()
+        return json.dumps(jsonable(v), default=str).encode()
     return str(v).encode()
 
 

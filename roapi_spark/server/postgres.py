@@ -35,6 +35,7 @@ from pyspark.sql import Row
 from pyspark.sql import types as T
 
 from roapi_spark.catalog import Catalog
+from roapi_spark.util import jsonable
 
 _SSL_REQUEST = 80877103
 _STARTUP_V3 = 196608
@@ -81,9 +82,7 @@ def _render(v: object) -> bytes | None:
     if isinstance(v, (list, dict, Row)):
         import json
 
-        from roapi_spark.server.mysql import _jsonable
-
-        return json.dumps(_jsonable(v), default=str).encode()
+        return json.dumps(jsonable(v), default=str).encode()
     return str(v).encode()
 
 

@@ -220,7 +220,11 @@ def write_cdx(
         tmp = os.path.join(out_dir, f".{name}.tmp-{os.getpid()}")
         lines = []
         for r in pdf.itertuples(index=False):
-            if " " in r.surt_key or "\n" in r.surt_key or " " in r.fetch_ts:
+            if any(
+                c in field
+                for field in (r.surt_key, r.fetch_ts)
+                for c in (" ", "\n", "\r")
+            ):
                 # url_to_surt %20-encodes spaces; a key that still has
                 # one came from elsewhere and would corrupt the
                 # space-delimited line format — fail naming the key
@@ -331,11 +335,13 @@ def merge_cdx(
             )
     stale = set()
     if os.path.isdir(out_dir):
+        # ANY .cdxj is stale, not just the current prefix's: a full-dir
+        # cdx read treats every shard in out_dir as one table, so an
+        # old run's differently-prefixed shards would double the index
         stale = {
             n
             for n in os.listdir(out_dir)
-            if (n.startswith(f"{prefix}-") and n.endswith(".cdxj"))
-            or n == "_shards.idx"
+            if n.endswith(".cdxj") or n == "_shards.idx"
         }
     parts = [
         load_table(

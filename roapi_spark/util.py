@@ -34,3 +34,20 @@ def hash_bucket(col: Column, n: int) -> Column:
 def hash_bucket_sql(expr: str, n: int) -> str:
     """DuckDB twin of :func:`hash_bucket` (expr must already be VARCHAR)."""
     return f"('0x' || SUBSTR(MD5({expr}), 1, 8))::BIGINT % {n}"
+
+
+def jsonable(v: object) -> object:
+    """Collapse DataFrame.collect() value shapes (Row, bytearray, nested
+    containers) to plain JSON values — shared by the wire servers so
+    complex columns render as JSON text, never Python reprs."""
+    from pyspark.sql import Row
+
+    if isinstance(v, Row):
+        return {k: jsonable(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {k: jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [jsonable(x) for x in v]
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v

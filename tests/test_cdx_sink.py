@@ -230,6 +230,18 @@ def test_remerge_sweeps_stale_layout_and_is_local(spark, tmp_path):
     )
     assert got.count() == len(rows)
 
+    # a re-merge under a DIFFERENT prefix must sweep the old prefix's
+    # shards too — a full-dir cdx read treats every .cdxj as one table
+    merge_cdx(
+        spark, [src_dir], str(master), n_shards=2, prefix="master"
+    )
+    names = sorted(p.name for p in master.iterdir())
+    assert all(n.startswith("master-") for n in names), names
+    got2 = load_table(
+        spark, TableSource(name="m3", uri=str(master), format="cdx")
+    )
+    assert got2.count() == len(rows)
+
     # manifest survives source deletion => the merge ran exactly once,
     # inside merge_cdx, and the result is driver-local
     shutil.rmtree(src_dir)

@@ -120,4 +120,6 @@ def test_crawl_pipeline_end_to_end(spark, tmp_path):
     # the range-layout master's shard files
     ps = s["prefix_scan"]
     assert 0 < ps["n_rows"] < n_pages
-    assert 1 <= ps["files_opened"] <= ps["files_total"] == 4
+    # range boundaries come from sampling: an unlucky run may leave a
+    # partition empty, so pin <= n_shards rather than == n_shards
+    assert 1 <= ps["files_opened"] <= ps["files_total"] <= 4

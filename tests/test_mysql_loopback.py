@@ -168,13 +168,22 @@ def test_probe_bytes_get_err_packet_not_traceback(my_loop):
     import socket
     import struct as _s
 
+    def recv_exact(sock, n):
+        data = b""
+        while len(data) < n:
+            chunk = sock.recv(n - len(data))
+            assert chunk, "server closed before sending a full packet"
+            data += chunk
+        return data
+
     s = socket.create_connection(("127.0.0.1", my_loop.port), timeout=5)
     try:
-        s.recv(4096)  # greeting
+        greet_hdr = recv_exact(s, 4)
+        recv_exact(s, greet_hdr[0] | (greet_hdr[1] << 8) | (greet_hdr[2] << 16))
         garbage = b"GET / HTTP/1.1\r\nHost: x\r\n\r\n"
         s.sendall(_s.pack("<I", len(garbage))[:3] + b"\x01" + garbage)
-        hdr = s.recv(4)
-        body = s.recv(hdr[0] | (hdr[1] << 8) | (hdr[2] << 16))
+        hdr = recv_exact(s, 4)
+        body = recv_exact(s, hdr[0] | (hdr[1] << 8) | (hdr[2] << 16))
         assert body[:1] == b"\xff", "expected an ERR packet"
         assert b"malformed" in body
     finally:
