@@ -394,3 +394,94 @@ def q_cdx_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out.orderBy("probe")
+
+
+# ---- q_cdx_zipnum_lookup -----------------------------------------------------
+
+
+def _zipnum_master_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once ZIPNUM master (compressed-block cc-index layout) over
+    the two-round fixture: 64-line blocks so the sf0.01 fixture yields
+    several blocks per shard and pruning is actually exercised."""
+    from roapi_spark.functions.snapshot import build_once, snapshot_cache_dir
+    from roapi_spark.sinks.cdx import merge_cdx
+
+    fixture = _two_round_crawl_dir(spark, sf_dir)
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = snapshot_cache_dir(src, "cdxzipnum-v1")
+
+    def ready(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_cluster.idx"))
+
+    def build(tmp: str) -> None:
+        merge_cdx(
+            spark,
+            [os.path.join(fixture, f"idx_{r}") for r in ("r1", "r2")],
+            tmp,
+            n_shards=2,
+            latest_only=True,
+            layout="zipnum",
+            block_lines=64,
+        )
+
+    return build_once(out, ready, build)
+
+
+@register(
+    "q_cdx_zipnum_lookup",
+    oracle="""
+    SELECT 'src1' AS probe,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_surt,
+           CAST(1 AS BIGINT) AS pruned
+    FROM documents WHERE source = 'src1'
+    UNION ALL
+    SELECT 'src7',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+           CAST(1 AS BIGINT)
+    FROM documents WHERE source = 'src7'
+    UNION ALL
+    SELECT 'zz_absent', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(1 AS BIGINT)
+    ORDER BY probe
+    """,
+    doc="ZIPNUM (compressed-block) master-index lookup — the "
+    "production cc-index layout: shards are concatenated gzip members "
+    "of N CDXJ lines, the _cluster.idx sidecar carries one row per "
+    "block, and a prefix lookup seeks + decompresses ONLY the "
+    "overlapping ~100 KB blocks executor-side (read_cdx_zipnum; the "
+    "fetch_records pattern). Probes mirror q_cdx_prefix_scan so the "
+    "two layouts are pinned to identical answers; `pruned` asserts "
+    "strictly fewer blocks opened than the master holds. Scale: a "
+    "point lookup touches one block regardless of corpus size, and "
+    "the compressed master is ~1/8 the plaintext index's bytes.",
+    tags=("web", "gate", "sink"),
+)
+def q_cdx_zipnum_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.sinks.cdx import _prefix_blocks, read_cdx_zipnum
+
+    master = _zipnum_master_dir(spark, sf_dir)
+    with open(os.path.join(master, "_cluster.idx"), encoding="utf-8") as f:
+        n_blocks_total = sum(1 for _ in f)
+    probes = [
+        ("src1", "com,example,crawl)/src1/"),
+        ("src7", "com,example,crawl)/src7/"),
+        ("zz_absent", "com,example,crawl)/zz"),
+    ]
+    out = None
+    for label, pfx in probes:
+        opened = _prefix_blocks(master, pfx)
+        part = read_cdx_zipnum(spark, master, pfx).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count_distinct("surt_key").cast("bigint").alias("n_surt"),
+        ).select(
+            F.lit(label).alias("probe"),
+            "n_rows",
+            "n_surt",
+            F.lit(int(len(opened) < n_blocks_total))
+            .cast("bigint")
+            .alias("pruned"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("probe")

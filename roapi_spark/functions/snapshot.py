@@ -174,6 +174,8 @@ KNOWN_TAGS = (
     # r1+r2 archives + each round's CDXJ shard set
     "cdxmaster-v1",  # range-layout latest-capture master index merged
     # from the two-round fixture (pipeline18 q_cdx_prefix_scan)
+    "cdxzipnum-v1",  # zipnum (compressed-block) master index, same
+    # fixture (pipeline18 q_cdx_zipnum_lookup)
 )
 
 

@@ -299,3 +299,79 @@ def test_space_url_roundtrips_through_index(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["surt_key"] == "com,x)/a%20b/c"
     assert got[0]["url"] == "https://x.com/a b/c"
+
+
+def test_zipnum_layout_roundtrip_and_block_pruning(spark, tmp_path):
+    """merge_cdx(layout='zipnum'): shards are concatenated gzip members
+    of block_lines CDXJ lines with a block-granular _cluster.idx; a
+    prefix lookup decompresses only overlapping blocks and returns the
+    same rows as a full decompress + filter."""
+    import gzip
+
+    import pyspark.sql.functions as F
+
+    from roapi_spark.sinks.cdx import (
+        _prefix_blocks,
+        merge_cdx,
+        read_cdx_zipnum,
+        write_cdx,
+    )
+
+    rows = [
+        (
+            f"{dom}}}/p/{i:03d}", "20260101000000", f"https://{dom}/p/{i}",
+            "text/html", 200, f"sha1:{i}", 10, i * 10, "a.warc.gz",
+        )
+        for dom in ("com,alpha)", "com,beta)", "org,gamma)")
+        for i in range(40)
+    ]
+    src_dir = str(tmp_path / "round")
+    write_cdx(
+        _cdx_rows(spark, rows).withColumn(
+            "shard", F.pmod(F.crc32("surt_key"), F.lit(2))
+        ),
+        src_dir,
+    ).collect()
+
+    master = tmp_path / "master"
+    man = merge_cdx(
+        spark, [src_dir], str(master), n_shards=2,
+        layout="zipnum", block_lines=16,
+    )
+    files = sorted(p.name for p in master.iterdir())
+    assert "_cluster.idx" in files
+    gz = [n for n in files if n.endswith(".cdxj.gz")]
+    assert gz, files
+    # every shard decompresses as concatenated members; all 120 rows land
+    all_lines = []
+    for n in gz:
+        raw = (master / n).read_bytes()
+        text = gzip.decompress(raw)  # gzip handles concatenated members
+        all_lines += [ln for ln in text.decode().split("\n") if ln]
+    assert len(all_lines) == len(rows)
+    # manifest: one row per block, each block <= block_lines lines
+    blocks = man.collect()
+    assert sum(r["n_lines"] for r in blocks) == len(rows)
+    assert all(0 < r["n_lines"] <= 16 for r in blocks)
+    assert len(blocks) >= len(rows) // 16
+
+    # pruned prefix lookup == full filter, touching fewer blocks
+    want = sorted(
+        ln.split(" ", 1)[0] for ln in all_lines
+        if ln.startswith("com,beta)")
+    )
+    got = read_cdx_zipnum(spark, str(master), "com,beta)")
+    assert sorted(r["surt_key"] for r in got.collect()) == want
+    opened = _prefix_blocks(str(master), "com,beta)")
+    assert 0 < len(opened) < len(blocks), (
+        "a one-domain prefix must prune most blocks at 16-line blocks"
+    )
+    # absent prefix: zero blocks, empty result
+    assert _prefix_blocks(str(master), "zz,nowhere)") == []
+    assert read_cdx_zipnum(spark, str(master), "zz,nowhere)").count() == 0
+
+    # a later plaintext re-merge sweeps the zipnum files too
+    merge_cdx(spark, [src_dir], str(master), n_shards=2, layout="hash")
+    names = sorted(p.name for p in master.iterdir())
+    assert not any(n.endswith(".cdxj.gz") for n in names), names
+    assert "_cluster.idx" not in names
