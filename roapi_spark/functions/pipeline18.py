@@ -485,3 +485,83 @@ def q_cdx_zipnum_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out.orderBy("probe")
+
+
+# ---- q_cdx_asof_fetch --------------------------------------------------------
+
+
+@register(
+    "q_cdx_asof_fetch",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    r2 AS (SELECT doc_id FROM d WHERE doc_id % 7 = 1)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_mid,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_mid_v1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM d)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM r2) AS n_late_v1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM r2) AS n_late_v2,
+           CAST(0 AS BIGINT) AS n_early
+    """,
+    doc="Wayback-style AS-OF replay through the full-history index "
+    "(sinks/cdx.asof_snapshot): the latest capture per SURT with "
+    "fetch_ts <= t, pywb's closest-before rule. Probed at three "
+    "instants over the two-round fixture and BYTE-VERIFIED through "
+    "fetch_records: between the rounds every page resolves to its v1 "
+    "capture (payload prefix checked, not just counts); after round 2 "
+    "the re-crawled doc_id%7==1 residue resolves to v2 and everything "
+    "else stays v1; before round 1 nothing resolves. Plan: filter + "
+    "one window over the index (~1000x smaller than the archives), "
+    "then random-access fetches of exactly the resolved pointers — "
+    "the 100 TB replay shape: no archive is ever scanned.",
+    tags=("web", "gate", "sink"),
+)
+def q_cdx_asof_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from roapi_spark.config import TableSource
+    from roapi_spark.sinks.cdx import asof_snapshot
+    from roapi_spark.sources import load_table
+    from roapi_spark.sources.warc import fetch_records
+
+    fixture = _two_round_crawl_dir(spark, sf_dir)
+    arch = os.path.join(fixture, "archives")
+    hist = None
+    for r in ("r1", "r2"):
+        part = load_table(
+            spark,
+            TableSource(
+                name=f"_asof_{r}",
+                uri=os.path.join(fixture, f"idx_{r}"),
+                format="cdx",
+            ),
+        )
+        hist = part if hist is None else hist.unionByName(part)
+
+    def resolved(ts: str) -> DataFrame:
+        snap = asof_snapshot(hist, ts)
+        return fetch_records(snap, arch).select(
+            F.substring(F.decode(F.col("payload"), "UTF-8"), 1, 3).alias(
+                "vtag"
+            )
+        )
+
+    mid = resolved("20260115000000").agg(
+        F.count("*").cast("bigint").alias("n_mid"),
+        F.sum((F.col("vtag") == "v1|").cast("bigint"))
+        .cast("bigint")
+        .alias("n_mid_v1"),
+    )
+    late = resolved("20260301000000").agg(
+        F.sum((F.col("vtag") == "v1|").cast("bigint"))
+        .cast("bigint")
+        .alias("n_late_v1"),
+        F.sum((F.col("vtag") == "v2|").cast("bigint"))
+        .cast("bigint")
+        .alias("n_late_v2"),
+    )
+    early = asof_snapshot(hist, "20251231000000").agg(
+        F.count("*").cast("bigint").alias("n_early")
+    )
+    return (
+        mid.crossJoin(F.broadcast(late))
+        .crossJoin(F.broadcast(early))
+        .select("n_mid", "n_mid_v1", "n_late_v1", "n_late_v2", "n_early")
+    )

@@ -618,3 +618,28 @@ def read_cdx_zipnum(
     return parse_cdx_lines(lines).filter(
         F.col("surt_key").startswith(surt_prefix)
     )
+
+
+def asof_snapshot(index_df: DataFrame, asof_ts: str) -> DataFrame:
+    """Wayback-style as-of view of a FULL-HISTORY CDX index: the latest
+    capture per SURT key with ``fetch_ts <= asof_ts`` — the resolution
+    rule archive replay uses (pywb's closest-before semantics for a
+    point in time). Ties break by fetch_ts, then filename/offset — the
+    SAME total order merge_cdx(latest_only=True) applies, so an as-of
+    snapshot at "now" equals the latest-capture master by construction.
+
+    Pure DataFrame composition (filter -> one window per SURT key), so
+    at 100 TB it runs as one shuffle over the index (~1000x smaller
+    than the archives) and the result joins/fetches like any pointer
+    set (sources/warc.fetch_records)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("surt_key").orderBy(
+        F.desc("fetch_ts"), F.desc("warc_filename"), F.desc("offset")
+    )
+    return (
+        index_df.filter(F.col("fetch_ts") <= F.lit(asof_ts))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

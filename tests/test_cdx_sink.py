@@ -375,3 +375,37 @@ def test_zipnum_layout_roundtrip_and_block_pruning(spark, tmp_path):
     names = sorted(p.name for p in master.iterdir())
     assert not any(n.endswith(".cdxj.gz") for n in names), names
     assert "_cluster.idx" not in names
+
+
+def test_asof_snapshot_ties_and_boundaries(spark):
+    """asof_snapshot: inclusive boundary (fetch_ts == t resolves),
+    closest-before wins, and equal-timestamp ties break by filename
+    then offset — the same total order merge_cdx(latest_only) uses."""
+    from roapi_spark.sinks.cdx import asof_snapshot
+
+    rows = [
+        # one page, three captures; two captures share a timestamp
+        ("com,x)/a", "20260101000000", "https://x.com/a", "text/html",
+         200, "sha1:1", 10, 0, "r1-a.warc.gz"),
+        ("com,x)/a", "20260201000000", "https://x.com/a", "text/html",
+         200, "sha1:2", 10, 0, "r2-a.warc.gz"),
+        ("com,x)/a", "20260201000000", "https://x.com/a", "text/html",
+         200, "sha1:3", 10, 64, "r2-a.warc.gz"),
+    ]
+    idx = _cdx_rows(spark, rows)
+
+    def pick(ts):
+        got = asof_snapshot(idx, ts).collect()
+        return [(r["fetch_ts"], r["warc_filename"], r["offset"], r["digest"])
+                for r in got]
+
+    assert pick("20251231000000") == []  # before every capture
+    assert pick("20260101000000") == [
+        ("20260101000000", "r1-a.warc.gz", 0, "sha1:1")
+    ]  # inclusive boundary
+    assert pick("20260115000000") == [
+        ("20260101000000", "r1-a.warc.gz", 0, "sha1:1")
+    ]  # closest BEFORE, never after
+    assert pick("20260301000000") == [
+        ("20260201000000", "r2-a.warc.gz", 64, "sha1:3")
+    ]  # tie on ts -> max(filename, offset), deterministic
