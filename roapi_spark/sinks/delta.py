@@ -80,6 +80,44 @@ def _partition_values(rel: str, partition_by: list[str]) -> dict[str, str | None
     return {c: vals.get(c) for c in partition_by}
 
 
+def _current_protocol(log_dir: str, versions: list[int]) -> dict | None:
+    """Latest protocol action in the log (last-protocol-wins replay),
+    or None for a log that never declared one. Driver-side scan of the
+    KB-scale entries, newest first."""
+    for v in reversed(versions):
+        found = None
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "protocol" in a:
+                    found = a["protocol"]
+        if found is not None:
+            return found
+    return None
+
+
+def _cdf_protocol_upgrade(log_dir: str, versions: list[int]) -> dict | None:
+    """Protocol action needed to enable CDF on an existing table, or
+    None when the current protocol already suffices. NEVER emits a
+    downgrade: a foreign table at (3,7) with feature lists already
+    satisfies writer v4 semantics via its features, and rewriting its
+    protocol to (1,4) would stop readers enforcing those features
+    (e.g. deletionVectors masks — silent resurrect of deleted rows)."""
+    cur = _current_protocol(log_dir, versions) or {}
+    cur_r = int(cur.get("minReaderVersion", 1))
+    cur_w = int(cur.get("minWriterVersion", 1))
+    if cur_w >= 4:
+        return None  # already high enough (incl. feature-based v7)
+    return {
+        "protocol": {
+            "minReaderVersion": max(cur_r, 1),
+            "minWriterVersion": 4,
+        }
+    }
+
+
 def _file_stats(abs_path: str) -> str | None:
     """Delta per-file statistics JSON (numRecords + min/max/nullCount
     for primitively-typed leaf columns) from the parquet footer — a
@@ -191,19 +229,30 @@ def write_delta(
     versions = _existing_versions(log_dir)
     version = (versions[-1] + 1) if versions else 0
     if versions and mode == "append":
-        # appends must match the table schema (by field name; Delta
-        # append semantics — delta-spark enforces the same)
+        # appends must match the table schema by NAME AND TYPE (Delta
+        # append semantics; delta-spark rejects incompatible types too —
+        # a name-only check would commit mixed physical types and make
+        # every subsequent read fail on merge-incompatible parquet)
+        from pyspark.sql import types as T
+
         from roapi_spark.sources.delta import snapshot_state
 
         _, meta = snapshot_state(path)
         if meta and meta.get("schemaString"):
-            existing = {f["name"] for f in json.loads(meta["schemaString"])["fields"]}
-            ours = set(df.schema.fieldNames())
+            table_schema = T.StructType.fromJson(
+                json.loads(meta["schemaString"])
+            )
+            existing = {
+                f.name: f.dataType.simpleString() for f in table_schema.fields
+            }
+            ours = {
+                f.name: f.dataType.simpleString() for f in df.schema.fields
+            }
             if ours != existing:
                 raise DeltaWriteError(
-                    f"append schema mismatch: table has {sorted(existing)}, "
-                    f"DataFrame has {sorted(ours)} (use mode='overwrite' to "
-                    "replace the schema)"
+                    f"append schema mismatch: table has {sorted(existing.items())}, "
+                    f"DataFrame has {sorted(ours.items())} (use "
+                    "mode='overwrite' to replace the schema)"
                 )
 
     # 1) distributed data write into a staging dir, then rename into the
@@ -244,9 +293,10 @@ def write_delta(
             )
         elif cdf and configuration is not None:
             # property newly set on an existing table: upgrade protocol
-            actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
-            )
+            # (only ever RAISE it — never rewrite a higher one down)
+            up = _cdf_protocol_upgrade(log_dir, versions)
+            if up is not None:
+                actions.append(up)
         actions.append(
             {
                 "metaData": {
@@ -376,31 +426,51 @@ def _atomic_commit(
     log_dir = _log_dir(path)
     os.makedirs(log_dir, exist_ok=True)
     body = "".join(json.dumps(a, separators=(",", ":")) + "\n" for a in actions)
+    # publish via fully-written tmp + hard link: os.link is atomic AND
+    # exclusive (FileExistsError on a lost race, like O_EXCL), but the
+    # entry only ever appears under its final name COMPLETE — a reader
+    # listing the log mid-commit can never replay an empty/truncated
+    # version file as "no actions" (the dot prefix keeps the tmp out of
+    # version listings)
+    import threading as _threading
+
+    tmp = os.path.join(
+        log_dir, f".commit-{os.getpid()}-{_threading.get_ident()}.json.tmp"
+    )
+    with open(tmp, "w") as f:
+        f.write(body)
+        f.flush()
+        os.fsync(f.fileno())
     attempt = 0
-    while True:
-        entry = os.path.join(log_dir, f"{version:020d}.json")
+    try:
+        while True:
+            entry = os.path.join(log_dir, f"{version:020d}.json")
+            try:
+                os.link(tmp, entry)
+                return version
+            except FileExistsError:
+                if append_retry and attempt < max_retries:
+                    if not _intervening_metadata_change(log_dir, version):
+                        committed = _existing_versions(log_dir)
+                        nxt = (committed[-1] + 1) if committed else version
+                        if nxt > version:
+                            version = nxt
+                            attempt += 1
+                            continue
+                for rel in rels:
+                    try:
+                        os.remove(os.path.join(path, rel))
+                    except OSError:
+                        pass
+                raise DeltaCommitConflict(
+                    f"version {version} already committed by another "
+                    f"writer: {entry}"
+                ) from None
+    finally:
         try:
-            with open(entry, "x") as f:
-                f.write(body)
-            return version
-        except FileExistsError:
-            if append_retry and attempt < max_retries:
-                if not _intervening_metadata_change(log_dir, version):
-                    committed = _existing_versions(log_dir)
-                    nxt = (committed[-1] + 1) if committed else version
-                    if nxt > version:
-                        version = nxt
-                        attempt += 1
-                        continue
-            for rel in rels:
-                try:
-                    os.remove(os.path.join(path, rel))
-                except OSError:
-                    pass
-            raise DeltaCommitConflict(
-                f"version {version} already committed by another writer: "
-                f"{entry}"
-            ) from None
+            os.remove(tmp)
+        except OSError:
+            pass
 
 
 def write_checkpoint(path: str) -> int:
@@ -551,7 +621,11 @@ def _zorder_col(df, cols: list[str]):
                 f"zorder_by column {c!r} must be numeric/date, got "
                 f"{df.schema[c].dataType.simpleString()}"
             )
-        col = F.col(c).cast("double")
+        if df.schema[c].dataType.simpleString() == "date":
+            # Spark forbids DATE->DOUBLE; days-since-epoch ranks the same
+            col = F.unix_date(F.col(c)).cast("double")
+        else:
+            col = F.col(c).cast("double")
         bnds = df.select(col.alias("v")).approxQuantile("v", probs, 0.01)
         bucket = F.size(
             F.filter(
@@ -696,6 +770,42 @@ def _dml_snapshot(spark, path: str):
     return df, meta, by_abs, snap_v
 
 
+def _literal_path(by_abs: dict[str, str], file_path: str) -> str:
+    """Literal filesystem path for a ``__file`` provenance value (the
+    ``by_abs`` KEY that matches it) — what a re-read must pass to the
+    parquet reader; the URI-encoded form would look for a literal
+    '%20' directory."""
+    p = os.path.normpath(file_path)
+    if p in by_abs:
+        return p
+    q = os.path.normpath(unquote(p))
+    if q in by_abs:
+        return q
+    raise DeltaWriteError(
+        f"provenance path {file_path!r} not in the pinned snapshot "
+        "(file listing and log replay disagree)"
+    )
+
+
+def _stored_path(by_abs: dict[str, str], file_path: str) -> str:
+    """Stored add path for a ``__file`` provenance value. `_metadata.
+    file_path` is a URI, so Spark percent-encodes special characters
+    (space -> %20, %% -> %25) while ``by_abs`` keys are literal
+    filesystem paths: try the exact form first (no false decodes for
+    literal '%XX' names — those arrive double-encoded), then the
+    unquoted form (Hive-escaped partition values, spaces in paths)."""
+    p = os.path.normpath(file_path)
+    hit = by_abs.get(p)
+    if hit is None:
+        hit = by_abs.get(os.path.normpath(unquote(p)))
+    if hit is None:
+        raise DeltaWriteError(
+            f"provenance path {file_path!r} not in the pinned snapshot "
+            "(file listing and log replay disagree)"
+        )
+    return hit
+
+
 def _cdf_enabled(meta: dict | None) -> bool:
     """True when the table's metaData opts into Change Data Feed
     (``delta.enableChangeDataFeed=true`` — delta-spark's property)."""
@@ -703,36 +813,60 @@ def _cdf_enabled(meta: dict | None) -> bool:
     return str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true"
 
 
-def _stage_cdc(path: str, cdc_df) -> tuple[list[dict], list[str]]:
+def _stage_cdc(
+    path: str, cdc_df, partition_by: list[str] | None = None
+) -> tuple[list[dict], list[str]]:
     """Write change-data rows (table columns + ``_change_type``) as
     ``_change_data/`` parquet; returns (cdc actions, relative paths for
     conflict rollback). Per the Delta CDF spec, a commit carrying cdc
     actions is read from THEM alone — the add/remove pairs of the same
     commit are not re-derived — so these rows must describe the full
-    logical change."""
+    logical change.
+
+    Partitioned tables stage cdc files in the SAME hive layout as add
+    files (delta-spark's ``_change_data/col=val/...``), with the
+    partition columns carried in ``cdc.partitionValues`` and stripped
+    from the physical parquet — spec-compliant readers rebuild them
+    from partitionValues exactly as they do for adds, so a foreign
+    CDF reader sees the partition column populated, never null."""
+    partition_by = list(partition_by or [])
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex}")
-    cdc_df.write.mode("overwrite").parquet(staging)
+    writer = cdc_df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     os.makedirs(os.path.join(path, "_change_data"), exist_ok=True)
     actions: list[dict] = []
     rels: list[str] = []
     try:
-        for name in sorted(os.listdir(staging)):
-            if not name.endswith(".parquet"):
-                continue
-            rel = os.path.join("_change_data", f"cdc-{uuid.uuid4().hex}.parquet")
-            os.replace(os.path.join(staging, name), os.path.join(path, rel))
-            st = os.stat(os.path.join(path, rel))
-            actions.append(
-                {
-                    "cdc": {
-                        "path": quote(rel, safe="/="),
-                        "partitionValues": {},
-                        "size": st.st_size,
-                        "dataChange": False,
+        for root, _dirs, files in os.walk(staging):
+            for name in sorted(files):
+                if not name.endswith(".parquet"):
+                    continue
+                part_dirs = os.path.relpath(root, staging)
+                sub = "" if part_dirs == "." else part_dirs
+                rel = os.path.join(
+                    "_change_data", sub, f"cdc-{uuid.uuid4().hex}.parquet"
+                )
+                rel = os.path.normpath(rel)
+                os.makedirs(
+                    os.path.dirname(os.path.join(path, rel)), exist_ok=True
+                )
+                os.replace(os.path.join(root, name), os.path.join(path, rel))
+                st = os.stat(os.path.join(path, rel))
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": quote(rel, safe="/="),
+                            "partitionValues": _partition_values(
+                                os.path.join(sub, name), partition_by
+                            ),
+                            "size": st.st_size,
+                            "dataChange": False,
+                        }
                     }
-                }
-            )
-            rels.append(rel)
+                )
+                rels.append(rel)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return actions, rels
@@ -775,7 +909,7 @@ def _rewrite_commit(
     actions: list[dict] = []
     cdc_rels: list[str] = []
     if cdc_df is not None:
-        cdc_actions, cdc_rels = _stage_cdc(path, cdc_df)
+        cdc_actions, cdc_rels = _stage_cdc(path, cdc_df, partition_by)
         actions.extend(cdc_actions)
     for stored in removes_raw:
         actions.append(
@@ -868,18 +1002,24 @@ def _delete_delta_once(spark, path: str, condition: str) -> int:
         for r in df.filter(cond).select("__file").distinct().collect()
     ]
     data_cols = [c for c in df.columns if c != "__file"]
-    kept = (
-        df.filter(F.col("__file").isin(touched))
-        .filter(~F.coalesce(cond, F.lit(False)))
-        .select(data_cols)
-    )
+    # rewrite scan: re-read ONLY the touched files (the merge path's
+    # pattern) — an isin filter on the derived __file column cannot
+    # prune files, so it would re-scan the whole table for a
+    # one-file DELETE, breaking the proportional-rewrite contract
+    if touched:
+        base = spark.read.option("basePath", path).parquet(
+            *sorted(_literal_path(by_abs, f) for f in touched)
+        )
+    else:
+        base = df.select(data_cols).filter(F.lit(False))
+    kept = base.filter(~F.coalesce(cond, F.lit(False))).select(data_cols)
     cdc_df = None
     if _cdf_enabled(meta):
         # logical change = exactly the deleted rows (survivor re-adds in
         # the same commit are physical, not logical — the cdc rows
         # replace derivation for this commit)
         cdc_df = (
-            df.filter(F.coalesce(cond, F.lit(False)))
+            base.filter(F.coalesce(cond, F.lit(False)))
             .select(data_cols)
             .withColumn("_change_type", F.lit("delete"))
         )
@@ -888,7 +1028,7 @@ def _delete_delta_once(spark, path: str, condition: str) -> int:
         path,
         kept,
         meta,
-        [by_abs[os.path.normpath(f)] for f in touched],
+        [_stored_path(by_abs, f) for f in touched],
         "DELETE",
         {"predicate": condition},
         snap_v,
@@ -933,10 +1073,17 @@ def _update_delta_once(
         )
         for c in data_cols
     ]
-    out = df.filter(F.col("__file").isin(touched)).select(applied)
+    # rewrite scan: re-read ONLY the touched files (see _delete_delta_once)
+    if touched:
+        base = spark.read.option("basePath", path).parquet(
+            *sorted(_literal_path(by_abs, f) for f in touched)
+        )
+    else:
+        base = df.select(data_cols).filter(F.lit(False))
+    out = base.select(applied)
     cdc_df = None
     if _cdf_enabled(meta):
-        matched = df.filter(hit)
+        matched = base.filter(hit)
         pre = matched.select(data_cols).withColumn(
             "_change_type", F.lit("update_preimage")
         )
@@ -949,7 +1096,7 @@ def _update_delta_once(
         path,
         out,
         meta,
-        [by_abs[os.path.normpath(f)] for f in touched],
+        [_stored_path(by_abs, f) for f in touched],
         "UPDATE",
         {"predicate": condition},
         snap_v,
@@ -1050,8 +1197,13 @@ def _merge_delta_once(
                 f"insert clause needs every table column in source; missing: {lack}"
             )
     if check_duplicate_source and on is not None:
+        # ambiguity means a TARGET row matched by >1 source row; source
+        # keys with no target match legally insert as many rows as they
+        # carry (delta-spark semantics) — scope the check to keys that
+        # actually exist in the target, like the on_condition path does
         dup = (
-            source.groupBy(*[F.col(k) for k in on])
+            source.join(df.select(*on).distinct(), on=on, how="left_semi")
+            .groupBy(*[F.col(k) for k in on])
             .count()
             .filter(F.col("count") > 1)
             .limit(1)
@@ -1059,8 +1211,9 @@ def _merge_delta_once(
         )
         if dup:
             raise DeltaWriteError(
-                "source has duplicate merge keys (ambiguous MERGE); "
-                "dedupe the source or pass check_duplicate_source=False"
+                "source has duplicate merge keys matching a target row "
+                "(ambiguous MERGE); dedupe the source or pass "
+                "check_duplicate_source=False"
             )
 
     src = source.withColumn("__m", F.lit(True)).alias(source_alias)
@@ -1085,7 +1238,9 @@ def _merge_delta_once(
     # rewrite scan: re-read ONLY the touched files (cheaper than an isin
     # filter over the full snapshot, and the plan prunes to those paths)
     if touched:
-        base = spark.read.option("basePath", path).parquet(*sorted(touched))
+        base = spark.read.option("basePath", path).parquet(
+            *sorted(_literal_path(by_abs, f) for f in touched)
+        )
     else:
         base = df.select(data_cols).filter(F.lit(False))
     if check_duplicate_source and on_condition is not None:
@@ -1189,7 +1344,7 @@ def _merge_delta_once(
         path,
         new_df,
         meta,
-        [by_abs[os.path.normpath(f)] for f in touched],
+        [_stored_path(by_abs, f) for f in touched],
         "MERGE",
         {
             "on": json.dumps(on) if on is not None else (on_condition or ""),
@@ -1357,9 +1512,11 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
         }
     ]
     if str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true":
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
-        )
+        # only ever RAISE the protocol; rewriting a foreign (3,7) table
+        # down to (1,4) would stop readers enforcing its feature lists
+        up = _cdf_protocol_upgrade(log_dir, versions)
+        if up is not None:
+            actions.append(up)
     new_meta = dict(meta)
     new_meta["configuration"] = conf
     actions.append({"metaData": new_meta})
@@ -1378,12 +1535,16 @@ def version_at_timestamp(path: str, timestamp: str) -> int:
     versions = _existing_versions(log_dir)
     if not versions:
         raise DeltaWriteError(f"not a delta table (no log): {path}")
-    limit_ms = int(
-        datetime.fromisoformat(timestamp)
-        .replace(tzinfo=timezone.utc)
-        .timestamp()
-        * 1000
+    dt = datetime.fromisoformat(timestamp)
+    # naive timestamps are interpreted as UTC; an EXPLICIT offset must
+    # be honored, not overwritten (replace() would silently shift the
+    # instant by the offset and restore to the wrong version)
+    dt = (
+        dt.astimezone(timezone.utc)
+        if dt.tzinfo is not None
+        else dt.replace(tzinfo=timezone.utc)
     )
+    limit_ms = int(dt.timestamp() * 1000)
     eligible = []
     for v in versions:
         ts = _commit_timestamp_ms(log_dir, v)
@@ -1421,14 +1582,25 @@ def retention_keep_versions(path: str, hours: float) -> int:
     return max(keep, 1)
 
 
-def vacuum(path: str, keep_versions: int = 2) -> list[str]:
+def vacuum(
+    path: str, keep_versions: int = 2, orphan_grace_s: float = 3600.0
+) -> list[str]:
     """Physically delete data files referenced ONLY by versions older
     than the newest ``keep_versions`` (plus orphans no version
     references at all — crashed writers' leftovers). The standard Delta
     trade: reclaims the space overwrite/compact left behind, and time
     travel older than the retention window stops working (the log
     entries stay, so the failure is a loud missing-file error, not
-    silent corruption). Returns the deleted relative paths."""
+    silent corruption). Returns the deleted relative paths.
+
+    ``orphan_grace_s``: a file referenced by NO version is only deleted
+    once its mtime is older than this window — an in-flight writer has
+    already relocated its staged files into the table root but not yet
+    committed, and deleting them would let the imminent commit publish
+    adds for missing files (delta-spark guards the same race with its
+    retention check on modification time). Files a committed version
+    DID reference and a later one removed carry no such risk and are
+    reclaimed regardless of age."""
     log_dir = _log_dir(path)
     versions = _existing_versions(log_dir)
     if not versions:
@@ -1440,6 +1612,7 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
     # O(total log size), not O(keep_versions x log size)
     state: dict[str, None] = {}
     referenced: set[str] = set()
+    ever_referenced: set[str] = set()
     for vv in versions:
         cdc_paths: list[str] = []
         with open(os.path.join(log_dir, f"{vv:020d}.json")) as f:
@@ -1449,10 +1622,12 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
                 a = json.loads(line)
                 if "add" in a:
                     state[a["add"]["path"]] = None
+                    ever_referenced.add(a["add"]["path"])
                 elif "remove" in a:
                     state.pop(a["remove"]["path"], None)
                 elif "cdc" in a:
                     cdc_paths.append(a["cdc"]["path"])
+                    ever_referenced.add(a["cdc"]["path"])
         if vv >= keep_from:
             referenced |= set(state)
             # change-data files belong to their commit, not to the
@@ -1464,6 +1639,8 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
     # (ours, delta-rs) or literal (delta-spark hive '='), so unquote the
     # referenced set instead of guessing how to re-quote disk paths
     referenced = {unquote(p) for p in referenced}
+    ever_referenced = {unquote(p) for p in ever_referenced}
+    now = time.time()
     victims = []
     for root, _dirs, files in os.walk(path):
         if "_delta_log" in root or "_staging-" in root:
@@ -1473,8 +1650,17 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
                 continue
             abs_file = os.path.join(root, name)
             rel = os.path.relpath(abs_file, path)
-            if rel not in referenced:
-                victims.append((abs_file, rel))
+            if rel in referenced:
+                continue
+            if rel not in ever_referenced:
+                # never committed: possibly an in-flight writer's
+                # relocated staging — only reclaim once old enough
+                try:
+                    if now - os.path.getmtime(abs_file) < orphan_grace_s:
+                        continue
+                except OSError:
+                    continue  # vanished under us: nothing to reclaim
+            victims.append((abs_file, rel))
     # parallel unlink: at the 1M-file scale a big vacuum reclaims,
     # serial os.remove is the wall clock (unlink syscalls release the
     # GIL, so threads give a real ~Nx; measured 199 s -> tens of

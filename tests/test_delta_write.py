@@ -1187,3 +1187,201 @@ def test_zorder_rejects_partitioned_and_non_numeric(spark, tmp_path):
     write_delta(df, p2, mode="overwrite")
     with pytest.raises(DeltaWriteError, match="numeric"):
         compact(spark, p2, zorder_by=["name"])
+
+
+# ---- review-hardening regressions (delta.py single-file audit) --------------
+
+
+def test_append_type_mismatch_rejected(spark, people, tmp_path):
+    """Append schema check must compare TYPES, not just names — a
+    name-only check commits mixed physical types and every later read
+    fails on merge-incompatible parquet."""
+    path = str(tmp_path / "typed")
+    write_delta(people, path)
+    bad = spark.createDataFrame(
+        [("5", "x", "de")], "id string, name string, country string"
+    )
+    with pytest.raises(DeltaWriteError, match="append schema mismatch"):
+        write_delta(bad, path, mode="append")
+
+
+def test_vacuum_spares_young_orphans_reclaims_old(spark, people, tmp_path):
+    """A never-committed parquet younger than the orphan grace window
+    must survive vacuum (it may be an in-flight writer's relocated
+    staging); an old one is reclaimed; files a committed version once
+    referenced are reclaimed regardless of age."""
+    from roapi_spark.sinks.delta import compact, vacuum
+
+    path = str(tmp_path / "vac2")
+    write_delta(people, path)  # v0
+    compact(spark, path, target_partitions=1)  # v1: v0 files now dead
+    young = os.path.join(path, "part-inflight.c000.parquet")
+    with open(young, "wb") as f:
+        f.write(b"PAR1not-really-parquet")
+    old = os.path.join(path, "part-crashed.c000.parquet")
+    with open(old, "wb") as f:
+        f.write(b"PAR1old-orphan")
+    os.utime(old, (1, 1))  # ancient mtime
+    deleted = vacuum(path, keep_versions=1)
+    assert os.path.exists(young), "young orphan must survive the grace"
+    assert not os.path.exists(old), "aged orphan must be reclaimed"
+    assert any("part-crashed" in d for d in deleted)
+    assert any(d.startswith("part-") and "crashed" not in d and
+               "inflight" not in d for d in deleted), (
+        "v0's superseded committed files must be reclaimed regardless of age"
+    )
+
+
+def test_zorder_by_date_column(spark, tmp_path):
+    """zorder over a DATE column must work (DATE->DOUBLE is an illegal
+    cast in Spark; days-since-epoch ranks identically)."""
+    from roapi_spark.sinks.delta import compact
+
+    df = spark.sql(
+        "SELECT id, date_add(date'2026-01-01', CAST(id AS INT)) AS d "
+        "FROM range(100)"
+    )
+    path = str(tmp_path / "zd")
+    write_delta(df, path)
+    compact(spark, path, target_partitions=2, zorder_by=["d", "id"])
+    assert _read(spark, path).count() == 100
+
+
+def test_dml_on_path_with_space(spark, people, tmp_path):
+    """_metadata.file_path is URI-encoded; DML provenance lookups must
+    resolve through the encoding for paths with encodable characters."""
+    from roapi_spark.sinks.delta import delete_delta
+
+    path = str(tmp_path / "my table")
+    write_delta(people, path)
+    assert delete_delta(spark, path, "id = 2") == 1
+    got = sorted(r["id"] for r in _read(spark, path).collect())
+    assert got == [1, 3]
+
+
+def test_restore_timestamp_honors_explicit_offset(spark, people, tmp_path):
+    """version_at_timestamp must convert aware timestamps, not
+    overwrite their offset with UTC."""
+    from roapi_spark.sinks.delta import version_at_timestamp
+
+    path = str(tmp_path / "tz")
+    write_delta(people, path)  # v0
+    # pin v0's commitInfo timestamp to a known instant: 10:00 UTC
+    log = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    lines = open(log).read().splitlines()
+    out = []
+    for ln in lines:
+        a = json.loads(ln)
+        if "commitInfo" in a:
+            a["commitInfo"]["timestamp"] = 1786960800000  # 2026-08-17T10:00Z
+        out.append(json.dumps(a, separators=(",", ":")))
+    with open(log, "w") as f:
+        f.write("\n".join(out) + "\n")
+    # 12:00+02:00 IS 10:00 UTC -> v0 eligible (boundary inclusive)
+    assert version_at_timestamp(path, "2026-08-17T12:00:00+02:00") == 0
+    # 11:00+02:00 is 09:00 UTC -> before the commit: must raise, but the
+    # broken replace() form would read it as 11:00 UTC and wrongly match
+    with pytest.raises(DeltaWriteError, match="no delta commit"):
+        version_at_timestamp(path, "2026-08-17T11:00:00+02:00")
+
+
+def test_cdc_partitioned_layout_and_values(spark, tmp_path):
+    """cdc files of a partitioned CDF table must land in hive layout
+    with real partitionValues (spec: readers rebuild partition columns
+    from partitionValues exactly as for adds), and the CDF read must
+    see the partition column populated."""
+    from roapi_spark.sinks.delta import delete_delta
+    from roapi_spark.sources.delta import table_changes
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "y")],
+        "id bigint, name string, pt string",
+    )
+    path = str(tmp_path / "cdcpart")
+    write_delta(
+        df, path, partition_by=["pt"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delete_delta(spark, path, "id = 2")
+    log = os.path.join(path, "_delta_log", f"{1:020d}.json")
+    cdc_actions = [
+        json.loads(ln)["cdc"] for ln in open(log) if '"cdc"' in ln
+    ]
+    assert cdc_actions, "CDF table DELETE must emit cdc actions"
+    for a in cdc_actions:
+        assert a["partitionValues"] == {"pt": "y"}
+        assert "/pt=y/" in "/" + a["path"]
+    chg = table_changes(spark, path, 1, 1).collect()
+    assert [(r["id"], r["pt"], r["_change_type"]) for r in chg] == [
+        (2, "y", "delete")
+    ]
+
+
+def test_set_properties_never_downgrades_protocol(spark, people, tmp_path):
+    """An unrelated property set on a CDF-enabled table whose protocol
+    is already >= writer v4 (e.g. a foreign (3,7) feature table) must
+    not rewrite the protocol down to (1,4)."""
+    from roapi_spark.sinks.delta import _atomic_commit, set_table_properties
+
+    path = str(tmp_path / "proto")
+    write_delta(
+        people, path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )  # v0 publishes (1,4) for CDF
+    # simulate a foreign upgrade to a feature protocol
+    _atomic_commit(
+        path, 1,
+        [{"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": [], "writerFeatures": ["changeDataFeed"],
+        }}],
+        [],
+    )
+    v = set_table_properties(path, {"foo": "bar"})
+    entry = os.path.join(path, "_delta_log", f"{v:020d}.json")
+    protos = [json.loads(ln) for ln in open(entry) if '"protocol"' in ln]
+    assert protos == [], f"no protocol rewrite expected, got {protos}"
+
+
+def test_merge_inserts_duplicate_unmatched_source_keys(spark, people, tmp_path):
+    """Duplicate source keys that match NO target row are a legal MERGE
+    (both insert, delta-spark semantics); only duplicates matching a
+    target row are ambiguous."""
+    from roapi_spark.sinks.delta import merge_delta
+
+    path = str(tmp_path / "mrg")
+    write_delta(people, path)
+    src = spark.createDataFrame(
+        [(99, "dup1", "aa"), (99, "dup2", "bb")], people.schema
+    )
+    merge_delta(spark, path, src, on=["id"], when_matched_update={},
+                when_not_matched_insert=True)
+    got = sorted(
+        (r["id"], r["name"]) for r in _read(spark, path).collect()
+    )
+    assert (99, "dup1") in got and (99, "dup2") in got
+    # a duplicate that DOES match a target row is still rejected
+    bad = spark.createDataFrame(
+        [(1, "x", "aa"), (1, "y", "bb")], people.schema
+    )
+    with pytest.raises(DeltaWriteError, match="duplicate merge keys"):
+        merge_delta(spark, path, bad, on=["id"],
+                    when_matched_update={"name": "s.name"})
+
+
+def test_commit_entries_never_visible_partially(spark, people, tmp_path):
+    """The log entry must appear under its final name COMPLETE: a
+    lost-race conflict leaves no tmp debris and no truncated version
+    file behind."""
+    from roapi_spark.sinks.delta import _atomic_commit
+
+    path = str(tmp_path / "atomic")
+    write_delta(people, path)  # v0
+    with pytest.raises(DeltaCommitConflict):
+        _atomic_commit(path, 0, [{"commitInfo": {"timestamp": 0}}], [])
+    log_dir = os.path.join(path, "_delta_log")
+    names = sorted(os.listdir(log_dir))
+    assert not any(n.endswith(".tmp") for n in names), names
+    for n in names:
+        if n.endswith(".json"):
+            assert os.path.getsize(os.path.join(log_dir, n)) > 0
