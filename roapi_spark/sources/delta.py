@@ -109,9 +109,28 @@ def _checkpoint_files(log_dir: str, v: int) -> list[str]:
     classic = f"{prefix}.parquet"
     if classic in names:
         return [os.path.join(log_dir, classic)]
-    multi = [n for n in names if re.match(rf"{prefix}\.\d{{10}}\.\d{{10}}\.parquet$", n)]
+    multi_re = re.compile(
+        rf"{re.escape(prefix)}\.(\d{{10}})\.(\d{{10}})\.parquet$"
+    )
+    multi = [
+        (int(m.group(1)), int(m.group(2)), n)
+        for n in names
+        if (m := multi_re.match(n))
+    ]
     if multi:
-        return [os.path.join(log_dir, n) for n in multi]
+        # the filename embeds (part index, total parts): a missing part
+        # would silently drop every file recorded only in it — verify
+        # completeness instead of seeding from whatever survived
+        totals = {t for _, t, _ in multi}
+        idxs = sorted(i for i, _, _ in multi)
+        if len(totals) != 1 or idxs != list(range(1, idxs[-1] + 1)) or (
+            idxs[-1] != next(iter(totals))
+        ):
+            raise ValueError(
+                f"incomplete multi-part checkpoint at version {v}: "
+                f"have parts {idxs} of {sorted(totals)}"
+            )
+        return [os.path.join(log_dir, n) for _, _, n in multi]
     return [os.path.join(log_dir, n) for n in names]  # v2 uuid-named
 
 
@@ -322,6 +341,83 @@ def snapshot_state(
     )
 
 
+def _replay_state(
+    table_path: str,
+    version: int | None = None,
+    timestamp: str | None = None,
+    collect_stats: bool = False,
+) -> tuple[dict[str, dict | None], dict[str, dict], dict | None]:
+    """The ONE commit-replay loop both snapshot surfaces share (they
+    had drifted as near-verbatim copies). Returns (active {raw path ->
+    dv|None}, adds {raw path -> add action}, metaData).
+
+    Guards every silent-wrong-snapshot hole:
+    - ``version`` past HEAD raises (delta-spark's version-out-of-range
+      error) instead of quietly serving the latest snapshot. A
+      ``timestamp`` after the newest commit intentionally resolves to
+      HEAD — the SELECT-level time-travel surface pins that lenient
+      behavior (tests/test_catalog.py).
+    - a gap in the replayed commit range (history cleaned, checkpoint
+      unreadable and pre-checkpoint commits deleted) raises instead of
+      silently dropping every file the missing entries referenced.
+    - explicit UTC offsets in ``timestamp`` are honored (_ts_epoch),
+      never overwritten with UTC."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise LoadError(f"not a delta table (no _delta_log): {table_path}")
+    commits = _log_versions(log_dir)
+    if not commits:
+        raise LoadError(f"empty delta log: {table_path}")
+    if timestamp is not None and version is None:
+        ts_limit = _ts_epoch(timestamp)
+        eligible = [v for v, p in commits if os.path.getmtime(p) <= ts_limit]
+        if not eligible:
+            raise LoadError(f"no delta commit at or before {timestamp}")
+        version = max(eligible)
+    head = commits[-1][0]
+    if version is not None and version > head:
+        raise LoadError(
+            f"version {version} is after the latest commit {head} of "
+            f"{table_path} (delta-spark raises the same out-of-range "
+            "error; a silent fall-through would pin a 'snapshot' that "
+            "keeps moving)"
+        )
+    base_v, active, meta, adds = _checkpoint_state(
+        log_dir, version, collect_stats=collect_stats
+    )
+    prev = base_v
+    for v, p in commits:
+        if v <= base_v:
+            continue
+        if version is not None and v > version:
+            break
+        if v != prev + 1:
+            raise LoadError(
+                f"delta log gap: version {prev + 1} missing for "
+                f"{table_path} (history cleaned past the usable "
+                "checkpoint?) — refusing to serve a partial snapshot"
+            )
+        prev = v
+        with open(p) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                _check_protocol(a, table_path)
+                if "add" in a and a["add"].get("path"):
+                    # a re-add of the same path replaces its DV (how
+                    # DELETE updates a file's deletion vector)
+                    active[a["add"]["path"]] = _norm_dv(
+                        a["add"].get("deletionVector")
+                    )
+                    adds[a["add"]["path"]] = a["add"]
+                elif "remove" in a and a["remove"].get("path"):
+                    active.pop(a["remove"]["path"], None)
+                elif "metaData" in a:
+                    meta = a["metaData"]  # latest wins (schema evolution)
+    return active, adds, meta
+
+
 def snapshot_raw_state(
     table_path: str, version: int | None = None, timestamp: str | None = None
 ) -> tuple[dict[str, dict | None], dict | None]:
@@ -332,44 +428,7 @@ def snapshot_raw_state(
     string verbatim, not re-derive it (delta-spark stores hive paths with
     a literal '=', which quote() would escape to %3D and orphan the add
     forever)."""
-    log_dir = os.path.join(table_path, "_delta_log")
-    if not os.path.isdir(log_dir):
-        raise LoadError(f"not a delta table (no _delta_log): {table_path}")
-    commits = _log_versions(log_dir)
-    if not commits:
-        raise LoadError(f"empty delta log: {table_path}")
-    if timestamp is not None and version is None:
-        from datetime import datetime, timezone
-
-        ts_limit = datetime.fromisoformat(timestamp).replace(
-            tzinfo=timezone.utc
-        ).timestamp()
-        eligible = [v for v, p in commits if os.path.getmtime(p) <= ts_limit]
-        if not eligible:
-            raise LoadError(f"no delta commit at or before {timestamp}")
-        version = max(eligible)
-    base_v, active, meta, _ = _checkpoint_state(log_dir, version)
-    for v, path in commits:
-        if v <= base_v:
-            continue
-        if version is not None and v > version:
-            break
-        with open(path) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                _check_protocol(action, table_path)
-                if "add" in action:
-                    # a re-add of the same path replaces its DV (how
-                    # DELETE updates a file's deletion vector)
-                    active[action["add"]["path"]] = _norm_dv(
-                        action["add"].get("deletionVector")
-                    )
-                elif "remove" in action:
-                    active.pop(action["remove"]["path"], None)
-                elif "metaData" in action:
-                    meta = action["metaData"]  # latest wins (schema evolution)
+    active, _adds, meta = _replay_state(table_path, version, timestamp)
     return active, meta
 
 
@@ -385,36 +444,7 @@ def snapshot_active_adds(
     v2 sidecar adds land in `active` but not `adds` — consumers must
     treat a missing/partial add conservatively (pruning: un-skippable;
     detail: size 0)."""
-    log_dir = os.path.join(table_path, "_delta_log")
-    if not os.path.isdir(log_dir):
-        raise LoadError(f"not a delta table (no _delta_log): {table_path}")
-    commits = _log_versions(log_dir)
-    if not commits:
-        raise LoadError(f"empty delta log: {table_path}")
-    base_v, active, meta, adds = _checkpoint_state(
-        log_dir, version, collect_stats=True
-    )
-    for v, p in commits:
-        if v <= base_v:
-            continue
-        if version is not None and v > version:
-            break
-        with open(p) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                _check_protocol(a, table_path)
-                if "add" in a and a["add"].get("path"):
-                    active[a["add"]["path"]] = _norm_dv(
-                        a["add"].get("deletionVector")
-                    )
-                    adds[a["add"]["path"]] = a["add"]
-                elif "remove" in a and a["remove"].get("path"):
-                    active.pop(a["remove"]["path"], None)
-                elif "metaData" in a:
-                    meta = a["metaData"]
-    return active, adds, meta
+    return _replay_state(table_path, version, collect_stats=True)
 
 
 def snapshot_adds_pruned(
@@ -521,15 +551,50 @@ def _read_via_log(spark: SparkSession, ts: TableSource) -> DataFrame:
         raise LoadError(f"delta table {ts.name!r}: snapshot has no data files")
     files = [p for p, _ in adds]
     # basePath keeps hive-style partition dirs as columns, matching what
-    # the delta-spark reader reconstructs from add.partitionValues
-    df = spark.read.option("basePath", ts.uri).parquet(*files)
+    # the delta-spark reader reconstructs from add.partitionValues;
+    # mergeSchema unions footers so a schema-evolved table (ALTER ADD
+    # COLUMN, then new files carrying it) surfaces the new column's
+    # values instead of whatever one sampled footer happened to hold
+    # (the session pins spark.sql.parquet.mergeSchema=false globally)
+    df = (
+        spark.read.option("basePath", ts.uri)
+        .option("mergeSchema", "true")
+        .parquet(*files)
+    )
     with_dv = [(p, dv) for p, dv in adds if dv]
     if with_dv:
         df = _apply_deletion_vectors(spark, df, with_dv, ts)
     conf = (meta or {}).get("configuration") or {}
     if conf.get("delta.columnMapping.mode", "none") != "none":
         df = _unmap_columns(df, meta, ts)
+    elif meta and meta.get("schemaString"):
+        # serve the LOG's schema (delta-spark semantics): declared
+        # order/types, columns absent from every scanned file as typed
+        # NULLs — the parquet-sampled schema is not the table schema
+        df = _project_log_schema(df, meta, ts)
     return df
+
+
+def _project_log_schema(df: DataFrame, meta: dict, ts: TableSource) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    try:
+        st = StructType.fromJson(json.loads(meta["schemaString"]))
+    except Exception as exc:  # noqa: BLE001
+        raise LoadError(
+            f"delta table {ts.name!r}: unparseable schemaString: {exc}"
+        ) from exc
+    present = set(df.columns)
+    cols = []
+    for f in st.fields:
+        c = (
+            F.col(f.name).cast(f.dataType)
+            if f.name in present
+            else F.lit(None).cast(f.dataType)
+        )
+        cols.append(c.alias(f.name))
+    return df.select(*cols)
 
 
 def _unmap_columns(df: DataFrame, meta: dict, ts: TableSource) -> DataFrame:
@@ -600,9 +665,23 @@ def _apply_deletion_vectors(
     cols = df.columns
     dv_df = spark.createDataFrame(deleted, "_dv_file string, _dv_row bigint")
     kept = (
-        # normalize file:/p vs file:///p URI spellings to a plain path
+        # normalize file:/p vs file:///p URI spellings to a plain path,
+        # then percent-decode: file_path is a URI (space -> %20) while
+        # _dv_file holds literal fs paths — an encoded mismatch would
+        # silently RESURRECT every DV-deleted row in that file. The
+        # '+'->'%2B' pre-step neutralizes url_decode's form-encoding
+        # quirk ('+' means space there, but means '+' in a file URI).
         df.withColumn(
-            "_file", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+            "_file",
+            F.url_decode(
+                F.replace(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/+", "/"
+                    ),
+                    F.lit("+"),
+                    F.lit("%2B"),
+                )
+            ),
         )
         .withColumn("_row", F.col("_metadata.row_index"))
         .join(
@@ -633,8 +712,19 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
         r = r.option("timestampAsOf", str(ts.option["timestamp"]))
     try:
         return r.load(ts.uri)
-    except Exception:  # noqa: BLE001 — jars absent: pure-Python log replay
-        return _read_via_log(spark, ts)
+    except Exception as exc:  # noqa: BLE001
+        # fall back to the pure-Python log replay ONLY when the delta
+        # jars are absent (SparkClassNotFoundException / DATA_SOURCE_
+        # NOT_FOUND). Any other delta-spark failure — version out of
+        # range, corrupt checkpoint, permissions — must surface: a
+        # blanket fallback would swallow a hard error and re-serve the
+        # table through a path with different semantics.
+        msg = str(exc)
+        if "DATA_SOURCE_NOT_FOUND" in msg or (
+            "Failed to find" in msg and "data source" in msg
+        ):
+            return _read_via_log(spark, ts)
+        raise
 
 
 def _ts_epoch(ts: str) -> float:
@@ -762,10 +852,31 @@ def table_changes(
                 .withColumn("_commit_timestamp", F.lit(ts_commit))
             )
     if not parts:
-        raise LoadError(
-            f"no commits in change range [{start_version}, {end_version}] "
-            f"for {table_path}"
+        in_range = [
+            v for v, _ in commits
+            if v >= start_version
+            and (end_version is None or v <= end_version)
+        ]
+        if not in_range:
+            raise LoadError(
+                f"no commits in change range [{start_version}, "
+                f"{end_version}] for {table_path}"
+            )
+        # valid range, zero row changes (metadata-only commits, or
+        # OPTIMIZE's dataChange=false rearrangement): delta-spark
+        # returns an EMPTY change feed here, not an error
+        from pyspark.sql.types import StructType
+
+        _, meta = snapshot_state(table_path)
+        schema = StructType.fromJson(
+            json.loads((meta or {}).get("schemaString", '{"type":"struct","fields":[]}'))
         )
+        schema = (
+            schema.add("_change_type", "string")
+            .add("_commit_version", "long")
+            .add("_commit_timestamp", "timestamp")
+        )
+        return spark.createDataFrame([], schema)
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df, allowMissingColumns=True)

@@ -254,9 +254,21 @@ def to_dataframe(spark: SparkSession, ts: TableSource) -> DataFrame:
 
 
 def _norm_path(col):
+    """URI -> literal path: strip the file: scheme and percent-decode
+    (_metadata.file_path encodes e.g. space as %20; the delete files'
+    recorded paths may be literal). Decoding BOTH join sides makes the
+    (file, row) anti-join immune to encoding mismatches that would
+    silently resurrect deleted rows. '+' is pre-escaped because Spark's
+    url_decode is form-decoding ('+' means space there, not in URIs)."""
     from pyspark.sql import functions as F
 
-    return F.regexp_replace(col, "^file:/+", "/")
+    return F.url_decode(
+        F.replace(
+            F.regexp_replace(col, "^file:/+", "/"),
+            F.lit("+"),
+            F.lit("%2B"),
+        )
+    )
 
 
 def _rebase_dv_path(col, base: str):
