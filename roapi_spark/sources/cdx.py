@@ -64,7 +64,16 @@ def parse_cdx_lines(
     must not be able to throw — found the hard way with ANSI
     element_at under a merged predicate."""
     v = F.col(value_col)
-    clean = F.when((F.trim(v) != "") & (~v.startswith(" CDX")), v)
+    # skipped chatter: blanks, legacy OpenWayback ' CDX ...' headers,
+    # and '!'-prefixed CDXJ metadata lines (cdxj-indexer writes e.g.
+    # '!meta 0 {...}' at the top of a shard — format metadata, not a
+    # capture; its ts field would crash day-based consumers)
+    clean = F.when(
+        (F.trim(v) != "")
+        & (~v.startswith(" CDX"))
+        & (~v.startswith("!")),
+        v,
+    )
     parts = F.split(clean, " ", 3)
     blob = (
         F.when(clean.isNull(), F.lit(None))

@@ -44,6 +44,18 @@ _BINARYFILE_SCHEMA = (
     "path string, modificationTime timestamp, length bigint, content binary"
 )
 
+
+def _landing_stream(spark: SparkSession, landing_dir: str, glob: str):
+    """The shared binaryFile landing-directory source every crawl
+    stream fronts with: whole-file rows, glob-filtered, checkpointed
+    by the file-stream cursor."""
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .load(landing_dir)
+    )
+
 FLAGS_SCHEMA = (
     "warc_file string, target_uri string, is_ok int, is_html int, "
     "norm_len bigint"
@@ -56,11 +68,19 @@ def _parse_extract_kernel(include_text: bool = False):
     from roapi_spark.functions.web import decode_http_text, extract_main_text
     from roapi_spark.sources.warc import parse_warc_bytes
 
+    cols = [
+        "warc_file", "target_uri", "is_ok", "is_html", "norm_len",
+    ] + (["extracted"] if include_text else [])
+
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # yield one frame PER INPUT FILE: holding a whole Arrow chunk's
+        # parsed records (several ~1 GB archives' extracted texts) at
+        # once would scale task memory with chunk size, breaking the
+        # documented max(file size)-per-task bound
         for pdf in batches:
-            out: list[dict] = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 name = str(path).rsplit("/", 1)[-1]
+                out: list[dict] = []
                 for rec in parse_warc_bytes(bytes(content), name):
                     if rec["warc_type"] != "response":
                         continue
@@ -87,10 +107,7 @@ def _parse_extract_kernel(include_text: bool = False):
                     if include_text:
                         row["extracted"] = text
                     out.append(row)
-            cols = [
-                "warc_file", "target_uri", "is_ok", "is_html", "norm_len",
-            ] + (["extracted"] if include_text else [])
-            yield pd.DataFrame(out, columns=cols)
+                yield pd.DataFrame(out, columns=cols)
 
     return fn
 
@@ -107,12 +124,7 @@ def stream_crawl_ingest(
     column, batch_id) once per micro-batch of newly landed files."""
     from roapi_spark.functions.web import canonical_url
 
-    files = (
-        spark.readStream.format("binaryFile")
-        .schema(_BINARYFILE_SCHEMA)
-        .option("pathGlobFilter", "*.warc*")
-        .load(landing_dir)
-    )
+    files = _landing_stream(spark, landing_dir, "*.warc*")
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         flags = batch_df.mapInPandas(
@@ -134,27 +146,36 @@ FRONTIER_OUTPUT = "canon string, warc_file string, is_new int"
 FRONTIER_STATE = "seen int"
 
 
-def _frontier_fn(key, pdfs, state):
-    """Per-canonical-URL state: the first arrival EVER is emitted with
-    is_new=1 (attributed deterministically to the smallest
-    (warc_file, target_uri) row of its batch); every later arrival —
-    same batch or any later one — emits is_new=0. State is one int per
-    canonical."""
-    import pandas as pd
+def _first_seen_fn(sort_cols: list[str], out_key: str, out_file: str):
+    """Factory for the exact first-seen state kernel both frontiers
+    share (they had drifted as renamed copies): the first arrival EVER
+    of a key emits is_new=1 — attributed deterministically to the
+    smallest ``sort_cols`` row of its batch — and every later arrival,
+    same batch or any later one, emits is_new=0. State is one int per
+    key."""
 
-    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
-        ["warc_file", "target_uri"], kind="stable"
-    )
-    first_is_new = 0 if state.exists else 1
-    flags = [first_is_new] + [0] * (len(rows) - 1)
-    state.update((1,))
-    yield pd.DataFrame(
-        {
-            "canon": [key[0]] * len(rows),
-            "warc_file": list(rows["warc_file"]),
-            "is_new": flags,
-        }
-    )
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            sort_cols, kind="stable"
+        )
+        first_is_new = 0 if state.exists else 1
+        flags = [first_is_new] + [0] * (len(rows) - 1)
+        state.update((1,))
+        yield pd.DataFrame(
+            {
+                out_key: [key[0]] * len(rows),
+                out_file: list(rows[out_file]),
+                "is_new": flags,
+            }
+        )
+
+    return fn
+
+
+# per-canonical-URL crawl-revisit classification
+_frontier_fn = _first_seen_fn(["warc_file", "target_uri"], "canon", "warc_file")
 
 
 def _parse_urls_kernel():
@@ -196,12 +217,7 @@ def stream_url_frontier(
 
     from roapi_spark.functions.web import canonical_url
 
-    files = (
-        spark.readStream.format("binaryFile")
-        .schema(_BINARYFILE_SCHEMA)
-        .option("pathGlobFilter", "*.warc*")
-        .load(landing_dir)
-    )
+    files = _landing_stream(spark, landing_dir, "*.warc*")
     urls = files.mapInPandas(
         _parse_urls_kernel(), "warc_file string, target_uri string"
     ).withColumn("canon", canonical_url(F.col("target_uri")))
@@ -244,24 +260,37 @@ def stream_index_fetch(
     columns, batch_id) per micro-batch.
 
     Scale: per-batch cost = newly landed index volume + one seek+read
-    per surviving pointer; the archives are never scanned. Index
-    shards here are plain text; gzipped shards would gunzip in the
-    line-split step (not needed by the gates, documented)."""
+    per surviving pointer; the archives are never scanned. Shards may
+    be plain text or gzipped — the line kernel sniffs the gzip magic
+    per file (extension-independent, like the batch cdx source's
+    gz-transparent text scan)."""
     from roapi_spark.sources.cdx import parse_cdx_lines
     from roapi_spark.sources.warc import fetch_records
 
-    files = (
-        spark.readStream.format("binaryFile")
-        .schema(_BINARYFILE_SCHEMA)
-        .option("pathGlobFilter", "*.cdx*")
-        .load(landing_dir)
-    )
+    files = _landing_stream(spark, landing_dir, "*.cdx*")
+
+    def _lines_kernel(batches):
+        # gz-transparent like the batch cdx source (spark.read.text):
+        # sniff the gzip magic per landed shard instead of trusting the
+        # extension — a '*.cdx*' glob admits '.cdx.gz', and UTF-8-
+        # decoding raw gzip bytes would feed mojibake to the FAILFAST
+        # parser and kill the stream with an unrelated-looking error
+        import gzip as _gzip
+
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                raw = bytes(content)
+                if raw[:2] == b"\x1f\x8b":
+                    raw = _gzip.decompress(raw)
+                yield pd.DataFrame(
+                    {"value": raw.decode("utf-8").split("\n")}
+                )
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        lines = batch_df.select(
-            F.explode(
-                F.split(F.decode(F.col("content"), "UTF-8"), "\n")
-            ).alias("value")
+        lines = batch_df.select("content").mapInPandas(
+            _lines_kernel, "value string"
         )
         pointers = parse_cdx_lines(lines)
         if pointer_filter is not None:
@@ -372,12 +401,7 @@ def stream_url_frontier_bounded(
 
     from roapi_spark.functions.web import canonical_url
 
-    files = (
-        spark.readStream.format("binaryFile")
-        .schema(_BINARYFILE_SCHEMA)
-        .option("pathGlobFilter", "*.warc*")
-        .load(landing_dir)
-    )
+    files = _landing_stream(spark, landing_dir, "*.warc*")
     urls = files.mapInPandas(
         _parse_urls_kernel(), "warc_file string, target_uri string"
     ).withColumn("canon", canonical_url(F.col("target_uri")))
@@ -453,6 +477,7 @@ def stream_crawl_to_delta(
     checkpoint: str,
     min_text: int = 1,
     query_name: str = "crawl_to_delta",
+    doc_mapper: Callable[[DataFrame], DataFrame] | None = None,
 ) -> StreamingQuery:
     """Streaming corpus DELIVERY: each micro-batch of newly landed WARC
     files is parsed + extracted, filtered to pages with usable main text,
@@ -468,45 +493,69 @@ def stream_crawl_to_delta(
     commitInfo, and a replayed batch (crash between the Delta commit
     and the checkpoint commit) is detected and skipped by comparing
     against the table's latest delivered epoch for this queryId. The
-    contract mirrors delta-spark's streaming sink: checkpoint and table
-    move together; restarting with a FRESH checkpoint against an
-    already-delivered table requires a new query_name."""
-    from pyspark.sql import functions as F
+    contract mirrors delta-spark's streaming sink (txn appId/version
+    dedup): checkpoint and table move together. A reset checkpoint
+    against a multi-epoch table fails LOUDLY (batch id behind the
+    delivered epoch — silently skipping would drop any new files mixed
+    into the reset batches); a reset against a single-epoch table is
+    indistinguishable from a crash replay by ids alone and is skipped,
+    exactly like delta-spark's sink — land new files under a new
+    query_name (or fresh table) after wiping a checkpoint.
 
+    ``doc_mapper`` shapes extracted pages into the rows to append: it
+    receives the per-batch DataFrame (FLAGS_SCHEMA + ``extracted`` +
+    ``canon``, already filtered to usable pages and batch-deduped on
+    the canonical URL). The default parses doc_id/source from
+    ``https://host/<source>/<doc_id>`` URL layouts (the synthetic-
+    corpus shape); real crawls pass their own mapping — the default's
+    regex yields NULL doc_ids on any other URL shape."""
     from roapi_spark.functions.web import canonical_url
     from roapi_spark.sinks.delta import write_delta
 
-    files = (
-        spark.readStream.format("binaryFile")
-        .schema(_BINARYFILE_SCHEMA)
-        .option("pathGlobFilter", "*.warc*")
-        .load(landing_dir)
-    )
+    def default_mapper(pages: DataFrame) -> DataFrame:
+        return pages.select(
+            F.regexp_extract("canon", r"://[^/]+/[^/]+/(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("extracted").alias("text"),
+            F.regexp_extract("canon", r"://[^/]+/([^/]+)/", 1).alias(
+                "source"
+            ),
+            F.col("norm_len").alias("n_chars"),
+        )
+
+    mapper = doc_mapper if doc_mapper is not None else default_mapper
+
+    files = _landing_stream(spark, landing_dir, "*.warc*")
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         last = _last_delivered_epoch(table_path, query_name)
-        if last is not None and batch_id <= last:
-            return  # replayed batch: its commit already landed
+        if last is not None and batch_id == last:
+            return  # crash-replayed batch: its commit already landed
+        if last is not None and batch_id < last:
+            # a resumed stream's ids only ever continue from last+1 or
+            # replay exactly `last`; anything lower means the checkpoint
+            # was wiped and restarted against an already-delivered
+            # table — silently skipping would DROP whatever new files
+            # this batch carries while the file-stream cursor marks
+            # them consumed. Fail loud instead.
+            raise RuntimeError(
+                f"stream {query_name!r}: batch {batch_id} is behind the "
+                f"table's last delivered epoch {last} — the checkpoint "
+                "was reset against an already-delivered table. Deliver "
+                "to a fresh table, restore the checkpoint, or use a new "
+                "query_name."
+            )
         flags = batch_df.mapInPandas(
             _parse_extract_kernel(include_text=True),
             FLAGS_SCHEMA + ", extracted string",
         )
-        docs = (
+        docs = mapper(
             flags.filter(
                 (F.col("is_html") == 1) & (F.col("norm_len") >= min_text)
             )
             .withColumn("canon", canonical_url(F.col("target_uri")))
             .dropDuplicates(["canon"])
-            .select(
-                F.regexp_extract("canon", r"://[^/]+/[^/]+/(\d+)", 1)
-                .cast("bigint")
-                .alias("doc_id"),
-                F.col("extracted").alias("text"),
-                F.regexp_extract("canon", r"://[^/]+/([^/]+)/", 1).alias(
-                    "source"
-                ),
-                F.col("norm_len").alias("n_chars"),
-            )
         )
         # an empty micro-batch (stream start, no new files) must not
         # publish an empty commit; persist so the emptiness probe and
@@ -540,27 +589,11 @@ def stream_crawl_to_delta(
 SEED_OUTPUT = "surt string, sitemap_file string, is_new int"
 
 
-def _seed_frontier_fn(key, pdfs, state):
-    """Per-SURT seed state — the discovery twin of _frontier_fn: the
-    first time a sitemap offers a page key, it is a NEW seed (feed the
-    fetcher); every later offer — re-landed shard, overlapping
-    sitemaps, next discovery round — is known. State is one int per
-    SURT."""
-    import pandas as pd
-
-    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
-        ["sitemap_file", "loc"], kind="stable"
-    )
-    first_is_new = 0 if state.exists else 1
-    flags = [first_is_new] + [0] * (len(rows) - 1)
-    state.update((1,))
-    yield pd.DataFrame(
-        {
-            "surt": [key[0]] * len(rows),
-            "sitemap_file": list(rows["sitemap_file"]),
-            "is_new": flags,
-        }
-    )
+# per-SURT seed discovery — the discovery twin of _frontier_fn: the
+# first time a sitemap offers a page key it is a NEW seed (feed the
+# fetcher); every later offer (re-landed shard, overlapping sitemaps,
+# next discovery round) is known
+_seed_frontier_fn = _first_seen_fn(["sitemap_file", "loc"], "surt", "sitemap_file")
 
 
 def stream_sitemap_seeds(
@@ -603,6 +636,26 @@ def stream_sitemap_seeds(
             ),
         )
     )
+    # a <sitemapindex> landing here would be silently consumed with
+    # zero seeds (its <sitemap> children carry no <url> entries) —
+    # fail loud instead: index expansion is the BATCH source's job
+    # (sources/sitemap.resolve_files); streams land urlset shards
+    raw = raw.withColumn(
+        "value",
+        F.when(
+            F.col("value").contains("<sitemapindex"),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "sitemap INDEX file landed in the streaming "
+                        "seed directory (land urlset shards; the "
+                        "batch sitemap source expands indexes): "
+                    ),
+                    F.col("sitemap_file"),
+                )
+            ).cast("string"),
+        ).otherwise(F.col("value")),
+    )
     seeds = parse_sitemap_content(raw).select(
         url_to_surt(F.col("loc")).alias("surt"), "loc", "sitemap_file"
     )
@@ -642,6 +695,14 @@ def _ttl_frontier_fn(ttl_days: int):
         import pandas as pd
 
         def day_num(ts14: str) -> int:
+            if len(ts14) < 8 or not ts14[:8].isdigit():
+                # name the offending value: an opaque int('') traceback
+                # from inside the state worker is undebuggable
+                raise ValueError(
+                    f"CDXJ fetch_ts {ts14!r} is not a 14-digit "
+                    "timestamp — malformed index line reached the "
+                    "recrawl frontier"
+                )
             return _dt.date(
                 int(ts14[0:4]), int(ts14[4:6]), int(ts14[6:8])
             ).toordinal()

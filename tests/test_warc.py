@@ -698,3 +698,103 @@ def test_last_delivered_epoch_garbled_own_commit_fails_loud(
         _last_delivered_epoch(table, "q1")
     # other queries are unaffected by q1's garbled commit
     assert _last_delivered_epoch(table, "q2") is None
+
+
+def test_crawl_to_delta_reset_checkpoint_fails_loudly(spark, tmp_path):
+    """A wiped checkpoint restarted against a MULTI-epoch table must
+    raise (batch ids restart at 0 < last delivered epoch): silently
+    skipping would drop any new files mixed into the reset batches
+    while the file cursor marks them consumed."""
+    import shutil
+
+    from roapi_spark.streaming.crawl import stream_crawl_to_delta
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+    html = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<body><p>corpus text body</p></body>"
+    )
+    (landing / "w1.warc").write_bytes(
+        rec("response", "https://e.com/d/1", html)
+    )
+    q = stream_crawl_to_delta(spark, str(landing), table, ck, min_text=1)
+    q.processAllAvailable()
+    (landing / "w2.warc").write_bytes(
+        rec("response", "https://e.com/d/2", html)
+    )
+    q.processAllAvailable()  # epoch 1 delivered
+    q.stop()
+
+    shutil.rmtree(ck)
+    (landing / "w3.warc").write_bytes(
+        rec("response", "https://e.com/d/3", html)
+    )
+    q2 = stream_crawl_to_delta(spark, str(landing), table, ck, min_text=1)
+    with pytest.raises(Exception, match="behind the table's last delivered"):
+        q2.processAllAvailable()
+    q2.stop()
+
+
+def test_index_fetch_gzipped_shard(spark, tmp_path):
+    """A gzipped CDXJ shard landing in the index-fetch stream must
+    gunzip transparently (the '*.cdx*' glob admits .cdx.gz; decoding
+    raw gzip bytes used to kill the stream with a FAILFAST JSON
+    error)."""
+    import json as _json
+
+    from roapi_spark.streaming.crawl import stream_index_fetch
+
+    arch = tmp_path / "archives"
+    arch.mkdir()
+    body = rec("response", "https://e.com/p", HTTP_OK)
+    (arch / "a.warc").write_bytes(body)
+    line = "com,e)/p 20260101000000 " + _json.dumps(
+        {
+            "url": "https://e.com/p",
+            "mime": "text/plain",
+            "status": "200",
+            "digest": "sha1:X",
+            "length": str(len(body)),
+            "offset": "0",
+            "filename": "a.warc",
+        },
+        sort_keys=True,
+    )
+    landing = tmp_path / "idx"
+    landing.mkdir()
+    (landing / "s.cdx.gz").write_bytes(
+        gzip.compress((line + "\n").encode(), mtime=0)
+    )
+    got: list[str] = []
+
+    def process(records, batch_id):
+        got.extend(r["target_uri"] for r in records.collect())
+
+    q = stream_index_fetch(
+        spark, str(landing), str(arch), process, str(tmp_path / "ck")
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert got == ["https://e.com/p"]
+
+
+def test_cdx_parse_skips_bang_metadata_lines(spark, tmp_path):
+    """cdxj-indexer shards open with '!meta 0 {...}' metadata lines —
+    format chatter, not captures; the shared parse must skip them (a
+    '0' fetch_ts would crash day-based consumers downstream)."""
+    import json as _json
+
+    from roapi_spark.sources.cdx import parse_cdx_lines
+
+    line = "com,e)/p 20260101000000 " + _json.dumps(
+        {"url": "https://e.com/p", "filename": "a.warc",
+         "length": "1", "offset": "0"}
+    )
+    df = spark.createDataFrame(
+        [("!meta 0 {\"format\": \"cdxj\"}",), (line,)], "value string"
+    )
+    out = parse_cdx_lines(df).collect()
+    assert len(out) == 1 and out[0]["surt_key"] == "com,e)/p"
