@@ -98,7 +98,11 @@ class Catalog:
                     os.unlink(os.path.join(stage_dir, leftover))
                 except OSError:
                     pass
-        ext = os.path.splitext(ts.uri)[1]
+        # keep the FULL suffix chain: '.warc.gz'/'.cdx.gz' readers key
+        # gzip handling on the double suffix, and splitext's bare '.gz'
+        # would defeat format sniffing on the staged copy
+        base = os.path.basename(ts.uri)
+        ext = base[base.index(".") :] if "." in base else ""
         staged = os.path.join(stage_dir, f"{_uuid.uuid4().hex}{ext}")
         shutil.copy2(ts.uri, staged)
         gens = self._staged.setdefault(ts.name, [])
@@ -141,18 +145,37 @@ class Catalog:
         rejected in read-only mode (roapi/src/api/routes.rs:29-37)."""
         if dynamic and self.read_only:
             raise ReadOnlyError("catalog is read-only; dynamic register disabled")
+        # record the delta head BEFORE loading: listing it after would
+        # race an external commit landing mid-load (recorded head N+1
+        # against a version-N view lets VACUUM skip a needed rebind);
+        # listing first is conservative — recorded <= pinned, so a
+        # mismatch only ever causes an extra rebind, never a skip
+        head = None
+        if self._resolved_fmt(ts) == "delta":
+            from roapi_spark.sources.delta import _log_versions
+
+            head = max(
+                (v for v, _ in _log_versions(
+                    os.path.join(ts.uri, "_delta_log"))),
+                default=-1,
+            )
         df = _load(self.spark, self._stage_source(ts))
         with self._lock:
             self._bind(ts, df)
             self.sources[ts.name] = ts
-            if (ts.format or "").lower() == "delta":
-                from roapi_spark.sources.delta import _log_versions
+            if head is not None:
+                self._bound_delta_head[ts.name] = head
 
-                self._bound_delta_head[ts.name] = max(
-                    (v for v, _ in _log_versions(
-                        os.path.join(ts.uri, "_delta_log"))),
-                    default=-1,
-                )
+    @staticmethod
+    def _resolved_fmt(ts: TableSource) -> str:
+        """Lower-cased effective format: explicit, else sniffed — a
+        delta table registered without `format:` (directory sniffing
+        resolves it) must still be recognized by the DML/maintenance/
+        time-travel routes."""
+        try:
+            return ts.resolved_format().lower()
+        except Exception:  # noqa: BLE001 — unsniffable: treat as unknown
+            return (ts.format or "").lower()
 
     def drop_table(self, name: str, dynamic: bool = False) -> None:
         if dynamic and self.read_only:
@@ -162,6 +185,10 @@ class Catalog:
                 raise CatalogError(f"table not found: {name}")
             self.spark.catalog.dropTempView(name)
             del self.sources[name]
+            # a DML'd-then-dropped table must not linger in the stale
+            # set: the next read's flush would KeyError on sources[name]
+            self._stale_dml_views.discard(name)
+            self._bound_delta_head.pop(name, None)
             for df in self._pinned.pop(name, []):
                 df.unpersist(blocking=False)
             for staged in self._staged.pop(name, []):
@@ -209,17 +236,75 @@ class Catalog:
             plan = self.spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
         except Exception:
             return  # let spark.sql raise its own (nicer) parse error
-        name = plan.getClass().getSimpleName()
         jvm = self.spark.sparkContext._jvm
-        is_command = jvm.java.lang.Class.forName(
+        cmd_cls = jvm.java.lang.Class.forName(
             "org.apache.spark.sql.catalyst.plans.logical.Command"
-        ).isInstance(plan)
-        if is_command:
-            if not name.startswith(self._READONLY_COMMAND_PREFIXES):
-                raise ReadOnlyError(f"read-only mode rejects {name}: {sql[:80]}")
-        elif name.startswith("Insert"):  # InsertIntoStatement / InsertIntoDir
-            # writes parse to plain logical plans, not Command nodes
-            raise ReadOnlyError(f"read-only mode rejects {name}: {sql[:80]}")
+        )
+
+        # walk the WHOLE tree, not just the root: a CTE-wrapped INSERT
+        # parses to UnresolvedWith and a multi-insert to Union — judging
+        # only the top node would wave filesystem writes through the
+        # read-only gate
+        def walk(node) -> None:
+            name = node.getClass().getSimpleName()
+            if cmd_cls.isInstance(node):
+                if not name.startswith(self._READONLY_COMMAND_PREFIXES):
+                    raise ReadOnlyError(
+                        f"read-only mode rejects {name}: {sql[:80]}"
+                    )
+            elif name.startswith("Insert"):  # InsertIntoStatement / IntoDir
+                # writes parse to plain logical plans, not Command nodes
+                raise ReadOnlyError(
+                    f"read-only mode rejects {name}: {sql[:80]}"
+                )
+            for seq in (node.children(), node.innerChildren()):
+                it = seq.iterator()
+                while it.hasNext():
+                    walk(it.next())
+
+        walk(plan)
+
+    @staticmethod
+    def _mask_literals(sql: str) -> str:
+        """Same-length copy of ``sql`` with the CONTENTS of quoted spans
+        ('…', "…", `…`; doubling handled) and comments (-- …, /* … */)
+        blanked to spaces — keyword/regex scans run on the mask (so a
+        literal like 'see VERSION AS OF 2' never fires a rewrite) while
+        every match position maps 1:1 back onto the original text."""
+        out = list(sql)
+        i, n = 0, len(sql)
+        while i < n:
+            ch = sql[i]
+            if ch in ("'", '"', "`"):
+                q = ch
+                i += 1
+                while i < n:
+                    if sql[i] == q:
+                        if i + 1 < n and sql[i + 1] == q:  # doubled quote
+                            out[i] = out[i + 1] = " "
+                            i += 2
+                            continue
+                        break
+                    out[i] = " "
+                    i += 1
+                i += 1  # past the closing quote (or EOF)
+            elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+                while i < n and sql[i] != "\n":
+                    out[i] = " "
+                    i += 1
+            elif ch == "/" and i + 1 < n and sql[i + 1] == "*":
+                out[i] = out[i + 1] = " "
+                i += 2
+                while i < n:
+                    if sql[i] == "*" and i + 1 < n and sql[i + 1] == "/":
+                        out[i] = out[i + 1] = " "
+                        i += 2
+                        break
+                    out[i] = " "
+                    i += 1
+            else:
+                i += 1
+        return "".join(out)
 
     # information_schema surface (DataFusion exposes it natively —
     # columnq/src/query/sql.rs session config enables it; Spark has no such
@@ -291,7 +376,7 @@ class Catalog:
         if name not in self.sources:
             raise CatalogError(f"table not found: {name}")
         ts = self.sources[name]
-        if (ts.format or "").lower() != "delta":
+        if self._resolved_fmt(ts) != "delta":
             raise CatalogError(
                 f"{stmt} is only supported on delta-backed tables; "
                 f"{name!r} has format {ts.format!r}"
@@ -508,7 +593,7 @@ class Catalog:
         re.I | re.S,
     )
     _DROP_RE = re.compile(
-        r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?" + _IDENT + r"\s*;?\s*$",
+        r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?" + _IDENT + r"\s*;?\s*$",
         re.I,
     )
 
@@ -546,8 +631,10 @@ class Catalog:
             )
         m = self._DROP_RE.match(sql)
         if m is not None:
-            name = self._unquote_ident(m.group(1))
-            if name not in self.sources and "IF EXISTS" in sql.upper():
+            name = self._unquote_ident(m.group(2))
+            # group(1) is the captured IF EXISTS clause itself — a
+            # substring test missed 'IF\nEXISTS'/double-space spellings
+            if name not in self.sources and m.group(1) is not None:
                 return self.spark.createDataFrame(
                     [("DROP TABLE", name, -1)],
                     "operation string, table string, version bigint",
@@ -805,14 +892,26 @@ class Catalog:
                         for a in self._scala_seq(act.assignments())
                     }
         insert = False
+        insert_cond: str | None = None
         for act in self._scala_seq(plan.notMatchedActions()):
             acls = act.getClass().getSimpleName()
             if acls == "InsertStarAction":
                 insert = True
+                cond = act.condition()
+                # WHEN NOT MATCHED AND <c> THEN INSERT *: dropping the
+                # condition would insert every unmatched source row
+                insert_cond = cond.get().sql() if cond.isDefined() else None
             else:
                 raise CatalogError(
                     f"only INSERT * is supported for WHEN NOT MATCHED, got {acls}"
                 )
+        # Spark 3.4+ grammar: WHEN NOT MATCHED BY SOURCE clauses touch
+        # target rows WITHOUT a source match — a rewrite shape this
+        # sink does not implement; silently ignoring them would commit
+        # a MERGE that kept rows the user asked to delete/update
+        by_source = getattr(plan, "notMatchedBySourceActions", None)
+        if by_source is not None and len(self._scala_seq(by_source())) > 0:
+            raise CatalogError("WHEN NOT MATCHED BY SOURCE is not supported")
         v = merge_delta(
             self.spark,
             self._delta_path(tname),
@@ -822,6 +921,7 @@ class Catalog:
             when_matched_update_condition=upd_cond,
             when_matched_delete=del_cond,
             when_not_matched_insert=insert,
+            when_not_matched_insert_condition=insert_cond,
             target_alias=talias,
             source_alias=salias,
         )
@@ -876,7 +976,14 @@ class Catalog:
     def _rewrite_time_travel(self, sql: str) -> str:
         out: list[str] = []
         last = 0
-        for m in self._TT_KEY_RE.finditer(sql):
+        # scan the literal-masked text (a keyword inside a string value
+        # must not fire), re-matching each hit on the ORIGINAL so the
+        # captured tokens carry the real quoted content
+        masked = self._mask_literals(sql)
+        for mm in self._TT_KEY_RE.finditer(masked):
+            m = self._TT_KEY_RE.match(sql, mm.start())
+            if m is None:
+                continue
             if m.start() < last:  # keyword inside a consumed span
                 continue
             found = self._ident_before(sql, m.start())
@@ -889,7 +996,7 @@ class Catalog:
             if name not in self.sources:
                 raise CatalogError(f"table not found: {name}")
             ts = self.sources[name]
-            if (ts.format or "").lower() != "delta":
+            if self._resolved_fmt(ts) != "delta":
                 raise CatalogError(
                     f"time travel is only supported on delta-backed tables; "
                     f"{name!r} has format {ts.format!r}"
@@ -968,7 +1075,21 @@ class Catalog:
             )
             return view
 
-        return self._CDF_RE.sub(repl, sql)
+        # scan the literal-masked text so a table_changes(...) snippet
+        # inside a string value is never rewritten; re-match each hit
+        # on the original for the real quoted arguments
+        masked = self._mask_literals(sql)
+        out: list[str] = []
+        last = 0
+        for mm in self._CDF_RE.finditer(masked):
+            m = self._CDF_RE.match(sql, mm.start())
+            if m is None or m.start() < last:
+                continue
+            out.append(sql[last : m.start()])
+            out.append(repl(m))
+            last = m.end()
+        out.append(sql[last:])
+        return "".join(out)
 
     def query_sql(self, sql: str, args: list | None = None) -> DataFrame:
         """``args`` are positional parameters for ``?`` placeholders,
@@ -995,13 +1116,24 @@ class Catalog:
                 return routed
         if self._stale_dml_views:
             self._flush_stale_views()
-        if self._TT_KEY_RE.search(sql):
+        masked = self._mask_literals(sql)
+        if self._TT_KEY_RE.search(masked):
             sql = self._rewrite_time_travel(sql)
-        if self._CDF_RE.search(sql):
+            masked = self._mask_literals(sql)
+        if self._CDF_RE.search(masked):
             sql = self._rewrite_table_changes(sql)
-        if self._INFO_SCHEMA_RE.search(sql):
+            masked = self._mask_literals(sql)
+        if self._INFO_SCHEMA_RE.search(masked):
             self._materialize_information_schema()
-            sql = self._INFO_SCHEMA_RE.sub(lambda m: f"information_schema_{m.group(1).lower()}", sql)
+            # rewrite only OUTSIDE literals (mask positions map 1:1)
+            out: list[str] = []
+            last = 0
+            for m in self._INFO_SCHEMA_RE.finditer(masked):
+                out.append(sql[last : m.start()])
+                out.append(f"information_schema_{m.group(1).lower()}")
+                last = m.end()
+            out.append(sql[last:])
+            sql = "".join(out)
         if args:
             return self.spark.sql(sql, args=args)
         return self.spark.sql(sql)
@@ -1038,9 +1170,23 @@ class Catalog:
         ts = self.sources.get(name)
         if ts is None:
             raise CatalogError(f"table not found: {name}")
+        head = None
+        if self._resolved_fmt(ts) == "delta":
+            from roapi_spark.sources.delta import _log_versions
+
+            # pre-load listing, same reasoning as load_table: recorded
+            # head <= the rebound snapshot, so VACUUM's comparison can
+            # only over-rebind, never skip a required one
+            head = max(
+                (v for v, _ in _log_versions(
+                    os.path.join(ts.uri, "_delta_log"))),
+                default=-1,
+            )
         df = _load(self.spark, self._stage_source(ts))
         with self._lock:
             self._bind(ts, df)
+            if head is not None:
+                self._bound_delta_head[name] = head
 
     def start_refresh_loop(self, poll_interval: float = 1.0) -> None:
         """Background drain loop (startup.rs:75-82's 1 s cadence): any table
@@ -1079,6 +1225,6 @@ def catalog_from_config(spark: SparkSession, cfg: AppConfig) -> Catalog:
         cat.load_table(ts)
     for kvs in cfg.kvstores:
         cat.load_kv(kvs)
-    if any(t.reload_interval for t in cfg.tables):
+    if any(t.reload_interval is not None for t in cfg.tables):
         cat.start_refresh_loop()
     return cat

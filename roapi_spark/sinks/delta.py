@@ -1115,6 +1115,7 @@ def merge_delta(
     check_duplicate_source: bool = True,
     on_condition: str | None = None,
     when_matched_update_condition: str | None = None,
+    when_not_matched_insert_condition: str | None = None,
     target_alias: str = "t",
     source_alias: str = "s",
 ) -> int:
@@ -1135,6 +1136,7 @@ def merge_delta(
             check_duplicate_source=check_duplicate_source,
             on_condition=on_condition,
             when_matched_update_condition=when_matched_update_condition,
+            when_not_matched_insert_condition=when_not_matched_insert_condition,
             target_alias=target_alias,
             source_alias=source_alias,
         )
@@ -1152,6 +1154,7 @@ def _merge_delta_once(
     check_duplicate_source: bool = True,
     on_condition: str | None = None,
     when_matched_update_condition: str | None = None,
+    when_not_matched_insert_condition: str | None = None,
     target_alias: str = "t",
     source_alias: str = "s",
 ) -> int:
@@ -1299,9 +1302,16 @@ def _merge_delta_once(
             else df.select(data_cols).alias(target_alias)
         )
         join_on = on if on is not None else key_cond
-        inserts = (
-            src.join(anti_right, join_on, "left_anti")
-            .select([F.col(c).cast(df.schema[c].dataType).alias(c) for c in data_cols])
+        inserts = src.join(anti_right, join_on, "left_anti")
+        if when_not_matched_insert_condition is not None:
+            # WHEN NOT MATCHED AND <cond> THEN INSERT — the predicate
+            # sees source columns (aliased); dropping it would insert
+            # every unmatched row regardless of the clause's condition
+            inserts = inserts.filter(
+                F.expr(when_not_matched_insert_condition)
+            )
+        inserts = inserts.select(
+            [F.col(c).cast(df.schema[c].dataType).alias(c) for c in data_cols]
         )
         new_df = rewritten.unionByName(inserts)
     cdc_df = None

@@ -581,10 +581,13 @@ def _project_log_schema(df: DataFrame, meta: dict, ts: TableSource) -> DataFrame
 
     try:
         st = StructType.fromJson(json.loads(meta["schemaString"]))
-    except Exception as exc:  # noqa: BLE001
-        raise LoadError(
-            f"delta table {ts.name!r}: unparseable schemaString: {exc}"
-        ) from exc
+    except Exception:  # noqa: BLE001
+        # minimal foreign writers stamp placeholder schemaStrings
+        # ('{}'): no declared schema to serve — keep the parquet-merged
+        # one (column mapping, which NEEDS the schema, stays loud)
+        return df
+    if not st.fields:
+        return df
     present = set(df.columns)
     cols = []
     for f in st.fields:

@@ -656,3 +656,128 @@ def test_sql_insert_routes_to_sink(spark, delta_cat):
 def test_sql_insert_arity_mismatch_is_loud(spark, delta_cat):
     with pytest.raises(CatalogError, match="arity"):
         delta_cat.query_sql("INSERT INTO people VALUES (1, 'x')")
+
+
+# ---- catalog audit regressions ----------------------------------------------
+
+
+def test_read_only_gate_covers_nested_writes(spark, tmp_path):
+    """A CTE-wrapped or multi-insert INSERT OVERWRITE DIRECTORY parses
+    to UnresolvedWith/Union — the gate must walk the whole tree, not
+    judge only the root node."""
+    from roapi_spark.catalog import ReadOnlyError
+
+    cat = Catalog(spark, read_only=True)
+    (tmp_path / "x.csv").write_text("a\n1\n")
+    cat.load_table(
+        parse_table_config({"name": "s", "uri": str(tmp_path / "x.csv")})
+    )
+    out = str(tmp_path / "out")
+    with pytest.raises(ReadOnlyError):
+        cat.query_sql(
+            "WITH w AS (SELECT * FROM s) "
+            f"INSERT OVERWRITE DIRECTORY '{out}' USING parquet "
+            "SELECT * FROM w"
+        )
+    with pytest.raises(ReadOnlyError):
+        cat.query_sql(
+            f"FROM s INSERT OVERWRITE DIRECTORY '{out}/a' USING parquet "
+            f"SELECT * INSERT OVERWRITE DIRECTORY '{out}/b' USING parquet "
+            "SELECT *"
+        )
+    assert not os.path.exists(out)
+    # plain SELECT with a CTE still passes the gate
+    assert cat.query_sql("WITH w AS (SELECT 1 AS x) SELECT * FROM w").count() == 1
+
+
+def test_merge_not_matched_by_source_rejected(spark, delta_cat):
+    """Silently ignoring WHEN NOT MATCHED BY SOURCE would keep rows
+    the user asked to delete — must be a loud unsupported error."""
+    with pytest.raises(CatalogError, match="NOT MATCHED BY SOURCE"):
+        delta_cat.query_sql(
+            "MERGE INTO people t USING upd s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET t.name = s.name "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
+
+
+def test_merge_insert_condition_honored(spark, delta_cat):
+    """WHEN NOT MATCHED AND <cond> THEN INSERT * must filter the
+    unmatched source rows, not insert all of them."""
+    delta_cat.query_sql(
+        "MERGE INTO people t USING upd s ON t.id = s.id "
+        "WHEN NOT MATCHED AND s.score > 95 THEN INSERT *"
+    )
+    ids = sorted(
+        r.id for r in delta_cat.query_sql("SELECT id FROM people").collect()
+    )
+    assert ids == [1, 2, 3], "s.score=90 fails the >95 guard: no insert"
+    delta_cat.query_sql(
+        "MERGE INTO people t USING upd s ON t.id = s.id "
+        "WHEN NOT MATCHED AND s.score > 50 THEN INSERT *"
+    )
+    ids = sorted(
+        r.id for r in delta_cat.query_sql("SELECT id FROM people").collect()
+    )
+    assert ids == [1, 2, 3, 9], "only the row passing the guard inserts"
+
+
+def test_drop_after_dml_does_not_poison_next_read(spark, delta_cat):
+    """DELETE marks the view stale; DROP must clear that mark, or the
+    next unrelated read crashes flushing a dropped name."""
+    delta_cat.query_sql("DELETE FROM people WHERE id = 1")
+    delta_cat.query_sql("DROP TABLE people")
+    # next read on another table must not KeyError
+    assert delta_cat.query_sql("SELECT count(*) AS n FROM upd").collect()[0].n == 2
+
+
+def test_sniffed_delta_table_accepts_dml(spark, tmp_path):
+    """A delta table registered WITHOUT an explicit format (directory
+    sniffing resolves it) must be accepted by DML/maintenance routes."""
+    from roapi_spark.sinks.delta import write_delta
+
+    path = str(tmp_path / "snifftbl")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"),
+        path,
+    )
+    cat = Catalog(spark, read_only=False)
+    cat.load_table(parse_table_config({"name": "st", "uri": path}))
+    out = cat.query_sql("DELETE FROM st WHERE id = 1").collect()[0]
+    assert out.operation == "DELETE"
+    hist = cat.query_sql("DESCRIBE HISTORY st")
+    assert hist.count() >= 2
+
+
+def test_rewrites_ignore_string_literals(spark, delta_cat):
+    """'VERSION AS OF'/table_changes(...) INSIDE string literals are
+    data, not syntax — the rewrites must not fire there."""
+    row = delta_cat.query_sql(
+        "SELECT 'restored VERSION AS OF 12' AS msg"
+    ).collect()[0]
+    assert row.msg == "restored VERSION AS OF 12"
+    row = delta_cat.query_sql(
+        "SELECT \"see table_changes('t', 0)\" AS note"
+    ).collect()[0]
+    assert row.note == "see table_changes('t', 0)"
+
+
+def test_drop_if_exists_any_whitespace(spark, delta_cat):
+    """DROP TABLE IF<newline>EXISTS on a missing table must be a silent
+    no-op (the old literal substring test missed it)."""
+    out = delta_cat.query_sql("DROP TABLE IF\nEXISTS   no_such_t").collect()[0]
+    assert out.operation == "DROP TABLE"
+
+
+def test_stage_source_keeps_full_suffix(spark, tmp_path):
+    """Refreshable single-file staging must preserve the full suffix
+    chain ('.warc.gz'), not splitext's bare '.gz'."""
+    p = tmp_path / "crawl.warc.gz"
+    p.write_bytes(b"x")
+    cat = Catalog(spark)
+    ts = parse_table_config(
+        {"name": "c", "uri": str(p), "option": {"format": "warc"},
+         "reload_interval": 60}
+    )
+    staged = cat._stage_source(ts)
+    assert staged.uri.endswith(".warc.gz"), staged.uri
