@@ -22,7 +22,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from roapi_spark.plans.registry import register
-from roapi_spark.util import pround
+from roapi_spark.util import WS_CLASS, hash32, hash32_sql, pround
 
 N_MINHASH = 12  # 4 bands x 3 rows
 BAND_ROWS = 3
@@ -216,7 +216,7 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     data."""
     base = F.transform(
         F.col("sh"),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+        lambda s: hash32(s),
     )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
@@ -248,7 +248,7 @@ def lsh_cand_oracle_cte() -> str:
     oracle needs the near-dup candidate pair set."""
     return f"""{_SHINGLES_DUCK},
     hs AS (
-      SELECT doc_id, ('0x' || SUBSTR(MD5(shingle), 1, 8))::BIGINT AS h FROM sh
+      SELECT doc_id, {hash32_sql("shingle")} AS h FROM sh
     ),
     minh AS (
       SELECT doc_id, k, MIN((2 * k + 3) * h % {MH_P}) AS mh
@@ -301,7 +301,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0) AS w
@@ -309,7 +309,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     th AS (  -- 32-bit md5-derived token hash, with multiplicity
       SELECT doc_id,
-             CAST(('0x' || SUBSTR(MD5(t.token), 1, 8))::BIGINT AS BIGINT) AS h
+             CAST({hash32_sql("t.token")} AS BIGINT) AS h
       FROM toks, UNNEST(w) AS t(token)
     ),
     bits AS (
@@ -340,7 +340,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs(spark, sf_dir)
     hs = F.transform(
         tokens_col(),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+        lambda t: hash32(t),
     )
     weights = F.array(*[F.lit(1 << i).cast("bigint") for i in range(32)])
     votes = F.aggregate(
@@ -528,7 +528,7 @@ def _embedding_kmeans_oracle() -> str:
     "cosine verify. Shares the integer-exact sampled Lloyd's fit with "
     "ann_ivf_kmeans via the build-once cid-partitioned ``ivf_layout`` "
     "(the fit is amortized per corpus snapshot, not re-run per query), "
-    "and serves from the build-once embpairscid-v1 edge artifact shared "
+    "and serves from the build-once embpairscid-v3 edge artifact shared "
     "with dedup_semantic_keep, so the full pipeline — clustering and "
     "pair join included — is DuckDB-oracle-checked.",
     tags=("dedup", "similarity"),
@@ -692,34 +692,12 @@ def shingle_pair_graph_cached(
     return spark.read.parquet(pairs_dir), spark.read.parquet(cnt_dir)
 
 
-# DuckDB CTEs reproducing the bands + candidate pairs (shared by the
-# clustering oracle below)
-_PAIRS_DUCK = f"""
-    {_SHINGLES_DUCK},
-    hs AS (
-      SELECT doc_id, ('0x' || SUBSTR(MD5(shingle), 1, 8))::BIGINT AS h FROM sh
-    ),
-    minh AS (
-      SELECT doc_id, k, MIN((2 * k + 3) * h % {MH_P}) AS mh
-      FROM hs, UNNEST(GENERATE_SERIES(0, {N_MINHASH - 1})) AS t(k)
-      GROUP BY doc_id, k
-    ),
-    bands AS (
-      SELECT doc_id, k // {BAND_ROWS} AS band_id,
-             STRING_AGG(mh::VARCHAR, ',' ORDER BY k) AS band_sig
-      FROM minh GROUP BY doc_id, k // {BAND_ROWS}
-    ),
-    bandsf AS (  -- hot-band cap: same skew guard as the Spark artifact
-      SELECT b.* FROM bands b
-      JOIN (SELECT band_id, band_sig FROM bands
-            GROUP BY band_id, band_sig HAVING COUNT(*) <= {BAND_CAP}) ok
-        ON b.band_id = ok.band_id AND b.band_sig = ok.band_sig
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bandsf a JOIN bandsf b
-        ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    )
+# DuckDB CTEs reproducing the bands + candidate pairs, DERIVED from the
+# single source of truth (lsh_cand_oracle_cte) so the banding/cap logic
+# can never drift between the pair-set consumers — only the final CTE
+# name differs (pairs vs cand)
+_PAIRS_DUCK = f"""{lsh_cand_oracle_cte()},
+    pairs AS (SELECT doc_a, doc_b FROM cand)
 """
 
 
@@ -727,7 +705,7 @@ _PAIRS_DUCK = f"""
 # (min-label connected components). Use as: WITH RECURSIVE {_COMPONENTS_DUCK}
 # — shared by the clustering oracles so the labeling rule can't silently
 # diverge between them.
-_COMPONENTS_DUCK = f"""{_PAIRS_DUCK.strip().lstrip("WITH").strip()},
+_COMPONENTS_DUCK = f"""{_PAIRS_DUCK.strip()},
     e AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
@@ -826,7 +804,7 @@ def _components_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE doc_id IN (
       SELECT MIN(doc_id)
       FROM documents
-      GROUP BY MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))
+      GROUP BY MD5(LOWER(REGEXP_REPLACE(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
     )
     """,
     doc="Dedup APPLY step: keep the lowest doc_id per normalized-content "
@@ -836,7 +814,7 @@ def _components_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs(spark, sf_dir)
-    norm_hash = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    norm_hash = F.md5(F.lower(F.regexp_replace("text", WS_CLASS + "+", " ")))
     keepers = (
         d.select(norm_hash.alias("h"), "doc_id")
         .groupBy("h")
@@ -861,7 +839,7 @@ _SWEEP_THRESHOLDS = [2, 4, 6, 8, 10, 12]  # est_jaccard = k/N_MINHASH
 @register(
     "q_dedup_threshold_sweep",
     oracle=f"""
-    WITH {_PAIRS_DUCK.strip().lstrip("WITH").strip()},
+    WITH {_PAIRS_DUCK.strip()},
     est AS (
       SELECT p.doc_a, p.doc_b,
              SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS m
@@ -920,39 +898,24 @@ INCR_MIN_MATCHES = 6  # >= 6/12 matching minhashes ~ est Jaccard >= 0.5
 
 def corpus_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig, band_id, band_sig) for the EXISTING-corpus side of
-    incremental dedup, hot-band-capped at build time and persisted per
-    corpus snapshot — the artifact that makes 'incremental' real: a new
-    batch is admitted by hashing ONLY its own documents and joining this
-    table (measured: serving went 7.8x at 10x corpus when the corpus
-    signature pass ran per query; artifact-served it scales with the
-    batch, not the corpus)."""
-    from roapi_spark.functions.snapshot import (
-        build_once,
-        parquet_ready,
-        snapshot_cache_dir,
+    incremental dedup, hot-band-capped — the artifact that makes
+    'incremental' real: a new batch is admitted by hashing ONLY its own
+    documents and joining this table (measured: serving went 7.8x at
+    10x corpus when the corpus signature pass ran per query;
+    artifact-served it scales with the batch, not the corpus).
+
+    Served as a FILTER over :func:`corpus_bands_full_cached` (bucket
+    count <= BAND_CAP, computed at that artifact's build): the capped
+    table is by definition the full one minus over-cap buckets, so
+    materializing it separately paid the corpus-wide signature pass and
+    band shuffle TWICE per snapshot and stored a second near-identical
+    artifact — at the 100 TB design point, double the most expensive
+    build in the incremental path for no information."""
+    return (
+        corpus_bands_full_cached(spark, sf_dir)
+        .filter(F.col("bn") <= BAND_CAP)
+        .drop("bn")
     )
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    out = snapshot_cache_dir(src, "incrbands-v1")
-
-    def _build(tmp: str) -> None:
-        corp = docs(spark, sf_dir).filter(
-            F.col("doc_id") % INCR_MOD != INCR_NEW
-        )
-        sigs = minhash_signatures(corp)
-        bands = sigs.select(
-            "doc_id", "sig", F.explode(band_col(F.col("sig"))).alias("band")
-        ).select("doc_id", "sig", "band.band_id", "band.band_sig")
-        wcap = W.partitionBy("band_id", "band_sig")
-        capped = (
-            bands.withColumn("bn", F.count("*").over(wcap))
-            .filter(F.col("bn") <= BAND_CAP)
-            .drop("bn")
-        )
-        capped.write.mode("overwrite").parquet(tmp)
-
-    build_once(out, parquet_ready, _build)
-    return spark.read.parquet(out)
 
 
 
@@ -961,7 +924,7 @@ def corpus_bands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SHINGLES_DUCK},
     hs AS (
-      SELECT doc_id, ('0x' || SUBSTR(MD5(shingle), 1, 8))::BIGINT AS h FROM sh
+      SELECT doc_id, {hash32_sql("shingle")} AS h FROM sh
     ),
     minh AS (
       SELECT doc_id, k, MIN((2 * k + 3) * h % {MH_P}) AS mh
@@ -1052,7 +1015,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("nm") >= INCR_MIN_MATCHES, 1).otherwise(0)
         ).alias("n_dups"),
     )
-    newdocs = sigs.filter(is_new).select("doc_id")
+    newdocs = sigs.select("doc_id")  # sigs already filtered to the new batch
     return newdocs.join(
         agg, newdocs.doc_id == agg.new_id, "left"
     ).select(
@@ -1158,7 +1121,7 @@ def refreshed_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_incremental_refresh",
     oracle=f"""
-    WITH {_PAIRS_DUCK.strip().lstrip("WITH").strip()}
+    WITH {_PAIRS_DUCK.strip()}
     SELECT p.doc_a, p.doc_b,
            FLOOR(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END)
                  / CAST({N_MINHASH} AS DOUBLE) * 10000 + 0.5) / 10000.0

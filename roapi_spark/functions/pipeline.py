@@ -26,11 +26,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from roapi_spark.plans.registry import register
-from roapi_spark.util import pround
+from roapi_spark.util import WS_CLASS, pround
 
 # whitespace word tokens (documents are lowercase word-soup; keep raw case
 # handling anyway so the op is corpus-agnostic)
-_WORDS_DUCK = "list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)"
+_WORDS_DUCK = "list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> length(x) > 0)"
 
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
@@ -40,7 +40,7 @@ def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def words_col() -> Column:
-    return F.filter(F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0)
+    return F.filter(F.split(F.col("text"), WS_CLASS + "+"), lambda x: F.length(x) > 0)
 
 
 @register(

@@ -63,6 +63,7 @@ from pyspark.sql import functions as F
 
 from roapi_spark.functions.web import canonical_url, registrable_domain
 from roapi_spark.plans.registry import register
+from roapi_spark.util import WS_CLASS
 
 # ---------------------------------------------------------------------------
 # deterministic residue rules shared by the fixture builder, the Spark
@@ -425,7 +426,7 @@ def _read_warc(spark: SparkSession, sf_dir: str, **option) -> DataFrame:
 
 # ---- oracle SQL fragments shared across the gates -------------------------
 
-_NORM_LEN = "length(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_NORM_LEN = "length(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))"
 
 # messy raw URLs reconstructed from the documents table (primary form,
 # then the duplicate form for the %13 residue) — mirrors _raw_url/_dup_url
@@ -1679,7 +1680,7 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         .select(
             "doc_id",
-            F.trim(F.regexp_replace("text", r"\s+", " ")).alias("norm_text"),
+            F.trim(F.regexp_replace("text", WS_CLASS + "+", " ")).alias("norm_text"),
         )
     )
     joined = extracted.withColumn(

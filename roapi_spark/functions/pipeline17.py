@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from roapi_spark.plans.registry import register
+from roapi_spark.util import WS_CLASS
 
 # ---- q_crawl_host_budget ----------------------------------------------------
 
@@ -401,7 +402,7 @@ def _domain_cap_oracle() -> str:
     WITH d AS (
       SELECT doc_id,
              {_host_case_sql(_PSL_HOSTS)} AS host,
-             length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS q
+             length(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS q
       FROM documents
     ),
     dom AS (
@@ -454,7 +455,7 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         registrable_domain(_host_case_col(_PSL_HOSTS)).alias("domain"),
         F.length(
-            F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+            F.trim(F.regexp_replace(F.col("text"), WS_CLASS + "+", " "))
         ).alias("q"),
     )
     rn = F.row_number().over(
@@ -495,7 +496,7 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH k AS (
       SELECT doc_id,
-             LEAST(9, length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+             LEAST(9, length(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
                       // 100) AS bucket,
              ('0x' || SUBSTR(MD5(doc_id::VARCHAR || ':{_SHUFFLE_SALT}'),
                              1, 8))::BIGINT AS key
@@ -539,7 +540,7 @@ def q_train_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(9),
             F.floor(
                 F.length(
-                    F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+                    F.trim(F.regexp_replace(F.col("text"), WS_CLASS + "+", " "))
                 )
                 / 100
             ),
@@ -891,7 +892,7 @@ _CHAT_ROLES = ("system", "user", "assistant")
 )
 def q_chat_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    norm = F.regexp_replace(F.col("text"), r"\s+", " ")
+    norm = F.regexp_replace(F.col("text"), WS_CLASS + "+", " ")
     br = F.col("doc_id") % 8 == 1
     be = ~br & (F.col("doc_id") % 9 == 4)
     ec = ~br & ~be & (F.col("doc_id") % 12 == 7)
@@ -967,7 +968,7 @@ def q_chat_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT doc_id,
-             length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nl,
+             length(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS nl,
              (doc_id % 10 = 6) AS degen,
              (doc_id % 7 = 3) AS dupp
       FROM documents
@@ -1012,7 +1013,7 @@ def q_chat_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pref_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.col("text"), WS_CLASS + "+", " "))
     degen = F.col("doc_id") % 10 == 6
     dupp = F.col("doc_id") % 7 == 3
     half = F.substring(norm, F.lit(1), (F.length(norm) / 2).cast("int"))

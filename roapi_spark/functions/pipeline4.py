@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from roapi_spark.functions.pipeline import docs
 from roapi_spark.functions.text import stopword_hits, tokens_col
+from roapi_spark.functions.dedup import STOP_SHINGLE_DF
 from roapi_spark.plans.registry import register
 from roapi_spark.util import pround
 
@@ -177,7 +178,7 @@ def _semantic_keep_oracle() -> str:
     "within each learned k-means cell, a vector is dropped iff it is a "
     "near-duplicate (cosine >= 0.3) of a lower-id vector — one anti-join "
     "of the corpus against the cell-blocked near-dup pair set (the "
-    "build-once embpairscid-v1 artifact shared with "
+    "build-once embpairscid-v3 artifact shared with "
     "dedup_embedding_kmeans). Keeps exactly the minimal "
     "representative of every near-dup star; no all-pairs work anywhere.",
     tags=("dedup", "similarity", "pipeline"),
@@ -262,7 +263,7 @@ CONTAIN_MIN = 0.5
     live AS (
       SELECT s.doc_id, s.shingle
       FROM sh s JOIN (SELECT shingle FROM sh GROUP BY shingle
-                      HAVING COUNT(*) <= 1000) f ON s.shingle = f.shingle
+                      HAVING COUNT(*) <= {STOP_SHINGLE_DF}) f ON s.shingle = f.shingle
     ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common

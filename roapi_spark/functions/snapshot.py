@@ -131,7 +131,6 @@ KNOWN_TAGS = (
     "lshpairs-v4",
     "shpairs-v1",
     "components-v1",
-    "incrbands-v1",
     "incrbandsfull-v1",
     "incrmerged-v2",
     "pq-v1",

@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from roapi_spark.plans.registry import register
-from roapi_spark.util import pround
+from roapi_spark.util import WS_CLASS, pround
 
 STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "it"]
 # shared token pipeline: lowercase, split on non-letters, drop empties
@@ -193,8 +193,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
-           MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fp_full,
-           MD5(SUBSTR(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')), 1, 64)) AS fp_prefix64
+           MD5(LOWER(REGEXP_REPLACE(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp_full,
+           MD5(SUBSTR(LOWER(REGEXP_REPLACE(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), 1, 64)) AS fp_prefix64
     FROM documents
     """,
     doc="Document fingerprinting: md5 over whitespace-normalized text "
@@ -203,7 +203,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs(spark, sf_dir)
-    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    norm = F.lower(F.regexp_replace("text", WS_CLASS + "+", " "))
     return d.select(
         "doc_id",
         F.md5(norm).alias("fp_full"),
@@ -215,7 +215,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_rolling_fingerprint",
     oracle="""
     WITH norm AS (
-      SELECT doc_id, LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) AS s FROM documents
+      SELECT doc_id, LOWER(REGEXP_REPLACE(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS s FROM documents
     ),
     grams AS (  -- polynomial rolling hash of every 8-char gram, base 131 mod 2^31-1
       SELECT doc_id,
@@ -247,7 +247,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs(spark, sf_dir)
     norm = d.select(
-        "doc_id", F.lower(F.regexp_replace("text", r"\s+", " ")).alias("s")
+        "doc_id", F.lower(F.regexp_replace("text", WS_CLASS + "+", " ")).alias("s")
     )
     # Hoist the char extraction: ONE ascii(substr) pass per character into
     # an integer array, then each gram hash folds an 8-int slice. The

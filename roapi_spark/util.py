@@ -51,3 +51,22 @@ def jsonable(v: object) -> object:
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     return v
+
+
+# Whitespace class usable VERBATIM in both Java regex (Spark) and RE2
+# (DuckDB): Java's \s is [ \t\n\x0B\f\r] but RE2's \s OMITS \x0B, so a
+# literal '\s+' in paired expressions silently diverges on any text
+# containing a vertical tab — spell the class out on both sides.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+
+
+def hash32(col: Column) -> Column:
+    """First 4 md5 bytes as a bigint — the shared 32-bit content hash
+    (minhash base, simhash token hash). Paired with hash32_sql; change
+    BOTH or oracle parity silently breaks."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def hash32_sql(expr: str) -> str:
+    """DuckDB twin of hash32."""
+    return f"('0x' || SUBSTR(MD5({expr}), 1, 8))::BIGINT"

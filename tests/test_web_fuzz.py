@@ -265,3 +265,31 @@ def test_url_to_surt_known_forms(spark):
         .collect()
     )
     assert got == cases
+
+
+def test_ws_class_parity_on_vertical_tab(spark):
+    """Java regex \\s matches \\x0B but DuckDB's RE2 \\s does not — the
+    shared WS_CLASS must normalize identically on both engines (the
+    dedup_apply digest and fingerprint oracles hash the result)."""
+    import duckdb as _dd
+
+    from roapi_spark.util import WS_CLASS
+
+    texts = ["a\x0bb", "a b", "a\t\nb", "x\x0b\x0b y"]
+    got_spark = [
+        r["n"]
+        for r in spark.createDataFrame([(t,) for t in texts], "t string")
+        .select(F.regexp_replace("t", WS_CLASS + "+", " ").alias("n"))
+        .collect()
+    ]
+    # WS_CLASS's backslash escapes pass through a DuckDB string literal
+    # verbatim to RE2 (standard SQL strings don't process backslashes),
+    # exactly as the oracle f-strings embed it
+    con = _dd.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT REGEXP_REPLACE(?, '{WS_CLASS}+', ' ', 'g')", [t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got_spark == got_duck == ["a b", "a b", "a b", "x y"]
