@@ -146,7 +146,9 @@ def test_incremental_serve_hashes_only_new_shard(spark):
     corpus_bands_cached(spark, "/root/testdata/sf0.001")  # ensure built
     plan = dedup_incremental(spark, "/root/testdata/sf0.001")._jdf \
         .queryExecution().executedPlan().toString()
-    assert "incrbands_" in plan
+    # the capped corpus side is served as a filter over the uncapped
+    # incrbandsfull-v1 artifact (one build, one store) since round 14
+    assert "incrbandsfull" in plan
     # the hot-band-cap window ran at BUILD time; the serve plan has no
     # window at all (new-shard hash + artifact join + aggregates only)
     assert "Window" not in plan
