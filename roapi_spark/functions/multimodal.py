@@ -1881,14 +1881,18 @@ def multimodal_alignment(spark, sf_dir: str) -> DataFrame:
     npx = _MM_W * _MM_H
     blk = npx // _ALIGN_DIMS
 
+    # Pixel synthesis vectorized: (i*31 + j*7) % 256 over a precomputed
+    # j-ramp instead of a per-byte Python generator (the generator was
+    # npx Python-level ops per row).
+    _js7 = np.arange(npx, dtype=np.int64) * 7
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hdr = IMG_MAGIC + struct.pack(">II", _MM_W, _MM_H)
         for pdf in batches:
             rows = []
             for i in pdf["doc_id"]:
-                px = bytes((int(i) * 31 + j * 7) % 256 for j in range(npx))
-                rows.append(
-                    (int(i), IMG_MAGIC + struct.pack(">II", _MM_W, _MM_H) + px)
-                )
+                px = ((int(i) * 31 + _js7) % 256).astype(np.uint8).tobytes()
+                rows.append((int(i), hdr + px))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1896,8 +1900,11 @@ def multimodal_alignment(spark, sf_dir: str) -> DataFrame:
             rows = []
             for i, blob in zip(pdf["id"], pdf["content"]):
                 img = decode_image(bytes(blob)).reshape(-1)
-                f = [float(img[b * blk : (b + 1) * blk].sum()) / blk
-                     for b in range(_ALIGN_DIMS)]
+                # exact: uint8 sums fit int64; float64 holds them exactly
+                f = (
+                    img.reshape(_ALIGN_DIMS, blk).sum(axis=1, dtype=np.int64)
+                    / blk
+                ).tolist()
                 rows.append((int(i), f))
             yield pd.DataFrame(rows, columns=["doc_id", "imv"])
 
@@ -1906,19 +1913,27 @@ def multimodal_alignment(spark, sf_dir: str) -> DataFrame:
         .mapInPandas(gen, "id bigint, content binary")
         .mapInPandas(extract, "doc_id bigint, imv array<double>")
     )
-    chars = F.filter(
-        F.split(F.coalesce(F.regexp_replace(F.lower("text"), "[^a-z]", ""), F.lit("")), ""),
-        lambda ch: F.length(ch) > 0,
-    )
-    tfv = F.transform(
-        F.sequence(F.lit(0), F.lit(_ALIGN_DIMS - 1)),
-        lambda b: F.size(
-            F.filter(F.col("chars"), lambda ch: (F.ascii(ch) - 97) % _ALIGN_DIMS == b)
-        ).cast("double"),
+    # Bucket counts as one native regexp_count scan per bucket (8 codegen'd
+    # scans of the cleaned string) instead of materializing a per-char
+    # array and running 8 interpreted filter-lambda passes over it. Bucket
+    # b holds letters {k : k % DIMS == b}, so counting membership in the
+    # explicit char class is the same number as the (ascii-97) % DIMS
+    # filter. Zero-letter docs drop via length(cleaned) >= 1, same as
+    # size(chars) >= 1.
+    cleaned = F.coalesce(F.regexp_replace(F.lower("text"), "[^a-z]", ""), F.lit(""))
+    _buckets = [
+        "".join(chr(97 + k) for k in range(26) if k % _ALIGN_DIMS == b)
+        for b in range(_ALIGN_DIMS)
+    ]
+    tfv = F.array(
+        *[
+            F.regexp_count(F.col("cleaned"), F.lit(f"[{bs}]")).cast("double")
+            for bs in _buckets
+        ]
     )
     tf = (
-        d.select("doc_id", chars.alias("chars"))
-        .filter(F.size("chars") >= 1)
+        d.select("doc_id", cleaned.alias("cleaned"))
+        .filter(F.length("cleaned") >= 1)
         .select("doc_id", tfv.alias("tfv"))
     )
     joined = tf.join(imf, "doc_id")

@@ -1454,7 +1454,12 @@ def q_cdx_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from roapi_spark.sources.warc import fetch_records
 
     warc_dir = _warc_fixture_dir(spark, sf_dir)
-    ptrs = index_warc(spark, warc_dir, glob="*.warc*")
+    # Persist the pointer table for the query's duration: the CDX write
+    # below AND the returned plan's n_ptr_direct agg both consume it —
+    # without the persist the raw-byte archive parse ran twice per serve
+    # (round 14; guide §5 — reuse instead of recompute; pointer rows are
+    # index-sized, ~1000x smaller than the archives).
+    ptrs = index_warc(spark, warc_dir, glob="*.warc*").persist()
     out_root = tempfile.mkdtemp(prefix="cdx_sink_gate_")
     atexit.register(shutil.rmtree, out_root, ignore_errors=True)
     out_dir = os.path.join(out_root, "index")
@@ -2461,7 +2466,7 @@ def _crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = resp.filter(
         (F.col("http_status") == 200)
         & F.col("http_content_type").startswith("text/html")
-    ).dropDuplicates(["canon"])
+    )
 
     def kernel(batches):
         import pandas as pd
@@ -2474,8 +2479,9 @@ def _crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             out = []
-            for canon, uri, ctype, payload in zip(
+            for canon, rid, uri, ctype, payload in zip(
                 pdf["canon"],
+                pdf["record_id"],
                 pdf["target_uri"],
                 pdf["http_content_type"],
                 pdf["payload"],
@@ -2486,13 +2492,29 @@ def _crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for href in extract_links(raw):
                     out.append(
                         {"src_canon": canon,
+                         "record_id": rid,
                          "resolved": resolve_url(uri, href)}
                     )
-            yield pd.DataFrame(out, columns=["src_canon", "resolved"])
+            yield pd.DataFrame(
+                out, columns=["src_canon", "record_id", "resolved"]
+            )
+
+    # Re-crawled duplicate-URL records collapse to ONE page per canon —
+    # but keyed on the per-anchor ROWS (min record_id per canon over a
+    # window), never by dropDuplicates over the records themselves:
+    # that form sort-aggregated full HTML payloads through an exchange
+    # before the parse (round 14; guide §8 — decide with small rows,
+    # never shuffle the heavy bytes). Parsing the few duplicate records
+    # too is far cheaper than shuffling every payload.
+    from pyspark.sql import Window
 
     links = html.select(
-        "canon", "target_uri", "http_content_type", "payload"
-    ).mapInPandas(kernel, "src_canon string, resolved string")
+        "canon", "record_id", "target_uri", "http_content_type", "payload"
+    ).mapInPandas(kernel, "src_canon string, record_id string, resolved string")
+    w = Window.partitionBy("src_canon")
+    links = links.withColumn("_rid0", F.min("record_id").over(w)).filter(
+        F.col("record_id") == F.col("_rid0")
+    )
     return links.withColumn(
         "dst_canon", canonical_url(F.col("resolved"))
     ).select("src_canon", "dst_canon")
@@ -2510,7 +2532,7 @@ def _crawl_links_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = resp.filter(
         (F.col("http_status") == 200)
         & F.col("http_content_type").startswith("text/html")
-    ).dropDuplicates(["canon"])
+    )
 
     def kernel(batches):
         import pandas as pd
@@ -2523,22 +2545,43 @@ def _crawl_links_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             out = []
-            for uri, ctype, payload in zip(
-                pdf["target_uri"], pdf["http_content_type"], pdf["payload"]
+            for canon, rid, uri, ctype, payload in zip(
+                pdf["canon"],
+                pdf["record_id"],
+                pdf["target_uri"],
+                pdf["http_content_type"],
+                pdf["payload"],
             ):
                 raw = decode_http_text(bytes(payload), ctype)
                 if raw is None:
                     continue
                 for href, text in extract_links_with_text(raw):
                     out.append(
-                        {"anchor_text": text,
+                        {"canon": canon,
+                         "record_id": rid,
+                         "anchor_text": text,
                          "resolved": resolve_url(uri, href)}
                     )
-            yield pd.DataFrame(out, columns=["anchor_text", "resolved"])
+            yield pd.DataFrame(
+                out,
+                columns=["canon", "record_id", "anchor_text", "resolved"],
+            )
+
+    # Same per-page dedup as _crawl_links: min record_id per canon over
+    # the small anchor rows, not dropDuplicates over payload-carrying
+    # records (round 14; guide §8).
+    from pyspark.sql import Window
 
     links = html.select(
-        "target_uri", "http_content_type", "payload"
-    ).mapInPandas(kernel, "anchor_text string, resolved string")
+        "canon", "record_id", "target_uri", "http_content_type", "payload"
+    ).mapInPandas(
+        kernel,
+        "canon string, record_id string, anchor_text string, resolved string",
+    )
+    w = Window.partitionBy("canon")
+    links = links.withColumn("_rid0", F.min("record_id").over(w)).filter(
+        F.col("record_id") == F.col("_rid0")
+    )
     return links.withColumn(
         "dst_canon", canonical_url(F.col("resolved"))
     ).select("anchor_text", "dst_canon")

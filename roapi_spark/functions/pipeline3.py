@@ -98,26 +98,35 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingle_array_of(tokens_col(), GRAM_N), F.array().cast("array<string>")
         ).alias("gs"),
     )
-    grams = base.select("doc_id", F.explode("gs").alias("g"))
-    bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
-    overlap = (
-        grams.filter(F.col("doc_id") % BENCH_MOD != 0)
-        .join(maybe_broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlap"))
+    # One tokenize pass over the corpus side (round 14; was three: grams,
+    # bench and the n_grams re-join each re-ran tokenize+shingle over the
+    # full scan). explode_outer keeps gram-less docs as a NULL-gram row,
+    # so a single left broadcast join + one aggregate yields BOTH counts:
+    # count(g) is len(gs) (NULL for empty docs counts 0) and count(hit)
+    # is the distinct-gram overlap (bench grams are distinct, so each
+    # corpus gram matches at most once — identical to the inner-join
+    # count). The bench side still tokenizes only its 1/97 slice (the
+    # doc_id residue filter pushes below the shingle projection).
+    bench = (
+        base.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    return (
+    marked = (
         base.filter(F.col("doc_id") % BENCH_MOD != 0)
-        .select("doc_id", F.size("gs").cast("bigint").alias("n_grams"))
-        .join(overlap, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
-            (F.coalesce("n_overlap", F.lit(0)) >= CONTAM_MIN_OVERLAP).alias(
-                "contaminated"
-            ),
-        )
+        .select("doc_id", F.explode_outer("gs").alias("g"))
+        .join(maybe_broadcast(bench), "g", "left")
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count("g").alias("n_grams"),
+        F.count("hit").alias("n_overlap"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        (F.col("n_overlap") >= CONTAM_MIN_OVERLAP).alias("contaminated"),
     )
 
 

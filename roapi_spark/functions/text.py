@@ -249,20 +249,37 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = d.select(
         "doc_id", F.lower(F.regexp_replace("text", WS_CLASS + "+", " ")).alias("s")
     )
-    # Hoist the char extraction: ONE ascii(substr) pass per character into
-    # an integer array, then each gram hash folds an 8-int slice. The
-    # first version called substr+ascii 8x PER GRAM POSITION (8x the
-    # string allocations) — 13.0 s vs 5.2 s at sf0.1 under full
-    # evaluation, identical output.
+    # Hoist the char extraction: ONE pass per character into an integer
+    # array. Round 7 used ascii(substr(s, i, 1)) per position — but
+    # UTF8String.substring seeks from the string start, so building the
+    # array was O(L^2) in chars; split(s, '') materializes the per-char
+    # array in one O(L) pass and ascii() of a 1-char string is the same
+    # codepoint (verified incl. non-ASCII). Round 14, second fix: the
+    # per-gram hash folded an 8-int slice() — an 8-element array copy
+    # plus 8 interpreted lambda steps per position. The fold
+    # ((acc*131 + c) mod p) equals (sum c_j * 131^(7-j)) mod p, so each
+    # gram is now 8 O(1) element_at reads combined with precomputed
+    # (131^k mod p) factors — no per-gram allocation. Each term
+    # (c * pow_k mod p) < p and codepoints are < 2^21, so the widest
+    # intermediate is c * pow_k < 2^21 * 2^31 — no int64 overflow for
+    # ANY code point. Measured 3.2 s -> (see OPTIMIZATION_r14.md) at
+    # sf0.1, identical output.
     cs = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length("s"), F.lit(1))),
-        lambda i: F.ascii(F.col("s").substr(i, F.lit(1))).cast("bigint"),
+        F.split(F.col("s"), ""),
+        lambda c: F.ascii(c).cast("bigint"),
     )
-    gram_hash = lambda i: F.aggregate(  # noqa: E731
-        F.slice(F.col("cs"), i, 8),
-        F.lit(0).cast("bigint"),
-        lambda acc, c: (acc * 131 + c) % 2147483647,
-    )
+    _P = 2147483647
+    _POW = [pow(131, 7 - j, _P) for j in range(8)]
+
+    def gram_hash(i):
+        terms = [
+            (F.element_at(F.col("cs"), i + j) * F.lit(_POW[j])) % _P
+            for j in range(8)
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc % _P
     # Guard the gram positions: Spark's sequence(1, 0) yields the DESCENDING
     # array [1, 0] (implicit -1 step), i.e. 2 bogus grams for any doc whose
     # normalized text is shorter than 8 chars, while DuckDB's

@@ -715,12 +715,24 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = lambda approx, exact, tol: (  # noqa: E731
         F.abs(approx.cast("double") - exact) / exact <= tol
     )
+    # Array-form percentiles: ONE exact-percentile buffer (a value->count
+    # map over every l_extendedprice in the group) and ONE KLL sketch
+    # serve both quantiles, where the scalar form built two of each —
+    # same interpolation per element, identical values (round 14).
     pcts = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
-        F.percentile_approx("l_extendedprice", 0.95).alias("approx_p95"),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))").alias("ep"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95))
+        ).alias("ap"),
+    )
+    pcts = pcts.select(
+        "l_returnflag",
+        "approx_parts",
+        F.col("ep")[0].alias("exact_median"),
+        F.col("ap")[0].alias("approx_median"),
+        F.col("ep")[1].alias("exact_p95"),
+        F.col("ap")[1].alias("approx_p95"),
     )
     parts = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts")
