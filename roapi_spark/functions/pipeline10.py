@@ -181,9 +181,10 @@ def dsir_lr_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dsir_report(
-    spark: SparkSession, sf_dir: str, lr: DataFrame
+    spark: SparkSession, sf_dir: str, lr: DataFrame, tb: DataFrame | None = None
 ) -> DataFrame:
-    tb = _dsir_token_buckets(spark, sf_dir)
+    if tb is None:
+        tb = _dsir_token_buckets(spark, sf_dir)
     dw = tb.join(F.broadcast(lr), "b").groupBy("doc_id").agg(F.avg("lr").alias("w"))
     # left join from the full doc set: zero-token docs keep weight 0
     # instead of silently dropping out of n_docs / sel_rate
@@ -213,8 +214,13 @@ def _dsir_report(
     tags=("text", "sampling", "pipeline"),
 )
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tb = _dsir_token_buckets(spark, sf_dir)
-    return _dsir_report(spark, sf_dir, _dsir_log_ratios(tb))
+    # Persist the token-bucket rows for the query's duration: the
+    # counting pass (log ratios) and the scoring pass both consume them
+    # — without it the corpus was tokenized + exploded twice per serve
+    # (round 14; guide §5). The 100 TB path stays the served artifact
+    # (q_dsir_weights_served), which needs only ONE pass by design.
+    tb = _dsir_token_buckets(spark, sf_dir).persist()
+    return _dsir_report(spark, sf_dir, _dsir_log_ratios(tb), tb=tb)
 
 
 @register(

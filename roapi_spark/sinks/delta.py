@@ -612,7 +612,8 @@ def _zorder_col(df, cols: list[str]):
     probs = [i / ZORDER_BUCKETS for i in range(1, ZORDER_BUCKETS)]
     z = F.lit(0).cast("bigint")
     n = len(cols)
-    for ci, c in enumerate(cols):
+    zcols = []
+    for c in cols:
         if df.schema[c].dataType.simpleString() not in (
             "tinyint", "smallint", "int", "bigint", "float", "double",
             "date", "timestamp",
@@ -623,10 +624,18 @@ def _zorder_col(df, cols: list[str]):
             )
         if df.schema[c].dataType.simpleString() == "date":
             # Spark forbids DATE->DOUBLE; days-since-epoch ranks the same
-            col = F.unix_date(F.col(c)).cast("double")
+            zcols.append(F.unix_date(F.col(c)).cast("double"))
         else:
-            col = F.col(c).cast("double")
-        bnds = df.select(col.alias("v")).approxQuantile("v", probs, 0.01)
+            zcols.append(F.col(c).cast("double"))
+    # ONE quantile job for every Z-dimension (multi-column
+    # approxQuantile runs the per-column sketches in a single scan —
+    # the per-column form paid one full table scan PER dimension;
+    # identical per-column boundaries, round 14)
+    all_bnds = df.select(
+        *[col.alias(f"__zq{ci}") for ci, col in enumerate(zcols)]
+    ).approxQuantile([f"__zq{ci}" for ci in range(n)], probs, 0.01)
+    for ci, col in enumerate(zcols):
+        bnds = all_bnds[ci]
         bucket = F.size(
             F.filter(
                 F.lit([float(b) for b in bnds]).cast("array<double>"),
