@@ -360,6 +360,11 @@ def _covered_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     K-gram — the expensive half of the rewrite (gram tally + dup join)."""
     from roapi_spark.functions.pipeline6 import _positional_grams
 
+    # Persisted for the query's duration: the duplicate tally and the
+    # coverage join BOTH consume the gram digests — without it the
+    # tokenize + posexplode + md5 pass ran twice per serve (round 14;
+    # guide §5). The once-per-snapshot scale path stays the spancov
+    # artifact (dedup_span_rewrite_served).
     grams = (
         _toks(spark, sf_dir)
         .filter(F.size("w") >= REWRITE_K)
@@ -368,7 +373,7 @@ def _covered_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(_positional_grams(F.col("w"))).alias("i", "gram"),
         )
         .select("doc_id", "i", F.md5(F.col("gram")).alias("g"))
-    )
+    ).persist()
     dup = grams.groupBy("g").count().filter(F.col("count") > 1).select("g")
     return (
         grams.join(dup, "g")
