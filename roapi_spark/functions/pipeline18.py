@@ -253,21 +253,29 @@ def q_cdx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="cdx_merge_gate_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
 
-    master_dir = os.path.join(root, "master")
-    merge_cdx(
-        spark, [idx["r1"], idx["r2"]], master_dir,
-        n_shards=4, latest_only=True,
-    ).count()
-    hist_dir = os.path.join(root, "hist")
-    merge_cdx(
-        spark, [idx["r1"], idx["r2"]], hist_dir,
-        n_shards=4, latest_only=False,
-    ).count()
-
     def _load(d: str) -> DataFrame:
         return load_table(
             spark, TableSource(name="_m", uri=d, format="cdx")
         )
+
+    # both merges (latest-only master + full history) consume the SAME
+    # two rounds' shards: parse the pointer lines once and persist the
+    # index-sized rows for the duration of the two merges (guide §5 —
+    # reuse instead of recompute; was two full text-scan+parse passes)
+    parsed = _load(idx["r1"]).unionByName(_load(idx["r2"])).persist()
+    try:
+        master_dir = os.path.join(root, "master")
+        merge_cdx(
+            spark, [idx["r1"], idx["r2"]], master_dir,
+            n_shards=4, latest_only=True, source_df=parsed,
+        ).count()
+        hist_dir = os.path.join(root, "hist")
+        merge_cdx(
+            spark, [idx["r1"], idx["r2"]], hist_dir,
+            n_shards=4, latest_only=False, source_df=parsed,
+        ).count()
+    finally:
+        parsed.unpersist()
 
     master = _load(master_dir)
     master_agg = master.agg(

@@ -349,6 +349,7 @@ def merge_cdx(
     prefix: str = "merged",
     layout: str = "hash",
     block_lines: int = 3000,
+    source_df: DataFrame | None = None,
 ) -> DataFrame:
     """K-way merge of per-round CDXJ shard sets into ONE master index
     — the cc-index maintenance step (pywb's cdx-indexer + sort-merge
@@ -421,16 +422,24 @@ def merge_cdx(
             if n.endswith((".cdxj", ".cdxj.gz"))
             or n in ("_shards.idx", "_cluster.idx")
         }
-    parts = [
-        load_table(
-            spark,
-            TableSource(name=f"_cdx_{i}", uri=d, format="cdx"),
-        )
-        for i, d in enumerate(index_dirs)
-    ]
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
+    if source_df is not None:
+        # caller-supplied pre-parsed union of exactly ``index_dirs``
+        # (a caller producing SEVERAL layouts/views from one input set
+        # persists the parsed pointer rows once instead of re-scanning
+        # the text shards per merge); index_dirs still names the inputs
+        # for the self-merge guard above
+        df = source_df
+    else:
+        parts = [
+            load_table(
+                spark,
+                TableSource(name=f"_cdx_{i}", uri=d, format="cdx"),
+            )
+            for i, d in enumerate(index_dirs)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
     if latest_only:
         w = Window.partitionBy("surt_key").orderBy(
             F.desc("fetch_ts"), F.desc("warc_filename"), F.desc("offset")
