@@ -138,11 +138,23 @@ def q_crawl_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_links"))
     )
     tot = w.agg(F.sum("n_links").alias("total"))
-    q = w.crossJoin(F.broadcast(tot)).select(
-        "domain",
-        "n_links",
-        F.expr(f"({_BUDGET} * n_links) div total").alias("base"),
-        (F.lit(_BUDGET) * F.col("n_links") % F.col("total")).alias("rem"),
+    q = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "n_links",
+            F.expr(f"({_BUDGET} * n_links) div total").alias("base"),
+            (F.lit(_BUDGET) * F.col("n_links") % F.col("total")).alias(
+                "rem"
+            ),
+        )
+        # q feeds FOUR consumers (the leftover scalar, the extras
+        # top-R, and both sides of the final join): checkpoint the
+        # domain-sized rows once instead of re-running the snapshot
+        # agg + total broadcast per consumer (was 4 evaluations of the
+        # weight subtree in the serve plan; domain table is ~1e6 rows
+        # at 100 TB — checkpoint-sized by design)
+        .localCheckpoint(eager=True)
     )
     # one scalar to the driver: how many remainder slots to hand out
     leftover = int(
@@ -739,6 +751,10 @@ def _fetch_schedule_frame(
         .cast("bigint")
         .alias("finish_ms"),
     )
+    # s is read twice (the lanes and the makespan agg): checkpoint the
+    # domain-sized schedule once so the budget subtree is not replayed
+    # for the 1-row max
+    s = s.localCheckpoint(eager=True)
     mk = s.agg(F.max("finish_ms").alias("makespan_ms"))
     return (
         s.crossJoin(F.broadcast(mk))
