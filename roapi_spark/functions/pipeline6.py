@@ -677,7 +677,11 @@ def _recall_oracle(query_name: str) -> str:
 def _ann_recall_pair(spark, sf_dir, ann_df):
     from roapi_spark.functions.similarity import TOP_K, knn_bruteforce
 
-    exact = knn_bruteforce(spark, sf_dir).select("qid", "neighbor_id")
+    # the exact top-5 feeds BOTH the overlap join and the query-set
+    # distinct: persist the (N_QUERIES x TOP_K)-row result so the
+    # brute-force self-join runs once per recall audit, not twice
+    # (guide §5; fixes all six q_*_recall gates)
+    exact = knn_bruteforce(spark, sf_dir).select("qid", "neighbor_id").persist()
     ov = (
         ann_df.select("qid", "neighbor_id")
         .join(exact, ["qid", "neighbor_id"])

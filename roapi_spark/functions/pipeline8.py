@@ -137,6 +137,11 @@ def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(_bigrams_over("w")).alias("bg"))
         .groupBy("doc_id", "bg.prev", "bg.cur")
         .agg(F.count("*").alias("n"))
+        # three consumers (bc/uc derivation and the scored join) would
+        # each replay the corpus tokenize+shingle pass — persist the
+        # bigram-count rows (vocabulary-bounded per doc) for the
+        # query's duration instead (guide §5)
+        .persist()
     )
     bc = dbig.groupBy("prev", "cur").agg(F.sum("n").alias("c2"))
     uc = bc.groupBy("prev").agg(F.sum("c2").alias("c1"))
