@@ -203,6 +203,7 @@ def write_delta(
     operation_params: dict | None = None,
     configuration: dict | None = None,
     data_change: bool = True,
+    base_version: int | None = None,
 ) -> int:
     """Write ``df`` as a new Delta table version; returns the committed
     version number. ``mode='append'`` adds files; ``mode='overwrite'``
@@ -228,6 +229,22 @@ def write_delta(
     log_dir = _log_dir(path)
     versions = _existing_versions(log_dir)
     version = (versions[-1] + 1) if versions else 0
+    if base_version is not None:
+        # snapshot-derived overwrite (compact): the caller's input df was
+        # computed FROM the snapshot at base_version, so this commit must
+        # land at exactly base_version + 1. Re-listing the log here let a
+        # DML that committed mid-compaction be silently clobbered by
+        # stale rewritten data (lost update, found by the chaos soak);
+        # pinning turns that race into a loud DeltaCommitConflict — the
+        # early check catches a pre-staging winner cheaply, the O_EXCL
+        # create below catches one that lands during the staging write.
+        if not versions or versions[-1] != base_version:
+            raise DeltaCommitConflict(
+                f"snapshot at version {base_version} is no longer the "
+                f"table head ({versions[-1] if versions else 'empty'}): "
+                "a concurrent commit landed; re-read and retry"
+            )
+        version = base_version + 1
     if versions and mode == "append":
         # appends must match the table schema by NAME AND TYPE (Delta
         # append semantics; delta-spark rejects incompatible types too —
@@ -321,7 +338,10 @@ def write_delta(
         # mid-write must never leak its files into our remove list (the
         # O_EXCL create would reject this commit anyway — pinning keeps
         # the composed actions consistent with the version we claim)
-        active_raw, _ = snapshot_raw_state(path, version=versions[-1])
+        active_raw, _ = snapshot_raw_state(
+            path,
+            version=versions[-1] if base_version is None else base_version,
+        )
         for stored_path in active_raw:
             actions.append(
                 {
@@ -672,13 +692,31 @@ def compact(
     key space, so the per-file min/max stats written into the add
     actions let any Delta reader skip files for predicates on EVERY
     Z-dimension. Unpartitioned tables only (a hive layout already
-    clusters its partition columns)."""
+    clusters its partition columns).
+
+    The read snapshot is pinned: the rewrite reads, removes, and
+    commits against ONE version (the log head listed up front). A
+    commit that lands mid-compaction surfaces DeltaCommitConflict —
+    loud and uncommitted, the caller may simply re-run the compaction
+    (delta-spark raises ConcurrentWriteException on the same shape;
+    pure physical rearrangement is safe to drop, unlike DML, so it
+    does not re-execute via _serialize_after_winner). Without the pin,
+    a DML committing between the snapshot read and the overwrite's own
+    log listing was silently clobbered by the stale rewritten data
+    (lost update, found by the chaos soak)."""
     from roapi_spark.config import TableSource
     from roapi_spark.sources.delta import snapshot_state, to_dataframe
 
-    _, meta = snapshot_state(path)
+    log_versions = _existing_versions(_log_dir(path))
+    base = log_versions[-1] if log_versions else None
+    _, meta = snapshot_state(path, version=base)
     partition_by = (meta or {}).get("partitionColumns") or []
-    ts = TableSource(name="_compact", uri=path, format="delta", option={})
+    ts = TableSource(
+        name="_compact",
+        uri=path,
+        format="delta",
+        option={} if base is None else {"version": base},
+    )
     df = to_dataframe(spark, ts)
     if zorder_by:
         if partition_by:
@@ -716,6 +754,7 @@ def compact(
         # not derive phantom whole-table delete+insert from a compaction
         # (delta-spark's OPTIMIZE writes dataChange=false the same way)
         data_change=False,
+        base_version=base,
     )
 
 

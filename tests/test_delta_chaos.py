@@ -44,6 +44,35 @@ def _read(spark, path):
     return spark.read.option("basePath", path).parquet(*files)
 
 
+def test_stale_snapshot_overwrite_conflicts_not_clobbers(spark, tmp_path):
+    """Deterministic pin of the lost-update race the chaos soak exposed:
+    a snapshot-derived overwrite (compact's commit path) whose pinned
+    base version is no longer the log head must surface
+    DeltaCommitConflict — committing it would silently roll back every
+    DML that landed after the snapshot read."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 0), (2, 0)], "id bigint, v bigint")
+    write_delta(base.repartition(2), path, mode="overwrite")  # v0
+    stale = _read(spark, path)  # planned over the v0 file set
+    update_delta(spark, path, "id = 1", {"v": "v + 1"})  # v1 wins the race
+    with pytest.raises(DeltaCommitConflict):
+        write_delta(
+            stale,
+            path,
+            mode="overwrite",
+            operation="OPTIMIZE",
+            data_change=False,
+            base_version=0,
+        )
+    # the winner's update survives; a fresh compact() (which re-reads
+    # the head snapshot) preserves it instead of clobbering it
+    compact(spark, path)
+    final = {r.id: r.v for r in _read(spark, path).collect()}
+    assert final == {1: 1, 2: 0}
+
+
 def test_concurrent_dml_chaos_preserves_rows(spark, tmp_path):
     path = str(tmp_path / "chaos")
     n_threads, ids_per = 4, 40
