@@ -542,8 +542,8 @@ def _decode_block(
     dc_tab: _HuffTable,
     ac_tab: _HuffTable,
     pred: int,
-) -> tuple[np.ndarray, int]:
-    zz = np.zeros(64, dtype=np.int32)
+) -> tuple[list[int], int]:
+    zz = [0] * 64
     size = _huff_read(br, dc_tab)
     if size > 11:
         raise ValueError(f"JPEG DC category {size} out of range")
@@ -681,9 +681,13 @@ def _decode_jpeg_inner(blob: bytes) -> np.ndarray:
             }
             # one coefficient store per component, sized to the
             # interleaved MCU grid; every scan (interleaved or not,
-            # first pass or refinement) accumulates into these
+            # first pass or refinement) accumulates into these.
+            # Plain nested lists, not numpy: the scan decoders touch
+            # coefficients one scalar at a time (AC refinement reads all
+            # 63 per block per scan), and a list store is ~5x faster for
+            # that access pattern; _reconstruct converts once (guide §4.2)
             stores = [
-                np.zeros((mcux * c["h"] * mcuy * c["v"], 64), dtype=np.int32)
+                [[0] * 64 for _ in range(mcux * c["h"] * mcuy * c["v"])]
                 for c in comps
             ]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCF):
@@ -750,7 +754,7 @@ def _decode_scan_into(
     scan: list,
     htables: dict,
     restart_interval: int,
-    stores: list[np.ndarray],
+    stores: list[list[list[int]]],
     ss: int,
     se: int,
     ah: int,
@@ -929,7 +933,7 @@ def _reconstruct(
         if comp["tq"] not in qtables:
             raise ValueError(f"JPEG missing quant table {comp['tq']}")
         q = qtables[comp["tq"]]
-        zz = stores[ci].astype(np.float64)
+        zz = np.asarray(stores[ci], dtype=np.float64)
         coeffs = np.zeros_like(zz)
         coeffs[:, ZIGZAG] = zz
         coeffs = coeffs.reshape(-1, 8, 8) * q[None, :, :]

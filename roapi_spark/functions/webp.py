@@ -101,6 +101,25 @@ class _LSBReader:
         self.n -= nbits
         return v
 
+    def peek(self, nbits: int) -> int:
+        """Next ``nbits`` stream bits WITHOUT consuming; past stream end
+        the missing high bits read as zero (a valid code is never longer
+        than the remaining stream, so the table lookup that follows only
+        ever consumes real bits)."""
+        while self.n < nbits:
+            if self.pos >= len(self.data):
+                return self.acc & ((1 << nbits) - 1)
+            self.acc |= self.data[self.pos] << self.n
+            self.pos += 1
+            self.n += 8
+        return self.acc & ((1 << nbits) - 1)
+
+    def consume(self, nbits: int) -> None:
+        if nbits > self.n:
+            raise ValueError("truncated VP8L bitstream")
+        self.acc >>= nbits
+        self.n -= nbits
+
 
 class _LSBWriter:
     def __init__(self) -> None:
@@ -145,10 +164,22 @@ class _LSBWriter:
         return bytes(out)
 
 
+_REV8 = [int(f"{b:08b}"[::-1], 2) for b in range(256)]
+
+
 class _Huffman:
     """Canonical Huffman decoder from code lengths (VP8L convention:
     codes assigned in symbol order within each length, MSB-first code
-    values read bit-by-bit from the LSB-first stream)."""
+    values read bit-by-bit from the LSB-first stream).
+
+    Decoding is table-driven (guide §4.2 — replace the per-bit Python
+    walk with one peek + one list lookup): ``lut[next_bits]`` packs
+    (code length << 16 | symbol) for every possible window of
+    ``self.bits`` upcoming stream bits. Codes longer than the table
+    window (rare: only degenerate >11-bit codes) escape to the original
+    bit-by-bit dict walk via a 0 sentinel."""
+
+    _LUT_MAX_BITS = 11
 
     def __init__(self, lengths: list[int]) -> None:
         self.single: int | None = None
@@ -160,6 +191,7 @@ class _Huffman:
             return
         # kraft check + canonical assignment
         self.table: dict[tuple[int, int], int] = {}
+        entries: list[tuple[int, int, int]] = []  # (sym, code, length)
         code = 0
         kraft = 0
         maxlen = max(ln for ln, _ in nz)
@@ -167,15 +199,36 @@ class _Huffman:
             for ln, sym in nz:
                 if ln == length:
                     self.table[(length, code)] = sym
+                    entries.append((sym, code, length))
                     code += 1
                     kraft += 1 << (maxlen - length)
             code <<= 1
         if kraft != (1 << maxlen):
             raise ValueError("VP8L Huffman lengths are not a prefix code")
+        bits = min(maxlen, self._LUT_MAX_BITS)
+        self.bits = bits
+        lut = np.zeros(1 << bits, dtype=np.int32)
+        for sym, c, length in entries:
+            if length <= bits:
+                # stream presents the code MSB-first, the peeked window
+                # is LSB-first: the low `length` bits of the window are
+                # the BIT-REVERSED code; every high-bit continuation
+                # maps to the same symbol
+                rev = (_REV8[c & 0xFF] << 8 | _REV8[(c >> 8) & 0xFF]) >> (
+                    16 - length
+                )
+                lut[rev :: 1 << length] = (length << 16) | sym
+            # longer codes: their window slots keep the 0 sentinel (a
+            # real entry is >= 1<<16) -> bit-by-bit fallback
+        self.lut = lut.tolist()
 
     def read(self, br: _LSBReader) -> int:
         if self.single is not None:
             return self.single
+        e = self.lut[br.peek(self.bits)]
+        if e:
+            br.consume(e >> 16)
+            return e & 0xFFFF
         code = 0
         for length in range(1, 16):
             code = (code << 1) | br.read(1)
@@ -210,11 +263,12 @@ def _emit_codes(codes: dict[int, tuple[int, int]]) -> dict[int, tuple[int, int]]
     packer equals one write of the bit-reversed value."""
     out = {}
     for sym, (code, width) in codes.items():
-        rev = 0
-        c = code
-        for _ in range(width):
-            rev = (rev << 1) | (c & 1)
-            c >>= 1
+        if width:
+            rev = (_REV8[code & 0xFF] << 8 | _REV8[(code >> 8) & 0xFF]) >> (
+                16 - width
+            )
+        else:
+            rev = 0
         out[sym] = (rev, width)
     return out
 
@@ -232,16 +286,34 @@ def _build_lengths(freqs: dict[int, int], alphabet: int, maxlen: int = 15) -> li
     if len(syms) == 1:
         lengths[syms[0]] = 1
         return lengths
-    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items())) if f > 0]
+    # parent-pointer Huffman: identical (freq, insertion-uid) heap order
+    # as the old group-concatenation form — every merge added +1 depth to
+    # each member, i.e. a leaf's length is its tree depth — but O(n log n)
+    # instead of quadratic tuple rebuilding
+    leaves = [s for s, f in sorted(freqs.items()) if f > 0]
+    heap = [(f, i) for i, (s, f) in enumerate(
+        ((s, f) for s, f in sorted(freqs.items()) if f > 0)
+    )]
     heapq.heapify(heap)
-    uid = len(heap)
+    nleaf = len(leaves)
+    children: list[tuple[int, int]] = []  # node uid-nleaf -> (left, right)
+    uid = nleaf
     while len(heap) > 1:
-        f1, _, g1 = heapq.heappop(heap)
-        f2, _, g2 = heapq.heappop(heap)
-        for s in g1 + g2:
-            lengths[s] += 1
-        heapq.heappush(heap, (f1 + f2, uid, g1 + g2))
+        f1, u1 = heapq.heappop(heap)
+        f2, u2 = heapq.heappop(heap)
+        children.append((u1, u2))
+        heapq.heappush(heap, (f1 + f2, uid))
         uid += 1
+    # depth-first walk from the root assigns leaf depths
+    stack = [(heap[0][1], 0)]
+    while stack:
+        node, depth = stack.pop()
+        if node < nleaf:
+            lengths[leaves[node]] = depth
+        else:
+            left, right = children[node - nleaf]
+            stack.append((left, depth + 1))
+            stack.append((right, depth + 1))
     # clamp to maxlen, then repair the Kraft sum EXACTLY: the decoder
     # (like libwebp) rejects both over-subscribed AND incomplete codes
     limit = 1 << maxlen
@@ -360,11 +432,14 @@ def _write_code_lengths(bw: _LSBWriter, lengths: list[int]) -> None:
     for i in range(num_clc):
         bw.write(clc_lengths[_CLC_ORDER[i]], 3)
     bw.write(0, 1)  # no max-symbol shortcut
-    codes = _canonical_codes(clc_lengths)
+    codes = _emit_codes(_canonical_codes(clc_lengths))
+    vals: list[int] = []
+    widths: list[int] = []
     for ln in lengths:
-        code, width = codes[ln]
-        for b in range(width - 1, -1, -1):  # MSB-first through LSB stream
-            bw.write((code >> b) & 1, 1)
+        rev, width = codes[ln]
+        vals.append(rev)
+        widths.append(width)
+    bw.write_many(vals, widths)
 
 
 def _write_symbol(bw: _LSBWriter, codes: dict, sym: int) -> None:
@@ -602,7 +677,10 @@ def _decode_image_stream(
         groups.append((green, red, blue, alpha, dist))
 
     npix = xsize * h
-    out = np.zeros((npix, 4), dtype=np.uint8)  # A,R,G,B
+    # packed 32-bit ARGB in a Python list: scalar numpy writes per pixel
+    # cost ~10x a list store, and the whole surface unpacks vectorized
+    # at the end (guide §4.2)
+    out: list[int] = [0] * npix
     cache = [0] * cache_size
     i = 0
     while i < npix:
@@ -614,13 +692,12 @@ def _decode_image_stream(
         green, red, blue, alpha, dist_tree = g
         sym = green.read(br)
         if sym < 256:
-            gg = sym
             rr = red.read(br)
             bb = blue.read(br)
             aa = alpha.read(br)
-            out[i] = (aa, rr, gg, bb)
+            argb32 = (aa << 24) | (rr << 16) | (sym << 8) | bb
+            out[i] = argb32
             if cache_size:
-                argb32 = (aa << 24) | (rr << 16) | (gg << 8) | bb
                 cache[(argb32 * 0x1E35A7BD) >> (32 - cache_bits) & (cache_size - 1)] = argb32
             i += 1
         elif sym < 256 + 24:
@@ -632,23 +709,28 @@ def _decode_image_stream(
                 raise ValueError("VP8L backward reference before start")
             if i + length > npix:
                 raise ValueError("VP8L backward reference past end")
-            for k in range(length):
-                out[i + k] = out[i + k - dist]
-                if cache_size:
-                    aa, rr, gg, bb = out[i + k]
-                    argb32 = (int(aa) << 24) | (int(rr) << 16) | (int(gg) << 8) | int(bb)
+            if cache_size:
+                for k in range(i, i + length):
+                    argb32 = out[k - dist]
+                    out[k] = argb32
                     cache[(argb32 * 0x1E35A7BD) >> (32 - cache_bits) & (cache_size - 1)] = argb32
+            elif dist >= length:
+                out[i : i + length] = out[i - dist : i - dist + length]
+            else:
+                for k in range(i, i + length):
+                    out[k] = out[k - dist]
             i += length
         else:
-            idx = sym - 256 - 24
-            argb32 = cache[idx]
-            out[i] = (
-                (argb32 >> 24) & 0xFF, (argb32 >> 16) & 0xFF,
-                (argb32 >> 8) & 0xFF, argb32 & 0xFF,
-            )
+            out[i] = cache[sym - 256 - 24]
             i += 1
 
-    argb = out.reshape(h, xsize, 4)
+    packed = np.array(out, dtype=np.uint32)
+    argb = np.empty((npix, 4), dtype=np.uint8)
+    argb[:, 0] = packed >> 24
+    argb[:, 1] = (packed >> 16) & 0xFF
+    argb[:, 2] = (packed >> 8) & 0xFF
+    argb[:, 3] = packed & 0xFF
+    argb = argb.reshape(h, xsize, 4)
 
     # inverse transforms, reverse order
     for t in reversed(transforms):
