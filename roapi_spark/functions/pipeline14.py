@@ -2159,7 +2159,10 @@ def stream_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from roapi_spark.streaming.crawl import stream_url_frontier as _frontier
+    from roapi_spark.streaming.crawl import (
+        stream_state_partitions,
+        stream_url_frontier as _frontier,
+    )
 
     src = _warc_fixture_dir(spark, sf_dir)
     shards = _warc_shards(src)
@@ -2182,27 +2185,28 @@ def stream_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for name in shards[: _N_SHARDS // 2]:
             shutil.copy(os.path.join(src, name), os.path.join(landing, name))
-        q = _frontier(
-            spark,
-            landing,
-            process,
-            os.path.join(landing, "_ckpt"),
-            query_name="stream_url_frontier",
-        )
-        try:
-            q.processAllAvailable()
-            for name in shards[_N_SHARDS // 2 :]:
-                shutil.copy(
-                    os.path.join(src, name), os.path.join(landing, name)
-                )
-            # wave 2 also RE-LANDS shard 0: a re-crawl of known URLs
-            shutil.copy(
-                os.path.join(src, shards[0]),
-                os.path.join(landing, "recrawl-00.warc.gz"),
+        with stream_state_partitions(spark):
+            q = _frontier(
+                spark,
+                landing,
+                process,
+                os.path.join(landing, "_ckpt"),
+                query_name="stream_url_frontier",
             )
-            q.processAllAvailable()
-        finally:
-            q.stop()
+            try:
+                q.processAllAvailable()
+                for name in shards[_N_SHARDS // 2 :]:
+                    shutil.copy(
+                        os.path.join(src, name), os.path.join(landing, name)
+                    )
+                # wave 2 also RE-LANDS shard 0: a re-crawl of known URLs
+                shutil.copy(
+                    os.path.join(src, shards[0]),
+                    os.path.join(landing, "recrawl-00.warc.gz"),
+                )
+                q.processAllAvailable()
+            finally:
+                q.stop()
     finally:
         shutil.rmtree(landing, ignore_errors=True)
     return spark.createDataFrame(

@@ -685,6 +685,7 @@ def stream_frontier_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from roapi_spark.streaming.crawl import (
         N_BLOOM_BUCKETS,
+        stream_state_partitions,
         stream_url_frontier_bounded,
     )
 
@@ -725,31 +726,32 @@ def stream_frontier_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for name in shards[: _N_SHARDS // 2]:
             shutil.copy(os.path.join(src, name), os.path.join(landing, name))
-        q = stream_url_frontier_bounded(
-            spark,
-            landing,
-            process,
-            os.path.join(landing, "_ckpt"),
-            query_name="stream_frontier_bounded",
-        )
-        try:
-            q.processAllAvailable()
-            for name in shards[_N_SHARDS // 2 :]:
+        with stream_state_partitions(spark):
+            q = stream_url_frontier_bounded(
+                spark,
+                landing,
+                process,
+                os.path.join(landing, "_ckpt"),
+                query_name="stream_frontier_bounded",
+            )
+            try:
+                q.processAllAvailable()
+                for name in shards[_N_SHARDS // 2 :]:
+                    shutil.copy(
+                        os.path.join(src, name), os.path.join(landing, name)
+                    )
+                # wave 2 re-lands shards 0 and 1: a re-crawl-heavy mix
                 shutil.copy(
-                    os.path.join(src, name), os.path.join(landing, name)
+                    os.path.join(src, shards[0]),
+                    os.path.join(landing, "recrawl-00.warc.gz"),
                 )
-            # wave 2 re-lands shards 0 and 1: a re-crawl-heavy mix
-            shutil.copy(
-                os.path.join(src, shards[0]),
-                os.path.join(landing, "recrawl-00.warc.gz"),
-            )
-            shutil.copy(
-                os.path.join(src, shards[1]),
-                os.path.join(landing, "recrawl-01.warc"),
-            )
-            q.processAllAvailable()
-        finally:
-            q.stop()
+                shutil.copy(
+                    os.path.join(src, shards[1]),
+                    os.path.join(landing, "recrawl-01.warc"),
+                )
+                q.processAllAvailable()
+            finally:
+                q.stop()
     finally:
         shutil.rmtree(landing, ignore_errors=True)
     try:

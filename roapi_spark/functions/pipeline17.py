@@ -807,6 +807,7 @@ def stream_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from roapi_spark.functions.pipeline16 import _sitemap_fixture_dir
     from roapi_spark.streaming.crawl import (
         stream_sitemap_seeds as _stream,
+        stream_state_partitions,
     )
 
     src = _sitemap_fixture_dir(spark, sf_dir)
@@ -829,27 +830,28 @@ def stream_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         for name in ("urlset-1.xml", "urlset-2.xml"):
             shutil.copy(os.path.join(src, name), os.path.join(landing, name))
-        q = _stream(
-            spark,
-            landing,
-            process,
-            os.path.join(landing, "_ckpt"),
-            query_name="stream_sitemap_seeds",
-        )
-        try:
-            q.processAllAvailable()
-            shutil.copy(
-                os.path.join(src, "urlset-0.xml.gz"),
-                os.path.join(landing, "urlset-0.xml.gz"),
+        with stream_state_partitions(spark):
+            q = _stream(
+                spark,
+                landing,
+                process,
+                os.path.join(landing, "_ckpt"),
+                query_name="stream_sitemap_seeds",
             )
-            # wave 2 re-lands shard 1: re-published sitemap, zero new
-            shutil.copy(
-                os.path.join(src, "urlset-1.xml"),
-                os.path.join(landing, "recrawl-1.xml"),
-            )
-            q.processAllAvailable()
-        finally:
-            q.stop()
+            try:
+                q.processAllAvailable()
+                shutil.copy(
+                    os.path.join(src, "urlset-0.xml.gz"),
+                    os.path.join(landing, "urlset-0.xml.gz"),
+                )
+                # wave 2 re-lands shard 1: re-published sitemap, zero new
+                shutil.copy(
+                    os.path.join(src, "urlset-1.xml"),
+                    os.path.join(landing, "recrawl-1.xml"),
+                )
+                q.processAllAvailable()
+            finally:
+                q.stop()
     finally:
         shutil.rmtree(landing, ignore_errors=True)
     return spark.createDataFrame(
@@ -1199,6 +1201,7 @@ def stream_recrawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from roapi_spark.functions.pipeline14 import _cdx_fixture_dir
     from roapi_spark.streaming.crawl import (
         stream_recrawl_frontier as _stream,
+        stream_state_partitions,
     )
 
     src = _cdx_fixture_dir(spark, sf_dir)
@@ -1232,21 +1235,22 @@ def stream_recrawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         land("day1-00.cdxj", day1)
-        q = _stream(
-            spark,
-            landing,
-            process,
-            os.path.join(landing, "_ckpt"),
-            ttl_days=1,
-            query_name="stream_recrawl_frontier",
-        )
-        try:
-            q.processAllAvailable()
-            land("day2-00.cdxj", day2)
-            land("day1-again.cdxj", day1)  # re-delivery: all inside TTL
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with stream_state_partitions(spark):
+            q = _stream(
+                spark,
+                landing,
+                process,
+                os.path.join(landing, "_ckpt"),
+                ttl_days=1,
+                query_name="stream_recrawl_frontier",
+            )
+            try:
+                q.processAllAvailable()
+                land("day2-00.cdxj", day2)
+                land("day1-again.cdxj", day1)  # re-delivery: all inside TTL
+                q.processAllAvailable()
+            finally:
+                q.stop()
     finally:
         shutil.rmtree(landing, ignore_errors=True)
     return spark.createDataFrame(

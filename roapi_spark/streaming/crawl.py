@@ -143,7 +143,59 @@ def stream_crawl_ingest(
 # --- URL frontier: crawl-revisit dedup with custom keyed state --------------
 
 FRONTIER_OUTPUT = "canon string, warc_file string, is_new int"
-FRONTIER_STATE = "seen int"
+# exact frontier state, hash-bucketed: the sorted canon set of one bucket
+FRONTIER_EXACT_STATE = "seen array<string>"
+
+# How many state groups the EXACT frontiers shuffle into. The r14 profile
+# showed the applyInPandasWithState machinery costs ~1.5 ms per GROUP per
+# batch (Arrow slice + Python call + state roundtrip), so keying state by
+# the raw URL made every batch pay per *distinct URL* (~1.5 s at sf0.1
+# arrival mixes) while the actual kernel work was microseconds. Bucketing
+# the key space (same shape the Bloom-bounded frontier always had) makes
+# the per-batch cost per *bucket*. Size it to state volume, not core
+# count: each batch rewrites a touched bucket's canon list, so production
+# deployments raise this until per-bucket state is comfortably small
+# (env SPARK_GRAFT_FRONTIER_BUCKETS).
+N_EXACT_BUCKETS = int(os.environ.get("SPARK_GRAFT_FRONTIER_BUCKETS", "64"))
+
+
+def _exact_bucket_col(col) -> "F.Column":
+    """Deterministic shuffle/state-bucket key for the exact frontiers."""
+    return F.pmod(F.xxhash64(col), F.lit(N_EXACT_BUCKETS)).cast("int")
+
+
+# Stateful streaming stages pay a measured ~60 ms PER STATE PARTITION per
+# micro-batch (state store open/commit plus the per-task Python
+# state-server setup): a 1-row, 1-group batch costs ~2 s at 32 shuffle
+# partitions, ~1 s at 8, ~0.55 s at 2. The state partition count is pinned
+# from spark.sql.shuffle.partitions when a stateful stream first starts,
+# so it should track ARRIVAL VOLUME and state size, not cluster width —
+# exactly like N_EXACT_BUCKETS above. 8 is sized for fixture arrival
+# rates; production deployments with high-volume frontiers raise it via
+# the env knob (it only bounds the stateful stage's parallelism — scans
+# and foreachBatch aggregations are planned per batch with AQE and keep
+# the session-wide setting).
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
+
+
+class stream_state_partitions:
+    """Context manager: pin spark.sql.shuffle.partitions to the
+    streaming-state size for the lifetime of one gate serve (the value
+    is captured into the new query's checkpoint at start), restoring
+    the session value afterwards."""
+
+    def __init__(self, spark: SparkSession, n: int | None = None) -> None:
+        self.spark = spark
+        self.n = n or STREAM_STATE_PARTITIONS
+
+    def __enter__(self) -> None:
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
 def _first_seen_fn(sort_cols: list[str], out_key: str, out_file: str):
@@ -151,17 +203,15 @@ def _first_seen_fn(sort_cols: list[str], out_key: str, out_file: str):
     share (they had drifted as renamed copies): the first arrival EVER
     of a key emits is_new=1 — attributed deterministically to the
     smallest ``sort_cols`` row of its batch — and every later arrival,
-    same batch or any later one, emits is_new=0. State is one int per
-    key."""
+    same batch or any later one, emits is_new=0.
+
+    Bucketed form (round 15): the state group is a hash bucket of the
+    key space and state is the bucket's seen-key set; per-key semantics
+    are unchanged. Sorting the bucket's rows by ``sort_cols`` makes the
+    first occurrence of each key in scan order exactly the old per-key
+    lexicographic argmin, so the credited row is identical."""
 
     def fn(key, pdfs, state):
-        # this body runs ONCE PER KEY per micro-batch (thousands of
-        # calls per batch), so the constant factors matter: skip the
-        # concat copy for the single-frame case, replace the full sort
-        # with a stable argmin (only the credited row needs the order,
-        # and only when the key is brand-new), and build the output
-        # from numpy arrays instead of Python lists — measured 2.8x
-        # per-key vs the concat+sort+list form at sf0.1 arrival mixes.
         import numpy as np
         import pandas as pd
 
@@ -171,23 +221,22 @@ def _first_seen_fn(sort_cols: list[str], out_key: str, out_file: str):
             if len(frames) == 1
             else pd.concat(frames, ignore_index=True)
         )
-        n = len(rows)
+        if len(rows) > 1:
+            rows = rows.sort_values(sort_cols, kind="stable")
+        seen = set(state.get[0]) if state.exists else set()
+        keys = rows[out_key].to_numpy()
+        n = len(keys)
         flags = np.zeros(n, dtype="int64")
-        if not state.exists:
-            if n == 1:
-                idx = 0
-            else:
-                # stable lexicographic argmin == first row of the old
-                # stable sort: same deterministic attribution
-                order = np.lexsort(
-                    tuple(rows[c].to_numpy() for c in reversed(sort_cols))
-                )
-                idx = int(order[0])
-            flags[idx] = 1
-        state.update((1,))
+        for j in range(n):
+            k = keys[j]
+            if k not in seen:
+                flags[j] = 1
+                seen.add(k)
+        # sorted() pins the state bytes (set order is hash-seed noise)
+        state.update((sorted(seen),))
         yield pd.DataFrame(
             {
-                out_key: np.repeat(key[0], n),
+                out_key: keys,
                 out_file: rows[out_file].to_numpy(),
                 "is_new": flags,
             }
@@ -196,7 +245,7 @@ def _first_seen_fn(sort_cols: list[str], out_key: str, out_file: str):
     return fn
 
 
-# per-canonical-URL crawl-revisit classification
+# per-canonical-URL crawl-revisit classification (bucketed state)
 _frontier_fn = _first_seen_fn(["warc_file", "target_uri"], "canon", "warc_file")
 
 
@@ -230,11 +279,13 @@ def stream_url_frontier(
     re-crawl / retry), keyed on the CANONICAL form so tracking-param and
     case variants of one page collapse to one frontier entry.
 
-    State is one int per canonical URL in the checkpointed state store —
-    the honest cost of an exact frontier. A production deployment bounds
-    it the usual ways (TTL timeout for re-crawl-after-N-days semantics,
-    or a bloom-filter front); the semantics here are the exact kernel
-    those approximations approximate."""
+    State is one entry per canonical URL in the checkpointed state
+    store — the honest cost of an exact frontier — held as hash-bucketed
+    canon sets (N_EXACT_BUCKETS groups) so the per-group state machinery
+    is paid per bucket, not per URL. A production deployment bounds
+    state the usual ways (TTL timeout for re-crawl-after-N-days
+    semantics, or a bloom-filter front); the semantics here are the
+    exact kernel those approximations approximate."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from roapi_spark.functions.web import canonical_url
@@ -243,12 +294,16 @@ def stream_url_frontier(
     urls = files.mapInPandas(
         _parse_urls_kernel(), "warc_file string, target_uri string"
     ).withColumn("canon", canonical_url(F.col("target_uri")))
-    classified = urls.groupBy("canon").applyInPandasWithState(
-        _frontier_fn,
-        FRONTIER_OUTPUT,
-        FRONTIER_STATE,
-        "append",
-        GroupStateTimeout.NoTimeout,
+    classified = (
+        urls.withColumn("bucket", _exact_bucket_col(F.col("canon")))
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            _frontier_fn,
+            FRONTIER_OUTPUT,
+            FRONTIER_EXACT_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
     )
     return (
         classified.writeStream.foreachBatch(process)
@@ -641,8 +696,9 @@ def stream_sitemap_seeds(
     one row per landed file, .gz-transparent; sitemap files are
     spec-capped at 50 MB so whole-file rows are format-bounded), its
     checkpoint gives exactly-once per-file delivery across restarts.
-    State is one int per SURT — the exact kernel; the Bloom-bounded
-    frontier shows the constant-state variant of the same pattern."""
+    State is one entry per SURT, hash-bucketed (N_EXACT_BUCKETS) like
+    the URL frontier — the exact kernel; the Bloom-bounded frontier
+    shows the constant-state variant of the same pattern."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from roapi_spark.functions.web import url_to_surt
@@ -684,12 +740,16 @@ def stream_sitemap_seeds(
     seeds = parse_sitemap_content(raw).select(
         url_to_surt(F.col("loc")).alias("surt"), "loc", "sitemap_file"
     )
-    classified = seeds.groupBy("surt").applyInPandasWithState(
-        _seed_frontier_fn,
-        SEED_OUTPUT,
-        FRONTIER_STATE,
-        "append",
-        GroupStateTimeout.NoTimeout,
+    classified = (
+        seeds.withColumn("bucket", _exact_bucket_col(F.col("surt")))
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            _seed_frontier_fn,
+            SEED_OUTPUT,
+            FRONTIER_EXACT_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
     )
     return (
         classified.writeStream.foreachBatch(process)
@@ -702,7 +762,8 @@ def stream_sitemap_seeds(
 # --- TTL recrawl frontier ------------------------------------------------------
 
 TTL_OUTPUT = "surt string, cdx_file string, verdict string"
-TTL_STATE = "last_day int"
+# bucketed per-SURT last-capture-day map as parallel sorted arrays
+TTL_STATE = "surts array<string>, days array<int>"
 
 
 def _ttl_frontier_fn(ttl_days: int):
@@ -712,7 +773,11 @@ def _ttl_frontier_fn(ttl_days: int):
     and advance state) or 'fresh' (inside the TTL — skip). The
     re-crawl-after-N-days semantics the exact frontier's docstring
     points at, as REAL bounded state: one int per SURT regardless of
-    how many times a page is re-offered."""
+    how many times a page is re-offered — held bucketed (see
+    N_EXACT_BUCKETS) as a surt->day map per hash bucket, so per-batch
+    state machinery is paid per bucket, not per SURT. Per-SURT rows are
+    still processed in (fetch_ts, cdx_file) order, so verdicts are
+    identical to the per-key form."""
 
     import datetime as _dt
 
@@ -733,8 +798,6 @@ def _ttl_frontier_fn(ttl_days: int):
         ).toordinal()
 
     def fn(key, pdfs, state):
-        # per-key per-batch hot path (see _first_seen_fn): skip the
-        # concat/sort for single-frame/single-row arrivals, numpy output
         frames = list(pdfs)
         rows = (
             frames[0]
@@ -743,10 +806,15 @@ def _ttl_frontier_fn(ttl_days: int):
         )
         if len(rows) > 1:
             rows = rows.sort_values(["fetch_ts", "cdx_file"], kind="stable")
-        last = state.get[0] if state.exists else None
+        if state.exists:
+            st = state.get
+            last_by_surt = dict(zip(st[0], st[1]))
+        else:
+            last_by_surt = {}
         out_v = []
-        for ts in rows["fetch_ts"]:
+        for surt, ts in zip(rows["surt_key"], rows["fetch_ts"]):
             d = day_num(str(ts))
+            last = last_by_surt.get(surt)
             if last is None:
                 v = "new"
             elif d - last >= ttl_days:
@@ -754,12 +822,13 @@ def _ttl_frontier_fn(ttl_days: int):
             else:
                 v = "fresh"
             if v != "fresh":
-                last = max(d, last or 0)
+                last_by_surt[surt] = max(d, last or 0)
             out_v.append(v)
-        state.update((int(last),))
+        surts = sorted(last_by_surt)  # pin state bytes deterministically
+        state.update((surts, [last_by_surt[s] for s in surts]))
         yield pd.DataFrame(
             {
-                "surt": np.repeat(key[0], len(rows)),
+                "surt": rows["surt_key"].to_numpy(),
                 "cdx_file": rows["cdx_file"].to_numpy(),
                 "verdict": np.asarray(out_v, dtype=object),
             }
@@ -787,7 +856,7 @@ def stream_recrawl_frontier(
     state size, this one bounds RE-FETCH RATE — together they are the
     scheduling core of a continuous crawl. The index lines are
     ~1000x smaller than archives; per-batch cost is index arrival
-    volume; state is one int per SURT."""
+    volume; state is one entry per SURT in bucketed maps."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from roapi_spark.sources.cdx import parse_cdx_lines
@@ -807,12 +876,16 @@ def stream_recrawl_frontier(
     parsed = parse_cdx_lines(lines, passthrough=("cdx_file",)).select(
         "surt_key", "fetch_ts", "cdx_file"
     )
-    classified = parsed.groupBy("surt_key").applyInPandasWithState(
-        _ttl_frontier_fn(ttl_days),
-        TTL_OUTPUT,
-        TTL_STATE,
-        "append",
-        GroupStateTimeout.NoTimeout,
+    classified = (
+        parsed.withColumn("bucket", _exact_bucket_col(F.col("surt_key")))
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            _ttl_frontier_fn(ttl_days),
+            TTL_OUTPUT,
+            TTL_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
     )
     return (
         classified.writeStream.foreachBatch(process)
