@@ -460,7 +460,10 @@ def hits_scores(
     a = h
     for _ in range(iters):
         h, a = _hits_step(edges, nodes, h)
-    return h, a
+    # iterations carry SPARSE frames (nodes with no in-weight are simply
+    # absent — they contribute 0 either way); the public contract stays
+    # dense: every node, zeros materialized
+    return _densify(nodes, h), _densify(nodes, a)
 
 
 def hits_converged(
@@ -474,41 +477,62 @@ def hits_converged(
     authority, iterations_run). One anti-join count per iteration is
     the price of the stopping test — the convergence path is for
     analyses that need stable ranks, not the exact-replay gates."""
-    h, a = hits_scores(edges, nodes, 1)
+    h = nodes.select("n", F.lit(_HITS_SCALE).cast("bigint").alias("v"))
+    h, a = _hits_step(edges, nodes, h)
+
+    def _differs(x: DataFrame, y: DataFrame) -> DataFrame:
+        # scores are SPARSE (absent == 0), so compare over the full
+        # outer key set with zeros coalesced
+        return (
+            x.alias("x")
+            .join(y.alias("y"), F.col("x.n") == F.col("y.n"), "full")
+            .filter(
+                F.coalesce(F.col("x.v"), F.lit(0))
+                != F.coalesce(F.col("y.v"), F.lit(0))
+            )
+        )
+
     for it in range(2, max_iters + 1):
         # run one more iteration from the checkpointed state
         nh, na = _hits_step(edges, nodes, h)
         changed = (
-            nh.alias("x")
-            .join(h.alias("y"), F.col("x.n") == F.col("y.n"))
-            .filter(F.col("x.v") != F.col("y.v"))
-            .union(
-                na.alias("x")
-                .join(a.alias("y"), F.col("x.n") == F.col("y.n"))
-                .filter(F.col("x.v") != F.col("y.v"))
-            )
-            .limit(1)
-            .count()
+            _differs(nh, h).union(_differs(na, a)).limit(1).count()
         )
         h, a = nh, na
         if changed == 0:
-            return h, a, it
-    return h, a, max_iters
+            return _densify(nodes, h), _densify(nodes, a), it
+    return _densify(nodes, h), _densify(nodes, a), max_iters
+
+
+def _densify(nodes: DataFrame, score: DataFrame) -> DataFrame:
+    """Sparse score frame -> one row per node, absent keys as 0."""
+    return nodes.join(
+        F.broadcast(score.withColumnRenamed("n", "sn")),
+        nodes.n == F.col("sn"),
+        "left",
+    ).select("n", F.coalesce("v", F.lit(0)).cast("bigint").alias("v"))
 
 
 def _hits_step(
     edges: DataFrame, nodes: DataFrame, h: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
     """One (authority, hub) update from hub state ``h``, checkpointed.
+    Returns SPARSE score frames: a node with no in-weight is absent
+    rather than 0 — its contribution to the next step's sums is 0
+    either way (weights are >= 0), div flooring keeps genuine 0-score
+    rows present, and the max over raw sums is unchanged, so the
+    densified fixed point is bit-identical (oracle-verified).
 
-    The normalization max is computed from the AGGREGATED raw-score
-    frame, not from the node-joined scores: the two maxima are equal
-    (raw sums are >= 0, so the left join's coalesced zeros never win)
-    and deriving it before the nodes join detaches the max job from
-    the join's critical path — with the raw/max frames broadcast, one
-    iteration is two shuffles instead of a four-deep sequential AQE
-    chain per side (round-14: q_crawl_hits_deep 9.8 -> 5.5 s isolated,
-    bit-identical output)."""
+    Why sparse: the per-iteration cost of this query is DRIVER-side
+    plan construction (~0.2 s per half at round 14 — each lazy
+    localCheckpoint plans its physical plan), not execution (~10 ms).
+    Dropping the per-step dense nodes join removes a join + broadcast
+    from every planned iteration; zeros materialize once at the end
+    (hits_scores/_hits_frame). The normalization max still comes from
+    the aggregated raw frame (round-14: detaches the max job from the
+    join critical path); coalesce(max, 1) guards the empty-edge-set
+    corner (unreachable today — nodes derive from edge endpoints — but
+    a filtered caller would otherwise get silent NULL scores)."""
 
     def half(score: DataFrame, src_col: str, dst_col: str) -> DataFrame:
         raw = (
@@ -520,13 +544,12 @@ def _hits_step(
             .groupBy(dst_col)
             .agg(F.sum("c").cast("bigint").alias("s"))
         )
-        mx = raw.agg(F.max("s").alias("mx"))
+        mx = raw.agg(F.coalesce(F.max("s"), F.lit(1)).alias("mx"))
         return (
-            nodes.join(F.broadcast(raw), nodes.n == F.col(dst_col), "left")
-            .crossJoin(F.broadcast(mx))
+            raw.crossJoin(F.broadcast(mx))
             .select(
-                "n",
-                F.expr(f"(coalesce(s, 0) * {_HITS_SCALE}) div mx")
+                F.col(dst_col).alias("n"),
+                F.expr(f"(s * {_HITS_SCALE}) div mx")
                 .cast("bigint")
                 .alias("v"),
             )
