@@ -1174,10 +1174,7 @@ IMAGE_STATS_SCHEMA = (
 )
 
 
-def image_stats(df: DataFrame, id_col: str = "id", content_col: str = "content") -> DataFrame:
-    """Decode + per-image feature extraction. One Python worker per input
-    partition; each Arrow batch decodes vectorized."""
-
+def _image_stats_kernel(id_col: str = "id", content_col: str = "content"):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -1197,23 +1194,41 @@ def image_stats(df: DataFrame, id_col: str = "id", content_col: str = "content")
                 out, columns=["id", "width", "height", "mean_pixel", "max_pixel", "n_bytes"]
             )
 
-    return df.select(id_col, content_col).mapInPandas(run, IMAGE_STATS_SCHEMA)
+    return run
+
+
+def image_stats(df: DataFrame, id_col: str = "id", content_col: str = "content") -> DataFrame:
+    """Decode + per-image feature extraction. One Python worker per input
+    partition; each Arrow batch decodes vectorized."""
+    return df.select(id_col, content_col).mapInPandas(
+        _image_stats_kernel(id_col, content_col), IMAGE_STATS_SCHEMA
+    )
+
+
+def _fuse(gen, kernel):
+    """Compose two mapInPandas kernels into ONE Python stage (guide §4.2
+    — fewer Python nodes): the registry's synthesize-then-decode gates
+    ran `gen` (encode) and the stats kernel (decode) as two chained
+    Python runners in one stage, paying the per-task worker attach twice
+    and round-tripping every encoded blob Python -> JVM -> Python.
+    Composed, blobs stay inside one worker; both kernels run unchanged,
+    so outputs are identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from kernel(gen(batches))
+
+    return run
 
 
 RESIZE_SCHEMA = "id bigint, content binary, width int, height int"
 
 
-def image_resize(
-    df: DataFrame,
+def _image_resize_kernel(
     out_width: int,
     out_height: int,
     id_col: str = "id",
     content_col: str = "content",
-) -> DataFrame:
-    """Nearest-neighbor resize, re-encoded to the same format the blob
-    arrived in (BMP in -> BMP out, FIMG in -> FIMG out). The shape of a
-    real pipeline: binary in -> binary out, metadata updated."""
-
+):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -1234,18 +1249,31 @@ def image_resize(
                 rows.append((int(i), blob_out, out_width, out_height))
             yield pd.DataFrame(rows, columns=["id", "content", "width", "height"])
 
-    return df.select(id_col, content_col).mapInPandas(run, RESIZE_SCHEMA)
+    return run
+
+
+def image_resize(
+    df: DataFrame,
+    out_width: int,
+    out_height: int,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Nearest-neighbor resize, re-encoded to the same format the blob
+    arrived in (BMP in -> BMP out, FIMG in -> FIMG out). The shape of a
+    real pipeline: binary in -> binary out, metadata updated."""
+    return df.select(id_col, content_col).mapInPandas(
+        _image_resize_kernel(out_width, out_height, id_col, content_col),
+        RESIZE_SCHEMA,
+    )
 
 
 FRAME_SAMPLE_SCHEMA = "id bigint, frame_idx int, content binary"
 
 
-def frame_sample(
-    df: DataFrame, every_n: int, id_col: str = "id", content_col: str = "content"
-) -> DataFrame:
-    """Sample every n-th frame of each video into standalone image rows —
-    a fan-out mapInPandas (one input row -> many output rows)."""
-
+def _frame_sample_kernel(
+    every_n: int, id_col: str = "id", content_col: str = "content"
+):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -1261,7 +1289,17 @@ def frame_sample(
                     rows.append((int(i), fi, img))
             yield pd.DataFrame(rows, columns=["id", "frame_idx", "content"])
 
-    return df.select(id_col, content_col).mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+    return run
+
+
+def frame_sample(
+    df: DataFrame, every_n: int, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """Sample every n-th frame of each video into standalone image rows —
+    a fan-out mapInPandas (one input row -> many output rows)."""
+    return df.select(id_col, content_col).mapInPandas(
+        _frame_sample_kernel(every_n, id_col, content_col), FRAME_SAMPLE_SCHEMA
+    )
 
 
 AUDIO_STATS_SCHEMA = (
@@ -1270,10 +1308,7 @@ AUDIO_STATS_SCHEMA = (
 )
 
 
-def audio_stats(df: DataFrame, id_col: str = "id", content_col: str = "content") -> DataFrame:
-    """Decode + per-clip features (duration, RMS loudness, peak amplitude)
-    — vectorized per Arrow batch, same pipeline shape as image_stats."""
-
+def _audio_stats_kernel(id_col: str = "id", content_col: str = "content"):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -1296,15 +1331,20 @@ def audio_stats(df: DataFrame, id_col: str = "id", content_col: str = "content")
                 columns=["id", "sample_rate", "n_samples", "duration_s", "rms", "peak"],
             )
 
-    return df.select(id_col, content_col).mapInPandas(run, AUDIO_STATS_SCHEMA)
+    return run
 
 
-def audio_resample(
-    df: DataFrame, factor: int, id_col: str = "id", content_col: str = "content"
-) -> DataFrame:
-    """Integer-factor decimation (every ``factor``-th sample, rate/factor)
-    re-encoded as FAUD blobs — the blob-in/blob-out transform shape."""
+def audio_stats(df: DataFrame, id_col: str = "id", content_col: str = "content") -> DataFrame:
+    """Decode + per-clip features (duration, RMS loudness, peak amplitude)
+    — vectorized per Arrow batch, same pipeline shape as image_stats."""
+    return df.select(id_col, content_col).mapInPandas(
+        _audio_stats_kernel(id_col, content_col), AUDIO_STATS_SCHEMA
+    )
 
+
+def _audio_resample_kernel(
+    factor: int, id_col: str = "id", content_col: str = "content"
+):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -1321,7 +1361,18 @@ def audio_resample(
                 )
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    return df.select(id_col, content_col).mapInPandas(run, "id bigint, content binary")
+    return run
+
+
+def audio_resample(
+    df: DataFrame, factor: int, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """Integer-factor decimation (every ``factor``-th sample, rate/factor)
+    re-encoded as FAUD blobs — the blob-in/blob-out transform shape."""
+    return df.select(id_col, content_col).mapInPandas(
+        _audio_resample_kernel(factor, id_col, content_col),
+        "id bigint, content binary",
+    )
 
 
 def with_meta(df: DataFrame, mime: str, content_col: str = "content") -> DataFrame:
@@ -1386,8 +1437,9 @@ def multimodal_image_stats(spark, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-    stats = image_stats(corpus)
+    stats = ids.mapInPandas(
+        _fuse(gen, _image_stats_kernel()), IMAGE_STATS_SCHEMA
+    )
     return stats.select(
         F.col("id").alias("doc_id"),
         "width",
@@ -1454,8 +1506,9 @@ def multimodal_audio_stats(spark, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-    stats = audio_stats(corpus)
+    stats = ids.mapInPandas(
+        _fuse(gen, _audio_stats_kernel()), AUDIO_STATS_SCHEMA
+    )
     return stats.select(
         F.col("id").alias("doc_id"),
         "sample_rate",
@@ -1516,8 +1569,9 @@ def multimodal_audio_wav(spark, sf_dir: str) -> DataFrame:
                 rows.append((int(i), encode_wav(_WAV_RATE, stereo, channels=2)))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-    stats = audio_stats(corpus)
+    stats = ids.mapInPandas(
+        _fuse(gen, _audio_stats_kernel()), AUDIO_STATS_SCHEMA
+    )
     return stats.select(
         F.col("id").alias("doc_id"),
         "sample_rate",
@@ -1589,9 +1643,6 @@ def multimodal_video_framesample(spark, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-    frames = frame_sample(corpus, _VID_EVERY)
-
     # image_stats keys by id alone; frames need (id, frame_idx), so the
     # stats stage here carries the frame key through the pandas batch
     def per_frame(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1609,8 +1660,8 @@ def multimodal_video_framesample(spark, sf_dir: str) -> DataFrame:
                          "mean_pixel", "max_pixel"],
             )
 
-    res = frames.mapInPandas(
-        per_frame,
+    res = ids.mapInPandas(
+        _fuse(gen, _fuse(_frame_sample_kernel(_VID_EVERY), per_frame)),
         "doc_id bigint, frame_idx int, width int, height int, "
         "mean_pixel double, max_pixel int",
     )
@@ -1697,13 +1748,12 @@ def multimodal_image_knn(spark, sf_dir: str) -> DataFrame:
                 rows.append((int(i), f))
             yield pd.DataFrame(rows, columns=["doc_id", "f"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
     # materialize the extracted features once: without the barrier the
-    # broadcast query side re-runs BOTH pandas stages over the full
+    # broadcast query side re-runs the fused pandas stage over the full
     # corpus just to find its 5 rows — 2x the decode cost at any scale
-    feats = corpus.mapInPandas(extract, "doc_id bigint, f array<double>").localCheckpoint(
-        eager=False
-    )
+    feats = ids.mapInPandas(
+        _fuse(gen, extract), "doc_id bigint, f array<double>"
+    ).localCheckpoint(eager=False)
     q = feats.filter(F.col("doc_id") < _KNN_QUERIES).select(
         F.col("doc_id").alias("qid"), F.col("f").alias("qf")
     )
@@ -1767,9 +1817,11 @@ def multimodal_image_resize(spark, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-    resized = image_resize(corpus, _RSZ_W, _RSZ_H)
-    stats = image_stats(resized)
+    stats = ids.mapInPandas(
+        _fuse(gen, _fuse(_image_resize_kernel(_RSZ_W, _RSZ_H),
+                         _image_stats_kernel())),
+        IMAGE_STATS_SCHEMA,
+    )
     return stats.select(
         F.col("id").alias("doc_id"),
         "width",
@@ -1833,9 +1885,11 @@ def multimodal_audio_resample(spark, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-    resampled = audio_resample(corpus, _RS_FACTOR)
-    stats = audio_stats(resampled)
+    stats = ids.mapInPandas(
+        _fuse(gen, _fuse(_audio_resample_kernel(_RS_FACTOR),
+                         _audio_stats_kernel())),
+        AUDIO_STATS_SCHEMA,
+    )
     return stats.select(
         F.col("id").alias("doc_id"),
         "sample_rate",
@@ -1927,10 +1981,8 @@ def multimodal_alignment(spark, sf_dir: str) -> DataFrame:
                 rows.append((int(i), f))
             yield pd.DataFrame(rows, columns=["doc_id", "imv"])
 
-    imf = (
-        d.select("doc_id")
-        .mapInPandas(gen, "id bigint, content binary")
-        .mapInPandas(extract, "doc_id bigint, imv array<double>")
+    imf = d.select("doc_id").mapInPandas(
+        _fuse(gen, extract), "doc_id bigint, imv array<double>"
     )
     # Bucket counts as one native regexp_count scan per bucket (8 codegen'd
     # scans of the cleaned string) instead of materializing a per-char
@@ -2013,8 +2065,9 @@ def multimodal_image_bmp(spark, sf_dir: str) -> DataFrame:
                 rows.append((int(i), encode_bmp(flat.reshape(_BMP_H, _BMP_W))))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-    stats = image_stats(corpus)
+    stats = ids.mapInPandas(
+        _fuse(gen, _image_stats_kernel()), IMAGE_STATS_SCHEMA
+    )
     return stats.select(
         F.col("id").alias("doc_id"),
         "width",
@@ -2086,8 +2139,6 @@ def multimodal_image_dhash(spark, sf_dir: str) -> DataFrame:
                 rows.append((int(i), encode_bmp(flat.reshape(_MM_H, _MM_W))))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         xs = np.array(_DH_XS)
         for pdf in batches:
@@ -2100,7 +2151,9 @@ def multimodal_image_dhash(spark, sf_dir: str) -> DataFrame:
                 out.append((int(i), "".join("1" if b else "0" for b in bits)))
             yield pd.DataFrame(out, columns=["doc_id", "dhash"])
 
-    hashed = corpus.mapInPandas(hash_batch, "doc_id bigint, dhash string")
+    hashed = ids.mapInPandas(
+        _fuse(gen, hash_batch), "doc_id bigint, dhash string"
+    )
     return hashed.groupBy("dhash").agg(
         F.count("*").alias("n_images"),
         F.min("doc_id").alias("keep_doc_id"),
@@ -2157,8 +2210,9 @@ def multimodal_image_ppm(spark, sf_dir: str) -> DataFrame:
                 rows.append((int(i), _PPM_HDR + rgb))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-    stats = image_stats(corpus)
+    stats = ids.mapInPandas(
+        _fuse(gen, _image_stats_kernel()), IMAGE_STATS_SCHEMA
+    )
     return stats.select(
         F.col("id").alias("doc_id"),
         "width",
@@ -2221,8 +2275,9 @@ def multimodal_image_png(spark, sf_dir: str) -> DataFrame:
                 rows.append((int(i), encode_png(flat.reshape(_PNG_H, _PNG_W))))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-    stats = image_stats(corpus)
+    stats = ids.mapInPandas(
+        _fuse(gen, _image_stats_kernel()), IMAGE_STATS_SCHEMA
+    )
     return stats.select(
         F.col("id").alias("doc_id"),
         "width",
@@ -2299,8 +2354,9 @@ def multimodal_audio_aiff(spark, sf_dir: str) -> DataFrame:
                 rows.append((int(i), buf.getvalue()))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-    stats = audio_stats(corpus)
+    stats = ids.mapInPandas(
+        _fuse(gen, _audio_stats_kernel()), AUDIO_STATS_SCHEMA
+    )
     return stats.select(
         F.col("id").alias("doc_id"),
         "sample_rate",
@@ -2372,8 +2428,9 @@ def multimodal_audio_g711(spark, sf_dir: str) -> DataFrame:
                 rows.append((int(i), g711_wav_container(_G711_RATE, codes.tobytes())))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-    stats = audio_stats(corpus)
+    stats = ids.mapInPandas(
+        _fuse(gen, _audio_stats_kernel()), AUDIO_STATS_SCHEMA
+    )
     return stats.select(
         F.col("id").alias("doc_id"),
         "sample_rate",
@@ -2439,8 +2496,9 @@ def multimodal_image_gif(spark, sf_dir: str) -> DataFrame:
                 rows.append((int(i), blob))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-    stats = image_stats(corpus)
+    stats = ids.mapInPandas(
+        _fuse(gen, _image_stats_kernel()), IMAGE_STATS_SCHEMA
+    )
     return stats.select(
         F.col("id").alias("doc_id"),
         "width",
@@ -2504,8 +2562,9 @@ def multimodal_image_tiff(spark, sf_dir: str) -> DataFrame:
                 rows.append((int(i), blob))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-    stats = image_stats(corpus)
+    stats = ids.mapInPandas(
+        _fuse(gen, _image_stats_kernel()), IMAGE_STATS_SCHEMA
+    )
     return stats.select(
         F.col("id").alias("doc_id"),
         "width",
@@ -2576,8 +2635,6 @@ def multimodal_video_gif(spark, sf_dir: str) -> DataFrame:
                 rows.append((int(i), encode_gif_animation(frames)))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-
     def per_frame(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -2603,8 +2660,8 @@ def multimodal_video_gif(spark, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    stats = corpus.mapInPandas(
-        per_frame,
+    stats = ids.mapInPandas(
+        _fuse(gen, per_frame),
         "doc_id bigint, frame_idx int, width int, height int, "
         "mean_pixel double, max_pixel int",
     )
@@ -2667,8 +2724,9 @@ def multimodal_image_jpeg(spark, sf_dir: str) -> DataFrame:
                 rows.append((int(i), encode_jpeg(img)))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-    stats = image_stats(corpus)
+    stats = ids.mapInPandas(
+        _fuse(gen, _image_stats_kernel()), IMAGE_STATS_SCHEMA
+    )
     return stats.select(
         F.col("id").alias("doc_id"),
         "width",
@@ -2743,8 +2801,6 @@ def multimodal_video_mjpeg(spark, sf_dir: str) -> DataFrame:
                 rows.append((int(i), encode_avi_mjpeg(frames)))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-
     def per_frame(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -2762,8 +2818,8 @@ def multimodal_video_mjpeg(spark, sf_dir: str) -> DataFrame:
                          "mean_pixel", "max_pixel"],
             )
 
-    stats = corpus.mapInPandas(
-        per_frame,
+    stats = ids.mapInPandas(
+        _fuse(gen, per_frame),
         "doc_id bigint, frame_idx int, width int, height int, "
         "mean_pixel double, max_pixel int",
     )
@@ -2823,8 +2879,9 @@ def multimodal_image_jpeg_progressive(spark, sf_dir: str) -> DataFrame:
                 rows.append((int(i), encode_jpeg_progressive(img)))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-    stats = image_stats(corpus)
+    stats = ids.mapInPandas(
+        _fuse(gen, _image_stats_kernel()), IMAGE_STATS_SCHEMA
+    )
     return stats.select(
         F.col("id").alias("doc_id"),
         "width",
@@ -2927,8 +2984,6 @@ def multimodal_image_phash(spark, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # content-addressed within the task, mirroring gen's per-seed blob
         # memo above: identical bytes decode+hash once (the production
@@ -2948,7 +3003,9 @@ def multimodal_image_phash(spark, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window as W
 
-    hashed = corpus.mapInPandas(hash_batch, "doc_id bigint, ph decimal(20,0)")
+    hashed = ids.mapInPandas(
+        _fuse(gen, hash_batch), "doc_id bigint, ph decimal(20,0)"
+    )
     # window count over the hash: ONE pass over the decode stage and one
     # shuffle on ph (a groupBy+self-join would re-run the whole decode
     # pipeline for the second branch)
@@ -3015,8 +3072,9 @@ def multimodal_audio_flac(spark, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-    stats = audio_stats(corpus)
+    stats = ids.mapInPandas(
+        _fuse(gen, _audio_stats_kernel()), AUDIO_STATS_SCHEMA
+    )
     return stats.select(
         F.col("id").alias("doc_id"),
         "sample_rate",
@@ -3086,8 +3144,9 @@ def multimodal_image_webp(spark, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    corpus = ids.mapInPandas(gen, "id bigint, content binary")
-    stats = image_stats(corpus)
+    stats = ids.mapInPandas(
+        _fuse(gen, _image_stats_kernel()), IMAGE_STATS_SCHEMA
+    )
     return stats.select(
         F.col("id").alias("doc_id"),
         "width",
