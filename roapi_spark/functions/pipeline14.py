@@ -2455,6 +2455,81 @@ def stream_crawl_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- q_crawl_link_graph ----------------------------------------------------
 
 
+def _anchor_rows(spark: SparkSession, sf_dir: str, with_text: bool) -> DataFrame:
+    """One-Python-stage WAT pass: WARC read + response/HTML filter +
+    payload decode + link extraction fused into a single kernel over
+    the shard paths (guide §8 / §4.2): the old shape ran the warc
+    loader as one Python stage and the anchor kernel as a second, which
+    round-tripped every HTML payload Python -> JVM -> Python just to
+    apply JVM-side status/content-type filters in between. The filters
+    and decode now run where the payload already is; only the SMALL
+    anchor rows (uri, winner key, resolved href [, text]) ever reach
+    the JVM — the payload is decoded in exactly one place."""
+    import os as _os
+
+    from roapi_spark.sources.warc import _list_files
+
+    uri = _warc_fixture_dir(spark, sf_dir)
+    files = _list_files(uri, "*.warc*", recursive=False)
+    paths = spark.createDataFrame(
+        [(p,) for p in files], "path string"
+    ).repartition(len(files), "path")
+
+    def kernel(batches):
+        import pandas as pd
+
+        from roapi_spark.functions.web import (
+            decode_http_text,
+            extract_links,
+            extract_links_with_text,
+            resolve_url,
+        )
+        from roapi_spark.sources.warc import read_warc_file
+
+        cols = ["target_uri", "record_id", "warc_file", "record_offset"] + (
+            ["anchor_text", "resolved"] if with_text else ["resolved"]
+        )
+        for pdf in batches:
+            for p in pdf["path"]:
+                label = _os.path.relpath(p, uri)
+                out = []
+                for rec in read_warc_file(p, label):
+                    # same predicate the JVM filter applied: response,
+                    # status 200, text/html (NULL content type drops)
+                    if rec["warc_type"] != "response":
+                        continue
+                    if rec["http_status"] != 200:
+                        continue
+                    ctype = rec["http_content_type"]
+                    if not (ctype or "").startswith("text/html"):
+                        continue
+                    raw = decode_http_text(rec["payload"], ctype)
+                    if raw is None:
+                        continue
+                    turi = rec["target_uri"]
+                    base = (turi, rec["record_id"], label,
+                            rec["record_offset"])
+                    if with_text:
+                        for href, text in extract_links_with_text(raw):
+                            out.append(
+                                base + (text, resolve_url(turi, href))
+                            )
+                    else:
+                        for href in extract_links(raw):
+                            out.append(base + (resolve_url(turi, href),))
+                yield pd.DataFrame(out, columns=cols)
+
+    schema = (
+        "target_uri string, record_id string, warc_file string, "
+        "record_offset bigint, "
+        + ("anchor_text string, " if with_text else "")
+        + "resolved string"
+    )
+    return paths.mapInPandas(kernel, schema).withColumn(
+        "canon", canonical_url(F.col("target_uri"))
+    )
+
+
 def _crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GENERAL WAT pass, stage 1: every anchor of every fetched
     HTML page, RESOLVED against the page's WARC-Target-URI (RFC 3986 §5
@@ -2464,64 +2539,29 @@ def _crawl_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     on their canonical URL first, so re-crawled records contribute one
     page each. Returns (src_canon, dst_canon): canonical source page ->
     canonical resolved target."""
-    resp = _read_warc(spark, sf_dir, types="response").withColumn(
-        "canon", canonical_url(F.col("target_uri"))
-    )
-    html = resp.filter(
-        (F.col("http_status") == 200)
-        & F.col("http_content_type").startswith("text/html")
-    )
-
-    def kernel(batches):
-        import pandas as pd
-
-        from roapi_spark.functions.web import (
-            decode_http_text,
-            extract_links,
-            resolve_url,
-        )
-
-        for pdf in batches:
-            out = []
-            for canon, rid, uri, ctype, payload in zip(
-                pdf["canon"],
-                pdf["record_id"],
-                pdf["target_uri"],
-                pdf["http_content_type"],
-                pdf["payload"],
-            ):
-                raw = decode_http_text(bytes(payload), ctype)
-                if raw is None:
-                    continue
-                for href in extract_links(raw):
-                    out.append(
-                        {"src_canon": canon,
-                         "record_id": rid,
-                         "resolved": resolve_url(uri, href)}
-                    )
-            yield pd.DataFrame(
-                out, columns=["src_canon", "record_id", "resolved"]
-            )
-
     # Re-crawled duplicate-URL records collapse to ONE page per canon —
-    # but keyed on the per-anchor ROWS (min record_id per canon over a
+    # but keyed on the per-anchor ROWS (min winner key per canon over a
     # window), never by dropDuplicates over the records themselves:
     # that form sort-aggregated full HTML payloads through an exchange
     # before the parse (round 14; guide §8 — decide with small rows,
     # never shuffle the heavy bytes). Parsing the few duplicate records
-    # too is far cheaper than shuffling every payload.
+    # too is far cheaper than shuffling every payload. The winner key is
+    # (record_id, warc_file, record_offset) — guaranteed unique even
+    # when malformed WARCs leave record_id empty, so tied-id duplicates
+    # can never double-count anchors (round-15 advice item; same winner
+    # as min(record_id) whenever ids are unique).
     from pyspark.sql import Window
 
-    links = html.select(
-        "canon", "record_id", "target_uri", "http_content_type", "payload"
-    ).mapInPandas(kernel, "src_canon string, record_id string, resolved string")
-    w = Window.partitionBy("src_canon")
-    links = links.withColumn("_rid0", F.min("record_id").over(w)).filter(
-        F.col("record_id") == F.col("_rid0")
+    links = _anchor_rows(spark, sf_dir, with_text=False)
+    w = Window.partitionBy("canon")
+    key = F.struct("record_id", "warc_file", "record_offset")
+    links = links.withColumn("_k0", F.min(key).over(w)).filter(
+        key == F.col("_k0")
     )
-    return links.withColumn(
-        "dst_canon", canonical_url(F.col("resolved"))
-    ).select("src_canon", "dst_canon")
+    return links.select(
+        F.col("canon").alias("src_canon"),
+        canonical_url(F.col("resolved")).alias("dst_canon"),
+    )
 
 
 def _crawl_links_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2530,65 +2570,22 @@ def _crawl_links_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse/resolve/canonicalize path as _crawl_links, plus the
     whitespace-normalized text inside each anchor (the relevance/label
     signal WAT consumers mine)."""
-    resp = _read_warc(spark, sf_dir, types="response").withColumn(
-        "canon", canonical_url(F.col("target_uri"))
-    )
-    html = resp.filter(
-        (F.col("http_status") == 200)
-        & F.col("http_content_type").startswith("text/html")
-    )
-
-    def kernel(batches):
-        import pandas as pd
-
-        from roapi_spark.functions.web import (
-            decode_http_text,
-            extract_links_with_text,
-            resolve_url,
-        )
-
-        for pdf in batches:
-            out = []
-            for canon, rid, uri, ctype, payload in zip(
-                pdf["canon"],
-                pdf["record_id"],
-                pdf["target_uri"],
-                pdf["http_content_type"],
-                pdf["payload"],
-            ):
-                raw = decode_http_text(bytes(payload), ctype)
-                if raw is None:
-                    continue
-                for href, text in extract_links_with_text(raw):
-                    out.append(
-                        {"canon": canon,
-                         "record_id": rid,
-                         "anchor_text": text,
-                         "resolved": resolve_url(uri, href)}
-                    )
-            yield pd.DataFrame(
-                out,
-                columns=["canon", "record_id", "anchor_text", "resolved"],
-            )
-
-    # Same per-page dedup as _crawl_links: min record_id per canon over
-    # the small anchor rows, not dropDuplicates over payload-carrying
-    # records (round 14; guide §8).
+    # Same single-Python-stage pass and per-page dedup as _crawl_links:
+    # min unique winner key per canon over the small anchor rows, not
+    # dropDuplicates over payload-carrying records (round 14; guide §8;
+    # round-15 unique-key tie-break).
     from pyspark.sql import Window
 
-    links = html.select(
-        "canon", "record_id", "target_uri", "http_content_type", "payload"
-    ).mapInPandas(
-        kernel,
-        "canon string, record_id string, anchor_text string, resolved string",
-    )
+    links = _anchor_rows(spark, sf_dir, with_text=True)
     w = Window.partitionBy("canon")
-    links = links.withColumn("_rid0", F.min("record_id").over(w)).filter(
-        F.col("record_id") == F.col("_rid0")
+    key = F.struct("record_id", "warc_file", "record_offset")
+    links = links.withColumn("_k0", F.min(key).over(w)).filter(
+        key == F.col("_k0")
     )
-    return links.withColumn(
-        "dst_canon", canonical_url(F.col("resolved"))
-    ).select("anchor_text", "dst_canon")
+    return links.select(
+        "anchor_text",
+        canonical_url(F.col("resolved")).alias("dst_canon"),
+    )
 
 
 def _links_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
