@@ -56,7 +56,13 @@ from pyspark.sql.window import Window
 
 from roapi_spark.functions.pipeline6 import SPAN_K
 from roapi_spark.plans.registry import register
-from roapi_spark.util import hash_bucket, hash_bucket_sql, pround, pround_sql
+from roapi_spark.util import (
+    hash_bucket,
+    hash_bucket_sql,
+    pround,
+    pround_sql,
+    serve_persist,
+)
 
 _TOKS_DUCK = (
     "list_filter(string_split_regex(lower(text), '[^a-z]+'), "
@@ -219,7 +225,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — without it the corpus was tokenized + exploded twice per serve
     # (round 14; guide §5). The 100 TB path stays the served artifact
     # (q_dsir_weights_served), which needs only ONE pass by design.
-    tb = _dsir_token_buckets(spark, sf_dir).persist()
+    tb = serve_persist(_dsir_token_buckets(spark, sf_dir))
     return _dsir_report(spark, sf_dir, _dsir_log_ratios(tb), tb=tb)
 
 
@@ -373,7 +379,8 @@ def _covered_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(_positional_grams(F.col("w"))).alias("i", "gram"),
         )
         .select("doc_id", "i", F.md5(F.col("gram")).alias("g"))
-    ).persist()
+    )
+    grams = serve_persist(grams)
     dup = grams.groupBy("g").count().filter(F.col("count") > 1).select("g")
     return (
         grams.join(dup, "g")

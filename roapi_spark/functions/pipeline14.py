@@ -63,7 +63,7 @@ from pyspark.sql import functions as F
 
 from roapi_spark.functions.web import canonical_url, registrable_domain
 from roapi_spark.plans.registry import register
-from roapi_spark.util import WS_CLASS
+from roapi_spark.util import WS_CLASS, serve_persist
 
 # ---------------------------------------------------------------------------
 # deterministic residue rules shared by the fixture builder, the Spark
@@ -1459,7 +1459,7 @@ def q_cdx_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without the persist the raw-byte archive parse ran twice per serve
     # (round 14; guide §5 — reuse instead of recompute; pointer rows are
     # index-sized, ~1000x smaller than the archives).
-    ptrs = index_warc(spark, warc_dir, glob="*.warc*").persist()
+    ptrs = serve_persist(index_warc(spark, warc_dir, glob="*.warc*"))
     out_root = tempfile.mkdtemp(prefix="cdx_sink_gate_")
     atexit.register(shutil.rmtree, out_root, ignore_errors=True)
     out_dir = os.path.join(out_root, "index")

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from roapi_spark.functions.dedup import tokens_col
 from roapi_spark.plans.registry import register
-from roapi_spark.util import pround
+from roapi_spark.util import pround, serve_persist
 
 _TOKS_DUCK = (
     "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> length(x) > 0)"
@@ -681,7 +681,9 @@ def _ann_recall_pair(spark, sf_dir, ann_df):
     # distinct: persist the (N_QUERIES x TOP_K)-row result so the
     # brute-force self-join runs once per recall audit, not twice
     # (guide §5; fixes all six q_*_recall gates)
-    exact = knn_bruteforce(spark, sf_dir).select("qid", "neighbor_id").persist()
+    exact = serve_persist(
+        knn_bruteforce(spark, sf_dir).select("qid", "neighbor_id")
+    )
     ov = (
         ann_df.select("qid", "neighbor_id")
         .join(exact, ["qid", "neighbor_id"])

@@ -140,7 +140,8 @@ def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # three consumers (bc/uc derivation and the scored join) would
         # each replay the corpus tokenize+shingle pass — persist the
         # bigram-count rows (vocabulary-bounded per doc) for the
-        # query's duration instead (guide §5)
+        # query's duration instead (guide §5; lifecycle:
+        # util.serve_persist)
         .persist()
     )
     bc = dbig.groupBy("prev", "cur").agg(F.sum("n").alias("c2"))

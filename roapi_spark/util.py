@@ -70,3 +70,28 @@ def hash32(col: Column) -> Column:
 def hash32_sql(expr: str) -> str:
     """DuckDB twin of hash32."""
     return f"('0x' || SUBSTR(MD5({expr}), 1, 8))::BIGINT"
+
+
+def serve_persist(df: "DataFrame") -> "DataFrame":  # noqa: F821
+    """Persist a multiply-consumed intermediate for the lifetime of one
+    query SERVE.
+
+    Lifecycle contract (round-15 advice item): these blocks are NOT
+    unpersisted by the query builder — the consumers live inside the
+    returned lazy DataFrame, so there is no safe point to drop them
+    before the caller's action. Instead every long-lived caller drops
+    persistent RDDs between serves:
+
+    * ``bench.py`` unpersists all persistent RDDs between queries
+      (``drop_persistent_blocks``);
+    * ``tools/check_correctness.py`` uses one serve per fresh plan;
+    * the HTTP/PG/Flight servers serve each request from a fresh plan
+      and rely on LRU eviction of MEMORY_AND_DISK blocks — a deployment
+      holding many distinct plans hot should periodically call
+      ``spark.sparkContext._jsc.sc().getPersistentRDDs()`` cleanup the
+      same way bench.py does.
+
+    Use this wrapper (not bare ``.persist()``) for serve-scoped persists
+    so the contract is greppable in one place.
+    """
+    return df.persist()
